@@ -1,0 +1,126 @@
+"""Varbyte delta codec + block-max posting blocks (numpy, vectorized).
+
+The reference delegated posting-list compression to Lucene inside
+Elasticsearch (output/elasticsearch.py:33 — ES tokenizes and merges postings
+internally); here it is a first-class kernel: sorted docIDs are
+delta-encoded (gaps) and varbyte-compressed per fixed-size block, with
+block-max metadata (max tf, last docID) enabling block-max WAND skipping at
+query time (north_star requirement).
+
+All encode/decode is numpy-vectorized — these kernels run inside
+applyInPandas/mapInPandas over Arrow batches, never per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array (LEB128-style, 7 bits per byte,
+    high bit = continuation).  Vectorized: compute per-value byte width,
+    scatter 7-bit groups into a flat output buffer.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (>=1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # uint64 fits in 10 groups
+    widths = np.ones(v.shape, dtype=np.int64)
+    tmp = tmp >> np.uint64(7)
+    while tmp.any():
+        widths += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    del nbits
+    ends = np.cumsum(widths)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    # byte j of value i sits at ends[i]-1-j holding bits 7j..7j+6;
+    # all bytes except the last (lowest-address...) — we store little-endian
+    # groups with continuation bit on all but the final (most significant
+    # position is written last).  Standard varint: low 7 bits first.
+    starts = ends - widths
+    maxw = int(widths.max())
+    for j in range(maxw):
+        mask = widths > j
+        pos = starts[mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = np.where(j + 1 < widths[mask], 0x80, 0x00).astype(np.uint8)
+        out[pos] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode varbyte buffer back to uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.array([], dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)  # index of final byte per value
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    widths = ends - starts + 1
+    n = ends.size
+    vals = np.zeros(n, dtype=np.uint64)
+    maxw = int(widths.max())
+    for j in range(maxw):
+        mask = widths > j
+        pos = starts[mask] + j
+        vals[mask] |= (b[pos].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+            7 * j
+        )
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing docIDs -> gaps (first value kept as-is)."""
+    ids = np.asarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_blocks(
+    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE
+) -> list[dict]:
+    """Split a sorted posting list into fixed-size blocks.
+
+    Returns one dict per block:
+      block_id, n_docs, first_doc_id, last_doc_id (skip pointers),
+      doc_gaps (varbyte of delta-encoded ids), tf_bytes (varbyte),
+      block_max_tf (block-max metadata for WAND upper bounds).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    assert doc_ids.shape == tfs.shape
+    blocks = []
+    for bi, off in enumerate(range(0, doc_ids.size, block_size)):
+        ids = doc_ids[off : off + block_size]
+        tf = tfs[off : off + block_size]
+        blocks.append(
+            {
+                "block_id": bi,
+                "n_docs": int(ids.size),
+                "first_doc_id": int(ids[0]),
+                "last_doc_id": int(ids[-1]),
+                "doc_gaps": varbyte_encode(delta_encode(ids)),
+                "tf_bytes": varbyte_encode(tf),
+                "block_max_tf": int(tf.max()),
+            }
+        )
+    return blocks
+
+
+def decode_block(doc_gaps: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """-> (doc_ids uint64, tfs uint64)."""
+    return delta_decode(varbyte_decode(doc_gaps)), varbyte_decode(tf_bytes)

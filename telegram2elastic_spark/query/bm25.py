@@ -1,0 +1,154 @@
+"""BM25 top-k — relational formulation (pure built-in ops, codegen'd).
+
+The reference delegates ranked retrieval to Elasticsearch (README.md:5,
+output/elasticsearch.py:33); this module owns it.  Scoring is classic
+Lucene/ES BM25 (disjunctive, "should"-style):
+
+    idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+    w(t, d)    = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * |d|/avgdl))
+    score(q,d) = sum over matched query terms
+
+with k1 = 1.2, b = 0.75, N and avgdl over the *whole* corpus (zero-token
+docs included).  Ties broken by doc_id ascending; scores rounded to 5
+decimals BEFORE ordering so Spark/DuckDB float-sum-order noise can never
+flip rank (SURVEY.md §7.4).
+
+This relational path is the *vectorized baseline*: tokenize -> explode ->
+filter to query terms (pushed below the shuffle) -> one hash agg for tf ->
+broadcast joins for df/stats -> top-k.  The compressed-index WAND path
+(query/wand.py) must be rank-identical to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, TOKENS_CTE, tokens
+
+K1 = 1.2
+B = 0.75
+SCORE_DECIMALS = 5
+
+
+def idf_col(n: F.Column, df: F.Column) -> F.Column:
+    return F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
+
+
+def bm25_weight(tf: F.Column, dl: F.Column, avgdl: F.Column, idf: F.Column) -> F.Column:
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    lang: str | None = None,
+    min_ts: str | None = None,
+    max_ts: str | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, url, score) for a disjunctive term query.
+
+    Document-level filters (lang / warc_ts window — the analogues of the
+    reference's search filters, poc/src/api/routes/search.py:87-103 and the
+    periodic_import window, telegram2elastic.py:555-558) restrict the corpus
+    BEFORE scoring, so N/avgdl/df are filtered-set statistics.
+    """
+    base = corpus
+    if lang is not None:
+        base = base.filter(F.col("lang") == lang)
+    if min_ts is not None:
+        base = base.filter(F.col("warc_ts") >= F.lit(min_ts).cast("timestamp"))
+    if max_ts is not None:
+        base = base.filter(F.col("warc_ts") < F.lit(max_ts).cast("timestamp"))
+
+    docs = base.select("doc_id", "url", F.size(tokens("text")).alias("doc_len"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    )
+
+    tf = (
+        base.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(term_df), "term")
+        .join(docs.select("doc_id", "url", "doc_len"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            bm25_weight(
+                F.col("tf").cast("double"),
+                F.col("doc_len").cast("double"),
+                F.col("avgdl"),
+                idf_col(F.col("n").cast("double"), F.col("df").cast("double")),
+            ),
+        )
+        .groupBy("doc_id", "url")
+        .agg(F.round(F.sum("w"), SCORE_DECIMALS).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _sql_quote_terms(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def bm25_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    lang: str | None = None,
+    min_ts: str | None = None,
+    max_ts: str | None = None,
+) -> str:
+    """DuckDB oracle SQL — the exact same semantics over the raw
+    `documents` view (derivation via CORPUS_CTE, tokenization via
+    TOKENS_CTE with the same regex)."""
+    preds = ["1=1"]
+    if lang is not None:
+        preds.append(f"lang = '{lang}'")
+    if min_ts is not None:
+        preds.append(f"warc_ts >= TIMESTAMP '{min_ts}'")
+    if max_ts is not None:
+        preds.append(f"warc_ts < TIMESTAMP '{max_ts}'")
+    where = " AND ".join(preds)
+    terms_sql = _sql_quote_terms(terms)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+fbase AS (SELECT * FROM corpus WHERE {where}),
+dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM fbase),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM fbase
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, d.url, s.score
+FROM scored s JOIN dl d ON s.doc_id = d.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""

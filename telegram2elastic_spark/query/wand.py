@@ -1,0 +1,194 @@
+"""Top-k BM25 over the compressed posting index with block-max pruning.
+
+Distributed shape: the index is document-partitioned (build.py — salt =
+pmod(doc_id, P) for every term), so each salt holds a disjoint doc subset and
+per-salt top-k is complete.  Query = cogroup(doc_map by salt, postings by
+salt) -> applyInPandas kernel (numpy over Arrow batches) -> union of P local
+top-ks -> global orderBy/limit merge (the "partial-posting merge" of
+north_star).  Only the query terms' posting blocks are read: with the
+on-disk layout partitioned by term_bucket, the scan prunes to <= |q| buckets,
+and `term IN (...)` is pushed to parquet.
+
+Pruning kernel: a TAAT MaxScore variant of the block-max WAND family.
+Terms are processed in descending score-upper-bound order; once the summed
+upper bound of the remaining terms falls below the running threshold θ
+(k-th best accumulated score), no *new* document can enter the top-k, so
+later terms only update existing accumulators and skip every block whose
+[first_doc_id, last_doc_id] range or block-max bound cannot matter.  Exact
+same top-k as the relational scorer (tested rank-identical); pivot-based
+DAAT WAND is a drop-in later refinement of the same kernel.
+
+Upper bounds: ub(t) = idf_t * (k1+1) * mtf / (mtf + k1*(1-b)) — the dl->0
+limit of the BM25 weight, monotone in tf, so block_max_tf gives a valid
+per-block bound (block-max metadata from codec.encode_blocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.codec import decode_block
+from .bm25 import B, K1, SCORE_DECIMALS
+
+
+def _bm25_w(tf: np.ndarray, dl: np.ndarray, avgdl: float, idf: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _term_ub(idf: float, max_tf: int) -> float:
+    mtf = float(max_tf)
+    return idf * mtf * (K1 + 1.0) / (mtf + K1 * (1.0 - B))
+
+
+def _score_salt_group(
+    dm: pd.DataFrame,
+    post: pd.DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> pd.DataFrame:
+    """Kernel: one salt partition -> local top-k (doc_id, score)."""
+    if post.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    # doc_len lookup arrays (sorted by doc_id for searchsorted)
+    dm = dm.sort_values("doc_id")
+    dm_ids = dm["doc_id"].to_numpy(dtype=np.int64)
+    dm_len = dm["doc_len"].to_numpy(dtype=np.float64)
+
+    def doc_lens(ids: np.ndarray) -> np.ndarray:
+        return dm_len[np.searchsorted(dm_ids, ids)]
+
+    # per-term block tables, ordered by descending term upper bound
+    terms = []
+    for term, g in post.groupby("term", sort=False):
+        g = g.sort_values("block_id")
+        idf = idfs[term]
+        ub = _term_ub(idf, int(g["block_max_tf"].max()))
+        terms.append((ub, term, idf, g))
+    terms.sort(key=lambda x: -x[0])
+    ubs = np.array([t[0] for t in terms])
+    rem_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])  # rem_ub[j] = sum ubs[j:]
+
+    acc_ids = np.array([], dtype=np.int64)
+    acc_scores = np.array([], dtype=np.float64)
+
+    for j, (ub, term, idf, g) in enumerate(terms):
+        theta = (
+            np.partition(acc_scores, -k)[-k] if acc_scores.size >= k else -np.inf
+        )
+        allow_new = rem_ub[j] >= theta
+        firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
+        lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
+        bubs = np.array([_term_ub(idf, int(m)) for m in g["block_max_tf"]])
+        if allow_new:
+            keep = np.ones(len(g), dtype=bool)
+        else:
+            if acc_ids.size == 0:
+                break
+            # block-max skipping: keep only blocks that overlap an existing
+            # accumulator (range check via searchsorted) and whose bound can
+            # still lift an accumulated doc into the top-k.
+            lo = np.searchsorted(acc_ids, firsts, side="left")
+            hi = np.searchsorted(acc_ids, lasts, side="right")
+            overlaps = hi > lo
+            acc_max = acc_scores.max() if acc_scores.size else 0.0
+            keep = overlaps & (bubs + acc_max + rem_ub[j + 1] >= theta)
+        if not keep.any():
+            continue
+        ids_list, tfs_list = [], []
+        for gaps, tfb in zip(
+            g["doc_gaps"].to_numpy()[keep], g["tf_bytes"].to_numpy()[keep]
+        ):
+            ids, tfs = decode_block(bytes(gaps), bytes(tfb))
+            ids_list.append(ids.astype(np.int64))
+            tfs_list.append(tfs)
+        ids = np.concatenate(ids_list)
+        tfs = np.concatenate(tfs_list).astype(np.float64)
+        if not allow_new:
+            mask = np.isin(ids, acc_ids, assume_unique=False)
+            ids, tfs = ids[mask], tfs[mask]
+            if ids.size == 0:
+                continue
+        w = _bm25_w(tfs, doc_lens(ids), avgdl, idf)
+        # merge into accumulators (sorted union)
+        all_ids = np.concatenate([acc_ids, ids])
+        all_sc = np.concatenate([acc_scores, w])
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_sc = all_ids[order], all_sc[order]
+        uniq, starts = np.unique(all_ids, return_index=True)
+        sums = np.add.reduceat(all_sc, starts)
+        acc_ids, acc_scores = uniq, sums
+
+    if acc_ids.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    top = min(k, acc_ids.size)
+    # Round BEFORE local top-k selection so partition-local truncation uses
+    # the same (rounded score, doc_id) order as the global merge — otherwise
+    # a float-noise "tie" could drop the wrong doc at the partition boundary.
+    acc_scores = np.round(acc_scores, SCORE_DECIMALS)
+    order = np.lexsort((acc_ids, -acc_scores))[:top]
+    return pd.DataFrame({"doc_id": acc_ids[order], "score": acc_scores[order]})
+
+
+def wand_topk(
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (doc_id, url, score) from the compressed index.
+
+    Driver-side: collect idf inputs for the |q| query terms (tiny) and global
+    stats; the broadcastable closure ships them to the kernel.
+    """
+    spark = index["doc_map"].sparkSession
+    n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+    trows = (
+        index["term_dict"].filter(F.col("term").isin(terms)).select("term", "df").collect()
+    )
+    idfs = {
+        r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
+        for r in trows
+    }
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not idfs:
+        return empty
+
+    post = index["postings"].filter(F.col("term").isin(list(idfs)))
+    dm = index["doc_map"].withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(_n_doc_parts(index))).cast("int")
+    )
+
+    def kernel(key, dm_pdf: pd.DataFrame, post_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_salt_group(dm_pdf, post_pdf, idfs, float(avgdl), k)
+
+    local = (
+        dm.groupBy("salt")
+        .cogroup(post.groupBy("salt"))
+        .applyInPandas(kernel, "doc_id long, score double")
+    )
+    return (
+        local.withColumn("score", F.round(F.col("score"), SCORE_DECIMALS))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .join(index["doc_map"].select("doc_id", "url"), "doc_id", "left")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _n_doc_parts(index: dict) -> int:
+    """Doc-partition count the postings were built with (max salt + 1).
+
+    Cheap: salt is low-cardinality; scan prunes to the salt column only.
+    """
+    if "_n_doc_parts" not in index:
+        index["_n_doc_parts"] = (
+            index["postings"].agg(F.max("salt")).first()[0] or 0
+        ) + 1
+    return index["_n_doc_parts"]

@@ -1,0 +1,66 @@
+"""Varbyte/delta/block codec round-trip properties."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from telegram2elastic_spark.index.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    v = np.array(values, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=400, unique=True
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    ids = np.array(sorted(ids), dtype=np.uint64)
+    assert np.array_equal(delta_decode(delta_encode(ids)), ids)
+
+
+def test_varbyte_edge_cases():
+    for vals in ([], [0], [127], [128], [2**63 - 1], [0, 0, 0]):
+        v = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
+
+
+def test_blocks_roundtrip_and_metadata():
+    rng = np.random.default_rng(42)
+    n = 5 * BLOCK_SIZE + 17  # non-aligned boundary
+    ids = np.cumsum(rng.integers(1, 1000, size=n)).astype(np.uint64)
+    tfs = rng.integers(1, 50, size=n).astype(np.uint64)
+    blocks = encode_blocks(ids, tfs)
+    assert len(blocks) == 6
+    out_ids, out_tfs = [], []
+    for b in blocks:
+        i, t = decode_block(b["doc_gaps"], b["tf_bytes"])
+        assert b["first_doc_id"] == int(i[0])
+        assert b["last_doc_id"] == int(i[-1])
+        assert b["block_max_tf"] == int(t.max())
+        assert b["n_docs"] == i.size
+        out_ids.append(i)
+        out_tfs.append(t)
+    assert np.array_equal(np.concatenate(out_ids), ids)
+    assert np.array_equal(np.concatenate(out_tfs), tfs)
+
+
+def test_compression_actually_compresses():
+    # dense gaps -> ~1 byte per id instead of 8
+    ids = np.arange(0, 10000, dtype=np.uint64)
+    enc = varbyte_encode(delta_encode(ids))
+    assert len(enc) < 10000 * 1.2

@@ -1,0 +1,49 @@
+"""WAND/compressed-index path must be rank-identical to the relational BM25
+baseline (and hence to the DuckDB oracle, tested in test_bm25)."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.query.bm25 import bm25_topk
+from telegram2elastic_spark.query.wand import wand_topk
+
+
+QUERIES = [
+    ["spark", "merge"],
+    ["the"],                       # Zipf head / heavy hitter
+    ["vector", "window", "batch"],
+    ["zzzznotaterm"],              # zero-hit
+    ["the", "zzzznotaterm"],
+    ["dup"],                       # rare
+    ["the", "a", "data", "row"],   # multi heavy
+]
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, n_doc_parts=8)
+    for name in ("doc_map", "term_dict", "postings", "stats"):
+        idx[name] = idx[name].cache()
+        idx[name].count()
+    return idx
+
+
+@pytest.mark.parametrize("terms", QUERIES)
+def test_wand_matches_relational(spark, sf_dir, index, terms):
+    corpus = load_corpus(spark, sf_dir)
+    want = [
+        (r["doc_id"], r["url"], r["score"])
+        for r in bm25_topk(corpus, terms, k=10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["url"], r["score"])
+        for r in wand_topk(index, terms, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_wand_k_larger_than_hits(spark, index):
+    got = wand_topk(index, ["dup"], k=10_000).collect()
+    assert len(got) > 0
