@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship BM25 top-k on sf0.001.
+queries()     -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  -> DuckDB-equivalent SQL per query (same column aliases).
+
+Non-SQL-expressible entries (compressed-index internals) still get an
+oracle where a relational equivalent exists — e.g. the WAND path's oracle
+is the plain BM25 SQL, which *is* the rank-identity check of BASELINE.json.
 """
 
 from __future__ import annotations
@@ -13,26 +15,141 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from telegram2elastic_spark.corpus import load_corpus, load_events
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.operators import aggregates as agg
+from telegram2elastic_spark.query import bm25, search
+from telegram2elastic_spark.query.wand import wand_topk
+
+# Fixed reference-style query set parameters (deterministic).
+Q_MAIN = ["spark", "merge"]
+Q_MULTI = ["vector", "window", "batch"]
+Q_HEAVY = ["the", "data", "row"]
+Q_LANG = (["join", "filter"], "en")
+Q_WINDOW = (["table", "scan"], "2022-01-01 00:30:00", "2022-01-03 00:00:00")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    corpus = load_corpus(spark, "/root/testdata/sf0.001")
+    return bm25.bm25_topk(corpus, Q_MAIN, k=10)
+
+
+def _q_bm25(terms, k=10, lang=None, min_ts=None, max_ts=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bm25.bm25_topk(
+            load_corpus(spark, sf_dir), terms, k=k, lang=lang,
+            min_ts=min_ts, max_ts=max_ts,
+        )
+
+    return run
+
+
+def _q_wand(terms, k=10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=8)
+        return wand_topk(idx, terms, k=k)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- ranked retrieval (O5; replaces ES delegation K1) ---
+        "bm25_topk": _q_bm25(Q_MAIN),
+        "bm25_multiterm": _q_bm25(Q_MULTI),
+        "bm25_heavy_hitters": _q_bm25(Q_HEAVY),
+        "bm25_lang_filter": _q_bm25(Q_LANG[0], lang=Q_LANG[1]),
+        "bm25_time_window": _q_bm25(
+            Q_WINDOW[0], min_ts=Q_WINDOW[1], max_ts=Q_WINDOW[2]
+        ),
+        # compressed-index path — oracle is the SAME BM25 SQL: rank identity.
+        "wand_topk": _q_wand(Q_MAIN),
+        "wand_multiterm": _q_wand(Q_MULTI),
+        "wand_heavy_hitters": _q_wand(Q_HEAVY),
+        # --- index state tables (A6; ES-internal in the reference) ---
+        "index_term_dict": lambda spark, sf: (
+            build_index(load_corpus(spark, sf))["term_dict"].orderBy("term")
+        ),
+        "index_doc_map": lambda spark, sf: (
+            build_index(load_corpus(spark, sf))["doc_map"]
+            .select(
+                "doc_id", "url", "lang", "doc_len",
+            )
+            .orderBy("doc_id")
+        ),
+        # --- search pipeline (F7-F10, O1, O2, A1) ---
+        "search_page": lambda spark, sf: search.search_page(
+            load_corpus(spark, sf), q="merge", min_score=10.0, offset=5, limit=10
+        ),
+        "search_page_lang": lambda spark, sf: search.search_page(
+            load_corpus(spark, sf), langs=["en", "fr"], offset=0, limit=20
+        ),
+        "search_count": lambda spark, sf: search.search_count(
+            load_corpus(spark, sf), q="merge", min_score=10.0
+        ),
+        # --- aggregations (A2, A5) / windows (O5) / joins (J6) ---
+        "archive_counters": lambda spark, sf: agg.archive_counters(
+            load_corpus(spark, sf)
+        ),
+        "timeline_daily": lambda spark, sf: agg.timeline_daily(
+            load_corpus(spark, sf)
+        ),
+        "events_rollup": lambda spark, sf: agg.events_rollup(
+            load_events(spark, sf)
+        ),
+        "top_users_per_type": lambda spark, sf: agg.top_users_per_type(
+            load_events(spark, sf), k=3
+        ),
+        "forward_chain_join": lambda spark, sf: agg.forward_chain_join(
+            load_events(spark, sf)
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from telegram2elastic_spark.corpus import CORPUS_CTE
+    from telegram2elastic_spark.functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE
+
+    term_dict_sql = f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term ORDER BY term
+"""
+    doc_map_sql = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
+FROM corpus ORDER BY doc_id
+"""
+    return {
+        "bm25_topk": bm25.bm25_topk_sql(Q_MAIN),
+        "bm25_multiterm": bm25.bm25_topk_sql(Q_MULTI),
+        "bm25_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),
+        "bm25_lang_filter": bm25.bm25_topk_sql(Q_LANG[0], lang=Q_LANG[1]),
+        "bm25_time_window": bm25.bm25_topk_sql(
+            Q_WINDOW[0], min_ts=Q_WINDOW[1], max_ts=Q_WINDOW[2]
+        ),
+        "wand_topk": bm25.bm25_topk_sql(Q_MAIN),
+        "wand_multiterm": bm25.bm25_topk_sql(Q_MULTI),
+        "wand_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),
+        "index_term_dict": term_dict_sql,
+        "index_doc_map": doc_map_sql,
+        "search_page": search.search_page_sql(
+            q="merge", min_score=10.0, offset=5, limit=10
+        ),
+        "search_page_lang": search.search_page_sql(
+            langs=["en", "fr"], offset=0, limit=20
+        ),
+        "search_count": search.search_count_sql(q="merge", min_score=10.0),
+        "archive_counters": agg.ARCHIVE_COUNTERS_SQL,
+        "timeline_daily": agg.TIMELINE_DAILY_SQL,
+        "events_rollup": agg.EVENTS_ROLLUP_SQL,
+        "top_users_per_type": agg.top_users_per_type_sql(k=3),
+        "forward_chain_join": agg.FORWARD_CHAIN_SQL,
+    }

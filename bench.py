@@ -1,0 +1,205 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver corpus tops out at 5k docs; SPARK_GRAFT_EXPAND (default 40)
+replicates it deterministically (corpus.expand_corpus) so build throughput
+and query latency are measured at a scale where shuffles/partitioning
+actually matter (~200k docs, ~10M tokens on sf0.1).
+
+Extra JSON keys (informational, beyond the driver contract):
+  docs_per_sec   — index-build throughput (BASELINE.json metric)
+  wand_p95_ms    — BM25 top-10 p95 query latency over the query set
+  expand / n_docs
+
+Scaling evidence (north_rule, two parallelism levels): run
+  python bench.py --scaling
+which executes the build at local[8] and local[32] in fresh subprocesses on
+identical input and reports throughput at both + efficiency (see BASELINE.md
+"Scaling evidence").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("SPARK_GRAFT_EXPAND", "40"))
+
+BENCH_QUERIES = [
+    ["spark", "merge"],
+    ["the"],
+    ["vector", "window", "batch"],
+    ["the", "data", "row"],
+    ["join", "filter"],
+    ["dup"],
+    ["table", "scan", "query"],
+    ["zzzznotaterm"],
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_build_once(cpus: int, workdir: str) -> dict:
+    """Timed: parquet corpus scan -> full index build -> index written to
+    parquet.  Returns {'n_docs', 'build_sec', 'docs_per_sec'}."""
+    from telegram2elastic_spark.corpus import as_corpus, expand_corpus, load_documents
+    from telegram2elastic_spark.index.build import build_index, write_index
+    from telegram2elastic_spark.session import get_spark
+
+    spark = get_spark("bench-build", master=f"local[{cpus}]")
+    # materialize the expanded corpus as parquet first: the timed section
+    # then measures a realistic scan->build, not the expansion trick
+    corpus_path = f"{workdir}/corpus"
+    docs = expand_corpus(load_documents(spark, SF_DIR), EXPAND)
+    as_corpus(docs).write.mode("overwrite").parquet(corpus_path)
+
+    corpus = spark.read.parquet(corpus_path)
+    n_docs = corpus.count()
+    t0 = time.perf_counter()
+    idx = build_index(corpus, n_doc_parts=max(cpus, 8))
+    write_index(idx, f"{workdir}/index_{cpus}")
+    build_sec = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "n_docs": n_docs,
+        "build_sec": build_sec,
+        "docs_per_sec": n_docs / build_sec,
+    }
+
+
+def main() -> None:
+    from telegram2elastic_spark.corpus import (
+        as_corpus,
+        expand_corpus,
+        load_documents,
+        load_events,
+    )
+    from telegram2elastic_spark.index.build import build_index, write_index, read_index
+    from telegram2elastic_spark.operators import aggregates as agg
+    from telegram2elastic_spark.query import bm25, search
+    from telegram2elastic_spark.query.wand import wand_topk
+    from telegram2elastic_spark.session import get_spark
+
+    workdir = tempfile.mkdtemp(prefix="bench_")
+    queries: dict[str, float] = {}
+    extra: dict = {"expand": EXPAND, "cpus": CPUS}
+    try:
+        spark = get_spark("bench", master=f"local[{CPUS}]")
+
+        corpus_path = f"{workdir}/corpus"
+        docs = expand_corpus(load_documents(spark, SF_DIR), EXPAND)
+        as_corpus(docs).write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        n_docs = corpus.count()
+        extra["n_docs"] = n_docs
+
+        # q1: index build end-to-end (scan -> postings/doc_map/term_dict on disk)
+        t0 = time.perf_counter()
+        idx = build_index(corpus, n_doc_parts=CPUS)
+        write_index(idx, f"{workdir}/index")
+        queries["index_build"] = time.perf_counter() - t0
+        extra["docs_per_sec"] = round(n_docs / queries["index_build"], 1)
+
+        idx = read_index(spark, f"{workdir}/index")
+        for name in ("doc_map", "term_dict", "postings", "stats"):
+            idx[name] = idx[name].cache()
+            idx[name].count()
+
+        # q2: relational BM25 (vectorized baseline) over the raw corpus
+        t0 = time.perf_counter()
+        for terms in BENCH_QUERIES[:4]:
+            bm25.bm25_topk(corpus, terms, k=10).collect()
+        queries["bm25_relational_4q"] = time.perf_counter() - t0
+
+        # q3: WAND over the compressed index — per-query latencies -> p95
+        lat = []
+        for terms in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            wand_topk(idx, terms, k=10).collect()
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        queries["wand_8q"] = sum(lat)
+        extra["wand_p95_ms"] = round(lat[max(0, int(len(lat) * 0.95) - 1)] * 1000, 1)
+
+        # q4: search pipeline (filter -> sort -> paginate)
+        t0 = time.perf_counter()
+        search.search_page(corpus, q="merge", min_score=10.0, offset=5, limit=10).collect()
+        search.search_count(corpus, q="merge", min_score=10.0).collect()
+        queries["search_pipeline"] = time.perf_counter() - t0
+
+        # q5: aggregations + window + self-join over events
+        events = load_events(spark, SF_DIR)
+        t0 = time.perf_counter()
+        agg.events_rollup(events).collect()
+        agg.top_users_per_type(events).collect()
+        agg.timeline_daily(corpus).collect()
+        queries["aggregates"] = time.perf_counter() - t0
+
+        spark.stop()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    out = {
+        "metric": "index_build+query_suite_wall_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    out.update(extra)
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """North-rule scaling evidence: same build at local[8] vs local[32]."""
+    results = {}
+    for cpus in (8, 32):
+        workdir = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+        try:
+            code = (
+                "import json, sys; sys.path.insert(0, '.');"
+                "from bench import run_build_once;"
+                f"print('RESULT ' + json.dumps(run_build_once({cpus}, '{workdir}')))"
+            )
+            p = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+            if not line:
+                print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                raise RuntimeError(f"scaling run at {cpus} cores failed")
+            results[cpus] = json.loads(line[0][len("RESULT "):])
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    print(json.dumps({
+        "n_docs": results[8]["n_docs"],
+        "local8_docs_per_sec": round(t8, 1),
+        "local32_docs_per_sec": round(t32, 1),
+        "local8_build_sec": round(results[8]["build_sec"], 2),
+        "local32_build_sec": round(results[32]["build_sec"], 2),
+        "scaling_efficiency": round((t32 / t8) / 4.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,159 @@
+"""Aggregation operators from SURVEY.md §2.6, Spark-first.
+
+All are single-shuffle hash aggregations with map-side partial aggregation
+(Catalyst emits partial+final HashAggregate automatically); at 10^12 rows
+the group keys here (source, day, event_type) are low-cardinality, so the
+final stage is tiny and the work is embarrassingly parallel map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+
+
+def archive_counters(corpus: DataFrame) -> DataFrame:
+    """A2 analogue: per-archive rollup counters the reference maintained
+    row-at-a-time (total_messages += 1 ... telegram_client.py:392-396),
+    re-expressed as one declarative agg over `source`."""
+    return (
+        corpus.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max(
+                F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            ).alias("last_doc_ts"),
+            F.round(F.avg("n_chars"), 5).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+ARCHIVE_COUNTERS_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT source,
+       count(*) AS total_docs,
+       sum(n_chars) AS total_chars,
+       max(strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')) AS last_doc_ts,
+       round(avg(n_chars), 5) AS avg_chars
+FROM corpus GROUP BY source ORDER BY source
+"""
+
+
+def timeline_daily(corpus: DataFrame) -> DataFrame:
+    """A5: docs per day (the reference's heatmap daily_counts,
+    poc/docs/PRODUCTION_ARCHITECTURE.md:976-981); the groupBy key is the
+    same expression as the daily ES index name (elasticsearch.py:10)."""
+    return (
+        corpus.groupBy(
+            F.date_format("warc_ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("day")
+    )
+
+
+TIMELINE_DAILY_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs
+FROM corpus GROUP BY 1 ORDER BY day
+"""
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Stream-table rollup over the events table (S3/A2 analogue):
+    per event_type counters + engagement-style ratios."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 5).alias("total_value"),
+            F.round(F.avg("value"), 5).alias("avg_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 5) AS total_value,
+       round(avg(value), 5) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group (window O5/O6 family): highest-value users per
+    event_type — rank window + filter, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+    )
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 5).alias("total_value")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("event_type", "rank")
+    )
+
+
+def top_users_per_type_sql(k: int = 3) -> str:
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 5) AS total_value
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY total_value DESC, user_id ASC
+  ) AS rank
+  FROM per_user
+)
+SELECT event_type, user_id, total_value, rank FROM ranked
+WHERE rank <= {k} ORDER BY event_type, rank
+"""
+
+
+def forward_chain_join(events: DataFrame) -> DataFrame:
+    """J6 analogue (forwarded-message self-join, models.py:111-112):
+    self-join events to the previous event of the same user by id — an
+    equi self-join exercising shuffle-join planning (AQE picks the
+    strategy; the join key is high-cardinality so no broadcast)."""
+    prev = events.select(
+        F.col("event_id").alias("prev_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("event_type").alias("prev_type"),
+    )
+    return (
+        events.join(
+            prev,
+            (events["user_id"] == prev["p_user"])
+            & (events["event_id"] == prev["prev_id"] + 1),
+            "inner",
+        )
+        .select("event_id", "user_id", "event_type", "prev_type")
+        .orderBy("event_id")
+    )
+
+
+FORWARD_CHAIN_SQL = """
+SELECT e.event_id, e.user_id, e.event_type, p.event_type AS prev_type
+FROM events e
+JOIN events p ON e.user_id = p.user_id AND e.event_id = p.event_id + 1
+ORDER BY e.event_id
+"""

@@ -1,0 +1,176 @@
+"""The reference's explicit query executor, re-expressed relationally.
+
+poc/src/api/routes/search.py:69-147 builds: substring filter (ilike, :76-84)
++ score threshold (:87-89) + topics any-of (:92-100) + implicit spam
+exclusion (:103) -> ORDER BY score DESC NULLS LAST, date DESC (:106-109)
+-> count() (:112) -> offset/limit page (:115).
+
+Mapped onto the corpus table: `osint_value_score` has no column in the
+driver testdata, so we derive a deterministic pseudo-score (with NULLs, to
+exercise desc_nulls_last) that DuckDB derives identically; the spam filter
+is the reference's rule-based regex cascade (llm_classifier.py:17-21,
+80-98) evaluated natively with rlike — cheap-filter-first, exactly the
+cost-gating the reference applies before its LLM stage.
+
+Scale note: offset pagination is implemented with a global row_number
+window, which funnels the filtered set through one partition — correct and
+fine at the reference's limit<=1000 contract (search.py:25-26); for deep
+pagination at 10^12 docs you'd keyset-paginate on (score, warc_ts, doc_id)
+instead (documented trade-off, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+
+# Spam regex cascade, modeled on SPAM_PATTERNS (llm_classifier.py:17-21):
+# long digit runs (card numbers), donation keywords, money-emoji runs.
+SPAM_RES = [
+    r"[0-9]{16}",
+    r"(?i)donate|donation",
+    r"[$€£]{3,}",
+]
+SPAM_SQL = (
+    "(regexp_matches(text, '[0-9]{16}') OR regexp_matches(lower(text), "
+    "'donate|donation') OR regexp_matches(text, '[$€£]{3,}'))"
+)
+
+# Deterministic pseudo-score with nulls — analogue of osint_value_score
+# (0-100, nullable, models.py:117 + 10% null per FIXTURES.md).
+SCORE_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN NULL "
+    "ELSE CAST((doc_id * 37) % 101 AS DOUBLE) END"
+)
+
+
+def is_spam_col() -> F.Column:
+    c = F.lit(False)
+    for pat in SPAM_RES:
+        if pat.startswith("(?i)"):
+            c = c | F.lower(F.col("text")).rlike(pat[4:].lower())
+        else:
+            c = c | F.col("text").rlike(pat)
+    return c
+
+
+def score_col() -> F.Column:
+    return F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("double")).otherwise(
+        ((F.col("doc_id") * 37) % 101).cast("double")
+    )
+
+
+def search_filtered(
+    corpus: DataFrame,
+    q: str | None = None,
+    min_score: float | None = None,
+    langs: list[str] | None = None,
+    include_spam: bool = False,
+) -> DataFrame:
+    """Filter stage — all predicates native (pushdown-friendly), ordered
+    cheap-first like the reference's rule-before-LLM gating."""
+    df = corpus.withColumn("score", score_col())
+    if q is not None:
+        # reference: text ILIKE %q% OR raw_text ILIKE %q% (search.py:76-84)
+        df = df.filter(F.lower(F.col("text")).contains(q.lower()))
+    if min_score is not None:
+        df = df.filter(F.col("score") >= min_score)
+    if langs:
+        # analogue of topics any-of (search.py:92-100)
+        df = df.filter(F.col("lang").isin(langs))
+    if not include_spam:
+        df = df.filter(~is_spam_col())  # implicit, always-on (search.py:103)
+    return df
+
+
+def search_page(
+    corpus: DataFrame,
+    q: str | None = None,
+    min_score: float | None = None,
+    langs: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+) -> DataFrame:
+    """ORDER BY score DESC NULLS LAST, warc_ts DESC, doc_id + offset/limit."""
+    df = search_filtered(corpus, q, min_score, langs)
+    w = Window.orderBy(
+        F.col("score").desc_nulls_last(), F.col("warc_ts").desc(), F.col("doc_id")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
+        .select(
+            "doc_id",
+            "url",
+            "lang",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+            "score",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def search_count(
+    corpus: DataFrame,
+    q: str | None = None,
+    min_score: float | None = None,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Total-count-before-pagination (A1, search.py:112) as a 1-row DF."""
+    return search_filtered(corpus, q, min_score, langs).agg(
+        F.count(F.lit(1)).alias("total")
+    )
+
+
+def _filters_sql(
+    q: str | None, min_score: float | None, langs: list[str] | None
+) -> str:
+    preds = [f"NOT {SPAM_SQL}"]
+    if q is not None:
+        esc = q.replace("'", "''").lower()
+        preds.append(f"contains(lower(text), '{esc}')")
+    if min_score is not None:
+        preds.append(f"score >= {min_score}")
+    if langs:
+        ls = ", ".join("'" + x.replace("'", "''") + "'" for x in langs)
+        preds.append(f"lang IN ({ls})")
+    return " AND ".join(preds)
+
+
+def search_page_sql(
+    q: str | None = None,
+    min_score: float | None = None,
+    langs: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+filtered AS (SELECT * FROM scored WHERE {_filters_sql(q, min_score, langs)}),
+ranked AS (
+  SELECT doc_id, url, lang,
+         strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ts, score,
+         row_number() OVER (
+           ORDER BY score DESC NULLS LAST, warc_ts DESC, doc_id
+         ) AS rn
+  FROM filtered
+)
+SELECT doc_id, url, lang, ts, score, rn FROM ranked
+WHERE rn > {offset} AND rn <= {offset + limit}
+"""
+
+
+def search_count_sql(
+    q: str | None = None,
+    min_score: float | None = None,
+    langs: list[str] | None = None,
+) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus)
+SELECT count(*) AS total FROM scored
+WHERE {_filters_sql(q, min_score, langs)}
+"""
