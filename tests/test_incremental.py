@@ -1,0 +1,118 @@
+"""Incremental ingest: segment append, idempotent replay, kill-and-resume,
+sorted-merge compaction == single-shot build, streaming ingest."""
+
+import glob
+import os
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.query.bm25 import bm25_topk
+from telegram2elastic_spark.query.wand import wand_topk
+from telegram2elastic_spark.streaming.ingest import (
+    IncrementalIndexer,
+    merge_segments,
+    stream_ingest_availablenow,
+)
+
+
+def _topk(index, terms=("the", "data"), k=10):
+    return [
+        (r["doc_id"], r["score"]) for r in wand_topk(index, list(terms), k=k).collect()
+    ]
+
+
+@pytest.fixture()
+def corpus(spark, sf_dir):
+    return load_corpus(spark, sf_dir)
+
+
+def test_ingest_all_days_matches_full_build(spark, corpus, tmp_path):
+    ix = IncrementalIndexer(spark, str(tmp_path / "ix"), n_doc_parts=4)
+    entries = ix.ingest_by_day(corpus, fmt='yyyy-MM-dd HH')
+    assert len(entries) >= 2  # corpus spans multiple days
+    assert sum(e["n_docs"] for e in entries) == corpus.count()
+
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(corpus, ["the", "data"], k=10).collect()
+    ]
+    assert _topk(ix.as_index()) == want
+
+    # per-partition lineage counters exist and cover all salts
+    lineage = ix.lineage()
+    assert lineage.count() > 0
+    assert set(r["salt"] for r in lineage.collect()) <= set(range(4))
+
+
+def test_replay_and_overlap_idempotent(spark, corpus, tmp_path):
+    ix = IncrementalIndexer(spark, str(tmp_path / "ix"), n_doc_parts=4)
+    ix.ingest_by_day(corpus, fmt='yyyy-MM-dd HH')
+    n_seg = len(ix.manifest())
+    # replay the same days: checkpoint no-ops
+    assert ix.ingest_by_day(corpus, fmt='yyyy-MM-dd HH') == []
+    assert len(ix.manifest()) == n_seg
+    # overlapping window (whole corpus again, new batch id): the url
+    # anti-join drops every doc -> empty segment, same query results
+    before = _topk(ix.as_index())
+    e = ix.ingest_batch(corpus, "overlap_window")
+    assert e["n_docs"] == 0
+    assert _topk(ix.as_index()) == before
+
+
+def test_kill_and_resume(spark, corpus, tmp_path):
+    base = str(tmp_path / "ix")
+    days = sorted(
+        r["day"]
+        for r in corpus.selectExpr("date_format(warc_ts, 'yyyy-MM-dd HH') day")
+        .distinct()
+        .collect()
+    )
+    assert len(days) >= 3
+    # "crash" after the first two batches
+    ix1 = IncrementalIndexer(spark, base, n_doc_parts=4)
+    ix1.ingest_by_day(corpus, days=days[:2], fmt='yyyy-MM-dd HH')
+    # resume with a fresh indexer over the same checkpoint dir
+    ix2 = IncrementalIndexer(spark, base, n_doc_parts=4)
+    resumed = ix2.ingest_by_day(corpus, fmt='yyyy-MM-dd HH')
+    assert [e["batch_id"] for e in resumed] == [f"day={d}" for d in days[2:]]
+
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(corpus, ["the", "data"], k=10).collect()
+    ]
+    assert _topk(ix2.as_index()) == want
+
+
+def test_merge_equals_full_build(spark, corpus, tmp_path):
+    ix = IncrementalIndexer(spark, str(tmp_path / "ix"), n_doc_parts=4)
+    ix.ingest_by_day(corpus, fmt='yyyy-MM-dd HH')
+    merged = merge_segments(ix)
+
+    full = build_index(corpus, n_doc_parts=4)
+    key = ["term", "salt", "block_id"]
+    got = {
+        tuple(r[k] for k in key): (r["doc_gaps"], r["tf_bytes"], r["block_max_tf"])
+        for r in merged["postings"].collect()
+    }
+    want = {
+        tuple(r[k] for k in key): (r["doc_gaps"], r["tf_bytes"], r["block_max_tf"])
+        for r in full["postings"].collect()
+    }
+    assert got == want  # byte-identical compaction
+
+
+def test_structured_streaming_ingest(spark, corpus, tmp_path):
+    cpath = str(tmp_path / "corpus")
+    corpus.repartition(4).write.parquet(cpath)
+    ix = IncrementalIndexer(spark, str(tmp_path / "ix"), n_doc_parts=4)
+    stream_ingest_availablenow(spark, cpath, ix, str(tmp_path / "ckpt"))
+    assert len(ix.manifest()) >= 1
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(corpus, ["the", "data"], k=10).collect()
+    ]
+    assert _topk(ix.as_index()) == want
+    # offsets recorded in the streaming checkpoint (catch_up analogue)
+    assert glob.glob(os.path.join(str(tmp_path / "ckpt"), "offsets", "*"))
