@@ -14,10 +14,14 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from telegram2elastic_spark.corpus import load_corpus, load_events
+from telegram2elastic_spark.corpus import load_corpus, load_embeddings, load_events
+from telegram2elastic_spark.functions import text_quality as tq
 from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
+from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
+from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.query import bm25, search
 from telegram2elastic_spark.query.wand import wand_topk
 
@@ -104,11 +108,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_chain_join": lambda spark, sf: agg.forward_chain_join(
             load_events(spark, sf)
         ),
+        # --- dedup family (exact / jaccard / minhash-LSH / simhash / embedding) ---
+        "dedup_exact_groups": lambda spark, sf: dedup.exact_dup_groups(
+            load_corpus(spark, sf)
+        ),
+        "dedup_keep_first": lambda spark, sf: dedup.dedup_keep_first(
+            load_corpus(spark, sf)
+        ),
+        "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
+            load_corpus(spark, sf), threshold=0.5
+        ),
+        "dedup_minhash_signatures": lambda spark, sf: dedup.minhash_signatures(
+            load_corpus(spark, sf)
+        ),
+        "dedup_minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(
+            load_corpus(spark, sf)
+        ),
+        "dedup_simhash": lambda spark, sf: dedup.simhash(load_corpus(spark, sf)),
+        "dedup_simhash_pairs": lambda spark, sf: dedup.simhash_near_pairs(
+            load_corpus(spark, sf), max_hamming=3
+        ),
+        "dedup_embedding_pairs": lambda spark, sf: dedup.embedding_near_pairs(
+            load_embeddings(spark, sf), threshold=0.9
+        ),
+        # --- similarity search (brute-force + LSH-bucketed ANN) ---
+        "sim_cosine_topk": lambda spark, sf: sim.cosine_topk(
+            load_embeddings(spark, sf), query_vec_id=0, k=10
+        ),
+        "sim_lsh_buckets": lambda spark, sf: sim.lsh_buckets(
+            load_embeddings(spark, sf)
+        ),
+        "sim_ann_topk": lambda spark, sf: sim.ann_topk(
+            load_embeddings(spark, sf), query_vec_id=7, k=5
+        ),
+        # --- text analysis ---
+        "text_lang_id": lambda spark, sf: tq.lang_id(load_corpus(spark, sf)),
+        "text_quality": lambda spark, sf: tq.quality_scores(load_corpus(spark, sf)),
+        "text_token_counts": lambda spark, sf: tq.token_counts(
+            load_corpus(spark, sf)
+        ),
+        "text_fingerprints": lambda spark, sf: tq.fingerprints(
+            load_corpus(spark, sf)
+        ),
+        # --- projections / rules / multimodal ---
+        "proj_default_map": lambda spark, sf: projection.default_projection(
+            load_corpus(spark, sf)
+        ),
+        "proj_sender_struct": lambda spark, sf: projection.sender_struct(
+            load_corpus(spark, sf)
+        ),
+        "proj_rule_cascade": lambda spark, sf: projection.rule_cascade(
+            load_corpus(spark, sf)
+        ),
+        "media_metadata": lambda spark, sf: multimodal.media_metadata(
+            load_corpus(spark, sf)
+        ),
+        "media_decode": lambda spark, sf: multimodal.decode_media(
+            load_corpus(spark, sf)
+        ),
+        # --- enrichment (U-2 pandas-UDF NER, U-4 classifier contract, C18) ---
+        "enrich_entities": lambda spark, sf: enrichment.extract_entities(
+            load_corpus(spark, sf)
+        ),
+        "enrich_docs_mentioning": lambda spark, sf: enrichment.docs_mentioning(
+            load_corpus(spark, sf), "spark"
+        ),
+        "enrich_classify": lambda spark, sf: enrichment.classify_stub(
+            load_corpus(spark, sf)
+        ),
+        "enrich_fenced_json": lambda spark, sf: enrichment.parse_fenced_json(
+            load_corpus(spark, sf)
+        ),
+        # --- scans (S2: newest-first with row cap) ---
+        "scan_recent": lambda spark, sf: (
+            load_corpus(spark, sf)
+            .orderBy(F.desc("warc_ts"), F.asc("doc_id"))
+            .limit(25)
+            .select(
+                "doc_id",
+                "url",
+                F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+            )
+        ),
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from telegram2elastic_spark.corpus import CORPUS_CTE
+    from telegram2elastic_spark.corpus import CORPUS_CTE  # noqa: F811
     from telegram2elastic_spark.functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE
 
     term_dict_sql = f"""
@@ -152,4 +238,33 @@ FROM corpus ORDER BY doc_id
         "events_rollup": agg.EVENTS_ROLLUP_SQL,
         "top_users_per_type": agg.top_users_per_type_sql(k=3),
         "forward_chain_join": agg.FORWARD_CHAIN_SQL,
+        "dedup_exact_groups": dedup.EXACT_DUP_SQL,
+        "dedup_keep_first": dedup.DEDUP_KEEP_FIRST_SQL,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_sql(threshold=0.5),
+        "dedup_minhash_signatures": dedup.minhash_signatures_sql(),
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": dedup.SIMHASH_SQL,
+        "dedup_simhash_pairs": dedup.simhash_near_pairs_sql(max_hamming=3),
+        "dedup_embedding_pairs": dedup.embedding_near_pairs_sql(threshold=0.9),
+        "sim_cosine_topk": sim.cosine_topk_sql(query_vec_id=0, k=10),
+        "sim_lsh_buckets": sim.lsh_buckets_sql(),
+        "sim_ann_topk": sim.ann_topk_sql(query_vec_id=7, k=5),
+        "text_lang_id": tq.lang_id_sql(),
+        "text_quality": tq.quality_scores_sql(),
+        "text_token_counts": tq.TOKEN_COUNTS_SQL,
+        "text_fingerprints": tq.fingerprints_sql(),
+        "proj_default_map": projection.DEFAULT_PROJECTION_SQL,
+        "proj_sender_struct": projection.SENDER_STRUCT_SQL,
+        "proj_rule_cascade": projection.rule_cascade_sql(),
+        "media_metadata": multimodal.MEDIA_METADATA_SQL,
+        "media_decode": multimodal.DECODE_MEDIA_SQL,
+        "enrich_entities": enrichment.extract_entities_sql(),
+        "enrich_docs_mentioning": enrichment.docs_mentioning_sql("spark"),
+        "enrich_classify": enrichment.classify_stub_sql(),
+        "enrich_fenced_json": enrichment.PARSE_FENCED_SQL,
+        "scan_recent": f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
+FROM corpus ORDER BY warc_ts DESC, doc_id ASC LIMIT 25
+""",
     }

@@ -1,0 +1,237 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+The reference's enrichment stage scores every message with an LLM
+(llm_classifier.py:185-247) behind a cheap rule-based gate (:80-98); these
+operators are the native, deterministic, 100-TB-friendly analogues — pure
+built-in Column expressions (whole-stage codegen, zero Python per row), each
+with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE, tokens
+
+# Tiny function-word lists per language (n-gram-heuristic language ID; the
+# real corpus vocabulary is synthetic, so accuracy is irrelevant — the
+# operator contract is determinism and the argmax/tie-break semantics).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+}
+LANGS = sorted(STOPWORDS)
+
+
+def _hits(lang: str) -> F.Column:
+    lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens("text"), lambda t: F.array_contains(lst, t)))
+
+
+def lang_id(corpus: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language hit counts with
+    deterministic tie-break (alphabetical lang; 'und' when zero hits)."""
+    df = corpus.select(
+        "doc_id", *[_hits(lang).alias(f"hits_{lang}") for lang in LANGS]
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANGS])
+    pred = F.lit("und")
+    for lang in reversed(LANGS):  # earlier langs win ties
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}") for lang in LANGS],
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def lang_id_sql() -> str:
+    hit_cols = []
+    for lang in LANGS:
+        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{arr}], t))) AS hits_{lang}"
+        )
+    hits_sql = ",\n         ".join(hit_cols)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANGS) + ")"
+    pred = "'und'"
+    for lang in reversed(LANGS):
+        pred = (
+            f"CASE WHEN hits_{lang} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+hits AS (
+  SELECT doc_id,
+         {hits_sql}
+  FROM tokd
+)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in LANGS)},
+       {pred} AS pred_lang
+FROM hits ORDER BY doc_id
+"""
+
+
+def quality_scores(corpus: DataFrame) -> DataFrame:
+    """Quality heuristics: token count, mean token length, alnum ratio,
+    stopword ratio, composite quality score in [0,1] (clamped like the
+    reference's score clamp, llm_classifier.py:163)."""
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    # raw (unrounded) ratios: quality composes THESE; rounding only at the
+    # output edge — composing pre-rounded 5-decimal values with decimal
+    # weights lands exactly on .xxxxx5 half-way points where Spark/DuckDB
+    # float noise flips the last digit.
+    mean_len_raw = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    alnum = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}\p{N}]", ""))
+    alnum_raw = F.when(
+        F.length("text") > 0, alnum.cast("double") / F.length("text")
+    ).otherwise(F.lit(0.0))
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    stop_raw = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+            "double"
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.least(
+            F.greatest(
+                F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.5
+                + alnum_raw * 0.3
+                + (1.0 - stop_raw) * 0.2,
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+        5,
+    )
+    return corpus.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len_raw, 5).alias("mean_token_len"),
+        F.round(alnum_raw, 5).alias("alnum_ratio"),
+        F.round(stop_raw, 5).alias("stopword_ratio"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+def quality_scores_sql() -> str:
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    arr = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tok,
+         CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks) ELSE 0.0 END AS mean_len_raw,
+         CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}]', '', 'g'))
+                  AS DOUBLE) / length(text) ELSE 0.0 END AS alnum_raw,
+         CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, t -> list_contains([{arr}], t)))
+                  AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_raw
+  FROM tokd
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(mean_len_raw, 5) AS mean_token_len,
+       round(alnum_raw, 5) AS alnum_ratio,
+       round(stop_raw, 5) AS stopword_ratio,
+       round(least(greatest(
+           least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) * 0.5
+           + alnum_raw * 0.3
+           + (1.0 - stop_raw) * 0.2, 0.0), 1.0), 5) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+# BPE-ish pre-token pattern: letter runs, digit runs, single other-symbols.
+BPEISH_RE = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+
+def token_counts(corpus: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    pre-tokenizer (the standard LLM-training cost estimator)."""
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPEISH_RE), 0))
+    return corpus.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpeish_tokens"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTS_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPEISH_RE}')) AS BIGINT)
+           AS bpeish_tokens
+FROM corpus ORDER BY doc_id
+"""
+
+
+def fingerprints(corpus: DataFrame) -> DataFrame:
+    """Document fingerprint: min/max rolling 3-gram shingle hash (winnowing-
+    style extremes) — a compact dedup/citation key."""
+    from ..operators.dedup import h64, shingles_col
+
+    sh = F.transform(shingles_col(3), lambda s: F.conv(
+        F.substring(F.md5(s), 1, 15), 16, 10
+    ).cast("bigint"))
+    return corpus.select(
+        "doc_id",
+        F.when(F.size(sh) > 0, F.array_min(sh)).alias("fp_min"),
+        F.when(F.size(sh) > 0, F.array_max(sh)).alias("fp_max"),
+    ).orderBy("doc_id")
+
+
+def fingerprints_sql() -> str:
+    from ..operators.dedup import TOKS_CTE_SQL
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKS_CTE_SQL.strip()},
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM shing
+)
+SELECT doc_id,
+       CASE WHEN len(hs) > 0 THEN list_min(hs) END AS fp_min,
+       CASE WHEN len(hs) > 0 THEN list_max(hs) END AS fp_max
+FROM hashed ORDER BY doc_id
+"""

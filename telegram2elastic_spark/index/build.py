@@ -50,6 +50,10 @@ POSTINGS_SCHEMA = StructType(
         StructField("last_doc_id", LongType()),
         StructField("doc_gaps", BinaryType()),
         StructField("tf_bytes", BinaryType()),
+        # per-posting doc lengths (varbyte), denormalized into the block —
+        # BM25 norms travel with the postings so the query side never joins
+        # or shuffles doc_map (Lucene stores norms the same way)
+        StructField("dl_bytes", BinaryType()),
         StructField("block_max_tf", IntegerType()),
     ]
 )
@@ -96,7 +100,10 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     term = pdf["term"].iloc[0]
     salt = int(pdf["salt"].iloc[0])
     blocks = encode_blocks(
-        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), BLOCK_SIZE
+        pdf["doc_id"].to_numpy(),
+        pdf["tf"].to_numpy(),
+        BLOCK_SIZE,
+        doc_lens=pdf["dl"].to_numpy(),
     )
     return pd.DataFrame(
         [
@@ -109,6 +116,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "last_doc_id": b["last_doc_id"],
                 "doc_gaps": b["doc_gaps"],
                 "tf_bytes": b["tf_bytes"],
+                "dl_bytes": b["dl_bytes"],
                 "block_max_tf": b["block_max_tf"],
             }
             for b in blocks
@@ -134,7 +142,13 @@ def build_postings(tf_df: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> Da
     On a 1000-executor cluster n_doc_parts scales to O(#cores); it only
     changes parallelism, never results.
     """
-    salted = tf_df.withColumn(
+    # Denormalize doc_len (BM25 norm) into every posting before encoding:
+    # dl = sum(tf) per doc, derived from tf_df itself (docs with zero tokens
+    # have no postings, so they never need a norm here; N/avgdl still come
+    # from doc_map).  One extra shuffle at BUILD time buys a query side with
+    # no doc_map join at all.
+    dl = tf_df.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    salted = tf_df.join(dl, "doc_id").withColumn(
         "salt", F.pmod(F.col("doc_id"), F.lit(n_doc_parts)).cast("int")
     )
     return salted.groupBy("term", "salt").applyInPandas(

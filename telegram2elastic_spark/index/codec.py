@@ -91,22 +91,33 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 
 def encode_blocks(
-    doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    doc_lens: np.ndarray | None = None,
 ) -> list[dict]:
     """Split a sorted posting list into fixed-size blocks.
 
     Returns one dict per block:
       block_id, n_docs, first_doc_id, last_doc_id (skip pointers),
       doc_gaps (varbyte of delta-encoded ids), tf_bytes (varbyte),
+      dl_bytes (varbyte per-posting doc lengths — BM25 norms denormalized
+      into the block so queries never join doc_map),
       block_max_tf (block-max metadata for WAND upper bounds).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint64)
     assert doc_ids.shape == tfs.shape
+    if doc_lens is None:
+        doc_lens = tfs
+    else:
+        doc_lens = np.asarray(doc_lens, dtype=np.uint64)
+        assert doc_lens.shape == doc_ids.shape
     blocks = []
     for bi, off in enumerate(range(0, doc_ids.size, block_size)):
         ids = doc_ids[off : off + block_size]
         tf = tfs[off : off + block_size]
+        dl = doc_lens[off : off + block_size]
         blocks.append(
             {
                 "block_id": bi,
@@ -115,6 +126,7 @@ def encode_blocks(
                 "last_doc_id": int(ids[-1]),
                 "doc_gaps": varbyte_encode(delta_encode(ids)),
                 "tf_bytes": varbyte_encode(tf),
+                "dl_bytes": varbyte_encode(dl),
                 "block_max_tf": int(tf.max()),
             }
         )

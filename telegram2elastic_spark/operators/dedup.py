@@ -1,0 +1,437 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference dedups at two levels — exact content addressing (sha256 keys,
+poc/src/storage/s3_client.py:100-137, tests :414-503) and exists-checks on
+natural keys (telegram_client.py:162-178).  A 100 TB training-data pipeline
+needs the near-dup family too; each operator here is a declarative Spark
+pipeline with an ANSI-SQL-equivalent oracle.
+
+Cross-engine determinism: every hash is md5-based (`H(s) = first 15 hex
+chars of md5(s) as int64`), identical in Spark (`conv(substr(md5(x),1,15),
+16,10)`) and DuckDB (`('0x' || substr(md5(x),1,15))::bigint`) — no
+engine-specific hash functions, no RNG.
+
+Scale shapes:
+  * exact:    one hash-agg shuffle on the digest — trivially parallel.
+  * shingles: explode is map-side; the pair-join shuffles on shingle.  At
+    100 TB you band first (MinHash LSH) so the pair-join only sees bucket
+    collisions, never the full cross product — that is `minhash_lsh_pairs`.
+  * simhash:  constant work per doc (map-side), pairs via band equi-join on
+    16-bit chunks (pigeonhole: hamming<=3 over 32 bits => some 8-bit chunk
+    equal; we join on 4 chunks) — here, with tiny N, a range self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+# --- shared fragments -------------------------------------------------------
+
+# Spark-side md5 -> int64
+def h64(col: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+H64_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+TOKS_SPARK = None  # built via tokenizer.tokens
+
+
+def _toks() -> F.Column:
+    from ..functions.tokenizer import tokens
+
+    return tokens("text")
+
+
+def shingles_col(n: int = 3) -> F.Column:
+    """Distinct n-token shingles (space-joined), 1-based element_at so the
+    same expression shape works in DuckDB."""
+    toks = _toks()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _shingles_sql(n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 1}, 0) + 1), i -> {parts}))"
+    )
+
+
+TOKS_CTE_SQL = f"""
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+shing AS (
+  SELECT doc_id, {_shingles_sql(3)} AS shingles FROM tokd
+),
+doc_shingle AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM shing
+)
+"""
+
+
+# --- 1. exact dedup ----------------------------------------------------------
+
+def exact_dup_groups(corpus: DataFrame) -> DataFrame:
+    """Content-addressed exact dedup (sha256, s3_client.py:120-137):
+    groups of byte-identical texts.  One hash-agg shuffle."""
+    return (
+        corpus.groupBy(F.sha2(F.col("text"), 256).alias("content_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("content_key")
+    )
+
+
+EXACT_DUP_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT sha256(text) AS content_key,
+       count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM corpus
+GROUP BY 1 HAVING count(*) > 1 ORDER BY content_key
+"""
+
+
+def dedup_keep_first(corpus: DataFrame) -> DataFrame:
+    """The dedup itself: keep min-doc_id representative per content key,
+    count survivors (storage-savings metric, poc/README.md:296)."""
+    keyed = corpus.withColumn(
+        "content_key", F.sha2(F.col("text"), 256)
+    )
+    keep = keyed.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    return keep.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT count(DISTINCT sha256(text)) AS n_unique FROM corpus
+"""
+
+
+# --- 2. n-gram Jaccard near-dup ----------------------------------------------
+
+def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Pairwise Jaccard over distinct 3-token shingles; pairs (a<b) with
+    similarity >= threshold.
+
+    Plan: explode distinct shingles -> self equi-join on shingle (the only
+    shuffle; at scale you LSH-band first) -> per-pair intersection counts ->
+    broadcast-join per-doc shingle counts -> jaccard.
+    """
+    ds = (
+        corpus.select("doc_id", F.explode(shingles_col(3)).alias("shingle"))
+    )
+    counts = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 5
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKS_CTE_SQL.strip()},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM doc_shingle GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM doc_shingle a JOIN doc_shingle b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (ca.n_sh + cb.n_sh - inter), 5) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE round(inter / (ca.n_sh + cb.n_sh - inter), 5) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- 3. MinHash + LSH ---------------------------------------------------------
+
+N_MINHASH = 8
+LSH_BANDS = 4  # 2 rows per band
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """k=8 MinHash values per doc: sig_i = min over shingles of
+    H64(i || ':' || shingle).  Pure hash-min — no arithmetic overflow, no
+    RNG, identical across engines.  One explode + one agg shuffle."""
+    ds = corpus.select("doc_id", F.explode(shingles_col(3)).alias("shingle"))
+    aggs = [
+        F.min(h64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return ds.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def minhash_signatures_sql() -> str:
+    sigs = ",\n       ".join(
+        "min(" + H64_SQL.format(x=f"'{i}:' || shingle") + f") AS sig_{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKS_CTE_SQL.strip()}
+SELECT doc_id,
+       {sigs}
+FROM doc_shingle GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """LSH banding: 4 bands x 2 rows; candidate pairs share >= 1 band hash.
+    The scale path for near-dup at 100 TB: the self-join key is the band
+    hash (collisions only), never the raw shingle space."""
+    sig = minhash_signatures(corpus)
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col(f"sig_{2 * j}").cast("string"),
+                    F.col(f"sig_{2 * j + 1}").cast("string"),
+                )
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(bands).alias("band", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_pairs_sql() -> str:
+    sig_cte = minhash_signatures_sql().strip().rstrip()
+    # rebuild as CTE: wrap the signature query
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, md5(CAST(sig_{2*j} AS VARCHAR) || '_' || "
+        f"CAST(sig_{2*j+1} AS VARCHAR)) AS band_hash FROM sig"
+        for j in range(LSH_BANDS)
+    )
+    return f"""
+WITH sig AS ({sig_cte}),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- 4. SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(corpus: DataFrame) -> DataFrame:
+    """32-bit tf-weighted SimHash per doc.
+
+    Map-side only per doc in principle; expressed relationally as
+    explode(term) x explode(bit) -> two hash-aggs.  At scale this is the
+    mapInPandas one-pass variant; the relational form keeps it
+    oracle-checkable."""
+    from ..functions.tokenizer import tokens
+
+    tf = (
+        corpus.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", h64(F.col("term")))
+    )
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    weighted = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(
+                F.expr("shiftright(th, bit) & 1") == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias("w")
+    )
+    return (
+        weighted.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("w") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+SIMHASH_SQL = f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         {H64_SQL.format(x='term')} AS th
+  FROM toks GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id, tf, th, b.bit
+  FROM tf, (SELECT unnest(range({SIMHASH_BITS})) AS bit) b
+),
+weighted AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> bit) & 1 = 1 THEN tf ELSE -tf END) AS w
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN w > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM weighted GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: hamming(simhash_a, simhash_b) <= max_hamming.
+    Small-N form is a self-join; the 100 TB form joins on 8-bit chunks
+    first (pigeonhole) — same semantics, tested equal at this scale."""
+    s = simhash(corpus)
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("ha ^ hb")).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH base AS ({SIMHASH_SQL.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM base a JOIN base b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- 5. embedding-cosine near-dup ----------------------------------------------
+
+def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Near-dup pairs by cosine similarity over the embedding column.
+
+    Computation stays JVM-side: zip_with + aggregate over array<double>.
+    Small-N form is the full pair join; at scale candidates come from
+    similarity.ann_lsh_buckets first (same final predicate)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(dot(F.col("va"), F.col("va")))
+                    * F.sqrt(dot(F.col("vb"), F.col("vb")))
+                ),
+                5,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_pairs_sql(threshold: float = 0.9) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 5) >= {threshold}
+ORDER BY vec_a, vec_b
+"""

@@ -1,0 +1,213 @@
+"""Enrichment stage: regex NER, classifier stub, JSON fence parsing.
+
+The reference enriches every message with (1) regex entity extraction
+(poc/src/enrichment/entity_extractor.py:203-249, patterns :16-85), (2) a
+rule-gated LLM classifier returning {osint_value, topics, reasoning}
+(llm_classifier.py:185-247) whose JSON answer is parsed with markdown-fence
+stripping and safe defaults (:138-183), value clamping (:163) and topic
+whitelisting (:164-166).
+
+Spark-first rebuild:
+  * the extractor is an Arrow-batched **iterator pandas UDF** (one regex
+    compile per executor, the reference's compiled-regex reuse
+    :154-158) — the UDF surface U-2 of SURVEY.md §2.10;
+  * the LLM call is replaced by a deterministic hash-based stub with the
+    same output contract (the reference's own tests mock the LLM the same
+    way, poc/tests/test_llm_classifier.py:265-373); external-service calls
+    would use the identical Iterator[pd.Series] -> Iterator shape;
+  * clamping / whitelisting / fence parsing are native Column expressions
+    (C16-C18) so Catalyst sees through them.
+
+Entity patterns are re-targeted at the synthetic corpus vocabulary (the
+reference's Ukrainian military/location lists would never match) — the
+operator semantics (findall, occurrence order, dedup-normalized, position
+sort) are what carries over.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..corpus import CORPUS_CTE
+
+ENTITY_PATTERNS = {
+    "units": r"(?:spark|vector|stream)",
+    "locations": r"(?:table|window|row)",
+    "directions": r"(?:merge|join|sort)",
+}
+
+
+def _findall_udf(pattern: str):
+    compiled = re.compile(pattern)
+
+    @F.pandas_udf(StringType())
+    def fn(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in texts:
+            yield s.str.lower().map(lambda t: ",".join(compiled.findall(t)))
+
+    return fn
+
+
+def extract_entities(corpus: DataFrame) -> DataFrame:
+    """Occurrence-ordered entity matches per class (comma-joined for a
+    scalar, hashable output) + counts.  entity_extractor.py:203-249."""
+    cols = [
+        _findall_udf(pat)(F.col("text")).alias(name)
+        for name, pat in ENTITY_PATTERNS.items()
+    ]
+    out = corpus.select("doc_id", *cols)
+    n = None
+    for name in ENTITY_PATTERNS:
+        c = F.when(F.col(name) == "", 0).otherwise(
+            F.size(F.split(F.col(name), ","))
+        )
+        n = c if n is None else n + c
+    return out.withColumn("n_entities", n.cast("long")).orderBy("doc_id")
+
+
+def extract_entities_sql() -> str:
+    cols = ",\n       ".join(
+        f"coalesce(array_to_string(regexp_extract_all(lower(text), '{pat}'), ','), '') AS {name}"
+        for name, pat in ENTITY_PATTERNS.items()
+    )
+    n = " + ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for pat in ENTITY_PATTERNS.values()
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       {cols},
+       CAST({n} AS BIGINT) AS n_entities
+FROM corpus ORDER BY doc_id
+"""
+
+
+def docs_mentioning(corpus: DataFrame, entity: str) -> DataFrame:
+    """J5 semi-join: documents mentioning entity X (the stated purpose of
+    the reference's Entity table, models.py:255-257) — explode matches ->
+    left_semi back to the corpus."""
+    matches = corpus.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"[^\p{L}\p{N}]+")).alias("t")
+    ).filter(F.col("t") == entity)
+    return (
+        corpus.join(matches.select("doc_id").distinct(), "doc_id", "left_semi")
+        .select("doc_id", "url")
+        .orderBy("doc_id")
+    )
+
+
+def docs_mentioning_sql(entity: str) -> str:
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS t
+  FROM corpus
+)
+SELECT DISTINCT c.doc_id, c.url
+FROM corpus c JOIN toks ON toks.doc_id = c.doc_id AND toks.t = '{entity}'
+ORDER BY c.doc_id
+"""
+
+
+# --- classifier stub (U-4) -----------------------------------------------------
+
+TOPIC_WHITELIST = ["combat", "civilian", "diplomatic", "equipment", "general"]
+
+
+def classify_stub(corpus: DataFrame) -> DataFrame:
+    """Deterministic classifier with the reference's output contract:
+    osint_value clamped to [0,100] (llm_classifier.py:163), topics from
+    the whitelist with ['general'] fallback (:164-166), reasoning truncated
+    to 500 chars (:167).  Hash-based stand-in for the LLM; the clamp /
+    whitelist / truncate stages are native expressions."""
+    corpus = corpus.withColumn(
+        "h", F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    )
+    h = F.col("h")
+    raw_val = (h % 131) - 15  # deliberately exceeds [0,100] to exercise clamp
+    val = F.least(F.greatest(raw_val, F.lit(0)), F.lit(100))
+    picks = [
+        F.when(F.expr(f"shiftright(h, {4 * (i + 1)}) % 3") == 0, F.lit(t))
+        for i, t in enumerate(TOPIC_WHITELIST[:4])
+    ]
+    topics_arr = F.filter(F.array(*picks), lambda x: x.isNotNull())
+    topics = F.when(F.size(topics_arr) == 0, F.lit("general")).otherwise(
+        F.array_join(topics_arr, ",")
+    )
+    return corpus.select(
+        "doc_id",
+        val.cast("int").alias("osint_value"),
+        topics.alias("topics"),
+        F.substring("text", 1, 50).alias("reasoning"),
+    ).orderBy("doc_id")
+
+
+def classify_stub_sql() -> str:
+    h = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+    picks = []
+    for i, t in enumerate(TOPIC_WHITELIST[:4]):
+        picks.append(
+            f"CASE WHEN (({h}) >> {4 * (i + 1)}) % 3 = 0 THEN '{t}' END"
+        )
+    arr = "list_filter([" + ", ".join(picks) + "], x -> x IS NOT NULL)"
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       CAST(least(greatest(({h}) % 131 - 15, 0), 100) AS INTEGER) AS osint_value,
+       CASE WHEN len({arr}) = 0 THEN 'general'
+            ELSE array_to_string({arr}, ',') END AS topics,
+       substr(text, 1, 50) AS reasoning
+FROM corpus ORDER BY doc_id
+"""
+
+
+def parse_fenced_json(corpus: DataFrame) -> DataFrame:
+    """C18: markdown-fence-stripping JSON parse with safe defaults.
+
+    Builds a fenced LLM-style answer deterministically, then parses it the
+    way the reference does (extract {...} from ```json blocks, default on
+    failure, llm_classifier.py:138-183) — natively: regexp_extract +
+    from_json(PERMISSIVE) + coalesce defaults."""
+    fenced = F.concat(
+        F.lit('```json\n{"score": '),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(', "topic": "'),
+        F.col("lang"),
+        F.lit('"}\n```'),
+    )
+    payload = F.regexp_extract(fenced, r"\{[^}]*\}", 0)
+    parsed = F.from_json(payload, "score INT, topic STRING")
+    return corpus.select(
+        "doc_id",
+        F.coalesce(parsed["score"], F.lit(0)).alias("score"),
+        F.coalesce(parsed["topic"], F.lit("general")).alias("topic"),
+    ).orderBy("doc_id")
+
+
+PARSE_FENCED_SQL = f"""
+WITH {CORPUS_CTE.strip()},
+fenced AS (
+  SELECT doc_id,
+         '```json' || chr(10) || '{{"score": ' || CAST(doc_id % 100 AS VARCHAR)
+             || ', "topic": "' || lang || '"}}' || chr(10) || '```' AS s
+  FROM corpus
+),
+payload AS (
+  SELECT doc_id, regexp_extract(s, '\\{{[^}}]*\\}}', 0) AS j FROM fenced
+)
+SELECT doc_id,
+       coalesce(CAST(json_extract(j, '$.score') AS INTEGER), 0) AS score,
+       coalesce(json_extract_string(j, '$.topic'), 'general') AS topic
+FROM payload ORDER BY doc_id
+"""

@@ -1,0 +1,128 @@
+"""Multimodal columns: opaque binary payloads + typed metadata + decode UDFs.
+
+The reference treats media as bytes flowing to a content-addressed store
+(download telegram2elastic.py:490; sha256 keying s3_client.py:100-137;
+media_type/mime/size rule checks telegram2elastic.py:191-244).  Here the
+binary payload stays IN the table (input_hint: html is binary) and the
+media stages are Spark-native:
+
+  * metadata     — pure built-ins (sha2 / length / substring), codegen'd;
+  * decode       — Arrow-batched `mapInPandas` (schema, batching and
+    partitioning are the real thing); the *codec* inside is a
+    deterministic fake because image/audio libraries are not in this
+    container — the real decoder drops into `_decode_batch` behind the
+    same signature (see `decode_image_real`, which raises
+    NotImplementedError until PIL/ffmpeg are present).
+
+Scale notes: binary columns ride Parquet/Arrow untouched (no Python
+round-trip until a decode stage is explicitly requested); decode
+parallelism is per-partition, sized by spark.sql.files.maxPartitionBytes;
+content-dedup before decode (sha256 anti-join) is the 30-45% saving the
+reference measured (poc/README.md:296).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, fake_width int, fake_height int, ok boolean"
+)
+
+
+def media_metadata(corpus: DataFrame) -> DataFrame:
+    """Typed metadata for the binary column: size, content hash, hash-prefix
+    storage key (media/ab/cd/<sha>, s3_client.py:132-137), kind."""
+    sha = F.sha2(F.col("html"), 256)
+    return corpus.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_bytes"),
+        sha.alias("sha256"),
+        F.concat(
+            F.lit("media/"),
+            F.substring(sha, 1, 2),
+            F.lit("/"),
+            F.substring(sha, 3, 2),
+            F.lit("/"),
+            sha,
+            F.lit(".html"),
+        ).alias("storage_key"),
+        F.lit("text/html").alias("mime_type"),
+    ).orderBy("doc_id")
+
+
+MEDIA_METADATA_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       octet_length(html) AS n_bytes,
+       sha256(CAST(html AS VARCHAR)) AS sha256,
+       'media/' || substr(sha256(CAST(html AS VARCHAR)), 1, 2) || '/'
+           || substr(sha256(CAST(html AS VARCHAR)), 3, 2) || '/'
+           || sha256(CAST(html AS VARCHAR)) || '.html' AS storage_key,
+       'text/html' AS mime_type
+FROM corpus ORDER BY doc_id
+"""
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decoder over one Arrow batch.
+
+    Stands in for image decode / resize / frame-sample; derives stable
+    pseudo-dimensions from payload size so the pipeline (schema, batch
+    shape, partition parallelism) is fully exercised and oracle-checkable.
+    """
+    n = pdf["html"].map(len).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "n_bytes": n,
+            "fake_width": (n % 640).astype("int32"),
+            "fake_height": ((n * 7) % 480).astype("int32"),
+            "ok": n > 0,
+        }
+    )
+
+
+def decode_media(corpus: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: Iterator[pd.DataFrame] -> Iterator — one
+    init per task, Arrow batches throughout (no per-row Python)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return (
+        corpus.select("doc_id", "html").mapInPandas(fn, DECODE_SCHEMA).orderBy("doc_id")
+    )
+
+
+DECODE_MEDIA_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       octet_length(html) AS n_bytes,
+       CAST(octet_length(html) % 640 AS INTEGER) AS fake_width,
+       CAST((octet_length(html) * 7) % 480 AS INTEGER) AS fake_height,
+       octet_length(html) > 0 AS ok
+FROM corpus ORDER BY doc_id
+"""
+
+
+def decode_image_real(corpus: DataFrame) -> DataFrame:
+    """The real-decoder slot: identical plan shape, actual image codec.
+
+    Gated behind an import-try per the environment contract (no image
+    libraries in this container)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires PIL; the Spark-side plumbing is "
+            "decode_media() — swap _decode_batch for a PIL-based kernel"
+        ) from e
+    raise NotImplementedError("PIL present but real decoder not wired yet")

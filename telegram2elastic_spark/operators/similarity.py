@@ -1,0 +1,183 @@
+"""Similarity search over the embedding column (array<float>).
+
+Two paths, same predicate:
+  * brute-force cosine top-k — the exact baseline; JVM-side zip_with/
+    aggregate (no Python in the hot path), one global top-k.
+  * LSH-bucketed ANN — the scale path: 8 deterministic random-hyperplane
+    sign bits -> bucket id; candidates = same-bucket vectors only, so the
+    pair space shrinks from O(N) per query to O(N / 2^8), then exact cosine
+    re-rank inside the bucket.
+
+Determinism across engines: hyperplane component p(j, d) is derived from
+md5 (H64(j || '_' || d) % 2001 - 1000) / 1000 — no RNG, so the DuckDB
+oracle builds the very same hyperplanes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import H64_SQL, h64
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def _plane_val(j: int, d: F.Column) -> F.Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]."""
+    return (
+        (h64(F.concat(F.lit(f"{j}_"), d.cast("string"))) % 2001).cast("double")
+        - 1000.0
+    ) / 1000.0
+
+
+def _plane_val_sql(j: int, d: str) -> str:
+    hx = "'" + str(j) + "_' || CAST(" + d + " AS VARCHAR)"
+    h = H64_SQL.format(x=hx)
+    return f"(CAST(({h}) % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+
+
+def _dot(x: F.Column, y: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k neighbors of one corpus vector.
+
+    The query vector is broadcast (1-row cross join); scoring is a single
+    narrow map over all vectors — embarrassingly parallel, no shuffle until
+    the final top-k (TakeOrdered, no full sort)."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ),
+        )
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             5) AS cosine
+FROM e, q
+WHERE vec_id != {query_vec_id}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit j = (v . plane_j) > 0.
+
+    Relational formulation (posexplode + groupBy) so the oracle is exact;
+    the mapInPandas/numpy variant computes the same buckets batch-wise at
+    scale (see multimodal.py for the pattern)."""
+    comps = embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"),
+    ).withColumn("d", F.col("d0") + 1)
+    dots = None
+    aggs = []
+    for j in range(N_PLANES):
+        aggs.append(
+            F.sum(F.col("x") * _plane_val(j, F.col("d"))).alias(f"dot_{j}")
+        )
+    dots = comps.groupBy("vec_id").agg(*aggs)
+    bucket = None
+    for j in range(N_PLANES):
+        bit = F.when(F.col(f"dot_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return dots.select(
+        "vec_id", bucket.cast("int").alias("bucket")
+    ).orderBy("vec_id")
+
+
+def lsh_buckets_sql() -> str:
+    dot_cols = ",\n       ".join(
+        f"sum(x * ({_plane_val_sql(j, 'd')})) AS dot_{j}" for j in range(N_PLANES)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN dot_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(N_PLANES)
+    )
+    return f"""
+WITH comps AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id,
+       {dot_cols}
+  FROM comps GROUP BY vec_id
+)
+SELECT vec_id, CAST({bucket_expr} AS INTEGER) AS bucket
+FROM dots ORDER BY vec_id
+"""
+
+
+def ann_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """ANN: exact cosine re-rank restricted to the query's LSH bucket.
+    At 100 TB the bucket join is the point — each query touches ~N/256 of
+    the corpus; buckets are broadcastable per query batch."""
+    b = lsh_buckets(embeddings)
+    qb = b.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand_ids = (
+        b.crossJoin(F.broadcast(qb))
+        .filter((F.col("bucket") == F.col("qbucket")))
+        .select("vec_id")
+    )
+    e = embeddings.join(cand_ids, "vec_id")
+    return cosine_topk(e, query_vec_id=query_vec_id, k=k)
+
+
+def ann_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH buckets AS ({lsh_buckets_sql().strip()}),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.bucket
+),
+e AS (
+  SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v
+  FROM embeddings e0 JOIN cand USING (vec_id)
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             5) AS cosine
+FROM e, q
+WHERE vec_id != {query_vec_id}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""

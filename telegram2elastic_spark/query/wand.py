@@ -2,12 +2,13 @@
 
 Distributed shape: the index is document-partitioned (build.py — salt =
 pmod(doc_id, P) for every term), so each salt holds a disjoint doc subset and
-per-salt top-k is complete.  Query = cogroup(doc_map by salt, postings by
-salt) -> applyInPandas kernel (numpy over Arrow batches) -> union of P local
-top-ks -> global orderBy/limit merge (the "partial-posting merge" of
-north_star).  Only the query terms' posting blocks are read: with the
-on-disk layout partitioned by term_bucket, the scan prunes to <= |q| buckets,
-and `term IN (...)` is pushed to parquet.
+per-salt top-k is complete.  Query = filter postings to the query terms
+(parquet pushdown + term_bucket partition pruning when read from disk) ->
+groupBy(salt).applyInPandas kernel (numpy over Arrow batches) -> union of P
+local top-ks -> global orderBy/limit merge (the "partial-posting merge" of
+north_star).  BM25 norms (doc lengths) are denormalized into each block at
+build time (dl_bytes), so the query side touches *only* the query terms'
+posting blocks — no doc_map join, no per-query shuffle of corpus-sized state.
 
 Pruning kernel: a TAAT MaxScore variant of the block-max WAND family.
 Terms are processed in descending score-upper-bound order; once the summed
@@ -30,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..index.codec import decode_block
+from ..index.codec import delta_decode, varbyte_decode
 from .bm25 import B, K1, SCORE_DECIMALS
 
 
@@ -44,24 +45,17 @@ def _term_ub(idf: float, max_tf: int) -> float:
     return idf * mtf * (K1 + 1.0) / (mtf + K1 * (1.0 - B))
 
 
-def _score_salt_group(
-    dm: pd.DataFrame,
-    post: pd.DataFrame,
-    idfs: dict[str, float],
-    avgdl: float,
-    k: int,
-) -> pd.DataFrame:
-    """Kernel: one salt partition -> local top-k (doc_id, score)."""
-    if post.empty:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
-    # doc_len lookup arrays (sorted by doc_id for searchsorted)
-    dm = dm.sort_values("doc_id")
-    dm_ids = dm["doc_id"].to_numpy(dtype=np.int64)
-    dm_len = dm["doc_len"].to_numpy(dtype=np.float64)
+_EMPTY = pd.DataFrame(
+    {"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+)
 
-    def doc_lens(ids: np.ndarray) -> np.ndarray:
-        return dm_len[np.searchsorted(dm_ids, ids)]
+
+def _score_salt_group(
+    post: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int
+) -> pd.DataFrame:
+    """Kernel: one salt partition's posting blocks -> local top-k."""
+    if post.empty:
+        return _EMPTY.copy()
 
     # per-term block tables, ordered by descending term upper bound
     terms = []
@@ -84,7 +78,6 @@ def _score_salt_group(
         allow_new = rem_ub[j] >= theta
         firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
         lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
-        bubs = np.array([_term_ub(idf, int(m)) for m in g["block_max_tf"]])
         if allow_new:
             keep = np.ones(len(g), dtype=bool)
         else:
@@ -93,6 +86,7 @@ def _score_salt_group(
             # block-max skipping: keep only blocks that overlap an existing
             # accumulator (range check via searchsorted) and whose bound can
             # still lift an accumulated doc into the top-k.
+            bubs = np.array([_term_ub(idf, int(m)) for m in g["block_max_tf"]])
             lo = np.searchsorted(acc_ids, firsts, side="left")
             hi = np.searchsorted(acc_ids, lasts, side="right")
             overlaps = hi > lo
@@ -100,21 +94,25 @@ def _score_salt_group(
             keep = overlaps & (bubs + acc_max + rem_ub[j + 1] >= theta)
         if not keep.any():
             continue
-        ids_list, tfs_list = [], []
-        for gaps, tfb in zip(
-            g["doc_gaps"].to_numpy()[keep], g["tf_bytes"].to_numpy()[keep]
+        ids_list, tfs_list, dls_list = [], [], []
+        kept = g.loc[keep]
+        for gaps, tfb, dlb in zip(
+            kept["doc_gaps"], kept["tf_bytes"], kept["dl_bytes"]
         ):
-            ids, tfs = decode_block(bytes(gaps), bytes(tfb))
-            ids_list.append(ids.astype(np.int64))
-            tfs_list.append(tfs)
+            ids_list.append(
+                delta_decode(varbyte_decode(bytes(gaps))).astype(np.int64)
+            )
+            tfs_list.append(varbyte_decode(bytes(tfb)))
+            dls_list.append(varbyte_decode(bytes(dlb)))
         ids = np.concatenate(ids_list)
         tfs = np.concatenate(tfs_list).astype(np.float64)
+        dls = np.concatenate(dls_list).astype(np.float64)
         if not allow_new:
             mask = np.isin(ids, acc_ids, assume_unique=False)
-            ids, tfs = ids[mask], tfs[mask]
-            if ids.size == 0:
+            if not mask.any():
                 continue
-        w = _bm25_w(tfs, doc_lens(ids), avgdl, idf)
+            ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+        w = _bm25_w(tfs, dls, avgdl, idf)
         # merge into accumulators (sorted union)
         all_ids = np.concatenate([acc_ids, ids])
         all_sc = np.concatenate([acc_scores, w])
@@ -125,8 +123,7 @@ def _score_salt_group(
         acc_ids, acc_scores = uniq, sums
 
     if acc_ids.size == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
+        return _EMPTY.copy()
     top = min(k, acc_ids.size)
     # Round BEFORE local top-k selection so partition-local truncation uses
     # the same (rounded score, doc_id) order as the global merge — otherwise
@@ -143,13 +140,17 @@ def wand_topk(
 ) -> DataFrame:
     """Top-k (doc_id, url, score) from the compressed index.
 
-    Driver-side: collect idf inputs for the |q| query terms (tiny) and global
-    stats; the broadcastable closure ships them to the kernel.
+    Driver-side: collect idf inputs for the |q| query terms (tiny — a
+    broadcast in closure form) and global stats; executors only ever see
+    the query terms' posting blocks.
     """
     spark = index["doc_map"].sparkSession
     n, avgdl = index["stats"].select("n_docs", "avgdl").first()
     trows = (
-        index["term_dict"].filter(F.col("term").isin(terms)).select("term", "df").collect()
+        index["term_dict"]
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
     )
     idfs = {
         r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
@@ -160,35 +161,15 @@ def wand_topk(
         return empty
 
     post = index["postings"].filter(F.col("term").isin(list(idfs)))
-    dm = index["doc_map"].withColumn(
-        "salt", F.pmod(F.col("doc_id"), F.lit(_n_doc_parts(index))).cast("int")
-    )
 
-    def kernel(key, dm_pdf: pd.DataFrame, post_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_salt_group(dm_pdf, post_pdf, idfs, float(avgdl), k)
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_salt_group(pdf, idfs, float(avgdl), k)
 
-    local = (
-        dm.groupBy("salt")
-        .cogroup(post.groupBy("salt"))
-        .applyInPandas(kernel, "doc_id long, score double")
-    )
+    local = post.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
     return (
-        local.withColumn("score", F.round(F.col("score"), SCORE_DECIMALS))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        local.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .join(index["doc_map"].select("doc_id", "url"), "doc_id", "left")
         .select("doc_id", "url", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
-
-
-def _n_doc_parts(index: dict) -> int:
-    """Doc-partition count the postings were built with (max salt + 1).
-
-    Cheap: salt is low-cardinality; scan prunes to the salt column only.
-    """
-    if "_n_doc_parts" not in index:
-        index["_n_doc_parts"] = (
-            index["postings"].agg(F.max("salt")).first()[0] or 0
-        ) + 1
-    return index["_n_doc_parts"]

@@ -203,16 +203,20 @@ class IncrementalIndexer:
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Sorted-merge kernel: all posting blocks of one (term, salt) across
     segments -> decode runs -> merge (runs are sorted + doc-disjoint) ->
-    re-encode fresh blocks."""
-    ids_runs, tf_runs = [], []
-    for gaps, tfb in zip(pdf["doc_gaps"], pdf["tf_bytes"]):
+    re-encode fresh blocks (norms travel with the postings)."""
+    from ..index.codec import varbyte_decode
+
+    ids_runs, tf_runs, dl_runs = [], [], []
+    for gaps, tfb, dlb in zip(pdf["doc_gaps"], pdf["tf_bytes"], pdf["dl_bytes"]):
         i, t = decode_block(bytes(gaps), bytes(tfb))
         ids_runs.append(i)
         tf_runs.append(t)
+        dl_runs.append(varbyte_decode(bytes(dlb)))
     ids = np.concatenate(ids_runs)
     tfs = np.concatenate(tf_runs)
+    dls = np.concatenate(dl_runs)
     order = np.argsort(ids, kind="mergesort")  # merge of sorted runs
-    ids, tfs = ids[order], tfs[order]
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
     term = pdf["term"].iloc[0]
     salt = int(pdf["salt"].iloc[0])
     return pd.DataFrame(
@@ -226,9 +230,10 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "last_doc_id": b["last_doc_id"],
                 "doc_gaps": b["doc_gaps"],
                 "tf_bytes": b["tf_bytes"],
+                "dl_bytes": b["dl_bytes"],
                 "block_max_tf": b["block_max_tf"],
             }
-            for b in encode_blocks(ids, tfs, BLOCK_SIZE)
+            for b in encode_blocks(ids, tfs, BLOCK_SIZE, doc_lens=dls)
         ]
     )
 
