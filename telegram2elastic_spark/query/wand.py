@@ -145,17 +145,7 @@ def wand_topk(
     the query terms' posting blocks.
     """
     spark = index["doc_map"].sparkSession
-    n, avgdl = index["stats"].select("n_docs", "avgdl").first()
-    trows = (
-        index["term_dict"]
-        .filter(F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
-    )
-    idfs = {
-        r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
-        for r in trows
-    }
+    idfs, avgdl = _collect_idfs(index, terms)
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
     if not idfs:
         return empty
@@ -166,10 +156,136 @@ def wand_topk(
         return _score_salt_group(pdf, idfs, float(avgdl), k)
 
     local = post.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
+    topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # url lookup: broadcast the k-row top-k side so doc_map is scanned
+    # map-side (never shuffled per query — doc_map is corpus-sized).
     return (
-        local.orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .join(index["doc_map"].select("doc_id", "url"), "doc_id", "left")
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id", "inner")
         .select("doc_id", "url", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
+    """Per-index memoized global stats + per-term idf lookups."""
+    if "_stats" not in index:
+        n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+        index["_stats"] = (int(n), float(avgdl))
+    n, avgdl = index["_stats"]
+    cache = index.setdefault("_idf_cache", {})
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        for r in (
+            index["term_dict"]
+            .filter(F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        ):
+            cache[r["term"]] = float(
+                np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+            )
+        for t in missing:
+            cache.setdefault(t, None)  # zero-hit terms
+    idfs = {t: cache[t] for t in terms if cache.get(t) is not None}
+    return idfs, avgdl
+
+
+def wand_topk_batch(
+    index: dict, queries: dict[int, list[str]], k: int = 10
+) -> DataFrame:
+    """Answer a whole query batch in ONE Spark job (the server pattern:
+    per-query Spark-job overhead is ~2 s in local mode, ~100x the kernel
+    compute, so the query set is executed as a single applyInPandas stage
+    and a single per-query top-k window).
+
+    Returns (query_id, doc_id, url, score), top-k per query, ordered.
+    """
+    spark = index["doc_map"].sparkSession
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    idfs, avgdl = _collect_idfs(index, all_terms)
+    live = {qid: [t for t in ts if t in idfs] for qid, ts in queries.items()}
+    live = {qid: ts for qid, ts in live.items() if ts}
+    empty = spark.createDataFrame(
+        [], "query_id int, doc_id long, url string, score double"
+    )
+    if not live:
+        return empty
+
+    post = index["postings"].filter(
+        F.col("term").isin(sorted({t for ts in live.values() for t in ts}))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+        for qid, ts in live.items():
+            sub = [by_term[t] for t in ts if t in by_term]
+            if not sub:
+                continue
+            res = _score_salt_group(
+                pd.concat(sub), {t: idfs[t] for t in ts}, avgdl, k
+            )
+            res.insert(0, "query_id", np.int32(qid))
+            outs.append(res)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int32"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    local = post.groupBy("salt").applyInPandas(
+        kernel, "query_id int, doc_id long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    topk = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    return (
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id", "inner")
+        .select("query_id", "doc_id", "url", "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def wand_topk_local(index: dict, terms: list[str], k: int = 10) -> list[tuple]:
+    """Low-latency single-query path: the driver acts as the query node.
+
+    One Spark action (filter + collect of the query terms' posting blocks —
+    partition-pruned, a few MB even for Zipf-head terms at bench scale),
+    then the numpy kernel runs in-process.  At true 10^12 scale a query
+    node would hold the hot term shards; the executor path
+    (wand_topk/wand_topk_batch) remains the fan-out for fat queries.
+
+    Returns [(doc_id, score), ...] rank-identical to wand_topk.
+    """
+    idfs, avgdl = _collect_idfs(index, terms)
+    if not idfs:
+        return []
+    pdf = (
+        index["postings"]
+        .filter(F.col("term").isin(list(idfs)))
+        .select(
+            "term", "block_id", "first_doc_id", "last_doc_id",
+            "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
+        )
+        .toPandas()
+    )
+    res = _score_salt_group(pdf, idfs, avgdl, k)
+    res = res.sort_values(
+        ["score", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    return list(res.itertuples(index=False, name=None))

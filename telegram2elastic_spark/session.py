@@ -55,6 +55,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Keep scans prunable: respect parquet filters + column pruning.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split small files finely enough that the scan/tokenize map side
+        # actually fans out to every core.  The 128 MB default bin-packs a
+        # few-MB-per-file corpus into ~4 read partitions and serializes the
+        # build (measured: flat throughput from 8 to 32 cores).  At real
+        # 100 TB scale files are row-grouped near 128 MB and these knobs
+        # would be raised back via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "524288")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

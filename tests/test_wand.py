@@ -47,3 +47,32 @@ def test_wand_matches_relational(spark, sf_dir, index, terms):
 def test_wand_k_larger_than_hits(spark, index):
     got = wand_topk(index, ["dup"], k=10_000).collect()
     assert len(got) > 0
+
+
+def test_batch_matches_single(spark, sf_dir, index):
+    from telegram2elastic_spark.query.wand import wand_topk_batch
+
+    queries = {i: terms for i, terms in enumerate(QUERIES)}
+    batch = wand_topk_batch(index, queries, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["url"], r["score"])
+        )
+    for i, terms in queries.items():
+        single = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in wand_topk(index, terms, k=10).collect()
+        ]
+        assert by_q.get(i, []) == single, f"query {i} ({terms})"
+
+
+def test_local_matches_distributed(spark, sf_dir, index):
+    from telegram2elastic_spark.query.wand import wand_topk_local
+
+    for terms in QUERIES:
+        want = [
+            (r["doc_id"], r["score"]) for r in wand_topk(index, terms, k=10).collect()
+        ]
+        got = wand_topk_local(index, terms, k=10)
+        assert got == want, terms
