@@ -51,9 +51,15 @@ _EMPTY = pd.DataFrame(
 
 
 def _score_salt_group(
-    post: pd.DataFrame, idfs: dict[str, float], avgdl: float, k: int
+    post: pd.DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    tombstones: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Kernel: one salt partition's posting blocks -> local top-k."""
+    """Kernel: one salt partition's posting blocks -> local top-k.
+    `tombstones`: sorted int64 ids of deleted/edited-away docs (filtered
+    post-decode, pre-scoring — Lucene's live-docs check)."""
     if post.empty:
         return _EMPTY.copy()
 
@@ -107,6 +113,11 @@ def _score_salt_group(
         ids = np.concatenate(ids_list)
         tfs = np.concatenate(tfs_list).astype(np.float64)
         dls = np.concatenate(dls_list).astype(np.float64)
+        if tombstones is not None and tombstones.size:
+            live = ~np.isin(ids, tombstones)
+            ids, tfs, dls = ids[live], tfs[live], dls[live]
+            if ids.size == 0:
+                continue
         if not allow_new:
             mask = np.isin(ids, acc_ids, assume_unique=False)
             if not mask.any():
@@ -133,6 +144,38 @@ def _score_salt_group(
     return pd.DataFrame({"doc_id": acc_ids[order], "score": acc_scores[order]})
 
 
+def _postings_for_terms(index: dict, terms: list[str]) -> DataFrame:
+    """Scan only the query terms' postings.
+
+    Two pruning layers when the index was read from the partitioned disk
+    layout: (1) partition pruning — term_bucket values for the query terms
+    are computed driver-side (one tiny job, memoized) and applied as
+    literal predicates on the partition column, so only <= |q| of the 64
+    bucket directories are listed/read; (2) parquet row-group pruning via
+    the pushed `term IN (...)` filter.  In-memory indexes just get the
+    term filter."""
+    post = index["postings"]
+    if "term_bucket" in post.columns:
+        from ..index.build import N_TERM_BUCKETS
+
+        cache = index.setdefault("_bucket_cache", {})
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            spark = post.sparkSession
+            rows = (
+                spark.createDataFrame([(t,) for t in missing], "term string")
+                .select(
+                    "term",
+                    F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b"),
+                )
+                .collect()
+            )
+            cache.update({r["term"]: int(r["b"]) for r in rows})
+        buckets = sorted({cache[t] for t in terms})
+        post = post.filter(F.col("term_bucket").isin(buckets))
+    return post.filter(F.col("term").isin(terms))
+
+
 def wand_topk(
     index: dict,
     terms: list[str],
@@ -150,10 +193,11 @@ def wand_topk(
     if not idfs:
         return empty
 
-    post = index["postings"].filter(F.col("term").isin(list(idfs)))
+    post = _postings_for_terms(index, list(idfs))
+    tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_salt_group(pdf, idfs, float(avgdl), k)
+        return _score_salt_group(pdf, idfs, float(avgdl), k, tombstones=tomb)
 
     local = post.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -213,9 +257,11 @@ def wand_topk_batch(
     if not live:
         return empty
 
-    post = index["postings"].filter(
-        F.col("term").isin(sorted({t for ts in live.values() for t in ts}))
+    post = _postings_for_terms(
+        index, sorted({t for ts in live.values() for t in ts})
     )
+
+    tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -225,7 +271,8 @@ def wand_topk_batch(
             if not sub:
                 continue
             res = _score_salt_group(
-                pd.concat(sub), {t: idfs[t] for t in ts}, avgdl, k
+                pd.concat(sub), {t: idfs[t] for t in ts}, avgdl, k,
+                tombstones=tomb,
             )
             res.insert(0, "query_id", np.int32(qid))
             outs.append(res)
@@ -276,15 +323,15 @@ def wand_topk_local(index: dict, terms: list[str], k: int = 10) -> list[tuple]:
     if not idfs:
         return []
     pdf = (
-        index["postings"]
-        .filter(F.col("term").isin(list(idfs)))
+        _postings_for_terms(index, list(idfs))
         .select(
             "term", "block_id", "first_doc_id", "last_doc_id",
             "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
         )
         .toPandas()
     )
-    res = _score_salt_group(pdf, idfs, avgdl, k)
+    tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
+    res = _score_salt_group(pdf, idfs, avgdl, k, tombstones=tomb)
     res = res.sort_values(
         ["score", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(k)

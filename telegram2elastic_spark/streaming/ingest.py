@@ -94,9 +94,20 @@ class IncrementalIndexer:
             batch_corpus = batch_corpus.join(
                 existing.select("url"), "url", "left_anti"
             )
+        return self._write_segment(batch_corpus, batch_id)
+
+    def _write_segment(self, batch_corpus: DataFrame, batch_id: str) -> dict:
         seg_id = len(self.manifest())
         seg_dir = self._seg_dir(seg_id)
         idx = build_index(batch_corpus, n_doc_parts=self.n_doc_parts)
+        # text_sha lets upsert_batch detect edited docs without re-reading
+        # the indexed text (content addressing, s3_client.py:120-127)
+        idx["doc_map"] = idx["doc_map"].join(
+            batch_corpus.select(
+                "doc_id", F.sha2(F.col("text"), 256).alias("text_sha")
+            ),
+            "doc_id",
+        )
         idx["doc_map"].write.mode("overwrite").parquet(f"{seg_dir}/doc_map")
         idx["term_dict"].write.mode("overwrite").parquet(f"{seg_dir}/term_dict")
         idx["postings"].write.mode("overwrite").parquet(f"{seg_dir}/postings")
@@ -130,6 +141,64 @@ class IncrementalIndexer:
         }
         self._commit_manifest([*self.manifest(), entry])
         return entry
+
+    GEN_STRIDE = 1 << 40  # internal doc-id generation offset for edits
+
+    def upsert_batch(self, batch_corpus: DataFrame, batch_id: str) -> dict | None:
+        """Edited-document upsert (MessageEdited path, telegram2elastic.py
+        :530-533; ES upsert-by-id elasticsearch.py:33): docs whose url is
+        already indexed but whose text changed get a NEW internal doc_id
+        (old_id + GEN_STRIDE) in a fresh segment, and the old internal id is
+        tombstoned.  Lucene-style semantics: postings of tombstoned ids are
+        filtered at query time and physically dropped at the next
+        merge_segments compaction; term df stays slightly stale until merge
+        (exactly Lucene's deleted-docs-count-toward-df behavior), while
+        N/avgdl are exact (as_index excludes tombstoned doc_map rows).
+        Unchanged urls are dropped (idempotent re-delivery); brand-new urls
+        are appended normally."""
+        if batch_id in self.committed_batches():
+            return None
+        existing = self.doc_map_union()
+        if existing is None:
+            return self.ingest_batch(batch_corpus, batch_id)
+        prev = existing.select(
+            F.col("url").alias("e_url"),
+            F.col("doc_id").alias("old_doc_id"),
+            F.col("text_sha").alias("e_sha"),
+        )
+        joined = batch_corpus.withColumn(
+            "new_sha", F.sha2(F.col("text"), 256)
+        ).join(prev, F.col("url") == F.col("e_url"), "left")
+        fresh = joined.filter(F.col("e_url").isNull()).drop(
+            "e_url", "old_doc_id", "e_sha", "new_sha"
+        )
+        edited = joined.filter(
+            F.col("e_url").isNotNull() & (F.col("new_sha") != F.col("e_sha"))
+        )
+        tombstones = [r["old_doc_id"] for r in edited.select("old_doc_id").collect()]
+        re_added = edited.withColumn(
+            "doc_id", F.col("old_doc_id") + F.lit(self.GEN_STRIDE)
+        ).drop("e_url", "old_doc_id", "e_sha", "new_sha")
+        entry = self._write_segment(fresh.unionByName(re_added), batch_id)
+        if tombstones:
+            seg_dir = self._seg_dir(entry["segment_id"])
+            self.spark.createDataFrame(
+                [(t,) for t in tombstones], "doc_id long"
+            ).write.mode("overwrite").parquet(f"{seg_dir}/tombstones")
+            entry["n_tombstones"] = len(tombstones)
+            # manifest rewrite with the enriched entry (atomic)
+            m = self.manifest()
+            m[-1] = entry
+            self._commit_manifest(m)
+        return entry
+
+    def tombstones(self) -> list[int]:
+        out = []
+        for e in self.manifest():
+            p = os.path.join(self._seg_dir(e["segment_id"]), "tombstones")
+            if os.path.exists(p):
+                out += [r["doc_id"] for r in self.spark.read.parquet(p).collect()]
+        return out
 
     def ingest_by_day(
         self,
@@ -175,8 +244,16 @@ class IncrementalIndexer:
     def as_index(self) -> dict:
         """Combined index view over all committed segments — consumable by
         query.wand.wand_topk unchanged (disjoint doc spaces; per-segment
-        posting runs act as partial postings)."""
+        posting runs act as partial postings).
+
+        Tombstoned (edited-away) internal doc ids are excluded from doc_map
+        (exact N/avgdl) and shipped as a delete-set the query kernels filter
+        against; their postings are physically dropped at merge_segments.
+        """
+        tomb = self.tombstones()
         dm = self.doc_map_union()
+        if tomb:
+            dm = dm.filter(~F.col("doc_id").isin(tomb))
         postings = self._read_all("postings")
         td = (
             self._read_all("term_dict")
@@ -194,16 +271,18 @@ class IncrementalIndexer:
             "postings": postings,
             "stats": stats,
             "_n_doc_parts": self.n_doc_parts,
+            "_tombstones": sorted(tomb),
         }
 
     def lineage(self) -> DataFrame | None:
         return self._read_all("lineage")
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_group(pdf: pd.DataFrame, tombstones: np.ndarray | None = None) -> pd.DataFrame:
     """Sorted-merge kernel: all posting blocks of one (term, salt) across
-    segments -> decode runs -> merge (runs are sorted + doc-disjoint) ->
-    re-encode fresh blocks (norms travel with the postings)."""
+    segments -> decode runs -> drop tombstoned ids -> merge (runs are
+    sorted + doc-disjoint) -> re-encode fresh blocks (norms travel with
+    the postings)."""
     from ..index.codec import varbyte_decode
 
     ids_runs, tf_runs, dl_runs = [], [], []
@@ -215,6 +294,24 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ids = np.concatenate(ids_runs)
     tfs = np.concatenate(tf_runs)
     dls = np.concatenate(dl_runs)
+    if tombstones is not None and tombstones.size:
+        keep = ~np.isin(ids.astype(np.int64), tombstones)
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if ids.size == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype="object"),
+                    "salt": pd.Series([], dtype="int32"),
+                    "block_id": pd.Series([], dtype="int32"),
+                    "n_docs": pd.Series([], dtype="int32"),
+                    "first_doc_id": pd.Series([], dtype="int64"),
+                    "last_doc_id": pd.Series([], dtype="int64"),
+                    "doc_gaps": pd.Series([], dtype="object"),
+                    "tf_bytes": pd.Series([], dtype="object"),
+                    "dl_bytes": pd.Series([], dtype="object"),
+                    "block_max_tf": pd.Series([], dtype="int32"),
+                }
+            )
     order = np.argsort(ids, kind="mergesort")  # merge of sorted runs
     ids, tfs, dls = ids[order], tfs[order], dls[order]
     term = pdf["term"].iloc[0]
@@ -240,17 +337,43 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def merge_segments(indexer: IncrementalIndexer) -> dict:
     """Compact all committed segments into one logical index: sorted-merge
-    of posting runs per (term, salt) + re-aggregated term_dict/stats.
+    of posting runs per (term, salt), physical drop of tombstoned postings,
+    and exact term_dict recomputation (df/cf become exact again after the
+    stale-until-merge window of upserts).
 
     Returns the merged in-memory index dict; equals a single-shot
-    build_index over the full corpus (tested)."""
+    build_index over the (current) full corpus (tested)."""
     combined = indexer.as_index()
+    tomb = np.array(combined.get("_tombstones", []), dtype=np.int64)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_group(pdf, tombstones=tomb)
+
     merged_postings = (
         combined["postings"]
         .groupBy("term", "salt")
-        .applyInPandas(_merge_group, POSTINGS_SCHEMA)
+        .applyInPandas(kernel, POSTINGS_SCHEMA)
     )
-    return {**combined, "postings": merged_postings}
+    if tomb.size:
+        # exact df/cf from the physically-compacted postings
+        def stats_kernel(batches):
+            from ..index.codec import varbyte_decode as vd
+
+            for pdf in batches:
+                cfs = [int(vd(bytes(b)).sum()) for b in pdf["tf_bytes"]]
+                yield pd.DataFrame(
+                    {"term": pdf["term"], "df_p": pdf["n_docs"], "cf_p": cfs}
+                )
+
+        td = (
+            merged_postings.mapInPandas(
+                stats_kernel, "term string, df_p long, cf_p long"
+            )
+            .groupBy("term")
+            .agg(F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
+        )
+        combined = {**combined, "term_dict": td}
+    return {**combined, "postings": merged_postings, "_tombstones": []}
 
 
 def stream_ingest_availablenow(

@@ -116,3 +116,61 @@ def test_structured_streaming_ingest(spark, corpus, tmp_path):
     assert _topk(ix.as_index()) == want
     # offsets recorded in the streaming checkpoint (catch_up analogue)
     assert glob.glob(os.path.join(str(tmp_path / "ckpt"), "offsets", "*"))
+
+
+def test_upsert_edited_docs(spark, corpus, tmp_path):
+    """Edit path: changed text for existing urls -> old version invisible,
+    new version searchable; after merge, rank-identical to a fresh build
+    over the updated corpus."""
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.corpus import as_corpus
+
+    ix = IncrementalIndexer(spark, str(tmp_path / "ix"), n_doc_parts=4)
+    ix.ingest_batch(corpus, "initial")
+
+    # edit 20 docs: replace their text with a marker phrase
+    edited_raw = (
+        corpus.filter("doc_id % 25 = 0")
+        .withColumn("text", F.lit("freshedit marker content only"))
+        .withColumn(
+            "html",
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+            ).cast("binary"),
+        )
+    )
+    e = ix.upsert_batch(edited_raw, "edit_batch")
+    assert e["n_tombstones"] == corpus.filter("doc_id % 25 = 0").count()
+
+    idx = ix.as_index()
+    # new content findable
+    hits = wand_topk(idx, ["freshedit"], k=50).collect()
+    assert len(hits) == e["n_tombstones"]
+    # edited docs no longer appear under their old content; corpus words
+    # they used to contain return only live versions
+    old_hits = {r["doc_id"] for r in wand_topk(idx, ["the"], k=10_000).collect()}
+    tomb = set(ix.tombstones())
+    assert not (old_hits & tomb)
+
+    # unchanged re-delivery is a no-op (idempotent)
+    before = len(ix.manifest())
+    e2 = ix.upsert_batch(corpus.filter("doc_id % 25 = 1"), "redeliver")
+    assert e2["n_docs"] == 0
+    assert len(ix.manifest()) == before + 1
+
+    # after compaction: exact match with a fresh build over updated corpus
+    merged = merge_segments(ix)
+    updated_docs = corpus.filter("doc_id % 25 != 0").unionByName(
+        edited_raw.withColumn(
+            "doc_id", F.col("doc_id") + IncrementalIndexer.GEN_STRIDE
+        )
+    )
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(
+            updated_docs, ["the", "data"], k=10
+        ).collect()
+    ]
+    got = _topk(merged, ("the", "data"))
+    assert got == want

