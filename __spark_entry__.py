@@ -23,6 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.query import bm25, search
+from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
 
 # Fixed reference-style query set parameters (deterministic).
@@ -179,6 +180,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_fenced_json": lambda spark, sf: enrichment.parse_fenced_json(
             load_corpus(spark, sf)
         ),
+        # --- streaming duals (A5 windowed counts; sessionization) ---
+        "events_windowed_counts": lambda spark, sf: win.windowed_counts_batch(
+            load_events(spark, sf)
+        ),
+        "events_sessionize": lambda spark, sf: win.sessionize(
+            load_events(spark, sf), gap_minutes=30
+        ),
         # --- scans (S2: newest-first with row cap) ---
         "scan_recent": lambda spark, sf: (
             load_corpus(spark, sf)
@@ -258,6 +266,8 @@ FROM corpus ORDER BY doc_id
         "proj_rule_cascade": projection.rule_cascade_sql(),
         "media_metadata": multimodal.MEDIA_METADATA_SQL,
         "media_decode": multimodal.DECODE_MEDIA_SQL,
+        "events_windowed_counts": win.WINDOWED_COUNTS_SQL,
+        "events_sessionize": win.sessionize_sql(gap_minutes=30),
         "enrich_entities": enrichment.extract_entities_sql(),
         "enrich_docs_mentioning": enrichment.docs_mentioning_sql("spark"),
         "enrich_classify": enrichment.classify_stub_sql(),

@@ -126,6 +126,12 @@ def main() -> None:
             idx[name] = idx[name].cache()
             idx[name].count()
 
+        # warm python workers once (per-executor constant, not per-query cost)
+        import pandas as pd
+        corpus.select("doc_id", "lang").limit(2000).groupBy("lang").applyInPandas(
+            lambda p: pd.DataFrame({"n": [len(p)]}), "n long"
+        ).collect()
+
         # q2: relational BM25 (vectorized baseline) over the raw corpus
         t0 = time.perf_counter()
         for terms in BENCH_QUERIES[:4]:
@@ -139,17 +145,26 @@ def main() -> None:
         wand_topk_batch(idx, dict(enumerate(BENCH_QUERIES)), k=10).collect()
         queries["wand_batch_8q"] = time.perf_counter() - t0
 
-        # q3b: single-query latency via the driver-local query-node path
-        wand_topk_local(idx, BENCH_QUERIES[0], k=10)  # warm
-        lat = []
+        # q3b: single-query latency via the driver-local query-node path —
+        # cold (first touch of each term: one pruned Spark fetch) and warm
+        # (hot-shard posting cache, no Spark in the loop)
+        wand_topk_local(idx, BENCH_QUERIES[0], k=10)  # warm workers
+        idx.pop("_local_post_cache", None)
+        cold = []
         for terms in BENCH_QUERIES:
             t0 = time.perf_counter()
             wand_topk_local(idx, terms, k=10)
-            lat.append(time.perf_counter() - t0)
-        lat.sort()
-        queries["wand_local_8q"] = sum(lat)
-        extra["wand_p95_ms"] = round(lat[max(0, int(len(lat) * 0.95) - 1)] * 1000, 1)
-        extra["wand_p50_ms"] = round(lat[len(lat) // 2] * 1000, 1)
+            cold.append(time.perf_counter() - t0)
+        warm = []
+        for terms in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            wand_topk_local(idx, terms, k=10)
+            warm.append(time.perf_counter() - t0)
+        cold.sort(); warm.sort()
+        queries["wand_local_8q"] = sum(cold)
+        extra["wand_p95_ms"] = round(cold[max(0, int(len(cold) * 0.95) - 1)] * 1000, 1)
+        extra["wand_p50_ms"] = round(cold[len(cold) // 2] * 1000, 1)
+        extra["wand_warm_p95_ms"] = round(warm[max(0, int(len(warm) * 0.95) - 1)] * 1000, 1)
 
         # q4: search pipeline (filter -> sort -> paginate)
         t0 = time.perf_counter()

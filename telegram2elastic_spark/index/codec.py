@@ -136,3 +136,31 @@ def encode_blocks(
 def decode_block(doc_gaps: bytes, tf_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
     """-> (doc_ids uint64, tfs uint64)."""
     return delta_decode(varbyte_decode(doc_gaps)), varbyte_decode(tf_bytes)
+
+
+def decode_many(
+    gaps_bufs, tf_bufs, dl_bufs, n_docs
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting blocks in one vectorized pass.
+
+    Per-block Python loops dominate query latency (measured ~0.4 ms/block of
+    interpreter overhead vs ~µs of numpy work); instead the varbyte buffers
+    of all blocks are concatenated and decoded once (varbyte is
+    self-delimiting), and the per-block delta reset is reconstructed with a
+    cumsum + per-block base subtraction:
+
+        C = cumsum(all gaps); ids[i in block b] = C[i] - C[start_b - 1]
+
+    since each block's first gap is its absolute first_doc_id.
+
+    Returns (doc_ids, tfs, dls) concatenated in input block order.
+    """
+    n_docs = np.asarray(n_docs, dtype=np.int64)
+    gaps = varbyte_decode(b"".join(gaps_bufs))
+    c = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(n_docs)[:-1]))
+    bases = np.where(starts > 0, c[starts - 1], np.uint64(0))
+    ids = c - np.repeat(bases, n_docs)
+    tfs = varbyte_decode(b"".join(tf_bufs))
+    dls = varbyte_decode(b"".join(dl_bufs))
+    return ids, tfs, dls

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..index.codec import delta_decode, varbyte_decode
+from ..index.codec import decode_many, delta_decode, varbyte_decode
 from .bm25 import B, K1, SCORE_DECIMALS
 
 
@@ -100,19 +100,16 @@ def _score_salt_group(
             keep = overlaps & (bubs + acc_max + rem_ub[j + 1] >= theta)
         if not keep.any():
             continue
-        ids_list, tfs_list, dls_list = [], [], []
         kept = g.loc[keep]
-        for gaps, tfb, dlb in zip(
-            kept["doc_gaps"], kept["tf_bytes"], kept["dl_bytes"]
-        ):
-            ids_list.append(
-                delta_decode(varbyte_decode(bytes(gaps))).astype(np.int64)
-            )
-            tfs_list.append(varbyte_decode(bytes(tfb)))
-            dls_list.append(varbyte_decode(bytes(dlb)))
-        ids = np.concatenate(ids_list)
-        tfs = np.concatenate(tfs_list).astype(np.float64)
-        dls = np.concatenate(dls_list).astype(np.float64)
+        ids, tfs, dls = decode_many(
+            [bytes(x) for x in kept["doc_gaps"]],
+            [bytes(x) for x in kept["tf_bytes"]],
+            [bytes(x) for x in kept["dl_bytes"]],
+            kept["n_docs"].to_numpy(),
+        )
+        ids = ids.astype(np.int64)
+        tfs = tfs.astype(np.float64)
+        dls = dls.astype(np.float64)
         if tombstones is not None and tombstones.size:
             live = ~np.isin(ids, tombstones)
             ids, tfs, dls = ids[live], tfs[live], dls[live]
@@ -322,14 +319,28 @@ def wand_topk_local(index: dict, terms: list[str], k: int = 10) -> list[tuple]:
     idfs, avgdl = _collect_idfs(index, terms)
     if not idfs:
         return []
-    pdf = (
-        _postings_for_terms(index, list(idfs))
-        .select(
-            "term", "block_id", "first_doc_id", "last_doc_id",
-            "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
+    # hot-shard cache: posting blocks are fetched per term once and kept
+    # driver-side (what a query node keeps in memory); repeated terms across
+    # the query stream skip Spark entirely.
+    cache = index.setdefault("_local_post_cache", {})
+    missing = [t for t in idfs if t not in cache]
+    if missing:
+        fetched = (
+            _postings_for_terms(index, missing)
+            .select(
+                "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+                "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
+            )
+            .toPandas()
         )
-        .toPandas()
-    )
+        for t, g in fetched.groupby("term", sort=False):
+            cache[t] = g
+        for t in missing:
+            cache.setdefault(t, None)
+    parts = [cache[t] for t in idfs if cache.get(t) is not None]
+    if not parts:
+        return []
+    pdf = pd.concat(parts, ignore_index=True)
     tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
     res = _score_salt_group(pdf, idfs, avgdl, k, tombstones=tomb)
     res = res.sort_values(

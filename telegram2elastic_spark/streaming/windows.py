@@ -1,0 +1,148 @@
+"""Streaming analytics over the event stream: watermarked windowed
+aggregation + sessionization.
+
+The reference's realtime loop only *indexes*; its dashboards compute
+timeline rollups after the fact (PRODUCTION_ARCHITECTURE.md:903-996).
+Stream-native versions: Structured Streaming with event-time watermarks,
+so late events are handled and state is bounded (the 10^12-scale
+requirement for an unbounded stream).  The same aggregations exist in
+batch form (operators.aggregates.timeline_daily) — these are the
+readStream duals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts_stream(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding per-type counters with a watermark — the streaming
+    dual of the daily-counts rollup (A5)."""
+    w = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 5).alias("total_value"),
+        )
+    )
+
+
+def run_windowed_counts_availablenow(
+    spark: SparkSession, events_path: str, checkpoint: str
+) -> DataFrame:
+    """Drive the streaming agg to completion over a bounded parquet dir
+    (Trigger.AvailableNow + memory sink) and return the result table —
+    the pattern for tests and backfills."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    # event-time watermarks need TIMESTAMP (tz-aware); the testdata parquet
+    # stores TIMESTAMP_NTZ — reinterpret as UTC instants
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_counts_stream(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("windowed_counts")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT date_format(win.start, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") AS win_start, "
+        "event_type, n, total_value FROM windowed_counts "
+        "ORDER BY win_start, event_type"
+    )
+
+
+def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch dual of windowed_counts_stream (same results on bounded input;
+    oracle-checkable)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 5).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+WINDOWED_COUNTS_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%dT%H:%M:%SZ')
+           AS win_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 5) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization (lag + cumulative gap-count window): per-user
+    sessions split on inactivity > gap.  Returns per-session rollups."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    ).withColumn("session_no", F.sum("new_session").over(w))
+    return (
+        marked.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "session_start"
+            ),
+            F.round(F.sum("value"), 5).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH marked AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_minutes * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_start,
+       round(sum(value), 5) AS session_value
+FROM sessioned GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
