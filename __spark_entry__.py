@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeline_daily": lambda spark, sf: agg.timeline_daily(
             load_corpus(spark, sf)
         ),
+        "timeline_rollup": lambda spark, sf: agg.timeline_rollup(
+            load_corpus(spark, sf)
+        ),
         "events_rollup": lambda spark, sf: agg.events_rollup(
             load_events(spark, sf)
         ),
@@ -243,6 +246,7 @@ FROM corpus ORDER BY doc_id
         "search_count": search.search_count_sql(q="merge", min_score=10.0),
         "archive_counters": agg.ARCHIVE_COUNTERS_SQL,
         "timeline_daily": agg.TIMELINE_DAILY_SQL,
+        "timeline_rollup": agg.TIMELINE_ROLLUP_SQL,
         "events_rollup": agg.EVENTS_ROLLUP_SQL,
         "top_users_per_type": agg.top_users_per_type_sql(k=3),
         "forward_chain_join": agg.FORWARD_CHAIN_SQL,

@@ -157,3 +157,38 @@ FROM events e
 JOIN events p ON e.user_id = p.user_id AND e.event_id = p.event_id + 1
 ORDER BY e.event_id
 """
+
+
+def timeline_rollup(corpus: DataFrame) -> DataFrame:
+    """A8 (grouping sets): day x lang rollup with subtotals + grand total —
+    the reference's dashboard heatmaps (PRODUCTION_ARCHITECTURE.md:903-996)
+    as one multi-level aggregation instead of N separate queries.
+    ROLLUP is a single shuffle (Catalyst expands grouping sets map-side)."""
+    return (
+        corpus.rollup(
+            F.date_format("warc_ts", "yyyy-MM-dd").alias("day"), "lang"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("day", "lang")
+    )
+
+
+TIMELINE_ROLLUP_SQL = f"""
+WITH {CORPUS_CTE.strip()}
+SELECT coalesce(strftime(warc_ts, '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(lang, 'ALL') AS lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM corpus
+GROUP BY ROLLUP (strftime(warc_ts, '%Y-%m-%d'), lang)
+ORDER BY day, lang
+"""
