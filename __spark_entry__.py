@@ -72,6 +72,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand(Q_MAIN),
         "wand_multiterm": _q_wand(Q_MULTI),
         "wand_heavy_hitters": _q_wand(Q_HEAVY),
+        "bm25_global_stats_filter": lambda spark, sf: bm25.bm25_topk(
+            load_corpus(spark, sf), Q_HEAVY, k=10, lang="en", global_stats=True
+        ),
+        "wand_doc_filter": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_HEAVY, k=10, doc_filter="lang = 'en'",
+        ),
         # --- index state tables (A6; ES-internal in the reference) ---
         "index_term_dict": lambda spark, sf: (
             build_index(load_corpus(spark, sf))["term_dict"].orderBy("term")
@@ -235,6 +242,12 @@ FROM corpus ORDER BY doc_id
         "wand_topk": bm25.bm25_topk_sql(Q_MAIN),
         "wand_multiterm": bm25.bm25_topk_sql(Q_MULTI),
         "wand_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),
+        "bm25_global_stats_filter": bm25.bm25_topk_sql(
+            Q_HEAVY, lang="en", global_stats=True
+        ),
+        "wand_doc_filter": bm25.bm25_topk_sql(
+            Q_HEAVY, lang="en", global_stats=True
+        ),
         "index_term_dict": term_dict_sql,
         "index_doc_map": doc_map_sql,
         "search_page": search.search_page_sql(

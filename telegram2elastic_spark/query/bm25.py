@@ -47,13 +47,20 @@ def bm25_topk(
     lang: str | None = None,
     min_ts: str | None = None,
     max_ts: str | None = None,
+    global_stats: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, url, score) for a disjunctive term query.
 
     Document-level filters (lang / warc_ts window — the analogues of the
     reference's search filters, poc/src/api/routes/search.py:87-103 and the
     periodic_import window, telegram2elastic.py:555-558) restrict the corpus
-    BEFORE scoring, so N/avgdl/df are filtered-set statistics.
+    BEFORE scoring.  Two statistics regimes:
+      * global_stats=False (default): N/avgdl/df are filtered-set stats —
+        the standalone-query semantics;
+      * global_stats=True: corpus-level stats, filters only restrict which
+        docs are scored — Elasticsearch's filter-context semantics (filters
+        never change idf), and what the compressed-index path implements
+        (recomputing df per arbitrary filter would re-scan postings).
     """
     base = corpus
     if lang is not None:
@@ -63,18 +70,23 @@ def bm25_topk(
     if max_ts is not None:
         base = base.filter(F.col("warc_ts") < F.lit(max_ts).cast("timestamp"))
 
+    stats_src = corpus if global_stats else base
     docs = base.select("doc_id", "url", F.size(tokens("text")).alias("doc_len"))
-    stats = docs.agg(
+    stats = stats_src.select(F.size(tokens("text")).alias("doc_len")).agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
     )
 
-    tf = (
-        base.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf_src = stats_src if global_stats else base
+    tf_all = (
+        tf_src.select("doc_id", F.explode(tokens("text")).alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    term_df = tf_all.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # in global mode, df comes from the whole corpus but only filtered docs
+    # are scored
+    tf = tf_all.join(docs.select("doc_id"), "doc_id") if global_stats else tf_all
 
     scored = (
         tf.join(F.broadcast(term_df), "term")
@@ -105,6 +117,7 @@ def bm25_topk_sql(
     lang: str | None = None,
     min_ts: str | None = None,
     max_ts: str | None = None,
+    global_stats: bool = False,
 ) -> str:
     """DuckDB oracle SQL — the exact same semantics over the raw
     `documents` view (derivation via CORPUS_CTE, tokenization via
@@ -118,22 +131,28 @@ def bm25_topk_sql(
         preds.append(f"warc_ts < TIMESTAMP '{max_ts}'")
     where = " AND ".join(preds)
     terms_sql = _sql_quote_terms(terms)
+    stats_rel = "corpus" if global_stats else "fbase"
     return f"""
 WITH {CORPUS_CTE.strip()},
 fbase AS (SELECT * FROM corpus WHERE {where}),
 dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM fbase),
-stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+sbase AS (SELECT * FROM {stats_rel}),
+sdl AS (SELECT doc_id, {DOC_LEN_SQL} AS doc_len FROM sbase),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM sdl),
 toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text),
              '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
-  FROM fbase
+  FROM sbase
 ),
-tf AS (
+tf_all AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
   WHERE term IN ({terms_sql}) GROUP BY doc_id, term
 ),
-tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+tdf AS (SELECT term, count(*) AS df FROM tf_all GROUP BY term),
+tf AS (
+  SELECT tf_all.* FROM tf_all JOIN dl ON tf_all.doc_id = dl.doc_id
+),
 scored AS (
   SELECT tf.doc_id,
          round(sum(

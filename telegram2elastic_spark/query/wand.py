@@ -56,10 +56,14 @@ def _score_salt_group(
     avgdl: float,
     k: int,
     tombstones: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Kernel: one salt partition's posting blocks -> local top-k.
     `tombstones`: sorted int64 ids of deleted/edited-away docs (filtered
-    post-decode, pre-scoring — Lucene's live-docs check)."""
+    post-decode, pre-scoring — Lucene's live-docs check).
+    `allowed`: optional sorted int64 ids a document-level filter admits
+    (ES filter-context: restricts scored docs, never changes idf); at real
+    scale this is a broadcast bitmap, here a sorted array + searchsorted."""
     if post.empty:
         return _EMPTY.copy()
 
@@ -113,6 +117,13 @@ def _score_salt_group(
         if tombstones is not None and tombstones.size:
             live = ~np.isin(ids, tombstones)
             ids, tfs, dls = ids[live], tfs[live], dls[live]
+            if ids.size == 0:
+                continue
+        if allowed is not None:
+            pos = np.searchsorted(allowed, ids)
+            pos[pos >= allowed.size] = 0
+            ok = allowed[pos] == ids if allowed.size else np.zeros(ids.shape, bool)
+            ids, tfs, dls = ids[ok], tfs[ok], dls[ok]
             if ids.size == 0:
                 continue
         if not allow_new:
@@ -173,16 +184,33 @@ def _postings_for_terms(index: dict, terms: list[str]) -> DataFrame:
     return post.filter(F.col("term").isin(terms))
 
 
+def _allowed_ids(index: dict, doc_filter: str | None) -> np.ndarray | None:
+    """Document-filter -> sorted allowed-id array (the sandbox stand-in for
+    a broadcast filter bitmap / roaring bitmap at 10^12 scale).  doc_filter
+    is a SQL predicate over doc_map columns (doc_id, url, lang, warc_ts,
+    doc_len), e.g. "lang = 'en'" or a warc_ts range."""
+    if doc_filter is None:
+        return None
+    ids = [
+        r["doc_id"]
+        for r in index["doc_map"].filter(doc_filter).select("doc_id").collect()
+    ]
+    return np.array(sorted(ids), dtype=np.int64)
+
+
 def wand_topk(
     index: dict,
     terms: list[str],
     k: int = 10,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, url, score) from the compressed index.
 
     Driver-side: collect idf inputs for the |q| query terms (tiny — a
     broadcast in closure form) and global stats; executors only ever see
-    the query terms' posting blocks.
+    the query terms' posting blocks.  `doc_filter` applies a document-level
+    predicate pre-scoring with ES filter-context semantics (global stats) —
+    rank-identical to bm25_topk(..., global_stats=True).
     """
     spark = index["doc_map"].sparkSession
     idfs, avgdl = _collect_idfs(index, terms)
@@ -192,9 +220,12 @@ def wand_topk(
 
     post = _postings_for_terms(index, list(idfs))
     tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
+    allowed = _allowed_ids(index, doc_filter)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_salt_group(pdf, idfs, float(avgdl), k, tombstones=tomb)
+        return _score_salt_group(
+            pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed
+        )
 
     local = post.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -305,7 +336,9 @@ def wand_topk_batch(
     )
 
 
-def wand_topk_local(index: dict, terms: list[str], k: int = 10) -> list[tuple]:
+def wand_topk_local(
+    index: dict, terms: list[str], k: int = 10, doc_filter: str | None = None
+) -> list[tuple]:
     """Low-latency single-query path: the driver acts as the query node.
 
     One Spark action (filter + collect of the query terms' posting blocks —
@@ -342,7 +375,10 @@ def wand_topk_local(index: dict, terms: list[str], k: int = 10) -> list[tuple]:
         return []
     pdf = pd.concat(parts, ignore_index=True)
     tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
-    res = _score_salt_group(pdf, idfs, avgdl, k, tombstones=tomb)
+    allowed = _allowed_ids(index, doc_filter)
+    res = _score_salt_group(
+        pdf, idfs, avgdl, k, tombstones=tomb, allowed=allowed
+    )
     res = res.sort_values(
         ["score", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(k)

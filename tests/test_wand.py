@@ -76,3 +76,31 @@ def test_local_matches_distributed(spark, sf_dir, index):
         ]
         got = wand_topk_local(index, terms, k=10)
         assert got == want, terms
+
+
+def test_filtered_wand_matches_global_stats_bm25(spark, sf_dir, index):
+    """Doc-level filters in the index path: ES filter-context semantics —
+    global stats, filtered docs — rank-identical to the relational scorer
+    in global_stats mode (and distinct from the filtered-stats mode)."""
+    corpus = load_corpus(spark, sf_dir)
+    for terms, flt, lang in (
+        (["the", "data"], "lang = 'en'", "en"),
+        (["spark", "merge"], "lang = 'fr'", "fr"),
+    ):
+        want = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in bm25_topk(
+                corpus, terms, k=10, lang=lang, global_stats=True
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in wand_topk(index, terms, k=10, doc_filter=flt).collect()
+        ]
+        assert got == want, (terms, flt)
+        got_local = [
+            t[:1] for t in __import__(
+                "telegram2elastic_spark.query.wand", fromlist=["wand_topk_local"]
+            ).wand_topk_local(index, terms, k=10, doc_filter=flt)
+        ]
+        assert got_local == [(d,) for d, _, _ in want]
