@@ -146,3 +146,70 @@ SELECT user_id, session_no,
        round(sum(value), 5) AS session_value
 FROM sessioned GROUP BY user_id, session_no ORDER BY user_id, session_no
 """
+
+
+def streaming_first_seen(
+    spark: SparkSession,
+    corpus_path: str,
+    checkpoint: str,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful streaming operator: first-seen-url filter.
+
+    The reference dedups realtime messages against the store per event
+    (message_exists, poc/src/core/telegram_client.py:162-178); the
+    stream-native version keeps the seen-set as *operator state* —
+    applyInPandasWithState keyed by url, state = a single flag, so a
+    re-delivered/edited url never re-emits.  State is partitioned by the
+    grouping key across executors (scales horizontally) and can be bounded
+    with a timeout when urls have a natural re-delivery horizon.
+
+    Runs the bounded corpus dir through Trigger.AvailableNow and returns
+    the deduped table (memory sink).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(corpus_path).schema
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            return iter(())  # url already emitted once
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                row = pdf.sort_values("doc_id").iloc[0]
+                first = pd.DataFrame(
+                    {"url": [row["url"]], "doc_id": [row["doc_id"]]}
+                )
+                break
+        state.update((1,))
+        if first is None:
+            return iter(())
+        return iter([first])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(corpus_path)
+    )
+    out = (
+        stream.groupBy("url")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="url string, doc_id long",
+            stateStructType="seen int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT url, doc_id FROM first_seen ORDER BY doc_id")
