@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count": lambda spark, sf: search.search_count(
             load_corpus(spark, sf), q="merge", min_score=10.0
         ),
+        "search_after_page1": lambda spark, sf: search.search_after(
+            load_corpus(spark, sf), None, limit=15
+        ),
         # --- aggregations (A2, A5) / windows (O5) / joins (J6) ---
         "archive_counters": lambda spark, sf: agg.archive_counters(
             load_corpus(spark, sf)
@@ -257,6 +260,7 @@ FROM corpus ORDER BY doc_id
             langs=["en", "fr"], offset=0, limit=20
         ),
         "search_count": search.search_count_sql(q="merge", min_score=10.0),
+        "search_after_page1": search.search_after_sql(None, limit=15),
         "archive_counters": agg.ARCHIVE_COUNTERS_SQL,
         "timeline_daily": agg.TIMELINE_DAILY_SQL,
         "timeline_rollup": agg.TIMELINE_ROLLUP_SQL,

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..corpus import CORPUS_CTE
-from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, TOKENS_CTE, tokens
+from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
 
 K1 = 1.2
 B = 0.75

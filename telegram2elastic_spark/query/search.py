@@ -174,3 +174,71 @@ scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus)
 SELECT count(*) AS total FROM scored
 WHERE {_filters_sql(q, min_score, langs)}
 """
+
+
+def search_after(
+    corpus: DataFrame,
+    cursor: tuple | None = None,
+    q: str | None = None,
+    min_score: float | None = None,
+    langs: list[str] | None = None,
+    limit: int = 20,
+) -> DataFrame:
+    """Keyset ("search_after") pagination — the 10^12-scale replacement for
+    OFFSET (SURVEY.md §7.4): the cursor is the last row's ordering tuple
+    (score, ts, doc_id); the next page is a pushdown-able predicate + top-k,
+    so page N costs the same as page 1 (no global row_number funnel).
+
+    NULL scores sort last under DESC; they are keyset-encoded as -1 (scores
+    are >= 0), making the tuple comparison total.
+    """
+    df = search_filtered(corpus, q, min_score, langs).withColumn(
+        "ts", F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    )
+    s = F.coalesce(F.col("score"), F.lit(-1.0))
+    if cursor is not None:
+        cs, cts, cid = cursor
+        cs = -1.0 if cs is None else cs
+        df = df.filter(
+            (s < cs)
+            | ((s == cs) & (F.col("ts") < cts))
+            | ((s == cs) & (F.col("ts") == cts) & (F.col("doc_id") > cid))
+        )
+    return (
+        df.orderBy(s.desc(), F.col("ts").desc(), F.col("doc_id"))
+        .limit(limit)
+        .select("doc_id", "url", "lang", "ts", "score")
+    )
+
+
+def search_after_sql(
+    cursor: tuple | None = None,
+    q: str | None = None,
+    min_score: float | None = None,
+    langs: list[str] | None = None,
+    limit: int = 20,
+) -> str:
+    pred = ""
+    if cursor is not None:
+        cs, cts, cid = cursor
+        cs = -1.0 if cs is None else cs
+        pred = f"""AND (
+      coalesce(score, -1.0) < {cs}
+      OR (coalesce(score, -1.0) = {cs} AND ts < '{cts}')
+      OR (coalesce(score, -1.0) = {cs} AND ts = '{cts}' AND doc_id > {cid})
+    )"""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (
+  SELECT *, {SCORE_SQL} AS score,
+         strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
+  FROM corpus
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE {_filters_sql(q, min_score, langs)} {pred}
+)
+SELECT doc_id, url, lang, ts, score FROM filtered
+ORDER BY coalesce(score, -1.0) DESC, ts DESC, doc_id
+LIMIT {limit}
+"""

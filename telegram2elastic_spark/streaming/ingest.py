@@ -40,12 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.build import (
-    DEFAULT_DOC_PARTS,
-    POSTINGS_SCHEMA,
-    build_index,
-    doc_map,
-)
+from ..index.build import DEFAULT_DOC_PARTS, POSTINGS_SCHEMA, build_index
 from ..index.codec import BLOCK_SIZE, decode_block, encode_blocks
 
 
