@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": lambda spark, sf: sim.ann_topk(
             load_embeddings(spark, sf), query_vec_id=7, k=5
         ),
+        "sim_cluster_stats": lambda spark, sf: sim.cluster_stats(
+            load_embeddings(spark, sf)
+        ),
         # --- text analysis ---
         "text_lang_id": lambda spark, sf: tq.lang_id(load_corpus(spark, sf)),
         "text_quality": lambda spark, sf: tq.quality_scores(load_corpus(spark, sf)),
@@ -278,6 +281,7 @@ FROM corpus ORDER BY doc_id
         "sim_cosine_topk": sim.cosine_topk_sql(query_vec_id=0, k=10),
         "sim_lsh_buckets": sim.lsh_buckets_sql(),
         "sim_ann_topk": sim.ann_topk_sql(query_vec_id=7, k=5),
+        "sim_cluster_stats": sim.cluster_stats_sql(),
         "text_lang_id": tq.lang_id_sql(),
         "text_quality": tq.quality_scores_sql(),
         "text_token_counts": tq.TOKEN_COUNTS_SQL,

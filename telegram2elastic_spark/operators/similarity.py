@@ -181,3 +181,37 @@ WHERE vec_id != {query_vec_id}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+def cluster_stats(embeddings: DataFrame) -> DataFrame:
+    """A4 analogue (EventCluster rollups, poc/src/core/models.py:331-337):
+    per-LSH-bucket cluster statistics — member count, average label score,
+    and the sorted member-id list (the reference's message_ids array,
+    emitted as a comma-joined string so the oracle hash is scalar)."""
+    b = lsh_buckets(embeddings)
+    joined = embeddings.select("vec_id", "label").join(b, "vec_id")
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("label"), 5).alias("avg_label"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("vec_id").cast("string"))),
+                ",",
+            ).alias("member_ids"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def cluster_stats_sql() -> str:
+    return f"""
+WITH buckets AS ({lsh_buckets_sql().strip()})
+SELECT b.bucket,
+       count(*) AS n_members,
+       round(avg(e.label), 5) AS avg_label,
+       array_to_string(list_sort(list(CAST(e.vec_id AS VARCHAR))), ',')
+           AS member_ids
+FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+GROUP BY b.bucket ORDER BY b.bucket
+"""

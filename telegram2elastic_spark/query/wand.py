@@ -244,7 +244,8 @@ def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
     """Per-index memoized global stats + per-term idf lookups."""
     if "_stats" not in index:
         n, avgdl = index["stats"].select("n_docs", "avgdl").first()
-        index["_stats"] = (int(n), float(avgdl))
+        # empty corpus: avgdl is NULL; any positive value works (no postings)
+        index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
     n, avgdl = index["_stats"]
     cache = index.setdefault("_idf_cache", {})
     missing = [t for t in terms if t not in cache]
