@@ -72,6 +72,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand(Q_MAIN),
         "wand_multiterm": _q_wand(Q_MULTI),
         "wand_heavy_hitters": _q_wand(Q_HEAVY),
+        "bm25_conjunctive": lambda spark, sf: bm25.bm25_topk(
+            load_corpus(spark, sf), Q_MAIN, k=10, conjunctive=True
+        ),
+        "wand_conjunctive": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, k=10, conjunctive=True,
+        ),
         "bm25_global_stats_filter": lambda spark, sf: bm25.bm25_topk(
             load_corpus(spark, sf), Q_HEAVY, k=10, lang="en", global_stats=True
         ),
@@ -248,6 +255,8 @@ FROM corpus ORDER BY doc_id
         "wand_topk": bm25.bm25_topk_sql(Q_MAIN),
         "wand_multiterm": bm25.bm25_topk_sql(Q_MULTI),
         "wand_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),
+        "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
+        "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "bm25_global_stats_filter": bm25.bm25_topk_sql(
             Q_HEAVY, lang="en", global_stats=True
         ),

@@ -48,8 +48,11 @@ def bm25_topk(
     min_ts: str | None = None,
     max_ts: str | None = None,
     global_stats: bool = False,
+    conjunctive: bool = False,
 ) -> DataFrame:
-    """Top-k (doc_id, url, score) for a disjunctive term query.
+    """Top-k (doc_id, url, score) for a term query — disjunctive (ES
+    "should", default) or conjunctive ("must": only docs containing every
+    query term are scored; scores are the same BM25 sums).
 
     Document-level filters (lang / warc_ts window — the analogues of the
     reference's search filters, poc/src/api/routes/search.py:87-103 and the
@@ -102,9 +105,18 @@ def bm25_topk(
             ),
         )
         .groupBy("doc_id", "url")
-        .agg(F.round(F.sum("w"), SCORE_DECIMALS).alias("score"))
+        .agg(
+            F.round(F.sum("w"), SCORE_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
     )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if conjunctive:
+        scored = scored.filter(F.col("n_matched") == len(set(terms)))
+    return (
+        scored.drop("n_matched")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def _sql_quote_terms(terms: list[str]) -> str:
@@ -118,6 +130,7 @@ def bm25_topk_sql(
     min_ts: str | None = None,
     max_ts: str | None = None,
     global_stats: bool = False,
+    conjunctive: bool = False,
 ) -> str:
     """DuckDB oracle SQL — the exact same semantics over the raw
     `documents` view (derivation via CORPUS_CTE, tokenization via
@@ -132,6 +145,9 @@ def bm25_topk_sql(
     where = " AND ".join(preds)
     terms_sql = _sql_quote_terms(terms)
     stats_rel = "corpus" if global_stats else "fbase"
+    having = (
+        f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+    )
     return f"""
 WITH {CORPUS_CTE.strip()},
 fbase AS (SELECT * FROM corpus WHERE {where}),
@@ -165,6 +181,7 @@ scored AS (
   JOIN tdf ON tf.term = tdf.term
   CROSS JOIN stats
   GROUP BY tf.doc_id
+  {having}
 )
 SELECT s.doc_id, d.url, s.score
 FROM scored s JOIN dl d ON s.doc_id = d.doc_id

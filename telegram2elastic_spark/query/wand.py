@@ -57,6 +57,7 @@ def _score_salt_group(
     k: int,
     tombstones: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    require_all: int = 0,
 ) -> pd.DataFrame:
     """Kernel: one salt partition's posting blocks -> local top-k.
     `tombstones`: sorted int64 ids of deleted/edited-away docs (filtered
@@ -80,12 +81,17 @@ def _score_salt_group(
 
     acc_ids = np.array([], dtype=np.int64)
     acc_scores = np.array([], dtype=np.float64)
+    acc_hits = np.array([], dtype=np.int64)
 
     for j, (ub, term, idf, g) in enumerate(terms):
         theta = (
             np.partition(acc_scores, -k)[-k] if acc_scores.size >= k else -np.inf
         )
-        allow_new = rem_ub[j] >= theta
+        # conjunctive mode: every term list must be fully decoded (any doc
+        # missed in one term can never be reported), so pruning that skips
+        # candidate generation is disabled; theta pruning still applies to
+        # the final selection.
+        allow_new = (rem_ub[j] >= theta) or bool(require_all)
         firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
         lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
         if allow_new:
@@ -135,12 +141,17 @@ def _score_salt_group(
         # merge into accumulators (sorted union)
         all_ids = np.concatenate([acc_ids, ids])
         all_sc = np.concatenate([acc_scores, w])
+        all_h = np.concatenate([acc_hits, np.ones(ids.size, dtype=np.int64)])
         order = np.argsort(all_ids, kind="stable")
-        all_ids, all_sc = all_ids[order], all_sc[order]
+        all_ids, all_sc, all_h = all_ids[order], all_sc[order], all_h[order]
         uniq, starts = np.unique(all_ids, return_index=True)
         sums = np.add.reduceat(all_sc, starts)
-        acc_ids, acc_scores = uniq, sums
+        hits = np.add.reduceat(all_h, starts)
+        acc_ids, acc_scores, acc_hits = uniq, sums, hits
 
+    if require_all:
+        keep = acc_hits >= require_all
+        acc_ids, acc_scores = acc_ids[keep], acc_scores[keep]
     if acc_ids.size == 0:
         return _EMPTY.copy()
     top = min(k, acc_ids.size)
@@ -203,6 +214,7 @@ def wand_topk(
     terms: list[str],
     k: int = 10,
     doc_filter: str | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, url, score) from the compressed index.
 
@@ -215,16 +227,19 @@ def wand_topk(
     spark = index["doc_map"].sparkSession
     idfs, avgdl = _collect_idfs(index, terms)
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
-    if not idfs:
-        return empty
+    n_terms = len(set(terms))
+    if not idfs or (conjunctive and len(idfs) < n_terms):
+        return empty  # a required term has no postings -> no match
 
     post = _postings_for_terms(index, list(idfs))
     tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
     allowed = _allowed_ids(index, doc_filter)
+    require_all = n_terms if conjunctive else 0
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_salt_group(
-            pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed
+            pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed,
+            require_all=require_all,
         )
 
     local = post.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
@@ -338,7 +353,11 @@ def wand_topk_batch(
 
 
 def wand_topk_local(
-    index: dict, terms: list[str], k: int = 10, doc_filter: str | None = None
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+    doc_filter: str | None = None,
+    conjunctive: bool = False,
 ) -> list[tuple]:
     """Low-latency single-query path: the driver acts as the query node.
 
@@ -351,7 +370,8 @@ def wand_topk_local(
     Returns [(doc_id, score), ...] rank-identical to wand_topk.
     """
     idfs, avgdl = _collect_idfs(index, terms)
-    if not idfs:
+    n_terms = len(set(terms))
+    if not idfs or (conjunctive and len(idfs) < n_terms):
         return []
     # hot-shard cache: posting blocks are fetched per term once and kept
     # driver-side (what a query node keeps in memory); repeated terms across
@@ -378,7 +398,8 @@ def wand_topk_local(
     tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
     allowed = _allowed_ids(index, doc_filter)
     res = _score_salt_group(
-        pdf, idfs, avgdl, k, tombstones=tomb, allowed=allowed
+        pdf, idfs, avgdl, k, tombstones=tomb, allowed=allowed,
+        require_all=n_terms if conjunctive else 0,
     )
     res = res.sort_values(
         ["score", "doc_id"], ascending=[False, True], ignore_index=True

@@ -104,3 +104,24 @@ def test_filtered_wand_matches_global_stats_bm25(spark, sf_dir, index):
             ).wand_topk_local(index, terms, k=10, doc_filter=flt)
         ]
         assert got_local == [(d,) for d, _, _ in want]
+
+
+def test_conjunctive_mode(spark, sf_dir, index):
+    """AND semantics: only docs containing every term; scores unchanged."""
+    from telegram2elastic_spark.query.wand import wand_topk_local
+
+    corpus = load_corpus(spark, sf_dir)
+    for terms in (["spark", "merge"], ["the", "data", "row"], ["dup", "the"]):
+        want = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in bm25_topk(corpus, terms, k=10, conjunctive=True).collect()
+        ]
+        got = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in wand_topk(index, terms, k=10, conjunctive=True).collect()
+        ]
+        assert got == want, terms
+        local = wand_topk_local(index, terms, k=10, conjunctive=True)
+        assert local == [(d, s) for d, _, s in want], terms
+    # a required zero-hit term -> empty
+    assert wand_topk(index, ["the", "zzzznotaterm"], k=10, conjunctive=True).count() == 0
