@@ -22,7 +22,7 @@ from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
-from telegram2elastic_spark.query import bm25, search
+from telegram2elastic_spark.query import bm25, phrase, search
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
 
@@ -72,6 +72,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand(Q_MAIN),
         "wand_multiterm": _q_wand(Q_MULTI),
         "wand_heavy_hitters": _q_wand(Q_HEAVY),
+        "phrase_topk": lambda spark, sf: phrase.phrase_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["the", "fast"], k=10,
+        ),
+        "phrase_topk_3gram": lambda spark, sf: phrase.phrase_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["table", "scan", "merge"], k=10,
+        ),
         "bm25_conjunctive": lambda spark, sf: bm25.bm25_topk(
             load_corpus(spark, sf), Q_MAIN, k=10, conjunctive=True
         ),
@@ -255,6 +263,10 @@ FROM corpus ORDER BY doc_id
         "wand_topk": bm25.bm25_topk_sql(Q_MAIN),
         "wand_multiterm": bm25.bm25_topk_sql(Q_MULTI),
         "wand_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),
+        "phrase_topk": phrase.phrase_topk_sql(["the", "fast"], k=10),
+        "phrase_topk_3gram": phrase.phrase_topk_sql(
+            ["table", "scan", "merge"], k=10
+        ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "bm25_global_stats_filter": bm25.bm25_topk_sql(

@@ -54,19 +54,34 @@ POSTINGS_SCHEMA = StructType(
         # BM25 norms travel with the postings so the query side never joins
         # or shuffles doc_map (Lucene stores norms the same way)
         StructField("dl_bytes", BinaryType()),
+        # per-posting token positions (varbyte; empty unless the index was
+        # built with positions=True) — enables phrase queries
+        StructField("pos_bytes", BinaryType()),
         StructField("block_max_tf", IntegerType()),
     ]
 )
 
 
-def term_frequencies(corpus: DataFrame) -> DataFrame:
-    """(term, doc_id, dl, tf) — ONE shuffle, map-side combine via hash agg.
+def term_frequencies(corpus: DataFrame, positions: bool = False) -> DataFrame:
+    """(term, doc_id, dl, tf[, positions]) — ONE shuffle, map-side combine.
 
     dl (BM25 length norm) is computed narrow before the explode and carried
     through the aggregation as a grouping column (constant per doc_id, so
     it adds no groups) — postings encoding then needs no separate
-    doc-length aggregation + join.
+    doc-length aggregation + join.  With positions=True each row also
+    carries the sorted token offsets of the term in the doc (phrase-query
+    support; costs a collect_list in the same single shuffle).
     """
+    if positions:
+        toks = corpus.select("doc_id", tokens("text").alias("toks")).select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        return toks.groupBy("term", "doc_id", "dl").agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_sort(F.collect_list("pos")).alias("positions"),
+        )
     toks = corpus.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
@@ -111,6 +126,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf["tf"].to_numpy(),
         BLOCK_SIZE,
         doc_lens=pdf["dl"].to_numpy(),
+        positions=list(pdf["positions"]) if "positions" in pdf else None,
     )
     return pd.DataFrame(
         [
@@ -124,6 +140,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "doc_gaps": b["doc_gaps"],
                 "tf_bytes": b["tf_bytes"],
                 "dl_bytes": b["dl_bytes"],
+                "pos_bytes": b["pos_bytes"],
                 "block_max_tf": b["block_max_tf"],
             }
             for b in blocks
@@ -159,7 +176,11 @@ def build_postings(tf_df: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> Da
     )
 
 
-def build_index(corpus: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> dict:
+def build_index(
+    corpus: DataFrame,
+    n_doc_parts: int = DEFAULT_DOC_PARTS,
+    positions: bool = False,
+) -> dict:
     """Full in-memory build -> {'doc_map', 'term_dict', 'postings', 'stats'}.
 
     tf_df and doc_map fan out to multiple downstream tables (term_dict +
@@ -172,7 +193,9 @@ def build_index(corpus: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> dict
     from pyspark import StorageLevel
 
     dm = doc_map(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    tf_df = term_frequencies(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    tf_df = term_frequencies(corpus, positions=positions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     td = term_dict(tf_df)
     postings = build_postings(tf_df, n_doc_parts=n_doc_parts)
     stats = dm.agg(

@@ -90,11 +90,39 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
 
 
+def encode_positions(pos_lists) -> bytes:
+    """Per-posting token-position lists -> one varbyte blob.
+
+    Each posting's positions are delta-encoded within the posting (first
+    absolute); posting boundaries are recovered at decode time from the tf
+    array (len(positions) == tf), so no extra offsets are stored."""
+    parts = []
+    for pos in pos_lists:
+        parts.append(delta_encode(np.asarray(pos, dtype=np.uint64)))
+    if not parts:
+        return b""
+    return varbyte_encode(np.concatenate(parts))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions: -> list of absolute-position arrays,
+    one per posting, using tf counts as boundaries."""
+    flat = varbyte_decode(buf)
+    out = []
+    off = 0
+    for t in np.asarray(tfs, dtype=np.int64):
+        seg = flat[off : off + t]
+        out.append(np.cumsum(seg, dtype=np.uint64))
+        off += t
+    return out
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     block_size: int = BLOCK_SIZE,
     doc_lens: np.ndarray | None = None,
+    positions: list | None = None,
 ) -> list[dict]:
     """Split a sorted posting list into fixed-size blocks.
 
@@ -127,6 +155,11 @@ def encode_blocks(
                 "doc_gaps": varbyte_encode(delta_encode(ids)),
                 "tf_bytes": varbyte_encode(tf),
                 "dl_bytes": varbyte_encode(dl),
+                "pos_bytes": (
+                    encode_positions(positions[off : off + block_size])
+                    if positions is not None
+                    else b""
+                ),
                 "block_max_tf": int(tf.max()),
             }
         )

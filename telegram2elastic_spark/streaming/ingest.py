@@ -280,12 +280,23 @@ def _merge_group(pdf: pd.DataFrame, tombstones: np.ndarray | None = None) -> pd.
     the postings)."""
     from ..index.codec import varbyte_decode
 
-    ids_runs, tf_runs, dl_runs = [], [], []
-    for gaps, tfb, dlb in zip(pdf["doc_gaps"], pdf["tf_bytes"], pdf["dl_bytes"]):
+    from ..index.codec import decode_positions
+
+    ids_runs, tf_runs, dl_runs, pos_runs = [], [], [], []
+    has_pos = False
+    for gaps, tfb, dlb, posb in zip(
+        pdf["doc_gaps"], pdf["tf_bytes"], pdf["dl_bytes"], pdf["pos_bytes"]
+    ):
         i, t = decode_block(bytes(gaps), bytes(tfb))
         ids_runs.append(i)
         tf_runs.append(t)
         dl_runs.append(varbyte_decode(bytes(dlb)))
+        pb = bytes(posb) if posb is not None else b""
+        if pb:
+            has_pos = True
+            pos_runs.extend(decode_positions(pb, t))
+        else:
+            pos_runs.extend([np.array([], dtype=np.uint64)] * i.size)
     ids = np.concatenate(ids_runs)
     tfs = np.concatenate(tf_runs)
     dls = np.concatenate(dl_runs)
@@ -304,10 +315,12 @@ def _merge_group(pdf: pd.DataFrame, tombstones: np.ndarray | None = None) -> pd.
                     "doc_gaps": pd.Series([], dtype="object"),
                     "tf_bytes": pd.Series([], dtype="object"),
                     "dl_bytes": pd.Series([], dtype="object"),
+                    "pos_bytes": pd.Series([], dtype="object"),
                     "block_max_tf": pd.Series([], dtype="int32"),
                 }
             )
     order = np.argsort(ids, kind="mergesort")  # merge of sorted runs
+    pos_lists = [pos_runs[i] for i in order] if has_pos else None
     ids, tfs, dls = ids[order], tfs[order], dls[order]
     term = pdf["term"].iloc[0]
     salt = int(pdf["salt"].iloc[0])
@@ -323,9 +336,12 @@ def _merge_group(pdf: pd.DataFrame, tombstones: np.ndarray | None = None) -> pd.
                 "doc_gaps": b["doc_gaps"],
                 "tf_bytes": b["tf_bytes"],
                 "dl_bytes": b["dl_bytes"],
+                "pos_bytes": b["pos_bytes"],
                 "block_max_tf": b["block_max_tf"],
             }
-            for b in encode_blocks(ids, tfs, BLOCK_SIZE, doc_lens=dls)
+            for b in encode_blocks(
+                ids, tfs, BLOCK_SIZE, doc_lens=dls, positions=pos_lists
+            )
         ]
     )
 
