@@ -173,25 +173,7 @@ def _postings_for_terms(index: dict, terms: list[str]) -> DataFrame:
     bucket directories are listed/read; (2) parquet row-group pruning via
     the pushed `term IN (...)` filter.  In-memory indexes just get the
     term filter."""
-    post = index["postings"]
-    if "term_bucket" in post.columns:
-        from ..index.build import N_TERM_BUCKETS
-
-        cache = index.setdefault("_bucket_cache", {})
-        missing = [t for t in terms if t not in cache]
-        if missing:
-            spark = post.sparkSession
-            rows = (
-                spark.createDataFrame([(t,) for t in missing], "term string")
-                .select(
-                    "term",
-                    F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b"),
-                )
-                .collect()
-            )
-            cache.update({r["term"]: int(r["b"]) for r in rows})
-        buckets = sorted({cache[t] for t in terms})
-        post = post.filter(F.col("term_bucket").isin(buckets))
+    post = _bucketed(index, index["postings"], terms)
     return post.filter(F.col("term").isin(terms))
 
 
@@ -255,8 +237,34 @@ def wand_topk(
     )
 
 
+def _bucketed(index: dict, df: DataFrame, terms: list[str]) -> DataFrame:
+    """Add term_bucket literal predicates (partition pruning) when the
+    table carries the partition column — used for both postings and
+    term_dict scans so a |q|-term lookup touches <= |q| of the 64 bucket
+    dirs."""
+    if "term_bucket" not in df.columns:
+        return df
+    from ..index.build import N_TERM_BUCKETS
+
+    cache = index.setdefault("_bucket_cache", {})
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        rows = (
+            df.sparkSession.createDataFrame([(t,) for t in missing], "term string")
+            .select(
+                "term",
+                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b"),
+            )
+            .collect()
+        )
+        cache.update({r["term"]: int(r["b"]) for r in rows})
+    buckets = sorted({cache[t] for t in terms})
+    return df.filter(F.col("term_bucket").isin(buckets))
+
+
 def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
-    """Per-index memoized global stats + per-term idf lookups."""
+    """Per-index memoized global stats + per-term idf lookups (bucket-pruned
+    when term_dict is the partitioned on-disk layout)."""
     if "_stats" not in index:
         n, avgdl = index["stats"].select("n_docs", "avgdl").first()
         # empty corpus: avgdl is NULL; any positive value works (no postings)
@@ -266,7 +274,7 @@ def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
     missing = [t for t in terms if t not in cache]
     if missing:
         for r in (
-            index["term_dict"]
+            _bucketed(index, index["term_dict"], missing)
             .filter(F.col("term").isin(missing))
             .select("term", "df")
             .collect()

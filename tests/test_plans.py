@@ -81,3 +81,13 @@ def test_wand_url_join_is_broadcast(disk_index):
     assert "BroadcastHashJoin" in plan
     # doc_map side must not be exchanged by a sort-merge join
     assert "SortMergeJoin" not in plan
+
+
+def test_term_dict_lookup_prunes_partitions(disk_index):
+    """idf lookups must also prune to the query terms' buckets."""
+    from telegram2elastic_spark.query.wand import _bucketed
+
+    td = _bucketed(disk_index, disk_index["term_dict"], ["spark"])
+    plan = _plan(td)
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
