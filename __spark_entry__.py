@@ -245,7 +245,8 @@ toks AS (
   FROM corpus
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term ORDER BY term
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term ORDER BY term
 """
     doc_map_sql = f"""
 WITH {CORPUS_CTE.strip()}

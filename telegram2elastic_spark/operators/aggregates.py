@@ -36,7 +36,7 @@ ARCHIVE_COUNTERS_SQL = f"""
 WITH {CORPUS_CTE.strip()}
 SELECT source,
        count(*) AS total_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        max(strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ')) AS last_doc_ts,
        round(avg(n_chars), 5) AS avg_chars
 FROM corpus GROUP BY source ORDER BY source
@@ -187,7 +187,7 @@ WITH {CORPUS_CTE.strip()}
 SELECT coalesce(strftime(warc_ts, '%Y-%m-%d'), 'ALL') AS day,
        coalesce(lang, 'ALL') AS lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM corpus
 GROUP BY ROLLUP (strftime(warc_ts, '%Y-%m-%d'), lang)
 ORDER BY day, lang

@@ -137,7 +137,7 @@ WITH marked AS (
 sessioned AS (
   SELECT *, sum(new_session) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
-      ROWS UNBOUNDED PRECEDING) AS session_no
+      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
   FROM marked
 )
 SELECT user_id, session_no,
