@@ -208,6 +208,7 @@ def build_index(
         "term_dict": td,
         "postings": postings,
         "stats": stats,
+        "_n_doc_parts": n_doc_parts,
         "_cached": [dm, tf_df],
     }
 
@@ -234,14 +235,30 @@ def write_index(index: dict, out_dir: str, n_buckets: int = N_TERM_BUCKETS) -> N
         f"{out_dir}/postings"
     )
     index["stats"].write.mode("overwrite").parquet(f"{out_dir}/stats")
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(out_dir, "meta.json"), "w") as f:
+        _json.dump(
+            {"n_doc_parts": index.get("_n_doc_parts", DEFAULT_DOC_PARTS)}, f
+        )
     for df in index.get("_cached", []):
         df.unpersist()
 
 
 def read_index(spark, out_dir: str) -> dict:
+    import json as _json
+    import os as _os
+
+    n_parts = DEFAULT_DOC_PARTS
+    meta_path = _os.path.join(out_dir, "meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            n_parts = int(_json.load(f).get("n_doc_parts", DEFAULT_DOC_PARTS))
     return {
         "doc_map": spark.read.parquet(f"{out_dir}/doc_map"),
         "term_dict": spark.read.parquet(f"{out_dir}/term_dict"),
         "postings": spark.read.parquet(f"{out_dir}/postings"),
         "stats": spark.read.parquet(f"{out_dir}/stats"),
+        "_n_doc_parts": n_parts,
     }

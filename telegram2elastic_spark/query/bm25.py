@@ -30,6 +30,12 @@ from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
 K1 = 1.2
 B = 0.75
 SCORE_DECIMALS = 5
+# Pruning-threshold slack: final ranking rounds scores to SCORE_DECIMALS and
+# breaks ties by doc_id asc, so any pruning decision made on *raw* scores
+# must keep candidates whose raw score is within one rounding step of the
+# current k-th score (they may round equal and win the tie).  1.1x the max
+# rounding gap (0.5 * 10^-d) with margin.
+ROUND_GUARD = 1.1 * 10 ** (-SCORE_DECIMALS)
 
 
 def idf_col(n: F.Column, df: F.Column) -> F.Column:

@@ -31,10 +31,10 @@ import numpy as np
 import pandas as pd
 
 from ..index.codec import decode_block, varbyte_decode
-from .bm25 import B, K1, SCORE_DECIMALS
-from .wand import _collect_idfs, _postings_for_terms, _term_ub
+from .bm25 import B, K1, ROUND_GUARD, SCORE_DECIMALS
+from .wand import _collect_idfs, _postings_for_terms, _term_ub, _tomb_array
 
-_ROUND_GUARD = 1.1 * 10 ** (-SCORE_DECIMALS)
+_ROUND_GUARD = ROUND_GUARD
 _INF = np.iinfo(np.int64).max
 
 
@@ -133,9 +133,15 @@ def bmw_topk_blocks(
         _Cursor(g, idfs[t]) for t, g in post.groupby("term", sort=False)
     ]
     term_ubs = [float(c.bubs.max()) for c in cursors]
-    heap: list[tuple[float, int]] = []  # (raw score, -doc_id) min-heap
+    # Min-heap keyed by the FINAL order (rounded score, -doc_id): admission
+    # and eviction then agree exactly with the (rounded score desc, doc_id
+    # asc) ranking — a raw score just below the heap minimum that rounds
+    # equal and wins the doc_id tie is admitted, never dropped.
+    heap: list[tuple[float, int]] = []  # (rounded score, -doc_id) min-heap
 
     def theta() -> float:
+        # heap[0][0] is rounded; raw-score pruning bounds must keep any doc
+        # whose raw score could round up to it — hence the guard.
         return heap[0][0] - _ROUND_GUARD if len(heap) >= k else -math.inf
 
     while True:
@@ -173,10 +179,11 @@ def bmw_topk_blocks(
                 for c in live:
                     if c.doc == pivot_doc:
                         c.next()
+                cand = (round(score, SCORE_DECIMALS), -pivot_doc)
                 if len(heap) < k:
-                    heapq.heappush(heap, (score, -pivot_doc))
-                elif (score, -pivot_doc) > heap[0]:
-                    heapq.heapreplace(heap, (score, -pivot_doc))
+                    heapq.heappush(heap, cand)
+                elif cand > heap[0]:
+                    heapq.heapreplace(heap, cand)
             else:
                 # dead zone: every doc in [pivot_doc, d'] is bounded by the
                 # current blocks of the pivot-prefix cursors, PROVIDED no
@@ -198,9 +205,7 @@ def bmw_topk_blocks(
             # advance one preceding cursor up to the pivot
             live[0].seek(pivot_doc)
 
-    out = [
-        (-nd, round(s, SCORE_DECIMALS)) for s, nd in heap
-    ]
+    out = [(-nd, s) for s, nd in heap]  # scores already rounded
     out.sort(key=lambda x: (-x[1], x[0]))
     return out
 
@@ -223,7 +228,7 @@ def bmw_topk_local(index: dict, terms: list[str], k: int = 10) -> list[tuple]:
         )
         .toPandas()
     )
-    tomb = frozenset(index.get("_tombstones", []))
+    tomb = frozenset(_tomb_array(index).tolist())
     results: list[tuple[int, float]] = []
     for _, g in pdf.groupby("salt", sort=False):
         results.extend(bmw_topk_blocks(g, idfs, avgdl, k, tombstones=tomb))

@@ -29,21 +29,45 @@ from ..corpus import CORPUS_CTE
 from ..functions.tokenizer import TOKEN_SPLIT_RE
 from ..index.codec import decode_many, decode_positions
 from .bm25 import B, K1, SCORE_DECIMALS
-from .wand import _postings_for_terms
+from .wand import _filters_df, _postings_for_terms, _salt_scored
+
+# Per-candidate key space: key = candidate_index * _DOC_KEY + position.
+# Positions are token offsets (< doc length << 2^33) and candidate counts
+# per salt stay < 2^30, so keys never collide or overflow int64.
+_DOC_KEY = np.int64(1) << 33
+
+_EMPTY_COUNTS = pd.DataFrame(
+    {
+        "doc_id": pd.Series([], dtype="int64"),
+        "phrase_tf": pd.Series([], dtype="int64"),
+        "dl": pd.Series([], dtype="int64"),
+    }
+)
+
+
+def _gather_keyed(
+    ids: np.ndarray, pos: list[np.ndarray], common: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate docs' position arrays -> one flat int64 key array
+    (candidate_index * _DOC_KEY + position) + per-candidate lengths."""
+    idxs = np.searchsorted(ids, common)
+    sel = [pos[i] for i in idxs]
+    lens = np.fromiter((a.size for a in sel), dtype=np.int64, count=len(sel))
+    if lens.sum() == 0:
+        return np.array([], dtype=np.int64), lens
+    flat = np.concatenate(sel).astype(np.int64)
+    bases = np.repeat(np.arange(len(common), dtype=np.int64) * _DOC_KEY, lens)
+    return flat + bases, lens
 
 
 def _phrase_counts_group(
-    pdf: pd.DataFrame, phrase: list[str]
+    pdf: pd.DataFrame, phrase: list[str], tombstones: np.ndarray | None = None
 ) -> pd.DataFrame:
     """One salt's blocks -> (doc_id, phrase_tf, dl) for docs containing the
-    exact phrase."""
-    empty = pd.DataFrame(
-        {
-            "doc_id": pd.Series([], dtype="int64"),
-            "phrase_tf": pd.Series([], dtype="int64"),
-            "dl": pd.Series([], dtype="int64"),
-        }
-    )
+    exact phrase.  Fully vectorized: adjacency is ONE np.isin per phrase
+    term over the concatenation of every candidate doc's positions (keyed
+    by candidate index), not a per-doc Python loop — the kernel cost is
+    O(total positions log total positions) regardless of candidate count."""
     per_term: dict[str, tuple] = {}
     for term, g in pdf.groupby("term", sort=False):
         g = g.sort_values("block_id")
@@ -54,53 +78,72 @@ def _phrase_counts_group(
             g["n_docs"].to_numpy(),
         )
         pos: list[np.ndarray] = []
-        off = 0
-        for pb, tfb in zip(g["pos_bytes"], g["tf_bytes"]):
-            from ..index.codec import varbyte_decode
+        from ..index.codec import varbyte_decode
 
+        for pb, tfb in zip(g["pos_bytes"], g["tf_bytes"]):
             block_tfs = varbyte_decode(bytes(tfb))
-            pos.extend(decode_positions(bytes(pb), block_tfs))
-            off += block_tfs.size
-        per_term[term] = (ids.astype(np.int64), dls.astype(np.int64), pos)
+            pb = bytes(pb) if pb is not None else b""
+            if not pb and block_tfs.size:
+                # a tf>0 posting without stored positions means the index
+                # was not built with positions=True (or segments were merged
+                # mixed) — failing fast beats silently returning no matches
+                raise ValueError(
+                    "phrase query requires a positional index "
+                    "(build_index(..., positions=True)); "
+                    f"term {term!r} has posting blocks without positions"
+                )
+            pos.extend(decode_positions(pb, block_tfs))
+        ids = ids.astype(np.int64)
+        dls = dls.astype(np.int64)
+        # multi-segment indexes interleave block doc ranges: sort globally
+        # (doc ids are unique per term — segments hold disjoint doc sets)
+        # so _gather_keyed's searchsorted lookups are valid.
+        order = np.argsort(ids, kind="mergesort")
+        if not np.array_equal(order, np.arange(order.size)):
+            ids, dls = ids[order], dls[order]
+            pos = [pos[i] for i in order]
+        per_term[term] = (ids, dls, pos)
     if any(t not in per_term for t in set(phrase)):
-        return empty
+        return _EMPTY_COUNTS.copy()
 
     # doc-set intersection across the distinct phrase terms
     common = None
     for t in set(phrase):
         s = per_term[t][0]
         common = s if common is None else np.intersect1d(common, s)
+    if tombstones is not None and tombstones.size and common is not None:
+        common = common[~np.isin(common, tombstones)]
     if common is None or common.size == 0:
-        return empty
+        return _EMPTY_COUNTS.copy()
 
-    out_ids, out_tf, out_dl = [], [], []
-    # per-candidate adjacency: positions(term_i) must contain start + i
-    lookups = {
-        t: dict(zip(ids.tolist(), range(len(pos))))
-        for t, (ids, _, pos) in per_term.items()
-    }
-    for d in common.tolist():
-        t0 = phrase[0]
-        ids0, dls0, pos0 = per_term[t0]
-        idx0 = lookups[t0][d]
-        starts = pos0[idx0].astype(np.int64)
-        ok = np.ones(starts.shape, dtype=bool)
-        for i, t in enumerate(phrase[1:], start=1):
-            idsi, _, posi = per_term[t]
-            pi = posi[lookups[t][d]].astype(np.int64)
-            ok &= np.isin(starts + i, pi)
-            if not ok.any():
-                break
-        n = int(ok.sum())
-        if n:
-            out_ids.append(d)
-            out_tf.append(n)
-            out_dl.append(int(dls0[idx0]))
-    if not out_ids:
-        return empty
+    # vectorized adjacency: keyed positions of term_0 are phrase starts;
+    # start s in doc d extends iff keyed positions of term_i contain
+    # key(d, s + i) — per-doc bases keep docs from cross-matching.
+    t0 = phrase[0]
+    ids0, dls0, pos0 = per_term[t0]
+    starts, lens0 = _gather_keyed(ids0, pos0, common)
+    ok = np.ones(starts.shape, dtype=bool)
+    for i, t in enumerate(phrase[1:], start=1):
+        idsi, _, posi = per_term[t]
+        keyed_i, _ = _gather_keyed(idsi, posi, common)
+        ok &= np.isin(starts + i, keyed_i)
+        if not ok.any():
+            return _EMPTY_COUNTS.copy()
+    # phrase_tf per candidate: segment-sum of ok over the lens0 boundaries
+    offsets = np.concatenate([[0], np.cumsum(lens0)[:-1]])
+    tf_per_doc = np.add.reduceat(ok.astype(np.int64), offsets)
+    tf_per_doc[lens0 == 0] = 0  # reduceat artifacts on empty segments
+    hit = tf_per_doc > 0
+    if not hit.any():
+        return _EMPTY_COUNTS.copy()
+    dl_sel = dls0[np.searchsorted(ids0, common)]
     return pd.DataFrame(
-        {"doc_id": out_ids, "phrase_tf": out_tf, "dl": out_dl}
-    ).astype({"doc_id": "int64", "phrase_tf": "int64", "dl": "int64"})
+        {
+            "doc_id": common[hit].astype("int64"),
+            "phrase_tf": tf_per_doc[hit].astype("int64"),
+            "dl": dl_sel[hit].astype("int64"),
+        }
+    )
 
 
 def phrase_topk(index: dict, phrase: list[str], k: int = 10) -> DataFrame:
@@ -112,12 +155,13 @@ def phrase_topk(index: dict, phrase: list[str], k: int = 10) -> DataFrame:
     if len(phrase) < 1:
         return empty
     post = _postings_for_terms(index, sorted(set(phrase)))
+    filt = _filters_df(index, None)  # tombstones, delivered per-salt
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _phrase_counts_group(pdf, phrase)
+    def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
+        return _phrase_counts_group(pdf, phrase, tombstones=tomb)
 
-    matches = post.groupBy("salt").applyInPandas(
-        kernel, "doc_id long, phrase_tf long, dl long"
+    matches = _salt_scored(
+        post, filt, False, kernel, "doc_id long, phrase_tf long, dl long"
     )
     n, avgdl = index["stats"].select("n_docs", "avgdl").first()
     scored = (

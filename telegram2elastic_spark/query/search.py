@@ -12,11 +12,13 @@ is the reference's rule-based regex cascade (llm_classifier.py:17-21,
 80-98) evaluated natively with rlike — cheap-filter-first, exactly the
 cost-gating the reference applies before its LLM stage.
 
-Scale note: offset pagination is implemented with a global row_number
-window, which funnels the filtered set through one partition — correct and
-fine at the reference's limit<=1000 contract (search.py:25-26); for deep
-pagination at 10^12 docs you'd keyset-paginate on (score, warc_ts, doc_id)
-instead (documented trade-off, SURVEY.md §7.4).
+Scale note: offset pagination bounds the data FIRST with orderBy().limit(
+offset+limit) — a TakeOrderedAndProject (per-partition heap + driver merge
+of P k-row heaps), never a global-window funnel of the whole filtered set —
+then ranks the <= offset+limit surviving rows in one bounded partition.
+The reference caps limit at 1000 (search.py:25-26), enforced here, so the
+bounded set is tiny by contract; for deep pagination use search_after
+(keyset, same cost for page N as page 1).
 """
 
 from __future__ import annotations
@@ -93,14 +95,25 @@ def search_page(
     offset: int = 0,
     limit: int = 20,
 ) -> DataFrame:
-    """ORDER BY score DESC NULLS LAST, warc_ts DESC, doc_id + offset/limit."""
+    """ORDER BY score DESC NULLS LAST, warc_ts DESC, doc_id + offset/limit.
+
+    Plan shape: TakeOrderedAndProject(offset+limit) bounds the candidate
+    set (distributed heap, no shuffle of the filtered corpus), then rn is
+    assigned over that <= offset+limit-row remainder in a single bounded
+    partition (constant partition key — deliberate, the set is capped by
+    the API contract)."""
+    _validate_page(offset, limit)
     df = search_filtered(corpus, q, min_score, langs)
-    w = Window.orderBy(
-        F.col("score").desc_nulls_last(), F.col("warc_ts").desc(), F.col("doc_id")
-    )
+    order = [
+        F.col("score").desc_nulls_last(),
+        F.col("warc_ts").desc(),
+        F.col("doc_id"),
+    ]
+    bounded = df.orderBy(*order).limit(offset + limit)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
+        bounded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
         .select(
             "doc_id",
             "url",
@@ -110,6 +123,15 @@ def search_page(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def _validate_page(offset: int, limit: int) -> None:
+    """Reference API param contract (poc/src/api/routes/search.py:25-26):
+    limit 1..1000, offset >= 0 — F11 bounds checks."""
+    if not 1 <= limit <= 1000:
+        raise ValueError(f"limit must be in [1, 1000], got {limit}")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
 
 
 def search_count(
@@ -192,6 +214,7 @@ def search_after(
     NULL scores sort last under DESC; they are keyset-encoded as -1 (scores
     are >= 0), making the tuple comparison total.
     """
+    _validate_page(0, limit)
     df = search_filtered(corpus, q, min_score, langs).withColumn(
         "ts", F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
     )

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..index.codec import decode_many, delta_decode, varbyte_decode
-from .bm25 import B, K1, SCORE_DECIMALS
+from .bm25 import B, K1, ROUND_GUARD, SCORE_DECIMALS
 
 
 def _bm25_w(tf: np.ndarray, dl: np.ndarray, avgdl: float, idf: float) -> np.ndarray:
@@ -90,8 +90,11 @@ def _score_salt_group(
         # conjunctive mode: every term list must be fully decoded (any doc
         # missed in one term can never be reported), so pruning that skips
         # candidate generation is disabled; theta pruning still applies to
-        # the final selection.
-        allow_new = (rem_ub[j] >= theta) or bool(require_all)
+        # the final selection.  theta is an unrounded raw score while the
+        # final order rounds to SCORE_DECIMALS — subtract ROUND_GUARD so a
+        # doc that would round equal to the k-th (and win the doc_id tie)
+        # is never pruned.
+        allow_new = (rem_ub[j] >= theta - ROUND_GUARD) or bool(require_all)
         firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
         lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
         if allow_new:
@@ -107,7 +110,7 @@ def _score_salt_group(
             hi = np.searchsorted(acc_ids, lasts, side="right")
             overlaps = hi > lo
             acc_max = acc_scores.max() if acc_scores.size else 0.0
-            keep = overlaps & (bubs + acc_max + rem_ub[j + 1] >= theta)
+            keep = overlaps & (bubs + acc_max + rem_ub[j + 1] >= theta - ROUND_GUARD)
         if not keep.any():
             continue
         kept = g.loc[keep]
@@ -177,11 +180,45 @@ def _postings_for_terms(index: dict, terms: list[str]) -> DataFrame:
     return post.filter(F.col("term").isin(terms))
 
 
+def _n_parts(index: dict) -> int:
+    from ..index.build import DEFAULT_DOC_PARTS
+
+    return int(index.get("_n_doc_parts", DEFAULT_DOC_PARTS))
+
+
+def _tomb_df(index: dict) -> DataFrame | None:
+    """Tombstoned internal doc ids as a DataFrame (never collected for the
+    distributed paths; see _filters_df)."""
+    df = index.get("_tombstones_df")
+    if df is not None:
+        return df
+    tomb = index.get("_tombstones") or []
+    if not tomb:
+        return None
+    spark = index["doc_map"].sparkSession
+    return spark.createDataFrame([(int(t),) for t in tomb], "doc_id long")
+
+
+def _tomb_array(index: dict) -> np.ndarray:
+    """Sorted tombstone ids materialized in-process — ONLY for the
+    query-node-local paths (wand_topk_local / bmw_topk_local), where the
+    node deliberately holds hot index state in memory; the distributed
+    paths ship tombstones per-salt via cogroup instead (_filters_df)."""
+    if "_tomb_arr" not in index:
+        tomb = index.get("_tombstones")
+        if tomb is None:
+            df = index.get("_tombstones_df")
+            tomb = [r["doc_id"] for r in df.collect()] if df is not None else []
+        index["_tomb_arr"] = np.array(sorted(tomb), dtype=np.int64)
+    return index["_tomb_arr"]
+
+
 def _allowed_ids(index: dict, doc_filter: str | None) -> np.ndarray | None:
-    """Document-filter -> sorted allowed-id array (the sandbox stand-in for
-    a broadcast filter bitmap / roaring bitmap at 10^12 scale).  doc_filter
-    is a SQL predicate over doc_map columns (doc_id, url, lang, warc_ts,
-    doc_len), e.g. "lang = 'en'" or a warc_ts range."""
+    """Document-filter -> sorted allowed-id array.  LOCAL-PATH ONLY: this
+    materializes the admitted ids in-process for the query-node paths; the
+    distributed kernels receive filter ids per-salt via _filters_df (no
+    driver collect).  doc_filter is a SQL predicate over doc_map columns
+    (doc_id, url, lang, warc_ts, doc_len), e.g. "lang = 'en'"."""
     if doc_filter is None:
         return None
     ids = [
@@ -189,6 +226,79 @@ def _allowed_ids(index: dict, doc_filter: str | None) -> np.ndarray | None:
         for r in index["doc_map"].filter(doc_filter).select("doc_id").collect()
     ]
     return np.array(sorted(ids), dtype=np.int64)
+
+
+def _filters_df(index: dict, doc_filter: str | None) -> DataFrame | None:
+    """Document-level filters as per-salt rows (doc_id, kind, salt), shipped
+    to the scoring kernels by cogrouping on salt — never through the driver.
+
+    kind 't' = tombstoned (excluded); 'a' = admitted by doc_filter (ES
+    filter-context, poc/src/api/routes/search.py:87-103).  Every doc's
+    postings live in exactly salt = pmod(doc_id, P) (document-partitioned
+    layout), so shuffling the filter ids by that same salt co-locates them
+    with the posting blocks they govern.  At 10^12 scale this is a narrow
+    shuffle of the filtered id column (distributed), replacing the r1
+    driver-side collect of corpus-sized id sets."""
+    parts = []
+    tomb = _tomb_df(index)
+    if tomb is not None:
+        parts.append(tomb.select("doc_id", F.lit("t").alias("kind")))
+    if doc_filter is not None:
+        parts.append(
+            index["doc_map"]
+            .filter(doc_filter)
+            .select("doc_id", F.lit("a").alias("kind"))
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+    )
+
+
+def _split_filters(
+    filt: pd.DataFrame, has_allow: bool
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Cogrouped filter rows -> (tombstones, allowed) sorted id arrays.
+    `has_allow` distinguishes "no doc_filter requested" (allowed=None,
+    everything scored) from "filter admits nothing in this salt"
+    (allowed=empty, nothing scored)."""
+    tomb = np.sort(filt.loc[filt["kind"] == "t", "doc_id"].to_numpy(np.int64))
+    allowed = None
+    if has_allow:
+        allowed = np.sort(
+            filt.loc[filt["kind"] == "a", "doc_id"].to_numpy(np.int64)
+        )
+    return (tomb if tomb.size else None), allowed
+
+
+def _salt_scored(
+    post: DataFrame,
+    filt: DataFrame | None,
+    has_allow: bool,
+    kernel,
+    out_schema: str,
+) -> DataFrame:
+    """Run a per-salt scoring kernel, cogrouping in the per-salt filter ids
+    when any document-level filter exists.  kernel(post_pdf, tomb, allowed)
+    -> pdf matching out_schema."""
+    if filt is None:
+        return post.groupBy("salt").applyInPandas(
+            lambda pdf: kernel(pdf, None, None), out_schema
+        )
+
+    def cokernel(post_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb, allowed = _split_filters(filt_pdf, has_allow)
+        return kernel(post_pdf, tomb, allowed)
+
+    return (
+        post.groupBy("salt")
+        .cogroup(filt.groupBy("salt"))
+        .applyInPandas(cokernel, out_schema)
+    )
 
 
 def wand_topk(
@@ -204,7 +314,9 @@ def wand_topk(
     broadcast in closure form) and global stats; executors only ever see
     the query terms' posting blocks.  `doc_filter` applies a document-level
     predicate pre-scoring with ES filter-context semantics (global stats) —
-    rank-identical to bm25_topk(..., global_stats=True).
+    rank-identical to bm25_topk(..., global_stats=True).  Filter/tombstone
+    ids reach the kernels per-salt via cogroup (executor-side), never as a
+    driver-collected closure.
     """
     spark = index["doc_map"].sparkSession
     idfs, avgdl = _collect_idfs(index, terms)
@@ -214,17 +326,18 @@ def wand_topk(
         return empty  # a required term has no postings -> no match
 
     post = _postings_for_terms(index, list(idfs))
-    tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
-    allowed = _allowed_ids(index, doc_filter)
+    filt = _filters_df(index, doc_filter)
     require_all = n_terms if conjunctive else 0
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf, tomb, allowed):
         return _score_salt_group(
             pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed,
             require_all=require_all,
         )
 
-    local = post.groupBy("salt").applyInPandas(kernel, "doc_id long, score double")
+    local = _salt_scored(
+        post, filt, doc_filter is not None, kernel, "doc_id long, score double"
+    )
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     # url lookup: broadcast the k-row top-k side so doc_map is scanned
     # map-side (never shuffled per query — doc_map is corpus-sized).
@@ -312,10 +425,9 @@ def wand_topk_batch(
     post = _postings_for_terms(
         index, sorted({t for ts in live.values() for t in ts})
     )
+    filt = _filters_df(index, None)
 
-    tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
         outs = []
         by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
         for qid, ts in live.items():
@@ -338,8 +450,8 @@ def wand_topk_batch(
             )
         return pd.concat(outs, ignore_index=True)
 
-    local = post.groupBy("salt").applyInPandas(
-        kernel, "query_id int, doc_id long, score double"
+    local = _salt_scored(
+        post, filt, False, kernel, "query_id int, doc_id long, score double"
     )
     from pyspark.sql import Window
 
@@ -403,7 +515,7 @@ def wand_topk_local(
     if not parts:
         return []
     pdf = pd.concat(parts, ignore_index=True)
-    tomb = np.array(index.get("_tombstones", []), dtype=np.int64)
+    tomb = _tomb_array(index)
     allowed = _allowed_ids(index, doc_filter)
     res = _score_salt_group(
         pdf, idfs, avgdl, k, tombstones=tomb, allowed=allowed,

@@ -91,7 +91,17 @@ class IncrementalIndexer:
             )
         return self._write_segment(batch_corpus, batch_id)
 
-    def _write_segment(self, batch_corpus: DataFrame, batch_id: str) -> dict:
+    def _write_segment(
+        self,
+        batch_corpus: DataFrame,
+        batch_id: str,
+        tombstones: DataFrame | None = None,
+    ) -> dict:
+        """Write one segment's tables (+ optional tombstones) and THEN commit
+        the manifest — the manifest replace is the single atomic commit
+        point, so a crash at any earlier step leaves only an orphan segment
+        dir that replay overwrites; there is no window where a batch is
+        committed with its tombstones missing."""
         seg_id = len(self.manifest())
         seg_dir = self._seg_dir(seg_id)
         idx = build_index(batch_corpus, n_doc_parts=self.n_doc_parts)
@@ -134,6 +144,13 @@ class IncrementalIndexer:
             "max_ts": counters["max_ts"],
             "status": "committed",
         }
+        if tombstones is not None:
+            # written INSIDE the segment dir before the manifest commit —
+            # tombstones and postings become visible atomically together
+            tombstones.write.mode("overwrite").parquet(f"{seg_dir}/tombstones")
+            n_tomb = self.spark.read.parquet(f"{seg_dir}/tombstones").count()
+            if n_tomb:
+                entry["n_tombstones"] = n_tomb
         self._commit_manifest([*self.manifest(), entry])
         return entry
 
@@ -170,30 +187,39 @@ class IncrementalIndexer:
         edited = joined.filter(
             F.col("e_url").isNotNull() & (F.col("new_sha") != F.col("e_sha"))
         )
-        tombstones = [r["old_doc_id"] for r in edited.select("old_doc_id").collect()]
+        # tombstone ids stay a DataFrame end-to-end (no driver collect);
+        # _write_segment persists them inside the segment dir before the
+        # atomic manifest commit
+        tomb_df = edited.select(F.col("old_doc_id").alias("doc_id"))
         re_added = edited.withColumn(
             "doc_id", F.col("old_doc_id") + F.lit(self.GEN_STRIDE)
         ).drop("e_url", "old_doc_id", "e_sha", "new_sha")
-        entry = self._write_segment(fresh.unionByName(re_added), batch_id)
-        if tombstones:
-            seg_dir = self._seg_dir(entry["segment_id"])
-            self.spark.createDataFrame(
-                [(t,) for t in tombstones], "doc_id long"
-            ).write.mode("overwrite").parquet(f"{seg_dir}/tombstones")
-            entry["n_tombstones"] = len(tombstones)
-            # manifest rewrite with the enriched entry (atomic)
-            m = self.manifest()
-            m[-1] = entry
-            self._commit_manifest(m)
-        return entry
+        return self._write_segment(
+            fresh.unionByName(re_added), batch_id, tombstones=tomb_df
+        )
+
+    def _tombstone_dirs(self) -> list[str]:
+        return [
+            p
+            for e in self.manifest()
+            if e.get("n_tombstones")
+            for p in [os.path.join(self._seg_dir(e["segment_id"]), "tombstones")]
+            if os.path.exists(p)
+        ]
+
+    def tombstones_df(self) -> DataFrame | None:
+        """All tombstoned internal doc ids as a DataFrame (executor-side);
+        None when no committed segment carries tombstones (manifest
+        metadata check — no Spark job)."""
+        dirs = self._tombstone_dirs()
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs).select("doc_id")
 
     def tombstones(self) -> list[int]:
-        out = []
-        for e in self.manifest():
-            p = os.path.join(self._seg_dir(e["segment_id"]), "tombstones")
-            if os.path.exists(p):
-                out += [r["doc_id"] for r in self.spark.read.parquet(p).collect()]
-        return out
+        """Driver-side list form (tests / small-scale inspection)."""
+        df = self.tombstones_df()
+        return [] if df is None else [r["doc_id"] for r in df.collect()]
 
     def ingest_by_day(
         self,
@@ -242,13 +268,16 @@ class IncrementalIndexer:
         posting runs act as partial postings).
 
         Tombstoned (edited-away) internal doc ids are excluded from doc_map
-        (exact N/avgdl) and shipped as a delete-set the query kernels filter
-        against; their postings are physically dropped at merge_segments.
+        (exact N/avgdl) via an anti-join (executor-side — AQE broadcasts the
+        small delete-set or shuffles at scale, never through the driver);
+        the query kernels receive the delete-set per-salt via cogroup
+        (query.wand._filters_df); postings are physically dropped at
+        merge_segments.
         """
-        tomb = self.tombstones()
+        tomb_df = self.tombstones_df()
         dm = self.doc_map_union()
-        if tomb:
-            dm = dm.filter(~F.col("doc_id").isin(tomb))
+        if tomb_df is not None:
+            dm = dm.join(tomb_df, "doc_id", "left_anti")
         postings = self._read_all("postings")
         td = (
             self._read_all("term_dict")
@@ -266,24 +295,49 @@ class IncrementalIndexer:
             "postings": postings,
             "stats": stats,
             "_n_doc_parts": self.n_doc_parts,
-            "_tombstones": sorted(tomb),
+            "_tombstones_df": tomb_df,
         }
 
     def lineage(self) -> DataFrame | None:
         return self._read_all("lineage")
 
 
+def _empty_postings_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "term": pd.Series([], dtype="object"),
+            "salt": pd.Series([], dtype="int32"),
+            "block_id": pd.Series([], dtype="int32"),
+            "n_docs": pd.Series([], dtype="int32"),
+            "first_doc_id": pd.Series([], dtype="int64"),
+            "last_doc_id": pd.Series([], dtype="int64"),
+            "doc_gaps": pd.Series([], dtype="object"),
+            "tf_bytes": pd.Series([], dtype="object"),
+            "dl_bytes": pd.Series([], dtype="object"),
+            "pos_bytes": pd.Series([], dtype="object"),
+            "block_max_tf": pd.Series([], dtype="int32"),
+        }
+    )
+
+
 def _merge_group(pdf: pd.DataFrame, tombstones: np.ndarray | None = None) -> pd.DataFrame:
     """Sorted-merge kernel: all posting blocks of one (term, salt) across
     segments -> decode runs -> drop tombstoned ids -> merge (runs are
     sorted + doc-disjoint) -> re-encode fresh blocks (norms travel with
-    the postings)."""
-    from ..index.codec import varbyte_decode
+    the postings).
 
-    from ..index.codec import decode_positions
+    Positions: encode_positions/decode_positions recover posting boundaries
+    from tf, so a tf>0 posting with zero stored positions would silently
+    shift every later posting's positions.  Mixed inputs (some blocks
+    positional, some not) therefore DROP positions for the whole merged
+    group with a warning — phrase queries then fail fast on the merged
+    index instead of returning corrupted matches."""
+    import warnings
+
+    from ..index.codec import decode_positions, varbyte_decode
 
     ids_runs, tf_runs, dl_runs, pos_runs = [], [], [], []
-    has_pos = False
+    n_with_pos = n_blocks = 0
     for gaps, tfb, dlb, posb in zip(
         pdf["doc_gaps"], pdf["tf_bytes"], pdf["dl_bytes"], pdf["pos_bytes"]
     ):
@@ -291,34 +345,30 @@ def _merge_group(pdf: pd.DataFrame, tombstones: np.ndarray | None = None) -> pd.
         ids_runs.append(i)
         tf_runs.append(t)
         dl_runs.append(varbyte_decode(bytes(dlb)))
+        n_blocks += 1
         pb = bytes(posb) if posb is not None else b""
         if pb:
-            has_pos = True
+            n_with_pos += 1
             pos_runs.extend(decode_positions(pb, t))
         else:
             pos_runs.extend([np.array([], dtype=np.uint64)] * i.size)
+    has_pos = n_with_pos == n_blocks and n_blocks > 0
+    if 0 < n_with_pos < n_blocks:
+        warnings.warn(
+            f"merge of term={pdf['term'].iloc[0]!r}: mixed positional/"
+            "non-positional blocks — dropping positions for the merged group",
+            stacklevel=2,
+        )
     ids = np.concatenate(ids_runs)
     tfs = np.concatenate(tf_runs)
     dls = np.concatenate(dl_runs)
     if tombstones is not None and tombstones.size:
         keep = ~np.isin(ids.astype(np.int64), tombstones)
-        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if not keep.all():
+            pos_runs = [p for p, k in zip(pos_runs, keep) if k]
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
         if ids.size == 0:
-            return pd.DataFrame(
-                {
-                    "term": pd.Series([], dtype="object"),
-                    "salt": pd.Series([], dtype="int32"),
-                    "block_id": pd.Series([], dtype="int32"),
-                    "n_docs": pd.Series([], dtype="int32"),
-                    "first_doc_id": pd.Series([], dtype="int64"),
-                    "last_doc_id": pd.Series([], dtype="int64"),
-                    "doc_gaps": pd.Series([], dtype="object"),
-                    "tf_bytes": pd.Series([], dtype="object"),
-                    "dl_bytes": pd.Series([], dtype="object"),
-                    "pos_bytes": pd.Series([], dtype="object"),
-                    "block_max_tf": pd.Series([], dtype="int32"),
-                }
-            )
+            return _empty_postings_pdf()
     order = np.argsort(ids, kind="mergesort")  # merge of sorted runs
     pos_lists = [pos_runs[i] for i in order] if has_pos else None
     ids, tfs, dls = ids[order], tfs[order], dls[order]
@@ -353,19 +403,46 @@ def merge_segments(indexer: IncrementalIndexer) -> dict:
     stale-until-merge window of upserts).
 
     Returns the merged in-memory index dict; equals a single-shot
-    build_index over the (current) full corpus (tested)."""
+    build_index over the (current) full corpus (tested).
+
+    Tombstones are delivered to the merge kernels per-salt via cogroup
+    (a tombstoned doc's postings live only in salt = pmod(doc_id, P)), so
+    the delete-set never passes through the driver.  Without tombstones the
+    merge groups on (term, salt) — full parallelism; with tombstones it
+    cogroups on salt and iterates terms inside the kernel (parallelism = P,
+    which production sizes to O(cluster cores))."""
     combined = indexer.as_index()
-    tomb = np.array(combined.get("_tombstones", []), dtype=np.int64)
+    tomb_df = combined.get("_tombstones_df")
+    has_tomb = tomb_df is not None
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _merge_group(pdf, tombstones=tomb)
+    if not has_tomb:
+        merged_postings = (
+            combined["postings"]
+            .groupBy("term", "salt")
+            .applyInPandas(lambda pdf: _merge_group(pdf), POSTINGS_SCHEMA)
+        )
+    else:
+        salted_tomb = tomb_df.withColumn(
+            "salt",
+            F.pmod(F.col("doc_id"), F.lit(indexer.n_doc_parts)).cast("int"),
+        )
 
-    merged_postings = (
-        combined["postings"]
-        .groupBy("term", "salt")
-        .applyInPandas(kernel, POSTINGS_SCHEMA)
-    )
-    if tomb.size:
+        def cokernel(post_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+            tomb = np.sort(tomb_pdf["doc_id"].to_numpy(np.int64))
+            outs = [
+                _merge_group(g, tombstones=tomb)
+                for _, g in post_pdf.groupby("term", sort=False)
+            ]
+            outs = [o for o in outs if len(o)]
+            return pd.concat(outs, ignore_index=True) if outs else _empty_postings_pdf()
+
+        merged_postings = (
+            combined["postings"]
+            .groupBy("salt")
+            .cogroup(salted_tomb.groupBy("salt"))
+            .applyInPandas(cokernel, POSTINGS_SCHEMA)
+        )
+    if has_tomb:
         # exact df/cf from the physically-compacted postings
         def stats_kernel(batches):
             from ..index.codec import varbyte_decode as vd
@@ -384,7 +461,7 @@ def merge_segments(indexer: IncrementalIndexer) -> dict:
             .agg(F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
         )
         combined = {**combined, "term_dict": td}
-    return {**combined, "postings": merged_postings, "_tombstones": []}
+    return {**combined, "postings": merged_postings, "_tombstones_df": None}
 
 
 def stream_ingest_availablenow(

@@ -175,18 +175,20 @@ def streaming_first_seen(
     def fn(key, pdfs, state):
         if state.exists:
             return iter(())  # url already emitted once
-        first = None
+        # the key's rows may span multiple Arrow chunks within one trigger:
+        # scan ALL chunks and keep the global minimum doc_id so the chosen
+        # representative is deterministic across runs/partitionings
+        best_url, best_id = None, None
         for pdf in pdfs:
             if len(pdf):
-                row = pdf.sort_values("doc_id").iloc[0]
-                first = pd.DataFrame(
-                    {"url": [row["url"]], "doc_id": [row["doc_id"]]}
-                )
-                break
+                i = pdf["doc_id"].idxmin()
+                did = int(pdf["doc_id"].loc[i])
+                if best_id is None or did < best_id:
+                    best_url, best_id = pdf["url"].loc[i], did
         state.update((1,))
-        if first is None:
+        if best_id is None:
             return iter(())
-        return iter([first])
+        return iter([pd.DataFrame({"url": [best_url], "doc_id": [best_id]})])
 
     stream = (
         spark.readStream.schema(schema)

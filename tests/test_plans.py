@@ -83,6 +83,31 @@ def test_wand_url_join_is_broadcast(disk_index):
     assert "SortMergeJoin" not in plan
 
 
+def test_search_page_is_take_ordered_not_global_window(spark, sf_dir):
+    """Offset pagination must bound the data with TakeOrderedAndProject
+    before any ranking — never funnel the whole filtered set through an
+    unpartitioned window."""
+    from telegram2elastic_spark.query.search import search_page
+
+    df = search_page(load_corpus(spark, sf_dir), q="merge", offset=5, limit=10)
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    # the only Window operates on the bounded (<= offset+limit) set, keyed
+    # by a constant partition — the plan must show a partition spec
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert all("partitionBy" not in l or "0" in l for l in win_lines)
+
+
+def test_search_page_validates_reference_contract(spark, sf_dir):
+    from telegram2elastic_spark.query.search import search_page
+
+    corpus = load_corpus(spark, sf_dir)
+    with pytest.raises(ValueError, match="limit"):
+        search_page(corpus, limit=1001)
+    with pytest.raises(ValueError, match="offset"):
+        search_page(corpus, offset=-1)
+
+
 def test_term_dict_lookup_prunes_partitions(disk_index):
     """idf lookups must also prune to the query terms' buckets."""
     from telegram2elastic_spark.query.wand import _bucketed
