@@ -11,14 +11,17 @@ chars of md5(s) as int64`), identical in Spark (`conv(substr(md5(x),1,15),
 16,10)`) and DuckDB (`('0x' || substr(md5(x),1,15))::bigint`) — no
 engine-specific hash functions, no RNG.
 
-Scale shapes:
-  * exact:    one hash-agg shuffle on the digest — trivially parallel.
-  * shingles: explode is map-side; the pair-join shuffles on shingle.  At
-    100 TB you band first (MinHash LSH) so the pair-join only sees bucket
-    collisions, never the full cross product — that is `minhash_lsh_pairs`.
-  * simhash:  constant work per doc (map-side), pairs via band equi-join on
-    16-bit chunks (pigeonhole: hamming<=3 over 32 bits => some 8-bit chunk
-    equal; we join on 4 chunks) — here, with tiny N, a range self-join.
+Scale shapes (all registered defaults are the bucketed 100 TB forms; each
+keeps an *_exact exhaustive twin for recall tests):
+  * exact:     one hash-agg shuffle on the digest — trivially parallel.
+  * jaccard:   candidates from MinHash-LSH banding (band-hash equi-join,
+    collisions only), exact Jaccard verified per candidate via JVM
+    array_intersect — no raw-shingle self-join, no hot-shingle m^2 group.
+  * simhash:   pigeonhole chunk equi-join (hamming<=h => one of h+1 bit
+    chunks identical) — LOSSLESS candidate generation, then exact hamming
+    verify; the driver oracle stays the exhaustive SQL as proof.
+  * embedding: candidates from same-LSH-bucket join (similarity.
+    lsh_buckets), exact cosine verify inside buckets.
 """
 
 from __future__ import annotations
@@ -133,12 +136,43 @@ SELECT count(DISTINCT sha256(text)) AS n_unique FROM corpus
 
 def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Pairwise Jaccard over distinct 3-token shingles; pairs (a<b) with
-    similarity >= threshold.
+    similarity >= threshold.  BANDED (the 100 TB shape):
 
-    Plan: explode distinct shingles -> self equi-join on shingle (the only
-    shuffle; at scale you LSH-band first) -> per-pair intersection counts ->
-    broadcast-join per-doc shingle counts -> jaccard.
-    """
+      candidates = minhash_lsh_pairs (self-join keyed on band hash —
+      collisions only, no raw-shingle join, so a hot shingle shared by m
+      docs never creates an m^2 group), then exact Jaccard verified per
+      candidate pair with a JVM-side array_intersect — O(|candidates| x
+      shingle-set size), no second shuffle over the shingle space.
+
+    Recall is the LSH banding recall (1-(1-s^r)^b); the exhaustive
+    all-shingle form is kept as ngram_jaccard_pairs_exact and the two are
+    asserted equal on the test corpora."""
+    cand = minhash_lsh_pairs(corpus)
+    sh = corpus.select("doc_id", shingles_col(3).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 5
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    corpus: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exhaustive all-pairs form (shingle self equi-join) — recall oracle
+    for the banded default; NOT registered for the 100 TB path (a shingle
+    shared by m docs yields an m^2 join group)."""
     ds = (
         corpus.select("doc_id", F.explode(shingles_col(3)).alias("shingle"))
     )
@@ -170,6 +204,28 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    """Oracle mirrors the banded plan: LSH candidates -> exact Jaccard via
+    list_intersect on the candidate pairs only."""
+    return f"""
+WITH cand AS ({minhash_lsh_pairs_sql().strip()}),
+{CORPUS_CTE.strip()},
+{TOKS_CTE_SQL.strip()}
+SELECT doc_a, doc_b,
+       round(len(list_intersect(a.shingles, b.shingles))
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 5) AS jaccard
+FROM cand
+JOIN shing a ON a.doc_id = cand.doc_a
+JOIN shing b ON b.doc_id = cand.doc_b
+WHERE round(len(list_intersect(a.shingles, b.shingles))
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))), 5)
+      >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_exact_sql(threshold: float = 0.5) -> str:
     return f"""
 WITH {CORPUS_CTE.strip()},
 {TOKS_CTE_SQL.strip()},
@@ -352,10 +408,64 @@ FROM weighted GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _simhash_chunk_defs(max_hamming: int) -> list[tuple[int, int]]:
+    """(lo_bit, width) for max_hamming+1 contiguous chunks covering the
+    SIMHASH_BITS space: if hamming(a,b) <= h, at most h chunks contain a
+    differing bit, so at least one of h+1 chunks is bit-identical
+    (pigeonhole) — the chunk equi-join is a LOSSLESS candidate generator."""
+    n_chunks = max_hamming + 1
+    bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
+    return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_chunks)]
+
+
 def simhash_near_pairs(corpus: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs: hamming(simhash_a, simhash_b) <= max_hamming.
-    Small-N form is a self-join; the 100 TB form joins on 8-bit chunks
-    first (pigeonhole) — same semantics, tested equal at this scale."""
+
+    100 TB shape (pigeonhole chunk equi-join, EXACT — not approximate):
+    explode each simhash into max_hamming+1 bit chunks, equi-join on
+    (chunk_id, chunk_val) — candidates are hash collisions only, never the
+    O(N^2) cross product — then verify exact hamming on the candidates.
+    The oracle stays the exhaustive all-pairs SQL, so the driver gate
+    itself proves pigeonhole completeness cross-engine."""
+    s = simhash(corpus)
+    chunk_arr = F.array(
+        *[
+            F.expr(f"shiftright(simhash, {lo}) & {(1 << w) - 1}")
+            for lo, w in _simhash_chunk_defs(max_hamming)
+        ]
+    )
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(chunk_arr).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"),
+        "chunk_id", "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"),
+        "chunk_id", "chunk_val",
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()  # a pair may collide on several chunks
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("ha ^ hb")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_pairs_exact(
+    corpus: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Exhaustive all-pairs form (O(N^2) nested-loop join) — kept as the
+    recall/correctness oracle for the pigeonhole default."""
     s = simhash(corpus)
     a = s.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
@@ -384,38 +494,70 @@ ORDER BY doc_a, doc_b
 
 # --- 5. embedding-cosine near-dup ----------------------------------------------
 
+def _cos_dot(x: F.Column, y: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _cosine_col() -> F.Column:
+    return F.round(
+        _cos_dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_cos_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_cos_dot(F.col("vb"), F.col("vb")))
+        ),
+        5,
+    )
+
+
 def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Near-dup pairs by cosine similarity over the embedding column.
 
-    Computation stays JVM-side: zip_with + aggregate over array<double>.
-    Small-N form is the full pair join; at scale candidates come from
-    similarity.ann_lsh_buckets first (same final predicate)."""
+    100 TB shape: candidates are drawn from similarity.lsh_buckets (each
+    vector hashes to exactly one random-hyperplane bucket), so the pair
+    join is keyed on bucket — O(sum of bucket^2) ~ N^2/2^planes, never the
+    full cross product — then the exact cosine predicate verifies inside
+    each bucket (JVM-side zip_with/aggregate).  Recall is the hyperplane-
+    LSH recall; the exhaustive form is kept as embedding_near_pairs_exact
+    and compared in tests."""
+    from .similarity import lsh_buckets
+
+    b = lsh_buckets(embeddings)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(b, "vec_id")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    bb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(bb, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", _cosine_col())
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_pairs_exact(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Exhaustive all-pairs cosine (O(N^2) nested-loop) — recall oracle
+    for the bucketed default."""
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (
-                    F.sqrt(dot(F.col("va"), F.col("va")))
-                    * F.sqrt(dot(F.col("vb"), F.col("vb")))
-                ),
-                5,
-            ),
-        )
+        .withColumn("cosine", _cosine_col())
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
@@ -423,6 +565,29 @@ def embedding_near_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataF
 
 
 def embedding_near_pairs_sql(threshold: float = 0.9) -> str:
+    """Oracle mirrors the bucketed plan: same-LSH-bucket candidates ->
+    exact cosine verify."""
+    from .similarity import lsh_buckets_sql
+
+    return f"""
+WITH buckets AS ({lsh_buckets_sql().strip()}),
+e AS (
+  SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS v, b.bucket
+  FROM embeddings e0 JOIN buckets b ON e0.vec_id = b.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 5) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
+def embedding_near_pairs_exact_sql(threshold: float = 0.9) -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

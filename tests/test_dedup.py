@@ -65,11 +65,13 @@ def test_embedding_near_pairs(spark, duck, sf_dir):
 def test_lsh_recall_vs_true_jaccard(spark, sf_dir):
     """LSH candidates must contain every truly-similar pair (recall check
     at jaccard >= 0.9 — with 4 bands x 2 rows, P(miss) = (1-j^2)^4 < 4%
-    at j=0.9; the tiny corpus has few such pairs so this is stable)."""
+    at j=0.9; the tiny corpus has few such pairs so this is stable).
+    Uses the EXHAUSTIVE jaccard form as ground truth (the banded default
+    draws candidates from LSH, so comparing it would be circular)."""
     corpus = load_corpus(spark, sf_dir)
     true_pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.95).collect()
+        for r in dedup.ngram_jaccard_pairs_exact(corpus, threshold=0.95).collect()
     }
     cand = {
         (r["doc_a"], r["doc_b"])
@@ -79,3 +81,64 @@ def test_lsh_recall_vs_true_jaccard(spark, sf_dir):
     assert len(missed) <= max(1, len(true_pairs) // 10), (
         f"LSH missed too many near-identical pairs: {missed}"
     )
+
+
+def _pairs(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_banded_jaccard_matches_exact(spark, duck, sf_dir):
+    """Banded default vs exhaustive twin: banded is a subset by
+    construction; at this corpus the near-dup pairs are high-similarity so
+    the two must be IDENTICAL (banding recall ~1 at j>=0.5 dups here)."""
+    corpus = load_corpus(spark, sf_dir)
+    banded = _pairs(dedup.ngram_jaccard_pairs(corpus, threshold=0.5))
+    exact = _pairs(dedup.ngram_jaccard_pairs_exact(corpus, threshold=0.5))
+    assert banded <= exact
+    assert banded == exact, f"banding missed: {exact - banded}"
+
+
+def test_simhash_pigeonhole_is_lossless(spark, sf_dir):
+    """The chunk equi-join is mathematically complete: identical output to
+    the exhaustive all-pairs form, for several hamming budgets."""
+    corpus = load_corpus(spark, sf_dir)
+    for h in (1, 3):
+        assert _pairs(dedup.simhash_near_pairs(corpus, max_hamming=h)) == _pairs(
+            dedup.simhash_near_pairs_exact(corpus, max_hamming=h)
+        )
+
+
+def test_embedding_bucketed_subset_of_exact(spark, sf_dir):
+    """Bucketed pairs are exactly the exact pairs that share an LSH bucket
+    (subset; equality when all near-dups collide — trivially true when the
+    exact set is small/empty on the fixtures)."""
+    emb = load_embeddings(spark, sf_dir)
+    bucketed = _pairs(dedup.embedding_near_pairs(emb, threshold=0.9))
+    exact = _pairs(dedup.embedding_near_pairs_exact(emb, threshold=0.9))
+    assert bucketed <= exact
+    # looser threshold => non-empty sets; verify the subset relation bites
+    bucketed_lo = _pairs(dedup.embedding_near_pairs(emb, threshold=0.2))
+    exact_lo = _pairs(dedup.embedding_near_pairs_exact(emb, threshold=0.2))
+    assert len(bucketed_lo) > 0
+    assert bucketed_lo <= exact_lo
+
+
+def test_registered_pair_joins_have_no_cartesian(spark, sf_dir):
+    """The three registered near-dup defaults must plan as equi-joins —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    corpus = load_corpus(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    for df in [
+        dedup.ngram_jaccard_pairs(corpus, threshold=0.5),
+        dedup.simhash_near_pairs(corpus, max_hamming=3),
+        dedup.embedding_near_pairs(emb, threshold=0.9),
+    ]:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
