@@ -211,6 +211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_fenced_json": lambda spark, sf: enrichment.parse_fenced_json(
             load_corpus(spark, sf)
         ),
+        # F9 with a REAL ArrayType topics column + arrays_overlap
+        "search_topics_anyof": lambda spark, sf: enrichment.docs_with_topics(
+            load_corpus(spark, sf), ["combat", "equipment"]
+        ),
+        # U-5 translation contract: iterator pandas UDF, null-on-error
+        "enrich_translate": lambda spark, sf: enrichment.translate_stub(
+            load_corpus(spark, sf)
+        ),
         # --- streaming duals (A5 windowed counts; sessionization) ---
         "events_windowed_counts": lambda spark, sf: win.windowed_counts_batch(
             load_events(spark, sf)
@@ -319,6 +327,10 @@ FROM corpus ORDER BY doc_id
         "enrich_docs_mentioning": enrichment.docs_mentioning_sql("spark"),
         "enrich_classify": enrichment.classify_stub_sql(),
         "enrich_fenced_json": enrichment.PARSE_FENCED_SQL,
+        "search_topics_anyof": enrichment.docs_with_topics_sql(
+            ["combat", "equipment"]
+        ),
+        "enrich_translate": enrichment.translate_stub_sql(),
         "scan_recent": f"""
 WITH {CORPUS_CTE.strip()}
 SELECT doc_id, url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ts

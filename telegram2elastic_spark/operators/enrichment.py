@@ -172,6 +172,107 @@ FROM corpus ORDER BY doc_id
 """
 
 
+def _topics_array() -> F.Column:
+    """The classify_stub topic picks as a REAL ArrayType column (the
+    reference stores topics as ARRAY(String), poc/src/core/models.py:
+    126-128), with the ['general'] fallback."""
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    picks = [
+        F.when(F.shiftright(h, 4 * (i + 1)) % 3 == 0, F.lit(t))
+        for i, t in enumerate(TOPIC_WHITELIST[:4])
+    ]
+    arr = F.filter(F.array(*picks), lambda x: x.isNotNull())
+    return F.when(F.size(arr) == 0, F.array(F.lit("general"))).otherwise(arr)
+
+
+def docs_with_topics(corpus: DataFrame, topics: list[str]) -> DataFrame:
+    """F9: topics any-of over a real array column — the reference's
+    `Message.topics.any(topic)` OR-loop (poc/src/api/routes/search.py:
+    92-100) is exactly `arrays_overlap(topics, query_topics)`: one
+    pushdown-friendly predicate, no explode, no join."""
+    q = F.array(*[F.lit(t) for t in topics])
+    return (
+        corpus.withColumn("topics", _topics_array())
+        .filter(F.arrays_overlap(F.col("topics"), q))
+        .select(
+            "doc_id",
+            "url",
+            F.array_join("topics", ",").alias("topics"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def docs_with_topics_sql(topics: list[str]) -> str:
+    h = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+    picks = ", ".join(
+        f"CASE WHEN (({h}) >> {4 * (i + 1)}) % 3 = 0 THEN '{t}' END"
+        for i, t in enumerate(TOPIC_WHITELIST[:4])
+    )
+    arr = f"list_filter([{picks}], x -> x IS NOT NULL)"
+    full = f"CASE WHEN len({arr}) = 0 THEN ['general'] ELSE {arr} END"
+    qlist = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in topics) + "]"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+topical AS (SELECT doc_id, url, {full} AS topics FROM corpus)
+SELECT doc_id, url, array_to_string(topics, ',') AS topics
+FROM topical
+WHERE len(list_intersect(topics, {qlist})) > 0
+ORDER BY doc_id
+"""
+
+
+def translate_stub(corpus: DataFrame) -> DataFrame:
+    """U-5 (telegram2elastic.py:432-440): the reference issues one
+    TranslateTextRequest per message and stores None on failure.  Spark
+    shape: an Arrow-batched iterator pandas UDF (client/session setup once
+    per executor — here the deterministic stand-in 'model'), per-row
+    try/except -> NULL on error.  Rows with doc_id % 13 == 0 raise a
+    simulated API failure so the null-on-error contract is exercised and
+    oracle-checkable."""
+    import hashlib
+
+    from pyspark.sql.types import StringType as _Str
+
+    @F.pandas_udf(_Str())
+    def tr(
+        batches: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        def one(doc_id, lang, text):
+            try:
+                if doc_id % 13 == 0:
+                    raise RuntimeError("simulated translate API failure")
+                digest = hashlib.md5(text.encode("utf-8")).hexdigest()[:12]
+                return f"{lang}>en:{digest}"
+            except Exception:
+                return None  # reference stores None and continues (:438)
+
+        for doc_id, lang, text in batches:
+            yield pd.Series(
+                [one(d, l, t) for d, l, t in zip(doc_id, lang, text)],
+                dtype="object",
+            )
+
+    return corpus.select(
+        "doc_id",
+        "lang",
+        tr(F.col("doc_id"), F.col("lang"), F.col("text")).alias(
+            "translated_text"
+        ),
+    ).orderBy("doc_id")
+
+
+def translate_stub_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE lang || '>en:' || substr(md5(text), 1, 12) END
+           AS translated_text
+FROM corpus ORDER BY doc_id
+"""
+
+
 def parse_fenced_json(corpus: DataFrame) -> DataFrame:
     """C18: markdown-fence-stripping JSON parse with safe defaults.
 
