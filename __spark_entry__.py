@@ -72,6 +72,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": _q_wand(Q_MAIN),
         "wand_multiterm": _q_wand(Q_MULTI),
         "wand_heavy_hitters": _q_wand(Q_HEAVY),
+        # classical pivot DAAT block-max WAND INSIDE the salt kernel
+        # (query/bmw.py cursors on executors) — same rank-identity oracle.
+        "bmw_topk": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, k=10, algo="bmw",
+        ),
+        "bmw_heavy_hitters": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_HEAVY, k=10, algo="bmw",
+        ),
         "phrase_topk": lambda spark, sf: phrase.phrase_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
             ["the", "fast"], k=10,
@@ -272,6 +282,8 @@ FROM corpus ORDER BY doc_id
         "wand_topk": bm25.bm25_topk_sql(Q_MAIN),
         "wand_multiterm": bm25.bm25_topk_sql(Q_MULTI),
         "wand_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),
+        "bmw_topk": bm25.bm25_topk_sql(Q_MAIN),
+        "bmw_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),
         "phrase_topk": phrase.phrase_topk_sql(["the", "fast"], k=10),
         "phrase_topk_3gram": phrase.phrase_topk_sql(
             ["table", "scan", "merge"], k=10

@@ -43,14 +43,16 @@ class _Cursor:
 
     __slots__ = (
         "idf", "firsts", "lasts", "bubs", "gaps", "tfb", "dlb",
-        "bi", "ids", "tfs", "dls", "pos", "doc",
+        "bi", "ids", "tfs", "dls", "pos", "doc", "_stats",
     )
 
-    def __init__(self, g: pd.DataFrame, idf: float):
-        g = g.sort_values(["salt", "block_id"]) if "salt" in g else g.sort_values("block_id")
-        # NOTE: cursors need globally sorted doc ranges; callers pass blocks
-        # of ONE salt (or a single-salt logical index) so block_id order is
-        # doc order.
+    def __init__(self, g: pd.DataFrame, idf: float, stats: dict | None = None):
+        # cursors need a doc-sorted block stream: first_doc_id order IS doc
+        # order whenever block ranges don't overlap (callers validate; see
+        # _ranges_monotone) — this also covers multi-salt local runs where
+        # block_id restarts per salt.
+        g = g.sort_values("first_doc_id")
+        self._stats = stats
         self.idf = idf
         self.firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
         self.lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
@@ -67,16 +69,29 @@ class _Cursor:
         self._load_block(0)
 
     def _load_block(self, bi: int) -> None:
+        """Move the block pointer on METADATA ONLY (Ding-Suel deep
+        pointer): doc becomes the block's first_doc_id; the block body is
+        decoded lazily on first in-block access (_ensure) — dead-zone jumps
+        over pruned blocks therefore never decode them."""
         if bi >= len(self.gaps):
             self.doc = _INF
             return
         self.bi = bi
-        ids, tfs = decode_block(bytes(self.gaps[bi]), bytes(self.tfb[bi]))
+        self.ids = None  # lazy
+        self.pos = 0
+        self.doc = int(self.firsts[bi])
+
+    def _ensure(self) -> None:
+        if self.ids is not None:
+            return
+        if self._stats is not None:
+            self._stats["blocks_decoded"] = self._stats.get("blocks_decoded", 0) + 1
+        ids, tfs = decode_block(bytes(self.gaps[self.bi]), bytes(self.tfb[self.bi]))
         self.ids = ids.astype(np.int64)
         self.tfs = tfs.astype(np.float64)
-        self.dls = varbyte_decode(bytes(self.dlb[bi])).astype(np.float64)
-        self.pos = 0
-        self.doc = int(self.ids[0])
+        self.dls = varbyte_decode(bytes(self.dlb[self.bi])).astype(np.float64)
+        # pos/doc were set from metadata (pos=0, doc=first_doc_id) or by an
+        # in-block seek that already decoded; both stay consistent.
 
     def block_ub(self) -> float:
         return float(self.bubs[self.bi]) if self.doc != _INF else 0.0
@@ -87,6 +102,7 @@ class _Cursor:
     def next(self) -> None:
         if self.doc == _INF:
             return
+        self._ensure()
         self.pos += 1
         if self.pos < self.ids.size:
             self.doc = int(self.ids[self.pos])
@@ -103,6 +119,9 @@ class _Cursor:
             return
         if bi != self.bi:
             self._load_block(bi)
+            if self.doc >= target:
+                return  # landed on block metadata; no decode needed
+        self._ensure()
         self.pos = int(np.searchsorted(self.ids, target, side="left"))
         if self.pos < self.ids.size:
             self.doc = int(self.ids[self.pos])
@@ -110,6 +129,7 @@ class _Cursor:
             self._load_block(self.bi + 1)
 
     def weight(self, avgdl: float) -> float:
+        self._ensure()
         tf = self.tfs[self.pos]
         dl = self.dls[self.pos]
         return (
@@ -124,14 +144,24 @@ def bmw_topk_blocks(
     avgdl: float,
     k: int,
     tombstones: frozenset | None = None,
+    allowed: frozenset | None = None,
+    stats: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Classical BMW over one doc-sorted set of posting blocks.
+
+    `allowed`: optional admitted-doc set (ES filter-context) — a pivot not
+    in it is skipped exactly like a tombstoned doc (never scored, never
+    occupies a heap slot).  `stats`: optional dict accumulating
+    blocks_decoded / blocks_total (pruning-effectiveness telemetry).
 
     Returns [(doc_id, rounded_score)] sorted by (score desc, doc_id asc).
     """
     cursors = [
-        _Cursor(g, idfs[t]) for t, g in post.groupby("term", sort=False)
+        _Cursor(g, idfs[t], stats=stats)
+        for t, g in post.groupby("term", sort=False)
     ]
+    if stats is not None:
+        stats["blocks_total"] = stats.get("blocks_total", 0) + len(post)
     term_ubs = [float(c.bubs.max()) for c in cursors]
     # Min-heap keyed by the FINAL order (rounded score, -doc_id): admission
     # and eviction then agree exactly with the (rounded score desc, doc_id
@@ -167,7 +197,9 @@ def bmw_topk_blocks(
                 c.block_ub() for c in live if c.doc <= pivot_doc
             )
             if block_bound > theta():
-                if tombstones and pivot_doc in tombstones:
+                if (tombstones and pivot_doc in tombstones) or (
+                    allowed is not None and pivot_doc not in allowed
+                ):
                     for c in live:
                         if c.doc == pivot_doc:
                             c.next()
@@ -208,6 +240,63 @@ def bmw_topk_blocks(
     out = [(-nd, s) for s, nd in heap]  # scores already rounded
     out.sort(key=lambda x: (-x[1], x[0]))
     return out
+
+
+def _ranges_monotone(post: pd.DataFrame) -> bool:
+    """True iff every term's blocks have non-overlapping doc ranges when
+    sorted by first_doc_id — the cursor-stream invariant.  Holds for any
+    single build; multi-segment groups may interleave ranges."""
+    for _, g in post.groupby("term", sort=False):
+        gs = g.sort_values("first_doc_id")
+        firsts = gs["first_doc_id"].to_numpy()
+        lasts = gs["last_doc_id"].to_numpy()
+        if firsts.size > 1 and (firsts[1:] <= lasts[:-1]).any():
+            return False
+    return True
+
+
+def bmw_salt_kernel(
+    post: pd.DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    tombstones=None,
+    allowed=None,
+) -> pd.DataFrame:
+    """Executor-side pivot DAAT BMW over one salt group -> local top-k pdf
+    (same contract as wand._score_salt_group, so wand_topk can swap kernels).
+
+    When a multi-segment group interleaves block ranges (cursor invariant
+    broken), falls back to the vectorized TAAT kernel for that group —
+    identical results either way (both rank-exact)."""
+    from .wand import _EMPTY, _score_salt_group
+
+    if post.empty:
+        return _EMPTY.copy()
+    if not _ranges_monotone(post):
+        return _score_salt_group(
+            post, idfs, avgdl, k, tombstones=tombstones, allowed=allowed
+        )
+    tomb_set = (
+        frozenset(np.asarray(tombstones).tolist())
+        if tombstones is not None and len(tombstones)
+        else None
+    )
+    allow_set = (
+        frozenset(np.asarray(allowed).tolist()) if allowed is not None else None
+    )
+    res = bmw_topk_blocks(
+        post, idfs, avgdl, k, tombstones=tomb_set, allowed=allow_set
+    )
+    if not res:
+        return _EMPTY.copy()
+    ids, scores = zip(*res)
+    return pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "score": np.array(scores, dtype=np.float64),
+        }
+    )
 
 
 def bmw_topk_local(index: dict, terms: list[str], k: int = 10) -> list[tuple]:

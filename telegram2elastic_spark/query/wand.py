@@ -307,6 +307,7 @@ def wand_topk(
     k: int = 10,
     doc_filter: str | None = None,
     conjunctive: bool = False,
+    algo: str = "maxscore",
 ) -> DataFrame:
     """Top-k (doc_id, url, score) from the compressed index.
 
@@ -317,7 +318,16 @@ def wand_topk(
     rank-identical to bm25_topk(..., global_stats=True).  Filter/tombstone
     ids reach the kernels per-salt via cogroup (executor-side), never as a
     driver-collected closure.
+
+    `algo`: "maxscore" (default, vectorized TAAT block-max family) or
+    "bmw" (classical pivot DAAT block-max WAND cursors, query/bmw.py) —
+    both rank-exact, same distributed shape (per-salt kernel + k-way
+    merge); bmw does not support conjunctive mode.
     """
+    if algo not in ("maxscore", "bmw"):
+        raise ValueError(f"unknown algo {algo!r}")
+    if algo == "bmw" and conjunctive:
+        raise ValueError("algo='bmw' does not implement conjunctive mode")
     spark = index["doc_map"].sparkSession
     idfs, avgdl = _collect_idfs(index, terms)
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
@@ -329,11 +339,20 @@ def wand_topk(
     filt = _filters_df(index, doc_filter)
     require_all = n_terms if conjunctive else 0
 
-    def kernel(pdf, tomb, allowed):
-        return _score_salt_group(
-            pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed,
-            require_all=require_all,
-        )
+    if algo == "bmw":
+        from .bmw import bmw_salt_kernel
+
+        def kernel(pdf, tomb, allowed):
+            return bmw_salt_kernel(
+                pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed
+            )
+    else:
+
+        def kernel(pdf, tomb, allowed):
+            return _score_salt_group(
+                pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed,
+                require_all=require_all,
+            )
 
     local = _salt_scored(
         post, filt, doc_filter is not None, kernel, "doc_id long, score double"
