@@ -133,11 +133,19 @@ def main() -> None:
         n_docs = corpus.count()
         extra["n_docs"] = n_docs
 
-        # q1: index build end-to-end (scan -> postings/doc_map/term_dict on disk)
+        # q1: index build end-to-end (scan -> postings/doc_map/term_dict on
+        # disk), with a per-stage breakdown so round-over-round regressions
+        # localize: tokenize+tf-shuffle first (fills the persisted tf_df),
+        # then each table write (postings_encode_write = encode kernel +
+        # partitioned write on the cached tf).
+        stages: dict[str, float] = {}
         t0 = time.perf_counter()
         idx = build_index(corpus, n_doc_parts=CPUS)
-        write_index(idx, f"{workdir}/index")
-        queries["index_build"] = time.perf_counter() - t0
+        idx["_cached"][1].count()  # materialize tf_df (tokenize + 1 shuffle)
+        stages["tokenize_tf_agg"] = time.perf_counter() - t0
+        write_index(idx, f"{workdir}/index", timings=stages)
+        queries["index_build"] = sum(stages.values())
+        extra["build_stages"] = {k: round(v, 3) for k, v in stages.items()}
         extra["docs_per_sec"] = round(n_docs / queries["index_build"], 1)
 
         idx = read_index(spark, f"{workdir}/index")
@@ -198,6 +206,38 @@ def main() -> None:
         agg.top_users_per_type(events).collect()
         agg.timeline_daily(corpus).collect()
         queries["aggregates"] = time.perf_counter() - t0
+
+        # q6 (extra keys, outside the headline sum so `value` stays
+        # round-over-round comparable): segmented-index lifecycle — 8
+        # micro-batch segments on a 1/16 corpus slice, batched query
+        # latency before vs after size-tiered auto-compaction.
+        from pyspark.sql import functions as SF
+
+        from telegram2elastic_spark.streaming.ingest import IncrementalIndexer
+
+        seg_corpus = corpus.filter(SF.col("doc_id") % 16 == 0).cache()
+        seg_corpus.count()
+        ix = IncrementalIndexer(spark, f"{workdir}/segix", n_doc_parts=CPUS)
+        n_seg = 8
+        t0 = time.perf_counter()
+        for i in range(n_seg):
+            ix.ingest_batch(
+                seg_corpus.filter(SF.col("doc_id") % (16 * n_seg) == 16 * i),
+                batch_id=f"s{i}",
+            )
+        seg = {"ingest_8seg_sec": round(time.perf_counter() - t0, 3)}
+        t0 = time.perf_counter()
+        wand_topk_batch(ix.as_index(), dict(enumerate(BENCH_QUERIES)), k=10).collect()
+        seg["query_8q_before_compact_sec"] = round(time.perf_counter() - t0, 3)
+        seg["n_segments_before"] = len(ix.manifest())
+        t0 = time.perf_counter()
+        ix.maybe_compact(max_per_tier=2, tier_factor=8)
+        seg["compaction_sec"] = round(time.perf_counter() - t0, 3)
+        seg["n_segments_after"] = len(ix.manifest())
+        t0 = time.perf_counter()
+        wand_topk_batch(ix.as_index(), dict(enumerate(BENCH_QUERIES)), k=10).collect()
+        seg["query_8q_after_compact_sec"] = round(time.perf_counter() - t0, 3)
+        extra["segments"] = seg
 
         spark.stop()
     finally:

@@ -89,7 +89,7 @@ def _extract_text_from_html(html: pd.Series) -> pd.Series:
     byte-identical to the corpus `text` column per url (input_hint
     invariant).  Uses pandas str ops over the whole Arrow batch.
     """
-    decoded = html.map(lambda b: b.decode("utf-8", errors="replace"))
+    decoded = html.str.decode("utf-8", errors="replace")
     return decoded.str.replace(_TAG_RE, "", regex=True)
 
 

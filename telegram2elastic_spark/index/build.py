@@ -216,25 +216,57 @@ def build_index(
 N_TERM_BUCKETS = 64
 
 
-def write_index(index: dict, out_dir: str, n_buckets: int = N_TERM_BUCKETS) -> None:
+def write_index(
+    index: dict,
+    out_dir: str,
+    n_buckets: int = N_TERM_BUCKETS,
+    timings: dict | None = None,
+) -> None:
     """Persist index tables as parquet; postings partitioned by term_bucket
     (pmod(xxhash64(term), n_buckets)) so query-time scans prune to the
     buckets of the query's terms — the analogue of the reference's per-day
     ES index routing (output/elasticsearch.py:10,33), keyed by term instead
     of time because queries arrive by term.
+
+    `timings`: optional dict collecting per-table write wall seconds
+    (bench per-stage breakdown).
     """
-    index["doc_map"].write.mode("overwrite").parquet(f"{out_dir}/doc_map")
-    index["term_dict"].withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{out_dir}/term_dict"
+    import time as _time
+
+    def _timed(name, fn):
+        t0 = _time.perf_counter()
+        fn()
+        if timings is not None:
+            timings[name] = _time.perf_counter() - t0
+
+    _timed(
+        "doc_map_write",
+        lambda: index["doc_map"].write.mode("overwrite").parquet(
+            f"{out_dir}/doc_map"
+        ),
     )
-    index["postings"].withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{out_dir}/postings"
+    _timed(
+        "term_dict_write",
+        lambda: index["term_dict"]
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{out_dir}/term_dict"),
     )
-    index["stats"].write.mode("overwrite").parquet(f"{out_dir}/stats")
+    _timed(
+        "postings_encode_write",
+        lambda: index["postings"]
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{out_dir}/postings"),
+    )
+    _timed(
+        "stats_write",
+        lambda: index["stats"].write.mode("overwrite").parquet(
+            f"{out_dir}/stats"
+        ),
+    )
     import json as _json
     import os as _os
 

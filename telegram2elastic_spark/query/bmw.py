@@ -56,9 +56,8 @@ class _Cursor:
         self.idf = idf
         self.firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
         self.lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
-        self.bubs = np.array(
-            [_term_ub(idf, int(m)) for m in g["block_max_tf"]]
-        )
+        mtf = g["block_max_tf"].to_numpy(dtype=np.float64)
+        self.bubs = idf * mtf * (K1 + 1.0) / (mtf + K1 * (1.0 - B))
         self.gaps = list(g["doc_gaps"])
         self.tfb = list(g["tf_bytes"])
         self.dlb = list(g["dl_bytes"])

@@ -105,7 +105,8 @@ def _score_salt_group(
             # block-max skipping: keep only blocks that overlap an existing
             # accumulator (range check via searchsorted) and whose bound can
             # still lift an accumulated doc into the top-k.
-            bubs = np.array([_term_ub(idf, int(m)) for m in g["block_max_tf"]])
+            mtf = g["block_max_tf"].to_numpy(dtype=np.float64)
+            bubs = idf * mtf * (K1 + 1.0) / (mtf + K1 * (1.0 - B))
             lo = np.searchsorted(acc_ids, firsts, side="left")
             hi = np.searchsorted(acc_ids, lasts, side="right")
             overlaps = hi > lo

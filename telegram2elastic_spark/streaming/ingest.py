@@ -71,7 +71,18 @@ class IncrementalIndexer:
         os.replace(tmp, self._manifest_path)  # atomic commit point
 
     def committed_batches(self) -> set[str]:
-        return {e["batch_id"] for e in self.manifest()}
+        """Batch ids covered by committed segments — compacted segments
+        carry the batch_ids of everything they absorbed, so replay of an
+        already-ingested (then compacted) batch stays a no-op."""
+        out = set()
+        for e in self.manifest():
+            out.add(e["batch_id"])
+            out.update(e.get("batch_ids", []))
+        return out
+
+    def _next_seg_id(self) -> int:
+        m = self.manifest()
+        return 1 + max((e["segment_id"] for e in m), default=-1)
 
     # --- ingest ---------------------------------------------------------
     def _seg_dir(self, segment_id: int) -> str:
@@ -102,7 +113,7 @@ class IncrementalIndexer:
         point, so a crash at any earlier step leaves only an orphan segment
         dir that replay overwrites; there is no window where a batch is
         committed with its tombstones missing."""
-        seg_id = len(self.manifest())
+        seg_id = self._next_seg_id()
         seg_dir = self._seg_dir(seg_id)
         idx = build_index(batch_corpus, n_doc_parts=self.n_doc_parts)
         # text_sha lets upsert_batch detect edited docs without re-reading
@@ -249,6 +260,133 @@ class IncrementalIndexer:
             if e:
                 out.append(e)
         return out
+
+    # --- physical compaction (Lucene-style tiered merges) -----------------
+    def compact(self, segment_ids: list[int]) -> dict | None:
+        """Physically merge the given committed segments into ONE new
+        segment: sorted-merge of posting runs per (term, salt), tombstoned
+        postings dropped, exact (df, cf) recomputed, doc_maps unioned minus
+        tombstones.  The new manifest (chosen rows replaced by one entry)
+        is committed atomically; absorbed dirs are deleted only afterwards,
+        so a crash at any point leaves only invisible orphan dirs.
+
+        The new entry carries the absorbed batch_ids (replay of an
+        already-compacted batch stays a no-op) and carries forward any
+        tombstones that target docs OUTSIDE the compacted set (still-live
+        generations elsewhere)."""
+        import shutil
+
+        segment_ids = sorted(set(segment_ids))
+        m = self.manifest()
+        chosen = [e for e in m if e["segment_id"] in segment_ids]
+        if len(chosen) < 2:
+            return None
+        dirs = [self._seg_dir(e["segment_id"]) for e in chosen]
+        post = self.spark.read.parquet(*[f"{d}/postings" for d in dirs])
+        dm = self.spark.read.parquet(*[f"{d}/doc_map" for d in dirs])
+        # any committed tombstone (from ANY segment) may target these docs
+        tomb_df = self.tombstones_df()
+
+        new_id = self._next_seg_id()
+        seg_dir = self._seg_dir(new_id)
+        _merged_postings(post, tomb_df, self.n_doc_parts).write.mode(
+            "overwrite"
+        ).parquet(f"{seg_dir}/postings")
+        written = self.spark.read.parquet(f"{seg_dir}/postings")
+        if tomb_df is not None:
+            dm = dm.join(tomb_df, "doc_id", "left_anti")
+            td = _exact_term_dict(written)
+        else:
+            td = (
+                self.spark.read.parquet(*[f"{d}/term_dict" for d in dirs])
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            )
+        dm.write.mode("overwrite").parquet(f"{seg_dir}/doc_map")
+        td.write.mode("overwrite").parquet(f"{seg_dir}/term_dict")
+        lineage = (
+            written.groupBy("salt")
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n_docs").alias("n_postings"),
+            )
+            .withColumn("segment_id", F.lit(new_id))
+        )
+        lineage.write.mode("overwrite").parquet(f"{seg_dir}/lineage")
+        counters = (
+            self.spark.read.parquet(f"{seg_dir}/doc_map")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("min_ts"),
+                F.max(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("max_ts"),
+            )
+            .first()
+        )
+        absorbed = sorted(
+            {e["batch_id"] for e in chosen}
+            | {b for e in chosen for b in e.get("batch_ids", [])}
+        )
+        entry = {
+            "segment_id": new_id,
+            "batch_id": f"compact={new_id}",
+            "batch_ids": absorbed,
+            "n_docs": counters["n_docs"],
+            "min_ts": counters["min_ts"],
+            "max_ts": counters["max_ts"],
+            "status": "committed",
+        }
+        # carry forward tombstones still pointing at docs outside this set
+        own_tombs = [
+            f"{d}/tombstones"
+            for d, e in zip(dirs, chosen)
+            if e.get("n_tombstones") and os.path.exists(f"{d}/tombstones")
+        ]
+        if own_tombs:
+            inside = self.spark.read.parquet(
+                *[f"{d}/doc_map" for d in dirs]
+            ).select("doc_id")
+            remaining = (
+                self.spark.read.parquet(*own_tombs)
+                .select("doc_id")
+                .join(inside, "doc_id", "left_anti")
+            )
+            remaining.write.mode("overwrite").parquet(f"{seg_dir}/tombstones")
+            n_tomb = self.spark.read.parquet(f"{seg_dir}/tombstones").count()
+            if n_tomb:
+                entry["n_tombstones"] = n_tomb
+        new_manifest = [
+            e for e in m if e["segment_id"] not in segment_ids
+        ] + [entry]
+        self._commit_manifest(new_manifest)  # atomic swap point
+        for d in dirs:  # best-effort garbage collection of absorbed dirs
+            shutil.rmtree(d, ignore_errors=True)
+        return entry
+
+    def maybe_compact(
+        self, max_per_tier: int = 8, tier_factor: int = 10
+    ) -> list[dict]:
+        """Size-tiered auto-compaction (Lucene TieredMergePolicy shape):
+        bucket segments by floor(log_tier_factor(n_docs)); whenever a tier
+        holds more than max_per_tier segments, merge that tier into one
+        segment (usually promoting it a tier up).  Repeats until stable, so
+        steady-state segment count stays O(max_per_tier * n_tiers) and the
+        per-query postings fan-out is bounded no matter how many
+        micro-batches were ingested."""
+        import math
+
+        out = []
+        while True:
+            tiers: dict[int, list[int]] = {}
+            for e in self.manifest():
+                t = int(math.log(max(e["n_docs"], 1), tier_factor))
+                tiers.setdefault(t, []).append(e["segment_id"])
+            todo = [ids for ids in tiers.values() if len(ids) > max_per_tier]
+            if not todo:
+                return out
+            entry = self.compact(todo[0])
+            if entry is None:  # defensive: nothing mergeable
+                return out
+            out.append(entry)
 
     # --- combined view ---------------------------------------------------
     def _read_all(self, name: str) -> DataFrame | None:
@@ -413,55 +551,63 @@ def merge_segments(indexer: IncrementalIndexer) -> dict:
     which production sizes to O(cluster cores))."""
     combined = indexer.as_index()
     tomb_df = combined.get("_tombstones_df")
-    has_tomb = tomb_df is not None
-
-    if not has_tomb:
-        merged_postings = (
-            combined["postings"]
-            .groupBy("term", "salt")
-            .applyInPandas(lambda pdf: _merge_group(pdf), POSTINGS_SCHEMA)
-        )
-    else:
-        salted_tomb = tomb_df.withColumn(
-            "salt",
-            F.pmod(F.col("doc_id"), F.lit(indexer.n_doc_parts)).cast("int"),
-        )
-
-        def cokernel(post_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
-            tomb = np.sort(tomb_pdf["doc_id"].to_numpy(np.int64))
-            outs = [
-                _merge_group(g, tombstones=tomb)
-                for _, g in post_pdf.groupby("term", sort=False)
-            ]
-            outs = [o for o in outs if len(o)]
-            return pd.concat(outs, ignore_index=True) if outs else _empty_postings_pdf()
-
-        merged_postings = (
-            combined["postings"]
-            .groupBy("salt")
-            .cogroup(salted_tomb.groupBy("salt"))
-            .applyInPandas(cokernel, POSTINGS_SCHEMA)
-        )
-    if has_tomb:
-        # exact df/cf from the physically-compacted postings
-        def stats_kernel(batches):
-            from ..index.codec import varbyte_decode as vd
-
-            for pdf in batches:
-                cfs = [int(vd(bytes(b)).sum()) for b in pdf["tf_bytes"]]
-                yield pd.DataFrame(
-                    {"term": pdf["term"], "df_p": pdf["n_docs"], "cf_p": cfs}
-                )
-
-        td = (
-            merged_postings.mapInPandas(
-                stats_kernel, "term string, df_p long, cf_p long"
-            )
-            .groupBy("term")
-            .agg(F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
-        )
-        combined = {**combined, "term_dict": td}
+    merged_postings = _merged_postings(
+        combined["postings"], tomb_df, indexer.n_doc_parts
+    )
+    if tomb_df is not None:
+        combined = {**combined, "term_dict": _exact_term_dict(merged_postings)}
     return {**combined, "postings": merged_postings, "_tombstones_df": None}
+
+
+def _merged_postings(
+    postings: DataFrame, tomb_df: DataFrame | None, n_doc_parts: int
+) -> DataFrame:
+    """Sorted-merge + tombstone-drop of posting blocks (shared by the
+    logical merge_segments view and physical compaction)."""
+    if tomb_df is None:
+        return postings.groupBy("term", "salt").applyInPandas(
+            lambda pdf: _merge_group(pdf), POSTINGS_SCHEMA
+        )
+    salted_tomb = tomb_df.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(n_doc_parts)).cast("int")
+    )
+
+    def cokernel(post_pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb = np.sort(tomb_pdf["doc_id"].to_numpy(np.int64))
+        outs = [
+            _merge_group(g, tombstones=tomb)
+            for _, g in post_pdf.groupby("term", sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty_postings_pdf()
+
+    return (
+        postings.groupBy("salt")
+        .cogroup(salted_tomb.groupBy("salt"))
+        .applyInPandas(cokernel, POSTINGS_SCHEMA)
+    )
+
+
+def _exact_term_dict(merged_postings: DataFrame) -> DataFrame:
+    """Exact (df, cf) recomputed from physically-compacted postings —
+    closes the Lucene stale-df window after upserts."""
+
+    def stats_kernel(batches):
+        from ..index.codec import varbyte_decode as vd
+
+        for pdf in batches:
+            cfs = [int(vd(bytes(b)).sum()) for b in pdf["tf_bytes"]]
+            yield pd.DataFrame(
+                {"term": pdf["term"], "df_p": pdf["n_docs"], "cf_p": cfs}
+            )
+
+    return (
+        merged_postings.mapInPandas(
+            stats_kernel, "term string, df_p long, cf_p long"
+        )
+        .groupBy("term")
+        .agg(F.sum("df_p").alias("df"), F.sum("cf_p").alias("cf"))
+    )
 
 
 def stream_ingest_availablenow(

@@ -1,0 +1,129 @@
+"""Segment-count stress + size-tiered auto-compaction (Lucene
+TieredMergePolicy shape): many micro-batches must stay rank-identical
+through physical compaction, with bounded postings fan-out, idempotent
+replay, and correct tombstone carry-forward."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.query.wand import wand_topk
+from telegram2elastic_spark.streaming.ingest import IncrementalIndexer
+
+N_BATCHES = 24
+BATCH = 20  # docs per micro-batch
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def stressed(spark, sf_dir, tmp_path_factory):
+    corpus = load_corpus(spark, sf_dir).filter(
+        F.col("doc_id") < N_BATCHES * BATCH
+    ).cache()
+    ix = IncrementalIndexer(
+        spark, str(tmp_path_factory.mktemp("stress")), n_doc_parts=4
+    )
+    for i in range(N_BATCHES):
+        lo, hi = i * BATCH, (i + 1) * BATCH
+        ix.ingest_batch(
+            corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            batch_id=f"b{i}",
+        )
+    return ix, corpus
+
+
+def test_stress_many_segments_then_tiered_compaction(stressed):
+    ix, corpus = stressed
+    assert len(ix.manifest()) == N_BATCHES
+    before = _rows(wand_topk(ix.as_index(), ["spark", "merge"], k=10))
+
+    entries = ix.maybe_compact(max_per_tier=3, tier_factor=4)
+    assert entries, "policy must trigger on 24 same-tier segments"
+    n_after = len(ix.manifest())
+    # bounded fan-out: far fewer segment dirs than micro-batches
+    assert n_after <= 6, ix.manifest()
+    after = _rows(wand_topk(ix.as_index(), ["spark", "merge"], k=10))
+    assert after == before
+
+    # total doc count preserved, no duplicates
+    assert ix.as_index()["doc_map"].count() == corpus.count()
+    # policy is stable: a second pass does nothing
+    assert ix.maybe_compact(max_per_tier=3, tier_factor=4) == []
+
+
+def test_compaction_keeps_replay_idempotent(stressed):
+    ix, corpus = stressed
+    # every original batch id is still covered after its segment was merged
+    covered = ix.committed_batches()
+    assert {f"b{i}" for i in range(N_BATCHES)} <= covered
+    n_before = ix.as_index()["doc_map"].count()
+    assert ix.ingest_batch(corpus.limit(5), "b0") is None  # replay no-op
+    assert ix.as_index()["doc_map"].count() == n_before
+
+
+def test_compaction_resolves_tombstones_and_exact_stats(spark, sf_dir, tmp_path):
+    """Upsert -> stale df window -> full compaction must physically drop
+    tombstoned postings and restore EXACT (df, cf) — equal to a one-shot
+    rebuild over the edited corpus."""
+    corpus = load_corpus(spark, sf_dir).filter("doc_id < 100")
+    ix = IncrementalIndexer(spark, str(tmp_path / "tix"), n_doc_parts=4)
+    ix.ingest_batch(corpus.filter("doc_id < 50"), "b0")
+    ix.ingest_batch(corpus.filter("doc_id >= 50"), "b1")
+    edited = corpus.filter("doc_id % 9 = 0").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" fresh edit words"))
+    )
+    ix.upsert_batch(edited, "b2")
+    assert ix.tombstones()  # stale window open
+
+    entry = ix.compact([e["segment_id"] for e in ix.manifest()])
+    assert entry is not None
+    assert len(ix.manifest()) == 1
+    assert ix.tombstones() == []  # physically resolved
+
+    # exact parity with a one-shot build over the edited corpus
+    edited_corpus = corpus.filter("doc_id % 9 != 0").unionByName(
+        edited.withColumn(
+            "doc_id", F.col("doc_id") + IncrementalIndexer.GEN_STRIDE
+        )
+    )
+    want = build_index(edited_corpus, n_doc_parts=4)
+    got = ix.as_index()
+    td_got = {
+        (r["term"], r["df"], r["cf"]) for r in got["term_dict"].collect()
+    }
+    td_want = {
+        (r["term"], r["df"], r["cf"]) for r in want["term_dict"].collect()
+    }
+    assert td_got == td_want
+    assert _rows(wand_topk(got, ["spark", "merge"], k=10)) == _rows(
+        wand_topk(want, ["spark", "merge"], k=10)
+    )
+
+
+def test_partial_compaction_carries_tombstones_forward(spark, sf_dir, tmp_path):
+    """Compacting segments that HOLD a tombstone but not the segment the
+    tombstone points into must keep the delete visible (carry-forward)."""
+    corpus = load_corpus(spark, sf_dir).filter("doc_id < 100")
+    ix = IncrementalIndexer(spark, str(tmp_path / "cix"), n_doc_parts=4)
+    ix.ingest_batch(corpus.filter("doc_id < 50"), "b0")     # seg 0
+    ix.ingest_batch(corpus.filter("doc_id >= 50"), "b1")    # seg 1
+    edited = corpus.filter("doc_id = 10").withColumn(
+        "text", F.lit("rewritten content")
+    )
+    ix.upsert_batch(edited, "b2")                           # seg 2, tomb {10}
+
+    # merge seg1+seg2 (doc 10 lives in seg0, outside the set)
+    entry = ix.compact([1, 2])
+    assert entry is not None and entry.get("n_tombstones") == 1
+    idx = ix.as_index()
+    assert idx["doc_map"].filter("doc_id = 10").count() == 0
+    live = {r["doc_id"] for r in idx["doc_map"].collect()}
+    assert 10 + IncrementalIndexer.GEN_STRIDE in live
+    # full compaction afterwards resolves it
+    ix.compact([e["segment_id"] for e in ix.manifest()])
+    assert ix.tombstones() == []
+    assert ix.as_index()["doc_map"].filter("doc_id = 10").count() == 0
