@@ -22,7 +22,7 @@ from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
-from telegram2elastic_spark.query import bm25, phrase, search
+from telegram2elastic_spark.query import bm25, fuzzy, phrase, search
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
 
@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "url", "lang", "doc_len",
             )
             .orderBy("doc_id")
+        ),
+        # pg_trgm analogue: typo-tolerant trigram-similarity ranking
+        "fuzzy_trigram_topk": lambda spark, sf: fuzzy.fuzzy_topk(
+            load_corpus(spark, sf), "mergge batch", k=10
         ),
         # --- search pipeline (F7-F10, O1, O2, A1) ---
         "search_page": lambda spark, sf: search.search_page(
@@ -296,6 +300,7 @@ FROM corpus ORDER BY doc_id
         "wand_doc_filter": bm25.bm25_topk_sql(
             Q_HEAVY, lang="en", global_stats=True
         ),
+        "fuzzy_trigram_topk": fuzzy.fuzzy_topk_sql("mergge batch", k=10),
         "index_term_dict": term_dict_sql,
         "index_doc_map": doc_map_sql,
         "search_page": search.search_page_sql(

@@ -1,0 +1,117 @@
+"""Trigram fuzzy search — the pg_trgm GIN path of the reference.
+
+The reference creates a GIN trigram index on message text
+(poc/src/core/models.py:188 `gin_trgm_ops`; alembic 15e9cd5477d0:24) so the
+API can do typo-tolerant matching ranked by trigram similarity.  Spark-first
+rebuild of the same two-phase GIN shape:
+
+  1. candidate generation = inverted lookup: explode each doc's distinct
+     character trigrams and keep ONLY rows whose trigram is one of the
+     query's trigrams (a literal IN-list -> pushdown-friendly, exactly the
+     posting-list probe a GIN index performs).  Docs sharing zero trigrams
+     are never shuffled or scored.
+  2. exact rank = set similarity on the candidates:
+         sim(d, q) = |T(d) ∩ T(q)| / |T(d) ∪ T(q)|
+     (pg_trgm's similarity()), computed from the per-doc shared-trigram
+     count + the doc's distinct-trigram count — one hash aggregation.
+
+Trigram definition here: sliding 3-char windows over lower(text) (distinct
+set).  pg_trgm additionally word-pads ('  w '); the windowing is the
+operator semantics that carries over, and both engines below compute the
+identical definition so the oracle is exact.
+
+At 10^12 docs the explode+filter is a narrow map-side scan; only candidate
+rows (docs sharing >= 1 of the <= |q| trigrams) enter the single shuffle —
+the same reason pg_trgm probes posting lists instead of scanning the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+
+SIM_DECIMALS = 5
+
+
+def _query_trigrams(q: str) -> list[str]:
+    s = q.lower()
+    return sorted({s[i : i + 3] for i in range(max(len(s) - 2, 0))})
+
+
+def _doc_trigrams_col() -> F.Column:
+    """Distinct 3-char windows of lower(text); empty array for text < 3
+    chars (guarded — Spark's sequence(1, 0) would count DOWN)."""
+    t = F.lower(F.col("text"))
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, length(lower(text)) - 2),"
+            " i -> substring(lower(text), i, 3))"
+        )
+    )
+    return F.when(F.length(t) < 3, F.array().cast("array<string>")).otherwise(
+        grams
+    )
+
+
+def fuzzy_topk(corpus: DataFrame, q: str, k: int = 10) -> DataFrame:
+    """Top-k docs by trigram similarity to `q` (typo-tolerant match)."""
+    qgrams = _query_trigrams(q)
+    spark = corpus.sparkSession
+    if not qgrams:
+        return spark.createDataFrame([], "doc_id long, url string, sim double")
+    n_q = len(qgrams)
+    docs = corpus.select("doc_id", "url", _doc_trigrams_col().alias("grams"))
+    # GIN probe: only rows matching a query trigram survive the explode —
+    # the IN-list is a literal predicate evaluated map-side
+    shared = (
+        docs.select("doc_id", F.explode("grams").alias("g"))
+        .filter(F.col("g").isin(qgrams))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        docs.join(shared, "doc_id")  # candidates only (inner join)
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("shared")
+                / (F.size("grams") + F.lit(n_q) - F.col("shared")),
+                SIM_DECIMALS,
+            ),
+        )
+        .select("doc_id", "url", "sim")
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def fuzzy_topk_sql(q: str, k: int = 10) -> str:
+    qgrams = _query_trigrams(q)
+    n_q = len(qgrams)
+    qlist = ", ".join("'" + g.replace("'", "''") + "'" for g in qgrams)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+docs AS (
+  SELECT doc_id, url,
+         CASE WHEN len(lower(text)) < 3 THEN []
+              ELSE list_distinct(list_transform(
+                  range(1, len(lower(text)) - 1),
+                  i -> substr(lower(text), i, 3)))
+         END AS grams
+  FROM corpus
+),
+shared AS (
+  SELECT doc_id, count(*) AS shared
+  FROM (SELECT doc_id, unnest(grams) AS g FROM docs)
+  WHERE g IN ({qlist})
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.url,
+       round(s.shared / (len(d.grams) + {n_q} - s.shared),
+             {SIM_DECIMALS}) AS sim
+FROM docs d JOIN shared s ON d.doc_id = s.doc_id
+ORDER BY sim DESC, d.doc_id ASC
+LIMIT {k}
+"""

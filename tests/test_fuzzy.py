@@ -1,0 +1,49 @@
+"""Trigram fuzzy search (pg_trgm GIN analogue) vs DuckDB oracle."""
+
+from pyspark.sql import functions as F
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.query import fuzzy
+
+from .oracle import assert_same
+
+
+def test_fuzzy_matches_oracle(spark, duck, sf_dir):
+    assert_same(
+        fuzzy.fuzzy_topk(load_corpus(spark, sf_dir), "mergge batch", k=10),
+        duck.execute(fuzzy.fuzzy_topk_sql("mergge batch", k=10)).df(),
+    )
+
+
+def test_fuzzy_is_typo_tolerant(spark, sf_dir):
+    """A misspelled query must still surface documents containing the
+    intended token (shared trigrams survive the typo)."""
+    corpus = load_corpus(spark, sf_dir)
+    hits = fuzzy.fuzzy_topk(corpus, "mergge", k=10).collect()
+    assert hits and all(h["sim"] > 0 for h in hits)
+    top_ids = [h["doc_id"] for h in hits[:5]]
+    with_word = {
+        r["doc_id"]
+        for r in corpus.filter(F.lower("text").contains("merge"))
+        .select("doc_id")
+        .collect()
+    }
+    # most of the fuzzy top-5 really contain the intended word
+    assert len([d for d in top_ids if d in with_word]) >= 3
+
+
+def test_fuzzy_short_and_empty_query(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    assert fuzzy.fuzzy_topk(corpus, "ab", k=5).count() == 0  # < 3 chars
+    assert fuzzy.fuzzy_topk(corpus, "", k=5).count() == 0
+
+
+def test_fuzzy_plan_probes_not_cartesian(spark, sf_dir):
+    """GIN shape: the trigram probe must be a pushed IN-filter before the
+    aggregation — never a cartesian/nested-loop join."""
+    df = fuzzy.fuzzy_topk(load_corpus(spark, sf_dir), "mergge", k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
