@@ -47,10 +47,21 @@ from ..index.codec import BLOCK_SIZE, decode_block, encode_blocks
 class IncrementalIndexer:
     """Segment-per-micro-batch index at `base_dir`."""
 
-    def __init__(self, spark: SparkSession, base_dir: str, n_doc_parts: int = DEFAULT_DOC_PARTS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        n_doc_parts: int = DEFAULT_DOC_PARTS,
+        positions: bool = False,
+    ):
+        """`positions=True` builds every segment with positional postings
+        (codec pos_bytes), enabling phrase queries over the combined
+        segmented view and across upserts/compactions (the sorted-merge
+        kernel preserves positions when all inputs carry them)."""
         self.spark = spark
         self.base_dir = base_dir
         self.n_doc_parts = n_doc_parts
+        self.positions = positions
         os.makedirs(base_dir, exist_ok=True)
 
     # --- manifest (the checkpoint) ------------------------------------
@@ -115,7 +126,11 @@ class IncrementalIndexer:
         committed with its tombstones missing."""
         seg_id = self._next_seg_id()
         seg_dir = self._seg_dir(seg_id)
-        idx = build_index(batch_corpus, n_doc_parts=self.n_doc_parts)
+        idx = build_index(
+            batch_corpus,
+            n_doc_parts=self.n_doc_parts,
+            positions=self.positions,
+        )
         # text_sha lets upsert_batch detect edited docs without re-reading
         # the indexed text (content addressing, s3_client.py:120-127)
         idx["doc_map"] = idx["doc_map"].join(

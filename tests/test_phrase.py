@@ -49,3 +49,44 @@ def test_phrase_positions_roundtrip(spark, pindex):
             toks[i] == "the" and toks[i + 1] == "fast"
             for i in range(len(toks) - 1)
         ), r["doc_id"]
+
+
+def test_phrase_over_incremental_segments_and_compaction(spark, sf_dir, tmp_path):
+    """Positional incremental indexing: phrase results over a segmented
+    index (positions=True) match the one-shot positional build; an upsert
+    that removes the phrase tombstones the old generation out of phrase
+    results; physical compaction preserves positions."""
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.streaming.ingest import IncrementalIndexer
+
+    corpus = load_corpus(spark, sf_dir).filter("doc_id < 120")
+    ix = IncrementalIndexer(
+        spark, str(tmp_path / "pix"), n_doc_parts=4, positions=True
+    )
+    ix.ingest_batch(corpus.filter("doc_id < 60"), "b0")
+    ix.ingest_batch(corpus.filter("doc_id >= 60"), "b1")
+
+    def rows(idx):
+        return [
+            (r["doc_id"], r["score"])
+            for r in phrase_topk(idx, ["the", "fast"], k=10).collect()
+        ]
+
+    want = rows(build_index(corpus, n_doc_parts=4, positions=True))
+    assert rows(ix.as_index()) == want and want
+
+    # edit the top phrase hit so it no longer contains the phrase
+    top_doc = want[0][0]
+    edited = corpus.filter(F.col("doc_id") == top_doc).withColumn(
+        "text", F.lit("nothing matching here")
+    )
+    ix.upsert_batch(edited, "b2")
+    after = rows(ix.as_index())
+    assert all(d != top_doc for d, _ in after)
+
+    # physical compaction keeps positional phrase results identical
+    ix.compact([e["segment_id"] for e in ix.manifest()])
+    assert len(ix.manifest()) == 1
+    assert rows(ix.as_index()) == after
