@@ -64,15 +64,39 @@ class IncrementalIndexer:
         self.positions = positions
         os.makedirs(base_dir, exist_ok=True)
 
-    # --- manifest (the checkpoint) ------------------------------------
+    # --- manifest (the checkpoint; versioned, Iceberg-snapshot style) ---
     @property
     def _manifest_path(self) -> str:
         return os.path.join(self.base_dir, "manifest.json")
 
-    def manifest(self) -> list[dict]:
-        if not os.path.exists(self._manifest_path):
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.base_dir, f"manifest.v{v:06d}.json")
+
+    def versions(self) -> list[int]:
+        """Committed manifest snapshot versions (ascending) still on disk."""
+        import re
+
+        out = []
+        for name in os.listdir(self.base_dir):
+            m = re.fullmatch(r"manifest\.v(\d{6})\.json", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def manifest(self, version: int | None = None) -> list[dict]:
+        """Current manifest, or a historical snapshot (time travel) when
+        `version` names a retained snapshot (see versions()/vacuum())."""
+        path = (
+            self._manifest_path if version is None else self._version_path(version)
+        )
+        if not os.path.exists(path):
+            if version is not None:
+                raise ValueError(
+                    f"manifest version {version} not found "
+                    f"(retained: {self.versions()})"
+                )
             return []
-        with open(self._manifest_path) as f:
+        with open(path) as f:
             return json.load(f)
 
     def _commit_manifest(self, entries: list[dict]) -> None:
@@ -80,6 +104,13 @@ class IncrementalIndexer:
         with os.fdopen(fd, "w") as f:
             json.dump(entries, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic commit point
+        # snapshot AFTER the commit (a crash here just loses the historical
+        # copy, never the truth); versions enable time travel + safe vacuum
+        vs = self.versions()
+        next_v = (vs[-1] + 1) if vs else 0
+        import shutil
+
+        shutil.copyfile(self._manifest_path, self._version_path(next_v))
 
     def committed_batches(self) -> set[str]:
         """Batch ids covered by committed segments — compacted segments
@@ -224,20 +255,20 @@ class IncrementalIndexer:
             fresh.unionByName(re_added), batch_id, tombstones=tomb_df
         )
 
-    def _tombstone_dirs(self) -> list[str]:
+    def _tombstone_dirs(self, version: int | None = None) -> list[str]:
         return [
             p
-            for e in self.manifest()
+            for e in self.manifest(version)
             if e.get("n_tombstones")
             for p in [os.path.join(self._seg_dir(e["segment_id"]), "tombstones")]
             if os.path.exists(p)
         ]
 
-    def tombstones_df(self) -> DataFrame | None:
+    def tombstones_df(self, version: int | None = None) -> DataFrame | None:
         """All tombstoned internal doc ids as a DataFrame (executor-side);
         None when no committed segment carries tombstones (manifest
         metadata check — no Spark job)."""
-        dirs = self._tombstone_dirs()
+        dirs = self._tombstone_dirs(version)
         if not dirs:
             return None
         return self.spark.read.parquet(*dirs).select("doc_id")
@@ -289,8 +320,6 @@ class IncrementalIndexer:
         already-compacted batch stays a no-op) and carries forward any
         tombstones that target docs OUTSIDE the compacted set (still-live
         generations elsewhere)."""
-        import shutil
-
         segment_ids = sorted(set(segment_ids))
         m = self.manifest()
         chosen = [e for e in m if e["segment_id"] in segment_ids]
@@ -373,9 +402,37 @@ class IncrementalIndexer:
             e for e in m if e["segment_id"] not in segment_ids
         ] + [entry]
         self._commit_manifest(new_manifest)  # atomic swap point
-        for d in dirs:  # best-effort garbage collection of absorbed dirs
-            shutil.rmtree(d, ignore_errors=True)
+        # Absorbed dirs are NOT deleted here: readers holding a pre-compact
+        # as_index() snapshot (or a pinned manifest version) keep working —
+        # Lucene/Iceberg snapshot isolation.  vacuum() reclaims them once
+        # old snapshots are released.
         return entry
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Garbage-collect segment dirs referenced by NO retained manifest
+        snapshot, keeping the latest `retain_versions` versions (plus the
+        current manifest, always).  Returns the deleted dirs.  Run when
+        readers of older snapshots are known to be done — the Iceberg
+        expire_snapshots analogue."""
+        import re
+        import shutil
+
+        retain_versions = max(1, int(retain_versions))
+        vs = self.versions()
+        keep_versions = vs[-retain_versions:]
+        live: set[int] = {e["segment_id"] for e in self.manifest()}
+        for v in keep_versions:
+            live |= {e["segment_id"] for e in self.manifest(v)}
+        deleted = []
+        for name in os.listdir(self.base_dir):
+            m = re.fullmatch(r"seg_(\d{6})", name)
+            if m and int(m.group(1)) not in live:
+                path = os.path.join(self.base_dir, name)
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(path)
+        for v in vs[:-retain_versions]:
+            os.unlink(self._version_path(v))
+        return deleted
 
     def maybe_compact(
         self, max_per_tier: int = 8, tier_factor: int = 10
@@ -404,9 +461,10 @@ class IncrementalIndexer:
             out.append(entry)
 
     # --- combined view ---------------------------------------------------
-    def _read_all(self, name: str) -> DataFrame | None:
+    def _read_all(self, name: str, version: int | None = None) -> DataFrame | None:
         dirs = [
-            f"{self._seg_dir(e['segment_id'])}/{name}" for e in self.manifest()
+            f"{self._seg_dir(e['segment_id'])}/{name}"
+            for e in self.manifest(version)
         ]
         if not dirs:
             return None
@@ -415,10 +473,15 @@ class IncrementalIndexer:
     def doc_map_union(self) -> DataFrame | None:
         return self._read_all("doc_map")
 
-    def as_index(self) -> dict:
+    def as_index(self, version: int | None = None) -> dict:
         """Combined index view over all committed segments — consumable by
         query.wand.wand_topk unchanged (disjoint doc spaces; per-segment
         posting runs act as partial postings).
+
+        `version` pins a historical manifest snapshot (time travel): the
+        returned view keeps working through later commits/compactions until
+        vacuum() reclaims the snapshot's segment dirs — Iceberg read
+        isolation semantics.
 
         Tombstoned (edited-away) internal doc ids are excluded from doc_map
         (exact N/avgdl) via an anti-join (executor-side — AQE broadcasts the
@@ -427,13 +490,13 @@ class IncrementalIndexer:
         (query.wand._filters_df); postings are physically dropped at
         merge_segments.
         """
-        tomb_df = self.tombstones_df()
-        dm = self.doc_map_union()
+        tomb_df = self.tombstones_df(version)
+        dm = self._read_all("doc_map", version)
         if tomb_df is not None:
             dm = dm.join(tomb_df, "doc_id", "left_anti")
-        postings = self._read_all("postings")
+        postings = self._read_all("postings", version)
         td = (
-            self._read_all("term_dict")
+            self._read_all("term_dict", version)
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )

@@ -127,3 +127,37 @@ def test_partial_compaction_carries_tombstones_forward(spark, sf_dir, tmp_path):
     ix.compact([e["segment_id"] for e in ix.manifest()])
     assert ix.tombstones() == []
     assert ix.as_index()["doc_map"].filter("doc_id = 10").count() == 0
+
+
+def test_snapshot_isolation_and_time_travel(spark, sf_dir, tmp_path):
+    """Iceberg-style read isolation: a pre-compaction as_index() snapshot
+    (or a pinned manifest version) keeps answering identically after
+    compaction, because absorbed dirs are reclaimed only by vacuum()."""
+    corpus = load_corpus(spark, sf_dir).filter("doc_id < 100")
+    ix = IncrementalIndexer(spark, str(tmp_path / "vix"), n_doc_parts=4)
+    ix.ingest_batch(corpus.filter("doc_id < 50"), "b0")    # version 0
+    ix.ingest_batch(corpus.filter("doc_id >= 50"), "b1")   # version 1
+
+    snap = ix.as_index()  # live pre-compaction view
+    before = _rows(wand_topk(snap, ["spark", "merge"], k=10))
+
+    ix.compact([e["segment_id"] for e in ix.manifest()])   # version 2
+    assert len(ix.manifest()) == 1
+    # the old snapshot still works (absorbed dirs not deleted)
+    assert _rows(wand_topk(snap, ["the"], k=5))  # further queries fine
+    # time travel to the pinned pre-compaction version
+    tt = ix.as_index(version=1)
+    assert _rows(wand_topk(tt, ["spark", "merge"], k=10)) == before
+    # and the compacted current view agrees
+    assert _rows(wand_topk(ix.as_index(), ["spark", "merge"], k=10)) == before
+
+    # vacuum reclaims: old seg dirs + old version files go away
+    deleted = ix.vacuum(retain_versions=1)
+    assert len(deleted) == 2, deleted
+    assert ix.versions() == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        ix.manifest(version=1)
+    # current view unaffected by vacuum
+    assert _rows(wand_topk(ix.as_index(), ["spark", "merge"], k=10)) == before
