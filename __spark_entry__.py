@@ -22,6 +22,7 @@ from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
+from telegram2elastic_spark.operators import training
 from telegram2elastic_spark.query import bm25, fuzzy, phrase, search
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -196,6 +197,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": lambda spark, sf: tq.fingerprints(
             load_corpus(spark, sf)
         ),
+        # --- training-data pipeline (split / decontam / PII / chunking) ---
+        "train_val_split": lambda spark, sf: training.train_val_split(
+            load_corpus(spark, sf), val_per_mille=100
+        ),
+        "decontaminate": lambda spark, sf: training.decontaminate(
+            load_corpus(spark, sf),
+            load_corpus(spark, sf).filter("doc_id % 97 = 0"),
+        ),
+        "redact_pii": lambda spark, sf: training.redact_pii(
+            load_corpus(spark, sf)
+        ),
+        "chunk_documents": lambda spark, sf: training.chunk_documents(
+            load_corpus(spark, sf), window=64, stride=48
+        ),
         # --- projections / rules / multimodal ---
         "proj_default_map": lambda spark, sf: projection.default_projection(
             load_corpus(spark, sf)
@@ -333,6 +348,10 @@ FROM corpus ORDER BY doc_id
         "text_quality": tq.quality_scores_sql(),
         "text_token_counts": tq.TOKEN_COUNTS_SQL,
         "text_fingerprints": tq.fingerprints_sql(),
+        "train_val_split": training.train_val_split_sql(val_per_mille=100),
+        "decontaminate": training.decontaminate_sql("doc_id % 97 = 0"),
+        "redact_pii": training.redact_pii_sql(),
+        "chunk_documents": training.chunk_documents_sql(window=64, stride=48),
         "proj_default_map": projection.DEFAULT_PROJECTION_SQL,
         "proj_sender_struct": projection.SENDER_STRUCT_SQL,
         "proj_rule_cascade": projection.rule_cascade_sql(),

@@ -1,0 +1,280 @@
+"""Training-data pipeline operators beyond the reference's surface.
+
+Four ops every large-scale pretraining pipeline runs between "indexed
+corpus" and "training shards", each expressed as a declarative Spark plan
+with an exact DuckDB oracle (cross-engine md5 determinism kit from
+operators/dedup.py):
+
+  * train_val_split — deterministic hash split (no RNG, stable across
+    re-runs/partitionings: membership is a pure function of url).
+  * decontaminate   — benchmark-overlap check: flag documents sharing any
+    8-token shingle with a benchmark set (the n-gram decontamination used
+    for eval hygiene).  Plan: explode doc shingles, broadcast-semi-join
+    against the benchmark shingle set (small dim side), distinct doc ids.
+  * redact_pii      — regex scrubbing (emails, IPv4s) with per-doc
+    redaction counts; pure regexp_replace/regexp_count, JVM-side.
+  * chunk_documents — token-window chunking (window + stride) for context
+    packing; array slicing on the token array, exploded to one row per
+    chunk — narrow, no shuffle.
+
+At 10^12 docs: split and redact are map-only; chunking is map-only with
+output fan-out; decontamination broadcasts the benchmark shingles (a
+benchmark suite is tiny next to the corpus) so the probe is map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE, tokens
+from .dedup import H64_SQL, TOKS_CTE_SQL, h64
+
+# --- deterministic train/val split -------------------------------------------
+
+N_SPLIT_BUCKETS = 1000
+
+
+def train_val_split(corpus: DataFrame, val_per_mille: int = 100) -> DataFrame:
+    """Assign each doc to 'train' or 'val' by hash bucket of its url —
+    stable, RNG-free, and exactly val_per_mille/1000 of the key space."""
+    bucket = F.pmod(h64(F.col("url")), F.lit(N_SPLIT_BUCKETS))
+    return corpus.select(
+        "doc_id",
+        F.when(bucket < val_per_mille, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def train_val_split_sql(val_per_mille: int = 100) -> str:
+    h = H64_SQL.format(x="url")
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       CASE WHEN ({h}) % {N_SPLIT_BUCKETS} < {val_per_mille}
+            THEN 'val' ELSE 'train' END AS split
+FROM corpus ORDER BY doc_id
+"""
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+CONTAM_NGRAM = 8
+
+
+def _ngrams(col_toks: F.Column, n: int) -> F.Column:
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(col_toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(col_toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """Docs sharing any CONTAM_NGRAM-token shingle with the benchmark set.
+
+    Returns (doc_id, contaminated) for every corpus doc.  The benchmark
+    shingle set is the broadcast side (eval suites are tiny vs the
+    corpus); the corpus side is explode -> broadcast-semi-join -> distinct
+    doc ids — map-side probe, one small dedup shuffle."""
+    doc_sh = corpus.select(
+        "doc_id",
+        F.explode(_ngrams(tokens("text"), CONTAM_NGRAM)).alias("sh"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(_ngrams(tokens("text"), CONTAM_NGRAM)).alias("sh")
+        )
+        .distinct()
+    )
+    hit = (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sql(benchmark_pred: str) -> str:
+    """Oracle with the benchmark set defined as `corpus WHERE
+    benchmark_pred` (how the driver query derives its benchmark)."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(CONTAM_NGRAM))
+    ng = (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {CONTAM_NGRAM - 1}, 0) + 1),"
+        f" i -> {parts}))"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+doc_sh AS (SELECT doc_id, unnest({ng}) AS sh FROM tokd),
+bench_sh AS (
+  SELECT DISTINCT sh FROM doc_sh WHERE doc_id IN (
+      SELECT doc_id FROM corpus WHERE {benchmark_pred})
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM doc_sh WHERE sh IN (SELECT sh FROM bench_sh)
+)
+SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id
+"""
+
+
+# --- PII redaction --------------------------------------------------------------
+
+# Dialect-portable patterns (same semantics in Java regex and RE2/DuckDB).
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# Deterministic synthetic contact block so both engines redact the SAME
+# strings regardless of corpus content (the corpus text itself is clean).
+def _with_pii(corpus: DataFrame) -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example or 10."), (d % 256).cast("string"),
+        F.lit("."), (d % 100).cast("string"),
+        F.lit("."), (d % 50).cast("string"),
+    )
+
+
+def redact_pii(corpus: DataFrame) -> DataFrame:
+    """Scrub emails + IPv4s, report per-doc redaction counts and the
+    scrubbed text (C13-family regex ops, all JVM-side)."""
+    raw = _with_pii(corpus)
+    redacted = raw
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(raw, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}"),
+        )
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return corpus.select(
+        "doc_id", *counts, redacted.alias("clean_text")
+    ).orderBy("doc_id")
+
+
+def redact_pii_sql() -> str:
+    raw = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example or 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 100 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 50 AS VARCHAR)"
+    )
+    cnts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all({raw}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = raw
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       {cnts},
+       {red} AS clean_text
+FROM corpus ORDER BY doc_id
+"""
+
+
+# --- token-window chunking -------------------------------------------------------
+
+
+def chunk_documents(
+    corpus: DataFrame, window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Context-window packing: one row per (doc, chunk) with the chunk's
+    token span rejoined to text.  Narrow map + explode — no shuffle; chunk
+    starts advance by `stride` (overlap = window - stride), short docs
+    yield one truncated chunk."""
+    toks = tokens("text")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - (window - stride), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s, window)),
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            F.size(toks).alias("doc_tokens"),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.when(F.col("chunk_text") == "", 0)
+            .otherwise(F.size(F.split(F.col("chunk_text"), " ")))
+            .cast("long"),
+        )
+        .withColumn("chunk_id", F.col("chunk_id").cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def chunk_documents_sql(window: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+chunked AS (
+  SELECT doc_id, len(toks) AS doc_tokens,
+         list_transform(starts,
+             s -> coalesce(
+                 array_to_string(toks[s : s + {window} - 1], ' '), ''))
+             AS texts
+  FROM (
+    SELECT doc_id, toks,
+           range(1, greatest(len(toks) - {window - stride}, 1) + 1,
+                 {stride}) AS starts
+    FROM tokd
+  )
+),
+flat AS (
+  SELECT doc_id, doc_tokens,
+         generate_subscripts(texts, 1) - 1 AS chunk_id,
+         unnest(texts) AS chunk_text
+  FROM chunked
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       chunk_text,
+       CAST(CASE WHEN chunk_text = '' THEN 0
+                 ELSE len(string_split(chunk_text, ' ')) END AS BIGINT)
+           AS chunk_tokens,
+       doc_id,
+       doc_tokens
+FROM flat ORDER BY doc_id, chunk_id
+"""

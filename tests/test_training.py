@@ -1,0 +1,77 @@
+"""Training-data pipeline operators vs DuckDB oracles + behavior checks."""
+
+from pyspark.sql import functions as F
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.operators import training as tr
+
+from .oracle import assert_same
+
+
+def test_train_val_split(spark, duck, sf_dir):
+    got = tr.train_val_split(load_corpus(spark, sf_dir), val_per_mille=100)
+    assert_same(got, duck.execute(tr.train_val_split_sql(100)).df())
+    frac = got.filter("split = 'val'").count() / got.count()
+    assert 0.02 < frac < 0.25  # ~10% by key-space, tolerant at small N
+    # deterministic: a second run assigns identically
+    again = tr.train_val_split(load_corpus(spark, sf_dir), val_per_mille=100)
+    assert got.collect() == again.collect()
+
+
+def test_decontaminate(spark, duck, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    bench = corpus.filter("doc_id % 97 = 0")
+    got = tr.decontaminate(corpus, bench)
+    assert_same(got, duck.execute(tr.decontaminate_sql("doc_id % 97 = 0")).df())
+    flagged = {r["doc_id"] for r in got.filter("contaminated").collect()}
+    # the benchmark docs themselves are flagged (trivially self-overlapping,
+    # as long as they have >= 8 tokens)
+    bench_ids = {
+        r["doc_id"]
+        for r in bench.filter(
+            F.size(F.split(F.lower("text"), r"[^\p{L}\p{N}]+")) >= 8
+        ).collect()
+    }
+    assert bench_ids <= flagged
+
+
+def test_redact_pii(spark, duck, sf_dir):
+    got = tr.redact_pii(load_corpus(spark, sf_dir))
+    assert_same(got, duck.execute(tr.redact_pii_sql()).df())
+    rows = got.collect()
+    for r in rows:
+        assert r["n_email"] >= 1 and r["n_ipv4"] >= 1  # synthetic block
+        assert "[EMAIL]" in r["clean_text"] and "[IPV4]" in r["clean_text"]
+        assert "@mail" not in r["clean_text"]
+
+
+def test_chunk_documents(spark, duck, sf_dir):
+    got = tr.chunk_documents(load_corpus(spark, sf_dir), window=64, stride=48)
+    assert_same(got, duck.execute(tr.chunk_documents_sql(64, 48)).df())
+    rows = got.collect()
+    assert all(r["chunk_tokens"] <= 64 for r in rows)
+    # docs longer than one window produce overlapping multi-chunk output
+    multi = [r for r in rows if r["chunk_id"] > 0]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    if multi:  # stride < window => consecutive chunks overlap by 16 tokens
+        d = multi[0]["doc_id"]
+        c0, c1 = sorted(by_doc[d], key=lambda r: r["chunk_id"])[:2]
+        tail = c0["chunk_text"].split(" ")[48:]
+        assert c1["chunk_text"].split(" ")[: len(tail)] == tail
+
+
+def test_chunk_no_shuffle_plan(spark, sf_dir):
+    """Chunking must stay a narrow map+explode — no Exchange before the
+    generator."""
+    df = tr.chunk_documents(load_corpus(spark, sf_dir))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    gen = plan.find("Generate")
+    first_ex = plan.find("Exchange")
+    assert gen != -1
+    # the only exchange allowed is the final orderBy sort; it must appear
+    # ABOVE the generator in the plan (earlier in the string)
+    assert first_ex == -1 or first_ex < gen
