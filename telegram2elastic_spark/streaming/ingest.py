@@ -517,6 +517,75 @@ class IncrementalIndexer:
     def lineage(self) -> DataFrame | None:
         return self._read_all("lineage")
 
+    def fsck(self) -> list[str]:
+        """Integrity check of the on-disk index against the manifest and
+        the per-segment lineage/counters the build recorded (this is what
+        the north_rule's 'per-partition lineage + counters' exist FOR):
+
+          * every committed segment dir + required tables present;
+          * per-segment doc count == manifest n_docs (+ n_tombstones rows
+            in the tombstone table when claimed);
+          * per-salt posting-block counts == the lineage table written at
+            build time (detects lost/truncated posting partitions).
+
+        Returns a list of human-readable problems (empty = healthy)."""
+        problems: list[str] = []
+        for e in self.manifest():
+            seg = e["segment_id"]
+            d = self._seg_dir(seg)
+            if not os.path.isdir(d):
+                problems.append(f"seg {seg}: directory missing ({d})")
+                continue
+            for table in ("doc_map", "term_dict", "postings", "lineage"):
+                if not os.path.isdir(os.path.join(d, table)):
+                    problems.append(f"seg {seg}: table {table} missing")
+            if problems and problems[-1].startswith(f"seg {seg}:"):
+                if any(
+                    p.startswith(f"seg {seg}: table") for p in problems
+                ):
+                    continue  # skip content checks on a broken layout
+            try:
+                n_docs = self.spark.read.parquet(f"{d}/doc_map").count()
+                if n_docs != e["n_docs"]:
+                    problems.append(
+                        f"seg {seg}: doc_map has {n_docs} rows, "
+                        f"manifest says {e['n_docs']}"
+                    )
+                if e.get("n_tombstones"):
+                    nt = self.spark.read.parquet(f"{d}/tombstones").count()
+                    if nt != e["n_tombstones"]:
+                        problems.append(
+                            f"seg {seg}: tombstones has {nt} rows, "
+                            f"manifest says {e['n_tombstones']}"
+                        )
+                recorded = {
+                    r["salt"]: (r["n_blocks"], r["n_postings"])
+                    for r in self.spark.read.parquet(f"{d}/lineage").collect()
+                }
+                actual = {
+                    r["salt"]: (r["n_blocks"], r["n_postings"])
+                    for r in self.spark.read.parquet(f"{d}/postings")
+                    .groupBy("salt")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_blocks"),
+                        F.sum("n_docs").alias("n_postings"),
+                    )
+                    .collect()
+                }
+                if recorded != actual:
+                    bad = {
+                        s
+                        for s in set(recorded) | set(actual)
+                        if recorded.get(s) != actual.get(s)
+                    }
+                    problems.append(
+                        f"seg {seg}: posting lineage mismatch on salts "
+                        f"{sorted(bad)}"
+                    )
+            except Exception as exc:  # unreadable parquet = corruption
+                problems.append(f"seg {seg}: unreadable table ({exc})")
+        return problems
+
 
 def _empty_postings_pdf() -> pd.DataFrame:
     return pd.DataFrame(

@@ -161,3 +161,28 @@ def test_snapshot_isolation_and_time_travel(spark, sf_dir, tmp_path):
         ix.manifest(version=1)
     # current view unaffected by vacuum
     assert _rows(wand_topk(ix.as_index(), ["spark", "merge"], k=10)) == before
+
+
+def test_fsck_detects_corruption(spark, sf_dir, tmp_path):
+    """Per-partition lineage + counters are load-bearing: fsck validates
+    the on-disk index against them and pinpoints damage."""
+    import shutil
+
+    corpus = load_corpus(spark, sf_dir).filter("doc_id < 60")
+    ix = IncrementalIndexer(spark, str(tmp_path / "fix"), n_doc_parts=4)
+    ix.ingest_batch(corpus.filter("doc_id < 30"), "b0")
+    ix.ingest_batch(corpus.filter("doc_id >= 30"), "b1")
+    assert ix.fsck() == []  # healthy
+
+    # wound 1: drop a whole table of seg 1
+    shutil.rmtree(tmp_path / "fix" / "seg_000001" / "term_dict")
+    # wound 2: delete a posting parquet part-file of seg 0 (lineage catches)
+    import glob as _glob
+    import os as _os
+
+    parts = _glob.glob(str(tmp_path / "fix" / "seg_000000" / "postings" / "part-*"))
+    _os.unlink(parts[0])
+
+    problems = ix.fsck()
+    assert any("seg 1: table term_dict missing" in p for p in problems), problems
+    assert any(p.startswith("seg 0:") for p in problems), problems
