@@ -422,12 +422,19 @@ def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
 
 
 def wand_topk_batch(
-    index: dict, queries: dict[int, list[str]], k: int = 10
+    index: dict,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Answer a whole query batch in ONE Spark job (the server pattern:
     per-query Spark-job overhead is ~2 s in local mode, ~100x the kernel
     compute, so the query set is executed as a single applyInPandas stage
     and a single per-query top-k window).
+
+    `doc_filter` applies one shared document-level predicate (tenant /
+    language / time-range filter-context) to every query in the batch,
+    delivered per-salt via cogroup like the single-query path.
 
     Returns (query_id, doc_id, url, score), top-k per query, ordered.
     """
@@ -445,7 +452,7 @@ def wand_topk_batch(
     post = _postings_for_terms(
         index, sorted({t for ts in live.values() for t in ts})
     )
-    filt = _filters_df(index, None)
+    filt = _filters_df(index, doc_filter)
 
     def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
         outs = []
@@ -456,7 +463,7 @@ def wand_topk_batch(
                 continue
             res = _score_salt_group(
                 pd.concat(sub), {t: idfs[t] for t in ts}, avgdl, k,
-                tombstones=tomb,
+                tombstones=tomb, allowed=allowed,
             )
             res.insert(0, "query_id", np.int32(qid))
             outs.append(res)
@@ -471,7 +478,8 @@ def wand_topk_batch(
         return pd.concat(outs, ignore_index=True)
 
     local = _salt_scored(
-        post, filt, False, kernel, "query_id int, doc_id long, score double"
+        post, filt, doc_filter is not None, kernel,
+        "query_id int, doc_id long, score double",
     )
     from pyspark.sql import Window
 

@@ -762,17 +762,23 @@ def stream_ingest_availablenow(
     corpus_path: str,
     indexer: IncrementalIndexer,
     checkpoint_dir: str,
+    upsert: bool = False,
 ) -> None:
     """Structured Streaming ingest (S3/S4/S5): file-source readStream over
     the corpus directory, Trigger.AvailableNow micro-batches, foreachBatch
     -> segment append.  Spark's checkpoint tracks source offsets (which
     files were consumed, catch_up analogue telegram2elastic.py:535); the
     manifest makes the sink side idempotent, giving end-to-end exactly-once
-    segment commits."""
+    segment commits.
+
+    `upsert=True` routes each micro-batch through upsert_batch instead —
+    the MessageEdited streaming path (telegram2elastic.py:530-533): a
+    re-delivered url with changed text tombstones the old generation."""
     schema = spark.read.parquet(corpus_path).schema
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        indexer.ingest_batch(batch_df, batch_id=f"stream_epoch={epoch_id}")
+        write = indexer.upsert_batch if upsert else indexer.ingest_batch
+        write(batch_df, batch_id=f"stream_epoch={epoch_id}")
 
     q = (
         spark.readStream.schema(schema)

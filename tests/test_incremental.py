@@ -174,3 +174,35 @@ def test_upsert_edited_docs(spark, corpus, tmp_path):
     ]
     got = _topk(merged, ("the", "data"))
     assert got == want
+
+
+def test_streaming_upsert_edited_docs(spark, corpus, tmp_path):
+    """Streaming MessageEdited path: a later file re-delivering edited urls
+    is discovered by the file source's checkpoint and routed through
+    upsert_batch — old generations tombstoned, new ones searchable."""
+    from pyspark.sql import functions as F
+
+    cpath = str(tmp_path / "scorpus")
+    ckpt = str(tmp_path / "sckpt")
+    corpus.coalesce(1).write.parquet(cpath)
+    ix = IncrementalIndexer(spark, str(tmp_path / "six"), n_doc_parts=4)
+    stream_ingest_availablenow(spark, cpath, ix, ckpt, upsert=True)
+    n0 = ix.as_index()["doc_map"].count()
+    assert n0 == corpus.count()
+
+    # second delivery: a new file in the SAME dir with edited text for a
+    # few urls; the checkpoint ensures only the new file is processed
+    edited = corpus.filter("doc_id % 11 = 0").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" streamed edit token"))
+    )
+    edited.coalesce(1).write.mode("append").parquet(cpath)
+    stream_ingest_availablenow(spark, cpath, ix, ckpt, upsert=True)
+
+    n_edits = edited.count()
+    assert len(ix.tombstones()) == n_edits
+    idx = ix.as_index()
+    assert idx["doc_map"].count() == n0  # replaced, not duplicated
+    live = {r["doc_id"] for r in idx["doc_map"].collect()}
+    for r in edited.select("doc_id").collect():
+        assert r["doc_id"] not in live
+        assert r["doc_id"] + IncrementalIndexer.GEN_STRIDE in live

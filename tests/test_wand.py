@@ -125,3 +125,28 @@ def test_conjunctive_mode(spark, sf_dir, index):
         assert local == [(d, s) for d, _, s in want], terms
     # a required zero-hit term -> empty
     assert wand_topk(index, ["the", "zzzznotaterm"], k=10, conjunctive=True).count() == 0
+
+
+def test_batch_doc_filter_matches_single_path(spark, sf_dir):
+    """wand_topk_batch(doc_filter=...) must equal per-query wand_topk with
+    the same filter (shared filter-context, cogroup-delivered)."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query.wand import wand_topk, wand_topk_batch
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    queries = {0: ["the", "data", "row"], 1: ["spark", "merge"]}
+    batch = wand_topk_batch(idx, queries, k=10, doc_filter="lang = 'en'")
+    got = {
+        qid: [
+            (r["doc_id"], r["score"])
+            for r in batch.filter(batch["query_id"] == qid).collect()
+        ]
+        for qid in queries
+    }
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(idx, terms, k=10, doc_filter="lang = 'en'").collect()
+        ]
+        assert got[qid] == want, qid
