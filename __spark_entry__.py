@@ -23,7 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, fuzzy, phrase, search
+from telegram2elastic_spark.query import bm25, compound, fuzzy, phrase, search
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
 
@@ -90,6 +90,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_3gram": lambda spark, sf: phrase.phrase_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
             ["table", "scan", "merge"], k=10,
+        ),
+        # bool query: match terms + match_phrase, scored together
+        "compound_topk": lambda spark, sf: compound.compound_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["spark", "merge"], ["the", "fast"], k=10,
         ),
         "bm25_conjunctive": lambda spark, sf: bm25.bm25_topk(
             load_corpus(spark, sf), Q_MAIN, k=10, conjunctive=True
@@ -306,6 +311,9 @@ FROM corpus ORDER BY doc_id
         "phrase_topk": phrase.phrase_topk_sql(["the", "fast"], k=10),
         "phrase_topk_3gram": phrase.phrase_topk_sql(
             ["table", "scan", "merge"], k=10
+        ),
+        "compound_topk": compound.compound_topk_sql(
+            ["spark", "merge"], ["the", "fast"], k=10
         ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),

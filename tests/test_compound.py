@@ -1,0 +1,87 @@
+"""Compound (bool) queries: BM25 terms + exact phrase scored together."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.query import compound
+from telegram2elastic_spark.query.bm25 import bm25_topk
+from telegram2elastic_spark.query.phrase import phrase_topk
+from telegram2elastic_spark.query.wand import wand_topk
+
+from .oracle import assert_same
+
+
+@pytest.fixture(scope="module")
+def pindex(spark, sf_dir):
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4, positions=True)
+    for nm in ("doc_map", "term_dict", "postings", "stats"):
+        idx[nm] = idx[nm].cache()
+        idx[nm].count()
+    return idx
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_compound_matches_oracle(spark, duck, sf_dir, pindex):
+    assert_same(
+        compound.compound_topk(pindex, ["spark", "merge"], ["the", "fast"], k=10),
+        duck.execute(
+            compound.compound_topk_sql(["spark", "merge"], ["the", "fast"], k=10)
+        ).df(),
+    )
+
+
+def test_compound_terms_only_equals_bm25(spark, sf_dir, pindex):
+    """Empty phrase degenerates to plain disjunctive BM25."""
+    got = _rows(compound.compound_topk(pindex, ["spark", "merge"], [], k=10))
+    want = _rows(bm25_topk(load_corpus(spark, sf_dir), ["spark", "merge"], k=10))
+    assert got == want
+
+
+def test_compound_phrase_only_equals_phrase_topk(pindex):
+    """Empty terms degenerates to the phrase pseudo-term ranking."""
+    got = _rows(compound.compound_topk(pindex, [], ["the", "fast"], k=10))
+    want = _rows(phrase_topk(pindex, ["the", "fast"], k=10))
+    assert got == want
+
+
+def test_compound_phrase_boosts_rank(pindex):
+    """A doc containing the exact phrase must outscore the same doc's
+    terms-only score (additive positive clause)."""
+    both = {
+        d: s
+        for d, s in _rows(
+            compound.compound_topk(pindex, ["spark"], ["the", "fast"], k=1000)
+        )
+    }
+    terms_only = dict(_rows(wand_topk(pindex, ["spark"], k=1000)))
+    phrase_docs = {d for d, _ in _rows(phrase_topk(pindex, ["the", "fast"], k=1000))}
+    boosted = phrase_docs & set(terms_only)
+    assert boosted
+    for d in boosted:
+        assert both[d] > terms_only[d]
+
+
+def test_compound_with_doc_filter(pindex):
+    got = _rows(
+        compound.compound_topk(
+            pindex, ["spark", "merge"], ["the", "fast"], k=10,
+            doc_filter="lang = 'en'",
+        )
+    )
+    assert got
+    en = {r["doc_id"] for r in pindex["doc_map"].filter("lang = 'en'").collect()}
+    assert all(d in en for d, _ in got)
+
+
+def test_compound_missing_phrase_term(pindex):
+    """A phrase containing an unseen term can never match; terms still
+    score (bool-should semantics)."""
+    got = _rows(
+        compound.compound_topk(pindex, ["spark"], ["zzznothere", "fast"], k=10)
+    )
+    want = _rows(wand_topk(pindex, ["spark"], k=10))
+    assert got == want
