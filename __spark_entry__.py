@@ -193,6 +193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cluster_stats": lambda spark, sf: sim.cluster_stats(
             load_embeddings(spark, sf)
         ),
+        # IVF ANN: deterministic coarse quantizer + nprobe inverted lists
+        "sim_ivf_assign": lambda spark, sf: sim.ivf_assign(
+            load_embeddings(spark, sf)
+        ),
+        "sim_ivf_topk": lambda spark, sf: sim.ivf_topk(
+            load_embeddings(spark, sf), query_vec_id=7, k=5, nprobe=2
+        ),
         # --- text analysis ---
         "text_lang_id": lambda spark, sf: tq.lang_id(load_corpus(spark, sf)),
         "text_quality": lambda spark, sf: tq.quality_scores(load_corpus(spark, sf)),
@@ -352,6 +359,8 @@ FROM corpus ORDER BY doc_id
         "sim_lsh_buckets": sim.lsh_buckets_sql(),
         "sim_ann_topk": sim.ann_topk_sql(query_vec_id=7, k=5),
         "sim_cluster_stats": sim.cluster_stats_sql(),
+        "sim_ivf_assign": sim.ivf_assign_sql(),
+        "sim_ivf_topk": sim.ivf_topk_sql(query_vec_id=7, k=5, nprobe=2),
         "text_lang_id": tq.lang_id_sql(),
         "text_quality": tq.quality_scores_sql(),
         "text_token_counts": tq.TOKEN_COUNTS_SQL,

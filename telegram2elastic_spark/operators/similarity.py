@@ -183,6 +183,138 @@ LIMIT {k}
 """
 
 
+# --- IVF (inverted-file) ANN ----------------------------------------------------
+
+IVF_CENTROID_MOD = 32  # deterministic coarse centroids: vec_id % MOD == 0
+
+
+def _l2sq(x: F.Column, y: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda a, z: a + z,
+    )
+
+
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer: every MOD-th vector is a centroid.
+    (A trained k-means quantizer plugs in here as a mapInPandas/Lloyd's
+    loop; the IVF *structure* — assignment lists + nprobe search — is what
+    this operator owns, and a deterministic quantizer keeps the DuckDB
+    oracle exact.)"""
+    return embeddings.filter(
+        F.col("vec_id") % IVF_CENTROID_MOD == 0
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """IVF inverted lists: each vector assigned to its nearest centroid
+    (L2; deterministic tie-break on rounded distance then cid).  The
+    centroid table is broadcast — assignment is one map-side pass + a
+    per-vector top-1, exactly how IVF lists are built at scale."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    d = (
+        e.crossJoin(F.broadcast(_centroids(embeddings)))
+        .withColumn("dist", F.round(_l2sq(F.col("v"), F.col("cv")), 5))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dist")
+        .orderBy("vec_id")
+    )
+
+
+def ivf_assign_sql() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         round(list_distance(e.v, c.cv) * list_distance(e.v, c.cv), 5)
+             AS dist
+  FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM d
+)
+SELECT vec_id, cid, dist FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """IVF search: probe the query's `nprobe` nearest inverted lists, then
+    exact cosine re-rank inside them.  Candidates ~ nprobe/C of the corpus;
+    the probe-list filter is a broadcast semi-join (the nprobe cids are a
+    tiny literal-sized set), so at 10^12 vectors the scan never touches
+    non-probed lists."""
+    from pyspark.sql import Window
+
+    assign = ivf_assign(embeddings)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    probe = (
+        _centroids(embeddings)
+        .crossJoin(F.broadcast(q))
+        .withColumn("dist", F.round(_l2sq(F.col("qv"), F.col("cv")), 5))
+        .orderBy(F.asc("dist"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid").select("vec_id")
+    return cosine_topk(
+        embeddings.join(cand, "vec_id").unionByName(
+            embeddings.filter(F.col("vec_id") == query_vec_id)
+        ).distinct(),
+        query_vec_id=query_vec_id,
+        k=k,
+    )
+
+
+def ivf_topk_sql(query_vec_id: int = 0, k: int = 10, nprobe: int = 2) -> str:
+    return f"""
+WITH assign AS ({ivf_assign_sql().strip()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY round(list_distance(cv, qv) * list_distance(cv, qv), 5) ASC,
+           cid ASC
+  LIMIT {nprobe}
+),
+cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe))
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+FROM e JOIN cand USING (vec_id), q
+WHERE e.vec_id != {query_vec_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 def cluster_stats(embeddings: DataFrame) -> DataFrame:
     """A4 analogue (EventCluster rollups, poc/src/core/models.py:331-337):
     per-LSH-bucket cluster statistics — member count, average label score,

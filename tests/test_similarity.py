@@ -39,3 +39,45 @@ def test_ann_subset_of_corpus_and_ordered(spark, sf_dir):
             assert abs(r["cosine"] - exact_map[r["vec_id"]]) < 1e-9
     # buckets shrink the candidate set
     assert len(approx) <= len(exact_ids)
+
+
+def test_ivf_assign_and_topk(spark, duck, sf_dir):
+    """IVF: assignment lists + nprobe search vs oracle; candidates really
+    come from the probed lists only."""
+    from telegram2elastic_spark.operators import similarity as sim
+
+    emb = load_embeddings(spark, sf_dir)
+    assign = sim.ivf_assign(emb)
+    assert_same(assign, duck.execute(sim.ivf_assign_sql()).df())
+    # every vector assigned exactly once, to an existing centroid
+    cents = {
+        r["vec_id"]
+        for r in emb.filter(f"vec_id % {sim.IVF_CENTROID_MOD} = 0").collect()
+    }
+    rows = assign.collect()
+    assert len(rows) == emb.count()
+    assert all(r["cid"] in cents for r in rows)
+    # a centroid is its own nearest list (dist 0)
+    by_vec = {r["vec_id"]: r for r in rows}
+    for c in cents:
+        assert by_vec[c]["cid"] == c and by_vec[c]["dist"] == 0.0
+
+    got = sim.ivf_topk(emb, query_vec_id=7, k=5, nprobe=2)
+    assert_same(got, duck.execute(sim.ivf_topk_sql(7, 5, 2)).df())
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """With nprobe = all lists, IVF search == exact brute force."""
+    from telegram2elastic_spark.operators import similarity as sim
+
+    emb = load_embeddings(spark, sf_dir)
+    n_cents = emb.filter(f"vec_id % {sim.IVF_CENTROID_MOD} = 0").count()
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in sim.ivf_topk(emb, 7, k=5, nprobe=n_cents).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in sim.cosine_topk(emb, 7, k=5).collect()
+    ]
+    assert full == exact
