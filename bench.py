@@ -199,6 +199,13 @@ def main() -> None:
         search.search_count(corpus, q="merge", min_score=10.0).collect()
         queries["search_pipeline"] = time.perf_counter() - t0
 
+        # new-op spot timings (extra keys, outside the headline sum)
+        from telegram2elastic_spark.query import fuzzy as fz
+
+        t0 = time.perf_counter()
+        fz.fuzzy_topk(corpus, "mergge batch", k=10).collect()
+        extra["fuzzy_1q_sec"] = round(time.perf_counter() - t0, 3)
+
         # q5: aggregations + window + self-join over events
         events = load_events(spark, SF_DIR)
         t0 = time.perf_counter()

@@ -56,23 +56,24 @@ def _doc_trigrams_col() -> F.Column:
 
 
 def fuzzy_topk(corpus: DataFrame, q: str, k: int = 10) -> DataFrame:
-    """Top-k docs by trigram similarity to `q` (typo-tolerant match)."""
+    """Top-k docs by trigram similarity to `q` (typo-tolerant match).
+
+    Plan: the query's trigram set is a literal array, so the probe is ONE
+    map-side `array_intersect` per doc — no explode (a 1k-trigram doc
+    would otherwise fan out 1k rows), no aggregation shuffle; the only
+    wide op is the final TakeOrdered top-k.  Docs sharing zero trigrams
+    are filtered map-side (the GIN-candidate property)."""
     qgrams = _query_trigrams(q)
     spark = corpus.sparkSession
     if not qgrams:
         return spark.createDataFrame([], "doc_id long, url string, sim double")
     n_q = len(qgrams)
+    qarr = F.array(*[F.lit(g) for g in qgrams])
     docs = corpus.select("doc_id", "url", _doc_trigrams_col().alias("grams"))
-    # GIN probe: only rows matching a query trigram survive the explode —
-    # the IN-list is a literal predicate evaluated map-side
-    shared = (
-        docs.select("doc_id", F.explode("grams").alias("g"))
-        .filter(F.col("g").isin(qgrams))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared = F.size(F.array_intersect(F.col("grams"), qarr))
     return (
-        docs.join(shared, "doc_id")  # candidates only (inner join)
+        docs.withColumn("shared", shared)
+        .filter(F.col("shared") > 0)
         .withColumn(
             "sim",
             F.round(
@@ -90,7 +91,7 @@ def fuzzy_topk(corpus: DataFrame, q: str, k: int = 10) -> DataFrame:
 def fuzzy_topk_sql(q: str, k: int = 10) -> str:
     qgrams = _query_trigrams(q)
     n_q = len(qgrams)
-    qlist = ", ".join("'" + g.replace("'", "''") + "'" for g in qgrams)
+    qlist = "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in qgrams) + "]"
     return f"""
 WITH {CORPUS_CTE.strip()},
 docs AS (
@@ -102,16 +103,15 @@ docs AS (
          END AS grams
   FROM corpus
 ),
-shared AS (
-  SELECT doc_id, count(*) AS shared
-  FROM (SELECT doc_id, unnest(grams) AS g FROM docs)
-  WHERE g IN ({qlist})
-  GROUP BY doc_id
+probed AS (
+  SELECT doc_id, url, grams,
+         len(list_intersect(grams, {qlist})) AS shared
+  FROM docs
 )
-SELECT d.doc_id, d.url,
-       round(s.shared / (len(d.grams) + {n_q} - s.shared),
-             {SIM_DECIMALS}) AS sim
-FROM docs d JOIN shared s ON d.doc_id = s.doc_id
-ORDER BY sim DESC, d.doc_id ASC
+SELECT doc_id, url,
+       round(shared / (len(grams) + {n_q} - shared), {SIM_DECIMALS}) AS sim
+FROM probed
+WHERE shared > 0
+ORDER BY sim DESC, doc_id ASC
 LIMIT {k}
 """
