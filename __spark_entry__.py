@@ -59,6 +59,14 @@ def _q_wand(terms, k=10):
     return run
 
 
+def _q_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="trgmix_")
+    fuzzy.build_trigram_index(load_corpus(spark, sf_dir), d)
+    return fuzzy.fuzzy_topk_indexed(spark, d, "mergge batch", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- ranked retrieval (O5; replaces ES delegation K1) ---
@@ -125,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_trigram_topk": lambda spark, sf: fuzzy.fuzzy_topk(
             load_corpus(spark, sf), "mergge batch", k=10
         ),
+        # same query served from the materialized trigram GIN index
+        "fuzzy_indexed_topk": _q_fuzzy_indexed,
         # --- search pipeline (F7-F10, O1, O2, A1) ---
         "search_page": lambda spark, sf: search.search_page(
             load_corpus(spark, sf), q="merge", min_score=10.0, offset=5, limit=10
@@ -331,6 +341,7 @@ FROM corpus ORDER BY doc_id
             Q_HEAVY, lang="en", global_stats=True
         ),
         "fuzzy_trigram_topk": fuzzy.fuzzy_topk_sql("mergge batch", k=10),
+        "fuzzy_indexed_topk": fuzzy.fuzzy_topk_sql("mergge batch", k=10),
         "index_term_dict": term_dict_sql,
         "index_doc_map": doc_map_sql,
         "search_page": search.search_page_sql(

@@ -88,6 +88,71 @@ def fuzzy_topk(corpus: DataFrame, q: str, k: int = 10) -> DataFrame:
     )
 
 
+# --- index-backed path (the actual GIN analogue) ------------------------------
+
+N_GRAM_BUCKETS = 64
+
+
+def build_trigram_index(corpus: DataFrame, out_dir: str) -> None:
+    """Materialize the trigram GIN: posting rows (g, doc_id) partitioned by
+    gbucket = pmod(xxhash64(g), 64) — a k-trigram query prunes to <= k of
+    the 64 bucket dirs (same layout discipline as the term postings) —
+    plus a docs table carrying each doc's distinct-trigram count (the |T(d)|
+    denominator, so queries never re-derive trigrams from text)."""
+    docs = corpus.select("doc_id", "url", _doc_trigrams_col().alias("grams"))
+    docs.select(
+        "doc_id", "url", F.size("grams").cast("int").alias("n_grams")
+    ).write.mode("overwrite").parquet(f"{out_dir}/docs")
+    (
+        docs.select("doc_id", F.explode("grams").alias("g"))
+        .withColumn("gbucket", F.pmod(F.xxhash64("g"), F.lit(N_GRAM_BUCKETS)))
+        .write.mode("overwrite")
+        .partitionBy("gbucket")
+        .parquet(f"{out_dir}/grams")
+    )
+
+
+def fuzzy_topk_indexed(spark, index_dir: str, q: str, k: int = 10) -> DataFrame:
+    """fuzzy_topk served from the materialized trigram index: probe only
+    the query trigrams' posting buckets (partition pruning + pushed IN
+    filter — the GIN posting-list probe), count shared grams per doc, join
+    the tiny top-k against the docs table.  Result-identical to the
+    scan-time fuzzy_topk (same oracle)."""
+    qgrams = _query_trigrams(q)
+    if not qgrams:
+        return spark.createDataFrame([], "doc_id long, url string, sim double")
+    n_q = len(qgrams)
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame([(g,) for g in qgrams], "g string")
+            .select(F.pmod(F.xxhash64("g"), F.lit(N_GRAM_BUCKETS)).alias("b"))
+            .collect()
+        }
+    )
+    grams = (
+        spark.read.parquet(f"{index_dir}/grams")
+        .filter(F.col("gbucket").isin(buckets))
+        .filter(F.col("g").isin(qgrams))
+    )
+    shared = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("shared"))
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    return (
+        shared.join(docs, "doc_id")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("shared")
+                / (F.col("n_grams") + F.lit(n_q) - F.col("shared")),
+                SIM_DECIMALS,
+            ),
+        )
+        .select("doc_id", "url", "sim")
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def fuzzy_topk_sql(q: str, k: int = 10) -> str:
     qgrams = _query_trigrams(q)
     n_q = len(qgrams)

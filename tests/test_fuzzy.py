@@ -47,3 +47,23 @@ def test_fuzzy_plan_probes_not_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_indexed_matches_scan(spark, sf_dir, tmp_path):
+    """Index-backed fuzzy path: identical results to the scan-time
+    operator, with gbucket partition pruning + pushed trigram filter."""
+    corpus = load_corpus(spark, sf_dir)
+    d = str(tmp_path / "trgm")
+    fuzzy.build_trigram_index(corpus, d)
+    got = fuzzy.fuzzy_topk_indexed(spark, d, "mergge batch", k=10)
+    want = fuzzy.fuzzy_topk(corpus, "mergge batch", k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    grams = spark.read.parquet(f"{d}/grams").filter(
+        F.col("gbucket").isin([0, 1])
+    )
+    plan = grams._sc._jvm.PythonSQLUtils.explainString(
+        grams._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "gbucket" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
