@@ -763,6 +763,7 @@ def stream_ingest_availablenow(
     indexer: IncrementalIndexer,
     checkpoint_dir: str,
     upsert: bool = False,
+    auto_compact: bool = False,
 ) -> None:
     """Structured Streaming ingest (S3/S4/S5): file-source readStream over
     the corpus directory, Trigger.AvailableNow micro-batches, foreachBatch
@@ -773,7 +774,11 @@ def stream_ingest_availablenow(
 
     `upsert=True` routes each micro-batch through upsert_batch instead —
     the MessageEdited streaming path (telegram2elastic.py:530-533): a
-    re-delivered url with changed text tombstones the old generation."""
+    re-delivered url with changed text tombstones the old generation.
+    `auto_compact=True` runs the size-tiered merge policy after the
+    stream drains (steady-state segment count stays bounded no matter how
+    many micro-batches arrived; readers of older snapshots are unaffected
+    until vacuum())."""
     schema = spark.read.parquet(corpus_path).schema
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -789,3 +794,5 @@ def stream_ingest_availablenow(
         .start()
     )
     q.awaitTermination()
+    if auto_compact:
+        indexer.maybe_compact()
