@@ -25,6 +25,7 @@ pmod(xxhash64(term), n_buckets) so a k-term query prunes to <= k buckets.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -116,39 +117,115 @@ def term_dict(tf_df: DataFrame) -> DataFrame:
     )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term, salt) group -> posting block rows."""
-    pdf = pdf.sort_values("doc_id")
-    term = pdf["term"].iloc[0]
+_EMPTY_POSTINGS = pd.DataFrame(
+    {
+        "term": pd.Series([], dtype=object),
+        "salt": pd.Series([], dtype="int32"),
+        "block_id": pd.Series([], dtype="int32"),
+        "n_docs": pd.Series([], dtype="int32"),
+        "first_doc_id": pd.Series([], dtype="int64"),
+        "last_doc_id": pd.Series([], dtype="int64"),
+        "doc_gaps": pd.Series([], dtype=object),
+        "tf_bytes": pd.Series([], dtype=object),
+        "dl_bytes": pd.Series([], dtype=object),
+        "pos_bytes": pd.Series([], dtype=object),
+        "block_max_tf": pd.Series([], dtype="int32"),
+    }
+)
+
+
+def _encode_terms_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (salt, enc_key) group holding MANY terms
+    -> posting block rows for all of them in one vectorized pass.
+
+    The r2 kernel ran per (term, salt) group — pandas group dispatch plus
+    a Python list-of-dicts per block dominated postings_encode_write (the
+    single biggest build stage).  This kernel amortizes that: one
+    factorize + lexsort orders the whole batch by (term, doc_id); block
+    boundaries, delta gaps, block-max and skip pointers are computed with
+    numpy over the batch; the varbyte buffers for gaps/tf/dl are encoded
+    in ONE flat pass each and split at exact per-block byte offsets
+    (codec.varbyte_widths).  Output assembly is numpy column arrays — no
+    per-block dict allocation.  Byte-identical blocks to the per-term
+    encoder (asserted by tests/test_codec.py::test_batch_encoder_identity).
+    """
+    if pdf.empty:
+        return _EMPTY_POSTINGS.copy()
+    from .codec import varbyte_encode, varbyte_widths
+
     salt = int(pdf["salt"].iloc[0])
-    blocks = encode_blocks(
-        pdf["doc_id"].to_numpy(),
-        pdf["tf"].to_numpy(),
-        BLOCK_SIZE,
-        doc_lens=pdf["dl"].to_numpy(),
-        positions=list(pdf["positions"]) if "positions" in pdf else None,
+    has_pos = "positions" in pdf.columns
+    codes, uniq = pd.factorize(pdf["term"], sort=False)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    order = np.lexsort((doc_ids, codes))
+    codes = codes[order]
+    ids = doc_ids[order].astype(np.uint64)
+    tfs = pdf["tf"].to_numpy(np.int64)[order].astype(np.uint64)
+    dls = pdf["dl"].to_numpy(np.int64)[order].astype(np.uint64)
+    n = ids.size
+
+    idx = np.arange(n, dtype=np.int64)
+    new_term = np.empty(n, dtype=bool)
+    new_term[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=new_term[1:])
+    run_start = np.maximum.accumulate(np.where(new_term, idx, 0))
+    r = idx - run_start  # within-term position
+    is_start = new_term | (r % BLOCK_SIZE == 0)
+    starts = np.flatnonzero(is_start)
+    n_blocks = starts.size
+    ends = np.concatenate((starts[1:], [n]))
+
+    # per-block ids within each term run (block_id resets per term)
+    bidx = np.arange(n_blocks, dtype=np.int64)
+    b_new_term = new_term[starts]
+    b_run_start = np.maximum.accumulate(np.where(b_new_term, bidx, 0))
+    block_id = (bidx - b_run_start).astype(np.int32)
+
+    # delta gaps with reset at block starts (first value absolute)
+    gaps = ids.copy()
+    notst = np.flatnonzero(~is_start)
+    gaps[notst] = ids[notst] - ids[notst - 1]
+
+    def _bufs(vals: np.ndarray) -> list[bytes]:
+        flat = varbyte_encode(vals)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varbyte_widths(vals), out=offs[1:])
+        return [flat[offs[s] : offs[e]] for s, e in zip(starts, ends)]
+
+    out = pd.DataFrame(
+        {
+            "term": uniq.take(codes[starts]).astype(object),
+            "salt": np.full(n_blocks, salt, dtype=np.int32),
+            "block_id": block_id,
+            "n_docs": (ends - starts).astype(np.int32),
+            "first_doc_id": ids[starts].astype(np.int64),
+            "last_doc_id": ids[ends - 1].astype(np.int64),
+            "doc_gaps": pd.Series(_bufs(gaps), dtype=object),
+            "tf_bytes": pd.Series(_bufs(tfs), dtype=object),
+            "dl_bytes": pd.Series(_bufs(dls), dtype=object),
+            "pos_bytes": pd.Series([b""] * n_blocks, dtype=object),
+            "block_max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+        }
     )
-    return pd.DataFrame(
-        [
-            {
-                "term": term,
-                "salt": salt,
-                "block_id": b["block_id"],
-                "n_docs": b["n_docs"],
-                "first_doc_id": b["first_doc_id"],
-                "last_doc_id": b["last_doc_id"],
-                "doc_gaps": b["doc_gaps"],
-                "tf_bytes": b["tf_bytes"],
-                "dl_bytes": b["dl_bytes"],
-                "pos_bytes": b["pos_bytes"],
-                "block_max_tf": b["block_max_tf"],
-            }
-            for b in blocks
-        ]
-    )
+    if has_pos:
+        from .codec import encode_positions
+
+        pos = pdf["positions"].to_numpy(object)[order]
+        out["pos_bytes"] = pd.Series(
+            [encode_positions(pos[s:e]) for s, e in zip(starts, ends)],
+            dtype=object,
+        )
+    return out
 
 
 DEFAULT_DOC_PARTS = 32
+
+# Sub-splits within a salt for the encode shuffle: groups stay bounded
+# (≈ |batch| / (n_doc_parts × ENCODE_SUBGROUPS)) no matter how large the
+# corpus grows, while each group still amortizes kernel overhead over many
+# terms.  Purely a parallelism/batching knob — blocks are per-term, so the
+# output bytes are identical for any value.
+ENCODE_SUBGROUPS = 64
 
 
 def build_postings(tf_df: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> DataFrame:
@@ -170,9 +247,16 @@ def build_postings(tf_df: DataFrame, n_doc_parts: int = DEFAULT_DOC_PARTS) -> Da
     # so norms are denormalized into the blocks with zero extra shuffles.
     salted = tf_df.withColumn(
         "salt", F.pmod(F.col("doc_id"), F.lit(n_doc_parts)).cast("int")
+    ).withColumn(
+        "enc_key",
+        F.pmod(F.xxhash64("term"), F.lit(ENCODE_SUBGROUPS)).cast("int"),
     )
-    return salted.groupBy("term", "salt").applyInPandas(
-        _encode_group, POSTINGS_SCHEMA
+    # grouping by (salt, term-hash subgroup) instead of (term, salt) hands
+    # the kernel MANY terms per Arrow batch — same shuffle volume, far
+    # fewer group dispatches (see _encode_terms_batch)
+    return (
+        salted.groupBy("salt", "enc_key")
+        .applyInPandas(_encode_terms_batch, POSTINGS_SCHEMA)
     )
 
 
@@ -282,15 +366,24 @@ def read_index(spark, out_dir: str) -> dict:
     import json as _json
     import os as _os
 
-    n_parts = DEFAULT_DOC_PARTS
+    postings = spark.read.parquet(f"{out_dir}/postings")
     meta_path = _os.path.join(out_dir, "meta.json")
     if _os.path.exists(meta_path):
         with open(meta_path) as f:
             n_parts = int(_json.load(f).get("n_doc_parts", DEFAULT_DOC_PARTS))
+    else:
+        # An index written before meta.json existed: DERIVE the salt
+        # modulus from the postings rather than assuming the default —
+        # a wrong n_doc_parts would salt query-time doc filters and
+        # tombstones with the wrong modulus and return silently wrong
+        # (empty-filter) results.
+        n_parts = int(
+            postings.agg(F.max("salt")).first()[0]
+        ) + 1
     return {
         "doc_map": spark.read.parquet(f"{out_dir}/doc_map"),
         "term_dict": spark.read.parquet(f"{out_dir}/term_dict"),
-        "postings": spark.read.parquet(f"{out_dir}/postings"),
+        "postings": postings,
         "stats": spark.read.parquet(f"{out_dir}/stats"),
         "_n_doc_parts": n_parts,
     }

@@ -18,6 +18,19 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def varbyte_widths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte width per value (number of 7-bit groups, >= 1).
+    Exposed so multi-block encoders can split ONE flat encode of a whole
+    batch into per-block buffers at exact byte offsets."""
+    v = np.asarray(values, dtype=np.uint64)
+    widths = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)  # uint64 fits in 10 groups
+    while tmp.any():
+        widths += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    return widths
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Varbyte-encode a uint64 array (LEB128-style, 7 bits per byte,
     high bit = continuation).  Vectorized: compute per-value byte width,
@@ -26,16 +39,7 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of 7-bit groups per value (>=1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # uint64 fits in 10 groups
-    widths = np.ones(v.shape, dtype=np.int64)
-    tmp = tmp >> np.uint64(7)
-    while tmp.any():
-        widths += (tmp > 0).astype(np.int64)
-        tmp = tmp >> np.uint64(7)
-    del nbits
+    widths = varbyte_widths(v)
     ends = np.cumsum(widths)
     total = int(ends[-1])
     out = np.zeros(total, dtype=np.uint8)

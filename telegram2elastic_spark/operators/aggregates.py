@@ -93,6 +93,56 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def reactions_map(events: DataFrame) -> DataFrame:
+    """C21: true MapType reactions op — the reference builds an
+    emoji->count dict per message plus a summed total
+    (poc/src/core/telegram_client.py:336-349 `reactions_data[emoji] =
+    count; reactions_count += count`).  Here per user: event_type->count
+    entries become a real MapType via sort_array + map_from_entries, the
+    total is a higher-order `aggregate` over map_values (never leaves the
+    map), and the map ships out as its canonical JSON encoding (sorted
+    keys -> deterministic bytes for the cross-engine gate).
+
+    One hash-agg shuffle on (user_id, event_type) with map-side combine,
+    then one on user_id — group keys are low-cardinality relative to the
+    event stream, so this scales like any counters rollup."""
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "c")))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.size("m").alias("n_kinds"),
+            F.aggregate(
+                F.map_values("m"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("total"),
+            F.to_json("m").alias("reactions_json"),
+        )
+        .orderBy("user_id")
+    )
+
+
+REACTIONS_MAP_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS INTEGER) AS n_kinds,
+       CAST(sum(c) AS BIGINT) AS total,
+       '{' || string_agg('"' || event_type || '":' || CAST(c AS VARCHAR),
+                         ',' ORDER BY event_type) || '}' AS reactions_json
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
 def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k per group (window O5/O6 family): highest-value users per
     event_type — rank window + filter, deterministic tie-break."""

@@ -23,6 +23,7 @@ reference measured (poc/README.md:296).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -67,6 +68,95 @@ SELECT doc_id,
            || sha256(CAST(html AS VARCHAR)) || '.html' AS storage_key,
        'text/html' AS mime_type
 FROM corpus ORDER BY doc_id
+"""
+
+
+# Reference default media file pattern (telegram2elastic.py:250):
+#   "{date[year]}-{date[month]}-{date[day]}_{date[hour]}-{date[minute]}-
+#    {date[second]}_{message[id]}_{file[name]}.{file[ext]}"
+# with month..second zero-padded to 2 via str.rjust(2, "0")
+# (telegram2elastic.py:466-481) and format_map over the
+# {date:…, file:…, message:…} dict (:484).
+DEFAULT_FILE_PATTERN = (
+    "{date[year]}-{date[month]}-{date[day]}"
+    "_{date[hour]}-{date[minute]}-{date[second]}"
+    "_{message[id]}_{file[name]}.{file[ext]}"
+)
+
+_FIELD_RE = re.compile(r"\{(\w+)\[(\w+)\]\}")
+
+
+def _pattern_fields() -> dict[tuple[str, str], F.Column]:
+    """The filename_pattern_map (telegram2elastic.py:465-481) as Spark
+    columns over the corpus: message.date -> warc_ts, message.id -> doc_id,
+    message.chat_id -> the site number, file name/ext from the url."""
+    ts = F.col("warc_ts")
+    basename = F.regexp_extract("url", r"([^/]+)$", 1)
+    stem = F.regexp_replace(basename, r"\.[^.]*$", "")
+    chat_id = (F.col("doc_id") % 1000).cast("string")
+    # original_filename fallback: msg{chat_id}-{id} when the file carries
+    # no name (telegram2elastic.py:445-448)
+    name = F.when(
+        stem == "", F.concat(F.lit("msg"), chat_id, F.lit("-"), F.col("doc_id"))
+    ).otherwise(stem)
+    pad = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731  str.rjust(2,"0")
+    return {
+        ("date", "year"): F.year(ts).cast("string"),
+        ("date", "month"): pad(F.month(ts)),
+        ("date", "day"): pad(F.dayofmonth(ts)),
+        ("date", "hour"): pad(F.hour(ts)),
+        ("date", "minute"): pad(F.minute(ts)),
+        ("date", "second"): pad(F.second(ts)),
+        ("message", "id"): F.col("doc_id").cast("string"),
+        ("message", "chat_id"): chat_id,
+        ("file", "name"): name,
+        ("file", "ext"): F.lit("html"),
+    }
+
+
+def media_filename(
+    corpus: DataFrame, pattern: str = DEFAULT_FILE_PATTERN
+) -> DataFrame:
+    """P7/C15: the media download filename from the configurable
+    `file_pattern` (telegram2elastic.py:484 `format_map`): the pattern's
+    `{section[key]}` placeholders compile driver-side into ONE `concat`
+    of literal segments and column refs — pure built-ins, codegen'd,
+    no Python in the hot path."""
+    fields = _pattern_fields()
+    parts: list[F.Column] = []
+    pos = 0
+    for m in _FIELD_RE.finditer(pattern):
+        if m.start() > pos:
+            parts.append(F.lit(pattern[pos : m.start()]))
+        key = (m.group(1), m.group(2))
+        if key not in fields:
+            raise KeyError(f"unknown pattern field {{{key[0]}[{key[1]}]}}")
+        parts.append(fields[key])
+        pos = m.end()
+    if pos < len(pattern):
+        parts.append(F.lit(pattern[pos:]))
+    return corpus.select(
+        "doc_id", F.concat(*parts).alias("filename")
+    ).orderBy("doc_id")
+
+
+MEDIA_FILENAME_SQL = f"""
+WITH {CORPUS_CTE.strip()},
+named AS (
+  SELECT doc_id, warc_ts,
+         regexp_replace(regexp_extract(url, '([^/]+)$', 1),
+                        '\\.[^.]*$', '') AS stem
+  FROM corpus
+)
+SELECT doc_id,
+       strftime(warc_ts, '%Y-%m-%d_%H-%M-%S') || '_'
+         || CAST(doc_id AS VARCHAR) || '_'
+         || CASE WHEN stem = ''
+                 THEN 'msg' || CAST(doc_id % 1000 AS VARCHAR) || '-'
+                      || CAST(doc_id AS VARCHAR)
+                 ELSE stem END
+         || '.html' AS filename
+FROM named ORDER BY doc_id
 """
 
 

@@ -210,25 +210,30 @@ def _centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(embeddings: DataFrame) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame, centroids: DataFrame | None = None
+) -> DataFrame:
     """IVF inverted lists: each vector assigned to its nearest centroid
     (L2; deterministic tie-break on rounded distance then cid).  The
-    centroid table is broadcast — assignment is one map-side pass + a
-    per-vector top-1, exactly how IVF lists are built at scale."""
-    from pyspark.sql import Window
-
+    centroid table is broadcast — assignment is one map-side pass; the
+    per-vector argmin is `min_by` over a struct key (map-side partial
+    aggregation, no Window sort over the N×C distance rows — the N×C
+    expansion collapses to N inside each scan partition before any
+    shuffle, which is what survives at 10^12 vectors)."""
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     d = (
-        e.crossJoin(F.broadcast(_centroids(embeddings)))
+        e.crossJoin(F.broadcast(centroids if centroids is not None
+                                else _centroids(embeddings)))
         .withColumn("dist", F.round(_l2sq(F.col("v"), F.col("cv")), 5))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    best = F.min_by(F.struct("dist", "cid"), F.struct("dist", "cid"))
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "dist")
+        d.groupBy("vec_id")
+        .agg(best.alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"))
         .orderBy("vec_id")
     )
 
@@ -244,6 +249,126 @@ d AS (
          round(list_distance(e.v, c.cv) * list_distance(e.v, c.cv), 5)
              AS dist
   FROM e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM d
+)
+SELECT vec_id, cid, dist FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+KMEANS_DECIMALS = 5
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Trained coarse quantizer: Lloyd's k-means feeding the same IVF
+    structure as `_centroids`.  Deterministic end to end: seeds are the k
+    lowest vec_ids (no RNG), every distance and every updated mean is
+    rounded to KMEANS_DECIMALS so both engines walk the identical centroid
+    trajectory.
+
+    Distributed shape per iteration: broadcast the k×dim centroid table,
+    `min_by` argmin assignment (map-side combine), then the elementwise
+    mean via posexplode -> groupBy(cid, pos) — N×dim rows but partial
+    aggregation collapses them inside each scan partition; only k×dim
+    aggregated rows shuffle.  k and dim are small (quantizer, not model),
+    so the driver-side collect per iteration is k×dim floats."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        e.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("dist", F.round(_l2sq(F.col("v"), F.col("cv")),
+                                        KMEANS_DECIMALS))
+            .groupBy("vec_id", "v")
+            .agg(F.min_by(F.struct("dist", "cid"),
+                          F.struct("dist", "cid")).alias("b"))
+            .select(F.col("b.cid").alias("cid"), "v")
+        )
+        means = (
+            assign.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), KMEANS_DECIMALS).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        # centroids are k×dim — materialize driver-side so the next
+        # iteration broadcasts a literal table instead of growing one
+        # unbounded lineage chain
+        rows = means.collect()
+        cents = embeddings.sparkSession.createDataFrame(
+            [(r["cid"], r["cv"]) for r in rows],
+            "cid long, cv array<double>",
+        )
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """IVF assignment over the TRAINED quantizer (kmeans_centroids) —
+    same min_by plan as ivf_assign, different centroid table."""
+    return ivf_assign(embeddings, centroids=kmeans_centroids(embeddings, k, iters))
+
+
+def _kmeans_sql_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as plain CTEs (the loop is fixed-depth,
+    so the oracle is exact — same seeds, same rounding)."""
+    out = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for i in range(iters):
+        out.append(f"""d{i} AS (
+  SELECT e.vec_id, e.v, c.cid,
+         round(list_distance(e.v, c.cv) * list_distance(e.v, c.cv),
+               {KMEANS_DECIMALS}) AS dist
+  FROM e CROSS JOIN c{i} c
+),
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, pos, round(avg(x), {KMEANS_DECIMALS}) AS m
+  FROM (SELECT cid, unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS pos
+        FROM a{i})
+  GROUP BY cid, pos
+),
+c{i + 1} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
+)""")
+    return ",\n".join(out)
+
+
+def kmeans_assign_sql(k: int = 8, iters: int = 3) -> str:
+    return f"""
+WITH {_kmeans_sql_ctes(k, iters)},
+d AS (
+  SELECT e.vec_id, c.cid,
+         round(list_distance(e.v, c.cv) * list_distance(e.v, c.cv), 5)
+             AS dist
+  FROM e CROSS JOIN c{iters} c
 ),
 ranked AS (
   SELECT *, row_number() OVER (

@@ -164,9 +164,12 @@ def redis_rpush_sink(
 
     The container has no redis client lib, so the sink speaks RESP directly
     over a socket (RPUSH is one array frame + an :N integer reply) — same
-    connection-per-partition + resume-on-reconnect discipline as tcp_sink,
-    but the per-row integer ACK makes delivery exactly-once even across
-    mid-stream disconnects.  Works against any real Redis."""
+    connection-per-partition + resume-on-reconnect discipline as tcp_sink.
+    Delivery is AT-LEAST-ONCE: if the connection dies after the server
+    applies an RPUSH but before the :N reply is read, the resume resends
+    that row, and Spark task retries replay whole partitions.  Consumers
+    needing exactly-once must dedup on an idempotency key in the payload.
+    Works against any real Redis."""
 
     kb = key.encode("utf-8")
 

@@ -65,14 +65,21 @@ CONTAM_NGRAM = 8
 
 
 def _ngrams(col_toks: F.Column, n: int) -> F.Column:
-    return F.array_distinct(
+    # Docs with < n tokens yield NO shingles.  Spark's sequence(1, 0)
+    # counts DOWN to [1, 0] and element_at(toks, 0) throws, so the short
+    # case must be guarded explicitly (same guard as fuzzy._doc_trigrams_col);
+    # the DuckDB oracle's range(1, ...) is upper-exclusive and emits none.
+    shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(col_toks) - (n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.size(col_toks) - (n - 1)),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(col_toks, i + j) for j in range(n)]
             ),
         )
     )
+    return F.when(
+        F.size(col_toks) < n, F.array().cast("array<string>")
+    ).otherwise(shingles)
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:

@@ -41,6 +41,7 @@ _EMPTY = pd.DataFrame(
         "tscore": pd.Series([], dtype="float64"),
         "phrase_tf": pd.Series([], dtype="int64"),
         "dl": pd.Series([], dtype="int64"),
+        "dfp_part": pd.Series([], dtype="int64"),
     }
 )
 
@@ -103,15 +104,39 @@ def _compound_group(
     keep = np.ones(ids.shape, dtype=bool)
     if tombstones is not None and len(tombstones):
         keep &= ~np.isin(ids, np.asarray(tombstones, dtype=np.int64))
+    out = out.loc[keep]
+    # phrase df counted on GLOBAL (tombstone-excluded) stats, BEFORE the
+    # doc_filter mask: ES filter context restricts scored docs but never
+    # changes idf (the contract documented in wand.py).  Shipped out of the
+    # kernel as a per-salt sentinel row (doc_id = -1) so the global stage
+    # can sum it without a second unfiltered aggregate pass.
+    n_phrase = int((out["phrase_tf"] > 0).sum())
     if allowed is not None:
+        ids = out["doc_id"].to_numpy(np.int64)
         al = np.asarray(allowed, dtype=np.int64)
         pos = np.searchsorted(al, ids)
         pos[pos >= al.size] = 0
-        keep &= (al[pos] == ids) if al.size else np.zeros(ids.shape, bool)
-    out = out.loc[keep]
-    return out.astype(
-        {"doc_id": "int64", "tscore": "float64", "phrase_tf": "int64", "dl": "int64"}
+        mask = (al[pos] == ids) if al.size else np.zeros(ids.shape, bool)
+        out = out.loc[mask]
+    out = out.assign(dfp_part=np.int64(0)).astype(
+        {
+            "doc_id": "int64",
+            "tscore": "float64",
+            "phrase_tf": "int64",
+            "dl": "int64",
+            "dfp_part": "int64",
+        }
     )
+    sentinel = pd.DataFrame(
+        {
+            "doc_id": pd.Series([-1], dtype="int64"),
+            "tscore": pd.Series([0.0], dtype="float64"),
+            "phrase_tf": pd.Series([0], dtype="int64"),
+            "dl": pd.Series([0], dtype="int64"),
+            "dfp_part": pd.Series([n_phrase], dtype="int64"),
+        }
+    )
+    return pd.concat([out, sentinel], ignore_index=True)
 
 
 def compound_topk(
@@ -143,13 +168,15 @@ def compound_topk(
 
     partial = _salt_scored(
         post, filt, doc_filter is not None, kernel,
-        "doc_id long, tscore double, phrase_tf long, dl long",
+        "doc_id long, tscore double, phrase_tf long, dl long, dfp_part long",
     )
     n = index["stats"].select("n_docs").first()[0]
-    # phrase pseudo-term idf from the global phrase df (cross-salt count)
-    dfp = partial.filter(F.col("phrase_tf") > 0).agg(
-        F.count(F.lit(1)).alias("df_p")
+    # phrase pseudo-term idf from the global PRE-doc_filter phrase df
+    # (per-salt sentinel counts summed); scored rows exclude the sentinels
+    dfp = partial.agg(
+        F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p")
     )
+    partial = partial.filter(F.col("doc_id") >= 0)
     phrase_w = F.when(
         F.col("phrase_tf") > 0,
         F.log(

@@ -377,21 +377,12 @@ def _bucketed(index: dict, df: DataFrame, terms: list[str]) -> DataFrame:
     dirs."""
     if "term_bucket" not in df.columns:
         return df
+    from ..functions.xxhash import term_bucket
     from ..index.build import N_TERM_BUCKETS
 
-    cache = index.setdefault("_bucket_cache", {})
-    missing = [t for t in terms if t not in cache]
-    if missing:
-        rows = (
-            df.sparkSession.createDataFrame([(t,) for t in missing], "term string")
-            .select(
-                "term",
-                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("b"),
-            )
-            .collect()
-        )
-        cache.update({r["term"]: int(r["b"]) for r in rows})
-    buckets = sorted({cache[t] for t in terms})
+    # pmod(xxhash64(term), N) computed driver-side (bit-identical pure-
+    # Python XXH64) — no Spark job just to hash a cold query's terms
+    buckets = sorted({term_bucket(t, N_TERM_BUCKETS) for t in terms})
     return df.filter(F.col("term_bucket").isin(buckets))
 
 

@@ -230,6 +230,14 @@ class IncrementalIndexer:
         existing = self.doc_map_union()
         if existing is None:
             return self.ingest_batch(batch_corpus, batch_id)
+        # Compare against the latest LIVE generation only: after an edit the
+        # gen-0 doc_map row is tombstoned but still physically present until
+        # compaction; matching it would re-add gen0+GEN_STRIDE on redelivery
+        # of unchanged text — colliding with the live gen-1 id and breaking
+        # the segments-hold-disjoint-doc-sets invariant.
+        tomb = self.tombstones_df()
+        if tomb is not None:
+            existing = existing.join(tomb, "doc_id", "left_anti")
         prev = existing.select(
             F.col("url").alias("e_url"),
             F.col("doc_id").alias("old_doc_id"),

@@ -64,3 +64,50 @@ def test_compression_actually_compresses():
     ids = np.arange(0, 10000, dtype=np.uint64)
     enc = varbyte_encode(delta_encode(ids))
     assert len(enc) < 10000 * 1.2
+
+
+def test_batch_encoder_identity(spark):
+    """The vectorized multi-term kernel (_encode_terms_batch) must emit
+    byte-identical block rows to the reference per-term encoder
+    (codec.encode_blocks) for every term in the batch."""
+    import numpy as np
+    import pandas as pd
+
+    from telegram2elastic_spark.index.build import _encode_terms_batch
+    from telegram2elastic_spark.index.codec import BLOCK_SIZE, encode_blocks
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for t_i in range(37):  # mixed sizes: some multi-block, some 1-doc
+        n = int(rng.randint(1, BLOCK_SIZE * 3 + 5))
+        ids = np.sort(rng.choice(np.arange(1, 10_000), size=n, replace=False))
+        for d in ids:
+            rows.append(
+                {
+                    "term": f"t{t_i:03d}",
+                    "salt": 3,
+                    "enc_key": 0,
+                    "doc_id": int(d),
+                    "tf": int(rng.randint(1, 200)),
+                    "dl": int(rng.randint(1, 500)),
+                }
+            )
+    pdf = pd.DataFrame(rows).sample(frac=1.0, random_state=5)  # shuffle input
+    got = _encode_terms_batch(pdf)
+    for term, g in pdf.groupby("term"):
+        g = g.sort_values("doc_id")
+        want = encode_blocks(
+            g["doc_id"].to_numpy(), g["tf"].to_numpy(), BLOCK_SIZE,
+            doc_lens=g["dl"].to_numpy(),
+        )
+        sub = got[got["term"] == term].sort_values("block_id")
+        assert len(sub) == len(want)
+        for (_, row), b in zip(sub.iterrows(), want):
+            assert row["block_id"] == b["block_id"]
+            assert row["n_docs"] == b["n_docs"]
+            assert row["first_doc_id"] == b["first_doc_id"]
+            assert row["last_doc_id"] == b["last_doc_id"]
+            assert bytes(row["doc_gaps"]) == b["doc_gaps"]
+            assert bytes(row["tf_bytes"]) == b["tf_bytes"]
+            assert bytes(row["dl_bytes"]) == b["dl_bytes"]
+            assert row["block_max_tf"] == b["block_max_tf"]

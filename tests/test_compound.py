@@ -77,6 +77,26 @@ def test_compound_with_doc_filter(pindex):
     assert all(d in en for d, _ in got)
 
 
+def test_compound_doc_filter_keeps_global_idf(pindex):
+    """ES filter-context contract: doc_filter restricts WHICH docs are
+    scored but never changes idf — so every filtered hit must carry the
+    exact score it has in the unfiltered ranking (phrase df_p included)."""
+    full = dict(
+        _rows(
+            compound.compound_topk(pindex, ["spark", "merge"], ["the", "fast"], k=100_000)
+        )
+    )
+    filt = _rows(
+        compound.compound_topk(
+            pindex, ["spark", "merge"], ["the", "fast"], k=100_000,
+            doc_filter="lang = 'en'",
+        )
+    )
+    assert filt
+    for d, s in filt:
+        assert s == full[d], f"doc {d}: filtered score {s} != global {full[d]}"
+
+
 def test_compound_missing_phrase_term(pindex):
     """A phrase containing an unseen term can never match; terms still
     score (bool-should semantics)."""

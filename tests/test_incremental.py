@@ -176,6 +176,38 @@ def test_upsert_edited_docs(spark, corpus, tmp_path):
     assert got == want
 
 
+def test_upsert_redeliver_after_edit_is_noop(spark, corpus, tmp_path):
+    """At-least-once redelivery of the CURRENT text of an already-edited
+    url must be a no-op: the sha comparison has to run against the latest
+    LIVE generation, not the tombstoned gen-0 row (whose sha differs and
+    would re-add gen0+GEN_STRIDE — colliding with the live gen-1 id)."""
+    from pyspark.sql import functions as F
+
+    ix = IncrementalIndexer(spark, str(tmp_path / "ix"), n_doc_parts=4)
+    ix.ingest_batch(corpus, "initial")
+    edited = (
+        corpus.filter("doc_id % 25 = 0")
+        .withColumn("text", F.lit("freshedit marker content only"))
+    )
+    e1 = ix.upsert_batch(edited, "edit1")
+    assert e1["n_tombstones"] > 0
+    live_before = sorted(
+        r["doc_id"] for r in ix.as_index()["doc_map"].collect()
+    )
+    # redeliver the same edited batch under a NEW batch_id (at-least-once
+    # delivery, not the batch-id dedup path)
+    e2 = ix.upsert_batch(edited, "edit1_redelivered")
+    assert e2["n_docs"] == 0 and not e2.get("n_tombstones")
+    live_after = sorted(
+        r["doc_id"] for r in ix.as_index()["doc_map"].collect()
+    )
+    assert live_after == live_before  # no duplicate/new generations
+    assert len(live_after) == len(set(live_after))
+    # scores unaffected: exactly one generation contributes per url
+    hits = wand_topk(ix.as_index(), ["freshedit"], k=1000).collect()
+    assert len(hits) == e1["n_tombstones"]
+
+
 def test_streaming_upsert_edited_docs(spark, corpus, tmp_path):
     """Streaming MessageEdited path: a later file re-delivering edited urls
     is discovered by the file source's checkpoint and routed through

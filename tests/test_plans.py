@@ -27,6 +27,32 @@ def disk_index(spark, sf_dir, tmp_path_factory):
     return read_index(spark, out)
 
 
+def test_read_index_derives_doc_parts_without_meta(spark, sf_dir, tmp_path):
+    """A pre-meta.json index (n_doc_parts != default) must not silently
+    fall back to DEFAULT_DOC_PARTS — the salt modulus is derived from the
+    postings so query-time doc filters keep the right per-salt routing."""
+    import os
+
+    out = str(tmp_path / "legacy_ix")
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    write_index(idx, out)
+    os.remove(os.path.join(out, "meta.json"))
+    legacy = read_index(spark, out)
+    assert legacy["_n_doc_parts"] == 4
+    # filtered query (per-salt filter shipping) stays correct
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(legacy, ["the", "data"], k=10,
+                           doc_filter="lang = 'en'").collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(idx, ["the", "data"], k=10,
+                           doc_filter="lang = 'en'").collect()
+    ]
+    assert got == want and got
+
+
 def test_corpus_filter_pushdown(spark, sf_dir):
     """lang/doc_id predicates must reach the parquet scan."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
@@ -116,3 +142,26 @@ def test_term_dict_lookup_prunes_partitions(disk_index):
     plan = _plan(td)
     assert "PartitionFilters" in plan
     assert "term_bucket" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+
+def test_driver_side_xxhash64_matches_spark(spark):
+    """The pure-Python XXH64 used for cold-query bucket pruning must be
+    bit-identical to Spark's xxhash64 expression (else partition pruning
+    would silently scan the WRONG bucket and return no postings)."""
+    import random
+    import string
+
+    from telegram2elastic_spark.functions.xxhash import xxhash64
+
+    random.seed(7)
+    terms = ["", "a", "the", "é", "你好", "x" * 31, "y" * 32, "z" * 100] + [
+        "".join(random.choices(string.ascii_lowercase, k=random.randint(1, 48)))
+        for _ in range(40)
+    ]
+    rows = {
+        r["term"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.xxhash64("term").alias("h"))
+        .collect()
+    }
+    assert all(rows[t] == xxhash64(t) for t in terms)

@@ -81,3 +81,35 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         for r in sim.cosine_topk(emb, 7, k=5).collect()
     ]
     assert full == exact
+
+
+def test_ivf_assign_plan_has_no_window(spark, sf_dir):
+    """The per-vector argmin must be a min_by hash aggregation (map-side
+    combine over the N×C expansion), NOT a row_number Window that shuffles
+    every distance row."""
+    df = sim.ivf_assign(load_embeddings(spark, sf_dir))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_assign_matches_oracle(spark, duck, sf_dir):
+    """Trained (Lloyd's) quantizer feeding the same IVF structure — the
+    DuckDB oracle unrolls the identical fixed-depth iteration."""
+    got = sim.kmeans_assign(load_embeddings(spark, sf_dir), k=8, iters=3)
+    assert_same(got, duck.execute(sim.kmeans_assign_sql(8, 3)).df())
+
+
+def test_kmeans_improves_or_matches_seed_quantizer(spark, sf_dir):
+    """Training must not make the quantizer worse: mean assignment
+    distance after 3 Lloyd's iterations <= iteration-0 seeds."""
+    from pyspark.sql import functions as F
+
+    emb = load_embeddings(spark, sf_dir)
+    seeds = sim.kmeans_centroids(emb, k=8, iters=0)
+    trained = sim.kmeans_centroids(emb, k=8, iters=3)
+    d0 = sim.ivf_assign(emb, centroids=seeds).agg(F.avg("dist")).first()[0]
+    d3 = sim.ivf_assign(emb, centroids=trained).agg(F.avg("dist")).first()[0]
+    assert d3 <= d0

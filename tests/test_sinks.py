@@ -135,10 +135,12 @@ def test_send_with_resume_bounded_retries():
         )
 
 
-def test_redis_sink_resumes_exactly_once_across_disconnect(spark, sf_dir):
-    """K3 with per-row RESP acks is exactly-once even over a REAL
-    mid-stream disconnect: the server kills the first connection after
-    acking 3 pushes; unacked rows are resent, acked rows are not."""
+def test_redis_sink_resumes_without_duplicating_acked_rows(spark, sf_dir):
+    """K3 across a REAL mid-stream disconnect: the server kills the first
+    connection after acking 3 pushes; unacked rows are resent, acked rows
+    are not.  (Delivery is at-least-once overall — a crash between the
+    server applying RPUSH and the client reading :N would resend that one
+    row — but rows whose ack WAS read must never be resent.)"""
     store, conn_count = {}, [0]
     lock = threading.Lock()
 

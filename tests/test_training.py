@@ -35,6 +35,30 @@ def test_decontaminate(spark, duck, sf_dir):
     assert bench_ids <= flagged
 
 
+def test_decontaminate_short_docs(spark):
+    """Docs with < CONTAM_NGRAM tokens must yield zero shingles (not crash
+    on element_at(toks, 0) nor emit spurious null-skipped shingles) and
+    come back contaminated=False — matching the oracle's upper-exclusive
+    range(1, ...) which emits none."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three"),  # 3 tokens < 8
+            (2, ""),  # empty
+            (3, "a b c d e f g h i j k l a b c d e f g h i j k l"),
+            (4, "exactly seven tokens here not eight ok"),  # 7 tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "a b c d e f g h zz")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in tr.decontaminate(corpus, bench).collect()
+    }
+    assert got == {1: False, 2: False, 3: True, 4: False}
+
+
 def test_redact_pii(spark, duck, sf_dir):
     got = tr.redact_pii(load_corpus(spark, sf_dir))
     assert_same(got, duck.execute(tr.redact_pii_sql()).df())
