@@ -60,61 +60,98 @@ def _gather_keyed(
     return flat + bases, lens
 
 
+def _decode_term_blocks(term: str, g: pd.DataFrame) -> tuple:
+    """Decode one term's (already selected) blocks -> sorted (ids, dls,
+    positions)."""
+    from ..index.codec import varbyte_decode
+
+    ids, tfs, dls = decode_many(
+        [bytes(x) for x in g["doc_gaps"]],
+        [bytes(x) for x in g["tf_bytes"]],
+        [bytes(x) for x in g["dl_bytes"]],
+        g["n_docs"].to_numpy(),
+    )
+    pos: list[np.ndarray] = []
+    for pb, tfb in zip(g["pos_bytes"], g["tf_bytes"]):
+        block_tfs = varbyte_decode(bytes(tfb))
+        pb = bytes(pb) if pb is not None else b""
+        if not pb and block_tfs.size:
+            # a tf>0 posting without stored positions means the index
+            # was not built with positions=True (or segments were merged
+            # mixed) — failing fast beats silently returning no matches
+            raise ValueError(
+                "phrase query requires a positional index "
+                "(build_index(..., positions=True)); "
+                f"term {term!r} has posting blocks without positions"
+            )
+        pos.extend(decode_positions(pb, block_tfs))
+    ids = ids.astype(np.int64)
+    dls = dls.astype(np.int64)
+    # multi-segment indexes interleave block doc ranges: sort globally
+    # (doc ids are unique per term — segments hold disjoint doc sets)
+    # so _gather_keyed's searchsorted lookups are valid.
+    order = np.argsort(ids, kind="mergesort")
+    if not np.array_equal(order, np.arange(order.size)):
+        ids, dls = ids[order], dls[order]
+        pos = [pos[i] for i in order]
+    return ids, dls, pos
+
+
 def _phrase_counts_group(
-    pdf: pd.DataFrame, phrase: list[str], tombstones: np.ndarray | None = None
+    pdf: pd.DataFrame,
+    phrase: list[str],
+    tombstones: np.ndarray | None = None,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """One salt's blocks -> (doc_id, phrase_tf, dl) for docs containing the
     exact phrase.  Fully vectorized: adjacency is ONE np.isin per phrase
     term over the concatenation of every candidate doc's positions (keyed
     by candidate index), not a per-doc Python loop — the kernel cost is
-    O(total positions log total positions) regardless of candidate count."""
-    per_term: dict[str, tuple] = {}
-    for term, g in pdf.groupby("term", sort=False):
-        g = g.sort_values("block_id")
-        ids, tfs, dls = decode_many(
-            [bytes(x) for x in g["doc_gaps"]],
-            [bytes(x) for x in g["tf_bytes"]],
-            [bytes(x) for x in g["dl_bytes"]],
-            g["n_docs"].to_numpy(),
+    O(total positions log total positions) regardless of candidate count.
+
+    Conjunctive block pruning (the positional analogue of WAND skipping): a
+    phrase doc must appear in EVERY member term's postings, so terms are
+    processed rarest-first and each later term only decodes blocks whose
+    [first_doc_id, last_doc_id] range contains a surviving candidate — a
+    metadata-only searchsorted check.  For a rare-with-common phrase
+    ("merge the") the Zipf-head term's blocks are mostly skipped.  `stats`
+    (optional) accumulates blocks_total / blocks_decoded for tests."""
+    groups: dict[str, pd.DataFrame] = {
+        term: g.sort_values("block_id")
+        for term, g in pdf.groupby("term", sort=False)
+    }
+    if any(t not in groups for t in set(phrase)):
+        return _EMPTY_COUNTS.copy()
+    if stats is not None:
+        stats["blocks_total"] = stats.get("blocks_total", 0) + sum(
+            len(g) for g in groups.values()
         )
-        pos: list[np.ndarray] = []
-        from ..index.codec import varbyte_decode
 
-        for pb, tfb in zip(g["pos_bytes"], g["tf_bytes"]):
-            block_tfs = varbyte_decode(bytes(tfb))
-            pb = bytes(pb) if pb is not None else b""
-            if not pb and block_tfs.size:
-                # a tf>0 posting without stored positions means the index
-                # was not built with positions=True (or segments were merged
-                # mixed) — failing fast beats silently returning no matches
-                raise ValueError(
-                    "phrase query requires a positional index "
-                    "(build_index(..., positions=True)); "
-                    f"term {term!r} has posting blocks without positions"
-                )
-            pos.extend(decode_positions(pb, block_tfs))
-        ids = ids.astype(np.int64)
-        dls = dls.astype(np.int64)
-        # multi-segment indexes interleave block doc ranges: sort globally
-        # (doc ids are unique per term — segments hold disjoint doc sets)
-        # so _gather_keyed's searchsorted lookups are valid.
-        order = np.argsort(ids, kind="mergesort")
-        if not np.array_equal(order, np.arange(order.size)):
-            ids, dls = ids[order], dls[order]
-            pos = [pos[i] for i in order]
-        per_term[term] = (ids, dls, pos)
-    if any(t not in per_term for t in set(phrase)):
-        return _EMPTY_COUNTS.copy()
-
-    # doc-set intersection across the distinct phrase terms
-    common = None
-    for t in set(phrase):
-        s = per_term[t][0]
-        common = s if common is None else np.intersect1d(common, s)
-    if tombstones is not None and tombstones.size and common is not None:
-        common = common[~np.isin(common, tombstones)]
-    if common is None or common.size == 0:
-        return _EMPTY_COUNTS.copy()
+    # rarest-first by total posting count (metadata sum, no decode)
+    by_rarity = sorted(
+        set(phrase), key=lambda t: int(groups[t]["n_docs"].sum())
+    )
+    per_term: dict[str, tuple] = {}
+    common: np.ndarray | None = None
+    for t in by_rarity:
+        g = groups[t]
+        if common is not None:
+            firsts = g["first_doc_id"].to_numpy(np.int64)
+            lasts = g["last_doc_id"].to_numpy(np.int64)
+            lo = np.searchsorted(common, firsts, side="left")
+            hi = np.searchsorted(common, lasts, side="right")
+            g = g.loc[hi > lo]
+            if g.empty:
+                return _EMPTY_COUNTS.copy()
+        if stats is not None:
+            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + len(g)
+        ids, dls, pos = _decode_term_blocks(t, g)
+        per_term[t] = (ids, dls, pos)
+        common = ids if common is None else np.intersect1d(common, ids)
+        if tombstones is not None and tombstones.size:
+            common = common[~np.isin(common, tombstones)]
+        if common.size == 0:
+            return _EMPTY_COUNTS.copy()
 
     # vectorized adjacency: keyed positions of term_0 are phrase starts;
     # start s in doc d extends iff keyed positions of term_i contain

@@ -446,18 +446,71 @@ def wand_topk_batch(
     filt = _filters_df(index, doc_filter)
 
     def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
-        outs = []
+        # Queries in a batch share Zipf-head terms ("the", "data", ...);
+        # decode each term's blocks ONCE per salt and cache the per-doc
+        # BM25 contributions — each query then reduces cached arrays.
+        # Full accumulation (no WAND skip) is rank-identical: pruning only
+        # ever drops provably-sub-top-k docs, and here decode cost is
+        # already amortized across the batch.
         by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
-        for qid, ts in live.items():
-            sub = [by_term[t] for t in ts if t in by_term]
-            if not sub:
-                continue
-            res = _score_salt_group(
-                pd.concat(sub), {t: idfs[t] for t in ts}, avgdl, k,
-                tombstones=tomb, allowed=allowed,
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def term_contrib(t: str) -> tuple[np.ndarray, np.ndarray] | None:
+            if t in cache:
+                return cache[t]
+            g = by_term.get(t)
+            if g is None:
+                return None
+            g = g.sort_values("block_id")
+            ids, tfs, dls = decode_many(
+                [bytes(x) for x in g["doc_gaps"]],
+                [bytes(x) for x in g["tf_bytes"]],
+                [bytes(x) for x in g["dl_bytes"]],
+                g["n_docs"].to_numpy(),
             )
-            res.insert(0, "query_id", np.int32(qid))
-            outs.append(res)
+            ids = ids.astype(np.int64)
+            if tomb is not None and tomb.size:
+                live_m = ~np.isin(ids, tomb)
+                ids = ids[live_m]
+                tfs, dls = tfs[live_m], dls[live_m]
+            if allowed is not None:
+                pos = np.searchsorted(allowed, ids)
+                pos[pos >= allowed.size] = 0
+                ok = (
+                    allowed[pos] == ids
+                    if allowed.size
+                    else np.zeros(ids.shape, bool)
+                )
+                ids = ids[ok]
+                tfs, dls = tfs[ok], dls[ok]
+            w = _bm25_w(
+                tfs.astype(np.float64), dls.astype(np.float64), avgdl, idfs[t]
+            )
+            cache[t] = (ids, w)
+            return cache[t]
+
+        outs = []
+        for qid, ts in live.items():
+            arrs = [a for a in (term_contrib(t) for t in ts) if a is not None]
+            if not arrs or not any(a[0].size for a in arrs):
+                continue
+            all_ids = np.concatenate([a[0] for a in arrs])
+            all_w = np.concatenate([a[1] for a in arrs])
+            order = np.argsort(all_ids, kind="stable")
+            all_ids, all_w = all_ids[order], all_w[order]
+            uniq, starts = np.unique(all_ids, return_index=True)
+            sums = np.round(np.add.reduceat(all_w, starts), SCORE_DECIMALS)
+            top = min(k, uniq.size)
+            sel = np.lexsort((uniq, -sums))[:top]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(top, qid, dtype=np.int32),
+                        "doc_id": uniq[sel],
+                        "score": sums[sel],
+                    }
+                )
+            )
         if not outs:
             return pd.DataFrame(
                 {

@@ -186,3 +186,54 @@ def test_fsck_detects_corruption(spark, sf_dir, tmp_path):
     problems = ix.fsck()
     assert any("seg 1: table term_dict missing" in p for p in problems), problems
     assert any(p.startswith("seg 0:") for p in problems), problems
+
+
+def test_concurrent_reader_during_compaction(spark, sf_dir, tmp_path):
+    """Snapshot isolation under REAL concurrency: a reader pinned to a
+    pre-compaction manifest version keeps getting identical results while
+    compact() runs in another thread (Spark local supports concurrent
+    jobs), and the post-swap latest index is rank-identical too."""
+    import threading
+
+    corpus = load_corpus(spark, sf_dir)
+    ix = IncrementalIndexer(spark, str(tmp_path / "cix"), n_doc_parts=4)
+    for i in range(4):
+        ix.ingest_batch(corpus.filter(F.col("doc_id") % 4 == i), f"b{i}")
+    pinned_v = ix.versions()[-1]
+    seg_ids = [e["segment_id"] for e in ix.manifest()]
+
+    def q(idx):
+        return [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(idx, ["the", "data"], k=10).collect()
+        ]
+
+    want = q(ix.as_index(version=pinned_v))
+    results: list = []
+    errors: list = []
+    done = threading.Event()
+
+    def reader():
+        while not done.is_set():
+            try:
+                results.append(q(ix.as_index(version=pinned_v)))
+            except Exception as exc:  # pragma: no cover - failure path
+                errors.append(exc)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        entry = ix.compact(seg_ids)
+    finally:
+        done.set()
+        t.join(timeout=120)
+    assert entry is not None
+    assert not errors, errors
+    assert results, "reader thread never completed a query"
+    assert all(r == want for r in results)
+    # pinned snapshot still readable AFTER the swap (absorbed dirs remain
+    # until vacuum), and the compacted latest is rank-identical
+    assert q(ix.as_index(version=pinned_v)) == want
+    assert q(ix.as_index()) == want
+    assert len(ix.manifest()) == 1

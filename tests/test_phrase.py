@@ -90,3 +90,40 @@ def test_phrase_over_incremental_segments_and_compaction(spark, sf_dir, tmp_path
     ix.compact([e["segment_id"] for e in ix.manifest()])
     assert len(ix.manifest()) == 1
     assert rows(ix.as_index()) == after
+
+
+def test_phrase_conjunctive_block_pruning(spark):
+    """Rarest-first conjunctive pruning must skip decoding Zipf-head blocks
+    whose doc-id range holds no candidate — blocks_decoded < blocks_total —
+    while matching the unpruned result exactly."""
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.corpus import as_corpus
+    from telegram2elastic_spark.query.phrase import _phrase_counts_group
+
+    # 2000 docs all containing "common"; only docs 0..9 contain the full
+    # phrase "rareword common" — the common term spans ~16 blocks, of which
+    # only the first overlaps the candidate set.
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, F.lit("rareword common filler end"))
+        .otherwise(F.lit("plain common filler end"))
+        .alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+        F.lit(30).cast("long").alias("n_chars"),
+    )
+    idx = build_index(as_corpus(docs), n_doc_parts=1, positions=True)
+    pdf = (
+        idx["postings"]
+        .filter(F.col("term").isin(["rareword", "common"]))
+        .toPandas()
+    )
+    stats: dict = {}
+    got = _phrase_counts_group(pdf, ["rareword", "common"], stats=stats)
+    assert sorted(got["doc_id"]) == list(range(10))
+    assert (got["phrase_tf"] == 1).all()
+    assert stats["blocks_decoded"] < stats["blocks_total"], stats
+    # the common term contributes 2000/128 ≈ 16 blocks; only 1 should decode
+    assert stats["blocks_total"] >= 16
+    assert stats["blocks_decoded"] <= 3
