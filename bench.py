@@ -34,7 +34,14 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EXPAND = int(os.environ.get("SPARK_GRAFT_EXPAND", "40"))
-SCALE_EXPAND = int(os.environ.get("SPARK_GRAFT_SCALE_EXPAND", "160"))
+# 320 × 5k = 1.6M docs: sized so the job's PARALLEL work dominates the
+# ~10 s per-job constant (driver planning + parquet commit).  The r3
+# encode-kernel speedups halved the parallel work at the old 160× size,
+# which let that constant eat ~12% of the 2-core wall and understate
+# scaling (Amdahl) — on a real cluster the constant is per-job, not
+# per-core, and a 100 TB build runs hours, so job size must keep it
+# negligible for the measurement to transfer.
+SCALE_EXPAND = int(os.environ.get("SPARK_GRAFT_SCALE_EXPAND", "320"))
 SCALE_PAIR = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "2,8").split(",")
 )
@@ -264,6 +271,25 @@ def main() -> None:
             probe_ms[max(0, int(len(probe_ms) * 0.95) - 1)], 1
         )
         fuzzy_info["n_probes"] = len(probe_ms)
+        # driver-local probe (query-node path, no Spark job): cold = bucket
+        # read + score, warm = per-bucket cache hit
+        lcache: dict = {}
+        local_cold, local_warm = [], []
+        for q in fuzzy_queries:
+            t0 = time.perf_counter()
+            fz.fuzzy_topk_local(gin_dir, q, k=10, cache=lcache)
+            local_cold.append((time.perf_counter() - t0) * 1000)
+        for q in fuzzy_queries:
+            t0 = time.perf_counter()
+            fz.fuzzy_topk_local(gin_dir, q, k=10, cache=lcache)
+            local_warm.append((time.perf_counter() - t0) * 1000)
+        local_cold.sort(); local_warm.sort()
+        fuzzy_info["local_probe_cold_p50_ms"] = round(
+            local_cold[len(local_cold) // 2], 1
+        )
+        fuzzy_info["local_probe_warm_p50_ms"] = round(
+            local_warm[len(local_warm) // 2], 1
+        )
         extra["fuzzy_indexed"] = fuzzy_info
         t0 = time.perf_counter()
         fz.fuzzy_topk(corpus, "mergge batch", k=10).collect()

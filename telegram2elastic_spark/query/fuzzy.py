@@ -94,17 +94,24 @@ N_GRAM_BUCKETS = 64
 
 
 def build_trigram_index(corpus: DataFrame, out_dir: str) -> None:
-    """Materialize the trigram GIN: posting rows (g, doc_id) partitioned by
-    gbucket = pmod(xxhash64(g), 64) — a k-trigram query prunes to <= k of
-    the 64 bucket dirs (same layout discipline as the term postings) —
-    plus a docs table carrying each doc's distinct-trigram count (the |T(d)|
-    denominator, so queries never re-derive trigrams from text)."""
+    """Materialize the trigram GIN: posting rows (g, doc_id, n_grams)
+    partitioned by gbucket = pmod(xxhash64(g), 64) — a k-trigram query
+    prunes to <= k of the 64 bucket dirs (same layout discipline as the
+    term postings).  Each posting row carries the doc's distinct-trigram
+    count (|T(d)|, the similarity denominator) DENORMALIZED — the same
+    norms-travel-with-postings discipline as dl_bytes in the BM25 blocks —
+    so scoring never joins the corpus-sized docs table; docs is only the
+    k-row url lookup."""
     docs = corpus.select("doc_id", "url", _doc_trigrams_col().alias("grams"))
     docs.select(
         "doc_id", "url", F.size("grams").cast("int").alias("n_grams")
     ).write.mode("overwrite").parquet(f"{out_dir}/docs")
     (
-        docs.select("doc_id", F.explode("grams").alias("g"))
+        docs.select(
+            "doc_id",
+            F.size("grams").cast("int").alias("n_grams"),
+            F.explode("grams").alias("g"),
+        )
         .withColumn("gbucket", F.pmod(F.xxhash64("g"), F.lit(N_GRAM_BUCKETS)))
         .write.mode("overwrite")
         .partitionBy("gbucket")
@@ -118,27 +125,29 @@ def fuzzy_topk_indexed(spark, index_dir: str, q: str, k: int = 10) -> DataFrame:
     filter — the GIN posting-list probe), count shared grams per doc, join
     the tiny top-k against the docs table.  Result-identical to the
     scan-time fuzzy_topk (same oracle)."""
+    from ..functions.xxhash import term_bucket
+
     qgrams = _query_trigrams(q)
     if not qgrams:
         return spark.createDataFrame([], "doc_id long, url string, sim double")
     n_q = len(qgrams)
-    buckets = sorted(
-        {
-            int(r["b"])
-            for r in spark.createDataFrame([(g,) for g in qgrams], "g string")
-            .select(F.pmod(F.xxhash64("g"), F.lit(N_GRAM_BUCKETS)).alias("b"))
-            .collect()
-        }
-    )
+    # bucket literals hashed driver-side (bit-identical pure-Python XXH64)
+    # — no Spark job before the single probe job
+    buckets = sorted({term_bucket(g, N_GRAM_BUCKETS) for g in qgrams})
     grams = (
         spark.read.parquet(f"{index_dir}/grams")
         .filter(F.col("gbucket").isin(buckets))
         .filter(F.col("g").isin(qgrams))
     )
-    shared = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("shared"))
-    docs = spark.read.parquet(f"{index_dir}/docs")
-    return (
-        shared.join(docs, "doc_id")
+    # n_grams rides the posting rows (denormalized at build) — scoring and
+    # top-k happen WITHOUT touching the corpus-sized docs table; only the
+    # k winners join docs for the url (broadcast of k rows)
+    topk = (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("n_grams").alias("n_grams"),
+        )
         .withColumn(
             "sim",
             F.round(
@@ -147,10 +156,70 @@ def fuzzy_topk_indexed(spark, index_dir: str, q: str, k: int = 10) -> DataFrame:
                 SIM_DECIMALS,
             ),
         )
-        .select("doc_id", "url", "sim")
+        .select("doc_id", "sim")
         .orderBy(F.desc("sim"), F.asc("doc_id"))
         .limit(k)
     )
+    docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+    return (
+        docs.join(F.broadcast(topk), "doc_id", "inner")
+        .select("doc_id", "url", "sim")
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+    )
+
+
+def fuzzy_topk_local(
+    index_dir: str, q: str, k: int = 10, cache: dict | None = None
+) -> list[tuple]:
+    """Low-latency fuzzy probe: the driver acts as the query node (the
+    fuzzy analogue of wand_topk_local) — read ONLY the query trigrams'
+    gbucket dirs via pyarrow (dictionary/row-group pushdown), score in
+    numpy, no Spark job in the loop.  `cache` (optional dict) keeps
+    per-bucket gram tables hot across a query stream, the GIN page cache
+    a query node would hold.
+
+    Returns [(doc_id, sim), ...] — rank-identical to fuzzy_topk_indexed
+    (url lookup is the caller's k-row concern)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from ..functions.xxhash import term_bucket
+
+    qgrams = _query_trigrams(q)
+    if not qgrams:
+        return []
+    n_q = len(qgrams)
+    by_bucket: dict[int, list[str]] = {}
+    for g in qgrams:
+        by_bucket.setdefault(term_bucket(g, N_GRAM_BUCKETS), []).append(g)
+    parts = []
+    for b, gs in sorted(by_bucket.items()):
+        key = ("gbucket", b)
+        tbl = None if cache is None else cache.get(key)
+        if tbl is None:
+            tbl = ds.dataset(
+                f"{index_dir}/grams/gbucket={b}", format="parquet"
+            ).to_table(columns=["doc_id", "n_grams", "g"])
+            if cache is not None:
+                cache[key] = tbl
+        sub = tbl.filter(pc.is_in(tbl["g"], value_set=pa.array(gs)))
+        if sub.num_rows:
+            parts.append(sub)
+    if not parts:
+        return []
+    t = pa.concat_tables(parts)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, ng = ids[order], ng[order]
+    uniq, starts, shared = np.unique(ids, return_index=True, return_counts=True)
+    n_grams = ng[starts]
+    sim = np.round(shared / (n_grams + n_q - shared), SIM_DECIMALS)
+    top = min(k, uniq.size)
+    sel = np.lexsort((uniq, -sim))[:top]
+    return [(int(uniq[i]), float(sim[i])) for i in sel]
 
 
 def fuzzy_topk_sql(q: str, k: int = 10) -> str:

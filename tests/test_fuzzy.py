@@ -67,3 +67,24 @@ def test_fuzzy_indexed_matches_scan(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "gbucket" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+
+def test_fuzzy_local_probe_matches_indexed(spark, sf_dir, tmp_path):
+    """Driver-local GIN probe (pyarrow bucket reads, no Spark job) must be
+    rank-identical to the Spark indexed path; the per-bucket cache serves
+    repeat queries without re-reading."""
+    corpus = load_corpus(spark, sf_dir)
+    d = str(tmp_path / "trgm_local")
+    fuzzy.build_trigram_index(corpus, d)
+    for q in ["mergge batch", "sparkk", "window scan"]:
+        want = [
+            (r["doc_id"], r["sim"])
+            for r in fuzzy.fuzzy_topk_indexed(spark, d, q, k=10).collect()
+        ]
+        got = fuzzy.fuzzy_topk_local(d, q, k=10)
+        assert got == want, q
+    cache: dict = {}
+    a = fuzzy.fuzzy_topk_local(d, "mergge batch", k=10, cache=cache)
+    assert cache  # buckets were cached
+    b = fuzzy.fuzzy_topk_local(d, "mergge batch", k=10, cache=cache)
+    assert a == b == fuzzy.fuzzy_topk_local(d, "mergge batch", k=10)
