@@ -14,12 +14,17 @@ final score rounded once (SCORE_DECIMALS) for the deterministic
 (score desc, doc_id asc) order.
 
 Distributed shape: ONE postings scan for terms ∪ phrase-terms, one
-per-salt kernel pass emitting (doc_id, tscore_raw, phrase_tf, dl) — term
-accumulation and phrase adjacency share the decoded blocks — then the
-global stage is relational: df_p from the union, phrase idf, combined
-score, TakeOrdered top-k, broadcast url join.  No pruning (the combined
-bound would need phrase upper bounds); exactness first, and the scan is
-already restricted to the query's terms."""
+per-salt kernel pass emitting (doc_id, tscore_raw, phrase_tf, dl) — then
+the global stage is relational: df_p from the sentinel sum, phrase idf,
+combined score, TakeOrdered top-k, broadcast url join.
+
+Pruned on both clauses: phrase matching uses the rarest-first conjunctive
+block pruning (phrase.py), and term ranking runs the block-max WAND
+kernel with a salt-local top-(k + |phrase matches|) cut — sound because a
+doc without the phrase can never gain the boost, so its final rank equals
+its term rank, while every phrase doc passes through with exact
+restricted-decode term sums.  Each salt emits O(k + phrase matches) rows,
+not every matching doc."""
 
 from __future__ import annotations
 
@@ -33,7 +38,14 @@ from ..functions.tokenizer import TOKEN_SPLIT_RE
 from ..index.codec import decode_many
 from .bm25 import B, K1, SCORE_DECIMALS
 from .phrase import _phrase_counts_group
-from .wand import _bm25_w, _collect_idfs, _filters_df, _postings_for_terms, _salt_scored
+from .wand import (
+    _bm25_w,
+    _collect_idfs,
+    _filters_df,
+    _postings_for_terms,
+    _salt_scored,
+    _score_salt_group,
+)
 
 _EMPTY = pd.DataFrame(
     {
@@ -46,33 +58,58 @@ _EMPTY = pd.DataFrame(
 )
 
 
-def _term_sums(pdf: pd.DataFrame, idfs: dict[str, float], avgdl: float):
-    """Raw (unrounded) per-doc BM25 sums over the scoring terms — full
-    accumulation, numpy merge-sum."""
+def _term_sums_restricted(
+    pdf: pd.DataFrame,
+    idfs: dict[str, float],
+    avgdl: float,
+    doc_ids: np.ndarray,
+) -> dict[int, float]:
+    """Exact raw BM25 term sums for a SMALL sorted doc-id set: only blocks
+    whose [first_doc_id, last_doc_id] range overlaps the set are decoded
+    (metadata searchsorted — the same pruning shape as phrase matching)."""
+    if doc_ids.size == 0:
+        return {}
     ids_all, w_all = [], []
     for term, g in pdf.groupby("term", sort=False):
         idf = idfs.get(term)
         if idf is None:
             continue  # phrase-only term: not a scoring clause
         g = g.sort_values("block_id")
+        firsts = g["first_doc_id"].to_numpy(np.int64)
+        lasts = g["last_doc_id"].to_numpy(np.int64)
+        lo = np.searchsorted(doc_ids, firsts, side="left")
+        hi = np.searchsorted(doc_ids, lasts, side="right")
+        g = g.loc[hi > lo]
+        if g.empty:
+            continue
         ids, tfs, dls = decode_many(
             [bytes(x) for x in g["doc_gaps"]],
             [bytes(x) for x in g["tf_bytes"]],
             [bytes(x) for x in g["dl_bytes"]],
             g["n_docs"].to_numpy(),
         )
-        ids_all.append(ids.astype(np.int64))
+        ids = ids.astype(np.int64)
+        m = np.isin(ids, doc_ids)
+        if not m.any():
+            continue
+        ids_all.append(ids[m])
         w_all.append(
-            _bm25_w(tfs.astype(np.float64), dls.astype(np.float64), avgdl, idf)
+            _bm25_w(
+                tfs.astype(np.float64)[m],
+                dls.astype(np.float64)[m],
+                avgdl,
+                idf,
+            )
         )
     if not ids_all:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        return {}
     ids = np.concatenate(ids_all)
     ws = np.concatenate(w_all)
     order = np.argsort(ids, kind="stable")
     ids, ws = ids[order], ws[order]
     uniq, starts = np.unique(ids, return_index=True)
-    return uniq, np.add.reduceat(ws, starts)
+    sums = np.add.reduceat(ws, starts)
+    return dict(zip(uniq.tolist(), sums.tolist()))
 
 
 def _compound_group(
@@ -80,44 +117,87 @@ def _compound_group(
     idfs: dict[str, float],
     avgdl: float,
     phrase: list[str],
+    k: int,
     tombstones: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
+    """One salt's blocks -> the rows the global stage needs, WAND-pruned:
+
+      * phrase matches come from the conjunctive-pruned positional kernel
+        (every phrase doc, with exact restricted-decode term sums — a doc
+        that matches the phrase may gain the boost, so it always passes);
+      * non-phrase docs can NEVER gain the phrase boost, so their final
+        order equals their term-score order — the block-max WAND top-k'
+        (k' = k + |phrase docs|, covering the worst case where every WAND
+        winner is also a phrase doc) is provably sufficient;
+      * one sentinel row carries the per-salt phrase df.
+
+    Emits O(k + phrase matches) rows per salt instead of every matching
+    doc — the shuffle after the kernel no longer scales with df."""
     if pdf.empty:
         return _EMPTY.copy()
-    t_ids, t_scores = _term_sums(pdf, idfs, avgdl)
     ph = (
         _phrase_counts_group(pdf, phrase, tombstones=tombstones)
         if phrase
         else _EMPTY[["doc_id", "phrase_tf", "dl"]].copy()
     )
-    out = pd.merge(
-        pd.DataFrame({"doc_id": t_ids, "tscore": t_scores}),
-        ph,
-        on="doc_id",
-        how="outer",
-    )
-    out["tscore"] = out["tscore"].fillna(0.0)
-    out["phrase_tf"] = out["phrase_tf"].fillna(0).astype("int64")
-    out["dl"] = out["dl"].fillna(0).astype("int64")
-    ids = out["doc_id"].to_numpy(np.int64)
-    keep = np.ones(ids.shape, dtype=bool)
-    if tombstones is not None and len(tombstones):
-        keep &= ~np.isin(ids, np.asarray(tombstones, dtype=np.int64))
-    out = out.loc[keep]
     # phrase df counted on GLOBAL (tombstone-excluded) stats, BEFORE the
     # doc_filter mask: ES filter context restricts scored docs but never
     # changes idf (the contract documented in wand.py).  Shipped out of the
     # kernel as a per-salt sentinel row (doc_id = -1) so the global stage
     # can sum it without a second unfiltered aggregate pass.
-    n_phrase = int((out["phrase_tf"] > 0).sum())
-    if allowed is not None:
-        ids = out["doc_id"].to_numpy(np.int64)
-        al = np.asarray(allowed, dtype=np.int64)
-        pos = np.searchsorted(al, ids)
-        pos[pos >= al.size] = 0
-        mask = (al[pos] == ids) if al.size else np.zeros(ids.shape, bool)
-        out = out.loc[mask]
+    n_phrase = len(ph)
+    p_ids = np.sort(ph["doc_id"].to_numpy(np.int64))
+    p_tsums = _term_sums_restricted(pdf, idfs, avgdl, p_ids)
+
+    pdf_terms = pdf.loc[pdf["term"].isin(list(idfs))]
+    if idfs and not pdf_terms.empty:
+        wand = _score_salt_group(
+            pdf_terms,
+            idfs,
+            avgdl,
+            k + int(p_ids.size),
+            tombstones=tombstones,
+            allowed=allowed,
+            raw_scores=True,
+        )
+    else:  # phrase-only query: no term clauses to score
+        wand = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    if p_ids.size:
+        wand = wand.loc[~np.isin(wand["doc_id"].to_numpy(np.int64), p_ids)]
+    out = pd.DataFrame(
+        {
+            "doc_id": wand["doc_id"].to_numpy(np.int64),
+            "tscore": wand["score"].to_numpy(np.float64),
+            "phrase_tf": np.zeros(len(wand), dtype=np.int64),
+            "dl": np.zeros(len(wand), dtype=np.int64),
+        }
+    )
+    if n_phrase:
+        prows = pd.DataFrame(
+            {
+                "doc_id": ph["doc_id"].to_numpy(np.int64),
+                "tscore": np.array(
+                    [p_tsums.get(int(d), 0.0) for d in ph["doc_id"]],
+                    dtype=np.float64,
+                ),
+                "phrase_tf": ph["phrase_tf"].to_numpy(np.int64),
+                "dl": ph["dl"].to_numpy(np.int64),
+            }
+        )
+        if allowed is not None:
+            ids = prows["doc_id"].to_numpy(np.int64)
+            al = np.asarray(allowed, dtype=np.int64)
+            pos = np.searchsorted(al, ids)
+            pos[pos >= al.size] = 0
+            mask = (al[pos] == ids) if al.size else np.zeros(ids.shape, bool)
+            prows = prows.loc[mask]
+        out = pd.concat([out, prows], ignore_index=True)
     out = out.assign(dfp_part=np.int64(0)).astype(
         {
             "doc_id": "int64",
@@ -162,7 +242,7 @@ def compound_topk(
 
     def kernel(pdf, tomb, allowed):
         return _compound_group(
-            pdf, idfs, float(avgdl), live_phrase,
+            pdf, idfs, float(avgdl), live_phrase, k,
             tombstones=tomb, allowed=allowed,
         )
 

@@ -58,13 +58,18 @@ def _score_salt_group(
     tombstones: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     require_all: int = 0,
+    raw_scores: bool = False,
 ) -> pd.DataFrame:
     """Kernel: one salt partition's posting blocks -> local top-k.
     `tombstones`: sorted int64 ids of deleted/edited-away docs (filtered
     post-decode, pre-scoring — Lucene's live-docs check).
     `allowed`: optional sorted int64 ids a document-level filter admits
     (ES filter-context: restricts scored docs, never changes idf); at real
-    scale this is a broadcast bitmap, here a sorted array + searchsorted."""
+    scale this is a broadcast bitmap, here a sorted array + searchsorted.
+    `raw_scores`: emit unrounded BM25 sums (selection/order still uses the
+    rounded key so truncation agrees with the global rounded merge) — for
+    callers that combine the sums with other clauses before rounding once
+    (compound queries)."""
     if post.empty:
         return _EMPTY.copy()
 
@@ -162,9 +167,10 @@ def _score_salt_group(
     # Round BEFORE local top-k selection so partition-local truncation uses
     # the same (rounded score, doc_id) order as the global merge — otherwise
     # a float-noise "tie" could drop the wrong doc at the partition boundary.
-    acc_scores = np.round(acc_scores, SCORE_DECIMALS)
-    order = np.lexsort((acc_ids, -acc_scores))[:top]
-    return pd.DataFrame({"doc_id": acc_ids[order], "score": acc_scores[order]})
+    rounded = np.round(acc_scores, SCORE_DECIMALS)
+    order = np.lexsort((acc_ids, -rounded))[:top]
+    out_scores = acc_scores if raw_scores else rounded
+    return pd.DataFrame({"doc_id": acc_ids[order], "score": out_scores[order]})
 
 
 def _postings_for_terms(index: dict, terms: list[str]) -> DataFrame:

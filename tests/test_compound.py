@@ -105,3 +105,29 @@ def test_compound_missing_phrase_term(pindex):
     )
     want = _rows(wand_topk(pindex, ["spark"], k=10))
     assert got == want
+
+
+def test_compound_kernel_emits_bounded_rows(spark, sf_dir, pindex):
+    """The pruned kernel must emit O(k + phrase matches) rows per salt —
+    never every term-matching doc (the Zipf-head term 'the' matches most
+    of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.query.compound import _compound_group
+    from telegram2elastic_spark.query.wand import _collect_idfs
+
+    terms, phrase, k = ["the"], ["the", "fast"], 10
+    idfs_all, avgdl = _collect_idfs(pindex, sorted(set(terms) | set(phrase)))
+    idfs = {t: v for t, v in idfs_all.items() if t in terms}
+    pdf = (
+        pindex["postings"]
+        .filter(F.col("term").isin(sorted(set(terms) | set(phrase))))
+        .filter(F.col("salt") == 0)
+        .toPandas()
+    )
+    out = _compound_group(pdf, idfs, float(avgdl), phrase, k)
+    n_phrase = int((out["phrase_tf"] > 0).sum())
+    n_matching = pindex["doc_map"].count() // 4  # docs in salt 0 (~all match 'the')
+    # k + phrase matches + sentinel, NOT ~n_matching
+    assert len(out) <= k + 2 * n_phrase + 1
+    assert len(out) < n_matching / 2
