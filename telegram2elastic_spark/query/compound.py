@@ -348,3 +348,63 @@ FROM combined c JOIN tokd ON tokd.doc_id = c.doc_id
 ORDER BY score DESC, c.doc_id ASC
 LIMIT {k}
 """
+
+
+def compound_topk_local(
+    index: dict,
+    terms: list[str],
+    phrase: list[str],
+    k: int = 10,
+    doc_filter: str | None = None,
+) -> list[tuple]:
+    """Low-latency compound path: driver-as-query-node (wand_topk_local's
+    shape) — one pruned positional-block fetch (cached), then the exact
+    same per-salt kernel logic runs in-process over the WHOLE index's
+    blocks (blocks are self-contained, so the multi-salt mix is fine and
+    df_p is simply the full phrase match count — no sentinel plumbing).
+
+    Returns [(doc_id, score), ...] rank-identical to compound_topk."""
+    from .phrase import _local_pos_blocks
+    from .wand import _allowed_ids, _tomb_array
+
+    all_terms = sorted(set(terms) | set(phrase))
+    idfs_all, avgdl = _collect_idfs(index, all_terms)
+    live_phrase = list(phrase) if all(t in idfs_all for t in phrase) else []
+    idfs = {t: v for t, v in idfs_all.items() if t in set(terms)}
+    if not idfs and not live_phrase:
+        return []
+    scan_terms = sorted(set(idfs) | set(live_phrase))
+    pdf = _local_pos_blocks(index, scan_terms)
+    if pdf is None:
+        # some scan term has zero postings; drop the phrase (can't match)
+        # and retry with scoring terms only
+        if not idfs:
+            return []
+        pdf = _local_pos_blocks(index, sorted(idfs))
+        if pdf is None:
+            return []
+        live_phrase = []
+    tomb = _tomb_array(index)
+    allowed = _allowed_ids(index, doc_filter)
+    partial = _compound_group(
+        pdf, idfs, float(avgdl), live_phrase, k,
+        tombstones=tomb, allowed=allowed,
+    )
+    n = index["_stats"][0]  # memoized by _collect_idfs — no job in the loop
+    df_p = int(partial["dfp_part"].sum())
+    rows = partial.loc[partial["doc_id"] >= 0]
+    tf = rows["phrase_tf"].to_numpy(np.float64)
+    dl = rows["dl"].to_numpy(np.float64)
+    idf_p = np.log(1.0 + (float(n) - df_p + 0.5) / (df_p + 0.5))
+    phrase_w = np.where(
+        tf > 0,
+        idf_p * tf * (K1 + 1.0)
+        / np.where(tf > 0, tf + K1 * (1.0 - B + B * dl / float(avgdl)), 1.0),
+        0.0,
+    )
+    score = np.round(
+        rows["tscore"].to_numpy(np.float64) + phrase_w, SCORE_DECIMALS
+    )
+    ids = rows["doc_id"].to_numpy(np.int64)
+    sel = np.lexsort((ids, -score))[: min(k, ids.size)]
+    return [(int(ids[i]), float(score[i])) for i in sel]

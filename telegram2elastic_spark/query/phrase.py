@@ -235,6 +235,73 @@ def phrase_topk(index: dict, phrase: list[str], k: int = 10) -> DataFrame:
     )
 
 
+def _local_pos_blocks(index: dict, terms: list[str]) -> pd.DataFrame | None:
+    """Driver-side fetch of positional posting blocks (hot-shard cache,
+    like wand._local_post_cache but carrying pos_bytes).  Blocks are
+    self-contained (first gap absolute), so multi-salt/multi-segment
+    mixes decode correctly and _decode_term_blocks re-sorts globally."""
+    from .wand import _postings_for_terms
+
+    cache = index.setdefault("_local_pos_cache", {})
+    missing = [t for t in set(terms) if t not in cache]
+    if missing:
+        fetched = (
+            _postings_for_terms(index, missing)
+            .select(
+                "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+                "doc_gaps", "tf_bytes", "dl_bytes", "pos_bytes",
+                "block_max_tf",
+            )
+            .toPandas()
+        )
+        for t, g in fetched.groupby("term", sort=False):
+            cache[t] = g
+        for t in missing:
+            cache.setdefault(t, None)
+    parts = [cache[t] for t in set(terms) if cache.get(t) is not None]
+    if len(parts) < len(set(terms)):
+        return None  # a phrase term with zero postings can never match
+    return pd.concat(parts, ignore_index=True)
+
+
+def _phrase_weights(
+    counts: pd.DataFrame, n: int, avgdl: float, df_p: int
+) -> np.ndarray:
+    idf = np.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    tf = counts["phrase_tf"].to_numpy(np.float64)
+    dl = counts["dl"].to_numpy(np.float64)
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def phrase_topk_local(index: dict, phrase: list[str], k: int = 10) -> list[tuple]:
+    """Low-latency phrase path: the driver acts as the query node (the
+    positional analogue of wand_topk_local) — one pruned fetch of the
+    phrase terms' positional blocks (cached across the query stream), then
+    the conjunctive-pruned adjacency kernel and scoring run in-process.
+
+    Returns [(doc_id, score), ...] rank-identical to phrase_topk."""
+    from .wand import _tomb_array
+
+    if not phrase:
+        return []
+    pdf = _local_pos_blocks(index, phrase)
+    if pdf is None:
+        return []
+    counts = _phrase_counts_group(pdf, phrase, tombstones=_tomb_array(index))
+    if counts.empty:
+        return []
+    if "_stats" not in index:
+        n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+        index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
+    n, avgdl = index["_stats"]
+    w = np.round(
+        _phrase_weights(counts, n, avgdl, df_p=len(counts)), SCORE_DECIMALS
+    )
+    ids = counts["doc_id"].to_numpy(np.int64)
+    sel = np.lexsort((ids, -w))[: min(k, ids.size)]
+    return [(int(ids[i]), float(w[i])) for i in sel]
+
+
 def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
     """DuckDB oracle: tokenize, count exact-adjacency runs, score the
     phrase as a pseudo-term with the same BM25 parameterization."""

@@ -131,3 +131,25 @@ def test_compound_kernel_emits_bounded_rows(spark, sf_dir, pindex):
     # k + phrase matches + sentinel, NOT ~n_matching
     assert len(out) <= k + 2 * n_phrase + 1
     assert len(out) < n_matching / 2
+
+
+def test_compound_topk_local_matches_distributed(pindex):
+    from telegram2elastic_spark.query.compound import compound_topk_local
+
+    cases = [
+        (["spark", "merge"], ["the", "fast"], None),
+        (["spark"], ["the", "fast"], None),
+        ([], ["the", "fast"], None),
+        (["spark", "merge"], [], None),
+        (["spark"], ["zzznothere", "fast"], None),
+        (["spark", "merge"], ["the", "fast"], "lang = 'en'"),
+    ]
+    for terms, phrase, flt in cases:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in compound.compound_topk(
+                pindex, terms, phrase, k=10, doc_filter=flt
+            ).collect()
+        ]
+        got = compound_topk_local(pindex, terms, phrase, k=10, doc_filter=flt)
+        assert got == want, (terms, phrase, flt)

@@ -127,3 +127,20 @@ def test_phrase_conjunctive_block_pruning(spark):
     # the common term contributes 2000/128 ≈ 16 blocks; only 1 should decode
     assert stats["blocks_total"] >= 16
     assert stats["blocks_decoded"] <= 3
+
+
+def test_phrase_topk_local_matches_distributed(pindex):
+    from telegram2elastic_spark.query.phrase import phrase_topk_local
+
+    for phrase in PHRASES:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in phrase_topk(pindex, phrase, k=10).collect()
+        ]
+        got = phrase_topk_local(pindex, phrase, k=10)
+        assert got == want, phrase
+    # cache hit path returns the same
+    assert phrase_topk_local(pindex, ["the", "fast"], k=10) == [
+        (r["doc_id"], r["score"])
+        for r in phrase_topk(pindex, ["the", "fast"], k=10).collect()
+    ]
