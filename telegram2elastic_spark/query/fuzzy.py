@@ -181,8 +181,6 @@ def fuzzy_topk_local(
     Returns [(doc_id, sim), ...] — rank-identical to fuzzy_topk_indexed
     (url lookup is the caller's k-row concern)."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.dataset as ds
 
     from ..functions.xxhash import term_bucket
@@ -194,24 +192,46 @@ def fuzzy_topk_local(
     by_bucket: dict[int, list[str]] = {}
     for g in qgrams:
         by_bucket.setdefault(term_bucket(g, N_GRAM_BUCKETS), []).append(g)
-    parts = []
-    for b, gs in sorted(by_bucket.items()):
+
+    def _bucket_lists(b: int) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """One gbucket dir -> {trigram: (doc_ids, n_grams)} posting lists.
+        Grouped ONCE at load (sort + slice) so a warm probe is pure dict
+        lookups over exactly the query's trigrams — the GIN page-cache
+        shape, no per-query re-filter of the whole bucket."""
         key = ("gbucket", b)
-        tbl = None if cache is None else cache.get(key)
-        if tbl is None:
-            tbl = ds.dataset(
-                f"{index_dir}/grams/gbucket={b}", format="parquet"
-            ).to_table(columns=["doc_id", "n_grams", "g"])
-            if cache is not None:
-                cache[key] = tbl
-        sub = tbl.filter(pc.is_in(tbl["g"], value_set=pa.array(gs)))
-        if sub.num_rows:
-            parts.append(sub)
-    if not parts:
+        lists = None if cache is None else cache.get(key)
+        if lists is not None:
+            return lists
+        tbl = ds.dataset(
+            f"{index_dir}/grams/gbucket={b}", format="parquet"
+        ).to_table(columns=["doc_id", "n_grams", "g"])
+        gs = tbl["g"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ngs = tbl["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(gs, kind="stable")
+        gs, ids, ngs = gs[order], ids[order], ngs[order]
+        uniq, starts = np.unique(gs, return_index=True)
+        bounds = np.concatenate((starts[1:], [gs.size]))
+        lists = {
+            str(u): (ids[s:e], ngs[s:e])
+            for u, s, e in zip(uniq, starts, bounds)
+        }
+        if cache is not None:
+            cache[key] = lists
+        return lists
+
+    id_parts, ng_parts = [], []
+    for b, gs in sorted(by_bucket.items()):
+        lists = _bucket_lists(b)
+        for g in gs:
+            hit = lists.get(g)
+            if hit is not None:
+                id_parts.append(hit[0])
+                ng_parts.append(hit[1])
+    if not id_parts:
         return []
-    t = pa.concat_tables(parts)
-    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.concatenate(id_parts)
+    ng = np.concatenate(ng_parts)
     order = np.argsort(ids, kind="stable")
     ids, ng = ids[order], ng[order]
     uniq, starts, shared = np.unique(ids, return_index=True, return_counts=True)

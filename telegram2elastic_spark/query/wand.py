@@ -178,11 +178,12 @@ def _postings_for_terms(index: dict, terms: list[str]) -> DataFrame:
 
     Two pruning layers when the index was read from the partitioned disk
     layout: (1) partition pruning — term_bucket values for the query terms
-    are computed driver-side (one tiny job, memoized) and applied as
-    literal predicates on the partition column, so only <= |q| of the 64
-    bucket directories are listed/read; (2) parquet row-group pruning via
-    the pushed `term IN (...)` filter.  In-memory indexes just get the
-    term filter."""
+    are computed driver-side (pure-Python XXH64, bit-identical to the
+    layout's xxhash64 — zero Spark jobs) and applied as literal predicates
+    on the partition column, so only <= |q| of the 64 bucket directories
+    are listed/read; (2) parquet row-group pruning via the pushed
+    `term IN (...)` filter.  In-memory indexes just get the term
+    filter."""
     post = _bucketed(index, index["postings"], terms)
     return post.filter(F.col("term").isin(terms))
 
