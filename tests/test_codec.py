@@ -111,3 +111,30 @@ def test_batch_encoder_identity(spark):
             assert bytes(row["tf_bytes"]) == b["tf_bytes"]
             assert bytes(row["dl_bytes"]) == b["dl_bytes"]
             assert row["block_max_tf"] == b["block_max_tf"]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=0,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_varbyte_widths_consistent_with_encode(vals):
+    """sum(varbyte_widths(v)) == len(varbyte_encode(v)), and the prefix
+    sums are exact split points: encoding a prefix equals the buffer
+    prefix (the invariant the multi-term batch encoder slices on)."""
+    import numpy as np
+
+    from telegram2elastic_spark.index.codec import varbyte_encode, varbyte_widths
+
+    v = np.asarray(vals, dtype=np.uint64)
+    buf = varbyte_encode(v)
+    w = varbyte_widths(v)
+    assert int(w.sum()) == len(buf)
+    if len(vals) >= 2:
+        cut = len(vals) // 2
+        off = int(w[:cut].sum())
+        assert varbyte_encode(v[:cut]) == buf[:off]
+        assert varbyte_encode(v[cut:]) == buf[off:]
