@@ -75,6 +75,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     long-green family variants kept correct by pytest rank-identity tests
     + the jobs/parity_check.py sweep."""
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- ES bool-query surface (round 3): minimum_should_match,
+        # must_not exclusion, match_phrase slop — all rank-identical to
+        # the relational/DuckDB formulations ---
+        "wand_msm": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MULTI, k=10, min_should_match=2,
+        ),
+        "wand_must_not": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, k=10, exclude_terms=["vector"],
+        ),
+        "phrase_slop_topk": lambda spark, sf: phrase.phrase_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["merge", "batch"], k=10, slop=1,
+        ),
+        "phrase_slop_3gram": lambda spark, sf: phrase.phrase_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["table", "scan", "merge"], k=10, slop=2,
+        ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
             load_corpus(spark, sf),
@@ -241,6 +260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_embeddings(spark, sf), query_vec_id=7, k=5, nprobe=2
         ),
         # --- text analysis ---
+    }
+    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # r02-green, demoted out of the 50-row sample window to make room
+        # for the round-3 bool-query ops (kept correct by pytest + the
+        # jobs/parity_check.py full sweep)
         "text_lang_id": lambda spark, sf: tq.lang_id(load_corpus(spark, sf)),
         "text_quality": lambda spark, sf: tq.quality_scores(load_corpus(spark, sf)),
         "text_token_counts": lambda spark, sf: tq.token_counts(
@@ -252,8 +276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": lambda spark, sf: training.train_val_split(
             load_corpus(spark, sf), val_per_mille=100
         ),
-    }
-    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_multiterm": _q_bm25(Q_MULTI),
         "bm25_heavy_hitters": _q_bm25(Q_HEAVY),
         "bm25_lang_filter": _q_bm25(Q_LANG[0], lang=Q_LANG[1]),
@@ -355,6 +377,18 @@ FROM corpus ORDER BY doc_id
         ),
         "compound_topk": compound.compound_topk_sql(
             ["spark", "merge"], ["the", "fast"], k=10
+        ),
+        "wand_msm": bm25.bm25_topk_sql(
+            Q_MULTI, min_should_match=2, global_stats=True
+        ),
+        "wand_must_not": bm25.bm25_topk_sql(
+            Q_MAIN, exclude_terms=["vector"], global_stats=True
+        ),
+        "phrase_slop_topk": phrase.phrase_topk_sql(
+            ["merge", "batch"], k=10, slop=1
+        ),
+        "phrase_slop_3gram": phrase.phrase_topk_sql(
+            ["table", "scan", "merge"], k=10, slop=2
         ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),

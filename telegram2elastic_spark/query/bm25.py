@@ -55,10 +55,17 @@ def bm25_topk(
     max_ts: str | None = None,
     global_stats: bool = False,
     conjunctive: bool = False,
+    min_should_match: int = 0,
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, url, score) for a term query — disjunctive (ES
     "should", default) or conjunctive ("must": only docs containing every
     query term are scored; scores are the same BM25 sums).
+    `min_should_match=m` keeps docs matching >= m distinct query terms
+    (conjunctive is the m = |terms| case).  `exclude_terms` is ES bool
+    `must_not`: docs containing any excluded term are dropped pre-top-k in
+    FILTER CONTEXT — exclusion never changes N/avgdl/df, exactly like the
+    compressed-index path (wand_topk) and ES itself.
 
     Document-level filters (lang / warc_ts window — the analogues of the
     reference's search filters, poc/src/api/routes/search.py:87-103 and the
@@ -116,8 +123,17 @@ def bm25_topk(
             F.count(F.lit(1)).alias("n_matched"),
         )
     )
-    if conjunctive:
-        scored = scored.filter(F.col("n_matched") == len(set(terms)))
+    n_req = len(set(terms)) if conjunctive else int(min_should_match)
+    if n_req:
+        scored = scored.filter(F.col("n_matched") >= n_req)
+    if exclude_terms:
+        ex = (
+            base.select("doc_id", F.explode(tokens("text")).alias("term"))
+            .filter(F.col("term").isin(sorted(set(exclude_terms))))
+            .select("doc_id")
+            .distinct()
+        )
+        scored = scored.join(ex, "doc_id", "left_anti")
     return (
         scored.drop("n_matched")
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -137,6 +153,8 @@ def bm25_topk_sql(
     max_ts: str | None = None,
     global_stats: bool = False,
     conjunctive: bool = False,
+    min_should_match: int = 0,
+    exclude_terms: list[str] | None = None,
 ) -> str:
     """DuckDB oracle SQL — the exact same semantics over the raw
     `documents` view (derivation via CORPUS_CTE, tokenization via
@@ -151,9 +169,16 @@ def bm25_topk_sql(
     where = " AND ".join(preds)
     terms_sql = _sql_quote_terms(terms)
     stats_rel = "corpus" if global_stats else "fbase"
-    having = (
-        f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
-    )
+    n_req = len(set(terms)) if conjunctive else int(min_should_match)
+    having = f"HAVING count(*) >= {n_req}" if n_req else ""
+    ex_cte, ex_where = "", ""
+    if exclude_terms:
+        ex_sql = _sql_quote_terms(sorted(set(exclude_terms)))
+        ex_cte = (
+            ",\nexdocs AS (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE term IN ({ex_sql}))"
+        )
+        ex_where = "WHERE s.doc_id NOT IN (SELECT doc_id FROM exdocs)"
     return f"""
 WITH {CORPUS_CTE.strip()},
 fbase AS (SELECT * FROM corpus WHERE {where}),
@@ -188,9 +213,10 @@ scored AS (
   CROSS JOIN stats
   GROUP BY tf.doc_id
   {having}
-)
+){ex_cte}
 SELECT s.doc_id, d.url, s.score
 FROM scored s JOIN dl d ON s.doc_id = d.doc_id
+{ex_where}
 ORDER BY s.score DESC, s.doc_id ASC
 LIMIT {k}
 """

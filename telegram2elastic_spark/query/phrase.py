@@ -102,6 +102,7 @@ def _phrase_counts_group(
     phrase: list[str],
     tombstones: np.ndarray | None = None,
     stats: dict | None = None,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """One salt's blocks -> (doc_id, phrase_tf, dl) for docs containing the
     exact phrase.  Fully vectorized: adjacency is ONE np.isin per phrase
@@ -160,12 +161,34 @@ def _phrase_counts_group(
     ids0, dls0, pos0 = per_term[t0]
     starts, lens0 = _gather_keyed(ids0, pos0, common)
     ok = np.ones(starts.shape, dtype=bool)
-    for i, t in enumerate(phrase[1:], start=1):
-        idsi, _, posi = per_term[t]
-        keyed_i, _ = _gather_keyed(idsi, posi, common)
-        ok &= np.isin(starts + i, keyed_i)
-        if not ok.any():
-            return _EMPTY_COUNTS.copy()
+    if slop == 0:
+        for i, t in enumerate(phrase[1:], start=1):
+            idsi, _, posi = per_term[t]
+            keyed_i, _ = _gather_keyed(idsi, posi, common)
+            ok &= np.isin(starts + i, keyed_i)
+            if not ok.any():
+                return _EMPTY_COUNTS.copy()
+    else:
+        # sloppy ordered match ("match_phrase" slop, ordered variant): a
+        # start p matches iff positions p < q_1 < ... < q_{m-1} exist with
+        # q_i <= p + i + slop (every term's displacement from its exact
+        # slot bounded by slop).  Greedy minimal q_i is optimal — a
+        # smaller q_i only weakens later constraints — so one searchsorted
+        # per term settles every start simultaneously.  Keys stay inside
+        # the candidate's block because slop << _DOC_KEY.
+        prev = starts.copy()
+        for i, t in enumerate(phrase[1:], start=1):
+            idsi, _, posi = per_term[t]
+            keyed_i, _ = _gather_keyed(idsi, posi, common)
+            if keyed_i.size == 0:
+                return _EMPTY_COUNTS.copy()
+            idx = np.searchsorted(keyed_i, prev + 1, side="left")
+            has = idx < keyed_i.size
+            cand = keyed_i[np.minimum(idx, keyed_i.size - 1)]
+            ok &= has & (cand <= starts + i + slop)
+            if not ok.any():
+                return _EMPTY_COUNTS.copy()
+            prev = np.where(ok, cand, prev)
     # phrase_tf per candidate: segment-sum of ok over the lens0 boundaries
     offsets = np.concatenate([[0], np.cumsum(lens0)[:-1]])
     tf_per_doc = np.add.reduceat(ok.astype(np.int64), offsets)
@@ -183,8 +206,13 @@ def _phrase_counts_group(
     )
 
 
-def phrase_topk(index: dict, phrase: list[str], k: int = 10) -> DataFrame:
-    """Top-k docs containing the exact phrase, BM25-scored as a pseudo-term.
+def phrase_topk(
+    index: dict, phrase: list[str], k: int = 10, slop: int = 0
+) -> DataFrame:
+    """Top-k docs containing the phrase, BM25-scored as a pseudo-term.
+    `slop=0` is exact adjacency ("match_phrase"); `slop=s` allows each
+    member term to sit up to s token slots past its exact position, in
+    order (ordered proximity — _phrase_counts_group docstring).
 
     Requires an index built with positions=True (pos_bytes populated)."""
     spark = index["doc_map"].sparkSession
@@ -195,7 +223,7 @@ def phrase_topk(index: dict, phrase: list[str], k: int = 10) -> DataFrame:
     filt = _filters_df(index, None)  # tombstones, delivered per-salt
 
     def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
-        return _phrase_counts_group(pdf, phrase, tombstones=tomb)
+        return _phrase_counts_group(pdf, phrase, tombstones=tomb, slop=slop)
 
     matches = _salt_scored(
         post, filt, False, kernel, "doc_id long, phrase_tf long, dl long"
@@ -273,7 +301,9 @@ def _phrase_weights(
     return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
-def phrase_topk_local(index: dict, phrase: list[str], k: int = 10) -> list[tuple]:
+def phrase_topk_local(
+    index: dict, phrase: list[str], k: int = 10, slop: int = 0
+) -> list[tuple]:
     """Low-latency phrase path: the driver acts as the query node (the
     positional analogue of wand_topk_local) — one pruned fetch of the
     phrase terms' positional blocks (cached across the query stream), then
@@ -287,7 +317,9 @@ def phrase_topk_local(index: dict, phrase: list[str], k: int = 10) -> list[tuple
     pdf = _local_pos_blocks(index, phrase)
     if pdf is None:
         return []
-    counts = _phrase_counts_group(pdf, phrase, tombstones=_tomb_array(index))
+    counts = _phrase_counts_group(
+        pdf, phrase, tombstones=_tomb_array(index), slop=slop
+    )
     if counts.empty:
         return []
     if "_stats" not in index:
@@ -302,27 +334,63 @@ def phrase_topk_local(index: dict, phrase: list[str], k: int = 10) -> list[tuple
     return [(int(ids[i]), float(w[i])) for i in sel]
 
 
-def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
-    """DuckDB oracle: tokenize, count exact-adjacency runs, score the
-    phrase as a pseudo-term with the same BM25 parameterization."""
+def _slop_chain_expr(phrase: list[str], slop: int) -> str:
+    """Greedy ordered-proximity chain as nested DuckDB lambdas: start p
+    matches iff positions p < q_1 < ... exist with q_i <= p + i + slop —
+    the same greedy-minimal recursion the kernel vectorizes (greedy is
+    optimal: a smaller q_i only weakens later constraints)."""
+
+    def chain(i: int, prev: str) -> str:
+        filt = (
+            f"list_filter(pos{i}, v{i} -> v{i} > {prev} "
+            f"AND v{i} <= p + {i} + {slop})"
+        )
+        if i == len(phrase) - 1:
+            return f"len({filt}) > 0"
+        nxt = f"list_min({filt})"
+        return f"({nxt} IS NOT NULL AND {chain(i + 1, nxt)})"
+
+    return chain(1, "p")
+
+
+def phrase_topk_sql(phrase: list[str], k: int = 10, slop: int = 0) -> str:
+    """DuckDB oracle: tokenize, count exact-adjacency (slop=0) or ordered
+    greedy-proximity (slop>0) runs, score the phrase as a pseudo-term with
+    the same BM25 parameterization."""
     m = len(phrase)
-    adj = " AND ".join(
-        "toks[i+" + str(i) + "] = '" + t.replace("'", "''") + "'"
-        for i, t in enumerate(phrase)
-    )
+    if slop == 0:
+        adj = " AND ".join(
+            "toks[i+" + str(i) + "] = '" + t.replace("'", "''") + "'"
+            for i, t in enumerate(phrase)
+        )
+        tf_expr = (
+            f"len(list_filter(range(1, greatest(len(toks) - {m - 1}, 0) + 1),\n"
+            f"             i -> {adj}))"
+        )
+        pos_cols = ""
+    else:
+        pos_defs = ",\n         ".join(
+            "list_filter(range(1, len(toks) + 1), x -> toks[x] = '"
+            + t.replace("'", "''")
+            + f"') AS pos{i}"
+            for i, t in enumerate(phrase)
+        )
+        pos_cols = ",\n         " + pos_defs
+        tf_expr = (
+            f"len(list_filter(pos0, p -> {_slop_chain_expr(phrase, slop)}))"
+        )
     return f"""
 WITH {CORPUS_CTE.strip()},
 tokd AS (
   SELECT doc_id, url,
          list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                     t -> t <> '') AS toks
+                     t -> t <> '') AS toks{pos_cols}
   FROM corpus
 ),
 stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
 counts AS (
   SELECT doc_id, url, len(toks) AS dl,
-         len(list_filter(range(1, greatest(len(toks) - {m - 1}, 0) + 1),
-             i -> {adj})) AS phrase_tf
+         {tf_expr} AS phrase_tf
   FROM tokd
 ),
 matched AS (SELECT * FROM counts WHERE phrase_tf > 0),

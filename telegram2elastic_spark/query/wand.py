@@ -173,6 +173,38 @@ def _score_salt_group(
     return pd.DataFrame({"doc_id": acc_ids[order], "score": out_scores[order]})
 
 
+def _decode_ids_only(g: pd.DataFrame) -> np.ndarray:
+    """Excluded-term blocks -> sorted unique doc ids.  Only the doc_gaps
+    column is decoded — tf/dl/positions stay compressed, because must_not
+    needs membership, never weights."""
+    ids = [
+        delta_decode(varbyte_decode(bytes(b))).astype(np.int64)
+        for b in g["doc_gaps"]
+    ]
+    if not ids:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(ids))
+
+
+def _apply_exclusions(
+    pdf: pd.DataFrame, exclude: list[str], tomb: np.ndarray | None
+) -> tuple[pd.DataFrame, np.ndarray | None]:
+    """Split the must_not terms' blocks out of a salt's postings and fold
+    their doc ids into the tombstone mask (ES bool `must_not` is filter
+    context: excluded docs are never scored, global stats never change —
+    same contract as doc_filter, wand_topk docstring).  Postings are
+    doc-partitioned, so a salt's excluded-term blocks cover exactly the
+    salt's docs — the exclusion set never crosses the kernel boundary."""
+    mask = pdf["term"].isin(exclude)
+    if not mask.any():
+        return pdf, tomb
+    ex_ids = _decode_ids_only(pdf.loc[mask])
+    pdf = pdf.loc[~mask]
+    if tomb is not None and tomb.size:
+        ex_ids = np.union1d(tomb, ex_ids)
+    return pdf, ex_ids
+
+
 def _postings_for_terms(index: dict, terms: list[str]) -> DataFrame:
     """Scan only the query terms' postings.
 
@@ -316,6 +348,8 @@ def wand_topk(
     doc_filter: str | None = None,
     conjunctive: bool = False,
     algo: str = "maxscore",
+    min_should_match: int = 0,
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, url, score) from the compressed index.
 
@@ -327,25 +361,44 @@ def wand_topk(
     ids reach the kernels per-salt via cogroup (executor-side), never as a
     driver-collected closure.
 
+    ES bool-query knobs:
+      * `min_should_match=m` — a doc must match >= m distinct query terms
+        ("minimum_should_match"); `conjunctive` is the m = |terms| sugar.
+        Matching-term counts require full accumulation, so candidate-
+        generation pruning is disabled (like conjunctive); theta pruning
+        still bounds the final selection.
+      * `exclude_terms` — bool `must_not`: docs containing ANY excluded
+        term are dropped pre-scoring, in filter context (idf/avgdl/N stay
+        global).  Exclusion ids are decoded from the excluded terms' own
+        posting blocks inside each salt kernel (ids only — tf/dl stay
+        compressed) and never leave the executor.
+
     `algo`: "maxscore" (default, vectorized TAAT block-max family) or
     "bmw" (classical pivot DAAT block-max WAND cursors, query/bmw.py) —
     both rank-exact, same distributed shape (per-salt kernel + k-way
-    merge); bmw does not support conjunctive mode.
+    merge); bmw implements only the plain disjunctive top-k.
     """
     if algo not in ("maxscore", "bmw"):
         raise ValueError(f"unknown algo {algo!r}")
-    if algo == "bmw" and conjunctive:
-        raise ValueError("algo='bmw' does not implement conjunctive mode")
+    if algo == "bmw" and (conjunctive or min_should_match or exclude_terms):
+        raise ValueError(
+            "algo='bmw' implements the plain disjunctive top-k only"
+        )
+    if conjunctive and min_should_match:
+        raise ValueError(
+            "conjunctive IS min_should_match=len(terms); pass only one"
+        )
+    exclude = sorted(set(exclude_terms or []))
     spark = index["doc_map"].sparkSession
     idfs, avgdl = _collect_idfs(index, terms)
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
     n_terms = len(set(terms))
-    if not idfs or (conjunctive and len(idfs) < n_terms):
-        return empty  # a required term has no postings -> no match
+    require_all = n_terms if conjunctive else int(min_should_match)
+    if not idfs or require_all > len(idfs):
+        return empty  # too few terms exist for any doc to reach the bar
 
-    post = _postings_for_terms(index, list(idfs))
+    post = _postings_for_terms(index, sorted(set(idfs) | set(exclude)))
     filt = _filters_df(index, doc_filter)
-    require_all = n_terms if conjunctive else 0
 
     if algo == "bmw":
         from .bmw import bmw_salt_kernel
@@ -357,6 +410,8 @@ def wand_topk(
     else:
 
         def kernel(pdf, tomb, allowed):
+            if exclude:
+                pdf, tomb = _apply_exclusions(pdf, exclude, tomb)
             return _score_salt_group(
                 pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed,
                 require_all=require_all,
@@ -557,6 +612,8 @@ def wand_topk_local(
     k: int = 10,
     doc_filter: str | None = None,
     conjunctive: bool = False,
+    min_should_match: int = 0,
+    exclude_terms: list[str] | None = None,
 ) -> list[tuple]:
     """Low-latency single-query path: the driver acts as the query node.
 
@@ -565,18 +622,22 @@ def wand_topk_local(
     then the numpy kernel runs in-process.  At true 10^12 scale a query
     node would hold the hot term shards; the executor path
     (wand_topk/wand_topk_batch) remains the fan-out for fat queries.
+    `min_should_match` / `exclude_terms` follow wand_topk's contract.
 
     Returns [(doc_id, score), ...] rank-identical to wand_topk.
     """
+    exclude = sorted(set(exclude_terms or []))
     idfs, avgdl = _collect_idfs(index, terms)
     n_terms = len(set(terms))
-    if not idfs or (conjunctive and len(idfs) < n_terms):
+    require_all = n_terms if conjunctive else int(min_should_match)
+    if not idfs or require_all > len(idfs):
         return []
     # hot-shard cache: posting blocks are fetched per term once and kept
     # driver-side (what a query node keeps in memory); repeated terms across
     # the query stream skip Spark entirely.
     cache = index.setdefault("_local_post_cache", {})
-    missing = [t for t in idfs if t not in cache]
+    scan_terms = sorted(set(idfs) | set(exclude))
+    missing = [t for t in scan_terms if t not in cache]
     if missing:
         fetched = (
             _postings_for_terms(index, missing)
@@ -595,10 +656,15 @@ def wand_topk_local(
         return []
     pdf = pd.concat(parts, ignore_index=True)
     tomb = _tomb_array(index)
+    if exclude:
+        ex_parts = [cache[t] for t in exclude if cache.get(t) is not None]
+        if ex_parts:
+            ex_ids = _decode_ids_only(pd.concat(ex_parts, ignore_index=True))
+            tomb = np.union1d(tomb, ex_ids) if tomb.size else ex_ids
     allowed = _allowed_ids(index, doc_filter)
     res = _score_salt_group(
         pdf, idfs, avgdl, k, tombstones=tomb, allowed=allowed,
-        require_all=n_terms if conjunctive else 0,
+        require_all=require_all,
     )
     res = res.sort_values(
         ["score", "doc_id"], ascending=[False, True], ignore_index=True

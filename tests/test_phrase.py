@@ -144,3 +144,54 @@ def test_phrase_topk_local_matches_distributed(pindex):
         (r["doc_id"], r["score"])
         for r in phrase_topk(pindex, ["the", "fast"], k=10).collect()
     ]
+
+
+SLOPPY = [
+    (["merge", "batch"], 1),
+    (["fast", "batch"], 2),
+    (["table", "scan", "merge"], 2),   # 3-term greedy chain
+    (["batch", "batch"], 1),           # repeated-term phrase with slop
+]
+
+
+@pytest.mark.parametrize("phrase,slop", SLOPPY)
+def test_sloppy_phrase_vs_duckdb(spark, duck, sf_dir, pindex, phrase, slop):
+    """Ordered proximity (match_phrase slop): greedy kernel chain ==
+    greedy nested-lambda SQL chain, scores included."""
+    got = phrase_topk(pindex, phrase, k=10, slop=slop)
+    want = duck.execute(phrase_topk_sql(phrase, k=10, slop=slop)).df()
+    assert_same(got, want)
+
+
+def test_slop_zero_is_exact_adjacency(spark, duck, sf_dir, pindex):
+    """slop=0 through the greedy SQL path == the adjacency SQL path, and
+    the kernel agrees with both (the two formulations are equivalent)."""
+    ph = ["merge", "part"]
+    a = duck.execute(phrase_topk_sql(ph, k=50, slop=0)).df()
+    got = phrase_topk(pindex, ph, k=50, slop=0)
+    assert_same(got, a)
+
+
+def test_slop_widens_matches(spark, pindex):
+    """Every exact match is a sloppy match; slop only adds docs (on a
+    fixed candidate set, phrase_tf is monotone in slop)."""
+    ph = ["merge", "batch"]
+    exact = {r["doc_id"] for r in phrase_topk(pindex, ph, k=10_000).collect()}
+    sloppy = {
+        r["doc_id"]
+        for r in phrase_topk(pindex, ph, k=10_000, slop=2).collect()
+    }
+    assert exact <= sloppy
+    assert len(sloppy) > len(exact)  # corpus has non-adjacent co-occurrences
+
+
+def test_sloppy_local_matches_distributed(pindex):
+    from telegram2elastic_spark.query.phrase import phrase_topk_local
+
+    ph, slop = ["table", "scan", "merge"], 2
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in phrase_topk(pindex, ph, k=10, slop=slop).collect()
+    ]
+    loc = phrase_topk_local(pindex, ph, k=10, slop=slop)
+    assert [(d, round(s, 5)) for d, s in loc] == dist

@@ -150,3 +150,107 @@ def test_batch_doc_filter_matches_single_path(spark, sf_dir):
             for r in wand_topk(idx, terms, k=10, doc_filter="lang = 'en'").collect()
         ]
         assert got[qid] == want, qid
+
+
+def test_min_should_match_matches_relational(spark, sf_dir, index):
+    """ES minimum_should_match: docs must match >= m distinct query terms;
+    rank-identical to the relational scorer with the same bar."""
+    corpus = load_corpus(spark, sf_dir)
+    terms = ["vector", "window", "batch"]
+    for m in (1, 2, 3):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(
+                corpus, terms, k=10, min_should_match=m, global_stats=True
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(index, terms, k=10, min_should_match=m).collect()
+        ]
+        assert got == want, f"m={m}"
+    # m == len(terms) is exactly conjunctive mode
+    conj = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(index, terms, k=10, conjunctive=True).collect()
+    ]
+    msm = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(index, terms, k=10, min_should_match=3).collect()
+    ]
+    assert conj == msm
+
+
+def test_min_should_match_unreachable_bar(index):
+    """More required matches than terms with postings -> no results."""
+    assert wand_topk(
+        index, ["spark", "zzzznotaterm"], k=10, min_should_match=2
+    ).count() == 0
+
+
+def test_must_not_matches_relational(spark, sf_dir, index):
+    """ES bool must_not: filter context — excluded docs dropped, idf/N
+    unchanged; rank-identical to the relational scorer's exclusion."""
+    corpus = load_corpus(spark, sf_dir)
+    for terms, ex in (
+        (["spark", "merge"], ["vector"]),
+        (["the"], ["data", "row"]),          # heavy excludes
+        (["spark"], ["zzzznotaterm"]),       # exclusion with no postings
+    ):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(
+                corpus, terms, k=10, exclude_terms=ex, global_stats=True
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(index, terms, k=10, exclude_terms=ex).collect()
+        ]
+        assert got == want, f"{terms} NOT {ex}"
+
+
+def test_must_not_excluded_docs_absent(spark, sf_dir, index):
+    """No returned doc may contain an excluded term (checked on raw text)."""
+    from telegram2elastic_spark.functions.tokenizer import py_tokenize
+
+    corpus = load_corpus(spark, sf_dir)
+    got = wand_topk(index, ["spark", "merge"], k=25, exclude_terms=["vector"])
+    ids = [r["doc_id"] for r in got.collect()]
+    rows = corpus.filter(F_col_in("doc_id", ids)).select("doc_id", "text").collect()
+    assert rows, "expected some hits"
+    for r in rows:
+        assert "vector" not in py_tokenize(r["text"])
+
+
+def F_col_in(name, values):
+    from pyspark.sql import functions as F
+
+    return F.col(name).isin(values)
+
+
+def test_msm_and_mustnot_local_matches_distributed(spark, sf_dir, index):
+    from telegram2elastic_spark.query.wand import wand_topk_local
+
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(
+            index, ["vector", "window", "batch"], k=10,
+            min_should_match=2, exclude_terms=["spark"],
+        ).collect()
+    ]
+    loc = wand_topk_local(
+        index, ["vector", "window", "batch"], k=10,
+        min_should_match=2, exclude_terms=["spark"],
+    )
+    assert [(d, s) for d, s in loc] == dist
+
+
+def test_bmw_rejects_bool_knobs(index):
+    for kw in (
+        {"conjunctive": True},
+        {"min_should_match": 2},
+        {"exclude_terms": ["the"]},
+    ):
+        with pytest.raises(ValueError):
+            wand_topk(index, ["spark", "merge"], algo="bmw", **kw)
