@@ -23,7 +23,8 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, compound, fuzzy, phrase, search
+from telegram2elastic_spark.query import bm25, compound, fuzzy, highlight, phrase, search
+from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
 
@@ -93,6 +94,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_3gram": lambda spark, sf: phrase.phrase_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
             ["table", "scan", "merge"], k=10, slop=2,
+        ),
+        # ES prefix / wildcard queries: term-dict expansion (scoring_boolean
+        # rewrite, term-enum order, max_expansions cap) -> WAND disjunction
+        "prefix_topk": lambda spark, sf: expandq.prefix_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), "sc", k=10
+        ),
+        "wildcard_topk": lambda spark, sf: expandq.wildcard_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), "s?a*", k=10
+        ),
+        # ES highlight block: snippets with <em>-wrapped term hits,
+        # computed on the k-row broadcast hit list only
+        "search_highlight": lambda spark, sf: highlight.search_highlight(
+            load_corpus(spark, sf), ["spark", "merge"], k=10
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
@@ -249,6 +263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": lambda spark, sf: sim.ann_topk(
             load_embeddings(spark, sf), query_vec_id=7, k=5
         ),
+    }
+    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # r02-green, demoted out of the 50-row sample window to make room
+        # for the round-3 bool-query ops (kept correct by pytest + the
+        # jobs/parity_check.py full sweep)
         "sim_cluster_stats": lambda spark, sf: sim.cluster_stats(
             load_embeddings(spark, sf)
         ),
@@ -259,12 +278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": lambda spark, sf: sim.ivf_topk(
             load_embeddings(spark, sf), query_vec_id=7, k=5, nprobe=2
         ),
-        # --- text analysis ---
-    }
-    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # r02-green, demoted out of the 50-row sample window to make room
-        # for the round-3 bool-query ops (kept correct by pytest + the
-        # jobs/parity_check.py full sweep)
         "text_lang_id": lambda spark, sf: tq.lang_id(load_corpus(spark, sf)),
         "text_quality": lambda spark, sf: tq.quality_scores(load_corpus(spark, sf)),
         "text_token_counts": lambda spark, sf: tq.token_counts(
@@ -389,6 +402,11 @@ FROM corpus ORDER BY doc_id
         ),
         "phrase_slop_3gram": phrase.phrase_topk_sql(
             ["table", "scan", "merge"], k=10, slop=2
+        ),
+        "prefix_topk": expandq.prefix_topk_sql("sc", k=10),
+        "wildcard_topk": expandq.wildcard_topk_sql("s?a*", k=10),
+        "search_highlight": highlight.search_highlight_sql(
+            ["spark", "merge"], k=10
         ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),

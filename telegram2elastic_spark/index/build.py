@@ -337,6 +337,21 @@ def write_index(
         .partitionBy("term_bucket")
         .parquet(f"{out_dir}/term_dict"),
     )
+    # Secondary term-dictionary layout for multi-term rewrites (prefix /
+    # wildcard, query/expand.py): the hash-bucketed layout cannot prune a
+    # prefix scan (xxhash64 destroys term order), so the same table is also
+    # written range-partitioned and sorted by term — parquet row-group
+    # min/max statistics on the sorted column then skip everything outside
+    # the prefix's range once StringStartsWith is pushed down (the
+    # FST-walk analogue; vocab-sized, so the extra write is cheap).
+    _timed(
+        "term_dict_sorted_write",
+        lambda: index["term_dict"]
+        .repartitionByRange(8, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_dict_sorted"),
+    )
     _timed(
         "postings_encode_write",
         lambda: index["postings"]
@@ -380,10 +395,17 @@ def read_index(spark, out_dir: str) -> dict:
         n_parts = int(
             postings.agg(F.max("salt")).first()[0]
         ) + 1
-    return {
+    out = {
         "doc_map": spark.read.parquet(f"{out_dir}/doc_map"),
         "term_dict": spark.read.parquet(f"{out_dir}/term_dict"),
         "postings": postings,
         "stats": spark.read.parquet(f"{out_dir}/stats"),
         "_n_doc_parts": n_parts,
     }
+    # sorted layout for prefix/wildcard expansion (absent in pre-round-3
+    # indexes; expand.py falls back to the hash-bucketed table)
+    if _os.path.isdir(f"{out_dir}/term_dict_sorted"):
+        out["term_dict_sorted"] = spark.read.parquet(
+            f"{out_dir}/term_dict_sorted"
+        )
+    return out

@@ -1,0 +1,194 @@
+"""Multi-term query rewrites: ES `prefix` / `wildcard` queries.
+
+The reference hands ranked retrieval to Elasticsearch (output/
+elasticsearch.py:33), whose query strings support prefix and wildcard
+terms; Lucene rewrites those into a boolean over the first
+`max_expansions` matching terms in term-dictionary order (MultiTermQuery
+scoring_boolean rewrite).  Here the expansion runs against the index's
+term dictionary and the expanded terms feed the same block-max WAND
+kernel as any hand-written disjunction — scores are ordinary per-term
+BM25 sums, rank-identical to running the expanded term list directly.
+
+Scale shape: the hash-bucketed term_dict layout cannot prune a prefix
+scan (xxhash64 destroys order), so write_index also persists
+`term_dict_sorted` — the same vocab-sized table range-partitioned and
+sorted by term.  A prefix expansion pushes StringStartsWith into that
+parquet scan, where row-group min/max statistics on the sorted column
+skip every row group outside the prefix's range (the FST-walk analogue).
+Expansion output is <= max_expansions terms (tiny, driver-collected) —
+postings are never touched until the WAND stage, which prunes by
+term_bucket as usual.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .wand import wand_topk
+
+DEFAULT_MAX_EXPANSIONS = 50  # Lucene's IndexSearcher default
+
+
+def _dict_for_scan(index: dict) -> DataFrame:
+    """Prefer the sorted layout (row-group pruning); in-memory indexes and
+    pre-round-3 on-disk indexes fall back to the full term_dict scan."""
+    return index.get("term_dict_sorted", index["term_dict"])
+
+
+def expand_prefix(
+    index: dict, prefix: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> list[str]:
+    """Terms starting with `prefix`, in term order, capped at
+    max_expansions — Lucene's term-enum order for multi-term rewrites."""
+    rows = (
+        _dict_for_scan(index)
+        .filter(F.col("term").startswith(prefix))
+        .select("term")
+        .orderBy("term")
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def wildcard_regex(pattern: str) -> str:
+    """ES wildcard pattern (`*` = any run, `?` = one char) -> anchored
+    regex, everything else literal-escaped.  The same regex runs on Spark
+    (Java rlike) and DuckDB (RE2) — only portable constructs emitted."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def expand_wildcard(
+    index: dict, pattern: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> list[str]:
+    """Terms matching an ES wildcard pattern, term order, capped.  The
+    literal prefix before the first wildcard still prunes the sorted-dict
+    scan (StartsWith pushdown); the regex only runs on survivors."""
+    lit_prefix = re.match(r"^[^*?]*", pattern).group(0)
+    df = _dict_for_scan(index)
+    if lit_prefix:
+        df = df.filter(F.col("term").startswith(lit_prefix))
+    rows = (
+        df.filter(F.col("term").rlike(wildcard_regex(pattern)))
+        .select("term")
+        .orderBy("term")
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def _empty(index: dict) -> DataFrame:
+    return index["doc_map"].sparkSession.createDataFrame(
+        [], "doc_id long, url string, score double"
+    )
+
+
+def prefix_topk(
+    index: dict,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """ES `prefix` query with scoring_boolean rewrite: expand against the
+    term dictionary, then rank with the standard WAND disjunction."""
+    terms = expand_prefix(index, prefix, max_expansions)
+    if not terms:
+        return _empty(index)
+    return wand_topk(index, terms, k=k, doc_filter=doc_filter)
+
+
+def wildcard_topk(
+    index: dict,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """ES `wildcard` query, same rewrite as prefix_topk."""
+    terms = expand_wildcard(index, pattern, max_expansions)
+    if not terms:
+        return _empty(index)
+    return wand_topk(index, terms, k=k, doc_filter=doc_filter)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _expanded_bm25_sql(qterms_pred: str, k: int, max_expansions: int) -> str:
+    """Relational BM25 where the query-term set is computed IN SQL from the
+    corpus vocabulary (mirrors the engine's term-dict expansion: the term
+    dictionary IS the distinct corpus vocabulary)."""
+    from ..corpus import CORPUS_CTE
+    from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE
+    from .bm25 import B, K1, SCORE_DECIMALS
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+qterms AS (
+  SELECT DISTINCT term FROM toks WHERE {qterms_pred}
+  ORDER BY term LIMIT {max_expansions}
+),
+tf_all AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf_all GROUP BY term),
+scored AS (
+  SELECT tf_all.doc_id,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf_all.tf * ({K1} + 1.0)
+           / (tf_all.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf_all
+  JOIN dl ON tf_all.doc_id = dl.doc_id
+  JOIN tdf ON tf_all.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf_all.doc_id
+)
+SELECT s.doc_id, d.url, s.score
+FROM scored s JOIN dl d ON s.doc_id = d.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+def prefix_topk_sql(
+    prefix: str, k: int = 10, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> str:
+    """DuckDB oracle for prefix_topk.  LIKE with escaped %/_ so the prefix
+    is treated literally, exactly like startswith."""
+    esc = prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    pred = f"term LIKE {_sql_quote(esc + '%')} ESCAPE '\\'"
+    return _expanded_bm25_sql(pred, k, max_expansions)
+
+
+def wildcard_topk_sql(
+    pattern: str, k: int = 10, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> str:
+    """DuckDB oracle for wildcard_topk (same anchored regex as the
+    engine)."""
+    pred = f"regexp_matches(term, {_sql_quote(wildcard_regex(pattern))})"
+    return _expanded_bm25_sql(pred, k, max_expansions)
