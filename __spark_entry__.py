@@ -23,7 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, compound, fuzzy, highlight, phrase, search
+from telegram2elastic_spark.query import bm25, compound, fuzzy, highlight, multifield, phrase, search
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -107,6 +107,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # computed on the k-row broadcast hit list only
         "search_highlight": lambda spark, sf: highlight.search_highlight(
             load_corpus(spark, sf), ["spark", "merge"], k=10
+        ),
+        # ES multi_match most_fields: per-field BM25 stats, field boosts,
+        # one cogrouped kernel over the per-field indexes' shared salts
+        "multi_match_topk": lambda spark, sf: multifield.multi_match_topk(
+            multifield.build_field_indexes(
+                load_corpus(spark, sf), {"text": "text", "url": "url"},
+                n_doc_parts=8,
+            ),
+            {"text": 1.0, "url": 2.0}, ["spark", "page"], k=10,
+        ),
+        # bool query with a SLOPPY phrase clause (terms + proximity boost)
+        "compound_slop_topk": lambda spark, sf: compound.compound_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["spark"], ["merge", "batch"], k=10, slop=1,
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
@@ -256,18 +270,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": lambda spark, sf: dedup.embedding_near_pairs(
             load_embeddings(spark, sf), threshold=0.9
         ),
-        # --- similarity search (brute-force + LSH-bucketed ANN) ---
+    }
+    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # r02-green, demoted out of the 50-row sample window to make room
+        # for the round-3 bool-query ops (kept correct by pytest + the
+        # jobs/parity_check.py full sweep)
         "sim_cosine_topk": lambda spark, sf: sim.cosine_topk(
             load_embeddings(spark, sf), query_vec_id=0, k=10
         ),
         "sim_ann_topk": lambda spark, sf: sim.ann_topk(
             load_embeddings(spark, sf), query_vec_id=7, k=5
         ),
-    }
-    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # r02-green, demoted out of the 50-row sample window to make room
-        # for the round-3 bool-query ops (kept correct by pytest + the
-        # jobs/parity_check.py full sweep)
         "sim_cluster_stats": lambda spark, sf: sim.cluster_stats(
             load_embeddings(spark, sf)
         ),
@@ -407,6 +420,12 @@ FROM corpus ORDER BY doc_id
         "wildcard_topk": expandq.wildcard_topk_sql("s?a*", k=10),
         "search_highlight": highlight.search_highlight_sql(
             ["spark", "merge"], k=10
+        ),
+        "multi_match_topk": multifield.multi_match_sql(
+            ["spark", "page"], k=10, w_text=1.0, w_url=2.0
+        ),
+        "compound_slop_topk": compound.compound_topk_sql(
+            ["spark"], ["merge", "batch"], k=10, slop=1
         ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),

@@ -120,6 +120,7 @@ def _compound_group(
     k: int,
     tombstones: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """One salt's blocks -> the rows the global stage needs, WAND-pruned:
 
@@ -137,7 +138,7 @@ def _compound_group(
     if pdf.empty:
         return _EMPTY.copy()
     ph = (
-        _phrase_counts_group(pdf, phrase, tombstones=tombstones)
+        _phrase_counts_group(pdf, phrase, tombstones=tombstones, slop=slop)
         if phrase
         else _EMPTY[["doc_id", "phrase_tf", "dl"]].copy()
     )
@@ -225,9 +226,11 @@ def compound_topk(
     phrase: list[str],
     k: int = 10,
     doc_filter: str | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Top-k (doc_id, url, score) for `terms` OR exact `phrase` (requires a
-    positional index when phrase is non-empty)."""
+    """Top-k (doc_id, url, score) for `terms` OR `phrase` (requires a
+    positional index when phrase is non-empty).  `slop` relaxes the phrase
+    clause to ordered proximity (phrase.py semantics)."""
     spark = index["doc_map"].sparkSession
     all_terms = sorted(set(terms) | set(phrase))
     idfs_all, avgdl = _collect_idfs(index, all_terms)
@@ -243,7 +246,7 @@ def compound_topk(
     def kernel(pdf, tomb, allowed):
         return _compound_group(
             pdf, idfs, float(avgdl), live_phrase, k,
-            tombstones=tomb, allowed=allowed,
+            tombstones=tomb, allowed=allowed, slop=slop,
         )
 
     partial = _salt_scored(
@@ -286,21 +289,42 @@ def compound_topk(
     )
 
 
-def compound_topk_sql(terms: list[str], phrase: list[str], k: int = 10) -> str:
-    """DuckDB oracle: relational BM25 term sums + tokenized exact-adjacency
-    phrase pseudo-term, combined and rounded identically."""
+def compound_topk_sql(
+    terms: list[str], phrase: list[str], k: int = 10, slop: int = 0
+) -> str:
+    """DuckDB oracle: relational BM25 term sums + tokenized phrase
+    pseudo-term (exact adjacency, or greedy ordered proximity when
+    slop>0), combined and rounded identically."""
+    from .phrase import _slop_chain_expr
+
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     m = len(phrase)
-    adj = " AND ".join(
-        "toks[i+" + str(i) + "] = '" + t.replace("'", "''") + "'"
-        for i, t in enumerate(phrase)
-    )
+    if slop == 0:
+        adj = " AND ".join(
+            "toks[i+" + str(i) + "] = '" + t.replace("'", "''") + "'"
+            for i, t in enumerate(phrase)
+        )
+        tf_expr = (
+            f"len(list_filter(range(1, greatest(len(toks) - {m - 1}, 0) + 1),\n"
+            f"             i -> {adj}))"
+        )
+        pos_cols = ""
+    else:
+        pos_cols = ",\n         " + ",\n         ".join(
+            "list_filter(range(1, len(toks) + 1), x -> toks[x] = '"
+            + t.replace("'", "''")
+            + f"') AS pos{i}"
+            for i, t in enumerate(phrase)
+        )
+        tf_expr = (
+            f"len(list_filter(pos0, p -> {_slop_chain_expr(phrase, slop)}))"
+        )
     return f"""
 WITH {CORPUS_CTE.strip()},
 tokd AS (
   SELECT doc_id, url,
          list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
-                     t -> t <> '') AS toks
+                     t -> t <> '') AS toks{pos_cols}
   FROM corpus
 ),
 stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
@@ -325,8 +349,7 @@ tsum AS (
 ),
 pcounts AS (
   SELECT doc_id, len(toks) AS dl,
-         len(list_filter(range(1, greatest(len(toks) - {m - 1}, 0) + 1),
-             i -> {adj})) AS phrase_tf
+         {tf_expr} AS phrase_tf
   FROM tokd
 ),
 pmatch AS (SELECT * FROM pcounts WHERE phrase_tf > 0),
@@ -356,6 +379,7 @@ def compound_topk_local(
     phrase: list[str],
     k: int = 10,
     doc_filter: str | None = None,
+    slop: int = 0,
 ) -> list[tuple]:
     """Low-latency compound path: driver-as-query-node (wand_topk_local's
     shape) — one pruned positional-block fetch (cached), then the exact
@@ -388,7 +412,7 @@ def compound_topk_local(
     allowed = _allowed_ids(index, doc_filter)
     partial = _compound_group(
         pdf, idfs, float(avgdl), live_phrase, k,
-        tombstones=tomb, allowed=allowed,
+        tombstones=tomb, allowed=allowed, slop=slop,
     )
     n = index["_stats"][0]  # memoized by _collect_idfs — no job in the loop
     df_p = int(partial["dfp_part"].sum())

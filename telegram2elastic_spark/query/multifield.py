@@ -1,0 +1,226 @@
+"""Multi-field ranked retrieval — ES `multi_match` (most_fields) with
+field boosts.
+
+The reference's ES documents carry several searchable fields (message
+text, sender/chat names — output/elasticsearch.py:60-75); ES multi_match
+with most_fields scores each field with its own BM25 statistics and sums
+the per-field scores, weighted by the field boost:
+
+    score(d) = sum_f  w_f * sum_t  idf_{f,t} * tf_{f,t,d}*(k1+1)
+               / (tf + k1*(1 - b + b*dl_f(d)/avgdl_f))
+
+Each field gets its OWN inverted index (build_field_indexes), built with
+the same document-salt partitioning — so every field's posting blocks for
+one document land in the same salt, and one cogrouped kernel pass scores
+all fields with zero cross-field shuffle.  Per-field statistics (df, N,
+avgdl, dl) come from that field's own index; doc lengths are denormalized
+into the blocks as usual, so the query touches only the query terms'
+blocks in each field index.
+
+Pruning: this kernel is full-accumulation (exactness-first, like the
+phrase kernel).  The MaxScore bound extends naturally — ub(f, t) =
+w_f * term_ub(f, t) — and can drive the same theta-skipping as
+_score_salt_group when profiles demand it; at k<<df the per-salt output
+is already O(P*k).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE
+from ..index.build import build_index
+from ..index.codec import decode_many
+from .bm25 import B, K1, SCORE_DECIMALS
+from .wand import _bm25_w, _collect_idfs, _postings_for_terms
+
+_EMPTY = pd.DataFrame(
+    {
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+    }
+)
+
+
+def build_field_indexes(
+    corpus: DataFrame,
+    fields: dict[str, F.Column | str],
+    n_doc_parts: int = 8,
+    positions: bool = False,
+) -> dict[str, dict]:
+    """One index per searchable field, all sharing doc ids and the salt
+    modulus (same corpus rows, same pmod(doc_id, P) layout).  `fields`
+    maps field name -> column/expression holding that field's text."""
+    out = {}
+    for name, col in fields.items():
+        c = F.col(col) if isinstance(col, str) else col
+        fcorp = corpus.withColumn("text", c)
+        out[name] = build_index(fcorp, n_doc_parts=n_doc_parts, positions=positions)
+    return out
+
+
+def _mf_salt_group(
+    pdf: pd.DataFrame,
+    params: dict[tuple[str, str], tuple[float, float]],
+    avgdls: dict[str, float],
+    k: int,
+) -> pd.DataFrame:
+    """One salt's (field, term) blocks -> local top-k of the weighted
+    cross-field BM25 sum.  Full accumulation within the salt (exact)."""
+    if pdf.empty:
+        return _EMPTY.copy()
+    ids_all, w_all = [], []
+    for (field, term), g in pdf.groupby(["field", "term"], sort=False):
+        p = params.get((field, term))
+        if p is None:
+            continue
+        idf, weight = p
+        ids, tfs, dls = decode_many(
+            [bytes(x) for x in g["doc_gaps"]],
+            [bytes(x) for x in g["tf_bytes"]],
+            [bytes(x) for x in g["dl_bytes"]],
+            g["n_docs"].to_numpy(),
+        )
+        ids_all.append(ids.astype(np.int64))
+        w_all.append(
+            weight
+            * _bm25_w(
+                tfs.astype(np.float64),
+                dls.astype(np.float64),
+                avgdls[field],
+                idf,
+            )
+        )
+    if not ids_all:
+        return _EMPTY.copy()
+    ids = np.concatenate(ids_all)
+    ws = np.concatenate(w_all)
+    order = np.argsort(ids, kind="stable")
+    ids, ws = ids[order], ws[order]
+    uniq, starts = np.unique(ids, return_index=True)
+    sums = np.round(np.add.reduceat(ws, starts), SCORE_DECIMALS)
+    top = min(k, uniq.size)
+    sel = np.lexsort((uniq, -sums))[:top]
+    return pd.DataFrame({"doc_id": uniq[sel], "score": sums[sel]})
+
+
+def multi_match_topk(
+    field_indexes: dict[str, dict],
+    weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (doc_id, url, score) of the field-boosted most_fields sum.
+
+    One postings scan per field (each pruned by its own term_bucket
+    layout), one union, ONE groupBy(salt) kernel — per-field stats are
+    collected driver-side (|fields| x |terms| scalars) and closed over."""
+    first = next(iter(field_indexes.values()))
+    spark = first["doc_map"].sparkSession
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+
+    params: dict[tuple[str, str], tuple[float, float]] = {}
+    avgdls: dict[str, float] = {}
+    parts = []
+    cols = [
+        "salt", "term", "block_id", "n_docs", "doc_gaps", "tf_bytes",
+        "dl_bytes",
+    ]
+    for name, idx in field_indexes.items():
+        idfs, avgdl = _collect_idfs(idx, terms)
+        avgdls[name] = float(avgdl)
+        w = float(weights.get(name, 1.0))
+        for t, idf in idfs.items():
+            params[(name, t)] = (idf, w)
+        if idfs:
+            parts.append(
+                _postings_for_terms(idx, list(idfs))
+                .select(*cols)
+                .withColumn("field", F.lit(name))
+            )
+    if not parts:
+        return empty
+    post = parts[0]
+    for p in parts[1:]:
+        post = post.unionByName(p)
+
+    local = post.groupBy("salt").applyInPandas(
+        lambda pdf: _mf_salt_group(pdf, params, avgdls, k),
+        "doc_id long, score double",
+    )
+    topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        first["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id", "inner")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _sql_quote_terms(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def multi_match_sql(
+    terms: list[str],
+    k: int = 10,
+    w_text: float = 1.0,
+    w_url: float = 2.0,
+) -> str:
+    """DuckDB oracle for the registered two-field shape: fields `text`
+    (boost w_text) and `url` (boost w_url, tokenized with the SAME
+    tokenizer — scheme/host/path pieces become terms)."""
+    terms_sql = _sql_quote_terms(terms)
+
+    def field_ctes(fld: str, src_expr: str) -> str:
+        return f"""
+toks_{fld} AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+dl_{fld} AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS doc_len
+  FROM corpus
+),
+stats_{fld} AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl_{fld}),
+tf_{fld} AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_{fld}
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+df_{fld} AS (SELECT term, count(*) AS df FROM tf_{fld} GROUP BY term),
+sc_{fld} AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl))
+         ) AS raw
+  FROM tf_{fld} tf
+  JOIN dl_{fld} dl ON tf.doc_id = dl.doc_id
+  JOIN df_{fld} df ON tf.term = df.term
+  CROSS JOIN stats_{fld} s
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH {CORPUS_CTE.strip()},{field_ctes("text", "text")},{field_ctes("url", "url")},
+combined AS (
+  SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+         round({w_text} * coalesce(t.raw, 0) + {w_url} * coalesce(u.raw, 0),
+               {SCORE_DECIMALS}) AS score
+  FROM sc_text t FULL OUTER JOIN sc_url u ON t.doc_id = u.doc_id
+)
+SELECT c.doc_id, corpus.url, c.score
+FROM combined c JOIN corpus ON c.doc_id = corpus.doc_id
+ORDER BY c.score DESC, c.doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,98 @@
+"""multi_match (most_fields) field-boosted BM25 vs DuckDB; compound slop."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.query import multifield as mf
+
+from .oracle import assert_same
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, sf_dir):
+    fidx = mf.build_field_indexes(
+        load_corpus(spark, sf_dir), {"text": "text", "url": "url"},
+        n_doc_parts=8,
+    )
+    for idx in fidx.values():
+        for nm in ("doc_map", "term_dict", "postings", "stats"):
+            idx[nm] = idx[nm].cache()
+            idx[nm].count()
+    return fidx
+
+
+WEIGHTS = {"text": 1.0, "url": 2.0}
+
+MF_QUERIES = [
+    ["spark", "page"],     # text-only + url-only term
+    ["site7", "merge"],    # url host piece + text term
+    ["example"],           # every url matches (df = N in url field)
+    ["zzzznope"],          # no match anywhere
+]
+
+
+@pytest.mark.parametrize("terms", MF_QUERIES)
+def test_multi_match_vs_oracle(spark, duck, sf_dir, fidx, terms):
+    got = mf.multi_match_topk(fidx, WEIGHTS, terms, k=10)
+    want = duck.execute(mf.multi_match_sql(terms, k=10)).df()
+    assert_same(got, want)
+
+
+def test_multi_match_single_field_reduces_to_wand(spark, sf_dir, fidx):
+    """weight 0 on url == plain single-field BM25 on text."""
+    from telegram2elastic_spark.query.wand import wand_topk
+
+    terms = ["spark", "merge"]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(fidx["text"], terms, k=10).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in mf.multi_match_topk(
+            fidx, {"text": 1.0, "url": 0.0}, terms, k=10
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_multi_match_boost_changes_rank(spark, sf_dir, fidx):
+    """The url boost is live: with a url-only term, boosting url reorders
+    or rescores relative to text-only weighting."""
+    terms = ["site7", "merge"]
+    w_hi = [
+        (r["doc_id"], r["score"])
+        for r in mf.multi_match_topk(
+            fidx, {"text": 1.0, "url": 5.0}, terms, k=10
+        ).collect()
+    ]
+    w_lo = [
+        (r["doc_id"], r["score"])
+        for r in mf.multi_match_topk(
+            fidx, {"text": 1.0, "url": 0.0}, terms, k=10
+        ).collect()
+    ]
+    assert w_hi != w_lo
+
+
+def test_compound_slop_vs_oracle(spark, duck, sf_dir):
+    """Compound bool query with a sloppy phrase clause — whole pipeline
+    (terms + proximity boost) against the combined oracle."""
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query import compound
+
+    idx = build_index(
+        load_corpus(spark, sf_dir), n_doc_parts=8, positions=True
+    )
+    got = compound.compound_topk(
+        idx, ["spark"], ["merge", "batch"], k=10, slop=1
+    )
+    want = duck.execute(
+        compound.compound_topk_sql(["spark"], ["merge", "batch"], k=10, slop=1)
+    ).df()
+    assert_same(got, want)
+    loc = compound.compound_topk_local(
+        idx, ["spark"], ["merge", "batch"], k=10, slop=1
+    )
+    dist = [(r["doc_id"], r["score"]) for r in got.collect()]
+    assert [(d, s) for d, s in loc] == dist
