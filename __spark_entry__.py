@@ -23,7 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, compound, fuzzy, highlight, multifield, phrase, search
+from telegram2elastic_spark.query import bm25, compound, facets, fuzzy, highlight, multifield, phrase, search
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -121,6 +121,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_slop_topk": lambda spark, sf: compound.compound_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
             ["spark"], ["merge", "batch"], k=10, slop=1,
+        ),
+        # ES aggs alongside hits: grouping-sets facets (one Expand pass)
+        # and significant_terms (JLH fg-vs-bg), both over the filtered set
+        "search_facets": lambda spark, sf: facets.search_facets(
+            load_corpus(spark, sf), q="merge", min_score=10.0
+        ),
+        "significant_terms": lambda spark, sf: facets.significant_terms(
+            load_corpus(spark, sf), q="merge", min_score=10.0, k=15
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
@@ -264,17 +272,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(
             load_corpus(spark, sf)
         ),
+    }
+    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # r02-green, demoted out of the 50-row sample window to make room
+        # for the round-3 bool-query ops (kept correct by pytest + the
+        # jobs/parity_check.py full sweep)
         "dedup_simhash_pairs": lambda spark, sf: dedup.simhash_near_pairs(
             load_corpus(spark, sf), max_hamming=3
         ),
         "dedup_embedding_pairs": lambda spark, sf: dedup.embedding_near_pairs(
             load_embeddings(spark, sf), threshold=0.9
         ),
-    }
-    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # r02-green, demoted out of the 50-row sample window to make room
-        # for the round-3 bool-query ops (kept correct by pytest + the
-        # jobs/parity_check.py full sweep)
         "sim_cosine_topk": lambda spark, sf: sim.cosine_topk(
             load_embeddings(spark, sf), query_vec_id=0, k=10
         ),
@@ -426,6 +434,10 @@ FROM corpus ORDER BY doc_id
         ),
         "compound_slop_topk": compound.compound_topk_sql(
             ["spark"], ["merge", "batch"], k=10, slop=1
+        ),
+        "search_facets": facets.search_facets_sql(q="merge", min_score=10.0),
+        "significant_terms": facets.significant_terms_sql(
+            q="merge", min_score=10.0, k=15
         ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),

@@ -1,0 +1,152 @@
+"""ES aggregations alongside search hits: facet buckets and
+significant_terms.
+
+The reference serves faceted dashboards from Elasticsearch/Kibana over its
+message indices (README.md:5); an ES search request carries an `aggs`
+block evaluated over the SAME filtered document set as the hits.  Both
+operators here take the search pipeline's filter stage (query/search.py
+`search_filtered` — substring + score + spam predicates, pushdown-
+friendly) and aggregate over the surviving set.
+
+`search_facets` — terms-bucket facets for several fields in ONE pass via
+grouping sets (lang buckets + source buckets + the grand total share one
+shuffle; Spark plans a single Expand + hash aggregate, map-side partial).
+
+`significant_terms` — ES's "what is unusual about these hits" bucket:
+terms scored by JLH = (fg% - bg%) * (fg% / bg%), foreground = term share
+inside the filtered set, background = share over the whole corpus.  Both
+sides are one tokenize->explode->agg each; the per-term join is
+vocab-sized, the output is top-k.  At 100 TB the background table is the
+index's own term_dict (df already materialized) — wired here from the
+corpus for oracle exactness, with df identical to term_dict's by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE, tokens
+from .bm25 import SCORE_DECIMALS
+from .search import SCORE_SQL, SPAM_SQL, _filters_sql, search_filtered
+
+
+def search_facets(
+    corpus: DataFrame,
+    q: str | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """(lang, source, cnt) buckets over the filtered search set via
+    grouping sets: one row per lang (source NULL), one per source (lang
+    NULL), one grand total (both NULL) — a single Expand+agg pass."""
+    df = search_filtered(corpus, q, min_score)
+    return (
+        df.groupingSets([["lang"], ["source"], []], "lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "source")
+    )
+
+
+def search_facets_sql(q: str | None = None, min_score: float | None = None) -> str:
+    # HAVING cnt > 0 only affects the empty-foreground corner: standard SQL
+    # emits the () grand-total row (cnt=0) over empty input, Spark's
+    # groupingSets emits nothing — the guard pins both to "no buckets".
+    where = _filters_sql(q, min_score, None)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+fset AS (SELECT * FROM scored WHERE {where})
+SELECT lang, source, count(*) AS cnt
+FROM fset
+GROUP BY GROUPING SETS ((lang), (source), ())
+HAVING count(*) > 0
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+"""
+
+
+def significant_terms(
+    corpus: DataFrame,
+    q: str | None = None,
+    min_score: float | None = None,
+    k: int = 20,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """Top-k (term, fg_count, bg_count, jlh) over the filtered set.
+
+    fg% = term's doc frequency inside the filtered (foreground) set /
+    |foreground|; bg% = doc frequency over the whole corpus / N.
+    JLH = (fg% - bg%) * (fg% / bg%), rounded for deterministic order;
+    ES's default significance heuristic.  Terms below `min_doc_count`
+    foreground docs are dropped (ES shard_min_doc_count analogue)."""
+    fg_docs = search_filtered(corpus, q, min_score)
+    fg_n = fg_docs.select(F.count(F.lit(1)).alias("fg_n"))
+    bg_n = corpus.select(F.count(F.lit(1)).alias("bg_n"))
+
+    def doc_freq(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    fg = doc_freq(fg_docs, "fg_count").filter(
+        F.col("fg_count") >= int(min_doc_count)
+    )
+    bg = doc_freq(corpus, "bg_count")
+    joined = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .crossJoin(F.broadcast(bg_n))
+    )
+    fg_pct = F.col("fg_count") / F.col("fg_n")
+    bg_pct = F.col("bg_count") / F.col("bg_n")
+    return (
+        joined.withColumn(
+            "jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), SCORE_DECIMALS)
+        )
+        .select("term", "fg_count", "bg_count", "jlh")
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def significant_terms_sql(
+    q: str | None = None,
+    min_score: float | None = None,
+    k: int = 20,
+    min_doc_count: int = 3,
+) -> str:
+    where = _filters_sql(q, min_score, None)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+fset AS (SELECT * FROM scored WHERE {where}),
+fg_n AS (SELECT count(*) AS fg_n FROM fset),
+bg_n AS (SELECT count(*) AS bg_n FROM corpus),
+fg AS (
+  SELECT term, count(*) AS fg_count FROM (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+        t -> t <> ''))) AS term
+    FROM fset
+  ) GROUP BY term HAVING count(*) >= {int(min_doc_count)}
+),
+bg AS (
+  SELECT term, count(*) AS bg_count FROM (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+        t -> t <> ''))) AS term
+    FROM corpus
+  ) GROUP BY term
+)
+SELECT fg.term, fg.fg_count, bg.bg_count,
+       round(((fg.fg_count * 1.0 / fg_n.fg_n) - (bg.bg_count * 1.0 / bg_n.bg_n))
+             * ((fg.fg_count * 1.0 / fg_n.fg_n) / (bg.bg_count * 1.0 / bg_n.bg_n)),
+             {SCORE_DECIMALS}) AS jlh
+FROM fg JOIN bg USING (term)
+CROSS JOIN fg_n CROSS JOIN bg_n
+ORDER BY jlh DESC, fg.term ASC
+LIMIT {k}
+"""

@@ -17,33 +17,29 @@ avgdl, dl) come from that field's own index; doc lengths are denormalized
 into the blocks as usual, so the query touches only the query terms'
 blocks in each field index.
 
-Pruning: this kernel is full-accumulation (exactness-first, like the
-phrase kernel).  The MaxScore bound extends naturally — ub(f, t) =
-w_f * term_ub(f, t) — and can drive the same theta-skipping as
-_score_salt_group when profiles demand it; at k<<df the per-salt output
-is already O(P*k).
+Pruning: fields are folded into the standard MaxScore kernel
+(_score_salt_group) by keying each posting group as field+term with a
+per-key (idf, weight, avgdl) triple — every upper bound scales by the
+field boost, so the theta-skipping stays exact across fields and a
+boosted rare field prunes a heavy unboosted one exactly like a rare term
+prunes a Zipf-head term in single-field WAND.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..corpus import CORPUS_CTE
 from ..functions.tokenizer import TOKEN_SPLIT_RE
 from ..index.build import build_index
-from ..index.codec import decode_many
 from .bm25 import B, K1, SCORE_DECIMALS
-from .wand import _bm25_w, _collect_idfs, _postings_for_terms
+from .wand import _collect_idfs, _postings_for_terms, _score_salt_group
 
-_EMPTY = pd.DataFrame(
-    {
-        "doc_id": pd.Series([], dtype="int64"),
-        "score": pd.Series([], dtype="float64"),
-    }
-)
+# field/term separator inside composite kernel keys; tokenizer terms are
+# letter/number runs so \x1f can never occur in a term (field names must
+# avoid it too)
+_SEP = "\x1f"
 
 
 def build_field_indexes(
@@ -63,51 +59,6 @@ def build_field_indexes(
     return out
 
 
-def _mf_salt_group(
-    pdf: pd.DataFrame,
-    params: dict[tuple[str, str], tuple[float, float]],
-    avgdls: dict[str, float],
-    k: int,
-) -> pd.DataFrame:
-    """One salt's (field, term) blocks -> local top-k of the weighted
-    cross-field BM25 sum.  Full accumulation within the salt (exact)."""
-    if pdf.empty:
-        return _EMPTY.copy()
-    ids_all, w_all = [], []
-    for (field, term), g in pdf.groupby(["field", "term"], sort=False):
-        p = params.get((field, term))
-        if p is None:
-            continue
-        idf, weight = p
-        ids, tfs, dls = decode_many(
-            [bytes(x) for x in g["doc_gaps"]],
-            [bytes(x) for x in g["tf_bytes"]],
-            [bytes(x) for x in g["dl_bytes"]],
-            g["n_docs"].to_numpy(),
-        )
-        ids_all.append(ids.astype(np.int64))
-        w_all.append(
-            weight
-            * _bm25_w(
-                tfs.astype(np.float64),
-                dls.astype(np.float64),
-                avgdls[field],
-                idf,
-            )
-        )
-    if not ids_all:
-        return _EMPTY.copy()
-    ids = np.concatenate(ids_all)
-    ws = np.concatenate(w_all)
-    order = np.argsort(ids, kind="stable")
-    ids, ws = ids[order], ws[order]
-    uniq, starts = np.unique(ids, return_index=True)
-    sums = np.round(np.add.reduceat(ws, starts), SCORE_DECIMALS)
-    top = min(k, uniq.size)
-    sel = np.lexsort((uniq, -sums))[:top]
-    return pd.DataFrame({"doc_id": uniq[sel], "score": sums[sel]})
-
-
 def multi_match_topk(
     field_indexes: dict[str, dict],
     weights: dict[str, float],
@@ -117,30 +68,37 @@ def multi_match_topk(
     """Top-k (doc_id, url, score) of the field-boosted most_fields sum.
 
     One postings scan per field (each pruned by its own term_bucket
-    layout), one union, ONE groupBy(salt) kernel — per-field stats are
-    collected driver-side (|fields| x |terms| scalars) and closed over."""
+    layout), one union keyed as field+term, ONE groupBy(salt) run of the
+    standard MaxScore kernel with per-key (idf, boost, avgdl) — per-field
+    stats are collected driver-side (|fields| x |terms| scalars) and
+    closed over."""
     first = next(iter(field_indexes.values()))
     spark = first["doc_map"].sparkSession
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
 
-    params: dict[tuple[str, str], tuple[float, float]] = {}
-    avgdls: dict[str, float] = {}
+    key_idfs: dict[str, float] = {}
+    key_weights: dict[str, float] = {}
+    key_avgdls: dict[str, float] = {}
     parts = []
     cols = [
-        "salt", "term", "block_id", "n_docs", "doc_gaps", "tf_bytes",
-        "dl_bytes",
+        "salt", "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+        "block_max_tf", "doc_gaps", "tf_bytes", "dl_bytes",
     ]
     for name, idx in field_indexes.items():
         idfs, avgdl = _collect_idfs(idx, terms)
-        avgdls[name] = float(avgdl)
         w = float(weights.get(name, 1.0))
         for t, idf in idfs.items():
-            params[(name, t)] = (idf, w)
+            key = name + _SEP + t
+            key_idfs[key] = idf
+            key_weights[key] = w
+            key_avgdls[key] = float(avgdl)
         if idfs:
             parts.append(
                 _postings_for_terms(idx, list(idfs))
                 .select(*cols)
-                .withColumn("field", F.lit(name))
+                .withColumn(
+                    "term", F.concat(F.lit(name + _SEP), F.col("term"))
+                )
             )
     if not parts:
         return empty
@@ -149,7 +107,10 @@ def multi_match_topk(
         post = post.unionByName(p)
 
     local = post.groupBy("salt").applyInPandas(
-        lambda pdf: _mf_salt_group(pdf, params, avgdls, k),
+        lambda pdf: _score_salt_group(
+            pdf, key_idfs, 0.0, k,
+            weights=key_weights, avgdls=key_avgdls,
+        ),
         "doc_id long, score double",
     )
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

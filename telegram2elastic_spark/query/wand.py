@@ -59,6 +59,8 @@ def _score_salt_group(
     allowed: np.ndarray | None = None,
     require_all: int = 0,
     raw_scores: bool = False,
+    weights: dict[str, float] | None = None,
+    avgdls: dict[str, float] | None = None,
 ) -> pd.DataFrame:
     """Kernel: one salt partition's posting blocks -> local top-k.
     `tombstones`: sorted int64 ids of deleted/edited-away docs (filtered
@@ -69,7 +71,12 @@ def _score_salt_group(
     `raw_scores`: emit unrounded BM25 sums (selection/order still uses the
     rounded key so truncation agrees with the global rounded merge) — for
     callers that combine the sums with other clauses before rounding once
-    (compound queries)."""
+    (compound queries).
+    `weights` / `avgdls` (optional, keyed like idfs): per-term score
+    multiplier and length-norm denominator — the multi_match most_fields
+    path scores several field indexes in one kernel by keying terms as
+    field+term; every upper bound scales by the weight, so MaxScore
+    pruning stays exact across fields."""
     if post.empty:
         return _EMPTY.copy()
 
@@ -78,8 +85,10 @@ def _score_salt_group(
     for term, g in post.groupby("term", sort=False):
         g = g.sort_values("block_id")
         idf = idfs[term]
-        ub = _term_ub(idf, int(g["block_max_tf"].max()))
-        terms.append((ub, term, idf, g))
+        wgt = weights.get(term, 1.0) if weights else 1.0
+        av = avgdls[term] if avgdls else avgdl
+        ub = wgt * _term_ub(idf, int(g["block_max_tf"].max()))
+        terms.append((ub, term, (idf, wgt, av), g))
     terms.sort(key=lambda x: -x[0])
     ubs = np.array([t[0] for t in terms])
     rem_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])  # rem_ub[j] = sum ubs[j:]
@@ -88,7 +97,7 @@ def _score_salt_group(
     acc_scores = np.array([], dtype=np.float64)
     acc_hits = np.array([], dtype=np.int64)
 
-    for j, (ub, term, idf, g) in enumerate(terms):
+    for j, (ub, term, (idf, wgt, av), g) in enumerate(terms):
         theta = (
             np.partition(acc_scores, -k)[-k] if acc_scores.size >= k else -np.inf
         )
@@ -111,7 +120,7 @@ def _score_salt_group(
             # accumulator (range check via searchsorted) and whose bound can
             # still lift an accumulated doc into the top-k.
             mtf = g["block_max_tf"].to_numpy(dtype=np.float64)
-            bubs = idf * mtf * (K1 + 1.0) / (mtf + K1 * (1.0 - B))
+            bubs = wgt * idf * mtf * (K1 + 1.0) / (mtf + K1 * (1.0 - B))
             lo = np.searchsorted(acc_ids, firsts, side="left")
             hi = np.searchsorted(acc_ids, lasts, side="right")
             overlaps = hi > lo
@@ -146,7 +155,7 @@ def _score_salt_group(
             if not mask.any():
                 continue
             ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
-        w = _bm25_w(tfs, dls, avgdl, idf)
+        w = wgt * _bm25_w(tfs, dls, av, idf)
         # merge into accumulators (sorted union)
         all_ids = np.concatenate([acc_ids, ids])
         all_sc = np.concatenate([acc_scores, w])
