@@ -23,7 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, compound, facets, fuzzy, highlight, multifield, phrase, search
+from telegram2elastic_spark.query import bm25, compound, facets, fuzzy, highlight, mlt, multifield, phrase, search
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -129,6 +129,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "significant_terms": lambda spark, sf: facets.significant_terms(
             load_corpus(spark, sf), q="merge", min_score=10.0, k=15
+        ),
+        # ES more_like_this: tf-idf term selection from the source doc ->
+        # WAND disjunction, source excluded; and ES rescore: gauss date
+        # decay reranking the top-window only (broadcast, post-retrieval)
+        "more_like_this": lambda spark, sf: mlt.more_like_this(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            load_corpus(spark, sf), 7, k=10,
+        ),
+        "rescore_recency": lambda spark, sf: mlt.rescore_recency(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            ["spark", "merge"], k=10, window_size=50,
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
@@ -266,17 +277,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": lambda spark, sf: dedup.dedup_keep_first(
             load_corpus(spark, sf)
         ),
+    }
+    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # r02-green, demoted out of the 50-row sample window to make room
+        # for the round-3 bool-query ops (kept correct by pytest + the
+        # jobs/parity_check.py full sweep)
         "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
             load_corpus(spark, sf), threshold=0.5
         ),
         "dedup_minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(
             load_corpus(spark, sf)
         ),
-    }
-    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # r02-green, demoted out of the 50-row sample window to make room
-        # for the round-3 bool-query ops (kept correct by pytest + the
-        # jobs/parity_check.py full sweep)
         "dedup_simhash_pairs": lambda spark, sf: dedup.simhash_near_pairs(
             load_corpus(spark, sf), max_hamming=3
         ),
@@ -438,6 +449,10 @@ FROM corpus ORDER BY doc_id
         "search_facets": facets.search_facets_sql(q="merge", min_score=10.0),
         "significant_terms": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15
+        ),
+        "more_like_this": mlt.more_like_this_sql(7, k=10),
+        "rescore_recency": mlt.rescore_recency_sql(
+            ["spark", "merge"], k=10, window_size=50
         ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
