@@ -195,3 +195,59 @@ def test_sloppy_local_matches_distributed(pindex):
     ]
     loc = phrase_topk_local(pindex, ph, k=10, slop=slop)
     assert [(d, round(s, 5)) for d, s in loc] == dist
+
+
+def _brute_sloppy_tf(toks, phrase, slop):
+    """Exhaustive reference: start p0 matches iff positions
+    p0 < q_1 < ... < q_{m-1} exist with q_i <= p0 + i + slop (DFS over all
+    choices — no greedy assumption)."""
+    pos = {}
+    for t in set(phrase):
+        pos[t] = [i for i, x in enumerate(toks) if x == t]
+
+    def extend(i, prev, p0):
+        if i == len(phrase):
+            return True
+        return any(
+            extend(i + 1, q, p0)
+            for q in pos[phrase[i]]
+            if prev < q <= p0 + i + slop
+        )
+
+    return sum(1 for p0 in pos.get(phrase[0], []) if extend(1, p0, p0))
+
+
+def test_sloppy_greedy_matches_exhaustive(spark, sf_dir, pindex):
+    """Randomized differential check of the greedy chain: for many random
+    phrases/slops over real corpus docs, the kernel's phrase_tf equals the
+    exhaustive DFS count (greedy-minimal is claimed optimal — verify)."""
+    import random
+
+    from telegram2elastic_spark.functions.tokenizer import py_tokenize
+    from telegram2elastic_spark.query.phrase import (
+        _local_pos_blocks,
+        _phrase_counts_group,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    docs = {
+        r["doc_id"]: py_tokenize(r["text"])
+        for r in corpus.select("doc_id", "text").limit(200).collect()
+    }
+    vocab = ["the", "fast", "merge", "batch", "table", "scan", "value", "a"]
+    rng = random.Random(1234)
+    checked = 0
+    for _ in range(40):
+        m = rng.choice([2, 2, 3, 3, 4])
+        phrase = [rng.choice(vocab) for _ in range(m)]
+        slop = rng.choice([1, 2, 3, 5])
+        pdf = _local_pos_blocks(pindex, phrase)
+        if pdf is None:
+            continue
+        counts = _phrase_counts_group(pdf, phrase, slop=slop)
+        got = dict(zip(counts["doc_id"], counts["phrase_tf"]))
+        for did, toks in docs.items():
+            want = _brute_sloppy_tf(toks, phrase, slop)
+            assert got.get(did, 0) == want, (phrase, slop, did)
+            checked += 1
+    assert checked > 0
