@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--from-testdata", default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--doc-parts", type=int, default=32)
+    ap.add_argument("--positions", action="store_true",
+                    help="store token positions (phrase/slop queries)")
     args = ap.parse_args()
 
     # spark-submit provides master/conf; only fill gaps for bare invocation
@@ -53,7 +55,7 @@ def main() -> None:
 
     n_docs = corpus.count()
     t0 = time.perf_counter()
-    idx = build_index(corpus, n_doc_parts=args.doc_parts)
+    idx = build_index(corpus, n_doc_parts=args.doc_parts, positions=args.positions)
     write_index(idx, args.out)
     dt = time.perf_counter() - t0
     print(json.dumps({
