@@ -23,7 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, compound, facets, fuzzy, highlight, mlt, multifield, phrase, search
+from telegram2elastic_spark.query import bm25, compound, facets, fuzzy, highlight, mlt, multifield, phrase, search, suggest
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -140,6 +140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_recency": lambda spark, sf: mlt.rescore_recency(
             build_index(load_corpus(spark, sf), n_doc_parts=8),
             ["spark", "merge"], k=10, window_size=50,
+        ),
+        # ES suggesters: completion (prefix -> top-cf terms, sorted-dict
+        # pruned) and term/spelling (trigram-similar vocabulary terms)
+        "suggest_complete": lambda spark, sf: suggest.suggest_complete(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), "s", k=10
+        ),
+        "suggest_spelling": lambda spark, sf: suggest.suggest_spelling(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            "scap", k=5, min_sim=0.1,
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
@@ -271,17 +280,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf)
         ),
         # --- dedup family (exact / jaccard / minhash-LSH / simhash / embedding) ---
+    }
+    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # r02-green, demoted out of the 50-row sample window to make room
+        # for the round-3 bool-query ops (kept correct by pytest + the
+        # jobs/parity_check.py full sweep)
         "dedup_exact_groups": lambda spark, sf: dedup.exact_dup_groups(
             load_corpus(spark, sf)
         ),
         "dedup_keep_first": lambda spark, sf: dedup.dedup_keep_first(
             load_corpus(spark, sf)
         ),
-    }
-    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # r02-green, demoted out of the 50-row sample window to make room
-        # for the round-3 bool-query ops (kept correct by pytest + the
-        # jobs/parity_check.py full sweep)
         "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
             load_corpus(spark, sf), threshold=0.5
         ),
@@ -453,6 +462,10 @@ FROM corpus ORDER BY doc_id
         "more_like_this": mlt.more_like_this_sql(7, k=10),
         "rescore_recency": mlt.rescore_recency_sql(
             ["spark", "merge"], k=10, window_size=50
+        ),
+        "suggest_complete": suggest.suggest_complete_sql("s", k=10),
+        "suggest_spelling": suggest.suggest_spelling_sql(
+            "scap", k=5, min_sim=0.1
         ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
