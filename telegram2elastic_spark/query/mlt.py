@@ -132,11 +132,15 @@ def more_like_this_sql(
   LIMIT {int(max_query_terms)}
 )"""
     base = _expanded_bm25_sql(f"term IN {sel}", k + 1, 10**9)
-    # exclude the source doc, re-cap at k
-    return base.replace(
+    # exclude the source doc, re-cap at k.  The final LIMIT is patched via
+    # rsplit (LAST occurrence): plain replace would first hit "LIMIT 10"
+    # inside the qterms "LIMIT 1000000000" when k = 9.
+    base = base.replace(
         "ORDER BY s.score DESC, s.doc_id ASC",
         f"WHERE s.doc_id <> {int(doc_id)}\nORDER BY s.score DESC, s.doc_id ASC",
-    ).replace(f"LIMIT {k + 1}", f"LIMIT {k}")
+    )
+    head, tail = base.rsplit(f"LIMIT {k + 1}", 1)
+    return head + f"LIMIT {k}" + tail
 
 
 def rescore_recency(

@@ -72,3 +72,14 @@ def test_rescore_only_touches_window(spark, sf_dir, index):
     assert [r["doc_id"] for r in hits] != sorted(
         (r["doc_id"] for r in hits)
     ) or any(r["rescored"] != r["score"] for r in hits)
+
+
+def test_more_like_this_k9_oracle_not_corrupted(spark, duck, sf_dir, index):
+    """k=9 regression: the final LIMIT patch must not touch the qterms
+    expansion cap ("LIMIT 10" is a prefix of "LIMIT 1000000000")."""
+    corpus = load_corpus(spark, sf_dir)
+    sql = mlt.more_like_this_sql(7, k=9)
+    assert "LIMIT 1000000000" in sql and sql.rstrip().endswith("LIMIT 9")
+    got = mlt.more_like_this(index, corpus, 7, k=9)
+    want = duck.execute(sql).df()
+    assert_same(got, want)
