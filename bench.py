@@ -328,6 +328,74 @@ def main() -> None:
         seg["query_8q_after_compact_sec"] = round(time.perf_counter() - t0, 3)
         extra["segments"] = seg
 
+        # q7 (extra keys, outside the headline sum): round-3 ES
+        # query-surface ops — one timed run each against a WRITTEN index
+        # (so prefix/suggest exercise the sorted-dict pruned path and the
+        # phrase ops the on-disk positional blocks).
+        from telegram2elastic_spark.index.build import (
+            build_index,
+            read_index,
+            write_index,
+        )
+        from telegram2elastic_spark.query import expand as exq
+        from telegram2elastic_spark.query import facets as fc
+        from telegram2elastic_spark.query import highlight as hl
+        from telegram2elastic_spark.query import mlt as ml
+        from telegram2elastic_spark.query import multifield as mff
+        from telegram2elastic_spark.query import phrase as ph
+        from telegram2elastic_spark.query import suggest as sg
+        from telegram2elastic_spark.query.wand import wand_topk
+
+        es: dict = {}
+        t0 = time.perf_counter()
+        es_dir = f"{workdir}/es_idx"
+        write_index(build_index(corpus, n_doc_parts=CPUS, positions=True), es_dir)
+        es["positional_index_build_write_sec"] = round(time.perf_counter() - t0, 3)
+        eidx = read_index(spark, es_dir)
+
+        def timed(name, fn):
+            t = time.perf_counter()
+            fn().collect()
+            es[name] = round(time.perf_counter() - t, 3)
+
+        timed("msm_sec", lambda: wand_topk(
+            eidx, ["vector", "window", "batch"], k=10, min_should_match=2))
+        timed("must_not_sec", lambda: wand_topk(
+            eidx, ["the", "data"], k=10, exclude_terms=["vector"]))
+        timed("phrase_slop_sec", lambda: ph.phrase_topk(
+            eidx, ["merge", "batch"], k=10, slop=2))
+        timed("prefix_sec", lambda: exq.prefix_topk(eidx, "sc", k=10))
+        timed("wildcard_sec", lambda: exq.wildcard_topk(eidx, "s?a*", k=10))
+        timed("suggest_complete_sec", lambda: sg.suggest_complete(
+            eidx, "s", k=10))
+        timed("suggest_spelling_sec", lambda: sg.suggest_spelling(
+            eidx, "mergge", k=5))
+        timed("highlight_sec", lambda: hl.search_highlight(
+            corpus, ["spark", "merge"], k=10))
+        timed("facets_sec", lambda: fc.search_facets(
+            corpus, q="merge", min_score=10.0))
+        timed("significant_terms_sec", lambda: fc.significant_terms(
+            corpus, q="merge", min_score=10.0, k=15))
+        timed("more_like_this_sec", lambda: ml.more_like_this(
+            eidx, corpus, 7, k=10))
+        timed("rescore_sec", lambda: ml.rescore_recency(
+            eidx, ["spark", "merge"], k=10, window_size=100))
+        t0 = time.perf_counter()
+        fidx = mff.build_field_indexes(
+            corpus, {"text": "text", "url": "url"}, n_doc_parts=CPUS
+        )
+        for _fi in fidx.values():
+            for nm in ("doc_map", "term_dict", "postings", "stats"):
+                _fi[nm] = _fi[nm].cache()
+                _fi[nm].count()
+        es["field_indexes_build_sec"] = round(time.perf_counter() - t0, 3)
+        timed("multi_match_sec", lambda: mff.multi_match_topk(
+            fidx, {"text": 1.0, "url": 2.0}, ["spark", "page"], k=10))
+        for _fi in fidx.values():
+            for nm in ("doc_map", "term_dict", "postings", "stats"):
+                _fi[nm].unpersist()
+        extra["es_surface"] = es
+
         spark.stop()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
