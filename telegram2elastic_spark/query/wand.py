@@ -488,6 +488,8 @@ def wand_topk_batch(
     queries: dict[int, list[str]],
     k: int = 10,
     doc_filter: str | None = None,
+    min_should_match: dict[int, int] | int | None = None,
+    exclude_terms: dict[int, list[str]] | None = None,
 ) -> DataFrame:
     """Answer a whole query batch in ONE Spark job (the server pattern:
     per-query Spark-job overhead is ~2 s in local mode, ~100x the kernel
@@ -497,22 +499,43 @@ def wand_topk_batch(
     `doc_filter` applies one shared document-level predicate (tenant /
     language / time-range filter-context) to every query in the batch,
     delivered per-salt via cogroup like the single-query path.
+    `min_should_match` (int = same bar for every query, or per-query-id
+    dict) and `exclude_terms` (per-query-id dict) carry wand_topk's bool
+    knobs into the batch: hit counts fall out of the shared per-term
+    decode cache, and a query's excluded terms reuse the same cache for
+    membership — excluded-term blocks are decoded at most once per salt
+    even when several queries exclude them.
 
     Returns (query_id, doc_id, url, score), top-k per query, ordered.
     """
     spark = index["doc_map"].sparkSession
+    if min_should_match is None:
+        msm: dict[int, int] = {}
+    elif isinstance(min_should_match, int):
+        msm = {qid: int(min_should_match) for qid in queries}
+    else:
+        msm = {qid: int(m) for qid, m in min_should_match.items()}
+    excl = {
+        qid: sorted(set(ts)) for qid, ts in (exclude_terms or {}).items()
+    }
     all_terms = sorted({t for ts in queries.values() for t in ts})
     idfs, avgdl = _collect_idfs(index, all_terms)
     live = {qid: [t for t in ts if t in idfs] for qid, ts in queries.items()}
-    live = {qid: ts for qid, ts in live.items() if ts}
+    # a query whose msm bar exceeds its live terms can never match
+    live = {
+        qid: ts for qid, ts in live.items()
+        if ts and msm.get(qid, 0) <= len(set(ts))
+    }
     empty = spark.createDataFrame(
         [], "query_id int, doc_id long, url string, score double"
     )
     if not live:
         return empty
 
+    scan_excl = sorted({t for qid in live for t in excl.get(qid, [])})
     post = _postings_for_terms(
-        index, sorted({t for ts in live.values() for t in ts})
+        index,
+        sorted({t for ts in live.values() for t in ts} | set(scan_excl)),
     )
     filt = _filters_df(index, doc_filter)
 
@@ -571,6 +594,24 @@ def wand_topk_batch(
             all_ids, all_w = all_ids[order], all_w[order]
             uniq, starts = np.unique(all_ids, return_index=True)
             sums = np.round(np.add.reduceat(all_w, starts), SCORE_DECIMALS)
+            if msm.get(qid, 0) > 1:
+                # hit count per doc = run length of each unique id (every
+                # term contributes one posting per doc)
+                hits = np.diff(np.append(starts, all_ids.size))
+                keep = hits >= msm[qid]
+                uniq, sums = uniq[keep], sums[keep]
+            ex = excl.get(qid)
+            if ex:
+                ex_arrs = [
+                    a[0] for a in (term_contrib(t) for t in ex)
+                    if a is not None and a[0].size
+                ]
+                if ex_arrs:
+                    ex_ids = np.unique(np.concatenate(ex_arrs))
+                    keep = ~np.isin(uniq, ex_ids)
+                    uniq, sums = uniq[keep], sums[keep]
+            if uniq.size == 0:
+                continue
             top = min(k, uniq.size)
             sel = np.lexsort((uniq, -sums))[:top]
             outs.append(

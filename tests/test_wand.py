@@ -254,3 +254,33 @@ def test_bmw_rejects_bool_knobs(index):
     ):
         with pytest.raises(ValueError):
             wand_topk(index, ["spark", "merge"], algo="bmw", **kw)
+
+
+def test_batch_bool_knobs_match_single_path(spark, sf_dir, index):
+    """Batch msm/exclude == the single-query path, per query."""
+    from telegram2elastic_spark.query.wand import wand_topk_batch
+
+    queries = {
+        0: ["vector", "window", "batch"],     # msm 2
+        1: ["spark", "merge"],                # exclude vector
+        2: ["the", "data", "row"],            # plain
+        3: ["vector", "window", "zzzz"],      # msm 2 with a dead term
+    }
+    msm = {0: 2, 3: 2}
+    excl = {1: ["vector"]}
+    batch = wand_topk_batch(
+        index, queries, k=10, min_should_match=msm, exclude_terms=excl
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(
+                index, terms, k=10,
+                min_should_match=msm.get(qid, 0),
+                exclude_terms=excl.get(qid),
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
