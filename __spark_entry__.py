@@ -23,7 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, compound, facets, fuzzy, highlight, mlt, multifield, phrase, search, suggest
+from telegram2elastic_spark.query import bm25, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -34,6 +34,11 @@ Q_MULTI = ["vector", "window", "batch"]
 Q_HEAVY = ["the", "data", "row"]
 Q_LANG = (["join", "filter"], "en")
 Q_WINDOW = (["table", "scan"], "2022-01-01 00:30:00", "2022-01-03 00:00:00")
+PERCOLATE_SPECS = [
+    (1, ["spark", "merge"], 2),
+    (2, ["vector"], 1),
+    (3, ["the", "data", "row"], 3),
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -149,6 +154,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_spelling": lambda spark, sf: suggest.suggest_spelling(
             build_index(load_corpus(spark, sf), n_doc_parts=8),
             "scap", k=5, min_sim=0.1,
+        ),
+        # ES _explain: per-term BM25 breakdown for one (query, doc) pair
+        "explain_score": lambda spark, sf: explain.explain_score(
+            load_corpus(spark, sf), ["spark", "merge", "the"], 135
+        ),
+        # ES percolator (reverse search): stored alert queries matched
+        # against documents via a broadcast term->query index
+        "percolate": lambda spark, sf: percolate.percolate(
+            load_corpus(spark, sf),
+            percolate.stored_queries(spark, PERCOLATE_SPECS),
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
@@ -285,6 +300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02-green, demoted out of the 50-row sample window to make room
         # for the round-3 bool-query ops (kept correct by pytest + the
         # jobs/parity_check.py full sweep)
+        "events_rollup": lambda spark, sf: agg.events_rollup(
+            load_events(spark, sf)
+        ),
+        "top_users_per_type": lambda spark, sf: agg.top_users_per_type(
+            load_events(spark, sf), k=3
+        ),
         "dedup_exact_groups": lambda spark, sf: dedup.exact_dup_groups(
             load_corpus(spark, sf)
         ),
@@ -467,6 +488,10 @@ FROM corpus ORDER BY doc_id
         "suggest_spelling": suggest.suggest_spelling_sql(
             "scap", k=5, min_sim=0.1
         ),
+        "explain_score": explain.explain_score_sql(
+            ["spark", "merge", "the"], 135
+        ),
+        "percolate": percolate.percolate_sql(PERCOLATE_SPECS),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "bm25_global_stats_filter": bm25.bm25_topk_sql(

@@ -1,0 +1,85 @@
+"""Percolator — reverse search: match incoming documents against STORED
+queries (the ES percolate query).
+
+The reference is a monitoring pipeline (Telegram OSINT archive): the
+natural serving shape is "which standing alerts does this new message
+trigger", i.e. queries are the indexed side and documents are the probe.
+A stored query here is (query_id, terms array, min_should_match); a
+document matches when it contains >= min_should_match distinct query
+terms — the bool-should contract of the forward path.
+
+Distributed shape (the inverted one): explode the stored queries into a
+(term -> query_id) table — the "query index", tiny and broadcastable at
+any realistic alert count — then one map-side broadcast join from each
+incoming doc's DISTINCT terms, and a (doc, query) hit-count aggregation
+against the per-query bar.  No shuffle of the document side beyond the
+count agg; at streaming scale this runs per micro-batch as-is (the query
+index only changes when alerts change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE, tokens
+
+
+def stored_queries(spark, specs: list[tuple[int, list[str], int]]) -> DataFrame:
+    """(query_id, terms array<string>, msm) from (id, terms, msm) specs."""
+    return spark.createDataFrame(
+        [(int(q), list(ts), int(m)) for q, ts, m in specs],
+        "query_id int, terms array<string>, msm int",
+    )
+
+
+def percolate(docs: DataFrame, queries: DataFrame) -> DataFrame:
+    """(doc_id, query_id, n_matched) for every stored query a document
+    triggers, ordered (doc_id, query_id)."""
+    qindex = queries.select(
+        "query_id", "msm", F.explode(F.array_distinct("terms")).alias("term")
+    )
+    dterms = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    return (
+        dterms.join(F.broadcast(qindex), "term")
+        .groupBy("doc_id", "query_id", "msm")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= F.col("msm"))
+        .select(
+            "doc_id", "query_id", F.col("n_matched").cast("long").alias("n_matched")
+        )
+        .orderBy("doc_id", "query_id")
+    )
+
+
+def percolate_sql(specs: list[tuple[int, list[str], int]]) -> str:
+    """DuckDB oracle over the same inline stored-query set."""
+    rows = ", ".join(
+        "({}, {}, {})".format(
+            int(q),
+            "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in ts) + "]",
+            int(m),
+        )
+        for q, ts, m in specs
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+queries(query_id, terms, msm) AS (VALUES {rows}),
+qindex AS (
+  SELECT query_id, msm, unnest(list_distinct(terms)) AS term FROM queries
+),
+dterms AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> ''))) AS term
+  FROM corpus
+)
+SELECT d.doc_id, q.query_id, count(*) AS n_matched
+FROM dterms d JOIN qindex q USING (term)
+GROUP BY d.doc_id, q.query_id, q.msm
+HAVING count(*) >= q.msm
+ORDER BY d.doc_id, q.query_id
+"""

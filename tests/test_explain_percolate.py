@@ -1,0 +1,83 @@
+"""_explain score breakdown + percolator (reverse search) vs DuckDB."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.query import explain, percolate
+
+from .oracle import assert_same
+
+
+@pytest.mark.parametrize("terms,doc_id", [
+    (["spark", "merge", "the"], 135),
+    (["vector"], 7),
+    (["zzzznotaterm"], 7),          # no matching terms -> empty
+    (["spark"], -1),                # missing doc -> empty
+])
+def test_explain_vs_oracle(spark, duck, sf_dir, terms, doc_id):
+    corpus = load_corpus(spark, sf_dir)
+    got = explain.explain_score(corpus, terms, doc_id)
+    want = duck.execute(explain.explain_score_sql(terms, doc_id)).df()
+    assert_same(got, want)
+
+
+def test_explain_sums_to_bm25_score(spark, sf_dir):
+    """The per-term weights sum to the retrieval score of the same doc
+    (the whole point of _explain)."""
+    from telegram2elastic_spark.query.bm25 import bm25_topk
+
+    corpus = load_corpus(spark, sf_dir)
+    terms = ["spark", "merge"]
+    top = bm25_topk(corpus, terms, k=1).collect()[0]
+    rows = explain.explain_score(corpus, terms, top["doc_id"]).collect()
+    assert round(sum(r["weight"] for r in rows), 4) == round(top["score"], 4)
+
+
+SPECS = [
+    (1, ["spark", "merge"], 2),
+    (2, ["vector"], 1),
+    (3, ["the", "data", "row"], 3),
+    (4, ["zzzznotaterm"], 1),        # never fires
+    (5, ["batch", "batch", "scan"], 2),  # duplicate term in spec
+]
+
+
+def test_percolate_vs_oracle(spark, duck, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    q = percolate.stored_queries(spark, SPECS)
+    got = percolate.percolate(corpus, q)
+    want = duck.execute(percolate.percolate_sql(SPECS)).df()
+    assert_same(got, want)
+
+
+def test_percolate_matches_forward_search(spark, sf_dir):
+    """Percolation agrees with the forward path: docs matching stored
+    query 1 == conjunctive bm25 matches for its terms."""
+    from telegram2elastic_spark.query.bm25 import bm25_topk
+
+    corpus = load_corpus(spark, sf_dir)
+    q = percolate.stored_queries(spark, SPECS)
+    perc = {
+        r["doc_id"]
+        for r in percolate.percolate(corpus, q).collect()
+        if r["query_id"] == 1
+    }
+    fwd = {
+        r["doc_id"]
+        for r in bm25_topk(
+            corpus, ["spark", "merge"], k=10**6, conjunctive=True
+        ).collect()
+    }
+    assert perc == fwd
+
+
+def test_percolate_query_index_is_broadcast(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    q = percolate.stored_queries(spark, SPECS)
+    plan = (
+        percolate.percolate(corpus, q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
