@@ -55,6 +55,46 @@ def percolate(docs: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
+def stream_percolate_availablenow(
+    spark,
+    corpus_path: str,
+    queries: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Standing-alert serving: percolate a document STREAM against the
+    stored queries — the realtime shape of the reference's monitoring
+    pipeline (new Telegram messages -> which watchlists fire).
+
+    File-source readStream + Trigger.AvailableNow micro-batches; each
+    batch is percolated independently (correct: a document's matches
+    depend only on its own terms) and written to an epoch-keyed directory
+    with overwrite, so a retried epoch replaces rather than duplicates —
+    the same checkpoint-offsets + idempotent-sink exactly-once recipe as
+    streaming ingest (streaming/ingest.py).  The query index re-broadcasts
+    per batch (tiny); on a long-lived stream a changed alert set takes
+    effect at the next micro-batch."""
+    schema = spark.read.parquet(corpus_path).schema
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        percolate(batch_df, queries).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    q = (
+        reader.parquet(corpus_path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def percolate_sql(specs: list[tuple[int, list[str], int]]) -> str:
     """DuckDB oracle over the same inline stored-query set."""
     rows = ", ".join(

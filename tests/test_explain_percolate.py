@@ -81,3 +81,30 @@ def test_percolate_query_index_is_broadcast(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_percolate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming percolation over micro-batches == batch percolation of
+    the whole corpus (per-doc independence), with epoch-keyed idempotent
+    output."""
+    corpus = load_corpus(spark, sf_dir)
+    src = str(tmp_path / "stream_src")
+    corpus.repartition(4).write.parquet(src)
+    q = percolate.stored_queries(spark, SPECS)
+    out = str(tmp_path / "alerts")
+    percolate.stream_percolate_availablenow(
+        spark, src, q, out, str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    import glob
+
+    epochs = glob.glob(f"{out}/epoch=*")
+    assert len(epochs) >= 2  # really micro-batched
+    got = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in spark.read.parquet(*epochs).collect()
+    }
+    want = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate.percolate(corpus, q).collect()
+    }
+    assert got == want
