@@ -23,7 +23,7 @@ from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
-from telegram2elastic_spark.query import bm25, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
+from telegram2elastic_spark.query import bm25, collapse, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": lambda spark, sf: percolate.percolate(
             load_corpus(spark, sf),
             percolate.stored_queries(spark, PERCOLATE_SPECS),
+        ),
+        # ES collapse: one best hit per url host in the ranked results
+        "search_collapse": lambda spark, sf: collapse.search_collapse(
+            load_corpus(spark, sf), ["spark", "merge"], k=10
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(
@@ -492,6 +496,9 @@ FROM corpus ORDER BY doc_id
             ["spark", "merge", "the"], 135
         ),
         "percolate": percolate.percolate_sql(PERCOLATE_SPECS),
+        "search_collapse": collapse.search_collapse_sql(
+            ["spark", "merge"], k=10
+        ),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "bm25_global_stats_filter": bm25.bm25_topk_sql(

@@ -49,7 +49,7 @@ def bm25_weight(tf: F.Column, dl: F.Column, avgdl: F.Column, idf: F.Column) -> F
 def bm25_topk(
     corpus: DataFrame,
     terms: list[str],
-    k: int = 10,
+    k: int | None = 10,
     lang: str | None = None,
     min_ts: str | None = None,
     max_ts: str | None = None,
@@ -134,11 +134,16 @@ def bm25_topk(
             .distinct()
         )
         scored = scored.join(ex, "doc_id", "left_anti")
-    return (
-        scored.drop("n_matched")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    scored = scored.drop("n_matched")
+    if k is None:
+        return scored  # bm25_scores: the untruncated matching set
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_scores(corpus: DataFrame, terms: list[str]) -> DataFrame:
+    """Every matching doc's (doc_id, url, score), UNTRUNCATED — for
+    consumers that reduce per key before any top-k (field collapsing)."""
+    return bm25_topk(corpus, terms, k=None)
 
 
 def _sql_quote_terms(terms: list[str]) -> str:
