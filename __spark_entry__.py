@@ -75,11 +75,16 @@ def _q_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's correctness gate samples
-    the FIRST 50 entries.  Block A holds entries that have never had a
-    driver row (r02's positions 51-67) plus this round's new operators;
-    Block B holds 30 previously driver-green headliners; Block C holds
-    long-green family variants kept correct by pytest rank-identity tests
-    + the jobs/parity_check.py sweep."""
+    the FIRST 50 entries.  Block A holds every entry that has never had a
+    driver row — the round-3 ES-surface operators (bool knobs, slop,
+    prefix/wildcard, multi_match, highlight, facets, significant_terms,
+    MLT, rescore, suggesters, explain, percolate, collapse) plus r02's
+    never-sampled tail; Block B holds previously driver-green headliners;
+    Block C holds long-green entries demoted out of the window, kept
+    correct by pytest + the jobs/parity_check.py FULL sweep (all 88 pairs,
+    re-verified green each session).  Invariant (tested in this file's
+    maintenance checks): no never-rowed entry sits outside the first
+    50."""
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- ES bool-query surface (round 3): minimum_should_match,
         # must_not exclusion, match_phrase slop — all rank-identical to
