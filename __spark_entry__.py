@@ -113,10 +113,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": lambda spark, sf: expandq.wildcard_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8), "s?a*", k=10
         ),
-        # ES highlight block: snippets with <em>-wrapped term hits,
-        # computed on the k-row broadcast hit list only
+        # ES highlight block: snippets with <em>-wrapped term hits on the
+        # k-row broadcast hit list; base ranking on the compressed-index
+        # WAND path (the serving shape — corpus never re-tokenized)
         "search_highlight": lambda spark, sf: highlight.search_highlight(
-            load_corpus(spark, sf), ["spark", "merge"], k=10
+            load_corpus(spark, sf), ["spark", "merge"], k=10,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
         # ES multi_match most_fields: per-field BM25 stats, field boosts,
         # one cogrouped kernel over the per-field indexes' shared salts

@@ -371,7 +371,7 @@ def main() -> None:
         timed("suggest_spelling_sec", lambda: sg.suggest_spelling(
             eidx, "mergge", k=5))
         timed("highlight_sec", lambda: hl.search_highlight(
-            corpus, ["spark", "merge"], k=10))
+            corpus, ["spark", "merge"], k=10, index=eidx))
         timed("facets_sec", lambda: fc.search_facets(
             corpus, q="merge", min_score=10.0))
         timed("significant_terms_sec", lambda: fc.significant_terms(

@@ -36,10 +36,21 @@ def search_highlight(
     k: int = 10,
     window: int = 30,
     length: int = 160,
+    index: dict | None = None,
 ) -> DataFrame:
-    """(doc_id, url, score, snippet) for the BM25 top-k hits."""
+    """(doc_id, url, score, snippet) for the BM25 top-k hits.
+
+    With `index`, the base ranking runs on the compressed-index WAND path
+    (rank-identical to the relational scorer) — the serving shape: the
+    corpus is only touched by the k-row broadcast snippet join, never
+    re-tokenized per query."""
     uniq = sorted({t.lower() for t in terms})
-    top = bm25_topk(corpus, terms, k=k)
+    if index is not None:
+        from .wand import wand_topk
+
+        top = wand_topk(index, terms, k=k)
+    else:
+        top = bm25_topk(corpus, terms, k=k)
     hits = corpus.select("doc_id", "text").join(F.broadcast(top), "doc_id")
     low = F.lower(F.col("text"))
     pos = [F.when(F.instr(low, t) > 0, F.instr(low, t)) for t in uniq]

@@ -135,3 +135,15 @@ def test_highlight_is_broadcast_topk_join(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_highlight_indexed_matches_relational(spark, duck, sf_dir, index):
+    """Index-backed highlighting (WAND base ranking) == the relational
+    base, snippets included — and == the DuckDB oracle."""
+    corpus = load_corpus(spark, sf_dir)
+    terms = ["spark", "merge"]
+    rel = search_highlight(corpus, terms, k=10).collect()
+    idxed = search_highlight(corpus, terms, k=10, index=index).collect()
+    assert [tuple(r) for r in idxed] == [tuple(r) for r in rel]
+    want = duck.execute(search_highlight_sql(terms, k=10)).df()
+    assert_same(search_highlight(corpus, terms, k=10, index=index), want)
