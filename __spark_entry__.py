@@ -140,7 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), q="merge", min_score=10.0
         ),
         "significant_terms": lambda spark, sf: facets.significant_terms(
-            load_corpus(spark, sf), q="merge", min_score=10.0, k=15
+            load_corpus(spark, sf), q="merge", min_score=10.0, k=15,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
         # ES more_like_this: tf-idf term selection from the source doc ->
         # WAND disjunction, source excluded; and ES rescore: gauss date

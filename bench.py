@@ -375,7 +375,7 @@ def main() -> None:
         timed("facets_sec", lambda: fc.search_facets(
             corpus, q="merge", min_score=10.0))
         timed("significant_terms_sec", lambda: fc.significant_terms(
-            corpus, q="merge", min_score=10.0, k=15))
+            corpus, q="merge", min_score=10.0, k=15, index=eidx))
         timed("more_like_this_sec", lambda: ml.more_like_this(
             eidx, corpus, 7, k=10))
         timed("rescore_sec", lambda: ml.rescore_recency(

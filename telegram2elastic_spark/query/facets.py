@@ -72,6 +72,7 @@ def significant_terms(
     min_score: float | None = None,
     k: int = 20,
     min_doc_count: int = 3,
+    index: dict | None = None,
 ) -> DataFrame:
     """Top-k (term, fg_count, bg_count, jlh) over the filtered set.
 
@@ -79,10 +80,16 @@ def significant_terms(
     |foreground|; bg% = doc frequency over the whole corpus / N.
     JLH = (fg% - bg%) * (fg% / bg%), rounded for deterministic order;
     ES's default significance heuristic.  Terms below `min_doc_count`
-    foreground docs are dropped (ES shard_min_doc_count analogue)."""
+    foreground docs are dropped (ES shard_min_doc_count analogue).
+
+    With `index`, the background statistics come straight from the term
+    dictionary (df is already materialized at build time — identical to
+    the corpus aggregation by construction) and N from the stats table:
+    only the foreground set is tokenized, which is the serving shape —
+    at 100 TB the background pass would otherwise re-aggregate the whole
+    corpus per request."""
     fg_docs = search_filtered(corpus, q, min_score)
     fg_n = fg_docs.select(F.count(F.lit(1)).alias("fg_n"))
-    bg_n = corpus.select(F.count(F.lit(1)).alias("bg_n"))
 
     def doc_freq(df: DataFrame, out: str) -> DataFrame:
         return (
@@ -94,7 +101,14 @@ def significant_terms(
     fg = doc_freq(fg_docs, "fg_count").filter(
         F.col("fg_count") >= int(min_doc_count)
     )
-    bg = doc_freq(corpus, "bg_count")
+    if index is not None:
+        bg = index["term_dict"].select(
+            "term", F.col("df").cast("long").alias("bg_count")
+        )
+        bg_n = index["stats"].select(F.col("n_docs").alias("bg_n"))
+    else:
+        bg = doc_freq(corpus, "bg_count")
+        bg_n = corpus.select(F.count(F.lit(1)).alias("bg_n"))
     joined = (
         fg.join(bg, "term")
         .crossJoin(F.broadcast(fg_n))

@@ -65,3 +65,19 @@ def test_significant_terms_foreground_bias(spark, sf_dir):
     rows = facets.significant_terms(corpus, q="merge", k=5).collect()
     assert rows[0]["term"] == "merge"
     assert all(r["jlh"] > 0 for r in rows)
+
+
+def test_significant_terms_index_backed_matches(spark, duck, sf_dir):
+    """Background stats from term_dict/stats == the corpus aggregation
+    (df is the same quantity by construction), and both == the oracle."""
+    from telegram2elastic_spark.index.build import build_index
+
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, n_doc_parts=8)
+    a = facets.significant_terms(corpus, q="merge", k=15).collect()
+    b = facets.significant_terms(corpus, q="merge", k=15, index=idx).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    want = duck.execute(facets.significant_terms_sql(q="merge", k=15)).df()
+    assert_same(
+        facets.significant_terms(corpus, q="merge", k=15, index=idx), want
+    )
