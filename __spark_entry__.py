@@ -173,9 +173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf),
             percolate.stored_queries(spark, PERCOLATE_SPECS),
         ),
-        # ES collapse: one best hit per url host in the ranked results
+        # ES collapse: one best hit per url host in the ranked results —
+        # served from the compressed index (per-salt per-host partial
+        # bests; the corpus is never re-tokenized at query time)
         "search_collapse": lambda spark, sf: collapse.search_collapse(
-            load_corpus(spark, sf), ["spark", "merge"], k=10
+            load_corpus(spark, sf), ["spark", "merge"], k=10,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
         # --- training-data pipeline (decontam / PII / chunking) ---
         "decontaminate": lambda spark, sf: training.decontaminate(

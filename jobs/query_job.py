@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--doc-filter", default=None,
                     help="SQL predicate over doc_map (ES filter context)")
     args = ap.parse_args()
+    if not (args.query or args.phrase or args.prefix or args.wildcard):
+        ap.error(
+            "supply at least one of --query / --phrase / --prefix / --wildcard"
+        )
 
     spark = (
         SparkSession.builder.appName("t2es-query")

@@ -403,9 +403,13 @@ def read_index(spark, out_dir: str) -> dict:
         "_n_doc_parts": n_parts,
     }
     # sorted layout for prefix/wildcard expansion (absent in pre-round-3
-    # indexes; expand.py falls back to the hash-bucketed table)
-    if _os.path.isdir(f"{out_dir}/term_dict_sorted"):
+    # indexes; expand.py falls back to the hash-bucketed table).  Probed
+    # via the reader, not os.path — the index URI may be s3://, hdfs://,
+    # or any other non-local filesystem Spark can read.
+    try:
         out["term_dict_sorted"] = spark.read.parquet(
             f"{out_dir}/term_dict_sorted"
         )
+    except Exception:
+        pass
     return out

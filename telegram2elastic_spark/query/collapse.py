@@ -5,18 +5,36 @@ The web-search shape: dedupe the top-k by host so one prolific site
 cannot fill the page.  Semantics (ES collapse on the relevance sort):
 score every matching doc, keep each collapse key's best hit (score desc,
 doc_id asc within the key), then return the top-k of those
-representatives.
+representatives (score desc, doc_id asc across representatives).
 
-Distributed shape: per-key best via groupBy(key).agg(max_by(...)) — a
-hash aggregate with map-side partial combine (each partition contributes
-at most one candidate per key it contains), never a window sort over the
-full match set; the top-k of representatives is a TakeOrdered.  The key
-here is the url host (everything between '://' and the first '/'),
-derived identically in SQL.
+Serving shape (`index=`): ES collapses per shard on the ranked retrieval
+— each shard returns its local top-k *collapsed* list, the coordinator
+merges per-key maxima.  That per-shard truncation is exact: if a key's
+global-best doc lives in shard s but misses s's top-k collapsed list,
+then k other keys' s-local bests strictly outrank it, and each of those
+keys' *global* bests rank at least as high — so the key was outside the
+global top-k anyway.  Here a shard is a salt partition: the scoring
+kernel (full accumulation over the query terms' posting blocks — no
+top-k truncation before the per-key reduction) looks hosts up in the
+salt's slice of the host map (cogrouped, doc-aligned — the keyword
+doc-values column ES reads for collapse keys) and emits at most k
+(host, best doc) rows; the global merge is a per-host max_by hash
+aggregate over P*k rows plus a TakeOrdered.  The corpus is never
+re-tokenized at query time.
+
+Relational fallback (no index): score via bm25_scores, per-key best via
+groupBy(key).agg(max_by(...)) — a hash aggregate with map-side partial
+combine (each partition contributes at most one candidate per key it
+contains), never a window sort over the full match set; the top-k of
+representatives is a TakeOrdered.  The key is the url host (everything
+after '://' up to the first '/' or end of string), derived identically
+in SQL.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,38 +44,149 @@ from .bm25 import B, K1, SCORE_DECIMALS, bm25_scores
 
 
 def host_col() -> F.Column:
-    return F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    return F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
 
 
-HOST_SQL = "regexp_extract(url, '^[a-z]+://([^/]+)/', 1)"
+HOST_SQL = "regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
 
 
 def search_collapse(
-    corpus: DataFrame, terms: list[str], k: int = 10
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    index: dict | None = None,
 ) -> DataFrame:
     """(host, doc_id, url, score): top-k hosts by their best-scoring hit;
-    ties inside a host break by doc_id asc, across hosts by host asc."""
+    ties inside a host break by doc_id asc, across hosts also by doc_id
+    asc (the representative's doc_id — matching the relevance-sorted ES
+    hit order).  With `index=` the ranking is served from the compressed
+    posting index (per-salt collapse, module docstring); rank-identical
+    to the relational path."""
+    if index is not None:
+        return _collapse_indexed(index, terms, k)
     # score ALL matching docs — collapse needs every key's best, so the
     # candidate set is per-key-reduced (map-side combine), never
     # top-k-truncated before the reduction
     scored = bm25_scores(corpus, terms).withColumn("host", host_col())
-    # max_by over a struct ordered (score desc, doc_id asc): encode as
-    # (score, -doc_id) so the natural struct max is the wanted representative
-    best = scored.groupBy("host").agg(
-        F.max_by(
-            F.struct("doc_id", "url", "score"),
-            F.struct(F.col("score"), -F.col("doc_id")),
-        ).alias("top")
-    )
+    best = _best_per_host(scored)
+    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _best_per_host(scored: DataFrame) -> DataFrame:
+    """Per-key best via max_by over a struct ordered (score desc, doc_id
+    asc): encode as (score, -doc_id) so the natural struct max is the
+    wanted representative.  Hash aggregate, no Window."""
     return (
-        best.select(
+        scored.groupBy("host")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "url", "score"),
+                F.struct(F.col("score"), -F.col("doc_id")),
+            ).alias("top")
+        )
+        .select(
             "host",
             F.col("top.doc_id").alias("doc_id"),
             F.col("top.url").alias("url"),
             F.col("top.score").alias("score"),
         )
+    )
+
+
+def _collapse_indexed(index: dict, terms: list[str], k: int) -> DataFrame:
+    """Index-backed collapse: postings-only scoring + per-salt per-host
+    partial bests (see module docstring for the exactness argument)."""
+    from .wand import (
+        _collect_idfs,
+        _filters_df,
+        _n_parts,
+        _postings_for_terms,
+        _score_salt_group,
+        _split_filters,
+    )
+
+    spark = index["doc_map"].sparkSession
+    idfs, avgdl = _collect_idfs(index, terms)
+    empty = spark.createDataFrame(
+        [], "host string, doc_id long, url string, score double"
+    )
+    if not idfs:
+        return empty
+
+    post = _postings_for_terms(index, sorted(idfs))
+    # host map, doc-aligned with the postings salts: a narrow
+    # (doc_id, host) projection of doc_map — the url column is pruned to
+    # the regex input, nothing corpus-sized crosses the driver.  Tombstone
+    # ids ride along as kind='t' rows (cogroup takes exactly two sides).
+    filt = _filters_df(index, None)
+    side = index["doc_map"].select(
+        "doc_id", host_col().alias("host"), F.lit("h").alias("kind")
+    )
+    if filt is not None:
+        side = side.unionByName(
+            filt.select("doc_id", F.lit(None).cast("string").alias("host"),
+                        "kind")
+        )
+    side = side.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+    )
+
+    def kernel(post_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        hosts = side_pdf.loc[side_pdf["kind"] == "h", ["doc_id", "host"]]
+        tomb, _ = _split_filters(side_pdf, has_allow=False)
+        # full accumulation: k=2**60 never arms the theta cut, so every
+        # matching live doc comes back scored (collapse must see each
+        # host's best, which may rank arbitrarily low overall)
+        scored = _score_salt_group(
+            post_pdf, idfs, float(avgdl), 1 << 60, tombstones=tomb
+        )
+        if scored.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        m = scored.merge(hosts, on="doc_id", how="left")
+        order = np.lexsort((m["doc_id"].to_numpy(), -m["score"].to_numpy()))
+        m = m.iloc[order]
+        # first row per host in (score desc, doc_id asc) order = the
+        # host's salt-local best; top-k of those is the shard answer
+        return m.drop_duplicates("host", keep="first").head(k)[
+            ["host", "doc_id", "score"]
+        ]
+
+    local = (
+        post.groupBy("salt")
+        .cogroup(side.groupBy("salt"))
+        .applyInPandas(kernel, "host string, doc_id long, score double")
+    )
+    # same host may surface from several salts: per-host max, then top-k
+    best = (
+        local.groupBy("host")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), -F.col("doc_id")),
+            ).alias("top")
+        )
+        .select(
+            "host",
+            F.col("top.doc_id").alias("doc_id"),
+            F.col("top.score").alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+    # url lookup on the k-row result only (broadcast — doc_map never
+    # shuffled per query)
+    return (
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(best), "doc_id", "inner")
+        .select("host", "doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
 

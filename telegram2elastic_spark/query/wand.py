@@ -548,6 +548,22 @@ def wand_topk_batch(
         # already amortized across the batch.
         by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
         cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        excl_cache: dict[str, np.ndarray] = {}
+
+        def excl_member_ids(t: str) -> np.ndarray:
+            # must_not needs MEMBERSHIP only: decode doc_gaps alone (tf/dl
+            # stay compressed) and never touch idfs — an excluded term is
+            # usually not a query term, so it has no idf entry at all.
+            # Tombstone/allowed masks are irrelevant here: removing an
+            # already-removed id is a no-op.
+            if t not in excl_cache:
+                g = by_term.get(t)
+                excl_cache[t] = (
+                    _decode_ids_only(g)
+                    if g is not None
+                    else np.array([], dtype=np.int64)
+                )
+            return excl_cache[t]
 
         def term_contrib(t: str) -> tuple[np.ndarray, np.ndarray] | None:
             if t in cache:
@@ -603,8 +619,7 @@ def wand_topk_batch(
             ex = excl.get(qid)
             if ex:
                 ex_arrs = [
-                    a[0] for a in (term_contrib(t) for t in ex)
-                    if a is not None and a[0].size
+                    a for a in (excl_member_ids(t) for t in ex) if a.size
                 ]
                 if ex_arrs:
                     ex_ids = np.unique(np.concatenate(ex_arrs))

@@ -3,6 +3,7 @@
 import pytest
 
 from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.query import collapse
 
 from .oracle import assert_same
@@ -14,6 +15,61 @@ def test_collapse_vs_oracle(spark, duck, sf_dir, terms):
     got = collapse.search_collapse(corpus, terms, k=10)
     want = duck.execute(collapse.search_collapse_sql(terms, k=10)).df()
     assert_same(got, want)
+
+
+@pytest.mark.parametrize("terms", [["spark", "merge"], ["the"], ["zzzznope"]])
+def test_collapse_indexed_vs_oracle(spark, duck, sf_dir, terms):
+    """The serving default (index-backed, per-salt collapse) must be
+    row-identical to the relational oracle."""
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, n_doc_parts=8)
+    got = collapse.search_collapse(corpus, terms, k=10, index=idx)
+    want = duck.execute(collapse.search_collapse_sql(terms, k=10)).df()
+    assert_same(got, want)
+
+
+def test_collapse_indexed_matches_relational_large_k(spark, sf_dir):
+    """Per-salt truncation to k collapsed rows is exact at any k (the
+    ES per-shard collapse argument) — check well past the host count of a
+    single salt so the truncation path is actually exercised."""
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, n_doc_parts=8)
+    rel = collapse.search_collapse(corpus, ["the"], k=30).collect()
+    srv = collapse.search_collapse(corpus, ["the"], k=30, index=idx).collect()
+    assert [tuple(r) for r in srv] == [tuple(r) for r in rel]
+
+
+def test_collapse_indexed_no_corpus_tokenize(spark, sf_dir, tmp_path):
+    """The index-backed query path must never re-tokenize the corpus: the
+    serving plan scans postings + doc_map parquet only — no split()
+    tokenizer, no explode, no corpus text column.  (Asserted on a disk
+    index so the build lineage isn't part of the query plan, matching
+    deployment.)"""
+    from telegram2elastic_spark.index.build import read_index, write_index
+
+    corpus = load_corpus(spark, sf_dir)
+    out = str(tmp_path / "ix")
+    write_index(build_index(corpus, n_doc_parts=8), out)
+    idx = read_index(spark, out)
+    df = collapse.search_collapse(corpus, ["the"], k=10, index=idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "split(" not in plan
+    assert "explode" not in plan.lower()
+    assert "text#" not in plan
+
+
+def test_collapse_indexed_respects_tombstones(spark, sf_dir):
+    """A tombstoned doc can neither represent its host nor appear at all."""
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, n_doc_parts=8)
+    base = collapse.search_collapse(corpus, ["the"], k=5, index=idx).collect()
+    dead = int(base[0]["doc_id"])
+    idx2 = build_index(corpus, n_doc_parts=8)
+    idx2["_tombstones"] = [dead]
+    after = collapse.search_collapse(
+        corpus, ["the"], k=5, index=idx2
+    ).collect()
+    assert dead not in [r["doc_id"] for r in after]
 
 
 def test_collapse_one_hit_per_host_and_is_best(spark, sf_dir):
@@ -51,3 +107,13 @@ def test_collapse_plan_no_window(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_host_regex_handles_pathless_urls(spark):
+    """A url with no path after the host must still extract the host
+    (r3 ADVICE: the old pattern required a trailing slash)."""
+    df = spark.createDataFrame(
+        [("http://example.com",), ("http://example.com/a/b",)], ["url"]
+    )
+    got = [r[0] for r in df.select(collapse.host_col()).collect()]
+    assert got == ["example.com", "example.com"]

@@ -284,3 +284,26 @@ def test_batch_bool_knobs_match_single_path(spark, sf_dir, index):
             ).collect()
         ]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_batch_exclude_term_outside_query_terms(spark, sf_dir, index):
+    """Regression: an excluded term that is NOT any query's term in the
+    batch has no idf entry — the kernel must take the ids-only decode path
+    instead of looking the term up in the query-terms idf map (r3 bug:
+    KeyError inside the applyInPandas kernel)."""
+    from telegram2elastic_spark.query.wand import wand_topk_batch
+
+    queries = {0: ["the", "data"], 1: ["spark", "merge"]}
+    excl = {0: ["vector"], 1: ["window", "batch"]}  # disjoint from queries
+    batch = wand_topk_batch(index, queries, k=10, exclude_terms=excl).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(
+                index, terms, k=10, exclude_terms=excl[qid]
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
