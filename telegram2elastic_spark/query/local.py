@@ -1,0 +1,293 @@
+"""Driver-local query-node paths for the expansion-based ES-surface ops.
+
+wand/phrase/compound/fuzzy already have *_local paths (the driver acts as
+the query node holding hot index state: one pruned Spark fetch warms each
+cache, then queries run in-process — wand.wand_topk_local docstring).
+This module extends the pattern to the ops whose first step is a
+term-dictionary expansion: prefix, wildcard, the completion and spelling
+suggesters, more_like_this, highlight and rescore.  Expansion becomes a
+driver-side lookup against the cached sorted vocabulary (the analogue of
+the Lucene terms-index FST a query node memory-maps); retrieval reuses
+wand_topk_local's hot-shard postings cache.  Ops that need stored fields
+(MLT source text, highlight snippets, rescore timestamps) issue ONE
+pruned k-row Spark fetch — the doc-store point-read a real deployment
+serves from its document service; everything else runs without any Spark
+job once warm.
+
+Memory honesty: the vocab cache holds (term, df, cf) for the whole
+vocabulary.  Heaps' law puts web-scale vocabulary at ~10^8 terms (a few
+GB) — the same order as Lucene's per-node terms index, paid once per
+index, not per query.  The distributed paths (expand.py / suggest.py /
+mlt.py / highlight.py) remain the fan-out shape for cold nodes and for
+vocabularies that outgrow the driver.
+
+Each *_local result is rank-identical to its Spark-path twin (tested in
+tests/test_local_paths.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import py_tokenize
+from .bm25 import SCORE_DECIMALS
+from .expand import DEFAULT_MAX_EXPANSIONS, wildcard_regex
+from .mlt import MAX_QUERY_TERMS
+from .suggest import _py_trigrams
+from .wand import wand_topk_local
+
+
+def _vocab(index: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(terms, df, cf) sorted by term, fetched once per index (one Spark
+    job — the FST load) and cached driver-side."""
+    if "_vocab_cache" not in index:
+        pdf = (
+            index["term_dict"]
+            .select("term", "df", "cf")
+            .toPandas()
+            .sort_values("term", ignore_index=True)
+        )
+        index["_vocab_cache"] = (
+            pdf["term"].to_numpy(dtype=object),
+            pdf["df"].to_numpy(dtype=np.int64),
+            pdf["cf"].to_numpy(dtype=np.int64),
+        )
+    return index["_vocab_cache"]
+
+
+def _prefix_slice(terms: np.ndarray, prefix: str) -> slice:
+    """Index range of terms starting with `prefix` in the sorted vocab —
+    two binary searches, the FST walk."""
+    lo = np.searchsorted(terms, prefix, side="left")
+    hi = np.searchsorted(terms, prefix + "\U0010FFFF", side="right")
+    return slice(int(lo), int(hi))
+
+
+def expand_prefix_local(
+    index: dict, prefix: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> list[str]:
+    terms, _, _ = _vocab(index)
+    sel = terms[_prefix_slice(terms, prefix)]
+    return [str(t) for t in sel[: int(max_expansions)]]
+
+
+def expand_wildcard_local(
+    index: dict, pattern: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> list[str]:
+    terms, _, _ = _vocab(index)
+    lit_prefix = re.match(r"^[^*?]*", pattern).group(0)
+    cand = terms[_prefix_slice(terms, lit_prefix)] if lit_prefix else terms
+    rx = re.compile(wildcard_regex(pattern))
+    out = []
+    for t in cand:
+        if rx.match(t):
+            out.append(str(t))
+            if len(out) >= int(max_expansions):
+                break
+    return out
+
+
+def prefix_topk_local(
+    index: dict,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to expand.prefix_topk."""
+    terms = expand_prefix_local(index, prefix, max_expansions)
+    if not terms:
+        return []
+    return wand_topk_local(index, terms, k=k, doc_filter=doc_filter)
+
+
+def wildcard_topk_local(
+    index: dict,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to expand.wildcard_topk."""
+    terms = expand_wildcard_local(index, pattern, max_expansions)
+    if not terms:
+        return []
+    return wand_topk_local(index, terms, k=k, doc_filter=doc_filter)
+
+
+def suggest_complete_local(index: dict, prefix: str, k: int = 10) -> list[tuple]:
+    """[(term, cf)] completions, cf desc / term asc — zero Spark jobs
+    once the vocab is warm."""
+    terms, _, cf = _vocab(index)
+    sl = _prefix_slice(terms, prefix)
+    t_sel, c_sel = terms[sl], cf[sl]
+    order = sorted(range(t_sel.size), key=lambda i: (-c_sel[i], t_sel[i]))
+    return [(str(t_sel[i]), int(c_sel[i])) for i in order[: int(k)]]
+
+
+def _vocab_gin(index: dict) -> tuple[dict, np.ndarray]:
+    """Trigram inverted index over the vocabulary (gram -> sorted term
+    indices) + per-term distinct-gram counts; built once, cached.  This is
+    suggest.py's candidate generation flipped to the query-node shape —
+    terms sharing no trigram with the query have sim 0 and are never
+    touched."""
+    if "_vocab_gin" not in index:
+        terms, _, _ = _vocab(index)
+        gin: dict[str, list[int]] = {}
+        sizes = np.zeros(terms.size, dtype=np.int64)
+        for i, t in enumerate(terms):
+            grams = _py_trigrams(str(t))
+            sizes[i] = len(grams)
+            for g in grams:
+                gin.setdefault(g, []).append(i)
+        index["_vocab_gin"] = (
+            {g: np.array(ix, dtype=np.int64) for g, ix in gin.items()},
+            sizes,
+        )
+    return index["_vocab_gin"]
+
+
+def suggest_spelling_local(
+    index: dict, word: str, k: int = 5, min_sim: float = 0.3
+) -> list[tuple]:
+    """[(term, sim)] trigram-similar vocabulary terms, sim desc / term
+    asc — identical contract to suggest.suggest_spelling (min_sim > 0, so
+    the gram-candidate restriction is lossless)."""
+    terms, _, _ = _vocab(index)
+    gin, sizes = _vocab_gin(index)
+    q_grams = _py_trigrams(word.lower())
+    posts = [gin[g] for g in q_grams if g in gin]
+    if not posts:
+        return []
+    flat = np.concatenate(posts)
+    cand, inter = np.unique(flat, return_counts=True)
+    union = sizes[cand] + len(q_grams) - inter
+    sim = np.round(inter / union, 6)
+    keep = sim >= float(min_sim)
+    cand, sim = cand[keep], sim[keep]
+    order = sorted(range(cand.size), key=lambda i: (-sim[i], terms[cand[i]]))
+    return [(str(terms[cand[i]]), float(sim[i])) for i in order[: int(k)]]
+
+
+def more_like_this_local(
+    index: dict,
+    corpus: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = MAX_QUERY_TERMS,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to mlt.more_like_this.  One
+    pruned Spark fetch for the source doc's text (the doc-store read);
+    term selection runs against the cached vocab, retrieval against the
+    hot-shard postings cache."""
+    row = corpus.filter(F.col("doc_id") == int(doc_id)).select("text").first()
+    if row is None:
+        return []
+    tf = Counter(py_tokenize(row["text"]))
+    cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cand:
+        return []
+    terms, dfs, _ = _vocab(index)
+    if "_stats" not in index:
+        n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+        index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
+    n = index["_stats"][0]
+    pos = np.searchsorted(terms, np.array(cand, dtype=object))
+    scored = []
+    for t, p in zip(cand, pos):
+        if p >= terms.size or terms[p] != t:
+            continue
+        df = int(dfs[p])
+        if df < min_doc_freq:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        scored.append((round(tf[t] * idf, 6), t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    sel = [t for _, t in scored[:max_query_terms]]
+    if not sel:
+        return []
+    hits = wand_topk_local(index, sel, k=k + 1)
+    return [h for h in hits if h[0] != int(doc_id)][:k]
+
+
+def rescore_recency_local(
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+    window_size: int = 100,
+    origin: str = "2022-01-01 00:00:00",
+    scale_sec: int = 86400,
+) -> list[tuple]:
+    """[(doc_id, url, score, rescored)] — mlt.rescore_recency served
+    locally: base ranking in-process, ONE pruned doc_map fetch for the
+    window's (url, warc_ts)."""
+    window = wand_topk_local(index, terms, k=window_size)
+    if not window:
+        return []
+    ids = [int(d) for d, _ in window]
+    attrs = {
+        r["doc_id"]: (r["url"], r["warc_ts"])
+        for r in index["doc_map"]
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "url", "warc_ts")
+        .collect()
+    }
+    from datetime import datetime, timezone
+
+    o = datetime.strptime(origin, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=timezone.utc
+    )
+    out = []
+    for d, s in window:
+        url, ts = attrs[int(d)]
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        dist = (ts - o).total_seconds() / float(scale_sec)
+        rescored = round(s * math.exp(math.log(0.5) * dist * dist), SCORE_DECIMALS)
+        out.append((int(d), url, float(s), rescored))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:k]
+
+
+def search_highlight_local(
+    index: dict,
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    window: int = 30,
+    length: int = 160,
+) -> list[tuple]:
+    """[(doc_id, url, score, snippet)] — highlight.search_highlight
+    served locally: WAND ranking in-process, ONE pruned k-row corpus
+    fetch, snippets built with the same contract (first-anchor window,
+    case-insensitive <em> wrap, original casing kept)."""
+    uniq = sorted({t.lower() for t in terms})
+    top = wand_topk_local(index, terms, k=k)
+    if not top:
+        return []
+    ids = [int(d) for d, _ in top]
+    texts = {
+        r["doc_id"]: (r["url"], r["text"])
+        for r in corpus.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "url", "text")
+        .collect()
+    }
+    rx = re.compile("(?i)(" + "|".join(re.escape(t) for t in uniq) + ")")
+    out = []
+    for d, s in top:
+        url, text = texts[int(d)]
+        low = text.lower()
+        firsts = [low.find(t) + 1 for t in uniq if low.find(t) >= 0]
+        anchor = min(firsts) if firsts else 1
+        start = max(1, anchor - int(window))
+        snippet = rx.sub(r"<em>\1</em>", text[start - 1 : start - 1 + int(length)])
+        out.append((int(d), url, float(s), snippet))
+    return out

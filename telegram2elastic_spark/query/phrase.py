@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..corpus import CORPUS_CTE
 from ..functions.tokenizer import TOKEN_SPLIT_RE
 from ..index.codec import decode_many, decode_positions
-from .bm25 import B, K1, SCORE_DECIMALS
+from .bm25 import B, K1, ROUND_GUARD, SCORE_DECIMALS
 from .wand import _filters_df, _postings_for_terms, _salt_scored
 
 # Per-candidate key space: key = candidate_index * _DOC_KEY + position.
@@ -206,6 +206,49 @@ def _phrase_counts_group(
     )
 
 
+def _phrase_g(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """The idf-free part of the pseudo-term BM25 score.  For a fixed
+    query the phrase idf is a global positive constant, so ordering by g
+    IS ordering by score — salt-local truncation can run before df_p is
+    known."""
+    tf = tf.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+
+
+def _phrase_partial_group(
+    pdf: pd.DataFrame,
+    phrase: list[str],
+    k: int,
+    band: float,
+    avgdl: float,
+    tombstones: np.ndarray | None = None,
+    slop: int = 0,
+) -> pd.DataFrame:
+    """One salt's blocks -> the rows the global stage needs: the salt's
+    top-k matches by the idf-free kernel g (plus the rounding-tie band)
+    and one sentinel row (doc_id=-1) carrying the salt's full match count
+    for the exact global df_p (phrase_topk docstring)."""
+    counts = _phrase_counts_group(pdf, phrase, tombstones=tombstones, slop=slop)
+    n_match = len(counts)
+    if n_match > k:
+        g = _phrase_g(
+            counts["phrase_tf"].to_numpy(), counts["dl"].to_numpy(), avgdl
+        )
+        order = np.lexsort((counts["doc_id"].to_numpy(), -g))
+        kth_g = g[order[k - 1]]
+        counts = counts.iloc[order[g[order] >= kth_g - band]]
+    sentinel = pd.DataFrame(
+        {
+            "doc_id": pd.Series([-1], dtype="int64"),
+            "phrase_tf": pd.Series([0], dtype="int64"),
+            "dl": pd.Series([0], dtype="int64"),
+            "dfp_part": pd.Series([n_match], dtype="int64"),
+        }
+    )
+    counts = counts.assign(dfp_part=np.int64(0))
+    return pd.concat([counts, sentinel], ignore_index=True)
+
+
 def phrase_topk(
     index: dict, phrase: list[str], k: int = 10, slop: int = 0
 ) -> DataFrame:
@@ -214,25 +257,46 @@ def phrase_topk(
     member term to sit up to s token slots past its exact position, in
     order (ordered proximity — _phrase_counts_group docstring).
 
+    Scale shape: each salt kernel verifies all of its candidates (df_p
+    must stay exact) but EMITS only its top-k matches by the idf-free
+    score kernel g plus a rounding-tie band, with the salt's match count
+    riding along as a sentinel row — the post-kernel shuffle is O(P*k),
+    not O(match count).  The band is exact: the phrase's df_p is at most
+    any member term's df, so its idf is at least the max member-term idf
+    (idf is decreasing in df); a doc whose g trails its salt's k-th by
+    more than (2*10^-SCORE_DECIMALS + ROUND_GUARD)/idf_lb rounds
+    strictly below k salt-mates and can never reach the global top-k.
+
     Requires an index built with positions=True (pos_bytes populated)."""
+    from .wand import _collect_idfs
+
     spark = index["doc_map"].sparkSession
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
     if len(phrase) < 1:
         return empty
+    idfs, _avgdl0 = _collect_idfs(index, sorted(set(phrase)))
+    if any(t not in idfs for t in set(phrase)):
+        return empty  # a member term with zero postings: no matches anywhere
+    idf_lb = max(idfs.values())
+    band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / idf_lb
     post = _postings_for_terms(index, sorted(set(phrase)))
     filt = _filters_df(index, None)  # tombstones, delivered per-salt
+    n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+    avgdl = float(avgdl) if avgdl else 1.0
 
     def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
-        return _phrase_counts_group(pdf, phrase, tombstones=tomb, slop=slop)
-
-    matches = _salt_scored(
-        post, filt, False, kernel, "doc_id long, phrase_tf long, dl long"
-    )
-    n, avgdl = index["stats"].select("n_docs", "avgdl").first()
-    scored = (
-        matches.crossJoin(
-            F.broadcast(matches.agg(F.count(F.lit(1)).alias("df_p")))
+        return _phrase_partial_group(
+            pdf, phrase, k, band, avgdl, tombstones=tomb, slop=slop
         )
+
+    partial = _salt_scored(
+        post, filt, False, kernel,
+        "doc_id long, phrase_tf long, dl long, dfp_part long",
+    )
+    dfp = partial.agg(F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p"))
+    matches = partial.filter(F.col("doc_id") >= 0)
+    scored = (
+        matches.crossJoin(F.broadcast(dfp))
         .withColumn(
             "score",
             F.round(

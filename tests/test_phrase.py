@@ -251,3 +251,32 @@ def test_sloppy_greedy_matches_exhaustive(spark, sf_dir, pindex):
             assert got.get(did, 0) == want, (phrase, slop, did)
             checked += 1
     assert checked > 0
+
+
+def test_phrase_kernel_emits_bounded_rows(spark, sf_dir, pindex):
+    """The partial kernel must emit O(k + tie band) rows per salt plus one
+    sentinel — never every matching doc (a Zipf-head one-term phrase
+    matches most of the corpus).  df_p stays exact via the sentinel."""
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.query.phrase import (
+        _phrase_counts_group,
+        _phrase_partial_group,
+    )
+    from telegram2elastic_spark.query.wand import _collect_idfs
+
+    phrase, k = ["the"], 10
+    idfs, avgdl = _collect_idfs(pindex, phrase)
+    pdf = (
+        pindex["postings"]
+        .filter(F.col("term").isin(phrase))
+        .filter(F.col("salt") == 0)
+        .toPandas()
+    )
+    n_matching = len(_phrase_counts_group(pdf, phrase))
+    band = 2.1e-5 / max(idfs.values())
+    out = _phrase_partial_group(pdf, phrase, k, band, float(avgdl))
+    assert n_matching > 4 * k  # the premise: far more matches than k
+    assert len(out) < n_matching / 2
+    # sentinel carries the exact salt-local match count
+    assert int(out.loc[out["doc_id"] == -1, "dfp_part"].sum()) == n_matching
