@@ -75,27 +75,35 @@ def _q_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order matters: the driver's correctness gate samples
-    the FIRST 50 entries.  Block A holds every entry that has never had a
-    driver row — the round-3 ES-surface operators (bool knobs, slop,
-    prefix/wildcard, multi_match, highlight, facets, significant_terms,
-    MLT, rescore, suggesters, explain, percolate, collapse) plus r02's
-    never-sampled tail; Block B holds previously driver-green headliners;
-    Block C holds long-green entries demoted out of the window, kept
-    correct by pytest + the jobs/parity_check.py FULL sweep (all 88 pairs,
-    re-verified green each session).  Invariant (tested in this file's
-    maintenance checks): no never-rowed entry sits outside the first
-    50."""
+    the FIRST 50 entries.  Round-4 rotation policy (VERDICT r3 #6):
+    Block A = entries whose CODE changed this round (index-backed
+    collapse, phrase emission pruning, percolate threshold, batch
+    must_not decode); Block B = entries whose last DRIVER row is >= 2
+    rounds old (r02 — the dedup/similarity/text-quality families and the
+    bm25/wand variants), rotated back into the window; Block C =
+    headliners that stay sampled every round.  Block D holds the
+    r03-green round-3 surface ops, demoted out of the window and kept
+    correct by pytest + the jobs/parity_check.py FULL sweep (all 88
+    pairs).  Invariant (tests/test_entry_contract.py): no never-rowed
+    entry sits outside the first 50 — trivially satisfied, every entry
+    has had a driver row in r01-r03."""
+    # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- ES bool-query surface (round 3): minimum_should_match,
-        # must_not exclusion, match_phrase slop — all rank-identical to
-        # the relational/DuckDB formulations ---
-        "wand_msm": lambda spark, sf: wand_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8),
-            Q_MULTI, k=10, min_should_match=2,
+        # ES collapse, now served from the compressed index (per-salt
+        # per-host partial bests; corpus never re-tokenized at query time)
+        "search_collapse": lambda spark, sf: collapse.search_collapse(
+            load_corpus(spark, sf), ["spark", "merge"], k=10,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
-        "wand_must_not": lambda spark, sf: wand_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8),
-            Q_MAIN, k=10, exclude_terms=["vector"],
+        # ES percolator, now with the over-threshold shuffle-join fallback
+        "percolate": lambda spark, sf: percolate.percolate(
+            load_corpus(spark, sf),
+            percolate.stored_queries(spark, PERCOLATE_SPECS),
+        ),
+        # phrase family: bounded per-salt emission (sentinel df_p) landed
+        "phrase_topk": lambda spark, sf: phrase.phrase_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["the", "fast"], k=10,
         ),
         "phrase_slop_topk": lambda spark, sf: phrase.phrase_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
@@ -105,222 +113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
             ["table", "scan", "merge"], k=10, slop=2,
         ),
-        # ES prefix / wildcard queries: term-dict expansion (scoring_boolean
-        # rewrite, term-enum order, max_expansions cap) -> WAND disjunction
-        "prefix_topk": lambda spark, sf: expandq.prefix_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8), "sc", k=10
-        ),
-        "wildcard_topk": lambda spark, sf: expandq.wildcard_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8), "s?a*", k=10
-        ),
-        # ES highlight block: snippets with <em>-wrapped term hits on the
-        # k-row broadcast hit list; base ranking on the compressed-index
-        # WAND path (the serving shape — corpus never re-tokenized)
-        "search_highlight": lambda spark, sf: highlight.search_highlight(
-            load_corpus(spark, sf), ["spark", "merge"], k=10,
-            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
-        ),
-        # ES multi_match most_fields: per-field BM25 stats, field boosts,
-        # one cogrouped kernel over the per-field indexes' shared salts
-        "multi_match_topk": lambda spark, sf: multifield.multi_match_topk(
-            multifield.build_field_indexes(
-                load_corpus(spark, sf), {"text": "text", "url": "url"},
-                n_doc_parts=8,
-            ),
-            {"text": 1.0, "url": 2.0}, ["spark", "page"], k=10,
-        ),
-        # bool query with a SLOPPY phrase clause (terms + proximity boost)
-        "compound_slop_topk": lambda spark, sf: compound.compound_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
-            ["spark"], ["merge", "batch"], k=10, slop=1,
-        ),
-        # ES aggs alongside hits: grouping-sets facets (one Expand pass)
-        # and significant_terms (JLH fg-vs-bg), both over the filtered set
-        "search_facets": lambda spark, sf: facets.search_facets(
-            load_corpus(spark, sf), q="merge", min_score=10.0
-        ),
-        "significant_terms": lambda spark, sf: facets.significant_terms(
-            load_corpus(spark, sf), q="merge", min_score=10.0, k=15,
-            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
-        ),
-        # ES more_like_this: tf-idf term selection from the source doc ->
-        # WAND disjunction, source excluded; and ES rescore: gauss date
-        # decay reranking the top-window only (broadcast, post-retrieval)
-        "more_like_this": lambda spark, sf: mlt.more_like_this(
+        # batch/single must_not: ids-only decode of non-query excluded terms
+        "wand_must_not": lambda spark, sf: wand_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8),
-            load_corpus(spark, sf), 7, k=10,
-        ),
-        "rescore_recency": lambda spark, sf: mlt.rescore_recency(
-            build_index(load_corpus(spark, sf), n_doc_parts=8),
-            ["spark", "merge"], k=10, window_size=50,
-        ),
-        # ES suggesters: completion (prefix -> top-cf terms, sorted-dict
-        # pruned) and term/spelling (trigram-similar vocabulary terms)
-        "suggest_complete": lambda spark, sf: suggest.suggest_complete(
-            build_index(load_corpus(spark, sf), n_doc_parts=8), "s", k=10
-        ),
-        "suggest_spelling": lambda spark, sf: suggest.suggest_spelling(
-            build_index(load_corpus(spark, sf), n_doc_parts=8),
-            "scap", k=5, min_sim=0.1,
-        ),
-        # ES _explain: per-term BM25 breakdown for one (query, doc) pair
-        "explain_score": lambda spark, sf: explain.explain_score(
-            load_corpus(spark, sf), ["spark", "merge", "the"], 135
-        ),
-        # ES percolator (reverse search): stored alert queries matched
-        # against documents via a broadcast term->query index
-        "percolate": lambda spark, sf: percolate.percolate(
-            load_corpus(spark, sf),
-            percolate.stored_queries(spark, PERCOLATE_SPECS),
-        ),
-        # ES collapse: one best hit per url host in the ranked results —
-        # served from the compressed index (per-salt per-host partial
-        # bests; the corpus is never re-tokenized at query time)
-        "search_collapse": lambda spark, sf: collapse.search_collapse(
-            load_corpus(spark, sf), ["spark", "merge"], k=10,
-            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
-        ),
-        # --- training-data pipeline (decontam / PII / chunking) ---
-        "decontaminate": lambda spark, sf: training.decontaminate(
-            load_corpus(spark, sf),
-            load_corpus(spark, sf).filter("doc_id % 97 = 0"),
-        ),
-        "redact_pii": lambda spark, sf: training.redact_pii(
-            load_corpus(spark, sf)
-        ),
-        "chunk_documents": lambda spark, sf: training.chunk_documents(
-            load_corpus(spark, sf), window=64, stride=48
-        ),
-        # --- projections / rules / multimodal ---
-        "proj_default_map": lambda spark, sf: projection.default_projection(
-            load_corpus(spark, sf)
-        ),
-        "proj_sender_struct": lambda spark, sf: projection.sender_struct(
-            load_corpus(spark, sf)
-        ),
-        "proj_rule_cascade": lambda spark, sf: projection.rule_cascade(
-            load_corpus(spark, sf)
-        ),
-        "media_metadata": lambda spark, sf: multimodal.media_metadata(
-            load_corpus(spark, sf)
-        ),
-        "media_decode": lambda spark, sf: multimodal.decode_media(
-            load_corpus(spark, sf)
-        ),
-        # P7 closed: date-pattern media filename (format_map -> one concat)
-        "media_filename": lambda spark, sf: multimodal.media_filename(
-            load_corpus(spark, sf)
-        ),
-        # --- enrichment (U-2 pandas-UDF NER, U-4 classifier contract, C18) ---
-        "enrich_entities": lambda spark, sf: enrichment.extract_entities(
-            load_corpus(spark, sf)
-        ),
-        "enrich_docs_mentioning": lambda spark, sf: enrichment.docs_mentioning(
-            load_corpus(spark, sf), "spark"
-        ),
-        "enrich_classify": lambda spark, sf: enrichment.classify_stub(
-            load_corpus(spark, sf)
-        ),
-        "enrich_fenced_json": lambda spark, sf: enrichment.parse_fenced_json(
-            load_corpus(spark, sf)
-        ),
-        # F9 with a REAL ArrayType topics column + arrays_overlap
-        "search_topics_anyof": lambda spark, sf: enrichment.docs_with_topics(
-            load_corpus(spark, sf), ["combat", "equipment"]
-        ),
-        # U-5 translation contract: iterator pandas UDF, null-on-error
-        "enrich_translate": lambda spark, sf: enrichment.translate_stub(
-            load_corpus(spark, sf)
-        ),
-        # --- streaming duals (A5 windowed counts; sessionization) ---
-        "events_windowed_counts": lambda spark, sf: win.windowed_counts_batch(
-            load_events(spark, sf)
-        ),
-        "events_sessionize": lambda spark, sf: win.sessionize(
-            load_events(spark, sf), gap_minutes=30
-        ),
-        # C21 closed: true MapType reactions op (map_from_entries +
-        # higher-order aggregate over map_values)
-        "events_reactions_map": lambda spark, sf: agg.reactions_map(
-            load_events(spark, sf)
-        ),
-        # --- scans (S2: newest-first with row cap) ---
-        "scan_recent": lambda spark, sf: (
-            load_corpus(spark, sf)
-            .orderBy(F.desc("warc_ts"), F.asc("doc_id"))
-            .limit(25)
-            .select(
-                "doc_id",
-                "url",
-                F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
-            )
-        ),
-        # trained (Lloyd's) coarse quantizer feeding the IVF structure
-        "sim_kmeans_assign": lambda spark, sf: sim.kmeans_assign(
-            load_embeddings(spark, sf), k=8, iters=3
+            Q_MAIN, k=10, exclude_terms=["vector"],
         ),
     }
+    # --- Block B: last driver row r02 — rotated back into the window ---
     block_b: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # --- ranked retrieval (O5; replaces ES delegation K1) ---
-        "bm25_topk": _q_bm25(Q_MAIN),
-        # compressed-index path — oracle is the SAME BM25 SQL: rank identity.
-        "wand_topk": _q_wand(Q_MAIN),
-        # classical pivot DAAT block-max WAND INSIDE the salt kernel
-        # (query/bmw.py cursors on executors) — same rank-identity oracle.
-        "bmw_topk": lambda spark, sf: wand_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8),
-            Q_MAIN, k=10, algo="bmw",
-        ),
-        "phrase_topk": lambda spark, sf: phrase.phrase_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
-            ["the", "fast"], k=10,
-        ),
-        # bool query: match terms + match_phrase, scored together
-        "compound_topk": lambda spark, sf: compound.compound_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
-            ["spark", "merge"], ["the", "fast"], k=10,
-        ),
-        # pg_trgm analogue: typo-tolerant trigram-similarity ranking
-        "fuzzy_trigram_topk": lambda spark, sf: fuzzy.fuzzy_topk(
-            load_corpus(spark, sf), "mergge batch", k=10
-        ),
-        # same query served from the materialized trigram GIN index
-        "fuzzy_indexed_topk": _q_fuzzy_indexed,
-        # --- search pipeline (F7-F10, O1, O2, A1) ---
-        "search_page": lambda spark, sf: search.search_page(
-            load_corpus(spark, sf), q="merge", min_score=10.0, offset=5, limit=10
-        ),
-        "search_count": lambda spark, sf: search.search_count(
-            load_corpus(spark, sf), q="merge", min_score=10.0
-        ),
-        # --- aggregations (A2, A5) / windows (O5) / joins (J6) ---
-        "archive_counters": lambda spark, sf: agg.archive_counters(
-            load_corpus(spark, sf)
-        ),
-        "timeline_daily": lambda spark, sf: agg.timeline_daily(
-            load_corpus(spark, sf)
-        ),
-        "events_rollup": lambda spark, sf: agg.events_rollup(
-            load_events(spark, sf)
-        ),
-        "top_users_per_type": lambda spark, sf: agg.top_users_per_type(
-            load_events(spark, sf), k=3
-        ),
-        "forward_chain_join": lambda spark, sf: agg.forward_chain_join(
-            load_events(spark, sf)
-        ),
-        # --- dedup family (exact / jaccard / minhash-LSH / simhash / embedding) ---
-    }
-    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # r02-green, demoted out of the 50-row sample window to make room
-        # for the round-3 bool-query ops (kept correct by pytest + the
-        # jobs/parity_check.py full sweep)
-        "events_rollup": lambda spark, sf: agg.events_rollup(
-            load_events(spark, sf)
-        ),
-        "top_users_per_type": lambda spark, sf: agg.top_users_per_type(
-            load_events(spark, sf), k=3
-        ),
         "dedup_exact_groups": lambda spark, sf: dedup.exact_dup_groups(
             load_corpus(spark, sf)
         ),
@@ -330,9 +130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda spark, sf: dedup.ngram_jaccard_pairs(
             load_corpus(spark, sf), threshold=0.5
         ),
+        "dedup_minhash_signatures": lambda spark, sf: dedup.minhash_signatures(
+            load_corpus(spark, sf)
+        ),
         "dedup_minhash_lsh_pairs": lambda spark, sf: dedup.minhash_lsh_pairs(
             load_corpus(spark, sf)
         ),
+        "dedup_simhash": lambda spark, sf: dedup.simhash(load_corpus(spark, sf)),
         "dedup_simhash_pairs": lambda spark, sf: dedup.simhash_near_pairs(
             load_corpus(spark, sf), max_hamming=3
         ),
@@ -342,13 +146,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": lambda spark, sf: sim.cosine_topk(
             load_embeddings(spark, sf), query_vec_id=0, k=10
         ),
+        "sim_lsh_buckets": lambda spark, sf: sim.lsh_buckets(
+            load_embeddings(spark, sf)
+        ),
         "sim_ann_topk": lambda spark, sf: sim.ann_topk(
             load_embeddings(spark, sf), query_vec_id=7, k=5
         ),
         "sim_cluster_stats": lambda spark, sf: sim.cluster_stats(
             load_embeddings(spark, sf)
         ),
-        # IVF ANN: deterministic coarse quantizer + nprobe inverted lists
         "sim_ivf_assign": lambda spark, sf: sim.ivf_assign(
             load_embeddings(spark, sf)
         ),
@@ -372,8 +178,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_time_window": _q_bm25(
             Q_WINDOW[0], min_ts=Q_WINDOW[1], max_ts=Q_WINDOW[2]
         ),
+        "bm25_conjunctive": lambda spark, sf: bm25.bm25_topk(
+            load_corpus(spark, sf), Q_MAIN, k=10, conjunctive=True
+        ),
+        "bm25_global_stats_filter": lambda spark, sf: bm25.bm25_topk(
+            load_corpus(spark, sf), Q_HEAVY, k=10, lang="en", global_stats=True
+        ),
         "wand_multiterm": _q_wand(Q_MULTI),
         "wand_heavy_hitters": _q_wand(Q_HEAVY),
+        "wand_conjunctive": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, k=10, conjunctive=True,
+        ),
+        "wand_doc_filter": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_HEAVY, k=10, doc_filter="lang = 'en'",
+        ),
         "bmw_heavy_hitters": lambda spark, sf: wand_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8),
             Q_HEAVY, k=10, algo="bmw",
@@ -382,21 +202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
             ["table", "scan", "merge"], k=10,
         ),
-        "bm25_conjunctive": lambda spark, sf: bm25.bm25_topk(
-            load_corpus(spark, sf), Q_MAIN, k=10, conjunctive=True
-        ),
-        "wand_conjunctive": lambda spark, sf: wand_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8),
-            Q_MAIN, k=10, conjunctive=True,
-        ),
-        "bm25_global_stats_filter": lambda spark, sf: bm25.bm25_topk(
-            load_corpus(spark, sf), Q_HEAVY, k=10, lang="en", global_stats=True
-        ),
-        "wand_doc_filter": lambda spark, sf: wand_topk(
-            build_index(load_corpus(spark, sf), n_doc_parts=8),
-            Q_HEAVY, k=10, doc_filter="lang = 'en'",
-        ),
-        # --- index state tables (A6; ES-internal in the reference) ---
         "index_term_dict": lambda spark, sf: (
             build_index(load_corpus(spark, sf))["term_dict"].orderBy("term")
         ),
@@ -416,15 +221,167 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeline_rollup": lambda spark, sf: agg.timeline_rollup(
             load_corpus(spark, sf)
         ),
-        "dedup_minhash_signatures": lambda spark, sf: dedup.minhash_signatures(
-            load_corpus(spark, sf)
+        "top_users_per_type": lambda spark, sf: agg.top_users_per_type(
+            load_events(spark, sf), k=3
         ),
-        "dedup_simhash": lambda spark, sf: dedup.simhash(load_corpus(spark, sf)),
-        "sim_lsh_buckets": lambda spark, sf: sim.lsh_buckets(
-            load_embeddings(spark, sf)
+        "forward_chain_join": lambda spark, sf: agg.forward_chain_join(
+            load_events(spark, sf)
         ),
     }
-    return {**block_a, **block_b, **block_c}
+    # --- Block C: headliners, sampled every round ---
+    block_c: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "bm25_topk": _q_bm25(Q_MAIN),
+        "wand_topk": _q_wand(Q_MAIN),
+        "bmw_topk": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, k=10, algo="bmw",
+        ),
+        "compound_topk": lambda spark, sf: compound.compound_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["spark", "merge"], ["the", "fast"], k=10,
+        ),
+        "fuzzy_indexed_topk": _q_fuzzy_indexed,
+        "search_page": lambda spark, sf: search.search_page(
+            load_corpus(spark, sf), q="merge", min_score=10.0, offset=5, limit=10
+        ),
+    }
+    # --- Block D: r03-driver-green, demoted below the sample window ---
+    block_d: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "wand_msm": lambda spark, sf: wand_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MULTI, k=10, min_should_match=2,
+        ),
+        "prefix_topk": lambda spark, sf: expandq.prefix_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), "sc", k=10
+        ),
+        "wildcard_topk": lambda spark, sf: expandq.wildcard_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), "s?a*", k=10
+        ),
+        "search_highlight": lambda spark, sf: highlight.search_highlight(
+            load_corpus(spark, sf), ["spark", "merge"], k=10,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
+        "multi_match_topk": lambda spark, sf: multifield.multi_match_topk(
+            multifield.build_field_indexes(
+                load_corpus(spark, sf), {"text": "text", "url": "url"},
+                n_doc_parts=8,
+            ),
+            {"text": 1.0, "url": 2.0}, ["spark", "page"], k=10,
+        ),
+        "compound_slop_topk": lambda spark, sf: compound.compound_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["spark"], ["merge", "batch"], k=10, slop=1,
+        ),
+        "search_facets": lambda spark, sf: facets.search_facets(
+            load_corpus(spark, sf), q="merge", min_score=10.0
+        ),
+        "significant_terms": lambda spark, sf: facets.significant_terms(
+            load_corpus(spark, sf), q="merge", min_score=10.0, k=15,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
+        "more_like_this": lambda spark, sf: mlt.more_like_this(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            load_corpus(spark, sf), 7, k=10,
+        ),
+        "rescore_recency": lambda spark, sf: mlt.rescore_recency(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            ["spark", "merge"], k=10, window_size=50,
+        ),
+        "suggest_complete": lambda spark, sf: suggest.suggest_complete(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), "s", k=10
+        ),
+        "suggest_spelling": lambda spark, sf: suggest.suggest_spelling(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            "scap", k=5, min_sim=0.1,
+        ),
+        "explain_score": lambda spark, sf: explain.explain_score(
+            load_corpus(spark, sf), ["spark", "merge", "the"], 135
+        ),
+        "decontaminate": lambda spark, sf: training.decontaminate(
+            load_corpus(spark, sf),
+            load_corpus(spark, sf).filter("doc_id % 97 = 0"),
+        ),
+        "redact_pii": lambda spark, sf: training.redact_pii(
+            load_corpus(spark, sf)
+        ),
+        "chunk_documents": lambda spark, sf: training.chunk_documents(
+            load_corpus(spark, sf), window=64, stride=48
+        ),
+        "proj_default_map": lambda spark, sf: projection.default_projection(
+            load_corpus(spark, sf)
+        ),
+        "proj_sender_struct": lambda spark, sf: projection.sender_struct(
+            load_corpus(spark, sf)
+        ),
+        "proj_rule_cascade": lambda spark, sf: projection.rule_cascade(
+            load_corpus(spark, sf)
+        ),
+        "media_metadata": lambda spark, sf: multimodal.media_metadata(
+            load_corpus(spark, sf)
+        ),
+        "media_decode": lambda spark, sf: multimodal.decode_media(
+            load_corpus(spark, sf)
+        ),
+        "media_filename": lambda spark, sf: multimodal.media_filename(
+            load_corpus(spark, sf)
+        ),
+        "enrich_entities": lambda spark, sf: enrichment.extract_entities(
+            load_corpus(spark, sf)
+        ),
+        "enrich_docs_mentioning": lambda spark, sf: enrichment.docs_mentioning(
+            load_corpus(spark, sf), "spark"
+        ),
+        "enrich_classify": lambda spark, sf: enrichment.classify_stub(
+            load_corpus(spark, sf)
+        ),
+        "enrich_fenced_json": lambda spark, sf: enrichment.parse_fenced_json(
+            load_corpus(spark, sf)
+        ),
+        "search_topics_anyof": lambda spark, sf: enrichment.docs_with_topics(
+            load_corpus(spark, sf), ["combat", "equipment"]
+        ),
+        "enrich_translate": lambda spark, sf: enrichment.translate_stub(
+            load_corpus(spark, sf)
+        ),
+        "events_windowed_counts": lambda spark, sf: win.windowed_counts_batch(
+            load_events(spark, sf)
+        ),
+        "events_sessionize": lambda spark, sf: win.sessionize(
+            load_events(spark, sf), gap_minutes=30
+        ),
+        "events_reactions_map": lambda spark, sf: agg.reactions_map(
+            load_events(spark, sf)
+        ),
+        "scan_recent": lambda spark, sf: (
+            load_corpus(spark, sf)
+            .orderBy(F.desc("warc_ts"), F.asc("doc_id"))
+            .limit(25)
+            .select(
+                "doc_id",
+                "url",
+                F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+            )
+        ),
+        "sim_kmeans_assign": lambda spark, sf: sim.kmeans_assign(
+            load_embeddings(spark, sf), k=8, iters=3
+        ),
+        "fuzzy_trigram_topk": lambda spark, sf: fuzzy.fuzzy_topk(
+            load_corpus(spark, sf), "mergge batch", k=10
+        ),
+        "search_count": lambda spark, sf: search.search_count(
+            load_corpus(spark, sf), q="merge", min_score=10.0
+        ),
+        "archive_counters": lambda spark, sf: agg.archive_counters(
+            load_corpus(spark, sf)
+        ),
+        "timeline_daily": lambda spark, sf: agg.timeline_daily(
+            load_corpus(spark, sf)
+        ),
+        "events_rollup": lambda spark, sf: agg.events_rollup(
+            load_events(spark, sf)
+        ),
+    }
+    return {**block_a, **block_b, **block_c, **block_d}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -34,17 +34,33 @@ def stored_queries(spark, specs: list[tuple[int, list[str], int]]) -> DataFrame:
     )
 
 
-def percolate(docs: DataFrame, queries: DataFrame) -> DataFrame:
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    broadcast_threshold: int | None = 1_000_000,
+) -> DataFrame:
     """(doc_id, query_id, n_matched) for every stored query a document
-    triggers, ordered (doc_id, query_id)."""
+    triggers, ordered (doc_id, query_id).
+
+    `broadcast_threshold`: the (term -> query_id) index is broadcast when
+    its exploded row count fits under this bar (alert stores are usually
+    tiny — the map-side shape above).  Above it — a million-alert store
+    would OOM a forced broadcast — the join falls back to a
+    hash-partitioned shuffle join on term (AQE's skew-join split handles
+    Zipf-head terms).  Sizing costs one count over the ALERT side only;
+    pass None to force the broadcast unconditionally (e.g. per-micro-batch
+    streaming where the index was already sized once)."""
     qindex = queries.select(
         "query_id", "msm", F.explode(F.array_distinct("terms")).alias("term")
     )
     dterms = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
     )
+    qside = qindex
+    if broadcast_threshold is None or qindex.count() <= int(broadcast_threshold):
+        qside = F.broadcast(qindex)
     return (
-        dterms.join(F.broadcast(qindex), "term")
+        dterms.join(qside, "term")
         .groupBy("doc_id", "query_id", "msm")
         .agg(F.count(F.lit(1)).alias("n_matched"))
         .filter(F.col("n_matched") >= F.col("msm"))

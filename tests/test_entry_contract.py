@@ -46,11 +46,13 @@ def test_never_driver_rowed_entries_in_sample_window():
 
     import __spark_entry__ as e
 
+    import glob
+
     rowed = set()
-    for f in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        p = os.path.join(os.path.dirname(e.__file__), f)
-        if os.path.exists(p):
-            rowed |= set(json.load(open(p)))
+    for p in glob.glob(
+        os.path.join(os.path.dirname(e.__file__), "CORRECTNESS_r*.json")
+    ):
+        rowed |= set(json.load(open(p)))
     if not rowed:
         return  # fresh clone without driver artifacts
     order = list(e.queries())

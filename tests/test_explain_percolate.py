@@ -108,3 +108,34 @@ def test_stream_percolate_matches_batch(spark, sf_dir, tmp_path):
         for r in percolate.percolate(corpus, q).collect()
     }
     assert got == want
+
+
+def test_percolate_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """Above the broadcast threshold the join falls back to a shuffle
+    join on term (a million-alert store must not OOM a forced broadcast);
+    results are identical and the plan really drops the broadcast."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.query import percolate as pc
+
+    corpus = load_corpus(spark, sf_dir)
+    queries = pc.stored_queries(
+        spark, [(1, ["spark", "merge"], 2), (2, ["vector"], 1)]
+    )
+    want = pc.percolate(corpus, queries).collect()
+    # Catalyst may still auto-broadcast a tiny un-hinted side (the right
+    # adaptive behavior); disable auto-broadcast to observe the fallback
+    # an over-threshold alert store would take.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fallback = pc.percolate(corpus, queries, broadcast_threshold=0)
+        plan = fallback._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert fallback.collect() == want
+        # the default path keeps the explicit hint even with
+        # auto-broadcast off: the alert index is broadcast by DESIGN
+        hinted = pc.percolate(corpus, queries)
+        hplan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
