@@ -252,22 +252,26 @@ N_MINHASH = 8
 LSH_BANDS = 4  # 2 rows per band
 
 
-def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """k=8 MinHash values per doc: sig_i = min over shingles of
-    H64(i || ':' || shingle).  Pure hash-min — no arithmetic overflow, no
-    RNG, identical across engines.  One explode + one agg shuffle."""
+def minhash_signatures(
+    corpus: DataFrame, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """`n_hashes` MinHash values per doc (default 8): sig_i = min over
+    shingles of H64(i || ':' || shingle).  Pure hash-min — no arithmetic
+    overflow, no RNG, identical across engines.  One explode + one agg
+    shuffle regardless of n_hashes (the mins are parallel aggregates over
+    the same exploded rows)."""
     ds = corpus.select("doc_id", F.explode(shingles_col(3)).alias("shingle"))
     aggs = [
         F.min(h64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
-        for i in range(N_MINHASH)
+        for i in range(int(n_hashes))
     ]
     return ds.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
-def minhash_signatures_sql() -> str:
+def minhash_signatures_sql(n_hashes: int = N_MINHASH) -> str:
     sigs = ",\n       ".join(
         "min(" + H64_SQL.format(x=f"'{i}:' || shingle") + f") AS sig_{i}"
-        for i in range(N_MINHASH)
+        for i in range(int(n_hashes))
     )
     return f"""
 WITH {CORPUS_CTE.strip()},
@@ -278,25 +282,41 @@ FROM doc_shingle GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
-    """LSH banding: 4 bands x 2 rows; candidate pairs share >= 1 band hash.
-    The scale path for near-dup at 100 TB: the self-join key is the band
-    hash (collisions only), never the raw shingle space."""
-    sig = minhash_signatures(corpus)
-    bands = F.array(
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH banding: `bands` bands x (n_hashes/bands) rows; candidate pairs
+    share >= 1 band hash.  The scale path for near-dup at 100 TB: the
+    self-join key is the band hash (collisions only), never the raw
+    shingle space.
+
+    Recall tuning: P(candidate) = 1 - (1 - j^r)^b for Jaccard j with
+    r = n_hashes/bands rows per band — more bands raises recall (and
+    candidate volume), longer rows sharpen the threshold.  Defaults
+    (8 hashes, 4 bands, r=2) put the S-curve midpoint near j ~ 0.4."""
+    n_hashes, bands = int(n_hashes), int(bands)
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    r = n_hashes // bands
+    sig = minhash_signatures(corpus, n_hashes)
+    band_hashes = F.array(
         *[
             F.md5(
                 F.concat_ws(
                     "_",
-                    F.col(f"sig_{2 * j}").cast("string"),
-                    F.col(f"sig_{2 * j + 1}").cast("string"),
+                    *[
+                        F.col(f"sig_{r * j + i}").cast("string")
+                        for i in range(r)
+                    ],
                 )
             )
-            for j in range(LSH_BANDS)
+            for j in range(bands)
         ]
     )
     banded = sig.select(
-        "doc_id", F.posexplode(bands).alias("band", "band_hash")
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -314,13 +334,22 @@ def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs_sql() -> str:
-    sig_cte = minhash_signatures_sql().strip().rstrip()
+def minhash_lsh_pairs_sql(
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> str:
+    n_hashes, bands = int(n_hashes), int(bands)
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    r = n_hashes // bands
+    sig_cte = minhash_signatures_sql(n_hashes).strip().rstrip()
     # rebuild as CTE: wrap the signature query
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {j} AS band, md5(CAST(sig_{2*j} AS VARCHAR) || '_' || "
-        f"CAST(sig_{2*j+1} AS VARCHAR)) AS band_hash FROM sig"
-        for j in range(LSH_BANDS)
+        f"SELECT doc_id, {j} AS band, md5("
+        + " || '_' || ".join(
+            f"CAST(sig_{r * j + i} AS VARCHAR)" for i in range(r)
+        )
+        + ") AS band_hash FROM sig"
+        for j in range(bands)
     )
     return f"""
 WITH sig AS ({sig_cte}),

@@ -110,6 +110,10 @@ def search_page(
         F.col("doc_id"),
     ]
     bounded = df.orderBy(*order).limit(offset + limit)
+    # Deliberate single-partition window: `bounded` holds at most
+    # offset+limit rows (validated <= 2000), so the WindowExec "No
+    # Partition Defined" warning is noise, not a scale hazard — the full
+    # match set was already reduced by the TakeOrdered above.
     w = Window.partitionBy(F.lit(0)).orderBy(*order)
     return (
         bounded.withColumn("rn", F.row_number().over(w))

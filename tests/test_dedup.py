@@ -1,5 +1,7 @@
 """Dedup operators vs DuckDB oracles."""
 
+import pytest
+
 from telegram2elastic_spark.corpus import load_corpus, load_embeddings
 from telegram2elastic_spark.operators import dedup
 
@@ -142,3 +144,21 @@ def test_registered_pair_joins_have_no_cartesian(spark, sf_dir):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("n_hashes,bands", [(12, 3), (8, 8)])
+def test_minhash_lsh_pairs_configurable(spark, duck, sf_dir, n_hashes, bands):
+    """(n_hashes, bands) are recall knobs (r3 polish): non-default
+    configs must stay oracle-identical, including single-row bands."""
+    got = dedup.minhash_lsh_pairs(
+        load_corpus(spark, sf_dir), n_hashes=n_hashes, bands=bands
+    )
+    want = duck.execute(
+        dedup.minhash_lsh_pairs_sql(n_hashes=n_hashes, bands=bands)
+    ).df()
+    assert_same(got, want)
+
+
+def test_minhash_bands_must_divide(spark, sf_dir):
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(load_corpus(spark, sf_dir), 8, 3)
