@@ -47,6 +47,10 @@ def host_col() -> F.Column:
     return F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
 
 
+# The default collapse key.  Any SQL expression over doc columns works as
+# `key_expr` (ES collapses on any keyword field — e.g. "lang"); this one
+# is kept to the regexp_extract subset that evaluates identically in
+# Spark SQL and DuckDB so the oracle stays shared.
 HOST_SQL = "regexp_extract(url, '^[a-z]+://([^/]+)', 1)"
 
 
@@ -55,19 +59,31 @@ def search_collapse(
     terms: list[str],
     k: int = 10,
     index: dict | None = None,
+    key_expr: str = HOST_SQL,
 ) -> DataFrame:
     """(host, doc_id, url, score): top-k hosts by their best-scoring hit;
     ties inside a host break by doc_id asc, across hosts also by doc_id
     asc (the representative's doc_id — matching the relevance-sorted ES
     hit order).  With `index=` the ranking is served from the compressed
     posting index (per-salt collapse, module docstring); rank-identical
-    to the relational path."""
+    to the relational path.  `key_expr` is any SQL expression over the
+    doc columns (default: url host) — the ES any-keyword-field collapse;
+    the output column is always named `host`."""
     if index is not None:
-        return _collapse_indexed(index, terms, k)
+        return _collapse_indexed(index, terms, k, key_expr)
     # score ALL matching docs — collapse needs every key's best, so the
     # candidate set is per-key-reduced (map-side combine), never
     # top-k-truncated before the reduction
-    scored = bm25_scores(corpus, terms).withColumn("host", host_col())
+    scored = bm25_scores(corpus, terms)
+    try:
+        # fast path: key derivable from the scored columns (the default
+        # host key needs only url) — no extra join
+        scored = scored.withColumn("host", F.expr(key_expr))
+    except Exception:
+        # key over other corpus columns (e.g. lang): narrow doc_id+key
+        # projection joined in — column-pruned scan, equi-join on doc_id
+        keyed = corpus.select("doc_id", F.expr(key_expr).alias("host"))
+        scored = scored.join(keyed, "doc_id")
     best = _best_per_host(scored)
     return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -93,7 +109,9 @@ def _best_per_host(scored: DataFrame) -> DataFrame:
     )
 
 
-def _collapse_indexed(index: dict, terms: list[str], k: int) -> DataFrame:
+def _collapse_indexed(
+    index: dict, terms: list[str], k: int, key_expr: str = HOST_SQL
+) -> DataFrame:
     """Index-backed collapse: postings-only scoring + per-salt per-host
     partial bests (see module docstring for the exactness argument)."""
     from .wand import (
@@ -120,7 +138,7 @@ def _collapse_indexed(index: dict, terms: list[str], k: int) -> DataFrame:
     # ids ride along as kind='t' rows (cogroup takes exactly two sides).
     filt = _filters_df(index, None)
     side = index["doc_map"].select(
-        "doc_id", host_col().alias("host"), F.lit("h").alias("kind")
+        "doc_id", F.expr(key_expr).alias("host"), F.lit("h").alias("kind")
     )
     if filt is not None:
         side = side.unionByName(
@@ -190,11 +208,13 @@ def _collapse_indexed(index: dict, terms: list[str], k: int) -> DataFrame:
     )
 
 
-def search_collapse_sql(terms: list[str], k: int = 10) -> str:
+def search_collapse_sql(
+    terms: list[str], k: int = 10, key_expr: str = HOST_SQL
+) -> str:
     tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     return f"""
 WITH {CORPUS_CTE.strip()},
-dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM corpus),
+dl AS (SELECT doc_id, url, lang, warc_ts, {DOC_LEN_SQL} AS doc_len FROM corpus),
 stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
 toks AS (
   SELECT doc_id,
@@ -208,7 +228,7 @@ tf AS (
 ),
 tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
-  SELECT tf.doc_id, dl.url, {HOST_SQL} AS host,
+  SELECT tf.doc_id, dl.url, {key_expr} AS host,
          round(sum(
            ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
            * tf.tf * ({K1} + 1.0)

@@ -24,7 +24,19 @@ kernel with a salt-local top-(k + |phrase matches|) cut — sound because a
 doc without the phrase can never gain the boost, so its final rank equals
 its term rank, while every phrase doc passes through with exact
 restricted-decode term sums.  Each salt emits O(k + phrase matches) rows,
-not every matching doc."""
+not every matching doc.
+
+Known emission caveat (deliberate): a STOP-PHRASE clause ("the fast"
+where the phrase itself matches a large corpus fraction) emits all its
+phrase matches — a salt-local score bound cannot prune them exactly,
+because the phrase idf is only bracketed by [max member idf, idf(salt
+count)] in-kernel and that bracket is loose precisely when the phrase is
+common (the salt count badly underestimates the global df_p).
+phrase_topk (no term clauses) does prune this case exactly — there the
+idf is a common positive factor and ranking by the idf-free kernel g is
+salt-locally decidable (phrase.py docstring); mixed term+phrase scores
+lose that property.  Realistic compound queries carry selective phrases,
+where the existing O(k + matches) bound is tight."""
 
 from __future__ import annotations
 

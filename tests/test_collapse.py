@@ -117,3 +117,19 @@ def test_host_regex_handles_pathless_urls(spark):
     )
     got = [r[0] for r in df.select(collapse.host_col()).collect()]
     assert got == ["example.com", "example.com"]
+
+
+def test_collapse_on_alternate_key(spark, duck, sf_dir):
+    """ES collapses on any keyword field: key_expr='lang' must agree
+    across the relational path, the index-backed path, and the oracle."""
+    corpus = load_corpus(spark, sf_dir)
+    rel = collapse.search_collapse(corpus, ["the"], k=5, key_expr="lang")
+    want = duck.execute(
+        collapse.search_collapse_sql(["the"], k=5, key_expr="lang")
+    ).df()
+    assert_same(rel, want)
+    idx = build_index(corpus, n_doc_parts=8)
+    srv = collapse.search_collapse(
+        corpus, ["the"], k=5, index=idx, key_expr="lang"
+    )
+    assert_same(srv, want)
