@@ -80,14 +80,18 @@ def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_corpus(load_documents(spark, sf_dir))
 
 
-def expand_corpus(docs: DataFrame, factor: int, stride: int = 10_000_000) -> DataFrame:
+def expand_corpus(docs: DataFrame, factor: int, stride: int = 100_000) -> DataFrame:
     """Deterministically replicate the raw documents table `factor` times.
 
     Bench-only: the driver corpus tops out at 5k docs, too small to measure
     throughput/scaling on 32 cores.  Replica r gets doc_id' = r*stride +
-    doc_id (unique, stable); text/lang are unchanged.  Pure built-ins — the
-    cross join with a literal range is a BroadcastNestedLoopJoin with a tiny
-    broadcast side, so it parallelizes across the documents partitions.
+    doc_id (unique, stable — the driver tables stay well under the stride);
+    text/lang are unchanged.  The stride is deliberately small so expanded
+    ids stay a DENSE bounded space, matching how a real build assigns
+    internal doc ids (Lucene segment ids are dense) — the query-node
+    counting-sort paths key on that.  Pure built-ins — the cross join with
+    a literal range is a BroadcastNestedLoopJoin with a tiny broadcast
+    side, so it parallelizes across the documents partitions.
     """
     if factor <= 1:
         return docs

@@ -113,6 +113,13 @@ def build_trigram_index(corpus: DataFrame, out_dir: str) -> None:
             F.explode("grams").alias("g"),
         )
         .withColumn("gbucket", F.pmod(F.xxhash64("g"), F.lit(N_GRAM_BUCKETS)))
+        # files sorted by (g, doc_id) inside each bucket: the driver-local
+        # probe's load-time grouping detects sortedness and skips its
+        # string argsort (the cold-probe hot spot), parquet row-group
+        # min/max on g tightens the indexed probe's pushed IN filter, and
+        # per-trigram doc lists come out doc_id-ordered for free
+        .repartition("gbucket")
+        .sortWithinPartitions("g", "doc_id")
         .write.mode("overwrite")
         .partitionBy("gbucket")
         .parquet(f"{out_dir}/grams")
@@ -193,49 +200,97 @@ def fuzzy_topk_local(
     for g in qgrams:
         by_bucket.setdefault(term_bucket(g, N_GRAM_BUCKETS), []).append(g)
 
-    def _bucket_lists(b: int) -> dict[str, tuple[np.ndarray, np.ndarray]]:
-        """One gbucket dir -> {trigram: (doc_ids, n_grams)} posting lists.
-        Grouped ONCE at load (sort + slice) so a warm probe is pure dict
-        lookups over exactly the query's trigrams — the GIN page-cache
-        shape, no per-query re-filter of the whole bucket."""
-        key = ("gbucket", b)
-        lists = None if cache is None else cache.get(key)
-        if lists is not None:
-            return lists
-        tbl = ds.dataset(
-            f"{index_dir}/grams/gbucket={b}", format="parquet"
-        ).to_table(columns=["doc_id", "n_grams", "g"])
+    _EMPTY_LIST = (
+        np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    )
+
+    def _gram_lists(
+        b: int, grams: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """{trigram: (doc_ids, n_grams)} for the query's trigrams in one
+        gbucket dir.  Cache granularity is PER TRIGRAM (the GIN page-cache
+        shape): a cold trigram costs one filtered pyarrow read — the
+        bucket files are written sorted by g (build_trigram_index), so
+        parquet row-group min/max statistics prune the scan to the
+        trigram's own pages instead of materializing the whole bucket."""
+        out = {}
+        missing = []
+        for g in grams:
+            hit = None if cache is None else cache.get(("g", g))
+            if hit is not None:
+                out[g] = hit
+            else:
+                missing.append(g)
+        if not missing:
+            return out
+        try:
+            tbl = ds.dataset(
+                f"{index_dir}/grams/gbucket={b}", format="parquet"
+            ).to_table(
+                columns=["doc_id", "n_grams", "g"],
+                filter=ds.field("g").isin(missing),
+            )
+        except FileNotFoundError:
+            # no corpus trigram hashed into this bucket (small indexes):
+            # every queried trigram here has an empty posting list
+            for g in missing:
+                out[g] = _EMPTY_LIST
+                if cache is not None:
+                    cache[("g", g)] = _EMPTY_LIST
+            return out
         gs = tbl["g"].to_numpy(zero_copy_only=False)
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ngs = tbl["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(gs, kind="stable")
-        gs, ids, ngs = gs[order], ids[order], ngs[order]
+        # written sorted by g; the O(n) check covers pre-round-4 layouts
+        if gs.size and not np.all(gs[:-1] <= gs[1:]):
+            order = np.argsort(gs, kind="stable")
+            gs, ids, ngs = gs[order], ids[order], ngs[order]
         uniq, starts = np.unique(gs, return_index=True)
         bounds = np.concatenate((starts[1:], [gs.size]))
-        lists = {
+        found = {
             str(u): (ids[s:e], ngs[s:e])
             for u, s, e in zip(uniq, starts, bounds)
         }
-        if cache is not None:
-            cache[key] = lists
-        return lists
+        for g in missing:
+            lst = found.get(g, _EMPTY_LIST)
+            out[g] = lst
+            if cache is not None:
+                cache[("g", g)] = lst
+        return out
 
     id_parts, ng_parts = [], []
     for b, gs in sorted(by_bucket.items()):
-        lists = _bucket_lists(b)
+        lists = _gram_lists(b, gs)
         for g in gs:
-            hit = lists.get(g)
-            if hit is not None:
+            hit = lists[g]
+            if hit[0].size:
                 id_parts.append(hit[0])
                 ng_parts.append(hit[1])
     if not id_parts:
         return []
     ids = np.concatenate(id_parts)
     ng = np.concatenate(ng_parts)
-    order = np.argsort(ids, kind="stable")
-    ids, ng = ids[order], ng[order]
-    uniq, starts, shared = np.unique(ids, return_index=True, return_counts=True)
-    n_grams = ng[starts]
+    max_id = int(ids.max())
+    if max_id < (1 << 26):
+        # dense id space (the build assigns sequential internal doc ids):
+        # counting sort — shared-gram counts via ONE bincount pass and a
+        # scatter for the per-doc gram totals, no O(n log n) argsort.
+        # This is the warm-probe hot loop: the query's trigram posting
+        # lists total ~|corpus| ids for common trigrams.
+        shared_all = np.bincount(ids, minlength=max_id + 1)
+        ngmap = np.zeros(max_id + 1, dtype=np.int64)
+        ngmap[ids] = ng
+        uniq = np.nonzero(shared_all)[0]
+        shared = shared_all[uniq]
+        n_grams = ngmap[uniq]
+    else:
+        # sparse 64-bit id space: sort-based grouping
+        order = np.argsort(ids, kind="stable")
+        ids, ng = ids[order], ng[order]
+        uniq, starts, shared = np.unique(
+            ids, return_index=True, return_counts=True
+        )
+        n_grams = ng[starts]
     sim = np.round(shared / (n_grams + n_q - shared), SIM_DECIMALS)
     top = min(k, uniq.size)
     sel = np.lexsort((uniq, -sim))[:top]

@@ -88,3 +88,26 @@ def test_fuzzy_local_probe_matches_indexed(spark, sf_dir, tmp_path):
     assert cache  # buckets were cached
     b = fuzzy.fuzzy_topk_local(d, "mergge batch", k=10, cache=cache)
     assert a == b == fuzzy.fuzzy_topk_local(d, "mergge batch", k=10)
+
+
+def test_local_probe_sparse_id_space(spark, tmp_path):
+    """doc_ids above the dense-path bound (2^26) must take the sort-based
+    grouping and agree with the Spark probe."""
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.query import fuzzy as fz
+
+    base = 1 << 27
+    rows = [
+        (base + i, f"https://s{i}.example/p/{i}", "merge batch window " * (i + 1))
+        for i in range(12)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    gin = str(tmp_path / "gin")
+    fz.build_trigram_index(corpus, gin)
+    want = [
+        (r["doc_id"], r["sim"])
+        for r in fz.fuzzy_topk_indexed(spark, gin, "mergge batch", k=5).collect()
+    ]
+    got = fz.fuzzy_topk_local(gin, "mergge batch", k=5, cache={})
+    assert got == want
