@@ -1,0 +1,149 @@
+"""Query-node serving loop: every ES-surface op answered from the driver
+acting as a warm query node.
+
+    spark-submit --master local[8] --py-files /tmp/t2es.zip \\
+        jobs/serve_node.py --index /path/to/index \\
+        [--corpus /path/to/corpus_parquet] [--trigram /path/to/gin] \\
+        [--warm "spark merge the data"]
+
+Reads one JSON request per stdin line, answers one JSON line per request:
+
+    {"op": "terms",    "q": "spark merge", "k": 10}
+    {"op": "terms",    "q": "the data", "exclude": "vector", "msm": 2}
+    {"op": "phrase",   "q": "merge batch", "slop": 1}
+    {"op": "compound", "q": "spark", "phrase": "merge batch"}
+    {"op": "prefix",   "q": "sc"}
+    {"op": "wildcard", "q": "s?a*"}
+    {"op": "suggest",  "q": "s"}
+    {"op": "spell",    "q": "mergge"}
+    {"op": "fuzzy",    "q": "mergge batch"}        (needs --trigram)
+    {"op": "mlt",      "doc_id": 7}                (needs --corpus)
+    {"op": "rescore",  "q": "spark merge"}
+    {"op": "highlight","q": "spark merge"}         (needs --corpus)
+
+Response: {"op": ..., "hits": [...], "latency_ms": ...}.  After the
+per-cache warm-up fetches (vocabulary, hot term shards, trigram pages),
+the loop runs without Spark jobs except the documented k-row doc-store
+reads (mlt source text, highlight snippets, rescore timestamps) — the
+shape a production query node serves at millisecond latency while the
+executor fan-out paths (wand_topk / phrase_topk / *_batch) remain the
+cold-tier and analytics story.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--corpus", default=None,
+                    help="corpus parquet dir (highlight / mlt doc store)")
+    ap.add_argument("--trigram", default=None,
+                    help="trigram GIN dir (fuzzy probes)")
+    ap.add_argument("--warm", default=None,
+                    help="space-separated terms to pre-fetch into the "
+                         "hot-shard cache")
+    ap.add_argument("--requests", default="-",
+                    help="request source: '-' = stdin (plain `python` "
+                         "runs), or a file of JSON lines (spark-submit "
+                         "does not forward stdin to the Python driver)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("t2es-serve")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+    )
+    from telegram2elastic_spark.index.build import read_index
+    from telegram2elastic_spark.query import local as lq
+    from telegram2elastic_spark.query.compound import compound_topk_local
+    from telegram2elastic_spark.query.fuzzy import fuzzy_topk_local
+    from telegram2elastic_spark.query.phrase import phrase_topk_local
+    from telegram2elastic_spark.query.wand import wand_topk_local
+
+    idx = read_index(spark, args.index)
+    corpus = spark.read.parquet(args.corpus) if args.corpus else None
+    fuzzy_cache: dict = {}
+    lq._vocab(idx)  # the FST load — one job, then expansion is in-process
+    if args.warm:
+        wand_topk_local(idx, args.warm.split(), k=1)
+
+    def answer(req: dict):
+        op = req["op"]
+        k = int(req.get("k", 10))
+        if op == "terms":
+            ex = req.get("exclude")
+            return wand_topk_local(
+                idx, req["q"].split(), k=k,
+                doc_filter=req.get("doc_filter"),
+                min_should_match=int(req.get("msm", 0)),
+                exclude_terms=ex.split() if ex else None,
+            )
+        if op == "phrase":
+            return phrase_topk_local(
+                idx, req["q"].split(), k=k, slop=int(req.get("slop", 0))
+            )
+        if op == "compound":
+            return compound_topk_local(
+                idx, req["q"].split(), req.get("phrase", "").split(), k=k
+            )
+        if op == "prefix":
+            return lq.prefix_topk_local(idx, req["q"], k=k)
+        if op == "wildcard":
+            return lq.wildcard_topk_local(idx, req["q"], k=k)
+        if op == "suggest":
+            return lq.suggest_complete_local(idx, req["q"], k=k)
+        if op == "spell":
+            return lq.suggest_spelling_local(
+                idx, req["q"], k=k, min_sim=float(req.get("min_sim", 0.1))
+            )
+        if op == "fuzzy":
+            if not args.trigram:
+                raise ValueError("fuzzy needs --trigram")
+            return fuzzy_topk_local(
+                args.trigram, req["q"], k=k, cache=fuzzy_cache
+            )
+        if op == "mlt":
+            if corpus is None:
+                raise ValueError("mlt needs --corpus")
+            return lq.more_like_this_local(
+                idx, corpus, int(req["doc_id"]), k=k
+            )
+        if op == "rescore":
+            return lq.rescore_recency_local(idx, req["q"].split(), k=k)
+        if op == "highlight":
+            if corpus is None:
+                raise ValueError("highlight needs --corpus")
+            return lq.search_highlight_local(idx, corpus, req["q"].split(), k=k)
+        raise ValueError(f"unknown op {op!r}")
+
+    source = sys.stdin if args.requests == "-" else open(args.requests)
+    for line in source:
+        line = line.strip()
+        if not line:
+            continue
+        req = json.loads(line)
+        t0 = time.perf_counter()
+        try:
+            hits = answer(req)
+            out = {
+                "op": req["op"],
+                "hits": [list(h) for h in hits],
+                "latency_ms": round((time.perf_counter() - t0) * 1000, 2),
+            }
+        except Exception as e:  # report, keep serving
+            out = {"op": req.get("op"), "error": str(e)}
+        print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,7 @@ def _phrase_counts_group(
     tombstones: np.ndarray | None = None,
     stats: dict | None = None,
     slop: int = 0,
+    decode_cache: dict | None = None,
 ) -> pd.DataFrame:
     """One salt's blocks -> (doc_id, phrase_tf, dl) for docs containing the
     exact phrase.  Fully vectorized: adjacency is ONE np.isin per phrase
@@ -136,17 +137,29 @@ def _phrase_counts_group(
     common: np.ndarray | None = None
     for t in by_rarity:
         g = groups[t]
-        if common is not None:
-            firsts = g["first_doc_id"].to_numpy(np.int64)
-            lasts = g["last_doc_id"].to_numpy(np.int64)
-            lo = np.searchsorted(common, firsts, side="left")
-            hi = np.searchsorted(common, lasts, side="right")
-            g = g.loc[hi > lo]
-            if g.empty:
-                return _EMPTY_COUNTS.copy()
-        if stats is not None:
-            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + len(g)
-        ids, dls, pos = _decode_term_blocks(t, g)
+        cached = decode_cache.get(t) if decode_cache is not None else None
+        if cached is not None:
+            # FULL decode memoized by an earlier query in the batch —
+            # reuse it outright (a superset of any pruned decode)
+            ids, dls, pos = cached
+        else:
+            n_blocks = len(g)
+            if common is not None:
+                firsts = g["first_doc_id"].to_numpy(np.int64)
+                lasts = g["last_doc_id"].to_numpy(np.int64)
+                lo = np.searchsorted(common, firsts, side="left")
+                hi = np.searchsorted(common, lasts, side="right")
+                g = g.loc[hi > lo]
+                if g.empty:
+                    return _EMPTY_COUNTS.copy()
+            if stats is not None:
+                stats["blocks_decoded"] = (
+                    stats.get("blocks_decoded", 0) + len(g)
+                )
+            ids, dls, pos = _decode_term_blocks(t, g)
+            if decode_cache is not None and len(g) == n_blocks:
+                # only complete decodes are safe to share across queries
+                decode_cache[t] = (ids, dls, pos)
         per_term[t] = (ids, dls, pos)
         common = ids if common is None else np.intersect1d(common, ids)
         if tombstones is not None and tombstones.size:
@@ -223,12 +236,16 @@ def _phrase_partial_group(
     avgdl: float,
     tombstones: np.ndarray | None = None,
     slop: int = 0,
+    decode_cache: dict | None = None,
 ) -> pd.DataFrame:
     """One salt's blocks -> the rows the global stage needs: the salt's
     top-k matches by the idf-free kernel g (plus the rounding-tie band)
     and one sentinel row (doc_id=-1) carrying the salt's full match count
     for the exact global df_p (phrase_topk docstring)."""
-    counts = _phrase_counts_group(pdf, phrase, tombstones=tombstones, slop=slop)
+    counts = _phrase_counts_group(
+        pdf, phrase, tombstones=tombstones, slop=slop,
+        decode_cache=decode_cache,
+    )
     n_match = len(counts)
     if n_match > k:
         g = _phrase_g(
@@ -324,6 +341,113 @@ def phrase_topk(
         .join(F.broadcast(scored), "doc_id", "inner")
         .select("doc_id", "url", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def phrase_topk_batch(
+    index: dict,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    slop: dict[int, int] | int = 0,
+) -> DataFrame:
+    """Answer a whole batch of phrase queries in ONE Spark job (the server
+    pattern of wand_topk_batch: per-query job overhead dominates kernel
+    compute in interactive serving, so the query set runs as a single
+    cogrouped stage).  `slop` is an int for every query or a per-query-id
+    dict.  Per-salt, queries share a FULL-decode memo: a positional term
+    decoded completely by one query (always its rarest term, often a
+    shared Zipf-head) is free for every later query in the batch; pruned
+    (partial) decodes are never shared.  Emission per query follows
+    phrase_topk's bounded contract (top-k by g + tie band + df_p
+    sentinel), so the post-kernel shuffle is O(P * Q * k).
+
+    Returns (query_id, doc_id, url, score), top-k per query, ordered."""
+    from .wand import _collect_idfs
+
+    spark = index["doc_map"].sparkSession
+    if isinstance(slop, int):
+        slops = {qid: int(slop) for qid in queries}
+    else:
+        slops = {qid: int(slops_v) for qid, slops_v in slop.items()}
+    all_terms = sorted({t for ph in queries.values() for t in ph})
+    empty = spark.createDataFrame(
+        [], "query_id int, doc_id long, url string, score double"
+    )
+    if not all_terms:
+        return empty
+    idfs, _ = _collect_idfs(index, all_terms)
+    live = {
+        qid: ph
+        for qid, ph in queries.items()
+        if ph and all(t in idfs for t in ph)
+    }
+    if not live:
+        return empty
+    bands = {
+        qid: (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD)
+        / max(idfs[t] for t in ph)
+        for qid, ph in live.items()
+    }
+    post = _postings_for_terms(
+        index, sorted({t for ph in live.values() for t in ph})
+    )
+    filt = _filters_df(index, None)
+    n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+    avgdl = float(avgdl) if avgdl else 1.0
+
+    def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
+        cache: dict = {}
+        outs = []
+        for qid, ph in live.items():
+            part = _phrase_partial_group(
+                pdf, ph, k, bands[qid], avgdl, tombstones=tomb,
+                slop=slops.get(qid, 0), decode_cache=cache,
+            )
+            part.insert(0, "query_id", np.int32(qid))
+            outs.append(part)
+        return pd.concat(outs, ignore_index=True)
+
+    partial = _salt_scored(
+        post, filt, False, kernel,
+        "query_id int, doc_id long, phrase_tf long, dl long, dfp_part long",
+    )
+    dfp = partial.groupBy("query_id").agg(
+        F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p")
+    )
+    matches = partial.filter(F.col("doc_id") >= 0)
+    scored = matches.join(F.broadcast(dfp), "query_id").withColumn(
+        "score",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.col("df_p") + 0.5)
+                / (F.col("df_p") + 0.5)
+            )
+            * F.col("phrase_tf")
+            * (K1 + 1.0)
+            / (
+                F.col("phrase_tf")
+                + K1 * (1.0 - B + B * F.col("dl") / float(avgdl))
+            ),
+            SCORE_DECIMALS,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score")
+    )
+    return (
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id", "inner")
+        .select("query_id", "doc_id", "url", "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
 
 

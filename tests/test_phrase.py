@@ -280,3 +280,32 @@ def test_phrase_kernel_emits_bounded_rows(spark, sf_dir, pindex):
     assert len(out) < n_matching / 2
     # sentinel carries the exact salt-local match count
     assert int(out.loc[out["doc_id"] == -1, "dfp_part"].sum()) == n_matching
+
+
+def test_phrase_batch_matches_single(spark, sf_dir, pindex):
+    """phrase_topk_batch == per-query phrase_topk, including slop
+    variants, dead-term queries, and the shared decode memo."""
+    from telegram2elastic_spark.query.phrase import phrase_topk_batch
+
+    queries = {
+        0: ["the", "fast"],
+        1: ["merge", "batch"],
+        2: ["table", "scan", "merge"],
+        3: ["the", "zzznothere"],   # dead term: no rows
+        4: ["merge", "batch"],      # duplicate phrase: decode memo reuse
+    }
+    slops = {1: 1, 2: 2}
+    batch = phrase_topk_batch(pindex, queries, k=10, slop=slops).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["url"], r["score"])
+        )
+    for qid, ph in queries.items():
+        want = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in phrase_topk(
+                pindex, ph, k=10, slop=slops.get(qid, 0)
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
