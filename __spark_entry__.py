@@ -39,6 +39,12 @@ PERCOLATE_SPECS = [
     (2, ["vector"], 1),
     (3, ["the", "data", "row"], 3),
 ]
+PHRASE_BATCH_SPECS = {
+    0: (["the", "fast"], 0),
+    1: (["merge", "batch"], 1),
+    2: (["table", "scan", "merge"], 2),
+    3: (["the", "zzznotaterm"], 0),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -117,6 +123,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_must_not": lambda spark, sf: wand_topk(
             build_index(load_corpus(spark, sf), n_doc_parts=8),
             Q_MAIN, k=10, exclude_terms=["vector"],
+        ),
+        # NEW (r4): phrase-query batch — N phrases as ONE Spark job with a
+        # shared per-salt decode memo and per-query bounded emission
+        "phrase_batch": lambda spark, sf: phrase.phrase_topk_batch(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            {q: ph for q, (ph, _s) in PHRASE_BATCH_SPECS.items()},
+            k=10,
+            slop={q: s for q, (_ph, s) in PHRASE_BATCH_SPECS.items()},
+        ),
+        # NEW (r4): collapse on an alternate keyword field (ES collapse
+        # works on any field; key still served index-backed)
+        "search_collapse_lang": lambda spark, sf: collapse.search_collapse(
+            load_corpus(spark, sf), ["the"], k=5,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+            key_expr="lang",
+        ),
+        # NEW (r4): percolator over-threshold path — shuffle join on term
+        # instead of the forced broadcast (identical results by contract)
+        "percolate_shuffle": lambda spark, sf: percolate.percolate(
+            load_corpus(spark, sf),
+            percolate.stored_queries(spark, PERCOLATE_SPECS),
+            broadcast_threshold=0,
         ),
     }
     # --- Block B: last driver row r02 — rotated back into the window ---
@@ -467,6 +495,11 @@ FROM corpus ORDER BY doc_id
         "search_collapse": collapse.search_collapse_sql(
             ["spark", "merge"], k=10
         ),
+        "search_collapse_lang": collapse.search_collapse_sql(
+            ["the"], k=5, key_expr="lang"
+        ),
+        "phrase_batch": phrase.phrase_topk_batch_sql(PHRASE_BATCH_SPECS, k=10),
+        "percolate_shuffle": percolate.percolate_sql(PERCOLATE_SPECS),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "bm25_global_stats_filter": bm25.bm25_topk_sql(

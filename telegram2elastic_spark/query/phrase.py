@@ -451,6 +451,22 @@ def phrase_topk_batch(
     )
 
 
+def phrase_topk_batch_sql(
+    specs: dict[int, tuple[list[str], int]], k: int = 10
+) -> str:
+    """DuckDB oracle for phrase_topk_batch: the per-query phrase oracle,
+    query_id-tagged and unioned (a query with no matches contributes no
+    rows, matching the batch path)."""
+    parts = [
+        f"SELECT {int(qid)} AS query_id, * FROM ({phrase_topk_sql(ph, k=k, slop=slop)})"
+        for qid, (ph, slop) in sorted(specs.items())
+    ]
+    return (
+        "\nUNION ALL\n".join(parts)
+        + "\nORDER BY query_id, score DESC, doc_id ASC"
+    )
+
+
 def _local_pos_blocks(index: dict, terms: list[str]) -> pd.DataFrame | None:
     """Driver-side fetch of positional posting blocks (hot-shard cache,
     like wand._local_post_cache but carrying pos_bytes).  Blocks are
