@@ -12,6 +12,7 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "terms",    "q": "the data", "exclude": "vector", "msm": 2}
     {"op": "phrase",   "q": "merge batch", "slop": 1}
     {"op": "compound", "q": "spark", "phrase": "merge batch"}
+    {"op": "multi",    "q": "spark page", "boosts": {"text": 1.0, "url": 2.0}}
     {"op": "prefix",   "q": "sc"}
     {"op": "wildcard", "q": "s?a*"}
     {"op": "suggest",  "q": "s"}
@@ -52,6 +53,10 @@ def main() -> None:
                     help="request source: '-' = stdin (plain `python` "
                          "runs), or a file of JSON lines (spark-submit "
                          "does not forward stdin to the Python driver)")
+    ap.add_argument("--field-index", action="append", default=[],
+                    metavar="NAME=DIR",
+                    help="per-field index dir for multi_match "
+                         "(repeatable, e.g. --field-index url=/idx_url)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,6 +76,12 @@ def main() -> None:
 
     idx = read_index(spark, args.index)
     corpus = spark.read.parquet(args.corpus) if args.corpus else None
+    # multi_match fields: the main index serves as field "text"; extra
+    # per-field indexes (same corpus, same salt layout) come from disk
+    field_indexes = {"text": idx}
+    for spec in args.field_index:
+        name, _, d = spec.partition("=")
+        field_indexes[name] = read_index(spark, d)
     fuzzy_cache: dict = {}
     lq._vocab(idx)  # the FST load — one job, then expansion is in-process
     if args.warm:
@@ -94,6 +105,13 @@ def main() -> None:
         if op == "compound":
             return compound_topk_local(
                 idx, req["q"].split(), req.get("phrase", "").split(), k=k
+            )
+        if op == "multi":
+            boosts = {
+                f: float(b) for f, b in (req.get("boosts") or {}).items()
+            }
+            return lq.multi_match_topk_local(
+                field_indexes, boosts, req["q"].split(), k=k
             )
         if op == "prefix":
             return lq.prefix_topk_local(idx, req["q"], k=k)

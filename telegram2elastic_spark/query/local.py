@@ -175,6 +175,72 @@ def suggest_spelling_local(
     return [(str(terms[cand[i]]), float(sim[i])) for i in order[: int(k)]]
 
 
+def multi_match_topk_local(
+    field_indexes: dict[str, dict],
+    weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to multifield.multi_match_topk.
+    Each field's posting blocks for the query terms are fetched once into
+    that index's hot-shard cache (repeated terms across the query stream
+    skip Spark); scoring runs the same field+term-keyed MaxScore kernel
+    in-process."""
+    import pandas as pd
+
+    from .multifield import _SEP
+    from .wand import (
+        _collect_idfs,
+        _postings_for_terms,
+        _score_salt_group,
+        _tomb_array,
+    )
+
+    key_idfs: dict[str, float] = {}
+    key_weights: dict[str, float] = {}
+    key_avgdls: dict[str, float] = {}
+    parts = []
+    cols = [
+        "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+        "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
+    ]
+    first = None
+    for name, idx in field_indexes.items():
+        if first is None:
+            first = idx
+        idfs, avgdl = _collect_idfs(idx, terms)
+        w = float(weights.get(name, 1.0))
+        cache = idx.setdefault("_local_post_cache", {})
+        missing = [t for t in idfs if t not in cache]
+        if missing:
+            fetched = (
+                _postings_for_terms(idx, missing).select(*cols).toPandas()
+            )
+            for t, g in fetched.groupby("term", sort=False):
+                cache[t] = g
+            for t in missing:
+                cache.setdefault(t, None)
+        for t, idf in idfs.items():
+            key = name + _SEP + t
+            key_idfs[key] = idf
+            key_weights[key] = w
+            key_avgdls[key] = float(avgdl)
+            g = cache.get(t)
+            if g is not None:
+                parts.append(g.assign(term=key))
+    if not parts:
+        return []
+    pdf = pd.concat(parts, ignore_index=True)
+    res = _score_salt_group(
+        pdf, key_idfs, 0.0, k, tombstones=_tomb_array(first),
+        weights=key_weights, avgdls=key_avgdls,
+    )
+    res = res.sort_values(
+        ["score", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(k)
+    return list(res.itertuples(index=False, name=None))
+
+
 def more_like_this_local(
     index: dict,
     corpus: DataFrame,

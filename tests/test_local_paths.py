@@ -115,3 +115,21 @@ def test_highlight_local_matches_spark(spark, sf_dir, lindex):
     ]
     got = lq.search_highlight_local(lindex, corpus, ["spark", "merge"], k=10)
     assert got == want
+
+
+def test_multi_match_local_matches_spark(spark, sf_dir):
+    from telegram2elastic_spark.query import multifield as mff
+
+    corpus = load_corpus(spark, sf_dir)
+    fidx = mff.build_field_indexes(
+        corpus, {"text": "text", "url": "url"}, n_doc_parts=4
+    )
+    w = {"text": 1.0, "url": 2.0}
+    want = [
+        (r["doc_id"], r["score"])
+        for r in mff.multi_match_topk(fidx, w, ["spark", "page"], k=10).collect()
+    ]
+    got = lq.multi_match_topk_local(fidx, w, ["spark", "page"], k=10)
+    assert got == want
+    # repeated query: served from the per-field hot-shard caches
+    assert lq.multi_match_topk_local(fidx, w, ["spark", "page"], k=10) == want
