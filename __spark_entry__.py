@@ -45,6 +45,11 @@ PHRASE_BATCH_SPECS = {
     2: (["table", "scan", "merge"], 2),
     3: (["the", "zzznotaterm"], 0),
 }
+COMPOUND_BATCH_SPECS = {
+    0: (["spark", "merge"], ["the", "fast"], 0),
+    1: (["spark"], ["merge", "batch"], 1),
+    2: ([], ["the", "fast"], 0),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -131,6 +136,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {q: ph for q, (ph, _s) in PHRASE_BATCH_SPECS.items()},
             k=10,
             slop={q: s for q, (_ph, s) in PHRASE_BATCH_SPECS.items()},
+        ),
+        # NEW (r4): compound-query batch — same server pattern, per-query
+        # df_p sentinels, shared positional decode memo
+        "compound_batch": lambda spark, sf: compound.compound_topk_batch(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            {q: (t, p) for q, (t, p, _s) in COMPOUND_BATCH_SPECS.items()},
+            k=10,
+            slop={q: s for q, (_t, _p, s) in COMPOUND_BATCH_SPECS.items()},
         ),
         # NEW (r4): collapse on an alternate keyword field (ES collapse
         # works on any field; key still served index-backed)
@@ -499,6 +512,9 @@ FROM corpus ORDER BY doc_id
             ["the"], k=5, key_expr="lang"
         ),
         "phrase_batch": phrase.phrase_topk_batch_sql(PHRASE_BATCH_SPECS, k=10),
+        "compound_batch": compound.compound_topk_batch_sql(
+            COMPOUND_BATCH_SPECS, k=10
+        ),
         "percolate_shuffle": percolate.percolate_sql(PERCOLATE_SPECS),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),

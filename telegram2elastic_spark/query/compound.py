@@ -133,6 +133,7 @@ def _compound_group(
     tombstones: np.ndarray | None = None,
     allowed: np.ndarray | None = None,
     slop: int = 0,
+    decode_cache: dict | None = None,
 ) -> pd.DataFrame:
     """One salt's blocks -> the rows the global stage needs, WAND-pruned:
 
@@ -150,7 +151,10 @@ def _compound_group(
     if pdf.empty:
         return _EMPTY.copy()
     ph = (
-        _phrase_counts_group(pdf, phrase, tombstones=tombstones, slop=slop)
+        _phrase_counts_group(
+            pdf, phrase, tombstones=tombstones, slop=slop,
+            decode_cache=decode_cache,
+        )
         if phrase
         else _EMPTY[["doc_id", "phrase_tf", "dl"]].copy()
     )
@@ -301,6 +305,120 @@ def compound_topk(
     )
 
 
+def compound_topk_batch(
+    index: dict,
+    queries: dict[int, tuple[list[str], list[str]]],
+    k: int = 10,
+    slop: dict[int, int] | int = 0,
+) -> DataFrame:
+    """A batch of compound queries (terms, phrase) as ONE Spark job —
+    the server pattern of wand_topk_batch / phrase_topk_batch.  Each
+    query runs the same pruned _compound_group kernel per salt; the
+    positional full-decode memo is shared across queries (a phrase term
+    decoded completely by one query is free for the rest).  Per-query
+    df_p rides the sentinels, so every query's phrase idf stays exact.
+
+    Returns (query_id, doc_id, url, score), top-k per query, ordered."""
+    spark = index["doc_map"].sparkSession
+    if isinstance(slop, int):
+        slops = {qid: int(slop) for qid in queries}
+    else:
+        slops = {qid: int(v) for qid, v in slop.items()}
+    empty = spark.createDataFrame(
+        [], "query_id int, doc_id long, url string, score double"
+    )
+    all_terms = sorted(
+        {t for terms, ph in queries.values() for t in set(terms) | set(ph)}
+    )
+    if not all_terms:
+        return empty
+    idfs_all, avgdl = _collect_idfs(index, all_terms)
+    plans: dict[int, tuple[dict[str, float], list[str]]] = {}
+    for qid, (terms, ph) in queries.items():
+        live_phrase = list(ph) if ph and all(t in idfs_all for t in ph) else []
+        idfs = {t: idfs_all[t] for t in set(terms) if t in idfs_all}
+        if idfs or live_phrase:
+            plans[qid] = (idfs, live_phrase)
+    if not plans:
+        return empty
+    scan_terms = sorted(
+        {t for idfs, ph in plans.values() for t in set(idfs) | set(ph)}
+    )
+    post = _postings_for_terms(index, scan_terms)
+    filt = _filters_df(index, None)
+    n = index["_stats"][0]  # memoized by _collect_idfs
+
+    def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
+        cache: dict = {}
+        outs = []
+        for qid, (idfs, ph) in plans.items():
+            part = _compound_group(
+                pdf, idfs, float(avgdl), ph, k,
+                tombstones=tomb, slop=slops.get(qid, 0), decode_cache=cache,
+            )
+            part.insert(0, "query_id", np.int32(qid))
+            outs.append(part)
+        return pd.concat(outs, ignore_index=True)
+
+    partial = _salt_scored(
+        post, filt, False, kernel,
+        "query_id int, doc_id long, tscore double, phrase_tf long, "
+        "dl long, dfp_part long",
+    )
+    dfp = partial.groupBy("query_id").agg(
+        F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p")
+    )
+    rows = partial.filter(F.col("doc_id") >= 0)
+    phrase_w = F.when(
+        F.col("phrase_tf") > 0,
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n)) - F.col("df_p") + 0.5) / (F.col("df_p") + 0.5)
+        )
+        * F.col("phrase_tf")
+        * (K1 + 1.0)
+        / (
+            F.col("phrase_tf")
+            + K1 * (1.0 - B + B * F.col("dl") / float(avgdl))
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = rows.join(F.broadcast(dfp), "query_id").withColumn(
+        "score", F.round(F.col("tscore") + phrase_w, SCORE_DECIMALS)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score")
+    )
+    return (
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id", "inner")
+        .select("query_id", "doc_id", "url", "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def compound_topk_batch_sql(
+    specs: dict[int, tuple[list[str], list[str], int]], k: int = 10
+) -> str:
+    """DuckDB oracle: per-query compound oracle, query_id-tagged union."""
+    parts = [
+        f"SELECT {int(qid)} AS query_id, * FROM "
+        f"({compound_topk_sql(terms, ph, k=k, slop=slop)})"
+        for qid, (terms, ph, slop) in sorted(specs.items())
+    ]
+    return (
+        "\nUNION ALL\n".join(parts)
+        + "\nORDER BY query_id, score DESC, doc_id ASC"
+    )
+
+
 def compound_topk_sql(
     terms: list[str], phrase: list[str], k: int = 10, slop: int = 0
 ) -> str:
@@ -310,7 +428,13 @@ def compound_topk_sql(
     from .phrase import _slop_chain_expr
 
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    # empty clause guards (batch specs may carry phrase-only or
+    # terms-only queries): IN () is a parse error, and a zero-length
+    # phrase can never match
+    tpred = f"term IN ({tlist})" if tlist else "1 = 0"
     m = len(phrase)
+    if m == 0:
+        return _compound_sql_body(tpred, "0", "", k)
     if slop == 0:
         adj = " AND ".join(
             "toks[i+" + str(i) + "] = '" + t.replace("'", "''") + "'"
@@ -331,6 +455,12 @@ def compound_topk_sql(
         tf_expr = (
             f"len(list_filter(pos0, p -> {_slop_chain_expr(phrase, slop)}))"
         )
+    return _compound_sql_body(tpred, tf_expr, pos_cols, k)
+
+
+def _compound_sql_body(
+    tpred: str, tf_expr: str, pos_cols: str, k: int = 10
+) -> str:
     return f"""
 WITH {CORPUS_CTE.strip()},
 tokd AS (
@@ -343,7 +473,7 @@ stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
 tf AS (
   SELECT doc_id, term, count(*) AS tf
   FROM (SELECT doc_id, unnest(toks) AS term FROM tokd)
-  WHERE term IN ({tlist})
+  WHERE {tpred}
   GROUP BY doc_id, term
 ),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -153,3 +153,32 @@ def test_compound_topk_local_matches_distributed(pindex):
         ]
         got = compound_topk_local(pindex, terms, phrase, k=10, doc_filter=flt)
         assert got == want, (terms, phrase, flt)
+
+
+def test_compound_batch_matches_single(spark, sf_dir, pindex):
+    """compound_topk_batch == per-query compound_topk, incl. slop,
+    phrase-only, terms-only, and dead-phrase queries sharing the memo."""
+    from telegram2elastic_spark.query.compound import compound_topk_batch
+
+    queries = {
+        0: (["spark", "merge"], ["the", "fast"]),
+        1: (["spark"], ["merge", "batch"]),
+        2: ([], ["the", "fast"]),
+        3: (["spark", "merge"], []),
+        4: (["spark"], ["zzznothere", "fast"]),
+    }
+    slops = {1: 1}
+    batch = compound_topk_batch(pindex, queries, k=10, slop=slops).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["url"], r["score"])
+        )
+    for qid, (terms, ph) in queries.items():
+        want = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in compound.compound_topk(
+                pindex, terms, ph, k=10, slop=slops.get(qid, 0)
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
