@@ -487,7 +487,7 @@ def wand_topk_batch(
     index: dict,
     queries: dict[int, list[str]],
     k: int = 10,
-    doc_filter: str | None = None,
+    doc_filter: str | dict[int, str] | None = None,
     min_should_match: dict[int, int] | int | None = None,
     exclude_terms: dict[int, list[str]] | None = None,
 ) -> DataFrame:
@@ -496,9 +496,12 @@ def wand_topk_batch(
     compute, so the query set is executed as a single applyInPandas stage
     and a single per-query top-k window).
 
-    `doc_filter` applies one shared document-level predicate (tenant /
-    language / time-range filter-context) to every query in the batch,
-    delivered per-salt via cogroup like the single-query path.
+    `doc_filter` is ES-msearch filter context: one shared predicate
+    (str), or a per-query-id dict — each query scored only over the docs
+    its own predicate admits, global stats untouched.  Distinct
+    predicates are DEDUPLICATED (two queries sharing "lang = 'en'" ship
+    one admitted-id set), and every set reaches the kernels per-salt via
+    cogroup like the single-query path — never a driver collect.
     `min_should_match` (int = same bar for every query, or per-query-id
     dict) and `exclude_terms` (per-query-id dict) carry wand_topk's bool
     knobs into the batch: hit counts fall out of the shared per-term
@@ -509,6 +512,22 @@ def wand_topk_batch(
     Returns (query_id, doc_id, url, score), top-k per query, ordered.
     """
     spark = index["doc_map"].sparkSession
+    # normalize filters -> dedup'd predicate table + query->fid map
+    if doc_filter is None:
+        preds: dict[int, str] = {}
+        fid_of: dict[int, int] = {}
+    elif isinstance(doc_filter, str):
+        preds = {0: doc_filter}
+        fid_of = {qid: 0 for qid in queries}
+    else:
+        uniq: dict[str, int] = {}
+        fid_of = {}
+        for qid, p in doc_filter.items():
+            if p is None:
+                continue
+            uniq.setdefault(p, len(uniq))
+            fid_of[qid] = uniq[p]
+        preds = {fid: p for p, fid in uniq.items()}
     if min_should_match is None:
         msm: dict[int, int] = {}
     elif isinstance(min_should_match, int):
@@ -537,9 +556,40 @@ def wand_topk_batch(
         index,
         sorted({t for ts in live.values() for t in ts} | set(scan_excl)),
     )
-    filt = _filters_df(index, doc_filter)
+    # filter rows: kind 't' = tombstone, 'a<fid>' = admitted by predicate
+    # fid — one labeled id set per DISTINCT predicate
+    filt_parts = []
+    tomb_df = _tomb_df(index)
+    if tomb_df is not None:
+        filt_parts.append(tomb_df.select("doc_id", F.lit("t").alias("kind")))
+    for fid, p in preds.items():
+        filt_parts.append(
+            index["doc_map"].filter(p)
+            .select("doc_id", F.lit(f"a{fid}").alias("kind"))
+        )
+    filt = None
+    if filt_parts:
+        filt = filt_parts[0]
+        for fp in filt_parts[1:]:
+            filt = filt.unionByName(fp)
+        filt = filt.withColumn(
+            "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+        )
 
-    def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, side: pd.DataFrame | None) -> pd.DataFrame:
+        if side is not None:
+            tomb = np.sort(
+                side.loc[side["kind"] == "t", "doc_id"].to_numpy(np.int64)
+            )
+            tomb = tomb if tomb.size else None
+            allowed_by_fid = {
+                int(kd[1:]): np.sort(g["doc_id"].to_numpy(np.int64))
+                for kd, g in side.groupby("kind", sort=False)
+                if kd != "t"
+            }
+        else:
+            tomb = None
+            allowed_by_fid = {}
         # Queries in a batch share Zipf-head terms ("the", "data", ...);
         # decode each term's blocks ONCE per salt and cache the per-doc
         # BM25 contributions — each query then reduces cached arrays.
@@ -583,16 +633,8 @@ def wand_topk_batch(
                 live_m = ~np.isin(ids, tomb)
                 ids = ids[live_m]
                 tfs, dls = tfs[live_m], dls[live_m]
-            if allowed is not None:
-                pos = np.searchsorted(allowed, ids)
-                pos[pos >= allowed.size] = 0
-                ok = (
-                    allowed[pos] == ids
-                    if allowed.size
-                    else np.zeros(ids.shape, bool)
-                )
-                ids = ids[ok]
-                tfs, dls = tfs[ok], dls[ok]
+            # per-query doc_filters are applied at reduce time, NOT here —
+            # the decode cache must stay filter-agnostic to be shared
             w = _bm25_w(
                 tfs.astype(np.float64), dls.astype(np.float64), avgdl, idfs[t]
             )
@@ -606,6 +648,19 @@ def wand_topk_batch(
                 continue
             all_ids = np.concatenate([a[0] for a in arrs])
             all_w = np.concatenate([a[1] for a in arrs])
+            fid = fid_of.get(qid)
+            if fid is not None:
+                allowed = allowed_by_fid.get(
+                    fid, np.array([], dtype=np.int64)
+                )
+                if allowed.size == 0:
+                    continue  # this query's filter admits nothing here
+                pos = np.searchsorted(allowed, all_ids)
+                pos[pos >= allowed.size] = 0
+                ok = allowed[pos] == all_ids
+                if not ok.any():
+                    continue
+                all_ids, all_w = all_ids[ok], all_w[ok]
             order = np.argsort(all_ids, kind="stable")
             all_ids, all_w = all_ids[order], all_w[order]
             uniq, starts = np.unique(all_ids, return_index=True)
@@ -648,10 +703,17 @@ def wand_topk_batch(
             )
         return pd.concat(outs, ignore_index=True)
 
-    local = _salt_scored(
-        post, filt, doc_filter is not None, kernel,
-        "query_id int, doc_id long, score double",
-    )
+    out_schema = "query_id int, doc_id long, score double"
+    if filt is None:
+        local = post.groupBy("salt").applyInPandas(
+            lambda p: kernel(p, None), out_schema
+        )
+    else:
+        local = (
+            post.groupBy("salt")
+            .cogroup(filt.groupBy("salt"))
+            .applyInPandas(lambda p, s: kernel(p, s), out_schema)
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(

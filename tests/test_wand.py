@@ -307,3 +307,30 @@ def test_batch_exclude_term_outside_query_terms(spark, sf_dir, index):
             ).collect()
         ]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_batch_per_query_doc_filters(spark, sf_dir, index):
+    """ES-msearch filter context: each batch query scored only over the
+    docs ITS predicate admits (predicates deduplicated), equal to the
+    single-query path with the same filter; unfiltered queries mix in."""
+    from telegram2elastic_spark.query.wand import wand_topk_batch
+
+    queries = {
+        0: ["the", "data"],
+        1: ["spark", "merge"],
+        2: ["the", "data"],
+        3: ["vector", "window"],
+    }
+    filters = {0: "lang = 'en'", 1: "lang = 'fr'", 2: "lang = 'en'"}
+    batch = wand_topk_batch(index, queries, k=10, doc_filter=filters).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(
+                index, terms, k=10, doc_filter=filters.get(qid)
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
