@@ -76,6 +76,20 @@ def _q_wand(terms, k=10):
     return run
 
 
+def _q_wand_after(terms, k=10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=8)
+        page1 = wand_topk(idx, terms, k=k).collect()
+        if not page1:
+            return idx["doc_map"].sparkSession.createDataFrame(
+                [], "doc_id long, url string, score double"
+            )
+        cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+        return wand_topk(idx, terms, k=k, after=cursor)
+
+    return run
+
+
 def _q_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -159,6 +173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             percolate.stored_queries(spark, PERCOLATE_SPECS),
             broadcast_threshold=0,
         ),
+        # NEW (r4): ES search_after on the index path — page 2 served via
+        # page 1's (score, doc_id) cursor; oracle = the same ranking with
+        # OFFSET k (cursor paging IS rows [k, 2k) of the full order)
+        "wand_search_after": _q_wand_after(Q_HEAVY, k=10),
     }
     # --- Block B: last driver row r02 — rotated back into the window ---
     block_b: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -516,6 +534,7 @@ FROM corpus ORDER BY doc_id
             COMPOUND_BATCH_SPECS, k=10
         ),
         "percolate_shuffle": percolate.percolate_sql(PERCOLATE_SPECS),
+        "wand_search_after": bm25.bm25_topk_sql(Q_HEAVY, k=10, offset=10),
         "bm25_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "wand_conjunctive": bm25.bm25_topk_sql(Q_MAIN, conjunctive=True),
         "bm25_global_stats_filter": bm25.bm25_topk_sql(

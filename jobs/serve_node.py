@@ -92,11 +92,13 @@ def main() -> None:
         k = int(req.get("k", 10))
         if op == "terms":
             ex = req.get("exclude")
-            return wand_topk_local(
+            after = req.get("after")  # [score, doc_id] cursor from the
+            return wand_topk_local(  # previous page's last hit
                 idx, req["q"].split(), k=k,
                 doc_filter=req.get("doc_filter"),
                 min_should_match=int(req.get("msm", 0)),
                 exclude_terms=ex.split() if ex else None,
+                after=tuple(after) if after else None,
             )
         if op == "phrase":
             return phrase_topk_local(

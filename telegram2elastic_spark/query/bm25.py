@@ -160,10 +160,13 @@ def bm25_topk_sql(
     conjunctive: bool = False,
     min_should_match: int = 0,
     exclude_terms: list[str] | None = None,
+    offset: int = 0,
 ) -> str:
     """DuckDB oracle SQL — the exact same semantics over the raw
     `documents` view (derivation via CORPUS_CTE, tokenization via
-    TOKENS_CTE with the same regex)."""
+    TOKENS_CTE with the same regex).  `offset` skips the first rows of
+    the ranking — the oracle for cursor (search_after) pagination, whose
+    page N is exactly rows [offset, offset+k) of the full order."""
     preds = ["1=1"]
     if lang is not None:
         preds.append(f"lang = '{lang}'")
@@ -223,5 +226,5 @@ SELECT s.doc_id, d.url, s.score
 FROM scored s JOIN dl d ON s.doc_id = d.doc_id
 {ex_where}
 ORDER BY s.score DESC, s.doc_id ASC
-LIMIT {k}
+LIMIT {k}{' OFFSET ' + str(int(offset)) if offset else ''}
 """

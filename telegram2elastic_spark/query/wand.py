@@ -61,6 +61,7 @@ def _score_salt_group(
     raw_scores: bool = False,
     weights: dict[str, float] | None = None,
     avgdls: dict[str, float] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Kernel: one salt partition's posting blocks -> local top-k.
     `tombstones`: sorted int64 ids of deleted/edited-away docs (filtered
@@ -76,7 +77,13 @@ def _score_salt_group(
     multiplier and length-norm denominator — the multi_match most_fields
     path scores several field indexes in one kernel by keying terms as
     field+term; every upper bound scales by the weight, so MaxScore
-    pruning stays exact across fields."""
+    pruning stays exact across fields.
+    `after`: ES search_after cursor (rounded_score, doc_id) — only docs
+    STRICTLY after the cursor in (score desc, doc_id asc) order are
+    selectable.  Cursor docs may rank below the unfiltered top-k, so
+    candidate-generation pruning is disabled (full accumulation, like
+    require_all); the cursor mask applies to the rounded scores right
+    before selection so it agrees with the global rounded merge."""
     if post.empty:
         return _EMPTY.copy()
 
@@ -108,7 +115,11 @@ def _score_salt_group(
         # final order rounds to SCORE_DECIMALS — subtract ROUND_GUARD so a
         # doc that would round equal to the k-th (and win the doc_id tie)
         # is never pruned.
-        allow_new = (rem_ub[j] >= theta - ROUND_GUARD) or bool(require_all)
+        allow_new = (
+            (rem_ub[j] >= theta - ROUND_GUARD)
+            or bool(require_all)
+            or after is not None
+        )
         firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
         lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
         if allow_new:
@@ -172,11 +183,21 @@ def _score_salt_group(
         acc_ids, acc_scores = acc_ids[keep], acc_scores[keep]
     if acc_ids.size == 0:
         return _EMPTY.copy()
-    top = min(k, acc_ids.size)
     # Round BEFORE local top-k selection so partition-local truncation uses
     # the same (rounded score, doc_id) order as the global merge — otherwise
     # a float-noise "tie" could drop the wrong doc at the partition boundary.
     rounded = np.round(acc_scores, SCORE_DECIMALS)
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        keep = (rounded < a_score) | (
+            (rounded == a_score) & (acc_ids > a_doc)
+        )
+        acc_ids, acc_scores, rounded = (
+            acc_ids[keep], acc_scores[keep], rounded[keep]
+        )
+        if acc_ids.size == 0:
+            return _EMPTY.copy()
+    top = min(k, acc_ids.size)
     order = np.lexsort((acc_ids, -rounded))[:top]
     out_scores = acc_scores if raw_scores else rounded
     return pd.DataFrame({"doc_id": acc_ids[order], "score": out_scores[order]})
@@ -359,6 +380,7 @@ def wand_topk(
     algo: str = "maxscore",
     min_should_match: int = 0,
     exclude_terms: list[str] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, url, score) from the compressed index.
 
@@ -389,7 +411,9 @@ def wand_topk(
     """
     if algo not in ("maxscore", "bmw"):
         raise ValueError(f"unknown algo {algo!r}")
-    if algo == "bmw" and (conjunctive or min_should_match or exclude_terms):
+    if algo == "bmw" and (
+        conjunctive or min_should_match or exclude_terms or after
+    ):
         raise ValueError(
             "algo='bmw' implements the plain disjunctive top-k only"
         )
@@ -423,7 +447,7 @@ def wand_topk(
                 pdf, tomb = _apply_exclusions(pdf, exclude, tomb)
             return _score_salt_group(
                 pdf, idfs, float(avgdl), k, tombstones=tomb, allowed=allowed,
-                require_all=require_all,
+                require_all=require_all, after=after,
             )
 
     local = _salt_scored(
@@ -741,6 +765,7 @@ def wand_topk_local(
     conjunctive: bool = False,
     min_should_match: int = 0,
     exclude_terms: list[str] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple]:
     """Low-latency single-query path: the driver acts as the query node.
 
@@ -791,7 +816,7 @@ def wand_topk_local(
     allowed = _allowed_ids(index, doc_filter)
     res = _score_salt_group(
         pdf, idfs, avgdl, k, tombstones=tomb, allowed=allowed,
-        require_all=require_all,
+        require_all=require_all, after=after,
     )
     res = res.sort_values(
         ["score", "doc_id"], ascending=[False, True], ignore_index=True

@@ -334,3 +334,33 @@ def test_batch_per_query_doc_filters(spark, sf_dir, index):
             ).collect()
         ]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_search_after_cursor_pagination(spark, sf_dir, index):
+    """ES search_after on the index path: page 2 via the (score, doc_id)
+    cursor of page 1's last hit == rows k..2k of the full ranking; local
+    path identical; empty beyond the last page."""
+    from telegram2elastic_spark.query.wand import wand_topk_local
+
+    corpus = load_corpus(spark, sf_dir)
+    terms, k = ["the", "data"], 10
+    full = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(corpus, terms, k=3 * k).collect()
+    ]
+    page1 = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(index, terms, k=k).collect()
+    ]
+    assert page1 == full[:k]
+    cursor = (page1[-1][1], page1[-1][0])
+    page2 = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(index, terms, k=k, after=cursor).collect()
+    ]
+    assert page2 == full[k : 2 * k]
+    assert wand_topk_local(index, terms, k=k, after=cursor) == page2
+    # cursor at the very last match -> empty page
+    deep = wand_topk_local(index, terms, k=10_000, after=cursor)
+    last = deep[-1]
+    assert wand_topk_local(index, terms, k=k, after=(last[1], last[0])) == []
