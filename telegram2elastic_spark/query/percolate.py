@@ -48,8 +48,9 @@ def percolate(
     would OOM a forced broadcast — the join falls back to a
     hash-partitioned shuffle join on term (AQE's skew-join split handles
     Zipf-head terms).  Sizing costs one count over the ALERT side only;
-    pass None to force the broadcast unconditionally (e.g. per-micro-batch
-    streaming where the index was already sized once)."""
+    pass None to force the broadcast unconditionally, or 0 to force the
+    shuffle join — both skip the count (the streaming variant sizes the
+    alert set once up front and passes the decision per micro-batch)."""
     qindex = queries.select(
         "query_id", "msm", F.explode(F.array_distinct("terms")).alias("term")
     )
@@ -57,7 +58,10 @@ def percolate(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
     )
     qside = qindex
-    if broadcast_threshold is None or qindex.count() <= int(broadcast_threshold):
+    if broadcast_threshold is None or (
+        int(broadcast_threshold) > 0
+        and qindex.count() <= int(broadcast_threshold)
+    ):
         qside = F.broadcast(qindex)
     return (
         dterms.join(qside, "term")
@@ -92,11 +96,18 @@ def stream_percolate_availablenow(
     per batch (tiny); on a long-lived stream a changed alert set takes
     effect at the next micro-batch."""
     schema = spark.read.parquet(corpus_path).schema
+    # size the alert index ONCE before the stream starts — per-batch
+    # percolate calls then skip the count job (the alert set only changes
+    # between runs; a restart re-sizes it)
+    n_alerts = queries.select(
+        F.explode(F.array_distinct("terms"))
+    ).count()
+    per_batch_threshold = None if n_alerts <= 1_000_000 else 0
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        percolate(batch_df, queries).write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={epoch_id}"
-        )
+        percolate(
+            batch_df, queries, broadcast_threshold=per_batch_threshold
+        ).write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
