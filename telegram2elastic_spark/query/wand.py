@@ -514,6 +514,7 @@ def wand_topk_batch(
     doc_filter: str | dict[int, str] | None = None,
     min_should_match: dict[int, int] | int | None = None,
     exclude_terms: dict[int, list[str]] | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> DataFrame:
     """Answer a whole query batch in ONE Spark job (the server pattern:
     per-query Spark-job overhead is ~2 s in local mode, ~100x the kernel
@@ -531,7 +532,9 @@ def wand_topk_batch(
     knobs into the batch: hit counts fall out of the shared per-term
     decode cache, and a query's excluded terms reuse the same cache for
     membership — excluded-term blocks are decoded at most once per salt
-    even when several queries exclude them.
+    even when several queries exclude them.  `after` (per-query-id
+    (score, doc_id) cursor dict) pages each query independently —
+    wand_topk's search_after contract, applied per query at reduce time.
 
     Returns (query_id, doc_id, url, score), top-k per query, ordered.
     """
@@ -561,6 +564,7 @@ def wand_topk_batch(
     excl = {
         qid: sorted(set(ts)) for qid, ts in (exclude_terms or {}).items()
     }
+    cursors = dict(after or {})
     all_terms = sorted({t for ts in queries.values() for t in ts})
     idfs, avgdl = _collect_idfs(index, all_terms)
     live = {qid: [t for t in ts if t in idfs] for qid, ts in queries.items()}
@@ -704,6 +708,14 @@ def wand_topk_batch(
                     ex_ids = np.unique(np.concatenate(ex_arrs))
                     keep = ~np.isin(uniq, ex_ids)
                     uniq, sums = uniq[keep], sums[keep]
+            cur = cursors.get(qid)
+            if cur is not None:
+                # search_after: only docs strictly past this query's
+                # cursor (sums are already rounded, matching the global
+                # order — same contract as _score_salt_group(after=))
+                a_s, a_d = float(cur[0]), int(cur[1])
+                keep = (sums < a_s) | ((sums == a_s) & (uniq > a_d))
+                uniq, sums = uniq[keep], sums[keep]
             if uniq.size == 0:
                 continue
             top = min(k, uniq.size)

@@ -364,3 +364,27 @@ def test_search_after_cursor_pagination(spark, sf_dir, index):
     deep = wand_topk_local(index, terms, k=10_000, after=cursor)
     last = deep[-1]
     assert wand_topk_local(index, terms, k=k, after=(last[1], last[0])) == []
+
+
+def test_batch_per_query_cursors(spark, sf_dir, index):
+    """Per-query search_after in the batch: each query pages from its own
+    cursor, equal to the single path; cursorless queries unaffected."""
+    from telegram2elastic_spark.query.wand import wand_topk_batch
+
+    queries = {0: ["the", "data"], 1: ["spark", "merge"], 2: ["dup"]}
+    cursors = {}
+    for qid in (0, 1):
+        p1 = wand_topk(index, queries[qid], k=5).collect()
+        cursors[qid] = (p1[-1]["score"], p1[-1]["doc_id"])
+    batch = wand_topk_batch(index, queries, k=5, after=cursors).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(
+                index, terms, k=5, after=cursors.get(qid)
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want, qid
