@@ -364,6 +364,19 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t)
             es[name] = round(best, 3)
 
+        timed("phrase_batch_4q_sec", lambda: ph.phrase_topk_batch(
+            eidx,
+            {0: ["merge", "batch"], 1: ["the", "fast"],
+             2: ["table", "scan", "merge"], 3: ["data", "row"]},
+            k=10, slop={2: 1}))
+        from telegram2elastic_spark.query import compound as cq
+
+        timed("compound_batch_3q_sec", lambda: cq.compound_topk_batch(
+            eidx,
+            {0: (["spark", "merge"], ["the", "fast"]),
+             1: (["spark"], ["merge", "batch"]),
+             2: ([], ["the", "fast"])},
+            k=10))
         timed("msm_sec", lambda: wand_topk(
             eidx, ["vector", "window", "batch"], k=10, min_should_match=2))
         timed("must_not_sec", lambda: wand_topk(
