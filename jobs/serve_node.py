@@ -102,7 +102,8 @@ def main() -> None:
             )
         if op == "phrase":
             return phrase_topk_local(
-                idx, req["q"].split(), k=k, slop=int(req.get("slop", 0))
+                idx, req["q"].split(), k=k, slop=int(req.get("slop", 0)),
+                doc_filter=req.get("doc_filter"),
             )
         if op == "compound":
             return compound_topk_local(

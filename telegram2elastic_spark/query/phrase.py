@@ -237,17 +237,29 @@ def _phrase_partial_group(
     tombstones: np.ndarray | None = None,
     slop: int = 0,
     decode_cache: dict | None = None,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One salt's blocks -> the rows the global stage needs: the salt's
     top-k matches by the idf-free kernel g (plus the rounding-tie band)
     and one sentinel row (doc_id=-1) carrying the salt's full match count
-    for the exact global df_p (phrase_topk docstring)."""
+    for the exact global df_p (phrase_topk docstring).  `allowed` (ES
+    filter context) restricts the EMITTED matches; the sentinel keeps the
+    pre-filter count — df_p and hence idf stay global, the contract
+    compound.py documents."""
     counts = _phrase_counts_group(
         pdf, phrase, tombstones=tombstones, slop=slop,
         decode_cache=decode_cache,
     )
     n_match = len(counts)
-    if n_match > k:
+    if allowed is not None and n_match:
+        ids = counts["doc_id"].to_numpy(np.int64)
+        if allowed.size:
+            pos = np.searchsorted(allowed, ids)
+            pos[pos >= allowed.size] = 0
+            counts = counts.loc[allowed[pos] == ids]
+        else:
+            counts = counts.iloc[0:0]
+    if len(counts) > k:  # truncate on the post-filter (emittable) rows
         g = _phrase_g(
             counts["phrase_tf"].to_numpy(), counts["dl"].to_numpy(), avgdl
         )
@@ -267,7 +279,11 @@ def _phrase_partial_group(
 
 
 def phrase_topk(
-    index: dict, phrase: list[str], k: int = 10, slop: int = 0
+    index: dict,
+    phrase: list[str],
+    k: int = 10,
+    slop: int = 0,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Top-k docs containing the phrase, BM25-scored as a pseudo-term.
     `slop=0` is exact adjacency ("match_phrase"); `slop=s` allows each
@@ -284,6 +300,11 @@ def phrase_topk(
     more than (2*10^-SCORE_DECIMALS + ROUND_GUARD)/idf_lb rounds
     strictly below k salt-mates and can never reach the global top-k.
 
+    `doc_filter` (SQL predicate over doc_map columns) is ES filter
+    context: emitted matches restricted, df_p (and so the pseudo-term
+    idf) stays global — the compound.py contract; filter ids reach the
+    kernels per-salt via cogroup, never a driver collect.
+
     Requires an index built with positions=True (pos_bytes populated)."""
     from .wand import _collect_idfs
 
@@ -297,17 +318,18 @@ def phrase_topk(
     idf_lb = max(idfs.values())
     band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / idf_lb
     post = _postings_for_terms(index, sorted(set(phrase)))
-    filt = _filters_df(index, None)  # tombstones, delivered per-salt
+    filt = _filters_df(index, doc_filter)  # tombstones + admitted ids
     n, avgdl = index["stats"].select("n_docs", "avgdl").first()
     avgdl = float(avgdl) if avgdl else 1.0
 
     def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
         return _phrase_partial_group(
-            pdf, phrase, k, band, avgdl, tombstones=tomb, slop=slop
+            pdf, phrase, k, band, avgdl, tombstones=tomb, slop=slop,
+            allowed=allowed,
         )
 
     partial = _salt_scored(
-        post, filt, False, kernel,
+        post, filt, doc_filter is not None, kernel,
         "doc_id long, phrase_tf long, dl long, dfp_part long",
     )
     dfp = partial.agg(F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p"))
@@ -506,15 +528,21 @@ def _phrase_weights(
 
 
 def phrase_topk_local(
-    index: dict, phrase: list[str], k: int = 10, slop: int = 0
+    index: dict,
+    phrase: list[str],
+    k: int = 10,
+    slop: int = 0,
+    doc_filter: str | None = None,
 ) -> list[tuple]:
     """Low-latency phrase path: the driver acts as the query node (the
     positional analogue of wand_topk_local) — one pruned fetch of the
     phrase terms' positional blocks (cached across the query stream), then
     the conjunctive-pruned adjacency kernel and scoring run in-process.
+    `doc_filter` follows phrase_topk's filter-context contract (global
+    df_p, filtered hits).
 
     Returns [(doc_id, score), ...] rank-identical to phrase_topk."""
-    from .wand import _tomb_array
+    from .wand import _allowed_ids, _tomb_array
 
     if not phrase:
         return []
@@ -526,12 +554,24 @@ def phrase_topk_local(
     )
     if counts.empty:
         return []
+    df_p = len(counts)  # global (pre-filter) phrase df
+    allowed = _allowed_ids(index, doc_filter)
+    if allowed is not None:
+        ids = counts["doc_id"].to_numpy(np.int64)
+        if allowed.size:
+            pos = np.searchsorted(allowed, ids)
+            pos[pos >= allowed.size] = 0
+            counts = counts.loc[allowed[pos] == ids]
+        else:
+            return []
+        if counts.empty:
+            return []
     if "_stats" not in index:
         n, avgdl = index["stats"].select("n_docs", "avgdl").first()
         index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
     n, avgdl = index["_stats"]
     w = np.round(
-        _phrase_weights(counts, n, avgdl, df_p=len(counts)), SCORE_DECIMALS
+        _phrase_weights(counts, n, avgdl, df_p=df_p), SCORE_DECIMALS
     )
     ids = counts["doc_id"].to_numpy(np.int64)
     sel = np.lexsort((ids, -w))[: min(k, ids.size)]

@@ -309,3 +309,31 @@ def test_phrase_batch_matches_single(spark, sf_dir, pindex):
             ).collect()
         ]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_phrase_doc_filter_matches_compound_phrase_only(spark, sf_dir, pindex):
+    """ES filter context on match_phrase: phrase_topk(doc_filter=) must
+    equal the (already oracle-verified) phrase-only compound under the
+    same filter — global df_p, filtered hits; local path identical."""
+    from telegram2elastic_spark.query.compound import compound_topk
+    from telegram2elastic_spark.query.phrase import phrase_topk_local
+
+    for ph, flt, slop in (
+        (["the", "fast"], "lang = 'en'", 0),
+        (["merge", "batch"], "lang = 'fr'", 1),
+    ):
+        want = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in compound_topk(
+                pindex, [], ph, k=10, doc_filter=flt, slop=slop
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], r["url"], r["score"])
+            for r in phrase_topk(
+                pindex, ph, k=10, doc_filter=flt, slop=slop
+            ).collect()
+        ]
+        assert got == want, (ph, flt)
+        local = phrase_topk_local(pindex, ph, k=10, doc_filter=flt, slop=slop)
+        assert local == [(d, s) for d, _, s in want], (ph, flt)
