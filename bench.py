@@ -460,6 +460,43 @@ def main() -> None:
                 eidx, corpus, ["spark", "merge"], k=10
             ),
         )
+        # Same three ops over the stored-fields store: the doc fetch is a
+        # driver-local pyarrow point read (query/docstore.py), no Spark
+        # job in the loop at all.  doc-cache cleared between reps so the
+        # number includes the point read, not a dict hit.
+        from telegram2elastic_spark.index.build import write_doc_store
+
+        t0 = time.perf_counter()
+        write_doc_store(corpus, es_dir)
+        lsf["doc_store_write_sec"] = round(time.perf_counter() - t0, 3)
+        eidx["_doc_store_dir"] = f"{es_dir}/doc_store"
+
+        def timed_store(name, fn, reps=3):
+            fn()
+            best = float("inf")
+            for _ in range(reps):
+                eidx["_doc_cache"] = {}
+                t = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t)
+            lsf[name] = round(best * 1000, 2)
+
+        timed_store(
+            "more_like_this_store_ms",
+            lambda: lqp.more_like_this_local(eidx, None, 7, k=10),
+        )
+        timed_store(
+            "rescore_store_ms",
+            lambda: lqp.rescore_recency_local(
+                eidx, ["spark", "merge"], k=10, window_size=100
+            ),
+        )
+        timed_store(
+            "highlight_store_ms",
+            lambda: lqp.search_highlight_local(
+                eidx, None, ["spark", "merge"], k=10
+            ),
+        )
         extra["local_surface"] = lsf
 
         spark.stop()

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--doc-parts", type=int, default=32)
     ap.add_argument("--positions", action="store_true",
                     help="store token positions (phrase/slop queries)")
+    ap.add_argument("--doc-store", action="store_true",
+                    help="also write the stored-fields store (doc_store) "
+                         "for driver-local mlt/rescore/highlight serving")
     args = ap.parse_args()
 
     # spark-submit provides master/conf; only fill gaps for bare invocation
@@ -46,7 +49,11 @@ def main() -> None:
     )
 
     from telegram2elastic_spark.corpus import load_corpus
-    from telegram2elastic_spark.index.build import build_index, write_index
+    from telegram2elastic_spark.index.build import (
+        build_index,
+        write_doc_store,
+        write_index,
+    )
 
     if args.from_testdata:
         corpus = load_corpus(spark, args.from_testdata)
@@ -57,6 +64,8 @@ def main() -> None:
     t0 = time.perf_counter()
     idx = build_index(corpus, n_doc_parts=args.doc_parts, positions=args.positions)
     write_index(idx, args.out)
+    if args.doc_store:
+        write_doc_store(corpus, args.out)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "n_docs": n_docs,

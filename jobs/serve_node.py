@@ -24,11 +24,13 @@ Reads one JSON request per stdin line, answers one JSON line per request:
 
 Response: {"op": ..., "hits": [...], "latency_ms": ...}.  After the
 per-cache warm-up fetches (vocabulary, hot term shards, trigram pages),
-the loop runs without Spark jobs except the documented k-row doc-store
-reads (mlt source text, highlight snippets, rescore timestamps) — the
-shape a production query node serves at millisecond latency while the
-executor fan-out paths (wand_topk / phrase_topk / *_batch) remain the
-cold-tier and analytics story.
+the loop runs without Spark jobs: when the index was built with a
+doc_store (build_index_job --doc-store), mlt source text, highlight
+snippets and rescore timestamps are driver-local pyarrow point reads
+(query/docstore.py); without one they fall back to k-row Spark fetches
+from --corpus.  This is the shape a production query node serves at
+millisecond latency while the executor fan-out paths (wand_topk /
+phrase_topk / *_batch) remain the cold-tier and analytics story.
 """
 
 from __future__ import annotations
@@ -133,16 +135,20 @@ def main() -> None:
                 args.trigram, req["q"], k=k, cache=fuzzy_cache
             )
         if op == "mlt":
-            if corpus is None:
-                raise ValueError("mlt needs --corpus")
+            if corpus is None and "_doc_store_dir" not in idx:
+                raise ValueError(
+                    "mlt needs --corpus or an index with doc_store"
+                )
             return lq.more_like_this_local(
                 idx, corpus, int(req["doc_id"]), k=k
             )
         if op == "rescore":
             return lq.rescore_recency_local(idx, req["q"].split(), k=k)
         if op == "highlight":
-            if corpus is None:
-                raise ValueError("highlight needs --corpus")
+            if corpus is None and "_doc_store_dir" not in idx:
+                raise ValueError(
+                    "highlight needs --corpus or an index with doc_store"
+                )
             return lq.search_highlight_local(idx, corpus, req["q"].split(), k=k)
         raise ValueError(f"unknown op {op!r}")
 

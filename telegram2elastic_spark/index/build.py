@@ -377,6 +377,31 @@ def write_index(
         df.unpersist()
 
 
+DOC_STORE_COLS = ["doc_id", "url", "lang", "warc_ts", "text"]
+
+
+def write_doc_store(corpus, out_dir: str, n_files: int = 32) -> None:
+    """Stored-fields companion to the index: the ES `_source` store.
+
+    (doc_id, url, lang, warc_ts, text) range-partitioned and sorted by
+    doc_id, written with small parquet row groups — a driver-local point
+    read (query/docstore.py) then prunes to the row groups holding the
+    requested ids via min/max statistics on the sorted column, the same
+    layout trick as the sorted trigram GIN buckets (query/fuzzy.py).
+    Serves mlt source text, highlight snippets and rescore timestamps at
+    millisecond latency without a Spark job; the reference keeps the
+    analogous copy in ES `_source` (output/elasticsearch.py doc body).
+    """
+    (
+        corpus.select(*DOC_STORE_COLS)
+        .repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .parquet(f"{out_dir}/doc_store")
+    )
+
+
 def read_index(spark, out_dir: str) -> dict:
     import json as _json
     import os as _os
@@ -412,4 +437,13 @@ def read_index(spark, out_dir: str) -> dict:
         )
     except Exception:
         pass
+    # Stored-fields store (write_doc_store) for driver-local doc point
+    # reads; optional — indexes built without it fall back to Spark
+    # doc-store fetches in query/local.py.
+    try:
+        out["doc_store"] = spark.read.parquet(f"{out_dir}/doc_store")
+        out["_doc_store_dir"] = f"{out_dir}/doc_store"
+    except Exception:
+        pass
+    out["_dir"] = out_dir
     return out

@@ -1,0 +1,60 @@
+"""Driver-local doc-store point reads (the ES `_source` GET).
+
+The index's stored-fields companion (index/build.py:write_doc_store) is
+parquet sorted by doc_id with small row groups; fetching k documents is a
+pyarrow filtered read that prunes to the row groups actually holding the
+requested ids — no Spark job, the same serving trick as the sorted
+trigram GIN buckets (query/fuzzy.py:fuzzy_topk_local).  This is the
+driver-as-query-node analogue of the reference serving documents from ES
+`_source` (output/elasticsearch.py doc body) instead of re-reading
+Telegram.
+
+Scale shape: a production query node holds the store on local disk (or
+object storage with range reads); each GET touches O(row_group) bytes,
+independent of corpus size, because the sort on doc_id turns the isin
+filter into a handful of row-group ranges.
+"""
+
+from __future__ import annotations
+
+from ..index.build import DOC_STORE_COLS
+
+
+def fetch_docs_local(
+    store_dir: str, doc_ids, cache: dict | None = None
+) -> dict[int, dict]:
+    """{doc_id: {url, lang, warc_ts, text}} for the requested ids.
+
+    `cache` (typically the index dict's "_doc_cache") keeps previously
+    fetched rows hot across a query stream; a cold id costs one filtered
+    pyarrow read shared by all cold ids in the call.  Ids absent from the
+    store are simply absent from the result (caller's miss policy).
+    """
+    import pyarrow.dataset as ds
+
+    ids = sorted({int(d) for d in doc_ids})
+    out: dict[int, dict] = {}
+    missing = []
+    for d in ids:
+        hit = None if cache is None else cache.get(d)
+        if hit is not None:
+            out[d] = hit
+        else:
+            missing.append(d)
+    if not missing:
+        return out
+    tbl = ds.dataset(store_dir, format="parquet").to_table(
+        columns=DOC_STORE_COLS,
+        filter=ds.field("doc_id").isin(missing),
+    )
+    for row in tbl.to_pylist():
+        d = int(row.pop("doc_id"))
+        out[d] = row
+        if cache is not None:
+            cache[d] = row
+    return out
+
+
+def resolve_doc_store(index: dict, doc_store: str | None) -> str | None:
+    """Explicit path wins; else the store discovered by read_index."""
+    return doc_store if doc_store is not None else index.get("_doc_store_dir")

@@ -9,10 +9,11 @@ suggesters, more_like_this, highlight and rescore.  Expansion becomes a
 driver-side lookup against the cached sorted vocabulary (the analogue of
 the Lucene terms-index FST a query node memory-maps); retrieval reuses
 wand_topk_local's hot-shard postings cache.  Ops that need stored fields
-(MLT source text, highlight snippets, rescore timestamps) issue ONE
-pruned k-row Spark fetch — the doc-store point-read a real deployment
-serves from its document service; everything else runs without any Spark
-job once warm.
+(MLT source text, highlight snippets, rescore timestamps) do a k-row
+doc-store point read: a driver-local pyarrow read of the sorted
+stored-fields store when the index has one (query/docstore.py — no Spark
+job at all), else one pruned k-row Spark fetch; everything else runs
+without any Spark job once warm.
 
 Memory honesty: the vocab cache holds (term, df, cf) for the whole
 vocabulary.  Heaps' law puts web-scale vocabulary at ~10^8 terms (a few
@@ -241,23 +242,55 @@ def multi_match_topk_local(
     return list(res.itertuples(index=False, name=None))
 
 
+def _doc_rows(
+    index: dict,
+    corpus: DataFrame | None,
+    doc_ids: list[int],
+    cols: list[str],
+    doc_store: str | None,
+) -> dict[int, tuple]:
+    """{doc_id: (cols...)} — the k-row doc-store point read.  Preferred
+    path: driver-local pyarrow read of the sorted stored-fields store
+    (query/docstore.py — no Spark job); fallback: a pruned Spark fetch
+    from the corpus DataFrame (indexes built without write_doc_store)."""
+    from .docstore import fetch_docs_local, resolve_doc_store
+
+    store = resolve_doc_store(index, doc_store)
+    if store is not None:
+        rows = fetch_docs_local(
+            store, doc_ids, cache=index.setdefault("_doc_cache", {})
+        )
+        return {d: tuple(r[c] for c in cols) for d, r in rows.items()}
+    if corpus is None:
+        raise ValueError(
+            "no doc_store on this index and no corpus DataFrame given"
+        )
+    return {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in corpus.filter(F.col("doc_id").isin(doc_ids))
+        .select("doc_id", *cols)
+        .collect()
+    }
+
+
 def more_like_this_local(
     index: dict,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     doc_id: int,
     k: int = 10,
     max_query_terms: int = MAX_QUERY_TERMS,
     min_term_freq: int = 1,
     min_doc_freq: int = 2,
+    doc_store: str | None = None,
 ) -> list[tuple]:
-    """[(doc_id, score)] — rank-identical to mlt.more_like_this.  One
-    pruned Spark fetch for the source doc's text (the doc-store read);
+    """[(doc_id, score)] — rank-identical to mlt.more_like_this.  The
+    source doc's text comes from the doc-store point read (_doc_rows);
     term selection runs against the cached vocab, retrieval against the
     hot-shard postings cache."""
-    row = corpus.filter(F.col("doc_id") == int(doc_id)).select("text").first()
-    if row is None:
+    rows = _doc_rows(index, corpus, [int(doc_id)], ["text"], doc_store)
+    if int(doc_id) not in rows:
         return []
-    tf = Counter(py_tokenize(row["text"]))
+    tf = Counter(py_tokenize(rows[int(doc_id)][0]))
     cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
     if not cand:
         return []
@@ -291,21 +324,28 @@ def rescore_recency_local(
     window_size: int = 100,
     origin: str = "2022-01-01 00:00:00",
     scale_sec: int = 86400,
+    doc_store: str | None = None,
 ) -> list[tuple]:
     """[(doc_id, url, score, rescored)] — mlt.rescore_recency served
-    locally: base ranking in-process, ONE pruned doc_map fetch for the
-    window's (url, warc_ts)."""
+    locally: base ranking in-process, one doc-store point read for the
+    window's (url, warc_ts) — pyarrow when the index carries a store,
+    else a pruned doc_map Spark fetch."""
     window = wand_topk_local(index, terms, k=window_size)
     if not window:
         return []
     ids = [int(d) for d, _ in window]
-    attrs = {
-        r["doc_id"]: (r["url"], r["warc_ts"])
-        for r in index["doc_map"]
-        .filter(F.col("doc_id").isin(ids))
-        .select("doc_id", "url", "warc_ts")
-        .collect()
-    }
+    from .docstore import resolve_doc_store
+
+    if resolve_doc_store(index, doc_store) is not None:
+        attrs = _doc_rows(index, None, ids, ["url", "warc_ts"], doc_store)
+    else:
+        attrs = {
+            r["doc_id"]: (r["url"], r["warc_ts"])
+            for r in index["doc_map"]
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "url", "warc_ts")
+            .collect()
+        }
     from datetime import datetime, timezone
 
     o = datetime.strptime(origin, "%Y-%m-%d %H:%M:%S").replace(
@@ -325,27 +365,24 @@ def rescore_recency_local(
 
 def search_highlight_local(
     index: dict,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     terms: list[str],
     k: int = 10,
     window: int = 30,
     length: int = 160,
+    doc_store: str | None = None,
 ) -> list[tuple]:
     """[(doc_id, url, score, snippet)] — highlight.search_highlight
-    served locally: WAND ranking in-process, ONE pruned k-row corpus
-    fetch, snippets built with the same contract (first-anchor window,
-    case-insensitive <em> wrap, original casing kept)."""
+    served locally: WAND ranking in-process, one k-row doc-store point
+    read (pyarrow store or pruned corpus Spark fetch), snippets built
+    with the same contract (first-anchor window, case-insensitive <em>
+    wrap, original casing kept)."""
     uniq = sorted({t.lower() for t in terms})
     top = wand_topk_local(index, terms, k=k)
     if not top:
         return []
     ids = [int(d) for d, _ in top]
-    texts = {
-        r["doc_id"]: (r["url"], r["text"])
-        for r in corpus.filter(F.col("doc_id").isin(ids))
-        .select("doc_id", "url", "text")
-        .collect()
-    }
+    texts = _doc_rows(index, corpus, ids, ["url", "text"], doc_store)
     rx = re.compile("(?i)(" + "|".join(re.escape(t) for t in uniq) + ")")
     out = []
     for d, s in top:

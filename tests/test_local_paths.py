@@ -133,3 +133,105 @@ def test_multi_match_local_matches_spark(spark, sf_dir):
     assert got == want
     # repeated query: served from the per-field hot-shard caches
     assert lq.multi_match_topk_local(fidx, w, ["spark", "page"], k=10) == want
+
+
+# ---------------------------------------------------------------------------
+# Doc-store point reads: the pyarrow-backed stored-fields path must be
+# row-identical to the Spark-fetch fallback (and to the Spark-path twins).
+
+
+@pytest.fixture(scope="module")
+def stored_index(spark, sf_dir, tmp_path_factory):
+    """Index written to disk WITH the stored-fields store, then re-read —
+    the shape a serving node loads (read_index discovers doc_store)."""
+    from telegram2elastic_spark.index.build import (
+        read_index,
+        write_doc_store,
+        write_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    d = str(tmp_path_factory.mktemp("dsidx"))
+    write_index(build_index(corpus, n_doc_parts=4), d)
+    write_doc_store(corpus, d, n_files=4)
+    return read_index(spark, d)
+
+
+def test_read_index_discovers_doc_store(stored_index):
+    assert "_doc_store_dir" in stored_index
+    assert "doc_store" in stored_index
+    assert stored_index["_doc_store_dir"].endswith("/doc_store")
+
+
+def test_fetch_docs_local_matches_corpus(spark, sf_dir, stored_index):
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+
+    corpus = load_corpus(spark, sf_dir)
+    ids = [0, 7, 31, 999_999_999]  # last one absent
+    rows = fetch_docs_local(stored_index["_doc_store_dir"], ids)
+    want = {
+        r["doc_id"]: (r["url"], r["lang"], r["text"])
+        for r in corpus.filter(corpus.doc_id.isin(ids)).collect()
+    }
+    assert set(rows) == set(want)
+    for d, (url, lang, text) in want.items():
+        assert (rows[d]["url"], rows[d]["lang"], rows[d]["text"]) == (
+            url, lang, text
+        )
+
+
+def test_fetch_docs_local_cache_hits(stored_index):
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+
+    cache: dict = {}
+    first = fetch_docs_local(stored_index["_doc_store_dir"], [3, 5], cache)
+    assert set(cache) == {3, 5}
+    # poison the store path: cached ids must not touch the dataset again
+    again = fetch_docs_local("/nonexistent/doc_store", [3, 5], cache)
+    assert again == first
+
+
+def test_mlt_local_doc_store_matches_spark_fetch(spark, sf_dir, stored_index):
+    corpus = load_corpus(spark, sf_dir)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in ml.more_like_this(stored_index, corpus, 7, k=10).collect()
+    ]
+    # no corpus DataFrame at all: the store serves the source text
+    assert lq.more_like_this_local(stored_index, None, 7, k=10) == want
+    # absent doc id -> empty, not a crash
+    assert lq.more_like_this_local(stored_index, None, 999_999_999, k=10) == []
+
+
+def test_rescore_local_doc_store_matches_spark_fetch(stored_index):
+    want = [
+        (r["doc_id"], r["url"], r["score"], r["rescored"])
+        for r in ml.rescore_recency(
+            stored_index, ["spark", "merge"], k=10, window_size=50
+        ).collect()
+    ]
+    got = lq.rescore_recency_local(
+        stored_index, ["spark", "merge"], k=10, window_size=50
+    )
+    assert got == want
+
+
+def test_highlight_local_doc_store_matches_spark_fetch(
+    spark, sf_dir, stored_index
+):
+    corpus = load_corpus(spark, sf_dir)
+    want = [
+        (r["doc_id"], r["url"], r["score"], r["snippet"])
+        for r in hl.search_highlight(
+            corpus, ["spark", "merge"], k=10, index=stored_index
+        ).collect()
+    ]
+    got = lq.search_highlight_local(
+        stored_index, None, ["spark", "merge"], k=10
+    )
+    assert got == want
+
+
+def test_doc_rows_requires_store_or_corpus(lindex):
+    with pytest.raises(ValueError):
+        lq._doc_rows(lindex, None, [1], ["text"], None)
