@@ -114,6 +114,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4): ES composite aggregation — bucket pagination by
+        # after-key (page 1 + a page resumed from a cursor); the cursor
+        # is a key predicate pushed beneath the aggregate, not an offset
+        "facets_composite": lambda spark, sf: facets.facets_composite(
+            load_corpus(spark, sf), size=10
+        ),
+        "facets_composite_after": lambda spark, sf: facets.facets_composite(
+            load_corpus(spark, sf), size=10, after=("en", "src3")
+        ),
+        # NEW (r4): ES percentiles metric agg — exact interpolated per-lang
+        # doc-length percentiles (approx twin: percentile_approx t-digest)
+        "agg_percentiles": lambda spark, sf: agg.agg_percentiles(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4): ES cardinality agg as a deterministic KMV sketch —
+        # md5-derived k-minimum-values, identical estimate in both engines
+        "agg_cardinality": lambda spark, sf: agg.agg_cardinality_kmv(
+            load_corpus(spark, sf)
+        ),
         # ES collapse, now served from the compressed index (per-salt
         # per-host partial bests; corpus never re-tokenized at query time)
         "search_collapse": lambda spark, sf: collapse.search_collapse(
@@ -507,6 +526,12 @@ FROM corpus ORDER BY doc_id
         "compound_slop_topk": compound.compound_topk_sql(
             ["spark"], ["merge", "batch"], k=10, slop=1
         ),
+        "facets_composite": facets.facets_composite_sql(size=10),
+        "facets_composite_after": facets.facets_composite_sql(
+            size=10, after=("en", "src3")
+        ),
+        "agg_percentiles": agg.AGG_PERCENTILES_SQL,
+        "agg_cardinality": agg.agg_cardinality_kmv_sql(),
         "search_facets": facets.search_facets_sql(q="merge", min_score=10.0),
         "significant_terms": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15

@@ -242,3 +242,91 @@ FROM corpus
 GROUP BY ROLLUP (strftime(warc_ts, '%Y-%m-%d'), lang)
 ORDER BY day, lang
 """
+
+
+def agg_percentiles(corpus: DataFrame) -> DataFrame:
+    """ES `percentiles` metric aggregation: per-lang p50/p95/p99 of
+    document length (reference dashboards chart message-size
+    distributions from ES aggs, README.md:5).  Exact interpolated
+    percentiles via the built-in `percentile` expression — one hash
+    aggregate with map-side partial sketches (Spark accumulates per-group
+    digests, no per-group sort materialization), identical linear
+    interpolation to ANSI percentile_cont.  At ES-scale the approximate
+    twin is percentile_approx (t-digest, same plan shape); the exact form
+    is registered so the DuckDB oracle pins values."""
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        corpus.groupBy("lang")
+        .agg(pct.alias("p"))
+        .select(
+            "lang",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p95"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5),  4) AS p50,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+KMV_K = 32
+
+
+def agg_cardinality_kmv(corpus: DataFrame, k: int = KMV_K) -> DataFrame:
+    """ES `cardinality` aggregation as a deterministic KMV (k-minimum-
+    values) sketch: distinct-text estimate = (k-1) / h_(k), where h_(k)
+    is the k-th smallest distinct md5-derived hash normalized to [0,1).
+    md5 is computed identically by Spark and DuckDB, so the oracle pins
+    the exact estimate — the determinism trick that makes an
+    approximate-cardinality operator driver-gateable (ES's HLL++ sketch
+    has the same shape: tiny fixed-size state merged associatively).
+
+    Scale shape: the map side keeps only hashes (distinct collapses in
+    the partial aggregate); the k smallest survive via TakeOrdered — the
+    shuffle carries O(k) rows per partition, never the distinct set.  At
+    10^12 docs a static hash-threshold pre-filter (keep h < k*16^8/N_lo)
+    drops virtually all rows before the shuffle."""
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    kth = (
+        corpus.select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n"))
+    )
+    space = float(16 ** 8)
+    return kth.select(
+        F.lit(int(k)).alias("k"),
+        F.col("kth").alias("kth_hash"),
+        F.when(
+            F.col("n") < int(k), F.col("n").cast("double")
+        ).otherwise(
+            F.round((int(k) - 1) * space / F.col("kth"), 2)
+        ).alias("est_distinct"),
+    )
+
+
+def agg_cardinality_kmv_sql(k: int = KMV_K) -> str:
+    return f"""
+WITH h AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+  FROM documents
+),
+kmin AS (SELECT h FROM h ORDER BY h LIMIT {k}),
+agg AS (SELECT max(h) AS kth, count(*) AS n FROM kmin)
+SELECT {k} AS k,
+       kth AS kth_hash,
+       CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+            ELSE round(({k} - 1) * 4294967296.0 / kth, 2) END AS est_distinct
+FROM agg
+"""

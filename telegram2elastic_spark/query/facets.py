@@ -164,3 +164,62 @@ CROSS JOIN fg_n CROSS JOIN bg_n
 ORDER BY jlh DESC, fg.term ASC
 LIMIT {k}
 """
+
+
+def facets_composite(
+    corpus: DataFrame,
+    size: int = 10,
+    after: tuple[str, str] | None = None,
+    q: str | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """ES `composite` aggregation: page through ALL (lang, source) buckets
+    in key order, `size` at a time, resuming from the `after` key — the
+    scalable alternative to a deep `terms` agg (ES caps terms buckets;
+    composite streams them).  The page's last row is the next `after`.
+
+    Scale shape: one hash aggregate (map-side partial) over the filtered
+    set; the after-cursor is a KEY predicate, not an offset — pushed
+    beneath the aggregate to the scan (lang > a OR (lang = a AND ...)),
+    so page N costs the same as page 1 and a lang-partitioned layout
+    prunes whole partitions.  No Window, no global sort: TakeOrdered on
+    (lang, source) emits `size` rows."""
+    df = search_filtered(corpus, q, min_score)
+    if after is not None:
+        a_lang, a_source = after
+        df = df.filter(
+            (F.col("lang") > a_lang)
+            | ((F.col("lang") == a_lang) & (F.col("source") > a_source))
+        )
+    return (
+        df.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "source")
+        .limit(int(size))
+    )
+
+
+def facets_composite_sql(
+    size: int = 10,
+    after: tuple[str, str] | None = None,
+    q: str | None = None,
+    min_score: float | None = None,
+) -> str:
+    where = _filters_sql(q, min_score, None)
+    cursor = ""
+    if after is not None:
+        a_lang, a_source = after
+        cursor = (
+            f" AND (lang > '{a_lang}' OR "
+            f"(lang = '{a_lang}' AND source > '{a_source}'))"
+        )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+fset AS (SELECT * FROM scored WHERE {where}{cursor})
+SELECT lang, source, count(*) AS cnt
+FROM fset
+GROUP BY lang, source
+ORDER BY lang, source
+LIMIT {size}
+"""

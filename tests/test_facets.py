@@ -81,3 +81,85 @@ def test_significant_terms_index_backed_matches(spark, duck, sf_dir):
     assert_same(
         facets.significant_terms(corpus, q="merge", k=15, index=idx), want
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite aggregation (bucket pagination by after-key)
+
+
+def test_composite_pages_cover_the_full_bucket_stream(spark, sf_dir):
+    """Paging with after-cursors reproduces the one-shot bucket order:
+    page1 + page2(after=page1[-1]) == first 2*size buckets."""
+    corpus = load_corpus(spark, sf_dir)
+    all20 = [
+        tuple(r) for r in facets.facets_composite(corpus, size=20).collect()
+    ]
+    p1 = [tuple(r) for r in facets.facets_composite(corpus, size=10).collect()]
+    cursor = (p1[-1][0], p1[-1][1])
+    p2 = [
+        tuple(r)
+        for r in facets.facets_composite(corpus, size=10, after=cursor).collect()
+    ]
+    assert p1 + p2 == all20
+
+
+def test_composite_matches_oracle(spark, duck, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    want = duck.execute(facets.facets_composite_sql(size=10)).df()
+    assert_same(facets.facets_composite(corpus, size=10), want)
+
+
+def test_composite_after_is_a_pushed_key_predicate(spark, sf_dir):
+    """The cursor must reach the parquet scan as a pushed filter (page N
+    cost == page 1 cost), not survive as a post-aggregation offset."""
+    corpus = load_corpus(spark, sf_dir)
+    plan = facets.facets_composite(
+        corpus, size=10, after=("en", "src3")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # the lang bound appears among the pushed filters, not only post-scan
+    assert "GreaterThan(lang,en)" in plan or "lang" in plan.split(
+        "PushedFilters"
+    )[1][:400]
+
+
+# ---------------------------------------------------------------------------
+# Metric aggs: percentiles + KMV cardinality
+
+
+def test_percentiles_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    corpus = load_corpus(spark, sf_dir)
+    from telegram2elastic_spark.operators import aggregates as agg
+
+    rows = {r["lang"]: r for r in agg.agg_percentiles(corpus).collect()}
+    pdf = corpus.select("lang", "n_chars").toPandas()
+    for lang, g in pdf.groupby("lang"):
+        want = np.percentile(g["n_chars"].to_numpy(), [50, 95, 99])
+        got = rows[lang]
+        assert abs(got["p50"] - round(float(want[0]), 4)) < 1e-9
+        assert abs(got["p95"] - round(float(want[1]), 4)) < 1e-9
+        assert abs(got["p99"] - round(float(want[2]), 4)) < 1e-9
+
+
+def test_cardinality_kmv_estimates_distinct_texts(spark, sf_dir):
+    from telegram2elastic_spark.operators import aggregates as agg
+
+    corpus = load_corpus(spark, sf_dir)
+    exact = corpus.select("text").distinct().count()
+    row = agg.agg_cardinality_kmv(corpus, k=32).collect()[0]
+    # KMV with k=32 has ~1/sqrt(k-2) ~ 18% relative error; allow 3 sigma
+    assert row["est_distinct"] == pytest.approx(exact, rel=0.55)
+    assert row["k"] == 32
+
+
+def test_cardinality_kmv_small_set_is_exact(spark):
+    from telegram2elastic_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [(i, f"text-{i % 5}") for i in range(40)], "doc_id long, text string"
+    )
+    row = agg.agg_cardinality_kmv(df, k=32).collect()[0]
+    # fewer distinct hashes than k: the sketch degrades to the exact count
+    assert row["est_distinct"] == 5.0
