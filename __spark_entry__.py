@@ -133,6 +133,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": lambda spark, sf: agg.agg_cardinality_kmv(
             load_corpus(spark, sf)
         ),
+        # NEW (r4): product quantization — per-subspace trained codebooks
+        # (deterministic Lloyd's), integer-unit encodes, and ADC top-k
+        # scoring over the codes table (the FAISS IVFADC inner loop)
+        "sim_pq_encode": lambda spark, sf: sim.pq_encode(
+            load_embeddings(spark, sf)
+        ),
+        "sim_pq_adc_topk": lambda spark, sf: sim.pq_adc_topk(
+            load_embeddings(spark, sf), query_vec_id=7, k=10
+        ),
         # ES collapse, now served from the compressed index (per-salt
         # per-host partial bests; corpus never re-tokenized at query time)
         "search_collapse": lambda spark, sf: collapse.search_collapse(
@@ -532,6 +541,8 @@ FROM corpus ORDER BY doc_id
         ),
         "agg_percentiles": agg.AGG_PERCENTILES_SQL,
         "agg_cardinality": agg.agg_cardinality_kmv_sql(),
+        "sim_pq_encode": sim.pq_encode_sql(),
+        "sim_pq_adc_topk": sim.pq_adc_topk_sql(query_vec_id=7, k=10),
         "search_facets": facets.search_facets_sql(q="merge", min_score=10.0),
         "significant_terms": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15

@@ -472,3 +472,309 @@ SELECT b.bucket,
 FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
 GROUP BY b.bucket ORDER BY b.bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN scoring.
+
+PQ_M = 16       # subspaces (64-dim corpus -> 4-dim subvectors)
+PQ_KSUB = 16    # centroids per subspace codebook
+PQ_ITERS = 2    # Lloyd's iterations per codebook
+PQ_UNITS = 100_000  # squared-distance fixed-point scale (5 decimals)
+
+
+def _pq_subs(embeddings: DataFrame, m: int, dim: int) -> DataFrame:
+    """(vec_id, sub, sv): each vector split into m contiguous subvectors —
+    a narrow map (slice), no shuffle."""
+    ds = dim // m
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    parts = [
+        e.select(
+            "vec_id",
+            F.lit(j).alias("sub"),
+            F.slice("v", j * ds + 1, ds).alias("sv"),
+        )
+        for j in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(sub, cid, cv): one trained k-means codebook per subspace — the PQ
+    codebook table (<= m*ksub rows; FAISS's `pq.centroids`).  Same
+    deterministic Lloyd's trajectory as kmeans_centroids per subspace
+    (seeds = ksub lowest vec_ids' subvectors, every distance/mean
+    rounded), but ALL m subspaces train in the same jobs: the centroid
+    table is keyed (sub, cid), assignment is one broadcast join + min_by
+    per (vec_id, sub), means one groupBy (sub, cid, pos) — one Spark job
+    per iteration instead of m.  State is m*ksub*(dim/m) = dim*ksub
+    doubles — driver-size, broadcast to every encode/score pass.  (A
+    subspace cluster left empty by an iteration drops out, exactly like
+    the unrolled SQL oracle.)"""
+    subs = _pq_subs(embeddings, m, dim)
+    seed_ids = [
+        r["vec_id"]
+        for r in embeddings.select("vec_id")
+        .orderBy("vec_id")
+        .limit(int(ksub))
+        .collect()
+    ]
+    cents = subs.filter(F.col("vec_id").isin(seed_ids)).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    spark = embeddings.sparkSession
+    for _ in range(iters):
+        assign = (
+            subs.join(F.broadcast(cents), "sub")
+            .withColumn(
+                "dist",
+                F.round(_l2sq(F.col("sv"), F.col("cv")), KMEANS_DECIMALS),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(
+                    F.struct("dist", "cid", "sv"), F.struct("dist", "cid")
+                ).alias("b")
+            )
+            .select("sub", F.col("b.cid").alias("cid"), F.col("b.sv").alias("sv"))
+        )
+        means = (
+            assign.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.round(F.avg("x"), KMEANS_DECIMALS).alias("m"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        # centroid state is m*ksub*(dim/m) doubles — materialize driver-
+        # side so the next iteration broadcasts a literal table instead
+        # of growing one unbounded lineage chain (same trick as
+        # kmeans_centroids)
+        rows = means.collect()
+        cents = spark.createDataFrame(
+            [(r["sub"], r["cid"], r["cv"]) for r in rows],
+            "sub int, cid long, cv array<double>",
+        )
+    return cents
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, sub, cid, units): PQ encoding — each subvector mapped to
+    its nearest codebook centroid (squared L2 in integer units: exact,
+    no float accumulation).  One broadcast join against the m*ksub
+    codebook + a min_by partial aggregate per (vec_id, sub): the same
+    map-side argmin shape as ivf_assign, m rows per vector, and at 10^12
+    vectors the codes table (m bytes/vector at ksub<=256) is the
+    compressed index ADC scans instead of raw embeddings."""
+    subs = _pq_subs(embeddings, m, dim)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m, ksub, iters, dim)
+    )
+    d = subs.join(F.broadcast(cb), "sub").withColumn(
+        "units",
+        F.round(_l2sq(F.col("sv"), F.col("cv")) * PQ_UNITS).cast("bigint"),
+    )
+    best = F.min_by(F.struct("units", "cid"), F.struct("units", "cid"))
+    return (
+        d.groupBy("vec_id", "sub")
+        .agg(best.alias("b"))
+        .select(
+            "vec_id", "sub",
+            F.col("b.cid").alias("cid"),
+            F.col("b.units").alias("units"),
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(vec_id, codes): the per-vector PQ code word as a comma-joined
+    string (sub order), scalar-hashable by the driver gate."""
+    return (
+        pq_codes(embeddings, m, ksub, iters, dim)
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                    lambda s: s["cid"].cast("string"),
+                ),
+                ",",
+            ).alias("codes")
+        )
+        .orderBy("vec_id")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Asymmetric distance computation: approximate L2 of every corpus
+    vector to the query = sum over subspaces of the query-to-centroid
+    distance for the vector's code.  The m*ksub lookup table is built
+    from the broadcast query subvectors; scoring joins the codes table to
+    the broadcast table on (sub, cid) and sums INTEGER units per vec_id —
+    a map-side partial sum (no float order-of-addition nondeterminism),
+    then TakeOrdered k.  The corpus-sized input is the codes table, never
+    raw embeddings: at scale this is the FAISS IVFADC inner loop as a
+    broadcast-join + partial agg."""
+    cb = pq_codebooks(embeddings, m, ksub, iters, dim)
+    codes = pq_codes(embeddings, m, ksub, iters, dim, codebooks=cb)
+    qsubs = _pq_subs(
+        embeddings.filter(F.col("vec_id") == int(query_vec_id)), m, dim
+    ).select("sub", F.col("sv").alias("qv"))
+    table = cb.join(F.broadcast(qsubs), "sub").select(
+        "sub", "cid",
+        F.round(_l2sq(F.col("qv"), F.col("cv")) * PQ_UNITS)
+        .cast("bigint").alias("qunits"),
+    )
+    return (
+        codes.join(F.broadcast(table), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qunits").alias("u"))
+        .filter(F.col("vec_id") != int(query_vec_id))
+        .select(
+            "vec_id",
+            F.round(F.col("u") / float(PQ_UNITS), 5).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+def _pq_sql_ctes(m: int, ksub: int, iters: int, dim: int) -> str:
+    """Per-subspace unrolled Lloyd's CTEs + the sliced-subvector views.
+    Mirrors _kmeans_sql_ctes with a `s{j}` prefix and a list-slice source."""
+    ds = dim // m
+    out = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    slices = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, v[{j * ds + 1}:{(j + 1) * ds}] AS sv FROM e"
+        for j in range(m)
+    )
+    out.append(f"subs AS ({slices})")
+    for j in range(m):
+        p = f"s{j}"
+        out.append(f"""{p}c0 AS (
+  SELECT vec_id AS cid, v[{j * ds + 1}:{(j + 1) * ds}] AS cv
+  FROM e ORDER BY vec_id LIMIT {ksub}
+)""")
+        for i in range(iters):
+            out.append(f"""{p}d{i} AS (
+  SELECT s.vec_id, s.sv, c.cid,
+         round(list_distance(s.sv, c.cv) * list_distance(s.sv, c.cv),
+               {KMEANS_DECIMALS}) AS dist
+  FROM subs s CROSS JOIN {p}c{i} c WHERE s.sub = {j}
+),
+{p}a{i} AS (
+  SELECT vec_id, sv, cid FROM (
+    SELECT vec_id, sv, cid, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM {p}d{i}
+  ) WHERE rn = 1
+),
+{p}m{i} AS (
+  SELECT cid, pos, round(avg(x), {KMEANS_DECIMALS}) AS m
+  FROM (SELECT cid, unnest(sv) AS x,
+               unnest(range(1, len(sv) + 1)) AS pos
+        FROM {p}a{i})
+  GROUP BY cid, pos
+),
+{p}c{i + 1} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM {p}m{i} GROUP BY cid
+)""")
+    cb = " UNION ALL ".join(
+        f"SELECT {j} AS sub, cid, cv FROM s{j}c{iters}" for j in range(m)
+    )
+    out.append(f"cb AS ({cb})")
+    out.append(f"""codes AS (
+  SELECT vec_id, sub, cid, units FROM (
+    SELECT s.vec_id, s.sub, c.cid,
+           CAST(round(list_distance(s.sv, c.cv) * list_distance(s.sv, c.cv)
+                      * {PQ_UNITS}) AS BIGINT) AS units,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.sub
+               ORDER BY CAST(round(list_distance(s.sv, c.cv)
+                             * list_distance(s.sv, c.cv)
+                             * {PQ_UNITS}) AS BIGINT) ASC, c.cid ASC) AS rn
+    FROM subs s JOIN cb c USING (sub)
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(out)
+
+
+def pq_encode_sql(
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> str:
+    return f"""
+WITH {_pq_sql_ctes(m, ksub, iters, dim)}
+SELECT vec_id,
+       array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',') AS codes
+FROM codes GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def pq_adc_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> str:
+    return f"""
+WITH {_pq_sql_ctes(m, ksub, iters, dim)},
+qtab AS (
+  SELECT c.sub, c.cid,
+         CAST(round(list_distance(s.sv, c.cv) * list_distance(s.sv, c.cv)
+                    * {PQ_UNITS}) AS BIGINT) AS qunits
+  FROM cb c JOIN subs s USING (sub)
+  WHERE s.vec_id = {query_vec_id}
+)
+SELECT c.vec_id,
+       round(SUM(t.qunits) / {PQ_UNITS}.0, 5) AS adc_dist
+FROM codes c JOIN qtab t USING (sub, cid)
+WHERE c.vec_id != {query_vec_id}
+GROUP BY c.vec_id
+ORDER BY adc_dist ASC, c.vec_id ASC
+LIMIT {k}
+"""

@@ -113,3 +113,73 @@ def test_kmeans_improves_or_matches_seed_quantizer(spark, sf_dir):
     d0 = sim.ivf_assign(emb, centroids=seeds).agg(F.avg("dist")).first()[0]
     d3 = sim.ivf_assign(emb, centroids=trained).agg(F.avg("dist")).first()[0]
     assert d3 <= d0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC)
+
+
+def test_pq_encode_matches_oracle(spark, duck, sf_dir):
+    got = sim.pq_encode(load_embeddings(spark, sf_dir))
+    assert_same(got, duck.execute(sim.pq_encode_sql()).df())
+
+
+def test_pq_adc_matches_oracle(spark, duck, sf_dir):
+    got = sim.pq_adc_topk(load_embeddings(spark, sf_dir), query_vec_id=7, k=10)
+    assert_same(got, duck.execute(sim.pq_adc_topk_sql(7, k=10)).df())
+
+
+def test_pq_codebook_shape_and_code_range(spark, sf_dir):
+    emb = load_embeddings(spark, sf_dir)
+    cb = sim.pq_codebooks(emb).collect()
+    # every subspace keeps a codebook; a cluster emptied by an iteration
+    # may drop (matching the SQL oracle), never exceed ksub
+    per_sub: dict[int, int] = {}
+    for r in cb:
+        per_sub[r["sub"]] = per_sub.get(r["sub"], 0) + 1
+        assert len(r["cv"]) == sim.EMB_DIM // sim.PQ_M
+    assert set(per_sub) == set(range(sim.PQ_M))
+    assert all(1 <= c <= sim.PQ_KSUB for c in per_sub.values())
+    codes = sim.pq_codes(emb).collect()
+    n = emb.count()
+    assert len(codes) == n * sim.PQ_M
+    valid = {(r["sub"], r["cid"]) for r in cb}
+    assert all((r["sub"], r["cid"]) in valid for r in codes)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """ADC is an approximation: its top-10 must overlap the exact
+    squared-L2 top-10 (deterministic corpus, fixed codebook params)."""
+    from pyspark.sql import functions as F
+
+    emb = load_embeddings(spark, sf_dir)
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv"))
+    exact = [
+        r["vec_id"]
+        for r in e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 7)
+        .select("vec_id", sim._l2sq(F.col("v"), F.col("qv")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    adc = [
+        r["vec_id"]
+        for r in sim.pq_adc_topk(emb, query_vec_id=7, k=10).collect()
+    ]
+    assert len(set(adc) & set(exact)) >= 3
+
+
+def test_pq_scoring_plan_broadcasts_table_no_window(spark, sf_dir):
+    """ADC scoring must be a broadcast join on (sub, cid) + hash
+    aggregate — no Window, no sort-merge join against the codes table."""
+    df = sim.pq_adc_topk(load_embeddings(spark, sf_dir), query_vec_id=7, k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
