@@ -468,7 +468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_events(spark, sf)
         ),
     }
-    return {**block_a, **block_b, **block_c, **block_d}
+    # Merge order = sample priority: A (code new/changed this round,
+    # includes the never-rowed round-4 additions) then C (every-round
+    # headliners) then B (rotation pool — entries past the 50-row window
+    # edge stay covered by the full parity sweep) then D.
+    return {**block_a, **block_c, **block_b, **block_d}
 
 
 def oracle_sql() -> dict[str, str]:
