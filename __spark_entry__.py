@@ -142,6 +142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_adc_topk": lambda spark, sf: sim.pq_adc_topk(
             load_embeddings(spark, sf), query_vec_id=7, k=10
         ),
+        # NEW (r4): IVF-PQ — coarse-list probe prunes the codes index
+        # (partition pruning once written partitionBy(coarse_cid)), ADC
+        # scores only probed lists (the FAISS IVFADC search path)
+        "sim_ivfpq_topk": lambda spark, sf: sim.ivfpq_topk(
+            load_embeddings(spark, sf), query_vec_id=7, k=5, nprobe=2
+        ),
         # ES collapse, now served from the compressed index (per-salt
         # per-host partial bests; corpus never re-tokenized at query time)
         "search_collapse": lambda spark, sf: collapse.search_collapse(
@@ -547,6 +553,7 @@ FROM corpus ORDER BY doc_id
         "agg_cardinality": agg.agg_cardinality_kmv_sql(),
         "sim_pq_encode": sim.pq_encode_sql(),
         "sim_pq_adc_topk": sim.pq_adc_topk_sql(query_vec_id=7, k=10),
+        "sim_ivfpq_topk": sim.ivfpq_topk_sql(query_vec_id=7, k=5, nprobe=2),
         "search_facets": facets.search_facets_sql(q="merge", min_score=10.0),
         "significant_terms": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15

@@ -778,3 +778,136 @@ GROUP BY c.vec_id
 ORDER BY adc_dist ASC, c.vec_id ASC
 LIMIT {k}
 """
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """(coarse_cid, vec_id, sub, cid, units): the IVF-PQ index — PQ codes
+    tagged with their coarse inverted list.  The vec_id join happens ONCE
+    at build time; written `partitionBy(coarse_cid)`, a query's nprobe
+    restriction becomes partition pruning on the scan, so query-time work
+    is probed-lists-only with no shuffle before the score aggregate (the
+    FAISS IVFADC storage layout)."""
+    codes = pq_codes(embeddings, m, ksub, iters, dim, codebooks=codebooks)
+    assign = ivf_assign(embeddings).select(
+        "vec_id", F.col("cid").alias("coarse_cid")
+    )
+    return codes.join(assign, "vec_id").select(
+        "coarse_cid", "vec_id", "sub", "cid", "units"
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF-PQ search: probe the query's `nprobe` nearest coarse lists,
+    ADC-score only their members from the codes index.  Candidates ~
+    nprobe/C of the corpus; the probe set is a broadcast literal-sized
+    filter (partition pruning once the index is written partitioned by
+    coarse_cid), scoring is the integer-unit broadcast-lookup + partial
+    sum from pq_adc_topk — compressed-domain end to end: raw embeddings
+    are touched only for the m-row query slice."""
+    cb = pq_codebooks(embeddings, m, ksub, iters, dim)
+    index = ivfpq_index(embeddings, m, ksub, iters, dim, codebooks=cb)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("v").alias("qv")
+    )
+    probe = (
+        _centroids(embeddings)
+        .crossJoin(F.broadcast(q))
+        .withColumn("dist", F.round(_l2sq(F.col("qv"), F.col("cv")), 5))
+        .orderBy(F.asc("dist"), F.asc("cid"))
+        .limit(int(nprobe))
+        .select(F.col("cid").alias("coarse_cid"))
+    )
+    qsubs = _pq_subs(
+        embeddings.filter(F.col("vec_id") == int(query_vec_id)), m, dim
+    ).select("sub", F.col("sv").alias("qv"))
+    table = cb.join(F.broadcast(qsubs), "sub").select(
+        "sub", "cid",
+        F.round(_l2sq(F.col("qv"), F.col("cv")) * PQ_UNITS)
+        .cast("bigint").alias("qunits"),
+    )
+    return (
+        index.join(F.broadcast(probe), "coarse_cid")
+        .join(F.broadcast(table), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qunits").alias("u"))
+        .filter(F.col("vec_id") != int(query_vec_id))
+        .select(
+            "vec_id",
+            F.round(F.col("u") / float(PQ_UNITS), 5).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+def ivfpq_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> str:
+    return f"""
+WITH {_pq_sql_ctes(m, ksub, iters, dim)},
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0
+),
+ivfd AS (
+  SELECT e.vec_id, c.cid,
+         round(list_distance(e.v, c.cv) * list_distance(e.v, c.cv), 5)
+             AS dist
+  FROM e CROSS JOIN cents c
+),
+ivfassign AS (
+  SELECT vec_id, cid AS coarse_cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM ivfd
+  ) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid AS coarse_cid FROM cents, q
+  ORDER BY round(list_distance(cv, qv) * list_distance(cv, qv), 5) ASC,
+           cid ASC
+  LIMIT {nprobe}
+),
+qtab AS (
+  SELECT c.sub, c.cid,
+         CAST(round(list_distance(s.sv, c.cv) * list_distance(s.sv, c.cv)
+                    * {PQ_UNITS}) AS BIGINT) AS qunits
+  FROM cb c JOIN subs s USING (sub)
+  WHERE s.vec_id = {query_vec_id}
+)
+SELECT c.vec_id,
+       round(SUM(t.qunits) / {PQ_UNITS}.0, 5) AS adc_dist
+FROM codes c
+JOIN ivfassign a USING (vec_id)
+JOIN probe p USING (coarse_cid)
+JOIN qtab t USING (sub, cid)
+WHERE c.vec_id != {query_vec_id}
+GROUP BY c.vec_id
+ORDER BY adc_dist ASC, c.vec_id ASC
+LIMIT {k}
+"""

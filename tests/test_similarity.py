@@ -183,3 +183,24 @@ def test_pq_scoring_plan_broadcasts_table_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_matches_oracle(spark, duck, sf_dir):
+    got = sim.ivfpq_topk(
+        load_embeddings(spark, sf_dir), query_vec_id=7, k=5, nprobe=2
+    )
+    assert_same(got, duck.execute(sim.ivfpq_topk_sql(7, k=5, nprobe=2)).df())
+
+
+def test_ivfpq_subset_of_full_adc(spark, sf_dir):
+    """IVF-PQ hits are ADC-scored members of the probed lists: every hit
+    must appear in the unpruned ADC ranking with the SAME adc_dist."""
+    emb = load_embeddings(spark, sf_dir)
+    full = {
+        r["vec_id"]: r["adc_dist"]
+        for r in sim.pq_adc_topk(emb, query_vec_id=7, k=500).collect()
+    }
+    hits = sim.ivfpq_topk(emb, query_vec_id=7, k=5, nprobe=2).collect()
+    assert len(hits) > 0
+    for r in hits:
+        assert full[r["vec_id"]] == r["adc_dist"]
