@@ -133,6 +133,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": lambda spark, sf: agg.agg_cardinality_kmv(
             load_corpus(spark, sf)
         ),
+        # NEW (r4): ES top_hits sub-aggregation — best N docs per lang
+        # bucket + bucket totals, one shuffle on the bucket key
+        "facets_top_hits": lambda spark, sf: facets.facets_top_hits(
+            load_corpus(spark, sf), q="merge", min_score=10.0
+        ),
+        # NEW (r4): ES date_histogram with min_doc_count=0 — dense hour
+        # axis, zero-count buckets emitted (axis from a 1-row bounds agg)
+        "timeline_hourly_dense": lambda spark, sf: facets.timeline_hourly_dense(
+            load_corpus(spark, sf), q="merge", min_score=10.0
+        ),
         # NEW (r4): product quantization — per-subspace trained codebooks
         # (deterministic Lloyd's), integer-unit encodes, and ADC top-k
         # scoring over the codes table (the FAISS IVFADC inner loop)
@@ -554,6 +564,10 @@ FROM corpus ORDER BY doc_id
         "sim_pq_encode": sim.pq_encode_sql(),
         "sim_pq_adc_topk": sim.pq_adc_topk_sql(query_vec_id=7, k=10),
         "sim_ivfpq_topk": sim.ivfpq_topk_sql(query_vec_id=7, k=5, nprobe=2),
+        "facets_top_hits": facets.facets_top_hits_sql(q="merge", min_score=10.0),
+        "timeline_hourly_dense": facets.timeline_hourly_dense_sql(
+            q="merge", min_score=10.0
+        ),
         "search_facets": facets.search_facets_sql(q="merge", min_score=10.0),
         "significant_terms": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15

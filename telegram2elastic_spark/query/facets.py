@@ -223,3 +223,130 @@ GROUP BY lang, source
 ORDER BY lang, source
 LIMIT {size}
 """
+
+
+def facets_top_hits(
+    corpus: DataFrame,
+    q: str | None = None,
+    min_score: float | None = None,
+    per_bucket: int = 3,
+) -> DataFrame:
+    """ES `top_hits` sub-aggregation: the best `per_bucket` documents
+    inside every lang bucket (score desc, doc_id asc), alongside the
+    bucket's total count — "show me each language's best matches".
+
+    Scale shape: one Window partitioned BY THE BUCKET KEY (rank within
+    lang never crosses partitions — the sort is per-group, not global)
+    over the same filtered set the hits came from; bucket totals ride the
+    same partition via a window count, so the whole op is one shuffle on
+    lang."""
+    from pyspark.sql import Window
+
+    df = search_filtered(corpus, q, min_score)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        df.select(
+            "lang", "doc_id", F.round("score", SCORE_DECIMALS).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("bucket_total", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rank") <= int(per_bucket))
+        .select("lang", "rank", "doc_id", "score", "bucket_total")
+        .orderBy("lang", "rank")
+    )
+
+
+def facets_top_hits_sql(
+    q: str | None = None,
+    min_score: float | None = None,
+    per_bucket: int = 3,
+) -> str:
+    where = _filters_sql(q, min_score, None)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+fset AS (SELECT * FROM scored WHERE {where}),
+ranked AS (
+  SELECT lang, doc_id, round(score, {SCORE_DECIMALS}) AS score,
+         row_number() OVER (
+             PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rank,
+         count(*) OVER (PARTITION BY lang) AS bucket_total
+  FROM fset
+)
+SELECT lang, rank, doc_id, score, bucket_total
+FROM ranked WHERE rank <= {per_bucket}
+ORDER BY lang, rank
+"""
+
+
+def timeline_hourly_dense(
+    corpus: DataFrame,
+    q: str | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """ES `date_histogram` with empty-bucket emission (min_doc_count=0 /
+    extended_bounds): every hour between the FILTERED set's first and
+    last hit gets a row, zero-count hours included — dashboards need the
+    gaps, and a selective query leaves plenty of them.
+
+    Scale shape: the per-hour counts are one hash aggregate (size =
+    hours-with-hits); the dense hour axis explodes from a 1-row (min,
+    max) aggregate.  Axis rows = hours of history, counts rows <= axis
+    rows — the left join broadcasts the COUNTS side (the preserved axis
+    side of an outer join cannot be the broadcast build side), so no
+    corpus-sized structure ever shuffles."""
+    df = search_filtered(corpus, q, min_score)
+    counts = (
+        df.groupBy(F.date_trunc("hour", "warc_ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    axis = (
+        df.agg(
+            F.min(F.date_trunc("hour", "warc_ts")).alias("lo"),
+            F.max(F.date_trunc("hour", "warc_ts")).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hr")
+        )
+    )
+    return (
+        axis.join(F.broadcast(counts), "hr", "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("hour")
+    )
+
+
+def timeline_hourly_dense_sql(
+    q: str | None = None, min_score: float | None = None
+) -> str:
+    where = _filters_sql(q, min_score, None)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+fset AS (SELECT * FROM scored WHERE {where}),
+counts AS (
+  SELECT date_trunc('hour', warc_ts) AS hr, count(*) AS n_docs
+  FROM fset GROUP BY 1
+),
+bounds AS (
+  SELECT min(date_trunc('hour', warc_ts)) AS lo,
+         max(date_trunc('hour', warc_ts)) AS hi
+  FROM fset
+),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+)
+SELECT strftime(axis.hr, '%Y-%m-%d %H:00') AS hour,
+       CAST(coalesce(counts.n_docs, 0) AS BIGINT) AS n_docs
+FROM axis LEFT JOIN counts ON axis.hr = counts.hr
+ORDER BY hour
+"""

@@ -163,3 +163,82 @@ def test_cardinality_kmv_small_set_is_exact(spark):
     row = agg.agg_cardinality_kmv(df, k=32).collect()[0]
     # fewer distinct hashes than k: the sketch degrades to the exact count
     assert row["est_distinct"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# top_hits + dense date_histogram
+
+
+def test_top_hits_matches_oracle(spark, duck, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    want = duck.execute(
+        facets.facets_top_hits_sql(q="merge", min_score=10.0)
+    ).df()
+    assert_same(
+        facets.facets_top_hits(corpus, q="merge", min_score=10.0), want
+    )
+
+
+def test_top_hits_rank_and_totals(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    rows = facets.facets_top_hits(corpus, q="merge", per_bucket=3).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["bucket_total"] >= len(rs) for r in rs)
+
+
+def test_hourly_dense_matches_oracle(spark, duck, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    want = duck.execute(
+        facets.timeline_hourly_dense_sql(q="merge", min_score=10.0)
+    ).df()
+    assert_same(
+        facets.timeline_hourly_dense(corpus, q="merge", min_score=10.0), want
+    )
+
+
+def test_hourly_dense_emits_zero_buckets(spark):
+    """min_doc_count=0 semantics: hours between the first and last hit
+    with no documents still get a row (synthetic gappy frame — the
+    testdata's 37 s stride never leaves an hour empty)."""
+    df = spark.createDataFrame(
+        [
+            (0, "merge alpha", "en", "src0", 400),
+            (1, "merge beta", "en", "src0", 400),
+            (2, "merge gamma", "en", "src0", 400),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    from telegram2elastic_spark.corpus import as_corpus
+    from pyspark.sql import functions as F
+
+    # place hits at hours 0, 0, +3h: hours 1 and 2 must appear with 0
+    corpus = as_corpus(df).withColumn(
+        "warc_ts",
+        F.when(F.col("doc_id") == 2, F.expr("timestamp '2022-01-01 03:30:00'"))
+        .otherwise(F.expr("timestamp '2022-01-01 00:10:00'")),
+    )
+    out = facets.timeline_hourly_dense(corpus, q="merge").collect()
+    assert [(r["hour"], r["n_docs"]) for r in out] == [
+        ("2022-01-01 00:00", 2),
+        ("2022-01-01 01:00", 0),
+        ("2022-01-01 02:00", 0),
+        ("2022-01-01 03:00", 1),
+    ]
+
+
+def test_hourly_dense_counts_side_is_broadcast(spark, sf_dir):
+    """The axis (preserved outer side) must not be the broadcast build
+    side; the counts side is.  Guards against the unsupported-hint
+    regression (broadcast left of a left join is ignored by Spark)."""
+    corpus = load_corpus(spark, sf_dir)
+    df = facets.timeline_hourly_dense(corpus, q="merge", min_score=10.0)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
