@@ -21,14 +21,17 @@ from ..index.build import DOC_STORE_COLS
 
 
 def fetch_docs_local(
-    store_dir: str, doc_ids, cache: dict | None = None
+    store_dir: str | list[str], doc_ids, cache: dict | None = None
 ) -> dict[int, dict]:
     """{doc_id: {url, lang, warc_ts, text}} for the requested ids.
 
-    `cache` (typically the index dict's "_doc_cache") keeps previously
-    fetched rows hot across a query stream; a cold id costs one filtered
-    pyarrow read shared by all cold ids in the call.  Ids absent from the
-    store are simply absent from the result (caller's miss policy).
+    `store_dir` is one store or a list of per-segment stores
+    (IncrementalIndexer.doc_store_dirs — segments hold disjoint live doc
+    ids, so the union dataset needs no precedence rule).  `cache`
+    (typically the index dict's "_doc_cache") keeps previously fetched
+    rows hot across a query stream; a cold id costs one filtered pyarrow
+    read shared by all cold ids in the call.  Ids absent from the store
+    are simply absent from the result (caller's miss policy).
     """
     import pyarrow.dataset as ds
 
@@ -43,7 +46,11 @@ def fetch_docs_local(
             missing.append(d)
     if not missing:
         return out
-    tbl = ds.dataset(store_dir, format="parquet").to_table(
+    if isinstance(store_dir, (list, tuple)):
+        src = ds.dataset([ds.dataset(d, format="parquet") for d in store_dir])
+    else:
+        src = ds.dataset(store_dir, format="parquet")
+    tbl = src.to_table(
         columns=DOC_STORE_COLS,
         filter=ds.field("doc_id").isin(missing),
     )

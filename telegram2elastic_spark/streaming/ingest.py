@@ -53,15 +53,22 @@ class IncrementalIndexer:
         base_dir: str,
         n_doc_parts: int = DEFAULT_DOC_PARTS,
         positions: bool = False,
+        doc_store: bool = False,
     ):
         """`positions=True` builds every segment with positional postings
         (codec pos_bytes), enabling phrase queries over the combined
         segmented view and across upserts/compactions (the sorted-merge
-        kernel preserves positions when all inputs carry them)."""
+        kernel preserves positions when all inputs carry them).
+        `doc_store=True` additionally writes each segment's stored-fields
+        store (index/build.py:write_doc_store) inside the segment dir
+        before the manifest commit, so driver-local point reads
+        (query/docstore.py) serve realtime-ingested docs too — stores
+        become visible atomically with their postings."""
         self.spark = spark
         self.base_dir = base_dir
         self.n_doc_parts = n_doc_parts
         self.positions = positions
+        self.doc_store = doc_store
         os.makedirs(base_dir, exist_ok=True)
 
     # --- manifest (the checkpoint; versioned, Iceberg-snapshot style) ---
@@ -201,6 +208,15 @@ class IncrementalIndexer:
             "max_ts": counters["max_ts"],
             "status": "committed",
         }
+        if self.doc_store:
+            # stored fields for driver-local point reads; inside the
+            # segment dir so the store commits atomically with the
+            # postings (segment row groups are small — a batch's docs)
+            from ..index.build import write_doc_store
+
+            write_doc_store(
+                batch_corpus, seg_dir, n_files=min(8, self.n_doc_parts)
+            )
         if tombstones is not None:
             # written INSIDE the segment dir before the manifest commit —
             # tombstones and postings become visible atomically together
@@ -356,6 +372,22 @@ class IncrementalIndexer:
             )
         dm.write.mode("overwrite").parquet(f"{seg_dir}/doc_map")
         td.write.mode("overwrite").parquet(f"{seg_dir}/term_dict")
+        # carry stored fields into the compacted segment (absorbed dirs
+        # are vacuumed later): union of input stores minus tombstoned
+        # generations, rewritten in the sorted point-read layout
+        store_dirs = [
+            f"{d}/doc_store" for d in dirs
+            if os.path.exists(f"{d}/doc_store")
+        ]
+        if store_dirs:
+            from ..index.build import write_doc_store
+
+            store = self.spark.read.parquet(*store_dirs)
+            if tomb_df is not None:
+                store = store.join(tomb_df, "doc_id", "left_anti")
+            write_doc_store(
+                store, seg_dir, n_files=min(8, self.n_doc_parts)
+            )
         lineage = (
             written.groupBy("salt")
             .agg(
@@ -481,6 +513,21 @@ class IncrementalIndexer:
     def doc_map_union(self) -> DataFrame | None:
         return self._read_all("doc_map")
 
+    def doc_store_dirs(self, version: int | None = None) -> list[str]:
+        """Committed segments' stored-fields dirs (segments written with
+        doc_store=True) — pass to query.docstore.fetch_docs_local for
+        driver-local point reads over the whole segmented index.
+        Tombstoned ids are never requested by callers (they fetch ids from
+        ranked results over the live doc space); compaction drops their
+        rows physically."""
+        return [
+            d
+            for e in self.manifest(version)
+            if os.path.exists(
+                d := f"{self._seg_dir(e['segment_id'])}/doc_store"
+            )
+        ]
+
     def as_index(self, version: int | None = None) -> dict:
         """Combined index view over all committed segments — consumable by
         query.wand.wand_topk unchanged (disjoint doc spaces; per-segment
@@ -513,7 +560,7 @@ class IncrementalIndexer:
             F.avg("doc_len").alias("avgdl"),
             F.sum("doc_len").alias("total_tokens"),
         )
-        return {
+        out = {
             "doc_map": dm,
             "term_dict": td,
             "postings": postings,
@@ -521,6 +568,12 @@ class IncrementalIndexer:
             "_n_doc_parts": self.n_doc_parts,
             "_tombstones_df": tomb_df,
         }
+        stores = self.doc_store_dirs(version)
+        if stores:
+            # driver-local point reads (query/docstore.py) work over the
+            # segmented view exactly like over a single written index
+            out["_doc_store_dir"] = stores
+        return out
 
     def lineage(self) -> DataFrame | None:
         return self._read_all("lineage")

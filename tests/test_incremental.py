@@ -238,3 +238,67 @@ def test_streaming_upsert_edited_docs(spark, corpus, tmp_path):
     for r in edited.select("doc_id").collect():
         assert r["doc_id"] not in live
         assert r["doc_id"] + IncrementalIndexer.GEN_STRIDE in live
+
+
+def test_segment_doc_stores_serve_point_reads(spark, corpus, tmp_path):
+    """doc_store=True: every segment writes a stored-fields store; the
+    multi-dir driver-local fetch serves docs from any segment, and
+    as_index exposes the store list so local highlight/mlt work over the
+    segmented view."""
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+
+    ix = IncrementalIndexer(
+        spark, str(tmp_path / "ix"), n_doc_parts=4, doc_store=True
+    )
+    ix.ingest_batch(corpus.filter("doc_id % 2 = 0"), "even")
+    ix.ingest_batch(corpus.filter("doc_id % 2 = 1"), "odd")
+    dirs = ix.doc_store_dirs()
+    assert len(dirs) == 2
+    rows = fetch_docs_local(dirs, [0, 1, 7])  # ids span both segments
+    want = {
+        r["doc_id"]: r["text"]
+        for r in corpus.filter("doc_id in (0, 1, 7)").collect()
+    }
+    assert {d: r["text"] for d, r in rows.items()} == want
+    assert ix.as_index().get("_doc_store_dir") == dirs
+
+
+def test_compaction_carries_doc_store_and_drops_tombstoned(
+    spark, corpus, tmp_path
+):
+    """Compaction rewrites the union of input stores into the new segment
+    (absorbed dirs get vacuumed), minus tombstoned generations; point
+    reads keep working and serve the EDITED text."""
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+    from telegram2elastic_spark.streaming.ingest import IncrementalIndexer
+
+    ix = IncrementalIndexer(
+        spark, str(tmp_path / "ix"), n_doc_parts=4, doc_store=True
+    )
+    ix.ingest_batch(corpus, "initial")
+    edited_raw = (
+        corpus.filter("doc_id % 25 = 0")
+        .withColumn("text", F.lit("freshedit marker content only"))
+        .withColumn(
+            "html",
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"),
+                F.lit("</p></body></html>"),
+            ).cast("binary"),
+        )
+    )
+    ix.upsert_batch(edited_raw, "edit")
+    seg_ids = [e["segment_id"] for e in ix.manifest()]
+    ix.compact(seg_ids)
+    ix.vacuum()
+    dirs = ix.doc_store_dirs()
+    assert len(dirs) == 1  # one compacted segment, store carried forward
+    live = {r["doc_id"] for r in ix.as_index()["doc_map"].select("doc_id").collect()}
+    # the edited doc's live generation serves the NEW text
+    gen = next(d for d in live if d >= IncrementalIndexer.GEN_STRIDE)
+    rows = fetch_docs_local(dirs, [gen, 0])
+    assert rows[gen]["text"] == "freshedit marker content only"
+    # doc 0's original generation was tombstoned -> physically dropped
+    assert 0 not in rows
