@@ -397,7 +397,11 @@ def write_doc_store(corpus, out_dir: str, n_files: int = 32) -> None:
         .repartitionByRange(n_files, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
-        .option("parquet.block.size", 1 << 20)
+        # small row groups are the point-read unit: a GET decompresses
+        # O(rows-per-group) documents, so ~128 KiB groups (~a few hundred
+        # docs) keep the per-GET cost tens of ms while stats pruning on
+        # the sorted doc_id column skips every other group
+        .option("parquet.block.size", 128 << 10)
         .parquet(f"{out_dir}/doc_store")
     )
 

@@ -21,7 +21,10 @@ from ..index.build import DOC_STORE_COLS
 
 
 def fetch_docs_local(
-    store_dir: str | list[str], doc_ids, cache: dict | None = None
+    store_dir: str | list[str],
+    doc_ids,
+    cache: dict | None = None,
+    ds_cache: dict | None = None,
 ) -> dict[int, dict]:
     """{doc_id: {url, lang, warc_ts, text}} for the requested ids.
 
@@ -30,8 +33,11 @@ def fetch_docs_local(
     ids, so the union dataset needs no precedence rule).  `cache`
     (typically the index dict's "_doc_cache") keeps previously fetched
     rows hot across a query stream; a cold id costs one filtered pyarrow
-    read shared by all cold ids in the call.  Ids absent from the store
-    are simply absent from the result (caller's miss policy).
+    read shared by all cold ids in the call.  `ds_cache` keeps the
+    opened pyarrow dataset (file listing + parquet footers) — a query
+    node holds the store open; dropping the row cache must not re-list
+    the store.  Ids absent from the store are simply absent from the
+    result (caller's miss policy).
     """
     import pyarrow.dataset as ds
 
@@ -46,14 +52,37 @@ def fetch_docs_local(
             missing.append(d)
     if not missing:
         return out
-    if isinstance(store_dir, (list, tuple)):
-        src = ds.dataset([ds.dataset(d, format="parquet") for d in store_dir])
-    else:
-        src = ds.dataset(store_dir, format="parquet")
-    tbl = src.to_table(
-        columns=DOC_STORE_COLS,
-        filter=ds.field("doc_id").isin(missing),
+    # the dataset object is cached per store path — rebuilding it per
+    # call costs more than the pruned read itself once the store has
+    # many files/row groups
+    ds_key = (
+        tuple(store_dir) if isinstance(store_dir, (list, tuple)) else store_dir
     )
+    src = None if ds_cache is None else ds_cache.get(ds_key)
+    if src is None:
+        if isinstance(store_dir, (list, tuple)):
+            src = ds.dataset(
+                [ds.dataset(d, format="parquet") for d in store_dir]
+            )
+        else:
+            src = ds.dataset(store_dir, format="parquet")
+        if ds_cache is not None:
+            ds_cache[ds_key] = src
+    # OR-of-equalities, not isin: pyarrow simplifies ==/range predicates
+    # against row-group statistics (measured ~10x fewer bytes touched on
+    # the sorted store), but does NOT prune on set-membership
+    # expressions.  Very large id lists degrade to isin — at that size
+    # the scan is batch-shaped anyway.
+    if len(missing) <= 512:
+        import functools
+        import operator
+
+        flt = functools.reduce(
+            operator.or_, [ds.field("doc_id") == i for i in missing]
+        )
+    else:
+        flt = ds.field("doc_id").isin(missing)
+    tbl = src.to_table(columns=DOC_STORE_COLS, filter=flt)
     for row in tbl.to_pylist():
         d = int(row.pop("doc_id"))
         out[d] = row

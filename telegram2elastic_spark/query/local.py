@@ -258,7 +258,10 @@ def _doc_rows(
     store = resolve_doc_store(index, doc_store)
     if store is not None:
         rows = fetch_docs_local(
-            store, doc_ids, cache=index.setdefault("_doc_cache", {})
+            store,
+            doc_ids,
+            cache=index.setdefault("_doc_cache", {}),
+            ds_cache=index.setdefault("_doc_ds_cache", {}),
         )
         return {d: tuple(r[c] for c in cols) for d, r in rows.items()}
     if corpus is None:
