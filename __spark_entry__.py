@@ -133,6 +133,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": lambda spark, sf: agg.agg_cardinality_kmv(
             load_corpus(spark, sf)
         ),
+        # NEW (r4): ES pipeline aggregations over the date_histogram —
+        # cumulative_sum / derivative / moving_fn on axis-sized buckets
+        "timeline_pipeline": lambda spark, sf: agg.timeline_pipeline(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4): ES fuzzy term query — Levenshtein expansion against
+        # the (pruned) sorted term dictionary, scoring_boolean rewrite
+        "fuzzy_term_topk": lambda spark, sf: expandq.fuzzy_term_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            "mergge", k=10,
+        ),
+        # NEW (r4): ES regexp query — anchored portable-regex expansion
+        "regexp_topk": lambda spark, sf: expandq.regexp_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            "sc[ab].*", k=10,
+        ),
+        # NEW (r4): ES dis_max / best_fields (tie_breaker=0) — per-field
+        # WAND top-k union + max_by (exactness argument in docstring)
+        "dis_max_topk": lambda spark, sf: multifield.dis_max_topk(
+            multifield.build_field_indexes(
+                load_corpus(spark, sf), {"text": "text", "url": "url"},
+                n_doc_parts=8,
+            ),
+            {"text": 1.0, "url": 2.0},
+            ["spark", "page"], k=10,
+        ),
         # NEW (r4): ES top_hits sub-aggregation — best N docs per lang
         # bucket + bucket totals, one shuffle on the bucket key
         "facets_top_hits": lambda spark, sf: facets.facets_top_hits(
@@ -564,6 +590,10 @@ FROM corpus ORDER BY doc_id
         "sim_pq_encode": sim.pq_encode_sql(),
         "sim_pq_adc_topk": sim.pq_adc_topk_sql(query_vec_id=7, k=10),
         "sim_ivfpq_topk": sim.ivfpq_topk_sql(query_vec_id=7, k=5, nprobe=2),
+        "timeline_pipeline": agg.timeline_pipeline_sql(),
+        "fuzzy_term_topk": expandq.fuzzy_term_topk_sql("mergge", k=10),
+        "regexp_topk": expandq.regexp_topk_sql("sc[ab].*", k=10),
+        "dis_max_topk": multifield.dis_max_sql(["spark", "page"], k=10),
         "facets_top_hits": facets.facets_top_hits_sql(q="merge", min_score=10.0),
         "timeline_hourly_dense": facets.timeline_hourly_dense_sql(
             q="merge", min_score=10.0

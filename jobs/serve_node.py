@@ -15,6 +15,9 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "multi",    "q": "spark page", "boosts": {"text": 1.0, "url": 2.0}}
     {"op": "prefix",   "q": "sc"}
     {"op": "wildcard", "q": "s?a*"}
+    {"op": "fuzzyterm","q": "mergge", "fuzziness": 2}
+    {"op": "regexp",   "q": "sc[ab].*"}
+    {"op": "dismax",   "q": "spark page", "boosts": {"text": 1.0, "url": 2.0}}
     {"op": "suggest",  "q": "s"}
     {"op": "spell",    "q": "mergge"}
     {"op": "fuzzy",    "q": "mergge batch"}        (needs --trigram)
@@ -122,6 +125,21 @@ def main() -> None:
             return lq.prefix_topk_local(idx, req["q"], k=k)
         if op == "wildcard":
             return lq.wildcard_topk_local(idx, req["q"], k=k)
+        if op == "fuzzyterm":
+            return lq.fuzzy_term_topk_local(
+                idx, req["q"], k=k,
+                fuzziness=int(req.get("fuzziness", 2)),
+                prefix_length=int(req.get("prefix_length", 1)),
+            )
+        if op == "regexp":
+            return lq.regexp_topk_local(idx, req["q"], k=k)
+        if op == "dismax":
+            boosts = {
+                f: float(b) for f, b in (req.get("boosts") or {}).items()
+            }
+            return lq.dis_max_topk_local(
+                field_indexes, boosts, req["q"].split(), k=k
+            )
         if op == "suggest":
             return lq.suggest_complete_local(idx, req["q"], k=k)
         if op == "spell":

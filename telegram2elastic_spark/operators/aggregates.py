@@ -330,3 +330,69 @@ SELECT {k} AS k,
             ELSE round(({k} - 1) * 4294967296.0 / kth, 2) END AS est_distinct
 FROM agg
 """
+
+
+def timeline_pipeline(corpus: DataFrame, window: int = 3) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram: `cumulative_sum`,
+    `derivative` (first bucket null) and a trailing `moving_fn` average
+    (window `window`, shrinking at the left edge like ES) on the hourly
+    doc counts.  The reference's Kibana dashboards chart these series
+    over the per-day ES indices (README.md:5).
+
+    Scale shape: the parent histogram is one map-side hash aggregate;
+    every pipeline agg is a Window over the BUCKET sequence — axis-sized
+    data (hours of history), thousands of rows at a century of corpus,
+    so the single-partition window over buckets is free.  The corpus is
+    touched exactly once."""
+    from pyspark.sql import Window
+
+    buckets = (
+        corpus.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "warc_ts"), "yyyy-MM-dd HH:00"
+            ).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # bounded, bucket-count-sized frames: the lit(0) partition is the
+    # deliberate single-partition window over axis data (see
+    # query/search.py bounded-window note)
+    w = Window.partitionBy(F.lit(0)).orderBy("hour")
+    return (
+        buckets.withColumn(
+            "cum_docs",
+            F.sum("n_docs").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("deriv", F.col("n_docs") - F.lag("n_docs", 1).over(w))
+        .withColumn(
+            "moving_avg",
+            F.round(
+                F.avg("n_docs").over(w.rowsBetween(-(int(window) - 1), 0)), 4
+            ),
+        )
+        .select("hour", "n_docs", "cum_docs", "deriv", "moving_avg")
+        .orderBy("hour")
+    )
+
+
+def timeline_pipeline_sql(window: int = 3) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+buckets AS (
+  SELECT strftime(date_trunc('hour', warc_ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n_docs
+  FROM corpus GROUP BY 1
+)
+SELECT hour, n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_docs,
+       n_docs - lag(n_docs, 1) OVER (ORDER BY hour) AS deriv,
+       round(avg(n_docs) OVER (ORDER BY hour
+           ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW), 4)
+           AS moving_avg
+FROM buckets
+ORDER BY hour
+"""

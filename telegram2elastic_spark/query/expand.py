@@ -128,10 +128,14 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _expanded_bm25_sql(qterms_pred: str, k: int, max_expansions: int) -> str:
+def _expanded_bm25_sql(
+    qterms_pred: str, k: int, max_expansions: int, order_sql: str = "term"
+) -> str:
     """Relational BM25 where the query-term set is computed IN SQL from the
     corpus vocabulary (mirrors the engine's term-dict expansion: the term
-    dictionary IS the distinct corpus vocabulary)."""
+    dictionary IS the distinct corpus vocabulary).  `order_sql` is the
+    expansion cap order — term order for prefix/wildcard/regexp, (edit
+    distance, term) for fuzzy."""
     from ..corpus import CORPUS_CTE
     from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE
     from .bm25 import B, K1, SCORE_DECIMALS
@@ -147,8 +151,8 @@ toks AS (
   FROM corpus
 ),
 qterms AS (
-  SELECT DISTINCT term FROM toks WHERE {qterms_pred}
-  ORDER BY term LIMIT {max_expansions}
+  SELECT term FROM (SELECT DISTINCT term FROM toks) WHERE {qterms_pred}
+  ORDER BY {order_sql} LIMIT {max_expansions}
 ),
 tf_all AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
@@ -191,4 +195,115 @@ def wildcard_topk_sql(
     """DuckDB oracle for wildcard_topk (same anchored regex as the
     engine)."""
     pred = f"regexp_matches(term, {_sql_quote(wildcard_regex(pattern))})"
+    return _expanded_bm25_sql(pred, k, max_expansions)
+
+
+def expand_fuzzy(
+    index: dict,
+    word: str,
+    fuzziness: int = 2,
+    prefix_length: int = 1,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> list[str]:
+    """ES `fuzzy` query expansion: vocabulary terms within `fuzziness`
+    Levenshtein edits of `word`, closest first (distance asc, term asc),
+    capped at max_expansions.  `prefix_length` (Lucene's default-style
+    shared-prefix requirement) keeps the sorted-dict StartsWith pushdown
+    in play, so the edit-distance check runs on the pruned prefix range
+    only — the DFA-intersection analogue."""
+    w = word.lower()
+    df = _dict_for_scan(index)
+    if prefix_length > 0:
+        df = df.filter(F.col("term").startswith(w[: int(prefix_length)]))
+    rows = (
+        df.withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)))
+        .filter(F.col("dist") <= int(fuzziness))
+        .select("term", "dist")
+        .orderBy("dist", "term")
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def expand_regexp(
+    index: dict, pattern: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> list[str]:
+    """ES `regexp` query expansion: terms fully matching the (anchored)
+    pattern, term order, capped.  The pattern must stay in the
+    Java-regex/RE2 common subset so the engine and the oracle agree; a
+    literal prefix (regex metachars absent) still prunes the sorted-dict
+    scan."""
+    lit_prefix = re.match(r"^[A-Za-z0-9]*", pattern).group(0)
+    df = _dict_for_scan(index)
+    if lit_prefix:
+        df = df.filter(F.col("term").startswith(lit_prefix.lower()))
+    rows = (
+        df.filter(F.col("term").rlike("^(?:" + pattern + ")$"))
+        .select("term")
+        .orderBy("term")
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def fuzzy_term_topk(
+    index: dict,
+    word: str,
+    k: int = 10,
+    fuzziness: int = 2,
+    prefix_length: int = 1,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """ES `fuzzy` query with scoring_boolean rewrite (like prefix_topk:
+    expansions feed the standard WAND disjunction as plain BM25 terms)."""
+    terms = expand_fuzzy(index, word, fuzziness, prefix_length, max_expansions)
+    if not terms:
+        return _empty(index)
+    return wand_topk(index, terms, k=k, doc_filter=doc_filter)
+
+
+def regexp_topk(
+    index: dict,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """ES `regexp` query, same rewrite."""
+    terms = expand_regexp(index, pattern, max_expansions)
+    if not terms:
+        return _empty(index)
+    return wand_topk(index, terms, k=k, doc_filter=doc_filter)
+
+
+def fuzzy_term_topk_sql(
+    word: str,
+    k: int = 10,
+    fuzziness: int = 2,
+    prefix_length: int = 1,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> str:
+    """DuckDB oracle: same Levenshtein predicate and (distance, term)
+    expansion order."""
+    w = word.lower()
+    pred = f"levenshtein(term, {_sql_quote(w)}) <= {int(fuzziness)}"
+    if prefix_length > 0:
+        esc = (
+            w[: int(prefix_length)]
+            .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
+        pred += f" AND term LIKE {_sql_quote(esc + '%')} ESCAPE '\\'"
+    return _expanded_bm25_sql(
+        pred, k, max_expansions,
+        order_sql=f"levenshtein(term, {_sql_quote(w)}), term",
+    )
+
+
+def regexp_topk_sql(
+    pattern: str, k: int = 10, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> str:
+    pred = f"regexp_matches(term, {_sql_quote('^(?:' + pattern + ')$')})"
     return _expanded_bm25_sql(pred, k, max_expansions)

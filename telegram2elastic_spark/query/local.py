@@ -397,3 +397,124 @@ def search_highlight_local(
         snippet = rx.sub(r"<em>\1</em>", text[start - 1 : start - 1 + int(length)])
         out.append((int(d), url, float(s), snippet))
     return out
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (matches Spark's levenshtein / DuckDB's
+    levenshtein) — two-row DP, vocab terms are short."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def expand_fuzzy_local(
+    index: dict,
+    word: str,
+    fuzziness: int = 2,
+    prefix_length: int = 1,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> list[str]:
+    """expand.expand_fuzzy against the cached vocab: prefix slice via two
+    binary searches, Levenshtein on the survivors, (dist, term) order."""
+    terms, _, _ = _vocab(index)
+    w = word.lower()
+    cand = (
+        terms[_prefix_slice(terms, w[: int(prefix_length)])]
+        if prefix_length > 0
+        else terms
+    )
+    scored = []
+    for t in cand:
+        d = _levenshtein(str(t), w)
+        if d <= int(fuzziness):
+            scored.append((d, str(t)))
+    scored.sort()
+    return [t for _, t in scored[: int(max_expansions)]]
+
+
+def expand_regexp_local(
+    index: dict, pattern: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+) -> list[str]:
+    """expand.expand_regexp against the cached vocab (anchored full
+    match; literal prefix prunes the slice)."""
+    terms, _, _ = _vocab(index)
+    lit_prefix = re.match(r"^[A-Za-z0-9]*", pattern).group(0)
+    cand = (
+        terms[_prefix_slice(terms, lit_prefix.lower())]
+        if lit_prefix
+        else terms
+    )
+    rx = re.compile("(?:" + pattern + ")")
+    out = []
+    for t in cand:
+        if rx.fullmatch(str(t)):
+            out.append(str(t))
+            if len(out) >= int(max_expansions):
+                break
+    return out
+
+
+def fuzzy_term_topk_local(
+    index: dict,
+    word: str,
+    k: int = 10,
+    fuzziness: int = 2,
+    prefix_length: int = 1,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to expand.fuzzy_term_topk."""
+    terms = expand_fuzzy_local(
+        index, word, fuzziness, prefix_length, max_expansions
+    )
+    if not terms:
+        return []
+    return wand_topk_local(index, terms, k=k, doc_filter=doc_filter)
+
+
+def regexp_topk_local(
+    index: dict,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    doc_filter: str | None = None,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to expand.regexp_topk."""
+    terms = expand_regexp_local(index, pattern, max_expansions)
+    if not terms:
+        return []
+    return wand_topk_local(index, terms, k=k, doc_filter=doc_filter)
+
+
+def dis_max_topk_local(
+    field_indexes: dict[str, dict],
+    boosts: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to multifield.dis_max_topk
+    (tie_breaker=0): per-field wand_topk_local (hot-shard caches), max
+    per doc over the <= |fields|*k candidate union."""
+    from .bm25 import SCORE_DECIMALS as _SD
+
+    best: dict[int, float] = {}
+    for name, idx in field_indexes.items():
+        w = float(boosts.get(name, 1.0))
+        for d, s in wand_topk_local(idx, terms, k=k):
+            fs = round(s * w, _SD)
+            if fs > best.get(d, float("-inf")):
+                best[d] = fs
+    out = sorted(best.items(), key=lambda x: (-x[1], x[0]))[: int(k)]
+    return [(int(d), float(s)) for d, s in out]

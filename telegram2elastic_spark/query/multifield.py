@@ -185,3 +185,111 @@ FROM combined c JOIN corpus ON c.doc_id = corpus.doc_id
 ORDER BY c.score DESC, c.doc_id ASC
 LIMIT {k}
 """
+
+
+def dis_max_topk(
+    field_indexes: dict[str, dict],
+    boosts: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """ES `dis_max` / multi_match(best_fields) with tie_breaker=0 (the ES
+    default): score(d) = max over fields of w_f * BM25_f(d) — the BEST
+    field wins instead of summing (most_fields).
+
+    Exactness of the per-field top-k union: if doc d belongs to the
+    global dis_max top-k via best field f, fewer than k docs out-score it
+    in field f (each of those has dis_max >= its f-score > d's), so d is
+    inside field f's own top-k.  Hence the candidate set = union of the
+    per-field WAND top-k lists (<= |fields|*k rows, driver-scale), and
+    each candidate's winning score is already on its row — a max_by hash
+    agg over F*k rows, no rescoring pass.  (tie_breaker > 0 would need
+    the runner-up field scores of every candidate — the summing kernel's
+    job — and is intentionally not offered on this path.)"""
+    from .wand import wand_topk
+
+    parts = []
+    for name, idx in field_indexes.items():
+        w = float(boosts.get(name, 1.0))
+        parts.append(
+            wand_topk(idx, terms, k=k).select(
+                "doc_id",
+                "url",
+                F.round(F.col("score") * w, SCORE_DECIMALS).alias("fs"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    best = F.max_by(F.struct("fs", "url"), F.struct("fs", "url"))
+    return (
+        u.groupBy("doc_id")
+        .agg(best.alias("b"))
+        .select("doc_id", F.col("b.url").alias("url"), F.col("b.fs").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def dis_max_sql(
+    terms: list[str],
+    k: int = 10,
+    w_text: float = 1.0,
+    w_url: float = 2.0,
+) -> str:
+    """DuckDB oracle for the registered two-field dis_max shape — same
+    per-field BM25 CTEs as multi_match_sql, greatest() instead of the
+    weighted sum."""
+    terms_sql = _sql_quote_terms(terms)
+
+    def field_ctes(fld: str, src_expr: str) -> str:
+        return f"""
+toks_{fld} AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+dl_{fld} AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS doc_len
+  FROM corpus
+),
+stats_{fld} AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl_{fld}),
+tf_{fld} AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_{fld}
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+df_{fld} AS (SELECT term, count(*) AS df FROM tf_{fld} GROUP BY term),
+sc_{fld} AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / s.avgdl))
+         ) AS raw
+  FROM tf_{fld} tf
+  JOIN dl_{fld} dl ON tf.doc_id = dl.doc_id
+  JOIN df_{fld} df ON tf.term = df.term
+  CROSS JOIN stats_{fld} s
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH {CORPUS_CTE.strip()},{field_ctes("text", "text")},{field_ctes("url", "url")},
+combined AS (
+  SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+         greatest(
+           CASE WHEN t.doc_id IS NULL THEN NULL
+                ELSE round({w_text} * t.raw, {SCORE_DECIMALS}) END,
+           CASE WHEN u.doc_id IS NULL THEN NULL
+                ELSE round({w_url} * u.raw, {SCORE_DECIMALS}) END
+         ) AS score
+  FROM sc_text t FULL OUTER JOIN sc_url u ON t.doc_id = u.doc_id
+)
+SELECT c.doc_id, corpus.url, c.score
+FROM combined c JOIN corpus ON c.doc_id = corpus.doc_id
+ORDER BY c.score DESC, c.doc_id ASC
+LIMIT {k}
+"""

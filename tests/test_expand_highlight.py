@@ -147,3 +147,35 @@ def test_highlight_indexed_matches_relational(spark, duck, sf_dir, index):
     assert [tuple(r) for r in idxed] == [tuple(r) for r in rel]
     want = duck.execute(search_highlight_sql(terms, k=10)).df()
     assert_same(search_highlight(corpus, terms, k=10, index=index), want)
+
+
+# ---------------------------------------------------------------------------
+# ES fuzzy / regexp term queries
+
+
+def test_expand_fuzzy_order_and_distance(index):
+    terms = expand.expand_fuzzy(index, "mergge", fuzziness=2, prefix_length=1)
+    assert terms  # 'merge' is 1 edit away
+    assert terms[0] == "merge"  # closest first
+    # every expansion shares the 1-char prefix and is within 2 edits
+    assert all(t.startswith("m") for t in terms)
+
+
+def test_fuzzy_term_topk_vs_oracle(spark, duck, sf_dir, index):
+    want = duck.execute(expand.fuzzy_term_topk_sql("mergge", k=10)).df()
+    assert_same(expand.fuzzy_term_topk(index, "mergge", k=10), want)
+
+
+def test_regexp_topk_vs_oracle(spark, duck, sf_dir, index):
+    want = duck.execute(expand.regexp_topk_sql("sc[ab].*", k=10)).df()
+    assert_same(expand.regexp_topk(index, "sc[ab].*", k=10), want)
+
+
+def test_regexp_expansion_is_full_match(index):
+    # anchored: 'sc[ab].*' must not match terms lacking the sc[ab] head
+    for t in expand.expand_regexp(index, "sc[ab].*"):
+        assert t.startswith(("sca", "scb"))
+
+
+def test_fuzzy_term_no_expansions_is_empty(index):
+    assert expand.fuzzy_term_topk(index, "zzzzqqqq", k=5).count() == 0

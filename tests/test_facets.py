@@ -242,3 +242,31 @@ def test_hourly_dense_counts_side_is_broadcast(spark, sf_dir):
         df._jdf.queryExecution(), "simple"
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_timeline_pipeline_matches_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import aggregates as agg
+
+    corpus = load_corpus(spark, sf_dir)
+    want = duck.execute(agg.timeline_pipeline_sql()).df()
+    assert_same(agg.timeline_pipeline(corpus), want)
+
+
+def test_timeline_pipeline_semantics(spark, sf_dir):
+    from telegram2elastic_spark.operators import aggregates as agg
+
+    corpus = load_corpus(spark, sf_dir)
+    rows = agg.timeline_pipeline(corpus, window=3).collect()
+    # cumulative sum telescopes; first derivative is null; moving avg of
+    # a full window equals the mean of the last 3 buckets
+    total = 0
+    for i, r in enumerate(rows):
+        total += r["n_docs"]
+        assert r["cum_docs"] == total
+        if i == 0:
+            assert r["deriv"] is None
+        else:
+            assert r["deriv"] == r["n_docs"] - rows[i - 1]["n_docs"]
+        lo = max(0, i - 2)
+        win = [x["n_docs"] for x in rows[lo : i + 1]]
+        assert abs(r["moving_avg"] - round(sum(win) / len(win), 4)) < 1e-9

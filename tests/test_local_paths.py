@@ -235,3 +235,54 @@ def test_highlight_local_doc_store_matches_spark_fetch(
 def test_doc_rows_requires_store_or_corpus(lindex):
     with pytest.raises(ValueError):
         lq._doc_rows(lindex, None, [1], ["text"], None)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-term / regexp / dis_max local twins
+
+
+def test_fuzzy_term_local_matches_spark(lindex):
+    from telegram2elastic_spark.query import expand as exq
+
+    want = [
+        (r["doc_id"], r["score"])
+        for r in exq.fuzzy_term_topk(lindex, "mergge", k=10).collect()
+    ]
+    assert lq.fuzzy_term_topk_local(lindex, "mergge", k=10) == want
+
+
+def test_regexp_local_matches_spark(lindex):
+    from telegram2elastic_spark.query import expand as exq
+
+    want = [
+        (r["doc_id"], r["score"])
+        for r in exq.regexp_topk(lindex, "sc[ab].*", k=10).collect()
+    ]
+    assert lq.regexp_topk_local(lindex, "sc[ab].*", k=10) == want
+
+
+def test_dis_max_local_matches_spark(spark, sf_dir):
+    from telegram2elastic_spark.query import multifield as mff
+
+    corpus = load_corpus(spark, sf_dir)
+    fidx = mff.build_field_indexes(
+        corpus, {"text": "text", "url": "url"}, n_doc_parts=4
+    )
+    w = {"text": 1.0, "url": 2.0}
+    want = [
+        (r["doc_id"], r["score"])
+        for r in mff.dis_max_topk(fidx, w, ["spark", "page"], k=10).collect()
+    ]
+    assert lq.dis_max_topk_local(fidx, w, ["spark", "page"], k=10) == want
+
+
+def test_py_levenshtein_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    pairs = [("merge", "mergge"), ("abc", "abc"), ("", "abc"),
+             ("kitten", "sitting"), ("scan", "scab")]
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        F.levenshtein("a", "b").alias("d")
+    )
+    got = [r["d"] for r in df.collect()]
+    assert got == [lq._levenshtein(a, b) for a, b in pairs]

@@ -96,3 +96,22 @@ def test_compound_slop_vs_oracle(spark, duck, sf_dir):
     )
     dist = [(r["doc_id"], r["score"]) for r in got.collect()]
     assert [(d, s) for d, s in loc] == dist
+
+
+def test_dis_max_vs_oracle(spark, duck, sf_dir, fidx):
+    got = mf.dis_max_topk(fidx, {"text": 1.0, "url": 2.0}, ["spark", "page"], k=10)
+    want = duck.execute(mf.dis_max_sql(["spark", "page"], k=10)).df()
+    assert_same(got, want)
+
+
+def test_dis_max_le_multi_match_sum(spark, sf_dir, fidx):
+    """best_fields max <= most_fields weighted sum per doc (sanity of the
+    two combiners over the same per-field scores)."""
+    w = {"text": 1.0, "url": 2.0}
+    dm = {r["doc_id"]: r["score"]
+          for r in mf.dis_max_topk(fidx, w, ["spark", "page"], k=50).collect()}
+    mm = {r["doc_id"]: r["score"]
+          for r in mf.multi_match_topk(fidx, w, ["spark", "page"], k=50).collect()}
+    for d, s in dm.items():
+        if d in mm:
+            assert s <= mm[d] + 1e-6
