@@ -133,6 +133,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": lambda spark, sf: agg.agg_cardinality_kmv(
             load_corpus(spark, sf)
         ),
+        # NEW (r4): ES rare_terms — long-tail terms straight from the
+        # term dictionary (df materialized at build; zero corpus touches)
+        "rare_terms": lambda spark, sf: facets.rare_terms(
+            load_corpus(spark, sf), max_doc_count=100, k=20,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
+        # NEW (r4): ES filters agg — named predicate buckets + other
+        # bucket, ONE scan of conditional sums
+        "agg_filters": lambda spark, sf: facets.agg_filters(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4): ES extended_stats — distributed raw moments, variance
+        # from E[x^2]-E[x]^2 identically in both engines
+        "agg_extended_stats": lambda spark, sf: agg.agg_extended_stats(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4): ES numeric histogram agg (floor-interval bucket keys)
+        "agg_histogram": lambda spark, sf: agg.agg_histogram(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4): ES _termvectors API — one doc's (term, freq, pos)
+        # computed on the fly; the doc_id predicate reaches the scan
+        "doc_termvectors": lambda spark, sf: agg.doc_termvectors(
+            load_corpus(spark, sf), doc_id=7
+        ),
         # NEW (r4): ES pipeline aggregations over the date_histogram —
         # cumulative_sum / derivative / moving_fn on axis-sized buckets
         "timeline_pipeline": lambda spark, sf: agg.timeline_pipeline(
@@ -590,6 +615,11 @@ FROM corpus ORDER BY doc_id
         "sim_pq_encode": sim.pq_encode_sql(),
         "sim_pq_adc_topk": sim.pq_adc_topk_sql(query_vec_id=7, k=10),
         "sim_ivfpq_topk": sim.ivfpq_topk_sql(query_vec_id=7, k=5, nprobe=2),
+        "rare_terms": facets.rare_terms_sql(max_doc_count=100, k=20),
+        "agg_filters": facets.agg_filters_sql(),
+        "agg_extended_stats": agg.AGG_EXTENDED_STATS_SQL,
+        "agg_histogram": agg.agg_histogram_sql(),
+        "doc_termvectors": agg.doc_termvectors_sql(7),
         "timeline_pipeline": agg.timeline_pipeline_sql(),
         "fuzzy_term_topk": expandq.fuzzy_term_topk_sql("mergge", k=10),
         "regexp_topk": expandq.regexp_topk_sql("sc[ab].*", k=10),

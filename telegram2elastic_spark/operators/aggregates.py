@@ -396,3 +396,121 @@ SELECT hour, n_docs,
 FROM buckets
 ORDER BY hour
 """
+
+
+def agg_extended_stats(corpus: DataFrame) -> DataFrame:
+    """ES `extended_stats` metric aggregation per lang: count / min /
+    max / sum / avg / population variance+stddev of document length.
+    One hash aggregate, all moments map-side-combinable (sum, sum of
+    squares) — the distributed-moments shape ES uses.  Variance is
+    computed from the raw moments (E[x^2] - E[x]^2) IDENTICALLY in both
+    engines and rounded, so the oracle hash is stable where a builtin
+    var_pop's summation order would not be."""
+    n = F.count(F.lit(1)).cast("double")
+    s = F.sum(F.col("n_chars").cast("double"))
+    s2 = F.sum(F.col("n_chars").cast("double") * F.col("n_chars"))
+    var = s2 / n - (s / n) * (s / n)
+    return (
+        corpus.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(s / n, 4).alias("avg_chars"),
+            F.round(var, 4).alias("var_chars"),
+            F.round(F.sqrt(var), 4).alias("std_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+AGG_EXTENDED_STATS_SQL = """
+SELECT lang,
+       count(*) AS cnt,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(sum(CAST(n_chars AS DOUBLE)) / count(*), 4) AS avg_chars,
+       round(sum(CAST(n_chars AS DOUBLE) * n_chars) / count(*)
+             - (sum(CAST(n_chars AS DOUBLE)) / count(*))
+               * (sum(CAST(n_chars AS DOUBLE)) / count(*)), 4) AS var_chars,
+       round(sqrt(sum(CAST(n_chars AS DOUBLE) * n_chars) / count(*)
+             - (sum(CAST(n_chars AS DOUBLE)) / count(*))
+               * (sum(CAST(n_chars AS DOUBLE)) / count(*))), 4) AS std_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def agg_histogram(corpus: DataFrame, interval: int = 100) -> DataFrame:
+    """ES numeric `histogram` aggregation: doc-length buckets of fixed
+    `interval` (key = floor(n/interval)*interval, ES bucket-key rule) —
+    one map-side-combinable hash aggregate."""
+    key = (F.floor(F.col("n_chars") / int(interval)) * int(interval)).cast(
+        "long"
+    )
+    return (
+        corpus.groupBy(key.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def agg_histogram_sql(interval: int = 100) -> str:
+    return f"""
+SELECT CAST(floor(n_chars / {int(interval)}) * {int(interval)} AS BIGINT)
+           AS bucket,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def doc_termvectors(corpus: DataFrame, doc_id: int = 7) -> DataFrame:
+    """ES `_termvectors` API: one document's (term, freq, first_position)
+    vector, computed on the fly from the stored text exactly like ES does
+    when term vectors aren't indexed.  The doc_id predicate is pushed to
+    the scan — one document is tokenized, never the corpus."""
+    from ..functions.tokenizer import tokens
+
+    return (
+        corpus.filter(F.col("doc_id") == int(doc_id))
+        .select(F.posexplode(tokens("text")).alias("pos0", "term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            (F.min("pos0") + 1).alias("first_pos"),
+        )
+        .orderBy("term")
+    )
+
+
+def doc_termvectors_sql(doc_id: int = 7) -> str:
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT t.term, t.pos
+  FROM (
+    SELECT list_filter(regexp_split_to_array(lower(text),
+               '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
+    FROM corpus WHERE doc_id = {int(doc_id)}
+  ), LATERAL (
+    SELECT unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+  ) t
+)
+SELECT term,
+       count(*) AS freq,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM toks
+GROUP BY term
+ORDER BY term
+"""

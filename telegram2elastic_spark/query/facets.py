@@ -350,3 +350,96 @@ SELECT strftime(axis.hr, '%Y-%m-%d %H:00') AS hour,
 FROM axis LEFT JOIN counts ON axis.hr = counts.hr
 ORDER BY hour
 """
+
+
+def rare_terms(
+    corpus: DataFrame,
+    max_doc_count: int = 2,
+    k: int = 20,
+    index: dict | None = None,
+) -> DataFrame:
+    """ES `rare_terms` aggregation: the long-tail terms with document
+    frequency <= max_doc_count, rarest first (df asc, term asc), capped
+    at k.  With `index`, served straight from the term dictionary (df
+    materialized at build — zero corpus touches, the ES shape where the
+    agg walks the terms dict); without, one tokenize+agg pass.
+
+    Scale note: ES implements this with a CuckooFilter because its terms
+    agg shards can't see global df; the engine's term_dict IS the global
+    df table, so the exact answer is a vocab-sized filter + TakeOrdered."""
+    if index is not None:
+        df = index["term_dict"].select("term", "df")
+    else:
+        df = (
+            corpus.select(
+                F.explode(F.array_distinct(tokens("text"))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+    return (
+        df.filter(F.col("df") <= int(max_doc_count))
+        .orderBy("df", "term")
+        .limit(int(k))
+    )
+
+
+def rare_terms_sql(max_doc_count: int = 2, k: int = 20) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tdf AS (
+  SELECT term, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+        t -> t <> ''))) AS term
+    FROM corpus
+  ) GROUP BY term
+)
+SELECT term, df FROM tdf
+WHERE df <= {max_doc_count}
+ORDER BY df, term
+LIMIT {k}
+"""
+
+
+def agg_filters(
+    corpus: DataFrame, filters: dict[str, str] | None = None
+) -> DataFrame:
+    """ES `filters` aggregation: named buckets from arbitrary predicates,
+    all counted in ONE pass (sum of conditional 1s — a single scan, no
+    per-bucket jobs), plus the ES `other_bucket`.  Default buckets mirror
+    a dashboard: short/long docs and english."""
+    if filters is None:
+        filters = DEFAULT_FILTERS
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(name)
+        for name, pred in sorted(filters.items())
+    ]
+    other = " AND ".join(f"NOT ({p})" for p in sorted(filters.values()))
+    aggs.append(
+        F.sum(F.expr(f"CASE WHEN {other} THEN 1 ELSE 0 END")).alias("other")
+    )
+    return corpus.agg(*aggs)
+
+
+DEFAULT_FILTERS = {
+    "english": "lang = 'en'",
+    "long_doc": "n_chars >= 400",
+    "short_doc": "n_chars < 150",
+}
+
+
+def agg_filters_sql(filters: dict[str, str] | None = None) -> str:
+    if filters is None:
+        filters = DEFAULT_FILTERS
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, pred in sorted(filters.items())
+    )
+    other = " AND ".join(f"NOT ({p})" for p in sorted(filters.values()))
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT {cols},
+       CAST(sum(CASE WHEN {other} THEN 1 ELSE 0 END) AS BIGINT) AS other
+FROM corpus
+"""

@@ -270,3 +270,33 @@ def test_timeline_pipeline_semantics(spark, sf_dir):
         lo = max(0, i - 2)
         win = [x["n_docs"] for x in rows[lo : i + 1]]
         assert abs(r["moving_avg"] - round(sum(win) / len(win), 4)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# rare_terms + filters agg
+
+
+def test_rare_terms_index_matches_relational_and_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.index.build import build_index
+
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, n_doc_parts=8)
+    a = [tuple(r) for r in facets.rare_terms(corpus, 100, 20).collect()]
+    b = [
+        tuple(r)
+        for r in facets.rare_terms(corpus, 100, 20, index=idx).collect()
+    ]
+    assert a == b and len(a) >= 1  # the corpus has a genuine tail term
+    want = duck.execute(facets.rare_terms_sql(100, 20)).df()
+    assert_same(facets.rare_terms(corpus, 100, 20, index=idx), want)
+
+
+def test_agg_filters_matches_oracle_and_totals(spark, duck, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    want = duck.execute(facets.agg_filters_sql()).df()
+    assert_same(facets.agg_filters(corpus), want)
+    row = facets.agg_filters(corpus).collect()[0]
+    # named buckets may overlap; `other` counts docs matching none
+    n = corpus.count()
+    assert 0 <= row["other"] <= n
+    assert row["english"] + row["other"] <= n + row["long_doc"] + row["short_doc"]

@@ -172,3 +172,16 @@ def test_tombstoned_docs_never_surface_in_wand_or_phrase(spark, sf_dir, tmp_path
     assert [(r["doc_id"], r["score"]) for r in batch] == [
         (r["doc_id"], r["score"]) for r in hits
     ]
+
+
+def test_doc_termvectors_pushes_doc_id(spark, sf_dir):
+    """_termvectors must tokenize one document: the doc_id equality
+    reaches the parquet scan as a pushed filter."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.operators import aggregates as agg
+
+    corpus = load_corpus(spark, sf_dir)
+    plan = agg.doc_termvectors(corpus, 7)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(doc_id,7)" in plan
