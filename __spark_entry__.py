@@ -25,6 +25,7 @@ from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
 from telegram2elastic_spark.query import bm25, collapse, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
 from telegram2elastic_spark.query import expand as expandq
+from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
 
@@ -132,6 +133,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-derived k-minimum-values, identical estimate in both engines
         "agg_cardinality": lambda spark, sf: agg.agg_cardinality_kmv(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4): ES/Kibana query_string mini-language — parse +
+        # dispatch onto the verified WAND/compound paths
+        "query_string_topk": lambda spark, sf: qstr.query_string_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            "spark merge -vector", k=10,
+        ),
+        "query_string_phrase": lambda spark, sf: qstr.query_string_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            'spark "merge batch"~1', k=10,
         ),
         # NEW (r4): ES rare_terms — long-tail terms straight from the
         # term dictionary (df materialized at build; zero corpus touches)
@@ -615,6 +626,8 @@ FROM corpus ORDER BY doc_id
         "sim_pq_encode": sim.pq_encode_sql(),
         "sim_pq_adc_topk": sim.pq_adc_topk_sql(query_vec_id=7, k=10),
         "sim_ivfpq_topk": sim.ivfpq_topk_sql(query_vec_id=7, k=5, nprobe=2),
+        "query_string_topk": qstr.query_string_sql("spark merge -vector", k=10),
+        "query_string_phrase": qstr.query_string_sql('spark "merge batch"~1', k=10),
         "rare_terms": facets.rare_terms_sql(max_doc_count=100, k=20),
         "agg_filters": facets.agg_filters_sql(),
         "agg_extended_stats": agg.AGG_EXTENDED_STATS_SQL,

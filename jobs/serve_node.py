@@ -125,6 +125,14 @@ def main() -> None:
             return lq.prefix_topk_local(idx, req["q"], k=k)
         if op == "wildcard":
             return lq.wildcard_topk_local(idx, req["q"], k=k)
+        if op == "qs":
+            from telegram2elastic_spark.query.querystring import (
+                query_string_topk_local,
+            )
+
+            return query_string_topk_local(
+                idx, req["q"], k=k, doc_filter=req.get("doc_filter")
+            )
         if op == "fuzzyterm":
             return lq.fuzzy_term_topk_local(
                 idx, req["q"], k=k,

@@ -182,3 +182,63 @@ def test_compound_batch_matches_single(spark, sf_dir, pindex):
             ).collect()
         ]
         assert by_q.get(qid, []) == want, qid
+
+
+# ---------------------------------------------------------------------------
+# query_string mini-language
+
+
+def test_query_string_parse():
+    from telegram2elastic_spark.query.querystring import parse_query_string
+
+    p = parse_query_string('Spark sc* -Vector "Merge Batch"~2 data')
+    assert p.terms == ["spark", "data"]
+    assert p.prefixes == ["sc"]
+    assert p.must_not == ["vector"]
+    assert p.phrases == [(["merge", "batch"], 2)]
+
+
+def test_query_string_rejects_out_of_subset():
+    import pytest as _pytest
+
+    from telegram2elastic_spark.query.querystring import parse_query_string
+
+    for bad in ["title:spark", "a AND b", '-"negated phrase"', "-pre*"]:
+        with _pytest.raises(ValueError):
+            parse_query_string(bad)
+
+
+def test_query_string_dispatch_matches_underlying(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query import querystring as qs
+    from telegram2elastic_spark.query.expand import expand_prefix
+    from telegram2elastic_spark.query.wand import wand_topk
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    # prefix path == expand + wand
+    a = [tuple(r) for r in qs.query_string_topk(idx, "merge sc*", k=10).collect()]
+    terms = sorted(set(["merge"] + expand_prefix(idx, "sc")))
+    b = [tuple(r) for r in wand_topk(idx, terms, k=10).collect()]
+    assert a == b
+    # must_not path == wand exclude
+    c = [tuple(r) for r in qs.query_string_topk(idx, "the data -vector", k=10).collect()]
+    d = [tuple(r) for r in wand_topk(
+        idx, ["data", "the"], k=10, exclude_terms=["vector"]
+    ).collect()]
+    assert c == d
+
+
+def test_query_string_local_matches_spark(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query import querystring as qs
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4, positions=True)
+    for q in ["spark merge -vector", 'spark "merge batch"~1', "merge sc*"]:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in qs.query_string_topk(idx, q, k=10).collect()
+        ]
+        got = [(t[0], t[-1]) for t in qs.query_string_topk_local(idx, q, k=10)]
+        assert got == want, q
