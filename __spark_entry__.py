@@ -91,6 +91,25 @@ def _q_wand_after(terms, k=10):
     return run
 
 
+def _q_scan_recent_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-terminated newest-first scan over the time-sorted store
+    (query/docstore.py) — row-identical to the relational scan_recent."""
+    import tempfile
+
+    from telegram2elastic_spark.query.docstore import (
+        scan_recent_local,
+        write_time_sorted_store,
+    )
+
+    d = tempfile.mkdtemp(prefix="tstore_")
+    path = write_time_sorted_store(load_corpus(spark, sf_dir), d)
+    rows = [
+        (doc_id, url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"))
+        for doc_id, url, ts in scan_recent_local(path, k=25)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, ts string")
+
+
 def _q_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -134,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cardinality": lambda spark, sf: agg.agg_cardinality_kmv(
             load_corpus(spark, sf)
         ),
+        # NEW (r4): ES index sorting (index.sort.field: warc_ts desc) —
+        # "latest N" served by an early-terminated scan over the
+        # time-sorted store (row groups read newest-first, stop at k)
+        "scan_recent_indexed": _q_scan_recent_indexed,
         # NEW (r4): ES/Kibana query_string mini-language — parse +
         # dispatch onto the verified WAND/compound paths
         "query_string_topk": lambda spark, sf: qstr.query_string_topk(
@@ -626,6 +649,11 @@ FROM corpus ORDER BY doc_id
         "sim_pq_encode": sim.pq_encode_sql(),
         "sim_pq_adc_topk": sim.pq_adc_topk_sql(query_vec_id=7, k=10),
         "sim_ivfpq_topk": sim.ivfpq_topk_sql(query_vec_id=7, k=5, nprobe=2),
+        "scan_recent_indexed": f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, url, strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
+FROM corpus ORDER BY warc_ts DESC, doc_id ASC LIMIT 25
+""",
         "query_string_topk": qstr.query_string_sql("spark merge -vector", k=10),
         "query_string_phrase": qstr.query_string_sql('spark "merge batch"~1', k=10),
         "rare_terms": facets.rare_terms_sql(max_doc_count=100, k=20),

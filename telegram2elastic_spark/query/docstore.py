@@ -94,3 +94,55 @@ def fetch_docs_local(
 def resolve_doc_store(index: dict, doc_store: str | None) -> str | None:
     """Explicit path wins; else the store discovered by read_index."""
     return doc_store if doc_store is not None else index.get("_doc_store_dir")
+
+
+def write_time_sorted_store(corpus, out_dir: str, n_files: int = 8) -> str:
+    """ES index-sorting analogue (`index.sort.field: warc_ts desc`): a
+    second stored layout ordered newest-first, so "latest N documents"
+    terminates after the first row group(s) instead of sorting the
+    corpus.  Range-partitioned descending on (warc_ts, doc_id): file 0
+    holds the newest documents, and within a file row groups are
+    time-ordered — a top-N scan touches O(N) rows at any corpus size.
+    Returns the store path."""
+    from pyspark.sql import functions as F
+
+    from ..index.build import DOC_STORE_COLS
+
+    path = f"{out_dir}/doc_store_by_time"
+    (
+        corpus.select(*DOC_STORE_COLS)
+        .repartitionByRange(n_files, F.desc("warc_ts"), F.asc("doc_id"))
+        .sortWithinPartitions(F.desc("warc_ts"), F.asc("doc_id"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", 128 << 10)
+        .parquet(path)
+    )
+    return path
+
+
+def scan_recent_local(
+    store_dir: str, k: int = 25, _stats: dict | None = None
+) -> list[tuple]:
+    """[(doc_id, url, warc_ts)] newest-first — the early-terminated scan
+    over the time-sorted store: fragments are read in partition order
+    (file 0 = newest) and reading STOPS once k rows are in hand, so the
+    cost is O(k), not O(corpus).  Spark files are named part-NNNNN in
+    range-partition order, which IS the time order here."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    files = sorted(ds.dataset(store_dir, format="parquet").files)
+    rows: list[dict] = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(rg, columns=["doc_id", "url", "warc_ts"])
+            rows.extend(tbl.to_pylist())
+            if len(rows) >= k:
+                break
+        if len(rows) >= k:
+            break
+    if _stats is not None:
+        _stats["rows_scanned"] = len(rows)
+    rows.sort(key=lambda r: (r["warc_ts"], -r["doc_id"]), reverse=True)
+    return [(r["doc_id"], r["url"], r["warc_ts"]) for r in rows[: int(k)]]

@@ -286,3 +286,33 @@ def test_py_levenshtein_matches_spark(spark):
     )
     got = [r["d"] for r in df.collect()]
     assert got == [lq._levenshtein(a, b) for a, b in pairs]
+
+
+# ---------------------------------------------------------------------------
+# time-sorted store: early-terminated newest-first scan (index sorting)
+
+
+def test_scan_recent_local_matches_relational(spark, sf_dir, tmp_path):
+    from telegram2elastic_spark.query.docstore import (
+        scan_recent_local,
+        write_time_sorted_store,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    path = write_time_sorted_store(corpus, str(tmp_path), n_files=4)
+    from pyspark.sql import functions as F
+
+    want = [
+        (r["doc_id"], r["url"])
+        for r in corpus.orderBy(F.desc("warc_ts"), F.asc("doc_id"))
+        .limit(25)
+        .select("doc_id", "url")
+        .collect()
+    ]
+    stats: dict = {}
+    got = scan_recent_local(path, k=25, _stats=stats)
+    assert [(d, u) for d, u, _ in got] == want
+    # early termination: touched rows are a small multiple of k (the
+    # first row group(s)), never the corpus
+    assert stats["rows_scanned"] < corpus.count() / 2
+    assert stats["rows_scanned"] >= 25
