@@ -460,6 +460,28 @@ def main() -> None:
                 eidx, corpus, ["spark", "merge"], k=10
             ),
         )
+        from telegram2elastic_spark.query.querystring import (
+            query_string_topk_local,
+        )
+
+        timed_local(
+            "query_string_ms",
+            lambda: query_string_topk_local(eidx, "spark merge -vector", k=10),
+        )
+        timed_local(
+            "fuzzy_term_ms",
+            lambda: lqp.fuzzy_term_topk_local(eidx, "mergge", k=10),
+        )
+        timed_local(
+            "regexp_ms",
+            lambda: lqp.regexp_topk_local(eidx, "sc[ab].*", k=10),
+        )
+        timed_local(
+            "dis_max_ms",
+            lambda: lqp.dis_max_topk_local(
+                fidx, {"text": 1.0, "url": 2.0}, ["spark", "page"], k=10
+            ),
+        )
         # Same three ops over the stored-fields store: the doc fetch is a
         # driver-local pyarrow point read (query/docstore.py), no Spark
         # job in the loop at all.  doc-cache cleared between reps so the
