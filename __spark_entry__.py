@@ -25,6 +25,7 @@ from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
 from telegram2elastic_spark.query import bm25, collapse, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
 from telegram2elastic_spark.query import expand as expandq
+from telegram2elastic_spark.query import funcscore as fscore
 from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -134,6 +135,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 4): ES range agg — overlapping [from, to)
+        # buckets via a broadcast non-equi join against the k-row ranges
+        # table (one scan; docs fan out to every containing bucket)
+        "agg_range": lambda spark, sf: facets.agg_range(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES date_range agg — same overlap semantics
+        # on warc_ts, min/max sub-aggs per window
+        "agg_date_range": lambda spark, sf: facets.agg_date_range(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES adjacency_matrix — singles + pairwise
+        # intersections in ONE conditional-sum scan, unpivoted driver-side
+        "agg_adjacency_matrix": lambda spark, sf: facets.agg_adjacency_matrix(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES diversified_sampler + terms sub-agg —
+        # per-lang capped, relevance-ordered sample of shard_size docs
+        "sampler_diversified": lambda spark, sf: facets.sampler_diversified(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES function_score — BM25 * gauss recency
+        # decay (boost_mode=multiply), served from the compressed index
+        # (per-salt kernel computes the combined score on cogrouped
+        # doc-values; exact TakeOrdered merge)
+        "function_score_recency": lambda spark, sf: fscore.function_score_topk(
+            load_corpus(spark, sf), Q_MAIN, k=10,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
+        # NEW (r4, session 4): function_score with a second function —
+        # field_value_factor (log1p modifier) on doc_len, score_mode=multiply
+        "function_score_fvf": lambda spark, sf: fscore.function_score_topk(
+            load_corpus(spark, sf), Q_MAIN, k=10, fvf_factor=0.5,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
+        # NEW (r4, session 4): ES bucket_script + bucket_selector pipeline
+        # aggs — per-bucket ratio script, min-docs selector, one scan
+        "timeline_bucket_script": lambda spark, sf: agg.timeline_bucket_script(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4): ES composite aggregation — bucket pagination by
         # after-key (page 1 + a page resumed from a cursor); the cursor
         # is a key predicate pushed beneath the aggregate, not an offset
@@ -640,6 +681,15 @@ FROM corpus ORDER BY doc_id
         "compound_slop_topk": compound.compound_topk_sql(
             ["spark"], ["merge", "batch"], k=10, slop=1
         ),
+        "function_score_recency": fscore.function_score_sql(Q_MAIN, k=10),
+        "function_score_fvf": fscore.function_score_sql(
+            Q_MAIN, k=10, fvf_factor=0.5
+        ),
+        "agg_range": facets.agg_range_sql(),
+        "agg_date_range": facets.agg_date_range_sql(),
+        "agg_adjacency_matrix": facets.agg_adjacency_matrix_sql(),
+        "sampler_diversified": facets.sampler_diversified_sql(),
+        "timeline_bucket_script": agg.timeline_bucket_script_sql(),
         "facets_composite": facets.facets_composite_sql(size=10),
         "facets_composite_after": facets.facets_composite_sql(
             size=10, after=("en", "src3")

@@ -514,3 +514,62 @@ FROM toks
 GROUP BY term
 ORDER BY term
 """
+
+
+def timeline_bucket_script(
+    corpus: DataFrame, needle: str = "merge", min_docs: int = 50
+) -> DataFrame:
+    """ES `bucket_script` + `bucket_selector` pipeline aggs over an
+    hourly date_histogram: each bucket carries total docs and docs whose
+    text contains `needle`; bucket_script computes the per-bucket ratio
+    match_docs / n_docs, bucket_selector drops buckets with fewer than
+    `min_docs` docs (the ES "hide noise hours" dashboard pattern).
+
+    Scale shape: ONE corpus scan — the needle sub-count is a conditional
+    sum inside the same map-side hash aggregate as the parent histogram;
+    script and selector run on axis-sized bucket rows (no second pass,
+    no window needed since the script references only its own bucket).
+    The ratio divides two exact integer counts, so both engines produce
+    the identical double."""
+    return (
+        corpus.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "warc_ts"), "yyyy-MM-dd HH:00"
+            ).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.lower(F.col("text")).contains(needle.lower()), 1
+                ).otherwise(0)
+            ).alias("match_docs"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+        .withColumn(
+            "match_ratio",
+            F.round(F.col("match_docs") / F.col("n_docs"), 6),
+        )
+        .orderBy("hour")
+    )
+
+
+def timeline_bucket_script_sql(
+    needle: str = "merge", min_docs: int = 50
+) -> str:
+    nl = needle.replace("'", "''").lower()
+    return f"""
+WITH {CORPUS_CTE.strip()},
+buckets AS (
+  SELECT strftime(date_trunc('hour', warc_ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN contains(lower(text), '{nl}') THEN 1 ELSE 0 END)
+              AS BIGINT) AS match_docs
+  FROM corpus GROUP BY 1
+)
+SELECT hour, n_docs, match_docs,
+       round(match_docs / CAST(n_docs AS DOUBLE), 6) AS match_ratio
+FROM buckets
+WHERE n_docs >= {int(min_docs)}
+ORDER BY hour
+"""

@@ -443,3 +443,271 @@ SELECT {cols},
        CAST(sum(CASE WHEN {other} THEN 1 ELSE 0 END) AS BIGINT) AS other
 FROM corpus
 """
+
+
+# --- ES range / date_range aggregations -------------------------------------
+# ES `range` buckets may OVERLAP (a doc lands in every bucket whose
+# [from, to) interval contains its value) — so the implementation is a
+# broadcast non-equi join against the tiny ranges table (one corpus scan,
+# each doc fans out only to its matching buckets), not a CASE bucketizer.
+# Default ranges deliberately overlap to exercise that semantics.
+DEFAULT_RANGES = [
+    ("*-200", None, 200),
+    ("100-400", 100, 400),
+    ("300-*", 300, None),
+]
+
+
+def agg_range(
+    corpus: DataFrame,
+    ranges: list[tuple[str, int | None, int | None]] | None = None,
+) -> DataFrame:
+    """ES `range` aggregation over n_chars: (key, r_from, r_to, cnt,
+    avg_chars) per bucket, [from, to) half-open like ES, overlapping
+    buckets allowed.  Scale shape: broadcast the k-row ranges table, one
+    scan + one hash agg on the bucket key."""
+    if ranges is None:
+        ranges = DEFAULT_RANGES
+    spark = corpus.sparkSession
+    rdf = spark.createDataFrame(
+        [(k, f, t) for k, f, t in ranges], "key string, r_from int, r_to int"
+    )
+    cond = (
+        (F.col("r_from").isNull() | (F.col("n_chars") >= F.col("r_from")))
+        & (F.col("r_to").isNull() | (F.col("n_chars") < F.col("r_to")))
+    )
+    return (
+        corpus.select("n_chars")
+        .join(F.broadcast(rdf), cond, "inner")
+        .groupBy("key", "r_from", "r_to")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy(F.asc_nulls_first("r_from"), "key")
+    )
+
+
+def agg_range_sql(
+    ranges: list[tuple[str, int | None, int | None]] | None = None,
+) -> str:
+    if ranges is None:
+        ranges = DEFAULT_RANGES
+    vals = ", ".join(
+        "('" + k.replace("'", "''") + "', "
+        + ("NULL" if f is None else str(f)) + ", "
+        + ("NULL" if t is None else str(t)) + ")"
+        for k, f, t in ranges
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+ranges(key, r_from, r_to) AS (VALUES {vals})
+SELECT r.key, r.r_from, r.r_to, count(*) AS cnt,
+       round(avg(c.n_chars), 4) AS avg_chars
+FROM corpus c JOIN ranges r
+  ON (r.r_from IS NULL OR c.n_chars >= r.r_from)
+ AND (r.r_to   IS NULL OR c.n_chars <  r.r_to)
+GROUP BY r.key, r.r_from, r.r_to
+ORDER BY r.r_from NULLS FIRST, r.key
+"""
+
+
+# Minute-scale boundaries so every bucket is populated (and the overlap
+# exercised) at every driver sf — the sf0.001 corpus spans ~31 minutes.
+DEFAULT_DATE_RANGES = [
+    ("early", None, "2022-01-01 00:20:00"),
+    ("mid", "2022-01-01 00:10:00", "2022-01-01 00:40:00"),
+    ("late", "2022-01-01 00:30:00", None),
+]
+
+
+def agg_date_range(
+    corpus: DataFrame,
+    ranges: list[tuple[str, str | None, str | None]] | None = None,
+) -> DataFrame:
+    """ES `date_range` aggregation over warc_ts — same overlapping
+    [from, to) semantics as `agg_range`, boundaries absolute timestamps
+    (ES date-math like `now-1d/d` resolves to these before bucketing).
+    Emits the bucket doc count plus the bucket's actual min/max ts (the
+    ES min/max sub-aggs a dashboard shows per window)."""
+    if ranges is None:
+        ranges = DEFAULT_DATE_RANGES
+    spark = corpus.sparkSession
+    rdf = spark.createDataFrame(
+        [(k, f, t) for k, f, t in ranges],
+        "key string, r_from string, r_to string",
+    ).select(
+        "key",
+        F.col("r_from").cast("timestamp").alias("r_from"),
+        F.col("r_to").cast("timestamp").alias("r_to"),
+    )
+    cond = (
+        (F.col("r_from").isNull() | (F.col("warc_ts") >= F.col("r_from")))
+        & (F.col("r_to").isNull() | (F.col("warc_ts") < F.col("r_to")))
+    )
+    return (
+        corpus.select("warc_ts")
+        .join(F.broadcast(rdf), cond, "inner")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.date_format(F.min("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("first_ts"),
+            F.date_format(F.max("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .alias("last_ts"),
+        )
+        .orderBy("key")
+    )
+
+
+def agg_date_range_sql(
+    ranges: list[tuple[str, str | None, str | None]] | None = None,
+) -> str:
+    if ranges is None:
+        ranges = DEFAULT_DATE_RANGES
+    vals = ", ".join(
+        "('" + k.replace("'", "''") + "', "
+        + ("CAST(NULL AS TIMESTAMP)" if f is None else f"TIMESTAMP '{f}'")
+        + ", "
+        + ("CAST(NULL AS TIMESTAMP)" if t is None else f"TIMESTAMP '{t}'")
+        + ")"
+        for k, f, t in ranges
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+ranges(key, r_from, r_to) AS (VALUES {vals})
+SELECT r.key, count(*) AS cnt,
+       strftime(min(c.warc_ts), '%Y-%m-%dT%H:%M:%SZ') AS first_ts,
+       strftime(max(c.warc_ts), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
+FROM corpus c JOIN ranges r
+  ON (r.r_from IS NULL OR c.warc_ts >= r.r_from)
+ AND (r.r_to   IS NULL OR c.warc_ts <  r.r_to)
+GROUP BY r.key
+ORDER BY r.key
+"""
+
+
+# --- ES adjacency_matrix aggregation ----------------------------------------
+def agg_adjacency_matrix(
+    corpus: DataFrame, filters: dict[str, str] | None = None
+) -> DataFrame:
+    """ES `adjacency_matrix`: doc counts for every named filter and every
+    pairwise intersection ("a&b" keys, ES's separator), empty buckets
+    dropped.  ONE corpus scan: each filter becomes a conditional-sum
+    column (singles = sum(p), pairs = sum(p AND q)) in a single hash agg
+    — no per-bucket jobs, no self-join; the k*(k+1)/2 output cells are
+    unpivoted from the 1-row aggregate driver-side (k is tiny)."""
+    if filters is None:
+        filters = DEFAULT_FILTERS
+    names = sorted(filters)
+    cells: list[tuple[str, str]] = [(n, filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", f"({filters[a]}) AND ({filters[b]})"))
+    aggs = [
+        F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")).alias(f"c{i}")
+        for i, (_n, pred) in enumerate(cells)
+    ]
+    wide = corpus.agg(*aggs)
+    stack = ", ".join(
+        "'" + n.replace("'", "''") + f"', c{i}" for i, (n, _p) in enumerate(cells)
+    )
+    return (
+        wide.select(
+            F.expr(f"stack({len(cells)}, {stack}) AS (key, cnt)")
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy("key")
+    )
+
+
+def agg_adjacency_matrix_sql(filters: dict[str, str] | None = None) -> str:
+    if filters is None:
+        filters = DEFAULT_FILTERS
+    names = sorted(filters)
+    cells = [(n, filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", f"({filters[a]}) AND ({filters[b]})"))
+    cols = ",\n       ".join(
+        f"sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS c{i}"
+        for i, (_n, pred) in enumerate(cells)
+    )
+    sels = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS key, c{i} AS cnt FROM wide"
+        for i, (n, _p) in enumerate(cells)
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+wide AS (SELECT {cols} FROM corpus)
+SELECT key, CAST(cnt AS BIGINT) AS cnt FROM ({sels})
+WHERE cnt > 0
+ORDER BY key
+"""
+
+
+# --- ES diversified_sampler aggregation -------------------------------------
+def sampler_diversified(
+    corpus: DataFrame,
+    q: str | None = "merge",
+    shard_size: int = 100,
+    max_per_lang: int = 20,
+) -> DataFrame:
+    """ES `diversified_sampler` (+ a terms sub-agg): take the best
+    `shard_size` hits by relevance while admitting at most `max_per_lang`
+    docs per lang (the diversity field), then aggregate per-lang counts
+    and mean score over the SAMPLE — "what does a relevance-biased,
+    de-skewed sample look like".
+
+    Scale shape: the per-lang cap is a Window partitioned by the
+    diversity key (rank never crosses lang partitions — one shuffle on
+    lang); the global shard_size cut is a TakeOrdered over the capped
+    survivors (<= n_langs * max_per_lang rows); the sub-agg runs on
+    <= shard_size rows driver-adjacent.  Deterministic: relevance is the
+    engine score, ties by doc_id asc."""
+    from pyspark.sql import Window
+
+    # min_score=0.0 drops NULL-score docs (ES docs with no relevance do
+    # not enter the sampler) — and pins the Spark/DuckDB NULL-sort corner
+    df = search_filtered(corpus, q, 0.0)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    sample = (
+        df.select("lang", "doc_id", "score")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(max_per_lang))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(shard_size))
+    )
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sampler_diversified_sql(
+    q: str | None = "merge", shard_size: int = 100, max_per_lang: int = 20
+) -> str:
+    where = _filters_sql(q, 0.0, None)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+fset AS (SELECT * FROM scored WHERE {where}),
+capped AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (
+             PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+  FROM fset
+),
+sample AS (
+  SELECT lang, doc_id, score FROM capped
+  WHERE rn <= {max_per_lang}
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {shard_size}
+)
+SELECT lang, count(*) AS cnt, round(avg(score), 4) AS avg_score
+FROM sample GROUP BY lang ORDER BY lang
+"""
