@@ -27,6 +27,7 @@ from telegram2elastic_spark.query import bm25, collapse, compound, explain, face
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.query import funcscore as fscore
 from telegram2elastic_spark.query import querystring as qstr
+from telegram2elastic_spark.query import termset as tset
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
 
@@ -155,6 +156,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-lang capped, relevance-ordered sample of shard_size docs
         "sampler_diversified": lambda spark, sf: facets.sampler_diversified(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES terms_set — per-document
+        # minimum_should_match_field threshold, index-served
+        "terms_set_topk": lambda spark, sf: tset.terms_set_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            ["the", "data", "row", "merge"], k=10,
+        ),
+        # NEW (r4, session 4): Lucene SynonymQuery — analyzer synonym
+        # groups scored as pseudo-terms (tf = member sum, df = member max)
+        "synonym_topk": lambda spark, sf: tset.synonym_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            [["spark"], ["merge", "batch"]], k=10,
         ),
         # NEW (r4, session 4): ES function_score — BM25 * gauss recency
         # decay (boost_mode=multiply), served from the compressed index
@@ -680,6 +693,12 @@ FROM corpus ORDER BY doc_id
         ),
         "compound_slop_topk": compound.compound_topk_sql(
             ["spark"], ["merge", "batch"], k=10, slop=1
+        ),
+        "terms_set_topk": tset.terms_set_sql(
+            ["the", "data", "row", "merge"], k=10
+        ),
+        "synonym_topk": tset.synonym_topk_sql(
+            [["spark"], ["merge", "batch"]], k=10
         ),
         "function_score_recency": fscore.function_score_sql(Q_MAIN, k=10),
         "function_score_fvf": fscore.function_score_sql(
