@@ -27,6 +27,7 @@ from telegram2elastic_spark.query import bm25, collapse, compound, explain, face
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.query import funcscore as fscore
 from telegram2elastic_spark.query import querystring as qstr
+from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
 from telegram2elastic_spark.streaming import windows as win
 from telegram2elastic_spark.query.wand import wand_topk
@@ -156,6 +157,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-lang capped, relevance-ordered sample of shard_size docs
         "sampler_diversified": lambda spark, sf: facets.sampler_diversified(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES matrix_stats — cross-field covariance /
+        # correlation from one map-side-combinable raw-moments aggregate
+        "matrix_stats": lambda spark, sf: agg.matrix_stats(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES auto_date_histogram — ladder interval
+        # chosen from the global bounds (1-row agg), then one histogram
+        "auto_date_histogram": lambda spark, sf: facets.auto_date_histogram(
+            load_corpus(spark, sf), target_buckets=20
+        ),
+        # NEW (r4, session 4): ES sliced scroll — hash-sliced parallel
+        # export scan, slice predicate pushed to the scan
+        "scan_sliced": lambda spark, sf: search.scan_sliced(
+            load_corpus(spark, sf), slice_id=2, max_slices=5, limit=100
+        ),
+        # NEW (r4, session 4): ES span_first — term within the first N
+        # tokens, scored as a pseudo-term off the positional postings
+        "span_first_topk": lambda spark, sf: spans.span_first_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            "spark", end=12, k=10,
+        ),
+        # NEW (r4, session 4): ES span_near(in_order=false) — unordered
+        # co-occurrence window, anchor-count sloppy frequency
+        "span_near_topk": lambda spark, sf: spans.span_near_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["merge", "batch"], slop=2, k=10,
         ),
         # NEW (r4, session 4): ES terms_set — per-document
         # minimum_should_match_field threshold, index-served
@@ -694,6 +722,11 @@ FROM corpus ORDER BY doc_id
         "compound_slop_topk": compound.compound_topk_sql(
             ["spark"], ["merge", "batch"], k=10, slop=1
         ),
+        "matrix_stats": agg.matrix_stats_sql(),
+        "auto_date_histogram": facets.auto_date_histogram_sql(target_buckets=20),
+        "scan_sliced": search.scan_sliced_sql(slice_id=2, max_slices=5, limit=100),
+        "span_first_topk": spans.span_first_sql("spark", end=12, k=10),
+        "span_near_topk": spans.span_near_sql(["merge", "batch"], slop=2, k=10),
         "terms_set_topk": tset.terms_set_sql(
             ["the", "data", "row", "merge"], k=10
         ),

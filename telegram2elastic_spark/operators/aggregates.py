@@ -573,3 +573,70 @@ FROM buckets
 WHERE n_docs >= {int(min_docs)}
 ORDER BY hour
 """
+
+
+def matrix_stats(corpus: DataFrame) -> DataFrame:
+    """ES `matrix_stats` aggregation over (n_chars, doc_len): per-field
+    count/mean/variance plus the cross-field covariance and Pearson
+    correlation.  Distributed shape: every statistic derives from the
+    raw moments (sum x, sum x^2, sum x*y, n) — a SINGLE map-side-
+    combinable hash aggregate over one scan, no second pass.  Both input
+    fields are exact integers, so the moment sums are exact in IEEE
+    doubles and both engines derive bit-identical statistics before the
+    cosmetic rounding."""
+    from ..functions.tokenizer import tokens
+
+    base = corpus.select(
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(tokens("text")).cast("double").alias("y"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mean_x, mean_y = F.col("sx") / n, F.col("sy") / n
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    var_y = F.col("syy") / n - mean_y * mean_y
+    cov = F.col("sxy") / n - mean_x * mean_y
+    return m.select(
+        F.col("n").alias("doc_count"),
+        F.round(mean_x, 6).alias("mean_chars"),
+        F.round(mean_y, 6).alias("mean_tokens"),
+        F.round(var_x, 6).alias("var_chars"),
+        F.round(var_y, 6).alias("var_tokens"),
+        F.round(cov, 6).alias("covariance"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("correlation"),
+    )
+
+
+def matrix_stats_sql() -> str:
+    from ..functions.tokenizer import DOC_LEN_SQL
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+base AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x,
+         CAST({DOC_LEN_SQL} AS DOUBLE) AS y
+  FROM corpus
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM base
+)
+SELECT n AS doc_count,
+       round(sx/n, 6) AS mean_chars,
+       round(sy/n, 6) AS mean_tokens,
+       round(sxx/n - (sx/n)*(sx/n), 6) AS var_chars,
+       round(syy/n - (sy/n)*(sy/n), 6) AS var_tokens,
+       round(sxy/n - (sx/n)*(sy/n), 6) AS covariance,
+       round((sxy/n - (sx/n)*(sy/n))
+             / sqrt((sxx/n - (sx/n)*(sx/n)) * (syy/n - (sy/n)*(sy/n))),
+             6) AS correlation
+FROM m
+"""

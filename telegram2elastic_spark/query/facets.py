@@ -711,3 +711,73 @@ sample AS (
 SELECT lang, count(*) AS cnt, round(avg(score), 4) AS avg_score
 FROM sample GROUP BY lang ORDER BY lang
 """
+
+
+# --- ES auto_date_histogram -------------------------------------------------
+# The ES interval ladder (rounded to the fixed-width subset: auto intervals
+# above days are calendar-aware in ES; this engine pins fixed widths so
+# both engines bucket identically).
+AUTO_INTERVALS = [60, 300, 900, 3600, 10800, 43200, 86400, 604800, 2592000]
+
+
+def auto_date_histogram(
+    corpus: DataFrame, target_buckets: int = 20
+) -> DataFrame:
+    """ES `auto_date_histogram`: pick the smallest ladder interval that
+    yields at most `target_buckets` buckets over the data's actual time
+    span, then histogram on it.  Returns (bucket, n_docs, interval_sec).
+
+    Scale shape: the interval choice needs only the global (min, max)
+    epoch — a 1-row all-column agg (map-side combinable) collected
+    driver-side, exactly the coordinator-level decision ES makes; the
+    histogram itself is one hash aggregate over one scan.  The ladder
+    walk is pure integer arithmetic, so the DuckDB oracle reproduces the
+    same choice from the same bounds."""
+    bounds = corpus.agg(
+        F.min(F.col("warc_ts").cast("long")).alias("mine"),
+        F.max(F.col("warc_ts").cast("long")).alias("maxe"),
+    ).first()
+    mine, maxe = int(bounds["mine"]), int(bounds["maxe"])
+    iv = AUTO_INTERVALS[-1]
+    for cand in AUTO_INTERVALS:
+        if (maxe // cand) - (mine // cand) + 1 <= int(target_buckets):
+            iv = cand
+            break
+    bucket = F.timestamp_seconds(
+        (F.col("warc_ts").cast("long") / iv).cast("long") * iv
+    )
+    return (
+        corpus.groupBy(
+            F.date_format(bucket, "yyyy-MM-dd HH:mm").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("interval_sec", F.lit(iv).cast("long"))
+        .orderBy("bucket")
+    )
+
+
+def auto_date_histogram_sql(target_buckets: int = 20) -> str:
+    # the ladder walk as a CASE chain over the same integer bounds
+    conds = " ".join(
+        f"WHEN (maxe // {iv}) - (mine // {iv}) + 1 <= {int(target_buckets)} "
+        f"THEN {iv}"
+        for iv in AUTO_INTERVALS
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+bounds AS (
+  SELECT CAST(epoch(min(warc_ts)) AS BIGINT) AS mine,
+         CAST(epoch(max(warc_ts)) AS BIGINT) AS maxe
+  FROM corpus
+),
+chosen AS (
+  SELECT CASE {conds} ELSE {AUTO_INTERVALS[-1]} END AS iv FROM bounds
+)
+SELECT strftime(to_timestamp((CAST(epoch(c.warc_ts) AS BIGINT) // ch.iv) * ch.iv),
+                '%Y-%m-%d %H:%M') AS bucket,
+       count(*) AS n_docs,
+       CAST(any_value(ch.iv) AS BIGINT) AS interval_sec
+FROM corpus c CROSS JOIN chosen ch
+GROUP BY 1
+ORDER BY bucket
+"""

@@ -332,6 +332,16 @@ def phrase_topk(
         post, filt, doc_filter is not None, kernel,
         "doc_id long, phrase_tf long, dl long, dfp_part long",
     )
+    return score_pseudo_term(index, partial, k, float(n), avgdl)
+
+
+def score_pseudo_term(
+    index: dict, partial: DataFrame, k: int, n: float, avgdl: float
+) -> DataFrame:
+    """Global stage shared by every pseudo-term query (phrase, span):
+    sum the doc_id=-1 sentinels into the exact global df_p, score the
+    emitted (phrase_tf, dl) rows with the pseudo-term BM25, TakeOrdered
+    top-k, k-row broadcast url join."""
     dfp = partial.agg(F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p"))
     matches = partial.filter(F.col("doc_id") >= 0)
     scored = (

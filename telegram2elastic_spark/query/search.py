@@ -269,3 +269,40 @@ SELECT doc_id, url, lang, ts, score FROM filtered
 ORDER BY coalesce(score, -1.0) DESC, ts DESC, doc_id
 LIMIT {limit}
 """
+
+
+def scan_sliced(
+    corpus: DataFrame, slice_id: int, max_slices: int, limit: int = 100
+) -> DataFrame:
+    """ES sliced scroll (`slice: {id, max}`): deterministic horizontal
+    partition of a full-index scan so `max_slices` independent consumers
+    can export the corpus in parallel — slice membership is a hash of the
+    document id (ES slices on _id by default), here pmod(doc_id, max).
+
+    Scale shape: the slice predicate is a pure row-local filter (pushed
+    to the scan, no shuffle); within a slice the scroll order is doc_id
+    asc so checkpoints/resumes are trivial.  The limit models one scroll
+    page."""
+    return (
+        corpus.filter(F.pmod(F.col("doc_id"), F.lit(int(max_slices))) == int(slice_id))
+        .select(
+            "doc_id", "url", "lang",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        )
+        .orderBy("doc_id")
+        .limit(int(limit))
+    )
+
+
+def scan_sliced_sql(slice_id: int, max_slices: int, limit: int = 100) -> str:
+    from ..corpus import CORPUS_CTE
+
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, url, lang,
+       strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ts
+FROM corpus
+WHERE doc_id % {int(max_slices)} = {int(slice_id)}
+ORDER BY doc_id
+LIMIT {int(limit)}
+"""

@@ -1,0 +1,287 @@
+"""ES span queries over the positional index: `span_first` and
+`span_near(in_order=false)`.
+
+The reference gets positional queries from Elasticsearch; phrase.py owns
+the ordered variants (match_phrase / slop).  This module adds the two
+span shapes a phrase cannot express:
+
+`span_first_topk(term, end)` — the term must occur within the first
+`end` tokens of the document (ES span_first wrapping a span_term; `end`
+bounds the span's END position, so a 1-based occurrence position p
+qualifies iff p <= end).  tf = number of qualifying occurrences.
+
+`span_near_topk(terms, slop)` — all member terms co-occur inside a
+window of `len(terms) + slop` tokens in ANY order (ES span_near with
+in_order=false).  Window anchors are every occurrence position of every
+member term; an anchor p matches iff each member has an occurrence q
+with p <= q < p + m + slop.  tf = number of matching anchors — a
+deterministic sloppy-frequency the DuckDB oracle reproduces exactly
+(Lucene's own sloppy_freq weights each match by 1/(slop+1); the anchor
+count is this engine's pinned-down analogue).  Match detection is exact:
+any co-occurrence of width <= m + slop makes its minimal position a
+matching anchor.
+
+Both score as a pseudo-term: df_s = global count of matching docs
+(exact, via per-salt sentinel counts — phrase.py's df_p machinery), and
+the usual BM25 tf saturation.  Bounded emission reuses the phrase band
+argument verbatim: a span match requires every member term, so df_s <=
+min member df and idf_s >= max member idf — the per-salt top-k + tie
+band by the idf-free kernel g never drops a global top-k doc.
+
+Scale shape identical to phrase_topk: postings pruned to member terms
+(partition pruning + pushed IN), one per-salt kernel pass, O(P*k)
+post-kernel shuffle, k-row broadcast url join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE
+from .bm25 import ROUND_GUARD, SCORE_DECIMALS
+from .phrase import (
+    _decode_term_blocks,
+    _EMPTY_COUNTS,
+    _phrase_g,
+    score_pseudo_term,
+)
+from .wand import _postings_for_terms, _salt_scored
+
+
+def _span_first_counts(
+    pdf: pd.DataFrame, term: str, end: int, tombstones: np.ndarray | None
+) -> pd.DataFrame:
+    groups = {t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)}
+    if term not in groups:
+        return _EMPTY_COUNTS.copy()
+    ids, dls, pos = _decode_term_blocks(term, groups[term])
+    # stored positions are 0-based token offsets; the contract's 1-based
+    # occurrence position p qualifies iff p <= end  <=>  0-based < end
+    tf = np.fromiter(
+        ((p < end).sum() for p in pos), dtype=np.int64, count=len(pos)
+    )
+    keep = tf > 0
+    ids, tf, dls = ids[keep], tf[keep], dls[keep]
+    if tombstones is not None and tombstones.size:
+        live = ~np.isin(ids, tombstones)
+        ids, tf, dls = ids[live], tf[live], dls[live]
+    return pd.DataFrame({"doc_id": ids, "phrase_tf": tf, "dl": dls})
+
+
+def _span_near_counts(
+    pdf: pd.DataFrame,
+    terms: list[str],
+    slop: int,
+    tombstones: np.ndarray | None,
+) -> pd.DataFrame:
+    from .phrase import _gather_keyed
+
+    groups = {t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)}
+    uniq_terms = sorted(set(terms))
+    if any(t not in groups for t in uniq_terms):
+        return _EMPTY_COUNTS.copy()
+    # rarest-first conjunctive candidate intersection (metadata order)
+    by_rarity = sorted(uniq_terms, key=lambda t: int(groups[t]["n_docs"].sum()))
+    per_term: dict[str, tuple] = {}
+    common: np.ndarray | None = None
+    for t in by_rarity:
+        g = groups[t]
+        if common is not None:
+            firsts = g["first_doc_id"].to_numpy(np.int64)
+            lasts = g["last_doc_id"].to_numpy(np.int64)
+            lo = np.searchsorted(common, firsts, side="left")
+            hi = np.searchsorted(common, lasts, side="right")
+            g = g.loc[hi > lo]
+            if g.empty:
+                return _EMPTY_COUNTS.copy()
+        ids, dls, pos = _decode_term_blocks(t, g)
+        per_term[t] = (ids, dls, pos)
+        common = ids if common is None else np.intersect1d(common, ids)
+        if tombstones is not None and tombstones.size:
+            common = common[~np.isin(common, tombstones)]
+        if common.size == 0:
+            return _EMPTY_COUNTS.copy()
+
+    w = len(terms) + int(slop)  # window width in tokens
+    # anchors: keyed union of every member's positions in candidate docs
+    keyed_by_term = {}
+    for t in uniq_terms:
+        ids_t, _, pos_t = per_term[t]
+        keyed_by_term[t], _ = _gather_keyed(ids_t, pos_t, common)
+    anchors = np.unique(np.concatenate(list(keyed_by_term.values())))
+    ok = np.ones(anchors.shape, dtype=bool)
+    for t in uniq_terms:
+        keyed_t = np.sort(keyed_by_term[t])
+        # member occurrence q with anchor <= q < anchor + w; keys stay
+        # inside the candidate slot because w << _DOC_KEY
+        idx = np.searchsorted(keyed_t, anchors, side="left")
+        has = idx < keyed_t.size
+        cand = keyed_t[np.minimum(idx, keyed_t.size - 1)]
+        ok &= has & (cand < anchors + w)
+        if not ok.any():
+            return _EMPTY_COUNTS.copy()
+    from .phrase import _DOC_KEY
+
+    cand_idx = (anchors[ok] // _DOC_KEY).astype(np.int64)
+    uniq_c, starts = np.unique(cand_idx, return_index=True)
+    tf = np.diff(np.append(starts, cand_idx.size)).astype(np.int64)
+    t0 = by_rarity[0]
+    ids0, dls0, _ = per_term[t0]
+    dl_idx = np.searchsorted(ids0, common[uniq_c])
+    return pd.DataFrame(
+        {
+            "doc_id": common[uniq_c],
+            "phrase_tf": tf,
+            "dl": dls0[dl_idx],
+        }
+    )
+
+
+def _span_partial(
+    counts: pd.DataFrame, k: int, band: float, avgdl: float
+) -> pd.DataFrame:
+    """Bounded emission + df sentinel (phrase.py contract)."""
+    n_match = len(counts)
+    if len(counts) > k:
+        g = _phrase_g(
+            counts["phrase_tf"].to_numpy(), counts["dl"].to_numpy(), avgdl
+        )
+        order = np.lexsort((counts["doc_id"].to_numpy(), -g))
+        kth_g = g[order[k - 1]]
+        counts = counts.iloc[order[g[order] >= kth_g - band]]
+    sentinel = pd.DataFrame(
+        {
+            "doc_id": pd.Series([-1], dtype="int64"),
+            "phrase_tf": pd.Series([0], dtype="int64"),
+            "dl": pd.Series([0], dtype="int64"),
+            "dfp_part": pd.Series([n_match], dtype="int64"),
+        }
+    )
+    counts = counts.assign(dfp_part=np.int64(0))
+    return pd.concat([counts, sentinel], ignore_index=True)
+
+
+def _run_span(index: dict, terms: list[str], k: int, counts_fn) -> DataFrame:
+    from .wand import _collect_idfs
+
+    spark = index["doc_map"].sparkSession
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    idfs, _ = _collect_idfs(index, sorted(set(terms)))
+    if any(t not in idfs for t in set(terms)):
+        return empty
+    band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / max(idfs.values())
+    post = _postings_for_terms(index, sorted(set(terms)))
+    n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+    avgdl = float(avgdl) if avgdl else 1.0
+    from .wand import _tomb_df
+
+    tomb = _tomb_df(index)
+    filt = None
+    if tomb is not None:
+        from .wand import _n_parts
+
+        filt = tomb.select("doc_id", F.lit("t").alias("kind")).withColumn(
+            "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+        )
+
+    def kernel(pdf: pd.DataFrame, tombstones, _allowed) -> pd.DataFrame:
+        return _span_partial(counts_fn(pdf, tombstones), k, band, avgdl)
+
+    partial = _salt_scored(
+        post, filt, False, kernel,
+        "doc_id long, phrase_tf long, dl long, dfp_part long",
+    )
+    return score_pseudo_term(index, partial, k, float(n), avgdl)
+
+
+def span_first_topk(index: dict, term: str, end: int, k: int = 10) -> DataFrame:
+    """Top-k docs where `term` occurs within the first `end` tokens
+    (module docstring).  Requires positions=True at build."""
+    return _run_span(
+        index, [term], k, lambda pdf, t: _span_first_counts(pdf, term, end, t)
+    )
+
+
+def span_near_topk(
+    index: dict, terms: list[str], slop: int = 0, k: int = 10
+) -> DataFrame:
+    """Top-k docs where all `terms` co-occur within a `len(terms)+slop`
+    token window in any order (module docstring)."""
+    return _run_span(
+        index, terms, k,
+        lambda pdf, t: _span_near_counts(pdf, terms, slop, t),
+    )
+
+
+def _pseudo_score_sql(tf_expr: str, k: int) -> str:
+    from .bm25 import B, K1
+
+    return f"""
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
+counts AS (
+  SELECT doc_id, url, len(toks) AS dl,
+         {tf_expr} AS phrase_tf
+  FROM tokd
+),
+matched AS (SELECT * FROM counts WHERE phrase_tf > 0),
+dfp AS (SELECT count(*) AS df_p FROM matched)
+SELECT m.doc_id, m.url,
+       round(
+         ln(1 + (stats.n - dfp.df_p + 0.5) / (dfp.df_p + 0.5))
+         * m.phrase_tf * ({K1} + 1.0)
+         / (m.phrase_tf + {K1} * (1.0 - {B} + {B} * m.dl / stats.avgdl)),
+         {SCORE_DECIMALS}) AS score
+FROM matched m CROSS JOIN stats CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id ASC
+LIMIT {k}
+"""
+
+
+def span_first_sql(term: str, end: int, k: int = 10) -> str:
+    t = term.replace("'", "''")
+    tf = (
+        f"len(list_filter(range(1, len(toks) + 1), "
+        f"p -> p <= {int(end)} AND toks[p] = '{t}'))"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+{_pseudo_score_sql(tf, k)}"""
+
+
+def span_near_sql(terms: list[str], slop: int = 0, k: int = 10) -> str:
+    uniq = sorted(set(terms))
+    w = len(terms) + int(slop)
+    pos_defs = ",\n         ".join(
+        "list_filter(range(1, len(toks) + 1), x -> toks[x] = '"
+        + t.replace("'", "''")
+        + f"') AS pos{i}"
+        for i, t in enumerate(uniq)
+    )
+    anchors = "list_sort(list_distinct(" + (
+        " || ".join(f"pos{i}" for i in range(len(uniq)))
+    ) + "))"
+    member_ok = " AND ".join(
+        f"len(list_filter(pos{i}, q -> q >= p AND q < p + {w})) > 0"
+        for i in range(len(uniq))
+    )
+    tf = f"len(list_filter({anchors}, p -> {member_ok}))"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks,
+         {pos_defs}
+  FROM corpus
+),
+{_pseudo_score_sql(tf, k)}"""
