@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from telegram2elastic_spark.corpus import load_corpus, load_embeddings, load_events
 from telegram2elastic_spark.functions import text_quality as tq
+from telegram2elastic_spark.index import maintenance as maint
 from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
@@ -157,6 +158,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-lang capped, relevance-ordered sample of shard_size docs
         "sampler_diversified": lambda spark, sf: facets.sampler_diversified(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES _delete_by_query — tombstone matching
+        # docs (live-docs bit; stats frozen until merge), then query
+        "delete_by_query_topk": lambda spark, sf: wand_topk(
+            maint.delete_by_query(
+                build_index(load_corpus(spark, sf), n_doc_parts=8),
+                "lang <> 'en'",
+            ),
+            Q_HEAVY, k=10,
+        ),
+        # NEW (r4, session 4): ES _update_by_query on stored fields —
+        # doc_map rewrite, postings untouched; queried via filter context
+        "update_by_query_topk": lambda spark, sf: wand_topk(
+            maint.update_by_query(
+                build_index(load_corpus(spark, sf), n_doc_parts=8),
+                "lang = 'de'", {"lang": "'de-DE'"},
+            ),
+            Q_HEAVY, k=10, doc_filter="lang = 'de-DE'",
+        ),
+        # NEW (r4, session 4): ES _stats read-out from the index tables
+        # (term_dict agg + 1-row stats; no corpus scan)
+        "index_stats": lambda spark, sf: maint.index_stats(
+            build_index(load_corpus(spark, sf), n_doc_parts=8)
         ),
         # NEW (r4, session 4): ES matrix_stats — cross-field covariance /
         # correlation from one map-side-combinable raw-moments aggregate
@@ -722,6 +746,13 @@ FROM corpus ORDER BY doc_id
         "compound_slop_topk": compound.compound_topk_sql(
             ["spark"], ["merge", "batch"], k=10, slop=1
         ),
+        "delete_by_query_topk": bm25.bm25_topk_sql(
+            Q_HEAVY, k=10, lang="en", global_stats=True
+        ),
+        "update_by_query_topk": bm25.bm25_topk_sql(
+            Q_HEAVY, k=10, lang="de", global_stats=True
+        ),
+        "index_stats": maint.index_stats_sql(n_deleted=0),
         "matrix_stats": agg.matrix_stats_sql(),
         "auto_date_histogram": facets.auto_date_histogram_sql(target_buckets=20),
         "scan_sliced": search.scan_sliced_sql(slice_id=2, max_slices=5, limit=100),

@@ -1,0 +1,123 @@
+"""Index maintenance APIs: ES `_delete_by_query`, `_update_by_query`,
+and the `_stats` / `_cat/indices` read-out.
+
+Lucene semantics throughout: a delete is a TOMBSTONE (live-docs bit), not
+a postings rewrite — matching docs stop being served immediately, while
+N / avgdl / df stay frozen until a segment merge rebuilds the postings
+(streaming/ingest.py compaction), exactly ES's "deleted docs still count
+toward index statistics" behavior and the engine's global-stats filter
+contract (query/wand.py).
+
+`update_by_query` covers the doc-values case: updating STORED fields
+(lang, url, ...) rewrites doc_map rows only — postings are untouched
+because the indexed text did not change.  (A text update WOULD be
+delete + reindex; that path is the incremental indexer's upsert,
+streaming/ingest.py edited-doc handling.)
+
+Scale shape: both ops are one narrow filter/projection over doc_map —
+the predicate pushes to the scan; nothing is collected; the returned
+index shares every unmodified table with the input (copy-on-write dict).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def delete_by_query(index: dict, predicate: str) -> dict:
+    """ES _delete_by_query: tombstone every doc matching `predicate`
+    (SQL over doc_map columns).  Returns a new index dict; the input is
+    untouched.  Tombstones reach the query kernels per-salt via cogroup
+    (query/wand.py _filters_df) — never a driver collect."""
+    new_tomb = index["doc_map"].filter(predicate).select("doc_id")
+    out = dict(index)
+    prev = index.get("_tombstones_df")
+    if prev is None and index.get("_tombstones"):
+        from ..query.wand import _tomb_df
+
+        prev = _tomb_df(index)
+    out["_tombstones_df"] = (
+        new_tomb if prev is None else prev.unionByName(new_tomb).distinct()
+    )
+    # invalidate local-path caches derived from the old tombstone set
+    out.pop("_tomb_arr", None)
+    out.pop("_tombstones", None)
+    return out
+
+
+def update_by_query(
+    index: dict, predicate: str, set_exprs: dict[str, str]
+) -> dict:
+    """ES _update_by_query for stored (non-indexed) fields: rows matching
+    `predicate` get each column in `set_exprs` replaced by its SQL
+    expression; all other rows and all postings are unchanged."""
+    dm = index["doc_map"]
+    cols = []
+    for c in dm.columns:
+        if c in set_exprs:
+            cols.append(
+                F.when(F.expr(predicate), F.expr(set_exprs[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    out = dict(index)
+    out["doc_map"] = dm.select(*cols)
+    return out
+
+
+def index_stats(index: dict) -> DataFrame:
+    """ES `_stats` read-out: docs.count, live docs (count minus
+    tombstones), distinct terms, total term occurrences, avgdl.  One
+    term_dict aggregate + the 1-row stats table + a tombstone count —
+    no corpus scan, no postings decode."""
+    spark = index["doc_map"].sparkSession
+    from ..query.wand import _tomb_df
+
+    tomb = _tomb_df(index)
+    n_tomb = tomb.count() if tomb is not None else 0
+    td = index["term_dict"].agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("cf").cast("long").alias("total_tf"),
+    )
+    st = index["stats"].select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("avgdl", 6).alias("avgdl"),
+    )
+    return (
+        st.crossJoin(F.broadcast(td))
+        .withColumn("n_deleted", F.lit(int(n_tomb)).cast("long"))
+        .withColumn("n_live", F.col("n_docs") - F.col("n_deleted"))
+        .select("n_docs", "n_live", "n_deleted", "n_terms", "total_tf", "avgdl")
+    )
+
+
+def index_stats_sql(n_deleted: int = 0) -> str:
+    from ..corpus import CORPUS_CTE
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+td AS (SELECT count(DISTINCT term) AS n_terms,
+              CAST(sum(tf) AS BIGINT) AS total_tf FROM tf),
+dl AS (
+  SELECT c.doc_id,
+         len(list_filter(regexp_split_to_array(lower(c.text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS doc_len
+  FROM corpus c
+),
+st AS (SELECT count(*) AS n_docs, round(avg(doc_len), 6) AS avgdl FROM dl)
+SELECT st.n_docs, st.n_docs - {int(n_deleted)} AS n_live,
+       CAST({int(n_deleted)} AS BIGINT) AS n_deleted,
+       td.n_terms, td.total_tf, st.avgdl
+FROM st CROSS JOIN td
+"""
