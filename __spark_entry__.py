@@ -28,6 +28,7 @@ from telegram2elastic_spark.query import bm25, collapse, compound, explain, face
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.query import funcscore as fscore
 from telegram2elastic_spark.query import querystring as qstr
+from telegram2elastic_spark.query import geo
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
 from telegram2elastic_spark.streaming import windows as win
@@ -157,6 +158,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW (r4, session 4): ES diversified_sampler + terms sub-agg —
         # per-lang capped, relevance-ordered sample of shard_size docs
         "sampler_diversified": lambda spark, sf: facets.sampler_diversified(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES geo_distance — bbox fast-phase then
+        # exact haversine, distance-sorted page (derived page coords)
+        "geo_distance_page": lambda spark, sf: geo.geo_distance_page(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 4): ES geo_bounding_box + terms agg — sargable
+        # box predicates, one scan, one hash agg
+        "geo_bbox_counts": lambda spark, sf: geo.geo_bbox_counts(
             load_corpus(spark, sf)
         ),
         # NEW (r4, session 4): ES _delete_by_query — tombstone matching
@@ -746,6 +757,8 @@ FROM corpus ORDER BY doc_id
         "compound_slop_topk": compound.compound_topk_sql(
             ["spark"], ["merge", "batch"], k=10, slop=1
         ),
+        "geo_distance_page": geo.geo_distance_sql(),
+        "geo_bbox_counts": geo.geo_bbox_counts_sql(),
         "delete_by_query_topk": bm25.bm25_topk_sql(
             Q_HEAVY, k=10, lang="en", global_stats=True
         ),

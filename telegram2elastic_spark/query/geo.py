@@ -1,0 +1,155 @@
+"""ES geo queries: `geo_distance` and `geo_bounding_box`.
+
+The corpus carries no geo field, so page coordinates are DERIVED
+deterministically from doc_id (the same pattern the corpus itself uses
+for url/warc_ts — corpus.py): a pseudo-random but fixed lat/lon on a
+0.01-degree grid.  Both engines derive the identical values from integer
+arithmetic, so the only cross-engine float surface is the haversine's
+libm calls, absorbed by rounding the emitted distance.
+
+    lat = (doc_id * 7919  % 18000) / 100 - 90      in [-90, 90)
+    lon = (doc_id * 104729 % 36000) / 100 - 180    in [-180, 180)
+
+`geo_distance_page` — the ES geo_distance filter + geo-sort: docs within
+`radius_km` of a point, ordered by distance.  Scale shape: a cheap
+BOUNDING-BOX pre-filter (pure comparisons — sargable, partition-prunable
+on a geohash/lat-bucketed layout; ES runs the same bbox fast-phase before
+exact distance) cuts the candidate set, then the exact haversine runs
+only on survivors; the page is a TakeOrdered.
+
+`geo_bbox_counts` — geo_bounding_box filter + terms agg per lang: one
+scan, all predicates pushed down, one hash aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+
+EARTH_KM = 6371.0
+
+LAT_SQL = "((doc_id * 7919) % 18000) / 100.0 - 90.0"
+LON_SQL = "((doc_id * 104729) % 36000) / 100.0 - 180.0"
+
+
+def _latlon(df: DataFrame) -> DataFrame:
+    return df.withColumn("lat", F.expr(LAT_SQL)).withColumn(
+        "lon", F.expr(LON_SQL)
+    )
+
+
+def _haversine_col(lat0: float, lon0: float) -> F.Column:
+    dphi = F.radians(F.col("lat") - F.lit(lat0)) / 2
+    dlmb = F.radians(F.col("lon") - F.lit(lon0)) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.lit(lat0)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return F.lit(2.0 * EARTH_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_page(
+    corpus: DataFrame,
+    lat0: float = 48.2,
+    lon0: float = 16.4,
+    radius_km: float = 3000.0,
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, url, dist_km) for the k nearest docs within radius_km of
+    (lat0, lon0), distance asc, doc_id tie-break."""
+    # bbox pre-filter: latitude degrees are ~111.195 km; longitude shrinks
+    # by cos(lat) — use the widest cos over the box's lat span (bounded
+    # below to keep the box finite near the poles).  The bbox is a
+    # SUPERSET of the disc, so the exact haversine below stays the filter.
+    dlat = radius_km / 111.195
+    # longitude width uses the SMALLEST cos(lat) inside the box's lat span
+    # (the latitude furthest from the equator) so the box is a guaranteed
+    # superset of the disc; floored near the poles to stay finite
+    lat_far = min(89.9, abs(lat0) + dlat)
+    coslat = max(0.01, math.cos(math.radians(lat_far)))
+    dlon = radius_km / (111.195 * coslat)
+    boxed = _latlon(corpus).filter(
+        (F.col("lat") >= lat0 - dlat)
+        & (F.col("lat") <= lat0 + dlat)
+        & (F.col("lon") >= lon0 - dlon)
+        & (F.col("lon") <= lon0 + dlon)
+    )
+    return (
+        boxed.withColumn("dist_km", F.round(_haversine_col(lat0, lon0), 3))
+        .filter(F.col("dist_km") <= radius_km)
+        .select("doc_id", "url", "dist_km")
+        .orderBy(F.asc("dist_km"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def geo_distance_sql(
+    lat0: float = 48.2,
+    lon0: float = 16.4,
+    radius_km: float = 3000.0,
+    k: int = 20,
+) -> str:
+    hav = (
+        f"2.0 * {EARTH_KM} * asin(sqrt("
+        f"sin(radians(lat - ({lat0!r})) / 2) * sin(radians(lat - ({lat0!r})) / 2)"
+        f" + cos(radians({lat0!r})) * cos(radians(lat))"
+        f" * sin(radians(lon - ({lon0!r})) / 2) * sin(radians(lon - ({lon0!r})) / 2)"
+        f"))"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (
+  SELECT doc_id, url, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus
+),
+d AS (SELECT doc_id, url, round({hav}, 3) AS dist_km FROM geo)
+SELECT doc_id, url, dist_km
+FROM d WHERE dist_km <= {radius_km!r}
+ORDER BY dist_km ASC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def geo_bbox_counts(
+    corpus: DataFrame,
+    lat_min: float = -30.0,
+    lat_max: float = 45.0,
+    lon_min: float = -60.0,
+    lon_max: float = 90.0,
+) -> DataFrame:
+    """(lang, cnt) for docs inside the bounding box — geo_bounding_box
+    filter + terms agg, one scan."""
+    return (
+        _latlon(corpus)
+        .filter(
+            (F.col("lat") >= lat_min) & (F.col("lat") <= lat_max)
+            & (F.col("lon") >= lon_min) & (F.col("lon") <= lon_max)
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang")
+    )
+
+
+def geo_bbox_counts_sql(
+    lat_min: float = -30.0,
+    lat_max: float = 45.0,
+    lon_min: float = -60.0,
+    lon_max: float = 90.0,
+) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (
+  SELECT lang, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus
+)
+SELECT lang, count(*) AS cnt
+FROM geo
+WHERE lat >= {lat_min!r} AND lat <= {lat_max!r}
+  AND lon >= {lon_min!r} AND lon <= {lon_max!r}
+GROUP BY lang ORDER BY lang
+"""

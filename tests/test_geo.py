@@ -1,0 +1,60 @@
+"""ES geo_distance / geo_bounding_box vs DuckDB, plus bbox-superset and
+pole-safety properties of the fast-phase filter."""
+
+import math
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.query import geo
+
+from .oracle import assert_same
+
+
+@pytest.mark.parametrize(
+    "lat0,lon0,radius",
+    [(48.2, 16.4, 3000.0), (0.0, 0.0, 1500.0), (-70.0, 170.0, 5000.0)],
+)
+def test_geo_distance_vs_oracle(spark, duck, sf_dir, lat0, lon0, radius):
+    corpus = load_corpus(spark, sf_dir)
+    got = geo.geo_distance_page(corpus, lat0, lon0, radius, k=20)
+    want = duck.execute(geo.geo_distance_sql(lat0, lon0, radius, k=20)).df()
+    assert_same(got, want)
+
+
+def test_geo_bbox_counts_vs_oracle(spark, duck, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    got = geo.geo_bbox_counts(corpus)
+    want = duck.execute(geo.geo_bbox_counts_sql()).df()
+    assert_same(got, want)
+
+
+def test_bbox_prefilter_is_superset(spark, sf_dir):
+    """The bbox fast-phase must never drop a doc that the exact haversine
+    would keep: distances of every in-radius doc computed WITHOUT the bbox
+    must equal the paged result."""
+    corpus = load_corpus(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    lat0, lon0, radius = 48.2, 16.4, 3000.0
+    full = (
+        geo._latlon(corpus)
+        .withColumn("dist_km", F.round(geo._haversine_col(lat0, lon0), 3))
+        .filter(F.col("dist_km") <= radius)
+        .select("doc_id", "url", "dist_km")
+        .orderBy(F.asc("dist_km"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    )
+    paged = geo.geo_distance_page(corpus, lat0, lon0, radius, k=20).collect()
+    assert [tuple(r) for r in paged] == [tuple(r) for r in full]
+
+
+def test_bbox_near_pole_finite():
+    """Longitude half-width stays finite (cos floor) for a box touching
+    the pole."""
+    dlat = 5000.0 / 111.195
+    lat_far = min(89.9, abs(88.0) + dlat)
+    coslat = max(0.01, math.cos(math.radians(lat_far)))
+    dlon = 5000.0 / (111.195 * coslat)
+    assert math.isfinite(dlon) and dlon > 0
