@@ -28,6 +28,7 @@ from telegram2elastic_spark.query import bm25, collapse, compound, explain, face
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.query import funcscore as fscore
 from telegram2elastic_spark.query import querystring as qstr
+from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import geo
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
@@ -169,6 +170,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # box predicates, one scan, one hash agg
         "geo_bbox_counts": lambda spark, sf: geo.geo_bbox_counts(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES boosting query — negative-clause docs
+        # demoted (not excluded), ids-only negative decode per salt
+        "boosting_topk": lambda spark, sf: boostq.boosting_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, ["batch"], negative_boost=0.3, k=10,
+        ),
+        # NEW (r4, session 5): ES constant_score — filter-context
+        # disjunction, ids-only kernel, no weights decoded
+        "constant_score_topk": lambda spark, sf: boostq.constant_score_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MULTI, boost=1.2, k=10,
+        ),
+        # NEW (r4, session 5): ES distance_feature should-clause — BM25 +
+        # boost*pivot/(pivot+|ts-origin|), doc-values epoch via cogroup
+        "distance_feature_topk": lambda spark, sf: boostq.distance_feature_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            ["table", "scan"], pivot_sec=3600, boost=2.0, k=10,
+        ),
+        # NEW (r4, session 5): ES match_phrase_prefix — last slot prefix-
+        # expanded (term order, capped), per-variant kernel w/ shared
+        # decode memo, pseudo-term scoring
+        "match_phrase_prefix_topk": lambda spark, sf: phrase.match_phrase_prefix_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["merge", "bat"], k=10,
         ),
         # NEW (r4, session 4): ES _delete_by_query — tombstone matching
         # docs (live-docs bit; stats frozen until merge), then query
@@ -759,6 +785,18 @@ FROM corpus ORDER BY doc_id
         ),
         "geo_distance_page": geo.geo_distance_sql(),
         "geo_bbox_counts": geo.geo_bbox_counts_sql(),
+        "boosting_topk": boostq.boosting_sql(
+            Q_MAIN, ["batch"], negative_boost=0.3, k=10
+        ),
+        "constant_score_topk": boostq.constant_score_sql(
+            Q_MULTI, boost=1.2, k=10
+        ),
+        "distance_feature_topk": boostq.distance_feature_sql(
+            ["table", "scan"], pivot_sec=3600, boost=2.0, k=10
+        ),
+        "match_phrase_prefix_topk": phrase.match_phrase_prefix_sql(
+            ["merge", "bat"], k=10
+        ),
         "delete_by_query_topk": bm25.bm25_topk_sql(
             Q_HEAVY, k=10, lang="en", global_stats=True
         ),

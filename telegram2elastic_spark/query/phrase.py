@@ -659,3 +659,153 @@ FROM matched m CROSS JOIN stats CROSS JOIN dfp
 ORDER BY score DESC, m.doc_id ASC
 LIMIT {k}
 """
+
+
+def match_phrase_prefix_topk(
+    index: dict,
+    phrase: list[str],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES `match_phrase_prefix`: the LAST phrase slot is prefix-expanded
+    against the term dictionary (term order, capped at `max_expansions` —
+    Lucene's MultiPhraseQuery rewrite) and a doc matches where the
+    required terms are exactly adjacent and the final slot holds ANY
+    expansion.  Scored as a pseudo-term (the engine's phrase convention):
+    tf = number of matching starts.
+
+    Exactness of the per-variant sum: at a fixed final position there is
+    exactly ONE token, so at most one expansion matches a given start —
+    summing each variant's phrase_tf never double-counts (slop=0 only;
+    this is why the sloppy variant is not offered here).
+
+    Scale shape: expansion is a driver-side sorted-dict scan (row-group
+    pruned, <= max_expansions rows).  Each salt kernel runs the standard
+    phrase kernel once per variant with a SHARED full-decode memo — the
+    required terms decode at most once per salt — then merges per-doc
+    counts.  Emission is phrase_topk's bounded contract with
+    idf_lb = max required-term idf (df_p <= any required term's df, the
+    same monotonicity argument); a bare one-slot prefix has no such
+    bound, so that form emits all matches (still postings-bounded).
+    """
+    from .wand import _collect_idfs
+
+    spark = index["doc_map"].sparkSession
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not phrase:
+        return empty
+    required = phrase[:-1]
+    from .expand import expand_prefix
+
+    alts = expand_prefix(index, phrase[-1], max_expansions)
+    if not alts:
+        return empty
+    need = sorted(set(required) | set(alts))
+    idfs, _avgdl0 = _collect_idfs(index, need)
+    if any(t not in idfs for t in set(required)):
+        return empty
+    if required:
+        idf_lb = max(idfs[t] for t in set(required))
+        band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / idf_lb
+    else:
+        band = None  # no admissible bound: emit every match
+    post = _postings_for_terms(index, need)
+    filt = _filters_df(index, None)
+    n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+    avgdl = float(avgdl) if avgdl else 1.0
+
+    def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
+        cache: dict = {}
+        frames = []
+        for alt in alts:
+            counts = _phrase_counts_group(
+                pdf, required + [alt], tombstones=tomb, slop=0,
+                decode_cache=cache,
+            )
+            if len(counts):
+                frames.append(counts)
+        if not frames:
+            merged = _EMPTY_COUNTS.copy()
+        else:
+            merged = (
+                pd.concat(frames, ignore_index=True)
+                .groupby("doc_id", as_index=False)
+                .agg(phrase_tf=("phrase_tf", "sum"), dl=("dl", "first"))
+            )
+        n_match = len(merged)
+        if band is not None and len(merged) > k:
+            g = _phrase_g(
+                merged["phrase_tf"].to_numpy(), merged["dl"].to_numpy(), avgdl
+            )
+            order = np.lexsort((merged["doc_id"].to_numpy(), -g))
+            kth_g = g[order[k - 1]]
+            merged = merged.iloc[order[g[order] >= kth_g - band]]
+        sentinel = pd.DataFrame(
+            {
+                "doc_id": pd.Series([-1], dtype="int64"),
+                "phrase_tf": pd.Series([0], dtype="int64"),
+                "dl": pd.Series([0], dtype="int64"),
+                "dfp_part": pd.Series([n_match], dtype="int64"),
+            }
+        )
+        merged = merged.assign(dfp_part=np.int64(0))
+        return pd.concat([merged, sentinel], ignore_index=True)
+
+    partial = _salt_scored(
+        post, filt, False, kernel,
+        "doc_id long, phrase_tf long, dl long, dfp_part long",
+    )
+    return score_pseudo_term(index, partial, k, float(n), avgdl)
+
+
+def match_phrase_prefix_sql(
+    phrase: list[str], k: int = 10, max_expansions: int = 50
+) -> str:
+    """DuckDB oracle: expansion set derived IN SQL from the corpus
+    vocabulary (the term dictionary IS the distinct vocabulary — the
+    prefix_topk oracle's argument), then slop=0 adjacency with the last
+    slot matched by list membership; identical pseudo-term scoring."""
+    required = phrase[:-1]
+    prefix = phrase[-1]
+    esc = prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    esc_sq = (esc + "%").replace("'", "''")
+    m = len(phrase)
+    adj_parts = [
+        "toks[i+" + str(i) + "] = '" + t.replace("'", "''") + "'"
+        for i, t in enumerate(required)
+    ]
+    adj_parts.append(f"list_contains(expl.alts, toks[i+{m - 1}])")
+    adj = " AND ".join(adj_parts)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+exps AS (
+  SELECT term FROM (SELECT DISTINCT unnest(toks) AS term FROM tokd)
+  WHERE term LIKE '{esc_sq}' ESCAPE '\\'
+  ORDER BY term LIMIT {max_expansions}
+),
+expl AS (SELECT list(term ORDER BY term) AS alts FROM exps),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
+counts AS (
+  SELECT doc_id, url, len(toks) AS dl,
+         len(list_filter(range(1, greatest(len(toks) - {m - 1}, 0) + 1),
+             i -> {adj})) AS phrase_tf
+  FROM tokd CROSS JOIN expl
+),
+matched AS (SELECT * FROM counts WHERE phrase_tf > 0),
+dfp AS (SELECT count(*) AS df_p FROM matched)
+SELECT m.doc_id, m.url,
+       round(
+         ln(1 + (stats.n - dfp.df_p + 0.5) / (dfp.df_p + 0.5))
+         * m.phrase_tf * ({K1} + 1.0)
+         / (m.phrase_tf + {K1} * (1.0 - {B} + {B} * m.dl / stats.avgdl)),
+         {SCORE_DECIMALS}) AS score
+FROM matched m CROSS JOIN stats CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id ASC
+LIMIT {k}
+"""
