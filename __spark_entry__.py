@@ -171,6 +171,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_counts": lambda spark, sf: geo.geo_bbox_counts(
             load_corpus(spark, sf)
         ),
+        # NEW (r4, session 5): ES multi_terms agg — compound (lang,
+        # source) term tuples, one hash agg
+        "agg_multi_terms": lambda spark, sf: agg.agg_multi_terms(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES weighted_avg metric agg — integer
+        # value*weight sums, one float division at the end
+        "agg_weighted_avg": lambda spark, sf: agg.agg_weighted_avg(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES string_stats (+entropy) on the url
+        # keyword field — alphabet-sized char agg, map-side combine
+        "agg_string_stats": lambda spark, sf: agg.agg_string_stats(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES min/max/avg/sum/stats_bucket sibling
+        # pipeline aggs over the daily histogram, deterministic tie rule
+        "agg_bucket_metrics": lambda spark, sf: agg.agg_bucket_metrics(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES normalize pipeline agg
+        # (percent_of_sum) — 1-row broadcast total, no Window
+        "agg_normalize_pct": lambda spark, sf: agg.agg_normalize_pct(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES geotile_grid agg — web-mercator tile
+        # keys, boundary-safe floors (rational grid vs transcendental
+        # boundaries), one hash agg
+        "geotile_grid": lambda spark, sf: geo.geotile_grid(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES geo_bounds + geo_centroid metric aggs
+        "geo_bounds_centroid": lambda spark, sf: geo.geo_bounds_centroid(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 5): ES boosting query — negative-clause docs
         # demoted (not excluded), ids-only negative decode per salt
         "boosting_topk": lambda spark, sf: boostq.boosting_topk(
@@ -785,6 +820,13 @@ FROM corpus ORDER BY doc_id
         ),
         "geo_distance_page": geo.geo_distance_sql(),
         "geo_bbox_counts": geo.geo_bbox_counts_sql(),
+        "agg_multi_terms": agg.agg_multi_terms_sql(),
+        "agg_weighted_avg": agg.agg_weighted_avg_sql(),
+        "agg_string_stats": agg.agg_string_stats_sql(),
+        "agg_bucket_metrics": agg.agg_bucket_metrics_sql(),
+        "agg_normalize_pct": agg.agg_normalize_pct_sql(),
+        "geotile_grid": geo.geotile_grid_sql(),
+        "geo_bounds_centroid": geo.geo_bounds_centroid_sql(),
         "boosting_topk": boostq.boosting_sql(
             Q_MAIN, ["batch"], negative_boost=0.3, k=10
         ),

@@ -640,3 +640,200 @@ SELECT n AS doc_count,
              6) AS correlation
 FROM m
 """
+
+
+def agg_multi_terms(corpus: DataFrame, k: int = 10) -> DataFrame:
+    """ES `multi_terms` aggregation: buckets keyed by the (lang, source)
+    term TUPLE, ordered by doc count desc (key asc tie-break), top-k.
+    One map-side-combinable hash aggregate on the compound key — the
+    compound cardinality is |langs| x |sources|, still tiny, so the
+    final ordering is axis-sized."""
+    return (
+        corpus.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lang"), F.asc("source"))
+        .limit(k)
+    )
+
+
+def agg_multi_terms_sql(k: int = 10) -> str:
+    return f"""
+SELECT lang, source, count(*) AS cnt
+FROM documents
+GROUP BY lang, source
+ORDER BY cnt DESC, lang ASC, source ASC
+LIMIT {k}
+"""
+
+
+def agg_weighted_avg(corpus: DataFrame) -> DataFrame:
+    """ES `weighted_avg` metric agg per lang bucket: value = n_chars,
+    weight = the stored html payload size (octet_length).  Both value
+    and weight are exact integers, so sum(v*w) and sum(w) are exact in
+    either engine — the single double division is the only float surface,
+    absorbed by the rounding."""
+    return (
+        corpus.groupBy("lang")
+        .agg(
+            F.round(
+                F.sum(F.col("n_chars").cast("long") * F.octet_length("html"))
+                / F.sum(F.octet_length("html")),
+                4,
+            ).alias("wavg_chars"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("lang")
+    )
+
+
+def agg_weighted_avg_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT lang,
+       round(sum(CAST(n_chars AS BIGINT) * octet_length(html))
+             / CAST(sum(octet_length(html)) AS DOUBLE), 4) AS wavg_chars,
+       count(*) AS cnt
+FROM corpus
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def agg_string_stats(corpus: DataFrame) -> DataFrame:
+    """ES `string_stats` (with show_distribution's entropy) over the url
+    keyword field: count, min/max/avg length, Shannon entropy (bits) of
+    the character distribution across ALL urls.
+
+    Scale shape: lengths are one scan + one agg; the entropy pass
+    explodes characters but aggregates to <=|alphabet| rows map-side
+    (the per-char counts combine before the shuffle), then the entropy
+    sum is alphabet-sized on the driver side of a 1-row cross join."""
+    lens = corpus.agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length("url")).alias("min_length"),
+        F.max(F.length("url")).alias("max_length"),
+        F.round(F.avg(F.length("url")), 4).alias("avg_length"),
+    )
+    chars = (
+        corpus.select(F.explode(F.split("url", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ent = (
+        chars.crossJoin(chars.agg(F.sum("n").alias("tot")))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("tot"))
+                    * F.log2(F.col("n") / F.col("tot"))
+                ),
+                4,
+            ).alias("entropy")
+        )
+    )
+    return lens.crossJoin(ent)
+
+
+def agg_string_stats_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+lens AS (
+  SELECT count(*) AS count,
+         min(length(url)) AS min_length,
+         max(length(url)) AS max_length,
+         round(avg(length(url)), 4) AS avg_length
+  FROM corpus
+),
+chars AS (
+  SELECT ch, count(*) AS n
+  FROM corpus, LATERAL (SELECT unnest(string_split(url, '')) AS ch)
+  WHERE ch <> ''
+  GROUP BY ch
+),
+ent AS (
+  SELECT round(-sum((n / tot) * log2(n / tot)), 4) AS entropy
+  FROM chars CROSS JOIN (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM chars)
+)
+SELECT lens.*, ent.entropy FROM lens CROSS JOIN ent
+"""
+
+
+def agg_bucket_metrics(corpus: DataFrame) -> DataFrame:
+    """ES sibling pipeline aggs min_bucket / max_bucket / avg_bucket /
+    sum_bucket / stats_bucket over the daily date_histogram: ONE row
+    (min_cnt, min_day, max_cnt, max_day, avg_cnt, sum_cnt, n_buckets).
+    ES reports ALL tied keys; this engine picks the smallest day
+    (deterministic) — min_by/max_by on the (cnt, day) struct, so ties
+    never depend on partitioning.  The bucket axis is day-sized: the
+    pipeline stage is a single tiny aggregate after the one histogram
+    shuffle."""
+    daily = corpus.groupBy(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return daily.agg(
+        F.min("cnt").alias("min_cnt"),
+        F.min_by("day", F.struct(F.col("cnt"), F.col("day"))).alias("min_day"),
+        F.max("cnt").alias("max_cnt"),
+        F.min_by(
+            "day", F.struct((-F.col("cnt")).alias("c"), F.col("day"))
+        ).alias("max_day"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+def agg_bucket_metrics_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+daily AS (
+  SELECT strftime(warc_ts, '%Y-%m-%d') AS day, count(*) AS cnt
+  FROM corpus GROUP BY 1
+),
+m AS (SELECT min(cnt) AS mn, max(cnt) AS mx FROM daily)
+SELECT m.mn AS min_cnt,
+       (SELECT min(day) FROM daily WHERE cnt = m.mn) AS min_day,
+       m.mx AS max_cnt,
+       (SELECT min(day) FROM daily WHERE cnt = m.mx) AS max_day,
+       (SELECT round(avg(cnt), 4) FROM daily) AS avg_cnt,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM daily) AS sum_cnt,
+       (SELECT count(*) FROM daily) AS n_buckets
+FROM m
+"""
+
+
+def agg_normalize_pct(corpus: DataFrame) -> DataFrame:
+    """ES `normalize` pipeline agg (method=percent_of_sum) over the daily
+    histogram: each bucket's share of total docs.  The total comes from a
+    1-row broadcast cross join, not a Window — no single-partition window
+    over the bucket axis."""
+    daily = corpus.groupBy(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = daily.agg(F.sum("cnt").alias("tot"))
+    return (
+        daily.crossJoin(F.broadcast(total))
+        .select(
+            "day",
+            "cnt",
+            F.round(F.lit(100.0) * F.col("cnt") / F.col("tot"), 4).alias(
+                "pct_of_sum"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def agg_normalize_pct_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+daily AS (
+  SELECT strftime(warc_ts, '%Y-%m-%d') AS day, count(*) AS cnt
+  FROM corpus GROUP BY 1
+)
+SELECT day, cnt,
+       round(100.0 * cnt / (SELECT sum(cnt) FROM daily), 4) AS pct_of_sum
+FROM daily
+ORDER BY day
+"""

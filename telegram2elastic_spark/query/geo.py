@@ -37,8 +37,11 @@ LON_SQL = "((doc_id * 104729) % 36000) / 100.0 - 180.0"
 
 
 def _latlon(df: DataFrame) -> DataFrame:
-    return df.withColumn("lat", F.expr(LAT_SQL)).withColumn(
-        "lon", F.expr(LON_SQL)
+    # cast to double: Spark parses the /100.0 literal as DECIMAL and would
+    # otherwise carry decimal lat/lon into every agg (pandas object dtype);
+    # IEEE division is correctly rounded, so the double equals DuckDB's.
+    return df.withColumn("lat", F.expr(LAT_SQL).cast("double")).withColumn(
+        "lon", F.expr(LON_SQL).cast("double")
     )
 
 
@@ -152,4 +155,97 @@ FROM geo
 WHERE lat >= {lat_min!r} AND lat <= {lat_max!r}
   AND lon >= {lon_min!r} AND lon <= {lon_max!r}
 GROUP BY lang ORDER BY lang
+"""
+
+
+def geotile_grid(corpus: DataFrame, zoom: int = 3, k: int = 10) -> DataFrame:
+    """ES `geotile_grid` aggregation: web-mercator map tiles at `zoom`
+    ("z/x/y" keys, the slippy-map scheme ES uses), doc counts, top-k by
+    count desc / key asc.  Latitudes clamp to the Mercator bound
+    (85.05112878) exactly as ES does.  Grid lat/lon are exact rationals
+    while tile boundaries are transcendental, so the floor can never sit
+    on a knife's edge — both engines compute identical tiles.  One scan,
+    one hash agg on the integer tile key."""
+    n = float(1 << zoom)
+    lat_c = F.greatest(
+        F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("lat"))
+    )
+    x = F.floor((F.col("lon") + 180.0) / 360.0 * n)
+    x = F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), x)).cast("long")
+    # asinh(tan r) written as ln(tan r + sec r): DuckDB has no asinh, and
+    # the identical expression must run on both engines
+    rad = F.radians(lat_c)
+    y = F.floor(
+        (1.0 - F.log(F.tan(rad) + 1.0 / F.cos(rad)) / math.pi) / 2.0 * n
+    )
+    y = F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), y)).cast("long")
+    key = F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
+    return (
+        _latlon(corpus)
+        .select(key.alias("tile"))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tile"))
+        .limit(k)
+    )
+
+
+def geotile_grid_sql(zoom: int = 3, k: int = 10) -> str:
+    n = 1 << zoom
+    lat_c = "greatest(-85.05112878, least(85.05112878, lat))"
+    x = (
+        f"least({n - 1}, greatest(0, "
+        f"CAST(floor((lon + 180.0) / 360.0 * {float(n)!r}) AS BIGINT)))"
+    )
+    y = (
+        f"least({n - 1}, greatest(0, CAST(floor("
+        f"(1.0 - ln(tan(radians({lat_c})) + 1.0 / cos(radians({lat_c})))"
+        f" / pi()) / 2.0 * {float(n)!r}"
+        f") AS BIGINT)))"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (SELECT {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus)
+SELECT '{zoom}' || '/' || CAST({x} AS VARCHAR) || '/' || CAST({y} AS VARCHAR)
+           AS tile,
+       count(*) AS cnt
+FROM geo
+GROUP BY 1
+ORDER BY cnt DESC, tile ASC
+LIMIT {k}
+"""
+
+
+def geo_bounds_centroid(corpus: DataFrame, lang: str | None = "en") -> DataFrame:
+    """ES `geo_bounds` + `geo_centroid` metric aggs over the (optionally
+    lang-filtered) doc set: bounding box corners (ES top_left = max lat /
+    min lon, bottom_right = min lat / max lon) and the centroid as the
+    coordinate mean, one row.  One pushed-filter scan, one agg."""
+    df = _latlon(corpus)
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return df.agg(
+        F.round(F.max("lat"), 6).alias("top_lat"),
+        F.round(F.min("lon"), 6).alias("left_lon"),
+        F.round(F.min("lat"), 6).alias("bottom_lat"),
+        F.round(F.max("lon"), 6).alias("right_lon"),
+        F.round(F.avg("lat"), 6).alias("cent_lat"),
+        F.round(F.avg("lon"), 6).alias("cent_lon"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def geo_bounds_centroid_sql(lang: str | None = "en") -> str:
+    where = f"WHERE lang = '{lang}'" if lang is not None else ""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (SELECT lang, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus)
+SELECT round(max(lat), 6) AS top_lat,
+       round(min(lon), 6) AS left_lon,
+       round(min(lat), 6) AS bottom_lat,
+       round(max(lon), 6) AS right_lon,
+       round(avg(lat), 6) AS cent_lat,
+       round(avg(lon), 6) AS cent_lon,
+       count(*) AS cnt
+FROM geo {where}
 """
