@@ -29,6 +29,7 @@ from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.query import funcscore as fscore
 from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.query import boosting as boostq
+from telegram2elastic_spark.query import meta, rankeval
 from telegram2elastic_spark.query import geo
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
@@ -169,6 +170,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW (r4, session 4): ES geo_bounding_box + terms agg — sargable
         # box predicates, one scan, one hash agg
         "geo_bbox_counts": lambda spark, sf: geo.geo_bbox_counts(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES _rank_eval API — precision@k / MRR /
+        # NDCG@k over the BM25 ranking with rule-derived graded ratings
+        # (phrase adjacency > bag-of-words), bounded k-row windows
+        "rank_eval": lambda spark, sf: rankeval.rank_eval(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES _field_caps — live-schema capability
+        # introspection on both engines (no literal echo)
+        "field_caps": lambda spark, sf: meta.field_caps(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES runtime (script) fields — query-time
+        # computed columns, native exprs, TakeOrdered page
+        "runtime_fields_page": lambda spark, sf: meta.runtime_fields_page(
             load_corpus(spark, sf)
         ),
         # NEW (r4, session 5): ES multi_terms agg — compound (lang,
@@ -820,6 +837,9 @@ FROM corpus ORDER BY doc_id
         ),
         "geo_distance_page": geo.geo_distance_sql(),
         "geo_bbox_counts": geo.geo_bbox_counts_sql(),
+        "rank_eval": rankeval.rank_eval_sql(),
+        "field_caps": meta.field_caps_sql(),
+        "runtime_fields_page": meta.runtime_fields_page_sql(),
         "agg_multi_terms": agg.agg_multi_terms_sql(),
         "agg_weighted_avg": agg.agg_weighted_avg_sql(),
         "agg_string_stats": agg.agg_string_stats_sql(),

@@ -1,0 +1,121 @@
+"""ES metadata + scripted-field APIs: `_field_caps` and runtime fields.
+
+* `field_caps` — ES's schema-capability endpoint: per field its ES type
+  and whether it is searchable / aggregatable.  The Spark path derives
+  the answer from the ACTUAL DataFrame schema (a metadata operation, no
+  scan — exactly what ES serves from its mappings); the oracle derives
+  the same rows from DuckDB's own DESCRIBE of the corpus relation, so
+  both engines introspect their catalog rather than echoing a literal.
+  Mapping rule (the engine's mapping contract): the analyzed full-text
+  field is `text` (searchable, not aggregatable — no doc_values, like an
+  ES `text` field), `html` is binary (neither), every other string is a
+  keyword, timestamps are dates, integers are long/integer.
+
+* `runtime_fields_page` — ES runtime (script) fields evaluated at query
+  time: a page of hits carrying fields that exist nowhere in storage —
+  host (grok of url), hour (date part), html_kb (payload size), and
+  n_tokens (the analyzer run as a script).  All native expressions:
+  codegen'd, pushdown-safe, zero UDFs; the page bound makes the sort a
+  TakeOrdered."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import DOC_LEN_SQL, tokens
+
+# (spark dtype, column) -> ES type
+_TEXT_FIELDS = {"text"}
+
+
+def _es_type(col: str, dtype: str) -> str:
+    if dtype == "binary":
+        return "binary"
+    if dtype == "string":
+        return "text" if col in _TEXT_FIELDS else "keyword"
+    if dtype == "timestamp":
+        return "date"
+    if dtype == "bigint":
+        return "long"
+    if dtype == "int":
+        return "integer"
+    if dtype == "double":
+        return "double"
+    return dtype
+
+
+def field_caps(corpus: DataFrame) -> DataFrame:
+    """(field, es_type, searchable, aggregatable) per corpus column,
+    field order; derived from the live schema."""
+    rows = []
+    for col, dtype in corpus.dtypes:
+        et = _es_type(col, dtype)
+        searchable = et != "binary"
+        aggregatable = et not in ("binary", "text")
+        rows.append((col, et, searchable, aggregatable))
+    rows.sort()
+    return corpus.sparkSession.createDataFrame(
+        rows, "field string, es_type string, searchable boolean, "
+        "aggregatable boolean"
+    )
+
+
+def field_caps_sql() -> str:
+    """DuckDB introspects its own corpus relation via DESCRIBE and maps
+    its type names with the same rules."""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+cols AS (
+  SELECT column_name AS field, column_type AS dt
+  FROM (DESCRIBE SELECT * FROM corpus)
+),
+typed AS (
+  SELECT field,
+         CASE WHEN dt = 'BLOB' THEN 'binary'
+              WHEN dt = 'VARCHAR' AND field = 'text' THEN 'text'
+              WHEN dt = 'VARCHAR' THEN 'keyword'
+              WHEN dt LIKE 'TIMESTAMP%' THEN 'date'
+              WHEN dt = 'BIGINT' THEN 'long'
+              WHEN dt = 'INTEGER' THEN 'integer'
+              WHEN dt = 'DOUBLE' THEN 'double'
+              ELSE lower(dt) END AS es_type
+  FROM cols
+)
+SELECT field, es_type,
+       es_type <> 'binary' AS searchable,
+       es_type NOT IN ('binary', 'text') AS aggregatable
+FROM typed
+ORDER BY field
+"""
+
+
+def runtime_fields_page(corpus: DataFrame, limit: int = 20) -> DataFrame:
+    """First `limit` docs by doc_id with runtime fields computed at query
+    time: host, hour-of-day, html payload KiB, analyzer token count."""
+    return (
+        corpus.select(
+            "doc_id",
+            F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+            F.hour("warc_ts").alias("hour"),
+            F.round(F.octet_length("html") / 1024.0, 3).alias("html_kb"),
+            F.size(tokens("text")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def runtime_fields_page_sql(limit: int = 20) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       CAST(hour(warc_ts) AS INTEGER) AS hour,
+       round(octet_length(html) / 1024.0, 3) AS html_kb,
+       CAST({DOC_LEN_SQL} AS INTEGER) AS n_tokens
+FROM corpus
+ORDER BY doc_id
+LIMIT {limit}
+"""
