@@ -172,6 +172,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_counts": lambda spark, sf: geo.geo_bbox_counts(
             load_corpus(spark, sf)
         ),
+        # NEW (r4, session 5): ES combined_fields (BM25F) — per-term
+        # tf merged across fields BEFORE saturation, merged df/avgdl
+        # stats, one cogrouped kernel over the per-field postings union
+        "combined_fields_topk": lambda spark, sf: multifield.combined_fields_topk(
+            multifield.build_field_indexes(
+                load_corpus(spark, sf), {"text": "text", "url": "url"},
+                n_doc_parts=8,
+            ),
+            {"text": 1.0, "url": 2.0},
+            ["spark", "merge", "site12"], k=10,
+        ),
         # NEW (r4, session 5): ES _rank_eval API — precision@k / MRR /
         # NDCG@k over the BM25 ranking with rule-derived graded ratings
         # (phrase adjacency > bag-of-words), bounded k-row windows
@@ -837,6 +848,9 @@ FROM corpus ORDER BY doc_id
         ),
         "geo_distance_page": geo.geo_distance_sql(),
         "geo_bbox_counts": geo.geo_bbox_counts_sql(),
+        "combined_fields_topk": multifield.combined_fields_sql(
+            ["spark", "merge", "site12"], k=10
+        ),
         "rank_eval": rankeval.rank_eval_sql(),
         "field_caps": meta.field_caps_sql(),
         "runtime_fields_page": meta.runtime_fields_page_sql(),

@@ -293,3 +293,268 @@ FROM combined c JOIN corpus ON c.doc_id = corpus.doc_id
 ORDER BY c.score DESC, c.doc_id ASC
 LIMIT {k}
 """
+
+
+def _collect_dfs(index: dict, terms: list[str]) -> dict[str, int]:
+    """Raw per-term document frequencies from the term dictionary
+    (bucket-pruned scan, |q| rows)."""
+    from .wand import _bucketed
+
+    out: dict[str, int] = {}
+    for r in (
+        _bucketed(index, index["term_dict"], terms)
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    ):
+        out[r["term"]] = int(r["df"])
+    return out
+
+
+def combined_fields_topk(
+    field_indexes: dict[str, dict],
+    weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """ES `combined_fields` query (Lucene CombinedFieldQuery, the
+    principled BM25F): fields are merged into ONE pseudo-field BEFORE
+    saturation —
+
+        tf'(t,d)  = sum_f  w_f * tf_f(t,d)
+        dl'(d)    = sum_f  w_f * dl_f(d)
+        avgdl'    = sum_f  w_f * avgdl_f          (linearity of the mean)
+        df'(t)    = min(N, sum_f df_f(t))          (Lucene's merged stats)
+        score(d)  = sum_t idf(df'_t) * tf' * (k1+1)
+                    / (tf' + k1 * (1 - b + b * dl'/avgdl'))
+
+    This differs from multi_match most_fields (which saturates per field
+    and sums SCORES): a term split across fields saturates once, so
+    spreading matches over fields is not over-rewarded.
+
+    Distributed shape: per-field postings union (each scan pruned by its
+    own term buckets), ONE cogrouped per-salt kernel; dl' comes from a
+    doc-values side slice (the joined field doc_maps — at real scale
+    this projection is materialized once per field-set, like ES
+    doc_values, not per query).  Merged df'/avgdl' are |q|+|f| scalars
+    collected driver-side.  Combining tf before saturation breaks the
+    per-term score upper bound MaxScore needs, so the kernel runs full
+    accumulation (exact) — candidate work is still bounded by the query
+    terms' postings."""
+    import numpy as np
+    import pandas as pd
+
+    from ..index.codec import decode_many
+    from .bm25 import SCORE_DECIMALS
+    from .wand import _n_parts
+
+    first = next(iter(field_indexes.values()))
+    spark = first["doc_map"].sparkSession
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    tset = sorted(set(terms))
+
+    # merged stats (driver-side scalars)
+    n_docs = None
+    avgdl_c = 0.0
+    df_sum: dict[str, int] = {}
+    field_w: dict[str, float] = {}
+    per_field_dfs: dict[str, dict[str, int]] = {}
+    for name, idx in field_indexes.items():
+        from .wand import _collect_idfs
+
+        _collect_idfs(idx, [])  # prime idx["_stats"]
+        n_f, avgdl_f = idx["_stats"]
+        n_docs = n_f if n_docs is None else n_docs
+        w = float(weights.get(name, 1.0))
+        field_w[name] = w
+        avgdl_c += w * avgdl_f
+        per_field_dfs[name] = _collect_dfs(idx, tset)
+        for t, df in per_field_dfs[name].items():
+            df_sum[t] = df_sum.get(t, 0) + df
+    live = sorted(t for t in tset if df_sum.get(t))
+    if not live or not n_docs:
+        return empty
+    idfs_c = {
+        t: float(np.log(1.0 + (n_docs - min(n_docs, d) + 0.5)
+                        / (min(n_docs, d) + 0.5)))
+        for t, d in df_sum.items() if d
+    }
+
+    cols = [
+        "salt", "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+        "block_max_tf", "doc_gaps", "tf_bytes", "dl_bytes",
+    ]
+    parts = []
+    for name, idx in field_indexes.items():
+        f_live = [t for t in live if t in per_field_dfs[name]]
+        if not f_live:
+            continue
+        parts.append(
+            _postings_for_terms(idx, f_live)
+            .select(*cols)
+            .withColumn("term", F.concat(F.lit(name + _SEP), F.col("term")))
+        )
+    post = parts[0]
+    for p in parts[1:]:
+        post = post.unionByName(p)
+
+    # doc-values side: (doc_id, dl') — weighted sum of field doc lengths
+    dl_expr = None
+    side = None
+    for name, idx in field_indexes.items():
+        dm = idx["doc_map"].select(
+            "doc_id", F.col("doc_len").alias(f"dl_{name}")
+        )
+        side = dm if side is None else side.join(dm, "doc_id")
+    dl_expr = sum(
+        F.col(f"dl_{name}") * F.lit(field_w[name]) for name in field_indexes
+    )
+    side = side.select(
+        "doc_id", dl_expr.alias("dlc"),
+        F.pmod(F.col("doc_id"), F.lit(_n_parts(first))).cast("int").alias("salt"),
+    )
+
+    K1_, B_ = K1, B
+    avgdl_const = float(avgdl_c)
+
+    def kernel(post_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if post_pdf.empty:
+            return out_empty
+        sv_ids = side_pdf["doc_id"].to_numpy(np.int64)
+        sv_dl = side_pdf["dlc"].to_numpy(np.float64)
+        order = np.argsort(sv_ids)
+        sv_ids, sv_dl = sv_ids[order], sv_dl[order]
+
+        acc_ids = np.array([], dtype=np.int64)
+        acc_sc = np.array([], dtype=np.float64)
+        # group blocks by BARE term; fields within a term merge tf first
+        bare = post_pdf["term"].str.split(_SEP).str[-1]
+        fld = post_pdf["term"].str.split(_SEP).str[0]
+        for t, g in post_pdf.groupby(bare, sort=False):
+            t_ids = np.array([], dtype=np.int64)
+            t_tfc = np.array([], dtype=np.float64)
+            for fname, fg in g.groupby(fld.loc[g.index], sort=False):
+                fg = fg.sort_values("block_id")
+                ids, tfs, _dls = decode_many(
+                    [bytes(x) for x in fg["doc_gaps"]],
+                    [bytes(x) for x in fg["tf_bytes"]],
+                    [bytes(x) for x in fg["dl_bytes"]],
+                    fg["n_docs"].to_numpy(),
+                )
+                w = field_w[fname]
+                t_ids = np.concatenate([t_ids, ids.astype(np.int64)])
+                t_tfc = np.concatenate([t_tfc, w * tfs.astype(np.float64)])
+            o = np.argsort(t_ids, kind="stable")
+            t_ids, t_tfc = t_ids[o], t_tfc[o]
+            uniq, starts = np.unique(t_ids, return_index=True)
+            tfc = np.add.reduceat(t_tfc, starts)
+            pos = np.searchsorted(sv_ids, uniq)
+            pos[pos >= sv_ids.size] = 0
+            dlc = sv_dl[pos]
+            wgt = idfs_c[t] * tfc * (K1_ + 1.0) / (
+                tfc + K1_ * (1.0 - B_ + B_ * dlc / avgdl_const)
+            )
+            all_ids = np.concatenate([acc_ids, uniq])
+            all_sc = np.concatenate([acc_sc, wgt])
+            o2 = np.argsort(all_ids, kind="stable")
+            u2, s2 = np.unique(all_ids[o2], return_index=True)
+            acc_ids, acc_sc = u2, np.add.reduceat(all_sc[o2], s2)
+        if acc_ids.size == 0:
+            return out_empty
+        rounded = np.round(acc_sc, SCORE_DECIMALS)
+        sel = np.lexsort((acc_ids, -rounded))[: min(k, acc_ids.size)]
+        return pd.DataFrame({"doc_id": acc_ids[sel], "score": rounded[sel]})
+
+    local = (
+        post.groupBy("salt")
+        .cogroup(side.groupBy("salt"))
+        .applyInPandas(kernel, "doc_id long, score double")
+    )
+    topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        first["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id", "inner")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def combined_fields_sql(
+    terms: list[str],
+    k: int = 10,
+    w_text: float = 1.0,
+    w_url: float = 2.0,
+) -> str:
+    """DuckDB oracle for the registered two-field combined_fields shape
+    (fields text/url, same tokenizer)."""
+    terms_sql = _sql_quote_terms(sorted(set(terms)))
+
+    def tok_ctes(fld: str, src_expr: str) -> str:
+        return f"""
+toks_{fld} AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+dl_{fld} AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS doc_len
+  FROM corpus
+),
+tf_{fld} AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_{fld}
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+df_{fld} AS (SELECT term, count(*) AS df FROM tf_{fld} GROUP BY term)"""
+
+    return f"""
+WITH {CORPUS_CTE.strip()},{tok_ctes("text", "text")},{tok_ctes("url", "url")},
+n AS (SELECT count(*) AS n FROM corpus),
+avgdlc AS (
+  SELECT {w_text} * (SELECT avg(doc_len) FROM dl_text)
+       + {w_url} * (SELECT avg(doc_len) FROM dl_url) AS v
+),
+dfc AS (
+  SELECT coalesce(t.term, u.term) AS term,
+         least((SELECT n FROM n),
+               coalesce(t.df, 0) + coalesce(u.df, 0)) AS df
+  FROM df_text t FULL OUTER JOIN df_url u ON t.term = u.term
+),
+tfc AS (
+  SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+         coalesce(t.term, u.term) AS term,
+         {w_text} * coalesce(t.tf, 0) + {w_url} * coalesce(u.tf, 0) AS tfc
+  FROM tf_text t
+  FULL OUTER JOIN tf_url u ON t.doc_id = u.doc_id AND t.term = u.term
+),
+dlc AS (
+  SELECT t.doc_id, {w_text} * t.doc_len + {w_url} * u.doc_len AS dlc
+  FROM dl_text t JOIN dl_url u ON t.doc_id = u.doc_id
+),
+scored AS (
+  SELECT tfc.doc_id,
+         round(sum(
+           ln(1 + ((SELECT n FROM n) - dfc.df + 0.5) / (dfc.df + 0.5))
+           * tfc.tfc * ({K1} + 1.0)
+           / (tfc.tfc + {K1} * (1.0 - {B}
+              + {B} * dlc.dlc / (SELECT v FROM avgdlc)))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tfc
+  JOIN dlc ON tfc.doc_id = dlc.doc_id
+  JOIN dfc ON tfc.term = dfc.term
+  GROUP BY tfc.doc_id
+)
+SELECT s.doc_id, corpus.url, s.score
+FROM scored s JOIN corpus ON s.doc_id = corpus.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""

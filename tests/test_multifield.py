@@ -115,3 +115,40 @@ def test_dis_max_le_multi_match_sum(spark, sf_dir, fidx):
     for d, s in dm.items():
         if d in mm:
             assert s <= mm[d] + 1e-6
+
+
+class TestCombinedFields:
+    @pytest.fixture(scope="class")
+    def fidx(self, spark, sf_dir):
+        return mf.build_field_indexes(
+            load_corpus(spark, sf_dir), {"text": "text", "url": "url"},
+            n_doc_parts=8,
+        )
+
+    @pytest.mark.parametrize(
+        "terms",
+        [["spark", "merge", "site12"], ["example"], ["the", "data"],
+         ["zzznope"]],
+    )
+    def test_vs_oracle(self, spark, duck, fidx, terms):
+        got = mf.combined_fields_topk(
+            fidx, {"text": 1.0, "url": 2.0}, terms, k=10
+        )
+        want = duck.execute(
+            mf.combined_fields_sql(terms, k=10)
+        ).df()
+        assert_same(got, want)
+
+    def test_differs_from_most_fields(self, spark, fidx):
+        """combined_fields saturates ONCE per term; most_fields saturates
+        per field and sums scores — the rankings must be allowed to
+        differ, and for the cross-field term they do (scores differ)."""
+        terms = ["example", "spark"]
+        cf = mf.combined_fields_topk(
+            fidx, {"text": 1.0, "url": 2.0}, terms, k=10
+        ).collect()
+        mm = mf.multi_match_topk(
+            fidx, {"text": 1.0, "url": 2.0}, terms, k=10
+        ).collect()
+        assert cf and mm
+        assert [r["score"] for r in cf] != [r["score"] for r in mm]
