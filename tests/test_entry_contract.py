@@ -58,7 +58,14 @@ def test_never_driver_rowed_entries_in_sample_window():
     order = list(e.queries())
     never = [k for k in order if k not in rowed]
     outside = [k for k in never if k not in set(order[:50])]
-    assert outside == [], outside
+    if len(never) <= 50:
+        assert outside == [], outside
+    else:
+        # more new entries this round than the driver can sample: the
+        # window must then be FULLY packed with never-rowed entries
+        # (maximal sampling); the overflow rotates in next round.
+        window_rowed = [k for k in order[:50] if k in rowed]
+        assert window_rowed == [], window_rowed
 
 
 def test_every_query_has_oracle():
