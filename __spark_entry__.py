@@ -29,7 +29,7 @@ from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.query import funcscore as fscore
 from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.query import boosting as boostq
-from telegram2elastic_spark.query import meta, rankeval
+from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
@@ -170,6 +170,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW (r4, session 4): ES geo_bounding_box + terms agg — sargable
         # box predicates, one scan, one hash agg
         "geo_bbox_counts": lambda spark, sf: geo.geo_bbox_counts(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 5): ES knn-with-filter — pre-filter
+        # semantics on the IVF probe path, label predicate pushed into
+        # the probed lists' candidate scan
+        "knn_filtered_topk": lambda spark, sf: sim.knn_filtered_topk(
+            load_embeddings(spark, sf)
+        ),
+        # NEW (r4, session 5): ES has_child (join field) — parent sites
+        # scored by aggregated child BM25 (score_mode=sum), one host agg
+        "has_child_topk": lambda spark, sf: parentchild.has_child_topk(
+            load_corpus(spark, sf), Q_MAIN, k=10
+        ),
+        # NEW (r4, session 5): ES has_parent — children admitted by a
+        # parent-level aggregate predicate, broadcast semi-join
+        "has_parent_page": lambda spark, sf: parentchild.has_parent_page(
             load_corpus(spark, sf)
         ),
         # NEW (r4, session 5): ES combined_fields (BM25F) — per-term
@@ -848,6 +864,9 @@ FROM corpus ORDER BY doc_id
         ),
         "geo_distance_page": geo.geo_distance_sql(),
         "geo_bbox_counts": geo.geo_bbox_counts_sql(),
+        "knn_filtered_topk": sim.knn_filtered_topk_sql(),
+        "has_child_topk": parentchild.has_child_topk_sql(Q_MAIN, k=10),
+        "has_parent_page": parentchild.has_parent_page_sql(),
         "combined_fields_topk": multifield.combined_fields_sql(
             ["spark", "merge", "site12"], k=10
         ),

@@ -911,3 +911,90 @@ GROUP BY c.vec_id
 ORDER BY adc_dist ASC, c.vec_id ASC
 LIMIT {k}
 """
+
+
+def knn_filtered_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    label: int = 3,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ES 8 `knn` with a filter clause (pre-filter semantics: the top-k
+    is taken AMONG vectors passing the filter, never filtered after) on
+    the IVF probe path.
+
+    The filter composes with the coarse quantizer, not after it: probed
+    inverted lists are scanned with the label predicate pushed into the
+    candidate scan (at the storage level the IVF lists are parquet
+    partitioned by cid, so the label filter prunes row groups inside the
+    probed partitions only).  nprobe is raised vs the unfiltered default
+    because a selective filter thins each list — the ES guidance for
+    filtered HNSW/IVF alike.  Exactness contract: deterministic
+    approximation (the probe set is fixed by the quantizer), pinned by
+    the unrolled oracle."""
+    # Spark's TakeOrderedAndProject eagerly allocates a 2k-slot buffer
+    # per task; an "probe everything" nprobe (e.g. 10**9) must not OOM
+    # the executor.  No real IVF layout has more lists than this cap.
+    nprobe = min(int(nprobe), 1_000_000)
+    assign = ivf_assign(embeddings)
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    probe = (
+        _centroids(embeddings)
+        .crossJoin(F.broadcast(q))
+        .withColumn("dist", F.round(_l2sq(F.col("qv"), F.col("cv")), 5))
+        .orderBy(F.asc("dist"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid").select("vec_id")
+    return (
+        e.join(cand, "vec_id")
+        .filter((F.col("label") == int(label)) & (F.col("vec_id") != query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ),
+        )
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_filtered_topk_sql(
+    query_vec_id: int = 0, label: int = 3, k: int = 10, nprobe: int = 4
+) -> str:
+    return f"""
+WITH assign AS ({ivf_assign_sql().strip()}),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY round(list_distance(cv, qv) * list_distance(cv, qv), 5) ASC,
+           cid ASC
+  LIMIT {nprobe}
+),
+cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe))
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+FROM e JOIN cand USING (vec_id), q
+WHERE e.label = {int(label)} AND e.vec_id != {query_vec_id}
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""

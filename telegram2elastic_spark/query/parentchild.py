@@ -1,0 +1,155 @@
+"""ES parent/child join field: `has_child` and `has_parent` queries.
+
+The web corpus has a natural join field: every page belongs to a SITE
+(its url host — the same derivation collapse.py uses).  Site documents
+are virtual (the aggregate of their pages), exactly how an ES join field
+keeps parents and children in one index routed to the same shard — here
+the same groupBy key.
+
+* `has_child_topk` — ES `has_child` { query: match(terms), score_mode }:
+  return PARENT (site) hits whose children match, scored by the
+  sum/max/avg of matching children's BM25 scores, with min_children
+  support.  Shape: the match set is scored once (relational BM25 — the
+  engine's oracle-exact scorer), then ONE hash aggregate on host; the
+  host axis is |sites|-sized.  At index scale the match set comes from
+  the compressed index instead (postings-bounded, see collapse.py's
+  per-salt variant) — the aggregate shape is identical.
+
+* `has_parent_page` — ES `has_parent` { parent_filter }: return CHILD
+  (page) hits whose parent passes a parent-level predicate (a site
+  aggregate — total stored chars over the site).  Shape: one hash
+  aggregate builds the qualifying parent set (|sites| rows), broadcast
+  semi-join back to pages, bounded page of results.  No ES-style
+  global-ordinals memory: the parent set is an explicit tiny relation.
+
+Reference analogue: the reference groups messages under their chat/
+archive exactly like pages under a site (models.py archive_id natural
+key); chat-level rollups serving message pages are the has_parent
+pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE
+from .bm25 import B, K1, SCORE_DECIMALS, bm25_scores
+from .collapse import HOST_SQL, host_col
+
+
+def has_child_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    score_mode: str = "sum",
+    min_children: int = 1,
+) -> DataFrame:
+    """Top-k (host, score, n_children) parents by aggregated child
+    relevance; score_mode in {sum, max, avg} (ES score modes; `none`
+    would order by host)."""
+    agg = {
+        "sum": F.round(F.sum("score"), SCORE_DECIMALS),
+        "max": F.round(F.max("score"), SCORE_DECIMALS),
+        "avg": F.round(F.avg("score"), SCORE_DECIMALS),
+    }[score_mode]
+    return (
+        bm25_scores(corpus, terms)
+        .withColumn("host", host_col())
+        .groupBy("host")
+        .agg(
+            agg.alias("score"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+        .filter(F.col("n_children") >= int(min_children))
+        .orderBy(F.desc("score"), F.asc("host"))
+        .limit(k)
+    )
+
+
+def has_child_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    score_mode: str = "sum",
+    min_children: int = 1,
+) -> str:
+    ts = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    agg = {"sum": "sum(score)", "max": "max(score)", "avg": "avg(score)"}[
+        score_mode
+    ]
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({ts}) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, dl.url,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, dl.url
+)
+SELECT {HOST_SQL} AS host,
+       round({agg}, {SCORE_DECIMALS}) AS score,
+       count(*) AS n_children
+FROM scored
+GROUP BY 1
+HAVING count(*) >= {int(min_children)}
+ORDER BY score DESC, host ASC
+LIMIT {k}
+"""
+
+
+def has_parent_page(
+    corpus: DataFrame,
+    min_site_chars: int = 310,
+    limit: int = 20,
+) -> DataFrame:
+    """Child pages whose parent site's total stored chars exceed the bar:
+    (doc_id, url, site_chars), doc_id order, bounded page."""
+    sites = (
+        corpus.withColumn("host", host_col())
+        .groupBy("host")
+        .agg(F.sum("n_chars").alias("site_chars"))
+        .filter(F.col("site_chars") > int(min_site_chars))
+    )
+    return (
+        corpus.withColumn("host", host_col())
+        .join(F.broadcast(sites), "host")
+        .select("doc_id", "url", "site_chars")
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def has_parent_page_sql(min_site_chars: int = 310, limit: int = 20) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+pages AS (SELECT doc_id, url, n_chars, {HOST_SQL} AS host FROM corpus),
+sites AS (
+  SELECT host, CAST(sum(n_chars) AS BIGINT) AS site_chars
+  FROM pages GROUP BY host
+  HAVING sum(n_chars) > {int(min_site_chars)}
+)
+SELECT p.doc_id, p.url, s.site_chars
+FROM pages p JOIN sites s ON p.host = s.host
+ORDER BY p.doc_id
+LIMIT {limit}
+"""
