@@ -141,6 +141,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 6): C4/RefinedWeb repeated-passage dedup —
+        # fixed-size token blocks, global keep-first on the block hash
+        # (one shuffle), docs reassembled from surviving blocks
+        "dedup_blocks": lambda spark, sf: dedup.dedup_blocks(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): Gopher/MassiveText quality-rule bundle —
+        # map-only signals + verdict + ordered fail reasons
+        "quality_gopher": lambda spark, sf: training.quality_gopher(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): language-balanced stratified sampling —
+        # per-stratum per-mille keep rates, RNG-free url-hash membership
+        "stratified_sample": lambda spark, sf: training.stratified_sample(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): ES rank_feature (saturation) — BM25 +
+        # boost*x/(x+pivot) on the doc_len doc-value, distance_feature's
+        # cogrouped kernel shape
+        "rank_feature_topk": lambda spark, sf: boostq.rank_feature_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), Q_MAIN, k=10
+        ),
+        # NEW (r4, session 6): ES pinned query — listed ids first in
+        # order, organic WAND hits follow (pinned excluded via pushed
+        # doc_filter; stats untouched)
+        "pinned_topk": lambda spark, sf: boostq.pinned_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, [42, 7, 400], k=10,
+        ),
+        # NEW (r4, session 6): ES boxplot metric agg — exact quartiles,
+        # one hash aggregate (percentile machinery)
+        "agg_boxplot": lambda spark, sf: agg.agg_boxplot(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): ES t_test metric agg (Welch) — conditional
+        # raw moments, single scan, no join
+        "agg_t_test": lambda spark, sf: agg.agg_t_test(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): ES terms lookup — match values read from a
+        # stored doc's field (O(1) seed aggregate broadcast into
+        # arrays_overlap)
+        "terms_lookup": lambda spark, sf: enrichment.terms_lookup_page(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 4): ES range agg — overlapping [from, to)
         # buckets via a broadcast non-equi join against the k-row ranges
         # table (one scan; docs fan out to every containing bucket)
@@ -914,6 +959,14 @@ FROM corpus ORDER BY doc_id
         "function_score_fvf": fscore.function_score_sql(
             Q_MAIN, k=10, fvf_factor=0.5
         ),
+        "dedup_blocks": dedup.dedup_blocks_sql(),
+        "quality_gopher": training.quality_gopher_sql(),
+        "stratified_sample": training.stratified_sample_sql(),
+        "rank_feature_topk": boostq.rank_feature_sql(Q_MAIN, k=10),
+        "pinned_topk": boostq.pinned_sql(Q_MAIN, [42, 7, 400], k=10),
+        "agg_boxplot": agg.AGG_BOXPLOT_SQL,
+        "agg_t_test": agg.agg_t_test_sql(),
+        "terms_lookup": enrichment.terms_lookup_page_sql(),
         "agg_range": facets.agg_range_sql(),
         "agg_date_range": facets.agg_date_range_sql(),
         "agg_adjacency_matrix": facets.agg_adjacency_matrix_sql(),

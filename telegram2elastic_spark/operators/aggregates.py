@@ -837,3 +837,109 @@ SELECT day, cnt,
 FROM daily
 ORDER BY day
 """
+
+
+def agg_boxplot(corpus: DataFrame) -> DataFrame:
+    """ES `boxplot` metric aggregation per lang: min / q1 / q2 (median) /
+    q3 / max of document length.  Quartiles share agg_percentiles'
+    machinery — one hash aggregate with map-side partial state, exact
+    linear interpolation matching ANSI percentile_cont (ES serves the
+    same five numbers from a TDigest; the exact form is registered so the
+    oracle pins values, and percentile_approx is the drop-in at-scale
+    twin with the identical plan shape)."""
+    q = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        corpus.groupBy("lang")
+        .agg(
+            F.min("n_chars").alias("min_chars"),
+            q.alias("q"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "min_chars",
+            F.round(F.col("q")[0], 4).alias("q1"),
+            F.round(F.col("q")[1], 4).alias("q2"),
+            F.round(F.col("q")[2], 4).alias("q3"),
+            "max_chars",
+        )
+        .orderBy("lang")
+    )
+
+
+AGG_BOXPLOT_SQL = """
+SELECT lang,
+       min(n_chars) AS min_chars,
+       round(quantile_cont(n_chars, 0.25), 4) AS q1,
+       round(quantile_cont(n_chars, 0.5),  4) AS q2,
+       round(quantile_cont(n_chars, 0.75), 4) AS q3,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def agg_t_test(
+    corpus: DataFrame,
+    filter_a: str = "source = 'src0'",
+    filter_b: str = "source = 'src1'",
+) -> DataFrame:
+    """ES `t_test` metric aggregation (heteroscedastic / Welch's,
+    ES's default): t-statistic for document length between two filter
+    populations.  One pass: each row contributes (n, sum, sum-of-squares)
+    to its population via conditional aggregates — a single map-side-
+    combinable hash aggregate with NO join and no second scan, the same
+    raw-moments trick as extended_stats (summation-order-proof, so the
+    rounded value is engine-portable).  t = (m_a - m_b) /
+    sqrt(s2_a/n_a + s2_b/n_b) with SAMPLE variances."""
+    x = F.col("n_chars").cast("double")
+    stats = corpus.select(
+        F.expr(filter_a).alias("in_a"), F.expr(filter_b).alias("in_b"), x.alias("x")
+    ).agg(
+        F.count(F.when(F.col("in_a"), 1)).cast("double").alias("na"),
+        F.sum(F.when(F.col("in_a"), F.col("x"))).alias("sa"),
+        F.sum(F.when(F.col("in_a"), F.col("x") * F.col("x"))).alias("qa"),
+        F.count(F.when(F.col("in_b"), 1)).cast("double").alias("nb"),
+        F.sum(F.when(F.col("in_b"), F.col("x"))).alias("sb"),
+        F.sum(F.when(F.col("in_b"), F.col("x") * F.col("x"))).alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("na") * ma * ma) / (F.col("na") - 1)
+    vb = (F.col("qb") - F.col("nb") * mb * mb) / (F.col("nb") - 1)
+    return stats.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(
+            (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb")), 5
+        ).alias("t_value"),
+    )
+
+
+def agg_t_test_sql(
+    filter_a: str = "source = 'src0'", filter_b: str = "source = 'src1'"
+) -> str:
+    return f"""
+WITH m AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE {filter_a}) AS DOUBLE) AS na,
+    sum(CAST(n_chars AS DOUBLE)) FILTER (WHERE {filter_a}) AS sa,
+    sum(CAST(n_chars AS DOUBLE) * n_chars) FILTER (WHERE {filter_a}) AS qa,
+    CAST(count(*) FILTER (WHERE {filter_b}) AS DOUBLE) AS nb,
+    sum(CAST(n_chars AS DOUBLE)) FILTER (WHERE {filter_b}) AS sb,
+    sum(CAST(n_chars AS DOUBLE) * n_chars) FILTER (WHERE {filter_b}) AS qb
+  FROM documents
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(sa / na, 4) AS mean_a,
+       round(sb / nb, 4) AS mean_b,
+       round((sa / na - sb / nb)
+             / sqrt(((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
+                    + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb),
+             5) AS t_value
+FROM m
+"""

@@ -629,3 +629,114 @@ WHERE round(list_dot_product(a.v, b.v)
                * sqrt(list_dot_product(b.v, b.v))), 5) >= {threshold}
 ORDER BY vec_a, vec_b
 """
+
+
+# --- 7. repeated-passage (block) dedup ---------------------------------------
+#
+# The C4 / RefinedWeb line-dedup pass, adapted to a corpus whose text has
+# no newline structure: each document is cut into consecutive fixed-size
+# token blocks (the "paragraph" unit), every block is hashed, and only the
+# FIRST global occurrence of each distinct block survives (first = lowest
+# (doc_id, block position) — deterministic, no RNG).  Documents are then
+# reassembled from their surviving blocks in position order, with kept /
+# dropped counts per doc.
+#
+# Scale shape: one shuffle on the 64-bit block hash (the window min is a
+# partial-aggregate-friendly min over the hash partition), then one hash
+# aggregate on doc_id for reassembly.  No self-join, no driver state; at
+# 10^12 blocks both exchanges are plain hash repartitions.  Reference
+# analogue: the reference dedups whole messages by id on ingest
+# (poc/src/core/dedup via unique key); block-level near-document hygiene is
+# the pretraining-pipeline extension of the same keep-first contract.
+
+DEDUP_BLOCK_TOKENS = 10
+# blocks per doc are far below this; packs (doc_id, pos) into one int64 so
+# "first occurrence" is a single MIN
+_POS_PACK = 1 << 20
+
+
+def dedup_blocks(corpus: DataFrame, block: int = DEDUP_BLOCK_TOKENS) -> DataFrame:
+    """(doc_id, text_dedup, blocks_kept, blocks_dropped), doc_id order.
+
+    A block is dropped iff an identical token block occurred earlier in
+    the corpus (earlier doc, or earlier position in the same doc).
+    """
+    from pyspark.sql import Window
+
+    toks = _toks()
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(block))).cast("int")
+    blocks_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * block + 1, block)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = corpus.select(
+        "doc_id", F.posexplode(blocks_arr).alias("pos", "btext")
+    )
+    key = F.col("doc_id") * _POS_PACK + F.col("pos")
+    b = b.withColumn(
+        "keep",
+        key == F.min(key).over(Window.partitionBy(h64(F.col("btext")))),
+    )
+    return (
+        b.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "btext"))
+                        )
+                    ),
+                    lambda s: s["btext"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("blocks_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("blocks_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_blocks_sql(block: int = DEDUP_BLOCK_TOKENS) -> str:
+    h = H64_SQL.format(x="btext")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+blk AS (
+  SELECT doc_id, CAST(t.pos AS INTEGER) AS pos,
+         array_to_string(
+           list_slice(toks, t.pos * {block} + 1, t.pos * {block} + {block}),
+           ' ') AS btext
+  FROM tokd,
+       unnest(range(0, CAST(ceil(len(toks) / {block}.0) AS BIGINT))) AS t(pos)
+),
+flagged AS (
+  SELECT doc_id, pos, btext,
+         (doc_id * {_POS_PACK} + pos)
+           = min(doc_id * {_POS_PACK} + pos) OVER (PARTITION BY {h}) AS keep
+  FROM blk
+)
+SELECT doc_id,
+       coalesce(string_agg(btext, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+         AS text_dedup,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS blocks_kept,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS blocks_dropped
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -312,3 +312,56 @@ SELECT doc_id,
        coalesce(json_extract_string(j, '$.topic'), 'general') AS topic
 FROM payload ORDER BY doc_id
 """
+
+
+def terms_lookup_page(
+    corpus: DataFrame, seed_doc_id: int = 7, limit: int = 20
+) -> DataFrame:
+    """ES `terms` query with a *terms lookup*: the match values are not
+    in the request — they are read from a field of another stored
+    document ({"terms": {"topics": {"index": ..., "id": seed}}}).  Here
+    the lookup field is the seed doc's topics array; the result is every
+    OTHER doc sharing any topic with the seed, a bounded page in doc_id
+    order.
+
+    Plan: the seed's topic array is a one-row aggregate broadcast into an
+    arrays_overlap predicate — ES does the same two-step (a GET on the
+    lookup doc, then a rewritten terms query), so at any corpus size the
+    lookup side is O(1) and the scan side is one pushdown-friendly pass.
+    """
+    topical = corpus.withColumn("topics", _topics_array())
+    seed = topical.filter(F.col("doc_id") == int(seed_doc_id)).select(
+        F.col("topics").alias("seed_topics")
+    )
+    return (
+        topical.crossJoin(F.broadcast(seed))
+        .filter(
+            F.arrays_overlap(F.col("topics"), F.col("seed_topics"))
+            & (F.col("doc_id") != int(seed_doc_id))
+        )
+        .select("doc_id", "url", F.array_join("topics", ",").alias("topics"))
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def terms_lookup_page_sql(seed_doc_id: int = 7, limit: int = 20) -> str:
+    h = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+    picks = ", ".join(
+        f"CASE WHEN (({h}) >> {4 * (i + 1)}) % 3 = 0 THEN '{t}' END"
+        for i, t in enumerate(TOPIC_WHITELIST[:4])
+    )
+    arr = f"list_filter([{picks}], x -> x IS NOT NULL)"
+    full = f"CASE WHEN len({arr}) = 0 THEN ['general'] ELSE {arr} END"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+topical AS (SELECT doc_id, url, {full} AS topics FROM corpus),
+seed AS (SELECT topics AS seed_topics FROM topical
+         WHERE doc_id = {int(seed_doc_id)})
+SELECT t.doc_id, t.url, array_to_string(t.topics, ',') AS topics
+FROM topical t, seed
+WHERE len(list_intersect(t.topics, seed.seed_topics)) > 0
+  AND t.doc_id != {int(seed_doc_id)}
+ORDER BY t.doc_id
+LIMIT {limit}
+"""

@@ -285,3 +285,172 @@ SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
        doc_tokens
 FROM flat ORDER BY doc_id, chunk_id
 """
+
+
+# --- Gopher-style quality rules ----------------------------------------------
+#
+# The rule bundle from the Gopher / MassiveText filtering stage (composite
+# document-level heuristics, each cheap and JVM-native): word-count bounds,
+# mean-word-length bounds, a repetition signal (unique-word fraction), and
+# stop-token presence.  Emits the per-doc signals, the verdict, and the
+# ordered list of failed rules so downstream can slice rejects by reason.
+# Map-only: no shuffle, no UDF — survives any corpus size as a pure scan.
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_UNIQ_FRAC = 0.45
+GOPHER_STOP_TOKENS = ["the", "a", "data"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def quality_gopher(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, uniq_frac, stop_hits, passes,
+    fail_reasons), doc_id order; floats rounded to 5 so the verdicts are
+    engine-portable."""
+    toks = tokens("text")
+    d = corpus.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks),
+            5,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 5
+        ).alias("uniq_frac"),
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(t) for t in GOPHER_STOP_TOKENS])
+            )
+        ).alias("stop_hits"),
+    )
+    fails = F.filter(
+        F.array(
+            F.when(
+                ~F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+                F.lit("word_count"),
+            ),
+            F.when(
+                ~F.col("mean_word_len").between(
+                    GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN
+                ),
+                F.lit("mean_word_len"),
+            ),
+            F.when(
+                F.col("uniq_frac") < GOPHER_MIN_UNIQ_FRAC, F.lit("repetition")
+            ),
+            F.when(
+                F.col("stop_hits") < GOPHER_MIN_STOP_HITS, F.lit("stop_tokens")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        d.withColumn("fail_reasons", fails)
+        .withColumn("passes", F.size("fail_reasons") == 0)
+        .select(
+            "doc_id", "n_words", "mean_word_len", "uniq_frac", "stop_hits",
+            "passes", "fail_reasons",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_gopher_sql() -> str:
+    stops = ", ".join(f"'{t}'" for t in GOPHER_STOP_TOKENS)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_words,
+         round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks), 5) AS mean_word_len,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 5)
+             AS uniq_frac,
+         CAST(len(list_intersect(toks, [{stops}])) AS INTEGER) AS stop_hits
+  FROM tokd
+),
+flagged AS (
+  SELECT *,
+         list_filter([
+           CASE WHEN n_words NOT BETWEEN {GOPHER_MIN_WORDS}
+                                     AND {GOPHER_MAX_WORDS}
+                THEN 'word_count' END,
+           CASE WHEN mean_word_len NOT BETWEEN {GOPHER_MIN_MEAN_WLEN}
+                                           AND {GOPHER_MAX_MEAN_WLEN}
+                THEN 'mean_word_len' END,
+           CASE WHEN uniq_frac < {GOPHER_MIN_UNIQ_FRAC}
+                THEN 'repetition' END,
+           CASE WHEN stop_hits < {GOPHER_MIN_STOP_HITS}
+                THEN 'stop_tokens' END
+         ], x -> x IS NOT NULL) AS fail_reasons
+  FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, uniq_frac, stop_hits,
+       len(fail_reasons) = 0 AS passes, fail_reasons
+FROM flagged ORDER BY doc_id
+"""
+
+
+# --- stratified sampling ------------------------------------------------------
+#
+# Language-balanced corpus sampling: per-stratum (lang) keep rates in
+# per-mille, membership a pure hash of the url (the train_val_split
+# determinism contract — re-runs, repartitions, and both engines agree on
+# every row).  Map-only; the rate table rides along as a literal CASE, so
+# at 10^12 docs this is a scan with a codegen'd predicate — no join, no
+# shuffle, no RNG state.
+
+STRATA_RATES = {"en": 600, "zh": 300, "de": 300, "fr": 150}
+STRATA_DEFAULT_RATE = 50
+
+
+def stratified_sample(
+    corpus: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = STRATA_DEFAULT_RATE,
+) -> DataFrame:
+    """Sampled (doc_id, lang) — doc kept iff its url-hash bucket falls
+    under its language's per-mille rate."""
+    rates = STRATA_RATES if rates is None else rates
+    rate = F.lit(int(default_rate))
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(int(r))).otherwise(rate)
+    bucket = F.pmod(h64(F.col("url")), F.lit(N_SPLIT_BUCKETS))
+    return (
+        corpus.filter(bucket < rate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, int] | None = None,
+    default_rate: int = STRATA_DEFAULT_RATE,
+) -> str:
+    rates = STRATA_RATES if rates is None else rates
+    h = H64_SQL.format(x="url")
+    whens = "\n           ".join(
+        f"WHEN lang = '{lang}' THEN {int(r)}"
+        for lang, r in sorted(rates.items())
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, lang
+FROM corpus
+WHERE ({h}) % {N_SPLIT_BUCKETS}
+      < CASE {whens}
+             ELSE {int(default_rate)} END
+ORDER BY doc_id
+"""

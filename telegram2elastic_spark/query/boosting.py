@@ -352,3 +352,291 @@ FROM scored s JOIN dl d ON s.doc_id = d.doc_id
 ORDER BY score DESC, s.doc_id ASC
 LIMIT {k}
 """
+
+
+# --- rank_feature -------------------------------------------------------------
+
+RANK_FEATURE_FUNCS = ("saturation", "log", "sigmoid")
+
+
+def _rank_feature_np(x: np.ndarray, func: str, pivot: float, exponent: float):
+    if func == "saturation":
+        return x / (x + pivot)
+    if func == "log":
+        return np.log(1.0 + x / pivot)
+    if func == "sigmoid":
+        return x**exponent / (x**exponent + pivot**exponent)
+    raise ValueError(f"rank_feature func must be one of {RANK_FEATURE_FUNCS}")
+
+
+def rank_feature_topk(
+    index: dict,
+    terms: list[str],
+    pivot: float = 40.0,
+    boost: float = 2.0,
+    k: int = 10,
+    func: str = "saturation",
+    exponent: float = 2.0,
+) -> DataFrame:
+    """ES bool { must: match(terms), should: rank_feature(doc_len) }:
+    BM25 sum plus ``boost * f(doc_len)`` where f is the ES rank_feature
+    function — saturation x/(x+pivot) (the default), log ln(1+x/pivot),
+    or sigmoid x^e/(x^e+pivot^e).
+
+    Same kernel shape as distance_feature: the static feature rides into
+    the salt as a doc-values slice of doc_map (cogroup — never a driver
+    collect), additive boosting forces full accumulation (no theta cut),
+    and the global stage is a P*k TakeOrdered.  doc_len is the feature
+    because it is the one numeric doc value both the index (doc_map) and
+    the relational oracle (DOC_LEN_SQL) derive identically; any doc_map
+    column slots in the same way."""
+    if func not in RANK_FEATURE_FUNCS:
+        raise ValueError(f"rank_feature func must be one of {RANK_FEATURE_FUNCS}")
+    spark = index["doc_map"].sparkSession
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    idfs, avgdl = _collect_idfs(index, sorted(set(terms)))
+    if not idfs:
+        return empty
+    post = _postings_for_terms(index, sorted(idfs))
+    filt = _filters_df(index, None)
+    side = index["doc_map"].select(
+        "doc_id",
+        F.col("doc_len").cast("double").alias("feat"),
+        F.lit("h").alias("kind"),
+    )
+    if filt is not None:
+        side = side.unionByName(
+            filt.select(
+                "doc_id", F.lit(None).cast("double").alias("feat"), "kind"
+            )
+        )
+    side = side.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+    )
+    piv, bst, expo = float(pivot), float(boost), float(exponent)
+
+    def kernel(post_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        dv = side_pdf.loc[side_pdf["kind"] == "h", ["doc_id", "feat"]]
+        tomb, _ = _split_filters(side_pdf, has_allow=False)
+        scored = _score_salt_group(
+            post_pdf, idfs, float(avgdl), 1 << 60, tombstones=tomb,
+            raw_scores=True,
+        )
+        if scored.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        m = scored.merge(dv, on="doc_id", how="left")
+        feat = _rank_feature_np(m["feat"].to_numpy(np.float64), func, piv, expo)
+        final = np.round(
+            m["score"].to_numpy(np.float64) + bst * feat, SCORE_DECIMALS
+        )
+        ids = m["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, -final))[: min(k, ids.size)]
+        return pd.DataFrame({"doc_id": ids[order], "score": final[order]})
+
+    local = (
+        post.groupBy("salt")
+        .cogroup(side.groupBy("salt"))
+        .applyInPandas(kernel, "doc_id long, score double")
+    )
+    top = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return _url_join(index, top, k)
+
+
+def rank_feature_sql(
+    terms: list[str],
+    pivot: float = 40.0,
+    boost: float = 2.0,
+    k: int = 10,
+    func: str = "saturation",
+    exponent: float = 2.0,
+) -> str:
+    x = "CAST(dl.doc_len AS DOUBLE)"
+    piv, expo = float(pivot), float(exponent)
+    feat = {
+        "saturation": f"{x} / ({x} + {piv!r})",
+        "log": f"ln(1.0 + {x} / {piv!r})",
+        "sigmoid": f"pow({x}, {expo!r}) / (pow({x}, {expo!r}) + pow({piv!r}, {expo!r}))",
+    }[func]
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({_terms_sql(terms)}) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, dl.url,
+       round(s.raw + {float(boost)!r} * ({feat}), {SCORE_DECIMALS}) AS score
+FROM scored s JOIN dl ON s.doc_id = dl.doc_id
+ORDER BY score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
+# --- pinned query -------------------------------------------------------------
+
+
+def pinned_topk(
+    index: dict,
+    terms: list[str],
+    pinned_ids: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """ES `pinned` query: the listed doc ids occupy the top positions in
+    the given order (returned regardless of whether they match the
+    organic query — the ES contract), organic BM25 hits follow with the
+    pinned ids removed.
+
+    Organic retrieval is the untouched WAND path with the pinned set as
+    a doc_filter pushed into the per-salt kernels (ids are dropped before
+    scoring; global stats untouched — ES filter-context semantics), so
+    the expensive side keeps its pruned, index-backed plan; the pinned
+    side is a |pins|-row broadcast lookup against doc_map.  Returns
+    (rank, doc_id, url, pinned, score) with score NULL on pinned rows
+    (ES surfaces a synthetic float there; NULL is the honest analogue).
+    """
+    from .wand import wand_topk
+
+    spark = index["doc_map"].sparkSession
+    pins = [int(p) for p in pinned_ids]
+    if not pins:
+        org = wand_topk(index, terms, k=k)
+        base = org.select(
+            "doc_id", "url", F.lit(False).alias("pinned"), "score"
+        )
+    else:
+        not_pinned = f"doc_id NOT IN ({', '.join(str(p) for p in pins)})"
+        org = wand_topk(index, terms, k=k, doc_filter=not_pinned)
+        ord_col = F.lit(None).cast("int")
+        for i, p in enumerate(pins):
+            ord_col = F.when(F.col("doc_id") == p, F.lit(i)).otherwise(ord_col)
+        pinned_rows = (
+            index["doc_map"]
+            .filter(F.col("doc_id").isin(pins))
+            .select(
+                "doc_id", "url", F.lit(True).alias("pinned"),
+                F.lit(None).cast("double").alias("score"),
+                ord_col.alias("ord"),
+            )
+        )
+        # organic excludes the pinned ids by construction (doc_filter),
+        # so the union is disjoint — no dedup needed
+        base = pinned_rows.unionByName(
+            org.select(
+                "doc_id", "url", F.lit(False).alias("pinned"), "score",
+                F.lit(None).cast("int").alias("ord"),
+            )
+        )
+    from pyspark.sql import Window
+
+    # <= |pins| + k rows reach this point; the single-partition window is
+    # bounded (same deliberate shape as search.py's paginated window)
+    order = [F.desc("pinned")]
+    if pins:
+        order.append(F.asc_nulls_last("ord"))
+    order += [F.desc_nulls_last("score"), F.asc("doc_id")]
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return (
+        base.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "url", "pinned", "score")
+        .orderBy("rank")
+    )
+
+
+def pinned_sql(terms: list[str], pinned_ids: list[int], k: int = 10) -> str:
+    pins = [int(p) for p in pinned_ids]
+    pin_vals = ", ".join(f"({i}, {p})" for i, p in enumerate(pins))
+    not_in = (
+        f"WHERE s.doc_id NOT IN ({', '.join(str(p) for p in pins)})"
+        if pins
+        else ""
+    )
+    pin_cte = (
+        f"""pins AS (
+  SELECT ord, doc_id FROM (VALUES {pin_vals}) AS v(ord, doc_id)
+),
+pinned_rows AS (
+  SELECT CAST(p.ord AS INTEGER) AS ord, c.doc_id, c.url,
+         TRUE AS pinned, CAST(NULL AS DOUBLE) AS score
+  FROM pins p JOIN corpus c ON p.doc_id = c.doc_id
+),"""
+        if pins
+        else ""
+    )
+    union = (
+        "SELECT * FROM pinned_rows UNION ALL SELECT * FROM organic"
+        if pins
+        else "SELECT * FROM organic"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({_terms_sql(terms)}) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+{pin_cte}
+organic AS (
+  SELECT CAST(NULL AS INTEGER) AS ord, s.doc_id, d.url,
+         FALSE AS pinned, s.score
+  FROM scored s JOIN dl d ON s.doc_id = d.doc_id
+  {not_in}
+  ORDER BY s.score DESC, s.doc_id ASC
+  LIMIT {k}
+),
+unioned AS ({union})
+SELECT CAST(row_number() OVER (
+         ORDER BY pinned DESC, ord ASC NULLS LAST,
+                  score DESC NULLS LAST, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, url, pinned, score
+FROM unioned
+QUALIFY rank <= {k}
+ORDER BY rank
+"""
