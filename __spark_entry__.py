@@ -141,6 +141,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 6): ES span_or — position-union pseudo-term
+        # (tf = total member occurrences, df = exact union doc count),
+        # emission band from the driver-inverted df upper bound
+        "span_or_topk": lambda spark, sf: spans.span_or_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["vector", "window"], k=10,
+        ),
+        # NEW (r4, session 6): ES span_not — include occurrences not
+        # within [p-pre, p+post] of any exclude occurrence; exclude term
+        # scanned but not required
+        "span_not_topk": lambda spark, sf: spans.span_not_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            "merge", "batch", pre=1, post=1, k=10,
+        ),
+        # NEW (r4, session 6): ES phrase suggester — per-term Levenshtein
+        # candidates from term_dict, combination phrases scored by a
+        # Laplace bigram LM from the build-time bigram_dict
+        "phrase_suggest": lambda spark, sf: suggest.phrase_suggest(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            suggest.bigram_dict(load_corpus(spark, sf)),
+            ["tne", "fast"], k=5,
+        ),
         # NEW (r4, session 6): C4/RefinedWeb repeated-passage dedup —
         # fixed-size token blocks, global keep-first on the block hash
         # (one shuffle), docs reassembled from surviving blocks
@@ -959,6 +981,9 @@ FROM corpus ORDER BY doc_id
         "function_score_fvf": fscore.function_score_sql(
             Q_MAIN, k=10, fvf_factor=0.5
         ),
+        "span_or_topk": spans.span_or_sql(["vector", "window"], k=10),
+        "span_not_topk": spans.span_not_sql("merge", "batch", pre=1, post=1, k=10),
+        "phrase_suggest": suggest.phrase_suggest_sql(["tne", "fast"], k=5),
         "dedup_blocks": dedup.dedup_blocks_sql(),
         "quality_gopher": training.quality_gopher_sql(),
         "stratified_sample": training.stratified_sample_sql(),

@@ -165,15 +165,32 @@ def _span_partial(
     return pd.concat([counts, sentinel], ignore_index=True)
 
 
-def _run_span(index: dict, terms: list[str], k: int, counts_fn) -> DataFrame:
+def _run_span(
+    index: dict,
+    terms: list[str],
+    k: int,
+    counts_fn,
+    required: list[str] | None = None,
+    band: float | None = None,
+) -> DataFrame:
+    """`required` = terms that must have postings for any match to exist
+    (default: all of `terms` — the conjunctive span shapes); span_not's
+    exclude term and span_or's optional members are scanned but not
+    required.  `band` overrides the default emission tie band — needed
+    when the pseudo-term's idf lower bound is NOT max(member idfs)
+    (span_or: df_or can exceed every member df)."""
     from .wand import _collect_idfs
 
     spark = index["doc_map"].sparkSession
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
     idfs, _ = _collect_idfs(index, sorted(set(terms)))
-    if any(t not in idfs for t in set(terms)):
+    req = set(terms) if required is None else set(required)
+    if any(t not in idfs for t in req) or not idfs:
         return empty
-    band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / max(idfs.values())
+    if band is None:
+        band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / max(
+            idfs[t] for t in (req or set(idfs))
+        )
     post = _postings_for_terms(index, sorted(set(terms)))
     n, avgdl = index["stats"].select("n_docs", "avgdl").first()
     avgdl = float(avgdl) if avgdl else 1.0
@@ -282,6 +299,168 @@ tokd AS (
          list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
                      t -> t <> '') AS toks,
          {pos_defs}
+  FROM corpus
+),
+{_pseudo_score_sql(tf, k)}"""
+
+
+# --- span_or / span_not -------------------------------------------------------
+
+
+def _span_or_counts(
+    pdf: pd.DataFrame, terms: list[str], tombstones: np.ndarray | None
+) -> pd.DataFrame:
+    groups = {t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)}
+    present = [t for t in sorted(set(terms)) if t in groups]
+    if not present:
+        return _EMPTY_COUNTS.copy()
+    all_ids, all_tf, all_dl = [], [], []
+    for t in present:
+        ids, dls, pos = _decode_term_blocks(t, groups[t])
+        tf = np.fromiter(
+            (len(p) for p in pos), dtype=np.int64, count=len(pos)
+        )
+        all_ids.append(ids)
+        all_tf.append(tf)
+        all_dl.append(dls)
+    ids = np.concatenate(all_ids)
+    tf = np.concatenate(all_tf)
+    dl = np.concatenate(all_dl)
+    order = np.argsort(ids, kind="stable")
+    ids, tf, dl = ids[order], tf[order], dl[order]
+    uniq, starts = np.unique(ids, return_index=True)
+    sums = np.add.reduceat(tf, starts)
+    dls = dl[starts]
+    if tombstones is not None and tombstones.size:
+        live = ~np.isin(uniq, tombstones)
+        uniq, sums, dls = uniq[live], sums[live], dls[live]
+    return pd.DataFrame({"doc_id": uniq, "phrase_tf": sums, "dl": dls})
+
+
+def _span_not_counts(
+    pdf: pd.DataFrame,
+    include: str,
+    exclude: str,
+    pre: int,
+    post: int,
+    tombstones: np.ndarray | None,
+) -> pd.DataFrame:
+    groups = {t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)}
+    if include not in groups:
+        return _EMPTY_COUNTS.copy()
+    ids, dls, pos = _decode_term_blocks(include, groups[include])
+    if exclude in groups:
+        xids, _, xpos = _decode_term_blocks(exclude, groups[exclude])
+        tf = np.empty(len(pos), dtype=np.int64)
+        for i in range(len(pos)):
+            j = np.searchsorted(xids, ids[i])
+            if j < xids.size and xids[j] == ids[i]:
+                q = np.sort(np.asarray(xpos[j], dtype=np.int64))
+                p = np.asarray(pos[i], dtype=np.int64)
+                lo = np.searchsorted(q, p - pre, side="left")
+                hi = np.searchsorted(q, p + post, side="right")
+                tf[i] = int((hi == lo).sum())
+            else:
+                tf[i] = len(pos[i])
+    else:
+        tf = np.fromiter(
+            (len(p) for p in pos), dtype=np.int64, count=len(pos)
+        )
+    keep = tf > 0
+    ids, tf, dls = ids[keep], tf[keep], dls[keep]
+    if tombstones is not None and tombstones.size:
+        live = ~np.isin(ids, tombstones)
+        ids, tf, dls = ids[live], tf[live], dls[live]
+    return pd.DataFrame({"doc_id": ids, "phrase_tf": tf, "dl": dls})
+
+
+def span_or_topk(index: dict, terms: list[str], k: int = 10) -> DataFrame:
+    """ES `span_or`: docs containing ANY member term, scored as ONE
+    pseudo-term whose tf is the total occurrence count across members
+    (position-union semantics) and whose df is the exact union doc
+    count.  This differs from the WAND disjunction, which scores each
+    term with its own idf and sums.
+
+    Emission band: df_or can EXCEED every member df (union), so the
+    pseudo-idf may be lower than any member's — the band divides by the
+    idf at the driver-computable upper bound df_or <= min(n, sum member
+    dfs), recovered from the cached member idfs by inverting the idf
+    formula (exact algebra, no extra Spark job)."""
+    from .wand import _collect_idfs
+
+    idfs, _ = _collect_idfs(index, sorted(set(terms)))
+    if not idfs:
+        spark = index["doc_map"].sparkSession
+        return spark.createDataFrame([], "doc_id long, url string, score double")
+    n = float(index["_stats"][0])
+    # invert idf -> df:  r = e^idf - 1 = (n - df + .5)/(df + .5)
+    dfs = [
+        (n + 0.5 - 0.5 * r) / (r + 1.0)
+        for r in (np.expm1(i) for i in idfs.values())
+    ]
+    df_ub = min(n, sum(dfs))
+    idf_lb = float(np.log1p((n - df_ub + 0.5) / (df_ub + 0.5)))
+    band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / idf_lb
+    return _run_span(
+        index, sorted(set(terms)), k,
+        lambda pdf, t: _span_or_counts(pdf, terms, t),
+        required=[], band=band,
+    )
+
+
+def span_not_topk(
+    index: dict,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `span_not`: occurrences of `include` that are NOT within
+    [p - pre, p + post] tokens of any `exclude` occurrence; docs keep
+    only the surviving occurrences as tf (docs with none drop out).
+    `exclude` is scanned but not required — a corpus without it makes
+    span_not degrade to the plain span_term.  Band bound: every match
+    needs `include`, so df_s <= df_include and the include-idf band is
+    provably safe."""
+    return _run_span(
+        index, sorted({include, exclude}), k,
+        lambda pdf, t: _span_not_counts(pdf, include, exclude, pre, post, t),
+        required=[include],
+    )
+
+
+def span_or_sql(terms: list[str], k: int = 10) -> str:
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    tf = f"len(list_filter(toks, t -> t IN ({in_list})))"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+{_pseudo_score_sql(tf, k)}"""
+
+
+def span_not_sql(
+    include: str, exclude: str, pre: int = 0, post: int = 0, k: int = 10
+) -> str:
+    i = include.replace("'", "''")
+    x = exclude.replace("'", "''")
+    tf = (
+        f"len(list_filter(list_filter(range(1, len(toks) + 1), "
+        f"p -> toks[p] = '{i}'), p -> len(list_filter("
+        f"list_filter(range(1, len(toks) + 1), q -> toks[q] = '{x}'), "
+        f"q -> q >= p - {int(pre)} AND q <= p + {int(post)})) = 0))"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
   FROM corpus
 ),
 {_pseudo_score_sql(tf, k)}"""

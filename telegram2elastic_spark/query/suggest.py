@@ -129,3 +129,196 @@ WHERE sim >= {float(min_sim)}
 ORDER BY sim DESC, term ASC
 LIMIT {int(k)}
 """
+
+
+# --- phrase suggester ("did you mean", bigram LM) -----------------------------
+
+PHRASE_MAX_EDITS = 2
+PHRASE_PER_TERM = 4
+# noisy-channel error model: each edit multiplies the candidate's
+# likelihood by alpha (the ES DirectCandidateGenerator's error-likelihood
+# prior) — an exact input term (distance 0) pays nothing, so the LM can
+# only override it with strong bigram evidence
+PHRASE_EDIT_ALPHA = 0.1
+
+
+def bigram_dict(corpus: DataFrame) -> DataFrame:
+    """(bigram "w1 w2", cnt) — the build-time artifact the phrase
+    suggester consults (ES recommends a dedicated shingle field for its
+    phrase suggester; this is that field's term dictionary).  One
+    tokenize + one hash aggregate; built once next to term_dict, NOT per
+    query."""
+    from ..functions.tokenizer import tokens
+
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        corpus.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def phrase_suggest(
+    index: dict,
+    bigrams: DataFrame,
+    terms: list[str],
+    max_edits: int = PHRASE_MAX_EDITS,
+    per_term: int = PHRASE_PER_TERM,
+    k: int = 5,
+) -> DataFrame:
+    """ES `phrase` suggester: candidate corrections for each input term
+    (Levenshtein <= max_edits against the term dictionary, capped at
+    per_term by (distance, cf desc, term)), every combination phrase
+    scored by a Laplace-smoothed bigram language model:
+
+        score = ln((cf(w0)+1)/(T+V)) + sum_i ln((c(w_i w_{i+1})+1)/(cf(w_i)+V))
+                + sum_i dist_i * ln(alpha)
+
+    with V = vocabulary size, T = total token count, and dist_i the edit
+    distance of position i's candidate (noisy-channel error model, see
+    PHRASE_EDIT_ALPHA) — rounded to 5, top-k
+    by (score desc, suggestion asc).  All relations after the per-term
+    candidate cap are <= per_term^len(terms) rows, so every join
+    broadcasts; the bigram side is probed with a broadcast hash join (the
+    big table is never shuffled).  Returns (suggestion, score)."""
+    td = index["term_dict"].select("term", "cf")
+    vv = td.agg(
+        F.count(F.lit(1)).cast("double").alias("V"),
+        F.sum("cf").cast("double").alias("T"),
+    )
+    cands = []
+    for i, t in enumerate(terms):
+        c = (
+            td.withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("dist") <= int(max_edits))
+            .orderBy(F.asc("dist"), F.desc("cf"), F.asc("term"))
+            .limit(int(per_term))
+            .select(
+                F.col("term").alias(f"w{i}"),
+                F.col("cf").alias(f"cf{i}"),
+                F.col("dist").alias(f"dist{i}"),
+            )
+        )
+        cands.append(c)
+    combos = cands[0]
+    for c in cands[1:]:
+        combos = combos.crossJoin(F.broadcast(c))
+    m = len(terms)
+    for i in range(m - 1):
+        # probe the big bigram table with the tiny candidate-key set
+        # (inner broadcast hash join — bg is streamed, never shuffled),
+        # THEN left-join the now-tiny hit set back onto the combos
+        keys = combos.select(
+            F.concat_ws(" ", F.col(f"w{i}"), F.col(f"w{i+1}")).alias(f"bg{i}")
+        ).distinct()
+        hits = bigrams.select(
+            F.col("bigram").alias(f"bg{i}"), F.col("cnt").alias(f"bc{i}")
+        ).join(F.broadcast(keys), f"bg{i}")
+        combos = combos.join(
+            F.broadcast(hits),
+            on=F.concat_ws(" ", F.col(f"w{i}"), F.col(f"w{i+1}"))
+            == F.col(f"bg{i}"),
+            how="left",
+        ).drop(f"bg{i}")
+    combos = combos.crossJoin(F.broadcast(vv))
+    import math
+
+    ln_alpha = math.log(PHRASE_EDIT_ALPHA)
+    score = F.log((F.col("cf0") + 1.0) / (F.col("T") + F.col("V")))
+    for i in range(m):
+        score = score + F.col(f"dist{i}") * F.lit(ln_alpha)
+    for i in range(m - 1):
+        score = score + F.log(
+            (F.coalesce(F.col(f"bc{i}"), F.lit(0)) + 1.0)
+            / (F.col(f"cf{i}") + F.col("V"))
+        )
+    return (
+        combos.select(
+            F.concat_ws(" ", *[F.col(f"w{i}") for i in range(m)]).alias(
+                "suggestion"
+            ),
+            F.round(score, 5).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
+def phrase_suggest_sql(
+    terms: list[str],
+    max_edits: int = PHRASE_MAX_EDITS,
+    per_term: int = PHRASE_PER_TERM,
+    k: int = 5,
+) -> str:
+    m = len(terms)
+    cand_ctes = ",\n".join(
+        f"""c{i} AS (
+  SELECT term AS w{i}, cf AS cf{i},
+         levenshtein(term, '{t.replace("'", "''")}') AS dist{i}
+  FROM vocab
+  WHERE levenshtein(term, '{t.replace("'", "''")}') <= {int(max_edits)}
+  ORDER BY levenshtein(term, '{t.replace("'", "''")}'), cf DESC, term
+  LIMIT {int(per_term)}
+)"""
+        for i, t in enumerate(terms)
+    )
+    cross = " CROSS JOIN ".join(f"c{i}" for i in range(m))
+    bg_joins = "\n".join(
+        f"LEFT JOIN bg b{i} ON b{i}.bigram = w{i} || ' ' || w{i+1}"
+        for i in range(m - 1)
+    )
+    import math
+
+    ln_alpha = repr(math.log(PHRASE_EDIT_ALPHA))
+    score_terms = (
+        ["ln((cf0 + 1.0) / (T + V))"]
+        + [f"dist{i} * ({ln_alpha})" for i in range(m)]
+        + [
+            f"ln((coalesce(b{i}.cnt, 0) + 1.0) / (cf{i} + V))"
+            for i in range(m - 1)
+        ]
+    )
+    score = " + ".join(score_terms)
+    sugg = " || ' ' || ".join(f"w{i}" for i in range(m))
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM (SELECT unnest(toks) AS term FROM tokd)
+  GROUP BY term
+),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS V,
+              CAST(sum(cf) AS DOUBLE) AS T FROM vocab),
+bg AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM tokd, unnest(range(1, len(toks))) AS t(i)
+  )
+  GROUP BY bigram
+),
+{cand_ctes},
+combos AS (SELECT * FROM {cross})
+SELECT {sugg} AS suggestion,
+       round({score}, 5) AS score
+FROM combos
+{bg_joins}
+CROSS JOIN vv
+ORDER BY score DESC, suggestion ASC
+LIMIT {k}
+"""

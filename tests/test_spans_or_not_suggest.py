@@ -1,0 +1,83 @@
+"""span_or / span_not queries and the phrase suggester vs DuckDB."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.query import spans
+from telegram2elastic_spark.query import suggest as sg
+
+from .oracle import assert_same
+
+
+@pytest.fixture(scope="module")
+def pindex(spark, sf_dir):
+    return build_index(load_corpus(spark, sf_dir), n_doc_parts=4, positions=True)
+
+
+@pytest.mark.parametrize("terms", [["vector", "window"], ["the", "data", "zzzz"]])
+def test_span_or_vs_oracle(spark, duck, sf_dir, pindex, terms):
+    got = spans.span_or_topk(pindex, terms)
+    want = duck.execute(spans.span_or_sql(terms)).df()
+    assert_same(got, want)
+
+
+def test_span_or_all_dead(pindex):
+    assert spans.span_or_topk(pindex, ["zzzz", "qqqq"]).count() == 0
+
+
+@pytest.mark.parametrize(
+    "inc,exc,pre,post",
+    [("merge", "batch", 1, 1), ("merge", "zzzz", 0, 0), ("the", "a", 2, 0)],
+)
+def test_span_not_vs_oracle(spark, duck, sf_dir, pindex, inc, exc, pre, post):
+    got = spans.span_not_topk(pindex, inc, exc, pre=pre, post=post)
+    want = duck.execute(spans.span_not_sql(inc, exc, pre=pre, post=post)).df()
+    assert_same(got, want)
+
+
+def test_span_not_excludes_hits(spark, sf_dir, pindex):
+    """With a huge window, any doc containing the exclude term drops."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]
+        for r in spans.span_not_topk(
+            pindex, "merge", "batch", pre=10**6, post=10**6, k=10**4
+        ).collect()
+    }
+    c = load_corpus(spark, sf_dir)
+    from telegram2elastic_spark.functions.tokenizer import tokens
+
+    both = {
+        r["doc_id"]
+        for r in c.filter(
+            F.array_contains(tokens("text"), "batch")
+        ).select("doc_id").collect()
+    }
+    assert not (got & both)
+    assert got  # merge-only docs remain
+
+
+@pytest.mark.parametrize(
+    "q", [["mrge", "batch"], ["tne", "fast"], ["rw", "dta"], ["spark"]]
+)
+def test_phrase_suggest_vs_oracle(spark, duck, sf_dir, q):
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    bg = sg.bigram_dict(load_corpus(spark, sf_dir))
+    got = sg.phrase_suggest(idx, bg, q)
+    want = duck.execute(sg.phrase_suggest_sql(q)).df()
+    assert_same(got, want)
+
+
+def test_phrase_suggest_corrects_and_respects_exact_input(spark, sf_dir):
+    """Noisy-channel contract: a clear misspelling corrects to the
+    dictionary term; an exact input term stays on top of its position
+    unless bigram evidence overrides — 'tne fast' -> 'the fast' keeps
+    the exact 'fast' and corrects 'tne'."""
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    bg = sg.bigram_dict(load_corpus(spark, sf_dir))
+    top = sg.phrase_suggest(idx, bg, ["tne", "fast"], k=1).first()
+    assert top["suggestion"] == "the fast"
+    top = sg.phrase_suggest(idx, bg, ["mrge", "batch"], k=1).first()
+    assert top["suggestion"] == "merge batch"
