@@ -141,6 +141,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 6): CCNet-style LM quality filter — exact
+        # Laplace bigram cross-entropy per doc from corpus-built
+        # unigram/bigram tables (one shuffle join + one hash agg)
+        "lm_cross_entropy": lambda spark, sf: training.lm_cross_entropy(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): C4 domain balancing — at most N docs per
+        # host, newest first; per-host window rank, no global sort
+        "cap_per_host": lambda spark, sf: training.cap_per_host(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): ES parent_id query — children of one
+        # parent site, host equality folded into the scan
+        "parent_id_page": lambda spark, sf: parentchild.parent_id_page(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): ES top_metrics agg — per-bucket metrics of
+        # the top doc by sort field via map-side max_by, no window
+        "agg_top_metrics": lambda spark, sf: agg.agg_top_metrics(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 6): ES span_or — position-union pseudo-term
         # (tf = total member occurrences, df = exact union doc count),
         # emission band from the driver-inverted df upper bound
@@ -981,6 +1002,10 @@ FROM corpus ORDER BY doc_id
         "function_score_fvf": fscore.function_score_sql(
             Q_MAIN, k=10, fvf_factor=0.5
         ),
+        "lm_cross_entropy": training.lm_cross_entropy_sql(),
+        "cap_per_host": training.cap_per_host_sql(),
+        "parent_id_page": parentchild.parent_id_page_sql(),
+        "agg_top_metrics": agg.agg_top_metrics_sql(),
         "span_or_topk": spans.span_or_sql(["vector", "window"], k=10),
         "span_not_topk": spans.span_not_sql("merge", "batch", pre=1, post=1, k=10),
         "phrase_suggest": suggest.phrase_suggest_sql(["tne", "fast"], k=5),

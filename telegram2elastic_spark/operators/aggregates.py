@@ -943,3 +943,36 @@ SELECT CAST(na AS BIGINT) AS n_a,
              5) AS t_value
 FROM m
 """
+
+
+def agg_top_metrics(corpus: DataFrame) -> DataFrame:
+    """ES `top_metrics` aggregation: per lang bucket, the metrics of the
+    single top document by the sort field (newest warc_ts — unique by
+    construction, so the pick is deterministic without a tie-break).
+    One hash aggregate with map-side-combinable max_by partial state —
+    NO per-bucket sort and no window; the shape ES itself uses (a
+    per-bucket 1-element heap)."""
+    return (
+        corpus.groupBy("lang")
+        .agg(
+            F.max("warc_ts").alias("top_ts"),
+            F.max_by("doc_id", "warc_ts").alias("top_doc_id"),
+            F.max_by("n_chars", "warc_ts").alias("top_n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def agg_top_metrics_sql() -> str:
+    from ..corpus import CORPUS_CTE
+
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT lang,
+       max(warc_ts) AS top_ts,
+       arg_max(doc_id, warc_ts) AS top_doc_id,
+       arg_max(n_chars, warc_ts) AS top_n_chars
+FROM corpus
+GROUP BY lang
+ORDER BY lang
+"""

@@ -454,3 +454,234 @@ WHERE ({h}) % {N_SPLIT_BUCKETS}
              ELSE {int(default_rate)} END
 ORDER BY doc_id
 """
+
+
+# --- LM quality filter (CCNet shape) ------------------------------------------
+#
+# CCNet ranks documents by their perplexity under a language model trained
+# on a trusted corpus and keeps the low-perplexity head.  The sandbox
+# analogue: a Laplace-smoothed BIGRAM model whose statistics come from the
+# corpus itself (the same bigram_dict artifact the phrase suggester
+# consults — built once, one tokenize + one hash aggregate), evaluated
+# exactly:
+#
+#   H(doc) = -( ln P(w1) + sum_i ln P(w_i | w_{i-1}) ) / n
+#   P(w1)        = (cf(w1)+1) / (T+V)
+#   P(w|prev)    = (c(prev w)+1) / (cf(prev)+V)
+#
+# Plan: one shuffle join of exploded doc bigrams against the bigram table
+# plus a broadcast-or-shuffle join against the unigram table, then one
+# hash aggregate back to doc_id.  Every join key is a token string —
+# uniform, no skew beyond Zipf heads, which AQE's skew-join splitting
+# handles; nothing is driver-side.  A real deployment swaps the
+# stats tables for ones built on the trusted corpus — the plan is
+# unchanged.
+
+LM_KEEP_BELOW = 3.41
+
+
+def lm_cross_entropy(
+    corpus: DataFrame, keep_below: float = LM_KEEP_BELOW
+) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy, keep) — bigram cross-entropy in
+    nats per token under the corpus's own Laplace bigram LM, doc order.
+    Docs with < 2 tokens are scored on the unigram term alone."""
+    toks = tokens("text")
+    tokd = corpus.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    uni = (
+        tokd.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
+    vv = uni.agg(
+        F.count(F.lit(1)).cast("double").alias("V"),
+        F.sum("cf").cast("double").alias("T"),
+    )
+    bg = (
+        tokd.select(
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bcnt"))
+    )
+    # per-doc first-token unigram term
+    first = (
+        tokd.select(
+            "doc_id", F.element_at("toks", 1).alias("term"),
+            F.size("toks").alias("n_tokens"),
+        )
+        .join(uni, "term")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.log((F.col("cf") + 1.0) / (F.col("T") + F.col("V"))).alias(
+                "lp"
+            ),
+        )
+    )
+    # per-doc bigram transitions: ln P(w_i | w_{i-1}) summed
+    doc_bg = tokd.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("prev"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                        ).alias("bigram"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<prev:string,bigram:string>>")
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.prev", "t.bigram")
+    trans = (
+        doc_bg.join(bg, "bigram")
+        .join(uni.withColumnRenamed("term", "prev"), "prev")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("bcnt") + 1.0) / (F.col("cf") + F.col("V"))
+                )
+            ).alias("lp_trans")
+        )
+    )
+    h = -(F.col("lp") + F.coalesce(F.col("lp_trans"), F.lit(0.0))) / F.col(
+        "n_tokens"
+    )
+    return (
+        first.join(trans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(h, 5).alias("cross_entropy"),
+            (F.round(h, 5) < float(keep_below)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_cross_entropy_sql(keep_below: float = LM_KEEP_BELOW) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+  WHERE len(list_filter(regexp_split_to_array(lower(text),
+        '{TOKEN_SPLIT_RE}'), t -> t <> '')) > 0
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf
+  FROM (SELECT unnest(toks) AS term FROM tokd) GROUP BY term
+),
+vv AS (SELECT CAST(count(*) AS DOUBLE) AS V,
+              CAST(sum(cf) AS DOUBLE) AS T FROM uni),
+bg AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS bcnt
+  FROM (
+    SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM tokd, unnest(range(1, len(toks))) AS t(i)
+  ) GROUP BY bigram
+),
+first AS (
+  SELECT d.doc_id, len(d.toks) AS n_tokens,
+         ln((u.cf + 1.0) / (vv.T + vv.V)) AS lp
+  FROM tokd d JOIN uni u ON u.term = d.toks[1] CROSS JOIN vv
+),
+doc_bg AS (
+  SELECT doc_id, toks[i] AS prev, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM tokd, unnest(range(1, len(toks))) AS t(i)
+),
+trans AS (
+  SELECT db.doc_id,
+         sum(ln((bg.bcnt + 1.0) / (u.cf + vv.V))) AS lp_trans
+  FROM doc_bg db
+  JOIN bg ON bg.bigram = db.bigram
+  JOIN uni u ON u.term = db.prev
+  CROSS JOIN vv
+  GROUP BY db.doc_id
+)
+SELECT f.doc_id,
+       CAST(f.n_tokens AS INTEGER) AS n_tokens,
+       round(-(f.lp + coalesce(t.lp_trans, 0.0)) / f.n_tokens, 5)
+           AS cross_entropy,
+       round(-(f.lp + coalesce(t.lp_trans, 0.0)) / f.n_tokens, 5)
+           < {float(keep_below)} AS keep
+FROM first f LEFT JOIN trans t ON f.doc_id = t.doc_id
+ORDER BY f.doc_id
+"""
+
+
+# --- per-domain document caps -------------------------------------------------
+
+
+def cap_per_host(
+    corpus: DataFrame, max_per_host: int = 3, limit: int = 50
+) -> DataFrame:
+    """Domain balancing (the C4 / web-pipeline step that stops one
+    prolific host from dominating the corpus): keep at most
+    `max_per_host` docs per url host, preferring the NEWEST (warc_ts
+    desc, doc_id asc tie-break).  One window rank per host partition —
+    a hash repartition on host plus a per-partition sort; no global
+    sort, no driver state.  Bounded page of survivors in doc_id order
+    (`limit` pages the verification sample; pass None upstream)."""
+    from pyspark.sql import Window
+
+    from ..query.collapse import host_col
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("warc_ts"), F.asc("doc_id")
+    )
+    out = (
+        corpus.withColumn("host", host_col())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(max_per_host))
+        .select("doc_id", "host", F.col("rn").cast("int").alias("rn"))
+        .orderBy("doc_id")
+    )
+    return out.limit(int(limit)) if limit else out
+
+
+def cap_per_host_sql(max_per_host: int = 3, limit: int = 50) -> str:
+    from ..query.collapse import HOST_SQL
+
+    lim = f"LIMIT {int(limit)}" if limit else ""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+ranked AS (
+  SELECT doc_id, {HOST_SQL} AS host,
+         CAST(row_number() OVER (
+           PARTITION BY {HOST_SQL}
+           ORDER BY warc_ts DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM corpus
+)
+SELECT doc_id, host, rn FROM ranked
+WHERE rn <= {int(max_per_host)}
+ORDER BY doc_id
+{lim}
+"""

@@ -153,3 +153,30 @@ FROM pages p JOIN sites s ON p.host = s.host
 ORDER BY p.doc_id
 LIMIT {limit}
 """
+
+
+def parent_id_page(
+    corpus: DataFrame, site: int = 42, limit: int = 20
+) -> DataFrame:
+    """ES `parent_id` query: children of ONE given parent — here the
+    pages of site<N> (the join-field parent key).  The predicate is an
+    equality on the derived host, which Catalyst folds into the scan
+    (url LIKE pushdown shape); bounded page in doc_id order."""
+    host = f"site{int(site)}.example"
+    return (
+        corpus.withColumn("host", host_col())
+        .filter(F.col("host") == host)
+        .select("doc_id", "url")
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def parent_id_page_sql(site: int = 42, limit: int = 20) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, url FROM corpus
+WHERE {HOST_SQL} = 'site{int(site)}.example'
+ORDER BY doc_id
+LIMIT {int(limit)}
+"""

@@ -10,6 +10,7 @@ from telegram2elastic_spark.operators import dedup as dd
 from telegram2elastic_spark.operators import enrichment as en
 from telegram2elastic_spark.operators import training as tr
 from telegram2elastic_spark.query import boosting as bq
+from telegram2elastic_spark.query import parentchild as pc
 
 from .oracle import assert_same
 
@@ -185,3 +186,52 @@ def test_terms_lookup_excludes_seed_and_overlaps(spark, sf_dir):
     )
     for r in rows:
         assert set(r["topics"].split(",")) & set(st)
+
+
+# --- lm filter / host caps / parent_id / top_metrics --------------------------
+
+
+def test_lm_cross_entropy_vs_oracle(spark, duck, sf_dir):
+    got = tr.lm_cross_entropy(load_corpus(spark, sf_dir))
+    want = duck.execute(tr.lm_cross_entropy_sql()).df()
+    assert want.keep.any() and (~want.keep).any(), "threshold must split"
+    assert_same(got, want)
+
+
+def test_lm_cross_entropy_scale_invariant_rank(spark, sf_dir):
+    """Cross-entropy is a per-token average: replicating the corpus
+    (doubled stats) must not change any doc's entropy beyond the Laplace
+    smoothing shift — sanity: values are finite, positive, and the keep
+    rule matches the threshold exactly."""
+    rows = tr.lm_cross_entropy(load_corpus(spark, sf_dir)).collect()
+    for r in rows:
+        assert 0 < r["cross_entropy"] < 20
+        assert r["keep"] == (r["cross_entropy"] < tr.LM_KEEP_BELOW)
+
+
+def test_cap_per_host_vs_oracle(spark, duck, sf_dir):
+    got = tr.cap_per_host(load_corpus(spark, sf_dir))
+    want = duck.execute(tr.cap_per_host_sql()).df()
+    assert_same(got, want)
+
+
+def test_cap_per_host_semantics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = tr.cap_per_host(load_corpus(spark, sf_dir), max_per_host=1,
+                          limit=None)
+    per = out.groupBy("host").count().agg(F.max("count")).first()[0]
+    assert per == 1
+
+
+def test_parent_id_vs_oracle(spark, duck, sf_dir):
+    got = pc.parent_id_page(load_corpus(spark, sf_dir))
+    want = duck.execute(pc.parent_id_page_sql()).df()
+    assert len(want) >= 1
+    assert_same(got, want)
+
+
+def test_agg_top_metrics_vs_oracle(spark, duck, sf_dir):
+    got = ag.agg_top_metrics(load_corpus(spark, sf_dir))
+    want = duck.execute(ag.agg_top_metrics_sql()).df()
+    assert_same(got, want)
