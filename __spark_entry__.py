@@ -141,6 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 6): ES significant_text — JLH over a
+        # duplicate-filtered top-hits sample (re-analyzed, no field data)
+        "significant_text": lambda spark, sf: facets.significant_text(
+            load_corpus(spark, sf), Q_MAIN
+        ),
         # NEW (r4, session 6): CCNet-style LM quality filter — exact
         # Laplace bigram cross-entropy per doc from corpus-built
         # unigram/bigram tables (one shuffle join + one hash agg)
@@ -1002,6 +1007,7 @@ FROM corpus ORDER BY doc_id
         "function_score_fvf": fscore.function_score_sql(
             Q_MAIN, k=10, fvf_factor=0.5
         ),
+        "significant_text": facets.significant_text_sql(Q_MAIN),
         "lm_cross_entropy": training.lm_cross_entropy_sql(),
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),

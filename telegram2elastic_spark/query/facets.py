@@ -781,3 +781,157 @@ FROM corpus c CROSS JOIN chosen ch
 GROUP BY 1
 ORDER BY bucket
 """
+
+
+def significant_text(
+    corpus: DataFrame,
+    terms: list[str],
+    sample_size: int = 100,
+    k: int = 20,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES `significant_text` aggregation: significant terms computed by
+    RE-ANALYZING the text of the top-ranked sample only (the ES contract
+    — no field data, foreground = the best `sample_size` hits of the
+    query, the sampler-agg wrapping ES recommends), with the
+    filter_duplicate_text guard: exact-duplicate texts inside the sample
+    are counted once (the highest-ranked copy wins), so boilerplate
+    mirrors cannot inflate fg counts.
+
+    Plan: the sample is a TakeOrdered of the BM25 ranking (sample_size
+    rows — driver-bounded), the duplicate filter is a window over the
+    sample's text hash (<= sample_size rows, bounded), and only those
+    docs are tokenized for fg counts; bg stats are the corpus df
+    aggregate (term_dict at serving time — significant_terms' index=
+    path applies identically).  Scoring: JLH like significant_terms.
+    Returns (term, fg_count, bg_count, jlh)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import h64
+    from .bm25 import bm25_scores
+
+    sample = (
+        bm25_scores(corpus, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(sample_size))
+        .join(corpus.select("doc_id", "text"), "doc_id")
+    )
+    rn_w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sample = sample.withColumn("rn", F.row_number().over(rn_w))
+    dup_w = Window.partitionBy(h64(F.col("text")))
+    sample = sample.withColumn("min_rn", F.min("rn").over(dup_w)).filter(
+        F.col("rn") == F.col("min_rn")
+    )
+    fg_n = sample.select(F.count(F.lit(1)).alias("fg_n"))
+    fg = (
+        sample.select(
+            F.explode(F.array_distinct(tokens("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+        .filter(F.col("fg_count") >= int(min_doc_count))
+    )
+    bg = (
+        corpus.select(
+            F.explode(F.array_distinct(tokens("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+    )
+    bg_n = corpus.select(F.count(F.lit(1)).alias("bg_n"))
+    fg_pct = F.col("fg_count") / F.col("fg_n")
+    bg_pct = F.col("bg_count") / F.col("bg_n")
+    return (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_n))
+        .crossJoin(F.broadcast(bg_n))
+        .withColumn(
+            "jlh",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), SCORE_DECIMALS),
+        )
+        .select("term", "fg_count", "bg_count", "jlh")
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def significant_text_sql(
+    terms: list[str],
+    sample_size: int = 100,
+    k: int = 20,
+    min_doc_count: int = 3,
+) -> str:
+    from ..functions.tokenizer import DOC_LEN_SQL
+    from ..operators.dedup import H64_SQL
+    from .bm25 import B, K1, _sql_quote_terms
+
+    h = H64_SQL.format(x="text")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks0 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks0
+  WHERE term IN ({_sql_quote_terms(sorted(set(terms)))})
+  GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+sample0 AS (
+  SELECT s.doc_id, s.score, c.text,
+         row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN corpus c ON s.doc_id = c.doc_id
+  ORDER BY s.score DESC, s.doc_id ASC
+  LIMIT {int(sample_size)}
+),
+sample AS (
+  SELECT * FROM sample0
+  QUALIFY rn = min(rn) OVER (PARTITION BY {h})
+),
+fg_n AS (SELECT count(*) AS fg_n FROM sample),
+bg_n AS (SELECT count(*) AS bg_n FROM corpus),
+fg AS (
+  SELECT term, count(*) AS fg_count FROM (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+        t -> t <> ''))) AS term
+    FROM sample
+  ) GROUP BY term HAVING count(*) >= {int(min_doc_count)}
+),
+bg AS (
+  SELECT term, count(*) AS bg_count FROM (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+        regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+        t -> t <> ''))) AS term
+    FROM corpus
+  ) GROUP BY term
+)
+SELECT fg.term, fg.fg_count, bg.bg_count,
+       round(((fg.fg_count * 1.0 / fg_n.fg_n) - (bg.bg_count * 1.0 / bg_n.bg_n))
+             * ((fg.fg_count * 1.0 / fg_n.fg_n) / (bg.bg_count * 1.0 / bg_n.bg_n)),
+             {SCORE_DECIMALS}) AS jlh
+FROM fg JOIN bg USING (term)
+CROSS JOIN fg_n CROSS JOIN bg_n
+ORDER BY jlh DESC, fg.term ASC
+LIMIT {int(k)}
+"""

@@ -81,3 +81,27 @@ def test_phrase_suggest_corrects_and_respects_exact_input(spark, sf_dir):
     assert top["suggestion"] == "the fast"
     top = sg.phrase_suggest(idx, bg, ["mrge", "batch"], k=1).first()
     assert top["suggestion"] == "merge batch"
+
+
+# --- significant_text ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("q", [["spark", "merge"], ["vector"]])
+def test_significant_text_vs_oracle(spark, duck, sf_dir, q):
+    from telegram2elastic_spark.query import facets as fc
+
+    got = fc.significant_text(load_corpus(spark, sf_dir), q)
+    want = duck.execute(fc.significant_text_sql(q)).df()
+    assert_same(got, want)
+
+
+def test_significant_text_query_terms_rank_high(spark, sf_dir):
+    """The sampled foreground is the query's own top hits, so the query
+    terms themselves must surface with high JLH."""
+    from telegram2elastic_spark.query import facets as fc
+
+    rows = fc.significant_text(
+        load_corpus(spark, sf_dir), ["spark", "merge"], k=5
+    ).collect()
+    top_terms = {r["term"] for r in rows}
+    assert {"spark", "merge"} & top_terms
