@@ -24,6 +24,9 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "mlt",      "doc_id": 7}                (needs --corpus)
     {"op": "rescore",  "q": "spark merge"}
     {"op": "highlight","q": "spark merge"}         (needs --corpus)
+    {"op": "pinned",   "q": "spark merge", "pins": [42, 7]}
+    {"op": "rankfeature", "q": "spark merge", "pivot": 40, "boost": 2}
+    {"op": "didyoumean", "q": "tne fast"}          (needs --bigrams)
 
 Response: {"op": ..., "hits": [...], "latency_ms": ...}.  After the
 per-cache warm-up fetches (vocabulary, hot term shards, trigram pages),
@@ -58,6 +61,8 @@ def main() -> None:
                     help="request source: '-' = stdin (plain `python` "
                          "runs), or a file of JSON lines (spark-submit "
                          "does not forward stdin to the Python driver)")
+    ap.add_argument("--bigrams", default=None,
+                    help="bigram store dir (phrase-suggester didyoumean)")
     ap.add_argument("--field-index", action="append", default=[],
                     metavar="NAME=DIR",
                     help="per-field index dir for multi_match "
@@ -147,6 +152,26 @@ def main() -> None:
             }
             return lq.dis_max_topk_local(
                 field_indexes, boosts, req["q"].split(), k=k
+            )
+        if op == "pinned":
+            return lq.pinned_topk_local(
+                idx, req["q"].split(), [int(p) for p in req["pins"]],
+                k=k, corpus=corpus,
+            )
+        if op == "rankfeature":
+            return lq.rank_feature_topk_local(
+                idx, req["q"].split(),
+                pivot=float(req.get("pivot", 40.0)),
+                boost=float(req.get("boost", 2.0)),
+                func=req.get("func", "saturation"),
+                exponent=float(req.get("exponent", 2.0)),
+                k=k,
+            )
+        if op == "didyoumean":
+            if not args.bigrams:
+                raise ValueError("didyoumean needs --bigrams")
+            return lq.phrase_suggest_local(
+                idx, args.bigrams, req["q"].split(), k=k
             )
         if op == "suggest":
             return lq.suggest_complete_local(idx, req["q"], k=k)

@@ -518,3 +518,163 @@ def dis_max_topk_local(
                 best[d] = fs
     out = sorted(best.items(), key=lambda x: (-x[1], x[0]))[: int(k)]
     return [(int(d), float(s)) for d, s in out]
+
+
+def pinned_topk_local(
+    index: dict,
+    terms: list[str],
+    pinned_ids: list[int],
+    k: int = 10,
+    corpus: DataFrame | None = None,
+    doc_store: str | None = None,
+) -> list[tuple]:
+    """[(rank, doc_id, pinned, score|None)] — rank-identical to
+    boosting.pinned_topk (minus the url column; serve-path hits carry
+    ids, stored fields come from the doc store on demand).
+
+    Organic retrieval over-fetches k + |pins| from the hot-shard kernel
+    and drops the pinned ids afterwards — exact (removing p docs from a
+    ranking needs at most k + p of its head) and avoids a per-query
+    admitted-id Spark job.  Pin existence is checked against the
+    doc-store point read (no Spark job) or the corpus fallback."""
+    pins = [int(p) for p in pinned_ids]
+    exists = _doc_rows(index, corpus, pins, ["url"], doc_store) if pins else {}
+    pins = [p for p in pins if p in exists]
+    organic = wand_topk_local(index, terms, k=k + len(pins))
+    organic = [(d, s) for d, s in organic if d not in set(pins)][
+        : max(0, k - len(pins))
+    ]
+    out = [(i + 1, p, True, None) for i, p in enumerate(pins[:k])]
+    base = len(out)
+    out += [
+        (base + i + 1, int(d), False, float(s))
+        for i, (d, s) in enumerate(organic)
+    ]
+    return out[:k]
+
+
+def rank_feature_topk_local(
+    index: dict,
+    terms: list[str],
+    pivot: float = 40.0,
+    boost: float = 2.0,
+    k: int = 10,
+    func: str = "saturation",
+    exponent: float = 2.0,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to boosting.rank_feature_topk.
+    Full accumulation over the hot-shard posting cache; the doc_len
+    feature is decoded FROM the postings themselves (dl rides in every
+    block), so no doc-values fetch is needed at all."""
+    from ..index.codec import decode_many
+    from .boosting import RANK_FEATURE_FUNCS, _rank_feature_np
+    from .wand import _bm25_w, _collect_idfs, _local_blocks, _tomb_array
+
+    if func not in RANK_FEATURE_FUNCS:
+        raise ValueError(f"rank_feature func must be one of {RANK_FEATURE_FUNCS}")
+    idfs, avgdl = _collect_idfs(index, sorted(set(terms)))
+    if not idfs:
+        return []
+    pdf = _local_blocks(index, sorted(idfs), sorted(idfs))
+    if pdf is None:
+        return []
+    tomb = _tomb_array(index)
+    all_ids, all_w, all_dl = [], [], []
+    for t, g in pdf.groupby("term", sort=False):
+        g = g.sort_values("block_id")
+        ids, tfs, dls = decode_many(
+            [bytes(x) for x in g["doc_gaps"]],
+            [bytes(x) for x in g["tf_bytes"]],
+            [bytes(x) for x in g["dl_bytes"]],
+            g["n_docs"].to_numpy(),
+        )
+        ids = ids.astype(np.int64)
+        if tomb.size:
+            live = ~np.isin(ids, tomb)
+            ids, tfs, dls = ids[live], tfs[live], dls[live]
+        all_ids.append(ids)
+        all_w.append(
+            _bm25_w(
+                tfs.astype(np.float64), dls.astype(np.float64), avgdl, idfs[t]
+            )
+        )
+        all_dl.append(dls.astype(np.float64))
+    ids = np.concatenate(all_ids)
+    if ids.size == 0:
+        return []
+    w = np.concatenate(all_w)
+    dl = np.concatenate(all_dl)
+    order = np.argsort(ids, kind="stable")
+    ids, w, dl = ids[order], w[order], dl[order]
+    uniq, starts = np.unique(ids, return_index=True)
+    sums = np.add.reduceat(w, starts)
+    feat = _rank_feature_np(dl[starts], func, float(pivot), float(exponent))
+    final = np.round(sums + float(boost) * feat, SCORE_DECIMALS)
+    sel = np.lexsort((uniq, -final))[: min(int(k), uniq.size)]
+    return [(int(d), float(s)) for d, s in zip(uniq[sel], final[sel])]
+
+
+def phrase_suggest_local(
+    index: dict,
+    bigram_store: str,
+    terms: list[str],
+    max_edits: int = 2,
+    per_term: int = 4,
+    k: int = 5,
+) -> list[tuple]:
+    """[(suggestion, score)] — rank-identical to suggest.phrase_suggest.
+    Candidates from the cached sorted vocabulary (one vocab scan with the
+    same python Levenshtein the fuzzy expansion uses), bigram counts from
+    the sorted bigram store via row-group-pruned pyarrow point reads
+    (<= per_term^2 keys) — zero Spark jobs once the vocab cache is warm."""
+    import itertools
+
+    from .suggest import PHRASE_EDIT_ALPHA, fetch_bigrams_local
+
+    vterms, _, cf = _vocab(index)
+    if "_vocab_totals" not in index:
+        index["_vocab_totals"] = (float(len(vterms)), float(cf.sum()))
+    V, T = index["_vocab_totals"]
+    cf_of = index.setdefault("_vocab_cf_map", None)
+    if cf_of is None:
+        cf_of = dict(zip(vterms.tolist(), (int(c) for c in cf)))
+        index["_vocab_cf_map"] = cf_of
+    cands: list[list[tuple[str, int, int]]] = []
+    for t in terms:
+        scored = []
+        for vt in vterms:
+            d = _levenshtein(vt, t)
+            if d <= int(max_edits):
+                scored.append((d, -cf_of[vt], vt))
+        scored.sort()
+        cands.append(
+            [(vt, -negcf, d) for d, negcf, vt in scored[: int(per_term)]]
+        )
+        if not cands[-1]:
+            return []
+    need = {
+        f"{a[0]} {b[0]}"
+        for i in range(len(terms) - 1)
+        for a in cands[i]
+        for b in cands[i + 1]
+    }
+    counts = fetch_bigrams_local(
+        bigram_store,
+        sorted(need),
+        cache=index.setdefault("_bigram_cache", {}),
+        ds_cache=index.setdefault("_doc_ds_cache", {}),
+    )
+    ln_alpha = math.log(PHRASE_EDIT_ALPHA)
+    out = []
+    for combo in itertools.product(*cands):
+        w0, cf0, d0 = combo[0]
+        score = math.log((cf0 + 1.0) / (T + V))
+        for _, _, d in combo:
+            score += d * ln_alpha
+        for i in range(len(combo) - 1):
+            wi, cfi, _ = combo[i]
+            bg = counts.get(f"{wi} {combo[i + 1][0]}", 0)
+            score += math.log((bg + 1.0) / (cfi + V))
+        out.append((" ".join(w[0] for w in combo), round(score, 5)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[: int(k)]

@@ -322,3 +322,64 @@ CROSS JOIN vv
 ORDER BY score DESC, suggestion ASC
 LIMIT {k}
 """
+
+
+def write_bigram_store(corpus: DataFrame, out_dir: str, n_files: int = 8) -> str:
+    """Persist bigram_dict sorted by bigram with small row groups — the
+    shingle-field term dictionary as a point-readable store.  A query
+    node probes <= per_term^2 bigrams per suggestion via row-group-stats
+    pruning (the doc_store pattern: sorted key + ~128 KiB groups), so a
+    warm did-you-mean never runs a Spark job."""
+    path = f"{out_dir}/bigram_store"
+    (
+        bigram_dict(corpus)
+        .repartitionByRange(n_files, "bigram")
+        .sortWithinPartitions("bigram")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 128 << 10)
+        .parquet(path)
+    )
+    return path
+
+
+def fetch_bigrams_local(
+    store_dir: str,
+    bigrams: list[str],
+    cache: dict | None = None,
+    ds_cache: dict | None = None,
+) -> dict[str, int]:
+    """{bigram: count} for the requested keys; keys absent from the
+    store come back as 0.  OR-of-equalities filter (pyarrow prunes
+    row groups on it where an isin filter does not — the doc_store
+    lesson), per-bigram row cache + opened-dataset cache."""
+    import pyarrow.dataset as ds
+
+    want = sorted(set(bigrams))
+    out: dict[str, int] = {}
+    missing = []
+    for b in want:
+        hit = None if cache is None else cache.get(b)
+        if hit is not None:
+            out[b] = hit
+        else:
+            missing.append(b)
+    if not missing:
+        return out
+    src = None if ds_cache is None else ds_cache.get(store_dir)
+    if src is None:
+        src = ds.dataset(store_dir, format="parquet")
+        if ds_cache is not None:
+            ds_cache[store_dir] = src
+    expr = None
+    for b in missing:
+        e = ds.field("bigram") == b
+        expr = e if expr is None else (expr | e)
+    tbl = src.to_table(filter=expr)
+    found = dict(
+        zip(tbl["bigram"].to_pylist(), (int(c) for c in tbl["cnt"].to_pylist()))
+    )
+    for b in missing:
+        out[b] = found.get(b, 0)
+        if cache is not None:
+            cache[b] = out[b]
+    return out

