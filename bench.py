@@ -410,6 +410,24 @@ def main() -> None:
         es["field_indexes_build_sec"] = round(time.perf_counter() - t0, 3)
         timed("multi_match_sec", lambda: mff.multi_match_topk(
             fidx, {"text": 1.0, "url": 2.0}, ["spark", "page"], k=10))
+        # round-4 session-6 surface: spans, scoring clauses, suggester
+        from telegram2elastic_spark.query import boosting as bsq
+        from telegram2elastic_spark.query import spans as spq
+
+        timed("span_or_sec", lambda: spq.span_or_topk(
+            eidx, ["vector", "window"], k=10))
+        timed("span_not_sec", lambda: spq.span_not_topk(
+            eidx, "merge", "batch", pre=1, post=1, k=10))
+        timed("rank_feature_sec", lambda: bsq.rank_feature_topk(
+            eidx, ["spark", "merge"], k=10))
+        timed("pinned_sec", lambda: bsq.pinned_topk(
+            eidx, ["spark", "merge"], [42, 7, 400], k=10))
+        t0 = time.perf_counter()
+        bgd = sg.bigram_dict(corpus).cache()
+        bgd.count()
+        es["bigram_dict_build_sec"] = round(time.perf_counter() - t0, 3)
+        timed("phrase_suggest_sec", lambda: sg.phrase_suggest(
+            eidx, bgd, ["tne", "fast"], k=5))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()
@@ -519,7 +537,53 @@ def main() -> None:
                 eidx, None, ["spark", "merge"], k=10
             ),
         )
+        timed_local(
+            "pinned_ms",
+            lambda: lqp.pinned_topk_local(
+                eidx, ["spark", "merge"], [42, 7, 400], k=10
+            ),
+        )
+        timed_local(
+            "rank_feature_ms",
+            lambda: lqp.rank_feature_topk_local(eidx, ["spark", "merge"], k=10),
+        )
+        t0 = time.perf_counter()
+        bg_store = sg.write_bigram_store(corpus, es_dir)
+        lsf["bigram_store_write_sec"] = round(time.perf_counter() - t0, 3)
+        timed_local(
+            "phrase_suggest_ms",
+            lambda: lqp.phrase_suggest_local(
+                eidx, bg_store, ["tne", "fast"], k=5
+            ),
+        )
         extra["local_surface"] = lsf
+
+        # q9 (extra keys): the training-pipeline ops at bench-corpus
+        # scale — one timed Spark action each (throughput ops, not
+        # serving ops; quoted as whole-corpus seconds)
+        from telegram2elastic_spark.operators import dedup as ddp
+        from telegram2elastic_spark.operators import training as trp
+
+        pl: dict = {}
+
+        def timed_pl(name, fn):
+            t = time.perf_counter()
+            fn().count()
+            pl[name] = round(time.perf_counter() - t, 3)
+
+        timed_pl("dedup_blocks_sec", lambda: ddp.dedup_blocks(corpus))
+        timed_pl("quality_gopher_sec", lambda: trp.quality_gopher(corpus))
+        timed_pl(
+            "lm_cross_entropy_sec", lambda: trp.lm_cross_entropy(corpus)
+        )
+        timed_pl(
+            "stratified_sample_sec", lambda: trp.stratified_sample(corpus)
+        )
+        timed_pl(
+            "cap_per_host_sec",
+            lambda: trp.cap_per_host(corpus, limit=None),
+        )
+        extra["pipeline_ops"] = pl
 
         spark.stop()
     finally:
