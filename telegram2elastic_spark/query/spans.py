@@ -350,18 +350,46 @@ def _span_not_counts(
         return _EMPTY_COUNTS.copy()
     ids, dls, pos = _decode_term_blocks(include, groups[include])
     if exclude in groups:
+        # fully vectorized (no per-doc python loop — span_not runs over
+        # Zipf-head include terms): flatten every include occurrence to
+        # a doc-slot key, build the exclude occurrences in the SAME slot
+        # space, and window-test all occurrences with two searchsorteds.
+        from .phrase import _DOC_KEY, _gather_keyed
+
+        keyed_inc, lens_inc = _gather_keyed(ids, pos, ids)
         xids, _, xpos = _decode_term_blocks(exclude, groups[exclude])
-        tf = np.empty(len(pos), dtype=np.int64)
-        for i in range(len(pos)):
-            j = np.searchsorted(xids, ids[i])
-            if j < xids.size and xids[j] == ids[i]:
-                q = np.sort(np.asarray(xpos[j], dtype=np.int64))
-                p = np.asarray(pos[i], dtype=np.int64)
-                lo = np.searchsorted(q, p - pre, side="left")
-                hi = np.searchsorted(q, p + post, side="right")
-                tf[i] = int((hi == lo).sum())
-            else:
-                tf[i] = len(pos[i])
+        idxs = np.searchsorted(xids, ids)
+        idxs_c = np.minimum(idxs, max(xids.size - 1, 0))
+        has = (idxs < xids.size) & (xids[idxs_c] == ids)
+        empty = np.array([], dtype=np.int64)
+        sel = [
+            np.asarray(xpos[j], dtype=np.int64) if h else empty
+            for j, h in zip(idxs_c, has)
+        ]
+        xlens = np.fromiter(
+            (a.size for a in sel), dtype=np.int64, count=len(sel)
+        )
+        if xlens.sum():
+            xflat = np.concatenate(sel)
+            xbases = np.repeat(
+                np.arange(len(ids), dtype=np.int64) * _DOC_KEY, xlens
+            )
+            keyed_exc = np.sort(xflat + xbases)
+        else:
+            keyed_exc = empty
+        slot = keyed_inc // _DOC_KEY
+        low = np.maximum(keyed_inc - pre, slot * _DOC_KEY)
+        high = np.minimum(keyed_inc + post, (slot + 1) * _DOC_KEY - 1)
+        ok = (
+            np.searchsorted(keyed_exc, high, side="right")
+            == np.searchsorted(keyed_exc, low, side="left")
+        )
+        starts = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(lens_inc[:-1], out=starts[1:])
+        tf = np.add.reduceat(ok, starts) if ok.size else np.zeros(
+            len(ids), dtype=np.int64
+        )
+        tf = tf.astype(np.int64)
     else:
         tf = np.fromiter(
             (len(p) for p in pos), dtype=np.int64, count=len(pos)
