@@ -105,3 +105,28 @@ def test_significant_text_query_terms_rank_high(spark, sf_dir):
     ).collect()
     top_terms = {r["term"] for r in rows}
     assert {"spark", "merge"} & top_terms
+
+
+def test_span_or_band_inversion_roundtrip():
+    """The emission band recovers member dfs by inverting the cached
+    idfs (df = (n + .5 - .5r)/(r+1), r = e^idf - 1).  Pin the algebra:
+    the round-trip is exact to float precision for any (n, df), and the
+    resulting band bound is conservative (idf at the df upper bound is
+    <= the true pseudo-idf for every admissible df_or)."""
+    import numpy as np
+
+    rng_ns = [10, 1000, 10**6, 10**9]
+    for n in rng_ns:
+        for df in [1, 2, n // 3 or 1, n // 2 or 1, max(n - 1, 1)]:
+            idf = float(np.log1p((n - df + 0.5) / (df + 0.5)))
+            r = np.expm1(idf)
+            df_back = (n + 0.5 - 0.5 * r) / (r + 1.0)
+            assert abs(df_back - df) < 1e-6 * max(df, 1)
+    # conservativeness: for df_or in [1, df_ub], idf(df_or) >= idf(df_ub)
+    n = 10**6
+    dfs = [100, 5000]
+    df_ub = min(n, sum(dfs))
+    idf_lb = float(np.log1p((n - df_ub + 0.5) / (df_ub + 0.5)))
+    for df_or in [1, 10, 100, 5000, df_ub]:
+        idf_or = float(np.log1p((n - df_or + 0.5) / (df_or + 0.5)))
+        assert idf_or >= idf_lb - 1e-12
