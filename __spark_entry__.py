@@ -141,6 +141,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 6): video-shaped frame sampling — 1->N
+        # mapInPandas fan-out, deterministic byte windows (real sampler
+        # drops into the same kernel)
+        "media_frame_sample": lambda spark, sf: multimodal.frame_sample(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 6): embedding-shaped feature extraction —
+        # Arrow-batched kernel emitting array<double>
+        "media_feature_extract": lambda spark, sf: multimodal.feature_extract(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 6): ES significant_text — JLH over a
         # duplicate-filtered top-hits sample (re-analyzed, no field data)
         "significant_text": lambda spark, sf: facets.significant_text(
@@ -1007,6 +1018,8 @@ FROM corpus ORDER BY doc_id
         "function_score_fvf": fscore.function_score_sql(
             Q_MAIN, k=10, fvf_factor=0.5
         ),
+        "media_frame_sample": multimodal.frame_sample_sql(),
+        "media_feature_extract": multimodal.feature_extract_sql(),
         "significant_text": facets.significant_text_sql(Q_MAIN),
         "lm_cross_entropy": training.lm_cross_entropy_sql(),
         "cap_per_host": training.cap_per_host_sql(),

@@ -216,3 +216,149 @@ def decode_image_real(corpus: DataFrame) -> DataFrame:
             "decode_media() — swap _decode_batch for a PIL-based kernel"
         ) from e
     raise NotImplementedError("PIL present but real decoder not wired yet")
+
+
+# --- frame sampling (video-shaped fan-out) ------------------------------------
+
+FRAME_SIZE = 16
+FRAME_STRIDE = 32
+MAX_FRAMES = 4
+
+
+def frame_sample(
+    corpus: DataFrame,
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Frame-sampling stage for video-shaped binary payloads: each doc
+    fans out to up to `max_frames` fixed-size byte windows at `stride`
+    offsets — the 1->N output shape a real ffmpeg frame sampler has
+    (opaque bytes in, one row per sampled frame out), exercised end to
+    end with a deterministic windowing rule so the DuckDB oracle pins
+    every byte.  mapInPandas with output fan-out: batch in, larger batch
+    out, no per-row Python objects beyond the hash call (the real
+    sampler drops into the same kernel).  Returns (doc_id, frame_idx,
+    off, frame_sha), one row per frame."""
+    import hashlib
+
+    fs, st, mf = int(frame_size), int(stride), int(max_frames)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, shas = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["html"]):
+                b = bytes(payload)
+                n_frames = (
+                    min(mf, (len(b) - fs) // st + 1) if len(b) >= fs else 0
+                )
+                for i in range(n_frames):
+                    off = i * st
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    shas.append(
+                        hashlib.sha256(b[off : off + fs]).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "off": pd.Series(offs, dtype="int64"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return (
+        corpus.select("doc_id", "html")
+        .mapInPandas(
+            fn, "doc_id long, frame_idx int, off long, frame_sha string"
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def frame_sample_sql(
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+    max_frames: int = MAX_FRAMES,
+) -> str:
+    # the html payload is ASCII by construction, so byte windows equal
+    # char windows on the VARCHAR cast (the media_metadata hash pattern)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+sized AS (
+  SELECT doc_id, CAST(html AS VARCHAR) AS payload,
+         octet_length(html) AS n
+  FROM corpus
+),
+framed AS (
+  SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+         f.i * {int(stride)} AS off,
+         sha256(substring(payload, CAST(f.i * {int(stride)} + 1 AS BIGINT),
+                          {int(frame_size)})) AS frame_sha
+  FROM sized,
+       unnest(range(0, CAST(CASE WHEN n >= {int(frame_size)}
+                            THEN least({int(max_frames)},
+                                       (n - {int(frame_size)})
+                                         // {int(stride)} + 1)
+                            ELSE 0 END AS BIGINT))) AS f(i)
+)
+SELECT doc_id, frame_idx, off, frame_sha FROM framed
+ORDER BY doc_id, frame_idx
+"""
+
+
+# --- feature extraction (embedding-shaped output) -----------------------------
+
+FEATURE_DIM = 8
+
+
+def feature_extract(corpus: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stage: binary payload -> fixed-dim float vector
+    (the CLIP-embedding shape: array<double> out of an Arrow-batched
+    kernel).  The kernel is a deterministic fake (md5-derived features,
+    oracle-identical in DuckDB); a real encoder replaces the inner
+    function behind the same (batch in, doc_id + array out) signature.
+    dim <= 8 (one md5 yields 8 16-bit features)."""
+    import hashlib
+
+    d = int(dim)
+    if not 1 <= d <= 8:
+        raise ValueError("dim must be in [1, 8] (one md5 = 8 features)")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["html"]:
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                feats.append(
+                    [
+                        round(int(h[j * 4 : j * 4 + 4], 16) / 65535.0, 5)
+                        for j in range(d)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return (
+        corpus.select("doc_id", "html")
+        .mapInPandas(fn, "doc_id long, features array<double>")
+        .orderBy("doc_id")
+    )
+
+
+def feature_extract_sql(dim: int = FEATURE_DIM) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id,
+       list_transform(range(0, {int(dim)}),
+         j -> round(('0x' || substr(md5(CAST(html AS VARCHAR)),
+                                    CAST(j * 4 + 1 AS BIGINT), 4))::BIGINT
+                    / 65535.0, 5)) AS features
+FROM corpus ORDER BY doc_id
+"""

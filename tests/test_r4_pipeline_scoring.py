@@ -235,3 +235,48 @@ def test_agg_top_metrics_vs_oracle(spark, duck, sf_dir):
     got = ag.agg_top_metrics(load_corpus(spark, sf_dir))
     want = duck.execute(ag.agg_top_metrics_sql()).df()
     assert_same(got, want)
+
+
+# --- multimodal frame sampling / feature extraction ---------------------------
+
+
+def test_frame_sample_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import multimodal as mm
+
+    got = mm.frame_sample(load_corpus(spark, sf_dir))
+    want = duck.execute(mm.frame_sample_sql()).df()
+    assert (want.groupby("doc_id").size() > 1).any(), "fan-out must occur"
+    assert_same(got, want)
+
+
+def test_frame_sample_windowing(spark, sf_dir):
+    """Every frame's offset is a stride multiple, frame count caps at
+    max_frames, and short payloads produce zero frames."""
+    from telegram2elastic_spark.operators import multimodal as mm
+
+    rows = mm.frame_sample(
+        load_corpus(spark, sf_dir), frame_size=1000, stride=100, max_frames=2
+    ).collect()
+    per = {}
+    for r in rows:
+        assert r["off"] % 100 == 0
+        per.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(len(v) <= 2 for v in per.values())
+
+
+def test_feature_extract_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import multimodal as mm
+
+    got = mm.feature_extract(load_corpus(spark, sf_dir))
+    want = duck.execute(mm.feature_extract_sql()).df()
+    assert_same(got, want)
+
+
+def test_feature_extract_dim_validation(spark, sf_dir):
+    from telegram2elastic_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.feature_extract(load_corpus(spark, sf_dir), dim=9)
+    rows = mm.feature_extract(load_corpus(spark, sf_dir), dim=3).take(3)
+    assert all(len(r["features"]) == 3 for r in rows)
+    assert all(0.0 <= f <= 1.0 for r in rows for f in r["features"])
