@@ -31,6 +31,7 @@ from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
+from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
 from telegram2elastic_spark.streaming import windows as win
@@ -141,6 +142,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): ES intervals ordered match — greedy-chain
+        # minimal-interval test (strict order, gap budget), pseudo-term
+        # scoring with the max-member-idf emission band
+        "intervals_ordered_topk": lambda spark, sf: iv.intervals_ordered_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            ["merge", "batch"], max_gaps=3, k=10,
+        ),
+        # NEW (r4, session 7): ES intervals any_of over ordered sources —
+        # tf sums per-source chain anchors; union df band via driver
+        # df-inversion (span_or algebra summed over sources)
+        "intervals_any_of_topk": lambda spark, sf: iv.intervals_any_of_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            [["the", "fast"], ["table", "scan"]], max_gaps=2, k=10,
+        ),
         # NEW (r4, session 6): video-shaped frame sampling — 1->N
         # mapInPandas fan-out, deterministic byte windows (real sampler
         # drops into the same kernel)
@@ -1025,6 +1040,12 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "intervals_ordered_topk": iv.intervals_ordered_sql(
+            ["merge", "batch"], max_gaps=3, k=10
+        ),
+        "intervals_any_of_topk": iv.intervals_any_of_sql(
+            [["the", "fast"], ["table", "scan"]], max_gaps=2, k=10
+        ),
         "span_or_topk": spans.span_or_sql(["vector", "window"], k=10),
         "span_not_topk": spans.span_not_sql("merge", "batch", pre=1, post=1, k=10),
         "phrase_suggest": suggest.phrase_suggest_sql(["tne", "fast"], k=5),
