@@ -142,6 +142,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): ES collapse.inner_hits — per-key top-N
+        # with in-group rank; one shuffle on the collapse key, winners
+        # broadcast semi-join
+        "collapse_inner_hits": lambda spark, sf: collapse.collapse_inner_hits(
+            load_corpus(spark, sf), Q_MAIN, k=5, inner_size=3
+        ),
+        # NEW (r4, session 7): ES match_bool_prefix (search-as-you-type)
+        # — scoring_boolean prefix rewrite unioned with the full terms,
+        # served by the WAND path
+        "match_bool_prefix_topk": lambda spark, sf: expandq.match_bool_prefix_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            ["merge", "sc"], k=10,
+        ),
         # NEW (r4, session 7): ES intervals ordered match — greedy-chain
         # minimal-interval test (strict order, gap budget), pseudo-term
         # scoring with the max-member-idf emission band
@@ -1040,6 +1053,12 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "collapse_inner_hits": collapse.collapse_inner_hits_sql(
+            Q_MAIN, k=5, inner_size=3
+        ),
+        "match_bool_prefix_topk": expandq.match_bool_prefix_sql(
+            ["merge", "sc"], k=10
+        ),
         "intervals_ordered_topk": iv.intervals_ordered_sql(
             ["merge", "batch"], max_gaps=3, k=10
         ),

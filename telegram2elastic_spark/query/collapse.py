@@ -252,3 +252,92 @@ FROM best WHERE rn = 1
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# --- collapse inner_hits ------------------------------------------------------
+
+
+def collapse_inner_hits(
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    inner_size: int = 3,
+    key_expr: str = HOST_SQL,
+) -> DataFrame:
+    """ES `collapse` with `inner_hits`: for each of the top-k collapse
+    keys (ranked by their representative as in search_collapse), return
+    that key's top `inner_size` hits with their in-group rank.
+
+    Output: (host, doc_id, url, score, hit_rank) — hit_rank 1 is the
+    representative.  Plan shape: ONE shuffle on the collapse key for the
+    per-key window rank (partition-local sort — never a global window),
+    then a broadcast semi-join against the k-row winning-host list; the
+    group ranking is computed in the same pass that found the
+    representatives, so the corpus is scored once.  Reference analogue:
+    ES collapse.inner_hits implied by README.md:5 Kibana serving."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(corpus, terms).withColumn("host", F.expr(key_expr))
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("hit_rank", F.row_number().over(w)).filter(
+        F.col("hit_rank") <= inner_size
+    )
+    winners = (
+        ranked.filter(F.col("hit_rank") == 1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("host")
+    )
+    return ranked.join(F.broadcast(winners), "host", "left_semi").select(
+        "host", "doc_id", "url", "score", "hit_rank"
+    )
+
+
+def collapse_inner_hits_sql(
+    terms: list[str], k: int = 10, inner_size: int = 3, key_expr: str = HOST_SQL
+) -> str:
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, lang, warc_ts, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, dl.url, {key_expr} AS host,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, dl.url, host
+),
+ranked AS (
+  SELECT host, doc_id, url, score,
+         row_number() OVER (
+           PARTITION BY host ORDER BY score DESC, doc_id ASC
+         ) AS hit_rank
+  FROM scored
+),
+winners AS (
+  SELECT host FROM ranked WHERE hit_rank = 1
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT r.host, r.doc_id, r.url, r.score, r.hit_rank
+FROM ranked r JOIN winners w ON r.host = w.host
+WHERE r.hit_rank <= {int(inner_size)}
+"""

@@ -307,3 +307,58 @@ def regexp_topk_sql(
 ) -> str:
     pred = f"regexp_matches(term, {_sql_quote('^(?:' + pattern + ')$')})"
     return _expanded_bm25_sql(pred, k, max_expansions)
+
+
+def match_bool_prefix_topk(
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES `match_bool_prefix` (the search-as-you-type query): every term
+    but the last is a plain term clause, the last is a PREFIX clause,
+    all combined as a bool should — each clause scores independently
+    with its own idf and the doc score is the sum (contrast
+    match_phrase_prefix, which requires the phrase positionally).  The
+    prefix clause uses the scoring_boolean rewrite (prefix_topk's
+    contract): expansion against the sorted term dictionary in term-enum
+    order, capped at max_expansions.  The rewritten query is exactly a
+    WAND disjunction over (full terms) U (expanded terms) — served by
+    the verified wand_topk path, so block-max pruning applies."""
+    *full, last = terms
+    exp = expand_prefix(index, last, max_expansions)
+    all_terms = sorted(set(full) | set(exp))
+    if not all_terms:
+        return _empty(index)
+    return wand_topk(index, all_terms, k=k)
+
+
+def match_bool_prefix_sql(
+    terms: list[str],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> str:
+    """DuckDB oracle: qterms = literal full terms UNION the capped
+    prefix expansion over the corpus vocabulary."""
+    *full, last = terms
+    esc = last.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    pred = f"term LIKE {_sql_quote(esc + '%')} ESCAPE '\\'"
+    lits = ", ".join(_sql_quote(t) for t in sorted(set(full))) or "NULL"
+    extra = f"SELECT unnest([{lits}]) AS term" if full else None
+    base = _expanded_bm25_sql(pred, k, max_expansions)
+    if not extra:
+        return base
+    # splice the literal-terms union into the qterms CTE; the capped
+    # expansion is wrapped so ORDER BY/LIMIT bind to it, not the union
+    old = (
+        f"  SELECT term FROM (SELECT DISTINCT term FROM toks) WHERE {pred}\n"
+        f"  ORDER BY term LIMIT {max_expansions}\n),"
+    )
+    assert old in base, "qterms CTE shape changed"
+    new = (
+        "  SELECT term FROM (\n"
+        f"    SELECT term FROM (SELECT DISTINCT term FROM toks) WHERE {pred}\n"
+        f"    ORDER BY term LIMIT {max_expansions})\n"
+        f"  UNION {extra}\n),"
+    )
+    return base.replace(old, new)

@@ -133,3 +133,45 @@ def test_collapse_on_alternate_key(spark, duck, sf_dir):
         corpus, ["the"], k=5, index=idx, key_expr="lang"
     )
     assert_same(srv, want)
+
+
+@pytest.mark.parametrize(
+    "terms,inner", [(["spark", "merge"], 3), (["the"], 2), (["zzzznope"], 3)]
+)
+def test_collapse_inner_hits_vs_oracle(spark, duck, sf_dir, terms, inner):
+    corpus = load_corpus(spark, sf_dir)
+    got = collapse.collapse_inner_hits(corpus, terms, k=5, inner_size=inner)
+    want = duck.execute(
+        collapse.collapse_inner_hits_sql(terms, k=5, inner_size=inner)
+    ).df()
+    assert_same(got, want)
+
+
+def test_inner_hits_rank1_is_collapse(spark, sf_dir):
+    """hit_rank=1 rows are exactly the search_collapse representatives."""
+    corpus = load_corpus(spark, sf_dir)
+    reps = {
+        (r["host"], r["doc_id"])
+        for r in collapse.search_collapse(corpus, ["the"], k=5).collect()
+    }
+    inner = {
+        (r["host"], r["doc_id"])
+        for r in collapse.collapse_inner_hits(corpus, ["the"], k=5, inner_size=3)
+        .filter("hit_rank = 1")
+        .collect()
+    }
+    assert inner == reps
+
+
+def test_inner_hits_group_order(spark, sf_dir):
+    """Within a host, hit_rank follows (score desc, doc_id asc)."""
+    rows = collapse.collapse_inner_hits(
+        load_corpus(spark, sf_dir), ["the"], k=5, inner_size=3
+    ).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, hs in by_host.items():
+        hs.sort(key=lambda r: r["hit_rank"])
+        keys = [(-r["score"], r["doc_id"]) for r in hs]
+        assert keys == sorted(keys), host

@@ -179,3 +179,20 @@ def test_regexp_expansion_is_full_match(index):
 
 def test_fuzzy_term_no_expansions_is_empty(index):
     assert expand.fuzzy_term_topk(index, "zzzzqqqq", k=5).count() == 0
+
+
+@pytest.mark.parametrize(
+    "terms", [["merge", "sc"], ["sc"], ["merge", "batch", "vec"], ["zzz", "qqqq"]]
+)
+def test_match_bool_prefix_vs_oracle(duck, index, terms):
+    got = expand.match_bool_prefix_topk(index, terms)
+    want = duck.execute(expand.match_bool_prefix_sql(terms)).df()
+    assert_same(got, want)
+
+
+def test_match_bool_prefix_is_union_wand(index):
+    """The rewrite is exactly wand over full-terms U expansion."""
+    exp = expand.expand_prefix(index, "sc", expand.DEFAULT_MAX_EXPANSIONS)
+    direct = wand_topk(index, sorted({"merge", *exp}), k=10).collect()
+    got = expand.match_bool_prefix_topk(index, ["merge", "sc"], k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in direct]
