@@ -142,6 +142,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): ES bucket_sort pipeline agg — parent
+        # histogram buckets re-ordered by metric with from/size paging
+        "agg_bucket_sort": lambda spark, sf: agg.timeline_bucket_sort(
+            load_corpus(spark, sf), size=3, skip=2
+        ),
+        # NEW (r4, session 7): ES serial_diff pipeline agg — lag-24
+        # seasonal differencing over the hourly histogram
+        "agg_serial_diff": lambda spark, sf: agg.timeline_serial_diff(
+            load_corpus(spark, sf), lag=2
+        ),
+        # NEW (r4, session 7): ES _mtermvectors — per-doc term vectors
+        # for an id set, predicate pushed to the scan
+        "mtermvectors": lambda spark, sf: agg.mtermvectors(
+            load_corpus(spark, sf), [3, 7, 11]
+        ),
+        # NEW (r4, session 7): ES _analyze — the engine analyzer over a
+        # literal string with match-span offsets (no scan, no index)
+        "analyze_text": lambda spark, sf: meta.analyze_text(
+            spark, "The QUICK brown-fox, jumps_over 42 lazy-dogs. the the"
+        ),
         # NEW (r4, session 7): ES collapse.inner_hits — per-key top-N
         # with in-group rank; one shuffle on the collapse key, winners
         # broadcast semi-join
@@ -1053,6 +1073,12 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "agg_bucket_sort": agg.timeline_bucket_sort_sql(size=3, skip=2),
+        "agg_serial_diff": agg.timeline_serial_diff_sql(lag=2),
+        "mtermvectors": agg.mtermvectors_sql([3, 7, 11]),
+        "analyze_text": meta.analyze_text_sql(
+            "The QUICK brown-fox, jumps_over 42 lazy-dogs. the the"
+        ),
         "collapse_inner_hits": collapse.collapse_inner_hits_sql(
             Q_MAIN, k=5, inner_size=3
         ),

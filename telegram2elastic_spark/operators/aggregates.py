@@ -398,6 +398,95 @@ ORDER BY hour
 """
 
 
+def timeline_bucket_sort(
+    corpus: DataFrame, size: int = 10, skip: int = 0
+) -> DataFrame:
+    """ES `bucket_sort` pipeline aggregation: re-order the parent
+    date_histogram's buckets by a metric (doc count desc, bucket key asc
+    on ties) and page with from/size — the "busiest hours" dashboard
+    shape.  The parent histogram is one map-side hash aggregate; the
+    sort runs over AXIS-sized bucket rows, so the orderBy/limit is a
+    TakeOrdered over thousands of rows at any corpus size.  `skip`
+    pages via a bounded window rank over the already-limited head
+    (skip+size rows), never a global row_number."""
+    from pyspark.sql import Window
+
+    buckets = (
+        corpus.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "warc_ts"), "yyyy-MM-dd HH:00"
+            ).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    head = buckets.orderBy(F.desc("n_docs"), F.asc("hour")).limit(
+        int(skip) + int(size)
+    )
+    if not skip:
+        return head
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_docs"), F.asc("hour"))
+    return (
+        head.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > int(skip))
+        .drop("rn")
+    )
+
+
+def timeline_bucket_sort_sql(size: int = 10, skip: int = 0) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+buckets AS (
+  SELECT strftime(date_trunc('hour', warc_ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n_docs
+  FROM corpus GROUP BY 1
+)
+SELECT hour, n_docs FROM buckets
+ORDER BY n_docs DESC, hour ASC
+LIMIT {int(size)} OFFSET {int(skip)}
+"""
+
+
+def timeline_serial_diff(corpus: DataFrame, lag: int = 24) -> DataFrame:
+    """ES `serial_diff` pipeline aggregation: n_docs minus the value
+    `lag` buckets earlier (the seasonality-removal shape — lag=24 on an
+    hourly histogram differences against the same hour yesterday).
+    Buckets with no lagged predecessor emit null, like ES.  Same
+    axis-sized single-partition window as timeline_pipeline."""
+    from pyspark.sql import Window
+
+    buckets = (
+        corpus.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "warc_ts"), "yyyy-MM-dd HH:00"
+            ).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("hour")
+    return (
+        buckets.withColumn(
+            "diff", F.col("n_docs") - F.lag("n_docs", int(lag)).over(w)
+        )
+        .select("hour", "n_docs", "diff")
+        .orderBy("hour")
+    )
+
+
+def timeline_serial_diff_sql(lag: int = 24) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+buckets AS (
+  SELECT strftime(date_trunc('hour', warc_ts), '%Y-%m-%d %H:00') AS hour,
+         count(*) AS n_docs
+  FROM corpus GROUP BY 1
+)
+SELECT hour, n_docs,
+       n_docs - lag(n_docs, {int(lag)}) OVER (ORDER BY hour) AS diff
+FROM buckets
+ORDER BY hour
+"""
+
+
 def agg_extended_stats(corpus: DataFrame) -> DataFrame:
     """ES `extended_stats` metric aggregation per lang: count / min /
     max / sum / avg / population variance+stddev of document length.
@@ -513,6 +602,52 @@ SELECT term,
 FROM toks
 GROUP BY term
 ORDER BY term
+"""
+
+
+def mtermvectors(corpus: DataFrame, doc_ids: list[int] = (3, 7, 11)) -> DataFrame:
+    """ES `_mtermvectors` API: per-doc (term, freq, first_position)
+    vectors for a small id set in one request.  The `doc_id IN (...)`
+    predicate is pushed to the scan (partition pruning / row-group stats
+    at scale) — only the requested docs are tokenized."""
+    from ..functions.tokenizer import tokens
+
+    ids = [int(d) for d in doc_ids]
+    return (
+        corpus.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos0", "term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            (F.min("pos0") + 1).alias("first_pos"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def mtermvectors_sql(doc_ids: list[int] = (3, 7, 11)) -> str:
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    in_list = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT s.doc_id, t.term, t.pos
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text),
+               '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
+    FROM corpus WHERE doc_id IN ({in_list})
+  ) s, LATERAL (
+    SELECT unnest(ts) AS term, generate_subscripts(ts, 1) AS pos
+  ) t
+)
+SELECT doc_id, term,
+       count(*) AS freq,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM toks
+GROUP BY doc_id, term
+ORDER BY doc_id, term
 """
 
 

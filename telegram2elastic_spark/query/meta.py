@@ -119,3 +119,60 @@ FROM corpus
 ORDER BY doc_id
 LIMIT {limit}
 """
+
+
+def analyze_text(spark, text: str) -> DataFrame:
+    """ES `_analyze` API: run the engine analyzer over a literal string
+    and return (position, token, start_offset, end_offset) — the exact
+    pipeline every indexed document goes through (functions/tokenizer.py
+    — the analyzer the reference outsourced to ES,
+    output/elasticsearch.py:33), so users can debug why a query does or
+    does not match.  Offsets are 0-based character offsets into the
+    original string (the analyzer is length-preserving: lowercase only),
+    taken straight from the token regex match spans.  Driver-side work
+    on one request-sized string; the DataFrame only satisfies the API
+    contract — no scan, no index access."""
+    from ..functions.tokenizer import _PY_TOKEN_RE
+
+    rows = [
+        (i + 1, m.group(0), m.start(), m.end())
+        for i, m in enumerate(_PY_TOKEN_RE.finditer(text.lower()))
+    ]
+    return spark.createDataFrame(
+        rows, "position long, token string, start_offset long, end_offset long"
+    )
+
+
+def analyze_text_sql(text: str) -> str:
+    """DuckDB oracle: same split, offsets recovered by a recursive
+    left-to-right scan (each token's start is its first occurrence at or
+    after the previous token's end — exact because the analyzer is
+    length-preserving and tokens appear in source order)."""
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    lit = text.replace("'", "''")
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT lower('{lit}') AS low,
+         list_filter(regexp_split_to_array(lower('{lit}'),
+             '{TOKEN_SPLIT_RE}'), x -> x <> '') AS ts
+),
+scan AS (
+  SELECT CAST(1 AS BIGINT) AS position, ts[1] AS token,
+         CAST(instr(low, ts[1]) - 1 AS BIGINT) AS start_offset,
+         CAST(instr(low, ts[1]) - 1 + length(ts[1]) AS BIGINT) AS end_offset
+  FROM src WHERE len(ts) >= 1
+  UNION ALL
+  SELECT s.position + 1, src.ts[s.position + 1],
+         s.end_offset
+           + instr(substr(src.low, s.end_offset + 1),
+                   src.ts[s.position + 1]) - 1,
+         s.end_offset
+           + instr(substr(src.low, s.end_offset + 1),
+                   src.ts[s.position + 1]) - 1
+           + length(src.ts[s.position + 1])
+  FROM scan s, src
+  WHERE s.position < len(src.ts)
+)
+SELECT position, token, start_offset, end_offset FROM scan ORDER BY position
+"""
