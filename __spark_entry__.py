@@ -142,6 +142,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): CCNet boilerplate removal — blocks shared
+        # by >= min_docs DISTINCT docs dropped from every doc (contrast
+        # dedup_blocks keep-first); frequent set broadcast anti-probed
+        "remove_boilerplate": lambda spark, sf: dedup.remove_boilerplate(
+            load_corpus(spark, sf), block=10, min_docs=3
+        ),
+        # NEW (r4, session 7): XLM-R temperature sampling (alpha=1/2) —
+        # integer-pinned thresholds from the k-row lang histogram,
+        # RNG-free nested url-hash membership
+        "temperature_sample": lambda spark, sf: training.temperature_sample(
+            load_corpus(spark, sf), budget=200
+        ),
         # NEW (r4, session 7): ES bucket_sort pipeline agg — parent
         # histogram buckets re-ordered by metric with from/size paging
         "agg_bucket_sort": lambda spark, sf: agg.timeline_bucket_sort(
@@ -1073,6 +1085,8 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "remove_boilerplate": dedup.remove_boilerplate_sql(block=10, min_docs=3),
+        "temperature_sample": training.temperature_sample_sql(budget=200),
         "agg_bucket_sort": agg.timeline_bucket_sort_sql(size=3, skip=2),
         "agg_serial_diff": agg.timeline_serial_diff_sql(lag=2),
         "mtermvectors": agg.mtermvectors_sql([3, 7, 11]),

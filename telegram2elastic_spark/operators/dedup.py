@@ -740,3 +740,108 @@ FROM flagged
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def remove_boilerplate(
+    corpus: DataFrame, block: int = DEDUP_BLOCK_TOKENS, min_docs: int = 3
+) -> DataFrame:
+    """CCNet/RefinedWeb boilerplate removal: drop every token block whose
+    content appears in >= `min_docs` DISTINCT documents (nav menus,
+    cookie banners, shared footers — text that repeats ACROSS pages),
+    keeping within-doc repetition intact.  Contrast dedup_blocks, which
+    keeps the corpus-first occurrence; here ALL occurrences of a
+    frequent block are removed, including the first — the CCNet
+    paragraph-dedup contract.
+
+    Output (doc_id, text_kept, blocks_kept, blocks_dropped), doc order.
+
+    Scale shape: one hash aggregate over (block-hash, doc_id) for the
+    distinct-doc counts, then the frequent set — by construction the
+    tiny head of the block-frequency distribution (boilerplate) — is
+    broadcast and anti-probed; the reassembly is the same per-doc hash
+    aggregate as dedup_blocks.  No shuffle of the corpus itself beyond
+    the doc_id regroup."""
+    toks = _toks()
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(block))).cast("int")
+    blocks_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * block + 1, block)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = corpus.select(
+        "doc_id", F.posexplode(blocks_arr).alias("pos", "btext")
+    ).withColumn("bh", h64(F.col("btext")))
+    frequent = (
+        b.groupBy("bh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("bh")
+    )
+    marked = b.join(
+        F.broadcast(frequent.withColumn("boiler", F.lit(True))), "bh", "left"
+    ).withColumn("keep", F.col("boiler").isNull())
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "btext"))
+                        )
+                    ),
+                    lambda s: s["btext"],
+                ),
+                " ",
+            ).alias("text_kept"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("blocks_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("blocks_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def remove_boilerplate_sql(
+    block: int = DEDUP_BLOCK_TOKENS, min_docs: int = 3
+) -> str:
+    h = H64_SQL.format(x="btext")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+blk AS (
+  SELECT doc_id, CAST(t.pos AS INTEGER) AS pos,
+         array_to_string(
+           list_slice(toks, t.pos * {block} + 1, t.pos * {block} + {block}),
+           ' ') AS btext
+  FROM tokd,
+       unnest(range(0, CAST(ceil(len(toks) / {block}.0) AS BIGINT))) AS t(pos)
+),
+freq AS (
+  SELECT {h} AS bh
+  FROM blk GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= {int(min_docs)}
+),
+flagged AS (
+  SELECT b.doc_id, b.pos, b.btext, f.bh IS NULL AS keep
+  FROM blk b LEFT JOIN freq f ON ({H64_SQL.format(x="b.btext")}) = f.bh
+)
+SELECT doc_id,
+       coalesce(string_agg(btext, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+         AS text_kept,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS blocks_kept,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS blocks_dropped
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -685,3 +685,74 @@ WHERE rn <= {int(max_per_host)}
 ORDER BY doc_id
 {lim}
 """
+
+
+def temperature_sample(corpus: DataFrame, budget: int = 200) -> DataFrame:
+    """Multilingual temperature sampling (the XLM-R/mT5 alpha-sampling
+    shape, alpha = 1/2): low-resource languages are UP-weighted relative
+    to their corpus share — sampling mass q_l proportional to
+    sqrt(c_l) — and `budget` total docs are drawn deterministically.
+
+    Pinned integer contract (keeps both engines bit-identical — the
+    statistics are unchanged):
+        s_l      = floor(sqrt(c_l))        (exact: sqrt is correctly
+                                            rounded IEEE, floor exact)
+        S        = sum_l s_l               (integer sum, order-free)
+        thresh_l = min(NB, (NB * budget * s_l) DIV (c_l * S))
+    and a doc is kept iff its url-hash bucket (mod NB = 1000) falls
+    under its language's threshold — the same RNG-free membership as
+    stratified_sample, so samples are nested as the budget grows.
+
+    Scale shape: the per-lang histogram is ONE map-side hash aggregate
+    collapsing to a handful of rows, collected as driver state (the
+    k-row-literals pattern the WAND path uses for idfs — a lang
+    histogram is bounded by the language inventory, not the corpus);
+    thresholds fold into the scan as a CASE literal, membership is a
+    map-only filter.  No second corpus pass, no join, no window."""
+    import math
+
+    nb = N_SPLIT_BUCKETS
+    hist = {
+        r["lang"]: int(r["c"])
+        for r in corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    if not hist:
+        return corpus.select("doc_id", "lang")
+    S = sum(math.isqrt(c) for c in hist.values())
+    thresh = {
+        lang: min(nb, (nb * int(budget) * math.isqrt(c)) // (c * S))
+        for lang, c in hist.items()
+    }
+    t = F.lit(0)
+    for lang, th in sorted(thresh.items()):
+        t = F.when(F.col("lang") == lang, F.lit(th)).otherwise(t)
+    bucket = F.pmod(h64(F.col("url")), F.lit(nb))
+    return (
+        corpus.filter(bucket < t)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def temperature_sample_sql(budget: int = 200) -> str:
+    nb = N_SPLIT_BUCKETS
+    h = H64_SQL.format(x="url")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+hist AS (
+  SELECT lang, count(*) AS c,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS sl
+  FROM corpus GROUP BY lang
+),
+tot AS (SELECT sum(sl) AS s_tot FROM hist),
+thr AS (
+  SELECT lang,
+         least(CAST({nb} AS BIGINT),
+               ({nb} * {int(budget)} * sl) // (c * s_tot)) AS thresh
+  FROM hist CROSS JOIN tot
+)
+SELECT c.doc_id, c.lang
+FROM corpus c JOIN thr ON c.lang = thr.lang
+WHERE ({h}) % {nb} < thr.thresh
+ORDER BY c.doc_id
+"""
