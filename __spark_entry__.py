@@ -32,6 +32,7 @@ from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
 from telegram2elastic_spark.query import intervals as iv
+from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
 from telegram2elastic_spark.streaming import windows as win
@@ -142,6 +143,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): ES nested query — the conjunction binds to
+        # ONE array element (flattened fields cross-match); higher-order
+        # exists over the derived termvector structs, map-only
+        "nested_query_page": lambda spark, sf: nq.nested_query_page(
+            load_corpus(spark, sf), "mer", 2, 60
+        ),
+        # NEW (r4, session 7): ES nested aggregation — unnest filtered
+        # parents' elements, per-term doc/total/max stats, one hash agg
+        "nested_terms_agg": lambda spark, sf: nq.nested_terms_agg(
+            load_corpus(spark, sf), "en", 10
+        ),
         # NEW (r4, session 7): CCNet boilerplate removal — blocks shared
         # by >= min_docs DISTINCT docs dropped from every doc (contrast
         # dedup_blocks keep-first); frequent set broadcast anti-probed
@@ -1085,6 +1097,8 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "nested_query_page": nq.nested_query_page_sql("mer", 2, 60),
+        "nested_terms_agg": nq.nested_terms_agg_sql("en", 10),
         "remove_boilerplate": dedup.remove_boilerplate_sql(block=10, min_docs=3),
         "temperature_sample": training.temperature_sample_sql(budget=200),
         "agg_bucket_sort": agg.timeline_bucket_sort_sql(size=3, skip=2),

@@ -1,0 +1,162 @@
+"""ES `nested` query and `nested` aggregation.
+
+ES stores arrays of objects as hidden child documents so a query can
+require MULTIPLE conditions of the SAME array element; a flattened
+object field loses that tie (the classic {user.first, user.last}
+cross-match bug).  The engine's nested field here is the per-doc
+termvector `mentions: array<struct<term, freq, first_pos>>`, derived
+deterministically from the stored text in BOTH engines (a real
+deployment materializes it at ingest; deriving it in the scan keeps the
+oracle shared and the semantics identical).  Reference analogue: the ES
+mapping surface implied by README.md:5 Kibana serving.
+
+`nested_query_page`: parents where SOME single element satisfies the
+whole conjunction (term prefix AND freq >= n AND first_pos <= p) —
+exactly the tie a flattened mapping cannot express; higher-order
+`exists` over the struct array, never an explode-then-regroup.
+
+`nested_terms_agg`: the ES nested aggregation — unnest the elements of
+the FILTERED parents, aggregate per term (doc count, total/max freq),
+top-N.  One explode + one hash aggregate with map-side combine.
+
+Scale shape: both are map-only over the corpus scan except the nested
+agg's single hash aggregate; the element derivation is pure built-in
+higher-order functions (whole-stage codegen, no UDF)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE, tokens
+
+
+def mentions_col() -> Column:
+    """array<struct<term,freq,first_pos>> — one element per distinct
+    token, freq its occurrence count, first_pos its 1-based first
+    position."""
+    toks = tokens("text")
+    return F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("freq"),
+            (F.array_position(toks, t)).alias("first_pos"),
+        ),
+    )
+
+
+MENTIONS_SQL = (
+    "list_transform(list_distinct(toks), t -> {{"
+    "'term': t, "
+    "'freq': len(list_filter(toks, x -> x = t)), "
+    "'first_pos': list_position(toks, t)}})"
+)
+
+
+def nested_query_page(
+    corpus: DataFrame,
+    prefix: str = "mer",
+    min_freq: int = 2,
+    max_first_pos: int = 60,
+    limit: int = 20,
+) -> DataFrame:
+    """Parents where ONE element matches the whole conjunction (module
+    docstring).  Output (doc_id, url, n_matching) — n_matching is the
+    ES inner-hit count for the nested clause — doc order, first
+    `limit`."""
+    m = mentions_col()
+    matching = F.size(
+        F.filter(
+            m,
+            lambda e: e["term"].startswith(prefix)
+            & (e["freq"] >= min_freq)
+            & (e["first_pos"] <= max_first_pos),
+        )
+    )
+    return (
+        corpus.withColumn("n_matching", matching.cast("long"))
+        .filter(F.col("n_matching") > 0)
+        .select("doc_id", "url", "n_matching")
+        .orderBy("doc_id")
+        .limit(limit)
+    )
+
+
+def nested_query_page_sql(
+    prefix: str = "mer",
+    min_freq: int = 2,
+    max_first_pos: int = 60,
+    limit: int = 20,
+) -> str:
+    p = prefix.replace("'", "''")
+    esc = p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    cond = (
+        f"e.term LIKE '{esc}%' ESCAPE '\\' AND e.freq >= {int(min_freq)} "
+        f"AND e.first_pos <= {int(max_first_pos)}"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+nested AS (
+  SELECT doc_id, url,
+         CAST(len(list_filter({MENTIONS_SQL.format()}, e -> {cond}))
+              AS BIGINT) AS n_matching
+  FROM tokd
+)
+SELECT doc_id, url, n_matching
+FROM nested WHERE n_matching > 0
+ORDER BY doc_id
+LIMIT {int(limit)}
+"""
+
+
+def nested_terms_agg(
+    corpus: DataFrame, lang: str = "en", top: int = 10
+) -> DataFrame:
+    """ES nested aggregation: over parents passing the filter, unnest the
+    elements and aggregate per term — (term, n_docs, total_freq,
+    max_freq), top-N by total_freq desc then term asc."""
+    m = mentions_col()
+    return (
+        corpus.filter(F.col("lang") == lang)
+        .select(F.explode(m).alias("e"))
+        .groupBy(F.col("e.term").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e.freq").cast("bigint").alias("total_freq"),
+            F.max("e.freq").cast("bigint").alias("max_freq"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def nested_terms_agg_sql(lang: str = "en", top: int = 10) -> str:
+    l = lang.replace("'", "''")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus WHERE lang = '{l}'
+),
+el AS (
+  SELECT unnest({MENTIONS_SQL.format()}) AS e FROM tokd
+)
+SELECT e.term AS term,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.freq) AS BIGINT) AS total_freq,
+       CAST(max(e.freq) AS BIGINT) AS max_freq
+FROM el
+GROUP BY 1
+ORDER BY total_freq DESC, term ASC
+LIMIT {int(top)}
+"""
