@@ -143,6 +143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): ES terms agg with real shard semantics —
+        # per-shard shard_size truncation, coordinator merge of returned
+        # counts, doc_count_error_upper_bound per bucket
+        "terms_agg_sharded": lambda spark, sf: facets.terms_agg_sharded(
+            load_corpus(spark, sf), size=10, shard_size=5, n_shards=4
+        ),
         # NEW (r4, session 7): ES nested query — the conjunction binds to
         # ONE array element (flattened fields cross-match); higher-order
         # exists over the derived termvector structs, map-only
@@ -1097,6 +1103,9 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "terms_agg_sharded": facets.terms_agg_sharded_sql(
+            size=10, shard_size=5, n_shards=4
+        ),
         "nested_query_page": nq.nested_query_page_sql("mer", 2, 60),
         "nested_terms_agg": nq.nested_terms_agg_sql("en", 10),
         "remove_boilerplate": dedup.remove_boilerplate_sql(block=10, min_docs=3),

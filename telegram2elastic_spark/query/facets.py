@@ -935,3 +935,106 @@ CROSS JOIN fg_n CROSS JOIN bg_n
 ORDER BY jlh DESC, fg.term ASC
 LIMIT {int(k)}
 """
+
+
+def terms_agg_sharded(
+    corpus: DataFrame,
+    size: int = 10,
+    shard_size: int = 15,
+    n_shards: int = 4,
+) -> DataFrame:
+    """ES `terms` aggregation with its real distributed semantics: each
+    shard returns only its local top `shard_size` terms by doc count,
+    the coordinator sums the RETURNED shard counts, and every bucket
+    carries `error_ub` — the ES doc_count_error_upper_bound: the sum,
+    over shards that did NOT return the term, of that shard's last
+    (shard_size-th) returned count; a term missing from a shard's
+    truncated list can have hidden at most that many docs there.
+
+    Made deterministic (and oracle-reproducible) by pinning the shard
+    assignment to pmod(doc_id, n_shards) — the engine's salt layout.
+    Counts are doc counts (one element per distinct term per doc), so a
+    shard's full list is exactly its slice of term_dict df.
+
+    Scale shape: the per-(shard, term) count is ONE hash aggregate with
+    map-side combine; the per-shard top-k ranks within n_shards
+    partitions (in a real deployment this is a read of the per-shard
+    term dictionary already sorted by df); everything after operates on
+    <= n_shards * shard_size rows on the driver-side-sized merge path,
+    exactly like the ES coordinator."""
+    from pyspark.sql import Window
+
+    t = corpus.select(
+        F.pmod(F.col("doc_id"), F.lit(int(n_shards))).alias("shard"),
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    )
+    per = t.groupBy("shard", "term").agg(F.count(F.lit(1)).alias("df_s"))
+    w = Window.partitionBy("shard").orderBy(F.desc("df_s"), F.asc("term"))
+    ranked = per.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= int(shard_size)
+    )
+    last = ranked.groupBy("shard").agg(
+        F.max(
+            F.when(F.col("rn") == int(shard_size), F.col("df_s")).otherwise(0)
+        ).alias("last_df")
+    )
+    cand = ranked.select("term").distinct()
+    grid = cand.crossJoin(F.broadcast(last))
+    merged = (
+        grid.join(ranked.select("shard", "term", "df_s"), ["shard", "term"], "left")
+        .groupBy("term")
+        .agg(
+            F.sum(F.coalesce(F.col("df_s"), F.lit(0)))
+            .cast("bigint")
+            .alias("doc_count"),
+            F.sum(
+                F.when(F.col("df_s").isNull(), F.col("last_df")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("error_ub"),
+        )
+    )
+    return merged.orderBy(F.desc("doc_count"), F.asc("term")).limit(int(size))
+
+
+def terms_agg_sharded_sql(
+    size: int = 10, shard_size: int = 15, n_shards: int = 4
+) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+t AS (
+  SELECT doc_id % {int(n_shards)} AS shard,
+         unnest(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+             x -> x <> ''))) AS term
+  FROM corpus
+),
+per AS (SELECT shard, term, count(*) AS df_s FROM t GROUP BY shard, term),
+ranked AS (
+  SELECT shard, term, df_s,
+         row_number() OVER (
+           PARTITION BY shard ORDER BY df_s DESC, term ASC
+         ) AS rn
+  FROM per
+  QUALIFY rn <= {int(shard_size)}
+),
+last AS (
+  SELECT shard,
+         max(CASE WHEN rn = {int(shard_size)} THEN df_s ELSE 0 END) AS last_df
+  FROM ranked GROUP BY shard
+),
+cand AS (SELECT DISTINCT term FROM ranked),
+grid AS (SELECT c.term, l.shard, l.last_df FROM cand c CROSS JOIN last l),
+merged AS (
+  SELECT g.term,
+         CAST(sum(coalesce(r.df_s, 0)) AS BIGINT) AS doc_count,
+         CAST(sum(CASE WHEN r.df_s IS NULL THEN g.last_df ELSE 0 END)
+              AS BIGINT) AS error_ub
+  FROM grid g
+  LEFT JOIN ranked r ON g.shard = r.shard AND g.term = r.term
+  GROUP BY g.term
+)
+SELECT term, doc_count, error_ub FROM merged
+ORDER BY doc_count DESC, term ASC
+LIMIT {int(size)}
+"""
