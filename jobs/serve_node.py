@@ -14,6 +14,8 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "compound", "q": "spark", "phrase": "merge batch"}
     {"op": "multi",    "q": "spark page", "boosts": {"text": 1.0, "url": 2.0}}
     {"op": "prefix",   "q": "sc"}
+    {"op": "boolprefix","q": "merge sc"}           (search-as-you-type)
+    {"op": "intervals","q": "merge batch", "max_gaps": 3}
     {"op": "wildcard", "q": "s?a*"}
     {"op": "fuzzyterm","q": "mergge", "fuzziness": 2}
     {"op": "regexp",   "q": "sc[ab].*"}
@@ -128,6 +130,16 @@ def main() -> None:
             )
         if op == "prefix":
             return lq.prefix_topk_local(idx, req["q"], k=k)
+        if op == "boolprefix":
+            return lq.match_bool_prefix_topk_local(idx, req["q"].split(), k=k)
+        if op == "intervals":
+            from telegram2elastic_spark.query.intervals import (
+                intervals_ordered_topk_local,
+            )
+
+            return intervals_ordered_topk_local(
+                idx, req["q"].split(), max_gaps=int(req.get("max_gaps", 0)), k=k
+            )
         if op == "wildcard":
             return lq.wildcard_topk_local(idx, req["q"], k=k)
         if op == "qs":

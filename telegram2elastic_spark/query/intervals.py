@@ -282,3 +282,39 @@ tokd AS (
   FROM corpus
 ),
 {_pseudo_score_sql(tf, k)}"""
+
+
+def intervals_ordered_topk_local(
+    index: dict, terms: list[str], max_gaps: int = 0, k: int = 10
+) -> list[tuple]:
+    """Driver-local intervals twin (the positional analogue of
+    phrase_topk_local): one pruned fetch of the member terms' positional
+    blocks through the shared hot-shard cache, then the greedy-chain
+    kernel and pseudo-term scoring run in-process.
+
+    Returns [(doc_id, score), ...] rank-identical to
+    intervals_ordered_topk."""
+    from .bm25 import SCORE_DECIMALS
+    from .phrase import _local_pos_blocks, _phrase_weights
+    from .wand import _tomb_array
+
+    if not terms:
+        return []
+    pdf = _local_pos_blocks(index, terms)
+    if pdf is None:
+        return []
+    counts = _intervals_ordered_counts(
+        pdf, terms, max_gaps, tombstones=_tomb_array(index)
+    )
+    if counts.empty:
+        return []
+    if "_stats" not in index:
+        n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+        index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
+    n, avgdl = index["_stats"]
+    w = np.round(
+        _phrase_weights(counts, n, avgdl, df_p=len(counts)), SCORE_DECIMALS
+    )
+    ids = counts["doc_id"].to_numpy(np.int64)
+    sel = np.lexsort((ids, -w))[: min(k, ids.size)]
+    return [(int(ids[i]), float(w[i])) for i in sel]

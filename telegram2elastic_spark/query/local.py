@@ -678,3 +678,23 @@ def phrase_suggest_local(
         out.append((" ".join(w[0] for w in combo), round(score, 5)))
     out.sort(key=lambda x: (-x[1], x[0]))
     return out[: int(k)]
+
+
+def match_bool_prefix_topk_local(
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to expand.match_bool_prefix_topk
+    (search-as-you-type): last term expanded against the cached sorted
+    vocabulary (two binary searches), the union served by
+    wand_topk_local's hot-shard cache."""
+    if not terms:
+        return []
+    *full, last = terms
+    exp = expand_prefix_local(index, last, max_expansions)
+    all_terms = sorted(set(full) | set(exp))
+    if not all_terms:
+        return []
+    return wand_topk_local(index, all_terms, k=k)

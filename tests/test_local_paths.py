@@ -370,3 +370,27 @@ def test_phrase_suggest_local_matches_spark(spark, sf_dir, lindex, tmp_path):
     # absent bigrams come back as 0 (smoothing still applies), and the
     # per-key cache serves the repeat without re-reading
     assert lq.phrase_suggest_local(index, store, ["tne", "fast"]) == dist or True
+
+
+@pytest.mark.parametrize("terms", [["merge", "sc"], ["sc"]])
+def test_match_bool_prefix_local_matches_spark(lindex, terms):
+    want = [
+        (r["doc_id"], r["score"])
+        for r in exq.match_bool_prefix_topk(lindex, terms, k=10).collect()
+    ]
+    assert lq.match_bool_prefix_topk_local(lindex, terms, k=10) == want
+
+
+@pytest.mark.parametrize(
+    "terms,max_gaps", [(["merge", "batch"], 3), (["the", "fast"], 0)]
+)
+def test_intervals_local_matches_spark(spark, sf_dir, terms, max_gaps):
+    from telegram2elastic_spark.query import intervals as iv
+
+    pidx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4, positions=True)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in iv.intervals_ordered_topk(pidx, terms, max_gaps, k=10).collect()
+    ]
+    got = iv.intervals_ordered_topk_local(pidx, terms, max_gaps, k=10)
+    assert got == want
