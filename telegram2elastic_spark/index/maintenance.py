@@ -121,3 +121,88 @@ SELECT st.n_docs, st.n_docs - {int(n_deleted)} AS n_live,
        td.n_terms, td.total_tf, st.avgdl
 FROM st CROSS JOIN td
 """
+
+
+def resize_index(index: dict, target_parts: int) -> dict:
+    """ES `_shrink` / `_split` for the salt layout: change the number of
+    document partitions without re-tokenizing the corpus.
+
+    **Shrink** (target divides current): because salt = doc_id mod P and
+    P' | P implies (doc_id mod P) mod P' = doc_id mod P', an entire old
+    salt group maps to ONE new salt — the resize is a pure METADATA
+    relabel (`salt % P'`).  No decode, no re-encode, no data movement
+    beyond the relabeled shuffle key: posting block bytes are reused
+    verbatim, exactly like ES _shrink hard-linking segment files into
+    the target index.  Blocks from different old salts interleave in doc
+    range within the new salt; every query kernel already handles that
+    (the multi-segment contract — blocks are self-contained, first gap
+    absolute, decode re-sorts globally).  This is why ES requires the
+    target shard count to be a FACTOR of the source: the routing
+    congruence only collapses cleanly then.
+
+    **Split** (current divides target): an old salt fans out into
+    P'/P new salts, so blocks must be rewritten — decode each block
+    (mapInPandas, embarrassingly parallel, no shuffle), re-salt the
+    exploded postings, and re-encode through the verified build kernel
+    (byte-identical to a fresh build at P' by construction, since the
+    encoder is deterministic per (term, salt) posting set).  One
+    shuffle, the same volume as the original postings encode — the ES
+    _split segment-rewrite cost.
+
+    Other combinations raise, mirroring the ES factor requirement."""
+    import numpy as np
+    import pandas as pd
+
+    from .build import build_postings
+
+    cur = int(index["_n_doc_parts"])
+    tgt = int(target_parts)
+    out = dict(index)
+    if tgt == cur:
+        return out
+    if cur % tgt == 0:
+        out["postings"] = index["postings"].withColumn(
+            "salt", F.pmod(F.col("salt"), F.lit(tgt)).cast("int")
+        )
+        out["_n_doc_parts"] = tgt
+        return out
+    if tgt % cur != 0:
+        raise ValueError(
+            f"target_parts {tgt} must be a factor or multiple of {cur} "
+            "(the ES _shrink/_split factor requirement)"
+        )
+    has_pos_row = index["postings"].select("pos_bytes").first()
+    has_pos = has_pos_row is not None and has_pos_row["pos_bytes"] is not None
+
+    def decode_rows(batches):
+        from .codec import decode_positions, varbyte_decode
+
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                gaps = varbyte_decode(bytes(r.doc_gaps))
+                ids = np.cumsum(gaps.astype(np.int64))
+                tfs = varbyte_decode(bytes(r.tf_bytes)).astype(np.int64)
+                dls = varbyte_decode(bytes(r.dl_bytes)).astype(np.int64)
+                row = {
+                    "term": np.repeat(r.term, ids.size),
+                    "doc_id": ids,
+                    "dl": dls,
+                    "tf": tfs,
+                }
+                if has_pos:
+                    row["positions"] = [
+                        a.astype(np.int32)
+                        for a in decode_positions(bytes(r.pos_bytes), tfs)
+                    ]
+                outs.append(pd.DataFrame(row))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    schema = "term string, doc_id long, dl long, tf long" + (
+        ", positions array<int>" if has_pos else ""
+    )
+    rows = index["postings"].mapInPandas(decode_rows, schema)
+    out["postings"] = build_postings(rows, n_doc_parts=tgt)
+    out["_n_doc_parts"] = tgt
+    return out
