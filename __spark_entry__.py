@@ -143,6 +143,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): SemDedup — semantic near-dup pruning
+        # within trained k-means clusters, keep-outliers rule; pairwise
+        # work bounded per cluster, clustering is the verified
+        # kmeans_assign plan
+        "semdedup": lambda spark, sf: sim.semdedup(
+            load_embeddings(spark, sf), k=8, iters=2, eps=0.9
+        ),
         # NEW (r4, session 7): ES terms agg with real shard semantics —
         # per-shard shard_size truncation, coordinator merge of returned
         # counts, doc_count_error_upper_bound per bucket
@@ -1103,6 +1110,7 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "semdedup": sim.semdedup_sql(k=8, iters=2, eps=0.9),
         "terms_agg_sharded": facets.terms_agg_sharded_sql(
             size=10, shard_size=5, n_shards=4
         ),

@@ -998,3 +998,98 @@ WHERE e.label = {int(label)} AND e.vec_id != {query_vec_id}
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT {k}
 """
+
+
+def semdedup(
+    embeddings: DataFrame, k: int = 8, iters: int = 3, eps: float = 0.95
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): semantic near-duplicate pruning via
+    the trained k-means clustering — within each cluster, a vector is a
+    DUPLICATE if some other cluster member has cosine >= eps, and of each
+    such pair the member FARTHER from the centroid is kept (the paper's
+    keep-outliers rule; ties break by lower vec_id kept).
+
+    Output (vec_id, cid, kept), vec_id order — the training pipeline
+    filters on kept.
+
+    Scale shape: clustering is the verified kmeans_assign plan (broadcast
+    centroids, min_by, k x dim driver state); the pairwise check
+    self-joins WITHIN a cluster only — one shuffle on cid, per-task work
+    bounded by cluster size squared.  That is the published SemDedup
+    recipe: k is chosen so n/k is small (they run 50k clusters at
+    LAION-440M => ~9k per cluster); the cross-cluster problem is never
+    quadratic.  Determinism: distances and cosines round like every
+    embedding op (KMEANS_DECIMALS / 5), so both engines agree exactly."""
+    assign = kmeans_assign(embeddings, k, iters)
+    a = assign.join(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "vec_id",
+    )
+    ax = a.select(
+        F.col("vec_id").alias("ia"), "cid",
+        F.col("dist").alias("da"), F.col("v").alias("va"),
+    )
+    ay = a.select(
+        F.col("vec_id").alias("ib"), "cid",
+        F.col("dist").alias("db"), F.col("v").alias("vb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        ),
+        5,
+    )
+    dropped = (
+        ax.join(ay, "cid")
+        .filter(F.col("ia") != F.col("ib"))
+        .filter(cos >= float(eps))
+        .filter(
+            (F.col("db") > F.col("da"))
+            | ((F.col("db") == F.col("da")) & (F.col("ib") < F.col("ia")))
+        )
+        .select(F.col("ia").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assign
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.col("dup").isNull().alias("kept")
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_sql(k: int = 8, iters: int = 3, eps: float = 0.95) -> str:
+    return f"""
+WITH {_kmeans_sql_ctes(k, iters)},
+d AS (
+  SELECT e.vec_id, e.v, c.cid,
+         round(list_distance(e.v, c.cv) * list_distance(e.v, c.cv), 5)
+             AS dist
+  FROM e CROSS JOIN c{iters} c
+),
+a AS (
+  SELECT vec_id, v, cid, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+  WHERE round(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 5) >= {float(eps)}
+    AND (y.dist > x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.cid, dr.vec_id IS NULL AS kept
+FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+ORDER BY a.vec_id
+"""
