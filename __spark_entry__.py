@@ -31,6 +31,7 @@ from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
+from telegram2elastic_spark.query import federated as fed
 from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import spans
@@ -143,6 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): federated index-pattern search — per-index
+        # BM25 stats (ES query_then_fetch), exact k-way merge
+        "federated_topk": lambda spark, sf: fed.federated_topk(
+            load_corpus(spark, sf), Q_MAIN, k=10
+        ),
+        # NEW (r4, session 7): ES percentile_ranks metric agg — inverse
+        # percentiles, one conditional-sum hash aggregate
+        "agg_percentile_ranks": lambda spark, sf: agg.agg_percentile_ranks(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 7): SemDedup — semantic near-dup pruning
         # within trained k-means clusters, keep-outliers rule; pairwise
         # work bounded per cluster, clustering is the verified
@@ -1110,6 +1121,8 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "federated_topk": fed.federated_topk_sql(Q_MAIN, k=10),
+        "agg_percentile_ranks": agg.agg_percentile_ranks_sql(),
         "semdedup": sim.semdedup_sql(k=8, iters=2, eps=0.9),
         "terms_agg_sharded": facets.terms_agg_sharded_sql(
             size=10, shard_size=5, n_shards=4

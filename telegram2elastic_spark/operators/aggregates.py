@@ -279,6 +279,45 @@ ORDER BY lang
 """
 
 
+def agg_percentile_ranks(
+    corpus: DataFrame, values: tuple = (500, 1500, 3000)
+) -> DataFrame:
+    """ES `percentile_ranks` metric aggregation (the inverse of
+    `percentiles`): for each given value, the percentage of docs whose
+    n_chars is <= that value, per lang.  Exact rank = conditional count
+    over total — the whole vector computes in ONE map-side-combinable
+    hash aggregate (a conditional sum per requested value), no sort, no
+    digest needed for the exact form; ES's t-digest twin has the same
+    plan shape."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.col("n_chars") <= int(v), 1).otherwise(0)).alias(
+            f"c{i}"
+        )
+        for i, v in enumerate(values)
+    ]
+    out = corpus.groupBy("lang").agg(*aggs)
+    cols = [
+        F.round(F.col(f"c{i}") * 100.0 / F.col("n"), 4).alias(f"rank_{int(v)}")
+        for i, v in enumerate(values)
+    ]
+    return out.select("lang", *cols).orderBy("lang")
+
+
+def agg_percentile_ranks_sql(values: tuple = (500, 1500, 3000)) -> str:
+    cols = ",\n       ".join(
+        f"round(100.0 * sum(CASE WHEN n_chars <= {int(v)} THEN 1 ELSE 0 END)"
+        f" / count(*), 4) AS rank_{int(v)}"
+        for v in values
+    )
+    return f"""
+SELECT lang,
+       {cols}
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 KMV_K = 32
 
 

@@ -1,0 +1,137 @@
+"""Federated multi-index search — the ES index-pattern query.
+
+The reference writes one ES index per day (`strftime` index naming,
+output/elasticsearch.py date-pattern indices) and Kibana queries the
+`telegram-*` pattern across them (README.md:5).  This module is that
+coordinator: one logical query over MANY indexes, each scored with its
+OWN statistics (n, avgdl, per-index df) — ES's default
+query_then_fetch, where idf is local to the index being searched — and
+the per-index top-k lists merged by (score desc, index asc, doc_id
+asc).  The k-way merge of per-index top-ks is exact because scores are
+independent across indexes.
+
+Two paths, rank-identical:
+  * `federated_topk(corpus, terms, partition_col=...)` — relational
+    contract: partition the corpus by the index key (lang here — the
+    index-per-language deployment; day-pattern keys work identically),
+    score each partition with partition-local stats in ONE plan (the
+    groupBys all key on (partition, ...) so every aggregate is one
+    map-side-combinable shuffle), global TakeOrdered.
+  * `federated_topk_indexed(indexes, terms)` — the serving path: one
+    verified wand_topk per physical index, k-row unions only.
+
+Scale shape (relational): no per-partition jobs — df/stats/tf are three
+hash aggregates keyed by the partition column; the final merge is a
+TakeOrdered over candidate rows.  At 10^12 docs the indexed path is the
+real deployment and its per-index work is the audited WAND plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
+from .bm25 import B, K1, SCORE_DECIMALS
+
+
+def federated_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    partition_col: str = "lang",
+) -> DataFrame:
+    """(index_name, doc_id, url, score) top-k across per-`partition_col`
+    indexes, each scored with its own BM25 statistics."""
+    part = F.col(partition_col).alias("part")
+    base = corpus.select(
+        part, "doc_id", "url", F.size(tokens("text")).alias("dl"),
+        tokens("text").alias("toks"),
+    )
+    stats = base.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("part", "doc_id", "url", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(sorted(set(terms))))
+        .groupBy("part", "doc_id", "url", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("part", "term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, ["part", "term"])
+        .join(F.broadcast(stats), "part")
+        .withColumn(
+            "w",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("part", "doc_id", "url")
+        .agg(F.round(F.sum("w"), SCORE_DECIMALS).alias("score"))
+    )
+    return (
+        scored.select(
+            F.concat(F.lit("idx_"), F.col("part")).alias("index_name"),
+            "doc_id", "url", "score",
+        )
+        .orderBy(F.desc("score"), F.asc("index_name"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def federated_topk_indexed(
+    indexes: dict[str, dict], terms: list[str], k: int = 10
+) -> list[tuple]:
+    """Serving path: per-index wand top-k (each with its own stats by
+    construction), k-way merged.  Returns [(index_name, doc_id, score)]
+    rank-identical to federated_topk over the same partitioning."""
+    from .wand import wand_topk
+
+    rows = []
+    for name in sorted(indexes):
+        for r in wand_topk(indexes[name], terms, k=k).collect():
+            rows.append((f"idx_{name}", r["doc_id"], r["score"]))
+    rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return rows[:k]
+
+
+def federated_topk_sql(
+    terms: list[str], k: int = 10, partition_col: str = "lang"
+) -> str:
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    return f"""
+WITH {CORPUS_CTE.strip()},
+base AS (
+  SELECT {partition_col} AS part, doc_id, url,
+         {DOC_LEN_SQL} AS dl,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+stats AS (SELECT part, count(*) AS n, avg(dl) AS avgdl FROM base GROUP BY part),
+tf AS (
+  SELECT part, doc_id, url, dl, t.term, count(*) AS tf
+  FROM base, LATERAL (SELECT unnest(toks) AS term) t
+  WHERE t.term IN ({tl})
+  GROUP BY part, doc_id, url, dl, t.term
+),
+tdf AS (SELECT part, term, count(*) AS df FROM tf GROUP BY part, term),
+scored AS (
+  SELECT tf.part, tf.doc_id, tf.url,
+         round(sum(
+           ln(1 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN tdf ON tf.part = tdf.part AND tf.term = tdf.term
+  JOIN stats s ON tf.part = s.part
+  GROUP BY tf.part, tf.doc_id, tf.url
+)
+SELECT 'idx_' || part AS index_name, doc_id, url, score
+FROM scored
+ORDER BY score DESC, index_name ASC, doc_id ASC
+LIMIT {k}
+"""
