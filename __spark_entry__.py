@@ -144,6 +144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 7): pipeline funnel — cumulative survivor
+        # counts per cleaning stage (one scan + the dedup hash shuffle)
+        "pipeline_funnel": lambda spark, sf: training.pipeline_funnel(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 7): federated index-pattern search — per-index
         # BM25 stats (ES query_then_fetch), exact k-way merge
         "federated_topk": lambda spark, sf: fed.federated_topk(
@@ -1121,6 +1126,7 @@ FROM corpus ORDER BY doc_id
         "cap_per_host": training.cap_per_host_sql(),
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
+        "pipeline_funnel": training.pipeline_funnel_sql(),
         "federated_topk": fed.federated_topk_sql(Q_MAIN, k=10),
         "agg_percentile_ranks": agg.agg_percentile_ranks_sql(),
         "semdedup": sim.semdedup_sql(k=8, iters=2, eps=0.9),

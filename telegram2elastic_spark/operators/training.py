@@ -756,3 +756,91 @@ FROM corpus c JOIN thr ON c.lang = thr.lang
 WHERE ({h}) % {nb} < thr.thresh
 ORDER BY c.doc_id
 """
+
+
+FUNNEL_MIN_CHARS = 200
+FUNNEL_MAX_CHARS = 10_000
+FUNNEL_LANGS = ("de", "en", "fr", "zh")
+
+
+def pipeline_funnel(corpus: DataFrame) -> DataFrame:
+    """Training-pipeline funnel report: cumulative survivor counts per
+    cleaning stage — the observability table every data pipeline ships
+    next to its outputs (how many docs each gate removed).
+
+    Stages (cumulative — each applies on top of the previous):
+      1 ingested        all docs
+      2 length_gate     n_chars in [FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS]
+      3 lang_whitelist  lang in FUNNEL_LANGS
+      4 exact_dedup     keep-first by text hash among stage-3 survivors
+
+    Output (stage, stage_name, survivors), stage order.
+
+    Scale shape: stages 1-3 are flags in ONE corpus scan folded into one
+    map-side-combinable aggregate; stage 4 adds the single hash-group
+    shuffle exact dedup always costs (keep = min doc_id per text hash,
+    computed only over stage-3 survivors).  The stacked output is 4
+    literal rows."""
+    from ..operators.dedup import h64
+    from pyspark.sql import Window
+
+    f2 = F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS)
+    f3 = f2 & F.col("lang").isin(*FUNNEL_LANGS)
+    flagged = corpus.withColumn("f2", f2).withColumn("f3", f3)
+    keep4 = (
+        F.col("f3")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("f3"), F.col("doc_id"))).over(
+                Window.partitionBy(h64(F.col("text")))
+            )
+        )
+    )
+    agg = flagged.withColumn("f4", keep4).agg(
+        F.count(F.lit(1)).alias("s1"),
+        F.sum(F.col("f2").cast("long")).alias("s2"),
+        F.sum(F.col("f3").cast("long")).alias("s3"),
+        F.sum(F.col("f4").cast("long")).alias("s4"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "1L, 'ingested', s1, "
+        "2L, 'length_gate', s2, "
+        "3L, 'lang_whitelist', s3, "
+        "4L, 'exact_dedup', s4) AS (stage, stage_name, survivors)"
+    ).orderBy("stage")
+
+
+def pipeline_funnel_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    h = H64_SQL.format(x="text")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+flagged AS (
+  SELECT doc_id, text, lang,
+         n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS} AS f2,
+         (n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS})
+           AND lang IN ({langs}) AS f3
+  FROM corpus
+),
+keyed AS (
+  SELECT *,
+         f3 AND doc_id = min(CASE WHEN f3 THEN doc_id END)
+           OVER (PARTITION BY {h}) AS f4
+  FROM flagged
+),
+agg AS (
+  SELECT count(*) AS s1,
+         sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS s2,
+         sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS s3,
+         sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS s4
+  FROM keyed
+)
+SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+       CAST(survivors AS BIGINT) AS survivors
+FROM agg, LATERAL (
+  VALUES (1, 'ingested', s1), (2, 'length_gate', s2),
+         (3, 'lang_whitelist', s3), (4, 'exact_dedup', s4)
+) AS t(stage, stage_name, survivors)
+ORDER BY stage
+"""

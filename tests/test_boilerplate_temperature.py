@@ -71,3 +71,16 @@ def test_temperature_upweights_low_resource(spark, sf_dir):
         pytest.skip("corpus not multilingual enough at this SF")
     rate = lambda l: samp_counts.get(l, 0) / corpus_counts[l]
     assert rate(lo) >= rate(hi)
+
+
+def test_pipeline_funnel_vs_oracle(spark, duck, sf_dir):
+    got = training.pipeline_funnel(load_corpus(spark, sf_dir))
+    want = duck.execute(training.pipeline_funnel_sql()).df()
+    assert_same(got, want)
+
+
+def test_pipeline_funnel_monotone(spark, sf_dir):
+    rows = training.pipeline_funnel(load_corpus(spark, sf_dir)).collect()
+    vals = [r["survivors"] for r in sorted(rows, key=lambda r: r["stage"])]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[0] > 0
