@@ -428,6 +428,25 @@ def main() -> None:
         es["bigram_dict_build_sec"] = round(time.perf_counter() - t0, 3)
         timed("phrase_suggest_sec", lambda: sg.phrase_suggest(
             eidx, bgd, ["tne", "fast"], k=5))
+        # round-4 session-7 surface: intervals, search-as-you-type,
+        # collapse inner_hits, nested, sharded terms agg, federated
+        from telegram2elastic_spark.query import collapse as clq
+        from telegram2elastic_spark.query import federated as fdq
+        from telegram2elastic_spark.query import intervals as ivq
+        from telegram2elastic_spark.query import nested as nsq
+
+        timed("intervals_ordered_sec", lambda: ivq.intervals_ordered_topk(
+            eidx, ["merge", "batch"], max_gaps=3, k=10))
+        timed("match_bool_prefix_sec", lambda: exq.match_bool_prefix_topk(
+            eidx, ["merge", "sc"], k=10))
+        timed("collapse_inner_hits_sec", lambda: clq.collapse_inner_hits(
+            corpus, ["spark", "merge"], k=5, inner_size=3))
+        timed("nested_query_sec", lambda: nsq.nested_query_page(
+            corpus, "mer", 2, 60))
+        timed("terms_agg_sharded_sec", lambda: fc.terms_agg_sharded(
+            corpus, size=10, shard_size=15, n_shards=CPUS))
+        timed("federated_sec", lambda: fdq.federated_topk(
+            corpus, ["spark", "merge"], k=10))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()
@@ -556,6 +575,18 @@ def main() -> None:
                 eidx, bg_store, ["tne", "fast"], k=5
             ),
         )
+        timed_local(
+            "intervals_ms",
+            lambda: ivq.intervals_ordered_topk_local(
+                eidx, ["merge", "batch"], max_gaps=3, k=10
+            ),
+        )
+        timed_local(
+            "boolprefix_ms",
+            lambda: lqp.match_bool_prefix_topk_local(
+                eidx, ["merge", "sc"], k=10
+            ),
+        )
         extra["local_surface"] = lsf
 
         # q9 (extra keys): the training-pipeline ops at bench-corpus
@@ -583,6 +614,15 @@ def main() -> None:
             "cap_per_host_sec",
             lambda: trp.cap_per_host(corpus, limit=None),
         )
+        timed_pl(
+            "remove_boilerplate_sec",
+            lambda: ddp.remove_boilerplate(corpus, block=10, min_docs=3),
+        )
+        timed_pl(
+            "temperature_sample_sec",
+            lambda: trp.temperature_sample(corpus, budget=20_000),
+        )
+        timed_pl("pipeline_funnel_sec", lambda: trp.pipeline_funnel(corpus))
         extra["pipeline_ops"] = pl
 
         spark.stop()
