@@ -32,6 +32,7 @@ from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
 from telegram2elastic_spark.query import federated as fed
+from telegram2elastic_spark.query import hybrid as hyb
 from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import spans
@@ -144,6 +145,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 8): ES 8.x RRF retriever — reciprocal-rank
+        # fusion of the BM25 leg and the exact-cosine knn leg; fusion is
+        # a 2*window-row outer join, legs are the verified paths
+        "rrf_hybrid_topk": lambda spark, sf: hyb.rrf_hybrid_topk(
+            load_corpus(spark, sf), load_embeddings(spark, sf),
+            Q_MAIN, query_vec_id=0, k=10, window=20,
+        ),
+        # NEW (r4, session 8): ES linear retriever — minmax-normalized
+        # weighted score fusion over the same two legs
+        "linear_hybrid_topk": lambda spark, sf: hyb.linear_hybrid_topk(
+            load_corpus(spark, sf), load_embeddings(spark, sf),
+            Q_MAIN, query_vec_id=0, k=10, window=20,
+        ),
+        # NEW (r4, session 8): near-dup CLUSTERS — hash-min connected
+        # components over the MinHash-LSH candidate graph (one edge
+        # shuffle per round, rounds = dup-cluster diameter)
+        "dedup_components": lambda spark, sf: dedup.dedup_components(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 8): GPT-style sequence packing — concat-and-
+        # chunk placement map via a two-pass (bucketed) prefix sum, no
+        # global-sort window
+        "pack_sequences": lambda spark, sf: training.pack_sequences(
+            load_corpus(spark, sf), seq_len=64
+        ),
         # NEW (r4, session 7): pipeline funnel — cumulative survivor
         # counts per cleaning stage (one scan + the dedup hash shuffle)
         "pipeline_funnel": lambda spark, sf: training.pipeline_funnel(
@@ -1127,6 +1153,10 @@ FROM corpus ORDER BY doc_id
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
         "pipeline_funnel": training.pipeline_funnel_sql(),
+        "rrf_hybrid_topk": hyb.rrf_hybrid_sql(Q_MAIN, query_vec_id=0, k=10, window=20),
+        "linear_hybrid_topk": hyb.linear_hybrid_sql(Q_MAIN, query_vec_id=0, k=10, window=20),
+        "dedup_components": dedup.dedup_components_sql(),
+        "pack_sequences": training.pack_sequences_sql(seq_len=64),
         "federated_topk": fed.federated_topk_sql(Q_MAIN, k=10),
         "agg_percentile_ranks": agg.agg_percentile_ranks_sql(),
         "semdedup": sim.semdedup_sql(k=8, iters=2, eps=0.9),

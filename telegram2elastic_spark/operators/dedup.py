@@ -845,3 +845,129 @@ FROM flagged
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def dedup_components(
+    corpus: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate graph (the step the pair ops stop short of — production
+    dedup keeps one doc per component, so pairs must be transitively
+    closed first; cf. the union-find stage of every large-scale MinHash
+    pipeline).
+
+    Algorithm: hash-min label propagation.  label(v) starts at v; each
+    round every vertex takes the min of its own label and its neighbors'
+    labels; fixpoint = every vertex holds the min doc_id reachable from
+    it, i.e. its component id.  Deterministic (min over ids, no RNG).
+
+    Distributed shape per round: ONE shuffle — edges joined to the label
+    table on src (the label table is the smaller side at dup-graph
+    sparsity), then a min groupBy on dst with map-side partial agg.
+    Rounds needed = graph diameter, which for near-dup clusters is tiny
+    (dup sets are quasi-cliques — LSH emits most cross pairs directly,
+    so 2-4 rounds converge); `max_iters` bounds pathological chains, and
+    the loop exits early on a converged round (changed-count == 0).  At
+    100 TB the production upgrade is alternating large-star/small-star
+    (same join shape, provably O(log n) rounds); hash-min is the
+    honest default because dup-cluster diameter, not vertex count,
+    drives round count.  localCheckpoint per round truncates the
+    iterative lineage chain.
+
+    Returns (doc_id, component) for every doc that has at least one
+    near-dup candidate, component = min doc_id of its cluster.
+    """
+    edges = minhash_lsh_pairs(corpus, n_hashes=n_hashes, bands=bands).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(int(max_iters)):
+        neigh_min = (
+            sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nmin", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                (F.col("nmin") < F.col("lbl")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("chg")).count()
+        labels = updated.select("doc_id", "lbl")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("lbl").alias("component")
+    ).orderBy("doc_id")
+
+
+def dedup_components_sql(
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> str:
+    """Oracle: transitive closure by recursive CTE (min reachable id per
+    vertex) over the same LSH candidate edges."""
+    return f"""
+WITH RECURSIVE
+edges AS ({minhash_lsh_pairs_sql(n_hashes=n_hashes, bands=bands).strip()}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+reach(v, l) AS (
+  SELECT DISTINCT src AS v, src AS l FROM sym
+  UNION
+  SELECT sym.dst AS v, reach.l
+  FROM reach JOIN sym ON sym.src = reach.v
+)
+SELECT v AS doc_id, min(l) AS component
+FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
+def dedup_components_keep_min(
+    corpus: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Component-level dedup decision: keep exactly the min-id doc of
+    each near-dup cluster (docs with no candidate pair are implicitly
+    kept — they never enter the label table, so no corpus-sized work
+    beyond the LSH join itself).  Returns dropped docs: (doc_id,
+    component, kept_doc_id)."""
+    comp = dedup_components(corpus, n_hashes=n_hashes, bands=bands)
+    return (
+        comp.filter(F.col("doc_id") != F.col("component"))
+        .select(
+            "doc_id", "component", F.col("component").alias("kept_doc_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_components_keep_min_sql(
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> str:
+    return f"""
+SELECT doc_id, component, component AS kept_doc_id
+FROM ({dedup_components_sql(n_hashes=n_hashes, bands=bands).strip()}) c
+WHERE doc_id != component
+ORDER BY doc_id
+"""

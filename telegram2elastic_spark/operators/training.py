@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..corpus import CORPUS_CTE
-from ..functions.tokenizer import TOKEN_SPLIT_RE, tokens
+from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
 from .dedup import H64_SQL, TOKS_CTE_SQL, h64
 
 # --- deterministic train/val split -------------------------------------------
@@ -843,4 +843,129 @@ FROM agg, LATERAL (
          (3, 'lang_whitelist', s3), (4, 'exact_dedup', s4)
 ) AS t(stage, stage_name, survivors)
 ORDER BY stage
+"""
+
+
+PACK_SEQ_LEN = 64
+PACK_BUCKET = 1000
+
+
+def pack_sequences(
+    corpus: DataFrame, seq_len: int = PACK_SEQ_LEN, bucket: int = PACK_BUCKET
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate every doc's token stream
+    in doc_id order and cut it into fixed ``seq_len`` training sequences
+    (docs may span a boundary; a sequence may hold many docs).  The
+    output is the (seq_id, doc_id) placement map a training data loader
+    consumes: which token span of which doc lands where in which packed
+    sequence.
+
+    The global token offset of each doc is an ordered prefix sum — the
+    one pattern a naive Window(orderBy) gets wrong at scale (single
+    partition over the whole corpus).  Scalable two-pass shape instead:
+      1. bucket docs by doc_id range (``bucket`` ids per bucket); per-
+         bucket token totals are ONE map-side-combined hash agg
+         (#buckets rows, corpus_size/bucket),
+      2. exclusive prefix over the tiny bucket table (bounded window —
+         #buckets rows, not #docs),
+      3. within-bucket running sum via Window PARTITIONED by bucket —
+         a real partitioned window, no global sort.
+    offset(doc) = bucket_prefix + within_bucket_cumsum - n_toks; the rest
+    is arithmetic + one bounded explode (a doc of n tokens spans at most
+    n/seq_len + 1 sequences).
+
+    Returns (seq_id, doc_id, tok_begin, tok_end, seq_pos): doc tokens
+    [tok_begin, tok_end) land at position seq_pos of sequence seq_id.
+    Zero-token docs are skipped (they occupy no span).
+    """
+    from pyspark.sql.window import Window
+
+    seq_len, bucket = int(seq_len), int(bucket)
+    t = (
+        corpus.select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_toks"),
+            (F.floor(F.col("doc_id") / bucket)).cast("long").alias("bkt"),
+        )
+        .filter(F.col("n_toks") > 0)
+    )
+    per_bucket = t.groupBy("bkt").agg(F.sum("n_toks").alias("btoks"))
+    # bounded window: one row per bucket, not per doc
+    wb = Window.partitionBy(F.lit(0)).orderBy("bkt")
+    bprefix = per_bucket.select(
+        "bkt",
+        (F.coalesce(
+            F.sum("btoks").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )).alias("bprefix"),
+    )
+    ww = Window.partitionBy("bkt").orderBy("doc_id")
+    placed = (
+        t.join(F.broadcast(bprefix), "bkt")
+        .withColumn("wsum", F.sum("n_toks").over(ww))
+        .withColumn("off", F.col("bprefix") + F.col("wsum") - F.col("n_toks"))
+    )
+    out = (
+        placed.withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("off") / seq_len),
+                    F.floor((F.col("off") + F.col("n_toks") - 1) / seq_len),
+                )
+            ),
+        )
+        .withColumn("seq_start", F.col("seq_id") * seq_len)
+        .select(
+            F.col("seq_id").cast("long"),
+            "doc_id",
+            F.greatest(F.lit(0), F.col("seq_start") - F.col("off"))
+            .cast("long")
+            .alias("tok_begin"),
+            F.least(
+                F.col("n_toks"), F.col("seq_start") + seq_len - F.col("off")
+            )
+            .cast("long")
+            .alias("tok_end"),
+            F.greatest(F.lit(0), F.col("off") - F.col("seq_start"))
+            .cast("long")
+            .alias("seq_pos"),
+        )
+        .orderBy("seq_id", "doc_id")
+    )
+    return out
+
+
+def pack_sequences_sql(
+    seq_len: int = PACK_SEQ_LEN, bucket: int = PACK_BUCKET
+) -> str:
+    """Oracle: the same placement from a plain global window prefix sum
+    (fine at oracle scale; the Spark side is the two-pass variant)."""
+    seq_len = int(seq_len)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+t AS (
+  SELECT doc_id, CAST({DOC_LEN_SQL} AS BIGINT) AS n_toks
+  FROM corpus
+  WHERE {DOC_LEN_SQL} > 0
+),
+placed AS (
+  SELECT doc_id, n_toks,
+         CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM t
+),
+spans AS (
+  SELECT doc_id, n_toks, off, CAST(s.seq_id AS BIGINT) AS seq_id
+  FROM placed,
+       unnest(range(off // {seq_len},
+                    (off + n_toks - 1) // {seq_len} + 1)) AS s(seq_id)
+)
+SELECT seq_id, doc_id,
+       greatest(0, seq_id * {seq_len} - off)               AS tok_begin,
+       least(n_toks, seq_id * {seq_len} + {seq_len} - off) AS tok_end,
+       greatest(0, off - seq_id * {seq_len})               AS seq_pos
+FROM spans
+ORDER BY seq_id, doc_id
 """

@@ -1,0 +1,194 @@
+"""Hybrid retrieval — ES 8.x `retriever` API: RRF and linear fusion.
+
+Elasticsearch's hybrid search fuses a lexical (BM25) ranked list with a
+semantic (knn) ranked list.  The reference serves search through ES
+(poc/src/api/routes/search.py — ranked retrieval delegated to the ES
+query DSL); in ES 8.14+ the same endpoint accepts
+``retriever: {rrf: {retrievers: [standard, knn], rank_window_size,
+rank_constant}}`` and ``retriever: {linear: ...}`` — this module owns
+those fusers over the engine's own BM25 path and the exact cosine knn
+path.
+
+Scale shape: each leg is an independent top-``window`` retrieval (the
+verified WAND / IVF paths at scale; here the oracle-paired relational
+legs), so fusion sees at most ``2 * window`` rows — driver-trivial.  The
+fuse itself is a full outer join of two k-row lists plus one ordered
+limit: no corpus-sized work after the legs.  Ranks are assigned over the
+already-truncated windows (bounded single-partition Window, same
+deliberate pattern as query/search.py pagination).
+
+Determinism: both legs break ties by doc_id asc before ranks are
+assigned; RRF contributions 1/(c+r) are summed as a fixed two-term
+expression (no aggregation-order float noise) and rounded to 6 decimals
+before the final order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.similarity import cosine_topk, cosine_topk_sql
+from .bm25 import bm25_topk, bm25_topk_sql
+
+RRF_DECIMALS = 6
+
+
+def _ranked(leg: DataFrame, order_col: str, rank_alias: str) -> DataFrame:
+    # leg is already truncated to `window` rows — the lit(0) partition is
+    # a bounded, deliberate single-partition window (see query/search.py).
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc(order_col), F.asc("doc_id")
+    )
+    return leg.select("doc_id", F.row_number().over(w).alias(rank_alias))
+
+
+def rrf_hybrid_topk(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    window: int = 20,
+    rank_const: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 leg and the exact-cosine knn
+    leg: score(d) = sum over legs containing d of 1 / (rank_const +
+    rank_leg(d)), over each leg's top-`window`.
+
+    Returns (doc_id, lex_rank, sem_rank, rrf_score) ordered by
+    rrf_score desc, doc_id asc, limit k.  Absent-leg ranks are NULL
+    (ES reports the per-retriever rank only when the doc appeared in
+    that window).
+    """
+    lex = _ranked(bm25_topk(corpus, terms, k=window), "score", "lex_rank")
+    sem = _ranked(
+        cosine_topk(embeddings, query_vec_id=query_vec_id, k=window).select(
+            F.col("vec_id").alias("doc_id"), "cosine"
+        ),
+        "cosine",
+        "sem_rank",
+    )
+    c = float(rank_const)
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("sem_rank")), F.lit(0.0)),
+            RRF_DECIMALS,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(k)
+
+
+def rrf_hybrid_sql(
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    window: int = 20,
+    rank_const: int = 60,
+) -> str:
+    c = float(rank_const)
+    return f"""
+WITH lexq AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM ({bm25_topk_sql(terms, k=window).strip()}) l
+),
+semq AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS sem_rank
+  FROM ({cosine_topk_sql(query_vec_id=query_vec_id, k=window).strip()}) s
+)
+SELECT COALESCE(lexq.doc_id, semq.doc_id) AS doc_id,
+       lex_rank, sem_rank,
+       round(COALESCE(1.0 / ({c} + lex_rank), 0.0)
+             + COALESCE(1.0 / ({c} + sem_rank), 0.0), {RRF_DECIMALS})
+           AS rrf_score
+FROM lexq FULL OUTER JOIN semq ON lexq.doc_id = semq.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def linear_hybrid_topk(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    window: int = 20,
+    w_lex: float = 0.7,
+    w_sem: float = 0.3,
+) -> DataFrame:
+    """ES `linear` retriever with the `minmax` normalizer: each leg's
+    scores are scaled to [0, 1] over its own top-`window` (max -> 1,
+    min -> 0; a constant leg maps to 1.0 as ES does when max == min),
+    then combined as w_lex * lex + w_sem * sem with absent legs
+    contributing 0.
+
+    Returns (doc_id, fused_score) ordered desc, doc_id asc, limit k.
+    """
+
+    def norm(leg: DataFrame, col: str, alias: str) -> DataFrame:
+        b = Window.partitionBy(F.lit(0))  # bounded: <= window rows
+        mx, mn = F.max(col).over(b), F.min(col).over(b)
+        return leg.select(
+            "doc_id",
+            F.when(mx == mn, F.lit(1.0))
+            .otherwise((F.col(col) - mn) / (mx - mn))
+            .alias(alias),
+        )
+
+    lex = norm(bm25_topk(corpus, terms, k=window), "score", "lex_n")
+    sem = norm(
+        cosine_topk(embeddings, query_vec_id=query_vec_id, k=window).select(
+            F.col("vec_id").alias("doc_id"), "cosine"
+        ),
+        "cosine",
+        "sem_n",
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.lit(float(w_lex)) * F.coalesce("lex_n", F.lit(0.0))
+            + F.lit(float(w_sem)) * F.coalesce("sem_n", F.lit(0.0)),
+            RRF_DECIMALS,
+        ).alias("fused_score"),
+    )
+    return fused.orderBy(F.desc("fused_score"), F.asc("doc_id")).limit(k)
+
+
+def linear_hybrid_sql(
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    window: int = 20,
+    w_lex: float = 0.7,
+    w_sem: float = 0.3,
+) -> str:
+    return f"""
+WITH lexq AS (
+  SELECT doc_id,
+         CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0
+              ELSE (score - min(score) OVER ())
+                   / (max(score) OVER () - min(score) OVER ()) END AS lex_n
+  FROM ({bm25_topk_sql(terms, k=window).strip()}) l
+),
+semq AS (
+  SELECT vec_id AS doc_id,
+         CASE WHEN max(cosine) OVER () = min(cosine) OVER () THEN 1.0
+              ELSE (cosine - min(cosine) OVER ())
+                   / (max(cosine) OVER () - min(cosine) OVER ()) END AS sem_n
+  FROM ({cosine_topk_sql(query_vec_id=query_vec_id, k=window).strip()}) s
+)
+SELECT COALESCE(lexq.doc_id, semq.doc_id) AS doc_id,
+       round({float(w_lex)} * COALESCE(lex_n, 0.0)
+             + {float(w_sem)} * COALESCE(sem_n, 0.0), {RRF_DECIMALS})
+           AS fused_score
+FROM lexq FULL OUTER JOIN semq ON lexq.doc_id = semq.doc_id
+ORDER BY fused_score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -162,3 +162,79 @@ def test_minhash_lsh_pairs_configurable(spark, duck, sf_dir, n_hashes, bands):
 def test_minhash_bands_must_divide(spark, sf_dir):
     with pytest.raises(ValueError):
         dedup.minhash_lsh_pairs(load_corpus(spark, sf_dir), 8, 3)
+
+
+class TestDedupComponents:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import dedup
+        from .oracle import assert_same
+
+        got = dedup.dedup_components(load_corpus(spark, sf_dir))
+        want = duck.execute(dedup.dedup_components_sql()).df()
+        assert_same(got, want)
+
+    def test_keep_min_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import dedup
+        from .oracle import assert_same
+
+        got = dedup.dedup_components_keep_min(load_corpus(spark, sf_dir))
+        want = duck.execute(dedup.dedup_components_keep_min_sql()).df()
+        assert_same(got, want)
+
+    def test_transitive_closure_on_chain(self, spark):
+        """A path graph a-b-c-d (never a clique) must collapse to one
+        component — the case pairwise ops cannot express; exercises
+        multi-round propagation."""
+        from telegram2elastic_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        # synthetic corpus where LSH chains: build texts so consecutive
+        # docs share shingles but distant ones don't
+        base = ["alpha beta gamma delta", "beta gamma delta epsilon",
+                "gamma delta epsilon zeta", "delta epsilon zeta eta"]
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(base)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        )
+        from telegram2elastic_spark.corpus import as_corpus
+        comp = dedup.dedup_components(as_corpus(docs), n_hashes=8, bands=8)
+        got = {r["doc_id"]: r["component"] for r in comp.collect()}
+        # every doc that appears must map to the min id of its component;
+        # with bands=8 (r=1) consecutive docs certainly share a band hash
+        edges = dedup.minhash_lsh_pairs(as_corpus(docs), n_hashes=8, bands=8).collect()
+        if edges:  # chain reachability: all connected docs share label
+            import itertools
+            adj = {}
+            for e in edges:
+                adj.setdefault(e["doc_a"], set()).add(e["doc_b"])
+                adj.setdefault(e["doc_b"], set()).add(e["doc_a"])
+            # brute-force components
+            seen, brute = set(), {}
+            for v in sorted(adj):
+                if v in seen:
+                    continue
+                stack, comp_ids = [v], []
+                while stack:
+                    u = stack.pop()
+                    if u in seen:
+                        continue
+                    seen.add(u)
+                    comp_ids.append(u)
+                    stack.extend(adj[u] - seen)
+                m = min(comp_ids)
+                for u in comp_ids:
+                    brute[u] = m
+            assert got == brute
+
+    def test_component_is_min_member(self, spark, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import dedup
+
+        comp = dedup.dedup_components(load_corpus(spark, sf_dir)).collect()
+        by_comp = {}
+        for r in comp:
+            by_comp.setdefault(r["component"], []).append(r["doc_id"])
+        for c, members in by_comp.items():
+            assert c == min(members)

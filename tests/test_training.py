@@ -99,3 +99,63 @@ def test_chunk_no_shuffle_plan(spark, sf_dir):
     # the only exchange allowed is the final orderBy sort; it must appear
     # ABOVE the generator in the plan (earlier in the string)
     assert first_ex == -1 or first_ex < gen
+
+
+class TestPackSequences:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import training
+        from .oracle import assert_same
+
+        got = training.pack_sequences(load_corpus(spark, sf_dir), seq_len=64)
+        want = duck.execute(training.pack_sequences_sql(seq_len=64)).df()
+        assert_same(got, want)
+
+    def test_bucket_size_invariant(self, spark, sf_dir):
+        """The two-pass prefix sum must be bucket-size independent."""
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import training
+
+        c = load_corpus(spark, sf_dir)
+        a = training.pack_sequences(c, seq_len=64, bucket=1000).collect()
+        b = training.pack_sequences(c, seq_len=64, bucket=7).collect()
+        assert a == b
+
+    def test_full_coverage_no_gaps(self, spark, sf_dir):
+        """Every sequence except the last is exactly seq_len tokens, with
+        contiguous non-overlapping spans; every doc's tokens all land."""
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import training
+        from pyspark.sql import functions as F
+        from telegram2elastic_spark.functions.tokenizer import tokens
+
+        c = load_corpus(spark, sf_dir)
+        rows = training.pack_sequences(c, seq_len=64).collect()
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault(r["seq_id"], []).append(r)
+        last = max(by_seq)
+        for sid, rs in by_seq.items():
+            rs.sort(key=lambda r: r["seq_pos"])
+            total = sum(r["tok_end"] - r["tok_begin"] for r in rs)
+            if sid != last:
+                assert total == 64, f"seq {sid} holds {total} tokens"
+            pos = 0
+            for r in rs:
+                assert r["seq_pos"] == pos, f"gap in seq {sid}"
+                pos += r["tok_end"] - r["tok_begin"]
+        # per-doc: spans tile [0, n_toks)
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append((r["tok_begin"], r["tok_end"]))
+        n_toks = {
+            r["doc_id"]: r["n"]
+            for r in c.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+            if r["n"] > 0
+        }
+        assert set(per_doc) == set(n_toks)
+        for d, spans in per_doc.items():
+            spans.sort()
+            assert spans[0][0] == 0 and spans[-1][1] == n_toks[d]
+            for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+                assert a1 == b0
