@@ -170,6 +170,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf: training.pack_sequences(
             load_corpus(spark, sf), seq_len=64
         ),
+        # NEW (r4, session 8): ES global agg — query-filter-immune stats
+        # beside the matched count, one conditional hash agg
+        "agg_global": lambda spark, sf: agg.agg_global(
+            load_corpus(spark, sf), lang="en"
+        ),
+        # NEW (r4, session 8): ES missing agg — absent-field bucket over
+        # the derived optional referrer field, map-only
+        "agg_missing": lambda spark, sf: agg.agg_missing(load_corpus(spark, sf)),
+        # NEW (r4, session 8): ES median_absolute_deviation — exact
+        # (engine advantage over ES's TDigest), two percentile passes
+        "agg_mad": lambda spark, sf: agg.agg_mad(load_corpus(spark, sf)),
+        # NEW (r4, session 8): ES cumulative_cardinality — first-seen-day
+        # trick: min(day) per host + running sum over the day axis (no
+        # per-day distinct unions)
+        "agg_cumulative_cardinality": lambda spark, sf: (
+            agg.agg_cumulative_cardinality(load_corpus(spark, sf))
+        ),
+        # NEW (r4, session 8): ES rate agg — per-day docs/bytes per hour
+        "agg_rate": lambda spark, sf: agg.agg_rate(load_corpus(spark, sf)),
+        # NEW (r4, session 8): ES percentiles_bucket sibling pipeline agg
+        "agg_percentiles_bucket": lambda spark, sf: (
+            agg.agg_percentiles_bucket(load_corpus(spark, sf))
+        ),
+        # NEW (r4, session 8): ES random_sampler agg — RNG-free hash
+        # membership, estimates scaled back by 1/p
+        "agg_random_sampler": lambda spark, sf: agg.agg_random_sampler(
+            load_corpus(spark, sf), permille=200
+        ),
+        # NEW (r4, session 8): ES variable_width_histogram — 1-D Lloyd's
+        # with quantile seeds; assignment is midpoint-boundary arithmetic
+        "variable_width_histogram": lambda spark, sf: (
+            agg.variable_width_histogram(load_corpus(spark, sf), k=4, iters=2)
+        ),
         # NEW (r4, session 7): pipeline funnel — cumulative survivor
         # counts per cleaning stage (one scan + the dedup hash shuffle)
         "pipeline_funnel": lambda spark, sf: training.pipeline_funnel(
@@ -1153,6 +1186,14 @@ FROM corpus ORDER BY doc_id
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
         "pipeline_funnel": training.pipeline_funnel_sql(),
+        "agg_global": agg.agg_global_sql(lang="en"),
+        "agg_missing": agg.agg_missing_sql(),
+        "agg_mad": agg.agg_mad_sql(),
+        "agg_cumulative_cardinality": agg.agg_cumulative_cardinality_sql(),
+        "agg_rate": agg.agg_rate_sql(),
+        "agg_percentiles_bucket": agg.agg_percentiles_bucket_sql(),
+        "agg_random_sampler": agg.agg_random_sampler_sql(permille=200),
+        "variable_width_histogram": agg.variable_width_histogram_sql(k=4, iters=2),
         "rrf_hybrid_topk": hyb.rrf_hybrid_sql(Q_MAIN, query_vec_id=0, k=10, window=20),
         "linear_hybrid_topk": hyb.linear_hybrid_sql(Q_MAIN, query_vec_id=0, k=10, window=20),
         "dedup_components": dedup.dedup_components_sql(),

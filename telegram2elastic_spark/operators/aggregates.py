@@ -1150,3 +1150,369 @@ FROM corpus
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- ES global / missing aggregations -------------------------------------
+
+def agg_global(corpus: DataFrame, lang: str = "en") -> DataFrame:
+    """ES `global` aggregation: inside a filtered search context the
+    global agg computes over ALL documents, ignoring the query — the
+    "show matched count next to corpus-wide stats" pattern.  One scan,
+    two conditional aggregates (the filter becomes a CASE inside the
+    same map-side hash agg — no second pass over the data)."""
+    return corpus.agg(
+        F.count(F.when(F.col("lang") == lang, 1)).alias("matched_docs"),
+        F.count(F.lit(1)).alias("global_docs"),
+        F.round(F.avg("n_chars"), 4).alias("global_avg_chars"),
+    )
+
+
+def agg_global_sql(lang: str = "en") -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT count(*) FILTER (WHERE lang = '{lang}') AS matched_docs,
+       count(*) AS global_docs,
+       round(avg(n_chars), 4) AS global_avg_chars
+FROM corpus
+"""
+
+
+# The corpus has no absent fields (every column is populated), so the
+# `missing` agg exercises a DERIVED optional field: `referrer` is NULL for
+# every 7th doc — the web-page-without-a-referrer analogue, deterministic
+# in both engines.
+REFERRER_MOD = 7
+
+
+def _referrer_col() -> F.Column:
+    return F.when(F.col("doc_id") % REFERRER_MOD == 0, F.lit(None)).otherwise(
+        F.concat(F.lit("https://ref"), (F.col("doc_id") % 13).cast("string"))
+    )
+
+
+REFERRER_SQL = (
+    f"CASE WHEN doc_id % {REFERRER_MOD} = 0 THEN NULL "
+    "ELSE 'https://ref' || CAST(doc_id % 13 AS VARCHAR) END"
+)
+
+
+def agg_missing(corpus: DataFrame) -> DataFrame:
+    """ES `missing` aggregation: bucket of docs lacking a field, reported
+    beside the present-count and the field's cardinality.  Map-only
+    conditional aggregates — the NULL test never shuffles rows."""
+    c = corpus.withColumn("referrer", _referrer_col())
+    return c.agg(
+        F.count(F.when(F.col("referrer").isNull(), 1)).alias("missing_docs"),
+        F.count("referrer").alias("present_docs"),
+        F.countDistinct("referrer").alias("referrer_cardinality"),
+    )
+
+
+def agg_missing_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+c AS (SELECT *, {REFERRER_SQL} AS referrer FROM corpus)
+SELECT count(*) FILTER (WHERE referrer IS NULL) AS missing_docs,
+       count(referrer) AS present_docs,
+       count(DISTINCT referrer) AS referrer_cardinality
+FROM c
+"""
+
+
+# --- ES median_absolute_deviation -----------------------------------------
+
+def agg_mad(corpus: DataFrame) -> DataFrame:
+    """ES `median_absolute_deviation` metric agg — exact here (ES
+    approximates with TDigest; the engine's exact interpolated median is
+    strictly stronger, same contract as agg_percentiles).  Two passes:
+    median, then median of |x - median| with the scalar broadcast via
+    crossJoin — each pass is one exact-percentile aggregate."""
+    med = corpus.agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)).alias("med")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(med))
+        .select((F.abs(F.col("n_chars") - F.col("med"))).alias("dev"), "med")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_chars"),
+            F.round(F.percentile(F.col("dev"), F.lit(0.5)), 4).alias("mad_chars"),
+        )
+    )
+
+
+def agg_mad_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+med AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med FROM corpus)
+SELECT round(any_value(med), 4) AS median_chars,
+       round(quantile_cont(abs(n_chars - med), 0.5), 4) AS mad_chars
+FROM corpus, med
+"""
+
+
+# --- ES cumulative_cardinality pipeline agg --------------------------------
+
+def agg_cumulative_cardinality(corpus: DataFrame) -> DataFrame:
+    """ES `cumulative_cardinality` (distinct hosts seen up to each day).
+
+    The scale trick: cumulative distinct does NOT need per-day distinct
+    unions — a host contributes to the cumulative count from its FIRST
+    day onward, so min(day) per host (one hash agg), count per first-day,
+    then a running sum over the day axis (bounded window: axis-sized,
+    not corpus-sized).  Days with no new hosts still appear (dense axis
+    from the corpus's own days)."""
+    from pyspark.sql.window import Window
+
+    host_day = corpus.select(
+        F.regexp_extract("url", "^[a-z]+://([^/]+)", 1).alias("host"),
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day"),
+    )
+    first_day = host_day.groupBy("host").agg(F.min("day").alias("day"))
+    new_per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_hosts")
+    )
+    axis = host_day.select("day").distinct()
+    w = Window.partitionBy(F.lit(0)).orderBy("day")  # bounded: day axis
+    return (
+        axis.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("new_hosts", F.lit(0)).alias("new_hosts"))
+        .withColumn("cum_hosts", F.sum("new_hosts").over(w))
+        .orderBy("day")
+    )
+
+
+def agg_cumulative_cardinality_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+hd AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         strftime(warc_ts, '%Y-%m-%d') AS day
+  FROM corpus
+),
+fd AS (SELECT host, min(day) AS day FROM hd GROUP BY host),
+npd AS (SELECT day, count(*) AS new_hosts FROM fd GROUP BY day),
+axis AS (SELECT DISTINCT day FROM hd)
+SELECT axis.day, COALESCE(new_hosts, 0) AS new_hosts,
+       CAST(sum(COALESCE(new_hosts, 0)) OVER (ORDER BY axis.day) AS BIGINT)
+         AS cum_hosts
+FROM axis LEFT JOIN npd ON axis.day = npd.day
+ORDER BY axis.day
+"""
+
+
+# --- ES rate agg ------------------------------------------------------------
+
+def agg_rate(corpus: DataFrame) -> DataFrame:
+    """ES `rate` agg inside a daily date_histogram (unit: hour) — per-day
+    doc and byte throughput normalized to the bucket/unit ratio (24).
+    One hash agg; the rate is post-agg arithmetic."""
+    return (
+        corpus.groupBy(F.date_format("warc_ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+        .select(
+            "day",
+            "docs",
+            F.round(F.col("docs") / 24.0, 4).alias("docs_per_hour"),
+            F.round(F.col("chars") / 24.0, 4).alias("chars_per_hour"),
+        )
+        .orderBy("day")
+    )
+
+
+def agg_rate_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+       count(*) AS docs,
+       round(count(*) / 24.0, 4) AS docs_per_hour,
+       round(sum(n_chars) / 24.0, 4) AS chars_per_hour
+FROM corpus GROUP BY 1 ORDER BY day
+"""
+
+
+# --- ES percentiles_bucket pipeline agg -------------------------------------
+
+def agg_percentiles_bucket(corpus: DataFrame) -> DataFrame:
+    """ES `percentiles_bucket` sibling pipeline agg: exact interpolated
+    percentiles OF the daily doc-count buckets (axis-sized input — the
+    heavy work is the one daily hash agg; the percentile runs over
+    #days rows)."""
+    daily = corpus.groupBy(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("docs"))
+    return daily.agg(
+        *[
+            F.round(
+                F.percentile(F.col("docs").cast("double"), F.lit(p / 100.0)), 4
+            ).alias(f"p{p}")
+            for p in (25, 50, 75, 90)
+        ]
+    )
+
+
+def agg_percentiles_bucket_sql() -> str:
+    cols = ",\n       ".join(
+        f"round(quantile_cont(CAST(docs AS DOUBLE), {p / 100.0}), 4) AS p{p}"
+        for p in (25, 50, 75, 90)
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+daily AS (
+  SELECT strftime(warc_ts, '%Y-%m-%d') AS day, count(*) AS docs
+  FROM corpus GROUP BY 1
+)
+SELECT {cols} FROM daily
+"""
+
+
+# --- ES random_sampler agg ---------------------------------------------------
+
+def agg_random_sampler(corpus: DataFrame, permille: int = 200) -> DataFrame:
+    """ES `random_sampler` agg: probability-sampled aggregate with the
+    estimate scaled back by 1/p.  RNG-free (hash-membership on url, the
+    repo-wide determinism contract) — ES itself hashes doc ids under a
+    fixed seed.  Map-only filter + one hash agg over the sample."""
+    from .dedup import h64
+
+    p = int(permille)
+    sample = corpus.filter(F.pmod(h64(F.col("url")), F.lit(1000)) < p)
+    return sample.agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.round(F.count(F.lit(1)) * 1000.0 / p, 4).alias("est_total_docs"),
+        F.round(F.sum("n_chars") * 1000.0 / p, 4).alias("est_total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("sample_avg_chars"),
+    )
+
+
+def agg_random_sampler_sql(permille: int = 200) -> str:
+    from .dedup import H64_SQL
+
+    p = int(permille)
+    h = H64_SQL.format(x="url")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+s AS (SELECT * FROM corpus WHERE ({h}) % 1000 < {p})
+SELECT count(*) AS sampled_docs,
+       round(count(*) * 1000.0 / {p}, 4) AS est_total_docs,
+       round(sum(n_chars) * 1000.0 / {p}, 4) AS est_total_chars,
+       round(avg(n_chars), 4) AS sample_avg_chars
+FROM s
+"""
+
+
+# --- ES variable_width_histogram ---------------------------------------------
+
+VWH_DECIMALS = 4
+
+
+def variable_width_histogram(
+    corpus: DataFrame, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """ES `variable_width_histogram`: k buckets whose widths adapt to the
+    value distribution.  ES clusters online (order-dependent); the engine
+    pins a deterministic contract instead: 1-D Lloyd's k-means seeded at
+    the exact (2i+1)/(2k) quantiles, `iters` rounds, every centroid and
+    boundary rounded to VWH_DECIMALS so both engines walk the identical
+    trajectory (the kmeans_centroids determinism kit, in one dimension).
+
+    1-D argmin needs no distance table: with sorted centroids the nearest
+    centroid is decided by the k-1 midpoint boundaries, so assignment is
+    `1 + sum(x > b_i)` — pure map-side arithmetic over driver-literal
+    boundaries (k floats per round; the collect is k rows, like the
+    quantizer).  Ties (x == midpoint) go to the lower bucket in both
+    engines.  Empty clusters keep their previous centroid.
+
+    Returns non-empty buckets: (bucket, centroid, n_docs, min_chars,
+    max_chars) ordered by bucket.
+    """
+    k, iters = int(k), int(iters)
+    x = corpus.select(F.col("n_chars").cast("double").alias("x"))
+    qs = [(2 * i + 1) / (2.0 * k) for i in range(k)]
+    seeds = x.agg(
+        *[
+            F.round(F.percentile(F.col("x"), F.lit(q)), VWH_DECIMALS).alias(
+                f"c{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    cents = [float(seeds[f"c{i}"]) for i in range(k)]
+
+    def assign_col(cs: list[float]) -> F.Column:
+        cid = F.lit(1)
+        for i in range(k - 1):
+            b = round((cs[i] + cs[i + 1]) / 2.0, VWH_DECIMALS)
+            cid = cid + F.when(F.col("x") > b, 1).otherwise(0)
+        return cid.alias("cid")
+
+    for _ in range(iters):
+        means = {
+            r["cid"]: float(r["m"])
+            for r in x.select("x", assign_col(cents))
+            .groupBy("cid")
+            .agg(F.round(F.avg("x"), VWH_DECIMALS).alias("m"))
+            .collect()
+        }
+        cents = [means.get(i + 1, cents[i]) for i in range(k)]
+    return (
+        x.select("x", assign_col(cents))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("x").cast("long").alias("min_chars"),
+            F.max("x").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("bucket"),
+            "n_docs",
+            "min_chars",
+            "max_chars",
+        )
+        .orderBy("bucket")
+    )
+
+
+def variable_width_histogram_sql(k: int = 4, iters: int = 2) -> str:
+    """Unrolled Lloyd's CTE chain (fixed depth => exact oracle)."""
+    k, iters = int(k), int(iters)
+    d = VWH_DECIMALS
+    qs = [(2 * i + 1) / (2.0 * k) for i in range(k)]
+    seed_cols = ", ".join(
+        f"round(quantile_cont(CAST(n_chars AS DOUBLE), {q}), {d}) AS c{i}"
+        for i, q in enumerate(qs)
+    )
+
+    def cid_expr(it: str) -> str:
+        parts = ["1"]
+        for i in range(k - 1):
+            parts.append(
+                f"(CASE WHEN x > round(({it}.c{i} + {it}.c{i + 1}) / 2.0, {d})"
+                " THEN 1 ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    ctes = [f"x AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM corpus)"]
+    ctes.append(f"it0 AS (SELECT {seed_cols} FROM corpus)")
+    for t in range(iters):
+        ctes.append(
+            f"a{t} AS (SELECT x, {cid_expr(f'it{t}')} AS cid FROM x, it{t})"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cid, round(avg(x), {d}) AS m FROM a{t} GROUP BY cid)"
+        )
+        next_cols = ", ".join(
+            f"COALESCE((SELECT m FROM m{t} WHERE cid = {i + 1}), it{t}.c{i}) AS c{i}"
+            for i in range(k)
+        )
+        ctes.append(f"it{t + 1} AS (SELECT {next_cols} FROM it{t})")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{body}
+SELECT CAST(cid AS INTEGER) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(x) AS BIGINT) AS min_chars,
+       CAST(max(x) AS BIGINT) AS max_chars
+FROM (SELECT x, {cid_expr(f'it{iters}')} AS cid FROM x, it{iters}) f
+GROUP BY cid ORDER BY bucket
+"""

@@ -1,0 +1,118 @@
+"""Session-8 ES agg surface vs DuckDB: global/missing, MAD,
+cumulative_cardinality, rate, percentiles_bucket, random_sampler,
+variable_width_histogram."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.operators import aggregates as agg
+
+from .oracle import assert_same
+
+
+def test_global_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        agg.agg_global(load_corpus(spark, sf_dir), lang="en"),
+        duck.execute(agg.agg_global_sql(lang="en")).df(),
+    )
+
+
+def test_missing_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        agg.agg_missing(load_corpus(spark, sf_dir)),
+        duck.execute(agg.agg_missing_sql()).df(),
+    )
+
+
+def test_missing_counts_sum_to_corpus(spark, sf_dir):
+    c = load_corpus(spark, sf_dir)
+    r = agg.agg_missing(c).first()
+    assert r["missing_docs"] + r["present_docs"] == c.count()
+    assert r["missing_docs"] > 0  # the derived field is genuinely optional
+
+
+def test_mad_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        agg.agg_mad(load_corpus(spark, sf_dir)),
+        duck.execute(agg.agg_mad_sql()).df(),
+    )
+
+
+def test_mad_known_values(spark):
+    from telegram2elastic_spark.corpus import as_corpus
+
+    rows = [(i, "t", "en", "s", v) for i, v in enumerate([1, 1, 2, 2, 4, 6, 9])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    r = agg.agg_mad(as_corpus(docs)).first()
+    # median = 2; |x-2| = [1,1,0,0,2,4,7] -> sorted [0,0,1,1,2,4,7] -> median 1
+    assert r["median_chars"] == 2.0 and r["mad_chars"] == 1.0
+
+
+def test_cumulative_cardinality_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        agg.agg_cumulative_cardinality(load_corpus(spark, sf_dir)),
+        duck.execute(agg.agg_cumulative_cardinality_sql()).df(),
+    )
+
+
+def test_cumulative_cardinality_monotone_and_total(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    c = load_corpus(spark, sf_dir)
+    rows = agg.agg_cumulative_cardinality(c).collect()
+    cums = [r["cum_hosts"] for r in rows]
+    assert cums == sorted(cums)
+    n_hosts = (
+        c.select(F.regexp_extract("url", "^[a-z]+://([^/]+)", 1).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == n_hosts
+
+
+def test_rate_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        agg.agg_rate(load_corpus(spark, sf_dir)),
+        duck.execute(agg.agg_rate_sql()).df(),
+    )
+
+
+def test_percentiles_bucket_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        agg.agg_percentiles_bucket(load_corpus(spark, sf_dir)),
+        duck.execute(agg.agg_percentiles_bucket_sql()).df(),
+    )
+
+
+@pytest.mark.parametrize("permille", [200, 500])
+def test_random_sampler_vs_oracle(spark, duck, sf_dir, permille):
+    assert_same(
+        agg.agg_random_sampler(load_corpus(spark, sf_dir), permille=permille),
+        duck.execute(agg.agg_random_sampler_sql(permille=permille)).df(),
+    )
+
+
+def test_random_sampler_estimate_near_truth(spark, sf_dir):
+    c = load_corpus(spark, sf_dir)
+    r = agg.agg_random_sampler(c, permille=500).first()
+    true = c.count()
+    assert abs(r["est_total_docs"] - true) / true < 0.25
+
+
+@pytest.mark.parametrize("k,iters", [(4, 2), (3, 1)])
+def test_vwh_vs_oracle(spark, duck, sf_dir, k, iters):
+    assert_same(
+        agg.variable_width_histogram(load_corpus(spark, sf_dir), k=k, iters=iters),
+        duck.execute(agg.variable_width_histogram_sql(k=k, iters=iters)).df(),
+    )
+
+
+def test_vwh_buckets_partition_the_range(spark, sf_dir):
+    """Buckets are contiguous, non-overlapping ranges covering all docs."""
+    c = load_corpus(spark, sf_dir)
+    rows = agg.variable_width_histogram(c, k=4, iters=2).collect()
+    assert sum(r["n_docs"] for r in rows) == c.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] < b["min_chars"]
