@@ -170,6 +170,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf: training.pack_sequences(
             load_corpus(spark, sf), seq_len=64
         ),
+        # NEW (r4, session 8): ES span_within — little spans enclosed by
+        # a span_near big span; conjunctive kernel, default emission band
+        # stays provable (all terms required)
+        "span_within_topk": lambda spark, sf: spans.span_within_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            "fast", ["the", "merge"], slop=2, k=10,
+        ),
+        # NEW (r4, session 8): ES span_containing — big spans that
+        # contain a little occurrence (same kernel, flipped direction)
+        "span_containing_topk": lambda spark, sf: spans.span_containing_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            "fast", ["the", "merge"], slop=2, k=10,
+        ),
+        # NEW (r4, session 8): ES simple_query_string — lenient parse
+        # (syntax never errors; out-of-flag constructs degrade to text),
+        # same verified WAND/compound dispatch as query_string
+        "simple_query_string_topk": lambda spark, sf: (
+            qstr.simple_query_string_topk(
+                build_index(load_corpus(spark, sf), n_doc_parts=8,
+                            positions=True),
+                'spark merge -vector field:x AND (the', k=10,
+            )
+        ),
         # NEW (r4, session 8): ES global agg — query-filter-immune stats
         # beside the matched count, one conditional hash agg
         "agg_global": lambda spark, sf: agg.agg_global(
@@ -1186,6 +1209,11 @@ FROM corpus ORDER BY doc_id
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
         "pipeline_funnel": training.pipeline_funnel_sql(),
+        "span_within_topk": spans.span_within_sql("fast", ["the", "merge"], slop=2, k=10),
+        "span_containing_topk": spans.span_containing_sql("fast", ["the", "merge"], slop=2, k=10),
+        "simple_query_string_topk": qstr.simple_query_string_sql(
+            'spark merge -vector field:x AND (the', k=10
+        ),
         "agg_global": agg.agg_global_sql(lang="en"),
         "agg_missing": agg.agg_missing_sql(),
         "agg_mad": agg.agg_mad_sql(),

@@ -150,6 +150,14 @@ def main() -> None:
             return query_string_topk_local(
                 idx, req["q"], k=k, doc_filter=req.get("doc_filter")
             )
+        if op == "sqs":
+            from telegram2elastic_spark.query.querystring import (
+                simple_query_string_topk_local,
+            )
+
+            return simple_query_string_topk_local(
+                idx, req["q"], k=k, doc_filter=req.get("doc_filter")
+            )
         if op == "fuzzyterm":
             return lq.fuzzy_term_topk_local(
                 idx, req["q"], k=k,

@@ -492,3 +492,205 @@ tokd AS (
   FROM corpus
 ),
 {_pseudo_score_sql(tf, k)}"""
+
+
+# --- span_within / span_containing --------------------------------------------
+
+
+def _span_enclosure_counts(
+    pdf: pd.DataFrame,
+    little: str,
+    big_terms: list[str],
+    slop: int,
+    containing: bool,
+    tombstones: np.ndarray | None,
+) -> pd.DataFrame:
+    """Shared kernel for the two enclosure shapes.  big = span_near(
+    big_terms, slop, in_order=false): its spans are [p, p+w) for every
+    matching anchor p (w = len(big_terms)+slop — span_near_topk's own
+    match definition).  little = span_term(little).
+
+      within:     tf = #little occurrences q enclosed by some big span
+                       (exists matching anchor p with p <= q < p + w)
+      containing: tf = #matching big anchors p that enclose some little
+                       occurrence (exists q with p <= q < p + w)
+
+    All of big_terms AND little are required, so df_s <= min member df
+    and the default emission band (max required idf) stays provable.
+    """
+    from .phrase import _DOC_KEY, _gather_keyed
+
+    groups = {
+        t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)
+    }
+    uniq_big = sorted(set(big_terms))
+    required = sorted(set(uniq_big) | {little})
+    if any(t not in groups for t in required):
+        return _EMPTY_COUNTS.copy()
+    by_rarity = sorted(required, key=lambda t: int(groups[t]["n_docs"].sum()))
+    per_term: dict[str, tuple] = {}
+    common: np.ndarray | None = None
+    for t in by_rarity:
+        g = groups[t]
+        if common is not None:
+            firsts = g["first_doc_id"].to_numpy(np.int64)
+            lasts = g["last_doc_id"].to_numpy(np.int64)
+            lo = np.searchsorted(common, firsts, side="left")
+            hi = np.searchsorted(common, lasts, side="right")
+            g = g.loc[hi > lo]
+            if g.empty:
+                return _EMPTY_COUNTS.copy()
+        ids, dls, pos = _decode_term_blocks(t, g)
+        per_term[t] = (ids, dls, pos)
+        common = ids if common is None else np.intersect1d(common, ids)
+        if tombstones is not None and tombstones.size:
+            common = common[~np.isin(common, tombstones)]
+        if common.size == 0:
+            return _EMPTY_COUNTS.copy()
+
+    w = len(big_terms) + int(slop)
+    keyed_by_term = {}
+    for t in required:
+        ids_t, _, pos_t = per_term[t]
+        keyed_by_term[t], _ = _gather_keyed(ids_t, pos_t, common)
+    # matching big anchors (span_near definition over big members only)
+    anchors = np.unique(
+        np.concatenate([keyed_by_term[t] for t in uniq_big])
+    )
+    ok = np.ones(anchors.shape, dtype=bool)
+    for t in uniq_big:
+        keyed_t = np.sort(keyed_by_term[t])
+        idx = np.searchsorted(keyed_t, anchors, side="left")
+        has = idx < keyed_t.size
+        cand = keyed_t[np.minimum(idx, keyed_t.size - 1)]
+        ok &= has & (cand < anchors + w)
+        if not ok.any():
+            return _EMPTY_COUNTS.copy()
+    amatch = anchors[ok]
+    littles = np.sort(keyed_by_term[little])
+    if containing:
+        # anchor p matches iff some little q in [p, p+w)
+        idx = np.searchsorted(littles, amatch, side="left")
+        has = idx < littles.size
+        cand = littles[np.minimum(idx, littles.size - 1)]
+        hit = amatch[has & (cand < amatch + w)]
+    else:
+        # little q matches iff some anchor p in (q-w, q]
+        amatch_sorted = np.sort(amatch)
+        lo = np.searchsorted(amatch_sorted, littles - (w - 1), side="left")
+        has = lo < amatch_sorted.size
+        cand = amatch_sorted[np.minimum(lo, amatch_sorted.size - 1)]
+        hit = littles[has & (cand <= littles)]
+    if hit.size == 0:
+        return _EMPTY_COUNTS.copy()
+    cand_idx = (hit // _DOC_KEY).astype(np.int64)
+    uniq_c, counts_per = np.unique(cand_idx, return_counts=True)
+    t0 = by_rarity[0]
+    ids0, dls0, _ = per_term[t0]
+    dl_idx = np.searchsorted(ids0, common[uniq_c])
+    return pd.DataFrame(
+        {
+            "doc_id": common[uniq_c],
+            "phrase_tf": counts_per.astype(np.int64),
+            "dl": dls0[dl_idx],
+        }
+    )
+
+
+def span_within_topk(
+    index: dict,
+    little: str,
+    big_terms: list[str],
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES span_within: little (span_term) spans enclosed by a
+    span_near(big_terms, slop, in_order=false) span; tf = enclosed
+    little occurrences."""
+    return _run_span(
+        index, sorted(set(big_terms) | {little}), k,
+        lambda pdf, t: _span_enclosure_counts(
+            pdf, little, big_terms, slop, False, t
+        ),
+    )
+
+
+def span_containing_topk(
+    index: dict,
+    little: str,
+    big_terms: list[str],
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES span_containing: span_near(big_terms, slop) spans that contain
+    a little (span_term) occurrence; tf = containing big anchors."""
+    return _run_span(
+        index, sorted(set(big_terms) | {little}), k,
+        lambda pdf, t: _span_enclosure_counts(
+            pdf, little, big_terms, slop, True, t
+        ),
+    )
+
+
+def _enclosure_sql(
+    little: str, big_terms: list[str], slop: int, containing: bool, k: int
+) -> str:
+    uniq = sorted(set(big_terms))
+    w = len(big_terms) + int(slop)
+    lit = little.replace("'", "''")
+    pos_defs = ",\n         ".join(
+        "list_filter(range(1, len(toks) + 1), x -> toks[x] = '"
+        + t.replace("'", "''")
+        + f"') AS pos{i}"
+        for i, t in enumerate(uniq)
+    )
+    anchors = "list_sort(list_distinct(" + (
+        " || ".join(f"pos{i}" for i in range(len(uniq)))
+    ) + "))"
+    member_ok = " AND ".join(
+        f"len(list_filter(pos{i}, q -> q >= p AND q < p + {w})) > 0"
+        for i in range(len(uniq))
+    )
+    amatch = f"list_filter({anchors}, p -> {member_ok})"
+    posl = (
+        f"list_filter(range(1, len(toks) + 1), x -> toks[x] = '{lit}')"
+    )
+    if containing:
+        tf = (
+            f"len(list_filter(am, p -> "
+            f"len(list_filter(pl, q -> q >= p AND q < p + {w})) > 0))"
+        )
+    else:
+        tf = (
+            f"len(list_filter(pl, q -> "
+            f"len(list_filter(am, p -> p <= q AND q < p + {w})) > 0))"
+        )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd0 AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+tokd1 AS (
+  SELECT doc_id, url, toks,
+         {pos_defs},
+         {posl} AS pl
+  FROM tokd0
+),
+tokd2 AS (SELECT doc_id, url, toks, pl, {amatch} AS am FROM tokd1),
+tokd AS (SELECT doc_id, url, toks, {tf} AS tfv FROM tokd2),
+{_pseudo_score_sql("tfv", k).strip()}"""
+
+
+def span_within_sql(
+    little: str, big_terms: list[str], slop: int = 0, k: int = 10
+) -> str:
+    return _enclosure_sql(little, big_terms, slop, False, k)
+
+
+def span_containing_sql(
+    little: str, big_terms: list[str], slop: int = 0, k: int = 10
+) -> str:
+    return _enclosure_sql(little, big_terms, slop, True, k)

@@ -242,3 +242,74 @@ def test_query_string_local_matches_spark(spark, sf_dir):
         ]
         got = [(t[0], t[-1]) for t in qs.query_string_topk_local(idx, q, k=10)]
         assert got == want, q
+
+
+# simple_query_string (lenient)
+
+
+def test_sqs_lenient_parse_never_raises():
+    from telegram2elastic_spark.query.querystring import parse_simple_query_string
+
+    # every construct that makes query_string raise degrades to text here
+    p = parse_simple_query_string('field:term AND (the OR spark) +merge ~2')
+    assert "field" in p.terms and "term" in p.terms
+    assert "and" in p.terms and "or" in p.terms  # keywords become text
+    assert "merge" in p.terms and not p.must_not and not p.phrases
+    # unbalanced quote -> text
+    p2 = parse_simple_query_string('"merge batch spark')
+    assert p2.terms and not p2.phrases
+
+
+def test_sqs_parse_supported_flags():
+    from telegram2elastic_spark.query.querystring import parse_simple_query_string
+
+    p = parse_simple_query_string('Spark sc* "Merge Batch"~2')
+    assert p.terms == ["spark"]
+    assert p.prefixes == ["sc"]
+    assert p.phrases == [(["merge", "batch"], 2)]
+    p2 = parse_simple_query_string('Spark sc* -Vector')
+    assert p2.terms == ["spark"] and p2.must_not == ["vector"]
+
+
+def test_sqs_degrades_negated_phrase_and_extra_phrases():
+    from telegram2elastic_spark.query.querystring import parse_simple_query_string
+
+    p = parse_simple_query_string('-"the fast" spark')
+    assert p.must_not == ["the", "fast"] and not p.phrases
+    p2 = parse_simple_query_string('"a b" "c d" spark')
+    assert p2.phrases == [(["a", "b"], 0)]
+    assert "c" in p2.terms and "d" in p2.terms
+    # phrase + NOT -> phrase degrades to terms
+    p3 = parse_simple_query_string('"merge batch" -vector')
+    assert not p3.phrases and "merge" in p3.terms and p3.must_not == ["vector"]
+
+
+def test_sqs_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query import querystring as qs
+    from .oracle import assert_same
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=8, positions=True)
+    for q in ['spark merge -vector field:x', '"the fast"~1 table', 'AND (the']:
+        got = qs.simple_query_string_topk(idx, q, k=10)
+        want = duck.execute(qs.simple_query_string_sql(q, k=10)).df()
+        assert_same(got, want)
+
+
+def test_sqs_local_identity(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query import querystring as qs
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=8, positions=True)
+    for q in ["merge sc*", "the data -vector", '"merge batch" spark']:
+        a = [
+            (r["doc_id"], r["score"])
+            for r in qs.simple_query_string_topk(idx, q, k=10).collect()
+        ]
+        b = [
+            (t[0], t[-1])
+            for t in qs.simple_query_string_topk_local(idx, q, k=10)
+        ]
+        assert a == b, q

@@ -59,3 +59,71 @@ def test_span_near_order_free(spark, sf_dir, idx):
 def test_span_dead_term_empty(spark, sf_dir, idx):
     assert spans.span_first_topk(idx, "zzznotaterm", end=10, k=10).count() == 0
     assert spans.span_near_topk(idx, ["merge", "zzznotaterm"], slop=1, k=10).count() == 0
+
+
+# span_within / span_containing
+
+
+class TestSpanEnclosure:
+    def _idx(self, spark, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+
+        return build_index(
+            load_corpus(spark, sf_dir), n_doc_parts=8, positions=True
+        )
+
+    def test_within_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.query import spans
+        from .oracle import assert_same
+
+        idx = self._idx(spark, sf_dir)
+        got = spans.span_within_topk(idx, "fast", ["the", "merge"], slop=2, k=10)
+        want = duck.execute(
+            spans.span_within_sql("fast", ["the", "merge"], slop=2, k=10)
+        ).df()
+        assert_same(got, want)
+
+    def test_containing_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.query import spans
+        from .oracle import assert_same
+
+        idx = self._idx(spark, sf_dir)
+        got = spans.span_containing_topk(idx, "fast", ["the", "merge"], slop=2, k=10)
+        want = duck.execute(
+            spans.span_containing_sql("fast", ["the", "merge"], slop=2, k=10)
+        ).df()
+        assert_same(got, want)
+
+    def test_enclosure_on_synthetic_doc(self, spark):
+        """Hand-checked tfs: doc 'a x b a y b z a b' with big=(a,b) slop=1
+        (w=3) and little=x/y: anchors for big at positions where both a
+        and b occur within 3 tokens."""
+        from telegram2elastic_spark.corpus import as_corpus
+        from telegram2elastic_spark.index.build import build_index
+        from telegram2elastic_spark.query import spans
+
+        text = "aa xx bb aa yy bb zz aa bb"
+        docs = spark.createDataFrame(
+            [(0, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        idx = build_index(as_corpus(docs), n_doc_parts=2, positions=True)
+        # tokens: aa(1) xx(2) bb(3) aa(4) yy(5) bb(6) zz(7) aa(8) bb(9)
+        # big=(aa,bb) w=3: anchors p where aa and bb both in [p, p+3):
+        #   p=1 (aa1,bb3), p=3? (bb3,aa4 in [3,6)) yes, p=4 (aa4,bb6),
+        #   p=6? (bb6, aa8 in [6,9)) yes, p=8? aa8,bb9 yes, p=9? aa in [9,12)? no
+        # little=xx at 2: enclosed by span [1,4)? p=1 <= 2 < 4 yes -> tf 1
+        rows = spans.span_within_topk(idx, "xx", ["aa", "bb"], slop=1, k=5).collect()
+        assert len(rows) == 1
+        # containing: anchors enclosing xx(2): p=1 only (p<=2<p+3) -> tf 1
+        rows_c = spans.span_containing_topk(idx, "xx", ["aa", "bb"], slop=1, k=5).collect()
+        assert len(rows_c) == 1
+
+    def test_missing_little_term_empty(self, spark, sf_dir):
+        from telegram2elastic_spark.query import spans
+
+        idx = self._idx(spark, sf_dir)
+        assert (
+            spans.span_within_topk(idx, "zzznotaterm", ["the"], k=5).count() == 0
+        )
