@@ -170,6 +170,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf: training.pack_sequences(
             load_corpus(spark, sf), seq_len=64
         ),
+        # NEW (r4, session 8): canonical-URL dedup — tracking params /
+        # ports / fragments normalized map-side, keep-latest per
+        # canonical key (one partitioned-window shuffle)
+        "dedup_url_canonical": lambda spark, sf: dedup.dedup_url_canonical(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 8): WimBD-style corpus n-gram analytics — top
+        # n-grams with total + doc frequency, two keyed hash aggs
+        "top_ngrams": lambda spark, sf: training.top_ngrams(
+            load_corpus(spark, sf), n=3, k=20
+        ),
+        # NEW (r4, session 8): ES completion suggester with a category
+        # context — host completions weighted by context doc count
+        "completion_contexts": lambda spark, sf: suggest.completion_contexts(
+            load_corpus(spark, sf), "site1", lang="en", k=10
+        ),
         # NEW (r4, session 8): ES span_within — little spans enclosed by
         # a span_near big span; conjunctive kernel, default emission band
         # stays provable (all terms required)
@@ -1209,6 +1225,9 @@ FROM corpus ORDER BY doc_id
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
         "pipeline_funnel": training.pipeline_funnel_sql(),
+        "dedup_url_canonical": dedup.dedup_url_canonical_sql(),
+        "top_ngrams": training.top_ngrams_sql(n=3, k=20),
+        "completion_contexts": suggest.completion_contexts_sql("site1", lang="en", k=10),
         "span_within_topk": spans.span_within_sql("fast", ["the", "merge"], slop=2, k=10),
         "span_containing_topk": spans.span_containing_sql("fast", ["the", "merge"], slop=2, k=10),
         "simple_query_string_topk": qstr.simple_query_string_sql(

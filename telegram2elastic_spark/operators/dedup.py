@@ -971,3 +971,111 @@ FROM ({dedup_components_sql(n_hashes=n_hashes, bands=bands).strip()}) c
 WHERE doc_id != component
 ORDER BY doc_id
 """
+
+
+# --- URL canonicalization + keep-latest dedup --------------------------------
+
+# Tracking params dropped by the canonicalizer (the CC-pipeline staples).
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonical_url_col(url: F.Column | str = "url") -> F.Column:
+    """Deterministic URL canonical form (the web-crawl dedup key):
+      1. fragment stripped,
+      2. scheme + host lowercased,
+      3. default port (:80/:443) stripped,
+      4. trailing path slashes dropped,
+      5. tracking query params (utm_*, fbclid, gclid, ref) removed and
+         the survivors sorted.
+    Pure built-in expressions (split / regexp / higher-order array ops)
+    — map-only, codegen'd, exactly mirrored by CANONICAL_URL_SQL."""
+    u = F.split(F.col(url) if isinstance(url, str) else url, "#").getItem(0)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?]+)", 1))
+    host = F.regexp_replace(hostport, ":(80|443)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?]+([^?]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+CANONICAL_URL_SQL = """
+lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://'
+|| regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?]+)', 1)),
+                  ':(80|443)$', '')
+|| regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+                  '/+$', '')
+|| CASE WHEN array_to_string(list_sort(list_filter(
+            str_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p, '{tracking}'))), '&') <> ''
+        THEN '?' || array_to_string(list_sort(list_filter(
+            str_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p, '{tracking}'))), '&')
+        ELSE '' END
+""".replace("{tracking}", _TRACKING_RE)
+
+
+def dedup_url_canonical(corpus: DataFrame) -> DataFrame:
+    """Canonical-URL dedup, keep-latest: recrawls of the same canonical
+    URL collapse to the newest capture (warc_ts desc, doc_id desc tie).
+    ONE shuffle on the canonical key (partitioned window — never a
+    global sort); the canonicalizer itself is map-only.
+
+    Returns (canonical_url, kept_doc_id, n_docs) per canonical group."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc("warc_ts"), F.desc("doc_id")
+    )
+    return (
+        corpus.select(
+            canonical_url_col("url").alias("canonical_url"),
+            "doc_id",
+            "warc_ts",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("canonical_url")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "kept_doc_id"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def dedup_url_canonical_sql() -> str:
+    canon = CANONICAL_URL_SQL.strip()
+    return f"""
+WITH {CORPUS_CTE.strip()},
+c AS (
+  SELECT doc_id, warc_ts, {canon} AS canonical_url
+  FROM (SELECT doc_id, warc_ts, str_split(url, '#')[1] AS u FROM corpus)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_url
+            ORDER BY warc_ts DESC, doc_id DESC) AS rn
+  FROM c
+)
+SELECT canonical_url,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       count(*) AS n_docs
+FROM r GROUP BY canonical_url ORDER BY canonical_url
+"""

@@ -969,3 +969,59 @@ SELECT seq_id, doc_id,
 FROM spans
 ORDER BY seq_id, doc_id
 """
+
+
+def top_ngrams(corpus: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """WimBD-style corpus analytics ("What's In My Big Data?"): the k
+    most frequent token n-grams corpus-wide, with total occurrences and
+    document frequency.  The curation probe for memorization-prone
+    boilerplate and over-represented templates.
+
+    Shape at scale: n-gram explode -> (ngram, doc) hash agg (map-side
+    combine collapses within-doc repeats early) -> ngram hash agg ->
+    TakeOrdered k.  Two shuffles, both on the ngram key; no window, no
+    global sort."""
+    n, k = int(n), int(k)
+    toks = tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    per_doc = (
+        corpus.select("doc_id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(F.sum("occ").alias("total"), F.count(F.lit(1)).alias("docs"))
+        .orderBy(F.desc("total"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def top_ngrams_sql(n: int = 3, k: int = 20) -> str:
+    n, k = int(n), int(k)
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                               i -> {parts})) AS ngram
+  FROM tokd
+),
+per_doc AS (
+  SELECT ngram, doc_id, count(*) AS occ FROM grams GROUP BY 1, 2
+)
+SELECT ngram, CAST(sum(occ) AS BIGINT) AS total, count(*) AS docs
+FROM per_doc GROUP BY ngram
+ORDER BY total DESC, ngram ASC
+LIMIT {k}
+"""

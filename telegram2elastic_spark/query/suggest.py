@@ -383,3 +383,53 @@ def fetch_bigrams_local(
         if cache is not None:
             cache[b] = out[b]
     return out
+
+
+# --- ES completion suggester with contexts -----------------------------------
+
+def completion_contexts(
+    corpus: DataFrame, prefix: str, lang: str | None = None, k: int = 10
+) -> DataFrame:
+    """ES `completion` suggester with a category context: suggestions
+    are host names (the completion-field analogue of a site-search box),
+    weighted by how many context-matching docs each host serves, prefix-
+    filtered.  ES serves this from a per-context FST; relationally it is
+    a prefix filter + one hash agg + TakeOrdered — and the prefix
+    predicate pushes to the scan.
+
+    Returns (suggestion, weight) ordered weight desc, suggestion asc."""
+    base = corpus
+    if lang is not None:
+        base = base.filter(F.col("lang") == lang)
+    return (
+        base.select(
+            F.regexp_extract("url", "^[a-z]+://([^/]+)", 1).alias("suggestion")
+        )
+        .filter(F.col("suggestion").startswith(prefix))
+        .groupBy("suggestion")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(int(k))
+    )
+
+
+def completion_contexts_sql(
+    prefix: str, lang: str | None = None, k: int = 10
+) -> str:
+    from ..corpus import CORPUS_CTE
+
+    esc = prefix.replace("'", "''")
+    where = f"WHERE lang = '{lang}'" if lang is not None else ""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+h AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS suggestion
+  FROM corpus {where}
+)
+SELECT suggestion, count(*) AS weight
+FROM h
+WHERE suggestion LIKE '{esc}%'
+GROUP BY suggestion
+ORDER BY weight DESC, suggestion ASC
+LIMIT {int(k)}
+"""

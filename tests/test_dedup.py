@@ -238,3 +238,72 @@ class TestDedupComponents:
             by_comp.setdefault(r["component"], []).append(r["doc_id"])
         for c, members in by_comp.items():
             assert c == min(members)
+
+
+class TestUrlCanonical:
+    MESSY = [
+        (1, "HTTPS://Example.COM:443/a/b/?utm_source=x&q=1#frag", "2022-01-01 00:00:00"),
+        (2, "https://example.com/a/b?q=1", "2022-01-02 00:00:00"),
+        (3, "http://Other.net:80/p/", "2022-01-01 05:00:00"),
+        (4, "http://other.net/p", "2022-01-01 04:00:00"),
+        (5, "https://example.com/a/b?q=2&utm_medium=y", "2022-01-03 00:00:00"),
+        (6, "https://plain.org", "2022-01-01 00:00:00"),
+    ]
+
+    def test_canonical_expr_matches_duckdb(self, spark, duck):
+        from telegram2elastic_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(d, u) for d, u, _ in self.MESSY], "doc_id long, url string"
+        )
+        got = {
+            r["doc_id"]: r["c"]
+            for r in df.select(
+                "doc_id", dedup.canonical_url_col("url").alias("c")
+            ).collect()
+        }
+        vals = ", ".join(f"({d}, '{u}')" for d, u, _ in self.MESSY)
+        want = {
+            d: c
+            for d, c in duck.execute(
+                f"""
+                SELECT doc_id, {dedup.CANONICAL_URL_SQL.strip()} AS c
+                FROM (SELECT doc_id, str_split(url, '#')[1] AS u
+                      FROM (VALUES {vals}) AS t(doc_id, url))
+                """
+            ).fetchall()
+        }
+        assert got == want
+        # semantic spot checks
+        assert got[1] == "https://example.com/a/b?q=1"
+        assert got[1] == got[2]
+        assert got[3] == got[4] == "http://other.net/p"
+        assert got[6] == "https://plain.org"
+
+    def test_keep_latest_semantics(self, spark):
+        from telegram2elastic_spark.operators import dedup
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(d, u, ts) for d, u, ts in self.MESSY],
+            "doc_id long, url string, warc_ts string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        rows = {
+            r["canonical_url"]: r
+            for r in dedup.dedup_url_canonical(df).collect()
+        }
+        # docs 1 and 2 share a canonical url; doc 2 is newer
+        r = rows["https://example.com/a/b?q=1"]
+        assert r["kept_doc_id"] == 2 and r["n_docs"] == 2
+        r2 = rows["http://other.net/p"]
+        assert r2["kept_doc_id"] == 3 and r2["n_docs"] == 2
+
+    def test_vs_oracle_on_corpus(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import dedup
+        from .oracle import assert_same
+
+        got = dedup.dedup_url_canonical(load_corpus(spark, sf_dir))
+        want = duck.execute(dedup.dedup_url_canonical_sql()).df()
+        assert_same(got, want)

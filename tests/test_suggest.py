@@ -50,3 +50,30 @@ def test_suggest_spelling_finds_intended_term(index):
 def test_suggest_spelling_exact_word_is_best(index):
     rows = suggest.suggest_spelling(index, "merge", k=3).collect()
     assert rows[0]["term"] == "merge" and rows[0]["sim"] == 1.0
+
+
+def test_completion_contexts_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.query import suggest as sug
+    from .oracle import assert_same
+
+    for lang in ["en", None]:
+        got = sug.completion_contexts(
+            load_corpus(spark, sf_dir), "site1", lang=lang, k=10
+        )
+        want = duck.execute(
+            sug.completion_contexts_sql("site1", lang=lang, k=10)
+        ).df()
+        assert_same(got, want)
+
+
+def test_completion_contexts_prefix_and_context(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.query import suggest as sug
+
+    c = load_corpus(spark, sf_dir)
+    rows = sug.completion_contexts(c, "site2", lang="en", k=50).collect()
+    assert rows, "expected suggestions"
+    assert all(r["suggestion"].startswith("site2") for r in rows)
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)

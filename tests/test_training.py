@@ -159,3 +159,30 @@ class TestPackSequences:
             assert spans[0][0] == 0 and spans[-1][1] == n_toks[d]
             for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
                 assert a1 == b0
+
+
+class TestTopNgrams:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import training
+        from .oracle import assert_same
+
+        got = training.top_ngrams(load_corpus(spark, sf_dir), n=3, k=20)
+        want = duck.execute(training.top_ngrams_sql(n=3, k=20)).df()
+        assert_same(got, want)
+
+    def test_counts_on_known_doc(self, spark):
+        from telegram2elastic_spark.corpus import as_corpus
+        from telegram2elastic_spark.operators import training
+
+        docs = spark.createDataFrame(
+            [(0, "a b a b a b", "en", "s", 11), (1, "a b c", "en", "s", 5)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        rows = {
+            r["ngram"]: (r["total"], r["docs"])
+            for r in training.top_ngrams(as_corpus(docs), n=2, k=10).collect()
+        }
+        assert rows["a b"] == (4, 2)   # 3x in doc0, 1x in doc1
+        assert rows["b a"] == (2, 1)
+        assert rows["b c"] == (1, 1)
