@@ -170,6 +170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf: training.pack_sequences(
             load_corpus(spark, sf), seq_len=64
         ),
+        # NEW (r4, session 8): Gopher repetition filters — top-n-gram /
+        # dup-n-gram character COVERAGE fractions (chars counted once;
+        # every stage keyed by doc_id)
+        "repetition_metrics": lambda spark, sf: training.repetition_metrics(
+            load_corpus(spark, sf), top_n=2, dup_n=5
+        ),
         # NEW (r4, session 8): canonical-URL dedup — tracking params /
         # ports / fragments normalized map-side, keep-latest per
         # canonical key (one partitioned-window shuffle)
@@ -1225,6 +1231,7 @@ FROM corpus ORDER BY doc_id
         "parent_id_page": parentchild.parent_id_page_sql(),
         "agg_top_metrics": agg.agg_top_metrics_sql(),
         "pipeline_funnel": training.pipeline_funnel_sql(),
+        "repetition_metrics": training.repetition_metrics_sql(top_n=2, dup_n=5),
         "dedup_url_canonical": dedup.dedup_url_canonical_sql(),
         "top_ngrams": training.top_ngrams_sql(n=3, k=20),
         "completion_contexts": suggest.completion_contexts_sql("site1", lang="en", k=10),

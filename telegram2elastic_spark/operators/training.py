@@ -1025,3 +1025,177 @@ FROM per_doc GROUP BY ngram
 ORDER BY total DESC, ngram ASC
 LIMIT {k}
 """
+
+
+def repetition_metrics(
+    corpus: DataFrame, top_n: int = 2, dup_n: int = 5
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, table A1): per doc,
+    the fraction of characters covered by (a) occurrences of the single
+    MOST FREQUENT top_n-gram and (b) ALL dup_n-grams that occur more
+    than once.  Coverage counts each character once (overlapping windows
+    don't double-count — the paper's "take care not to count characters
+    multiple times"); characters = token characters (separators excluded,
+    pinned contract).
+
+    Scale shape: every stage is keyed by doc_id (gram counts, top-gram
+    argmax via a doc-partitioned window, coverage distinct) — hash
+    shuffles only, no global sort; window explode is bounded by n.
+
+    Returns (doc_id, top_frac, dup_frac) rounded to 5, doc_id order;
+    docs with < n tokens score 0.0.
+    """
+    from pyspark.sql.window import Window
+
+    top_n, dup_n = int(top_n), int(dup_n)
+    toks = tokens("text")
+    tokd = corpus.select("doc_id", toks.alias("toks"))
+    pos = tokd.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("tlen")
+    )
+    total = pos.groupBy("doc_id").agg(F.sum("tlen").alias("total_chars"))
+
+    def grams(n: int) -> DataFrame:
+        # sequence(1, 0) counts DOWN and element_at(toks, 0) throws —
+        # short docs must yield no windows (the _ngrams guard).
+        arr = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("gpos"),
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+                ).alias("gram"),
+            ),
+        )
+        g = F.explode(
+            F.when(
+                F.size("toks") < n,
+                F.array().cast("array<struct<gpos:int,gram:string>>"),
+            ).otherwise(arr)
+        )
+        return tokd.select("doc_id", g.alias("g")).select(
+            "doc_id", F.col("g.gpos").alias("gpos"), F.col("g.gram").alias("gram")
+        )
+
+    def coverage(occ: DataFrame, n: int, alias: str) -> DataFrame:
+        """occ = (doc_id, gpos) windows; chars covered once each."""
+        covered = occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))
+            ).alias("p"),
+        ).distinct()
+        return (
+            covered.join(pos, ["doc_id", "p"])
+            .groupBy("doc_id")
+            .agg(F.sum("tlen").alias(alias))
+        )
+
+    # (a) most frequent top_n-gram (count desc, gram asc tie)
+    gt = grams(top_n)
+    counts = gt.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+    top_gram = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "gram")
+    )
+    top_occ = gt.join(top_gram, ["doc_id", "gram"]).select("doc_id", "gpos")
+    top_cov = coverage(top_occ, top_n, "top_chars")
+
+    # (b) all duplicated dup_n-grams
+    gd = grams(dup_n)
+    dups = (
+        gd.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "gram")
+    )
+    dup_occ = gd.join(dups, ["doc_id", "gram"]).select("doc_id", "gpos")
+    dup_cov = coverage(dup_occ, dup_n, "dup_chars")
+
+    return (
+        total.join(top_cov, "doc_id", "left")
+        .join(dup_cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce("top_chars", F.lit(0)) / F.col("total_chars"), 5
+            ).alias("top_frac"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("total_chars"), 5
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_metrics_sql(top_n: int = 2, dup_n: int = 5) -> str:
+    top_n, dup_n = int(top_n), int(dup_n)
+
+    def gram_parts(n: int) -> str:
+        return " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+pos AS (
+  SELECT doc_id, CAST(x.p AS BIGINT) AS p, length(toks[x.p]) AS tlen
+  FROM tokd, unnest(range(1, len(toks) + 1)) AS x(p)
+),
+total AS (SELECT doc_id, sum(tlen) AS total_chars FROM pos GROUP BY doc_id),
+gt AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS gpos, {gram_parts(top_n)} AS gram
+  FROM tokd, unnest(range(1, greatest(len(toks) - {top_n - 1}, 0) + 1)) AS i(i)
+),
+tc AS (SELECT doc_id, gram, count(*) AS c FROM gt GROUP BY 1, 2),
+topg AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, gram ASC) AS rn
+    FROM tc
+  ) WHERE rn = 1
+),
+top_cover AS (
+  SELECT DISTINCT gt.doc_id, gt.gpos + x.o AS p
+  FROM gt JOIN topg ON gt.doc_id = topg.doc_id AND gt.gram = topg.gram,
+       unnest(range(0, {top_n})) AS x(o)
+),
+top_cov AS (
+  SELECT c.doc_id, sum(pos.tlen) AS top_chars
+  FROM top_cover c JOIN pos ON pos.doc_id = c.doc_id AND pos.p = c.p
+  GROUP BY c.doc_id
+),
+gd AS (
+  SELECT doc_id, CAST(i.i AS BIGINT) AS gpos, {gram_parts(dup_n)} AS gram
+  FROM tokd, unnest(range(1, greatest(len(toks) - {dup_n - 1}, 0) + 1)) AS i(i)
+),
+dups AS (
+  SELECT doc_id, gram FROM gd GROUP BY doc_id, gram HAVING count(*) > 1
+),
+dup_cover AS (
+  SELECT DISTINCT gd.doc_id, gd.gpos + x.o AS p
+  FROM gd JOIN dups ON gd.doc_id = dups.doc_id AND gd.gram = dups.gram,
+       unnest(range(0, {dup_n})) AS x(o)
+),
+dup_cov AS (
+  SELECT c.doc_id, sum(pos.tlen) AS dup_chars
+  FROM dup_cover c JOIN pos ON pos.doc_id = c.doc_id AND pos.p = c.p
+  GROUP BY c.doc_id
+)
+SELECT total.doc_id,
+       round(COALESCE(top_chars, 0) * 1.0 / total_chars, 5) AS top_frac,
+       round(COALESCE(dup_chars, 0) * 1.0 / total_chars, 5) AS dup_frac
+FROM total
+LEFT JOIN top_cov ON total.doc_id = top_cov.doc_id
+LEFT JOIN dup_cov ON total.doc_id = dup_cov.doc_id
+ORDER BY total.doc_id
+"""

@@ -186,3 +186,50 @@ class TestTopNgrams:
         assert rows["a b"] == (4, 2)   # 3x in doc0, 1x in doc1
         assert rows["b a"] == (2, 1)
         assert rows["b c"] == (1, 1)
+
+
+class TestRepetitionMetrics:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import training
+        from .oracle import assert_same
+
+        got = training.repetition_metrics(load_corpus(spark, sf_dir))
+        want = duck.execute(training.repetition_metrics_sql()).df()
+        assert_same(got, want)
+
+    def test_hand_checked_coverage(self, spark):
+        """'aa bb aa bb cc' top-2gram = 'aa bb' (2x, covers tokens 1-4 =
+        8 chars of 10) -> 0.8; no 5-gram repeats -> dup 0.  Overlap case:
+        'xx xx xx' top gram 'xx xx' occurs at 1,2 -> covers all 3 tokens
+        (6/6 chars), NOT 4 windows' worth — pins the count-once rule."""
+        from telegram2elastic_spark.corpus import as_corpus
+        from telegram2elastic_spark.operators import training
+
+        docs = spark.createDataFrame(
+            [(0, "aa bb aa bb cc", "en", "s", 14), (1, "xx xx xx", "en", "s", 8)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in training.repetition_metrics(
+                as_corpus(docs), top_n=2, dup_n=5
+            ).collect()
+        }
+        assert rows[0]["top_frac"] == 0.8 and rows[0]["dup_frac"] == 0.0
+        assert rows[1]["top_frac"] == 1.0
+
+    def test_dup_coverage(self, spark):
+        """A repeated 5-gram covers exactly its union of windows."""
+        from telegram2elastic_spark.corpus import as_corpus
+        from telegram2elastic_spark.operators import training
+
+        # 'a b c d e' repeated twice + unique tail: dup 5-grams cover the
+        # first 10 tokens (10 chars of 13 total single-char tokens + tail)
+        text = "a b c d e a b c d e x y z"
+        docs = spark.createDataFrame(
+            [(0, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        r = training.repetition_metrics(as_corpus(docs), top_n=2, dup_n=5).first()
+        assert r["dup_frac"] == round(10 / 13, 5)
