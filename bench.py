@@ -447,6 +447,29 @@ def main() -> None:
             corpus, size=10, shard_size=15, n_shards=CPUS))
         timed("federated_sec", lambda: fdq.federated_topk(
             corpus, ["spark", "merge"], k=10))
+        # round-4 session-8 surface: lenient query-string, span
+        # enclosure, completion contexts, hybrid fusion, new aggs
+        from telegram2elastic_spark.corpus import load_embeddings as _lde
+        from telegram2elastic_spark.operators import aggregates as agq
+        from telegram2elastic_spark.query import hybrid as hyq
+        from telegram2elastic_spark.query import querystring as qsq
+
+        timed("simple_query_string_sec", lambda: qsq.simple_query_string_topk(
+            eidx, "spark merge -vector field:x", k=10))
+        timed("span_within_sec", lambda: spq.span_within_topk(
+            eidx, "fast", ["the", "merge"], slop=2, k=10))
+        timed("span_containing_sec", lambda: spq.span_containing_topk(
+            eidx, "fast", ["the", "merge"], slop=2, k=10))
+        timed("completion_contexts_sec", lambda: sg.completion_contexts(
+            corpus, "site1", lang="en", k=10))
+        _emb = _lde(spark, SF_DIR)
+        timed("rrf_hybrid_sec", lambda: hyq.rrf_hybrid_topk(
+            corpus, _emb, ["spark", "merge"], query_vec_id=0, k=10))
+        timed("agg_mad_sec", lambda: agq.agg_mad(corpus))
+        timed("agg_cumulative_cardinality_sec",
+              lambda: agq.agg_cumulative_cardinality(corpus))
+        timed("variable_width_histogram_sec",
+              lambda: agq.variable_width_histogram(corpus, k=4, iters=2))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()
@@ -623,6 +646,24 @@ def main() -> None:
             lambda: trp.temperature_sample(corpus, budget=20_000),
         )
         timed_pl("pipeline_funnel_sec", lambda: trp.pipeline_funnel(corpus))
+        timed_pl(
+            "dedup_url_canonical_sec",
+            lambda: ddp.dedup_url_canonical(corpus),
+        )
+        timed_pl(
+            "pack_sequences_sec",
+            lambda: trp.pack_sequences(corpus, seq_len=2048),
+        )
+        timed_pl("top_ngrams_sec", lambda: trp.top_ngrams(corpus, n=3, k=20))
+        timed_pl(
+            "repetition_metrics_sec",
+            lambda: trp.repetition_metrics(corpus),
+        )
+        # dedup_components runs its own per-round convergence actions;
+        # the timed .count() just adds the final materialization
+        timed_pl(
+            "dedup_components_sec", lambda: ddp.dedup_components(corpus)
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()

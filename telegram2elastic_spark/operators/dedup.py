@@ -880,8 +880,12 @@ def dedup_components(
     Returns (doc_id, component) for every doc that has at least one
     near-dup candidate, component = min doc_id of its cluster.
     """
-    edges = minhash_lsh_pairs(corpus, n_hashes=n_hashes, bands=bands).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # checkpoint the edge list BEFORE symmetrizing: the union's two
+    # branches would otherwise each recompute the whole LSH pipeline
+    edges = (
+        minhash_lsh_pairs(corpus, n_hashes=n_hashes, bands=bands)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint()
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -907,7 +911,9 @@ def dedup_components(
                 ),
                 (F.col("nmin") < F.col("lbl")).alias("chg"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below is the materializing
+            # action — one job per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("chg")).count()
         labels = updated.select("doc_id", "lbl")

@@ -25,6 +25,7 @@ def fetch_docs_local(
     doc_ids,
     cache: dict | None = None,
     ds_cache: dict | None = None,
+    cols: list[str] | None = None,
 ) -> dict[int, dict]:
     """{doc_id: {url, lang, warc_ts, text}} for the requested ids.
 
@@ -38,15 +39,24 @@ def fetch_docs_local(
     node holds the store open; dropping the row cache must not re-list
     the store.  Ids absent from the store are simply absent from the
     result (caller's miss policy).
+
+    `cols` prunes the parquet read to the named stored fields (plus
+    doc_id) — attribute-only consumers (rescore wants url+warc_ts for a
+    100-doc window) must not pay the text column's decompression.
+    Cached rows may therefore be PARTIAL: a hit requires every wanted
+    column, and fetched columns merge into the cached row so different
+    column sets share one cache.
     """
     import pyarrow.dataset as ds
 
+    want = [c for c in (cols if cols is not None else DOC_STORE_COLS)
+            if c != "doc_id"]
     ids = sorted({int(d) for d in doc_ids})
     out: dict[int, dict] = {}
     missing = []
     for d in ids:
         hit = None if cache is None else cache.get(d)
-        if hit is not None:
+        if hit is not None and all(c in hit for c in want):
             out[d] = hit
         else:
             missing.append(d)
@@ -82,12 +92,15 @@ def fetch_docs_local(
         )
     else:
         flt = ds.field("doc_id").isin(missing)
-    tbl = src.to_table(columns=DOC_STORE_COLS, filter=flt)
+    tbl = src.to_table(columns=["doc_id", *want], filter=flt)
     for row in tbl.to_pylist():
         d = int(row.pop("doc_id"))
-        out[d] = row
         if cache is not None:
-            cache[d] = row
+            merged = cache.setdefault(d, {})
+            merged.update(row)
+            out[d] = merged
+        else:
+            out[d] = row
     return out
 
 

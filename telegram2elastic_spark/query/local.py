@@ -262,6 +262,7 @@ def _doc_rows(
             doc_ids,
             cache=index.setdefault("_doc_cache", {}),
             ds_cache=index.setdefault("_doc_ds_cache", {}),
+            cols=cols,
         )
         return {d: tuple(r[c] for c in cols) for d, r in rows.items()}
     if corpus is None:

@@ -394,3 +394,26 @@ def test_intervals_local_matches_spark(spark, sf_dir, terms, max_gaps):
     ]
     got = iv.intervals_ordered_topk_local(pidx, terms, max_gaps, k=10)
     assert got == want
+
+
+def test_fetch_docs_local_column_pruned_and_merging(stored_index):
+    """Partial (column-pruned) fetches share the row cache with full
+    fetches: a url-only read is a miss for a later text read, and the
+    fetched columns merge rather than clobber."""
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+
+    cache: dict = {}
+    part = fetch_docs_local(
+        stored_index["_doc_store_dir"], [3, 5], cache, cols=["url", "warc_ts"]
+    )
+    assert set(part[3].keys()) == {"url", "warc_ts"}
+    # a wider read must NOT be served from the partial row
+    full = fetch_docs_local(
+        stored_index["_doc_store_dir"], [3, 5], cache, cols=["url", "text"]
+    )
+    assert "text" in full[3] and "warc_ts" in cache[3]  # merged, not clobbered
+    # now a repeat partial read is a pure cache hit (store path irrelevant)
+    again = fetch_docs_local(
+        "/nonexistent/doc_store", [3, 5], cache, cols=["url"]
+    )
+    assert again[3]["url"] == part[3]["url"]
