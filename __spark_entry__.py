@@ -145,6 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 8): ES msearch-knn — N query vectors in ONE
+        # job: broadcast query set, one corpus map, per-query window
+        "cosine_topk_batch": lambda spark, sf: sim.cosine_topk_batch(
+            load_embeddings(spark, sf), [0, 7, 13], k=5
+        ),
         # NEW (r4, session 8): ES 8.x RRF retriever — reciprocal-rank
         # fusion of the BM25 leg and the exact-cosine knn leg; fusion is
         # a 2*window-row outer join, legs are the verified paths
@@ -1248,6 +1253,7 @@ FROM corpus ORDER BY doc_id
         "agg_percentiles_bucket": agg.agg_percentiles_bucket_sql(),
         "agg_random_sampler": agg.agg_random_sampler_sql(permille=200),
         "variable_width_histogram": agg.variable_width_histogram_sql(k=4, iters=2),
+        "cosine_topk_batch": sim.cosine_topk_batch_sql([0, 7, 13], k=5),
         "rrf_hybrid_topk": hyb.rrf_hybrid_sql(Q_MAIN, query_vec_id=0, k=10, window=20),
         "linear_hybrid_topk": hyb.linear_hybrid_sql(Q_MAIN, query_vec_id=0, k=10, window=20),
         "dedup_components": dedup.dedup_components_sql(),

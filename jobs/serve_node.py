@@ -29,6 +29,8 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "pinned",   "q": "spark merge", "pins": [42, 7]}
     {"op": "rankfeature", "q": "spark merge", "pivot": 40, "boost": 2}
     {"op": "didyoumean", "q": "tne fast"}          (needs --bigrams)
+    {"op": "sqs",      "q": "spark -vector field:x"} (lenient syntax)
+    {"op": "hybrid",   "q": "spark merge", "vec_id": 0} (needs --embeddings)
 
 Response: {"op": ..., "hits": [...], "latency_ms": ...}.  After the
 per-cache warm-up fetches (vocabulary, hot term shards, trigram pages),
@@ -65,6 +67,8 @@ def main() -> None:
                          "does not forward stdin to the Python driver)")
     ap.add_argument("--bigrams", default=None,
                     help="bigram store dir (phrase-suggester didyoumean)")
+    ap.add_argument("--embeddings", default=None,
+                    help="embedding parquet dir (hybrid RRF knn leg)")
     ap.add_argument("--field-index", action="append", default=[],
                     metavar="NAME=DIR",
                     help="per-field index dir for multi_match "
@@ -186,6 +190,16 @@ def main() -> None:
                 func=req.get("func", "saturation"),
                 exponent=float(req.get("exponent", 2.0)),
                 k=k,
+            )
+        if op == "hybrid":
+            if not args.embeddings:
+                raise ValueError("hybrid needs --embeddings")
+            from telegram2elastic_spark.query.hybrid import rrf_hybrid_local
+
+            return rrf_hybrid_local(
+                idx, args.embeddings, req["q"].split(),
+                query_vec_id=int(req.get("vec_id", 0)), k=k,
+                window=int(req.get("window", 20)),
             )
         if op == "didyoumean":
             if not args.bigrams:

@@ -1093,3 +1093,66 @@ SELECT a.vec_id, a.cid, dr.vec_id IS NULL AS kept
 FROM a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
 ORDER BY a.vec_id
 """
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame, query_vec_ids: list[int], k: int = 10
+) -> DataFrame:
+    """ES msearch-knn: N query vectors answered in ONE job.  The query
+    set broadcasts (N x dim floats), scoring is one narrow map over the
+    corpus vectors, and the per-query top-k is a window partitioned by
+    query id — no global sort, scales with the corpus scan.
+
+    Returns (query_vec_id, vec_id, cosine), top-k per query, ordered."""
+    from pyspark.sql.window import Window
+
+    ids = sorted({int(q) for q in query_vec_ids})
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_vec_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .select("query_vec_id", "vec_id", "cosine")
+        .orderBy("query_vec_id", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+def cosine_topk_batch_sql(query_vec_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(int(q)) for q in sorted({int(q) for q in query_vec_ids}))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_vec_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_vec_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+  FROM e CROSS JOIN q
+  WHERE e.vec_id != q.query_vec_id
+)
+SELECT query_vec_id, vec_id, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_vec_id
+                           ORDER BY cosine DESC, vec_id ASC) <= {int(k)}
+ORDER BY query_vec_id, cosine DESC, vec_id ASC
+"""

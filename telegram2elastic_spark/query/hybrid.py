@@ -192,3 +192,98 @@ FROM lexq FULL OUTER JOIN semq ON lexq.doc_id = semq.doc_id
 ORDER BY fused_score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# --- driver-local serving twin -------------------------------------------------
+
+def _emb_matrix(index: dict, emb_path: str):
+    """(vec_ids int64[], M float64[N, dim]) — the embedding shard a query
+    node holds resident (pyarrow read, cached on the index dict)."""
+    import numpy as np
+
+    cache = index.setdefault("_emb_cache", {})
+    if emb_path not in cache:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(emb_path, format="parquet").to_table(
+            columns=["vec_id", "embedding"]
+        )
+        ids = tbl["vec_id"].to_numpy().astype(np.int64)
+        M = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        cache[emb_path] = (ids[order], M[order])
+    return cache[emb_path]
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold sum, matching F.aggregate's fold order so the
+    5-decimal rounding is bit-identical to the relational leg."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _cosine_leg_local(
+    index: dict, emb_path: str, query_vec_id: int, window: int
+) -> list[tuple[int, float]]:
+    import numpy as np
+
+    ids, M = _emb_matrix(index, emb_path)
+    qi = np.searchsorted(ids, int(query_vec_id))
+    if qi >= ids.size or ids[qi] != int(query_vec_id):
+        return []
+    qv = M[qi]
+    # vectorized preselect, then exact left-fold recompute of the
+    # candidates so rounding ties resolve exactly like the Spark leg
+    denom = np.sqrt((M * M).sum(axis=1)) * np.sqrt((qv * qv).sum())
+    approx = (M @ qv) / np.where(denom == 0, 1.0, denom)
+    approx[qi] = -np.inf
+    n_pre = min(ids.size, 4 * window + 10)
+    pre = np.argpartition(-approx, n_pre - 1)[:n_pre]
+    exact = []
+    qnorm = _fold_dot(qv, qv) ** 0.5
+    for i in pre:
+        if i == qi:
+            continue
+        c = round(
+            _fold_dot(M[i], qv) / ((_fold_dot(M[i], M[i]) ** 0.5) * qnorm), 5
+        )
+        exact.append((int(ids[i]), float(c)))
+    exact.sort(key=lambda t: (-t[1], t[0]))
+    return exact[:window]
+
+
+def rrf_hybrid_local(
+    index: dict,
+    emb_path: str,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    window: int = 20,
+    rank_const: int = 60,
+) -> list[tuple]:
+    """Serving twin of rrf_hybrid_topk: the lexical leg is
+    wand_topk_local (rank-identical to the relational BM25 leg by the
+    engine's core invariant), the knn leg is an in-process exact cosine
+    over the resident embedding shard, fusion is pure Python over
+    2*window rows.  Returns [(doc_id, lex_rank, sem_rank, rrf_score)]."""
+    from .wand import wand_topk_local
+
+    lex = wand_topk_local(index, terms, k=window)
+    sem = _cosine_leg_local(index, emb_path, query_vec_id, window)
+    c = float(rank_const)
+    fused: dict[int, list] = {}
+    for r, (doc_id, _s) in enumerate(lex, start=1):
+        fused.setdefault(int(doc_id), [None, None])[0] = r
+    for r, (doc_id, _s) in enumerate(sem, start=1):
+        fused.setdefault(int(doc_id), [None, None])[1] = r
+    out = []
+    for doc_id, (lr, sr) in fused.items():
+        score = round(
+            (1.0 / (c + lr) if lr else 0.0) + (1.0 / (c + sr) if sr else 0.0),
+            RRF_DECIMALS,
+        )
+        out.append((doc_id, lr, sr, score))
+    out.sort(key=lambda t: (-t[3], t[0]))
+    return out[:k]

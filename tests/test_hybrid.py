@@ -73,3 +73,58 @@ def test_linear_scores_bounded(spark, sf_dir):
     assert rows, "non-empty fusion expected"
     for r in rows:
         assert 0.0 <= r["fused_score"] <= 1.0 + 1e-9
+
+
+def test_cosine_batch_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import similarity as sim
+
+    got = sim.cosine_topk_batch(
+        __import__("telegram2elastic_spark.corpus", fromlist=["load_embeddings"])
+        .load_embeddings(spark, sf_dir),
+        [0, 7, 13],
+        k=5,
+    )
+    want = duck.execute(sim.cosine_topk_batch_sql([0, 7, 13], k=5)).df()
+    from .oracle import assert_same
+
+    assert_same(got, want)
+
+
+def test_cosine_batch_matches_single(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_embeddings
+    from telegram2elastic_spark.operators import similarity as sim
+
+    e = load_embeddings(spark, sf_dir)
+    batch = sim.cosine_topk_batch(e, [0, 7], k=5).collect()
+    for q in (0, 7):
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.cosine_topk(e, query_vec_id=q, k=5).collect()
+        ]
+        got = [(r["vec_id"], r["cosine"]) for r in batch if r["query_vec_id"] == q]
+        assert got == single, q
+
+
+def test_rrf_local_identity(spark, sf_dir):
+    """Driver-local hybrid == the relational RRF pair (wand leg is
+    rank-identical to BM25 by the core invariant; cosine leg recomputed
+    with fold-order-exact rounding)."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query import hybrid
+
+    c = load_corpus(spark, sf_dir)
+    idx = build_index(c, n_doc_parts=8)
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    for terms, qv in [(["spark", "merge"], 0), (["the"], 7)]:
+        a = [
+            (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf_score"])
+            for r in hybrid.rrf_hybrid_topk(
+                c, spark.read.parquet(emb_path), terms, query_vec_id=qv,
+                k=10, window=20,
+            ).collect()
+        ]
+        b = hybrid.rrf_hybrid_local(
+            idx, emb_path, terms, query_vec_id=qv, k=10, window=20
+        )
+        assert a == b, (terms, qv)
