@@ -239,6 +239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # NEW (r4, session 8): ES rate agg — per-day docs/bytes per hour
         "agg_rate": lambda spark, sf: agg.agg_rate(load_corpus(spark, sf)),
+        # NEW (r4, session 8): ES moving_percentiles pipeline agg —
+        # exact sliding percentiles over the daily histogram
+        "agg_moving_percentiles": lambda spark, sf: (
+            agg.agg_moving_percentiles(load_corpus(spark, sf), window=3)
+        ),
         # NEW (r4, session 8): ES percentiles_bucket sibling pipeline agg
         "agg_percentiles_bucket": lambda spark, sf: (
             agg.agg_percentiles_bucket(load_corpus(spark, sf))
@@ -1250,6 +1255,7 @@ FROM corpus ORDER BY doc_id
         "agg_mad": agg.agg_mad_sql(),
         "agg_cumulative_cardinality": agg.agg_cumulative_cardinality_sql(),
         "agg_rate": agg.agg_rate_sql(),
+        "agg_moving_percentiles": agg.agg_moving_percentiles_sql(window=3),
         "agg_percentiles_bucket": agg.agg_percentiles_bucket_sql(),
         "agg_random_sampler": agg.agg_random_sampler_sql(permille=200),
         "variable_width_histogram": agg.variable_width_histogram_sql(k=4, iters=2),

@@ -1516,3 +1516,50 @@ SELECT CAST(cid AS INTEGER) AS bucket,
 FROM (SELECT x, {cid_expr(f'it{iters}')} AS cid FROM x, it{iters}) f
 GROUP BY cid ORDER BY bucket
 """
+
+
+def agg_moving_percentiles(corpus: DataFrame, window: int = 3) -> DataFrame:
+    """ES `moving_percentiles` pipeline agg: exact interpolated p50/p90
+    over a trailing `window`-bucket frame of the daily doc-count
+    histogram (ES slides its TDigests; the engine slides the exact
+    aggregate).  The window is bounded by the day axis, not the corpus
+    (same contract as timeline_pipeline's moving_fn)."""
+    from pyspark.sql.window import Window
+
+    daily = corpus.groupBy(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("docs"))
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("day")
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    return daily.select(
+        "day",
+        "docs",
+        F.round(
+            F.percentile(F.col("docs").cast("double"), F.lit(0.5)).over(w), 4
+        ).alias("moving_p50"),
+        F.round(
+            F.percentile(F.col("docs").cast("double"), F.lit(0.9)).over(w), 4
+        ).alias("moving_p90"),
+    ).orderBy("day")
+
+
+def agg_moving_percentiles_sql(window: int = 3) -> str:
+    w = int(window) - 1
+    return f"""
+WITH {CORPUS_CTE.strip()},
+daily AS (
+  SELECT strftime(warc_ts, '%Y-%m-%d') AS day, count(*) AS docs
+  FROM corpus GROUP BY 1
+)
+SELECT day, docs,
+       round(quantile_cont(CAST(docs AS DOUBLE), 0.5) OVER (
+           ORDER BY day ROWS BETWEEN {w} PRECEDING AND CURRENT ROW), 4)
+         AS moving_p50,
+       round(quantile_cont(CAST(docs AS DOUBLE), 0.9) OVER (
+           ORDER BY day ROWS BETWEEN {w} PRECEDING AND CURRENT ROW), 4)
+         AS moving_p90
+FROM daily ORDER BY day
+"""

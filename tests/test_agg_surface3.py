@@ -116,3 +116,16 @@ def test_vwh_buckets_partition_the_range(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == c.count()
     for a, b in zip(rows, rows[1:]):
         assert a["max_chars"] < b["min_chars"]
+
+
+def test_moving_percentiles_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        agg.agg_moving_percentiles(load_corpus(spark, sf_dir), window=3),
+        duck.execute(agg.agg_moving_percentiles_sql(window=3)).df(),
+    )
+
+
+def test_moving_percentiles_single_day_equals_docs(spark, sf_dir):
+    rows = agg.agg_moving_percentiles(load_corpus(spark, sf_dir), window=3).collect()
+    # first bucket's trailing window is itself
+    assert rows[0]["moving_p50"] == float(rows[0]["docs"])
