@@ -1375,6 +1375,8 @@ def agg_random_sampler(corpus: DataFrame, permille: int = 200) -> DataFrame:
     from .dedup import h64
 
     p = int(permille)
+    if not 1 <= p <= 1000:
+        raise ValueError("permille must be in [1, 1000]")
     sample = corpus.filter(F.pmod(h64(F.col("url")), F.lit(1000)) < p)
     return sample.agg(
         F.count(F.lit(1)).alias("sampled_docs"),

@@ -881,6 +881,8 @@ def pack_sequences(
     from pyspark.sql.window import Window
 
     seq_len, bucket = int(seq_len), int(bucket)
+    if seq_len < 1 or bucket < 1:
+        raise ValueError("seq_len and bucket must be >= 1")
     t = (
         corpus.select(
             "doc_id",

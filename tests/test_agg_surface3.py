@@ -129,3 +129,10 @@ def test_moving_percentiles_single_day_equals_docs(spark, sf_dir):
     rows = agg.agg_moving_percentiles(load_corpus(spark, sf_dir), window=3).collect()
     # first bucket's trailing window is itself
     assert rows[0]["moving_p50"] == float(rows[0]["docs"])
+
+
+def test_random_sampler_rejects_bad_permille(spark, sf_dir):
+    with pytest.raises(ValueError):
+        agg.agg_random_sampler(load_corpus(spark, sf_dir), permille=0)
+    with pytest.raises(ValueError):
+        agg.agg_random_sampler(load_corpus(spark, sf_dir), permille=1001)

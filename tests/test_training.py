@@ -233,3 +233,16 @@ class TestRepetitionMetrics:
         )
         r = training.repetition_metrics(as_corpus(docs), top_n=2, dup_n=5).first()
         assert r["dup_frac"] == round(10 / 13, 5)
+
+
+def test_pack_sequences_rejects_bad_params(spark, sf_dir):
+    import pytest as _pt
+
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.operators import training
+
+    c = load_corpus(spark, sf_dir)
+    with _pt.raises(ValueError):
+        training.pack_sequences(c, seq_len=0)
+    with _pt.raises(ValueError):
+        training.pack_sequences(c, seq_len=64, bucket=0)
