@@ -145,6 +145,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 9): DSIR (Xie et al. 2023) — hashed-unigram
+        # importance weights, log p_target - log p_raw under Laplace
+        # smoothing; model side is a broadcast n_buckets-row table
+        "dsir_weights": lambda spark, sf: training.dsir_weights(
+            load_corpus(spark, sf), target_lang="fr"
+        ),
+        # NEW (r4, session 9): DSIR Gumbel-top-k resampling — RNG-free
+        # (url-hash uniform) without-replacement sampler over the weights
+        "dsir_sample": lambda spark, sf: training.dsir_sample(
+            load_corpus(spark, sf), target_lang="fr", k=50
+        ),
+        # NEW (r4, session 9): BPE tokenizer-training statistic — adjacent
+        # symbol-pair counts over the word-frequency table (corpus-sized
+        # work happens once; the trainer's rounds touch vocab only)
+        "bpe_pair_counts": lambda spark, sf: training.bpe_pair_counts(
+            load_corpus(spark, sf), k=20
+        ),
         # NEW (r4, session 8): ES msearch-knn — N query vectors in ONE
         # job: broadcast query set, one corpus map, per-query window
         "cosine_topk_batch": lambda spark, sf: sim.cosine_topk_batch(
@@ -1244,6 +1261,9 @@ FROM corpus ORDER BY doc_id
         "repetition_metrics": training.repetition_metrics_sql(top_n=2, dup_n=5),
         "dedup_url_canonical": dedup.dedup_url_canonical_sql(),
         "top_ngrams": training.top_ngrams_sql(n=3, k=20),
+        "dsir_weights": training.dsir_weights_sql(target_lang="fr"),
+        "dsir_sample": training.dsir_sample_sql(target_lang="fr", k=50),
+        "bpe_pair_counts": training.bpe_pair_counts_sql(k=20),
         "completion_contexts": suggest.completion_contexts_sql("site1", lang="en", k=10),
         "span_within_topk": spans.span_within_sql("fast", ["the", "merge"], slop=2, k=10),
         "span_containing_topk": spans.span_containing_sql("fast", ["the", "merge"], slop=2, k=10),

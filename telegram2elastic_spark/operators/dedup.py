@@ -868,23 +868,64 @@ def dedup_components(
     table on src (the label table is the smaller side at dup-graph
     sparsity), then a min groupBy on dst with map-side partial agg.
     Rounds needed = graph diameter, which for near-dup clusters is tiny
-    (dup sets are quasi-cliques — LSH emits most cross pairs directly,
-    so 2-4 rounds converge); `max_iters` bounds pathological chains, and
-    the loop exits early on a converged round (changed-count == 0).  At
-    100 TB the production upgrade is alternating large-star/small-star
-    (same join shape, provably O(log n) rounds); hash-min is the
-    honest default because dup-cluster diameter, not vertex count,
-    drives round count.  localCheckpoint per round truncates the
-    iterative lineage chain.
+    (dup sets are quasi-cliques — each LSH bucket is a star around its
+    min id, so 2-4 rounds converge); `max_iters` bounds pathological
+    chains, and the loop exits early on a converged round
+    (changed-count == 0).  At 100 TB the production upgrade is
+    alternating large-star/small-star (same join shape, provably
+    O(log n) rounds); hash-min is the honest default because
+    dup-cluster diameter, not vertex count, drives round count.
+    localCheckpoint per round truncates the iterative lineage chain.
+
+    Edge construction is STAR-REDUCED: instead of materializing the
+    all-pairs candidate list (O(m^2) rows per LSH bucket — the
+    `minhash_lsh_pairs` contract, which stays all-pairs because pairs
+    ARE its output), each bucket member connects to the bucket's min
+    doc_id (O(m) rows).  Transitive closure is unchanged: star edges
+    are a subset of the candidate pairs (the min is a member and
+    min < x), and every candidate pair (x, y) in a bucket is linked
+    through that bucket's min — so components are IDENTICAL to closing
+    over the full pair list (the recursive-CTE oracle proves it per
+    run).  At 40-way replication this is ~20x fewer edge rows.
 
     Returns (doc_id, component) for every doc that has at least one
     near-dup candidate, component = min doc_id of its cluster.
     """
-    # checkpoint the edge list BEFORE symmetrizing: the union's two
-    # branches would otherwise each recompute the whole LSH pipeline
+    n_hashes, bands = int(n_hashes), int(bands)
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    r = n_hashes // bands
+    sig = minhash_signatures(corpus, n_hashes)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"sig_{r * j + i}").cast("string")
+                        for i in range(r)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    ).localCheckpoint()
+    bucket_root = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.min("doc_id").alias("root"), F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > 1)
+        .drop("m")
+    )
+    # both shuffles key on (band, band_hash); rows out = bucket members,
+    # never member pairs
     edges = (
-        minhash_lsh_pairs(corpus, n_hashes=n_hashes, bands=bands)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        banded.join(bucket_root, ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
         .localCheckpoint()
     )
     sym = edges.unionByName(

