@@ -162,6 +162,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": lambda spark, sf: training.bpe_pair_counts(
             load_corpus(spark, sf), k=20
         ),
+        # NEW (r4, session 9): ES geo_distance AGGREGATION — concentric
+        # haversine rings around an origin, all rings emitted (broadcast
+        # literal ring table), one small-key hash agg
+        "geo_distance_agg": lambda spark, sf: geo.geo_distance_agg(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 9): ES bucket_selector pipeline agg — predicate
+        # over parent-bucket metrics, filter over axis-sized rows only
+        "agg_bucket_selector": lambda spark, sf: agg.agg_bucket_selector(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 9): ES dfs_query_then_fetch — term stats merged
+        # across ALL indexes before scoring (global df/N/avgdl); indexed
+        # twin passes driver-merged stats into the WAND kernel via
+        # stats_override (identity-tested)
+        "federated_dfs_topk": lambda spark, sf: fed.federated_topk_dfs(
+            load_corpus(spark, sf), Q_MAIN, k=10
+        ),
+        # NEW (r4, session 9): ES indices_boost — coordinator multiplies
+        # each index's shard-returned rounded score (no re-round; boosted
+        # scores stay bit-identical cross-engine)
+        "federated_boost_topk": lambda spark, sf: fed.federated_topk(
+            load_corpus(spark, sf), Q_MAIN, k=10,
+            indices_boost={"fr": 2.5, "en": 0.5},
+        ),
         # NEW (r4, session 8): ES msearch-knn — N query vectors in ONE
         # job: broadcast query set, one corpus map, per-query window
         "cosine_topk_batch": lambda spark, sf: sim.cosine_topk_batch(
@@ -1264,6 +1289,12 @@ FROM corpus ORDER BY doc_id
         "dsir_weights": training.dsir_weights_sql(target_lang="fr"),
         "dsir_sample": training.dsir_sample_sql(target_lang="fr", k=50),
         "bpe_pair_counts": training.bpe_pair_counts_sql(k=20),
+        "geo_distance_agg": geo.geo_distance_agg_sql(),
+        "agg_bucket_selector": agg.agg_bucket_selector_sql(),
+        "federated_dfs_topk": fed.federated_topk_dfs_sql(Q_MAIN, k=10),
+        "federated_boost_topk": fed.federated_topk_sql(
+            Q_MAIN, k=10, indices_boost={"fr": 2.5, "en": 0.5}
+        ),
         "completion_contexts": suggest.completion_contexts_sql("site1", lang="en", k=10),
         "span_within_topk": spans.span_within_sql("fast", ["the", "merge"], slop=2, k=10),
         "span_containing_topk": spans.span_containing_sql("fast", ["the", "merge"], slop=2, k=10),

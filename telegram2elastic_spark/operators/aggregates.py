@@ -485,6 +485,49 @@ LIMIT {int(size)} OFFSET {int(skip)}
 """
 
 
+def agg_bucket_selector(
+    corpus: DataFrame, min_docs: int = 5, min_avg_chars: float = 200.0
+) -> DataFrame:
+    """ES `bucket_selector` pipeline aggregation: drop parent buckets
+    whose metrics fail the script predicate — here a daily
+    date_histogram with two metrics (doc count, avg n_chars) kept iff
+    `n_docs >= min_docs && avg_chars > min_avg_chars` (the canonical
+    "params.count >= X" buckets_path script).  Surviving buckets keep
+    key order, like ES.
+
+    Shape: the parent histogram is one map-side-combinable hash agg; the
+    selector is a FILTER over axis-sized bucket rows — never a second
+    pass over the corpus.  avg rounded to 4 before comparing (and in the
+    output) so both engines apply the predicate to identical values."""
+    buckets = corpus.groupBy(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return buckets.filter(
+        (F.col("n_docs") >= int(min_docs))
+        & (F.col("avg_chars") > float(min_avg_chars))
+    ).orderBy("day")
+
+
+def agg_bucket_selector_sql(
+    min_docs: int = 5, min_avg_chars: float = 200.0
+) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+buckets AS (
+  SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+         count(*) AS n_docs,
+         round(avg(n_chars), 4) AS avg_chars
+  FROM corpus GROUP BY 1
+)
+SELECT day, n_docs, avg_chars FROM buckets
+WHERE n_docs >= {int(min_docs)} AND avg_chars > {float(min_avg_chars)!r}
+ORDER BY day
+"""
+
+
 def timeline_serial_diff(corpus: DataFrame, lag: int = 24) -> DataFrame:
     """ES `serial_diff` pipeline aggregation: n_docs minus the value
     `lag` buckets earlier (the seasonality-removal shape — lag=24 on an

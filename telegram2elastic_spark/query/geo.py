@@ -249,3 +249,91 @@ SELECT round(max(lat), 6) AS top_lat,
        count(*) AS cnt
 FROM geo {where}
 """
+
+
+def geo_distance_agg(
+    corpus: DataFrame,
+    lat0: float = 48.2,
+    lon0: float = 16.4,
+    edges: tuple[float, ...] = (2000.0, 5000.0, 10000.0),
+) -> DataFrame:
+    """ES `geo_distance` AGGREGATION: bucket every doc by its haversine
+    distance from the origin into concentric rings [0,e1), [e1,e2), ...,
+    [eN,*) and count per ring.  Every ring is emitted even when empty
+    (ES contract), keys in ES's "from-to" format.
+
+    Shape: the distance is map-only; the ring id is a literal when-chain;
+    ONE hash agg on a <=len(edges)+1-key space; empty rings come from a
+    broadcast literal ring table (rows = rings, never corpus-sized).
+    Distances are rounded to 3 decimals BEFORE bucketing — same contract
+    as geo_distance_page, so both engines bucket identical values."""
+    edges = tuple(float(e) for e in edges)
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly increasing")
+    bounds = [(0.0, edges[0])] + [
+        (edges[i], edges[i + 1]) for i in range(len(edges) - 1)
+    ] + [(edges[-1], None)]
+
+    def key_of(lo: float, hi: float | None) -> str:
+        lo_s = "*" if lo == 0.0 else f"{lo}"
+        hi_s = "*" if hi is None else f"{hi}"
+        return f"{lo_s}-{hi_s}"
+
+    d = F.round(_haversine_col(lat0, lon0), 3)
+    ring = F.lit(len(edges))  # default: beyond the last edge
+    for i in range(len(edges) - 1, -1, -1):
+        ring = F.when(d < edges[i], F.lit(i)).otherwise(ring)
+    counts = (
+        _latlon(corpus)
+        .select(ring.alias("ring"))
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = corpus.sparkSession
+    rings = spark.createDataFrame(
+        [(i, key_of(lo, hi)) for i, (lo, hi) in enumerate(bounds)],
+        "ring int, key string",
+    )
+    return (
+        F.broadcast(rings)
+        .join(counts, "ring", "left")
+        .select(
+            "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("doc_count")
+        )
+        .orderBy(F.col("key"))  # deterministic; driver sorts by column anyway
+    )
+
+
+def geo_distance_agg_sql(
+    lat0: float = 48.2,
+    lon0: float = 16.4,
+    edges: tuple[float, ...] = (2000.0, 5000.0, 10000.0),
+) -> str:
+    edges = tuple(float(e) for e in edges)
+    hav = (
+        f"2 * {EARTH_KM!r} * asin(sqrt("
+        f"sin(radians(lat - ({lat0!r})) / 2) * sin(radians(lat - ({lat0!r})) / 2)"
+        f" + cos(radians({lat0!r})) * cos(radians(lat))"
+        f" * sin(radians(lon - ({lon0!r})) / 2) * sin(radians(lon - ({lon0!r})) / 2)"
+        f"))"
+    )
+    bounds = [(0.0, edges[0])] + [
+        (edges[i], edges[i + 1]) for i in range(len(edges) - 1)
+    ] + [(edges[-1], None)]
+    ring_rows = ", ".join(
+        f"({i}, '{'*' if lo == 0.0 else lo}-{'*' if hi is None else hi}')"
+        for i, (lo, hi) in enumerate(bounds)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN d < {e!r} THEN {i}" for i, e in enumerate(edges)
+    ) + f" ELSE {len(edges)} END"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (SELECT {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus),
+d AS (SELECT round({hav}, 3) AS d FROM geo),
+counts AS (SELECT {case} AS ring, count(*) AS cnt FROM d GROUP BY 1),
+rings(ring, key) AS (VALUES {ring_rows})
+SELECT rings.key, CAST(COALESCE(counts.cnt, 0) AS BIGINT) AS doc_count
+FROM rings LEFT JOIN counts ON rings.ring = counts.ring
+ORDER BY rings.key
+"""

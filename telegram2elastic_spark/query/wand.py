@@ -381,8 +381,16 @@ def wand_topk(
     min_should_match: int = 0,
     exclude_terms: list[str] | None = None,
     after: tuple[float, int] | None = None,
+    stats_override: tuple[dict, float] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, url, score) from the compressed index.
+
+    `stats_override=(idfs, avgdl)` scores with EXTERNAL statistics
+    instead of this index's own — the dfs_query_then_fetch seam: the
+    federated coordinator merges df/N/avgdl across indexes driver-side
+    and every shard then ranks against the same global idf.  MaxScore
+    upper bounds derive from whatever idfs are in force, so pruning
+    stays exact under an override.
 
     Driver-side: collect idf inputs for the |q| query terms (tiny — a
     broadcast in closure form) and global stats; executors only ever see
@@ -423,7 +431,16 @@ def wand_topk(
         )
     exclude = sorted(set(exclude_terms or []))
     spark = index["doc_map"].sparkSession
-    idfs, avgdl = _collect_idfs(index, terms)
+    if stats_override is not None:
+        ext_idfs, avgdl = stats_override
+        # restrict to the query's terms, drop zero-hit entries (None)
+        idfs = {
+            t: float(v)
+            for t, v in ext_idfs.items()
+            if t in set(terms) and v is not None
+        }
+    else:
+        idfs, avgdl = _collect_idfs(index, terms)
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
     n_terms = len(set(terms))
     require_all = n_terms if conjunctive else int(min_should_match)

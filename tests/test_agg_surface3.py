@@ -136,3 +136,32 @@ def test_random_sampler_rejects_bad_permille(spark, sf_dir):
         agg.agg_random_sampler(load_corpus(spark, sf_dir), permille=0)
     with pytest.raises(ValueError):
         agg.agg_random_sampler(load_corpus(spark, sf_dir), permille=1001)
+
+
+class TestBucketSelector:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import aggregates as agg
+        from .oracle import assert_same
+
+        got = agg.agg_bucket_selector(load_corpus(spark, sf_dir))
+        want = duck.execute(agg.agg_bucket_selector_sql()).df()
+        assert_same(got, want)
+
+    def test_predicate_semantics(self, spark, sf_dir):
+        """Selector output == parent histogram minus failing buckets, key
+        order preserved; an impossible predicate empties the result."""
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import aggregates as agg
+
+        corpus = load_corpus(spark, sf_dir)
+        kept = agg.agg_bucket_selector(corpus, min_docs=5,
+                                       min_avg_chars=200.0).collect()
+        everything = agg.agg_bucket_selector(corpus, min_docs=0,
+                                             min_avg_chars=-1.0).collect()
+        want = [r for r in everything
+                if r["n_docs"] >= 5 and r["avg_chars"] > 200.0]
+        assert [tuple(r) for r in kept] == [tuple(r) for r in want]
+        days = [r["day"] for r in kept]
+        assert days == sorted(days)
+        assert agg.agg_bucket_selector(corpus, min_docs=10**9).count() == 0

@@ -58,3 +58,30 @@ def test_bbox_near_pole_finite():
     coslat = max(0.01, math.cos(math.radians(lat_far)))
     dlon = 5000.0 / (111.195 * coslat)
     assert math.isfinite(dlon) and dlon > 0
+
+
+def test_geo_distance_agg_vs_oracle(spark, duck, sf_dir):
+    got = geo.geo_distance_agg(load_corpus(spark, sf_dir))
+    want = duck.execute(geo.geo_distance_agg_sql()).df()
+    assert_same(got, want)
+
+
+def test_geo_distance_agg_rings_complete(spark, sf_dir):
+    """Every ring emitted (even empty ones — pass edges past the antipode
+    so the outer rings MUST be empty) and counts sum to the corpus size."""
+    corpus = load_corpus(spark, sf_dir)
+    rows = geo.geo_distance_agg(
+        corpus, edges=(2000.0, 25000.0, 30000.0)
+    ).collect()
+    assert {r["key"] for r in rows} == {
+        "*-2000.0", "2000.0-25000.0", "25000.0-30000.0", "30000.0-*",
+    }
+    by = {r["key"]: r["doc_count"] for r in rows}
+    # half the earth's circumference is ~20015 km: nothing is farther
+    assert by["25000.0-30000.0"] == 0 and by["30000.0-*"] == 0
+    assert sum(by.values()) == corpus.count()
+
+
+def test_geo_distance_agg_rejects_unsorted_edges():
+    with pytest.raises(ValueError):
+        geo.geo_distance_agg(None, edges=(5000.0, 2000.0))
