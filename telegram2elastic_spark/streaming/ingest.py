@@ -857,3 +857,64 @@ def stream_ingest_availablenow(
     q.awaitTermination()
     if auto_compact:
         indexer.maybe_compact()
+
+
+class PointInTime:
+    """ES point-in-time (`POST /index/_pit`): a search context pinned to
+    the index state at open time, so paged search_after scans stay
+    CONSISTENT while writes keep landing — no page ever sees a doc the
+    previous page's world didn't have, and cursors never skip or repeat
+    under concurrent upserts.
+
+    Implementation: a PIT is a pinned manifest snapshot version (the
+    Iceberg read-isolation machinery as_index(version=) already
+    provides), plus the cached index view.  ES's keep_alive maps to
+    vacuum(retain_versions=N): a PIT stays valid until its snapshot is
+    vacuumed, at which point searches raise — the expired-PIT error.
+    Open/search/close are all driver-side metadata; no corpus work."""
+
+    def __init__(self, indexer: "IncrementalIndexer"):
+        versions = indexer.versions()
+        if not versions:
+            raise ValueError("no committed snapshot to pin (ingest first)")
+        self.indexer = indexer
+        self.version = versions[-1]
+        self.pit_id = f"pit_v{self.version}"
+        self._index: dict | None = None
+        self._closed = False
+
+    @property
+    def index(self) -> dict:
+        if self._closed:
+            raise ValueError(f"{self.pit_id} is closed")
+        if self._index is None:
+            # raises ValueError("... not found") once vacuum() reclaimed
+            # the pinned snapshot — the ES expired-keep_alive error
+            self._index = self.indexer.as_index(version=self.version)
+        return self._index
+
+    def search(
+        self,
+        terms: list[str],
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        **kwargs,
+    ):
+        """wand_topk against the pinned snapshot; `after` is the
+        (score, doc_id) search_after cursor — the ES PIT pagination
+        idiom (pit + search_after + sort)."""
+        from ..query.wand import wand_topk
+
+        return wand_topk(self.index, terms, k=k, after=after, **kwargs)
+
+    def close(self) -> None:
+        """Release the context (DELETE /_pit).  Snapshot reclamation
+        stays vacuum()'s job — closing a PIT never deletes data."""
+        self._closed = True
+        self._index = None
+
+
+def open_pit(indexer: "IncrementalIndexer") -> PointInTime:
+    """ES `POST /index/_pit?keep_alive=...` — pin the latest committed
+    snapshot and return the search context."""
+    return PointInTime(indexer)

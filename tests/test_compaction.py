@@ -237,3 +237,68 @@ def test_concurrent_reader_during_compaction(spark, sf_dir, tmp_path):
     assert q(ix.as_index(version=pinned_v)) == want
     assert q(ix.as_index()) == want
     assert len(ix.manifest()) == 1
+
+
+class TestPointInTime:
+    """ES _pit: paged search_after consistency under concurrent writes."""
+
+    def test_paged_consistency_across_upserts(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.streaming.ingest import open_pit
+
+        corpus = load_corpus(spark, sf_dir).filter("doc_id < 120")
+        ix = IncrementalIndexer(spark, str(tmp_path / "pit1"), n_doc_parts=4)
+        ix.ingest_batch(corpus, "b0")
+
+        pit = open_pit(ix)
+        page1 = _rows(pit.search(["spark", "merge"], k=5))
+        assert page1
+
+        # concurrent write: edit SOME of the matching docs (text change ->
+        # tombstone + new generation), landing AFTER the PIT was opened
+        edited_ids = [d for d, _ in page1[:2]]
+        edits = corpus.filter(
+            F.col("doc_id").isin(edited_ids)
+        ).withColumn("text", F.lit("nothing relevant anymore"))
+        ix.upsert_batch(edits, "edit1")
+
+        # page 2 through the PIT: the world is still the open-time one —
+        # identical to paging a never-written index
+        cur = (page1[-1][1], page1[-1][0])
+        page2 = _rows(pit.search(["spark", "merge"], k=5, after=cur))
+        frozen = ix.as_index(version=pit.version)
+        want = _rows(wand_topk(frozen, ["spark", "merge"], k=10))
+        assert page1 + page2 == want
+
+        # the LIVE index disagrees (edits visible): PIT was load-bearing
+        live = _rows(wand_topk(ix.as_index(), ["spark", "merge"], k=10))
+        assert live != want
+        assert all(d not in {r[0] for r in live} for d in edited_ids)
+
+    def test_expiry_and_close(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.streaming.ingest import open_pit
+
+        corpus = load_corpus(spark, sf_dir).filter("doc_id < 60")
+        ix = IncrementalIndexer(spark, str(tmp_path / "pit2"), n_doc_parts=4)
+        ix.ingest_batch(corpus.filter("doc_id < 30"), "b0")
+        pit = open_pit(ix)
+        assert pit.pit_id == "pit_v0"
+
+        # keep_alive expiry: later commits + vacuum reclaim the snapshot
+        ix.ingest_batch(corpus.filter("doc_id >= 30"), "b1")
+        ix.compact([e["segment_id"] for e in ix.manifest()])
+        ix.vacuum(retain_versions=1)
+        with pytest.raises(ValueError, match="not found"):
+            pit.search(["the"], k=3).collect()
+
+        # close() invalidates explicitly
+        pit2 = open_pit(ix)
+        pit2.close()
+        with pytest.raises(ValueError, match="closed"):
+            pit2.search(["the"], k=3)
+
+    def test_open_requires_commit(self, spark, tmp_path):
+        from telegram2elastic_spark.streaming.ingest import open_pit
+
+        ix = IncrementalIndexer(spark, str(tmp_path / "pit3"), n_doc_parts=4)
+        with pytest.raises(ValueError, match="no committed snapshot"):
+            open_pit(ix)
