@@ -187,6 +187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), Q_MAIN, k=10,
             indices_boost={"fr": 2.5, "en": 0.5},
         ),
+        # NEW (r4, session 9): IVF-PQ with exact rescoring (FAISS refine /
+        # ES quantized-kNN oversample+rescore) — ADC retrieves k*oversample,
+        # raw vectors touched only for that broadcast candidate set
+        "sim_ivfpq_refine": lambda spark, sf: sim.ivfpq_refine_topk(
+            load_embeddings(spark, sf), query_vec_id=7, k=5, nprobe=2,
+            oversample=4,
+        ),
         # NEW (r4, session 8): ES msearch-knn — N query vectors in ONE
         # job: broadcast query set, one corpus map, per-query window
         "cosine_topk_batch": lambda spark, sf: sim.cosine_topk_batch(
@@ -1294,6 +1301,9 @@ FROM corpus ORDER BY doc_id
         "federated_dfs_topk": fed.federated_topk_dfs_sql(Q_MAIN, k=10),
         "federated_boost_topk": fed.federated_topk_sql(
             Q_MAIN, k=10, indices_boost={"fr": 2.5, "en": 0.5}
+        ),
+        "sim_ivfpq_refine": sim.ivfpq_refine_topk_sql(
+            7, k=5, nprobe=2, oversample=4
         ),
         "completion_contexts": suggest.completion_contexts_sql("site1", lang="en", k=10),
         "span_within_topk": spans.span_within_sql("fast", ["the", "merge"], slop=2, k=10),

@@ -913,6 +913,74 @@ LIMIT {k}
 """
 
 
+def ivfpq_refine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    oversample: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF-PQ with EXACT RESCORING (FAISS IndexRefine / ES 8.15 quantized
+    kNN "oversample + rescore"): the compressed-domain ADC pass retrieves
+    k * oversample candidates, then ONLY those rows' raw embeddings are
+    read for an exact distance re-rank to the final top-k.  The accuracy
+    cost of PQ is paid back with an O(k * oversample)-row exact pass —
+    raw vectors never leave their partitions (the candidate set is a
+    broadcast literal-sized join), so the 100 TB plan is the ADC scan
+    plus one pruned point-lookup stage.
+
+    Returns (vec_id, dist) by exact L2^2, rounded 5, vec_id tiebreak."""
+    cand = ivfpq_topk(
+        embeddings, query_vec_id, k=int(k) * int(oversample),
+        nprobe=nprobe, m=m, ksub=ksub, iters=iters, dim=dim,
+    ).select("vec_id")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("v").alias("qv")
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(_l2sq(F.col("v"), F.col("qv")), 5).alias("dist")
+        )
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+def ivfpq_refine_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    oversample: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+) -> str:
+    inner = ivfpq_topk_sql(
+        query_vec_id, int(k) * int(oversample), nprobe, m, ksub, iters, dim
+    ).strip()
+    return f"""
+WITH cand AS ({inner}),
+ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qq AS (SELECT v AS qv FROM ee WHERE vec_id = {int(query_vec_id)})
+SELECT ee.vec_id,
+       round(list_distance(ee.v, qq.qv) * list_distance(ee.v, qq.qv), 5)
+           AS dist
+FROM ee JOIN cand USING (vec_id) CROSS JOIN qq
+ORDER BY dist ASC, ee.vec_id ASC
+LIMIT {int(k)}
+"""
+
+
 def knn_filtered_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,

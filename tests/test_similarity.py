@@ -204,3 +204,90 @@ def test_ivfpq_subset_of_full_adc(spark, sf_dir):
     assert len(hits) > 0
     for r in hits:
         assert full[r["vec_id"]] == r["adc_dist"]
+
+
+class TestIVFPQRefine:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        got = sim.ivfpq_refine_topk(
+            load_embeddings(spark, sf_dir), query_vec_id=7, k=5, nprobe=2,
+            oversample=4,
+        )
+        want = duck.execute(
+            sim.ivfpq_refine_topk_sql(7, k=5, nprobe=2, oversample=4)
+        ).df()
+        assert_same(got, want)
+
+    def test_exact_distances_and_candidate_subset(self, spark, sf_dir):
+        """Refined hits carry EXACT L2^2 (not ADC estimates) and come from
+        the ADC oversample window."""
+        from pyspark.sql import functions as F
+
+        emb = load_embeddings(spark, sf_dir)
+        window = {
+            r["vec_id"]
+            for r in sim.ivfpq_topk(emb, query_vec_id=7, k=20, nprobe=2)
+            .collect()
+        }
+        hits = sim.ivfpq_refine_topk(
+            emb, query_vec_id=7, k=5, nprobe=2, oversample=4
+        ).collect()
+        assert len(hits) == 5
+        e = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        qv = e.filter("vec_id = 7").collect()[0]["v"]
+        exact = {
+            r["vec_id"]: round(
+                sum((a - b) ** 2 for a, b in zip(r["v"], qv)), 5
+            )
+            for r in e.filter(
+                F.col("vec_id").isin([h["vec_id"] for h in hits])
+            ).collect()
+        }
+        for h in hits:
+            assert h["vec_id"] in window
+            assert abs(exact[h["vec_id"]] - h["dist"]) < 1e-6
+
+    def test_rescoring_recovers_adc_misrankings(self, spark, sf_dir):
+        """Recall@k vs the exact brute-force ranking: refine must be at
+        least as good as raw ADC order over the same candidate window
+        (the reason the op exists)."""
+        emb = load_embeddings(spark, sf_dir)
+        true = [
+            r["vec_id"]
+            for r in sim.cosine_l2_topk(emb, query_vec_id=7, k=5).collect()
+        ] if hasattr(sim, "cosine_l2_topk") else None
+        if true is None:
+            # exact L2 brute force inline
+            from pyspark.sql import functions as F
+
+            e = emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            q = e.filter("vec_id = 7").select(F.col("v").alias("qv"))
+            true = [
+                r["vec_id"]
+                for r in e.filter("vec_id != 7")
+                .crossJoin(F.broadcast(q))
+                .select(
+                    "vec_id",
+                    F.round(sim._l2sq(F.col("v"), F.col("qv")), 5).alias("d"),
+                )
+                .orderBy(F.asc("d"), F.asc("vec_id"))
+                .limit(5)
+                .collect()
+            ]
+        adc = [
+            r["vec_id"]
+            for r in sim.ivfpq_topk(emb, query_vec_id=7, k=5, nprobe=2)
+            .collect()
+        ]
+        ref = [
+            r["vec_id"]
+            for r in sim.ivfpq_refine_topk(
+                emb, query_vec_id=7, k=5, nprobe=2, oversample=8
+            ).collect()
+        ]
+        r_adc = len(set(adc) & set(true)) / 5
+        r_ref = len(set(ref) & set(true)) / 5
+        assert r_ref >= r_adc
