@@ -30,13 +30,16 @@ LANGS = sorted(STOPWORDS)
 
 def _hits(lang: str) -> F.Column:
     lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens("text"), lambda t: F.array_contains(lst, t)))
+    return F.size(
+        F.filter(F.col("__toks"), lambda t: F.array_contains(lst, t))
+    )
 
 
 def lang_id(corpus: DataFrame) -> DataFrame:
     """Stopword-hit language ID: argmax over per-language hit counts with
     deterministic tie-break (alphabetical lang; 'und' when zero hits)."""
-    df = corpus.select(
+    # tokens materialized once per row (|LANGS| references)
+    df = corpus.withColumn("__toks", tokens("text")).select(
         "doc_id", *[_hits(lang).alias(f"hits_{lang}") for lang in LANGS]
     )
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in LANGS])
@@ -90,7 +93,8 @@ def quality_scores(corpus: DataFrame) -> DataFrame:
     """Quality heuristics: token count, mean token length, alnum ratio,
     stopword ratio, composite quality score in [0,1] (clamped like the
     reference's score clamp, llm_classifier.py:163)."""
-    toks = tokens("text")
+    # tokens materialized once per row (referenced by 4 signals below)
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     # raw (unrounded) ratios: quality composes THESE; rounding only at the
     # output edge — composing pre-rounded 5-decimal values with decimal
@@ -126,7 +130,7 @@ def quality_scores(corpus: DataFrame) -> DataFrame:
         ),
         5,
     )
-    return corpus.select(
+    return corpus.withColumn("__toks", tokens("text")).select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
         F.round(mean_len_raw, 5).alias("mean_token_len"),
@@ -206,16 +210,26 @@ FROM corpus ORDER BY doc_id
 def fingerprints(corpus: DataFrame) -> DataFrame:
     """Document fingerprint: min/max rolling 3-gram shingle hash (winnowing-
     style extremes) — a compact dedup/citation key."""
-    from ..operators.dedup import h64, shingles_col
+    from ..operators.dedup import _toks, shingles_col
 
-    sh = F.transform(shingles_col(3), lambda s: F.conv(
-        F.substring(F.md5(s), 1, 15), 16, 10
-    ).cast("bigint"))
-    return corpus.select(
-        "doc_id",
-        F.when(F.size(sh) > 0, F.array_min(sh)).alias("fp_min"),
-        F.when(F.size(sh) > 0, F.array_max(sh)).alias("fp_max"),
-    ).orderBy("doc_id")
+    # toks and the hashed-shingle array are materialized as columns so the
+    # tokenizer/shingler run once per row (multi-referenced non-cheap
+    # aliases are not collapsed) — see shingles_col's performance contract
+    hashed = F.transform(
+        shingles_col(3, F.col("toks")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+    sh = F.col("sh")
+    return (
+        corpus.select("doc_id", _toks().alias("toks"))
+        .select("doc_id", hashed.alias("sh"))
+        .select(
+            "doc_id",
+            F.when(F.size(sh) > 0, F.array_min(sh)).alias("fp_min"),
+            F.when(F.size(sh) > 0, F.array_max(sh)).alias("fp_max"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def fingerprints_sql() -> str:

@@ -50,10 +50,17 @@ def _toks() -> F.Column:
     return tokens("text")
 
 
-def shingles_col(n: int = 3) -> F.Column:
+def shingles_col(n: int = 3, toks: F.Column | None = None) -> F.Column:
     """Distinct n-token shingles (space-joined), 1-based element_at so the
-    same expression shape works in DuckDB."""
-    toks = _toks()
+    same expression shape works in DuckDB.
+
+    PERFORMANCE CONTRACT: pass `toks` as a MATERIALIZED column (project
+    `_toks().alias("toks")` first and hand in `F.col("toks")`).  The
+    lambda references the token array n times per element; handed the
+    raw tokenizer expression, Catalyst re-evaluates the regex split PER
+    ELEMENT PER REFERENCE — measured 10-20x slower on the dedup family.
+    The no-arg form keeps the old (slow) behavior for ad-hoc use."""
+    toks = _toks() if toks is None else toks
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
@@ -61,6 +68,14 @@ def shingles_col(n: int = 3) -> F.Column:
                 " ", *[F.element_at(toks, i + j) for j in range(n)]
             ),
         )
+    )
+
+
+def _doc_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles — tokens materialized
+    once per row (see shingles_col's performance contract)."""
+    return corpus.select("doc_id", _toks().alias("toks")).select(
+        "doc_id", F.explode(shingles_col(n, F.col("toks"))).alias("shingle")
     )
 
 
@@ -148,7 +163,9 @@ def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     all-shingle form is kept as ngram_jaccard_pairs_exact and the two are
     asserted equal on the test corpora."""
     cand = minhash_lsh_pairs(corpus)
-    sh = corpus.select("doc_id", shingles_col(3).alias("sh"))
+    sh = corpus.select("doc_id", _toks().alias("toks")).select(
+        "doc_id", shingles_col(3, F.col("toks")).alias("sh")
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -173,9 +190,7 @@ def ngram_jaccard_pairs_exact(
     """Exhaustive all-pairs form (shingle self equi-join) — recall oracle
     for the banded default; NOT registered for the 100 TB path (a shingle
     shared by m docs yields an m^2 join group)."""
-    ds = (
-        corpus.select("doc_id", F.explode(shingles_col(3)).alias("shingle"))
-    )
+    ds = _doc_shingles(corpus, 3)
     counts = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -260,7 +275,7 @@ def minhash_signatures(
     overflow, no RNG, identical across engines.  One explode + one agg
     shuffle regardless of n_hashes (the mins are parallel aggregates over
     the same exploded rows)."""
-    ds = corpus.select("doc_id", F.explode(shingles_col(3)).alias("shingle"))
+    ds = _doc_shingles(corpus, 3)
     aggs = [
         F.min(h64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(int(n_hashes))
@@ -663,7 +678,8 @@ def dedup_blocks(corpus: DataFrame, block: int = DEDUP_BLOCK_TOKENS) -> DataFram
     """
     from pyspark.sql import Window
 
-    toks = _toks()
+    # tokens materialized once per row (the block lambda slices per block)
+    toks = F.col("toks")
     n_blocks = F.ceil(F.size(toks) / F.lit(float(block))).cast("int")
     blocks_arr = F.when(
         F.size(toks) > 0,
@@ -674,7 +690,7 @@ def dedup_blocks(corpus: DataFrame, block: int = DEDUP_BLOCK_TOKENS) -> DataFram
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    b = corpus.select(
+    b = corpus.select("doc_id", _toks().alias("toks")).select(
         "doc_id", F.posexplode(blocks_arr).alias("pos", "btext")
     )
     key = F.col("doc_id") * _POS_PACK + F.col("pos")
@@ -761,7 +777,8 @@ def remove_boilerplate(
     broadcast and anti-probed; the reassembly is the same per-doc hash
     aggregate as dedup_blocks.  No shuffle of the corpus itself beyond
     the doc_id regroup."""
-    toks = _toks()
+    # tokens materialized once per row (the block lambda slices per block)
+    toks = F.col("toks")
     n_blocks = F.ceil(F.size(toks) / F.lit(float(block))).cast("int")
     blocks_arr = F.when(
         F.size(toks) > 0,
@@ -770,7 +787,7 @@ def remove_boilerplate(
             lambda i: F.concat_ws(" ", F.slice(toks, i * block + 1, block)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    b = corpus.select(
+    b = corpus.select("doc_id", _toks().alias("toks")).select(
         "doc_id", F.posexplode(blocks_arr).alias("pos", "btext")
     ).withColumn("bh", h64(F.col("btext")))
     frequent = (

@@ -89,14 +89,13 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame) -> DataFrame:
     shingle set is the broadcast side (eval suites are tiny vs the
     corpus); the corpus side is explode -> broadcast-semi-join -> distinct
     doc ids — map-side probe, one small dedup shuffle."""
-    doc_sh = corpus.select(
+    doc_sh = corpus.select("doc_id", tokens("text").alias("tk")).select(
         "doc_id",
-        F.explode(_ngrams(tokens("text"), CONTAM_NGRAM)).alias("sh"),
+        F.explode(_ngrams(F.col("tk"), CONTAM_NGRAM)).alias("sh"),
     )
     bench_sh = (
-        benchmark.select(
-            F.explode(_ngrams(tokens("text"), CONTAM_NGRAM)).alias("sh")
-        )
+        benchmark.select(tokens("text").alias("tk"))
+        .select(F.explode(_ngrams(F.col("tk"), CONTAM_NGRAM)).alias("sh"))
         .distinct()
     )
     hit = (
@@ -221,7 +220,9 @@ def chunk_documents(
     token span rejoined to text.  Narrow map + explode — no shuffle; chunk
     starts advance by `stride` (overlap = window - stride), short docs
     yield one truncated chunk."""
-    toks = tokens("text")
+    # tokens materialized once per row (the chunk lambda slices the array
+    # per chunk — a raw tokenizer expression would re-split per chunk)
+    toks = F.col("toks")
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.size(toks) - (window - stride), F.lit(1)),
@@ -232,7 +233,8 @@ def chunk_documents(
         lambda s: F.concat_ws(" ", F.slice(toks, s, window)),
     )
     return (
-        corpus.select(
+        corpus.select("doc_id", tokens("text").alias("toks"))
+        .select(
             "doc_id",
             F.size(toks).alias("doc_tokens"),
             F.posexplode(chunks).alias("chunk_id", "chunk_text"),
@@ -309,8 +311,9 @@ def quality_gopher(corpus: DataFrame) -> DataFrame:
     """(doc_id, n_words, mean_word_len, uniq_frac, stop_hits, passes,
     fail_reasons), doc_id order; floats rounded to 5 so the verdicts are
     engine-portable."""
-    toks = tokens("text")
-    d = corpus.select(
+    # tokens materialized once per row (6 references below)
+    toks = F.col("toks")
+    d = corpus.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id",
         F.size(toks).alias("n_words"),
         F.round(
@@ -1287,53 +1290,47 @@ def top_ngrams(corpus: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     document frequency.  The curation probe for memorization-prone
     boilerplate and over-represented templates.
 
-    Shape at scale: within-doc repeats collapse BEFORE any shuffle — the
-    gram array is sorted per doc and run-length encoded with pure array
-    expressions, so each doc emits one (ngram, occ) row per DISTINCT
-    gram.  df is then count(1) and total is sum(occ) in a single ngram
-    hash agg (map-side combine collapses cross-doc repeats within a
-    partition too).  ONE shuffle, on the ngram key; no window, no global
-    sort.  (The previous two-shuffle plan — explode -> (ngram, doc) agg
-    -> ngram agg — moved every raw gram string through the first
-    exchange; at 200k docs this version is ~3x faster.)"""
+    Shape at scale, two load-bearing choices:
+
+    1. The token array is MATERIALIZED AS A COLUMN before the gram
+       transform.  The lambda references it |n|+1 times; fed the raw
+       `tokens("text")` expression instead, every element_at reference
+       re-evaluates the regex tokenizer PER ELEMENT (CollapseProject
+       inlines single-use aliases; multi-use non-cheap aliases like this
+       one stay materialized) — measured 10-20x slower.
+    2. The gram array is SORTED per doc and each element carries an
+       is-first-occurrence flag computed in-array (element i vs i-1), so
+       total = count(*) and df = sum(flags) come from ONE ngram hash agg
+       — the previous plan paid a second corpus-wide (ngram, doc)
+       exchange just for df.  The struct explode emits only (ngram,
+       flag): the parent array is never carried through the Generate
+       (that copies the whole array per output row — O(grams^2) bytes
+       per doc)."""
     n, k = int(n), int(k)
-    toks = tokens("text")
-    grams = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        )
+    tokd = corpus.select(tokens("text").alias("tk"))
+    tk = F.col("tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)]),
     )
-    g = F.col("grams")
-    # Run starts: index 1 plus every position whose gram differs from its
-    # predecessor.  greatest(size,1) keeps sequence() ascending on empty
-    # arrays; the i <= size guard then drops the phantom index.
-    starts = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size(g), F.lit(1))),
-        lambda i: (i <= F.size(g))
-        & ((i == F.lit(1)) | (F.element_at(g, i) != F.element_at(g, i - 1))),
-    )
-    s = F.col("starts")
-    runs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(s), F.lit(1))),
-        lambda j: F.struct(
-            F.element_at(g, F.element_at(s, j)).alias("ngram"),
-            (
-                F.coalesce(F.element_at(s, j + 1), F.size(g) + 1)
-                - F.element_at(s, j)
-            ).alias("occ"),
+    gr = tokd.select(F.array_sort(grams).alias("g"))
+    # element_at is 1-based: element i's predecessor sits at index i
+    # (i is the transform lambda's 0-based position); element_at(g, 0)
+    # is NULL in non-ANSI mode, absorbed by the i == 0 arm
+    pairs = F.transform(
+        F.col("g"),
+        lambda x, i: F.struct(
+            x.alias("ngram"),
+            ((i == 0) | (x != F.element_at(F.col("g"), i)))
+            .cast("long")
+            .alias("new"),
         ),
     )
-    per_doc = (
-        corpus.select(grams.alias("grams"))
-        .select(starts.alias("starts"), g)
-        .select(F.explode(runs).alias("r"))
-        .filter(F.col("r.ngram").isNotNull())
-        .select("r.ngram", "r.occ")
-    )
     return (
-        per_doc.groupBy("ngram")
-        .agg(F.sum("occ").alias("total"), F.count(F.lit(1)).alias("docs"))
+        gr.select(F.explode(pairs).alias("r"))
+        .select("r.ngram", "r.new")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("total"), F.sum("new").alias("docs"))
         .orderBy(F.desc("total"), F.asc("ngram"))
         .limit(k)
     )

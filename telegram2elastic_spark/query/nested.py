@@ -32,11 +32,16 @@ from ..corpus import CORPUS_CTE
 from ..functions.tokenizer import TOKEN_SPLIT_RE, tokens
 
 
-def mentions_col() -> Column:
+def mentions_col(toks: Column | None = None) -> Column:
     """array<struct<term,freq,first_pos>> — one element per distinct
     token, freq its occurrence count, first_pos its 1-based first
-    position."""
-    toks = tokens("text")
+    position.
+
+    Pass `toks` as a MATERIALIZED column: the lambda references the token
+    array twice per distinct element, so a raw tokenizer expression gets
+    re-evaluated per reference (dedup.shingles_col performance contract).
+    The no-arg form keeps the self-contained (slow) shape."""
+    toks = tokens("text") if toks is None else toks
     return F.transform(
         F.array_distinct(toks),
         lambda t: F.struct(
@@ -66,7 +71,7 @@ def nested_query_page(
     docstring).  Output (doc_id, url, n_matching) — n_matching is the
     ES inner-hit count for the nested clause — doc order, first
     `limit`."""
-    m = mentions_col()
+    m = mentions_col(F.col("toks"))
     matching = F.size(
         F.filter(
             m,
@@ -76,7 +81,9 @@ def nested_query_page(
         )
     )
     return (
-        corpus.withColumn("n_matching", matching.cast("long"))
+        corpus.withColumn("toks", tokens("text"))
+        .withColumn("n_matching", matching.cast("long"))
+        .drop("toks")
         .filter(F.col("n_matching") > 0)
         .select("doc_id", "url", "n_matching")
         .orderBy("doc_id")
@@ -123,9 +130,10 @@ def nested_terms_agg(
     """ES nested aggregation: over parents passing the filter, unnest the
     elements and aggregate per term — (term, n_docs, total_freq,
     max_freq), top-N by total_freq desc then term asc."""
-    m = mentions_col()
+    m = mentions_col(F.col("toks"))
     return (
         corpus.filter(F.col("lang") == lang)
+        .select(tokens("text").alias("toks"))
         .select(F.explode(m).alias("e"))
         .groupBy(F.col("e.term").alias("term"))
         .agg(

@@ -150,18 +150,22 @@ def bigram_dict(corpus: DataFrame) -> DataFrame:
     query."""
     from ..functions.tokenizer import tokens
 
-    toks = tokens("text")
+    # tokens materialized ONCE per row — the lambda references the array
+    # twice per element, and a raw tokenizer expression would re-run the
+    # regex split per reference (dedup.shingles_col performance contract)
+    tk = F.col("tk")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(tk) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(tk) - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        corpus.select(F.explode(bigrams).alias("bigram"))
+        corpus.select(tokens("text").alias("tk"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
