@@ -35,6 +35,7 @@ from telegram2elastic_spark.query import federated as fed
 from telegram2elastic_spark.query import hybrid as hyb
 from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
+from telegram2elastic_spark.query import sparse as spv
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
 from telegram2elastic_spark.streaming import windows as win
@@ -186,6 +187,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_boost_topk": lambda spark, sf: fed.federated_topk(
             load_corpus(spark, sf), Q_MAIN, k=10,
             indices_boost={"fr": 2.5, "en": 0.5},
+        ),
+        # NEW (r4, session 9): ES sparse_vector (ELSER-style learned-
+        # sparse) — {token: weight} query served by the verified WAND
+        # kernel with weights in the idf slot; relational contract is the
+        # registered pair, kernel identity is tested
+        "sparse_vector_topk": lambda spark, sf: spv.sparse_vector_topk_relational(
+            load_corpus(spark, sf), {"spark": 2.1, "merge": 1.4, "vector": 0.7},
+            k=10,
         ),
         # NEW (r4, session 9): IVF-PQ with exact rescoring (FAISS refine /
         # ES quantized-kNN oversample+rescore) — ADC retrieves k*oversample,
@@ -1304,6 +1313,9 @@ FROM corpus ORDER BY doc_id
         ),
         "sim_ivfpq_refine": sim.ivfpq_refine_topk_sql(
             7, k=5, nprobe=2, oversample=4
+        ),
+        "sparse_vector_topk": spv.sparse_vector_topk_sql(
+            {"spark": 2.1, "merge": 1.4, "vector": 0.7}, k=10
         ),
         "completion_contexts": suggest.completion_contexts_sql("site1", lang="en", k=10),
         "span_within_topk": spans.span_within_sql("fast", ["the", "merge"], slop=2, k=10),

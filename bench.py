@@ -664,6 +664,37 @@ def main() -> None:
         timed_pl(
             "dedup_components_sec", lambda: ddp.dedup_components(corpus)
         )
+        timed_pl(
+            "dsir_weights_sec",
+            lambda: trp.dsir_weights(corpus, target_lang="fr"),
+        )
+        timed_pl(
+            "dsir_sample_sec",
+            lambda: trp.dsir_sample(corpus, target_lang="fr", k=50),
+        )
+        timed_pl(
+            "bpe_pair_counts_sec", lambda: trp.bpe_pair_counts(corpus, k=20)
+        )
+        t = time.perf_counter()
+        trp.bpe_train(corpus, n_merges=3)
+        pl["bpe_train_3merges_sec"] = round(time.perf_counter() - t, 3)
+        from telegram2elastic_spark.query import geo as geoq
+
+        timed_pl(
+            "geo_distance_agg_sec", lambda: geoq.geo_distance_agg(corpus)
+        )
+        from telegram2elastic_spark.operators import aggregates as aggp
+
+        timed_pl(
+            "agg_bucket_selector_sec",
+            lambda: aggp.agg_bucket_selector(corpus),
+        )
+        from telegram2elastic_spark.query import federated as fedp
+
+        timed_pl(
+            "federated_dfs_sec",
+            lambda: fedp.federated_topk_dfs(corpus, ["spark", "merge"], k=10),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()

@@ -1,0 +1,130 @@
+"""ES `sparse_vector` query — learned-sparse (ELSER-style) retrieval.
+
+A sparse query vector is a {token: weight} map; the score is the weighted
+sum of the stored per-document token weights for the matching tokens.
+This engine's stored token weight is the BM25 tf-saturation
+`tf_sat(tf, dl) = tf(K1+1)/(tf + K1(1-B+B*dl/avgdl))` — monotone in tf,
+length-normalized, computed from the SAME posting blocks the term queries
+read (no second index).  So
+
+    score(doc) = sum_t  w_t * tf_sat(tf_t(doc), dl(doc))
+
+which is EXACTLY the WAND kernel's score algebra with the query weight in
+the idf slot — the verified MaxScore kernel serves sparse vectors through
+`stats_override` with zero new kernel code, and its pruning bounds remain
+exact because every weight is required positive (ES rejects non-positive
+sparse-vector weights too).
+
+Reference analogue: the reference delegates ranking to ES
+(output/elasticsearch.py); sparse_vector is ES 8.15's learned-sparse
+query over the same inverted index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
+from .bm25 import B, K1, SCORE_DECIMALS
+
+
+def _check_weights(weights: dict[str, float]) -> dict[str, float]:
+    w = {t: float(v) for t, v in weights.items()}
+    bad = [t for t, v in w.items() if not v > 0.0]
+    if bad:
+        raise ValueError(
+            f"sparse_vector weights must be positive (ES contract; also "
+            f"what keeps MaxScore upper bounds valid): {sorted(bad)}"
+        )
+    return w
+
+
+def sparse_vector_topk(
+    index: dict, weights: dict[str, float], k: int = 10
+) -> DataFrame:
+    """Top-k (doc_id, url, score) for a sparse query vector, served by the
+    compressed index through the verified WAND/MaxScore kernel (weights
+    ride the stats_override seam in the idf slot)."""
+    from .wand import _collect_idfs, wand_topk
+
+    w = _check_weights(weights)
+    _, avgdl = _collect_idfs(index, [])  # memoized global stats only
+    return wand_topk(
+        index, sorted(w), k=k, stats_override=(w, avgdl)
+    )
+
+
+def sparse_vector_topk_relational(
+    corpus: DataFrame, weights: dict[str, float], k: int = 10
+) -> DataFrame:
+    """Relational contract: same score from the raw corpus (one tokenize,
+    one tf agg, broadcast weight map) — the identity check for the
+    index-served path and the registered driver pair."""
+    w = _check_weights(weights)
+    base = corpus.select(
+        "doc_id", "url", tokens("text").alias("toks")
+    ).select(
+        "doc_id", "url", F.size("toks").alias("dl"), F.col("toks")
+    )
+    stats = base.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        base.select("doc_id", "url", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(sorted(w)))
+        .groupBy("doc_id", "url", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wexpr = F.lit(None).cast("double")
+    for t, v in sorted(w.items()):
+        wexpr = F.when(F.col("term") == t, F.lit(v)).otherwise(wexpr)
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            wexpr * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id", "url")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def sparse_vector_topk_sql(weights: dict[str, float], k: int = 10) -> str:
+    w = _check_weights(weights)
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(w))
+    wcase = (
+        "CASE tf.term "
+        + " ".join(
+            f"WHEN '{t.replace(chr(39), chr(39) * 2)}' THEN {v!r}"
+            for t, v in sorted(w.items())
+        )
+        + " END"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+base AS (
+  SELECT doc_id, url, {DOC_LEN_SQL} AS dl,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+stats AS (SELECT avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, url, dl, t.term, count(*) AS tf
+  FROM base, LATERAL (SELECT unnest(toks) AS term) t
+  WHERE t.term IN ({tl})
+  GROUP BY doc_id, url, dl, t.term
+)
+SELECT tf.doc_id, tf.url,
+       round(sum(
+         ({wcase}) * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / s.avgdl))
+       ), {SCORE_DECIMALS}) AS score
+FROM tf CROSS JOIN stats s
+GROUP BY tf.doc_id, tf.url
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
