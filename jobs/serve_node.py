@@ -10,6 +10,7 @@ Reads one JSON request per stdin line, answers one JSON line per request:
 
     {"op": "terms",    "q": "spark merge", "k": 10}
     {"op": "terms",    "q": "the data", "exclude": "vector", "msm": 2}
+    {"op": "sparsevec", "weights": {"spark": 2.1, "merge": 1.4}, "k": 10}
     {"op": "phrase",   "q": "merge batch", "slop": 1}
     {"op": "compound", "q": "spark", "phrase": "merge batch"}
     {"op": "multi",    "q": "spark page", "boosts": {"text": 1.0, "url": 2.0}}
@@ -115,6 +116,15 @@ def main() -> None:
                 min_should_match=int(req.get("msm", 0)),
                 exclude_terms=ex.split() if ex else None,
                 after=tuple(after) if after else None,
+            )
+        if op == "sparsevec":
+            # {"op": "sparsevec", "weights": {"spark": 2.1, "merge": 1.4}}
+            from telegram2elastic_spark.query.sparse import (
+                sparse_vector_topk_local,
+            )
+
+            return sparse_vector_topk_local(
+                idx, {t: float(v) for t, v in req["weights"].items()}, k=k
             )
         if op == "phrase":
             return phrase_topk_local(

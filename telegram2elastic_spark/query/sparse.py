@@ -128,3 +128,18 @@ GROUP BY tf.doc_id, tf.url
 ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def sparse_vector_topk_local(
+    index: dict, weights: dict[str, float], k: int = 10
+) -> list:
+    """Query-node twin: the wand hot-shard cache scores the sparse vector
+    in-process (weights via stats_override).  [(doc_id, score)], rank-
+    identical to sparse_vector_topk."""
+    from .wand import _collect_idfs, wand_topk_local
+
+    w = _check_weights(weights)
+    _, avgdl = _collect_idfs(index, [])
+    return wand_topk_local(
+        index, sorted(w), k=k, stats_override=(w, avgdl)
+    )

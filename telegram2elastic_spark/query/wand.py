@@ -824,6 +824,7 @@ def wand_topk_local(
     min_should_match: int = 0,
     exclude_terms: list[str] | None = None,
     after: tuple[float, int] | None = None,
+    stats_override: tuple[dict, float] | None = None,
 ) -> list[tuple]:
     """Low-latency single-query path: the driver acts as the query node.
 
@@ -837,7 +838,17 @@ def wand_topk_local(
     Returns [(doc_id, score), ...] rank-identical to wand_topk.
     """
     exclude = sorted(set(exclude_terms or []))
-    idfs, avgdl = _collect_idfs(index, terms)
+    if stats_override is not None:
+        # external statistics (dfs federation / sparse_vector weights) —
+        # same contract as wand_topk's stats_override
+        ext_idfs, avgdl = stats_override
+        idfs = {
+            t: float(v)
+            for t, v in ext_idfs.items()
+            if t in set(terms) and v is not None
+        }
+    else:
+        idfs, avgdl = _collect_idfs(index, terms)
     n_terms = len(set(terms))
     require_all = n_terms if conjunctive else int(min_should_match)
     if not idfs or require_all > len(idfs):

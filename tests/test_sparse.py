@@ -66,3 +66,14 @@ def test_unknown_tokens_contribute_nothing(spark, sf_dir):
         idx, dict(WEIGHTS, zzznotaterm=3.0), k=10
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_local_matches_indexed(spark, sf_dir):
+    c = load_corpus(spark, sf_dir)
+    idx = build_index(c, n_doc_parts=4)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in sv.sparse_vector_topk(idx, WEIGHTS, k=10).collect()
+    ]
+    got = sv.sparse_vector_topk_local(idx, WEIGHTS, k=10)
+    assert [(d, s) for d, s in got] == want
