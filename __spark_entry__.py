@@ -35,6 +35,7 @@ from telegram2elastic_spark.query import federated as fed
 from telegram2elastic_spark.query import hybrid as hyb
 from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
+from telegram2elastic_spark.query import dsl as qdsl
 from telegram2elastic_spark.query import sparse as spv
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
@@ -57,6 +58,24 @@ PHRASE_BATCH_SPECS = {
     1: (["merge", "batch"], 1),
     2: (["table", "scan", "merge"], 2),
     3: (["the", "zzznotaterm"], 0),
+}
+DSL_BOOL_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "the data row"}}],
+            "must_not": [{"match": {"text": "vector"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }
+    },
+    "size": 10,
+}
+DSL_TEMPLATE_SRC = (
+    '{"query": {"bool": {"must": [{"match": {"text": "{{q}}"}}],'
+    ' "filter": {{#toJson}}filters{{/toJson}}}}, "size": {{k}}}'
+)
+DSL_TEMPLATE_PARAMS = {
+    "q": "spark merge", "k": 10,
+    "filters": [{"term": {"source": "src3"}}],
 }
 COMPOUND_BATCH_SPECS = {
     0: (["spark", "merge"], ["the", "fast"], 0),
@@ -187,6 +206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_boost_topk": lambda spark, sf: fed.federated_topk(
             load_corpus(spark, sf), Q_MAIN, k=10,
             indices_boost={"fr": 2.5, "en": 0.5},
+        ),
+        # NEW (r4, session 9): ES _search body DSL — bool body (must +
+        # must_not + term filter) dispatched onto the verified WAND path
+        "dsl_bool_topk": lambda spark, sf: qdsl.execute_dsl(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            DSL_BOOL_BODY,
+        ),
+        # NEW (r4, session 9): ES _search/template — mustache render
+        # ({{var}} + {{#toJson}}) then the same dispatch
+        "search_template_topk": lambda spark, sf: qdsl.search_template_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            DSL_TEMPLATE_SRC, DSL_TEMPLATE_PARAMS,
         ),
         # NEW (r4, session 9): ES sparse_vector (ELSER-style learned-
         # sparse) — {token: weight} query served by the verified WAND
@@ -1313,6 +1344,10 @@ FROM corpus ORDER BY doc_id
         ),
         "sim_ivfpq_refine": sim.ivfpq_refine_topk_sql(
             7, k=5, nprobe=2, oversample=4
+        ),
+        "dsl_bool_topk": qdsl.dsl_sql(DSL_BOOL_BODY),
+        "search_template_topk": qdsl.search_template_sql(
+            DSL_TEMPLATE_SRC, DSL_TEMPLATE_PARAMS
         ),
         "sparse_vector_topk": spv.sparse_vector_topk_sql(
             {"spark": 2.1, "merge": 1.4, "vector": 0.7}, k=10

@@ -11,6 +11,8 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "terms",    "q": "spark merge", "k": 10}
     {"op": "terms",    "q": "the data", "exclude": "vector", "msm": 2}
     {"op": "sparsevec", "weights": {"spark": 2.1, "merge": 1.4}, "k": 10}
+    {"op": "body", "body": {"query": {"match": {"text": "spark merge"}}}}
+    {"op": "template", "source": "...{{q}}...", "params": {"q": "spark"}}
     {"op": "phrase",   "q": "merge batch", "slop": 1}
     {"op": "compound", "q": "spark", "phrase": "merge batch"}
     {"op": "multi",    "q": "spark page", "boosts": {"text": 1.0, "url": 2.0}}
@@ -116,6 +118,20 @@ def main() -> None:
                 min_should_match=int(req.get("msm", 0)),
                 exclude_terms=ex.split() if ex else None,
                 after=tuple(after) if after else None,
+            )
+        if op == "body":
+            # {"op": "body", "body": {"query": {...}, "size": 10}}
+            from telegram2elastic_spark.query.dsl import execute_dsl_local
+
+            return execute_dsl_local(idx, req["body"])
+        if op == "template":
+            # {"op": "template", "source": "<mustache json>", "params": {...}}
+            from telegram2elastic_spark.query.dsl import (
+                search_template_topk_local,
+            )
+
+            return search_template_topk_local(
+                idx, req["source"], req.get("params", {})
             )
         if op == "sparsevec":
             # {"op": "sparsevec", "weights": {"spark": 2.1, "merge": 1.4}}

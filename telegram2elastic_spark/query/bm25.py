@@ -161,6 +161,7 @@ def bm25_topk_sql(
     min_should_match: int = 0,
     exclude_terms: list[str] | None = None,
     offset: int = 0,
+    extra_pred: str | None = None,
 ) -> str:
     """DuckDB oracle SQL — the exact same semantics over the raw
     `documents` view (derivation via CORPUS_CTE, tokenization via
@@ -174,6 +175,10 @@ def bm25_topk_sql(
         preds.append(f"warc_ts >= TIMESTAMP '{min_ts}'")
     if max_ts is not None:
         preds.append(f"warc_ts < TIMESTAMP '{max_ts}'")
+    if extra_pred is not None:
+        # generic ANSI predicate (the DSL filter-context carrier); pair
+        # with global_stats=True to mirror wand's filter-context scoring
+        preds.append(f"({extra_pred})")
     where = " AND ".join(preds)
     terms_sql = _sql_quote_terms(terms)
     stats_rel = "corpus" if global_stats else "fbase"

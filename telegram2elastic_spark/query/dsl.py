@@ -1,0 +1,307 @@
+"""ES `_search` request-body subset + stored search templates.
+
+The reference queries ES through Kibana (README.md:5) and its API layer
+builds ES bodies (poc/src/api/routes/search.py); this module is the body
+entrypoint: a JSON query DSL dict dispatched onto the engine's VERIFIED
+paths — no new scoring code, only routing.  Out-of-subset constructs
+raise ValueError (like query_string's contract; simple_query_string is
+the lenient twin for user-typed syntax).
+
+Supported subset:
+
+    {"query": <q>, "size": k}
+    <q> :=
+      {"match":        {"text": "spark merge"
+                        | {"query": "...", "minimum_should_match": m}}}
+      {"match_phrase": {"text": "merge batch"
+                        | {"query": "...", "slop": n}}}
+      {"sparse_vector": {"field": "text", "query_vector": {tok: w}}}
+      {"prefix":       {"text": "sc"}}
+      {"bool": {"must":     [match | match_phrase, ...],
+                "must_not": [match, ...],
+                "filter":   [{"term":  {field: value}}
+                             | {"range": {field: {"gte"/"lt"/...: v}}}, ...]}}
+
+Search templates are the ES `_search/template` mustache flavor over the
+same subset: `{{var}}` substitutes a JSON-encoded scalar, `{{#toJson}}
+var{{/toJson}}` splices any JSON value; rendering then dispatches through
+execute_dsl, so a template query is exactly as verified as its expansion.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _text_clause(spec, knob: str) -> tuple[list[str], int]:
+    """Normalize {"text": "q"} / {"text": {"query": "q", knob: n}}."""
+    from ..functions.tokenizer import py_tokenize
+
+    if not isinstance(spec, dict) or list(spec) != ["text"]:
+        raise ValueError(f"only the 'text' field is searchable, got {spec!r}")
+    v = spec["text"]
+    if isinstance(v, str):
+        return py_tokenize(v), 0
+    if isinstance(v, dict):
+        extra = set(v) - {"query", knob}
+        if extra:
+            raise ValueError(f"out-of-subset match options: {sorted(extra)}")
+        return py_tokenize(str(v["query"])), int(v.get(knob, 0))
+    raise ValueError(f"bad clause value {v!r}")
+
+
+_FILTER_FIELDS = {"lang", "source", "doc_id", "n_chars"}
+_RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+
+
+def _filter_pred(clauses: list) -> str | None:
+    """bool.filter -> one SQL predicate string (the engine's filter-context
+    carrier: wand ships admitted ids per salt via cogroup)."""
+    preds = []
+    for c in clauses or []:
+        if not isinstance(c, dict) or len(c) != 1:
+            raise ValueError(f"bad filter clause {c!r}")
+        kind, body = next(iter(c.items()))
+        if kind == "term":
+            (fld, val), = body.items()
+            if fld not in _FILTER_FIELDS:
+                raise ValueError(f"unfilterable field {fld!r}")
+            if isinstance(val, str):
+                preds.append(f"{fld} = '" + val.replace("'", "''") + "'")
+            else:
+                preds.append(f"{fld} = {val!r}")
+        elif kind == "range":
+            (fld, ops), = body.items()
+            if fld not in _FILTER_FIELDS:
+                raise ValueError(f"unfilterable field {fld!r}")
+            for op, val in sorted(ops.items()):
+                if op not in _RANGE_OPS:
+                    raise ValueError(f"bad range op {op!r}")
+                preds.append(f"{fld} {_RANGE_OPS[op]} {val!r}")
+        else:
+            raise ValueError(f"out-of-subset filter {kind!r}")
+    return " AND ".join(preds) if preds else None
+
+
+class _Parsed:
+    terms: list[str]
+    msm: int
+    phrase: list[str]
+    slop: int
+    must_not: list[str]
+    doc_filter: str | None
+    sparse: dict[str, float] | None
+    prefix: str | None
+
+    def __init__(self):
+        self.terms, self.msm = [], 0
+        self.phrase, self.slop = [], 0
+        self.must_not = []
+        self.doc_filter = None
+        self.sparse = None
+        self.prefix = None
+
+
+def parse_dsl(body: dict) -> tuple[_Parsed, int]:
+    if not isinstance(body, dict):
+        raise ValueError("body must be a dict")
+    extra = set(body) - {"query", "size"}
+    if extra:
+        raise ValueError(f"out-of-subset body keys: {sorted(extra)}")
+    k = int(body.get("size", 10))
+    q = body.get("query")
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError("body.query must hold exactly one query")
+    p = _Parsed()
+    kind, spec = next(iter(q.items()))
+    if kind == "match":
+        p.terms, p.msm = _text_clause(spec, "minimum_should_match")
+    elif kind == "match_phrase":
+        p.phrase, p.slop = _text_clause(spec, "slop")
+    elif kind == "sparse_vector":
+        if spec.get("field", "text") != "text":
+            raise ValueError("sparse_vector only over 'text'")
+        p.sparse = {str(t): float(w) for t, w in spec["query_vector"].items()}
+    elif kind == "prefix":
+        if list(spec) != ["text"]:
+            raise ValueError("prefix only over 'text'")
+        p.prefix = str(spec["text"])
+    elif kind == "bool":
+        extra = set(spec) - {"must", "must_not", "filter"}
+        if extra:
+            raise ValueError(f"out-of-subset bool keys: {sorted(extra)}")
+        for c in spec.get("must", []) or []:
+            ck, cs = next(iter(c.items()))
+            if ck == "match":
+                t, m = _text_clause(cs, "minimum_should_match")
+                p.terms.extend(t)
+                p.msm = max(p.msm, m)
+            elif ck == "match_phrase":
+                if p.phrase:
+                    raise ValueError("one phrase clause per bool")
+                p.phrase, p.slop = _text_clause(cs, "slop")
+            else:
+                raise ValueError(f"out-of-subset must clause {ck!r}")
+        for c in spec.get("must_not", []) or []:
+            ck, cs = next(iter(c.items()))
+            if ck != "match":
+                raise ValueError("must_not supports match only")
+            t, _ = _text_clause(cs, "minimum_should_match")
+            p.must_not.extend(t)
+        p.doc_filter = _filter_pred(spec.get("filter"))
+    else:
+        raise ValueError(f"out-of-subset query {kind!r}")
+    p.terms = sorted(set(p.terms))
+    p.must_not = sorted(set(p.must_not))
+    return p, k
+
+
+def execute_dsl(index: dict, body: dict) -> DataFrame:
+    """Dispatch a request body onto the verified engine paths."""
+    from .compound import compound_topk
+    from .expand import prefix_topk
+    from .phrase import phrase_topk
+    from .sparse import sparse_vector_topk
+    from .wand import wand_topk
+
+    p, k = parse_dsl(body)
+    if p.sparse is not None:
+        return sparse_vector_topk(index, p.sparse, k=k)
+    if p.prefix is not None:
+        return prefix_topk(index, p.prefix, k=k)
+    if p.phrase and p.terms:
+        if p.must_not:
+            raise ValueError("phrase + must_not is out of subset")
+        return compound_topk(
+            index, p.terms, p.phrase, k=k, slop=p.slop,
+            doc_filter=p.doc_filter,
+        )
+    if p.phrase:
+        return phrase_topk(
+            index, p.phrase, k=k, slop=p.slop, doc_filter=p.doc_filter
+        )
+    return wand_topk(
+        index, p.terms, k=k, min_should_match=p.msm,
+        exclude_terms=p.must_not or None, doc_filter=p.doc_filter,
+    )
+
+
+def dsl_sql(body: dict) -> str:
+    """DuckDB oracle mirroring the dispatch (prefix expansion is
+    data-dependent, so the oracle covers the prefix-free subset — same
+    contract as query_string_sql)."""
+    from .bm25 import bm25_topk_sql
+    from .compound import compound_topk_sql
+    from .phrase import phrase_topk_sql
+    from .sparse import sparse_vector_topk_sql
+
+    p, k = parse_dsl(body)
+    if p.prefix is not None:
+        raise ValueError("oracle covers the prefix-free subset")
+    if p.sparse is not None:
+        return sparse_vector_topk_sql(p.sparse, k=k)
+    if p.phrase and p.doc_filter:
+        # the Spark path supports filtered phrases (identity-tested in
+        # tests/test_phrase.py); the SQL oracle covers the unfiltered
+        # phrase subset, same contract as query_string_sql's prefixes
+        raise ValueError("oracle covers unfiltered phrase bodies")
+    if p.phrase and p.terms:
+        return compound_topk_sql(p.terms, p.phrase, k=k, slop=p.slop)
+    if p.phrase:
+        return phrase_topk_sql(p.phrase, k=k, slop=p.slop)
+    return bm25_topk_sql(
+        p.terms, k=k, min_should_match=p.msm,
+        exclude_terms=p.must_not or None,
+        global_stats=bool(p.must_not or p.doc_filter),
+        extra_pred=p.doc_filter,
+    )
+
+
+# --- search templates ---------------------------------------------------------
+
+_TOJSON = re.compile(r"\{\{#toJson\}\}\s*([A-Za-z_][A-Za-z0-9_]*)\s*\{\{/toJson\}\}")
+_VAR = re.compile(r"\{\{([A-Za-z_][A-Za-z0-9_]*)\}\}")
+
+
+def render_template(source: str, params: dict) -> dict:
+    """Render the mustache subset into a request body dict.
+
+    `{{#toJson}}var{{/toJson}}` splices json.dumps(params[var]);
+    `{{var}}` substitutes a scalar — json-encoded, then string-quotes
+    stripped when the placeholder sits inside an existing string literal
+    (the ES template convention: "{{q}}" renders into "spark merge").
+    Unknown placeholders raise (ES renders empty; silent empties make
+    queries that match everything — fail loud instead)."""
+
+    def _tojson(m):
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"missing template param {name!r}")
+        return json.dumps(params[name])
+
+    def _var(m):
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"missing template param {name!r}")
+        v = params[name]
+        if isinstance(v, str):
+            # inside a string literal: splice escaped contents only
+            return json.dumps(v)[1:-1]
+        return json.dumps(v)
+
+    rendered = _VAR.sub(_var, _TOJSON.sub(_tojson, source))
+    return json.loads(rendered)
+
+
+def search_template_topk(
+    index: dict, source: str, params: dict
+) -> DataFrame:
+    """ES `_search/template`: render, then execute through the verified
+    dispatch — a template query is exactly as verified as its
+    expansion."""
+    return execute_dsl(index, render_template(source, params))
+
+
+def search_template_sql(source: str, params: dict) -> str:
+    return dsl_sql(render_template(source, params))
+
+
+def execute_dsl_local(index: dict, body: dict) -> list:
+    """Query-node twin: the same dispatch onto the driver-local paths
+    (hot-shard caches, zero Spark jobs warm).  [(doc_id, score)], rank-
+    identical to execute_dsl."""
+    from .compound import compound_topk_local
+    from .local import prefix_topk_local
+    from .phrase import phrase_topk_local
+    from .sparse import sparse_vector_topk_local
+    from .wand import wand_topk_local
+
+    p, k = parse_dsl(body)
+    if p.sparse is not None:
+        return sparse_vector_topk_local(index, p.sparse, k=k)
+    if p.prefix is not None:
+        return prefix_topk_local(index, p.prefix, k=k)
+    if p.phrase and p.terms:
+        if p.must_not:
+            raise ValueError("phrase + must_not is out of subset")
+        return compound_topk_local(
+            index, p.terms, p.phrase, k=k, slop=p.slop,
+            doc_filter=p.doc_filter,
+        )
+    if p.phrase:
+        return phrase_topk_local(
+            index, p.phrase, k=k, slop=p.slop, doc_filter=p.doc_filter
+        )
+    return wand_topk_local(
+        index, p.terms, k=k, min_should_match=p.msm,
+        exclude_terms=p.must_not or None, doc_filter=p.doc_filter,
+    )
+
+
+def search_template_topk_local(
+    index: dict, source: str, params: dict
+) -> list:
+    return execute_dsl_local(index, render_template(source, params))

@@ -1,0 +1,147 @@
+"""ES _search body DSL + search templates over the verified paths."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.query import dsl
+
+from .oracle import assert_same
+
+
+def _idx(spark, sf_dir, positions=False):
+    return build_index(
+        load_corpus(spark, sf_dir), n_doc_parts=4, positions=positions
+    )
+
+
+BOOL_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "the data row"}}],
+            "must_not": [{"match": {"text": "vector"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }
+    },
+    "size": 10,
+}
+
+
+class TestExecuteDsl:
+    def test_bool_vs_oracle(self, spark, duck, sf_dir):
+        got = dsl.execute_dsl(_idx(spark, sf_dir), BOOL_BODY)
+        want = duck.execute(dsl.dsl_sql(BOOL_BODY)).df()
+        assert_same(got, want)
+
+    def test_match_msm_vs_oracle(self, spark, duck, sf_dir):
+        body = {"query": {"match": {"text": {
+            "query": "the data row", "minimum_should_match": 2}}}, "size": 10}
+        got = dsl.execute_dsl(_idx(spark, sf_dir), body)
+        assert_same(got, duck.execute(dsl.dsl_sql(body)).df())
+
+    def test_phrase_vs_oracle(self, spark, duck, sf_dir):
+        body = {"query": {"match_phrase": {"text": {
+            "query": "merge batch", "slop": 1}}}, "size": 10}
+        got = dsl.execute_dsl(_idx(spark, sf_dir, positions=True), body)
+        assert_same(got, duck.execute(dsl.dsl_sql(body)).df())
+
+    def test_sparse_vector_dispatch(self, spark, sf_dir):
+        from telegram2elastic_spark.query import sparse as sv
+
+        body = {"query": {"sparse_vector": {
+            "field": "text",
+            "query_vector": {"spark": 2.1, "merge": 1.4}}}, "size": 8}
+        idx = _idx(spark, sf_dir)
+        got = [tuple(r) for r in dsl.execute_dsl(idx, body).collect()]
+        want = [tuple(r) for r in sv.sparse_vector_topk(
+            idx, {"spark": 2.1, "merge": 1.4}, k=8).collect()]
+        assert got == want
+
+    def test_range_filter_vs_oracle(self, spark, duck, sf_dir):
+        body = {"query": {"bool": {
+            "must": [{"match": {"text": "spark merge"}}],
+            "filter": [{"range": {"doc_id": {"gte": 50, "lt": 400}}}],
+        }}, "size": 10}
+        got = dsl.execute_dsl(_idx(spark, sf_dir), body)
+        want = duck.execute(dsl.dsl_sql(body)).df()
+        assert_same(got, want)
+        for r in got.collect():
+            assert 50 <= r["doc_id"] < 400
+
+    @pytest.mark.parametrize("bad", [
+        {"query": {"match_all": {}}},
+        {"query": {"match": {"title": "x"}}},
+        {"query": {"bool": {"should": []}}},
+        {"query": {"match": {"text": "x"}}, "aggs": {}},
+        {"query": {"bool": {"filter": [{"term": {"html": "x"}}]}}},
+    ])
+    def test_out_of_subset_raises(self, bad):
+        with pytest.raises(ValueError):
+            dsl.parse_dsl(bad)
+
+
+class TestTemplates:
+    SRC = (
+        '{"query": {"bool": {'
+        '"must": [{"match": {"text": "{{q}}"}}],'
+        '"filter": {{#toJson}}filters{{/toJson}}}},'
+        '"size": {{k}}}'
+    )
+
+    def test_render(self):
+        body = dsl.render_template(
+            self.SRC,
+            {"q": "the data", "k": 5,
+             "filters": [{"term": {"lang": "en"}}]},
+        )
+        assert body["size"] == 5
+        assert body["query"]["bool"]["must"][0]["match"]["text"] == "the data"
+
+    def test_template_vs_oracle(self, spark, duck, sf_dir):
+        params = {"q": "the data row", "k": 10,
+                  "filters": [{"term": {"lang": "en"}}]}
+        got = dsl.search_template_topk(_idx(spark, sf_dir), self.SRC, params)
+        want = duck.execute(dsl.search_template_sql(self.SRC, params)).df()
+        assert_same(got, want)
+
+    def test_string_param_escaping(self):
+        body = dsl.render_template(
+            '{"query": {"match": {"text": "{{q}}"}}}',
+            {"q": 'he said "hi"\\n'},
+        )
+        assert body["query"]["match"]["text"] == 'he said "hi"\\n'
+
+    def test_missing_param_raises(self):
+        with pytest.raises(ValueError, match="missing template param"):
+            dsl.render_template('{"query": {"match": {"text": "{{q}}"}}}', {})
+
+
+class TestLocalTwin:
+    @pytest.mark.parametrize("body", [
+        BOOL_BODY,
+        {"query": {"match": {"text": {"query": "the data row",
+                                      "minimum_should_match": 2}}}},
+        {"query": {"sparse_vector": {"field": "text",
+                                     "query_vector": {"spark": 2.1,
+                                                      "merge": 1.4}}}},
+        {"query": {"prefix": {"text": "sc"}}},
+    ])
+    def test_local_matches_distributed(self, spark, sf_dir, body):
+        idx = _idx(spark, sf_dir)
+        want = [
+            (r["doc_id"], r["score"])
+            for r in dsl.execute_dsl(idx, body).collect()
+        ]
+        got = [(d, s) for d, s in dsl.execute_dsl_local(idx, body)]
+        assert got == want
+
+    def test_local_phrase_matches(self, spark, sf_dir):
+        idx = _idx(spark, sf_dir, positions=True)
+        body = {"query": {"match_phrase": {"text": {"query": "merge batch",
+                                                    "slop": 1}}}}
+        want = [
+            (r["doc_id"], r["score"])
+            for r in dsl.execute_dsl(idx, body).collect()
+        ]
+        got = [(d, s) for d, s in dsl.execute_dsl_local(idx, body)]
+        assert got == want
