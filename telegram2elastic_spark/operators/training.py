@@ -1086,21 +1086,62 @@ def bpe_train(corpus: DataFrame, n_merges: int = 10) -> list[tuple[str, str, int
             break
         a, b = top[0]["pair"].split(" ", 1)
         merges.append((a, b, int(top[0]["count"])))
-        ab = a + b
-        folded = F.aggregate(
-            F.col("s"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        words = words.select("w", "cnt", folded.alias("s")).localCheckpoint()
+        words = words.select(
+            "w", "cnt", _bpe_fold(a, b, F.col("s")).alias("s")
+        ).localCheckpoint()
     return merges
+
+
+def _bpe_fold(a: str, b: str, col: F.Column) -> F.Column:
+    """One merge's greedy-leftmost rewrite of a symbol array column."""
+    ab = a + b
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_apply(
+    corpus: DataFrame, merges: list[tuple], checkpoint_every: int = 8
+) -> DataFrame:
+    """Token accounting under a trained BPE merge table: (doc_id, n_words,
+    n_bpe_tokens), doc order — the pre-training cost estimator run with
+    the ACTUAL tokenizer instead of the whitespace/regex proxies
+    (text_quality.token_counts).
+
+    Scale shape: merges are applied to the DISTINCT-WORD table (map-only
+    fold rewrite per merge over vocab-sized rows, lineage truncated every
+    `checkpoint_every` merges), never to the corpus; the corpus pays one
+    token explode + a join against the (word -> symbol count) table +
+    one doc-keyed agg.  Same economics as bpe_train: corpus-sized work
+    happens once."""
+    cur = _bpe_words(corpus).select("w", "s")
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        cur = cur.select("w", _bpe_fold(a, b, F.col("s")).alias("s"))
+        if (i + 1) % int(checkpoint_every) == 0:
+            cur = cur.localCheckpoint()
+    wlen = cur.select("w", F.size("s").cast("long").alias("n_sym"))
+    tokd = corpus.select("doc_id", tokens("text").alias("tk")).select(
+        "doc_id", F.explode("tk").alias("w")
+    )
+    return (
+        tokd.join(wlen, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --- DSIR: data selection via importance resampling ---------------------------

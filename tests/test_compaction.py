@@ -302,3 +302,64 @@ class TestPointInTime:
         ix = IncrementalIndexer(spark, str(tmp_path / "pit3"), n_doc_parts=4)
         with pytest.raises(ValueError, match="no committed snapshot"):
             open_pit(ix)
+
+
+class TestSnapshotRestore:
+    """ES _snapshot/_restore over the segmented index."""
+
+    def test_roundtrip_rank_identity(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.index.snapshot import (
+            restore_index, snapshot_index,
+        )
+
+        corpus = load_corpus(spark, sf_dir).filter("doc_id < 120")
+        ix = IncrementalIndexer(spark, str(tmp_path / "src"), n_doc_parts=4)
+        ix.ingest_batch(corpus.filter("doc_id < 60"), "b0")
+        ix.ingest_batch(corpus.filter("doc_id >= 60"), "b1")
+        want = _rows(wand_topk(ix.as_index(), ["spark", "merge"], k=10))
+
+        info = snapshot_index(ix, str(tmp_path / "snap"))
+        assert info["n_segments"] == 2
+
+        # writes landing AFTER the snapshot must not leak into the restore
+        ix.ingest_batch(
+            corpus.limit(5).withColumn("text", F.lit("spark merge " * 30))
+            .withColumn("url", F.concat(F.lit("https://late/"), "doc_id")),
+            "late",
+        )
+
+        rx = restore_index(spark, str(tmp_path / "snap"),
+                           str(tmp_path / "restored"))
+        assert rx.n_doc_parts == 4
+        got = _rows(wand_topk(rx.as_index(), ["spark", "merge"], k=10))
+        assert got == want
+        # the restored index is independently writable
+        rx.ingest_batch(
+            corpus.limit(3).withColumn("url",
+                                       F.concat(F.lit("https://new/"),
+                                                "doc_id")),
+            "post-restore",
+        )
+        assert len(rx.manifest()) == 3
+
+    def test_guards(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.index.snapshot import (
+            restore_index, snapshot_index,
+        )
+
+        empty = IncrementalIndexer(spark, str(tmp_path / "e"), n_doc_parts=4)
+        with pytest.raises(ValueError, match="nothing committed"):
+            snapshot_index(empty, str(tmp_path / "esnap"))
+        with pytest.raises(ValueError, match="torn snapshot|no manifest"):
+            restore_index(spark, str(tmp_path / "nowhere"),
+                          str(tmp_path / "t1"))
+        # non-empty restore target refused
+        corpus = load_corpus(spark, sf_dir).filter("doc_id < 30")
+        ix = IncrementalIndexer(spark, str(tmp_path / "s2"), n_doc_parts=4)
+        ix.ingest_batch(corpus, "b0")
+        snapshot_index(ix, str(tmp_path / "snap2"))
+        tgt = tmp_path / "t2"
+        tgt.mkdir()
+        (tgt / "junk").write_text("x")
+        with pytest.raises(ValueError, match="not empty"):
+            restore_index(spark, str(tmp_path / "snap2"), str(tgt))

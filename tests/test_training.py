@@ -366,3 +366,51 @@ class TestBPE:
         # ('a','a') merges, each 'aaa' contributes ('aa','a'), never
         # ('a','aa') — both engines must agree on that convention.
         assert ("a", "a", 8) in got
+
+
+class TestBPEApply:
+    def test_counts_match_reference_encoder(self, spark):
+        from telegram2elastic_spark.corpus import as_corpus
+
+        words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        text = " ".join(w for w, c in sorted(words.items()) for _ in range(c))
+        corpus = as_corpus(
+            spark.createDataFrame(
+                [(0, text, "en", "s", len(text)),
+                 (1, "low lowest", "en", "s", 10)],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars int",
+            )
+        )
+        merges = tr.bpe_train(corpus, n_merges=6)
+
+        def encode(word):
+            syms = list(word) + ["</w>"]
+            for a, b, _ in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+               for r in tr.bpe_apply(corpus, merges).collect()}
+        doc0_words = [w for w, c in sorted(words.items()) for _ in range(c)]
+        want0 = (len(doc0_words), sum(len(encode(w)) for w in doc0_words))
+        want1 = (2, len(encode("low")) + len(encode("lowest")))
+        assert got == {0: want0, 1: want1}
+
+    def test_more_merges_never_increase_counts(self, spark, sf_dir):
+        corpus = load_corpus(spark, sf_dir).filter("doc_id < 60")
+        merges = tr.bpe_train(corpus, n_merges=6)
+        a = {r["doc_id"]: r["n_bpe_tokens"]
+             for r in tr.bpe_apply(corpus, merges[:2]).collect()}
+        b = {r["doc_id"]: r["n_bpe_tokens"]
+             for r in tr.bpe_apply(corpus, merges).collect()}
+        assert set(a) == set(b)
+        assert all(b[d] <= a[d] for d in a)
