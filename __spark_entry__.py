@@ -207,6 +207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), Q_MAIN, k=10,
             indices_boost={"fr": 2.5, "en": 0.5},
         ),
+        # NEW (r4, session 9): ES _terms_enum — prefix term enumeration
+        # off the sorted dictionary (keyset-paged; dictionary-only scan)
+        "terms_enum": lambda spark, sf: expandq.terms_enum(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            prefix="s", size=12,
+        ),
         # NEW (r4, session 9): ES _search body DSL — bool body (must +
         # must_not + term filter) dispatched onto the verified WAND path
         "dsl_bool_topk": lambda spark, sf: qdsl.execute_dsl(
@@ -1345,6 +1351,7 @@ FROM corpus ORDER BY doc_id
         "sim_ivfpq_refine": sim.ivfpq_refine_topk_sql(
             7, k=5, nprobe=2, oversample=4
         ),
+        "terms_enum": expandq.terms_enum_sql(prefix="s", size=12),
         "dsl_bool_topk": qdsl.dsl_sql(DSL_BOOL_BODY),
         "search_template_topk": qdsl.search_template_sql(
             DSL_TEMPLATE_SRC, DSL_TEMPLATE_PARAMS

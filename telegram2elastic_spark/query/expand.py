@@ -362,3 +362,59 @@ def match_bool_prefix_sql(
         f"  UNION {extra}\n),"
     )
     return base.replace(old, new)
+
+
+def terms_enum(
+    index: dict,
+    prefix: str = "",
+    search_after: str | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """ES `_terms_enum` API: enumerate index terms matching a prefix, in
+    term order, with keyset pagination (`search_after` = last term of the
+    previous page) — the low-latency autocomplete primitive that reads
+    ONLY the term dictionary (never postings, never docs).
+
+    Returns (term, df, cf).  Scan shape: the sorted dictionary artifact
+    gives StartsWith pushdown + range-partition pruning (the FST-walk
+    analogue, same path as prefix_topk); the cursor is one more pushed
+    range predicate, so page N costs what page 1 costs."""
+    d = _dict_for_scan(index).filter(F.col("term").startswith(prefix))
+    if search_after is not None:
+        d = d.filter(F.col("term") > search_after)
+    return (
+        d.select("term", "df", "cf")
+        .orderBy("term")
+        .limit(int(size))
+    )
+
+
+def terms_enum_sql(
+    prefix: str = "", search_after: str | None = None, size: int = 10
+) -> str:
+    from ..corpus import CORPUS_CTE
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    esc = prefix.replace("'", "''")
+    after = (
+        f"AND term > '" + search_after.replace("'", "''") + "'"
+        if search_after is not None
+        else ""
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+td AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM toks GROUP BY term
+)
+SELECT term, df, cf FROM td
+WHERE starts_with(term, '{esc}') {after}
+ORDER BY term LIMIT {int(size)}
+"""

@@ -145,3 +145,26 @@ class TestLocalTwin:
         ]
         got = [(d, s) for d, s in dsl.execute_dsl_local(idx, body)]
         assert got == want
+
+
+class TestTermsEnum:
+    def test_vs_oracle_and_paging(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.query import expand as ex
+
+        idx = _idx(spark, sf_dir)
+        got = ex.terms_enum(idx, prefix="s", size=8)
+        want = duck.execute(ex.terms_enum_sql(prefix="s", size=8)).df()
+        assert_same(got, want)
+        # keyset page 2 == rows [8, 16) of the full enumeration
+        p1 = [r["term"] for r in got.collect()]
+        p2 = [
+            r["term"]
+            for r in ex.terms_enum(
+                idx, prefix="s", search_after=p1[-1], size=8
+            ).collect()
+        ]
+        full = [
+            r["term"]
+            for r in ex.terms_enum(idx, prefix="s", size=16).collect()
+        ]
+        assert p1 + p2 == full
