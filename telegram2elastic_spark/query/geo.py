@@ -295,8 +295,9 @@ def geo_distance_agg(
         "ring int, key string",
     )
     return (
-        F.broadcast(rings)
-        .join(counts, "ring", "left")
+        # counts (<= rings rows after the agg) is the broadcastable side;
+        # the left side of a left-outer can't build the broadcast table
+        rings.join(F.broadcast(counts), "ring", "left")
         .select(
             "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("doc_count")
         )
