@@ -165,6 +165,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES 8.x change_point sibling agg — CUSUM
+        # mean-shift statistic over the hourly histogram, axis-sized
+        # windows only
+        "agg_change_point": lambda spark, sf: agg.agg_change_point(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 10): ES frequent_item_sets agg — Apriori-pruned
+        # size-2 itemsets over per-doc distinct tokens, co-partitioned
+        # doc_id self-join on FREQUENT items only
+        "agg_frequent_item_sets": lambda spark, sf: agg.agg_frequent_item_sets(
+            load_corpus(spark, sf), min_support=200, top=20
+        ),
+        # NEW (r4, session 10): ES categorize_text agg — deterministic
+        # rarest-distinct-token category keys (df asc, term asc),
+        # vocab-bounded per-doc window
+        "categorize_text": lambda spark, sf: agg.categorize_text(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 10): ES scripted_metric agg — map+combine per
+        # Arrow batch, coordinator reduce over tiny per-batch states;
+        # exact integer partials (associative/commutative contract)
+        "scripted_metric_profile": lambda spark, sf: agg.scripted_metric_profile(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 10): ES match with fuzziness — per-token fuzzy
+        # expansion sets scored as blended clauses (top_terms_blended_freqs
+        # == SynonymQuery: df = member max, tf = member sum) via the
+        # verified synonym kernel
+        "match_fuzzy_topk": lambda spark, sf: expandq.match_fuzzy_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
+            max_expansions=8,
+        ),
         # NEW (r4, session 9): DSIR (Xie et al. 2023) — hashed-unigram
         # importance weights, log p_target - log p_raw under Laplace
         # smoothing; model side is a broadcast n_buckets-row table
@@ -1339,6 +1372,16 @@ FROM corpus ORDER BY doc_id
         "repetition_metrics": training.repetition_metrics_sql(top_n=2, dup_n=5),
         "dedup_url_canonical": dedup.dedup_url_canonical_sql(),
         "top_ngrams": training.top_ngrams_sql(n=3, k=20),
+        "match_fuzzy_topk": expandq.match_fuzzy_topk_sql(
+            ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
+            max_expansions=8,
+        ),
+        "agg_change_point": agg.agg_change_point_sql(),
+        "agg_frequent_item_sets": agg.agg_frequent_item_sets_sql(
+            min_support=200, top=20
+        ),
+        "categorize_text": agg.categorize_text_sql(),
+        "scripted_metric_profile": agg.scripted_metric_profile_sql(),
         "dsir_weights": training.dsir_weights_sql(target_lang="fr"),
         "dsir_sample": training.dsir_sample_sql(target_lang="fr", k=50),
         "bpe_pair_counts": training.bpe_pair_counts_sql(k=20),

@@ -1608,3 +1608,322 @@ SELECT day, docs,
          AS moving_p90
 FROM daily ORDER BY day
 """
+
+
+# --- ES 8.x change_point aggregation ---------------------------------------
+
+
+def agg_change_point(corpus: DataFrame) -> DataFrame:
+    """ES `change_point` sibling pipeline aggregation (8.x): locate the
+    bucket where the hourly doc-count series' mean shifts most.
+
+    ES runs a battery of ML detectors; the engine uses the deterministic
+    CUSUM-equivalent mean-shift statistic so both engines (and reruns)
+    agree bit-for-bit: for every candidate split before bucket i
+    (1-based rn >= 2), score = |mean(right) - mean(left)| *
+    sqrt(|left|*|right|/n), the two-sample mean-shift normalization.
+    The reported bucket is the FIRST bucket of the right segment (where
+    the change begins, matching ES's `bucket` in the response); ties
+    break on earliest day.  Scores/means rounded to 4 before ordering so
+    the argmax is cross-engine stable.
+
+    Shape: one map-side-combinable hash agg to the day axis, then
+    axis-sized windows (the series is bounded by days, not corpus size)
+    — the same single-partition-window contract as timeline_pipeline.
+    """
+    from pyspark.sql.window import Window
+
+    hourly = corpus.groupBy(
+        F.date_format(F.date_trunc("hour", "warc_ts"), "yyyy-MM-dd HH:00").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("docs"))
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket")
+    wall = Window.partitionBy(F.lit(0))
+    cum = (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("docs").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("total", F.sum("docs").over(wall))
+    )
+    left_cnt = F.col("rn") - 1
+    right_cnt = F.col("n") - F.col("rn") + 1
+    left_sum = F.col("cum") - F.col("docs")
+    mean_l = left_sum / left_cnt
+    mean_r = (F.col("total") - left_sum) / right_cnt
+    scored = cum.filter(F.col("rn") >= 2).select(
+        "bucket",
+        F.round(mean_l, 4).alias("left_mean"),
+        F.round(mean_r, 4).alias("right_mean"),
+        F.round(
+            F.abs(mean_r - mean_l)
+            * F.sqrt((left_cnt * right_cnt).cast("double") / F.col("n")),
+            4,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("bucket")).limit(1)
+
+
+def agg_change_point_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+hourly AS (
+  SELECT strftime(date_trunc('hour', warc_ts), '%Y-%m-%d %H:00') AS bucket,
+         count(*) AS docs
+  FROM corpus GROUP BY 1
+),
+cum AS (
+  SELECT bucket, docs,
+         row_number() OVER (ORDER BY bucket) AS rn,
+         sum(docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+         count(*) OVER () AS n,
+         sum(docs) OVER () AS total
+  FROM hourly
+),
+scored AS (
+  SELECT bucket,
+         round((cum - docs) * 1.0 / (rn - 1), 4) AS left_mean,
+         round((total - cum + docs) * 1.0 / (n - rn + 1), 4) AS right_mean,
+         round(abs((total - cum + docs) * 1.0 / (n - rn + 1)
+                   - (cum - docs) * 1.0 / (rn - 1))
+               * sqrt((rn - 1.0) * (n - rn + 1.0) / n), 4) AS score
+  FROM cum WHERE rn >= 2
+)
+SELECT bucket, left_mean, right_mean, score
+FROM scored ORDER BY score DESC, bucket ASC LIMIT 1
+"""
+
+
+# --- ES 8.4 frequent_item_sets aggregation ----------------------------------
+
+
+def agg_frequent_item_sets(
+    corpus: DataFrame, min_support: int = 200, top: int = 20
+) -> DataFrame:
+    """ES `frequent_item_sets` aggregation (size-2 itemsets over the
+    per-document distinct token set), Apriori-pruned.
+
+    Stage 1 keeps only items whose own document frequency >= min_support
+    (downward closure: a pair can never out-support its rarest member),
+    so the pair generation never touches infrequent vocabulary — the
+    100 TB guard: the self-join fans out only over per-doc FREQUENT
+    distinct items, a vocabulary-bounded set.  Stage 2 self-joins the
+    (doc_id, item) relation on doc_id with item1 < item2 (co-partitioned
+    equi-join, one shuffle) and hash-counts pair support.
+
+    Output: (item1, item2, support) for pairs with support >=
+    min_support, top `top` by (support desc, item1, item2) — ES orders
+    sets by doc_count descending."""
+    from ..functions.tokenizer import tokens
+
+    items = (
+        corpus.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("item"))
+    )
+    freq = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= int(min_support))
+        .select("item")
+    )
+    fitems = items.join(F.broadcast(freq), "item", "inner").select("doc_id", "item")
+    a = fitems.alias("a")
+    b = fitems.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).select(F.col("a.item").alias("item1"), F.col("b.item").alias("item2"))
+    return (
+        pairs.groupBy("item1", "item2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= int(min_support))
+        .orderBy(F.desc("support"), F.asc("item1"), F.asc("item2"))
+        .limit(int(top))
+    )
+
+
+def agg_frequent_item_sets_sql(min_support: int = 200, top: int = 20) -> str:
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+items AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS item
+  FROM corpus
+),
+freq AS (
+  SELECT item FROM items GROUP BY item HAVING count(*) >= {int(min_support)}
+),
+fitems AS (
+  SELECT doc_id, item FROM items WHERE item IN (SELECT item FROM freq)
+)
+SELECT a.item AS item1, b.item AS item2, count(*) AS support
+FROM fitems a JOIN fitems b
+  ON a.doc_id = b.doc_id AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_support)}
+ORDER BY support DESC, item1 ASC, item2 ASC
+LIMIT {int(top)}
+"""
+
+
+# --- ES categorize_text aggregation -----------------------------------------
+
+
+def categorize_text(corpus: DataFrame, n_sig: int = 3, top: int = 15) -> DataFrame:
+    """ES `categorize_text` aggregation: cluster semi-structured text
+    into categories and count docs per category.
+
+    ES's categorizer templates log messages by their distinctive tokens
+    (drift/ML-tuned); the engine's deterministic re-spec: a document's
+    category key is its `n_sig` RAREST distinct tokens (corpus document
+    frequency asc, term asc — rare tokens are the distinctive ones, the
+    same rarity signal ES's categorizer weights), joined space-separated
+    in alphabetical order.  Cross-engine stable by construction.
+
+    Shape: one tokenize+distinct, one df hash agg (vocabulary-sized,
+    broadcast back), a per-doc window over the doc's DISTINCT vocabulary
+    (bounded by vocab, not doc length), then a category hash agg.  No
+    corpus-sized sort: the window partitions by doc_id."""
+    from pyspark.sql.window import Window
+
+    from ..functions.tokenizer import tokens
+
+    items = corpus.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    tdf = items.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("term"))
+    sig = (
+        items.join(F.broadcast(tdf), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(n_sig))
+    )
+    keys = sig.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_list("term")), " ").alias("category")
+    )
+    return (
+        keys.groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("category"))
+        .limit(int(top))
+    )
+
+
+def categorize_text_sql(n_sig: int = 3, top: int = 15) -> str:
+    from ..functions.tokenizer import TOKEN_SPLIT_RE
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+items AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tdf AS (SELECT term, count(*) AS df FROM items GROUP BY term),
+sig AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, term ASC) AS rk
+  FROM items JOIN tdf USING (term)
+),
+keys AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY term) AS category
+  FROM sig WHERE rk <= {int(n_sig)} GROUP BY doc_id
+)
+SELECT category, count(*) AS n_docs
+FROM keys GROUP BY category
+ORDER BY n_docs DESC, category ASC
+LIMIT {int(top)}
+"""
+
+
+# --- ES scripted_metric aggregation ------------------------------------------
+
+
+def scripted_metric(
+    df: DataFrame,
+    combine_fn,
+    reduce_fn,
+    state_schema: str,
+    out_schema: str,
+) -> DataFrame:
+    """ES `scripted_metric` aggregation harness: arbitrary
+    map+combine per shard, reduce on the coordinator.
+
+    `combine_fn(pdf) -> dict` runs per Arrow batch (the shard-combine:
+    ES executes map_script per doc then combine_script per shard — the
+    engine fuses both over a vectorized pandas batch, which is the
+    Arrow-native equivalent of a per-shard scan).  `reduce_fn(states:
+    list[dict]) -> dict` merges the per-batch states driver-side, the
+    exact analogue of ES's coordinator-side reduce_script over
+    per-shard states.  CONTRACT (same as ES): combine states must be
+    mergeable by reduce_fn regardless of row partitioning — i.e. the
+    combine is associative/commutative over row subsets.
+
+    Shape at 100 TB: the corpus-sized pass is one mapInPandas emitting
+    ONE tiny state row per batch; only the (partitions x batches)-row
+    state table moves to the driver.  No shuffle at all."""
+    import pandas as pd
+
+    spark = df.sparkSession
+
+    def per_batch(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame([combine_fn(pdf)])
+
+    states = df.mapInPandas(per_batch, state_schema).collect()
+    out = reduce_fn([r.asDict() for r in states])
+    return spark.createDataFrame([out], out_schema)
+
+
+def scripted_metric_profile(corpus: DataFrame) -> DataFrame:
+    """Registered scripted_metric example: a one-pass numeric profile of
+    n_chars (count / mean / population variance / max) computed from
+    exact integer partial sums (cnt, sum, sum of squares, max) so the
+    reduce is order-independent and the floats are derived once, at the
+    end — the canonical ES scripted_metric demo shape."""
+
+    def combine(pdf):
+        x = pdf["n_chars"].astype("int64")
+        return {
+            "cnt": int(len(x)),
+            "s": int(x.sum()),
+            "ss": int((x * x).sum()),
+            "mx": int(x.max()),
+        }
+
+    def reduce(states):
+        cnt = sum(s["cnt"] for s in states)
+        sm = sum(s["s"] for s in states)
+        ss = sum(s["ss"] for s in states)
+        mx = max(s["mx"] for s in states)
+        mean = sm * 1.0 / cnt
+        return {
+            "n_docs": cnt,
+            "mean_chars": round(mean, 4),
+            "var_chars": round(ss * 1.0 / cnt - mean * mean, 4),
+            "max_chars": mx,
+        }
+
+    return scripted_metric(
+        corpus.select("n_chars"),
+        combine,
+        reduce,
+        "cnt long, s long, ss long, mx long",
+        "n_docs long, mean_chars double, var_chars double, max_chars long",
+    )
+
+
+def scripted_metric_profile_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT count(*) AS n_docs,
+       round(sum(n_chars) * 1.0 / count(*), 4) AS mean_chars,
+       round(sum(n_chars * n_chars) * 1.0 / count(*)
+             - (sum(n_chars) * 1.0 / count(*)) * (sum(n_chars) * 1.0 / count(*)),
+             4) AS var_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM corpus
+"""

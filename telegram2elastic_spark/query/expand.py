@@ -418,3 +418,123 @@ SELECT term, df, cf FROM td
 WHERE starts_with(term, '{esc}') {after}
 ORDER BY term LIMIT {int(size)}
 """
+
+
+def match_fuzzy_topk(
+    index: dict,
+    words: list[str],
+    k: int = 10,
+    fuzziness: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES `match` query with `fuzziness` set: each analyzed token
+    rewrites to its fuzzy expansion set, and the expansions of one token
+    score as ONE blended clause (Lucene's top_terms_blended_freqs
+    rewrite: the clause uses the max docFreq across its expansions —
+    exactly SynonymQuery semantics), clauses summing like any match.
+
+    Composition: expansion = the verified fuzzy term-dict scan
+    (expand_fuzzy — Levenshtein over the sorted dictionary, pruned by
+    the shared-prefix pushdown when prefix_length > 0); scoring = the
+    verified synonym kernel (termset.synonym_topk), whose per-group
+    tf = member sum / df = member max IS the blended-freqs contract.
+    A token with no expansions contributes nothing (ES: zero clauses).
+    Scale: expansion is dictionary-bounded and driver-collected
+    (<= max_expansions per token); scoring touches only the expanded
+    terms' postings."""
+    from .termset import synonym_topk
+
+    groups = [
+        expand_fuzzy(index, w, fuzziness, prefix_length, max_expansions)
+        for w in words
+    ]
+    groups = [g for g in groups if g]
+    if not groups:
+        spark = index["doc_map"].sparkSession
+        return spark.createDataFrame([], "doc_id long, url string, score double")
+    return synonym_topk(index, groups, k=k)
+
+
+def match_fuzzy_topk_sql(
+    words: list[str],
+    k: int = 10,
+    fuzziness: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> str:
+    """DuckDB oracle: per-token expansion computed IN SQL from the corpus
+    vocabulary (same (distance, term) cap order as expand_fuzzy), then
+    blended-clause scoring — per clause df = max member df, tf = member
+    sum — summed across clauses and rounded once, mirroring the synonym
+    kernel's accumulation."""
+    from ..corpus import CORPUS_CTE
+    from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE
+    from .bm25 import B, K1, SCORE_DECIMALS
+
+    q_ctes, g_blocks, u_parts = [], [], []
+    for i, w in enumerate(words):
+        wl = w.lower()
+        pred = f"levenshtein(term, {_sql_quote(wl)}) <= {int(fuzziness)}"
+        if prefix_length > 0:
+            esc = (
+                wl[: int(prefix_length)]
+                .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            )
+            pred += f" AND term LIKE {_sql_quote(esc + '%')} ESCAPE '\\'"
+        q_ctes.append(
+            f"""q{i} AS (
+  SELECT term FROM vocab WHERE {pred}
+  ORDER BY levenshtein(term, {_sql_quote(wl)}), term LIMIT {int(max_expansions)}
+)"""
+        )
+        g_blocks.append(
+            f"""gdf{i} AS (
+  SELECT max(df) AS df_g FROM tdf WHERE term IN (SELECT term FROM q{i})
+),
+gw{i} AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - gdf{i}.df_g + 0.5) / (gdf{i}.df_g + 0.5))
+         * sum(tf.tf) * ({K1} + 1.0)
+         / (sum(tf.tf) + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl)) AS w
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats CROSS JOIN gdf{i}
+  WHERE tf.term IN (SELECT term FROM q{i})
+  GROUP BY tf.doc_id, gdf{i}.df_g, stats.n, stats.avgdl, dl.doc_len
+)"""
+        )
+        u_parts.append(f"SELECT * FROM gw{i}")
+    q_ctes_sql = ",\n".join(q_ctes)
+    g_blocks_sql = ",\n".join(g_blocks)
+    allq_sql = " UNION ".join(f"SELECT term FROM q{i}" for i in range(len(words)))
+    union_sql = " UNION ALL ".join(u_parts)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+{q_ctes_sql},
+allq AS ({allq_sql}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM allq) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{g_blocks_sql},
+u AS ({union_sql}),
+scored AS (
+  SELECT doc_id, round(sum(w), {SCORE_DECIMALS}) AS score
+  FROM u GROUP BY doc_id
+)
+SELECT s.doc_id, dl.url, s.score
+FROM scored s JOIN dl ON s.doc_id = dl.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {int(k)}
+"""
