@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from telegram2elastic_spark.corpus import load_corpus, load_embeddings, load_events
 from telegram2elastic_spark.functions import text_quality as tq
+from telegram2elastic_spark.functions import tokenizer as tokzr
 from telegram2elastic_spark.index import maintenance as maint
 from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
@@ -188,6 +189,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer partials (associative/commutative contract)
         "scripted_metric_profile": lambda spark, sf: agg.scripted_metric_profile(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 10): ES function_score random_score — seeded
+        # deterministic shuffle (MINSTD mixer, exact int64 both engines),
+        # boost_mode=multiply, served from the compressed index with no
+        # doc-values side (rnd derives from doc_id alone)
+        "function_score_random": lambda spark, sf: fscore.function_score_random_topk(
+            load_corpus(spark, sf), Q_MAIN, seed=42, k=10,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
+        # NEW (r4, session 10): ES `stop` token-filter analyzer — analyzed
+        # corpus view (filter+re-join round-trips through the tokenizer),
+        # standard build/WAND kernels untouched; stats shift (avgdl/df)
+        # and the oracle reproduces them via the corpus_cte seam
+        "analyzer_stop_topk": lambda spark, sf: wand_topk(
+            build_index(
+                tokzr.apply_stop_analyzer(load_corpus(spark, sf), ["the", "a"]),
+                n_doc_parts=8,
+            ),
+            Q_MAIN, k=10,
+        ),
+        # NEW (r4, session 10): exact substring dedup (Lee et al. 2021) at
+        # n-gram granularity — corpus-duplicated 8-gram detection (one
+        # gram hash agg), position-union coverage per doc
+        "dedup_substring_spans": lambda spark, sf: dedup.dedup_substring_spans(
+            load_corpus(spark, sf), n=8
+        ),
+        # NEW (r4, session 10): the paper's removal step — duplicated-span
+        # tokens dropped, per-doc bounded reassembly (no global sort)
+        "dedup_substring_clean": lambda spark, sf: dedup.dedup_substring_clean(
+            load_corpus(spark, sf), n=8
         ),
         # NEW (r4, session 10): ES match with fuzziness — per-token fuzzy
         # expansion sets scored as blended clauses (top_terms_blended_freqs
@@ -1372,6 +1403,15 @@ FROM corpus ORDER BY doc_id
         "repetition_metrics": training.repetition_metrics_sql(top_n=2, dup_n=5),
         "dedup_url_canonical": dedup.dedup_url_canonical_sql(),
         "top_ngrams": training.top_ngrams_sql(n=3, k=20),
+        "function_score_random": fscore.function_score_random_sql(
+            Q_MAIN, seed=42, k=10
+        ),
+        "analyzer_stop_topk": bm25.bm25_topk_sql(
+            Q_MAIN, k=10,
+            corpus_cte=tokzr.stop_analyzed_corpus_cte(["the", "a"]),
+        ),
+        "dedup_substring_spans": dedup.dedup_substring_spans_sql(n=8),
+        "dedup_substring_clean": dedup.dedup_substring_clean_sql(n=8),
         "match_fuzzy_topk": expandq.match_fuzzy_topk_sql(
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,

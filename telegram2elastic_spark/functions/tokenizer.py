@@ -100,3 +100,38 @@ def extract_text(html_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
     poc/src/enrichment/entity_extractor.py:154-158)."""
     for html in html_iter:
         yield _extract_text_from_html(html)
+
+
+def apply_stop_analyzer(corpus, stopwords: list[str]):
+    """ES `stop` token filter as an analyzed-corpus view: drop stopword
+    tokens, re-join with single spaces.
+
+    Because tokens() splits on separator runs, the rewritten text
+    re-tokenizes to exactly the filtered token stream — so an index
+    built over this view IS the index a stop-filter analyzer would
+    build (doc lengths, avgdl, dfs all shift accordingly), with zero
+    new code in the build/query kernels.  Pure built-in exprs (filter
+    + array_join), codegen'd; the lambda touches the element only, so
+    the tokenize-once contract holds."""
+    sw = [w.lower() for w in stopwords]
+    kept = F.filter(tokens("text"), lambda t: ~t.isin(*sw))
+    return corpus.withColumn("text", F.array_join(kept, " "))
+
+
+def stop_analyzed_corpus_cte(stopwords: list[str]) -> str:
+    """DuckDB twin of apply_stop_analyzer: CORPUS_CTE with `text`
+    replaced by the stop-filtered re-join.  Emits the two CTE clauses
+    `corpus_raw` and `corpus` (callers start their WITH with this)."""
+    from ..corpus import CORPUS_CTE
+
+    sw = ", ".join("'" + w.lower().replace("'", "''") + "'" for w in stopwords)
+    raw = CORPUS_CTE.strip().replace("corpus AS (", "corpus_raw AS (", 1)
+    return f"""{raw},
+corpus AS (
+  SELECT doc_id, url, warc_ts, html,
+         array_to_string(list_filter(
+             regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+             t -> t <> '' AND t NOT IN ({sw})), ' ') AS text,
+         lang, source, n_chars
+  FROM corpus_raw
+)"""

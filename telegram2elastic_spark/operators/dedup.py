@@ -1143,3 +1143,185 @@ SELECT canonical_url,
        count(*) AS n_docs
 FROM r GROUP BY canonical_url ORDER BY canonical_url
 """
+
+
+# --- exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better") --------------------------------------------
+
+
+def _gram_windows(tokd: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gpos, gram): every n-token window with its 1-based start
+    position.  tokd must carry a MATERIALIZED `toks` column (tokenize-once
+    contract, see shingles_col).  Docs with < n tokens yield no windows
+    (sequence(1,0) counts DOWN — the _ngrams guard)."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.struct(
+            i.alias("gpos"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+            ).alias("gram"),
+        ),
+    )
+    g = F.explode(
+        F.when(
+            F.size("toks") < n,
+            F.array().cast("array<struct<gpos:int,gram:string>>"),
+        ).otherwise(arr)
+    )
+    return tokd.select("doc_id", g.alias("g")).select(
+        "doc_id", F.col("g.gpos").alias("gpos"), F.col("g.gram").alias("gram")
+    )
+
+
+def _dup_covered_positions(corpus: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """(tokd, covered): token positions covered by any n-gram that occurs
+    MORE THAN ONCE in the whole corpus — the paper's suffix-array
+    duplicated-substring criterion at n-gram granularity (cross-doc AND
+    within-doc repeats both qualify, as in the paper).
+
+    Scale shape: dup detection is one hash agg keyed by gram (map-side
+    combine); occurrences come from an equi-join of the window table to
+    the duplicated-gram set (shuffle on gram — the heavy key space is
+    the gram space itself, already salted by content); coverage is a
+    per-doc bounded explode + distinct keyed by doc_id.  No sorting, no
+    suffix array: the n-gram relaxation is what makes the operator a
+    pure dataflow at 10^12 docs."""
+    tokd = corpus.select("doc_id", _toks().alias("toks"))
+    grams = _gram_windows(tokd, n)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gram")
+    )
+    occ = grams.join(dup, "gram").select("doc_id", "gpos")
+    covered = occ.select(
+        "doc_id",
+        F.explode(F.sequence("gpos", F.col("gpos") + (n - 1))).alias("p"),
+    ).distinct()
+    return tokd, covered
+
+
+def dedup_substring_spans(corpus: DataFrame, n: int = 8) -> DataFrame:
+    """Per-doc duplicated-substring exposure: (doc_id, n_tokens,
+    n_dup_tokens, dup_frac) where n_dup_tokens counts tokens covered by
+    at least one corpus-duplicated n-gram window (position union — each
+    token counted once, the same no-double-count contract as
+    repetition_metrics)."""
+    tokd, covered = _dup_covered_positions(corpus, int(n))
+    ndup = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_tokens")
+    )
+    ntok = tokd.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    nd = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long")
+    return (
+        ntok.join(ndup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            nd.alias("n_dup_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(F.round(nd / F.col("n_tokens"), 5))
+            .alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_substring_clean(corpus: DataFrame, n: int = 8) -> DataFrame:
+    """The paper's REMOVAL step: drop every token covered by a
+    corpus-duplicated n-gram, keep the rest in document order.
+    (doc_id, clean_text); fully-duplicated docs come out empty — the
+    filter stage downstream drops them.
+
+    Reassembly is a per-doc sort of the doc's own kept positions
+    (array_sort over a collect_list bounded by doc length), never a
+    global sort."""
+    tokd, covered = _dup_covered_positions(corpus, int(n))
+    pos = tokd.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        corpus.select("doc_id")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _substring_ctes(n: int) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, CAST(x.i AS BIGINT) AS gpos, {parts} AS gram
+  FROM tokd, unnest(range(1, len(toks) - {n - 1} + 1)) AS x(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+occ AS (
+  SELECT doc_id, gpos FROM grams WHERE gram IN (SELECT gram FROM dup)
+),
+covered AS (
+  SELECT DISTINCT doc_id, gpos + y.d AS p
+  FROM occ, unnest(range(0, {n})) AS y(d)
+)"""
+
+
+def dedup_substring_spans_sql(n: int = 8) -> str:
+    n = int(n)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{_substring_ctes(n).strip()},
+ndup AS (SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id),
+ntok AS (SELECT doc_id, len(toks) AS n_tokens FROM tokd)
+SELECT ntok.doc_id, n_tokens,
+       coalesce(n_dup, 0) AS n_dup_tokens,
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE round(coalesce(n_dup, 0) / n_tokens, 5) END AS dup_frac
+FROM ntok LEFT JOIN ndup ON ntok.doc_id = ndup.doc_id
+ORDER BY ntok.doc_id
+"""
+
+
+def dedup_substring_clean_sql(n: int = 8) -> str:
+    n = int(n)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{_substring_ctes(n).strip()},
+pos AS (
+  SELECT doc_id, CAST(x.p AS BIGINT) AS p, toks[x.p] AS tok
+  FROM tokd, unnest(range(1, len(toks) + 1)) AS x(p)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = pos.doc_id AND c.p = pos.p
+  )
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT corpus.doc_id, coalesce(clean_text, '') AS clean_text
+FROM corpus LEFT JOIN clean ON corpus.doc_id = clean.doc_id
+ORDER BY corpus.doc_id
+"""

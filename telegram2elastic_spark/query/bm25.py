@@ -162,12 +162,16 @@ def bm25_topk_sql(
     exclude_terms: list[str] | None = None,
     offset: int = 0,
     extra_pred: str | None = None,
+    corpus_cte: str | None = None,
 ) -> str:
     """DuckDB oracle SQL — the exact same semantics over the raw
     `documents` view (derivation via CORPUS_CTE, tokenization via
     TOKENS_CTE with the same regex).  `offset` skips the first rows of
     the ranking — the oracle for cursor (search_after) pagination, whose
-    page N is exactly rows [offset, offset+k) of the full order."""
+    page N is exactly rows [offset, offset+k) of the full order.
+    `corpus_cte` swaps the corpus derivation (must still emit a CTE named
+    `corpus`) — the analyzed-view seam (e.g. tokenizer.
+    stop_analyzed_corpus_cte)."""
     preds = ["1=1"]
     if lang is not None:
         preds.append(f"lang = '{lang}'")
@@ -192,8 +196,9 @@ def bm25_topk_sql(
             f"WHERE term IN ({ex_sql}))"
         )
         ex_where = "WHERE s.doc_id NOT IN (SELECT doc_id FROM exdocs)"
+    cte = corpus_cte.strip() if corpus_cte is not None else CORPUS_CTE.strip()
     return f"""
-WITH {CORPUS_CTE.strip()},
+WITH {cte},
 fbase AS (SELECT * FROM corpus WHERE {where}),
 dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM fbase),
 sbase AS (SELECT * FROM {stats_rel}),

@@ -17,10 +17,16 @@ Supported subset:
                         | {"query": "...", "slop": n}}}
       {"sparse_vector": {"field": "text", "query_vector": {tok: w}}}
       {"prefix":       {"text": "sc"}}
+      {"ids":          {"values": [id, ...]}}            (constant 1.0)
+      {"wrapper":      {"query": "<base64 of a body's query>"}}
+      {"match": {"text": {"query": "...", "fuzziness": f}}}
+                                   (blended fuzzy expansion per token)
       {"bool": {"must":     [match | match_phrase, ...],
                 "must_not": [match, ...],
                 "filter":   [{"term":  {field: value}}
-                             | {"range": {field: {"gte"/"lt"/...: v}}}, ...]}}
+                             | {"range": {field: {"gte"/"lt"/...: v}}}
+                             | {"ids": {"values": [...]}}
+                             | {"exists": {"field": f}}, ...]}}
 
 Search templates are the ES `_search/template` mustache flavor over the
 same subset: `{{var}}` substitutes a JSON-encoded scalar, `{{#toJson}}
@@ -81,6 +87,17 @@ def _filter_pred(clauses: list) -> str | None:
                 if op not in _RANGE_OPS:
                     raise ValueError(f"bad range op {op!r}")
                 preds.append(f"{fld} {_RANGE_OPS[op]} {val!r}")
+        elif kind == "ids":
+            vals = body.get("values")
+            if not isinstance(vals, list) or not vals:
+                raise ValueError("ids filter needs a non-empty values list")
+            ids = ", ".join(str(int(v)) for v in vals)
+            preds.append(f"doc_id IN ({ids})")
+        elif kind == "exists":
+            fld = body.get("field")
+            if fld not in _FILTER_FIELDS:
+                raise ValueError(f"unfilterable field {fld!r}")
+            preds.append(f"{fld} IS NOT NULL")
         else:
             raise ValueError(f"out-of-subset filter {kind!r}")
     return " AND ".join(preds) if preds else None
@@ -95,6 +112,8 @@ class _Parsed:
     doc_filter: str | None
     sparse: dict[str, float] | None
     prefix: str | None
+    ids: list[int] | None
+    fuzziness: int | None
 
     def __init__(self):
         self.terms, self.msm = [], 0
@@ -103,6 +122,8 @@ class _Parsed:
         self.doc_filter = None
         self.sparse = None
         self.prefix = None
+        self.ids = None
+        self.fuzziness = None
 
 
 def parse_dsl(body: dict) -> tuple[_Parsed, int]:
@@ -117,6 +138,31 @@ def parse_dsl(body: dict) -> tuple[_Parsed, int]:
         raise ValueError("body.query must hold exactly one query")
     p = _Parsed()
     kind, spec = next(iter(q.items()))
+    if kind == "wrapper":
+        # ES wrapper query: base64-encoded JSON of an inner query object;
+        # decode and re-dispatch — as verified as its expansion
+        import base64
+
+        if not isinstance(spec, dict) or list(spec) != ["query"]:
+            raise ValueError("wrapper needs exactly {'query': <base64>}")
+        inner = json.loads(base64.b64decode(spec["query"]).decode("utf-8"))
+        return parse_dsl({"query": inner, "size": k})
+    if kind == "ids":
+        vals = spec.get("values") if isinstance(spec, dict) else None
+        if not isinstance(vals, list) or not vals:
+            raise ValueError("ids query needs a non-empty values list")
+        p.ids = sorted({int(v) for v in vals})
+        return p, k
+    if kind == "match" and isinstance(spec.get("text"), dict) and "fuzziness" in spec["text"]:
+        v = spec["text"]
+        extra = set(v) - {"query", "fuzziness"}
+        if extra:
+            raise ValueError(f"out-of-subset fuzzy-match options: {sorted(extra)}")
+        from ..functions.tokenizer import py_tokenize
+
+        p.terms = py_tokenize(str(v["query"]))
+        p.fuzziness = int(v["fuzziness"])
+        return p, k
     if kind == "match":
         p.terms, p.msm = _text_clause(spec, "minimum_should_match")
     elif kind == "match_phrase":
@@ -168,6 +214,22 @@ def execute_dsl(index: dict, body: dict) -> DataFrame:
     from .wand import wand_topk
 
     p, k = parse_dsl(body)
+    if p.ids is not None:
+        # ES ids query: constant 1.0 for the named live docs — a doc_map
+        # point lookup, postings never touched
+        from pyspark.sql import functions as F
+
+        return (
+            index["doc_map"]
+            .filter(F.col("doc_id").isin(p.ids))
+            .select("doc_id", "url", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+    if p.fuzziness is not None:
+        from .expand import match_fuzzy_topk
+
+        return match_fuzzy_topk(index, p.terms, k=k, fuzziness=p.fuzziness)
     if p.sparse is not None:
         return sparse_vector_topk(index, p.sparse, k=k)
     if p.prefix is not None:
@@ -199,6 +261,19 @@ def dsl_sql(body: dict) -> str:
     from .sparse import sparse_vector_topk_sql
 
     p, k = parse_dsl(body)
+    if p.ids is not None:
+        from ..corpus import CORPUS_CTE
+
+        ids = ", ".join(str(v) for v in p.ids)
+        return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, url, 1.0 AS score FROM corpus
+WHERE doc_id IN ({ids}) ORDER BY doc_id LIMIT {k}
+"""
+    if p.fuzziness is not None:
+        from .expand import match_fuzzy_topk_sql
+
+        return match_fuzzy_topk_sql(p.terms, k=k, fuzziness=p.fuzziness)
     if p.prefix is not None:
         raise ValueError("oracle covers the prefix-free subset")
     if p.sparse is not None:

@@ -243,3 +243,155 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# --- ES function_score random_score ------------------------------------------
+
+# Cross-engine deterministic "random": a Park-Miller MINSTD step on the
+# doc_id reduced mod a prime.  ES's random_score hashes (seed, field) via
+# murmur3 — engine-internal; the contract that matters (uniform-ish in
+# [0,1), stable per (seed, doc), reproducible) is kept with a mixer both
+# engines evaluate in exact int64 arithmetic.  doc_id is reduced mod P
+# FIRST so (doc_id % P) * A <= 5.06e9 never overflows, even at 10^12 docs.
+RND_P = 104729
+RND_A = 48271
+
+
+def _rnd_np(ids: np.ndarray, seed: int) -> np.ndarray:
+    return (((ids % RND_P) * RND_A + int(seed)) % RND_P) / float(RND_P)
+
+
+def function_score_random_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    seed: int = 42,
+    k: int = 10,
+    index: dict | None = None,
+) -> DataFrame:
+    """ES `function_score` with `random_score` (seed, field: doc_id),
+    boost_mode=multiply: final = round(bm25 * rnd(seed, doc_id), 5) —
+    the deterministic-shuffle ranking used for result diversification /
+    A-B bucketing.  With `index=` served from the compressed postings:
+    rnd needs nothing but the doc_id, so the per-salt kernel emits its
+    top-k by the final key with no doc-values side at all (cheaper than
+    the gauss/fvf kernels) and the global TakeOrdered merge is exact."""
+    if index is not None:
+        return _random_indexed(index, terms, seed, k)
+    scored = bm25_scores(corpus, terms)
+    rnd = (
+        ((F.col("doc_id") % RND_P) * RND_A + F.lit(int(seed))) % RND_P
+    ) / F.lit(float(RND_P))
+    return (
+        scored.select(
+            "doc_id",
+            "url",
+            F.round(F.col("score") * rnd, SCORE_DECIMALS).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _random_indexed(index: dict, terms: list[str], seed: int, k: int) -> DataFrame:
+    from .wand import (
+        _collect_idfs,
+        _filters_df,
+        _n_parts,
+        _postings_for_terms,
+        _score_salt_group,
+        _split_filters,
+    )
+
+    spark = index["doc_map"].sparkSession
+    idfs, avgdl = _collect_idfs(index, terms)
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not idfs:
+        return empty
+    post = _postings_for_terms(index, sorted(idfs))
+    filt = _filters_df(index, None)
+
+    def score_salt(post_pdf: pd.DataFrame, filt_pdf: pd.DataFrame | None) -> pd.DataFrame:
+        tomb = None
+        if filt_pdf is not None and len(filt_pdf):
+            tomb, _ = _split_filters(filt_pdf, has_allow=False)
+        scored = _score_salt_group(
+            post_pdf, idfs, float(avgdl), 1 << 60, tombstones=tomb
+        )
+        if scored.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = scored["doc_id"].to_numpy(np.int64)
+        final = np.round(
+            scored["score"].to_numpy() * _rnd_np(ids, seed), SCORE_DECIMALS
+        )
+        order = np.lexsort((ids, -final))[:k]
+        return pd.DataFrame({"doc_id": ids[order], "score": final[order]})
+
+    if filt is not None:
+        filt = filt.withColumn(
+            "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+        )
+        local = (
+            post.groupBy("salt")
+            .cogroup(filt.groupBy("salt"))
+            .applyInPandas(
+                lambda p, t: score_salt(p, t), "doc_id long, score double"
+            )
+        )
+    else:
+        local = post.groupBy("salt").applyInPandas(
+            lambda p: score_salt(p, None), "doc_id long, score double"
+        )
+    top = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(top), "doc_id", "inner")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def function_score_random_sql(terms: list[str], seed: int = 42, k: int = 10) -> str:
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    mult = (
+        f"((((doc_id % {RND_P}) * {RND_A} + {int(seed)}) % {RND_P})"
+        f" * 1.0 / {RND_P})"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, dl.url,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, dl.url
+)
+SELECT doc_id, url, round(score * {mult}, {SCORE_DECIMALS}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

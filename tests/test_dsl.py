@@ -168,3 +168,73 @@ class TestTermsEnum:
             for r in ex.terms_enum(idx, prefix="s", size=16).collect()
         ]
         assert p1 + p2 == full
+
+
+class TestDslExtensions:
+    """Session-10 subset additions: ids / wrapper / exists / fuzziness."""
+
+    def test_ids_query_vs_oracle(self, spark, duck, sf_dir):
+        body = {"query": {"ids": {"values": [7, 3, 9999999, 12]}}, "size": 10}
+        got = dsl.execute_dsl(_idx(spark, sf_dir), body)
+        assert_same(got, duck.execute(dsl.dsl_sql(body)).df())
+        rows = got.collect()
+        assert [r["doc_id"] for r in rows] == [3, 7, 12]  # missing id drops
+        assert all(r["score"] == 1.0 for r in rows)
+
+    def test_wrapper_is_identity_with_inner(self, spark, sf_dir):
+        import base64
+        import json
+
+        idx = _idx(spark, sf_dir)
+        inner = {"match": {"text": "the data row"}}
+        wrapped = {
+            "query": {"wrapper": {"query": base64.b64encode(
+                json.dumps(inner).encode()).decode()}},
+            "size": 10,
+        }
+        a = dsl.execute_dsl(idx, wrapped).collect()
+        b = dsl.execute_dsl(idx, {"query": inner, "size": 10}).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_ids_and_exists_filters(self, spark, sf_dir):
+        idx = _idx(spark, sf_dir)
+        body = {
+            "query": {"bool": {
+                "must": [{"match": {"text": "the data row"}}],
+                "filter": [
+                    {"ids": {"values": list(range(0, 300))}},
+                    {"exists": {"field": "lang"}},
+                ],
+            }},
+            "size": 10,
+        }
+        rows = dsl.execute_dsl(idx, body).collect()
+        assert rows and all(r["doc_id"] < 300 for r in rows)
+
+    def test_fuzzy_match_routes_to_blended(self, spark, sf_dir):
+        from telegram2elastic_spark.query.expand import match_fuzzy_topk
+
+        idx = _idx(spark, sf_dir)
+        body = {"query": {"match": {"text": {
+            "query": "fast row", "fuzziness": 2}}}, "size": 10}
+        a = dsl.execute_dsl(idx, body).collect()
+        b = match_fuzzy_topk(idx, ["fast", "row"], k=10, fuzziness=2).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_fuzzy_match_vs_oracle(self, spark, duck, sf_dir):
+        body = {"query": {"match": {"text": {
+            "query": "fast row", "fuzziness": 2}}}, "size": 10}
+        got = dsl.execute_dsl(_idx(spark, sf_dir), body)
+        assert_same(got, duck.execute(dsl.dsl_sql(body)).df())
+
+    def test_rejections(self, spark, sf_dir):
+        idx = _idx(spark, sf_dir)
+        for bad in [
+            {"query": {"ids": {"values": []}}},
+            {"query": {"wrapper": {"q": "x"}}},
+            {"query": {"bool": {"filter": [{"exists": {"field": "nope"}}]}}},
+            {"query": {"match": {"text": {
+                "query": "x", "fuzziness": 1, "boost": 2}}}},
+        ]:
+            with pytest.raises(ValueError):
+                dsl.execute_dsl(idx, bad)
