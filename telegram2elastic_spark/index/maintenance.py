@@ -206,3 +206,53 @@ def resize_index(index: dict, target_parts: int) -> dict:
     out["postings"] = build_postings(rows, n_doc_parts=tgt)
     out["_n_doc_parts"] = tgt
     return out
+
+
+def reindex(
+    index: dict,
+    doc_store: str | None = None,
+    predicate: str | None = None,
+    set_exprs: dict[str, str] | None = None,
+    n_doc_parts: int | None = None,
+    positions: bool = False,
+) -> dict:
+    """ES `_reindex`: build a NEW index from the source index's `_source`
+    store, with the optional `query` filter (`predicate`, SQL over the
+    stored fields) and `script` transform (`set_exprs`, column -> SQL
+    expression — rewriting `text` re-analyzes, exactly like an ES
+    reindex through a changed mapping/script).
+
+    Contract parity: ES reindex requires _source enabled — here the doc
+    store (resolve order: explicit arg, then the store discovered by
+    read_index); deleted (tombstoned) docs are skipped, like ES copying
+    only live docs.  The copy is one doc-store scan feeding the verified
+    build (one shuffle); nothing touches the source postings, and the
+    source index is immutable throughout — the from-scratch analogue of
+    ES's snapshot-isolation reindex semantics."""
+    from ..index.build import build_index
+    from ..query.docstore import resolve_doc_store
+    from ..query.wand import _tomb_df
+
+    spark = index["doc_map"].sparkSession
+    store = resolve_doc_store(index, doc_store)
+    if store is None:
+        raise ValueError(
+            "reindex needs the _source doc store (build with --doc-store "
+            "or pass doc_store=)"
+        )
+    src = spark.read.parquet(store)
+    tomb = _tomb_df(index)
+    if tomb is not None:
+        src = src.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    if predicate is not None:
+        src = src.filter(predicate)
+    if set_exprs:
+        cols = []
+        for c in src.columns:
+            if c in set_exprs:
+                cols.append(F.expr(set_exprs[c]).alias(c))
+            else:
+                cols.append(F.col(c))
+        src = src.select(*cols)
+    nparts = int(n_doc_parts or index.get("_n_doc_parts", 8))
+    return build_index(src, n_doc_parts=nparts, positions=positions)

@@ -73,3 +73,75 @@ def test_index_stats_counts_tombstones(spark, sf_dir, idx):
     st = mt.index_stats(mt.delete_by_query(idx, "lang = 'de'")).first()
     assert st["n_deleted"] == n_de
     assert st["n_live"] == st["n_docs"] - n_de
+
+
+class TestReindex:
+    """ES _reindex: doc-store -> fresh build, query filter + script."""
+
+    def _store_and_index(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index, write_doc_store
+
+        corpus = load_corpus(spark, sf_dir)
+        root = str(tmp_path / "idxroot")
+        write_doc_store(corpus, root, n_files=4)
+        idx = build_index(corpus, n_doc_parts=4)
+        idx["_doc_store_dir"] = f"{root}/doc_store"
+        return corpus, idx
+
+    def test_full_copy_rank_identity(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.index.maintenance import reindex
+        from telegram2elastic_spark.query.wand import wand_topk
+
+        _, idx = self._store_and_index(spark, sf_dir, tmp_path)
+        new = reindex(idx)
+        a = [(r["doc_id"], r["score"])
+             for r in wand_topk(idx, ["spark", "merge"], k=10).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in wand_topk(new, ["spark", "merge"], k=10).collect()]
+        assert a == b
+
+    def test_query_filter_matches_filtered_build(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.index.build import build_index
+        from telegram2elastic_spark.index.maintenance import reindex
+        from telegram2elastic_spark.query.wand import wand_topk
+
+        corpus, idx = self._store_and_index(spark, sf_dir, tmp_path)
+        new = reindex(idx, predicate="lang = 'en'")
+        direct = build_index(corpus.filter("lang = 'en'"), n_doc_parts=4)
+        a = [(r["doc_id"], r["score"])
+             for r in wand_topk(new, ["spark", "merge"], k=10).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in wand_topk(direct, ["spark", "merge"], k=10).collect()]
+        assert a == b
+
+    def test_script_rewrites_text_and_reanalyzes(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.index.maintenance import reindex
+        from telegram2elastic_spark.query.wand import wand_topk
+
+        _, idx = self._store_and_index(spark, sf_dir, tmp_path)
+        new = reindex(
+            idx, set_exprs={"text": "concat(text, ' reindexmark')"}
+        )
+        n_docs = new["stats"].first()["n_docs"]
+        hits = wand_topk(new, ["reindexmark"], k=int(n_docs) + 5)
+        assert hits.count() == n_docs  # every live doc got the new term
+
+    def test_skips_tombstoned_docs(self, spark, sf_dir, tmp_path):
+        from telegram2elastic_spark.index.maintenance import delete_by_query, reindex
+
+        _, idx = self._store_and_index(spark, sf_dir, tmp_path)
+        deleted = delete_by_query(idx, "doc_id < 50")
+        new = reindex(deleted)
+        assert new["doc_map"].filter("doc_id < 50").count() == 0
+        assert new["doc_map"].count() == idx["doc_map"].count() - 50
+
+    def test_requires_doc_store(self, spark, sf_dir):
+        import pytest
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+        from telegram2elastic_spark.index.maintenance import reindex
+
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+        with pytest.raises(ValueError):
+            reindex(idx)

@@ -337,3 +337,66 @@ def test_random_score_seed_sensitivity_and_range(spark, sf_dir):
     assert r.min() >= 0.0 and r.max() < 1.0
     # spread: all 10 deciles populated
     assert len(np.unique((r * 10).astype(int))) == 10
+
+
+# --- Porter stemmer analyzer ------------------------------------------------------
+
+
+def test_porter_published_vectors():
+    from telegram2elastic_spark.functions.stemmer import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "conflated": "conflat", "troubled": "troubl",
+        "sized": "size", "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration", "valenci": "valenc",
+        "digitizer": "digit", "conformabli": "conform", "radicalli": "radic",
+        "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good", "revival": "reviv", "allowance": "allow",
+        "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "communism": "commun", "activate": "activ",
+        "angulariti": "angular", "homologous": "homolog",
+        "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+        "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for w, want in vectors.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_porter_analyzer_conflates_inflections(spark):
+    from telegram2elastic_spark.functions.stemmer import (
+        analyze_query_terms,
+        apply_porter_analyzer,
+    )
+
+    corpus = _mk(
+        spark,
+        [
+            "merging tables quickly",
+            "the table was merged",
+            "a merge of the tables",
+            "nothing relevant here",
+        ],
+    )
+    stemmed = apply_porter_analyzer(corpus)
+    idx = build_index(stemmed, n_doc_parts=2)
+    qterms = analyze_query_terms(["merges"])
+    hits = {r["doc_id"] for r in wand_topk(idx, qterms, k=10).collect()}
+    assert hits == {0, 1, 2}
+    # and the analyzed view round-trips: wand == relational bm25 on it
+    from telegram2elastic_spark.query.bm25 import bm25_topk
+
+    a = [(r["doc_id"], r["score"]) for r in wand_topk(idx, qterms, k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in bm25_topk(stemmed, qterms, k=10).collect()]
+    assert a == b
