@@ -166,6 +166,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES 8.8 knn `similarity` threshold —
+        # radius search (cosine >= s, capped at num_candidates); same
+        # broadcast-query narrow-map scan as cosine_topk, rows shrink
+        "knn_radius": lambda spark, sf: sim.knn_radius(
+            load_embeddings(spark, sf), query_vec_id=0, similarity=0.15,
+            num_candidates=50,
+        ),
         # NEW (r4, session 10): ES 8.x change_point sibling agg — CUSUM
         # mean-shift statistic over the hourly histogram, axis-sized
         # windows only
@@ -189,6 +196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact integer partials (associative/commutative contract)
         "scripted_metric_profile": lambda spark, sf: agg.scripted_metric_profile(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 10): ES Learning-To-Rank rescorer — linear
+        # feature model (bm25, log1p(doc_len), age_hours) over the BM25
+        # top-window; features from a k-row broadcast doc-values join
+        "ltr_rescore": lambda spark, sf: mlt.ltr_rescore(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, k=10, window_size=100,
         ),
         # NEW (r4, session 10): ES function_score random_score — seeded
         # deterministic shuffle (MINSTD mixer, exact int64 both engines),
@@ -1403,6 +1417,7 @@ FROM corpus ORDER BY doc_id
         "repetition_metrics": training.repetition_metrics_sql(top_n=2, dup_n=5),
         "dedup_url_canonical": dedup.dedup_url_canonical_sql(),
         "top_ngrams": training.top_ngrams_sql(n=3, k=20),
+        "ltr_rescore": mlt.ltr_rescore_sql(Q_MAIN, k=10, window_size=100),
         "function_score_random": fscore.function_score_random_sql(
             Q_MAIN, seed=42, k=10
         ),
@@ -1415,6 +1430,9 @@ FROM corpus ORDER BY doc_id
         "match_fuzzy_topk": expandq.match_fuzzy_topk_sql(
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
+        ),
+        "knn_radius": sim.knn_radius_sql(
+            query_vec_id=0, similarity=0.15, num_candidates=50
         ),
         "agg_change_point": agg.agg_change_point_sql(),
         "agg_frequent_item_sets": agg.agg_frequent_item_sets_sql(

@@ -447,6 +447,14 @@ def main() -> None:
             corpus, size=10, shard_size=15, n_shards=CPUS))
         timed("federated_sec", lambda: fdq.federated_topk(
             corpus, ["spark", "merge"], k=10))
+        # session-10: blended fuzzy match + seeded random_score (indexed)
+        timed("match_fuzzy_sec", lambda: exq.match_fuzzy_topk(
+            eidx, ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
+            max_expansions=8))
+        from telegram2elastic_spark.query import funcscore as fsq
+
+        timed("random_score_sec", lambda: fsq.function_score_random_topk(
+            corpus, ["spark", "merge"], seed=42, k=10, index=eidx))
         # round-4 session-8 surface: lenient query-string, span
         # enclosure, completion contexts, hybrid fusion, new aggs
         from telegram2elastic_spark.corpus import load_embeddings as _lde
@@ -694,6 +702,35 @@ def main() -> None:
         timed_pl(
             "federated_dfs_sec",
             lambda: fedp.federated_topk_dfs(corpus, ["spark", "merge"], k=10),
+        )
+        # session-10 ops
+        timed_pl(
+            "substring_spans_sec",
+            lambda: ddp.dedup_substring_spans(corpus, n=8),
+        )
+        timed_pl(
+            "substring_clean_sec",
+            lambda: ddp.dedup_substring_clean(corpus, n=8),
+        )
+        timed_pl(
+            "frequent_item_sets_sec",
+            lambda: aggp.agg_frequent_item_sets(
+                corpus, min_support=max(200, n_docs // 3), top=20
+            ),
+        )
+        timed_pl("change_point_sec", lambda: aggp.agg_change_point(corpus))
+        timed_pl("categorize_text_sec", lambda: aggp.categorize_text(corpus))
+        timed_pl(
+            "scripted_metric_sec",
+            lambda: aggp.scripted_metric_profile(corpus),
+        )
+        from telegram2elastic_spark.functions.tokenizer import (
+            apply_stop_analyzer,
+        )
+
+        timed_pl(
+            "stop_analyzed_view_sec",
+            lambda: apply_stop_analyzer(corpus, ["the", "a"]),
         )
         extra["pipeline_ops"] = pl
 

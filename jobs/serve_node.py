@@ -255,6 +255,16 @@ def main() -> None:
             )
         if op == "rescore":
             return lq.rescore_recency_local(idx, req["q"].split(), k=k)
+        if op == "ltr":
+            # {"op": "ltr", "q": "spark merge"} — LTR rescore of the
+            # BM25 top-window (linear feature model)
+            return lq.ltr_rescore_local(idx, req["q"].split(), k=k)
+        if op == "validate":
+            # {"op": "validate", "body": {...}} — parse-only, no search
+            from telegram2elastic_spark.query.dsl import validate_query
+
+            r = validate_query(req["body"])
+            return [(r["valid"], r["explanation"])]
         if op == "highlight":
             if corpus is None and "_doc_store_dir" not in idx:
                 raise ValueError(

@@ -1224,3 +1224,68 @@ QUALIFY row_number() OVER (PARTITION BY query_vec_id
                            ORDER BY cosine DESC, vec_id ASC) <= {int(k)}
 ORDER BY query_vec_id, cosine DESC, vec_id ASC
 """
+
+
+def knn_radius(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    similarity: float = 0.2,
+    num_candidates: int = 1000,
+) -> DataFrame:
+    """ES 8.8 `knn` with the `similarity` threshold: radius search —
+    every vector whose cosine >= `similarity`, capped at
+    `num_candidates` (ES applies the threshold to the gathered
+    candidates; the cap keeps the response bounded whatever the radius
+    catches).  Same broadcast-query / narrow-map / TakeOrdered shape as
+    cosine_topk — the threshold is a post-scoring filter, so the scan
+    cost is identical and the emitted rows shrink."""
+    scored = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .crossJoin(
+            F.broadcast(
+                embeddings.filter(F.col("vec_id") == query_vec_id).select(
+                    F.col("embedding").cast("array<double>").alias("qv")
+                )
+            )
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ),
+        )
+    )
+    return (
+        scored.filter(F.col("cosine") >= float(similarity))
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(int(num_candidates))
+    )
+
+
+def knn_radius_sql(
+    query_vec_id: int = 0, similarity: float = 0.2, num_candidates: int = 1000
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             5) AS cosine
+FROM e, q
+WHERE vec_id != {query_vec_id}
+  AND round(list_dot_product(v, qv)
+            / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+            5) >= {float(similarity)!r}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {int(num_candidates)}
+"""

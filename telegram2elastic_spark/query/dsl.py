@@ -380,3 +380,37 @@ def search_template_topk_local(
     index: dict, source: str, params: dict
 ) -> list:
     return execute_dsl_local(index, render_template(source, params))
+
+
+def validate_query(body: dict) -> dict:
+    """ES `_validate/query` (+explain): parse-only — no execution, no
+    Spark job.  Returns {"valid": bool, "explanation": str}: for a valid
+    body the explanation is the normalized dispatch description (which
+    verified path would run, with its parameters), for an invalid one
+    the parser error — the same ValueError execute_dsl would raise,
+    caught instead of thrown, exactly the ES endpoint contract."""
+    try:
+        p, k = parse_dsl(body)
+    except (ValueError, KeyError, TypeError) as e:  # noqa: PERF203
+        return {"valid": False, "explanation": str(e)}
+    if p.ids is not None:
+        desc = f"ids:{p.ids} k={k}"
+    elif p.fuzziness is not None:
+        desc = f"match_fuzzy:{p.terms} fuzziness={p.fuzziness} k={k}"
+    elif p.sparse is not None:
+        desc = f"sparse_vector:{sorted(p.sparse)} k={k}"
+    elif p.prefix is not None:
+        desc = f"prefix:{p.prefix} k={k}"
+    elif p.phrase and p.terms:
+        desc = (
+            f"compound terms:{p.terms} phrase:{p.phrase} slop={p.slop} "
+            f"filter={p.doc_filter!r} k={k}"
+        )
+    elif p.phrase:
+        desc = f"phrase:{p.phrase} slop={p.slop} filter={p.doc_filter!r} k={k}"
+    else:
+        desc = (
+            f"wand terms:{p.terms} msm={p.msm} must_not={p.must_not} "
+            f"filter={p.doc_filter!r} k={k}"
+        )
+    return {"valid": True, "explanation": desc}

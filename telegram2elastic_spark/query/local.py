@@ -699,3 +699,57 @@ def match_bool_prefix_topk_local(
     if not all_terms:
         return []
     return wand_topk_local(index, all_terms, k=k)
+
+
+def ltr_rescore_local(
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+    window_size: int = 100,
+    weights: dict[str, float] | None = None,
+    doc_store: str | None = None,
+) -> list[tuple]:
+    """[(doc_id, url, score, ltr)] — mlt.ltr_rescore served locally:
+    base ranking in-process, one window-row doc-store point read for
+    (url, warc_ts, text) with doc_len recomputed by the same tokenizer
+    (byte-identity contract), else a pruned doc_map fetch that already
+    carries doc_len."""
+    from .docstore import resolve_doc_store
+    from .mlt import LTR_WEIGHTS
+
+    w = weights or LTR_WEIGHTS
+    window = wand_topk_local(index, terms, k=window_size)
+    if not window:
+        return []
+    ids = [int(d) for d, _ in window]
+    if resolve_doc_store(index, doc_store) is not None:
+        rows = _doc_rows(index, None, ids, ["url", "warc_ts", "text"], doc_store)
+        attrs = {
+            d: (u, ts, len(py_tokenize(t or "")))
+            for d, (u, ts, t) in rows.items()
+        }
+    else:
+        attrs = {
+            r["doc_id"]: (r["url"], r["warc_ts"], int(r["doc_len"]))
+            for r in index["doc_map"]
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "url", "warc_ts", "doc_len")
+            .collect()
+        }
+    from datetime import timezone
+
+    out = []
+    for d, s in window:
+        url, ts, dl = attrs[int(d)]
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        age_hours = (ts.timestamp() - 1640995200) / 3600.0
+        ltr = round(
+            float(w["bm25"]) * s
+            + float(w["log_dl"]) * math.log1p(float(dl))
+            + float(w["age_hours"]) * age_hours,
+            SCORE_DECIMALS,
+        )
+        out.append((int(d), url, float(s), ltr))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:k]

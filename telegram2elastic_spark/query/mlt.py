@@ -195,3 +195,78 @@ FROM base b JOIN corpus c ON b.doc_id = c.doc_id
 ORDER BY rescored DESC, b.doc_id ASC
 LIMIT {k}
 """
+
+
+# Default "trained model": linear coefficients over the feature vector
+# (bm25, log1p(doc_len), age_hours).  A real deployment would paste the
+# coefficients its offline LTR trainer produced; the engine's job —
+# feature extraction on the top-window and the windowed rerank — is
+# identical either way.
+LTR_WEIGHTS = {"bm25": 1.0, "log_dl": 0.25, "age_hours": 0.01}
+
+
+def ltr_rescore(
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+    window_size: int = 100,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """ES Learning-To-Rank rescorer (8.12 `rescore.learning_to_rank`):
+    a trained model re-scores the BM25 top-`window_size` from a feature
+    vector; here a linear model over (bm25, log1p(doc_len), age_hours).
+
+    Shape parity with rescore_recency: retrieval is the pruned WAND
+    scan; features come from a k-row broadcast join against doc_map
+    doc-values (the feature store never sees the corpus); the rerank
+    sorts `window_size` rows.  (doc_id, url, score, ltr) ordered by
+    (ltr desc, doc_id)."""
+    w = weights or LTR_WEIGHTS
+    window = wand_topk(index, terms, k=window_size)
+    side = (
+        index["doc_map"]
+        .select("doc_id", "warc_ts", "doc_len")
+        .join(F.broadcast(window), "doc_id", "inner")
+    )
+    age_hours = (
+        F.unix_timestamp("warc_ts") - F.lit(1640995200)
+    ) / F.lit(3600.0)
+    ltr = (
+        F.lit(float(w["bm25"])) * F.col("score")
+        + F.lit(float(w["log_dl"])) * F.log1p(F.col("doc_len").cast("double"))
+        + F.lit(float(w["age_hours"])) * age_hours
+    )
+    return (
+        side.withColumn("ltr", F.round(ltr, SCORE_DECIMALS))
+        .select("doc_id", "url", "score", "ltr")
+        .orderBy(F.desc("ltr"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def ltr_rescore_sql(
+    terms: list[str],
+    k: int = 10,
+    window_size: int = 100,
+    weights: dict[str, float] | None = None,
+) -> str:
+    from ..functions.tokenizer import DOC_LEN_SQL
+    from .bm25 import bm25_topk_sql
+
+    w = weights or LTR_WEIGHTS
+    base = bm25_topk_sql(terms, k=window_size)
+    return f"""
+WITH base AS ({base}),
+{CORPUS_CTE.strip()},
+feat AS (
+  SELECT doc_id, epoch(warc_ts) AS ep, {DOC_LEN_SQL} AS doc_len FROM corpus
+)
+SELECT b.doc_id, b.url, b.score,
+       round({float(w["bm25"])!r} * b.score
+             + {float(w["log_dl"])!r} * ln(1.0 + f.doc_len)
+             + {float(w["age_hours"])!r} * ((f.ep - 1640995200) / 3600.0),
+             {SCORE_DECIMALS}) AS ltr
+FROM base b JOIN feat f ON b.doc_id = f.doc_id
+ORDER BY ltr DESC, b.doc_id ASC
+LIMIT {k}
+"""

@@ -238,3 +238,33 @@ class TestDslExtensions:
         ]:
             with pytest.raises(ValueError):
                 dsl.execute_dsl(idx, bad)
+
+
+class TestValidateQuery:
+    def test_valid_bodies_describe_dispatch(self):
+        r = dsl.validate_query(BOOL_BODY)
+        assert r["valid"] and "wand" in r["explanation"]
+        r = dsl.validate_query(
+            {"query": {"match_phrase": {"text": "merge batch"}}})
+        assert r["valid"] and "phrase" in r["explanation"]
+
+    def test_invalid_bodies_never_raise(self):
+        for bad in [
+            {"query": {"nope": {}}},
+            {"query": {"bool": {"boost": 2}}},
+            {"query": {"ids": {"values": []}}},
+            {"q": 1},
+            "not a dict",
+        ]:
+            r = dsl.validate_query(bad)
+            assert r["valid"] is False and r["explanation"]
+
+    def test_validate_agrees_with_execute(self, spark, sf_dir):
+        idx = _idx(spark, sf_dir)
+        body = {"query": {"match": {"text": "spark merge"}}, "size": 5}
+        assert dsl.validate_query(body)["valid"]
+        assert dsl.execute_dsl(idx, body).count() == 5
+        bad = {"query": {"terms_set": {}}}
+        assert not dsl.validate_query(bad)["valid"]
+        with pytest.raises(ValueError):
+            dsl.execute_dsl(idx, bad)

@@ -417,3 +417,40 @@ def test_fetch_docs_local_column_pruned_and_merging(stored_index):
         "/nonexistent/doc_store", [3, 5], cache, cols=["url"]
     )
     assert again[3]["url"] == part[3]["url"]
+
+
+def test_ltr_rescore_local_matches_distributed(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query.local import ltr_rescore_local
+    from telegram2elastic_spark.query.mlt import ltr_rescore
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    dist = [
+        (r["doc_id"], r["score"], r["ltr"])
+        for r in ltr_rescore(idx, ["spark", "merge"], k=10, window_size=50).collect()
+    ]
+    loc = [
+        (d, s, ltr)
+        for d, _, s, ltr in ltr_rescore_local(
+            idx, ["spark", "merge"], k=10, window_size=50
+        )
+    ]
+    assert dist == loc
+
+
+def test_ltr_rescore_local_doc_store_doclen_identity(spark, sf_dir, tmp_path):
+    """doc_len recomputed from stored text == doc_map doc_len (the
+    tokenizer byte-identity contract feeding the feature vector)."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index, write_doc_store
+    from telegram2elastic_spark.query.local import ltr_rescore_local
+
+    corpus = load_corpus(spark, sf_dir)
+    root = str(tmp_path / "root")
+    write_doc_store(corpus, root, n_files=2)
+    idx = build_index(corpus, n_doc_parts=4)
+    no_store = ltr_rescore_local(idx, ["spark", "merge"], k=10, window_size=50)
+    idx["_doc_store_dir"] = f"{root}/doc_store"
+    with_store = ltr_rescore_local(idx, ["spark", "merge"], k=10, window_size=50)
+    assert no_store == with_store

@@ -291,3 +291,41 @@ class TestIVFPQRefine:
         r_adc = len(set(adc) & set(true)) / 5
         r_ref = len(set(ref) & set(true)) / 5
         assert r_ref >= r_adc
+
+
+class TestKnnRadius:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            sim.knn_radius(
+                load_embeddings(spark, sf_dir), query_vec_id=0,
+                similarity=0.15, num_candidates=50,
+            ),
+            duck.execute(sim.knn_radius_sql(
+                query_vec_id=0, similarity=0.15, num_candidates=50)).df(),
+        )
+
+    def test_threshold_and_cap_semantics(self, spark, sf_dir):
+        emb = load_embeddings(spark, sf_dir)
+        rows = sim.knn_radius(
+            emb, query_vec_id=0, similarity=0.15, num_candidates=50
+        ).collect()
+        assert all(r["cosine"] >= 0.15 for r in rows)
+        assert all(r["vec_id"] != 0 for r in rows)
+        assert len(rows) <= 50
+        # tighter radius is a strict subset of the looser one
+        tight = {
+            r["vec_id"]
+            for r in sim.knn_radius(
+                emb, query_vec_id=0, similarity=0.3, num_candidates=50
+            ).collect()
+        }
+        loose = {r["vec_id"] for r in rows}
+        assert tight <= loose
+        # cap binds: num_candidates=3 returns the 3 highest cosines
+        capped = sim.knn_radius(
+            emb, query_vec_id=0, similarity=0.15, num_candidates=3
+        ).collect()
+        top3 = sorted(rows, key=lambda r: (-r["cosine"], r["vec_id"]))[:3]
+        assert [(r["vec_id"], r["cosine"]) for r in capped] == [
+            (r["vec_id"], r["cosine"]) for r in top3
+        ]
