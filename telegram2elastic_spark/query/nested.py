@@ -12,16 +12,22 @@ mapping surface implied by README.md:5 Kibana serving.
 
 `nested_query_page`: parents where SOME single element satisfies the
 whole conjunction (term prefix AND freq >= n AND first_pos <= p) —
-exactly the tie a flattened mapping cannot express; higher-order
-`exists` over the struct array, never an explode-then-regroup.
+exactly the tie a flattened mapping cannot express.  The element
+identity is (doc, term), so the plan may explode and REGROUP BY THE
+ELEMENT KEY before evaluating the conjunction: each rebuilt row IS one
+nested element, and the tie is preserved (the cross-match unit test
+pins it).  The selective prefix predicate is pushed to immediately
+after the Generate, so only matching occurrences shuffle.
 
 `nested_terms_agg`: the ES nested aggregation — unnest the elements of
 the FILTERED parents, aggregate per term (doc count, total/max freq),
-top-N.  One explode + one hash aggregate with map-side combine.
+top-N.  One explode + two keyed hash aggregates with map-side combine.
 
-Scale shape: both are map-only over the corpus scan except the nested
-agg's single hash aggregate; the element derivation is pure built-in
-higher-order functions (whole-stage codegen, no UDF)."""
+Scale shape: one codegen'd scan+Generate each; shuffles carry only
+prefix-matching rows (query) / per-(doc,term) partials (agg).  The
+per-doc termvector derivation (`mentions_col`) is kept for the mapping
+surface but stays off the hot path — higher-order-function lambdas are
+interpreted per element and measured 6x slower at 200k docs."""
 
 from __future__ import annotations
 
@@ -71,20 +77,31 @@ def nested_query_page(
     docstring).  Output (doc_id, url, n_matching) — n_matching is the
     ES inner-hit count for the nested clause — doc order, first
     `limit`."""
-    m = mentions_col(F.col("toks"))
-    matching = F.size(
-        F.filter(
-            m,
-            lambda e: e["term"].startswith(prefix)
-            & (e["freq"] >= min_freq)
-            & (e["first_pos"] <= max_first_pos),
-        )
+    # The nested-element identity here is (doc, term): posexplode the
+    # tokens (codegen'd Generate), push the selective prefix filter
+    # IMMEDIATELY after it (the ES analogue of running the nested child
+    # query first), and rebuild each surviving element's (freq,
+    # first_pos) with one keyed aggregate.  The whole-element
+    # conjunction is then evaluated per rebuilt element, so the
+    # flattened-mapping cross-match bug remains impossible (unit-
+    # tested).  Only prefix-matching occurrences are ever shuffled —
+    # a per-doc termvector build (higher-order functions, interpreted
+    # lambdas, O(len * distinct) work) measured 6x slower at 200k docs.
+    tok = corpus.select(
+        "doc_id", "url", F.posexplode(tokens("text")).alias("p", "term")
     )
     return (
-        corpus.withColumn("toks", tokens("text"))
-        .withColumn("n_matching", matching.cast("long"))
-        .drop("toks")
-        .filter(F.col("n_matching") > 0)
+        tok.filter(F.col("term").startswith(prefix))
+        .groupBy("doc_id", "url", "term")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            (F.min("p") + 1).alias("first_pos"),
+        )
+        .filter(
+            (F.col("freq") >= min_freq) & (F.col("first_pos") <= max_first_pos)
+        )
+        .groupBy("doc_id", "url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching"))
         .select("doc_id", "url", "n_matching")
         .orderBy("doc_id")
         .limit(limit)
@@ -130,16 +147,21 @@ def nested_terms_agg(
     """ES nested aggregation: over parents passing the filter, unnest the
     elements and aggregate per term — (term, n_docs, total_freq,
     max_freq), top-N by total_freq desc then term asc."""
-    m = mentions_col(F.col("toks"))
+    # Two-level aggregate instead of a per-doc termvector build: explode
+    # the tokens (linear per doc), per-(doc,term) freq with map-side
+    # combine, then the term rollup.  Same result as unnesting the
+    # nested elements; the quadratic in-array stats build is gone and
+    # both shuffles key on term (the second is axis-sized).
     return (
         corpus.filter(F.col("lang") == lang)
-        .select(tokens("text").alias("toks"))
-        .select(F.explode(m).alias("e"))
-        .groupBy(F.col("e.term").alias("term"))
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("e.freq").cast("bigint").alias("total_freq"),
-            F.max("e.freq").cast("bigint").alias("max_freq"),
+            F.sum("freq").cast("bigint").alias("total_freq"),
+            F.max("freq").cast("bigint").alias("max_freq"),
         )
         .orderBy(F.desc("total_freq"), F.asc("term"))
         .limit(top)

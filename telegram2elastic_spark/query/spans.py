@@ -172,6 +172,7 @@ def _run_span(
     counts_fn,
     required: list[str] | None = None,
     band: float | None = None,
+    need_positions: bool = True,
 ) -> DataFrame:
     """`required` = terms that must have postings for any match to exist
     (default: all of `terms` — the conjunctive span shapes); span_not's
@@ -192,6 +193,8 @@ def _run_span(
             idfs[t] for t in (req or set(idfs))
         )
     post = _postings_for_terms(index, sorted(set(terms)))
+    if not need_positions and "pos_bytes" in post.columns:
+        post = post.drop("pos_bytes")
     n, avgdl = index["stats"].select("n_docs", "avgdl").first()
     avgdl = float(avgdl) if avgdl else 1.0
     from .wand import _tomb_df
@@ -310,16 +313,28 @@ tokd AS (
 def _span_or_counts(
     pdf: pd.DataFrame, terms: list[str], tombstones: np.ndarray | None
 ) -> pd.DataFrame:
+    """tf-only decode: the union tf is the SUM of member tfs, which the
+    non-positional payload already carries — positions are never decoded
+    (nor shipped: _run_span(need_positions=False) drops pos_bytes before
+    the Arrow transfer), so span_or costs the same as a WAND term scan."""
+    from ..index.codec import decode_many
+
     groups = {t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)}
     present = [t for t in sorted(set(terms)) if t in groups]
     if not present:
         return _EMPTY_COUNTS.copy()
     all_ids, all_tf, all_dl = [], [], []
     for t in present:
-        ids, dls, pos = _decode_term_blocks(t, groups[t])
-        tf = np.fromiter(
-            (len(p) for p in pos), dtype=np.int64, count=len(pos)
+        g = groups[t]
+        ids, tf, dls = decode_many(
+            [bytes(x) for x in g["doc_gaps"]],
+            [bytes(x) for x in g["tf_bytes"]],
+            [bytes(x) for x in g["dl_bytes"]],
+            g["n_docs"].to_numpy(),
         )
+        ids = ids.astype(np.int64)
+        tf = tf.astype(np.int64)
+        dls = dls.astype(np.int64)
         all_ids.append(ids)
         all_tf.append(tf)
         all_dl.append(dls)
@@ -432,7 +447,7 @@ def span_or_topk(index: dict, terms: list[str], k: int = 10) -> DataFrame:
     return _run_span(
         index, sorted(set(terms)), k,
         lambda pdf, t: _span_or_counts(pdf, terms, t),
-        required=[], band=band,
+        required=[], band=band, need_positions=False,
     )
 
 
