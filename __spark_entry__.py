@@ -22,6 +22,7 @@ from telegram2elastic_spark.functions import tokenizer as tokzr
 from telegram2elastic_spark.index import maintenance as maint
 from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
+from telegram2elastic_spark.operators import ingest_pipeline as ingestp
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
@@ -45,6 +46,26 @@ from telegram2elastic_spark.query.wand import wand_topk
 
 # Fixed reference-style query set parameters (deterministic).
 Q_MAIN = ["spark", "merge"]
+
+# Ingest-pipeline definition for the `ingest_simulate` pair (the common
+# web-ingest shape: URL dissect, host cleanup, lead extraction, typing).
+INGEST_PIPE = [
+    {"dissect": {"field": "url",
+                 "pattern": "%{scheme}://%{host}/page/%{page}"}},
+    {"gsub": {"field": "host", "pattern": "\\.example$", "replacement": "",
+              "target_field": "site"}},
+    {"grok": {"field": "text", "pattern": "^%{WORD:first_word}"}},
+    {"convert": {"field": "page", "type": "long",
+                 "target_field": "page_num"}},
+    {"uppercase": {"field": "lang", "target_field": "lang_uc"}},
+    {"set": {"field": "pipeline", "value": "webtext-v1"}},
+    {"substring": {"field": "text", "start": 0, "end": 40,
+                   "target_field": "lead"}},
+    {"rename": {"field": "site", "target_field": "host_short"}},
+    {"remove": {"field": "html"}},
+]
+INGEST_COLS = ["scheme", "host_short", "page_num", "first_word", "lang_uc",
+               "pipeline", "lead"]
 Q_MULTI = ["vector", "window", "batch"]
 Q_HEAVY = ["the", "data", "row"]
 Q_LANG = (["join", "filter"], "en")
@@ -166,6 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES ingest pipeline _simulate — processor
+        # chain (dissect/grok/gsub/convert/set/rename/remove/...)
+        # compiled to built-in column exprs, one codegen'd map stage
+        "ingest_simulate": lambda spark, sf: ingestp.simulate_pipeline(
+            load_corpus(spark, sf), INGEST_PIPE, cols=INGEST_COLS
+        ),
         # NEW (r4, session 10): ES 8.8 knn `similarity` threshold —
         # radius search (cosine >= s, capped at num_candidates); same
         # broadcast-query narrow-map scan as cosine_topk, rows shrink
@@ -1430,6 +1457,9 @@ FROM corpus ORDER BY doc_id
         "match_fuzzy_topk": expandq.match_fuzzy_topk_sql(
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
+        ),
+        "ingest_simulate": ingestp.simulate_pipeline_sql(
+            INGEST_PIPE, cols=INGEST_COLS
         ),
         "knn_radius": sim.knn_radius_sql(
             query_vec_id=0, similarity=0.15, num_candidates=50

@@ -732,6 +732,16 @@ def main() -> None:
             "stop_analyzed_view_sec",
             lambda: apply_stop_analyzer(corpus, ["the", "a"]),
         )
+        from telegram2elastic_spark.operators import ingest_pipeline as ipp
+
+        import __spark_entry__ as _se
+
+        timed_pl(
+            "ingest_pipeline_sec",
+            lambda: ipp.apply_pipeline(corpus, _se.INGEST_PIPE).select(
+                "doc_id", *_se.INGEST_COLS
+            ),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()
