@@ -529,11 +529,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_text": lambda spark, sf: meta.analyze_text(
             spark, "The QUICK brown-fox, jumps_over 42 lazy-dogs. the the"
         ),
-        # NEW (r4, session 7): ES collapse.inner_hits — per-key top-N
-        # with in-group rank; one shuffle on the collapse key, winners
-        # broadcast semi-join
+        # ES collapse.inner_hits, now served from the compressed index
+        # (two-phase: exact winners, then winner-admitted per-salt top-N
+        # — corpus never re-tokenized at query time; r4 session 10)
         "collapse_inner_hits": lambda spark, sf: collapse.collapse_inner_hits(
-            load_corpus(spark, sf), Q_MAIN, k=5, inner_size=3
+            load_corpus(spark, sf), Q_MAIN, k=5, inner_size=3,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
         # NEW (r4, session 7): ES match_bool_prefix (search-as-you-type)
         # — scoring_boolean prefix rewrite unioned with the full terms,

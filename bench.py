@@ -440,7 +440,7 @@ def main() -> None:
         timed("match_bool_prefix_sec", lambda: exq.match_bool_prefix_topk(
             eidx, ["merge", "sc"], k=10))
         timed("collapse_inner_hits_sec", lambda: clq.collapse_inner_hits(
-            corpus, ["spark", "merge"], k=5, inner_size=3))
+            corpus, ["spark", "merge"], k=5, inner_size=3, index=eidx))
         timed("nested_query_sec", lambda: nsq.nested_query_page(
             corpus, "mer", 2, 60))
         timed("terms_agg_sharded_sec", lambda: fc.terms_agg_sharded(

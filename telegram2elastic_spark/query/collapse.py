@@ -263,18 +263,33 @@ def collapse_inner_hits(
     k: int = 10,
     inner_size: int = 3,
     key_expr: str = HOST_SQL,
+    index: dict | None = None,
 ) -> DataFrame:
     """ES `collapse` with `inner_hits`: for each of the top-k collapse
     keys (ranked by their representative as in search_collapse), return
     that key's top `inner_size` hits with their in-group rank.
 
     Output: (host, doc_id, url, score, hit_rank) — hit_rank 1 is the
-    representative.  Plan shape: ONE shuffle on the collapse key for the
+    representative.
+
+    With `index=`, the ES two-phase serving shape: phase 1 is the exact
+    index-backed collapse (winning keys, bounded per-salt emission);
+    phase 2 re-runs the salt kernel ADMITTING ONLY the k winning keys
+    (broadcast into the kernel closure) and emits each winner's
+    salt-local top `inner_size` — so emission is bounded by k *
+    inner_size per salt and the corpus is never re-tokenized.  A single
+    bounded pass cannot be exact here: a winner's global #2 hit may live
+    in a salt whose local top-k collapsed list excludes that key, which
+    is why ES also fetches inner_hits as a second phase.
+
+    Relational fallback: ONE shuffle on the collapse key for the
     per-key window rank (partition-local sort — never a global window),
     then a broadcast semi-join against the k-row winning-host list; the
     group ranking is computed in the same pass that found the
     representatives, so the corpus is scored once.  Reference analogue:
     ES collapse.inner_hits implied by README.md:5 Kibana serving."""
+    if index is not None:
+        return _inner_hits_indexed(index, terms, k, inner_size, key_expr)
     from pyspark.sql import Window
 
     scored = bm25_scores(corpus, terms).withColumn("host", F.expr(key_expr))
@@ -290,6 +305,101 @@ def collapse_inner_hits(
     )
     return ranked.join(F.broadcast(winners), "host", "left_semi").select(
         "host", "doc_id", "url", "score", "hit_rank"
+    )
+
+
+def _inner_hits_indexed(
+    index: dict, terms: list[str], k: int, inner_size: int, key_expr: str
+) -> DataFrame:
+    """Two-phase index-backed inner_hits (see collapse_inner_hits
+    docstring).  Phase-2 emission is <= k * inner_size rows per salt."""
+    from pyspark.sql import Window
+
+    from .wand import (
+        _collect_idfs,
+        _filters_df,
+        _n_parts,
+        _postings_for_terms,
+        _score_salt_group,
+        _split_filters,
+    )
+
+    spark = index["doc_map"].sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "host string, doc_id long, url string, score double, hit_rank int",
+    )
+    idfs, avgdl = _collect_idfs(index, terms)
+    if not idfs:
+        return empty
+    # phase 1: exact winners (k rows on the driver — the ES coordinator
+    # state; hosts may be NULL-free strings only, key_expr is trusted)
+    winners = [
+        r["host"] for r in _collapse_indexed(index, terms, k, key_expr)
+        .select("host").collect()
+    ]
+    if not winners:
+        return empty
+    winner_set = frozenset(winners)
+
+    post = _postings_for_terms(index, sorted(idfs))
+    filt = _filters_df(index, None)
+    side = index["doc_map"].select(
+        "doc_id", F.expr(key_expr).alias("host"), F.lit("h").alias("kind")
+    )
+    if filt is not None:
+        side = side.unionByName(
+            filt.select("doc_id", F.lit(None).cast("string").alias("host"),
+                        "kind")
+        )
+    side = side.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+    )
+
+    def kernel(post_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "host": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        hosts = side_pdf.loc[side_pdf["kind"] == "h", ["doc_id", "host"]]
+        hosts = hosts[hosts["host"].isin(winner_set)]
+        if hosts.empty:
+            return out_empty
+        tomb, _ = _split_filters(side_pdf, has_allow=False)
+        scored = _score_salt_group(
+            post_pdf, idfs, float(avgdl), 1 << 60, tombstones=tomb
+        )
+        if scored.empty:
+            return out_empty
+        m = scored.merge(hosts, on="doc_id", how="inner")
+        if m.empty:
+            return out_empty
+        order = np.lexsort((m["doc_id"].to_numpy(), -m["score"].to_numpy()))
+        m = m.iloc[order]
+        # salt-local top inner_size per winning host
+        return m.groupby("host", sort=False).head(inner_size)[
+            ["host", "doc_id", "score"]
+        ]
+
+    local = (
+        post.groupBy("salt")
+        .cogroup(side.groupBy("salt"))
+        .applyInPandas(kernel, "host string, doc_id long, score double")
+    )
+    # global per-host rank over <= P * k * inner_size rows
+    w = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        local.withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= inner_size)
+    )
+    return (
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(ranked), "doc_id", "inner")
+        .select("host", "doc_id", "url", "score", "hit_rank")
     )
 
 

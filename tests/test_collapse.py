@@ -175,3 +175,39 @@ def test_inner_hits_group_order(spark, sf_dir):
         hs.sort(key=lambda r: r["hit_rank"])
         keys = [(-r["score"], r["doc_id"]) for r in hs]
         assert keys == sorted(keys), host
+
+
+@pytest.mark.parametrize("terms", [["spark", "merge"], ["the"]])
+def test_inner_hits_indexed_matches_relational(spark, sf_dir, terms):
+    """Two-phase index-backed inner_hits == relational path (same rows,
+    scores, ranks)."""
+    from telegram2elastic_spark.index.build import build_index
+
+    corpus = load_corpus(spark, sf_dir)
+    idx = build_index(corpus, n_doc_parts=4)
+    rel = sorted(
+        tuple(r) for r in collapse.collapse_inner_hits(
+            corpus, terms, k=5, inner_size=3
+        ).collect()
+    )
+    srv = sorted(
+        tuple(r) for r in collapse.collapse_inner_hits(
+            corpus, terms, k=5, inner_size=3, index=idx
+        ).collect()
+    )
+    assert srv == rel
+
+
+def test_inner_hits_indexed_no_tokenize_in_plan(spark, sf_dir, tmp_path):
+    """Serving plan reads the postings, never the corpus text."""
+    from telegram2elastic_spark.index.build import (
+        build_index, read_index, write_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    write_index(build_index(corpus, n_doc_parts=4), str(tmp_path / "idx"))
+    idx = read_index(spark, str(tmp_path / "idx"))
+    plan = collapse.collapse_inner_hits(
+        corpus, ["spark"], k=5, inner_size=2, index=idx
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "split" not in plan and "text#" not in plan
