@@ -187,6 +187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES span_multi — prefix/wildcard wrapper
+        # rewritten to span_or over the dictionary expansions (position
+        # union, ONE pseudo-term score — not the scoring_boolean sum)
+        "span_multi_topk": lambda spark, sf: spans.span_multi_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8, positions=True),
+            prefix="s", k=10,
+        ),
         # NEW (r4, session 10): ES ingest pipeline _simulate — processor
         # chain (dissect/grok/gsub/convert/set/rename/remove/...)
         # compiled to built-in column exprs, one codegen'd map stage
@@ -1459,6 +1466,7 @@ FROM corpus ORDER BY doc_id
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
         ),
+        "span_multi_topk": spans.span_multi_sql(prefix="s", k=10),
         "ingest_simulate": ingestp.simulate_pipeline_sql(
             INGEST_PIPE, cols=INGEST_COLS
         ),

@@ -416,6 +416,8 @@ def main() -> None:
 
         timed("span_or_sec", lambda: spq.span_or_topk(
             eidx, ["vector", "window"], k=10))
+        timed("span_multi_sec", lambda: spq.span_multi_topk(
+            eidx, prefix="s", k=10))
         timed("span_not_sec", lambda: spq.span_not_topk(
             eidx, "merge", "batch", pre=1, post=1, k=10))
         timed("rank_feature_sec", lambda: bsq.rank_feature_topk(

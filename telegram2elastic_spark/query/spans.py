@@ -473,6 +473,76 @@ def span_not_topk(
     )
 
 
+def span_multi_topk(
+    index: dict,
+    prefix: str | None = None,
+    wildcard: str | None = None,
+    k: int = 10,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """ES `span_multi`: a multi-term query (prefix or wildcard) wrapped
+    for span context.  Lucene rewrites the wrapper to a span_or over the
+    dictionary expansions — position-union semantics, ONE pseudo-term
+    score — which is exactly this engine's span_or, so the rewrite is a
+    driver-side term-dict expansion (sorted-dict pruned, capped at
+    max_expansions in term order) feeding span_or_topk.  Differs from
+    prefix_topk/wildcard_topk, whose scoring_boolean rewrite scores each
+    expansion with its OWN idf and sums."""
+    from .expand import expand_prefix, expand_wildcard
+
+    if (prefix is None) == (wildcard is None):
+        raise ValueError("span_multi takes exactly one of prefix/wildcard")
+    terms = (
+        expand_prefix(index, prefix, max_expansions)
+        if prefix is not None
+        else expand_wildcard(index, wildcard, max_expansions)
+    )
+    if not terms:
+        spark = index["doc_map"].sparkSession
+        return spark.createDataFrame([], "doc_id long, url string, score double")
+    return span_or_topk(index, terms, k=k)
+
+
+def span_multi_sql(
+    prefix: str | None = None,
+    wildcard: str | None = None,
+    k: int = 10,
+    max_expansions: int = 64,
+) -> str:
+    """Oracle: the expansion set is computed IN SQL from the corpus
+    vocabulary (the term dictionary IS the distinct vocabulary), then the
+    span_or pseudo-term scoring applies with tf = total occurrences of
+    any expanded term."""
+    from .expand import wildcard_regex
+
+    if (prefix is None) == (wildcard is None):
+        raise ValueError("span_multi takes exactly one of prefix/wildcard")
+    if prefix is not None:
+        esc = (
+            prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
+        pred = f"term LIKE '{esc.replace(chr(39), chr(39) * 2)}%' ESCAPE '\\'"
+    else:
+        rx = wildcard_regex(wildcard).replace("'", "''")
+        pred = f"regexp_matches(term, '{rx}')"
+    tf = "len(list_filter(toks, t -> list_contains(qts, t)))"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd0 AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+vocab AS (SELECT DISTINCT unnest(toks) AS term FROM tokd0),
+qterms AS (
+  SELECT term FROM vocab WHERE {pred} ORDER BY term LIMIT {int(max_expansions)}
+),
+qlist AS (SELECT list(term) AS qts FROM qterms),
+tokd AS (SELECT doc_id, url, toks, qts FROM tokd0 CROSS JOIN qlist),
+{_pseudo_score_sql(tf, k)}"""
+
+
 def span_or_sql(terms: list[str], k: int = 10) -> str:
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
     tf = f"len(list_filter(toks, t -> t IN ({in_list})))"

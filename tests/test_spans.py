@@ -127,3 +127,63 @@ class TestSpanEnclosure:
         assert (
             spans.span_within_topk(idx, "zzznotaterm", ["the"], k=5).count() == 0
         )
+
+
+class TestSpanMulti:
+    def test_prefix_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4,
+                          positions=True)
+        from .oracle import assert_same
+
+        assert_same(
+            spans.span_multi_topk(idx, prefix="mer", k=10),
+            duck.execute(spans.span_multi_sql(prefix="mer", k=10)).df(),
+        )
+
+    def test_wildcard_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4,
+                          positions=True)
+        from .oracle import assert_same
+
+        assert_same(
+            spans.span_multi_topk(idx, wildcard="s?a*", k=10),
+            duck.execute(spans.span_multi_sql(wildcard="s?a*", k=10)).df(),
+        )
+
+    def test_arg_validation_and_empty(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4,
+                          positions=True)
+        with _pytest.raises(ValueError):
+            spans.span_multi_topk(idx)
+        with _pytest.raises(ValueError):
+            spans.span_multi_topk(idx, prefix="a", wildcard="b")
+        assert spans.span_multi_topk(idx, prefix="zzqqxx").count() == 0
+
+    def test_differs_from_scoring_boolean(self, spark, sf_dir):
+        """span_multi scores ONE pseudo-term (union df); prefix_topk sums
+        per-expansion idfs — on a multi-expansion prefix the score sets
+        must differ while the match sets agree."""
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+        from telegram2elastic_spark.query.expand import prefix_topk
+
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4,
+                          positions=True)
+        sm = {r["doc_id"]: r["score"]
+              for r in spans.span_multi_topk(idx, prefix="s", k=50).collect()}
+        pb = {r["doc_id"]: r["score"]
+              for r in prefix_topk(idx, "s", k=50).collect()}
+        assert sm and pb
+        common = set(sm) & set(pb)
+        assert common and any(sm[d] != pb[d] for d in common)
