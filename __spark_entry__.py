@@ -187,6 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES ip_range agg — derived client IP
+        # (Knuth multiplicative on doc_id), overlapping ranges as one
+        # multi-conditional hash agg, axis-sized output incl. empties
+        "agg_ip_range": lambda spark, sf: agg.agg_ip_range(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 10): ES span_multi — prefix/wildcard wrapper
         # rewritten to span_or over the dictionary expansions (position
         # union, ONE pseudo-term score — not the scoring_boolean sum)
@@ -1466,6 +1472,7 @@ FROM corpus ORDER BY doc_id
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
         ),
+        "agg_ip_range": agg.agg_ip_range_sql(),
         "span_multi_topk": spans.span_multi_sql(prefix="s", k=10),
         "ingest_simulate": ingestp.simulate_pipeline_sql(
             INGEST_PIPE, cols=INGEST_COLS

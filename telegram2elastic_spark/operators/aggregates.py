@@ -1927,3 +1927,129 @@ SELECT count(*) AS n_docs,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM corpus
 """
+
+
+# --- ip_range aggregation ------------------------------------------------------
+
+# The corpus carries no IP field; a client IPv4 is DERIVED
+# deterministically from doc_id (the geo.py pattern — both engines
+# compute identical values from integer arithmetic):
+#     ip_num = (doc_id * 2654435761) % 2^32        (Knuth multiplicative)
+IP_NUM_SQL = "(doc_id * 2654435761) % 4294967296"
+
+
+def _ip_to_num(ip: str) -> int:
+    a, b, c, d = (int(x) for x in ip.split("."))
+    for o in (a, b, c, d):
+        if not 0 <= o <= 255:
+            raise ValueError(f"bad IPv4 octet in {ip!r}")
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def _cidr_bounds(cidr: str) -> tuple[int, int]:
+    base, bits = cidr.split("/")
+    bits = int(bits)
+    lo = _ip_to_num(base) & ~((1 << (32 - bits)) - 1) & 0xFFFFFFFF
+    return lo, lo + (1 << (32 - bits))
+
+
+def agg_ip_range(
+    corpus: DataFrame, ranges: list[dict] | None = None
+) -> DataFrame:
+    """ES `ip_range` aggregation: bucket docs by client IP into the given
+    ranges; each range is {key?, from?, to?} (dotted IPv4, half-open
+    [from, to) — the ES contract) or {key?, mask: "a.b.c.d/n"}.  Every
+    range is emitted even when empty, in definition order.
+
+    Shape: ip_num is map-only arithmetic; each bucket is ONE conditional
+    count in a single hash aggregate over the scan (ranges may overlap,
+    so this is a multi-count, not a partition); the output is axis-sized
+    (len(ranges) rows) assembled from the one aggregate row."""
+    ranges = ranges if ranges is not None else [
+        {"to": "64.0.0.0"},
+        {"from": "64.0.0.0", "to": "192.0.0.0"},
+        {"from": "192.0.0.0"},
+    ]
+    ip = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    aggs, keys = [], []
+    for i, r in enumerate(ranges):
+        if "mask" in r:
+            lo, hi = _cidr_bounds(r["mask"])
+            key = r.get("key", r["mask"])
+        else:
+            lo = _ip_to_num(r["from"]) if "from" in r else None
+            hi = _ip_to_num(r["to"]) if "to" in r else None
+            key = r.get("key") or (
+                f"{r.get('from', '*')}-{r.get('to', '*')}"
+            )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ip >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (ip < F.lit(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"c{i}")
+        )
+        keys.append(key)
+    one = corpus.agg(*aggs)
+    spark = corpus.sparkSession
+    axis = spark.createDataFrame(
+        [(i, k) for i, (k) in enumerate(keys)], "ord int, range_key string"
+    )
+    counts = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ord"), F.col(f"c{i}").alias("doc_count")
+                )
+                for i in range(len(keys))
+            ])
+        ).alias("e")
+    ).select("e.ord", "e.doc_count")
+    return (
+        axis.join(counts, "ord", "left")
+        .select(
+            "range_key",
+            F.coalesce("doc_count", F.lit(0)).cast("bigint").alias("doc_count"),
+            F.col("ord").cast("int").alias("ord"),
+        )
+        .orderBy("ord")
+    )
+
+
+def agg_ip_range_sql(ranges: list[dict] | None = None) -> str:
+    ranges = ranges if ranges is not None else [
+        {"to": "64.0.0.0"},
+        {"from": "64.0.0.0", "to": "192.0.0.0"},
+        {"from": "192.0.0.0"},
+    ]
+    parts = []
+    for i, r in enumerate(ranges):
+        if "mask" in r:
+            lo, hi = _cidr_bounds(r["mask"])
+            key = r.get("key", r["mask"])
+        else:
+            lo = _ip_to_num(r["from"]) if "from" in r else None
+            hi = _ip_to_num(r["to"]) if "to" in r else None
+            key = r.get("key") or (
+                f"{r.get('from', '*')}-{r.get('to', '*')}"
+            )
+        conds = ["TRUE"]
+        if lo is not None:
+            conds.append(f"ip >= {lo}")
+        if hi is not None:
+            conds.append(f"ip < {hi}")
+        k = key.replace("'", "''")
+        parts.append(
+            f"({i}, '{k}', (SELECT CAST(count(*) FILTER ("
+            + " AND ".join(conds)
+            + ") AS BIGINT) FROM ips))"
+        )
+    rows = ", ".join(parts)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+ips AS (SELECT {IP_NUM_SQL} AS ip FROM corpus)
+SELECT range_key, doc_count, ord
+FROM (VALUES {rows}) AS t(ord, range_key, doc_count)
+ORDER BY ord
+"""

@@ -165,3 +165,46 @@ class TestBucketSelector:
         days = [r["day"] for r in kept]
         assert days == sorted(days)
         assert agg.agg_bucket_selector(corpus, min_docs=10**9).count() == 0
+
+
+class TestIpRange:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            agg.agg_ip_range(load_corpus(spark, sf_dir)),
+            duck.execute(agg.agg_ip_range_sql()).df(),
+        )
+
+    def test_mask_and_overlap_vs_oracle(self, spark, duck, sf_dir):
+        ranges = [
+            {"mask": "0.0.0.0/1"},
+            {"key": "low-quarter", "to": "64.0.0.0"},
+            {"from": "255.0.0.0"},
+        ]
+        assert_same(
+            agg.agg_ip_range(load_corpus(spark, sf_dir), ranges),
+            duck.execute(agg.agg_ip_range_sql(ranges)).df(),
+        )
+
+    def test_semantics(self, spark, sf_dir):
+        corpus = load_corpus(spark, sf_dir)
+        n = corpus.count()
+        rows = agg.agg_ip_range(corpus).collect()
+        # default ranges partition the space: counts sum to n, order kept
+        assert sum(r["doc_count"] for r in rows) == n
+        assert [r["ord"] for r in rows] == [0, 1, 2]
+        # empty range still emitted
+        rows2 = agg.agg_ip_range(
+            corpus,
+            [{"key": "none", "from": "255.255.255.0", "to": "255.255.255.8"},
+             {"key": "all"}],
+        ).collect()
+        assert rows2[0]["doc_count"] == 0 and rows2[1]["doc_count"] == n
+        # CIDR /1 == explicit half
+        half = agg.agg_ip_range(corpus, [{"mask": "0.0.0.0/1"}]).collect()
+        explicit = agg.agg_ip_range(
+            corpus, [{"to": "128.0.0.0"}]).collect()
+        assert half[0]["doc_count"] == explicit[0]["doc_count"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            agg.agg_ip_range(corpus, [{"from": "300.0.0.1"}])
