@@ -187,6 +187,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): CCNet head/middle/tail perplexity split —
+        # tercile THRESHOLDS (2 driver values) instead of a global sort;
+        # map-only bucket assignment, ties to the lower bucket
+        "ccnet_buckets": lambda spark, sf: training.ccnet_buckets(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 10): ES fvh highlighter — fragment-scored
+        # highlighting (frag = frag_size-token window, score = sum idf of
+        # contained occurrences, order: score); ranking on the WAND path,
+        # fragments over the k-row broadcast hit set only
+        "highlight_fvh": lambda spark, sf: highlight.highlight_fvh(
+            load_corpus(spark, sf), Q_MAIN, k=10,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
         # NEW (r4, session 10): ES ip_range agg — derived client IP
         # (Knuth multiplicative on doc_id), overlapping ranges as one
         # multi-conditional hash agg, axis-sized output incl. empties
@@ -1472,6 +1486,8 @@ FROM corpus ORDER BY doc_id
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
         ),
+        "ccnet_buckets": training.ccnet_buckets_sql(),
+        "highlight_fvh": highlight.highlight_fvh_sql(Q_MAIN, k=10),
         "agg_ip_range": agg.agg_ip_range_sql(),
         "span_multi_topk": spans.span_multi_sql(prefix="s", k=10),
         "ingest_simulate": ingestp.simulate_pipeline_sql(

@@ -1576,3 +1576,57 @@ LEFT JOIN top_cov ON total.doc_id = top_cov.doc_id
 LEFT JOIN dup_cov ON total.doc_id = dup_cov.doc_id
 ORDER BY total.doc_id
 """
+
+
+# --- CCNet perplexity bucketing -------------------------------------------------
+
+
+def ccnet_buckets(corpus: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    doc with the LM cross-entropy (lm_cross_entropy — the corpus's own
+    Laplace bigram LM standing in for the paper's Wikipedia KenLM) and
+    cut the corpus into terciles — head = best (lowest) third, tail =
+    worst.  CCNet sorts and cuts; here the cut is by the exact
+    interpolated 1/3 and 2/3 percentile THRESHOLDS (two driver-sized
+    values) so no global sort ever runs: one percentile aggregate, then
+    a map-only bucket assignment.  Docs tied exactly on a threshold go
+    to the lower bucket (h <= t — deterministic; thresholds and scores
+    are both 5-decimal-rounded so the comparison is cross-engine
+    stable).  (doc_id, cross_entropy, bucket), doc order."""
+    scores = lm_cross_entropy(corpus).select("doc_id", "cross_entropy")
+    t = scores.agg(
+        F.round(
+            F.expr("percentile(cross_entropy, 0.3333333333333333)"), 5
+        ).alias("t1"),
+        F.round(
+            F.expr("percentile(cross_entropy, 0.6666666666666666)"), 5
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("cross_entropy") <= F.col("t1"), "head")
+        .when(F.col("cross_entropy") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.crossJoin(F.broadcast(t))
+        .select("doc_id", "cross_entropy", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def ccnet_buckets_sql() -> str:
+    lm = lm_cross_entropy_sql().strip()
+    return f"""
+WITH scores AS ({lm}),
+t AS (
+  SELECT round(quantile_cont(cross_entropy, 0.3333333333333333), 5) AS t1,
+         round(quantile_cont(cross_entropy, 0.6666666666666666), 5) AS t2
+  FROM scores
+)
+SELECT s.doc_id, s.cross_entropy,
+       CASE WHEN s.cross_entropy <= t.t1 THEN 'head'
+            WHEN s.cross_entropy <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores s CROSS JOIN t
+ORDER BY s.doc_id
+"""

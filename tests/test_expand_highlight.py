@@ -196,3 +196,51 @@ def test_match_bool_prefix_is_union_wand(index):
     direct = wand_topk(index, sorted({"merge", *exp}), k=10).collect()
     got = expand.match_bool_prefix_topk(index, ["merge", "sc"], k=10).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in direct]
+
+
+class TestHighlightFvh:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.query.highlight import (
+            highlight_fvh, highlight_fvh_sql,
+        )
+
+        corpus = load_corpus(spark, sf_dir)
+        assert_same(
+            highlight_fvh(corpus, ["spark", "merge"], k=10),
+            duck.execute(highlight_fvh_sql(["spark", "merge"], k=10)).df(),
+        )
+
+    def test_indexed_matches_relational(self, spark, sf_dir):
+        from telegram2elastic_spark.query.highlight import highlight_fvh
+
+        corpus = load_corpus(spark, sf_dir)
+        idx = build_index(corpus, n_doc_parts=4)
+        rel = [tuple(r) for r in
+               highlight_fvh(corpus, ["spark", "merge"], k=10).collect()]
+        srv = [tuple(r) for r in
+               highlight_fvh(corpus, ["spark", "merge"], k=10,
+                             index=idx).collect()]
+        assert srv == rel
+
+    def test_fragment_contract(self, spark, sf_dir):
+        from telegram2elastic_spark.query.highlight import highlight_fvh
+
+        corpus = load_corpus(spark, sf_dir)
+        rows = highlight_fvh(
+            corpus, ["spark", "merge"], k=5, frag_size=10, num_frags=3
+        ).collect()
+        assert rows
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, frs in by_doc.items():
+            # rank order == score desc within a doc; every fragment marks
+            # at least one query term; <= num_frags fragments
+            assert len(frs) <= 3
+            assert [r["frag_rank"] for r in frs] == list(
+                range(1, len(frs) + 1))
+            scores = [r["frag_score"] for r in frs]
+            assert scores == sorted(scores, reverse=True)
+            for r in frs:
+                assert "<em>" in r["fragment"]
+                assert len(r["fragment"].split(" ")) <= 10

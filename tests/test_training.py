@@ -414,3 +414,31 @@ class TestBPEApply:
              for r in tr.bpe_apply(corpus, merges).collect()}
         assert set(a) == set(b)
         assert all(b[d] <= a[d] for d in a)
+
+
+class TestCcnetBuckets:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.operators import training as tr
+
+        assert_same(
+            tr.ccnet_buckets(load_corpus(spark, sf_dir)),
+            duck.execute(tr.ccnet_buckets_sql()).df(),
+        )
+
+    def test_tercile_semantics(self, spark, sf_dir):
+        from telegram2elastic_spark.operators import training as tr
+
+        rows = tr.ccnet_buckets(load_corpus(spark, sf_dir)).collect()
+        n = len(rows)
+        counts = {}
+        for r in rows:
+            counts[r["bucket"]] = counts.get(r["bucket"], 0) + 1
+        # thirds up to threshold ties (ties go to the lower bucket)
+        assert counts["head"] >= n // 3
+        assert set(counts) == {"head", "middle", "tail"}
+        # every head score <= every middle score <= every tail score
+        hmax = max(r["cross_entropy"] for r in rows if r["bucket"] == "head")
+        mmin = min(r["cross_entropy"] for r in rows if r["bucket"] == "middle")
+        mmax = max(r["cross_entropy"] for r in rows if r["bucket"] == "middle")
+        tmin = min(r["cross_entropy"] for r in rows if r["bucket"] == "tail")
+        assert hmax <= mmin and mmax <= tmin
