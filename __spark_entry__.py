@@ -33,6 +33,7 @@ from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
+from telegram2elastic_spark.query import synonyms as syn
 from telegram2elastic_spark.query import federated as fed
 from telegram2elastic_spark.query import hybrid as hyb
 from telegram2elastic_spark.query import intervals as iv
@@ -46,6 +47,7 @@ from telegram2elastic_spark.query.wand import wand_topk
 
 # Fixed reference-style query set parameters (deterministic).
 Q_MAIN = ["spark", "merge"]
+SYN_GROUPS = [["spark"], ["merge", "join", "combine"]]
 
 # Ingest-pipeline definition for the `ingest_simulate` pair (the common
 # web-ingest shape: URL dissect, host cleanup, lead extraction, typing).
@@ -187,6 +189,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): query-time synonyms — Lucene SynonymQuery
+        # blending (tf summed BEFORE saturation, df = max member df);
+        # doc-local scores => per-salt top-k emission exact w/ round guard
+        "synonym_match_topk": lambda spark, sf: syn.synonym_match_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            SYN_GROUPS, k=10,
+        ),
         # NEW (r4, session 10): CCNet head/middle/tail perplexity split —
         # tercile THRESHOLDS (2 driver values) instead of a global sort;
         # map-only bucket assignment, ties to the lower bucket
@@ -1486,6 +1495,7 @@ FROM corpus ORDER BY doc_id
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
         ),
+        "synonym_match_topk": syn.synonym_match_sql(SYN_GROUPS, k=10),
         "ccnet_buckets": training.ccnet_buckets_sql(),
         "highlight_fvh": highlight.highlight_fvh_sql(Q_MAIN, k=10),
         "agg_ip_range": agg.agg_ip_range_sql(),

@@ -418,6 +418,12 @@ def main() -> None:
             eidx, ["vector", "window"], k=10))
         timed("span_multi_sec", lambda: spq.span_multi_topk(
             eidx, prefix="s", k=10))
+        from telegram2elastic_spark.query import synonyms as synq
+
+        timed("synonym_match_sec", lambda: synq.synonym_match_topk(
+            eidx, [["spark"], ["merge", "join", "combine"]], k=10))
+        timed("highlight_fvh_sec", lambda: hl.highlight_fvh(
+            corpus, ["spark", "merge"], k=10, index=eidx))
         timed("span_not_sec", lambda: spq.span_not_topk(
             eidx, "merge", "batch", pre=1, post=1, k=10))
         timed("rank_feature_sec", lambda: bsq.rank_feature_topk(
