@@ -271,6 +271,23 @@ def main() -> None:
                     "highlight needs --corpus or an index with doc_store"
                 )
             return lq.search_highlight_local(idx, corpus, req["q"].split(), k=k)
+        if op == "fvh":
+            # {"op": "fvh", "q": "...", "frag_size"?, "num_frags"?} —
+            # fragment-scored highlighting (ES highlight type=fvh)
+            if corpus is None and "_doc_store_dir" not in idx:
+                raise ValueError(
+                    "fvh needs --corpus or an index with doc_store"
+                )
+            return lq.highlight_fvh_local(
+                idx, req["q"].split(), k=k,
+                frag_size=int(req.get("frag_size", 20)),
+                num_frags=int(req.get("num_frags", 2)),
+                corpus=corpus,
+            )
+        if op == "synonyms":
+            # {"op": "synonyms", "groups": [["a","b"], ["c"]]} —
+            # SynonymQuery-blended match
+            return lq.synonym_match_topk_local(idx, req["groups"], k=k)
         raise ValueError(f"unknown op {op!r}")
 
     source = sys.stdin if args.requests == "-" else open(args.requests)

@@ -753,3 +753,107 @@ def ltr_rescore_local(
         out.append((int(d), url, float(s), ltr))
     out.sort(key=lambda r: (-r[3], r[0]))
     return out[:k]
+
+
+def synonym_match_topk_local(
+    index: dict, groups: list[list[str]], k: int = 10
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to synonyms.synonym_match_topk,
+    served from the hot-shard postings cache (SynonymQuery blending:
+    group tf summed before saturation, idf from the max-df member)."""
+    from .synonyms import _decode_group
+    from .wand import _collect_idfs, _local_blocks, _tomb_array
+
+    norm_groups = [sorted({t.lower() for t in g}) for g in groups if g]
+    members = sorted({t for g in norm_groups for t in g})
+    if not members:
+        return []
+    idfs, avgdl = _collect_idfs(index, members)
+    group_idfs = []
+    for g in norm_groups:
+        live = [t for t in g if t in idfs]
+        if live:
+            group_idfs.append((live, min(idfs[t] for t in live)))
+    if not group_idfs:
+        return []
+    pdf = _local_blocks(index, members, [t for t in members if t in idfs])
+    if pdf is None:
+        return []
+    by_term = {
+        t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)
+    }
+    from .bm25 import B, K1
+
+    all_ids, all_contrib = [], []
+    for g_members, idf_g in group_idfs:
+        ids, tf, dl = _decode_group(by_term, g_members)
+        if not ids.size:
+            continue
+        tff = tf.astype(np.float64)
+        sat = (
+            tff * (K1 + 1.0)
+            / (tff + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl))
+        )
+        all_ids.append(ids)
+        all_contrib.append(idf_g * sat)
+    if not all_ids:
+        return []
+    ids = np.concatenate(all_ids)
+    contrib = np.concatenate(all_contrib)
+    order = np.argsort(ids, kind="stable")
+    ids, contrib = ids[order], contrib[order]
+    uniq, starts = np.unique(ids, return_index=True)
+    score = np.add.reduceat(contrib, starts)
+    tomb = _tomb_array(index)
+    if tomb.size:
+        live = ~np.isin(uniq, tomb)
+        uniq, score = uniq[live], score[live]
+    score = np.round(score, SCORE_DECIMALS)
+    order = np.lexsort((uniq, -score))[: int(k)]
+    return [(int(uniq[i]), float(score[i])) for i in order]
+
+
+def highlight_fvh_local(
+    index: dict,
+    terms: list[str],
+    k: int = 10,
+    frag_size: int = 20,
+    num_frags: int = 2,
+    corpus: DataFrame | None = None,
+    doc_store: str | None = None,
+) -> list[tuple]:
+    """[(doc_id, url, score, frag_rank, frag_score, fragment)] — value-
+    identical to highlight.highlight_fvh(index=...): base ranking
+    in-process (wand_topk_local), ONE k-row doc-store point read for
+    (url, text), fragment scoring in numpy with the cached idfs."""
+    from .wand import _collect_idfs
+
+    uniq_terms = sorted({t.lower() for t in terms})
+    top = wand_topk_local(index, terms, k=k)
+    if not top:
+        return []
+    idfs, _ = _collect_idfs(index, uniq_terms)
+    rows = _doc_rows(
+        index, corpus, [int(d) for d, _ in top], ["url", "text"], doc_store
+    )
+    qset = set(uniq_terms)
+    out = []
+    for d, s in top:
+        url, text = rows[int(d)]
+        toks = py_tokenize(text or "")
+        buckets: dict[int, float] = {}
+        for p, t in enumerate(toks):
+            if t in qset:
+                b = p // int(frag_size)
+                buckets[b] = buckets.get(b, 0.0) + idfs.get(t, 0.0)
+        frs = sorted(
+            ((round(v, SCORE_DECIMALS), b) for b, v in buckets.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[: int(num_frags)]
+        for rank, (fsc, b) in enumerate(frs, start=1):
+            window = toks[b * int(frag_size) : (b + 1) * int(frag_size)]
+            frag = " ".join(
+                f"<em>{t}</em>" if t in qset else t for t in window
+            )
+            out.append((int(d), url, float(s), rank, float(fsc), frag))
+    return out

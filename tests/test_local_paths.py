@@ -454,3 +454,37 @@ def test_ltr_rescore_local_doc_store_doclen_identity(spark, sf_dir, tmp_path):
     idx["_doc_store_dir"] = f"{root}/doc_store"
     with_store = ltr_rescore_local(idx, ["spark", "merge"], k=10, window_size=50)
     assert no_store == with_store
+
+
+def test_synonym_match_local_matches_distributed(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query import synonyms as syn
+    from telegram2elastic_spark.query.local import synonym_match_topk_local
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    groups = [["spark"], ["merge", "join", "combine"]]
+    dist = [(r["doc_id"], r["score"])
+            for r in syn.synonym_match_topk(idx, groups, k=10).collect()]
+    loc = synonym_match_topk_local(idx, groups, k=10)
+    assert loc == dist
+
+
+def test_highlight_fvh_local_matches_distributed(spark, sf_dir, tmp_path):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index, write_doc_store
+    from telegram2elastic_spark.query.highlight import highlight_fvh
+    from telegram2elastic_spark.query.local import highlight_fvh_local
+
+    corpus = load_corpus(spark, sf_dir)
+    root = str(tmp_path / "root")
+    write_doc_store(corpus, root, n_files=2)
+    idx = build_index(corpus, n_doc_parts=4)
+    idx["_doc_store_dir"] = f"{root}/doc_store"
+    dist = sorted(
+        tuple(r)
+        for r in highlight_fvh(corpus, ["spark", "merge"], k=10,
+                               index=idx).collect()
+    )
+    loc = sorted(highlight_fvh_local(idx, ["spark", "merge"], k=10))
+    assert loc == dist
