@@ -48,6 +48,7 @@ from telegram2elastic_spark.query.wand import wand_topk
 # Fixed reference-style query set parameters (deterministic).
 Q_MAIN = ["spark", "merge"]
 SYN_GROUPS = [["spark"], ["merge", "join", "combine"]]
+NAMED_CLAUSES = {"has_merge": ["merge"], "vecs": ["vector", "window"]}
 
 # Ingest-pipeline definition for the `ingest_simulate` pair (the common
 # web-ingest shape: URL dissect, host cleanup, lead extraction, typing).
@@ -189,6 +190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES named queries — per-hit matched_queries
+        # resolved on the k-row hit set only (ids-only postings decode,
+        # hot-shard cache; names comma-joined in name order)
+        "matched_queries": lambda spark, sf: explain.matched_queries_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            Q_MAIN, NAMED_CLAUSES, k=10,
+        ),
         # NEW (r4, session 10): query-time synonyms — Lucene SynonymQuery
         # blending (tf summed BEFORE saturation, df = max member df);
         # doc-local scores => per-salt top-k emission exact w/ round guard
@@ -1494,6 +1502,9 @@ FROM corpus ORDER BY doc_id
         "match_fuzzy_topk": expandq.match_fuzzy_topk_sql(
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
+        ),
+        "matched_queries": explain.matched_queries_sql(
+            Q_MAIN, NAMED_CLAUSES, k=10
         ),
         "synonym_match_topk": syn.synonym_match_sql(SYN_GROUPS, k=10),
         "ccnet_buckets": training.ccnet_buckets_sql(),

@@ -98,3 +98,96 @@ SELECT tf.term, tf.tf, df.df, dl.doc_len,
 FROM tf JOIN df USING (term) CROSS JOIN dl CROSS JOIN stats
 ORDER BY weight DESC, tf.term ASC
 """
+
+
+def matched_queries_topk(
+    index: dict,
+    terms: list[str],
+    named: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """ES named queries: every bool clause can carry `_name`, and each
+    hit's response lists `matched_queries` — the names of the clauses it
+    satisfied.  Retrieval ranks on `terms` (the verified WAND path);
+    each named clause here is a term-set matched with OR semantics
+    (ES `terms` clause).
+
+    Serving shape (the ES coordinator's): membership for a named clause
+    is resolved on the k-ROW hit set only — the clause terms' postings
+    are ids-only decoded (doc_gaps — weights stay compressed) from the
+    hot-shard cache and intersected with the k hit ids driver-side.
+    Nothing corpus-sized moves; a clause costs one pruned postings fetch
+    the first time its terms are seen.  (doc_id, url, score,
+    matched_queries) with the names comma-joined in name order (the
+    cross-engine-stable encoding of ES's array)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (dtype side of _local_blocks)
+
+    from .wand import _decode_ids_only, _local_blocks, wand_topk
+
+    top = wand_topk(index, terms, k=k)
+    rows = top.collect()
+    if not rows:
+        spark = index["doc_map"].sparkSession
+        return spark.createDataFrame(
+            [],
+            "doc_id long, url string, score double, matched_queries string",
+        )
+    hit_ids = np.array([int(r["doc_id"]) for r in rows], dtype=np.int64)
+    member: dict[str, np.ndarray] = {}
+    for name, nterms in named.items():
+        nts = sorted({t.lower() for t in nterms})
+        pdf = _local_blocks(index, nts, nts)
+        if pdf is None:
+            member[name] = np.zeros(len(hit_ids), dtype=bool)
+            continue
+        ids = _decode_ids_only(pdf)
+        member[name] = np.isin(hit_ids, ids)
+    names = sorted(named)
+    out = [
+        (
+            int(r["doc_id"]),
+            r["url"],
+            float(r["score"]),
+            ",".join(n for n in names if member[n][i]),
+        )
+        for i, r in enumerate(rows)
+    ]
+    spark = index["doc_map"].sparkSession
+    return spark.createDataFrame(
+        out, "doc_id long, url string, score double, matched_queries string"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def matched_queries_sql(
+    terms: list[str], named: dict[str, list[str]], k: int = 10
+) -> str:
+    from .bm25 import bm25_topk_sql
+
+    base = bm25_topk_sql(terms, k=k)
+    name_exprs = []
+    for name in sorted(named):
+        nts = sorted({t.lower() for t in named[name]})
+        in_list = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in nts
+        )
+        nm = name.replace("'", "''")
+        name_exprs.append(
+            f"CASE WHEN len(list_filter(tk, x -> x IN ({in_list}))) > 0 "
+            f"THEN '{nm}' END"
+        )
+    arr = "list_filter([" + ", ".join(name_exprs) + "], x -> x IS NOT NULL)"
+    return f"""
+WITH base AS ({base}),
+{CORPUS_CTE.strip()},
+withtk AS (
+  SELECT b.doc_id, b.url, b.score,
+         list_filter(regexp_split_to_array(lower(c.text),
+             '{TOKEN_SPLIT_RE}'), x -> x <> '') AS tk
+  FROM base b JOIN corpus c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, url, score,
+       coalesce(list_aggr({arr}, 'string_agg', ','), '') AS matched_queries
+FROM withtk
+ORDER BY score DESC, doc_id ASC
+"""

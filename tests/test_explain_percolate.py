@@ -139,3 +139,55 @@ def test_percolate_shuffle_fallback_matches_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in hplan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestMatchedQueries:
+    NAMED = {"has_merge": ["merge"], "vecs": ["vector", "window"],
+             "nope": ["zzzznope"]}
+
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+        from telegram2elastic_spark.query import explain as ex
+
+        idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+        from .oracle import assert_same
+
+        assert_same(
+            ex.matched_queries_topk(idx, ["spark", "merge"], self.NAMED,
+                                    k=10),
+            duck.execute(ex.matched_queries_sql(
+                ["spark", "merge"], self.NAMED, k=10)).df(),
+        )
+
+    def test_semantics(self, spark, sf_dir):
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.index.build import build_index
+        from telegram2elastic_spark.query import explain as ex
+        from telegram2elastic_spark.query.wand import wand_topk
+
+        from pyspark.sql import functions as F
+
+        corpus = load_corpus(spark, sf_dir)
+        idx = build_index(corpus, n_doc_parts=4)
+        rows = ex.matched_queries_topk(
+            idx, ["spark", "merge"], self.NAMED, k=10).collect()
+        base = [(r["doc_id"], r["score"])
+                for r in wand_topk(idx, ["spark", "merge"], k=10).collect()]
+        # ranking untouched by the names
+        assert [(r["doc_id"], r["score"]) for r in rows] == base
+        # names verified against the raw text
+        texts = {r["doc_id"]: r["text"]
+                 for r in corpus.filter(
+                     F.col("doc_id").isin([r["doc_id"] for r in rows])
+                 ).select("doc_id", "text").collect()}
+        from telegram2elastic_spark.functions.tokenizer import py_tokenize
+
+        for r in rows:
+            tks = set(py_tokenize(texts[r["doc_id"]]))
+            want = []
+            if "merge" in tks:
+                want.append("has_merge")
+            if {"vector", "window"} & tks:
+                want.append("vecs")
+            assert r["matched_queries"] == ",".join(sorted(want))
