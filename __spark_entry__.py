@@ -190,6 +190,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES bucket_correlation sibling agg —
+        # Pearson between the daily histogram and a derived indicator
+        "agg_bucket_correlation": lambda spark, sf: agg.agg_bucket_correlation(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 10): ES bucket_count_ks_test sibling agg —
+        # two-sample KS statistic vs the uniform fractions, axis-sized
+        "agg_bucket_count_ks_test": lambda spark, sf: agg.agg_bucket_count_ks_test(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 10): ES named queries — per-hit matched_queries
         # resolved on the k-row hit set only (ids-only postings decode,
         # hot-shard cache; names comma-joined in name order)
@@ -1503,6 +1513,8 @@ FROM corpus ORDER BY doc_id
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
         ),
+        "agg_bucket_correlation": agg.agg_bucket_correlation_sql(),
+        "agg_bucket_count_ks_test": agg.agg_bucket_count_ks_test_sql(),
         "matched_queries": explain.matched_queries_sql(
             Q_MAIN, NAMED_CLAUSES, k=10
         ),

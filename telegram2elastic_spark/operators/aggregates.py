@@ -2053,3 +2053,108 @@ SELECT range_key, doc_count, ord
 FROM (VALUES {rows}) AS t(ord, range_key, doc_count)
 ORDER BY ord
 """
+
+
+# --- bucket_correlation / bucket_count_ks_test ----------------------------------
+
+
+def agg_bucket_correlation(corpus: DataFrame) -> DataFrame:
+    """ES `bucket_correlation` sibling pipeline agg: Pearson correlation
+    between a parent histogram's doc counts and a caller-supplied
+    indicator curve.  Here the parent is the daily histogram and the
+    indicator is the day-of-week weekend indicator derived from the
+    bucket key itself (deterministic in both engines) — the common
+    "does traffic correlate with weekends" shape.
+
+    Output: one row (n_buckets, correlation) rounded to 5.  Shape: one
+    map-side-combinable hash agg to the day axis, then a single
+    axis-sized aggregate — the corpus is scanned once."""
+    daily = corpus.groupBy(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("docs"))
+    ind = F.when(
+        F.dayofweek(F.to_date("day")).isin(1, 7), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (
+        daily.withColumn("ind", ind)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.round(F.corr("docs", "ind"), 5).alias("correlation"),
+        )
+    )
+
+
+def agg_bucket_correlation_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+daily AS (
+  SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS DOUBLE) AS docs
+  FROM corpus GROUP BY 1
+),
+keyed AS (
+  SELECT docs,
+         CASE WHEN dayofweek(CAST(day AS DATE)) IN (0, 6)
+              THEN 1.0 ELSE 0.0 END AS ind
+  FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       round(corr(docs, ind), 5) AS correlation
+FROM keyed
+"""
+
+
+def agg_bucket_count_ks_test(corpus: DataFrame) -> DataFrame:
+    """ES `bucket_count_ks_test` sibling pipeline agg: the two-sample
+    Kolmogorov-Smirnov statistic between a parent histogram's doc-count
+    distribution and the uniform alternative (ES's default `fractions` =
+    even split).  The statistic is the max |empirical CDF - uniform CDF|
+    over the bucket axis, computed on the daily histogram in key order.
+
+    Output: one row (n_buckets, ks_statistic) rounded to 5.  Shape: day
+    hash agg + axis-sized window (single partition over the bounded day
+    axis — the timeline_pipeline contract)."""
+    from pyspark.sql.window import Window
+
+    daily = corpus.groupBy(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("docs"))
+    w = Window.partitionBy(F.lit(0)).orderBy("day")
+    wall = Window.partitionBy(F.lit(0))
+    cdf = (
+        daily.withColumn("cum", F.sum("docs").over(w))
+        .withColumn("total", F.sum("docs").over(wall))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "d",
+            F.abs(F.col("cum") / F.col("total") - F.col("rn") / F.col("n")),
+        )
+    )
+    return cdf.agg(
+        F.max("n").cast("bigint").alias("n_buckets"),
+        F.round(F.max("d"), 5).alias("ks_statistic"),
+    )
+
+
+def agg_bucket_count_ks_test_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+daily AS (
+  SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS DOUBLE) AS docs
+  FROM corpus GROUP BY 1
+),
+cdf AS (
+  SELECT abs(
+           sum(docs) OVER (ORDER BY day) / (sum(docs) OVER ())
+           - CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+             / (count(*) OVER ())
+         ) AS d,
+         count(*) OVER () AS n
+  FROM daily
+)
+SELECT CAST(max(n) AS BIGINT) AS n_buckets,
+       round(max(d), 5) AS ks_statistic
+FROM cdf
+"""

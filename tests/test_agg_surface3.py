@@ -208,3 +208,23 @@ class TestIpRange:
 
         with _pytest.raises(ValueError):
             agg.agg_ip_range(corpus, [{"from": "300.0.0.1"}])
+
+
+class TestMlSiblingAggs:
+    def test_bucket_correlation_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            agg.agg_bucket_correlation(load_corpus(spark, sf_dir)),
+            duck.execute(agg.agg_bucket_correlation_sql()).df(),
+        )
+
+    def test_ks_test_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            agg.agg_bucket_count_ks_test(load_corpus(spark, sf_dir)),
+            duck.execute(agg.agg_bucket_count_ks_test_sql()).df(),
+        )
+
+    def test_ks_statistic_bounds(self, spark, sf_dir):
+        row = agg.agg_bucket_count_ks_test(load_corpus(spark, sf_dir)).first()
+        assert 0.0 <= row["ks_statistic"] <= 1.0
+        row2 = agg.agg_bucket_correlation(load_corpus(spark, sf_dir)).first()
+        assert row2["correlation"] is None or -1.0 <= row2["correlation"] <= 1.0
