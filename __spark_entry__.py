@@ -190,6 +190,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 10): ES field_masking_span — span_near mixing
+        # positions from ANOTHER field (masked clause contributes only
+        # positions; primary field's dl/stats score the pseudo-term)
+        "field_masking_span": lambda spark, sf: spans.field_masking_span_topk(
+            multifield.build_field_indexes(
+                load_corpus(spark, sf), {"text": "text", "url": "url"},
+                n_doc_parts=8, positions=True,
+            ),
+            [("text", "fast"), ("url", "page")], slop=60, k=10,
+        ),
         # NEW (r4, session 10): ES bucket_correlation sibling agg —
         # Pearson between the daily histogram and a derived indicator
         "agg_bucket_correlation": lambda spark, sf: agg.agg_bucket_correlation(
@@ -1512,6 +1522,9 @@ FROM corpus ORDER BY doc_id
         "match_fuzzy_topk": expandq.match_fuzzy_topk_sql(
             ["fast", "row"], k=10, fuzziness=2, prefix_length=0,
             max_expansions=8,
+        ),
+        "field_masking_span": spans.field_masking_span_sql(
+            [("text", "fast"), ("url", "page")], slop=60, k=10
         ),
         "agg_bucket_correlation": agg.agg_bucket_correlation_sql(),
         "agg_bucket_count_ks_test": agg.agg_bucket_count_ks_test_sql(),

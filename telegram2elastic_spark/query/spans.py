@@ -77,6 +77,7 @@ def _span_near_counts(
     terms: list[str],
     slop: int,
     tombstones: np.ndarray | None,
+    dl_label: str | None = None,
 ) -> pd.DataFrame:
     from .phrase import _gather_keyed
 
@@ -129,7 +130,11 @@ def _span_near_counts(
     cand_idx = (anchors[ok] // _DOC_KEY).astype(np.int64)
     uniq_c, starts = np.unique(cand_idx, return_index=True)
     tf = np.diff(np.append(starts, cand_idx.size)).astype(np.int64)
-    t0 = by_rarity[0]
+    # dl source: any member works in the single-field shapes (same doc,
+    # same field => same dl); field_masking_span pins it to the primary
+    # clause via dl_label (common is a subset of every member's ids, so
+    # the lookup always hits)
+    t0 = dl_label if dl_label is not None else by_rarity[0]
     ids0, dls0, _ = per_term[t0]
     dl_idx = np.searchsorted(ids0, common[uniq_c])
     return pd.DataFrame(
@@ -779,3 +784,137 @@ def span_containing_sql(
     little: str, big_terms: list[str], slop: int = 0, k: int = 10
 ) -> str:
     return _enclosure_sql(little, big_terms, slop, True, k)
+
+
+# --- field_masking_span ---------------------------------------------------------
+
+
+def field_masking_span_topk(
+    field_indexes: dict[str, dict],
+    clauses: list[tuple[str, str]],
+    slop: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """ES `field_masking_span`: a span clause evaluated against ANOTHER
+    field's positions but combined as if it were on the primary field —
+    the mechanism that lets span_near mix e.g. an exact field with its
+    stemmed sibling (same source token stream => aligned positions).
+    `clauses` = [(field, term), ...]; the FIRST clause's field is the
+    primary (its dl/avgdl/N score the pseudo-term, exactly the ES
+    contract that the masked field only contributes positions).  As in
+    ES, position alignment across fields is the caller's responsibility.
+
+    Shape: the per-field indexes share the doc-salt layout (pmod(doc_id,
+    P) — enforced), so the member postings union cogroups into ONE
+    per-salt kernel; clause postings are relabeled (field:term) and
+    the verified span_near window kernel runs unchanged, with dl pinned
+    to the primary clause.  All clauses are required, so df_s <= min
+    clause df and the usual max-idf emission band is provably safe."""
+    from .wand import _collect_idfs, _n_parts, _postings_for_terms
+
+    if not clauses:
+        raise ValueError("field_masking_span needs at least one clause")
+    primary = field_indexes[clauses[0][0]]
+    spark = primary["doc_map"].sparkSession
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    parts = {_n_parts(field_indexes[f]) for f, _ in clauses}
+    if len(parts) != 1:
+        raise ValueError(
+            f"field indexes must share the salt modulus, got {sorted(parts)}"
+        )
+    labels, idf_vals = [], []
+    for f, t in clauses:
+        tl = t.lower()
+        idfs, _ = _collect_idfs(field_indexes[f], [tl])
+        if tl not in idfs:
+            return empty
+        # label derives from the term COLUMN (concat, not a literal
+        # replacement): ':' cannot appear inside a token, so field:term
+        # is collision-free
+        labels.append(f"{f}:{tl}")
+        idf_vals.append(idfs[tl])
+    n, avgdl = primary["_stats"]
+    band = (2.0 * 10.0 ** (-SCORE_DECIMALS) + ROUND_GUARD) / max(idf_vals)
+
+    post = None
+    for (f, t), label in zip(clauses, labels):
+        idx = field_indexes[f]
+        tl = t.lower()
+        p = _postings_for_terms(idx, [tl]).withColumn(
+            "term", F.concat(F.lit(f + ":"), F.col("term"))
+        )
+        post = p if post is None else post.unionByName(
+            p, allowMissingColumns=True
+        )
+
+    from .wand import _tomb_df
+
+    tomb = _tomb_df(primary)
+    filt = None
+    if tomb is not None:
+        filt = tomb.select("doc_id", F.lit("t").alias("kind")).withColumn(
+            "salt",
+            F.pmod(F.col("doc_id"), F.lit(_n_parts(primary))).cast("int"),
+        )
+
+    dl_label = labels[0]
+
+    def kernel(pdf: pd.DataFrame, tombstones, _allowed) -> pd.DataFrame:
+        return _span_partial(
+            _span_near_counts(pdf, labels, slop, tombstones,
+                              dl_label=dl_label),
+            k, band, avgdl,
+        )
+
+    partial = _salt_scored(
+        post, filt, False, kernel,
+        "doc_id long, phrase_tf long, dl long, dfp_part long",
+    )
+    return score_pseudo_term(primary, partial, k, float(n), avgdl)
+
+
+def field_masking_span_sql(
+    clauses: list[tuple[str, str]], slop: int = 0, k: int = 10
+) -> str:
+    """Oracle for the (text, url) field pair: both token streams derive
+    from the corpus row; anchors/window exactly as span_near, dl from
+    the text field."""
+    w = len(clauses) + int(slop)
+    field_expr = {"text": "lower(text)", "url": "lower(url)"}
+    pos_defs, anchor_lists, conds = [], [], []
+    for i, (f, t) in enumerate(clauses):
+        if f not in field_expr:
+            raise ValueError(f"oracle supports fields text/url, got {f!r}")
+        tl = t.lower().replace("'", "''")
+        src = (
+            "toks" if f == "text"
+            else "list_filter(regexp_split_to_array(lower(url), "
+            f"'{TOKEN_SPLIT_RE}'), x -> x <> '')"
+        )
+        pos_defs.append(
+            f"list_filter(range(1, len({src}) + 1), "
+            f"p -> ({src})[p] = '{tl}') AS pos{i}"
+        )
+        anchor_lists.append(f"pos{i}")
+        conds.append(
+            f"len(list_filter(pos{i}, q -> q >= a AND q < a + {w})) > 0"
+        )
+    anchors = " || ".join(anchor_lists)
+    tf = (
+        f"len(list_filter(list_distinct({anchors}), a -> "
+        + " AND ".join(conds)
+        + "))"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd0 AS (
+  SELECT doc_id, url,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+tokd AS (
+  SELECT doc_id, url, toks, {", ".join(pos_defs)}
+  FROM tokd0
+),
+{_pseudo_score_sql(tf, k)}"""

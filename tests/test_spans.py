@@ -187,3 +187,39 @@ class TestSpanMulti:
         assert sm and pb
         common = set(sm) & set(pb)
         assert common and any(sm[d] != pb[d] for d in common)
+
+
+class TestFieldMaskingSpan:
+    @pytest.fixture(scope="class")
+    def fidx(self, spark, sf_dir):
+        from telegram2elastic_spark.query.multifield import build_field_indexes
+
+        return build_field_indexes(
+            load_corpus(spark, sf_dir),
+            {"text": "text", "url": "url"},
+            n_doc_parts=4, positions=True,
+        )
+
+    def test_vs_oracle(self, spark, duck, sf_dir, fidx):
+        clauses = [("text", "fast"), ("url", "page")]
+        assert_same(
+            spans.field_masking_span_topk(fidx, clauses, slop=60, k=10),
+            duck.execute(
+                spans.field_masking_span_sql(clauses, slop=60, k=10)).df(),
+        )
+
+    def test_single_field_degrades_to_span_near(self, spark, sf_dir, fidx):
+        """All clauses on one field == plain span_near on that index."""
+        got = [tuple(r) for r in spans.field_masking_span_topk(
+            fidx, [("text", "merge"), ("text", "batch")], slop=2, k=10
+        ).collect()]
+        want = [tuple(r) for r in spans.span_near_topk(
+            fidx["text"], ["merge", "batch"], slop=2, k=10).collect()]
+        assert got == want
+
+    def test_validation_and_empty(self, spark, sf_dir, fidx):
+        with pytest.raises(ValueError):
+            spans.field_masking_span_topk(fidx, [])
+        assert spans.field_masking_span_topk(
+            fidx, [("text", "zzqqxx"), ("url", "page")], slop=60, k=10
+        ).count() == 0
