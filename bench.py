@@ -626,6 +626,18 @@ def main() -> None:
                 eidx, ["merge", "sc"], k=10
             ),
         )
+        timed_local(
+            "synonyms_ms",
+            lambda: lqp.synonym_match_topk_local(
+                eidx, [["spark"], ["merge", "join", "combine"]], k=10
+            ),
+        )
+        timed_local(
+            "fvh_store_ms",
+            lambda: lqp.highlight_fvh_local(
+                eidx, ["spark", "merge"], k=10
+            ),
+        )
         extra["local_surface"] = lsf
 
         # q9 (extra keys): the training-pipeline ops at bench-corpus
