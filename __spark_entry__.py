@@ -49,6 +49,10 @@ from telegram2elastic_spark.query.wand import wand_topk
 Q_MAIN = ["spark", "merge"]
 SYN_GROUPS = [["spark"], ["merge", "join", "combine"]]
 NAMED_CLAUSES = {"has_merge": ["merge"], "vecs": ["vector", "window"]}
+# weighted_tokens pruning pair: at ratio_threshold=1.03 the corpus-frequent
+# low-weight tokens (batch, merge) prune; scan survives on weight, spark on
+# frequency, dup on rarity — a discriminating keep/prune mix.
+WT_WEIGHTS = {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25, "dup": 0.2}
 
 # Ingest-pipeline definition for the `ingest_simulate` pair (the common
 # web-ingest shape: URL dissect, host cleanup, lead extraction, typing).
@@ -190,6 +194,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): ES 8.16 rank_vectors maxSimDotProduct —
+        # late-interaction (ColBERT-style) multi-vector scoring: query
+        # vector set broadcast, one narrow map + ONE hash agg with |Q|
+        # conditional maxes, fixed-order sum (no float agg-order noise)
+        "rank_vectors_maxsim": lambda spark, sf: sim.rank_vectors_maxsim_topk(
+            load_embeddings(spark, sf), query_group=0, group_size=5, k=10
+        ),
+        # NEW (r4, session 11): ES 8.13 weighted_tokens with pruning —
+        # high-df/low-weight tokens dropped (keep = low freq-ratio OR
+        # significant weight), surviving tokens scored by the verified
+        # sparse_vector algebra; stats are |q| dfs + one scalar
+        "weighted_tokens_topk": lambda spark, sf: spv.weighted_tokens_topk_relational(
+            load_corpus(spark, sf), WT_WEIGHTS,
+            ratio_threshold=1.03, weight_threshold=0.4, k=10,
+        ),
+        # NEW (r4, session 11): ES 8.15 text_similarity_reranker — BM25
+        # top-window re-scored by the deterministic semantic model
+        # (exact cosine vs the query vector); final rank is model-only
+        "tsr_rerank_topk": lambda spark, sf: hyb.text_similarity_reranker_topk(
+            load_corpus(spark, sf), load_embeddings(spark, sf), Q_MAIN,
+            query_vec_id=0, k=10, rank_window_size=30,
+        ),
         # NEW (r4, session 10): ES field_masking_span — span_near mixing
         # positions from ANOTHER field (masked clause contributes only
         # positions; primary field's dl/stats score the pseudo-term)
@@ -1404,6 +1430,15 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "rank_vectors_maxsim": sim.rank_vectors_maxsim_topk_sql(
+            query_group=0, group_size=5, k=10
+        ),
+        "weighted_tokens_topk": spv.weighted_tokens_topk_sql(
+            WT_WEIGHTS, ratio_threshold=1.03, weight_threshold=0.4, k=10
+        ),
+        "tsr_rerank_topk": hyb.text_similarity_reranker_sql(
+            Q_MAIN, query_vec_id=0, k=10, rank_window_size=30
+        ),
         "bm25_topk": bm25.bm25_topk_sql(Q_MAIN),
         "bm25_multiterm": bm25.bm25_topk_sql(Q_MULTI),
         "bm25_heavy_hitters": bm25.bm25_topk_sql(Q_HEAVY),

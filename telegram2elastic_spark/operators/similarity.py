@@ -1289,3 +1289,96 @@ WHERE vec_id != {query_vec_id}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {int(num_candidates)}
 """
+
+
+def rank_vectors_maxsim_topk(
+    embeddings: DataFrame,
+    query_group: int = 0,
+    group_size: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """ES 8.16 `rank_vectors` + `maxSimDotProduct` — late-interaction
+    (ColBERT-style) multi-vector scoring.
+
+    Each document stores a SET of vectors (here: embedding rows grouped
+    into docs of `group_size` consecutive vec_ids — the deterministic
+    multi-vector corpus); the query is itself a vector set (the vectors
+    of `query_group`).  maxSim sums, over the query vectors, the best
+    dot product any document vector achieves:
+
+        score(D) = sum_{q in Q} max_{v in D} (q . v)
+
+    Scale shape: the query set (`group_size` rows) is broadcast; every
+    document vector is scored against all |Q| query vectors in one
+    narrow map (|Q| is a small constant — ES caps multi-vector fields
+    the same way), then ONE hash aggregate keyed on the document id
+    computes all |Q| conditional maxes with map-side partial
+    aggregation, and the final sum is a fixed-order column expression
+    (no aggregation-order float noise).  One shuffle on doc_group +
+    TakeOrdered k — survives any corpus size.
+
+    Reference analogue: ranking is delegated to ES
+    (output/elasticsearch.py); rank_vectors is ES 8.16's multi-vector
+    script_score surface over the same store.
+    """
+    gsz = int(group_size)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "doc_group", F.floor(F.col("vec_id") / gsz).cast("bigint")
+    )
+    q = e.filter(F.col("doc_group") == int(query_group)).select(
+        (F.col("vec_id") % gsz).cast("int").alias("qi"),
+        F.col("v").alias("qv"),
+    )
+    dots = (
+        e.filter(F.col("doc_group") != int(query_group))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_group",
+            "qi",
+            F.round(_dot(F.col("v"), F.col("qv")), 6).alias("dot"),
+        )
+    )
+    maxes = [
+        F.max(F.when(F.col("qi") == i, F.col("dot"))).alias(f"m{i}")
+        for i in range(gsz)
+    ]
+    agged = dots.groupBy("doc_group").agg(*maxes)
+    total = None
+    for i in range(gsz):
+        t = F.coalesce(F.col(f"m{i}"), F.lit(0.0))
+        total = t if total is None else total + t
+    return (
+        agged.select("doc_group", F.round(total, 5).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("doc_group"))
+        .limit(int(k))
+    )
+
+
+def rank_vectors_maxsim_topk_sql(
+    query_group: int = 0, group_size: int = 5, k: int = 10
+) -> str:
+    gsz = int(group_size)
+    max_cols = ",\n             ".join(
+        f"COALESCE(max(CASE WHEN qi = {i} THEN dot END), 0.0) AS m{i}"
+        for i in range(gsz)
+    )
+    total = " + ".join(f"m{i}" for i in range(gsz))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  CAST(floor(vec_id / {gsz}) AS BIGINT) AS doc_group
+           FROM embeddings),
+q AS (SELECT CAST(vec_id % {gsz} AS INT) AS qi, v AS qv
+      FROM e WHERE doc_group = {int(query_group)}),
+dots AS (SELECT e.doc_group, q.qi,
+                round(list_dot_product(e.v, q.qv), 6) AS dot
+         FROM e, q WHERE e.doc_group != {int(query_group)}),
+m AS (SELECT doc_group,
+             {max_cols}
+      FROM dots GROUP BY doc_group)
+SELECT doc_group, round({total}, 5) AS maxsim
+FROM m
+ORDER BY maxsim DESC, doc_group ASC
+LIMIT {int(k)}
+"""

@@ -287,3 +287,97 @@ def rrf_hybrid_local(
         out.append((doc_id, lr, sr, score))
     out.sort(key=lambda t: (-t[3], t[0]))
     return out[:k]
+
+
+# --- ES 8.15 text_similarity_reranker retriever --------------------------------
+
+def text_similarity_reranker_topk(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    rank_window_size: int = 30,
+    min_score: float | None = None,
+) -> DataFrame:
+    """ES 8.15 `text_similarity_reranker` retriever: a first-stage
+    retriever's top-`rank_window_size` is re-scored by a semantic
+    similarity model and the final ranking uses ONLY the model score
+    (ES replaces _score with the rerank relevance).
+
+    The model here is the engine's deterministic semantic scorer —
+    exact cosine between the document vector and the query vector
+    (`query_vec_id`), the same contract the knn leg uses; a real
+    cross-encoder would ride the enrichment iterator-UDF seam
+    (operators/enrichment.py) with this exact plan shape.
+
+    Scale shape: the first stage is the verified top-window retrieval;
+    rerank work is a `rank_window_size`-row broadcast join against the
+    vector store plus one narrow cosine map — nothing corpus-sized
+    after the first stage.  `min_score` drops hits the model scores
+    below the bar (ES contract), applied AFTER rescoring.
+    """
+    window = bm25_topk(corpus, terms, k=rank_window_size).select("doc_id")
+    e = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id") == int(query_vec_id)).select(
+            F.col("embedding").cast("array<double>").alias("qv")
+        )
+    )
+    from ..operators.similarity import _dot
+
+    scored = (
+        F.broadcast(window)
+        .join(e, "doc_id")
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ).alias("rerank_score"),
+        )
+    )
+    if min_score is not None:
+        scored = scored.filter(F.col("rerank_score") >= float(min_score))
+    return scored.orderBy(
+        F.desc("rerank_score"), F.asc("doc_id")
+    ).limit(int(k))
+
+
+def text_similarity_reranker_sql(
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    rank_window_size: int = 30,
+    min_score: float | None = None,
+) -> str:
+    pred = (
+        f"AND round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v))"
+        f" * sqrt(list_dot_product(q.qv, q.qv))), 5) >= {float(min_score)!r}"
+        if min_score is not None
+        else ""
+    )
+    return f"""
+WITH win AS (
+  SELECT doc_id FROM ({bm25_topk_sql(terms, k=rank_window_size).strip()}) l
+),
+e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = {int(query_vec_id)})
+SELECT e.doc_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 5) AS rerank_score
+FROM win JOIN e ON win.doc_id = e.doc_id CROSS JOIN q
+WHERE 1 = 1 {pred}
+ORDER BY rerank_score DESC, e.doc_id ASC
+LIMIT {int(k)}
+"""
