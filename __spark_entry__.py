@@ -194,6 +194,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): ES geo_line agg — per-lang LineString in
+        # warc_ts order, per-bucket head via ONE partitioned window rank
+        # (never more than `size` points per line), exact integer
+        # centi-degree WKT (no cross-engine float formatting)
+        "geo_line": lambda spark, sf: geo.geo_line(load_corpus(spark, sf), size=10),
+        # NEW (r4, session 11): fingerprint (token-set) dedup — the ES
+        # `fingerprint` analyzer's dedup use case; one tokenize + one
+        # hash agg on the sorted-distinct-token key
+        "fingerprint_dedup": lambda spark, sf: dedup.fingerprint_dedup(
+            load_corpus(spark, sf), top=20
+        ),
+        # NEW (r4, session 11): ES fingerprint analyzer as an analyzed
+        # index view (dedupe+sort+rejoin round-trips the tokenizer; all
+        # tfs 1, dl = distinct count) queried through the verified WAND
+        "analyzer_fingerprint_topk": lambda spark, sf: wand_topk(
+            build_index(
+                tokzr.apply_fingerprint_analyzer(load_corpus(spark, sf)),
+                n_doc_parts=8,
+            ),
+            Q_MAIN, k=10,
+        ),
+        # NEW (r4, session 11): ES pattern analyzer (letters-only split —
+        # digits become separators) as an analyzed index view
+        "analyzer_pattern_topk": lambda spark, sf: wand_topk(
+            build_index(
+                tokzr.apply_pattern_analyzer(load_corpus(spark, sf), "[^a-z]+"),
+                n_doc_parts=8,
+            ),
+            Q_MAIN, k=10,
+        ),
         # NEW (r4, session 11): ES 8.16 rank_vectors maxSimDotProduct —
         # late-interaction (ColBERT-style) multi-vector scoring: query
         # vector set broadcast, one narrow map + ONE hash agg with |Q|
@@ -1430,6 +1460,14 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "geo_line": geo.geo_line_sql(size=10),
+        "fingerprint_dedup": dedup.fingerprint_dedup_sql(top=20),
+        "analyzer_fingerprint_topk": bm25.bm25_topk_sql(
+            Q_MAIN, k=10, corpus_cte=tokzr.fingerprint_corpus_cte()
+        ),
+        "analyzer_pattern_topk": bm25.bm25_topk_sql(
+            Q_MAIN, k=10, corpus_cte=tokzr.pattern_corpus_cte("[^a-z]+")
+        ),
         "rank_vectors_maxsim": sim.rank_vectors_maxsim_topk_sql(
             query_group=0, group_size=5, k=10
         ),

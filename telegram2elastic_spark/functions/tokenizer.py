@@ -135,3 +135,66 @@ corpus AS (
          lang, source, n_chars
   FROM corpus_raw
 )"""
+
+
+def apply_fingerprint_analyzer(corpus):
+    """ES `fingerprint` analyzer as an analyzed-corpus view: lowercase,
+    tokenize, DEDUPE, SORT, re-join with single spaces — the OpenRefine
+    fingerprint ES ships for dedup/clustering keys.
+
+    Round-trips through tokens() exactly (alnum tokens, single-space
+    joins), so an index over this view is the fingerprint-analyzed
+    index: every tf is 1, doc_len is the distinct-token count, dfs are
+    unchanged.  Pure built-ins (array_distinct + array_sort +
+    array_join), codegen'd."""
+    fp = F.array_join(
+        F.array_sort(F.array_distinct(tokens("text"))), " "
+    )
+    return corpus.withColumn("text", fp)
+
+
+def fingerprint_corpus_cte() -> str:
+    """DuckDB twin of apply_fingerprint_analyzer (emits `corpus_raw` +
+    `corpus`, like stop_analyzed_corpus_cte)."""
+    from ..corpus import CORPUS_CTE
+
+    raw = CORPUS_CTE.strip().replace("corpus AS (", "corpus_raw AS (", 1)
+    return f"""{raw},
+corpus AS (
+  SELECT doc_id, url, warc_ts, html,
+         array_to_string(list_sort(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+             t -> t <> ''))), ' ') AS text,
+         lang, source, n_chars
+  FROM corpus_raw
+)"""
+
+
+def apply_pattern_analyzer(corpus, pattern: str = "[^a-z]+"):
+    """ES `pattern` analyzer: lowercase + split on a CUSTOM regex (the
+    default here keeps letters only — digits become separators, unlike
+    the standard [L N] tokenizer).  The view re-joins with single
+    spaces; callers must pass a pattern whose tokens contain no
+    standard-tokenizer separators so the view round-trips (letters-only
+    patterns always do).  The regex must be Java/RE2-portable — it runs
+    verbatim in both engines."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), pattern), lambda t: t != ""
+    )
+    return corpus.withColumn("text", F.array_join(toks, " "))
+
+
+def pattern_corpus_cte(pattern: str = "[^a-z]+") -> str:
+    """DuckDB twin of apply_pattern_analyzer."""
+    from ..corpus import CORPUS_CTE
+
+    raw = CORPUS_CTE.strip().replace("corpus AS (", "corpus_raw AS (", 1)
+    return f"""{raw},
+corpus AS (
+  SELECT doc_id, url, warc_ts, html,
+         array_to_string(list_filter(
+             regexp_split_to_array(lower(text), '{pattern}'),
+             t -> t <> ''), ' ') AS text,
+         lang, source, n_chars
+  FROM corpus_raw
+)"""

@@ -1325,3 +1325,47 @@ SELECT corpus.doc_id, coalesce(clean_text, '') AS clean_text
 FROM corpus LEFT JOIN clean ON corpus.doc_id = clean.doc_id
 ORDER BY corpus.doc_id
 """
+
+
+# --- Fingerprint (token-set) dedup -------------------------------------------
+
+def fingerprint_dedup(corpus: DataFrame, top: int = 20) -> DataFrame:
+    """OpenRefine/ES-fingerprint dedup: the key is the SORTED DISTINCT
+    token set (the `fingerprint` analyzer's output) — catches
+    reorderings and repetition-only edits that byte-exact sha256 dedup
+    misses, cheaper than MinHash when token-set equality is the target.
+
+    Returns (fingerprint, n_docs, keep_doc_id) for the `top` largest
+    groups (n_docs desc, fingerprint asc), keeper = min doc_id.
+    Scale shape: one tokenize + one hash agg on the fingerprint key —
+    identical to exact dedup's sha256 groups, just a different key."""
+    from ..functions.tokenizer import tokens
+
+    fp = F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ")
+    return (
+        corpus.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
+        .limit(int(top))
+    )
+
+
+def fingerprint_dedup_sql(top: int = 20) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+fp AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(list_filter(
+             regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+             t -> t <> ''))), ' ') AS fingerprint
+  FROM corpus
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM fp GROUP BY fingerprint
+ORDER BY n_docs DESC, fingerprint ASC
+LIMIT {int(top)}
+"""

@@ -338,3 +338,93 @@ SELECT rings.key, CAST(COALESCE(counts.cnt, 0) AS BIGINT) AS doc_count
 FROM rings LEFT JOIN counts ON rings.ring = counts.ring
 ORDER BY rings.key
 """
+
+
+# --- ES geo_line aggregation --------------------------------------------------
+
+def geo_line(corpus: DataFrame, size: int = 10) -> DataFrame:
+    """ES `geo_line` aggregation (one line per `lang` bucket): connect
+    each bucket's points in `warc_ts` order into a LineString, keeping
+    at most `size` points (ES defaults to 250 and reports whether the
+    line is `complete`).
+
+    Points are the doc's deterministic coordinates in EXACT integer
+    centi-degrees (lat_c = (doc_id*7919) % 18000 - 9000), so the WKT
+    string is byte-identical across engines — no float formatting in
+    the geometry.
+
+    Scale shape: the per-bucket head is a partitioned window rank (ONE
+    shuffle on lang, same as cap_per_host), so no bucket ever
+    materializes more than `size` points into the line; totals are a
+    second axis-sized hash agg.  sort_array over <= size structs makes
+    the collect_list order deterministic."""
+    from pyspark.sql.window import Window
+
+    base = corpus.select(
+        "lang",
+        "doc_id",
+        "warc_ts",
+        ((F.col("doc_id") * 7919) % 18000 - 9000).cast("long").alias("lat_c"),
+        ((F.col("doc_id") * 104729) % 36000 - 18000).cast("long").alias("lon_c"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("warc_ts"), F.asc("doc_id"))
+    head = base.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= int(size)
+    )
+    pt = F.concat(
+        F.col("lon_c").cast("string"), F.lit(" "), F.col("lat_c").cast("string")
+    )
+    line = head.groupBy("lang").agg(
+        F.concat(
+            F.lit("LINESTRING("),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", pt.alias("pt")))),
+                    lambda s: s["pt"],
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        ).alias("line")
+    )
+    tot = corpus.groupBy("lang").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        line.join(tot, "lang")
+        .select(
+            "lang",
+            "line",
+            "n_points",
+            (F.col("n_points") <= int(size)).alias("complete"),
+        )
+        .orderBy("lang")
+    )
+
+
+def geo_line_sql(size: int = 10) -> str:
+    from ..corpus import CORPUS_CTE
+
+    return f"""
+WITH {CORPUS_CTE.strip()},
+base AS (
+  SELECT lang, doc_id, warc_ts,
+         CAST((doc_id * 7919) % 18000 - 9000 AS BIGINT) AS lat_c,
+         CAST((doc_id * 104729) % 36000 - 18000 AS BIGINT) AS lon_c
+  FROM corpus
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY warc_ts, doc_id) AS rn
+  FROM base
+),
+line AS (
+  SELECT lang,
+         'LINESTRING(' || string_agg(
+             CAST(lon_c AS VARCHAR) || ' ' || CAST(lat_c AS VARCHAR),
+             ', ' ORDER BY rn) || ')' AS line
+  FROM ranked WHERE rn <= {int(size)} GROUP BY lang
+),
+tot AS (SELECT lang, count(*) AS n_points FROM base GROUP BY lang)
+SELECT line.lang, line.line, tot.n_points,
+       tot.n_points <= {int(size)} AS complete
+FROM line JOIN tot ON line.lang = tot.lang
+ORDER BY line.lang
+"""

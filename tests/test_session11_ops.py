@@ -207,3 +207,78 @@ def test_tsr_min_score_filters(spark, sf_dir):
     ).collect()
     kept = [r for r in unfiltered if r["rerank_score"] >= 0.1]
     assert [tuple(r) for r in rows] == [tuple(r) for r in kept]
+
+
+# --- analyzers + fingerprint dedup + geo_line ---------------------------------
+
+def test_fingerprint_dedup_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import dedup
+
+    got = dedup.fingerprint_dedup(load_corpus(spark, sf_dir), top=20)
+    want = duck.execute(dedup.fingerprint_dedup_sql(top=20)).df()
+    assert_same(got, want)
+
+
+def test_fingerprint_analyzer_properties(spark, sf_dir):
+    """The fingerprint view re-tokenizes to a sorted, duplicate-free
+    stream: tf == 1 for every (doc, term), and the token SET is
+    preserved."""
+    from telegram2elastic_spark.functions import tokenizer as tokzr
+    import pyspark.sql.functions as F
+
+    corpus = load_corpus(spark, sf_dir).limit(50)
+    fp = tokzr.apply_fingerprint_analyzer(corpus)
+    rows = (
+        fp.select("doc_id", F.explode(tokzr.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert rows == 0
+    orig_sets = {
+        r["doc_id"]: set(r["s"])
+        for r in corpus.select(
+            "doc_id", tokzr.tokens("text").alias("s")
+        ).collect()
+    }
+    fp_sets = {
+        r["doc_id"]: set(r["s"])
+        for r in fp.select("doc_id", tokzr.tokens("text").alias("s")).collect()
+    }
+    assert orig_sets == fp_sets
+
+
+def test_pattern_analyzer_drops_digits(spark, sf_dir):
+    from telegram2elastic_spark.functions import tokenizer as tokzr
+    import pyspark.sql.functions as F
+
+    corpus = load_corpus(spark, sf_dir)
+    pat = tokzr.apply_pattern_analyzer(corpus, "[^a-z]+")
+    bad = (
+        pat.select(F.explode(tokzr.tokens("text")).alias("t"))
+        .filter(F.col("t").rlike("[0-9]"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_geo_line_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.query import geo
+
+    got = geo.geo_line(load_corpus(spark, sf_dir), size=10)
+    want = duck.execute(geo.geo_line_sql(size=10)).df()
+    assert_same(got, want)
+
+
+def test_geo_line_truncation_and_order(spark, sf_dir):
+    """Each line has at most `size` points, in warc_ts (== doc_id)
+    order, and `complete` is exact."""
+    from telegram2elastic_spark.query import geo
+
+    rows = geo.geo_line(load_corpus(spark, sf_dir), size=3).collect()
+    assert rows
+    for r in rows:
+        pts = r["line"][len("LINESTRING("):-1].split(", ")
+        assert len(pts) <= 3
+        assert r["complete"] == (r["n_points"] <= 3)
