@@ -194,6 +194,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): DoReMi/Pile-style domain mixture sampling —
+        # token-weighted per-source rates (no upsampling; binding source
+        # ~ rate 1000), RNG-free url-hash membership; two keyed aggs
+        "mixture_sample": lambda spark, sf: training.mixture_sample(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 11): ES geo_polygon / geo_shape(polygon) —
+        # even-odd ray casting over literal edges, one codegen'd map,
+        # no UDF; bounded page
+        "geo_polygon": lambda spark, sf: geo.geo_polygon_page(
+            load_corpus(spark, sf), k=50
+        ),
         # NEW (r4, session 11): ES geo_line agg — per-lang LineString in
         # warc_ts order, per-bucket head via ONE partitioned window rank
         # (never more than `size` points per line), exact integer
@@ -1460,6 +1472,8 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "mixture_sample": training.mixture_sample_sql(),
+        "geo_polygon": geo.geo_polygon_sql(k=50),
         "geo_line": geo.geo_line_sql(size=10),
         "fingerprint_dedup": dedup.fingerprint_dedup_sql(top=20),
         "analyzer_fingerprint_topk": bm25.bm25_topk_sql(

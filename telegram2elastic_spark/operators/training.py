@@ -1630,3 +1630,167 @@ SELECT s.doc_id, s.cross_entropy,
 FROM scores s CROSS JOIN t
 ORDER BY s.doc_id
 """
+
+
+# --- Domain mixture sampling (DoReMi / Pile-style) ----------------------------
+#
+# Training mixtures specify TOKEN proportions over domains ("web 60%,
+# books 30%, code 10%"); the pipeline must downsample each domain so the
+# achieved token mass matches the target weights WITHOUT upsampling any
+# domain (the binding domain is the one with the least tokens per unit
+# weight).  Deterministic contract, shared by both engines:
+#
+#   T_s        = sum of doc token counts in source s       (exact int)
+#   ratio_s    = T_s / w_s                                  (double)
+#   min_ratio  = min over weighted sources of ratio_s       (double)
+#   rate_s     = floor(1000 * w_s * min_ratio / T_s)        (permille,
+#                capped at 1000; the binding source computes ~1000)
+#   keep doc   iff pmod(H64(url), 1000) < rate_s            (RNG-free)
+#
+# Every float op is the same IEEE expression in the same order in both
+# engines, so the floor'd permilles are bit-identical.  Zero-weight
+# sources are excluded from min_ratio and get rate 0.
+
+MIX_WEIGHTS = {"src0": 3, "src1": 2}
+MIX_DEFAULT_W = 1
+
+
+def mixture_sample(
+    corpus: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_w: int = MIX_DEFAULT_W,
+) -> DataFrame:
+    """Per-source mixture report: (source, w, n_docs, n_tokens,
+    rate_permille, kept_docs, kept_tokens) ordered by source.
+
+    Scale shape: ONE tokenize + hash agg for the per-source token
+    totals (axis-sized output), the min_ratio as a 1-row cross join,
+    and ONE more pass computing membership with the per-source rate
+    broadcast — the decision is a pure hash compare per doc, no
+    shuffle beyond the two keyed aggs."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    w = F.lit(int(default_w))
+    for s, wi in sorted(weights.items()):
+        w = F.when(F.col("source") == s, F.lit(int(wi))).otherwise(w)
+    per_doc = corpus.select(
+        "source",
+        "url",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    ).withColumn("w", w)
+    stats = per_doc.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    minr = stats.filter(F.col("w") > 0).agg(
+        F.min(F.col("n_tokens").cast("double") / F.col("w")).alias("min_ratio")
+    )
+    rated = stats.crossJoin(F.broadcast(minr)).select(
+        "source",
+        "w",
+        "n_docs",
+        "n_tokens",
+        F.when(F.col("w") <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(1000),
+                F.floor(
+                    F.lit(1000.0)
+                    * F.col("w")
+                    * F.col("min_ratio")
+                    / F.col("n_tokens").cast("double")
+                ),
+            )
+        )
+        .cast("long")
+        .alias("rate_permille"),
+    )
+    kept = (
+        per_doc.join(F.broadcast(rated.select("source", "rate_permille")), "source")
+        .filter(F.pmod(h64(F.col("url")), F.lit(1000)) < F.col("rate_permille"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_toks").alias("kept_tokens"),
+        )
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            "w",
+            "n_docs",
+            "n_tokens",
+            "rate_permille",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_sample_docs(
+    corpus: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_w: int = MIX_DEFAULT_W,
+) -> DataFrame:
+    """The sampled corpus itself: (doc_id, source) kept by the mixture
+    rates — the membership predicate of mixture_sample applied per doc."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    rates = mixture_sample(corpus, weights, default_w).select(
+        "source", "rate_permille"
+    )
+    return (
+        corpus.join(F.broadcast(rates), "source")
+        .filter(F.pmod(h64(F.col("url")), F.lit(1000)) < F.col("rate_permille"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def mixture_sample_sql(
+    weights: dict[str, int] | None = None, default_w: int = MIX_DEFAULT_W
+) -> str:
+    weights = MIX_WEIGHTS if weights is None else weights
+    whens = "\n           ".join(
+        f"WHEN source = '{s}' THEN {int(wi)}"
+        for s, wi in sorted(weights.items())
+    )
+    h = H64_SQL.format(x="url")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+per_doc AS (
+  SELECT source, url,
+         CAST({DOC_LEN_SQL} AS BIGINT) AS n_toks,
+         CASE {whens} ELSE {int(default_w)} END AS w
+  FROM corpus
+),
+stats AS (
+  SELECT source, w, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source, w
+),
+minr AS (
+  SELECT min(CAST(n_tokens AS DOUBLE) / w) AS min_ratio
+  FROM stats WHERE w > 0
+),
+rated AS (
+  SELECT source, w, n_docs, n_tokens,
+         CAST(CASE WHEN w <= 0 THEN 0
+              ELSE least(1000, floor(
+                  1000.0 * w * min_ratio / CAST(n_tokens AS DOUBLE)))
+              END AS BIGINT) AS rate_permille
+  FROM stats CROSS JOIN minr
+),
+kept AS (
+  SELECT p.source, count(*) AS kept_docs, sum(p.n_toks) AS kept_tokens
+  FROM per_doc p JOIN rated r ON p.source = r.source
+  WHERE ({h}) % 1000 < r.rate_permille
+  GROUP BY p.source
+)
+SELECT rated.source, rated.w, rated.n_docs, rated.n_tokens,
+       rated.rate_permille,
+       CAST(COALESCE(kept.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rated LEFT JOIN kept ON rated.source = kept.source
+ORDER BY rated.source
+"""

@@ -428,3 +428,101 @@ SELECT line.lang, line.line, tot.n_points,
 FROM line JOIN tot ON line.lang = tot.lang
 ORDER BY line.lang
 """
+
+
+# --- ES geo_polygon / geo_shape(polygon) query ---------------------------------
+
+DEFAULT_POLYGON = [
+    (10.0, -60.0),
+    (70.0, -20.0),
+    (55.0, 60.0),
+    (-5.0, 40.0),
+    (-30.0, -10.0),
+]
+
+
+def _poly_centi(polygon):
+    poly = [(int(round(y * 100)), int(round(x * 100))) for y, x in polygon]
+    if len(poly) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    for (y1, _), (y2, _) in zip(poly, poly[1:] + poly[:1]):
+        if y1 == y2:
+            raise ValueError(
+                "horizontal polygon edges are not supported (the crossing "
+                "test would divide by the edge's latitude span)"
+            )
+    return poly
+
+
+def geo_polygon_page(
+    corpus: DataFrame,
+    polygon: list[tuple[float, float]] | None = None,
+    k: int = 50,
+) -> DataFrame:
+    """ES `geo_polygon` query (= `geo_shape` with a Polygon and
+    `relation: intersects` for points): docs whose derived point lies
+    inside the simple polygon, by even-odd ray casting.
+
+    EXACT integer arithmetic: points and vertices live in centi-degrees
+    (the derived grid is exactly 0.01 deg), and each edge's crossing
+    test is the cross-multiplied form of
+    `lon < (x2-x1)*(lat-y1)/(y2-y1) + x1` —
+    `(lon-x1)*(y2-y1) < (x2-x1)*(lat-y1)`, flipped when y2 < y1 — so
+    there is NO division and NO float anywhere; both engines make
+    bit-identical inside/outside decisions even for points arbitrarily
+    close to an edge.  The polygon is a driver literal, so containment
+    compiles to a FIXED sum of per-edge indicators — one codegen\'d map
+    over the scan, no UDF, no shuffle before the bounded page.
+
+    Returns (doc_id, lat_c, lon_c) (centi-degrees) of contained docs,
+    doc_id asc, limit k."""
+    poly = _poly_centi(DEFAULT_POLYGON if polygon is None else polygon)
+    lat_c = ((F.col("doc_id") * 7919) % 18000 - 9000).cast("long")
+    lon_c = ((F.col("doc_id") * 104729) % 36000 - 18000).cast("long")
+    pts = corpus.select(
+        "doc_id", lat_c.alias("lat_c"), lon_c.alias("lon_c")
+    )
+    crossings = None
+    for (y1, x1), (y2, x2) in zip(poly, poly[1:] + poly[:1]):
+        straddles = (F.lit(y1) > F.col("lat_c")) != (
+            F.lit(y2) > F.col("lat_c")
+        )
+        lhs = (F.col("lon_c") - F.lit(x1)) * F.lit(y2 - y1)
+        rhs = F.lit(x2 - x1) * (F.col("lat_c") - F.lit(y1))
+        side = (lhs < rhs) if y2 > y1 else (lhs > rhs)
+        c = F.when(straddles & side, F.lit(1)).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    return (
+        pts.filter(crossings % 2 == 1)
+        .orderBy("doc_id")
+        .limit(int(k))
+    )
+
+
+def geo_polygon_sql(
+    polygon: list[tuple[float, float]] | None = None, k: int = 50
+) -> str:
+    poly = _poly_centi(DEFAULT_POLYGON if polygon is None else polygon)
+    edges = []
+    for (y1, x1), (y2, x2) in zip(poly, poly[1:] + poly[:1]):
+        op = "<" if y2 > y1 else ">"
+        edges.append(
+            f"(CASE WHEN (({y1} > lat_c) != ({y2} > lat_c)) AND "
+            f"((lon_c - ({x1})) * ({y2 - y1}) {op} "
+            f"({x2 - x1}) * (lat_c - ({y1}))) THEN 1 ELSE 0 END)"
+        )
+    total = " + ".join(edges)
+    return f"""
+WITH {{cte}},
+pts AS (
+  SELECT doc_id,
+         CAST((doc_id * 7919) % 18000 - 9000 AS BIGINT) AS lat_c,
+         CAST((doc_id * 104729) % 36000 - 18000 AS BIGINT) AS lon_c
+  FROM corpus
+)
+SELECT doc_id, lat_c, lon_c
+FROM pts
+WHERE ({total}) % 2 = 1
+ORDER BY doc_id
+LIMIT {{k}}
+""".format(cte=CORPUS_CTE.strip(), k=int(k), total=total)

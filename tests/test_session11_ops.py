@@ -282,3 +282,107 @@ def test_geo_line_truncation_and_order(spark, sf_dir):
         pts = r["line"][len("LINESTRING("):-1].split(", ")
         assert len(pts) <= 3
         assert r["complete"] == (r["n_points"] <= 3)
+
+
+# --- mixture sampling + geo_polygon -------------------------------------------
+
+def test_mixture_sample_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    got = training.mixture_sample(load_corpus(spark, sf_dir))
+    want = duck.execute(training.mixture_sample_sql()).df()
+    assert_same(got, want)
+
+
+def test_mixture_sample_semantics(spark, sf_dir):
+    """The binding (least tokens-per-weight) source keeps ~everything;
+    rates scale with weight; zero-weight sources drop entirely; achieved
+    token mass tracks the target proportions."""
+    from telegram2elastic_spark.operators import training
+
+    w = {"src0": 4, "src1": 2, "src2": 0}
+    rows = training.mixture_sample(
+        load_corpus(spark, sf_dir), weights=w, default_w=1
+    ).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert by_src["src2"]["rate_permille"] == 0
+    assert by_src["src2"]["kept_docs"] == 0
+    # binding source: max over sources of rate is ~1000 (floor can shave 1)
+    assert max(r["rate_permille"] for r in rows) >= 999
+    # rate_s ~= 1000 * w_s * min_ratio / T_s, so r_s * T_s / w_s is the
+    # same constant for every weighted source up to the floor (one
+    # permille unit scaled by T_s / w_s)
+    weighted = [r for r in rows if r["w"] > 0]
+    consts = [r["rate_permille"] * r["n_tokens"] / r["w"] for r in weighted]
+    slack = [r["n_tokens"] / r["w"] for r in weighted]
+    assert max(consts) - min(consts) <= max(slack) + 1e-9
+    # no upsampling, kept <= total
+    for r in rows:
+        assert r["kept_docs"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["n_tokens"]
+
+
+def test_mixture_sample_docs_consistent(spark, sf_dir):
+    """mixture_sample_docs kept counts == the report's kept_docs."""
+    from telegram2elastic_spark.operators import training
+    import pyspark.sql.functions as F
+
+    corpus = load_corpus(spark, sf_dir)
+    report = {
+        r["source"]: r["kept_docs"]
+        for r in training.mixture_sample(corpus).collect()
+    }
+    docs = (
+        training.mixture_sample_docs(corpus)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {r["source"]: r["n"] for r in docs}
+    assert got == {s: n for s, n in report.items() if n > 0}
+
+
+def test_geo_polygon_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.query import geo
+
+    got = geo.geo_polygon_page(load_corpus(spark, sf_dir), k=50)
+    want = duck.execute(geo.geo_polygon_sql(k=50)).df()
+    assert_same(got, want)
+
+
+def test_geo_polygon_matches_shapely_free_raycast(spark, sf_dir):
+    """Independent pure-python even-odd ray cast over the same integer
+    grid agrees doc-for-doc."""
+    from telegram2elastic_spark.query import geo
+
+    poly = geo._poly_centi(geo.DEFAULT_POLYGON)
+
+    def inside(lat_c, lon_c):
+        cnt = 0
+        for (y1, x1), (y2, x2) in zip(poly, poly[1:] + poly[:1]):
+            if (y1 > lat_c) != (y2 > lat_c):
+                lhs = (lon_c - x1) * (y2 - y1)
+                rhs = (x2 - x1) * (lat_c - y1)
+                if (lhs < rhs) if y2 > y1 else (lhs > rhs):
+                    cnt += 1
+        return cnt % 2 == 1
+
+    expect = [
+        d for d in range(500)
+        if inside((d * 7919) % 18000 - 9000, (d * 104729) % 36000 - 18000)
+    ][:50]
+    got = [
+        r["doc_id"]
+        for r in geo.geo_polygon_page(load_corpus(spark, sf_dir), k=50).collect()
+    ]
+    assert got == expect
+
+
+def test_geo_polygon_rejects_horizontal_edges(spark, sf_dir):
+    from telegram2elastic_spark.query import geo
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        geo.geo_polygon_page(
+            load_corpus(spark, sf_dir), polygon=[(0, 0), (0, 10), (5, 5)]
+        )
