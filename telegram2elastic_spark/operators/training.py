@@ -1171,14 +1171,22 @@ def _dsir_log_ratio(corpus: DataFrame, target_lang: str, n_buckets: int):
     ).select(
         "doc_id", "lang", F.pmod(h64(F.col("tok")), F.lit(n_buckets)).alias("f")
     )
-    doc_counts = feat.groupBy("doc_id", "f").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE corpus-sized aggregate, materialized (lazy localCheckpoint, the
+    # dedup_components pattern): raw/tgt/main all probe the (doc, f)
+    # count table instead of re-running the tokenize + hash + explode
+    # scan per branch (previously 3 corpus scans — ReuseExchange does
+    # not fire across the broadcast boundary).
+    doc_counts_l = (
+        feat.groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    raw = feat.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    doc_counts = doc_counts_l.select("doc_id", "f", "c")
+    raw = doc_counts_l.groupBy("f").agg(F.sum("c").alias("cr"))
     tgt = (
-        feat.filter(F.col("lang") == target_lang)
+        doc_counts_l.filter(F.col("lang") == target_lang)
         .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("c").alias("ct"))
     )
     totals = raw.agg(F.sum("cr").alias("Tr")).crossJoin(
         tgt.agg(F.sum("ct").alias("Tt"))
@@ -1470,27 +1478,35 @@ def repetition_metrics(
             .agg(F.sum("tlen").alias(alias))
         )
 
-    # (a) most frequent top_n-gram (count desc, gram asc tie)
+    # (a) most frequent top_n-gram (count desc, gram asc tie).  The
+    # occurrence positions ride the SAME (doc, gram) aggregate as the
+    # counts (collect_list bounded by per-doc gram count), so the winning
+    # gram's windows need no join back against the exploded gram table —
+    # that join-back was a second corpus-sized shuffle.
     gt = grams(top_n)
-    counts = gt.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    counts = gt.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.collect_list("gpos").alias("gposs"),
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
-    top_gram = (
+    top_occ = (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "gram")
+        .select("doc_id", F.explode("gposs").alias("gpos"))
     )
-    top_occ = gt.join(top_gram, ["doc_id", "gram"]).select("doc_id", "gpos")
     top_cov = coverage(top_occ, top_n, "top_chars")
 
-    # (b) all duplicated dup_n-grams
+    # (b) all duplicated dup_n-grams — same join-back elimination
     gd = grams(dup_n)
-    dups = (
+    dup_occ = (
         gd.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.collect_list("gpos").alias("gposs"),
+        )
         .filter(F.col("c") > 1)
-        .select("doc_id", "gram")
+        .select("doc_id", F.explode("gposs").alias("gpos"))
     )
-    dup_occ = gd.join(dups, ["doc_id", "gram"]).select("doc_id", "gpos")
     dup_cov = coverage(dup_occ, dup_n, "dup_chars")
 
     return (
