@@ -34,6 +34,9 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "didyoumean", "q": "tne fast"}          (needs --bigrams)
     {"op": "sqs",      "q": "spark -vector field:x"} (lenient syntax)
     {"op": "hybrid",   "q": "spark merge", "vec_id": 0} (needs --embeddings)
+    {"op": "tsr",      "q": "spark merge", "vec_id": 0} (needs --embeddings)
+    {"op": "maxsim",   "group": 0, "group_size": 5}     (needs --embeddings)
+    {"op": "weightedtokens", "weights": {"spark": 2.0}, "ratio": 5.0}
 
 Response: {"op": ..., "hits": [...], "latency_ms": ...}.  After the
 per-cache warm-up fetches (vocabulary, hot term shards, trigram pages),
@@ -226,6 +229,50 @@ def main() -> None:
                 idx, args.embeddings, req["q"].split(),
                 query_vec_id=int(req.get("vec_id", 0)), k=k,
                 window=int(req.get("window", 20)),
+            )
+        if op == "tsr":
+            # {"op": "tsr", "q": "spark merge", "vec_id": 0} — BM25
+            # top-window re-scored by the semantic model (exact cosine)
+            if not args.embeddings:
+                raise ValueError("tsr needs --embeddings")
+            from telegram2elastic_spark.query.hybrid import (
+                text_similarity_reranker_local,
+            )
+
+            return text_similarity_reranker_local(
+                idx, args.embeddings, req["q"].split(),
+                query_vec_id=int(req.get("vec_id", 0)), k=k,
+                rank_window_size=int(req.get("window", 30)),
+                min_score=(
+                    float(req["min_score"]) if "min_score" in req else None
+                ),
+            )
+        if op == "maxsim":
+            # {"op": "maxsim", "group": 0} — rank_vectors late-interaction
+            if not args.embeddings:
+                raise ValueError("maxsim needs --embeddings")
+            from telegram2elastic_spark.query.hybrid import (
+                rank_vectors_maxsim_local,
+            )
+
+            return rank_vectors_maxsim_local(
+                idx, args.embeddings,
+                query_group=int(req.get("group", 0)),
+                group_size=int(req.get("group_size", 5)), k=k,
+            )
+        if op == "weightedtokens":
+            # {"op": "weightedtokens", "weights": {tok: w}, "ratio": 5.0,
+            #  "weight_threshold": 0.4, "rescore_leg": false}
+            from telegram2elastic_spark.query.sparse import (
+                weighted_tokens_topk_local,
+            )
+
+            return weighted_tokens_topk_local(
+                idx, {t: float(v) for t, v in req["weights"].items()},
+                ratio_threshold=float(req.get("ratio", 5.0)),
+                weight_threshold=float(req.get("weight_threshold", 0.4)),
+                only_score_pruned_tokens=bool(req.get("rescore_leg", False)),
+                k=k,
             )
         if op == "didyoumean":
             if not args.bigrams:

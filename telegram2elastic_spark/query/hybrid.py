@@ -381,3 +381,102 @@ WHERE 1 = 1 {pred}
 ORDER BY rerank_score DESC, e.doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def text_similarity_reranker_local(
+    index: dict,
+    emb_path: str,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    rank_window_size: int = 30,
+    min_score: float | None = None,
+) -> list[tuple]:
+    """Serving twin of text_similarity_reranker_topk: first stage is
+    wand_topk_local (rank-identical to the relational BM25 window);
+    the rerank is `rank_window_size` exact left-fold cosines over the
+    resident embedding shard — bit-identical to the Spark engine's
+    F.aggregate fold + round(5).  [(doc_id, rerank_score)]."""
+    import numpy as np
+
+    from .wand import wand_topk_local
+
+    ids, M = _emb_matrix(index, emb_path)
+    qi = np.searchsorted(ids, int(query_vec_id))
+    if qi >= ids.size or ids[qi] != int(query_vec_id):
+        return []
+    import math
+
+    qv = M[qi]
+    qq = math.sqrt(_fold_dot(qv, qv))
+    out = []
+    for doc_id, _s in wand_topk_local(index, terms, k=rank_window_size):
+        di = np.searchsorted(ids, int(doc_id))
+        if di >= ids.size or ids[di] != int(doc_id):
+            continue  # doc has no vector — same drop as the inner join
+        v = M[di]
+        score = round(
+            _fold_dot(v, qv) / (math.sqrt(_fold_dot(v, v)) * qq), 5
+        )
+        if min_score is not None and score < float(min_score):
+            continue
+        out.append((int(doc_id), score))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def rank_vectors_maxsim_local(
+    index: dict,
+    emb_path: str,
+    query_group: int = 0,
+    group_size: int = 5,
+    k: int = 10,
+) -> list[tuple]:
+    """Serving twin of similarity.rank_vectors_maxsim_topk: one matmul
+    over the resident shard preselects candidate doc groups, then the
+    top window is re-scored with the engine's exact algebra (left-fold
+    dot rounded to 6, per-slot max, fixed-order sum rounded to 5) so
+    rounding ties resolve identically.  [(doc_group, maxsim)]."""
+    import numpy as np
+
+    gsz = int(group_size)
+    ids, M = _emb_matrix(index, emb_path)
+    groups = ids // gsz
+    qmask = groups == int(query_group)
+    if not qmask.any():
+        return []
+    Q = M[qmask]
+    qslots = (ids[qmask] % gsz).astype(int)
+    dmask = ~qmask
+    D, gids = M[dmask], groups[dmask]
+    # ids sorted -> gids sorted; per-group, per-query-vector max via reduceat
+    uniq, starts = np.unique(gids, return_index=True)
+    S = np.round(D @ Q.T, 6)
+    maxes = np.empty((uniq.size, Q.shape[0]))
+    for j in range(Q.shape[0]):
+        maxes[:, j] = np.maximum.reduceat(S[:, j], starts)
+    total = np.zeros(uniq.size)
+    for slot in range(gsz):
+        cols = np.flatnonzero(qslots == slot)
+        if cols.size:
+            total = total + maxes[:, cols[0]]
+    total = np.round(total, 5)
+    n_pre = min(uniq.size, 4 * int(k) + 10)
+    pre = np.argsort(-total, kind="stable")[:n_pre]
+    # exact re-score of the preselected groups with the fold algebra
+    exact = []
+    ends = np.concatenate([starts[1:], [gids.size]])
+    for gi in pre:
+        rows = D[starts[gi]:ends[gi]]
+        tot = 0.0
+        for slot in range(gsz):
+            cols = np.flatnonzero(qslots == slot)
+            if not cols.size:
+                continue
+            qv = Q[cols[0]]
+            best = max(round(_fold_dot(v, qv), 6) for v in rows)
+            tot = tot + best
+        exact.append((int(uniq[gi]), round(tot, 5)))
+    exact.sort(key=lambda t: (-t[1], t[0]))
+    return exact[:k]
+

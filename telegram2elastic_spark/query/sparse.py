@@ -223,6 +223,30 @@ def weighted_tokens_topk_relational(
     return sparse_vector_topk_relational(corpus, chosen, k=k)
 
 
+def _index_prune(
+    index: dict,
+    weights: dict[str, float],
+    ratio_threshold: float,
+    weight_threshold: float,
+    only_score_pruned_tokens: bool,
+) -> dict[str, float]:
+    """Shared driver-side pruning against the dictionary statistics:
+    |q| df lookups + the dictionary-wide average df (memoized on the
+    index handle — it is a build-time constant)."""
+    w = _check_weights(weights)
+    td = index["term_dict"]
+    qrows = td.filter(F.col("term").isin(sorted(w))).select("term", "df")
+    qdf = {r["term"]: r["df"] for r in qrows.collect()}
+    avg_df = index.get("_avg_df_memo")
+    if avg_df is None:
+        avg_df = td.agg(F.avg("df").alias("a")).collect()[0]["a"] or 0.0
+        index["_avg_df_memo"] = avg_df
+    kept, pruned = _prune_tokens(
+        w, qdf, avg_df, ratio_threshold, weight_threshold
+    )
+    return pruned if only_score_pruned_tokens else kept
+
+
 def weighted_tokens_topk(
     index: dict,
     weights: dict[str, float],
@@ -237,22 +261,42 @@ def weighted_tokens_topk(
     verified WAND/MaxScore kernel via stats_override."""
     from .wand import _collect_idfs, wand_topk
 
-    w = _check_weights(weights)
-    td = index["term_dict"]
-    qrows = td.filter(F.col("term").isin(sorted(w))).select("term", "df")
-    qdf = {r["term"]: r["df"] for r in qrows.collect()}
-    avg_df = td.agg(F.avg("df").alias("a")).collect()[0]["a"] or 0.0
-    kept, pruned = _prune_tokens(
-        w, qdf, avg_df, ratio_threshold, weight_threshold
+    chosen = _index_prune(
+        index, weights, ratio_threshold, weight_threshold,
+        only_score_pruned_tokens,
     )
-    chosen = pruned if only_score_pruned_tokens else kept
     if not chosen:
-        spark = td.sparkSession
+        spark = index["term_dict"].sparkSession
         return spark.createDataFrame(
             [], "doc_id bigint, url string, score double"
         )
     _, avgdl = _collect_idfs(index, [])
     return wand_topk(index, sorted(chosen), k=k, stats_override=(chosen, avgdl))
+
+
+def weighted_tokens_topk_local(
+    index: dict,
+    weights: dict[str, float],
+    ratio_threshold: float = DEFAULT_FREQ_RATIO_THRESHOLD,
+    weight_threshold: float = DEFAULT_WEIGHT_THRESHOLD,
+    only_score_pruned_tokens: bool = False,
+    k: int = 10,
+) -> list:
+    """Query-node twin: same dictionary-stats pruning, survivors scored
+    by the wand hot-shard cache.  [(doc_id, score)], rank-identical to
+    weighted_tokens_topk."""
+    from .wand import _collect_idfs, wand_topk_local
+
+    chosen = _index_prune(
+        index, weights, ratio_threshold, weight_threshold,
+        only_score_pruned_tokens,
+    )
+    if not chosen:
+        return []
+    _, avgdl = _collect_idfs(index, [])
+    return wand_topk_local(
+        index, sorted(chosen), k=k, stats_override=(chosen, avgdl)
+    )
 
 
 def weighted_tokens_topk_sql(

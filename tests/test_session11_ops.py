@@ -386,3 +386,64 @@ def test_geo_polygon_rejects_horizontal_edges(spark, sf_dir):
         geo.geo_polygon_page(
             load_corpus(spark, sf_dir), polygon=[(0, 0), (0, 10), (5, 5)]
         )
+
+
+# --- local serving twins (session 11) ------------------------------------------
+
+@pytest.fixture(scope="module")
+def s11_index(spark, sf_dir):
+    from telegram2elastic_spark.index.build import build_index
+
+    return build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+
+
+def test_weighted_tokens_local_identity(spark, sf_dir, s11_index):
+    a = spv.weighted_tokens_topk_local(
+        s11_index, WT, ratio_threshold=1.03, weight_threshold=0.4, k=10
+    )
+    b = [
+        (r["doc_id"], r["score"])
+        for r in spv.weighted_tokens_topk(
+            s11_index, WT, ratio_threshold=1.03, weight_threshold=0.4, k=10
+        ).select("doc_id", "score").collect()
+    ]
+    assert [(int(d), s) for d, s in a] == b
+
+
+def test_weighted_tokens_local_empty_when_all_pruned(spark, sf_dir, s11_index):
+    out = spv.weighted_tokens_topk_local(
+        s11_index, {"the": 0.01}, ratio_threshold=0.000001,
+        weight_threshold=0.4, k=10,
+    )
+    assert out == []
+
+
+def test_tsr_local_identity(spark, sf_dir, s11_index):
+    got = hybrid.text_similarity_reranker_local(
+        s11_index, f"{sf_dir}/embeddings.parquet", ["spark", "merge"],
+        query_vec_id=0, k=10, rank_window_size=30,
+    )
+    want = [
+        (r["doc_id"], r["rerank_score"])
+        for r in hybrid.text_similarity_reranker_topk(
+            load_corpus(spark, sf_dir), load_embeddings(spark, sf_dir),
+            ["spark", "merge"], query_vec_id=0, k=10, rank_window_size=30,
+        ).collect()
+    ]
+    assert [(int(d), s) for d, s in got] == want
+
+
+def test_maxsim_local_identity(spark, sf_dir, s11_index):
+    for qg, gsz in [(0, 5), (3, 5), (1, 8)]:
+        got = hybrid.rank_vectors_maxsim_local(
+            s11_index, f"{sf_dir}/embeddings.parquet",
+            query_group=qg, group_size=gsz, k=10,
+        )
+        want = [
+            (r["doc_group"], r["maxsim"])
+            for r in sim.rank_vectors_maxsim_topk(
+                load_embeddings(spark, sf_dir),
+                query_group=qg, group_size=gsz, k=10,
+            ).collect()
+        ]
+        assert [(int(g), s) for g, s in got] == want
