@@ -33,6 +33,7 @@ from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
+from telegram2elastic_spark.query import rules as qrules
 from telegram2elastic_spark.query import synonyms as syn
 from telegram2elastic_spark.query import federated as fed
 from telegram2elastic_spark.query import hybrid as hyb
@@ -49,6 +50,24 @@ from telegram2elastic_spark.query.wand import wand_topk
 Q_MAIN = ["spark", "merge"]
 SYN_GROUPS = [["spark"], ["merge", "join", "combine"]]
 NAMED_CLAUSES = {"has_merge": ["merge"], "vecs": ["vector", "window"]}
+# Query-rules pair: rule 1 pins on exact query match, rule 2 excludes on a
+# prefix match (doc 7 is both pinned and excluded — exclusion wins), rule 3
+# does not apply (its metadata key is absent from the request).
+RULESET = [
+    {"rule_id": "promote", "type": "pinned",
+     "criteria": [{"type": "exact", "metadata": "user_query",
+                   "values": ["spark merge"]}],
+     "ids": [42, 7]},
+    {"rule_id": "ban", "type": "exclude",
+     "criteria": [{"type": "prefix", "metadata": "user_query",
+                   "values": ["sp"]}],
+     "ids": [7, 3]},
+    {"rule_id": "vip-only", "type": "pinned",
+     "criteria": [{"type": "exact", "metadata": "user_segment",
+                   "values": ["vip"]}],
+     "ids": [99]},
+]
+RULE_MATCH = {"user_query": "spark merge"}
 # weighted_tokens pruning pair: at ratio_threshold=1.03 the corpus-frequent
 # low-weight tokens (batch, merge) prune; scan survives on weight, spark on
 # frequency, dup on rarity — a discriminating keep/prune mix.
@@ -194,6 +213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): ES 8.10 query rules — ruleset criteria
+        # evaluated against request metadata on the driver (the ES
+        # coordinator rewrite), pins/excludes served by the verified
+        # pinned path (exclusion wins over pinning)
+        "rule_query": lambda spark, sf: qrules.rule_query_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            RULESET, RULE_MATCH, Q_MAIN, k=10,
+        ),
         # NEW (r4, session 11): DoReMi/Pile-style domain mixture sampling —
         # token-weighted per-source rates (no upsampling; binding source
         # ~ rate 1000), RNG-free url-hash membership; two keyed aggs
@@ -1472,6 +1499,7 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),
         "geo_polygon": geo.geo_polygon_sql(k=50),
         "geo_line": geo.geo_line_sql(size=10),

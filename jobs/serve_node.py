@@ -260,6 +260,17 @@ def main() -> None:
                 query_group=int(req.get("group", 0)),
                 group_size=int(req.get("group_size", 5)), k=k,
             )
+        if op == "rules":
+            # {"op": "rules", "q": "spark merge", "ruleset": [...],
+            #  "match": {"user_query": "spark merge"}}
+            from telegram2elastic_spark.query.rules import (
+                rule_query_topk_local,
+            )
+
+            return rule_query_topk_local(
+                idx, req["ruleset"], req.get("match", {}),
+                req["q"].split(), k=k, corpus=corpus,
+            )
         if op == "weightedtokens":
             # {"op": "weightedtokens", "weights": {tok: w}, "ratio": 5.0,
             #  "weight_threshold": 0.4, "rescore_leg": false}

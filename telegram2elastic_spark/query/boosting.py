@@ -506,6 +506,7 @@ def pinned_topk(
     terms: list[str],
     pinned_ids: list[int],
     k: int = 10,
+    exclude_ids: list[int] | None = None,
 ) -> DataFrame:
     """ES `pinned` query: the listed doc ids occupy the top positions in
     the given order (returned regardless of whether they match the
@@ -523,14 +524,24 @@ def pinned_topk(
     from .wand import wand_topk
 
     spark = index["doc_map"].sparkSession
-    pins = [int(p) for p in pinned_ids]
-    if not pins:
+    excl = [int(e) for e in (exclude_ids or [])]
+    # exclusion wins over pinning (the ES query-rules contract); excluded
+    # ids also leave the organic side via the same pushed doc_filter
+    pins = [int(p) for p in pinned_ids if int(p) not in set(excl)]
+    dropped = sorted(set(pins) | set(excl))
+    if not dropped:
         org = wand_topk(index, terms, k=k)
         base = org.select(
             "doc_id", "url", F.lit(False).alias("pinned"), "score"
         )
+    elif not pins:
+        not_in = f"doc_id NOT IN ({', '.join(str(p) for p in dropped)})"
+        org = wand_topk(index, terms, k=k, doc_filter=not_in)
+        base = org.select(
+            "doc_id", "url", F.lit(False).alias("pinned"), "score"
+        )
     else:
-        not_pinned = f"doc_id NOT IN ({', '.join(str(p) for p in pins)})"
+        not_pinned = f"doc_id NOT IN ({', '.join(str(p) for p in dropped)})"
         org = wand_topk(index, terms, k=k, doc_filter=not_pinned)
         ord_col = F.lit(None).cast("int")
         for i, p in enumerate(pins):
@@ -569,12 +580,19 @@ def pinned_topk(
     )
 
 
-def pinned_sql(terms: list[str], pinned_ids: list[int], k: int = 10) -> str:
-    pins = [int(p) for p in pinned_ids]
+def pinned_sql(
+    terms: list[str],
+    pinned_ids: list[int],
+    k: int = 10,
+    exclude_ids: list[int] | None = None,
+) -> str:
+    excl = [int(e) for e in (exclude_ids or [])]
+    pins = [int(p) for p in pinned_ids if int(p) not in set(excl)]
+    dropped = sorted(set(pins) | set(excl))
     pin_vals = ", ".join(f"({i}, {p})" for i, p in enumerate(pins))
     not_in = (
-        f"WHERE s.doc_id NOT IN ({', '.join(str(p) for p in pins)})"
-        if pins
+        f"WHERE s.doc_id NOT IN ({', '.join(str(p) for p in dropped)})"
+        if dropped
         else ""
     )
     pin_cte = (

@@ -528,21 +528,26 @@ def pinned_topk_local(
     k: int = 10,
     corpus: DataFrame | None = None,
     doc_store: str | None = None,
+    exclude_ids: list[int] | None = None,
 ) -> list[tuple]:
     """[(rank, doc_id, pinned, score|None)] — rank-identical to
     boosting.pinned_topk (minus the url column; serve-path hits carry
     ids, stored fields come from the doc store on demand).
 
-    Organic retrieval over-fetches k + |pins| from the hot-shard kernel
-    and drops the pinned ids afterwards — exact (removing p docs from a
-    ranking needs at most k + p of its head) and avoids a per-query
-    admitted-id Spark job.  Pin existence is checked against the
-    doc-store point read (no Spark job) or the corpus fallback."""
-    pins = [int(p) for p in pinned_ids]
+    Organic retrieval over-fetches k + |pins| + |excludes| from the
+    hot-shard kernel and drops the pinned/excluded ids afterwards —
+    exact (removing p docs from a ranking needs at most k + p of its
+    head) and avoids a per-query admitted-id Spark job.  Pin existence
+    is checked against the doc-store point read (no Spark job) or the
+    corpus fallback.  `exclude_ids` is the query-rules exclude action
+    (exclusion wins over pinning)."""
+    excl = {int(e) for e in (exclude_ids or [])}
+    pins = [int(p) for p in pinned_ids if int(p) not in excl]
     exists = _doc_rows(index, corpus, pins, ["url"], doc_store) if pins else {}
     pins = [p for p in pins if p in exists]
-    organic = wand_topk_local(index, terms, k=k + len(pins))
-    organic = [(d, s) for d, s in organic if d not in set(pins)][
+    organic = wand_topk_local(index, terms, k=k + len(pins) + len(excl))
+    dropped = set(pins) | excl
+    organic = [(d, s) for d, s in organic if d not in dropped][
         : max(0, k - len(pins))
     ]
     out = [(i + 1, p, True, None) for i, p in enumerate(pins[:k])]

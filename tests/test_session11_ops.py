@@ -447,3 +447,103 @@ def test_maxsim_local_identity(spark, sf_dir, s11_index):
             ).collect()
         ]
         assert [(int(g), s) for g, s in got] == want
+
+
+# --- query rules ----------------------------------------------------------------
+
+RULESET = [
+    {"rule_id": "promote", "type": "pinned",
+     "criteria": [{"type": "exact", "metadata": "user_query",
+                   "values": ["spark merge"]}],
+     "ids": [42, 7]},
+    {"rule_id": "ban", "type": "exclude",
+     "criteria": [{"type": "prefix", "metadata": "user_query",
+                   "values": ["sp"]}],
+     "ids": [7, 3]},
+    {"rule_id": "vip-only", "type": "pinned",
+     "criteria": [{"type": "exact", "metadata": "user_segment",
+                   "values": ["vip"]}],
+     "ids": [99]},
+]
+
+
+def test_rule_criteria_table():
+    from telegram2elastic_spark.query import rules
+
+    m = rules._criterion_matches
+    assert m({"type": "exact", "metadata": "q", "values": ["ab"]}, {"q": "ab"})
+    assert not m({"type": "exact", "metadata": "q", "values": ["ab"]}, {"q": "abc"})
+    assert m({"type": "prefix", "metadata": "q", "values": ["ab"]}, {"q": "abc"})
+    assert m({"type": "suffix", "metadata": "q", "values": ["bc"]}, {"q": "abc"})
+    assert m({"type": "contains", "metadata": "q", "values": ["b"]}, {"q": "abc"})
+    assert m({"type": "gte", "metadata": "n", "values": [3]}, {"n": 3})
+    assert not m({"type": "gt", "metadata": "n", "values": [3]}, {"n": 3})
+    assert m({"type": "lt", "metadata": "n", "values": [3]}, {"n": 2.5})
+    assert m({"type": "always"}, {})
+    assert not m({"type": "exact", "metadata": "missing", "values": ["x"]}, {})
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        m({"type": "nope", "metadata": "q", "values": []}, {})
+
+
+def test_applied_rules_order_and_exclusion():
+    from telegram2elastic_spark.query import rules
+
+    pins, excl = rules.applied_rules(RULESET, {"user_query": "spark merge"})
+    assert pins == [42, 7]  # cap/exclusion applied downstream
+    assert excl == [7, 3]
+    pins2, excl2 = rules.applied_rules(RULESET, {"user_query": "nothing"})
+    assert pins2 == [] and excl2 == []
+    pins3, _ = rules.applied_rules(RULESET, {"user_segment": "vip"})
+    assert pins3 == [99]
+
+
+def test_rule_query_vs_oracle(spark, duck, sf_dir, s11_index):
+    from telegram2elastic_spark.query import rules
+
+    got = rules.rule_query_topk(
+        s11_index, RULESET, {"user_query": "spark merge"},
+        ["spark", "merge"], k=10,
+    )
+    want = duck.execute(
+        rules.rule_query_sql(
+            RULESET, {"user_query": "spark merge"}, ["spark", "merge"], k=10
+        )
+    ).df()
+    assert_same(got, want)
+    rows = got.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 42 and rows[0]["pinned"]
+    assert 7 not in ids and 3 not in ids  # exclusion wins over pinning
+
+
+def test_rule_query_local_identity(spark, sf_dir, s11_index):
+    from telegram2elastic_spark.query import rules
+
+    got = rules.rule_query_topk_local(
+        s11_index, RULESET, {"user_query": "spark merge"},
+        ["spark", "merge"], k=10,
+        corpus=load_corpus(spark, sf_dir),
+    )
+    want = [
+        (r["rank"], r["doc_id"], r["pinned"], r["score"])
+        for r in rules.rule_query_topk(
+            s11_index, RULESET, {"user_query": "spark merge"},
+            ["spark", "merge"], k=10,
+        ).collect()
+    ]
+    assert [(r, int(d), p, s) for r, d, p, s in got] == want
+
+
+def test_rule_query_no_rules_is_plain_wand(spark, sf_dir, s11_index):
+    from telegram2elastic_spark.query import rules
+    from telegram2elastic_spark.query.wand import wand_topk
+
+    got = rules.rule_query_topk(
+        s11_index, RULESET, {"user_query": "zzz"}, ["spark", "merge"], k=10
+    ).collect()
+    want = wand_topk(s11_index, ["spark", "merge"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
