@@ -213,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): skip-gram co-occurrence counts (word2vec/
+        # GloVe pretraining statistic) — window offsets unrolled as
+        # array-side zip_with pairs, ONE hash agg, no self-join
+        "skipgram_counts": lambda spark, sf: training.skipgram_counts(
+            load_corpus(spark, sf), window=2, top=30
+        ),
         # NEW (r4, session 11): ES 8.10 query rules — ruleset criteria
         # evaluated against request metadata on the driver (the ES
         # coordinator rewrite), pins/excludes served by the verified
@@ -1499,6 +1505,7 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "skipgram_counts": training.skipgram_counts_sql(window=2, top=30),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),
         "geo_polygon": geo.geo_polygon_sql(k=50),

@@ -1810,3 +1810,82 @@ SELECT rated.source, rated.w, rated.n_docs, rated.n_tokens,
 FROM rated LEFT JOIN kept ON rated.source = kept.source
 ORDER BY rated.source
 """
+
+
+# --- Skip-gram co-occurrence counts (word2vec statistics) ---------------------
+
+def skipgram_counts(
+    corpus: DataFrame, window: int = 2, top: int = 30
+) -> DataFrame:
+    """Corpus co-occurrence table — the sufficient statistic word2vec /
+    GloVe embedding pretraining consumes: unordered token pairs within
+    `window` positions, counted once per occurrence.
+
+    Scale shape: pairs are generated ARRAY-SIDE per doc (the window
+    offsets are unrolled literals, so each doc row flat-maps to at most
+    window * dl pair structs with zero self-join), then ONE hash agg
+    with map-side combine on the pair key and a TakeOrdered top.  No
+    corpus self-join, no position shuffle — the same plan at any corpus
+    size.
+
+    Returns (w1, w2, cnt) with w1 <= w2, ordered cnt desc, w1, w2 asc,
+    limit `top`."""
+    from ..functions.tokenizer import tokens
+
+    window = int(window)
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = corpus.select(tokens("text").alias("toks"))
+    pair_arrays = []
+    for off in range(1, window + 1):
+        pair_arrays.append(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(
+                    F.size("toks") - off, F.lit(0))),
+                F.slice(
+                    F.col("toks"),
+                    off + 1,
+                    F.greatest(F.size("toks") - off, F.lit(0)),
+                ),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+                ),
+            )
+        )
+    pairs = toks.select(
+        F.explode(F.concat(*pair_arrays)).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(int(top))
+    )
+
+
+def skipgram_counts_sql(window: int = 2, top: int = 30) -> str:
+    window = int(window)
+    arrays = []
+    for off in range(1, window + 1):
+        arrays.append(
+            f"list_transform(range(1, greatest(len(toks) - {off}, 0) + 1), "
+            f"i -> {{'w1': least(toks[i], toks[i + {off}]), "
+            f"'w2': greatest(toks[i], toks[i + {off}])}})"
+        )
+    concat = " || ".join(arrays)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+pairs AS (
+  SELECT p.w1 AS w1, p.w2 AS w2
+  FROM tokd, LATERAL (SELECT unnest({concat}) AS p)
+)
+SELECT w1, w2, count(*) AS cnt
+FROM pairs GROUP BY w1, w2
+ORDER BY cnt DESC, w1 ASC, w2 ASC
+LIMIT {int(top)}
+"""

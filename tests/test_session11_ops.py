@@ -547,3 +547,46 @@ def test_rule_query_no_rules_is_plain_wand(spark, sf_dir, s11_index):
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["score"]) for r in want
     ]
+
+
+# --- skip-gram co-occurrence ----------------------------------------------------
+
+def test_skipgram_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    for w in (1, 3):
+        got = training.skipgram_counts(load_corpus(spark, sf_dir), window=w, top=30)
+        want = duck.execute(training.skipgram_counts_sql(window=w, top=30)).df()
+        assert_same(got, want)
+
+
+def test_skipgram_matches_bruteforce(spark, sf_dir):
+    """Pure-python sliding window over the tokenized docs agrees."""
+    from collections import Counter
+
+    from telegram2elastic_spark.functions.tokenizer import py_tokenize
+    from telegram2elastic_spark.operators import training
+
+    corpus = load_corpus(spark, sf_dir).limit(40)
+    texts = [r["text"] for r in corpus.collect()]
+    cnt = Counter()
+    W = 2
+    for t in texts:
+        toks = py_tokenize(t)
+        for i in range(len(toks)):
+            for off in range(1, W + 1):
+                if i + off < len(toks):
+                    a, b = toks[i], toks[i + off]
+                    cnt[(min(a, b), max(a, b))] += 1
+    got = {
+        (r["w1"], r["w2"]): r["cnt"]
+        for r in training.skipgram_counts(corpus, window=W, top=10**6).collect()
+    }
+    assert got == dict(cnt)
+
+
+def test_skipgram_window_must_be_positive(spark, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    with pytest.raises(ValueError):
+        training.skipgram_counts(load_corpus(spark, sf_dir), window=0)
