@@ -213,6 +213,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): quality-aware cluster dedup — keep the
+        # HIGHEST-quality member per near-dup component (RefinedWeb-style
+        # representative choice); struct-max hash agg, no window
+        "dedup_keep_best": lambda spark, sf: dedup.dedup_components_keep_best(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 11): skip-gram co-occurrence counts (word2vec/
         # GloVe pretraining statistic) — window offsets unrolled as
         # array-side zip_with pairs, ONE hash agg, no self-join
@@ -1505,6 +1511,7 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "dedup_keep_best": dedup.dedup_components_keep_best_sql(),
         "skipgram_counts": training.skipgram_counts_sql(window=2, top=30),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),

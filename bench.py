@@ -486,6 +486,29 @@ def main() -> None:
               lambda: agq.agg_cumulative_cardinality(corpus))
         timed("variable_width_histogram_sec",
               lambda: agq.variable_width_histogram(corpus, k=4, iters=2))
+        # round-4 session-11 surface
+        from telegram2elastic_spark.operators import similarity as smq
+        from telegram2elastic_spark.query import rules as rlq
+        from telegram2elastic_spark.query import sparse as spvq
+        from telegram2elastic_spark.query import geo as geq
+
+        timed("weighted_tokens_sec", lambda: spvq.weighted_tokens_topk(
+            eidx, {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25},
+            ratio_threshold=1.03, k=10))
+        timed("tsr_rerank_sec", lambda: hyq.text_similarity_reranker_topk(
+            corpus, _emb, ["spark", "merge"], query_vec_id=0, k=10))
+        timed("rank_vectors_maxsim_sec", lambda: smq.rank_vectors_maxsim_topk(
+            _emb, query_group=0, group_size=5, k=10))
+        timed("rule_query_sec", lambda: rlq.rule_query_topk(
+            eidx,
+            [{"rule_id": "p", "type": "pinned",
+              "criteria": [{"type": "exact", "metadata": "q",
+                            "values": ["spark merge"]}], "ids": [42, 7]},
+             {"rule_id": "x", "type": "exclude",
+              "criteria": [{"type": "always"}], "ids": [3]}],
+            {"q": "spark merge"}, ["spark", "merge"], k=10))
+        timed("geo_line_sec", lambda: geq.geo_line(corpus, size=10))
+        timed("geo_polygon_sec", lambda: geq.geo_polygon_page(corpus, k=50))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()
@@ -638,6 +661,31 @@ def main() -> None:
                 eidx, ["spark", "merge"], k=10
             ),
         )
+        # round-4 session-11 local twins
+        from telegram2elastic_spark.query import hybrid as _hyl
+        from telegram2elastic_spark.query import sparse as _spl
+
+        _embp = f"{SF_DIR}/embeddings.parquet"
+        timed_local(
+            "tsr_ms",
+            lambda: _hyl.text_similarity_reranker_local(
+                eidx, _embp, ["spark", "merge"], query_vec_id=0, k=10
+            ),
+        )
+        timed_local(
+            "maxsim_ms",
+            lambda: _hyl.rank_vectors_maxsim_local(
+                eidx, _embp, query_group=0, group_size=5, k=10
+            ),
+        )
+        timed_local(
+            "weighted_tokens_ms",
+            lambda: _spl.weighted_tokens_topk_local(
+                eidx,
+                {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25},
+                ratio_threshold=1.03, k=10,
+            ),
+        )
         extra["local_surface"] = lsf
 
         # q9 (extra keys): the training-pipeline ops at bench-corpus
@@ -761,6 +809,19 @@ def main() -> None:
             lambda: ipp.apply_pipeline(corpus, _se.INGEST_PIPE).select(
                 "doc_id", *_se.INGEST_COLS
             ),
+        )
+        # round-4 session-11 pipeline ops
+        timed_pl(
+            "mixture_sample_sec",
+            lambda: trp.mixture_sample(corpus),
+        )
+        timed_pl(
+            "skipgram_counts_sec",
+            lambda: trp.skipgram_counts(corpus, window=2, top=30),
+        )
+        timed_pl(
+            "fingerprint_dedup_sec",
+            lambda: ddp.fingerprint_dedup(corpus, top=20),
         )
         extra["pipeline_ops"] = pl
 

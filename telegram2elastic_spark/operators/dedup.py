@@ -1391,3 +1391,79 @@ FROM fp GROUP BY fingerprint
 ORDER BY n_docs DESC, fingerprint ASC
 LIMIT {int(top)}
 """
+
+
+def dedup_components_keep_best(
+    corpus: DataFrame,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Quality-aware cluster dedup — the production keep decision: within
+    each near-dup component keep the HIGHEST-quality member (composite
+    quality score; doc_id asc tie-break), not the arbitrary min-id.
+    RefinedWeb/FineWeb keep a representative this way so dedup does not
+    systematically discard the cleanest copy.
+
+    Returns the DROPPED docs: (doc_id, component, quality, kept_doc_id,
+    kept_quality), doc_id order.  Scale shape: components (LSH label
+    propagation) + the per-doc quality map join, then ONE hash agg per
+    component using a lexicographic struct max (quality, -doc_id) — no
+    window, no sort beyond the final small output."""
+    from ..functions.text_quality import quality_scores
+
+    comp = dedup_components(corpus, n_hashes=n_hashes, bands=bands)
+    q = quality_scores(corpus).select("doc_id", "quality")
+    j = comp.join(q, "doc_id")
+    keep = (
+        j.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("nd"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "component",
+            F.col("b.d").alias("kept_doc_id"),
+            F.col("b.q").alias("kept_quality"),
+        )
+    )
+    return (
+        j.join(keep, "component")
+        .filter(F.col("doc_id") != F.col("kept_doc_id"))
+        .select("doc_id", "component", "quality", "kept_doc_id", "kept_quality")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_components_keep_best_sql(
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> str:
+    from ..functions.text_quality import quality_scores_sql
+
+    return f"""
+WITH comp AS ({dedup_components_sql(n_hashes=n_hashes, bands=bands).strip()}),
+q AS (SELECT doc_id, quality FROM ({quality_scores_sql().strip()}) qq),
+j AS (
+  SELECT comp.doc_id, comp.component, q.quality
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+),
+ranked AS (
+  SELECT doc_id, component, quality,
+         row_number() OVER (
+             PARTITION BY component
+             ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM j
+),
+keep AS (
+  SELECT component, doc_id AS kept_doc_id, quality AS kept_quality
+  FROM ranked WHERE rn = 1
+)
+SELECT r.doc_id, r.component, r.quality, keep.kept_doc_id, keep.kept_quality
+FROM ranked r JOIN keep ON r.component = keep.component
+WHERE r.doc_id != keep.kept_doc_id
+ORDER BY r.doc_id
+"""

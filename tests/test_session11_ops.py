@@ -590,3 +590,45 @@ def test_skipgram_window_must_be_positive(spark, sf_dir):
 
     with pytest.raises(ValueError):
         training.skipgram_counts(load_corpus(spark, sf_dir), window=0)
+
+
+# --- quality-aware cluster dedup -------------------------------------------------
+
+def test_keep_best_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import dedup
+
+    got = dedup.dedup_components_keep_best(load_corpus(spark, sf_dir))
+    want = duck.execute(dedup.dedup_components_keep_best_sql()).df()
+    assert_same(got, want)
+
+
+def test_keep_best_semantics(spark, sf_dir):
+    """Keeper has max quality in its component (doc_id asc on ties);
+    dropped set == component members minus keepers."""
+    from telegram2elastic_spark.operators import dedup
+    from telegram2elastic_spark.functions.text_quality import quality_scores
+
+    corpus = load_corpus(spark, sf_dir)
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dedup_components(corpus).collect()
+    }
+    q = {
+        r["doc_id"]: r["quality"] for r in quality_scores(corpus).collect()
+    }
+    dropped = dedup.dedup_components_keep_best(corpus).collect()
+    by_comp: dict = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    keepers = {
+        c: min(ms, key=lambda d: (-q[d], d)) for c, ms in by_comp.items()
+    }
+    expect_dropped = sorted(
+        d for c, ms in by_comp.items() for d in ms if d != keepers[c]
+    )
+    assert [r["doc_id"] for r in dropped] == expect_dropped
+    for r in dropped:
+        k = keepers[comp[r["doc_id"]]]
+        assert r["kept_doc_id"] == k
+        assert r["kept_quality"] == q[k]
+        assert (q[k], -k) >= (r["quality"], -r["doc_id"])
