@@ -34,6 +34,7 @@ from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
 from telegram2elastic_spark.query import geo
 from telegram2elastic_spark.query import rules as qrules
+from telegram2elastic_spark.query import semantic as semq
 from telegram2elastic_spark.query import synonyms as syn
 from telegram2elastic_spark.query import federated as fed
 from telegram2elastic_spark.query import hybrid as hyb
@@ -213,6 +214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): ES 8.15 semantic_text / semantic query —
+        # deterministic hashing-trick inference endpoint (integer signed
+        # bucket counts; floats only at the final cosine), one (doc,
+        # bucket) agg + broadcast query-vector join
+        "semantic_topk": lambda spark, sf: semq.semantic_topk(
+            load_corpus(spark, sf), "spark merge batch", k=10
+        ),
         # NEW (r4, session 11): quality-aware cluster dedup — keep the
         # HIGHEST-quality member per near-dup component (RefinedWeb-style
         # representative choice); struct-max hash agg, no window
@@ -1511,6 +1519,7 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "semantic_topk": semq.semantic_topk_sql("spark merge batch", k=10),
         "dedup_keep_best": dedup.dedup_components_keep_best_sql(),
         "skipgram_counts": training.skipgram_counts_sql(window=2, top=30),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),

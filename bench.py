@@ -509,6 +509,10 @@ def main() -> None:
             {"q": "spark merge"}, ["spark", "merge"], k=10))
         timed("geo_line_sec", lambda: geq.geo_line(corpus, size=10))
         timed("geo_polygon_sec", lambda: geq.geo_polygon_page(corpus, k=50))
+        from telegram2elastic_spark.query import semantic as smq2
+
+        timed("semantic_sec", lambda: smq2.semantic_topk(
+            corpus, "spark merge batch", k=10))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()

@@ -1,0 +1,157 @@
+"""ES 8.15 `semantic_text` field + `semantic` query.
+
+ES attaches an inference endpoint to a `semantic_text` field: documents
+are embedded at index time, the `semantic` query embeds the query string
+with the SAME endpoint and ranks by vector similarity.  The sandbox has
+no model services, so the inference endpoint here is the deterministic
+HASHING-TRICK text embedder (feature hashing, Weinberger et al. 2009):
+
+    bucket(t) = H64(t) mod dim          (md5-derived, engine-shared)
+    sign(t)   = +1 if H64('s:' || t) is even else -1
+    v[b]      = sum over doc tokens t with bucket(t) == b of sign(t)
+
+Every coordinate is an INTEGER token-count combination — the only float
+work is the final cosine (sqrt of integer sums, one rounded division),
+so Spark, DuckDB and the Python query-side embedder produce identical
+bits.  A real model rides the enrichment iterator-UDF seam with this
+exact plan shape.
+
+Scale shape: doc embeddings are ONE tokenize + (doc, bucket) hash agg;
+the query vector is |q| driver-side hashes broadcast as a dim-row
+table; the dot product is a broadcast join + per-doc sum and the norms
+come from the same (doc, bucket) aggregate — no corpus self-join, no
+UDF.  TakeOrdered top-k.
+
+Reference analogue: ranked retrieval delegated to ES
+(output/elasticsearch.py); semantic_text is ES's managed-embedding
+serving of the same corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKEN_SPLIT_RE, py_tokenize, tokens
+from ..operators.dedup import H64_SQL, h64
+
+SEM_DIM = 64
+
+
+def _py_h64(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def embed_query(text: str, dim: int = SEM_DIM) -> dict[int, int]:
+    """Driver-side twin of the doc embedder: {bucket: signed count} for
+    the query string (same tokenizer, same hashes)."""
+    vec: dict[int, int] = {}
+    for t in py_tokenize(text):
+        b = _py_h64(t) % dim
+        s = 1 if _py_h64("s:" + t) % 2 == 0 else -1
+        vec[b] = vec.get(b, 0) + s
+    return {b: v for b, v in vec.items() if v != 0}
+
+
+def doc_embeddings(corpus: DataFrame, dim: int = SEM_DIM) -> DataFrame:
+    """(doc_id, bucket, val) sparse doc embeddings — the semantic_text
+    index-time inference output (only non-zero coordinates stored, the
+    natural layout for a sparse-friendly ANN build)."""
+    sign = F.when(
+        h64(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        corpus.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select(
+            "doc_id",
+            F.pmod(h64(F.col("tok")), F.lit(int(dim))).alias("bucket"),
+            sign.alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def semantic_topk(
+    corpus: DataFrame, query: str, k: int = 10, dim: int = SEM_DIM
+) -> DataFrame:
+    """ES `semantic` query: cosine between the query's and each doc's
+    hashing-trick embeddings.  Returns (doc_id, cosine) desc, doc_id
+    asc, limit k; zero-norm docs and zero-overlap docs drop out (ES
+    returns no hit without similarity evidence)."""
+    qv = embed_query(query, dim)
+    if not qv:
+        return corpus.sparkSession.createDataFrame(
+            [], "doc_id bigint, cosine double"
+        )
+    spark = corpus.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(b, v) for b, v in sorted(qv.items())], "bucket int, qval long"
+        )
+    )
+    emb = doc_embeddings(corpus, dim)
+    dots = (
+        emb.join(qdf, "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
+    )
+    norms = emb.groupBy("doc_id").agg(
+        F.sum(F.col("val") * F.col("val")).alias("nn")
+    )
+    qnorm = float(sum(v * v for v in qv.values())) ** 0.5
+    return (
+        dots.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("nn").cast("double")) * F.lit(qnorm)),
+                5,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def semantic_topk_sql(query: str, k: int = 10, dim: int = SEM_DIM) -> str:
+    qv = embed_query(query, dim)
+    if not qv:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS cosine WHERE FALSE"
+    qrows = ", ".join(f"({b}, {v})" for b, v in sorted(qv.items()))
+    qnorm = float(sum(v * v for v in qv.values())) ** 0.5
+    hb = H64_SQL.format(x="tok")
+    hs = H64_SQL.format(x="'s:' || tok")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS tok
+  FROM corpus
+),
+emb AS (
+  SELECT doc_id, ({hb}) % {int(dim)} AS bucket,
+         sum(CASE WHEN ({hs}) % 2 = 0 THEN 1 ELSE -1 END) AS val
+  FROM toks GROUP BY doc_id, bucket
+  HAVING sum(CASE WHEN ({hs}) % 2 = 0 THEN 1 ELSE -1 END) != 0
+),
+q(bucket, qval) AS (VALUES {qrows}),
+dots AS (
+  SELECT emb.doc_id, sum(emb.val * q.qval) AS dot
+  FROM emb JOIN q ON emb.bucket = q.bucket
+  GROUP BY emb.doc_id
+),
+norms AS (SELECT doc_id, sum(val * val) AS nn FROM emb GROUP BY doc_id)
+SELECT dots.doc_id,
+       round(dots.dot / (sqrt(CAST(norms.nn AS DOUBLE)) * {qnorm!r}), 5)
+           AS cosine
+FROM dots JOIN norms ON dots.doc_id = norms.doc_id
+ORDER BY cosine DESC, dots.doc_id ASC
+LIMIT {int(k)}
+"""

@@ -632,3 +632,50 @@ def test_keep_best_semantics(spark, sf_dir):
         assert r["kept_doc_id"] == k
         assert r["kept_quality"] == q[k]
         assert (q[k], -k) >= (r["quality"], -r["doc_id"])
+
+
+# --- semantic_text / semantic query ----------------------------------------------
+
+def test_semantic_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.query import semantic
+
+    for q in ("spark merge batch", "the fast", "zzznope"):
+        got = semantic.semantic_topk(load_corpus(spark, sf_dir), q, k=10)
+        want = duck.execute(semantic.semantic_topk_sql(q, k=10)).df()
+        assert_same(got, want)
+
+
+def test_semantic_query_embedder_matches_doc_embedder(spark, sf_dir):
+    """The driver-side query embedder and the Spark doc embedder are the
+    SAME function: embedding a doc's text as a query reproduces its
+    stored sparse vector."""
+    from telegram2elastic_spark.query import semantic
+
+    corpus = load_corpus(spark, sf_dir).limit(5)
+    stored: dict = {}
+    for r in semantic.doc_embeddings(corpus).collect():
+        stored.setdefault(r["doc_id"], {})[r["bucket"]] = r["val"]
+    for r in corpus.select("doc_id", "text").collect():
+        assert semantic.embed_query(r["text"]) == stored.get(r["doc_id"], {})
+
+
+def test_semantic_self_similarity_is_top(spark, sf_dir):
+    """Querying with a document's own text ranks that document first
+    with cosine 1.0."""
+    from telegram2elastic_spark.query import semantic
+
+    corpus = load_corpus(spark, sf_dir)
+    text7 = corpus.filter("doc_id = 7").collect()[0]["text"]
+    rows = semantic.semantic_topk(corpus, text7, k=3).collect()
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    # doc 7 itself is among the cosine-1.0 hits (exact dups tie at 1.0)
+    top_ids = {r["doc_id"] for r in rows if r["cosine"] == rows[0]["cosine"]}
+    assert 7 in top_ids or rows[0]["doc_id"] == 7
+
+
+def test_semantic_empty_query_matches_nothing(spark, sf_dir):
+    from telegram2elastic_spark.query import semantic
+
+    assert semantic.semantic_topk(
+        load_corpus(spark, sf_dir), "...---...", k=10
+    ).count() == 0
