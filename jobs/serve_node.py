@@ -37,6 +37,8 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "tsr",      "q": "spark merge", "vec_id": 0} (needs --embeddings)
     {"op": "maxsim",   "group": 0, "group_size": 5}     (needs --embeddings)
     {"op": "weightedtokens", "weights": {"spark": 2.0}, "ratio": 5.0}
+    {"op": "semantic", "q": "spark merge batch"}   (needs --semantic-store)
+    {"op": "rules",    "q": "spark merge", "ruleset": [...], "match": {...}}
 
 Response: {"op": ..., "hits": [...], "latency_ms": ...}.  After the
 per-cache warm-up fetches (vocabulary, hot term shards, trigram pages),
@@ -75,6 +77,8 @@ def main() -> None:
                     help="bigram store dir (phrase-suggester didyoumean)")
     ap.add_argument("--embeddings", default=None,
                     help="embedding parquet dir (hybrid RRF knn leg)")
+    ap.add_argument("--semantic-store", default=None,
+                    help="write_semantic_store dir (semantic query op)")
     ap.add_argument("--field-index", action="append", default=[],
                     metavar="NAME=DIR",
                     help="per-field index dir for multi_match "
@@ -105,6 +109,7 @@ def main() -> None:
         name, _, d = spec.partition("=")
         field_indexes[name] = read_index(spark, d)
     fuzzy_cache: dict = {}
+    semantic_cache: dict = {}
     lq._vocab(idx)  # the FST load — one job, then expansion is in-process
     if args.warm:
         wand_topk_local(idx, args.warm.split(), k=1)
@@ -259,6 +264,18 @@ def main() -> None:
                 idx, args.embeddings,
                 query_group=int(req.get("group", 0)),
                 group_size=int(req.get("group_size", 5)), k=k,
+            )
+        if op == "semantic":
+            # {"op": "semantic", "q": "spark merge batch"} — ES semantic
+            # query off the sparse semantic store (bucket-pruned reads)
+            if not args.semantic_store:
+                raise ValueError("semantic needs --semantic-store")
+            from telegram2elastic_spark.query.semantic import (
+                semantic_topk_local,
+            )
+
+            return semantic_topk_local(
+                args.semantic_store, req["q"], k=k, cache=semantic_cache
             )
         if op == "rules":
             # {"op": "rules", "q": "spark merge", "ruleset": [...],

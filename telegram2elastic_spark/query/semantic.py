@@ -155,3 +155,83 @@ FROM dots JOIN norms ON dots.doc_id = norms.doc_id
 ORDER BY cosine DESC, dots.doc_id ASC
 LIMIT {int(k)}
 """
+
+
+# --- serving: sparse semantic store + driver-local probe ----------------------
+
+def write_semantic_store(
+    corpus: DataFrame, out_dir: str, dim: int = SEM_DIM
+) -> None:
+    """Persist the semantic_text inference output for query-node serving:
+      <out>/buckets/   (bucket, doc_id, val) sorted by (bucket, doc_id),
+                       small row groups -> a query reads ONLY its |q|
+                       buckets via parquet row-group pruning
+      <out>/norms/     (doc_id, nn) — per-doc squared norm, one small
+                       resident table
+    """
+    emb = doc_embeddings(corpus, dim)
+    (
+        emb.repartition(1)
+        .sortWithinPartitions("bucket", "doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 128 * 1024)
+        .parquet(f"{out_dir}/buckets")
+    )
+    (
+        emb.groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/norms")
+    )
+
+
+def semantic_topk_local(
+    store_dir: str,
+    query: str,
+    k: int = 10,
+    dim: int = SEM_DIM,
+    cache: dict | None = None,
+) -> list[tuple]:
+    """Query-node twin of semantic_topk: the query embeds driver-side,
+    ONLY the query's buckets are read (pyarrow filtered read on the
+    sorted bucket column — row-group pruning), dots accumulate in numpy,
+    norms are a resident table read once.  [(doc_id, cosine)],
+    rank-identical to the Spark path."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    qv = embed_query(query, dim)
+    if not qv:
+        return []
+    cache = cache if cache is not None else {}
+    if "norms" not in cache:
+        tbl = ds.dataset(f"{store_dir}/norms", format="parquet").to_table()
+        nid = tbl["doc_id"].to_numpy().astype(np.int64)
+        nn = tbl["nn"].to_numpy().astype(np.float64)
+        order = np.argsort(nid)
+        cache["norms"] = (nid[order], nn[order])
+    nid, nn = cache["norms"]
+    dset = ds.dataset(f"{store_dir}/buckets", format="parquet")
+    import pyarrow.compute as pc
+
+    tbl = dset.to_table(filter=pc.field("bucket").isin(list(qv)))
+    bks = tbl["bucket"].to_numpy().astype(np.int64)
+    dids = tbl["doc_id"].to_numpy().astype(np.int64)
+    vals = tbl["val"].to_numpy().astype(np.float64)
+    qarr = np.zeros(int(dim))
+    for b, v in qv.items():
+        qarr[b] = float(v)
+    contrib = vals * qarr[bks]
+    # dot per doc: sort-group on doc_id (already sorted within bucket,
+    # not across) — one argsort over the probed rows only
+    order = np.argsort(dids, kind="stable")
+    dids, contrib = dids[order], contrib[order]
+    uniq, starts = np.unique(dids, return_index=True)
+    dots = np.add.reduceat(contrib, starts)
+    qnorm = float(sum(v * v for v in qv.values())) ** 0.5
+    pos = np.searchsorted(nid, uniq)
+    cos = np.round(dots / (np.sqrt(nn[pos]) * qnorm), 5)
+    out = sorted(zip(uniq.tolist(), cos.tolist()), key=lambda t: (-t[1], t[0]))
+    return [(int(d), float(c)) for d, c in out[:k]]

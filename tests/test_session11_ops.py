@@ -679,3 +679,19 @@ def test_semantic_empty_query_matches_nothing(spark, sf_dir):
     assert semantic.semantic_topk(
         load_corpus(spark, sf_dir), "...---...", k=10
     ).count() == 0
+
+
+def test_semantic_local_identity(spark, sf_dir, tmp_path):
+    from telegram2elastic_spark.query import semantic
+
+    corpus = load_corpus(spark, sf_dir)
+    store = str(tmp_path / "semstore")
+    semantic.write_semantic_store(corpus, store)
+    cache: dict = {}
+    for q in ("spark merge batch", "the fast", "dup"):
+        got = semantic.semantic_topk_local(store, q, k=10, cache=cache)
+        want = [
+            (r["doc_id"], r["cosine"])
+            for r in semantic.semantic_topk(corpus, q, k=10).collect()
+        ]
+        assert [(int(d), c) for d, c in got] == want
