@@ -214,6 +214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 11): ES MLT with multiple like + unlike docs —
+        # tf merged across the like bag, unlike terms skipped outright
+        # (the Lucene MoreLikeThis contract); like docs excluded from hits
+        "mlt_multi": lambda spark, sf: mlt.more_like_this_multi(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            load_corpus(spark, sf), like=[7, 42], unlike=[3], k=10,
+        ),
         # NEW (r4, session 11): ES 8.15 semantic_text / semantic query —
         # deterministic hashing-trick inference endpoint (integer signed
         # bucket counts; floats only at the final cosine), one (doc,
@@ -1519,6 +1526,7 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        "mlt_multi": mlt.more_like_this_multi_sql(like=[7, 42], unlike=[3], k=10),
         "semantic_topk": semq.semantic_topk_sql("spark merge batch", k=10),
         "dedup_keep_best": dedup.dedup_components_keep_best_sql(),
         "skipgram_counts": training.skipgram_counts_sql(window=2, top=30),

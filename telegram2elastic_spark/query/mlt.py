@@ -270,3 +270,140 @@ FROM base b JOIN feat f ON b.doc_id = f.doc_id
 ORDER BY ltr DESC, b.doc_id ASC
 LIMIT {k}
 """
+
+
+def select_mlt_terms_multi(
+    index: dict,
+    corpus: DataFrame,
+    like: list[int],
+    unlike: list[int] | None = None,
+    max_query_terms: int = MAX_QUERY_TERMS,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+) -> list[str]:
+    """ES MLT multi-doc term selection: tf sums across ALL `like` docs
+    (one merged bag, the Lucene MoreLikeThis contract), and any term
+    occurring in an `unlike` doc is skipped outright before scoring
+    (ES's unlike = "select terms that are NOT interesting").  Scoring
+    and ties are the single-doc contract: round(tf * idf, 6) desc,
+    term asc."""
+    unlike = [int(u) for u in (unlike or [])]
+    like = [int(d) for d in like]
+    rows = (
+        corpus.filter(F.col("doc_id").isin(like + unlike))
+        .select("doc_id", "text")
+        .collect()
+    )
+    texts = {int(r["doc_id"]): r["text"] for r in rows}
+    tf: Counter = Counter()
+    for d in like:
+        if d in texts:
+            tf.update(py_tokenize(texts[d]))
+    skip: set[str] = set()
+    for u in unlike:
+        if u in texts:
+            skip.update(py_tokenize(texts[u]))
+    cand = sorted(
+        t for t, c in tf.items() if c >= min_term_freq and t not in skip
+    )
+    if not cand:
+        return []
+    if "_stats" not in index:
+        n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+        index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
+    n = index["_stats"][0]
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in _bucketed(index, index["term_dict"], cand)
+        .filter(F.col("term").isin(cand))
+        .select("term", "df")
+        .collect()
+    }
+    scored = []
+    for t in cand:
+        df = dfs.get(t)
+        if df is None or df < min_doc_freq:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        scored.append((round(tf[t] * idf, 6), t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in scored[:max_query_terms]]
+
+
+def more_like_this_multi(
+    index: dict,
+    corpus: DataFrame,
+    like: list[int],
+    unlike: list[int] | None = None,
+    k: int = 10,
+    max_query_terms: int = MAX_QUERY_TERMS,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """ES more_like_this with multiple `like` docs and `unlike` docs:
+    top-k similar docs, every like doc excluded from the hits (ES
+    `include: false` default); unlike docs shape term selection only."""
+    terms = select_mlt_terms_multi(
+        index, corpus, like, unlike, max_query_terms,
+        min_term_freq, min_doc_freq,
+    )
+    spark = index["doc_map"].sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, url string, score double"
+        )
+    like_set = [int(d) for d in like]
+    hits = wand_topk(index, terms, k=k + len(like_set))
+    return (
+        hits.filter(~F.col("doc_id").isin(like_set))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def more_like_this_multi_sql(
+    like: list[int],
+    unlike: list[int] | None = None,
+    k: int = 10,
+    max_query_terms: int = MAX_QUERY_TERMS,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 2,
+) -> str:
+    like = [int(d) for d in like]
+    unlike = [int(u) for u in (unlike or [])]
+    like_in = ", ".join(str(d) for d in like)
+    skip = (
+        f"""AND term NOT IN (
+      SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(text),
+          '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+      FROM corpus WHERE doc_id IN ({', '.join(str(u) for u in unlike)})
+    )"""
+        if unlike
+        else ""
+    )
+    sel = f"""(
+  SELECT dtf.term FROM (
+    SELECT term, count(*) AS tf FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+      FROM corpus WHERE doc_id IN ({like_in})
+    ) GROUP BY term HAVING count(*) >= {int(min_term_freq)} {skip}
+  ) dtf
+  JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+  ) gdf USING (term)
+  CROSS JOIN stats
+  WHERE gdf.df >= {int(min_doc_freq)}
+  ORDER BY round(dtf.tf * ln(1 + (stats.n - gdf.df + 0.5) / (gdf.df + 0.5)), 6)
+           DESC, dtf.term ASC
+  LIMIT {int(max_query_terms)}
+)"""
+    kk = k + len(like)
+    base = _expanded_bm25_sql(f"term IN {sel}", kk, 10**9)
+    base = base.replace(
+        "ORDER BY s.score DESC, s.doc_id ASC",
+        f"WHERE s.doc_id NOT IN ({like_in})\n"
+        f"ORDER BY s.score DESC, s.doc_id ASC",
+    )
+    head, tail = base.rsplit(f"LIMIT {kk}", 1)
+    return head + f"LIMIT {int(k)}" + tail

@@ -695,3 +695,49 @@ def test_semantic_local_identity(spark, sf_dir, tmp_path):
             for r in semantic.semantic_topk(corpus, q, k=10).collect()
         ]
         assert [(int(d), c) for d, c in got] == want
+
+
+# --- MLT multi-like / unlike ---------------------------------------------------
+
+def test_mlt_multi_vs_oracle(spark, duck, sf_dir, s11_index):
+    from telegram2elastic_spark.query import mlt
+
+    corpus = load_corpus(spark, sf_dir)
+    for like, unlike in ([(7, 42), (3,)], [(7,), ()], [(7, 42, 11), (3, 5)]):
+        got = mlt.more_like_this_multi(
+            s11_index, corpus, like=list(like), unlike=list(unlike), k=10
+        )
+        want = duck.execute(
+            mlt.more_like_this_multi_sql(
+                like=list(like), unlike=list(unlike), k=10
+            )
+        ).df()
+        assert_same(got, want)
+
+
+def test_mlt_multi_excludes_like_docs_and_skips_unlike_terms(
+    spark, sf_dir, s11_index
+):
+    from telegram2elastic_spark.query import mlt
+
+    corpus = load_corpus(spark, sf_dir)
+    hits = mlt.more_like_this_multi(
+        s11_index, corpus, like=[7, 42], unlike=[3], k=20
+    ).collect()
+    ids = {r["doc_id"] for r in hits}
+    assert 7 not in ids and 42 not in ids
+    # unlike terms are absent from the selected query terms
+    from telegram2elastic_spark.functions.tokenizer import py_tokenize
+
+    unlike_text = corpus.filter("doc_id = 3").collect()[0]["text"]
+    terms = mlt.select_mlt_terms_multi(s11_index, corpus, [7, 42], [3])
+    assert not (set(terms) & set(py_tokenize(unlike_text)))
+
+
+def test_mlt_multi_single_like_matches_single_doc_mlt(spark, sf_dir, s11_index):
+    from telegram2elastic_spark.query import mlt
+
+    corpus = load_corpus(spark, sf_dir)
+    a = mlt.more_like_this_multi(s11_index, corpus, like=[7], k=10).collect()
+    b = mlt.more_like_this(s11_index, corpus, 7, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
