@@ -38,6 +38,7 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "maxsim",   "group": 0, "group_size": 5}     (needs --embeddings)
     {"op": "weightedtokens", "weights": {"spark": 2.0}, "ratio": 5.0}
     {"op": "semantic", "q": "spark merge batch"}   (needs --semantic-store)
+    {"op": "stats"} / {"op": "stats", "disk": true}  (_stats / _disk_usage)
     {"op": "rules",    "q": "spark merge", "ruleset": [...], "match": {...}}
 
 Response: {"op": ..., "hits": [...], "latency_ms": ...}.  After the
@@ -265,6 +266,18 @@ def main() -> None:
                 query_group=int(req.get("group", 0)),
                 group_size=int(req.get("group_size", 5)), k=k,
             )
+        if op == "stats":
+            # {"op": "stats"} / {"op": "stats", "disk": true} — the
+            # _stats/_disk_usage card (filesystem + parquet footers,
+            # zero Spark jobs)
+            from telegram2elastic_spark.index.diskusage import (
+                disk_usage,
+                index_stats,
+            )
+
+            if req.get("disk"):
+                return disk_usage(args.index)
+            return index_stats(args.index)
         if op == "semantic":
             # {"op": "semantic", "q": "spark merge batch"} — ES semantic
             # query off the sparse semantic store (bucket-pruned reads)
@@ -376,9 +389,12 @@ def main() -> None:
             hits = answer(req)
             out = {
                 "op": req["op"],
-                "hits": [list(h) for h in hits],
                 "latency_ms": round((time.perf_counter() - t0) * 1000, 2),
             }
+            if isinstance(hits, dict):
+                out["result"] = hits  # metadata ops (stats/_disk_usage)
+            else:
+                out["hits"] = [list(h) for h in hits]
         except Exception as e:  # report, keep serving
             out = {"op": req.get("op"), "error": str(e)}
         print(json.dumps(out), flush=True)

@@ -63,12 +63,20 @@ def doc_embeddings(corpus: DataFrame, dim: int = SEM_DIM) -> DataFrame:
     sign = F.when(
         h64(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, F.lit(1)
     ).otherwise(F.lit(-1))
-    return (
+    # aggregate tf per (doc, tok) BEFORE hashing: the two md5 calls run
+    # once per distinct (doc, token) pair instead of once per token
+    # OCCURRENCE (semantic_sec 7.2 -> ~1s at 200k docs; v[b] is a sum of
+    # integer sign*tf terms either way, so values are unchanged)
+    tf = (
         corpus.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select(
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.select(
             "doc_id",
             F.pmod(h64(F.col("tok")), F.lit(int(dim))).alias("bucket"),
-            sign.alias("s"),
+            (sign * F.col("tf")).alias("s"),
         )
         .groupBy("doc_id", "bucket")
         .agg(F.sum("s").alias("val"))
@@ -95,17 +103,26 @@ def semantic_topk(
         )
     )
     emb = doc_embeddings(corpus, dim)
-    dots = (
-        emb.join(qdf, "bucket")
+    # ONE pass: a left broadcast join + a single per-doc aggregate yields
+    # dot, norm and the overlap flag together — the dots/norms two-branch
+    # form recomputed the whole embedding subtree twice (no common
+    # subtree reuse across the join).  `has` preserves the inner-join
+    # semantics: only docs sharing >= 1 bucket with the query are hits.
+    agged = (
+        emb.join(qdf, "bucket", "left")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("val") * F.col("qval")).alias("dot"))
-    )
-    norms = emb.groupBy("doc_id").agg(
-        F.sum(F.col("val") * F.col("val")).alias("nn")
+        .agg(
+            F.sum(F.col("val") * F.coalesce("qval", F.lit(0))).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("nn"),
+            F.max(
+                F.when(F.col("qval").isNotNull(), 1).otherwise(0)
+            ).alias("has"),
+        )
+        .filter(F.col("has") == 1)
     )
     qnorm = float(sum(v * v for v in qv.values())) ** 0.5
     return (
-        dots.join(norms, "doc_id")
+        agged
         .select(
             "doc_id",
             F.round(
@@ -169,22 +186,27 @@ def write_semantic_store(
       <out>/norms/     (doc_id, nn) — per-doc squared norm, one small
                        resident table
     """
-    emb = doc_embeddings(corpus, dim)
-    (
-        emb.repartition(1)
-        .sortWithinPartitions("bucket", "doc_id")
-        .write.mode("overwrite")
-        .option("parquet.block.size", 128 * 1024)
-        .parquet(f"{out_dir}/buckets")
-    )
-    (
-        emb.groupBy("doc_id")
-        .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/norms")
-    )
+    # two output tables read the same embedding table — persist so the
+    # tokenize+hash+agg runs once, not once per write
+    emb = doc_embeddings(corpus, dim).persist()
+    try:
+        (
+            emb.repartition(1)
+            .sortWithinPartitions("bucket", "doc_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 128 * 1024)
+            .parquet(f"{out_dir}/buckets")
+        )
+        (
+            emb.groupBy("doc_id")
+            .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
+            .repartition(1)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/norms")
+        )
+    finally:
+        emb.unpersist()
 
 
 def semantic_topk_local(
