@@ -293,6 +293,7 @@ def build_index(
         "postings": postings,
         "stats": stats,
         "_n_doc_parts": n_doc_parts,
+        "_positions": bool(positions),
         "_cached": [dm, tf_df],
     }
 
@@ -371,7 +372,11 @@ def write_index(
 
     with open(_os.path.join(out_dir, "meta.json"), "w") as f:
         _json.dump(
-            {"n_doc_parts": index.get("_n_doc_parts", DEFAULT_DOC_PARTS)}, f
+            {
+                "n_doc_parts": index.get("_n_doc_parts", DEFAULT_DOC_PARTS),
+                "positions": bool(index.get("_positions", False)),
+            },
+            f
         )
     for df in index.get("_cached", []):
         df.unpersist()
@@ -412,9 +417,12 @@ def read_index(spark, out_dir: str) -> dict:
 
     postings = spark.read.parquet(f"{out_dir}/postings")
     meta_path = _os.path.join(out_dir, "meta.json")
+    has_positions = False
     if _os.path.exists(meta_path):
         with open(meta_path) as f:
-            n_parts = int(_json.load(f).get("n_doc_parts", DEFAULT_DOC_PARTS))
+            meta = _json.load(f)
+        n_parts = int(meta.get("n_doc_parts", DEFAULT_DOC_PARTS))
+        has_positions = bool(meta.get("positions", False))
     else:
         # An index written before meta.json existed: DERIVE the salt
         # modulus from the postings rather than assuming the default —
@@ -430,6 +438,7 @@ def read_index(spark, out_dir: str) -> dict:
         "postings": postings,
         "stats": spark.read.parquet(f"{out_dir}/stats"),
         "_n_doc_parts": n_parts,
+        "_positions": has_positions,
     }
     # sorted layout for prefix/wildcard expansion (absent in pre-round-3
     # indexes; expand.py falls back to the hash-bucketed table).  Probed

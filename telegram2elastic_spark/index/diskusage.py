@@ -107,3 +107,37 @@ def index_stats(root: str) -> dict:
         "n_doc_parts": meta.get("n_doc_parts"),
         "positions": bool(meta.get("positions", False)),
     }
+
+
+def cat_indices(root: str) -> list[dict]:
+    """ES `_cat/indices` over an aliases root (index/aliases.py layout):
+    one row per generation dir — docs, vocabulary, store bytes, write
+    flag — plus alias membership.  Same footer-only cost as
+    index_stats."""
+    alias_state: dict = {"aliases": {}}
+    ap = os.path.join(root, "aliases.json")
+    if os.path.exists(ap):
+        with open(ap) as f:
+            alias_state = json.load(f)
+    write_targets = {
+        a["write_index"] for a in alias_state.get("aliases", {}).values()
+        if a.get("write_index")
+    }
+    rows = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if not os.path.isdir(p) or not os.path.exists(
+            os.path.join(p, "meta.json")
+        ):
+            continue
+        st = index_stats(p)
+        rows.append(
+            {
+                "index": name,
+                "docs": st["n_docs"],
+                "vocabulary": st["vocabulary"],
+                "store_bytes": st["store_bytes"],
+                "is_write_index": name in write_targets,
+            }
+        )
+    return rows
