@@ -41,6 +41,7 @@ from telegram2elastic_spark.query import hybrid as hyb
 from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import dsl as qdsl
+from telegram2elastic_spark.query import esql as esq
 from telegram2elastic_spark.query import sparse as spv
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
@@ -126,6 +127,49 @@ DSL_TEMPLATE_PARAMS = {
     "q": "spark merge", "k": 10,
     "filters": [{"term": {"source": "src3"}}],
 }
+# ES|QL programs (POST /_query surface) — each compiled twice: onto a
+# DataFrame chain (Spark) and onto a DuckDB CTE chain (the oracle), so the
+# two engines execute independently-derived plans for the same program.
+# Determinism: every LIMIT sits under a total-order SORT; float aggregates
+# are ROUND(x, 4)-ed (the agg_percentiles convention).
+ESQL_PROGRAMS = {
+    "esql_stats": (
+        'FROM corpus | WHERE lang == "en" AND n_chars > 200 '
+        '| STATS n = COUNT(*), avg_len = AVG(n_chars) BY source '
+        '| EVAL avg_len = ROUND(avg_len, 4) | SORT n DESC, source ASC'
+    ),
+    "esql_match_timeline": (
+        'FROM corpus | WHERE MATCH(text, "spark index") '
+        '| EVAL day = DATE_TRUNC(1 day, warc_ts) '
+        '| STATS docs = COUNT(*) BY day | SORT day ASC | LIMIT 30'
+    ),
+    "esql_dissect": (
+        'FROM corpus | DISSECT url "%{proto}://%{host}/page/%{page_id}" '
+        '| EVAL pid = TO_LONG(page_id) | WHERE pid % 100 == 7 '
+        '| KEEP doc_id, host, pid | SORT doc_id ASC | LIMIT 20'
+    ),
+    "esql_mv_expand": (
+        'FROM corpus | EVAL toks = SPLIT(text, " ") | MV_EXPAND toks '
+        '| EVAL tok = TO_LOWER(toks) | WHERE LENGTH(tok) > 4 '
+        '| STATS n = COUNT(*) BY tok | SORT n DESC, tok ASC | LIMIT 15'
+    ),
+    "esql_events_stats": (
+        'FROM events | WHERE event_type IN ("click", "view") '
+        'AND value IS NOT NULL '
+        '| STATS total = SUM(value), p90 = PERCENTILE(value, 90), '
+        'med = MEDIAN(value) BY event_type '
+        '| EVAL total = ROUND(total, 4), p90 = ROUND(p90, 4), '
+        'med = ROUND(med, 4) | SORT event_type ASC'
+    ),
+    "esql_grok_case": (
+        'FROM corpus | GROK text "^%{WORD:first_word}" '
+        '| WHERE first_word IS NOT NULL AND NOT (lang IN ("de")) '
+        '| RENAME n_chars AS len '
+        '| EVAL kind = CASE(len > 1000, "long", len > 300, "mid", "short") '
+        '| STATS n = COUNT(*) BY kind, lang | SORT kind ASC, lang ASC'
+    ),
+}
+
 COMPOUND_BATCH_SPECS = {
     0: (["spark", "merge"], ["the", "fast"], 0),
     1: (["spark"], ["merge", "batch"], 1),
@@ -214,6 +258,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 12): ES|QL — the piped query language ES serves
+        # at POST /_query since 8.11; compiled onto a DataFrame chain
+        # (Catalyst fuses EVAL/WHERE/KEEP into one codegen'd map stage and
+        # pushes filters to the scan), oracled by an independently-emitted
+        # DuckDB CTE chain for the same program
+        **{
+            name: (lambda prog: (
+                lambda spark, sf: esq.execute_esql(spark, sf, prog)
+            ))(prog)
+            for name, prog in ESQL_PROGRAMS.items()
+        },
         # NEW (r4, session 11): ES MLT with multiple like + unlike docs —
         # tf merged across the like bag, unlike terms skipped outright
         # (the Lucene MoreLikeThis contract); like docs excluded from hits
@@ -1526,6 +1581,10 @@ SELECT doc_id, url, lang, CAST({DOC_LEN_SQL} AS INTEGER) AS doc_len
 FROM corpus ORDER BY doc_id
 """
     return {
+        **{
+            name: esq.esql_to_duckdb(prog)
+            for name, prog in ESQL_PROGRAMS.items()
+        },
         "mlt_multi": mlt.more_like_this_multi_sql(like=[7, 42], unlike=[3], k=10),
         "semantic_topk": semq.semantic_topk_sql("spark merge batch", k=10),
         "dedup_keep_best": dedup.dedup_components_keep_best_sql(),

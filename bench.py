@@ -827,6 +827,20 @@ def main() -> None:
             "fingerprint_dedup_sec",
             lambda: ddp.fingerprint_dedup(corpus, top=20),
         )
+        # round-4 session-12: ES|QL (POST /_query) compiled to a DataFrame
+        # chain — scan -> fused map -> one hash agg at any corpus size
+        from telegram2elastic_spark.query import esql as esqp
+
+        timed_pl(
+            "esql_stats_sec",
+            lambda: esqp.EsqlPlan(_se.ESQL_PROGRAMS["esql_stats"])
+            .dataframe(spark, SF_DIR, tables={"corpus": corpus}),
+        )
+        timed_pl(
+            "esql_grok_case_sec",
+            lambda: esqp.EsqlPlan(_se.ESQL_PROGRAMS["esql_grok_case"])
+            .dataframe(spark, SF_DIR, tables={"corpus": corpus}),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()

@@ -353,6 +353,17 @@ def main() -> None:
 
             r = validate_query(req["body"])
             return [(r["valid"], r["explanation"])]
+        if op == "esql":
+            # {"op": "esql", "q": "FROM corpus | ..."} — parse/typecheck
+            # only (the _query?validate analogue); execution is a Spark
+            # job, not a node-local serve
+            from telegram2elastic_spark.query.esql import validate_esql
+
+            r = validate_esql(req["q"])
+            return [(
+                r["valid"],
+                ",".join(r.get("stages", [])) or r.get("error", ""),
+            )]
         if op == "highlight":
             if corpus is None and "_doc_store_dir" not in idx:
                 raise ValueError(

@@ -73,12 +73,16 @@ _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
     """-> (regex with one numbered group per named capture,
     [(name, type)]).  Unnamed pattern refs match without capturing;
-    unknown pattern names raise (the ES error contract)."""
+    unknown pattern names raise (the ES error contract).
+
+    ES grok is "regex with %{} macros": the text BETWEEN refs is itself
+    regex (so `^` anchors, `\\.` escapes) — it passes through verbatim,
+    unlike dissect, whose separators are literal."""
     fields: list[tuple[str, str]] = []
     out: list[str] = []
     last = 0
     for m in _GROK_REF.finditer(pattern):
-        out.append(re.escape(pattern[last : m.start()]))
+        out.append(pattern[last : m.start()])
         pat, name, typ = m.group(1), m.group(2), m.group(3)
         if pat not in GROK_PATTERNS:
             raise ValueError(f"unknown grok pattern %{{{pat}}}")
@@ -88,7 +92,7 @@ def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str]]]:
         else:
             out.append(f"(?:{GROK_PATTERNS[pat]})")
         last = m.end()
-    out.append(re.escape(pattern[last:]))
+    out.append(pattern[last:])
     return "".join(out), fields
 
 

@@ -1,0 +1,1159 @@
+"""ES|QL — Elasticsearch's piped query language, compiled to Spark.
+
+The reference stack serves Kibana over Elasticsearch (README.md:5); since
+8.11 that surface includes ES|QL (`POST /_query {"query": "FROM idx | ..."}`),
+a piped language executed by ES's own compute engine over doc values.  The
+Spark-native analogue is a *compiler*: one pass parses the pipe chain into a
+small typed AST, then two emitters lower every stage —
+
+* onto a DataFrame chain (each stage is a declarative `filter` /
+  `withColumn` / `groupBy().agg` / `orderBy().limit` — Catalyst fuses the
+  EVAL/WHERE/KEEP stages into one codegen'd map and pushes filters to the
+  scan, so `FROM corpus | WHERE lang == "en" | STATS ...` reads only the
+  pruned columns: the 100 TB shape is scan → map → one hash agg), and
+* onto a DuckDB CTE chain (`s0 AS (...), s1 AS (...)`) used as the oracle —
+  the text is dialect-translated per node (`==`→`=`, LIKE wildcards
+  `*`/`?`→`%`/`_`, `SPLIT`→`string_split`, span literals →
+  `date_trunc('day', ..)`), so DuckDB independently executes the same
+  logical program.
+
+Supported commands (the stable ES|QL core):
+  FROM <corpus|documents|events|embeddings>
+  | WHERE <expr>                 boolean expr; full-text MATCH(field, "q")
+  | EVAL a = expr, b = expr      later items may use earlier ones; replaces
+  | STATS agg [, ...] [BY k...]  COUNT(*) COUNT SUM AVG MIN MAX
+                                 COUNT_DISTINCT MEDIAN PERCENTILE
+  | SORT e [ASC|DESC] [, ...]
+  | LIMIT n                      with a preceding SORT = TakeOrdered
+  | KEEP c, ... / DROP c, ...
+  | RENAME old AS new [, ...]
+  | DISSECT field "%{a}://%{b}"  ingest-pipeline dissect, NULL on no-match
+  | GROK field "^%{WORD:w}"      shared portable regex vocabulary
+  | MV_EXPAND col                explode a multivalue column
+
+Expression vocabulary: literals (string/int/float/bool/NULL, `1 day` spans),
+arithmetic (`/` is float division in BOTH dialects), comparisons, AND/OR/NOT,
+LIKE (ES|QL `*`/`?` wildcards), RLIKE, IN, IS [NOT] NULL, and the scalar
+functions in FUNCS below.  Unknown commands, functions, or columns raise
+ValueError at compile time (the `_validate/query` contract) — never at run
+time on an executor.
+
+Determinism contract: a LIMIT is only reproducible under a preceding SORT
+whose keys form a total order (registered pairs tie-break on doc_id);
+PERCENTILE/MEDIAN emit exact interpolated values — round them with EVAL
+ROUND(x, 4) before comparing engines (the agg_percentiles convention).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE, load_corpus, load_documents, load_embeddings, load_events
+from ..functions.tokenizer import TOKEN_SPLIT_RE
+from ..operators.ingest_pipeline import compile_dissect, compile_grok
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>==|!=|<=|>=|\|\||&&|[|,()=<>+\-*/%])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
+    "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
+    "AND", "OR", "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL",
+    "TRUE", "FALSE", "ASC", "DESC", "NULLS", "FIRST", "LAST",
+}
+
+_SPAN_UNITS = {
+    "year": "year", "years": "year", "month": "month", "months": "month",
+    "week": "week", "weeks": "week", "day": "day", "days": "day",
+    "hour": "hour", "hours": "hour", "minute": "minute",
+    "minutes": "minute", "second": "second", "seconds": "second",
+}
+
+
+@dataclass
+class Tok:
+    kind: str  # 'str' | 'num' | 'name' | 'kw' | 'op'
+    text: str
+
+
+def _lex(q: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            raise ValueError(f"ES|QL: cannot lex at ...{q[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        kind, text = m.lastgroup, m.group()
+        if kind == "name" and text.upper() in _KEYWORDS:
+            kind, text = "kw", text.upper()
+        toks.append(Tok(kind, text))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: m.group(1), body)
+
+
+# ------------------------------------------------------------- AST nodes
+
+
+@dataclass
+class Lit:
+    value: object  # str | int | float | bool | None
+    typ: str
+
+
+@dataclass
+class Col:
+    name: str
+    typ: str = ""
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+    typ: str = ""
+
+
+@dataclass
+class Un:
+    op: str  # 'NOT' | '-'
+    operand: object
+    typ: str = ""
+
+
+@dataclass
+class Func:
+    name: str
+    args: list
+    typ: str = ""
+
+
+@dataclass
+class Like:
+    operand: object
+    pattern: str  # raw ES|QL wildcard pattern
+    regex: bool
+    negated: bool
+    typ: str = "bool"
+
+
+@dataclass
+class InList:
+    operand: object
+    items: list
+    negated: bool
+    typ: str = "bool"
+
+
+@dataclass
+class IsNull:
+    operand: object
+    negated: bool
+    typ: str = "bool"
+
+
+@dataclass
+class Span:
+    n: int
+    unit: str
+    typ: str = "span"
+
+
+# ----------------------------------------------------- expression parser
+
+
+class _P:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("ES|QL: unexpected end of expression")
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t and t.kind == kind and (text is None or t.text == text):
+            self.i += 1
+            return t
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            raise ValueError(
+                f"ES|QL: expected {text or kind}, got "
+                f"{self.peek().text if self.peek() else 'EOF'!r}"
+            )
+        return t
+
+    # precedence: OR < AND < NOT < cmp/LIKE/IN/IS < add < mul < unary
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        e = self._and()
+        while self.accept("kw", "OR"):
+            e = Bin("OR", e, self._and(), "bool")
+        return e
+
+    def _and(self):
+        e = self._not()
+        while self.accept("kw", "AND"):
+            e = Bin("AND", e, self._not(), "bool")
+        return e
+
+    def _not(self):
+        if self.accept("kw", "NOT"):
+            return Un("NOT", self._not(), "bool")
+        return self._cmp()
+
+    def _cmp(self):
+        e = self._add()
+        t = self.peek()
+        if t and t.kind == "op" and t.text in ("==", "!=", "<", ">", "<=", ">="):
+            self.next()
+            return Bin(t.text, e, self._add(), "bool")
+        if t and t.kind == "kw" and t.text in ("LIKE", "RLIKE"):
+            self.next()
+            pat = _unquote(self.expect("str").text)
+            return Like(e, pat, regex=(t.text == "RLIKE"), negated=False)
+        if t and t.kind == "kw" and t.text == "NOT":
+            # x NOT LIKE / NOT RLIKE / NOT IN
+            save = self.i
+            self.next()
+            t2 = self.peek()
+            if t2 and t2.kind == "kw" and t2.text in ("LIKE", "RLIKE"):
+                self.next()
+                pat = _unquote(self.expect("str").text)
+                return Like(e, pat, regex=(t2.text == "RLIKE"), negated=True)
+            if t2 and t2.kind == "kw" and t2.text == "IN":
+                self.next()
+                return self._in(e, negated=True)
+            self.i = save
+        if t and t.kind == "kw" and t.text == "IN":
+            self.next()
+            return self._in(e, negated=False)
+        if t and t.kind == "kw" and t.text == "IS":
+            self.next()
+            neg = self.accept("kw", "NOT") is not None
+            self.expect("kw", "NULL")
+            return IsNull(e, negated=neg)
+        return e
+
+    def _in(self, e, negated: bool):
+        self.expect("op", "(")
+        items = [self._add()]
+        while self.accept("op", ","):
+            items.append(self._add())
+        self.expect("op", ")")
+        return InList(e, items, negated)
+
+    def _add(self):
+        e = self._mul()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                e = Bin(t.text, e, self._mul())
+            else:
+                return e
+
+    def _mul(self):
+        e = self._unary()
+        while True:
+            t = self.peek()
+            if t and t.kind == "op" and t.text in ("*", "/", "%"):
+                self.next()
+                e = Bin(t.text, e, self._unary())
+            else:
+                return e
+
+    def _unary(self):
+        if self.accept("op", "-"):
+            return Un("-", self._unary())
+        return self._atom()
+
+    def _atom(self):
+        t = self.next()
+        if t.kind == "str":
+            return Lit(_unquote(t.text), "string")
+        if t.kind == "num":
+            # `1 day` span literal (DATE_TRUNC's first argument)
+            nxt = self.peek()
+            if (
+                nxt
+                and nxt.kind == "name"
+                and nxt.text.lower() in _SPAN_UNITS
+                and "." not in t.text
+            ):
+                self.next()
+                return Span(int(t.text), _SPAN_UNITS[nxt.text.lower()])
+            if "." in t.text:
+                return Lit(float(t.text), "double")
+            return Lit(int(t.text), "long")
+        if t.kind == "kw" and t.text in ("TRUE", "FALSE"):
+            return Lit(t.text == "TRUE", "bool")
+        if t.kind == "kw" and t.text == "NULL":
+            return Lit(None, "null")
+        if t.kind == "op" and t.text == "(":
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "name":
+            if self.accept("op", "("):
+                args = []
+                if not self.accept("op", ")"):
+                    # COUNT(*)
+                    if (
+                        t.text.upper() == "COUNT"
+                        and self.peek()
+                        and self.peek().kind == "op"
+                        and self.peek().text == "*"
+                    ):
+                        self.next()
+                        self.expect("op", ")")
+                        return Func("COUNT_STAR", [])
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                    self.expect("op", ")")
+                return Func(t.text.upper(), args)
+            return Col(t.text)
+        raise ValueError(f"ES|QL: unexpected token {t.text!r}")
+
+
+# ----------------------------------------------------------- type check
+
+_NUM = ("long", "double")
+
+
+def _typecheck(e, schema: dict[str, str]) -> str:
+    """Assign .typ throughout; raise on unknown columns/functions."""
+    if isinstance(e, Lit):
+        return e.typ
+    if isinstance(e, Span):
+        return "span"
+    if isinstance(e, Col):
+        if e.name not in schema:
+            raise ValueError(f"ES|QL: unknown column {e.name!r}")
+        e.typ = schema[e.name]
+        return e.typ
+    if isinstance(e, Un):
+        t = _typecheck(e.operand, schema)
+        e.typ = "bool" if e.op == "NOT" else t
+        return e.typ
+    if isinstance(e, Bin):
+        lt = _typecheck(e.left, schema)
+        rt = _typecheck(e.right, schema)
+        if e.op in ("AND", "OR", "==", "!=", "<", ">", "<=", ">="):
+            e.typ = "bool"
+        elif e.op == "/":
+            e.typ = "double"
+        else:
+            e.typ = "double" if "double" in (lt, rt) else lt
+        return e.typ
+    if isinstance(e, (Like, InList, IsNull)):
+        _typecheck(e.operand, schema)
+        if isinstance(e, InList):
+            for it in e.items:
+                _typecheck(it, schema)
+        return "bool"
+    if isinstance(e, Func):
+        if e.name not in FUNCS:
+            raise ValueError(f"ES|QL: unknown function {e.name}")
+        spec = FUNCS[e.name]
+        lo, hi = spec["arity"]
+        if not (lo <= len(e.args) <= hi):
+            raise ValueError(
+                f"ES|QL: {e.name} takes {lo}..{hi} args, got {len(e.args)}"
+            )
+        argts = [_typecheck(a, schema) for a in e.args]
+        if "span" in argts and e.name != "DATE_TRUNC":
+            raise ValueError("ES|QL: span literal outside DATE_TRUNC")
+        if e.name == "DATE_TRUNC":
+            _span(e.args[0])  # validate the span at compile time
+        if e.name == "MATCH":
+            _match_terms(e.args)  # literal, non-empty query
+        rt = spec["ret"]
+        e.typ = rt(argts) if callable(rt) else rt
+        return e.typ
+    raise ValueError(f"ES|QL: bad expression node {e!r}")
+
+
+# ------------------------------------------------------------- emitters
+
+
+def _lit_spark(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return repr(v)
+
+
+def _lit_duck(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _like_pattern(p: str) -> str:
+    """ES|QL wildcard (* ?) -> SQL LIKE pattern with \\ escapes."""
+    out = []
+    for ch in p:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# Plain concatenation, NOT str.format — TOKEN_SPLIT_RE contains literal
+# braces ({L}, {N}) that format() would treat as placeholders.
+def _tokens_spark(x: str) -> str:
+    # Spark SQL string literals are backslash-escaped (ANSI off), so the
+    # regex backslashes must be doubled to survive F.expr parsing.
+    rx = TOKEN_SPLIT_RE.replace("\\", "\\\\")
+    return f"filter(split(lower({x}), '{rx}'), t -> t != '')"
+
+
+def _tokens_duck(x: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({x}), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+
+
+def _match_terms(args) -> list[str]:
+    if (
+        len(args) != 2
+        or not isinstance(args[1], Lit)
+        or args[1].typ != "string"
+    ):
+        raise ValueError("ES|QL: MATCH(field, \"query\") needs a string literal")
+    terms = args[1].value.lower().split()
+    if not terms:
+        raise ValueError("ES|QL: MATCH with an empty query")
+    return terms
+
+
+# FUNCS: name -> arity range, return type, spark emitter, duck emitter.
+# Emitters receive already-emitted arg strings (and the raw AST args for
+# the few functions that need literal inspection).
+FUNCS: dict[str, dict] = {
+    "LENGTH": dict(arity=(1, 1), ret="long",
+                   spark=lambda a, r: f"CAST(length({a[0]}) AS BIGINT)",
+                   duck=lambda a, r: f"CAST(length({a[0]}) AS BIGINT)"),
+    "SUBSTRING": dict(arity=(2, 3), ret="string",
+                      spark=lambda a, r: f"substring({', '.join(a)})",
+                      duck=lambda a, r: f"substring({', '.join(a)})"),
+    "CONCAT": dict(arity=(2, 99), ret="string",
+                   spark=lambda a, r: f"concat({', '.join(a)})",
+                   duck=lambda a, r: "(" + " || ".join(a) + ")"),
+    "TO_LOWER": dict(arity=(1, 1), ret="string",
+                     spark=lambda a, r: f"lower({a[0]})",
+                     duck=lambda a, r: f"lower({a[0]})"),
+    "TO_UPPER": dict(arity=(1, 1), ret="string",
+                     spark=lambda a, r: f"upper({a[0]})",
+                     duck=lambda a, r: f"upper({a[0]})"),
+    "TRIM": dict(arity=(1, 1), ret="string",
+                 spark=lambda a, r: f"trim({a[0]})",
+                 duck=lambda a, r: f"trim({a[0]})"),
+    "ABS": dict(arity=(1, 1), ret=lambda t: t[0],
+                spark=lambda a, r: f"abs({a[0]})",
+                duck=lambda a, r: f"abs({a[0]})"),
+    "ROUND": dict(arity=(1, 2), ret="double",
+                  spark=lambda a, r: f"round({', '.join(a)})",
+                  duck=lambda a, r: f"round({', '.join(a)})"),
+    "FLOOR": dict(arity=(1, 1), ret="double",
+                  spark=lambda a, r: f"floor({a[0]})",
+                  duck=lambda a, r: f"floor({a[0]})"),
+    "CEIL": dict(arity=(1, 1), ret="double",
+                 spark=lambda a, r: f"ceil({a[0]})",
+                 duck=lambda a, r: f"ceil({a[0]})"),
+    "STARTS_WITH": dict(arity=(2, 2), ret="bool",
+                        spark=lambda a, r: f"startswith({a[0]}, {a[1]})",
+                        duck=lambda a, r: f"starts_with({a[0]}, {a[1]})"),
+    "ENDS_WITH": dict(arity=(2, 2), ret="bool",
+                      spark=lambda a, r: f"endswith({a[0]}, {a[1]})",
+                      duck=lambda a, r: f"ends_with({a[0]}, {a[1]})"),
+    "COALESCE": dict(arity=(2, 99), ret=lambda t: t[0],
+                     spark=lambda a, r: f"coalesce({', '.join(a)})",
+                     duck=lambda a, r: f"coalesce({', '.join(a)})"),
+    "TO_LONG": dict(arity=(1, 1), ret="long",
+                    spark=lambda a, r: f"CAST({a[0]} AS BIGINT)",
+                    duck=lambda a, r: f"CAST({a[0]} AS BIGINT)"),
+    "TO_DOUBLE": dict(arity=(1, 1), ret="double",
+                      spark=lambda a, r: f"CAST({a[0]} AS DOUBLE)",
+                      duck=lambda a, r: f"CAST({a[0]} AS DOUBLE)"),
+    "TO_STRING": dict(arity=(1, 1), ret="string",
+                      spark=lambda a, r: f"CAST({a[0]} AS STRING)",
+                      duck=lambda a, r: f"CAST({a[0]} AS VARCHAR)"),
+    "TO_DATETIME": dict(arity=(1, 1), ret="timestamp",
+                        spark=lambda a, r: f"CAST({a[0]} AS TIMESTAMP)",
+                        duck=lambda a, r: f"CAST({a[0]} AS TIMESTAMP)"),
+    # DATE_TRUNC(1 day, ts) — span literal first, the ES|QL signature.
+    # DuckDB returns DATE for day-and-coarser granularities; cast back so
+    # both engines agree on timestamp (Spark's date_trunc type).
+    "DATE_TRUNC": dict(
+        arity=(2, 2), ret="timestamp",
+        spark=lambda a, r: f"date_trunc('{_span(r[0])}', {a[1]})",
+        duck=lambda a, r: (
+            f"CAST(date_trunc('{_span(r[0])}', {a[1]}) AS TIMESTAMP)"
+        ),
+    ),
+    "DATE_EXTRACT": dict(
+        arity=(2, 2), ret="long",
+        spark=lambda a, r: f"CAST(extract({_datepart(r[0])} FROM {a[1]}) AS BIGINT)",
+        duck=lambda a, r: f"CAST(extract({_datepart(r[0])} FROM {a[1]}) AS BIGINT)",
+    ),
+    # SPLIT(s, delim) — literal (non-regex) delimiter in both dialects.
+    "SPLIT": dict(
+        arity=(2, 2), ret="array<string>",
+        spark=lambda a, r: f"split({a[0]}, {_lit_spark(re.escape(_strlit(r[1])))})",
+        duck=lambda a, r: f"string_split({a[0]}, {_lit_duck(_strlit(r[1]))})",
+    ),
+    "MV_COUNT": dict(arity=(1, 1), ret="long",
+                     spark=lambda a, r: f"CAST(size({a[0]}) AS BIGINT)",
+                     duck=lambda a, r: f"CAST(len({a[0]}) AS BIGINT)"),
+    "CASE": dict(arity=(3, 99), ret=lambda t: t[1],
+                 spark=lambda a, r: _case(a),
+                 duck=lambda a, r: _case(a)),
+    # Full-text: ES match semantics (OR of analyzed terms) as a predicate.
+    "MATCH": dict(
+        arity=(2, 2), ret="bool",
+        spark=lambda a, r: (
+            "arrays_overlap("
+            + _tokens_spark(a[0])
+            + ", array("
+            + ", ".join(_lit_spark(t) for t in _match_terms(r))
+            + "))"
+        ),
+        duck=lambda a, r: (
+            "len(list_intersect("
+            + _tokens_duck(a[0])
+            + ", ["
+            + ", ".join(_lit_duck(t) for t in _match_terms(r))
+            + "])) > 0"
+        ),
+    ),
+}
+
+_AGGS = {
+    "COUNT_STAR": ("count(*)", "long"),
+    "COUNT": ("count({0})", "long"),
+    "SUM": ("sum({0})", None),  # type follows input
+    "AVG": ("avg({0})", "double"),
+    "MIN": ("min({0})", None),
+    "MAX": ("max({0})", None),
+    "COUNT_DISTINCT": ("count(DISTINCT {0})", "long"),
+    "MEDIAN": ("median({0})", "double"),
+    "PERCENTILE": (None, "double"),  # dialect-specific
+}
+
+
+def _span(node) -> str:
+    if not isinstance(node, Span):
+        raise ValueError("ES|QL: DATE_TRUNC needs a span literal like `1 day`")
+    if node.n != 1:
+        raise ValueError("ES|QL: only 1-unit spans supported (e.g. `1 day`)")
+    return node.unit
+
+
+def _datepart(node) -> str:
+    if not (isinstance(node, Lit) and node.typ == "string"):
+        raise ValueError("ES|QL: DATE_EXTRACT needs a string literal part")
+    part = node.value.lower()
+    if part not in ("year", "month", "day", "hour", "minute", "second"):
+        raise ValueError(f"ES|QL: unsupported date part {part!r}")
+    return part
+
+
+def _strlit(node) -> str:
+    if not (isinstance(node, Lit) and node.typ == "string"):
+        raise ValueError("ES|QL: expected a string literal argument")
+    return node.value
+
+
+def _case(a: list[str]) -> str:
+    out = ["CASE"]
+    i = 0
+    while i + 1 < len(a):
+        out.append(f"WHEN {a[i]} THEN {a[i + 1]}")
+        i += 2
+    if i < len(a):
+        out.append(f"ELSE {a[i]}")
+    out.append("END")
+    return " ".join(out)
+
+
+def _emit(e, dialect: str) -> str:
+    """AST -> SQL text in the given dialect ('spark' | 'duck')."""
+    lit = _lit_spark if dialect == "spark" else _lit_duck
+    if isinstance(e, Lit):
+        return lit(e.value)
+    if isinstance(e, Span):
+        raise ValueError("ES|QL: span literal outside DATE_TRUNC")
+    if isinstance(e, Col):
+        return e.name
+    if isinstance(e, Un):
+        if e.op == "NOT":
+            return f"(NOT {_emit(e.operand, dialect)})"
+        return f"(- {_emit(e.operand, dialect)})"
+    if isinstance(e, Bin):
+        op = {"==": "=", "!=": "<>"}.get(e.op, e.op)
+        return f"({_emit(e.left, dialect)} {op} {_emit(e.right, dialect)})"
+    if isinstance(e, Like):
+        x = _emit(e.operand, dialect)
+        if e.regex:
+            body = (
+                f"{x} RLIKE {lit(e.pattern)}"
+                if dialect == "spark"
+                else f"regexp_matches({x}, {lit(e.pattern)})"
+            )
+        else:
+            p = _like_pattern(e.pattern)
+            body = (
+                f"{x} LIKE {lit(p)}"
+                if dialect == "spark"
+                else f"{x} LIKE {lit(p)} ESCAPE '\\'"
+            )
+        return f"(NOT ({body}))" if e.negated else f"({body})"
+    if isinstance(e, InList):
+        items = ", ".join(_emit(i, dialect) for i in e.items)
+        body = f"{_emit(e.operand, dialect)} IN ({items})"
+        return f"(NOT ({body}))" if e.negated else f"({body})"
+    if isinstance(e, IsNull):
+        neg = " NOT" if e.negated else ""
+        return f"({_emit(e.operand, dialect)} IS{neg} NULL)"
+    if isinstance(e, Func):
+        spec = FUNCS[e.name]
+        # Span args are consumed via the raw AST (r) by DATE_TRUNC only —
+        # typecheck already rejected spans anywhere else.
+        args = [
+            None if isinstance(a, Span) else _emit(a, dialect)
+            for a in e.args
+        ]
+        return spec[dialect](args, e.args)
+    raise ValueError(f"ES|QL: bad node {e!r}")
+
+
+# ------------------------------------------------------------- commands
+
+_BASE_SCHEMAS = {
+    "corpus": {
+        "doc_id": "long", "url": "string", "warc_ts": "timestamp",
+        "html": "binary", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "long",
+    },
+    "documents": {
+        "doc_id": "long", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "long",
+    },
+    "events": {
+        "event_id": "long", "ts": "timestamp", "user_id": "long",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "embeddings": {
+        "vec_id": "long", "embedding": "array<double>", "label": "long",
+    },
+}
+
+
+def _split_pipes(toks: list[Tok]) -> list[list[Tok]]:
+    out: list[list[Tok]] = [[]]
+    for t in toks:
+        if t.kind == "op" and t.text == "|":
+            out.append([])
+        else:
+            out[-1].append(t)
+    if any(not seg for seg in out):
+        raise ValueError("ES|QL: empty pipe segment")
+    return out
+
+
+@dataclass
+class _SortItem:
+    expr: object
+    desc: bool
+    nulls_first: bool | None  # None = dialect default tie to direction
+
+
+class EsqlPlan:
+    """Parsed + type-checked program; `.dataframe(tables)` executes on
+    Spark, `.to_duckdb_sql()` renders the oracle."""
+
+    def __init__(self, query: str):
+        self.query = query
+        segs = _split_pipes(_lex(query))
+        p0 = _P(segs[0])
+        p0.expect("kw", "FROM")
+        src = p0.expect("name").text
+        if p0.peek() is not None:
+            raise ValueError("ES|QL: trailing tokens after FROM <table>")
+        if src not in _BASE_SCHEMAS:
+            raise ValueError(f"ES|QL: unknown source table {src!r}")
+        self.source = src
+        self.schema = dict(_BASE_SCHEMAS[src])
+        self.stages: list[tuple] = []  # (kind, payload)
+        self.pending_sort: list[_SortItem] | None = None
+        for seg in segs[1:]:
+            self._command(seg)
+
+    # -- per-command parse + static schema evolution ----------------
+
+    def _command(self, seg: list[Tok]) -> None:
+        p = _P(seg)
+        head = p.next()
+        if head.kind != "kw":
+            raise ValueError(f"ES|QL: expected a command, got {head.text!r}")
+        k = head.text
+        if k == "WHERE":
+            e = p.expr()
+            self._end(p)
+            if _typecheck(e, self.schema) != "bool":
+                raise ValueError("ES|QL: WHERE expression is not boolean")
+            self.stages.append(("where", e))
+        elif k == "EVAL":
+            items = []
+            while True:
+                name = p.expect("name").text
+                p.expect("op", "=")
+                e = p.expr()
+                _typecheck(e, self.schema)
+                self.schema[name] = e.typ
+                items.append((name, e))
+                if not p.accept("op", ","):
+                    break
+            self._end(p)
+            self.stages.append(("eval", items))
+        elif k == "STATS":
+            aggs = []
+            while True:
+                name = p.expect("name").text
+                p.expect("op", "=")
+                e = p.expr()
+                if not isinstance(e, Func) or e.name not in _AGGS:
+                    raise ValueError(
+                        "ES|QL: STATS items must be aggregate calls"
+                    )
+                argt = (
+                    _typecheck(e.args[0], self.schema) if e.args else "long"
+                )
+                if e.name == "PERCENTILE":
+                    if len(e.args) != 2 or not isinstance(e.args[1], Lit):
+                        raise ValueError(
+                            "ES|QL: PERCENTILE(col, p) needs a literal p"
+                        )
+                rett = _AGGS[e.name][1] or argt
+                aggs.append((name, e, rett))
+                if not p.accept("op", ","):
+                    break
+            keys: list[str] = []
+            if p.accept("kw", "BY"):
+                while True:
+                    keys.append(p.expect("name").text)
+                    if not p.accept("op", ","):
+                        break
+            self._end(p)
+            for key in keys:
+                if key not in self.schema:
+                    raise ValueError(f"ES|QL: unknown BY column {key!r}")
+            new_schema = {key: self.schema[key] for key in keys}
+            for name, _, rett in aggs:
+                new_schema[name] = rett
+            self.schema = new_schema
+            self.stages.append(("stats", (aggs, keys)))
+        elif k == "SORT":
+            items: list[_SortItem] = []
+            while True:
+                e = p.expr()
+                _typecheck(e, self.schema)
+                desc = False
+                if p.accept("kw", "DESC"):
+                    desc = True
+                else:
+                    p.accept("kw", "ASC")
+                nf: bool | None = None
+                if p.accept("kw", "NULLS"):
+                    nf = p.next().text == "FIRST"
+                items.append(_SortItem(e, desc, nf))
+                if not p.accept("op", ","):
+                    break
+            self._end(p)
+            self.stages.append(("sort", items))
+        elif k == "LIMIT":
+            n = int(p.expect("num").text)
+            self._end(p)
+            self.stages.append(("limit", n))
+        elif k in ("KEEP", "DROP"):
+            names = [p.expect("name").text]
+            while p.accept("op", ","):
+                names.append(p.expect("name").text)
+            self._end(p)
+            for nm in names:
+                if nm not in self.schema:
+                    raise ValueError(f"ES|QL: unknown column {nm!r} in {k}")
+            if k == "KEEP":
+                self.schema = {nm: self.schema[nm] for nm in names}
+            else:
+                for nm in names:
+                    del self.schema[nm]
+            self.stages.append((k.lower(), names))
+        elif k == "RENAME":
+            pairs = []
+            while True:
+                old = p.expect("name").text
+                p.expect("kw", "AS")
+                new = p.expect("name").text
+                if old not in self.schema:
+                    raise ValueError(f"ES|QL: unknown column {old!r}")
+                self.schema[new] = self.schema.pop(old)
+                pairs.append((old, new))
+                if not p.accept("op", ","):
+                    break
+            self._end(p)
+            self.stages.append(("rename", pairs))
+        elif k in ("DISSECT", "GROK"):
+            field = p.expect("name").text
+            pat = _unquote(p.expect("str").text)
+            self._end(p)
+            if field not in self.schema:
+                raise ValueError(f"ES|QL: unknown column {field!r}")
+            if k == "DISSECT":
+                rx, keys = compile_dissect(pat)
+                fields = [(key, "string") for key in keys]
+            else:
+                rx, fields = compile_grok(pat)
+            for name, typ in fields:
+                self.schema[name] = (
+                    "long" if typ in ("int", "long")
+                    else "double" if typ == "float" else "string"
+                )
+            self.stages.append(("extract", (field, rx, fields)))
+        elif k == "MV_EXPAND":
+            col = p.expect("name").text
+            self._end(p)
+            if col not in self.schema:
+                raise ValueError(f"ES|QL: unknown column {col!r}")
+            if not self.schema[col].startswith("array"):
+                raise ValueError(f"ES|QL: MV_EXPAND on non-multivalue {col!r}")
+            self.schema[col] = self.schema[col][6:-1]
+            self.stages.append(("mv_expand", col))
+        else:
+            raise ValueError(f"ES|QL: unsupported command {k}")
+
+    @staticmethod
+    def _end(p: _P) -> None:
+        if p.peek() is not None:
+            raise ValueError(
+                f"ES|QL: trailing tokens from {p.peek().text!r}"
+            )
+
+    # -- Spark execution --------------------------------------------
+
+    def dataframe(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        tables: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
+        """Execute on Spark.  `tables` overrides the default sf_dir loaders
+        (bench runs the program against the expanded corpus this way)."""
+        if tables and self.source in tables:
+            df = tables[self.source]
+        else:
+            loaders = {
+                "corpus": load_corpus,
+                "documents": load_documents,
+                "events": load_events,
+                "embeddings": load_embeddings,
+            }
+            df = loaders[self.source](spark, sf_dir)
+        pending_sort: list[_SortItem] | None = None
+
+        def apply_sort(d: DataFrame, items: list[_SortItem]) -> DataFrame:
+            cols = []
+            for it in items:
+                c = F.expr(_emit(it.expr, "spark"))
+                if it.desc:
+                    c = (
+                        c.desc_nulls_first()
+                        if it.nulls_first
+                        else c.desc_nulls_last()
+                        if it.nulls_first is not None
+                        else c.desc()
+                    )
+                else:
+                    c = (
+                        c.asc_nulls_first()
+                        if it.nulls_first
+                        else c.asc_nulls_last()
+                        if it.nulls_first is not None
+                        else c.asc()
+                    )
+                cols.append(c)
+            return d.orderBy(*cols)
+
+        for kind, payload in self.stages:
+            if kind == "where":
+                df = df.filter(F.expr(_emit(payload, "spark")))
+            elif kind == "eval":
+                for name, e in payload:
+                    df = df.withColumn(name, F.expr(_emit(e, "spark")))
+            elif kind == "stats":
+                aggs, keys = payload
+                cols = [
+                    self._agg_spark(e).alias(name) for name, e, _ in aggs
+                ]
+                df = df.groupBy(*keys).agg(*cols) if keys else df.agg(*cols)
+            elif kind == "sort":
+                pending_sort = payload
+                df = apply_sort(df, payload)
+            elif kind == "limit":
+                df = df.limit(payload)
+                pending_sort = None
+            elif kind == "keep":
+                df = df.select(*payload)
+            elif kind == "drop":
+                df = df.drop(*payload)
+            elif kind == "rename":
+                for old, new in payload:
+                    df = df.withColumnRenamed(old, new)
+            elif kind == "extract":
+                field, rx, fields = payload
+                matched = F.col(field).rlike(rx)
+                for gi, (name, typ) in enumerate(fields, start=1):
+                    c = F.when(matched, F.regexp_extract(F.col(field), rx, gi))
+                    if typ in ("int", "long"):
+                        c = c.cast("bigint")
+                    elif typ == "float":
+                        c = c.cast("double")
+                    df = df.withColumn(name, c)
+            elif kind == "mv_expand":
+                df = df.withColumn(payload, F.explode(F.col(payload)))
+        _ = pending_sort
+        return df
+
+    @staticmethod
+    def _agg_spark(e: Func):
+        if e.name == "COUNT_STAR":
+            return F.count(F.lit(1))
+        arg = F.expr(_emit(e.args[0], "spark"))
+        if e.name == "COUNT":
+            return F.count(arg)
+        if e.name == "SUM":
+            return F.sum(arg)
+        if e.name == "AVG":
+            return F.avg(arg)
+        if e.name == "MIN":
+            return F.min(arg)
+        if e.name == "MAX":
+            return F.max(arg)
+        if e.name == "COUNT_DISTINCT":
+            return F.count_distinct(arg)
+        if e.name == "MEDIAN":
+            return F.median(arg)
+        if e.name == "PERCENTILE":
+            p = e.args[1].value
+            return F.percentile(arg, F.lit(p / 100.0))
+        raise ValueError(f"ES|QL: bad aggregate {e.name}")
+
+    # -- DuckDB oracle -----------------------------------------------
+
+    def to_duckdb_sql(self) -> str:
+        ctes: list[str] = []
+        if self.source == "corpus":
+            ctes.append(CORPUS_CTE.strip())
+            prev = "corpus"
+        else:
+            prev = self.source
+        schema = dict(_BASE_SCHEMAS[self.source])
+        i = 0
+        order_tail = ""
+
+        def add(select_sql: str) -> None:
+            nonlocal prev, i
+            ctes.append(f"e{i} AS (SELECT {select_sql} FROM {prev})")
+            prev = f"e{i}"
+            i += 1
+
+        for kind, payload in self.stages:
+            if kind == "where":
+                nonlocal_sql = _emit(payload, "duck")
+                ctes.append(
+                    f"e{i} AS (SELECT * FROM {prev} WHERE {nonlocal_sql})"
+                )
+                prev = f"e{i}"
+                i += 1
+            elif kind == "eval":
+                for name, e in payload:
+                    sql = _emit(e, "duck")
+                    if name in schema:
+                        add(f"* REPLACE ({sql} AS {name})")
+                    else:
+                        schema[name] = e.typ
+                        add(f"*, {sql} AS {name}")
+            elif kind == "stats":
+                aggs, keys = payload
+                parts = list(keys)
+                for name, e, rett in aggs:
+                    parts.append(f"{self._agg_duck(e, rett)} AS {name}")
+                sel = ", ".join(parts)
+                group = (
+                    f" GROUP BY {', '.join(keys)}" if keys else ""
+                )
+                ctes.append(f"e{i} AS (SELECT {sel} FROM {prev}{group})")
+                prev = f"e{i}"
+                i += 1
+                schema = {key: schema[key] for key in keys}
+                for name, _, rett in aggs:
+                    schema[name] = rett
+            elif kind == "sort":
+                terms = []
+                for it in payload:
+                    t = _emit(it.expr, "duck")
+                    t += " DESC" if it.desc else " ASC"
+                    if it.nulls_first is True:
+                        t += " NULLS FIRST"
+                    elif it.nulls_first is False:
+                        t += " NULLS LAST"
+                    terms.append(t)
+                order_tail = " ORDER BY " + ", ".join(terms)
+            elif kind == "limit":
+                ctes.append(
+                    f"e{i} AS (SELECT * FROM {prev}{order_tail} "
+                    f"LIMIT {payload})"
+                )
+                prev = f"e{i}"
+                i += 1
+                order_tail = ""
+            elif kind == "keep":
+                add(", ".join(payload))
+                schema = {nm: schema[nm] for nm in payload}
+            elif kind == "drop":
+                add(f"* EXCLUDE ({', '.join(payload)})")
+                for nm in payload:
+                    schema.pop(nm, None)
+            elif kind == "rename":
+                for old, new in payload:
+                    add(f"* EXCLUDE ({old}), {old} AS {new}")
+                    schema[new] = schema.pop(old)
+            elif kind == "extract":
+                field, rx, fields = payload
+                parts = []
+                for gi, (name, typ) in enumerate(fields, start=1):
+                    e = (
+                        f"CASE WHEN regexp_matches({field}, "
+                        f"{_lit_duck(rx)}) THEN regexp_extract({field}, "
+                        f"{_lit_duck(rx)}, {gi}) END"
+                    )
+                    if typ in ("int", "long"):
+                        e = f"TRY_CAST({e} AS BIGINT)"
+                    elif typ == "float":
+                        e = f"TRY_CAST({e} AS DOUBLE)"
+                    parts.append((name, e))
+                repl = [f"{e} AS {nm}" for nm, e in parts if nm in schema]
+                app = [f"{e} AS {nm}" for nm, e in parts if nm not in schema]
+                sel = "*"
+                if repl:
+                    sel += " REPLACE (" + ", ".join(repl) + ")"
+                if app:
+                    sel += ", " + ", ".join(app)
+                add(sel)
+                for nm, _ in parts:
+                    schema.setdefault(nm, "string")
+            elif kind == "mv_expand":
+                add(f"* EXCLUDE ({payload}), unnest({payload}) AS {payload}")
+        body = f"WITH {', '.join(ctes)} " if ctes else ""
+        return f"{body}SELECT * FROM {prev}{order_tail}"
+
+    @staticmethod
+    def _agg_duck(e: Func, rett: str) -> str:
+        if e.name == "COUNT_STAR":
+            return "CAST(count(*) AS BIGINT)"
+        arg = _emit(e.args[0], "duck")
+        if e.name == "COUNT":
+            return f"CAST(count({arg}) AS BIGINT)"
+        if e.name == "SUM":
+            cast = "BIGINT" if rett == "long" else "DOUBLE"
+            return f"CAST(sum({arg}) AS {cast})"
+        if e.name == "AVG":
+            return f"avg({arg})"
+        if e.name == "MIN":
+            return f"min({arg})"
+        if e.name == "MAX":
+            return f"max({arg})"
+        if e.name == "COUNT_DISTINCT":
+            return f"CAST(count(DISTINCT {arg}) AS BIGINT)"
+        if e.name == "MEDIAN":
+            return f"CAST(median({arg}) AS DOUBLE)"
+        if e.name == "PERCENTILE":
+            p = e.args[1].value
+            return f"quantile_cont({arg}, {p / 100.0!r})"
+        raise ValueError(f"ES|QL: bad aggregate {e.name}")
+
+
+# ----------------------------------------------------------- public API
+
+
+def execute_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """POST /_query analogue: compile and run an ES|QL program."""
+    return EsqlPlan(query).dataframe(spark, sf_dir)
+
+
+def esql_to_duckdb(query: str) -> str:
+    """The oracle: the same program rendered as a DuckDB CTE chain."""
+    return EsqlPlan(query).to_duckdb_sql()
+
+
+def validate_esql(query: str) -> dict:
+    """_validate-style parse check: never raises."""
+    try:
+        plan = EsqlPlan(query)
+        return {
+            "valid": True,
+            "source": plan.source,
+            "stages": [k for k, _ in plan.stages],
+            "columns": list(plan.schema),
+        }
+    except ValueError as exc:
+        return {"valid": False, "error": str(exc)}

@@ -1,0 +1,219 @@
+"""ES|QL compiler — dual-emission parity (DataFrame chain vs DuckDB CTE
+chain), command semantics, compile-time error contract, and the plan-shape
+guarantee (EVAL/WHERE/KEEP fuse into the scan stage; filters push down)."""
+
+import pytest
+
+from telegram2elastic_spark.query import esql as E
+
+
+def _same(spark, duck, sf_dir, program, float_tol=1e-9):
+    from .oracle import assert_same
+
+    assert_same(
+        E.execute_esql(spark, sf_dir, program),
+        duck.execute(E.esql_to_duckdb(program)).df(),
+        float_tol=float_tol,
+    )
+
+
+# ---------------------------------------------------------------- parity
+
+PROGRAMS = [
+    # filter + grouped aggregates + multi-key sort
+    'FROM corpus | WHERE lang == "en" AND n_chars > 200 '
+    '| STATS n = COUNT(*), avg_len = AVG(n_chars) BY source '
+    '| EVAL avg_len = ROUND(avg_len, 4) | SORT n DESC, source ASC',
+    # full-text MATCH + date bucketing + LIMIT under total-order SORT
+    'FROM corpus | WHERE MATCH(text, "spark index") '
+    '| EVAL day = DATE_TRUNC(1 day, warc_ts) '
+    '| STATS docs = COUNT(*) BY day | SORT day ASC | LIMIT 30',
+    # DISSECT + typed EVAL + KEEP projection
+    'FROM corpus | DISSECT url "%{proto}://%{host}/page/%{page_id}" '
+    '| EVAL pid = TO_LONG(page_id) | WHERE pid % 100 == 7 '
+    '| KEEP doc_id, host, pid | SORT doc_id ASC | LIMIT 20',
+    # multivalue expansion + token stats
+    'FROM corpus | EVAL toks = SPLIT(text, " ") | MV_EXPAND toks '
+    '| EVAL tok = TO_LOWER(toks) | WHERE LENGTH(tok) > 4 '
+    '| STATS n = COUNT(*) BY tok | SORT n DESC, tok ASC | LIMIT 15',
+    # IN / IS NOT NULL + percentile family (rounded, the engine convention)
+    'FROM events | WHERE event_type IN ("click", "view") '
+    'AND value IS NOT NULL '
+    '| STATS total = SUM(value), p90 = PERCENTILE(value, 90), '
+    'med = MEDIAN(value) BY event_type '
+    '| EVAL total = ROUND(total, 4), p90 = ROUND(p90, 4), '
+    'med = ROUND(med, 4) | SORT event_type ASC',
+    # GROK (anchored regex) + RENAME + CASE + NOT IN
+    'FROM corpus | GROK text "^%{WORD:first_word}" '
+    '| WHERE first_word IS NOT NULL AND NOT (lang IN ("de")) '
+    '| RENAME n_chars AS len '
+    '| EVAL kind = CASE(len > 1000, "long", len > 300, "mid", "short") '
+    '| STATS n = COUNT(*) BY kind, lang | SORT kind ASC, lang ASC',
+    # LIKE / RLIKE wildcards, ungrouped aggregates
+    'FROM documents | WHERE text LIKE "*merge*" OR '
+    'text RLIKE ".*batch [a-z]+.*" '
+    '| STATS n = COUNT(*), langs = COUNT_DISTINCT(lang)',
+    # DROP + arithmetic EVAL + DATE_EXTRACT
+    'FROM events | EVAL hour = DATE_EXTRACT("hour", ts), v2 = value * 2 '
+    '| DROP props | WHERE hour >= 6 AND hour < 9 '
+    '| STATS n = COUNT(*), vmax = MAX(v2) BY hour '
+    '| EVAL vmax = ROUND(vmax, 4) | SORT hour ASC',
+    # embeddings table + MV_COUNT
+    'FROM embeddings | EVAL dim = MV_COUNT(embedding) '
+    '| STATS n = COUNT(*), dims = COUNT_DISTINCT(dim), lmax = MAX(label)',
+    # bare row-returning pipe (no STATS): projection + sort + limit
+    'FROM corpus | WHERE STARTS_WITH(lang, "e") '
+    '| EVAL ulen = LENGTH(url), snippet = SUBSTRING(text, 1, 12) '
+    '| KEEP doc_id, lang, ulen, snippet | SORT doc_id DESC | LIMIT 7',
+]
+
+
+@pytest.mark.parametrize("program", PROGRAMS)
+def test_parity(spark, duck, sf_dir, program):
+    _same(spark, duck, sf_dir, program)
+
+
+def test_registered_pairs_match_module(spark, duck, sf_dir):
+    """The __spark_entry__ ESQL_PROGRAMS pairs stay green end-to-end."""
+    import __spark_entry__ as entry
+
+    for name, prog in entry.ESQL_PROGRAMS.items():
+        _same(spark, duck, sf_dir, prog)
+
+
+# ------------------------------------------------------------- semantics
+
+
+def test_eval_later_items_see_earlier(spark, sf_dir):
+    df = E.execute_esql(
+        spark, sf_dir,
+        "FROM corpus | EVAL a = n_chars + 1, b = a * 2 "
+        "| KEEP doc_id, a, b | SORT doc_id ASC | LIMIT 3",
+    )
+    rows = df.collect()
+    assert all(r.b == 2 * r.a for r in rows)
+
+
+def test_eval_replaces_existing_column(spark, sf_dir):
+    df = E.execute_esql(
+        spark, sf_dir,
+        "FROM corpus | EVAL n_chars = n_chars * 10 "
+        "| KEEP doc_id, n_chars | SORT doc_id ASC | LIMIT 1",
+    )
+    base = E.execute_esql(
+        spark, sf_dir,
+        "FROM corpus | KEEP doc_id, n_chars | SORT doc_id ASC | LIMIT 1",
+    )
+    assert df.first().n_chars == 10 * base.first().n_chars
+    # duck emitter uses * REPLACE for the overwrite — no duplicate column
+    assert "REPLACE" in E.esql_to_duckdb(
+        "FROM corpus | EVAL n_chars = n_chars * 10"
+    )
+
+
+def test_division_is_float_in_both_dialects(spark, duck, sf_dir):
+    prog = (
+        "FROM corpus | EVAL r = n_chars / 7 | KEEP doc_id, r "
+        "| SORT doc_id ASC | LIMIT 5"
+    )
+    sdf = E.execute_esql(spark, sf_dir, prog)
+    assert dict(sdf.dtypes)["r"] == "double"
+    vals = [r.r for r in sdf.collect()]
+    assert any(v != int(v) for v in vals)  # genuinely fractional
+    _same(spark, duck, sf_dir, prog)
+
+
+def test_grok_anchor_is_regex_not_literal(spark, sf_dir):
+    """`^` in grok surrounding text anchors (ES semantics) — the r4 fix."""
+    df = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | GROK text "^%{WORD:w}" | WHERE w IS NOT NULL '
+        "| STATS n = COUNT(*)",
+    )
+    assert df.first().n > 0
+
+
+def test_mv_expand_multiplies_rows(spark, sf_dir):
+    one = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | WHERE doc_id == 0 | EVAL toks = SPLIT(text, " ") '
+        "| MV_EXPAND toks | STATS n = COUNT(*)",
+    ).first().n
+    ntoks = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | WHERE doc_id == 0 '
+        '| EVAL n = MV_COUNT(SPLIT(text, " ")) | KEEP n',
+    ).first().n
+    assert one == ntoks > 1
+
+
+def test_limit_without_sort_is_bounded(spark, sf_dir):
+    df = E.execute_esql(spark, sf_dir, "FROM corpus | LIMIT 4")
+    assert df.count() == 4
+
+
+# ---------------------------------------------------- compile-time errors
+
+BAD = [
+    "FROM nope | LIMIT 1",                            # unknown table
+    "FROM corpus | WHERE nope == 1",                  # unknown column
+    "FROM corpus | FROBNICATE x",                     # unknown command
+    "FROM corpus | EVAL x = NOPEFN(text)",            # unknown function
+    "FROM corpus | WHERE n_chars",                    # WHERE not boolean
+    "FROM corpus | STATS x = n_chars + 1",            # STATS non-aggregate
+    "FROM corpus | STATS n = COUNT(*) BY nope",       # unknown BY key
+    "FROM corpus | KEEP doc_id, nope",                # unknown KEEP column
+    "FROM corpus | MV_EXPAND text",                   # non-multivalue
+    "FROM corpus | EVAL d = DATE_TRUNC(2 day, warc_ts)",   # non-1 span
+    "FROM corpus | EVAL x = ABS(1 day)",              # span outside trunc
+    'FROM corpus | WHERE MATCH(text, "")',            # empty MATCH query
+    "FROM corpus | GROK text \"%{NOPE:x}\"",          # unknown grok pattern
+    "FROM corpus | WHERE lang ==",                    # truncated expr
+    "FROM corpus | LIMIT 3 extra",                    # trailing tokens
+]
+
+
+@pytest.mark.parametrize("program", BAD)
+def test_compile_errors(program):
+    with pytest.raises(ValueError):
+        E.EsqlPlan(program)
+    v = E.validate_esql(program)
+    assert v["valid"] is False and v["error"]
+
+
+def test_validate_reports_stages_and_schema():
+    v = E.validate_esql(
+        "FROM corpus | WHERE n_chars > 0 "
+        "| STATS n = COUNT(*) BY lang | SORT n DESC | LIMIT 5"
+    )
+    assert v["valid"] and v["source"] == "corpus"
+    assert v["stages"] == ["where", "stats", "sort", "limit"]
+    assert set(v["columns"]) == {"lang", "n"}
+
+
+# ------------------------------------------------------------ plan shape
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """WHERE on a raw documents column lands in PushedFilters — the scan
+    reads only matching row groups at 100 TB."""
+    df = E.execute_esql(
+        spark, sf_dir,
+        'FROM documents | WHERE lang == "en" | STATS n = COUNT(*)',
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "lang" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+
+
+def test_stages_fuse_into_single_agg_plan(spark, sf_dir):
+    """EVAL/WHERE/KEEP collapse into scan->project->one hash agg — no
+    shuffle beyond the aggregate exchange."""
+    df = E.execute_esql(
+        spark, sf_dir,
+        'FROM documents | WHERE lang == "en" | EVAL b = n_chars * 2 '
+        "| KEEP b | STATS s = SUM(b)",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # only the agg's exchange
