@@ -168,6 +168,30 @@ ESQL_PROGRAMS = {
         '| EVAL kind = CASE(len > 1000, "long", len > 300, "mid", "short") '
         '| STATS n = COUNT(*) BY kind, lang | SORT kind ASC, lang ASC'
     ),
+    # ENRICH (policy lookup) + LOOKUP JOIN (ES 8.18) — both broadcast
+    # joins against KB-sized dimensions; plan test pins zero shuffle joins
+    "esql_enrich_lookup": (
+        'FROM events | WHERE event_type == "purchase" '
+        '| ENRICH user_customer ON user_id '
+        'WITH c_name, c_nationkey, c_mktsegment '
+        '| RENAME c_nationkey AS n_nationkey '
+        '| LOOKUP JOIN nation ON n_nationkey '
+        '| STATS n = COUNT(*), rev = SUM(value) BY c_mktsegment, n_name '
+        '| EVAL rev = ROUND(rev, 4) '
+        '| SORT rev DESC, c_mktsegment ASC, n_name ASC | LIMIT 20'
+    ),
+    "esql_date_funcs": (
+        'FROM events | EVAL fmt = DATE_FORMAT("yyyy-MM-dd", ts), '
+        'd = DATE_DIFF("hour", DATE_TRUNC(1 day, ts), ts) '
+        '| STATS n = COUNT(*), dmax = MAX(d) BY fmt '
+        '| SORT fmt ASC | LIMIT 40'
+    ),
+    "esql_mv_funcs": (
+        'FROM embeddings | EVAL s = ROUND(MV_SUM(embedding), 4), '
+        'mn = ROUND(MV_MIN(embedding), 4), mx = ROUND(MV_MAX(embedding), 4), '
+        'av = ROUND(MV_AVG(embedding), 4) '
+        '| KEEP vec_id, s, mn, mx, av | SORT vec_id ASC | LIMIT 25'
+    ),
 }
 
 COMPOUND_BATCH_SPECS = {

@@ -30,6 +30,12 @@ Supported commands (the stable ES|QL core):
   | DISSECT field "%{a}://%{b}"  ingest-pipeline dissect, NULL on no-match
   | GROK field "^%{WORD:w}"      shared portable regex vocabulary
   | MV_EXPAND col                explode a multivalue column
+  | ENRICH policy ON col [WITH f, ...]   enrich-policy lookup (LEFT join
+                                 against a small dimension — broadcast on
+                                 the Spark side, never a shuffle)
+  | LOOKUP JOIN table ON col     ES 8.18 lookup join: col must exist under
+                                 the SAME name on both sides; appends the
+                                 lookup table's other columns (broadcast)
 
 Expression vocabulary: literals (string/int/float/bool/NULL, `1 day` spans),
 arithmetic (`/` is float division in BOTH dialects), comparisons, AND/OR/NOT,
@@ -72,6 +78,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
+    "ENRICH", "ON", "WITH", "LOOKUP", "JOIN",
     "AND", "OR", "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL",
     "TRUE", "FALSE", "ASC", "DESC", "NULLS", "FIRST", "LAST",
 }
@@ -402,6 +409,10 @@ def _typecheck(e, schema: dict[str, str]) -> str:
             _span(e.args[0])  # validate the span at compile time
         if e.name == "MATCH":
             _match_terms(e.args)  # literal, non-empty query
+        if e.name == "DATE_FORMAT":
+            _fmt_duck(_strlit(e.args[0]))  # format validated at compile
+        if e.name == "DATE_DIFF":
+            _diff_unit_seconds(e.args[0])
         rt = spec["ret"]
         e.typ = rt(argts) if callable(rt) else rt
         return e.typ
@@ -554,6 +565,97 @@ FUNCS: dict[str, dict] = {
     "MV_COUNT": dict(arity=(1, 1), ret="long",
                      spark=lambda a, r: f"CAST(size({a[0]}) AS BIGINT)",
                      duck=lambda a, r: f"CAST(len({a[0]}) AS BIGINT)"),
+    "MV_MIN": dict(arity=(1, 1), ret="double",
+                   spark=lambda a, r: f"CAST(array_min({a[0]}) AS DOUBLE)",
+                   duck=lambda a, r: f"CAST(list_min({a[0]}) AS DOUBLE)"),
+    "MV_MAX": dict(arity=(1, 1), ret="double",
+                   spark=lambda a, r: f"CAST(array_max({a[0]}) AS DOUBLE)",
+                   duck=lambda a, r: f"CAST(list_max({a[0]}) AS DOUBLE)"),
+    # Left fold in element order on BOTH sides (same rounding trajectory).
+    "MV_SUM": dict(
+        arity=(1, 1), ret="double",
+        spark=lambda a, r: (
+            f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + CAST(v AS DOUBLE))"
+        ),
+        duck=lambda a, r: (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a[0]}, v -> CAST(v AS DOUBLE))), "
+            "(acc, v) -> acc + v)"
+        ),
+    ),
+    "MV_AVG": dict(
+        arity=(1, 1), ret="double",
+        spark=lambda a, r: (
+            f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + CAST(v AS DOUBLE)) "
+            f"/ CAST(size({a[0]}) AS DOUBLE)"
+        ),
+        duck=lambda a, r: (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a[0]}, v -> CAST(v AS DOUBLE))), "
+            f"(acc, v) -> acc + v) / CAST(len({a[0]}) AS DOUBLE)"
+        ),
+    ),
+    "GREATEST": dict(arity=(2, 99), ret=lambda t: t[0],
+                     spark=lambda a, r: f"greatest({', '.join(a)})",
+                     duck=lambda a, r: f"greatest({', '.join(a)})"),
+    "LEAST": dict(arity=(2, 99), ret=lambda t: t[0],
+                  spark=lambda a, r: f"least({', '.join(a)})",
+                  duck=lambda a, r: f"least({', '.join(a)})"),
+    "LEFT": dict(arity=(2, 2), ret="string",
+                 spark=lambda a, r: f"left({a[0]}, {a[1]})",
+                 duck=lambda a, r: f"left({a[0]}, {a[1]})"),
+    "RIGHT": dict(arity=(2, 2), ret="string",
+                  spark=lambda a, r: f"right({a[0]}, {a[1]})",
+                  duck=lambda a, r: f"right({a[0]}, {a[1]})"),
+    # ES|QL REPLACE is regex-replace-all; DuckDB needs the 'g' flag.
+    "REPLACE": dict(
+        arity=(3, 3), ret="string",
+        spark=lambda a, r: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+        duck=lambda a, r: f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 'g')",
+    ),
+    "POW": dict(arity=(2, 2), ret="double",
+                spark=lambda a, r: f"power({a[0]}, {a[1]})",
+                duck=lambda a, r: f"power({a[0]}, {a[1]})"),
+    "SQRT": dict(arity=(1, 1), ret="double",
+                 spark=lambda a, r: f"sqrt({a[0]})",
+                 duck=lambda a, r: f"sqrt({a[0]})"),
+    "EXP": dict(arity=(1, 1), ret="double",
+                spark=lambda a, r: f"exp({a[0]})",
+                duck=lambda a, r: f"exp({a[0]})"),
+    "LOG10": dict(arity=(1, 1), ret="double",
+                  spark=lambda a, r: f"log10({a[0]})",
+                  duck=lambda a, r: f"log10({a[0]})"),
+    "LOG": dict(arity=(1, 1), ret="double",
+                spark=lambda a, r: f"ln({a[0]})",
+                duck=lambda a, r: f"ln({a[0]})"),
+    # DATE_FORMAT(\"yyyy-MM-dd HH:mm:ss\", ts) — Java-pattern subset
+    # translated to strftime for DuckDB (unknown letters raise).
+    "DATE_FORMAT": dict(
+        arity=(2, 2), ret="string",
+        spark=lambda a, r: (
+            f"date_format({a[1]}, {_lit_spark(_strlit(r[0]))})"
+        ),
+        duck=lambda a, r: (
+            f"strftime({a[1]}, {_lit_duck(_fmt_duck(_strlit(r[0])))})"
+        ),
+    ),
+    # DATE_DIFF(\"hour\", start, end): complete units, truncation toward
+    # zero — emitted as epoch arithmetic in BOTH dialects because the
+    # built-ins disagree (Spark timestampdiff counts complete periods,
+    # DuckDB date_diff counts boundary crossings).
+    "DATE_DIFF": dict(
+        arity=(3, 3), ret="long",
+        spark=lambda a, r: (
+            f"CAST((unix_timestamp({a[2]}) - unix_timestamp({a[1]})) "
+            f"/ {_diff_unit_seconds(r[0])} AS BIGINT)"
+        ),
+        duck=lambda a, r: (
+            f"CAST(trunc((epoch({a[2]}) - epoch({a[1]})) "
+            f"/ {_diff_unit_seconds(r[0])}) AS BIGINT)"
+        ),
+    ),
     "CASE": dict(arity=(3, 99), ret=lambda t: t[1],
                  spark=lambda a, r: _case(a),
                  duck=lambda a, r: _case(a)),
@@ -611,6 +713,46 @@ def _strlit(node) -> str:
     if not (isinstance(node, Lit) and node.typ == "string"):
         raise ValueError("ES|QL: expected a string literal argument")
     return node.value
+
+
+# Java date-pattern subset -> strftime; longest token first.
+_FMT_MAP = [
+    ("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+    ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
+]
+
+
+def _fmt_duck(fmt: str) -> str:
+    out = []
+    pos = 0
+    while pos < len(fmt):
+        for tok, rep in _FMT_MAP:
+            if fmt.startswith(tok, pos):
+                out.append(rep)
+                pos += len(tok)
+                break
+        else:
+            ch = fmt[pos]
+            if ch.isalpha():
+                raise ValueError(
+                    f"ES|QL: unsupported DATE_FORMAT token at {fmt[pos:]!r}"
+                )
+            out.append("%%" if ch == "%" else ch)
+            pos += 1
+    return "".join(out)
+
+
+_DIFF_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _diff_unit_seconds(node) -> int:
+    unit = _strlit(node).lower()
+    if unit not in _DIFF_UNITS:
+        raise ValueError(f"ES|QL: unsupported DATE_DIFF unit {unit!r}")
+    return _DIFF_UNITS[unit]
 
 
 def _case(a: list[str]) -> str:
@@ -695,6 +837,31 @@ _BASE_SCHEMAS = {
     "embeddings": {
         "vec_id": "long", "embedding": "array<double>", "label": "long",
     },
+}
+
+# Small dimension tables servable as ENRICH policies / LOOKUP JOIN targets.
+# At 100 TB these stay KB-sized — both execution paths must keep them on
+# the build side of a broadcast join (asserted by the plan test).
+_LOOKUP_SCHEMAS = {
+    "nation": {"n_nationkey": "long", "n_name": "string",
+               "n_regionkey": "long"},
+    "region": {"r_regionkey": "long", "r_name": "string"},
+    "customer": {"c_custkey": "long", "c_name": "string",
+                 "c_nationkey": "long", "c_acctbal": "double",
+                 "c_mktsegment": "string"},
+    "supplier": {"s_suppkey": "long", "s_name": "string",
+                 "s_nationkey": "long", "s_acctbal": "double"},
+}
+
+# ENRICH policies: name -> (lookup table, match field, enrich fields).
+# The ES analogue is the enrich-policy index built by _enrich/policy; here
+# the policy is a declared mapping onto the dimension tables above.
+ENRICH_POLICIES = {
+    "user_customer": ("customer", "c_custkey",
+                      ["c_name", "c_nationkey", "c_mktsegment",
+                       "c_acctbal"]),
+    "nation_name": ("nation", "n_nationkey", ["n_name", "n_regionkey"]),
+    "region_name": ("region", "r_regionkey", ["r_name"]),
 }
 
 
@@ -878,6 +1045,61 @@ class EsqlPlan:
                 raise ValueError(f"ES|QL: MV_EXPAND on non-multivalue {col!r}")
             self.schema[col] = self.schema[col][6:-1]
             self.stages.append(("mv_expand", col))
+        elif k == "ENRICH":
+            policy = p.expect("name").text
+            if policy not in ENRICH_POLICIES:
+                raise ValueError(f"ES|QL: unknown enrich policy {policy!r}")
+            table, match, all_fields = ENRICH_POLICIES[policy]
+            p.expect("kw", "ON")
+            col = p.expect("name").text
+            if col not in self.schema:
+                raise ValueError(f"ES|QL: unknown column {col!r}")
+            fields = list(all_fields)
+            if p.accept("kw", "WITH"):
+                fields = [p.expect("name").text]
+                while p.accept("op", ","):
+                    fields.append(p.expect("name").text)
+                for f in fields:
+                    if f not in all_fields:
+                        raise ValueError(
+                            f"ES|QL: field {f!r} not in policy {policy!r}"
+                        )
+            self._end(p)
+            for f in fields:
+                if f in self.schema:
+                    raise ValueError(
+                        f"ES|QL: enrich field {f!r} collides with an "
+                        "existing column"
+                    )
+                self.schema[f] = _LOOKUP_SCHEMAS[table][f]
+            self.stages.append(("enrich", (table, match, col, fields)))
+        elif k == "LOOKUP":
+            p.expect("kw", "JOIN")
+            table = p.expect("name").text
+            if table not in _LOOKUP_SCHEMAS:
+                raise ValueError(f"ES|QL: unknown lookup table {table!r}")
+            p.expect("kw", "ON")
+            col = p.expect("name").text
+            self._end(p)
+            if col not in self.schema:
+                raise ValueError(f"ES|QL: unknown column {col!r}")
+            if col not in _LOOKUP_SCHEMAS[table]:
+                raise ValueError(
+                    f"ES|QL: join column {col!r} not in lookup "
+                    f"table {table!r} (LOOKUP JOIN matches by NAME — "
+                    "RENAME the local column first)"
+                )
+            fields = [
+                (f, t) for f, t in _LOOKUP_SCHEMAS[table].items() if f != col
+            ]
+            for f, t in fields:
+                if f in self.schema:
+                    raise ValueError(
+                        f"ES|QL: lookup column {f!r} collides with an "
+                        "existing column"
+                    )
+                self.schema[f] = t
+            self.stages.append(("lookup", (table, col, fields)))
         else:
             raise ValueError(f"ES|QL: unsupported command {k}")
 
@@ -970,6 +1192,22 @@ class EsqlPlan:
                     df = df.withColumn(name, c)
             elif kind == "mv_expand":
                 df = df.withColumn(payload, F.explode(F.col(payload)))
+            elif kind == "enrich":
+                table, match, col, fields = payload
+                lk = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
+                    F.col(match).alias("__enrich_key__"), *fields
+                )
+                df = df.join(
+                    F.broadcast(lk),
+                    df[col] == F.col("__enrich_key__"),
+                    "left",
+                ).drop("__enrich_key__")
+            elif kind == "lookup":
+                table, col, fields = payload
+                lk = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
+                    col, *[f for f, _ in fields]
+                )
+                df = df.join(F.broadcast(lk), on=col, how="left")
         _ = pending_sort
         return df
 
@@ -1103,6 +1341,28 @@ class EsqlPlan:
                     schema.setdefault(nm, "string")
             elif kind == "mv_expand":
                 add(f"* EXCLUDE ({payload}), unnest({payload}) AS {payload}")
+            elif kind == "enrich":
+                table, match, col, fields = payload
+                cols = ", ".join(f"l.{f}" for f in fields)
+                ctes.append(
+                    f"e{i} AS (SELECT p.*, {cols} FROM {prev} p "
+                    f"LEFT JOIN {table} l ON p.{col} = l.{match})"
+                )
+                prev = f"e{i}"
+                i += 1
+                for f in fields:
+                    schema[f] = _LOOKUP_SCHEMAS[table][f]
+            elif kind == "lookup":
+                table, col, fields = payload
+                cols = ", ".join(f"l.{f}" for f, _ in fields)
+                ctes.append(
+                    f"e{i} AS (SELECT p.*, {cols} FROM {prev} p "
+                    f"LEFT JOIN {table} l ON p.{col} = l.{col})"
+                )
+                prev = f"e{i}"
+                i += 1
+                for f, t in fields:
+                    schema[f] = t
         body = f"WITH {', '.join(ctes)} " if ctes else ""
         return f"{body}SELECT * FROM {prev}{order_tail}"
 

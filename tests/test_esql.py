@@ -65,6 +65,30 @@ PROGRAMS = [
     'FROM corpus | WHERE STARTS_WITH(lang, "e") '
     '| EVAL ulen = LENGTH(url), snippet = SUBSTRING(text, 1, 12) '
     '| KEEP doc_id, lang, ulen, snippet | SORT doc_id DESC | LIMIT 7',
+    # ENRICH policy + LOOKUP JOIN chain (broadcast dimensions)
+    'FROM events | WHERE event_type == "purchase" '
+    '| ENRICH user_customer ON user_id '
+    'WITH c_name, c_nationkey, c_mktsegment '
+    '| RENAME c_nationkey AS n_nationkey '
+    '| LOOKUP JOIN nation ON n_nationkey '
+    '| STATS n = COUNT(*), rev = SUM(value) BY c_mktsegment, n_name '
+    '| EVAL rev = ROUND(rev, 4) '
+    '| SORT rev DESC, c_mktsegment ASC, n_name ASC | LIMIT 20',
+    # date scalar vocabulary
+    'FROM events | EVAL fmt = DATE_FORMAT("yyyy-MM-dd", ts), '
+    'd = DATE_DIFF("hour", DATE_TRUNC(1 day, ts), ts) '
+    '| STATS n = COUNT(*), dmax = MAX(d) BY fmt | SORT fmt ASC | LIMIT 40',
+    # multivalue folds (element-order left fold in both dialects)
+    'FROM embeddings | EVAL s = ROUND(MV_SUM(embedding), 4), '
+    'mn = ROUND(MV_MIN(embedding), 4), mx = ROUND(MV_MAX(embedding), 4), '
+    'av = ROUND(MV_AVG(embedding), 4) '
+    '| KEEP vec_id, s, mn, mx, av | SORT vec_id ASC | LIMIT 25',
+    # string/math scalar vocabulary
+    'FROM corpus | EVAL t2 = REPLACE(text, "[aeiou]", ""), '
+    'pick = GREATEST(n_chars, 500), sm = LEAST(n_chars, 500), '
+    'l = LEFT(text, 5), r = RIGHT(text, 5), '
+    'p = ROUND(POW(n_chars, 0.5), 4), lg = ROUND(LOG10(n_chars), 4) '
+    '| KEEP doc_id, pick, sm, l, r, p, lg | SORT doc_id ASC | LIMIT 6',
 ]
 
 
@@ -170,6 +194,14 @@ BAD = [
     "FROM corpus | GROK text \"%{NOPE:x}\"",          # unknown grok pattern
     "FROM corpus | WHERE lang ==",                    # truncated expr
     "FROM corpus | LIMIT 3 extra",                    # trailing tokens
+    "FROM events | ENRICH nope ON user_id",           # unknown policy
+    "FROM events | ENRICH user_customer ON user_id WITH c_phone",
+    "FROM events | ENRICH user_customer ON user_id "
+    "| ENRICH user_customer ON user_id",              # field collision
+    "FROM events | LOOKUP JOIN nation ON user_id",    # name not in lookup
+    "FROM events | LOOKUP JOIN nope ON user_id",      # unknown lookup tbl
+    'FROM events | EVAL d = DATE_DIFF("month", ts, ts)',   # bad unit
+    'FROM events | EVAL f = DATE_FORMAT("QQ", ts)',   # bad format token
 ]
 
 
@@ -205,6 +237,32 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan and "lang" in plan.split(
         "PushedFilters"
     )[1][:120]
+
+
+def test_enrich_lookup_joins_are_broadcast(spark, sf_dir):
+    """ENRICH / LOOKUP JOIN dimensions stay on the build side of a
+    broadcast join — no shuffle join at any fact-table size."""
+    df = E.execute_esql(
+        spark, sf_dir,
+        "FROM events | ENRICH user_customer ON user_id WITH c_nationkey "
+        "| RENAME c_nationkey AS n_nationkey "
+        "| LOOKUP JOIN nation ON n_nationkey "
+        "| STATS n = COUNT(*) BY n_name",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_enrich_no_match_yields_null(spark, sf_dir):
+    df = E.execute_esql(
+        spark, sf_dir,
+        "FROM events | EVAL big = user_id + 1000000 "
+        "| ENRICH user_customer ON big WITH c_name "
+        "| STATS n = COUNT(*), matched = COUNT(c_name)",
+    )
+    r = df.first()
+    assert r.n > 0 and r.matched == 0  # LEFT join: rows kept, fields null
 
 
 def test_stages_fuse_into_single_agg_plan(spark, sf_dir):
