@@ -42,6 +42,7 @@ from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import dsl as qdsl
 from telegram2elastic_spark.query import esql as esq
+from telegram2elastic_spark.query import retriever as retr
 from telegram2elastic_spark.query import sparse as spv
 from telegram2elastic_spark.query import spans
 from telegram2elastic_spark.query import termset as tset
@@ -194,6 +195,49 @@ ESQL_PROGRAMS = {
     ),
 }
 
+# Retriever trees (search-API `retriever`, ES 8.14+): name -> (body,
+# needs_positional_index).  Each exercises a different composition shape.
+RETRIEVER_BODIES = {
+    # three-leg RRF: lexical, vector, and a bool-with-must_not leg
+    "retriever_rrf3": ({
+        "retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "spark merge"}}}},
+            {"knn": {"query_vec_id": 0, "k": 20}},
+            {"standard": {"query": {"bool": {
+                "must": [{"match": {"text": "the data row"}}],
+                "must_not": [{"match": {"text": "vector"}}],
+            }}}},
+        ], "rank_window_size": 20, "rank_constant": 60}},
+        "size": 10,
+    }, False),
+    # semantic reranker OVER an rrf fusion whose second leg is a phrase
+    "retriever_tsr_rrf": ({
+        "retriever": {"text_similarity_reranker": {
+            "retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"match": {"text": "spark merge"}}}},
+                {"standard": {"query": {
+                    "match_phrase": {"text": "merge batch"},
+                }}},
+            ], "rank_window_size": 20}},
+            "rank_window_size": 15, "query_vec_id": 2,
+        }},
+        "size": 8,
+    }, True),
+    # pinned docs above a weighted linear (minmax) hybrid
+    "retriever_pinned_linear": ({
+        "retriever": {"pinned": {"ids": [7, 42], "retriever": {
+            "linear": {"retrievers": [
+                {"retriever": {"standard": {"query": {
+                    "match": {"text": "spark merge"},
+                }}}, "weight": 0.7},
+                {"retriever": {"knn": {"query_vec_id": 0, "k": 20}},
+                 "weight": 0.3},
+            ], "rank_window_size": 20},
+        }}},
+        "size": 12,
+    }, False),
+}
+
 COMPOUND_BATCH_SPECS = {
     0: (["spark", "merge"], ["the", "fast"], 0),
     1: (["spark"], ["merge", "batch"], 1),
@@ -292,6 +336,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 lambda spark, sf: esq.execute_esql(spark, sf, prog)
             ))(prog)
             for name, prog in ESQL_PROGRAMS.items()
+        },
+        # NEW (r4, session 12): ES 8.14+ retriever trees — the search-API
+        # composition layer (rrf/linear/tsr/pinned over standard/knn
+        # legs), walked once by a coordinator that dispatches onto the
+        # already-verified engine paths; fusion pivots legs into columns
+        # and adds them in fixed order (deterministic float trajectory)
+        **{
+            name: (lambda body, pos: (
+                lambda spark, sf: retr.retriever_search(
+                    {
+                        "index": build_index(
+                            load_corpus(spark, sf), n_doc_parts=8,
+                            positions=pos,
+                        ),
+                        "embeddings": load_embeddings(spark, sf),
+                    },
+                    body,
+                )
+            ))(body, pos)
+            for name, (body, pos) in RETRIEVER_BODIES.items()
         },
         # NEW (r4, session 11): ES MLT with multiple like + unlike docs —
         # tf merged across the like bag, unlike terms skipped outright
@@ -1608,6 +1672,10 @@ FROM corpus ORDER BY doc_id
         **{
             name: esq.esql_to_duckdb(prog)
             for name, prog in ESQL_PROGRAMS.items()
+        },
+        **{
+            name: retr.retriever_sql(body)
+            for name, (body, _) in RETRIEVER_BODIES.items()
         },
         "mlt_multi": mlt.more_like_this_multi_sql(like=[7, 42], unlike=[3], k=10),
         "semantic_topk": semq.semantic_topk_sql("spark merge batch", k=10),

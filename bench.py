@@ -513,6 +513,19 @@ def main() -> None:
 
         timed("semantic_sec", lambda: smq2.semantic_topk(
             corpus, "spark merge batch", k=10))
+        # round-4 session-12: retriever-tree coordinator (rrf fusion of a
+        # lexical and a knn leg — the composed legs are already benched
+        # solo; this row prices the fusion layer itself)
+        from telegram2elastic_spark.query import retriever as rtq
+
+        _rctx = {"index": eidx, "embeddings": _lde(spark, SF_DIR)}
+        timed("retriever_rrf_sec", lambda: rtq.retriever_search(_rctx, {
+            "retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"match": {"text": "spark merge"}}}},
+                {"knn": {"query_vec_id": 0, "k": 20}},
+            ], "rank_window_size": 20, "rank_constant": 60}},
+            "size": 10,
+        }))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()

@@ -1,0 +1,357 @@
+"""ES retriever trees (search API `retriever`, ES 8.14+).
+
+The reference serves Kibana over Elasticsearch (README.md:5); since 8.14
+that search surface composes ranking stages as a recursive *retriever*
+tree instead of flat query+rescore:
+
+    {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {...}}},
+        {"knn": {...}},
+        {"text_similarity_reranker": {"retriever": {...}, ...}}
+    ], "rank_window_size": 50, "rank_constant": 60}}, "size": 10}
+
+This module is the coordinator: it walks the tree once and dispatches
+every node onto the engine paths that are already verified one by one
+(execute_dsl -> WAND/phrase/compound, cosine knn, the semantic reranker),
+then fuses.  Nothing here re-implements scoring — composition only.
+
+Node vocabulary:
+  leaf     standard {query}            the full query-DSL subset
+           knn {query_vec_id, k}       exact cosine over the vector store
+  combiner rrf {retrievers, rank_window_size, rank_constant}
+           linear {retrievers: [{retriever, weight}], rank_window_size}
+             (minmax normalizer — ES default for linear; constant leg -> 1.0)
+           text_similarity_reranker {retriever, rank_window_size,
+             query_vec_id, min_score?}
+           pinned {ids, retriever}     ES 8.18 pinned retriever
+
+Scale shape: every leaf is the verified top-window retrieval; everything
+above a leaf operates on <= rank_window_size rows per leg (rank windows
+are single-partition by construction — bounded, deliberate).  Fusion
+pivots legs into columns and adds them in FIXED leg order, so the float
+trajectory is deterministic — never a groupBy-sum whose addition order
+the scheduler picks.
+
+Oracle: `retriever_sql` walks the same tree emitting one nested DuckDB
+query per node — independently derived, same (doc_id, score) contract.
+
+Reference parity: the composed legs cite their own reference anchors
+(query/dsl.py, operators/similarity.py, query/hybrid.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dsl import dsl_sql, execute_dsl
+
+FUSE_DECIMALS = 6
+PIN_BASE = 1_000_000.0  # pinned scores sit above any organic score
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _rank(leg: DataFrame) -> DataFrame:
+    # leg is already truncated to the rank window — bounded single
+    # partition (the query/search.py convention).
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    return leg.select("doc_id", "score", F.row_number().over(w).alias("rnk"))
+
+
+def _knn_leaf(ctx: dict, spec: dict, k: int) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    return cosine_topk(
+        ctx["embeddings"], query_vec_id=int(spec.get("query_vec_id", 0)),
+        k=int(spec.get("k", k)),
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
+
+
+def _tsr(ctx: dict, spec: dict, k: int) -> DataFrame:
+    from ..operators.similarity import _dot
+
+    window = int(spec.get("rank_window_size", 30))
+    child = execute_retriever(ctx, spec["retriever"], k=window)
+    e = ctx["embeddings"].select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = F.broadcast(
+        ctx["embeddings"]
+        .filter(F.col("vec_id") == int(spec.get("query_vec_id", 0)))
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    scored = (
+        F.broadcast(child.select("doc_id"))
+        .join(e, "doc_id")
+        .crossJoin(q)
+        .select(
+            "doc_id",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ).alias("score"),
+        )
+    )
+    if spec.get("min_score") is not None:
+        scored = scored.filter(F.col("score") >= float(spec["min_score"]))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _fuse_fixed_order(legs: list[DataFrame], contrib_cols: list[str]) -> DataFrame:
+    """Full-outer fold of per-leg contribution frames (doc_id, <col>),
+    then a fixed-order coalesced sum — deterministic float trajectory."""
+    fused = legs[0]
+    for leg in legs[1:]:
+        fused = fused.join(leg, "doc_id", "full_outer")
+    total = F.coalesce(F.col(contrib_cols[0]), F.lit(0.0))
+    for c in contrib_cols[1:]:
+        total = total + F.coalesce(F.col(c), F.lit(0.0))
+    return fused.select(
+        "doc_id", F.round(total, FUSE_DECIMALS).alias("score")
+    )
+
+
+def _rrf(ctx: dict, spec: dict, k: int) -> DataFrame:
+    window = int(spec.get("rank_window_size", 10))
+    c = float(spec.get("rank_constant", 60))
+    legs = []
+    cols = []
+    for i, child in enumerate(spec["retrievers"]):
+        col = f"contrib_{i}"
+        legs.append(
+            _rank(execute_retriever(ctx, child, k=window)).select(
+                "doc_id", (1.0 / (F.lit(c) + F.col("rnk"))).alias(col)
+            )
+        )
+        cols.append(col)
+    return (
+        _fuse_fixed_order(legs, cols)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _linear(ctx: dict, spec: dict, k: int) -> DataFrame:
+    window = int(spec.get("rank_window_size", 10))
+    legs = []
+    cols = []
+    for i, item in enumerate(spec["retrievers"]):
+        wgt = float(item.get("weight", 1.0))
+        child = execute_retriever(ctx, item["retriever"], k=window)
+        # minmax over the leg's own window; constant leg -> 1.0 (ES)
+        wspec = Window.partitionBy(F.lit(0))
+        col = f"contrib_{i}"
+        legs.append(
+            child.select(
+                "doc_id",
+                "score",
+                F.max("score").over(wspec).alias("mx"),
+                F.min("score").over(wspec).alias("mn"),
+            ).select(
+                "doc_id",
+                (
+                    F.lit(wgt)
+                    * F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+                        (F.col("score") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                    )
+                ).alias(col),
+            )
+        )
+        cols.append(col)
+    return (
+        _fuse_fixed_order(legs, cols)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _pinned(ctx: dict, spec: dict, k: int) -> DataFrame:
+    ids = [int(v) for v in spec["ids"]]
+    child = execute_retriever(ctx, spec["retriever"], k=k)
+    spark = child.sparkSession
+    pins = spark.createDataFrame(
+        [(doc, PIN_BASE - pos) for pos, doc in enumerate(ids)],
+        "doc_id bigint, score double",
+    )
+    organic = child.filter(~F.col("doc_id").isin(ids))
+    return (
+        pins.unionByName(organic.select("doc_id", "score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------ public API
+
+
+def execute_retriever(ctx: dict, node: dict, k: int = 10) -> DataFrame:
+    """Evaluate one retriever node -> (doc_id, score) top-k.
+
+    ctx: {"index": compressed index, "embeddings": vector store}.
+    """
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError("retriever node must hold exactly one type")
+    kind, spec = next(iter(node.items()))
+    if kind == "standard":
+        return (
+            execute_dsl(ctx["index"], {"query": spec["query"], "size": k})
+            .select("doc_id", "score")
+        )
+    if kind == "knn":
+        return _knn_leaf(ctx, spec, k)
+    if kind == "rrf":
+        return _rrf(ctx, spec, k)
+    if kind == "linear":
+        return _linear(ctx, spec, k)
+    if kind == "text_similarity_reranker":
+        return _tsr(ctx, spec, k)
+    if kind == "pinned":
+        return _pinned(ctx, spec, k)
+    raise ValueError(f"unknown retriever type {kind!r}")
+
+
+def retriever_search(ctx: dict, body: dict) -> DataFrame:
+    """POST /_search {"retriever": ..., "size": N} entry point."""
+    extra = set(body) - {"retriever", "size"}
+    if extra:
+        raise ValueError(f"out-of-subset body keys: {sorted(extra)}")
+    return execute_retriever(
+        ctx, body["retriever"], k=int(body.get("size", 10))
+    )
+
+
+# --------------------------------------------------------------- oracle
+
+
+def _sql(node: dict, k: int) -> str:
+    kind, spec = next(iter(node.items()))
+    if kind == "standard":
+        inner = dsl_sql({"query": spec["query"], "size": k}).strip()
+        return f"SELECT doc_id, score FROM ({inner}) s"
+    if kind == "knn":
+        from ..operators.similarity import cosine_topk_sql
+
+        inner = cosine_topk_sql(
+            query_vec_id=int(spec.get("query_vec_id", 0)),
+            k=int(spec.get("k", k)),
+        ).strip()
+        return (
+            f"SELECT vec_id AS doc_id, cosine AS score FROM ({inner}) s"
+        )
+    if kind == "rrf":
+        window = int(spec.get("rank_window_size", 10))
+        c = float(spec.get("rank_constant", 60))
+        legs = []
+        for i, child in enumerate(spec["retrievers"]):
+            legs.append(
+                f"l{i} AS (SELECT doc_id, row_number() OVER "
+                f"(ORDER BY score DESC, doc_id ASC) AS rnk "
+                f"FROM ({_sql(child, window)}) x)"
+            )
+        fused = f"l0.doc_id AS doc_id"
+        joins = "l0"
+        total = f"COALESCE(1.0 / ({c} + l0.rnk), 0.0)"
+        for i in range(1, len(spec["retrievers"])):
+            joins += (
+                f" FULL OUTER JOIN l{i} ON "
+                f"COALESCE({' ,'.join(f'l{j}.doc_id' for j in range(i))})"
+                f" = l{i}.doc_id"
+            )
+            total += f" + COALESCE(1.0 / ({c} + l{i}.rnk), 0.0)"
+        ids = ", ".join(
+            f"l{i}.doc_id" for i in range(len(spec["retrievers"]))
+        )
+        return (
+            f"WITH {', '.join(legs)} "
+            f"SELECT COALESCE({ids}) AS doc_id, "
+            f"round({total}, {FUSE_DECIMALS}) AS score "
+            f"FROM {joins} "
+            f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+        )
+    if kind == "linear":
+        window = int(spec.get("rank_window_size", 10))
+        legs = []
+        for i, item in enumerate(spec["retrievers"]):
+            wgt = float(item.get("weight", 1.0))
+            legs.append(
+                f"l{i} AS (SELECT doc_id, {wgt!r} * CASE WHEN mx = mn "
+                "THEN 1.0 ELSE (score - mn) / (mx - mn) END AS contrib "
+                "FROM (SELECT doc_id, score, max(score) OVER () AS mx, "
+                f"min(score) OVER () AS mn FROM "
+                f"({_sql(item['retriever'], window)}) y) x)"
+            )
+        joins = "l0"
+        total = "COALESCE(l0.contrib, 0.0)"
+        for i in range(1, len(spec["retrievers"])):
+            joins += (
+                f" FULL OUTER JOIN l{i} ON "
+                f"COALESCE({' ,'.join(f'l{j}.doc_id' for j in range(i))})"
+                f" = l{i}.doc_id"
+            )
+            total += f" + COALESCE(l{i}.contrib, 0.0)"
+        ids = ", ".join(
+            f"l{i}.doc_id" for i in range(len(spec["retrievers"]))
+        )
+        return (
+            f"WITH {', '.join(legs)} "
+            f"SELECT COALESCE({ids}) AS doc_id, "
+            f"round({total}, {FUSE_DECIMALS}) AS score "
+            f"FROM {joins} "
+            f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+        )
+    if kind == "text_similarity_reranker":
+        window = int(spec.get("rank_window_size", 30))
+        qid = int(spec.get("query_vec_id", 0))
+        pred = (
+            f"AND round(list_dot_product(e.v, q.qv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * "
+            f"sqrt(list_dot_product(q.qv, q.qv))), 5) "
+            f">= {float(spec['min_score'])!r}"
+            if spec.get("min_score") is not None
+            else ""
+        )
+        return (
+            f"WITH win AS (SELECT doc_id FROM "
+            f"({_sql(spec['retriever'], window)}) w), "
+            "e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) "
+            "AS v FROM embeddings), "
+            "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+            f"FROM embeddings WHERE vec_id = {qid}) "
+            "SELECT e.doc_id, round(list_dot_product(e.v, q.qv) / "
+            "(sqrt(list_dot_product(e.v, e.v)) * "
+            "sqrt(list_dot_product(q.qv, q.qv))), 5) AS score "
+            "FROM win JOIN e ON win.doc_id = e.doc_id CROSS JOIN q "
+            f"WHERE 1 = 1 {pred} "
+            f"ORDER BY score DESC, e.doc_id ASC LIMIT {k}"
+        )
+    if kind == "pinned":
+        ids = [int(v) for v in spec["ids"]]
+        vals = ", ".join(
+            f"({doc}, {PIN_BASE - pos!r})" for pos, doc in enumerate(ids)
+        )
+        idlist = ", ".join(str(d) for d in ids)
+        return (
+            f"SELECT doc_id, score FROM ("
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"CAST(score AS DOUBLE) AS score "
+            f"FROM (VALUES {vals}) p(doc_id, score) "
+            f"UNION ALL "
+            f"SELECT doc_id, score FROM ({_sql(spec['retriever'], k)}) c "
+            f"WHERE c.doc_id NOT IN ({idlist})) u "
+            f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+        )
+    raise ValueError(f"unknown retriever type {kind!r}")
+
+
+def retriever_sql(body: dict) -> str:
+    """DuckDB oracle for retriever_search — same tree, independently
+    emitted SQL per node."""
+    return _sql(body["retriever"], int(body.get("size", 10)))

@@ -1,0 +1,140 @@
+"""ES 8.14+ retriever trees — composition-layer parity vs the DuckDB
+oracle, identity with the dedicated single-op engines, and the error
+contract."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus, load_embeddings
+from telegram2elastic_spark.index.build import build_index
+from telegram2elastic_spark.query import retriever as R
+
+from .oracle import assert_same
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, sf_dir):
+    return {
+        "index": build_index(
+            load_corpus(spark, sf_dir), n_doc_parts=8, positions=True
+        ),
+        "embeddings": load_embeddings(spark, sf_dir),
+    }
+
+
+def _check(ctx, duck, body):
+    assert_same(
+        R.retriever_search(ctx, body),
+        duck.execute(R.retriever_sql(body)).df(),
+    )
+
+
+BODIES = [
+    # leaf passthroughs
+    {"retriever": {"standard": {"query": {"match": {"text": "spark merge"}}}},
+     "size": 10},
+    {"retriever": {"knn": {"query_vec_id": 0, "k": 10}}, "size": 10},
+    # two- and three-leg RRF
+    {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark merge"}}}},
+        {"knn": {"query_vec_id": 0, "k": 20}},
+    ], "rank_window_size": 20, "rank_constant": 60}}, "size": 10},
+    {"retriever": {"rrf": {"retrievers": [
+        {"standard": {"query": {"match": {"text": "spark merge"}}}},
+        {"knn": {"query_vec_id": 0, "k": 20}},
+        {"standard": {"query": {"bool": {
+            "must": [{"match": {"text": "the data row"}}],
+            "must_not": [{"match": {"text": "vector"}}],
+        }}}},
+    ], "rank_window_size": 20, "rank_constant": 10}}, "size": 10},
+    # weighted linear with minmax normalization
+    {"retriever": {"linear": {"retrievers": [
+        {"retriever": {"standard": {"query": {
+            "match": {"text": "the data row"},
+        }}}, "weight": 0.7},
+        {"retriever": {"knn": {"query_vec_id": 3, "k": 20}}, "weight": 0.3},
+    ], "rank_window_size": 20}}, "size": 10},
+    # reranker over a nested fusion (phrase leg exercises positions)
+    {"retriever": {"text_similarity_reranker": {
+        "retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "spark merge"}}}},
+            {"standard": {"query": {"match_phrase": {"text": "merge batch"}}}},
+        ], "rank_window_size": 20}},
+        "rank_window_size": 15, "query_vec_id": 2,
+    }}, "size": 8},
+    # reranker with a min_score bar
+    {"retriever": {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {"match": {"text": "spark merge"}}}},
+        "rank_window_size": 15, "query_vec_id": 2, "min_score": 0.02,
+    }}, "size": 8},
+    # pinned above a hybrid
+    {"retriever": {"pinned": {"ids": [7, 42], "retriever": {
+        "linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {
+                "match": {"text": "spark merge"},
+            }}}, "weight": 0.7},
+            {"retriever": {"knn": {"query_vec_id": 0, "k": 20}},
+             "weight": 0.3},
+        ], "rank_window_size": 20},
+    }}}, "size": 12},
+]
+
+
+@pytest.mark.parametrize("i", range(len(BODIES)))
+def test_parity(ctx, duck, i):
+    _check(ctx, duck, BODIES[i])
+
+
+def test_rrf_identity_with_dedicated_hybrid(spark, ctx, sf_dir):
+    """A two-leg rrf tree reproduces rrf_hybrid_topk's fused ranking
+    (same windows, same rank constant)."""
+    from telegram2elastic_spark.query.hybrid import rrf_hybrid_topk
+
+    tree = R.retriever_search(ctx, {
+        "retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "spark merge"}}}},
+            {"knn": {"query_vec_id": 0, "k": 20}},
+        ], "rank_window_size": 20, "rank_constant": 60}},
+        "size": 10,
+    }).collect()
+    flat = rrf_hybrid_topk(
+        load_corpus(spark, sf_dir), load_embeddings(spark, sf_dir),
+        ["spark", "merge"], query_vec_id=0, k=10, window=20,
+    ).collect()
+    assert [r.doc_id for r in tree] == [r.doc_id for r in flat]
+    for t, f in zip(tree, flat):
+        assert abs(t.score - f.rrf_score) < 1e-5
+
+
+def test_pinned_docs_rank_first_in_order(ctx):
+    rows = R.retriever_search(ctx, {
+        "retriever": {"pinned": {"ids": [42, 7], "retriever": {
+            "standard": {"query": {"match": {"text": "spark merge"}}},
+        }}},
+        "size": 10,
+    }).collect()
+    assert [r.doc_id for r in rows[:2]] == [42, 7]
+    assert all(r.score < R.PIN_BASE - 10 for r in rows[2:])
+
+
+def test_linear_constant_leg_maps_to_one(ctx, spark):
+    """A leg whose window scores are all equal contributes weight * 1.0
+    (the ES minmax constant-leg rule) — pinned via an ids query leaf."""
+    rows = R.retriever_search(ctx, {
+        "retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {
+                "ids": {"values": [3, 5, 9]},
+            }}}, "weight": 0.5},
+        ], "rank_window_size": 10}},
+        "size": 5,
+    }).collect()
+    assert sorted(r.doc_id for r in rows) == [3, 5, 9]
+    assert all(abs(r.score - 0.5) < 1e-9 for r in rows)
+
+
+def test_errors():
+    with pytest.raises(ValueError):
+        R.retriever_sql({"retriever": {"nope": {}}})
+    with pytest.raises(ValueError):
+        R.retriever_search({}, {"retriever": {"a": 1, "b": 2}})
+    with pytest.raises(ValueError):
+        R.retriever_search({}, {"retriever": {"standard": {}}, "from": 5})
