@@ -353,6 +353,17 @@ def main() -> None:
 
             r = validate_query(req["body"])
             return [(r["valid"], r["explanation"])]
+        if op == "retriever":
+            # {"op": "retriever", "body": {"retriever": {...}, "size": N}}
+            # — full 8.14 retriever-tree serving (knn/reranker legs need
+            # --embeddings)
+            from telegram2elastic_spark.query.retriever import (
+                retriever_search_local,
+            )
+
+            return retriever_search_local(
+                idx, req["body"], emb_path=args.embeddings
+            )
         if op == "esql":
             # {"op": "esql", "q": "FROM corpus | ..."} — parse/typecheck
             # only (the _query?validate analogue); execution is a Spark

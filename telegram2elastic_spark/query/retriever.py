@@ -355,3 +355,104 @@ def retriever_sql(body: dict) -> str:
     """DuckDB oracle for retriever_search — same tree, independently
     emitted SQL per node."""
     return _sql(body["retriever"], int(body.get("size", 10)))
+
+
+# ---------------------------------------------------------- serving twin
+
+
+def _local(index: dict, emb_path: str | None, node: dict, k: int) -> list:
+    """[(doc_id, score)] — driver-local evaluation of one node, rank-
+    identical to execute_retriever (hot-shard caches, zero Spark jobs
+    warm).  knn / reranker legs need `emb_path` (the resident embedding
+    shard, cached by hybrid._emb_matrix)."""
+    from .dsl import execute_dsl_local
+    from .hybrid import _cosine_leg_local, _emb_matrix, _fold_dot
+
+    kind, spec = next(iter(node.items()))
+    if kind == "standard":
+        rows = execute_dsl_local(index, {"query": spec["query"], "size": k})
+        return [(int(d), float(s)) for d, s, *_ in rows]
+    if kind == "knn":
+        if emb_path is None:
+            raise ValueError("knn retriever needs --embeddings")
+        return _cosine_leg_local(
+            index, emb_path, int(spec.get("query_vec_id", 0)),
+            int(spec.get("k", k)),
+        )
+    if kind == "rrf":
+        window = int(spec.get("rank_window_size", 10))
+        c = float(spec.get("rank_constant", 60))
+        legs = [
+            _local(index, emb_path, child, window)
+            for child in spec["retrievers"]
+        ]
+        fused: dict[int, float] = {}
+        # fixed leg order, matching the engine's coalesced addition
+        for leg in legs:
+            for r, (doc_id, _s) in enumerate(leg, start=1):
+                fused[doc_id] = fused.get(doc_id, 0.0) + 1.0 / (c + r)
+        out = [(d, round(s, FUSE_DECIMALS)) for d, s in fused.items()]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+    if kind == "linear":
+        window = int(spec.get("rank_window_size", 10))
+        fused = {}
+        for item in spec["retrievers"]:
+            wgt = float(item.get("weight", 1.0))
+            leg = _local(index, emb_path, item["retriever"], window)
+            if not leg:
+                continue
+            mx = max(s for _, s in leg)
+            mn = min(s for _, s in leg)
+            for doc_id, s in leg:
+                norm = 1.0 if mx == mn else (s - mn) / (mx - mn)
+                fused[doc_id] = fused.get(doc_id, 0.0) + wgt * norm
+        out = [(d, round(s, FUSE_DECIMALS)) for d, s in fused.items()]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+    if kind == "text_similarity_reranker":
+        if emb_path is None:
+            raise ValueError("text_similarity_reranker needs --embeddings")
+        import numpy as np
+
+        window = int(spec.get("rank_window_size", 30))
+        child = _local(index, emb_path, spec["retriever"], window)
+        ids, M = _emb_matrix(index, emb_path)
+        qi = np.searchsorted(ids, int(spec.get("query_vec_id", 0)))
+        qv = M[qi]
+        qnorm = _fold_dot(qv, qv) ** 0.5
+        out = []
+        for doc_id, _s in child:
+            i = np.searchsorted(ids, doc_id)
+            if i >= ids.size or ids[i] != doc_id:
+                continue
+            c = round(
+                _fold_dot(M[i], qv)
+                / ((_fold_dot(M[i], M[i]) ** 0.5) * qnorm),
+                5,
+            )
+            if spec.get("min_score") is not None and c < float(
+                spec["min_score"]
+            ):
+                continue
+            out.append((doc_id, float(c)))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+    if kind == "pinned":
+        ids = [int(v) for v in spec["ids"]]
+        child = _local(index, emb_path, spec["retriever"], k)
+        out = [
+            (doc, PIN_BASE - pos) for pos, doc in enumerate(ids)
+        ] + [(d, s) for d, s in child if d not in set(ids)]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+    raise ValueError(f"unknown retriever type {kind!r}")
+
+
+def retriever_search_local(
+    index: dict, body: dict, emb_path: str | None = None
+) -> list:
+    """Serving twin of retriever_search: [(doc_id, score)]."""
+    return _local(
+        index, emb_path, body["retriever"], int(body.get("size", 10))
+    )

@@ -131,6 +131,24 @@ def test_linear_constant_leg_maps_to_one(ctx, spark):
     assert all(abs(r.score - 0.5) < 1e-9 for r in rows)
 
 
+def test_local_twin_identity(ctx, sf_dir, tmp_path):
+    """retriever_search_local reproduces every Spark-path tree verbatim —
+    write the index to disk first (the serving deployment shape)."""
+    from telegram2elastic_spark.index.build import read_index, write_index
+
+    d = str(tmp_path / "idx")
+    write_index(ctx["index"], d)
+    idx = read_index(ctx["index"]["doc_map"].sparkSession, d)
+    emb = f"{sf_dir}/embeddings.parquet"
+    for body in BODIES:
+        spark_rows = [
+            (r.doc_id, r.score)
+            for r in R.retriever_search(ctx, body).collect()
+        ]
+        local_rows = R.retriever_search_local(idx, body, emb_path=emb)
+        assert local_rows == spark_rows, body
+
+
 def test_errors():
     with pytest.raises(ValueError):
         R.retriever_sql({"retriever": {"nope": {}}})
