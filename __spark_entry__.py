@@ -364,12 +364,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build_index(load_corpus(spark, sf), n_doc_parts=8),
             load_corpus(spark, sf), like=[7, 42], unlike=[3], k=10,
         ),
-        # NEW (r4, session 11): ES 8.15 semantic_text / semantic query —
-        # deterministic hashing-trick inference endpoint (integer signed
-        # bucket counts; floats only at the final cosine), one (doc,
-        # bucket) agg + broadcast query-vector join
+        # NEW (r4, session 11; indexed session 12): ES 8.15 semantic_text
+        # / semantic query — deterministic hashing-trick inference
+        # endpoint (integer signed bucket counts; floats only at the
+        # final cosine).  Serves from the semantic_text STORE (index-time
+        # embeddings), so the per-query plan is a broadcast join + one
+        # hash agg — the corpus is never re-tokenized at query time
         "semantic_topk": lambda spark, sf: semq.semantic_topk(
-            load_corpus(spark, sf), "spark merge batch", k=10
+            None, "spark merge batch", k=10,
+            store=semq.doc_embeddings(load_corpus(spark, sf)),
         ),
         # NEW (r4, session 11): quality-aware cluster dedup — keep the
         # HIGHEST-quality member per near-dup component (RefinedWeb-style

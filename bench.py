@@ -513,6 +513,16 @@ def main() -> None:
 
         timed("semantic_sec", lambda: smq2.semantic_topk(
             corpus, "spark merge batch", k=10))
+        # session-12: the semantic_text STORE shape — embed once at
+        # ingest (store build priced separately), then each query is a
+        # broadcast join + one hash agg over the sparse store
+        t0 = time.perf_counter()
+        _sem_store = smq2.doc_embeddings(corpus).cache()
+        _sem_store.count()
+        es["semantic_store_build_sec"] = round(time.perf_counter() - t0, 3)
+        timed("semantic_indexed_sec", lambda: smq2.semantic_topk(
+            None, "spark merge batch", k=10, store=_sem_store))
+        _sem_store.unpersist()
         # round-4 session-12: retriever-tree coordinator (rrf fusion of a
         # lexical and a knn leg — the composed legs are already benched
         # solo; this row prices the fusion layer itself)

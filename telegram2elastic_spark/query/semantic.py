@@ -85,24 +85,32 @@ def doc_embeddings(corpus: DataFrame, dim: int = SEM_DIM) -> DataFrame:
 
 
 def semantic_topk(
-    corpus: DataFrame, query: str, k: int = 10, dim: int = SEM_DIM
+    corpus: DataFrame, query: str, k: int = 10, dim: int = SEM_DIM,
+    store: DataFrame | None = None,
 ) -> DataFrame:
     """ES `semantic` query: cosine between the query's and each doc's
     hashing-trick embeddings.  Returns (doc_id, cosine) desc, doc_id
     asc, limit k; zero-norm docs and zero-overlap docs drop out (ES
-    returns no hit without similarity evidence)."""
+    returns no hit without similarity evidence).
+
+    `store` is the semantic_text INDEX — a precomputed (doc_id, bucket,
+    val) sparse table (doc_embeddings once at ingest, exactly how ES
+    embeds at index time).  With it, the per-query plan is a broadcast
+    join + one hash agg over the store; the corpus is never re-tokenized
+    at query time (the 100×-scale serving shape — plan-tested)."""
     qv = embed_query(query, dim)
+    base = store if store is not None else corpus
     if not qv:
-        return corpus.sparkSession.createDataFrame(
+        return base.sparkSession.createDataFrame(
             [], "doc_id bigint, cosine double"
         )
-    spark = corpus.sparkSession
+    spark = base.sparkSession
     qdf = F.broadcast(
         spark.createDataFrame(
             [(b, v) for b, v in sorted(qv.items())], "bucket int, qval long"
         )
     )
-    emb = doc_embeddings(corpus, dim)
+    emb = store if store is not None else doc_embeddings(corpus, dim)
     # ONE pass: a left broadcast join + a single per-doc aggregate yields
     # dot, norm and the overlap flag together — the dots/norms two-branch
     # form recomputed the whole embedding subtree twice (no common

@@ -741,3 +741,27 @@ def test_mlt_multi_single_like_matches_single_doc_mlt(spark, sf_dir, s11_index):
     a = mlt.more_like_this_multi(s11_index, corpus, like=[7], k=10).collect()
     b = mlt.more_like_this(s11_index, corpus, 7, k=10).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_semantic_store_identity_and_plan(spark, sf_dir):
+    """semantic_topk(store=...) returns exactly the corpus-path ranking,
+    and its per-query plan never touches the corpus (no tokenize — the
+    ES index-time-embedding serving shape)."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.query import semantic
+
+    corpus = load_corpus(spark, sf_dir)
+    store = semantic.doc_embeddings(corpus)
+    store_path = None
+    q = "spark merge batch"
+    via_corpus = semantic.semantic_topk(corpus, q, k=10).collect()
+    # write + read back: the query plan must source from the store files
+    import tempfile
+
+    store_path = tempfile.mkdtemp(prefix="semstore_")
+    store.write.mode("overwrite").parquet(store_path)
+    disk_store = spark.read.parquet(store_path)
+    df = semantic.semantic_topk(None, q, k=10, store=disk_store)
+    assert df.collect() == via_corpus
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "split(" not in plan and "documents.parquet" not in plan
