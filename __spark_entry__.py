@@ -455,8 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-window re-scored by the deterministic semantic model
         # (exact cosine vs the query vector); final rank is model-only
         "tsr_rerank_topk": lambda spark, sf: hyb.text_similarity_reranker_topk(
-            load_corpus(spark, sf), load_embeddings(spark, sf), Q_MAIN,
+            None, load_embeddings(spark, sf), Q_MAIN,
             query_vec_id=0, k=10, rank_window_size=30,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
         # NEW (r4, session 10): ES field_masking_span — span_near mixing
         # positions from ANOTHER field (masked clause contributes only
@@ -686,14 +687,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fusion of the BM25 leg and the exact-cosine knn leg; fusion is
         # a 2*window-row outer join, legs are the verified paths
         "rrf_hybrid_topk": lambda spark, sf: hyb.rrf_hybrid_topk(
-            load_corpus(spark, sf), load_embeddings(spark, sf),
+            None, load_embeddings(spark, sf),
             Q_MAIN, query_vec_id=0, k=10, window=20,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
         # NEW (r4, session 8): ES linear retriever — minmax-normalized
         # weighted score fusion over the same two legs
         "linear_hybrid_topk": lambda spark, sf: hyb.linear_hybrid_topk(
-            load_corpus(spark, sf), load_embeddings(spark, sf),
+            None, load_embeddings(spark, sf),
             Q_MAIN, query_vec_id=0, k=10, window=20,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
         # NEW (r4, session 8): near-dup CLUSTERS — hash-min connected
         # components over the MinHash-LSH candidate graph (one edge

@@ -480,7 +480,8 @@ def main() -> None:
             corpus, "site1", lang="en", k=10))
         _emb = _lde(spark, SF_DIR)
         timed("rrf_hybrid_sec", lambda: hyq.rrf_hybrid_topk(
-            corpus, _emb, ["spark", "merge"], query_vec_id=0, k=10))
+            None, _emb, ["spark", "merge"], query_vec_id=0, k=10,
+            index=eidx))
         timed("agg_mad_sec", lambda: agq.agg_mad(corpus))
         timed("agg_cumulative_cardinality_sec",
               lambda: agq.agg_cumulative_cardinality(corpus))
@@ -496,7 +497,8 @@ def main() -> None:
             eidx, {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25},
             ratio_threshold=1.03, k=10))
         timed("tsr_rerank_sec", lambda: hyq.text_similarity_reranker_topk(
-            corpus, _emb, ["spark", "merge"], query_vec_id=0, k=10))
+            None, _emb, ["spark", "merge"], query_vec_id=0, k=10,
+            index=eidx))
         timed("rank_vectors_maxsim_sec", lambda: smq.rank_vectors_maxsim_topk(
             _emb, query_group=0, group_size=5, k=10))
         timed("rule_query_sec", lambda: rlq.rule_query_topk(

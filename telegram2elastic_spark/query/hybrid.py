@@ -44,6 +44,21 @@ def _ranked(leg: DataFrame, order_col: str, rank_alias: str) -> DataFrame:
     return leg.select("doc_id", F.row_number().over(w).alias(rank_alias))
 
 
+
+def _lex_leg(
+    corpus: DataFrame | None, terms: list[str], window: int,
+    index: dict | None,
+) -> DataFrame:
+    """Lexical top-window: index-backed WAND when an index is given (the
+    serving shape — rank-identical to relational BM25 by the engine's
+    core invariant), relational BM25 otherwise (the oracle shape)."""
+    if index is not None:
+        from .wand import wand_topk
+
+        return wand_topk(index, terms, k=window).select("doc_id", "score")
+    return bm25_topk(corpus, terms, k=window)
+
+
 def rrf_hybrid_topk(
     corpus: DataFrame,
     embeddings: DataFrame,
@@ -52,6 +67,7 @@ def rrf_hybrid_topk(
     k: int = 10,
     window: int = 20,
     rank_const: int = 60,
+    index: dict | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 leg and the exact-cosine knn
     leg: score(d) = sum over legs containing d of 1 / (rank_const +
@@ -62,7 +78,7 @@ def rrf_hybrid_topk(
     (ES reports the per-retriever rank only when the doc appeared in
     that window).
     """
-    lex = _ranked(bm25_topk(corpus, terms, k=window), "score", "lex_rank")
+    lex = _ranked(_lex_leg(corpus, terms, window, index), "score", "lex_rank")
     sem = _ranked(
         cosine_topk(embeddings, query_vec_id=query_vec_id, k=window).select(
             F.col("vec_id").alias("doc_id"), "cosine"
@@ -122,6 +138,7 @@ def linear_hybrid_topk(
     window: int = 20,
     w_lex: float = 0.7,
     w_sem: float = 0.3,
+    index: dict | None = None,
 ) -> DataFrame:
     """ES `linear` retriever with the `minmax` normalizer: each leg's
     scores are scaled to [0, 1] over its own top-`window` (max -> 1,
@@ -142,7 +159,7 @@ def linear_hybrid_topk(
             .alias(alias),
         )
 
-    lex = norm(bm25_topk(corpus, terms, k=window), "score", "lex_n")
+    lex = norm(_lex_leg(corpus, terms, window, index), "score", "lex_n")
     sem = norm(
         cosine_topk(embeddings, query_vec_id=query_vec_id, k=window).select(
             F.col("vec_id").alias("doc_id"), "cosine"
@@ -299,6 +316,7 @@ def text_similarity_reranker_topk(
     k: int = 10,
     rank_window_size: int = 30,
     min_score: float | None = None,
+    index: dict | None = None,
 ) -> DataFrame:
     """ES 8.15 `text_similarity_reranker` retriever: a first-stage
     retriever's top-`rank_window_size` is re-scored by a semantic
@@ -317,7 +335,9 @@ def text_similarity_reranker_topk(
     after the first stage.  `min_score` drops hits the model scores
     below the bar (ES contract), applied AFTER rescoring.
     """
-    window = bm25_topk(corpus, terms, k=rank_window_size).select("doc_id")
+    window = _lex_leg(
+        corpus, terms, rank_window_size, index
+    ).select("doc_id")
     e = embeddings.select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("v"),

@@ -128,3 +128,30 @@ def test_rrf_local_identity(spark, sf_dir):
             idx, emb_path, terms, query_vec_id=qv, k=10, window=20
         )
         assert a == b, (terms, qv)
+
+
+def test_index_backed_legs_identical_and_no_tokenize(spark, sf_dir, tmp_path):
+    """With index=, the lexical leg is WAND (rank-identical by the core
+    invariant) and — on a disk index, the serving shape — the per-query
+    plan never re-tokenizes the corpus."""
+    from telegram2elastic_spark.index.build import (
+        build_index, read_index, write_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    write_index(build_index(corpus, n_doc_parts=8), str(tmp_path / "idx"))
+    idx = read_index(spark, str(tmp_path / "idx"))
+    for fn, kwargs in (
+        (hybrid.rrf_hybrid_topk, dict(query_vec_id=0, k=10, window=20)),
+        (hybrid.linear_hybrid_topk, dict(query_vec_id=0, k=10, window=20)),
+        (
+            hybrid.text_similarity_reranker_topk,
+            dict(query_vec_id=0, k=10, rank_window_size=30),
+        ),
+    ):
+        rel = fn(corpus, emb, ["spark", "merge"], **kwargs).collect()
+        via_idx = fn(None, emb, ["spark", "merge"], index=idx, **kwargs)
+        assert via_idx.collect() == rel
+        plan = via_idx._jdf.queryExecution().executedPlan().toString()
+        assert "split(" not in plan  # no corpus tokenize in the query path
