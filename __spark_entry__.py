@@ -447,8 +447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # high-df/low-weight tokens dropped (keep = low freq-ratio OR
         # significant weight), surviving tokens scored by the verified
         # sparse_vector algebra; stats are |q| dfs + one scalar
-        "weighted_tokens_topk": lambda spark, sf: spv.weighted_tokens_topk_relational(
-            load_corpus(spark, sf), WT_WEIGHTS,
+        "weighted_tokens_topk": lambda spark, sf: spv.weighted_tokens_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8), WT_WEIGHTS,
             ratio_threshold=1.03, weight_threshold=0.4, k=10,
         ),
         # NEW (r4, session 11): ES 8.15 text_similarity_reranker — BM25
@@ -667,9 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sparse) — {token: weight} query served by the verified WAND
         # kernel with weights in the idf slot; relational contract is the
         # registered pair, kernel identity is tested
-        "sparse_vector_topk": lambda spark, sf: spv.sparse_vector_topk_relational(
-            load_corpus(spark, sf), {"spark": 2.1, "merge": 1.4, "vector": 0.7},
-            k=10,
+        "sparse_vector_topk": lambda spark, sf: spv.sparse_vector_topk(
+            build_index(load_corpus(spark, sf), n_doc_parts=8),
+            {"spark": 2.1, "merge": 1.4, "vector": 0.7}, k=10,
         ),
         # NEW (r4, session 9): IVF-PQ with exact rescoring (FAISS refine /
         # ES quantized-kNN oversample+rescore) — ADC retrieves k*oversample,
