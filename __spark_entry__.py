@@ -193,6 +193,20 @@ ESQL_PROGRAMS = {
         'av = ROUND(MV_AVG(embedding), 4) '
         '| KEEP vec_id, s, mn, mx, av | SORT vec_id ASC | LIMIT 25'
     ),
+    # BUCKET grouping function: multi-unit epoch-aligned time span AND
+    # numeric width, each feeding a STATS BY
+    "esql_bucket": (
+        'FROM events | EVAL h6 = BUCKET(ts, 6 hours), '
+        'vb = BUCKET(value, 25) | STATS n = COUNT(*), '
+        'vmin = MIN(vb) BY h6 | SORT h6 ASC | LIMIT 40'
+    ),
+    # INLINESTATS: per-key window aggregates WITHOUT collapsing rows
+    "esql_inlinestats": (
+        'FROM corpus | INLINESTATS lang_avg = AVG(n_chars), '
+        'lang_n = COUNT(*) BY lang '
+        '| EVAL rel = ROUND(n_chars / lang_avg, 4) '
+        '| KEEP doc_id, lang, rel, lang_n | SORT doc_id ASC | LIMIT 30'
+    ),
 }
 
 # Retriever trees (search-API `retriever`, ES 8.14+): name -> (body,

@@ -36,6 +36,13 @@ Supported commands (the stable ES|QL core):
   | LOOKUP JOIN table ON col     ES 8.18 lookup join: col must exist under
                                  the SAME name on both sides; appends the
                                  lookup table's other columns (broadcast)
+  | INLINESTATS agg [BY k...]    window-function aggregates: adds the agg
+                                 columns WITHOUT collapsing rows (one
+                                 partitioned window per BY key set)
+
+BUCKET(expr, 1 day) buckets timestamps by span; BUCKET(expr, width)
+buckets numerics by literal width (floor(x / w) * w) — the ES|QL
+grouping function, usable in EVAL and as a STATS BY input.
 
 Expression vocabulary: literals (string/int/float/bool/NULL, `1 day` spans),
 arithmetic (`/` is float division in BOTH dialects), comparisons, AND/OR/NOT,
@@ -78,7 +85,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
-    "ENRICH", "ON", "WITH", "LOOKUP", "JOIN",
+    "ENRICH", "ON", "WITH", "LOOKUP", "JOIN", "INLINESTATS",
     "AND", "OR", "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL",
     "TRUE", "FALSE", "ASC", "DESC", "NULLS", "FIRST", "LAST",
 }
@@ -403,10 +410,12 @@ def _typecheck(e, schema: dict[str, str]) -> str:
                 f"ES|QL: {e.name} takes {lo}..{hi} args, got {len(e.args)}"
             )
         argts = [_typecheck(a, schema) for a in e.args]
-        if "span" in argts and e.name != "DATE_TRUNC":
-            raise ValueError("ES|QL: span literal outside DATE_TRUNC")
+        if "span" in argts and e.name not in ("DATE_TRUNC", "BUCKET"):
+            raise ValueError("ES|QL: span literal outside DATE_TRUNC/BUCKET")
         if e.name == "DATE_TRUNC":
             _span(e.args[0])  # validate the span at compile time
+        if e.name == "BUCKET":
+            _bucket_emit(["x"], e.args, "spark")  # shape-validate
         if e.name == "MATCH":
             _match_terms(e.args)  # literal, non-empty query
         if e.name == "DATE_FORMAT":
@@ -641,6 +650,14 @@ FUNCS: dict[str, dict] = {
             f"strftime({a[1]}, {_lit_duck(_fmt_duck(_strlit(r[0])))})"
         ),
     ),
+    # BUCKET(ts, 1 day) == date_trunc for multi-unit spans too (7 day ->
+    # 7-day-aligned from epoch); BUCKET(x, 50) == floor(x/50)*50.
+    "BUCKET": dict(
+        arity=(2, 2),
+        ret=lambda t: "timestamp" if t and t[0] == "timestamp" else "double",
+        spark=lambda a, r: _bucket_emit(a, r, "spark"),
+        duck=lambda a, r: _bucket_emit(a, r, "duck"),
+    ),
     # DATE_DIFF(\"hour\", start, end): complete units, truncation toward
     # zero — emitted as epoch arithmetic in BOTH dialects because the
     # built-ins disagree (Spark timestampdiff counts complete periods,
@@ -746,6 +763,46 @@ _DIFF_UNITS = {
     "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
     "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
 }
+
+_EPOCH_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _bucket_emit(a: list, r: list, dialect: str) -> str:
+    arg = a[0]
+    node = r[1]
+    if isinstance(node, Span):
+        if node.n == 1:
+            # calendar-aligned single-unit spans (incl. week/month/year)
+            if dialect == "spark":
+                return f"date_trunc('{node.unit}', {arg})"
+            return f"CAST(date_trunc('{node.unit}', {arg}) AS TIMESTAMP)"
+        if node.unit not in _EPOCH_UNITS:
+            raise ValueError(
+                f"ES|QL: BUCKET multi-unit span needs a fixed-width unit "
+                f"(second/minute/hour/day), got {node.n} {node.unit}"
+            )
+        n = node.n * _EPOCH_UNITS[node.unit]
+        if dialect == "spark":
+            return (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({arg}) "
+                f"/ {n}) * {n} AS BIGINT))"
+            )
+        return (
+            f"(TIMESTAMP '1970-01-01 00:00:00' + CAST(floor(epoch({arg}) "
+            f"/ {n}) * {n} AS BIGINT) * INTERVAL 1 SECOND)"
+        )
+    if isinstance(node, Lit) and node.typ in ("long", "double"):
+        w = float(node.value)
+        if w <= 0:
+            raise ValueError("ES|QL: BUCKET width must be positive")
+        # width as CAST(.. AS DOUBLE): Spark parses a bare `25.0` literal
+        # as DECIMAL(3,1), and bigint*decimal yields a Decimal column that
+        # would diverge from the oracle's float64
+        wd = f"CAST({w!r} AS DOUBLE)"
+        return f"(floor(CAST({arg} AS DOUBLE) / {wd}) * {wd})"
+    raise ValueError(
+        "ES|QL: BUCKET needs a span (`1 day`) or a numeric width literal"
+    )
 
 
 def _diff_unit_seconds(node) -> int:
@@ -969,6 +1026,40 @@ class EsqlPlan:
                 new_schema[name] = rett
             self.schema = new_schema
             self.stages.append(("stats", (aggs, keys)))
+        elif k == "INLINESTATS":
+            aggs = []
+            while True:
+                name = p.expect("name").text
+                p.expect("op", "=")
+                e = p.expr()
+                if (
+                    not isinstance(e, Func)
+                    or e.name not in _AGGS
+                    or e.name in ("COUNT_DISTINCT", "MEDIAN", "PERCENTILE")
+                ):
+                    raise ValueError(
+                        "ES|QL: INLINESTATS supports COUNT/SUM/AVG/MIN/MAX"
+                    )
+                argt = (
+                    _typecheck(e.args[0], self.schema) if e.args else "long"
+                )
+                rett = _AGGS[e.name][1] or argt
+                aggs.append((name, e, rett))
+                if not p.accept("op", ","):
+                    break
+            keys: list[str] = []
+            if p.accept("kw", "BY"):
+                while True:
+                    keys.append(p.expect("name").text)
+                    if not p.accept("op", ","):
+                        break
+            self._end(p)
+            for key in keys:
+                if key not in self.schema:
+                    raise ValueError(f"ES|QL: unknown BY column {key!r}")
+            for name, _, rett in aggs:
+                self.schema[name] = rett  # adds columns, keeps all rows
+            self.stages.append(("inlinestats", (aggs, keys)))
         elif k == "SORT":
             items: list[_SortItem] = []
             while True:
@@ -1192,6 +1283,19 @@ class EsqlPlan:
                     df = df.withColumn(name, c)
             elif kind == "mv_expand":
                 df = df.withColumn(payload, F.explode(F.col(payload)))
+            elif kind == "inlinestats":
+                aggs, keys = payload
+                from pyspark.sql import Window as _W
+
+                w = (
+                    _W.partitionBy(*keys)
+                    if keys
+                    # global inline stats: a deliberate single-partition
+                    # window — ES computes the same global aggregate
+                    else _W.partitionBy(F.lit(0))
+                )
+                for name, e, _ in aggs:
+                    df = df.withColumn(name, self._agg_spark(e).over(w))
             elif kind == "enrich":
                 table, match, col, fields = payload
                 lk = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
@@ -1341,6 +1445,19 @@ class EsqlPlan:
                     schema.setdefault(nm, "string")
             elif kind == "mv_expand":
                 add(f"* EXCLUDE ({payload}), unnest({payload}) AS {payload}")
+            elif kind == "inlinestats":
+                aggs, keys = payload
+                part = (
+                    f"PARTITION BY {', '.join(keys)}" if keys else ""
+                )
+                parts = []
+                for name, e, rett in aggs:
+                    parts.append(
+                        f"{self._agg_duck_window(e, rett, part)} AS {name}"
+                    )
+                add("*, " + ", ".join(parts))
+                for name, _, rett in aggs:
+                    schema[name] = rett
             elif kind == "enrich":
                 table, match, col, fields = payload
                 cols = ", ".join(f"l.{f}" for f in fields)
@@ -1365,6 +1482,22 @@ class EsqlPlan:
                     schema[f] = t
         body = f"WITH {', '.join(ctes)} " if ctes else ""
         return f"{body}SELECT * FROM {prev}{order_tail}"
+
+    @staticmethod
+    def _agg_duck_window(e: Func, rett: str, partition: str) -> str:
+        """Window-function form: OVER binds to the call, casts wrap it."""
+        over = f"OVER ({partition})"
+        if e.name == "COUNT_STAR":
+            return f"CAST(count(*) {over} AS BIGINT)"
+        arg = _emit(e.args[0], "duck")
+        if e.name == "COUNT":
+            return f"CAST(count({arg}) {over} AS BIGINT)"
+        if e.name == "SUM":
+            cast = "BIGINT" if rett == "long" else "DOUBLE"
+            return f"CAST(sum({arg}) {over} AS {cast})"
+        if e.name in ("AVG", "MIN", "MAX"):
+            return f"{e.name.lower()}({arg}) {over}"
+        raise ValueError(f"ES|QL: bad inline aggregate {e.name}")
 
     @staticmethod
     def _agg_duck(e: Func, rett: str) -> str:

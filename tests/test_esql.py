@@ -89,6 +89,19 @@ PROGRAMS = [
     'l = LEFT(text, 5), r = RIGHT(text, 5), '
     'p = ROUND(POW(n_chars, 0.5), 4), lg = ROUND(LOG10(n_chars), 4) '
     '| KEEP doc_id, pick, sm, l, r, p, lg | SORT doc_id ASC | LIMIT 6',
+    # BUCKET: multi-unit epoch-aligned span, calendar week, numeric width
+    'FROM events | EVAL h6 = BUCKET(ts, 6 hours) '
+    '| STATS n = COUNT(*) BY h6 | SORT h6 ASC | LIMIT 40',
+    'FROM corpus | EVAL w = BUCKET(warc_ts, 1 week), '
+    'b = BUCKET(n_chars, 250) | STATS n = COUNT(*) BY w, b '
+    '| SORT w ASC, b ASC',
+    # INLINESTATS: keyed window aggregates, then a global one as a filter
+    'FROM corpus | INLINESTATS lang_avg = AVG(n_chars), '
+    'lang_n = COUNT(*) BY lang '
+    '| EVAL rel = ROUND(n_chars / lang_avg, 4) '
+    '| KEEP doc_id, lang, rel, lang_n | SORT doc_id ASC | LIMIT 12',
+    'FROM corpus | INLINESTATS gmax = MAX(n_chars) '
+    '| WHERE n_chars == gmax | KEEP doc_id, n_chars | SORT doc_id ASC',
 ]
 
 
@@ -202,6 +215,10 @@ BAD = [
     "FROM events | LOOKUP JOIN nope ON user_id",      # unknown lookup tbl
     'FROM events | EVAL d = DATE_DIFF("month", ts, ts)',   # bad unit
     'FROM events | EVAL f = DATE_FORMAT("QQ", ts)',   # bad format token
+    "FROM events | EVAL b = BUCKET(ts, 2 weeks)",     # non-fixed multi-span
+    "FROM corpus | EVAL b = BUCKET(n_chars, 0)",      # non-positive width
+    "FROM corpus | EVAL b = BUCKET(n_chars, lang)",   # non-literal width
+    "FROM corpus | INLINESTATS m = MEDIAN(n_chars)",  # unsupported inline
 ]
 
 
