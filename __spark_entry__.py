@@ -207,6 +207,33 @@ ESQL_PROGRAMS = {
         '| EVAL rel = ROUND(n_chars / lang_avg, 4) '
         '| KEEP doc_id, lang, rel, lang_n | SORT doc_id ASC | LIMIT 30'
     ),
+    # ES 8.16 filtered aggregates: `agg WHERE cond` masks the input rows
+    # per-aggregate (WHEN-masked agg on Spark, FILTER clause in DuckDB)
+    "esql_stats_where": (
+        'FROM corpus | STATS en = COUNT(*) WHERE lang == "en", '
+        'total = COUNT(*), '
+        'long_avg = AVG(n_chars) WHERE n_chars > 500, '
+        'web_med = MEDIAN(n_chars) WHERE source == "web" BY source '
+        '| EVAL long_avg = ROUND(long_avg, 4), '
+        'web_med = ROUND(web_med, 4) | SORT source ASC'
+    ),
+    # ES 8.19 SAMPLE: RNG-free hash membership on the identity column
+    # (the repo-wide determinism contract) — both engines and every
+    # re-run select the identical subset
+    "esql_sample": (
+        'FROM corpus | SAMPLE 0.3 '
+        '| STATS n = COUNT(*), chars = SUM(n_chars) BY lang '
+        '| SORT lang ASC'
+    ),
+    # ES 8.19 FORK: branch union over the same input with the _fork
+    # discriminator; the final SORT keys (_fork, source, lang) form a
+    # total order (branch keys are distinct within each fork)
+    "esql_fork": (
+        'FROM corpus | FORK '
+        '(WHERE lang == "en" | STATS n = COUNT(*) BY source) '
+        '(STATS n = COUNT(*) BY lang) '
+        '| SORT _fork ASC, source ASC NULLS LAST, lang ASC NULLS LAST'
+    ),
 }
 
 # Retriever trees (search-API `retriever`, ES 8.14+): name -> (body,

@@ -39,6 +39,23 @@ Supported commands (the stable ES|QL core):
   | INLINESTATS agg [BY k...]    window-function aggregates: adds the agg
                                  columns WITHOUT collapsing rows (one
                                  partitioned window per BY key set)
+  | SAMPLE p                     ES 8.19 probabilistic sample; determinism
+                                 contract replaces ES's per-run seed with
+                                 RNG-free hash membership on the row's
+                                 identity column (url/doc_id/...): both
+                                 engines and every re-run pick the same set
+  | FORK (cmds) (cmds) ...       ES 8.19 branch union: each branch is a
+                                 sub-pipeline over the SAME input; output =
+                                 UNION BY NAME of the branches plus a _fork
+                                 discriminator column ("fork1".."forkN");
+                                 missing columns fill with NULL, branch type
+                                 conflicts are compile-time errors, nesting
+                                 is rejected (as in ES)
+
+STATS aggregates accept the ES 8.16 per-aggregate filter:
+`STATS en = COUNT(*) WHERE lang == "en", total = COUNT(*) BY source` —
+compiled to a WHEN-masked aggregate on Spark and a FILTER clause in DuckDB
+(identical semantics: every supported aggregate ignores NULLs).
 
 BUCKET(expr, 1 day) buckets timestamps by span; BUCKET(expr, width)
 buckets numerics by literal width (floor(x / w) * w) — the ES|QL
@@ -86,6 +103,7 @@ _KEYWORDS = {
     "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
     "ENRICH", "ON", "WITH", "LOOKUP", "JOIN", "INLINESTATS",
+    "SAMPLE", "FORK",
     "AND", "OR", "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL",
     "TRUE", "FALSE", "ASC", "DESC", "NULLS", "FIRST", "LAST",
 }
@@ -923,9 +941,16 @@ ENRICH_POLICIES = {
 
 
 def _split_pipes(toks: list[Tok]) -> list[list[Tok]]:
+    # depth-aware: a `|` inside parentheses (FORK branches, function args)
+    # does not terminate the pipe segment.
     out: list[list[Tok]] = [[]]
+    depth = 0
     for t in toks:
-        if t.kind == "op" and t.text == "|":
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if t.kind == "op" and t.text == "|" and depth == 0:
             out.append([])
         else:
             out[-1].append(t)
@@ -959,6 +984,7 @@ class EsqlPlan:
         self.schema = dict(_BASE_SCHEMAS[src])
         self.stages: list[tuple] = []  # (kind, payload)
         self.pending_sort: list[_SortItem] | None = None
+        self._in_fork = False
         for seg in segs[1:]:
             self._command(seg)
 
@@ -1008,7 +1034,16 @@ class EsqlPlan:
                             "ES|QL: PERCENTILE(col, p) needs a literal p"
                         )
                 rett = _AGGS[e.name][1] or argt
-                aggs.append((name, e, rett))
+                # ES 8.16 filtered aggregate: `agg WHERE cond` evaluates the
+                # condition against the PRE-aggregation row.
+                filt = None
+                if p.accept("kw", "WHERE"):
+                    filt = p.expr()
+                    if _typecheck(filt, self.schema) != "bool":
+                        raise ValueError(
+                            "ES|QL: STATS WHERE expression is not boolean"
+                        )
+                aggs.append((name, e, rett, filt))
                 if not p.accept("op", ","):
                     break
             keys: list[str] = []
@@ -1022,7 +1057,7 @@ class EsqlPlan:
                 if key not in self.schema:
                     raise ValueError(f"ES|QL: unknown BY column {key!r}")
             new_schema = {key: self.schema[key] for key in keys}
-            for name, _, rett in aggs:
+            for name, _, rett, _filt in aggs:
                 new_schema[name] = rett
             self.schema = new_schema
             self.stages.append(("stats", (aggs, keys)))
@@ -1191,6 +1226,95 @@ class EsqlPlan:
                     )
                 self.schema[f] = t
             self.stages.append(("lookup", (table, col, fields)))
+        elif k == "SAMPLE":
+            # ES 8.19 SAMPLE <probability>.  ES hashes internal doc ids
+            # under a per-run seed; the engine's determinism contract
+            # replaces the seed with RNG-free hash membership on the row's
+            # identity column (the agg_random_sampler convention), so both
+            # engines — and every re-run — select the identical subset.
+            t = p.expect("num")
+            prob = float(t.text)
+            self._end(p)
+            if not 0.0 < prob < 1.0:
+                raise ValueError("ES|QL: SAMPLE probability must be in (0, 1)")
+            permille = int(round(prob * 1000))
+            if not 1 <= permille <= 999:
+                raise ValueError(
+                    "ES|QL: SAMPLE probability resolves outside "
+                    "[0.001, 0.999]"
+                )
+            id_col = next(
+                (
+                    c
+                    for c in ("url", "doc_id", "event_id", "vec_id")
+                    if c in self.schema
+                ),
+                None,
+            )
+            if id_col is None:
+                raise ValueError(
+                    "ES|QL: SAMPLE needs the row identity column "
+                    "(url / doc_id / event_id / vec_id) still in scope"
+                )
+            self.stages.append(("sample", (id_col, permille)))
+        elif k == "FORK":
+            if self._in_fork:
+                raise ValueError("ES|QL: FORK cannot be nested")
+            entry_schema = dict(self.schema)
+            branches: list[tuple[list[tuple], dict]] = []
+            while p.peek() is not None:
+                p.expect("op", "(")
+                depth, toks = 1, []
+                while True:
+                    t = p.next()
+                    if t.kind == "op" and t.text == "(":
+                        depth += 1
+                    elif t.kind == "op" and t.text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    toks.append(t)
+                segs: list[list[Tok]] = [[]]
+                d2 = 0
+                for t in toks:
+                    if t.kind == "op" and t.text == "(":
+                        d2 += 1
+                    elif t.kind == "op" and t.text == ")":
+                        d2 -= 1
+                    if t.kind == "op" and t.text == "|" and d2 == 0:
+                        segs.append([])
+                    else:
+                        segs[-1].append(t)
+                saved_stages, saved_schema = self.stages, self.schema
+                self.stages, self.schema = [], dict(entry_schema)
+                self._in_fork = True
+                try:
+                    for seg in segs:
+                        if not seg:
+                            raise ValueError("ES|QL: empty FORK branch command")
+                        self._command(seg)
+                    branches.append((self.stages, dict(self.schema)))
+                finally:
+                    self._in_fork = False
+                    self.stages, self.schema = saved_stages, saved_schema
+            if not 2 <= len(branches) <= 8:
+                raise ValueError("ES|QL: FORK takes 2-8 branches")
+            merged: dict[str, str] = {}
+            for _, bschema in branches:
+                for c, typ in bschema.items():
+                    if c == "_fork":
+                        raise ValueError(
+                            "ES|QL: FORK branches may not define _fork"
+                        )
+                    if c in merged and merged[c] != typ:
+                        raise ValueError(
+                            f"ES|QL: FORK branches disagree on the type of "
+                            f"{c!r} ({merged[c]} vs {typ})"
+                        )
+                    merged.setdefault(c, typ)
+            merged["_fork"] = "string"
+            self.schema = merged
+            self.stages.append(("fork", branches))
         else:
             raise ValueError(f"ES|QL: unsupported command {k}")
 
@@ -1221,6 +1345,15 @@ class EsqlPlan:
                 "embeddings": load_embeddings,
             }
             df = loaders[self.source](spark, sf_dir)
+        return self._apply_stages(df, self.stages, spark, sf_dir)
+
+    def _apply_stages(
+        self,
+        df: DataFrame,
+        stages: list[tuple],
+        spark: SparkSession,
+        sf_dir: str,
+    ) -> DataFrame:
         pending_sort: list[_SortItem] | None = None
 
         def apply_sort(d: DataFrame, items: list[_SortItem]) -> DataFrame:
@@ -1246,7 +1379,7 @@ class EsqlPlan:
                 cols.append(c)
             return d.orderBy(*cols)
 
-        for kind, payload in self.stages:
+        for kind, payload in stages:
             if kind == "where":
                 df = df.filter(F.expr(_emit(payload, "spark")))
             elif kind == "eval":
@@ -1255,7 +1388,8 @@ class EsqlPlan:
             elif kind == "stats":
                 aggs, keys = payload
                 cols = [
-                    self._agg_spark(e).alias(name) for name, e, _ in aggs
+                    self._agg_spark(e, filt).alias(name)
+                    for name, e, _, filt in aggs
                 ]
                 df = df.groupBy(*keys).agg(*cols) if keys else df.agg(*cols)
             elif kind == "sort":
@@ -1312,14 +1446,43 @@ class EsqlPlan:
                     col, *[f for f, _ in fields]
                 )
                 df = df.join(F.broadcast(lk), on=col, how="left")
+            elif kind == "sample":
+                from ..operators.dedup import h64
+
+                id_col, permille = payload
+                df = df.filter(
+                    F.pmod(h64(F.col(id_col).cast("string")), F.lit(1000))
+                    < permille
+                )
+            elif kind == "fork":
+                # branch trailing SORTs (without LIMIT) are no-ops: the
+                # union destroys order in both engines.
+                parts = []
+                for j, (bstages, _bschema) in enumerate(payload, start=1):
+                    b = self._apply_stages(df, bstages, spark, sf_dir)
+                    parts.append(b.withColumn("_fork", F.lit(f"fork{j}")))
+                out = parts[0]
+                for b in parts[1:]:
+                    out = out.unionByName(b, allowMissingColumns=True)
+                df = out
         _ = pending_sort
         return df
 
     @staticmethod
-    def _agg_spark(e: Func):
+    def _agg_spark(e: Func, filt=None):
+        # Filtered aggregate (`agg WHERE cond`, ES 8.16): every supported
+        # aggregate ignores NULL inputs, so masking the argument with
+        # WHEN(cond) is exactly SQL's FILTER clause.
+        cond = F.expr(_emit(filt, "spark")) if filt is not None else None
         if e.name == "COUNT_STAR":
-            return F.count(F.lit(1))
+            return (
+                F.count(F.when(cond, F.lit(1)))
+                if cond is not None
+                else F.count(F.lit(1))
+            )
         arg = F.expr(_emit(e.args[0], "spark"))
+        if cond is not None:
+            arg = F.when(cond, arg)
         if e.name == "COUNT":
             return F.count(arg)
         if e.name == "SUM":
@@ -1349,7 +1512,20 @@ class EsqlPlan:
         else:
             prev = self.source
         schema = dict(_BASE_SCHEMAS[self.source])
-        i = 0
+        prev, _i, schema, order_tail = self._stages_duck(
+            self.stages, ctes, prev, 0, schema
+        )
+        body = f"WITH {', '.join(ctes)} " if ctes else ""
+        return f"{body}SELECT * FROM {prev}{order_tail}"
+
+    def _stages_duck(
+        self,
+        stages: list[tuple],
+        ctes: list[str],
+        prev: str,
+        i: int,
+        schema: dict,
+    ) -> tuple[str, int, dict, str]:
         order_tail = ""
 
         def add(select_sql: str) -> None:
@@ -1358,7 +1534,7 @@ class EsqlPlan:
             prev = f"e{i}"
             i += 1
 
-        for kind, payload in self.stages:
+        for kind, payload in stages:
             if kind == "where":
                 nonlocal_sql = _emit(payload, "duck")
                 ctes.append(
@@ -1377,8 +1553,9 @@ class EsqlPlan:
             elif kind == "stats":
                 aggs, keys = payload
                 parts = list(keys)
-                for name, e, rett in aggs:
-                    parts.append(f"{self._agg_duck(e, rett)} AS {name}")
+                for name, e, rett, filt in aggs:
+                    fs = _emit(filt, "duck") if filt is not None else None
+                    parts.append(f"{self._agg_duck(e, rett, fs)} AS {name}")
                 sel = ", ".join(parts)
                 group = (
                     f" GROUP BY {', '.join(keys)}" if keys else ""
@@ -1387,7 +1564,7 @@ class EsqlPlan:
                 prev = f"e{i}"
                 i += 1
                 schema = {key: schema[key] for key in keys}
-                for name, _, rett in aggs:
+                for name, _, rett, _filt in aggs:
                     schema[name] = rett
             elif kind == "sort":
                 terms = []
@@ -1480,8 +1657,36 @@ class EsqlPlan:
                 i += 1
                 for f, t in fields:
                     schema[f] = t
-        body = f"WITH {', '.join(ctes)} " if ctes else ""
-        return f"{body}SELECT * FROM {prev}{order_tail}"
+            elif kind == "sample":
+                from ..operators.dedup import H64_SQL
+
+                id_col, permille = payload
+                h = H64_SQL.format(x=f"CAST({id_col} AS VARCHAR)")
+                ctes.append(
+                    f"e{i} AS (SELECT * FROM {prev} "
+                    f"WHERE ({h}) % 1000 < {permille})"
+                )
+                prev = f"e{i}"
+                i += 1
+            elif kind == "fork":
+                legs = []
+                for j, (bstages, _bschema) in enumerate(payload, start=1):
+                    bprev, i, _bs, _btail = self._stages_duck(
+                        bstages, ctes, prev, i, dict(schema)
+                    )
+                    legs.append(
+                        f"SELECT *, 'fork{j}' AS _fork FROM {bprev}"
+                    )
+                ctes.append(f"e{i} AS ({' UNION ALL BY NAME '.join(legs)})")
+                prev = f"e{i}"
+                i += 1
+                merged: dict = {}
+                for _, bs in payload:
+                    for c, t in bs.items():
+                        merged.setdefault(c, t)
+                merged["_fork"] = "string"
+                schema = merged
+        return prev, i, schema, order_tail
 
     @staticmethod
     def _agg_duck_window(e: Func, rett: str, partition: str) -> str:
@@ -1500,28 +1705,31 @@ class EsqlPlan:
         raise ValueError(f"ES|QL: bad inline aggregate {e.name}")
 
     @staticmethod
-    def _agg_duck(e: Func, rett: str) -> str:
+    def _agg_duck(e: Func, rett: str, filt_sql: str | None = None) -> str:
+        # FILTER binds to the aggregate call; any CAST wraps the filtered
+        # call (`CAST(count(*) FILTER (WHERE c) AS BIGINT)`).
+        tail = f" FILTER (WHERE {filt_sql})" if filt_sql else ""
         if e.name == "COUNT_STAR":
-            return "CAST(count(*) AS BIGINT)"
+            return f"CAST(count(*){tail} AS BIGINT)"
         arg = _emit(e.args[0], "duck")
         if e.name == "COUNT":
-            return f"CAST(count({arg}) AS BIGINT)"
+            return f"CAST(count({arg}){tail} AS BIGINT)"
         if e.name == "SUM":
             cast = "BIGINT" if rett == "long" else "DOUBLE"
-            return f"CAST(sum({arg}) AS {cast})"
+            return f"CAST(sum({arg}){tail} AS {cast})"
         if e.name == "AVG":
-            return f"avg({arg})"
+            return f"avg({arg}){tail}"
         if e.name == "MIN":
-            return f"min({arg})"
+            return f"min({arg}){tail}"
         if e.name == "MAX":
-            return f"max({arg})"
+            return f"max({arg}){tail}"
         if e.name == "COUNT_DISTINCT":
-            return f"CAST(count(DISTINCT {arg}) AS BIGINT)"
+            return f"CAST(count(DISTINCT {arg}){tail} AS BIGINT)"
         if e.name == "MEDIAN":
-            return f"CAST(median({arg}) AS DOUBLE)"
+            return f"CAST(median({arg}){tail} AS DOUBLE)"
         if e.name == "PERCENTILE":
             p = e.args[1].value
-            return f"quantile_cont({arg}, {p / 100.0!r})"
+            return f"quantile_cont({arg}, {p / 100.0!r}){tail}"
         raise ValueError(f"ES|QL: bad aggregate {e.name}")
 
 

@@ -102,6 +102,28 @@ PROGRAMS = [
     '| KEEP doc_id, lang, rel, lang_n | SORT doc_id ASC | LIMIT 12',
     'FROM corpus | INLINESTATS gmax = MAX(n_chars) '
     '| WHERE n_chars == gmax | KEEP doc_id, n_chars | SORT doc_id ASC',
+    # ES 8.16 filtered aggregates (`agg WHERE cond`)
+    'FROM corpus | STATS en = COUNT(*) WHERE lang == "en", '
+    'total = COUNT(*), avg_long = AVG(n_chars) WHERE n_chars > 500, '
+    'med_web = MEDIAN(n_chars) WHERE source == "web" BY source '
+    '| EVAL avg_long = ROUND(avg_long, 4), med_web = ROUND(med_web, 4) '
+    '| SORT source ASC',
+    # SAMPLE (8.19): deterministic hash membership, stable across engines
+    'FROM corpus | SAMPLE 0.25 | STATS n = COUNT(*), c = SUM(n_chars)',
+    'FROM events | SAMPLE 0.5 '
+    '| STATS s = SUM(value) WHERE event_type == "click", n = COUNT(*) '
+    'BY event_type | SORT event_type ASC',
+    # FORK (8.19): branch union + _fork discriminator; NULL-filled columns
+    'FROM corpus | FORK (WHERE lang == "en" | STATS n = COUNT(*) BY source) '
+    '(STATS n = COUNT(*) BY lang) '
+    '| SORT _fork ASC, source ASC NULLS LAST, lang ASC NULLS LAST',
+    # FORK branches with their own EVAL/KEEP/SORT/LIMIT chains
+    'FROM corpus | FORK '
+    '(WHERE lang == "en" | EVAL k = n_chars * 2 | KEEP doc_id, k '
+    '| SORT k ASC, doc_id ASC | LIMIT 3) '
+    '(WHERE lang == "de" | KEEP doc_id, n_chars '
+    '| SORT n_chars DESC, doc_id ASC | LIMIT 3) '
+    '| SORT _fork ASC, doc_id ASC',
 ]
 
 
@@ -184,6 +206,51 @@ def test_mv_expand_multiplies_rows(spark, sf_dir):
     assert one == ntoks > 1
 
 
+def test_sample_is_deterministic_subset(spark, sf_dir):
+    full = {
+        r.doc_id
+        for r in E.execute_esql(
+            spark, sf_dir, "FROM corpus | KEEP doc_id"
+        ).collect()
+    }
+    prog = "FROM corpus | SAMPLE 0.3 | KEEP doc_id"
+    s1 = {r.doc_id for r in E.execute_esql(spark, sf_dir, prog).collect()}
+    s2 = {r.doc_id for r in E.execute_esql(spark, sf_dir, prog).collect()}
+    assert s1 == s2  # RNG-free: identical membership on re-run
+    assert s1 < full  # proper subset
+    # roughly the requested rate (hash-uniform; generous band)
+    assert 0.15 < len(s1) / len(full) < 0.45
+
+
+def test_stats_where_equals_prefiltered(spark, sf_dir):
+    filtered = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | STATS en = COUNT(*) WHERE lang == "en"',
+    ).collect()[0].en
+    pre = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | WHERE lang == "en" | STATS en = COUNT(*)',
+    ).collect()[0].en
+    assert filtered == pre > 0
+
+
+def test_fork_null_fill_and_labels(spark, sf_dir):
+    df = E.execute_esql(
+        spark, sf_dir,
+        "FROM corpus | FORK "
+        "(STATS n = COUNT(*) BY lang) "
+        "(STATS n = COUNT(*))",
+    )
+    rows = df.collect()
+    assert set(df.columns) == {"lang", "n", "_fork"}
+    f1 = [r for r in rows if r._fork == "fork1"]
+    f2 = [r for r in rows if r._fork == "fork2"]
+    assert f1 and len(f2) == 1
+    assert all(r.lang is not None for r in f1)
+    assert f2[0].lang is None  # missing column NULL-filled
+    assert f2[0].n == sum(r.n for r in f1)
+
+
 def test_limit_without_sort_is_bounded(spark, sf_dir):
     df = E.execute_esql(spark, sf_dir, "FROM corpus | LIMIT 4")
     assert df.count() == 4
@@ -219,6 +286,14 @@ BAD = [
     "FROM corpus | EVAL b = BUCKET(n_chars, 0)",      # non-positive width
     "FROM corpus | EVAL b = BUCKET(n_chars, lang)",   # non-literal width
     "FROM corpus | INLINESTATS m = MEDIAN(n_chars)",  # unsupported inline
+    "FROM corpus | STATS n = COUNT(*) WHERE n_chars",  # non-bool agg filter
+    "FROM corpus | SAMPLE 1.5",                        # probability > 1
+    "FROM corpus | SAMPLE 0.0001",                     # below 1 permille
+    "FROM corpus | KEEP text | SAMPLE 0.2",            # identity col gone
+    "FROM corpus | FORK (LIMIT 5)",                    # one branch
+    'FROM corpus | FORK (EVAL x = 1) (EVAL x = "a")',  # branch type clash
+    "FROM corpus | FORK (FORK (LIMIT 1) (LIMIT 2)) (LIMIT 3)",  # nested
+    'FROM corpus | FORK (EVAL _fork = "x") (LIMIT 1)',  # reserved _fork
 ]
 
 
