@@ -277,6 +277,34 @@ RETRIEVER_BODIES = {
         }}},
         "size": 12,
     }, False),
+    # rule retriever (ES 8.15): ruleset evaluated against the request
+    # metadata — one applying pin rule, one non-applying, one exclude
+    # rule that also covers a pinned id (exclusion wins)
+    "retriever_rule": ({
+        "retriever": {"rule": {
+            "match_criteria": {"user_segment": "power",
+                               "query_age_days": 3},
+            "ruleset": [
+                {"criteria": [{"type": "exact",
+                               "metadata": "user_segment",
+                               "values": ["power"]}],
+                 "type": "pinned", "ids": [11, 5]},
+                {"criteria": [{"type": "prefix",
+                               "metadata": "user_segment",
+                               "values": ["admin"]}],
+                 "type": "pinned", "ids": [77]},
+                {"criteria": [{"type": "lte",
+                               "metadata": "query_age_days",
+                               "values": [7]}],
+                 "type": "exclude", "ids": [5, 23]},
+            ],
+            "retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"match": {"text": "spark merge"}}}},
+                {"standard": {"query": {"match": {"text": "the data"}}}},
+            ], "rank_window_size": 20, "rank_constant": 60}},
+        }},
+        "size": 10,
+    }, False),
 }
 
 COMPOUND_BATCH_SPECS = {

@@ -24,6 +24,12 @@ Node vocabulary:
            text_similarity_reranker {retriever, rank_window_size,
              query_vec_id, min_score?}
            pinned {ids, retriever}     ES 8.18 pinned retriever
+           rule {ruleset, match_criteria, retriever}   ES 8.15 rule
+             retriever: the ruleset is evaluated against the request
+             metadata on the driver (coordinator logic shared verbatim by
+             all three walkers — rules.applied_rules), pins lead in rule
+             order, excluded ids are removed (exclusion wins over a pin);
+             the child is over-fetched by |excludes| so the page fills
 
 Scale shape: every leaf is the verified top-window retrieval; everything
 above a leaf operates on <= rank_window_size rows per leg (rank windows
@@ -189,6 +195,27 @@ def _pinned(ctx: dict, spec: dict, k: int) -> DataFrame:
     )
 
 
+def _rule(ctx: dict, spec: dict, k: int) -> DataFrame:
+    from .rules import applied_rules
+
+    pins, excl = applied_rules(
+        spec["ruleset"], spec.get("match_criteria", {})
+    )
+    pins = [d for d in pins if d not in set(excl)]  # exclusion wins
+    child = execute_retriever(ctx, spec["retriever"], k=k + len(excl))
+    drop = [int(d) for d in {*pins, *excl}]
+    organic = (
+        child.filter(~F.col("doc_id").isin(drop)) if drop else child
+    ).select("doc_id", "score")
+    if pins:
+        pdf = child.sparkSession.createDataFrame(
+            [(doc, PIN_BASE - pos) for pos, doc in enumerate(pins)],
+            "doc_id bigint, score double",
+        )
+        organic = pdf.unionByName(organic)
+    return organic.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 # ------------------------------------------------------------ public API
 
 
@@ -215,6 +242,8 @@ def execute_retriever(ctx: dict, node: dict, k: int = 10) -> DataFrame:
         return _tsr(ctx, spec, k)
     if kind == "pinned":
         return _pinned(ctx, spec, k)
+    if kind == "rule":
+        return _rule(ctx, spec, k)
     raise ValueError(f"unknown retriever type {kind!r}")
 
 
@@ -348,6 +377,36 @@ def _sql(node: dict, k: int) -> str:
             f"WHERE c.doc_id NOT IN ({idlist})) u "
             f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
         )
+    if kind == "rule":
+        from .rules import applied_rules
+
+        pins, excl = applied_rules(
+            spec["ruleset"], spec.get("match_criteria", {})
+        )
+        pins = [d for d in pins if d not in set(excl)]
+        child = _sql(spec["retriever"], k + len(excl))
+        drop = sorted({*pins, *excl})
+        where = (
+            f" WHERE c.doc_id NOT IN ({', '.join(str(d) for d in drop)})"
+            if drop
+            else ""
+        )
+        organic = f"SELECT doc_id, score FROM ({child}) c{where}"
+        if pins:
+            vals = ", ".join(
+                f"({doc}, {PIN_BASE - pos!r})"
+                for pos, doc in enumerate(pins)
+            )
+            organic = (
+                f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+                f"CAST(score AS DOUBLE) AS score "
+                f"FROM (VALUES {vals}) p(doc_id, score) "
+                f"UNION ALL {organic}"
+            )
+        return (
+            f"SELECT doc_id, score FROM ({organic}) u "
+            f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+        )
     raise ValueError(f"unknown retriever type {kind!r}")
 
 
@@ -444,6 +503,20 @@ def _local(index: dict, emb_path: str | None, node: dict, k: int) -> list:
         out = [
             (doc, PIN_BASE - pos) for pos, doc in enumerate(ids)
         ] + [(d, s) for d, s in child if d not in set(ids)]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+    if kind == "rule":
+        from .rules import applied_rules
+
+        pins, excl = applied_rules(
+            spec["ruleset"], spec.get("match_criteria", {})
+        )
+        pins = [d for d in pins if d not in set(excl)]
+        child = _local(index, emb_path, spec["retriever"], k + len(excl))
+        drop = {*pins, *excl}
+        out = [(doc, PIN_BASE - pos) for pos, doc in enumerate(pins)] + [
+            (d, s) for d, s in child if d not in drop
+        ]
         out.sort(key=lambda t: (-t[1], t[0]))
         return out[:k]
     raise ValueError(f"unknown retriever type {kind!r}")

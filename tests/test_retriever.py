@@ -76,6 +76,26 @@ BODIES = [
              "weight": 0.3},
         ], "rank_window_size": 20},
     }}}, "size": 12},
+    # rule retriever (ES 8.15): applying pin rule + non-applying rule +
+    # exclude rule that also covers a pinned id (exclusion wins)
+    {"retriever": {"rule": {
+        "match_criteria": {"user_segment": "power", "query_age_days": 3},
+        "ruleset": [
+            {"criteria": [{"type": "exact", "metadata": "user_segment",
+                           "values": ["power"]}],
+             "type": "pinned", "ids": [11, 5]},
+            {"criteria": [{"type": "prefix", "metadata": "user_segment",
+                           "values": ["admin"]}],
+             "type": "pinned", "ids": [77]},
+            {"criteria": [{"type": "lte", "metadata": "query_age_days",
+                           "values": [7]}],
+             "type": "exclude", "ids": [5, 23]},
+        ],
+        "retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "spark merge"}}}},
+            {"standard": {"query": {"match": {"text": "the data"}}}},
+        ], "rank_window_size": 20, "rank_constant": 60}},
+    }}, "size": 10},
 ]
 
 
@@ -129,6 +149,20 @@ def test_linear_constant_leg_maps_to_one(ctx, spark):
     }).collect()
     assert sorted(r.doc_id for r in rows) == [3, 5, 9]
     assert all(abs(r.score - 0.5) < 1e-9 for r in rows)
+
+
+def test_rule_retriever_pin_order_and_exclusion_wins(ctx):
+    body = BODIES[-1]
+    rows = R.retriever_search(ctx, body).collect()
+    ids = [r.doc_id for r in rows]
+    assert ids[0] == 11  # the applying rule's pin leads
+    assert 5 not in ids  # pinned AND excluded -> excluded
+    assert 23 not in ids  # excluded organic id
+    # the non-applying rule's pin gets no special treatment: if 77
+    # appears at all it carries an organic score, never a pin score
+    assert all(
+        r.score < R.PIN_BASE - 10 for r in rows if r.doc_id == 77
+    )
 
 
 def test_local_twin_identity(ctx, sf_dir, tmp_path):
