@@ -455,6 +455,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_counts": lambda spark, sf: training.skipgram_counts(
             load_corpus(spark, sf), window=2, top=30
         ),
+        # NEW (r4, session 12): PMI collocation mining (word2vec phrase
+        # detection statistic) — one tokenize, two keyed hash aggs,
+        # support filter BEFORE the unigram joins, totals broadcast
+        "collocations_pmi": lambda spark, sf: training.collocations_pmi(
+            load_corpus(spark, sf), min_count=5, top=30
+        ),
         # NEW (r4, session 11): ES 8.10 query rules — ruleset criteria
         # evaluated against request metadata on the driver (the ES
         # coordinator rewrite), pins/excludes served by the verified
@@ -1756,6 +1762,9 @@ FROM corpus ORDER BY doc_id
         "semantic_topk": semq.semantic_topk_sql("spark merge batch", k=10),
         "dedup_keep_best": dedup.dedup_components_keep_best_sql(),
         "skipgram_counts": training.skipgram_counts_sql(window=2, top=30),
+        "collocations_pmi": training.collocations_pmi_sql(
+            min_count=5, top=30
+        ),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),
         "geo_polygon": geo.geo_polygon_sql(k=50),

@@ -849,6 +849,10 @@ def main() -> None:
             lambda: trp.skipgram_counts(corpus, window=2, top=30),
         )
         timed_pl(
+            "collocations_pmi_sec",
+            lambda: trp.collocations_pmi(corpus, min_count=5, top=30),
+        )
+        timed_pl(
             "fingerprint_dedup_sec",
             lambda: ddp.fingerprint_dedup(corpus, top=20),
         )

@@ -1889,3 +1889,121 @@ FROM pairs GROUP BY w1, w2
 ORDER BY cnt DESC, w1 ASC, w2 ASC
 LIMIT {int(top)}
 """
+
+
+# --- PMI collocations (phrase mining) -----------------------------------------
+
+
+def collocations_pmi(
+    corpus: DataFrame, min_count: int = 5, top: int = 30
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the statistic
+    behind word2vec's phrase detection (Mikolov et al. 2013 §4) and
+    classic collocation extraction: ordered ADJACENT bigrams scored by
+
+        pmi = ln( P(w1,w2) / (P(w1) * P(w2)) )
+            = ln( (c_ab / N_bi) / ((c_a / N_tok) * (c_b / N_tok)) )
+
+    with a `min_count` support floor (PMI is degenerate for rare pairs).
+
+    Scale shape: ONE tokenize materialized as a column (the tokenize-once
+    rule), two keyed hash aggs with map-side combine (unigrams, bigrams),
+    the support filter applied BEFORE the joins so only surviving bigrams
+    (typically << vocab) join the unigram table twice (equi-joins on the
+    term key — AQE broadcasts the survivors at small scale, shuffles at
+    vocab scale), totals as a broadcast 1-row cross join.  No self-join,
+    no window; the identical plan at any corpus size.
+
+    Returns (w1, w2, cnt, pmi) ordered pmi desc / cnt desc / w1 / w2,
+    limit `top`.  `pmi` is ROUND(x, 4)-ed in both engines (the repo float
+    convention).
+
+    Reference analogue: the reference delegates all corpus statistics to
+    ES; this is first-class LLM-pipeline surface (training-corpus phrase
+    vocabulary induction)."""
+    from ..functions.tokenizer import tokens
+
+    if int(min_count) < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = corpus.select(tokens("text").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n = F.greatest(F.size("toks") - 1, F.lit(0))
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n),
+                F.slice(F.col("toks"), 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    totals = uni.agg(F.sum("cw").alias("ntok")).crossJoin(
+        bcnt.agg(F.sum("cab").alias("nbi"))
+    )
+    cand = bcnt.filter(F.col("cab") >= int(min_count))
+    j = (
+        cand.join(
+            uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")),
+            on="w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cab") / F.col("nbi"))
+            / ((F.col("c1") / F.col("ntok")) * (F.col("c2") / F.col("ntok")))
+        ),
+        4,
+    )
+    return (
+        j.select(
+            "w1", "w2", F.col("cab").alias("cnt"), pmi.alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(int(top))
+    )
+
+
+def collocations_pmi_sql(min_count: int = 5, top: int = 30) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+uni AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(toks) AS w FROM tokd) GROUP BY w
+),
+big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2
+  FROM tokd, LATERAL (SELECT unnest(
+    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p)
+),
+bcnt AS (SELECT w1, w2, count(*) AS cab FROM big GROUP BY w1, w2),
+totals AS (
+  SELECT (SELECT sum(cw) FROM uni) AS ntok,
+         (SELECT sum(cab) FROM bcnt) AS nbi
+)
+SELECT b.w1, b.w2, b.cab AS cnt,
+       round(ln((b.cab / t.nbi) /
+                ((u1.cw / t.ntok) * (u2.cw / t.ntok))), 4) AS pmi
+FROM bcnt b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN totals t
+WHERE b.cab >= {int(min_count)}
+ORDER BY pmi DESC, cnt DESC, b.w1 ASC, b.w2 ASC
+LIMIT {int(top)}
+"""

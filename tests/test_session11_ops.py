@@ -592,6 +592,65 @@ def test_skipgram_window_must_be_positive(spark, sf_dir):
         training.skipgram_counts(load_corpus(spark, sf_dir), window=0)
 
 
+# --- PMI collocations -------------------------------------------------------------
+
+def test_collocations_pmi_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    for mc in (2, 5):
+        got = training.collocations_pmi(
+            load_corpus(spark, sf_dir), min_count=mc, top=25
+        )
+        want = duck.execute(
+            training.collocations_pmi_sql(min_count=mc, top=25)
+        ).df()
+        assert_same(got, want)
+
+
+def test_collocations_pmi_matches_bruteforce(spark, sf_dir):
+    """Hand-computed PMI over the tokenized docs agrees (values and
+    support filter)."""
+    import math
+    from collections import Counter
+
+    from telegram2elastic_spark.functions.tokenizer import py_tokenize
+    from telegram2elastic_spark.operators import training
+
+    corpus = load_corpus(spark, sf_dir).limit(40)
+    texts = [r["text"] for r in corpus.collect()]
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = py_tokenize(t)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    ntok, nbi = sum(uni.values()), sum(big.values())
+    MC = 3
+    want = {
+        (a, b): (
+            c,
+            round(
+                math.log((c / nbi) / ((uni[a] / ntok) * (uni[b] / ntok))), 4
+            ),
+        )
+        for (a, b), c in big.items()
+        if c >= MC
+    }
+    got = {
+        (r["w1"], r["w2"]): (r["cnt"], r["pmi"])
+        for r in training.collocations_pmi(
+            corpus, min_count=MC, top=10**6
+        ).collect()
+    }
+    assert got == want
+
+
+def test_collocations_pmi_min_count_validation(spark, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    with pytest.raises(ValueError):
+        training.collocations_pmi(load_corpus(spark, sf_dir), min_count=0)
+
+
 # --- quality-aware cluster dedup -------------------------------------------------
 
 def test_keep_best_vs_oracle(spark, duck, sf_dir):
