@@ -461,6 +461,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": lambda spark, sf: training.collocations_pmi(
             load_corpus(spark, sf), min_count=5, top=30
         ),
+        # NEW (r4, session 12): ES geohash_grid agg — base-32 geohash
+        # cells via one float quantization per axis + exact integer bit
+        # interleaving (equals textbook interval halving; pinned against
+        # the published test vectors); one scan, one hash agg
+        "geohash_grid": lambda spark, sf: geo.geohash_grid(
+            load_corpus(spark, sf), precision=4, k=10
+        ),
         # NEW (r4, session 11): ES 8.10 query rules — ruleset criteria
         # evaluated against request metadata on the driver (the ES
         # coordinator rewrite), pins/excludes served by the verified
@@ -1765,6 +1772,7 @@ FROM corpus ORDER BY doc_id
         "collocations_pmi": training.collocations_pmi_sql(
             min_count=5, top=30
         ),
+        "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),
         "geo_polygon": geo.geo_polygon_sql(k=50),

@@ -526,3 +526,114 @@ WHERE ({total}) % 2 = 1
 ORDER BY doc_id
 LIMIT {{k}}
 """.format(cte=CORPUS_CTE.strip(), k=int(k), total=total)
+
+
+# --- ES geohash_grid aggregation -----------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_grid(
+    corpus: DataFrame, precision: int = 4, k: int = 10
+) -> DataFrame:
+    """ES `geohash_grid` aggregation: base-32 geohash cells at
+    `precision` chars, doc counts, top-k by count desc / hash asc.
+
+    Geohash interleaves longitude and latitude bits MSB-first (lon takes
+    the even bit positions, so with 5p total bits lon gets ceil(5p/2)
+    and lat floor(5p/2)); interval halving is equivalent to ONE uniform
+    quantization per axis followed by bit interleaving, which is how
+    both engines compute it here — integer shifts and masks on the
+    quantized cells, so after the single float floor the entire encoding
+    is exact integer arithmetic (no per-bit float halving to diverge).
+    One scan, one hash agg on the geohash key; at 100 TB the key is as
+    groupable as any low-cardinality string (4-char geohash = <= 32^4
+    cells).
+
+    Reference analogue: ES-side map facets implied by the Kibana serving
+    path (README.md:5); geotile_grid's sibling with ES's default cell
+    scheme."""
+    p = int(precision)
+    if not 1 <= p <= 8:
+        raise ValueError("precision must be in [1, 8]")
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    df = _latlon(corpus)
+    lon_q = F.floor(
+        (F.col("lon") + 180.0) / 360.0 * float(1 << lon_bits)
+    ).cast("long")
+    lat_q = F.floor(
+        (F.col("lat") + 90.0) / 180.0 * float(1 << lat_bits)
+    ).cast("long")
+    lon_q = F.least(F.lit((1 << lon_bits) - 1), lon_q)
+    lat_q = F.least(F.lit((1 << lat_bits) - 1), lat_q)
+    df = df.select(lon_q.alias("lon_q"), lat_q.alias("lat_q"))
+    h = F.lit(0).cast("long")
+    for j in range(lon_bits):
+        bit = F.shiftright(F.col("lon_q"), lon_bits - 1 - j).bitwiseAND(1)
+        h = h + F.shiftleft(bit, total - 1 - 2 * j)
+    for j in range(lat_bits):
+        bit = F.shiftright(F.col("lat_q"), lat_bits - 1 - j).bitwiseAND(1)
+        h = h + F.shiftleft(bit, total - 2 - 2 * j)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH32),
+            (F.shiftright(h, 5 * (p - 1 - c)).bitwiseAND(31) + 1).cast(
+                "int"
+            ),
+            1,
+        )
+        for c in range(p)
+    ]
+    gh = F.concat(*chars)
+    return (
+        df.select(gh.alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gh"))
+        .limit(int(k))
+    )
+
+
+def geohash_grid_sql(precision: int = 4, k: int = 10) -> str:
+    p = int(precision)
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = (
+        f"least({(1 << lon_bits) - 1}, CAST(floor((lon + 180.0) / 360.0 * "
+        f"{float(1 << lon_bits)!r}) AS BIGINT))"
+    )
+    lat_q = (
+        f"least({(1 << lat_bits) - 1}, CAST(floor((lat + 90.0) / 180.0 * "
+        f"{float(1 << lat_bits)!r}) AS BIGINT))"
+    )
+    terms = []
+    for j in range(lon_bits):
+        terms.append(
+            f"(((lon_q >> {lon_bits - 1 - j}) & 1) "
+            f"<< {total - 1 - 2 * j})"
+        )
+    for j in range(lat_bits):
+        terms.append(
+            f"(((lat_q >> {lat_bits - 1 - j}) & 1) "
+            f"<< {total - 2 - 2 * j})"
+        )
+    hexpr = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH32}', CAST(((h >> {5 * (p - 1 - c)}) & 31) "
+        f"AS INTEGER) + 1, 1)"
+        for c in range(p)
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (SELECT {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus),
+q AS (SELECT {lon_q} AS lon_q, {lat_q} AS lat_q FROM geo),
+hh AS (SELECT {hexpr} AS h FROM q)
+SELECT {chars} AS gh, count(*) AS cnt
+FROM hh
+GROUP BY 1
+ORDER BY cnt DESC, gh ASC
+LIMIT {int(k)}
+"""

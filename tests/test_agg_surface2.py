@@ -51,3 +51,57 @@ def test_geotile_keys_in_range(spark, sf_dir):
     for r in rows:
         z, x, y = (int(p) for p in r["tile"].split("/"))
         assert z == 2 and 0 <= x < 4 and 0 <= y < 4
+
+
+@pytest.mark.parametrize("p", [2, 4, 6])
+def test_geohash_vs_oracle(spark, duck, sf_dir, p):
+    corpus = load_corpus(spark, sf_dir)
+    got = geo.geohash_grid(corpus, precision=p, k=10)
+    want = duck.execute(geo.geohash_grid_sql(precision=p, k=10)).df()
+    assert_same(got, want)
+
+
+def _classic_geohash(lat, lon, p):
+    """Independent reference: textbook interval-halving geohash."""
+    latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+    bits, even = [], True
+    while len(bits) < 5 * p:
+        r, x = (lonr, lon) if even else (latr, lat)
+        mid = (r[0] + r[1]) / 2
+        if x >= mid:
+            bits.append(1)
+            r[0] = mid
+        else:
+            bits.append(0)
+            r[1] = mid
+        even = not even
+    out = ""
+    for c in range(p):
+        v = 0
+        for b in bits[5 * c:5 * c + 5]:
+            v = v * 2 + b
+        out += geo.GEOHASH32[v]
+    return out
+
+
+def test_geohash_matches_classic_halving(spark, sf_dir):
+    """The quantize-then-interleave encoding equals textbook interval
+    halving on the corpus's derived 0.01-degree grid coordinates
+    (plus the standard published test vectors)."""
+    assert _classic_geohash(57.64911, 10.40744, 6) == "u4pruy"
+    assert _classic_geohash(-25.382708, -49.265506, 8) == "6gkzwgjz"
+    corpus = load_corpus(spark, sf_dir).limit(200)
+    rows = geo._latlon(corpus).select("doc_id", "lat", "lon").collect()
+    got = {
+        r["gh"]
+        for r in geo.geohash_grid(corpus, precision=5, k=10**6)
+        .select("gh")
+        .collect()
+    }
+    want = {_classic_geohash(r.lat, r.lon, 5) for r in rows}
+    assert got == want
+
+
+def test_geohash_precision_validation(spark, sf_dir):
+    with pytest.raises(ValueError):
+        geo.geohash_grid(load_corpus(spark, sf_dir), precision=0)
