@@ -468,6 +468,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid": lambda spark, sf: geo.geohash_grid(
             load_corpus(spark, sf), precision=4, k=10
         ),
+        # NEW (r4, session 12): ES TSDB _downsample — fixed-interval
+        # rollup per time series (tsid = event_type): gauge quadruple
+        # (min/max/sum/value_count), counter last_value (deterministic
+        # by doc order), _doc_count; one (bucket, tsid)-keyed hash agg
+        "tsdb_downsample": lambda spark, sf: agg.downsample(
+            load_events(spark, sf), interval_hours=6
+        ),
+        # NEW (r4, session 12): ES children agg — parent-scope size-class
+        # buckets descend to the CHILD scope (child counts + metrics);
+        # |sites|-keyed parent rollup, labels broadcast back, no child
+        # shuffle
+        "agg_children": lambda spark, sf: parentchild.children_agg(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 12): ES reverse_nested agg — nested-scope term
+        # buckets with parent-scope metrics; the per-(parent, term)
+        # collapse IS the reverse_nested hop (one parent count per
+        # bucket), parent attrs ride the groupBy keys (no join-back)
+        "agg_reverse_nested": lambda spark, sf: nq.reverse_nested_agg(
+            load_corpus(spark, sf), lang="en", top=10
+        ),
         # NEW (r4, session 11): ES 8.10 query rules — ruleset criteria
         # evaluated against request metadata on the driver (the ES
         # coordinator rewrite), pins/excludes served by the verified
@@ -1773,6 +1794,9 @@ FROM corpus ORDER BY doc_id
             min_count=5, top=30
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
+        "tsdb_downsample": agg.downsample_sql(interval_hours=6),
+        "agg_children": parentchild.children_agg_sql(),
+        "agg_reverse_nested": nq.reverse_nested_agg_sql(lang="en", top=10),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),
         "geo_polygon": geo.geo_polygon_sql(k=50),

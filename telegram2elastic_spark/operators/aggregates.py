@@ -2158,3 +2158,54 @@ SELECT CAST(max(n) AS BIGINT) AS n_buckets,
        round(max(d), 5) AS ks_statistic
 FROM cdf
 """
+
+
+def downsample(events: DataFrame, interval_hours: int = 6) -> DataFrame:
+    """ES TSDB `_downsample` (8.5+): pre-aggregate a time-series index
+    into fixed-interval buckets per time series (dimension tuple).
+
+    Dimension (the tsid) is `event_type`; the gauge metric `value` keeps
+    the ES `aggregate_metric_double` quadruple (min, max, sum,
+    value_count), counter semantics keep last_value (latest by
+    `event_id` — unique doc order, so the pick is deterministic in both
+    engines), and `_doc_count` carries the bucket's original row count so
+    downstream aggregations over the downsampled index stay weightable
+    (the ES _doc_count field contract).
+
+    Plan: one scan, ONE hash aggregate keyed (bucket, tsid) with map-side
+    partial aggregation; at 10^12 rows the output cardinality is
+    |tsids| x buckets — tiny vs input — so the shuffle moves partial
+    states, not rows.  Reference analogue: the day-partitioned index
+    rollups the reference delegates to ES ILM (output.py index_suffix
+    day partitioning)."""
+    secs = int(interval_hours) * 3600
+    bucket = (F.floor(F.unix_timestamp("ts") / secs) * secs).cast("long")
+    return (
+        events.groupBy(bucket.alias("bucket_epoch"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.min("value"), 5).alias("value_min"),
+            F.round(F.max("value"), 5).alias("value_max"),
+            F.round(F.sum("value"), 5).alias("value_sum"),
+            F.count("value").alias("value_count"),
+            F.round(F.max_by("value", "event_id"), 5).alias("value_last"),
+        )
+        .orderBy("bucket_epoch", "event_type")
+    )
+
+
+def downsample_sql(interval_hours: int = 6) -> str:
+    secs = int(interval_hours) * 3600
+    return f"""
+SELECT CAST(floor(epoch(ts) / {secs}) * {secs} AS BIGINT) AS bucket_epoch,
+       event_type,
+       count(*) AS doc_count,
+       round(min(value), 5) AS value_min,
+       round(max(value), 5) AS value_max,
+       round(sum(value), 5) AS value_sum,
+       count(value) AS value_count,
+       round(arg_max(value, event_id), 5) AS value_last
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

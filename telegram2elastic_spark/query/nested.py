@@ -190,3 +190,73 @@ GROUP BY 1
 ORDER BY total_freq DESC, term ASC
 LIMIT {int(top)}
 """
+
+
+def reverse_nested_agg(
+    corpus: DataFrame, lang: str = "en", top: int = 10
+) -> DataFrame:
+    """ES `reverse_nested` aggregation: a terms bucketing in the NESTED
+    scope (per-token mention elements) whose metrics hop BACK to the
+    parent scope — each parent counts once per bucket no matter how many
+    of its elements landed there (the reverse_nested doc-count
+    contract), and parent-level fields (n_chars, source) become
+    per-bucket metrics a nested-scope agg cannot see.
+
+    Plan: posexplode-free token explode (linear per doc), per
+    (parent, term) collapse FIRST — that collapse IS the reverse_nested
+    hop, deduplicating elements per parent — then the term rollup.
+    Both shuffles key on term-sized axes; parent attributes ride the
+    first groupBy as functionally-dependent keys (no join-back).
+    Reference analogue: per-entity rollups over message mentions
+    (poc entity extraction), aggregated per chat."""
+    per = (
+        corpus.filter(F.col("lang") == lang)
+        .select(
+            "doc_id",
+            "n_chars",
+            "source",
+            F.explode(tokens("text")).alias("term"),
+        )
+        .groupBy("doc_id", "n_chars", "source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        per.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_parents"),
+            F.sum("freq").cast("bigint").alias("total_freq"),
+            F.round(F.avg("n_chars"), 5).alias("avg_parent_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("term"))
+        .limit(int(top))
+    )
+
+
+def reverse_nested_agg_sql(lang: str = "en", top: int = 10) -> str:
+    l = lang.replace("'", "''")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, n_chars, source,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus WHERE lang = '{l}'
+),
+el AS (
+  SELECT doc_id, n_chars, source, unnest(toks) AS term FROM tokd
+),
+per AS (
+  SELECT doc_id, n_chars, source, term, count(*) AS freq
+  FROM el GROUP BY 1, 2, 3, 4
+)
+SELECT term,
+       count(*) AS n_parents,
+       CAST(sum(freq) AS BIGINT) AS total_freq,
+       round(avg(n_chars), 5) AS avg_parent_chars,
+       count(DISTINCT source) AS n_sources
+FROM per
+GROUP BY 1
+ORDER BY total_freq DESC, term ASC
+LIMIT {int(top)}
+"""

@@ -180,3 +180,68 @@ WHERE {HOST_SQL} = 'site{int(site)}.example'
 ORDER BY doc_id
 LIMIT {int(limit)}
 """
+
+
+def children_agg(
+    corpus: DataFrame, small: int = 250, large: int = 400
+) -> DataFrame:
+    """ES `children` aggregation: a PARENT-scope terms bucketing (site
+    size class over the join field) that descends into the CHILD scope
+    per bucket — child doc counts and child-level metrics, which a
+    parent-only aggregation cannot see.
+
+    Shape: the parent axis is one hash aggregate (|sites| rows), its
+    size-class labels broadcast back onto the children (the ES
+    global-ordinals join, here an explicit broadcast hash join — no
+    shuffle of the child side), then one hash aggregate on the class
+    label.  At 10^12 children the only shuffle is the |sites|-keyed
+    parent rollup.  Reference analogue: chat-level classes over message
+    children (models.py archive_id grouping)."""
+    sites = (
+        corpus.withColumn("host", host_col())
+        .groupBy("host")
+        .agg(F.sum("n_chars").alias("site_chars"))
+    )
+    classed = sites.withColumn(
+        "size_class",
+        F.when(F.col("site_chars") < int(small), "small")
+        .when(F.col("site_chars") < int(large), "medium")
+        .otherwise("large"),
+    )
+    return (
+        corpus.withColumn("host", host_col())
+        .join(F.broadcast(classed.select("host", "size_class")), "host")
+        .groupBy("size_class")
+        .agg(
+            F.countDistinct("host").alias("n_sites"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_chars").cast("bigint").alias("child_chars"),
+            F.round(F.avg("n_chars"), 5).alias("avg_page_chars"),
+        )
+        .orderBy("size_class")
+    )
+
+
+def children_agg_sql(small: int = 250, large: int = 400) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+pages AS (SELECT doc_id, n_chars, {HOST_SQL} AS host FROM corpus),
+sites AS (
+  SELECT host, sum(n_chars) AS site_chars FROM pages GROUP BY host
+),
+classed AS (
+  SELECT host,
+         CASE WHEN site_chars < {int(small)} THEN 'small'
+              WHEN site_chars < {int(large)} THEN 'medium'
+              ELSE 'large' END AS size_class
+  FROM sites
+)
+SELECT c.size_class,
+       count(DISTINCT p.host) AS n_sites,
+       count(*) AS n_pages,
+       CAST(sum(p.n_chars) AS BIGINT) AS child_chars,
+       round(avg(p.n_chars), 5) AS avg_page_chars
+FROM pages p JOIN classed c ON p.host = c.host
+GROUP BY 1
+ORDER BY 1
+"""

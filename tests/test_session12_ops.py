@@ -1,0 +1,94 @@
+"""Session-12 ops: TSDB downsample, children agg, reverse_nested agg."""
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_corpus, load_events
+from telegram2elastic_spark.operators import aggregates as agg
+from telegram2elastic_spark.query import nested, parentchild
+
+from .oracle import assert_same
+
+
+@pytest.mark.parametrize("hours", [1, 6, 24])
+def test_downsample_vs_oracle(spark, duck, sf_dir, hours):
+    got = agg.downsample(load_events(spark, sf_dir), interval_hours=hours)
+    want = duck.execute(agg.downsample_sql(interval_hours=hours)).df()
+    assert_same(got, want)
+
+
+def test_downsample_bucket_alignment_and_mass(spark, sf_dir):
+    """Buckets are aligned to the interval, doc_count mass is conserved
+    (the _doc_count contract), and last_value picks the max event_id's
+    value inside its bucket."""
+    ev = load_events(spark, sf_dir)
+    out = agg.downsample(ev, interval_hours=6)
+    rows = out.collect()
+    secs = 6 * 3600
+    assert all(r["bucket_epoch"] % secs == 0 for r in rows)
+    assert sum(r["doc_count"] for r in rows) == ev.count()
+    # spot-check last_value for one (bucket, type) group
+    r0 = rows[0]
+    from pyspark.sql import functions as F
+
+    grp = ev.filter(
+        ((F.floor(F.unix_timestamp("ts") / secs) * secs) == r0["bucket_epoch"])
+        & (F.col("event_type") == r0["event_type"])
+    )
+    last = grp.orderBy(F.desc("event_id")).select("value").first()[0]
+    assert abs(r0["value_last"] - round(last, 5)) < 1e-9
+
+
+def test_children_agg_vs_oracle(spark, duck, sf_dir):
+    got = parentchild.children_agg(load_corpus(spark, sf_dir))
+    want = duck.execute(parentchild.children_agg_sql()).df()
+    assert_same(got, want)
+
+
+def test_children_agg_partitions_parents(spark, sf_dir):
+    """Every site lands in exactly one class and page mass is conserved
+    (child-scope counts really are child counts, not parent counts)."""
+    corpus = load_corpus(spark, sf_dir)
+    rows = parentchild.children_agg(corpus).collect()
+    n_hosts = corpus.selectExpr(
+        "regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS h"
+    ).distinct().count()
+    assert sum(r["n_sites"] for r in rows) == n_hosts
+    assert sum(r["n_pages"] for r in rows) == corpus.count()
+    assert len(rows) >= 2  # thresholds actually split the distribution
+
+
+def test_reverse_nested_vs_oracle(spark, duck, sf_dir):
+    got = nested.reverse_nested_agg(load_corpus(spark, sf_dir))
+    want = duck.execute(nested.reverse_nested_agg_sql()).df()
+    assert_same(got, want)
+
+
+def test_reverse_nested_counts_parent_once(spark):
+    """The reverse_nested doc count: a parent with the term repeated 5x
+    contributes 1 to n_parents (and 5 to total_freq)."""
+    from telegram2elastic_spark.corpus import as_corpus
+
+    docs = [
+        (1, "merge merge merge merge merge", "en", "srcA", 29),
+        (2, "merge once", "en", "srcB", 10),
+        (3, "no match here", "en", "srcA", 13),
+    ]
+    spark_df = as_corpus(
+        _spark_docs(docs)
+    )
+    out = {
+        r["term"]: r
+        for r in nested.reverse_nested_agg(spark_df, top=100).collect()
+    }
+    assert out["merge"]["n_parents"] == 2
+    assert out["merge"]["total_freq"] == 6
+    assert out["merge"]["n_sources"] == 2
+
+
+def _spark_docs(rows):
+    from telegram2elastic_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
