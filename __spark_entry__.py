@@ -120,6 +120,17 @@ DSL_BOOL_BODY = {
     },
     "size": 10,
 }
+MSEARCH_BODIES = [
+    DSL_BOOL_BODY,
+    {"query": {"match": {"text": {
+        "query": "spark merge batch", "minimum_should_match": 2}}},
+     "size": 8},
+    {"query": {"match_phrase": {"text": {
+        "query": "merge batch", "slop": 1}}}, "size": 6},
+    {"query": {"bool": {"must": [
+        {"match": {"text": "spark"}},
+        {"match_phrase": {"text": "the fast"}}]}}, "size": 4},
+]
 DSL_TEMPLATE_SRC = (
     '{"query": {"bool": {"must": [{"match": {"text": "{{q}}"}}],'
     ' "filter": {{#toJson}}filters{{/toJson}}}}, "size": {{k}}}'
@@ -488,6 +499,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucket), parent attrs ride the groupBy keys (no join-back)
         "agg_reverse_nested": lambda spark, sf: nq.reverse_nested_agg(
             load_corpus(spark, sf), lang="en", top=10
+        ),
+        # NEW (r4, session 12): ES _msearch — N request bodies as FEW
+        # Spark jobs: bodies routed into the widest batch kernel that
+        # expresses them (wand/phrase/compound batches share per-salt
+        # decode caches across bodies), legs unioned into one action,
+        # per-body size trimmed by a tiny rank window
+        "msearch_topk": lambda spark, sf: qdsl.msearch(
+            build_index(load_corpus(spark, sf), n_doc_parts=8,
+                        positions=True),
+            MSEARCH_BODIES,
         ),
         # NEW (r4, session 11): ES 8.10 query rules — ruleset criteria
         # evaluated against request metadata on the driver (the ES
@@ -1797,6 +1818,7 @@ FROM corpus ORDER BY doc_id
         "tsdb_downsample": agg.downsample_sql(interval_hours=6),
         "agg_children": parentchild.children_agg_sql(),
         "agg_reverse_nested": nq.reverse_nested_agg_sql(lang="en", top=10),
+        "msearch_topk": qdsl.msearch_sql(MSEARCH_BODIES),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),
         "geo_polygon": geo.geo_polygon_sql(k=50),

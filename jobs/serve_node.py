@@ -133,6 +133,12 @@ def main() -> None:
             from telegram2elastic_spark.query.dsl import execute_dsl_local
 
             return execute_dsl_local(idx, req["body"])
+        if op == "msearch":
+            # {"op": "msearch", "bodies": [{...}, {...}]} — per-body local
+            # dispatch, [(query_id, doc_id, score)]
+            from telegram2elastic_spark.query.dsl import msearch_local
+
+            return msearch_local(idx, req["bodies"])
         if op == "template":
             # {"op": "template", "source": "<mustache json>", "params": {...}}
             from telegram2elastic_spark.query.dsl import (

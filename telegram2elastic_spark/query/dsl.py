@@ -40,6 +40,7 @@ import json
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _text_clause(spec, knob: str) -> tuple[list[str], int]:
@@ -293,6 +294,160 @@ WHERE doc_id IN ({ids}) ORDER BY doc_id LIMIT {k}
         global_stats=bool(p.must_not or p.doc_filter),
         extra_pred=p.doc_filter,
     )
+
+
+def msearch(index: dict, bodies: list[dict]) -> DataFrame:
+    """ES `_msearch`: N request bodies answered as FEW Spark jobs.
+
+    Every body parses through the same `parse_dsl`; routing puts each
+    one in the WIDEST batch kernel that expresses it —
+
+    * terms bodies (match / bool, incl. per-body minimum_should_match,
+      must_not and filter context) -> ONE `wand_topk_batch`,
+    * unfiltered phrase bodies -> ONE `phrase_topk_batch` (per-body slop),
+    * terms+phrase bool bodies -> ONE `compound_topk_batch`,
+    * everything else (ids / fuzziness / sparse / prefix, filtered
+      phrases) -> its verified single-body dispatch,
+
+    and ALL legs are unioned into one DataFrame, so a `.collect()` is
+    still one Spark action; the batch kernels share their per-salt decode
+    caches across the bodies exactly as msearch shares segment readers in
+    ES.  Per-body `size` differs, so the batch legs run at max(size) and
+    a per-query rank window (over <= n_bodies x k rows) trims each body
+    back — ordering ties (score desc, doc_id asc) are the kernels' own.
+
+    Returns (query_id, doc_id, url, score), query_id = body position,
+    ordered by (query_id, score desc, doc_id)."""
+    from pyspark.sql.window import Window
+
+    from .compound import compound_topk, compound_topk_batch
+    from .phrase import phrase_topk, phrase_topk_batch
+    from .wand import wand_topk_batch
+
+    wand_q: dict[int, list[str]] = {}
+    wand_msm: dict[int, int] = {}
+    wand_excl: dict[int, list[str]] = {}
+    wand_filt: dict[int, str] = {}
+    phrase_q: dict[int, list[str]] = {}
+    phrase_slop: dict[int, int] = {}
+    comp_q: dict[int, tuple[list[str], list[str]]] = {}
+    comp_slop: dict[int, int] = {}
+    singles: list[tuple[int, int, DataFrame]] = []
+    sizes: dict[int, int] = {}
+    for qid, body in enumerate(bodies):
+        p, k = parse_dsl(body)
+        sizes[qid] = k
+        if (
+            p.ids is not None
+            or p.fuzziness is not None
+            or p.sparse is not None
+            or p.prefix is not None
+        ):
+            singles.append((qid, k, execute_dsl(index, body)))
+        elif p.phrase and p.terms:
+            if p.doc_filter:
+                singles.append(
+                    (qid, k, compound_topk(
+                        index, p.terms, p.phrase, k=k, slop=p.slop,
+                        doc_filter=p.doc_filter,
+                    ))
+                )
+            else:
+                comp_q[qid] = (p.terms, p.phrase)
+                comp_slop[qid] = p.slop
+        elif p.phrase:
+            if p.doc_filter:
+                singles.append(
+                    (qid, k, phrase_topk(
+                        index, p.phrase, k=k, slop=p.slop,
+                        doc_filter=p.doc_filter,
+                    ))
+                )
+            else:
+                phrase_q[qid] = p.phrase
+                phrase_slop[qid] = p.slop
+        else:
+            wand_q[qid] = p.terms
+            if p.msm:
+                wand_msm[qid] = p.msm
+            if p.must_not:
+                wand_excl[qid] = p.must_not
+            if p.doc_filter:
+                wand_filt[qid] = p.doc_filter
+    legs: list[DataFrame] = []
+    if wand_q:
+        legs.append(
+            wand_topk_batch(
+                index, wand_q, k=max(sizes[q] for q in wand_q),
+                min_should_match=wand_msm or None,
+                exclude_terms=wand_excl or None,
+                doc_filter=wand_filt or None,
+            )
+        )
+    if phrase_q:
+        legs.append(
+            phrase_topk_batch(
+                index, phrase_q, k=max(sizes[q] for q in phrase_q),
+                slop=phrase_slop,
+            )
+        )
+    if comp_q:
+        legs.append(
+            compound_topk_batch(
+                index, comp_q, k=max(sizes[q] for q in comp_q),
+                slop=comp_slop,
+            )
+        )
+    for qid, _k, df in singles:
+        if "url" not in df.columns:
+            df = df.join(index["doc_map"].select("doc_id", "url"), "doc_id")
+        legs.append(
+            df.select(
+                F.lit(int(qid)).alias("query_id"), "doc_id", "url", "score"
+            )
+        )
+    if not legs:
+        raise ValueError("msearch needs at least one body")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    # trim per-body size: the window runs over <= n_bodies x max_k rows
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    size_expr = F.create_map(
+        *[F.lit(v) for kv in sizes.items() for v in kv]
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= size_expr[F.col("query_id")])
+        .drop("_rk")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def msearch_sql(bodies: list[dict]) -> str:
+    """DuckDB oracle: each body's verified dsl_sql, query_id-tagged and
+    unioned (bodies outside dsl_sql's oracle subset raise, same contract
+    as the single-body oracle)."""
+    parts = [
+        f"SELECT {qid} AS query_id, * FROM ({dsl_sql(body)})"
+        for qid, body in enumerate(bodies)
+    ]
+    return (
+        "\nUNION ALL\n".join(parts)
+        + "\nORDER BY query_id, score DESC, doc_id ASC"
+    )
+
+
+def msearch_local(index: dict, bodies: list[dict]) -> list:
+    """Query-node twin: the same routing is pointless locally (no job
+    overhead to amortize) — each body runs its verified local dispatch;
+    [(query_id, doc_id, score)], rank-identical to msearch."""
+    out = []
+    for qid, body in enumerate(bodies):
+        out.extend((qid, d, s) for d, s in execute_dsl_local(index, body))
+    return out
 
 
 # --- search templates ---------------------------------------------------------

@@ -268,3 +268,63 @@ class TestValidateQuery:
         assert not dsl.validate_query(bad)["valid"]
         with pytest.raises(ValueError):
             dsl.execute_dsl(idx, bad)
+
+
+class TestMsearch:
+    """ES _msearch: batch routing onto the batch kernels."""
+
+    BODIES = [
+        BOOL_BODY,
+        {"query": {"match": {"text": {
+            "query": "spark merge batch", "minimum_should_match": 2}}},
+         "size": 8},
+        {"query": {"match_phrase": {"text": {
+            "query": "merge batch", "slop": 1}}}, "size": 6},
+        {"query": {"bool": {"must": [
+            {"match": {"text": "spark"}},
+            {"match_phrase": {"text": "the fast"}}]}}, "size": 4},
+    ]
+
+    def test_msearch_vs_oracle(self, spark, duck, sf_dir):
+        got = dsl.msearch(_idx(spark, sf_dir, positions=True), self.BODIES)
+        want = duck.execute(dsl.msearch_sql(self.BODIES)).df()
+        assert_same(got, want)
+
+    def test_msearch_identity_with_single_dispatch(self, spark, sf_dir):
+        """Each body's slice of the msearch result equals its own
+        execute_dsl run (same rounding, same tie-breaks, same size)."""
+        idx = _idx(spark, sf_dir, positions=True)
+        rows = dsl.msearch(idx, self.BODIES).collect()
+        for qid, body in enumerate(self.BODIES):
+            mine = [(r["doc_id"], r["score"]) for r in rows
+                    if r["query_id"] == qid]
+            solo = [(r["doc_id"], r["score"])
+                    for r in dsl.execute_dsl(idx, body).collect()]
+            assert mine == solo, f"body {qid} diverges"
+
+    def test_msearch_local_twin(self, spark, sf_dir):
+        idx = _idx(spark, sf_dir, positions=True)
+        got = [(r["query_id"], r["doc_id"], round(r["score"], 6))
+               for r in dsl.msearch(idx, self.BODIES).collect()]
+        lcl = [(q, d, round(s, 6))
+               for q, d, s in dsl.msearch_local(idx, self.BODIES)]
+        assert got == lcl
+
+    def test_msearch_single_leg_kinds(self, spark, sf_dir):
+        """ids / prefix bodies ride the singles leg and still come back
+        tagged and size-trimmed."""
+        idx = _idx(spark, sf_dir)
+        bodies = [
+            {"query": {"ids": {"values": [3, 1, 2]}}, "size": 2},
+            {"query": {"match": {"text": "spark merge"}}, "size": 3},
+        ]
+        rows = dsl.msearch(idx, bodies).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert [r["doc_id"] for r in by_q[0]] == [1, 2]
+        assert len(by_q[1]) == 3
+
+    def test_msearch_empty_raises(self, spark, sf_dir):
+        with pytest.raises(ValueError):
+            dsl.msearch(_idx(spark, sf_dir), [])
