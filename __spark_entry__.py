@@ -500,6 +500,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_reverse_nested": lambda spark, sf: nq.reverse_nested_agg(
             load_corpus(spark, sf), lang="en", top=10
         ),
+        # NEW (r4, session 12): ES _search_mvt — one web-mercator tile as
+        # the grid (aggs) + hits layers; tile predicate pushed to the
+        # scan, grid = one hash agg over <= 4^precision cells, hits a
+        # bounded TakeOrdered (the Kibana-maps serving endpoint)
+        "search_mvt": lambda spark, sf: geo.search_mvt(
+            load_corpus(spark, sf), z=2, x=1, y=1, grid_precision=5,
+            hits=10,
+        ),
         # NEW (r4, session 12): ES _msearch — N request bodies as FEW
         # Spark jobs: bodies routed into the widest batch kernel that
         # expresses them (wand/phrase/compound batches share per-salt
@@ -1819,6 +1827,9 @@ FROM corpus ORDER BY doc_id
         "agg_children": parentchild.children_agg_sql(),
         "agg_reverse_nested": nq.reverse_nested_agg_sql(lang="en", top=10),
         "msearch_topk": qdsl.msearch_sql(MSEARCH_BODIES),
+        "search_mvt": geo.search_mvt_sql(
+            z=2, x=1, y=1, grid_precision=5, hits=10
+        ),
         "rule_query": qrules.rule_query_sql(RULESET, RULE_MATCH, Q_MAIN, k=10),
         "mixture_sample": training.mixture_sample_sql(),
         "geo_polygon": geo.geo_polygon_sql(k=50),

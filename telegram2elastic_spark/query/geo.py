@@ -637,3 +637,128 @@ GROUP BY 1
 ORDER BY cnt DESC, gh ASC
 LIMIT {int(k)}
 """
+
+
+# --- ES _search_mvt (vector tile endpoint) ------------------------------------
+
+
+def search_mvt(
+    corpus: DataFrame,
+    z: int = 2,
+    x: int = 1,
+    y: int = 1,
+    extent: int = 4096,
+    grid_precision: int = 5,
+    hits: int = 10,
+) -> DataFrame:
+    """ES `_search_mvt` (the Kibana-maps serving endpoint): the contents
+    of ONE web-mercator tile as two layers — the protobuf envelope is
+    presentation, the layers are the relational contract.
+
+    * layer='grid': the `aggs` layer — occupied grid cells at
+      2^grid_precision x 2^grid_precision per tile (px, py = cell
+      coords), doc counts.
+    * layer='hits': the top-`hits` features (doc_id asc, the stable ES
+      sort for untyped hit layers), px/py = pixel position within the
+      `extent` x `extent` tile.
+
+    Determinism: tile membership and the two floors reuse geotile_grid's
+    argument — grid lat/lon are exact rationals while mercator boundaries
+    are transcendental, so no floor sits on a knife's edge and both
+    engines bin identically.  Scale shape: the tile predicate is a pure
+    comparison pushed to the scan (at 10^12 docs a lat/lon- or
+    geohash-partitioned layout prunes to the tile's partitions); the grid
+    layer is one hash agg over at most 4^grid_precision cells and the
+    hits layer a bounded TakeOrdered."""
+    n = float(1 << int(z))
+    cells = 1 << int(grid_precision)
+    df = _latlon(corpus)
+    lat_c = F.greatest(
+        F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("lat"))
+    )
+    rad = F.radians(lat_c)
+    xw = (F.col("lon") + 180.0) / 360.0 * n
+    yw = (1.0 - F.log(F.tan(rad) + 1.0 / F.cos(rad)) / math.pi) / 2.0 * n
+    df = (
+        df.withColumn("xf", xw - float(int(x)))
+        .withColumn("yf", yw - float(int(y)))
+        .filter(
+            (F.col("xf") >= 0.0) & (F.col("xf") < 1.0)
+            & (F.col("yf") >= 0.0) & (F.col("yf") < 1.0)
+        )
+    )
+    grid = (
+        df.select(
+            F.floor(F.col("xf") * cells).cast("long").alias("px"),
+            F.floor(F.col("yf") * cells).cast("long").alias("py"),
+        )
+        .groupBy("px", "py")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("grid").alias("layer"), "px", "py", "cnt",
+            F.lit(None).cast("long").alias("doc_id"),
+        )
+    )
+    hit = (
+        df.orderBy("doc_id")
+        .limit(int(hits))
+        .select(
+            F.lit("hits").alias("layer"),
+            F.floor(F.col("xf") * int(extent)).cast("long").alias("px"),
+            F.floor(F.col("yf") * int(extent)).cast("long").alias("py"),
+            F.lit(None).cast("long").alias("cnt"),
+            "doc_id",
+        )
+    )
+    return grid.unionByName(hit).orderBy(
+        "layer", "px", "py", F.asc_nulls_first("doc_id")
+    )
+
+
+def search_mvt_sql(
+    z: int = 2,
+    x: int = 1,
+    y: int = 1,
+    extent: int = 4096,
+    grid_precision: int = 5,
+    hits: int = 10,
+) -> str:
+    n = float(1 << int(z))
+    cells = 1 << int(grid_precision)
+    lat_c = "greatest(-85.05112878, least(85.05112878, lat))"
+    xw = f"(lon + 180.0) / 360.0 * {n!r}"
+    yw = (
+        f"(1.0 - ln(tan(radians({lat_c})) + 1.0 / cos(radians({lat_c})))"
+        f" / pi()) / 2.0 * {n!r}"
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (SELECT doc_id, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus),
+tile AS (
+  SELECT doc_id, {xw} - {float(int(x))!r} AS xf, {yw} - {float(int(y))!r} AS yf
+  FROM geo
+),
+intile AS (
+  SELECT * FROM tile WHERE xf >= 0.0 AND xf < 1.0 AND yf >= 0.0 AND yf < 1.0
+),
+grid AS (
+  SELECT 'grid' AS layer,
+         CAST(floor(xf * {cells}) AS BIGINT) AS px,
+         CAST(floor(yf * {cells}) AS BIGINT) AS py,
+         count(*) AS cnt,
+         CAST(NULL AS BIGINT) AS doc_id
+  FROM intile GROUP BY 2, 3
+),
+hit AS (
+  SELECT 'hits' AS layer,
+         CAST(floor(xf * {int(extent)}) AS BIGINT) AS px,
+         CAST(floor(yf * {int(extent)}) AS BIGINT) AS py,
+         CAST(NULL AS BIGINT) AS cnt,
+         doc_id
+  FROM intile ORDER BY doc_id LIMIT {int(hits)}
+)
+SELECT * FROM grid
+UNION ALL
+SELECT * FROM hit
+ORDER BY layer, px, py, doc_id ASC NULLS FIRST
+"""

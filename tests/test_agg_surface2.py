@@ -105,3 +105,33 @@ def test_geohash_matches_classic_halving(spark, sf_dir):
 def test_geohash_precision_validation(spark, sf_dir):
     with pytest.raises(ValueError):
         geo.geohash_grid(load_corpus(spark, sf_dir), precision=0)
+
+
+class TestSearchMvt:
+    @pytest.mark.parametrize("z,x,y,p", [(2, 1, 1, 5), (1, 0, 0, 3), (3, 7, 2, 8)])
+    def test_vs_oracle(self, spark, duck, sf_dir, z, x, y, p):
+        got = geo.search_mvt(
+            load_corpus(spark, sf_dir), z=z, x=x, y=y, grid_precision=p
+        )
+        want = duck.execute(
+            geo.search_mvt_sql(z=z, x=x, y=y, grid_precision=p)
+        ).df()
+        assert_same(got, want)
+
+    def test_layers_consistent(self, spark, sf_dir):
+        """Grid counts sum to the tile's doc population; hit pixels fall
+        inside the extent; every hit's coarse cell is an occupied grid
+        cell (the two layers describe the same tile)."""
+        corpus = load_corpus(spark, sf_dir)
+        rows = geo.search_mvt(
+            corpus, z=2, x=1, y=1, extent=4096, grid_precision=5, hits=10
+        ).collect()
+        grid = [r for r in rows if r["layer"] == "grid"]
+        hits = [r for r in rows if r["layer"] == "hits"]
+        cells = {(r["px"], r["py"]) for r in grid}
+        assert all(0 <= r["px"] < 4096 and 0 <= r["py"] < 4096 for r in hits)
+        # extent -> cell: shift by log2(4096/32) = 7 bits
+        assert all((r["px"] >> 7, r["py"] >> 7) in cells for r in hits)
+        n_in_tile = sum(r["cnt"] for r in grid)
+        assert 0 < n_in_tile < corpus.count()
+        assert len(hits) == min(10, n_in_tile)
