@@ -245,6 +245,12 @@ ESQL_PROGRAMS = {
         '(STATS n = COUNT(*) BY lang) '
         '| SORT _fork ASC, source ASC NULLS LAST, lang ASC NULLS LAST'
     ),
+    # NEW (r4, session 12): ROW literal source — the constant one-row
+    # relation ES|QL programs start from when there is no index
+    "esql_row": (
+        'ROW a = 1, label = "probe", x = 10 '
+        '| EVAL y = a + x * 2, ok = y > 5 | KEEP label, y, ok'
+    ),
 }
 
 # Retriever trees (search-API `retriever`, ES 8.14+): name -> (body,

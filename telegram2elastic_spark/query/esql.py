@@ -100,7 +100,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {
-    "FROM", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
+    "FROM", "ROW", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
     "ENRICH", "ON", "WITH", "LOOKUP", "JOIN", "INLINESTATS",
     "SAMPLE", "FORK",
@@ -974,14 +974,36 @@ class EsqlPlan:
         self.query = query
         segs = _split_pipes(_lex(query))
         p0 = _P(segs[0])
-        p0.expect("kw", "FROM")
-        src = p0.expect("name").text
-        if p0.peek() is not None:
-            raise ValueError("ES|QL: trailing tokens after FROM <table>")
-        if src not in _BASE_SCHEMAS:
-            raise ValueError(f"ES|QL: unknown source table {src!r}")
-        self.source = src
-        self.schema = dict(_BASE_SCHEMAS[src])
+        self.row_items: list | None = None
+        if p0.accept("kw", "ROW"):
+            # ES|QL ROW source: literal one-row relation (constant
+            # expressions only — the empty input schema enforces it)
+            items = []
+            while True:
+                name = p0.expect("name").text
+                p0.expect("op", "=")
+                e = p0.expr()
+                _typecheck(e, {})
+                items.append((name, e))
+                if not p0.accept("op", ","):
+                    break
+            if p0.peek() is not None:
+                raise ValueError("ES|QL: trailing tokens after ROW items")
+            if not items:
+                raise ValueError("ES|QL: ROW needs at least one item")
+            self.source = "__row__"
+            self.schema = {name: e.typ for name, e in items}
+            self.row_items = items
+        else:
+            p0.expect("kw", "FROM")
+            src = p0.expect("name").text
+            if p0.peek() is not None:
+                raise ValueError("ES|QL: trailing tokens after FROM <table>")
+            if src not in _BASE_SCHEMAS:
+                raise ValueError(f"ES|QL: unknown source table {src!r}")
+            self.source = src
+            self.schema = dict(_BASE_SCHEMAS[src])
+        self._schema0 = dict(self.schema)
         self.stages: list[tuple] = []  # (kind, payload)
         self.pending_sort: list[_SortItem] | None = None
         self._in_fork = False
@@ -1335,6 +1357,14 @@ class EsqlPlan:
     ) -> DataFrame:
         """Execute on Spark.  `tables` overrides the default sf_dir loaders
         (bench runs the program against the expanded corpus this way)."""
+        if self.row_items is not None:
+            df = spark.range(1).select(
+                *[
+                    F.expr(_emit(e, "spark")).alias(name)
+                    for name, e in self.row_items
+                ]
+            )
+            return self._apply_stages(df, self.stages, spark, sf_dir)
         if tables and self.source in tables:
             df = tables[self.source]
         else:
@@ -1506,12 +1536,18 @@ class EsqlPlan:
 
     def to_duckdb_sql(self) -> str:
         ctes: list[str] = []
-        if self.source == "corpus":
+        if self.row_items is not None:
+            items = ", ".join(
+                f"{_emit(e, 'duck')} AS {name}" for name, e in self.row_items
+            )
+            ctes.append(f"rowsrc AS (SELECT {items})")
+            prev = "rowsrc"
+        elif self.source == "corpus":
             ctes.append(CORPUS_CTE.strip())
             prev = "corpus"
         else:
             prev = self.source
-        schema = dict(_BASE_SCHEMAS[self.source])
+        schema = dict(self._schema0)
         prev, _i, schema, order_tail = self._stages_duck(
             self.stages, ctes, prev, 0, schema
         )

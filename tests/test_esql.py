@@ -367,3 +367,26 @@ def test_stages_fuse_into_single_agg_plan(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1  # only the agg's exchange
+
+
+class TestRow:
+    """ES|QL ROW literal source."""
+
+    def test_row_vs_oracle(self, spark, duck, sf_dir):
+        _same(spark, duck, sf_dir,
+              'ROW a = 1, label = "probe", x = 10 '
+              '| EVAL y = a + x * 2, ok = y > 5 | KEEP label, y, ok')
+
+    def test_row_where_can_drop_the_row(self, spark, sf_dir):
+        q = 'ROW n = 5 | WHERE n > 100'
+        assert E.execute_esql(spark, sf_dir, q).count() == 0
+
+    def test_row_rejects_columns(self):
+        with pytest.raises(ValueError, match="unknown column"):
+            E.EsqlPlan('ROW a = doc_id')
+
+    def test_row_rejects_empty_and_trailing(self):
+        with pytest.raises(ValueError):
+            E.EsqlPlan('ROW | LIMIT 1')
+        with pytest.raises(ValueError):
+            E.EsqlPlan('ROW a = 1 b')
