@@ -256,6 +256,19 @@ ESQL_PROGRAMS = {
 # Retriever trees (search-API `retriever`, ES 8.14+): name -> (body,
 # needs_positional_index).  Each exercises a different composition shape.
 RETRIEVER_BODIES = {
+    # ES 8.18 rescorer retriever: child top-window re-scored
+    # qw*original + rqw*secondary-BM25 (window ids are the bounded
+    # coordinator materialization, exactly what ES rescore holds)
+    "retriever_rescorer": ({
+        "retriever": {"rescorer": {
+            "retriever": {"standard": {"query": {
+                "match": {"text": "spark merge"}}}},
+            "rescore": {"window_size": 20, "query": {
+                "rescore_query": {"match": {"text": "batch vector"}},
+                "query_weight": 0.7, "rescore_query_weight": 1.5}},
+        }},
+        "size": 8,
+    }, False),
     # three-leg RRF: lexical, vector, and a bool-with-must_not leg
     "retriever_rrf3": ({
         "retriever": {"rrf": {"retrievers": [

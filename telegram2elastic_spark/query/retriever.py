@@ -24,6 +24,13 @@ Node vocabulary:
            text_similarity_reranker {retriever, rank_window_size,
              query_vec_id, min_score?}
            pinned {ids, retriever}     ES 8.18 pinned retriever
+           rescorer {retriever, rescore: {window_size, query:
+             {rescore_query, query_weight, rescore_query_weight}}}
+             ES 8.18 rescorer retriever: the child's top window_size is
+             re-scored qw*original + rqw*secondary (BM25 of the rescore
+             terms over the window docs, global stats — the ES rescore
+             total score_mode); the window ids are a BOUNDED driver
+             materialization, exactly what the ES coordinator holds
            rule {ruleset, match_criteria, retriever}   ES 8.15 rule
              retriever: the ruleset is evaluated against the request
              metadata on the driver (coordinator logic shared verbatim by
@@ -195,6 +202,55 @@ def _pinned(ctx: dict, spec: dict, k: int) -> DataFrame:
     )
 
 
+def _rescore_parts(spec: dict) -> tuple[int, float, float, list[str]]:
+    from .dsl import parse_dsl
+
+    rs = spec["rescore"]
+    q = rs["query"]
+    p, _ = parse_dsl({"query": q["rescore_query"]})
+    if (
+        p.phrase or p.prefix is not None or p.sparse is not None
+        or p.ids is not None or p.fuzziness is not None
+        or p.must_not or p.doc_filter or p.msm
+    ):
+        raise ValueError("rescorer supports plain terms rescore queries")
+    return (
+        int(rs.get("window_size", 10)),
+        float(q.get("query_weight", 1.0)),
+        float(q.get("rescore_query_weight", 1.0)),
+        p.terms,
+    )
+
+
+def _rescorer(ctx: dict, spec: dict, k: int) -> DataFrame:
+    from .wand import wand_topk
+
+    window, qw, rqw, terms = _rescore_parts(spec)
+    child = execute_retriever(ctx, spec["retriever"], k=window)
+    # the rescore window is a bounded driver materialization (<= window
+    # ids) — the same rows the ES coordinator holds during rescore
+    ids = [int(r["doc_id"]) for r in child.select("doc_id").collect()]
+    if not ids:
+        return child.limit(k)
+    sec = wand_topk(
+        ctx["index"], terms, k=window,
+        doc_filter=f"doc_id IN ({', '.join(str(d) for d in ids)})",
+    ).select("doc_id", F.col("score").alias("rs"))
+    return (
+        child.join(sec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(qw) * F.col("score")
+                + F.lit(rqw) * F.coalesce(F.col("rs"), F.lit(0.0)),
+                FUSE_DECIMALS,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _rule(ctx: dict, spec: dict, k: int) -> DataFrame:
     from .rules import applied_rules
 
@@ -244,6 +300,8 @@ def execute_retriever(ctx: dict, node: dict, k: int = 10) -> DataFrame:
         return _pinned(ctx, spec, k)
     if kind == "rule":
         return _rule(ctx, spec, k)
+    if kind == "rescorer":
+        return _rescorer(ctx, spec, k)
     raise ValueError(f"unknown retriever type {kind!r}")
 
 
@@ -407,6 +465,24 @@ def _sql(node: dict, k: int) -> str:
             f"SELECT doc_id, score FROM ({organic}) u "
             f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
         )
+    if kind == "rescorer":
+        from .bm25 import bm25_topk_sql
+
+        window, qw, rqw, terms = _rescore_parts(spec)
+        child = _sql(spec["retriever"], window)
+        sec = bm25_topk_sql(
+            terms, k=window, global_stats=True,
+            extra_pred=f"doc_id IN (SELECT doc_id FROM ({child}) rwin)",
+        ).strip()
+        return (
+            f"WITH win AS (SELECT doc_id, score FROM ({child}) c), "
+            f"sec AS (SELECT doc_id, score AS rs FROM ({sec}) s) "
+            f"SELECT win.doc_id AS doc_id, "
+            f"round({qw!r} * win.score + {rqw!r} * COALESCE(sec.rs, 0.0), "
+            f"{FUSE_DECIMALS}) AS score "
+            f"FROM win LEFT JOIN sec ON win.doc_id = sec.doc_id "
+            f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+        )
     raise ValueError(f"unknown retriever type {kind!r}")
 
 
@@ -516,6 +592,26 @@ def _local(index: dict, emb_path: str | None, node: dict, k: int) -> list:
         drop = {*pins, *excl}
         out = [(doc, PIN_BASE - pos) for pos, doc in enumerate(pins)] + [
             (d, s) for d, s in child if d not in drop
+        ]
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]
+    if kind == "rescorer":
+        from .wand import wand_topk_local
+
+        window, qw, rqw, terms = _rescore_parts(spec)
+        child = _local(index, emb_path, spec["retriever"], window)
+        if not child:
+            return []
+        ids = [d for d, _s in child]
+        sec = dict(
+            wand_topk_local(
+                index, terms, k=window,
+                doc_filter=f"doc_id IN ({', '.join(str(d) for d in ids)})",
+            )
+        )
+        out = [
+            (d, round(qw * s + rqw * sec.get(d, 0.0), FUSE_DECIMALS))
+            for d, s in child
         ]
         out.sort(key=lambda t: (-t[1], t[0]))
         return out[:k]

@@ -190,3 +190,69 @@ def test_errors():
         R.retriever_search({}, {"retriever": {"a": 1, "b": 2}})
     with pytest.raises(ValueError):
         R.retriever_search({}, {"retriever": {"standard": {}}, "from": 5})
+
+
+RESCORER_BODY = {
+    "retriever": {"rescorer": {
+        "retriever": {"standard": {"query": {
+            "match": {"text": "spark merge"}}}},
+        "rescore": {"window_size": 20, "query": {
+            "rescore_query": {"match": {"text": "batch vector"}},
+            "query_weight": 0.7, "rescore_query_weight": 1.5}},
+    }},
+    "size": 8,
+}
+
+
+class TestRescorer:
+    """ES 8.18 rescorer retriever node."""
+
+    def test_vs_oracle(self, ctx, duck):
+        _check(ctx, duck, RESCORER_BODY)
+
+    def test_nested_under_rrf_vs_oracle(self, ctx, duck):
+        body = {"retriever": {"rrf": {"retrievers": [
+            RESCORER_BODY["retriever"],
+            {"standard": {"query": {"match": {"text": "table scan"}}}},
+        ], "rank_window_size": 15}}, "size": 10}
+        _check(ctx, duck, body)
+
+    def test_weights_recover_child_when_rescore_weight_zero(self, ctx):
+        """rqw=0 and qw=1 must reproduce the child ranking exactly."""
+        body = {"retriever": {"rescorer": {
+            "retriever": {"standard": {"query": {
+                "match": {"text": "spark merge"}}}},
+            "rescore": {"window_size": 10, "query": {
+                "rescore_query": {"match": {"text": "batch"}},
+                "query_weight": 1.0, "rescore_query_weight": 0.0}},
+        }}, "size": 10}
+        got = [(r.doc_id, round(r.score, 6))
+               for r in R.retriever_search(ctx, body).collect()]
+        child = [(r.doc_id, round(r.score, 6))
+                 for r in R.execute_retriever(
+                     ctx, {"standard": {"query": {
+                         "match": {"text": "spark merge"}}}}, k=10
+                 ).collect()]
+        assert got == child
+
+    def test_local_twin(self, ctx, sf_dir, tmp_path):
+        from telegram2elastic_spark.index.build import read_index, write_index
+
+        d = str(tmp_path / "idx")
+        write_index(ctx["index"], d)
+        idx = read_index(ctx["index"]["doc_map"].sparkSession, d)
+        spark_rows = [
+            (r.doc_id, r.score)
+            for r in R.retriever_search(ctx, RESCORER_BODY).collect()
+        ]
+        assert R.retriever_search_local(idx, RESCORER_BODY) == spark_rows
+
+    def test_rejects_non_terms_rescore_query(self, ctx):
+        body = {"retriever": {"rescorer": {
+            "retriever": {"standard": {"query": {
+                "match": {"text": "spark"}}}},
+            "rescore": {"window_size": 5, "query": {
+                "rescore_query": {"match_phrase": {"text": "the fast"}}}},
+        }}, "size": 5}
+        with pytest.raises(ValueError, match="terms rescore"):
+            R.retriever_search(ctx, body)
