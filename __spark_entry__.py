@@ -245,6 +245,13 @@ ESQL_PROGRAMS = {
         '(STATS n = COUNT(*) BY lang) '
         '| SORT _fork ASC, source ASC NULLS LAST, lang ASC NULLS LAST'
     ),
+    # NEW (r4, session 12): CHANGE_POINT (ES|QL 8.18) — mean-shift argmax
+    # over a bucket axis, type/pvalue set on the detected row only
+    "esql_change_point": (
+        'FROM events | EVAL day = DATE_TRUNC(1 day, ts) '
+        '| STATS docs = COUNT(*) BY day '
+        '| CHANGE_POINT docs ON day | SORT day ASC | LIMIT 40'
+    ),
     # NEW (r4, session 12): ROW literal source — the constant one-row
     # relation ES|QL programs start from when there is no index
     "esql_row": (

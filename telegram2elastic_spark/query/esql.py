@@ -103,6 +103,7 @@ _KEYWORDS = {
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
     "ENRICH", "ON", "WITH", "LOOKUP", "JOIN", "INLINESTATS",
+    "CHANGE_POINT",
     "SAMPLE", "FORK",
     "AND", "OR", "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL",
     "TRUE", "FALSE", "ASC", "DESC", "NULLS", "FIRST", "LAST",
@@ -1117,6 +1118,34 @@ class EsqlPlan:
             for name, _, rett in aggs:
                 self.schema[name] = rett  # adds columns, keeps all rows
             self.stages.append(("inlinestats", (aggs, keys)))
+        elif k == "CHANGE_POINT":
+            # ES|QL 8.18 CHANGE_POINT <value> ON <key> [AS type, pvalue]:
+            # appends two columns, set only on the detected change row.
+            # Deterministic re-spec (agg_change_point's contract): the
+            # mean-shift statistic |mean_r - mean_l| * sqrt(l*r/n) over
+            # rows ordered by key, argmax marked 'step_change' (earliest
+            # key on ties); the emitted "pvalue" carries the rounded
+            # statistic.  The key must be unique per row (a bucket axis,
+            # e.g. a preceding STATS BY) — like ES, which caps the input
+            # at 1000 buckets, the window is axis-sized by contract.
+            val = p.expect("name").text
+            p.expect("kw", "ON")
+            key = p.expect("name").text
+            tname, pname = "type", "pvalue"
+            if p.accept("kw", "AS"):
+                tname = p.expect("name").text
+                p.expect("op", ",")
+                pname = p.expect("name").text
+            self._end(p)
+            if val not in self.schema:
+                raise ValueError(f"ES|QL: unknown column {val!r}")
+            if self.schema[val] not in ("long", "double"):
+                raise ValueError("ES|QL: CHANGE_POINT value must be numeric")
+            if key not in self.schema:
+                raise ValueError(f"ES|QL: unknown column {key!r}")
+            self.schema[tname] = "string"
+            self.schema[pname] = "double"
+            self.stages.append(("change_point", (val, key, tname, pname)))
         elif k == "SORT":
             items: list[_SortItem] = []
             while True:
@@ -1460,6 +1489,69 @@ class EsqlPlan:
                 )
                 for name, e, _ in aggs:
                     df = df.withColumn(name, self._agg_spark(e).over(w))
+            elif kind == "change_point":
+                val, key, tname, pname = payload
+                from pyspark.sql import Window as _W
+
+                # axis-sized input by contract (see parser note) — the
+                # single-partition window is bounded and deliberate
+                w = (
+                    _W.partitionBy(F.lit(0))
+                    .orderBy(key)
+                    .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+                )
+                wall = _W.partitionBy(F.lit(0))
+                d = (
+                    df.withColumn(
+                        "__rn",
+                        F.row_number().over(
+                            _W.partitionBy(F.lit(0)).orderBy(key)
+                        ),
+                    )
+                    .withColumn("__cum", F.sum(val).over(w))
+                    .withColumn("__n", F.count(F.lit(1)).over(wall))
+                    .withColumn("__tot", F.sum(val).over(wall))
+                )
+                lc = F.col("__rn") - 1
+                rc = F.col("__n") - F.col("__rn") + 1
+                ls = F.col("__cum") - F.col(val)
+                mean_l = ls / lc
+                mean_r = (F.col("__tot") - ls) / rc
+                d = d.withColumn(
+                    "__score",
+                    F.when(
+                        F.col("__rn") >= 2,
+                        F.round(
+                            F.abs(mean_r - mean_l)
+                            * F.sqrt(
+                                (lc * rc).cast("double") / F.col("__n")
+                            ),
+                            4,
+                        ),
+                    ),
+                )
+                d = d.withColumn("__best", F.max("__score").over(wall))
+                d = d.withColumn(
+                    "__bkey",
+                    F.min(
+                        F.when(
+                            F.col("__score") == F.col("__best"), F.col(key)
+                        )
+                    ).over(wall),
+                )
+                is_cp = (
+                    F.col("__score").isNotNull()
+                    & (F.col("__score") == F.col("__best"))
+                    & (F.col(key) == F.col("__bkey"))
+                )
+                df = (
+                    d.withColumn(tname, F.when(is_cp, F.lit("step_change")))
+                    .withColumn(pname, F.when(is_cp, F.col("__score")))
+                    .drop(
+                        "__rn", "__cum", "__n", "__tot", "__score",
+                        "__best", "__bkey",
+                    )
+                )
             elif kind == "enrich":
                 table, match, col, fields = payload
                 lk = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
@@ -1671,6 +1763,36 @@ class EsqlPlan:
                 add("*, " + ", ".join(parts))
                 for name, _, rett in aggs:
                     schema[name] = rett
+            elif kind == "change_point":
+                val, key, tname, pname = payload
+                base_cols = ", ".join(schema)
+                add(
+                    f"*, row_number() OVER (ORDER BY {key}) AS __rn, "
+                    f"sum({val}) OVER (ORDER BY {key} ROWS UNBOUNDED "
+                    f"PRECEDING) AS __cum, count(*) OVER () AS __n, "
+                    f"sum({val}) OVER () AS __tot"
+                )
+                add(
+                    "*, CASE WHEN __rn >= 2 THEN round(abs("
+                    f"(__tot - __cum + {val}) * 1.0 / (__n - __rn + 1) - "
+                    f"(__cum - {val}) * 1.0 / (__rn - 1)) * "
+                    "sqrt((__rn - 1.0) * (__n - __rn + 1.0) / __n), 4) "
+                    "END AS __score"
+                )
+                add("*, max(__score) OVER () AS __best")
+                add(
+                    f"*, min(CASE WHEN __score = __best THEN {key} END) "
+                    "OVER () AS __bkey"
+                )
+                add(
+                    f"{base_cols}, CASE WHEN __score IS NOT NULL AND "
+                    f"__score = __best AND {key} = __bkey "
+                    f"THEN 'step_change' END AS {tname}, "
+                    f"CASE WHEN __score IS NOT NULL AND __score = __best "
+                    f"AND {key} = __bkey THEN __score END AS {pname}"
+                )
+                schema[tname] = "string"
+                schema[pname] = "double"
             elif kind == "enrich":
                 table, match, col, fields = payload
                 cols = ", ".join(f"l.{f}" for f in fields)

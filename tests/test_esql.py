@@ -390,3 +390,52 @@ class TestRow:
             E.EsqlPlan('ROW | LIMIT 1')
         with pytest.raises(ValueError):
             E.EsqlPlan('ROW a = 1 b')
+
+
+class TestChangePoint:
+    """ES|QL 8.18 CHANGE_POINT processing command."""
+
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        _same(spark, duck, sf_dir,
+              'FROM events | EVAL day = DATE_TRUNC(1 day, ts) '
+              '| STATS docs = COUNT(*) BY day '
+              '| CHANGE_POINT docs ON day | SORT day ASC | LIMIT 40')
+
+    def test_custom_names_and_single_marked_row(self, spark, sf_dir):
+        rows = E.execute_esql(
+            spark, sf_dir,
+            'FROM events | EVAL day = DATE_TRUNC(1 day, ts) '
+            '| STATS docs = COUNT(*) BY day '
+            '| CHANGE_POINT docs ON day AS cp_kind, cp_score '
+            '| SORT day ASC',
+        ).collect()
+        marked = [r for r in rows if r["cp_kind"] is not None]
+        assert len(marked) == 1
+        assert marked[0]["cp_kind"] == "step_change"
+        assert marked[0]["cp_score"] is not None
+        assert all(r["cp_score"] is None for r in rows if r is not marked[0])
+
+    def test_matches_agg_change_point_bucket(self, spark, sf_dir):
+        """The command agrees with the dedicated agg_change_point
+        operator on the corpus hourly series (same statistic)."""
+        from telegram2elastic_spark.corpus import load_corpus
+        from telegram2elastic_spark.operators import aggregates as agg
+
+        want = agg.agg_change_point(load_corpus(spark, sf_dir)).first()
+        rows = E.execute_esql(
+            spark, sf_dir,
+            'FROM corpus '
+            '| EVAL bucket = DATE_TRUNC(1 hour, warc_ts) '
+            '| STATS docs = COUNT(*) BY bucket '
+            '| CHANGE_POINT docs ON bucket | SORT bucket ASC',
+        ).collect()
+        marked = [r for r in rows if r["type"] is not None]
+        assert len(marked) == 1
+        assert marked[0]["bucket"].strftime("%Y-%m-%d %H:00") == want["bucket"]
+        assert abs(marked[0]["pvalue"] - want["score"]) < 1e-9
+
+    def test_rejects_bad_inputs(self):
+        with pytest.raises(ValueError, match="numeric"):
+            E.EsqlPlan('FROM corpus | CHANGE_POINT lang ON doc_id')
+        with pytest.raises(ValueError, match="unknown column"):
+            E.EsqlPlan('FROM corpus | CHANGE_POINT n_chars ON nope')
