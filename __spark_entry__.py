@@ -120,6 +120,10 @@ DSL_BOOL_BODY = {
     },
     "size": 10,
 }
+SYNONYM_INDEX_GROUPS = {
+    "merge": ["merge", "join", "combine"],
+    "fast": ["fast", "quick"],
+}
 MSEARCH_BODIES = [
     DSL_BOOL_BODY,
     {"query": {"match": {"text": {
@@ -525,6 +529,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucket), parent attrs ride the groupBy keys (no join-back)
         "agg_reverse_nested": lambda spark, sf: nq.reverse_nested_agg(
             load_corpus(spark, sf), lang="en", top=10
+        ),
+        # NEW (r4, session 12): ES `synonym` token filter at INDEX time
+        # (contracting form a,b => head): one merged posting list per
+        # group — df/tf/doc_len shift like a Lucene SynonymGraphFilter
+        # index; standard build/WAND kernels untouched, oracle via the
+        # corpus_cte seam (query-time expansion is synonym_match_topk)
+        "analyzer_synonym_topk": lambda spark, sf: wand_topk(
+            build_index(
+                tokzr.apply_synonym_analyzer(
+                    load_corpus(spark, sf), SYNONYM_INDEX_GROUPS
+                ),
+                n_doc_parts=8,
+            ),
+            ["merge", "data"], k=10,
         ),
         # NEW (r4, session 12): ES _search_mvt — one web-mercator tile as
         # the grid (aggs) + hits layers; tile predicate pushed to the
@@ -1988,6 +2006,10 @@ FROM corpus ORDER BY doc_id
         "analyzer_stop_topk": bm25.bm25_topk_sql(
             Q_MAIN, k=10,
             corpus_cte=tokzr.stop_analyzed_corpus_cte(["the", "a"]),
+        ),
+        "analyzer_synonym_topk": bm25.bm25_topk_sql(
+            ["merge", "data"], k=10,
+            corpus_cte=tokzr.synonym_corpus_cte(SYNONYM_INDEX_GROUPS),
         ),
         "dedup_substring_spans": dedup.dedup_substring_spans_sql(n=8),
         "dedup_substring_clean": dedup.dedup_substring_clean_sql(n=8),

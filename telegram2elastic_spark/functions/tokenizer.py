@@ -198,3 +198,59 @@ corpus AS (
          lang, source, n_chars
   FROM corpus_raw
 )"""
+
+
+def apply_synonym_analyzer(corpus, groups: dict[str, list[str]]):
+    """ES `synonym` token filter at INDEX time, contracting form
+    (`a, b => head`): every member token is rewritten to its group head
+    before indexing, so the index holds ONE merged posting list per
+    group — df, tf and doc_len shift exactly as a Lucene
+    SynonymGraphFilter index does for contraction rules.  (The
+    query-time expansion form is query/synonyms.py; ES docs recommend
+    exactly this split.)
+
+    `groups`: head -> member list.  Heads must round-trip through the
+    standard tokenizer (single lowercase alnum token) so the rewritten
+    text re-tokenizes to the filtered stream verbatim.  Pure built-ins
+    (transform + element_at on a literal map + re-join), codegen'd; the
+    lambda touches the element only, so the tokenize-once contract
+    holds."""
+    mapping: dict[str, str] = {}
+    for head, members in groups.items():
+        if py_tokenize(head) != [head]:
+            raise ValueError(f"synonym head {head!r} is not a single token")
+        for m in members:
+            mapping[m.lower()] = head.lower()
+    kv: list = []
+    for m in sorted(mapping):
+        kv.extend([F.lit(m), F.lit(mapping[m])])
+    syn_map = F.create_map(*kv)
+    rewritten = F.transform(
+        tokens("text"), lambda t: F.coalesce(syn_map[t], t)
+    )
+    return corpus.withColumn("text", F.array_join(rewritten, " "))
+
+
+def synonym_corpus_cte(groups: dict[str, list[str]]) -> str:
+    """DuckDB twin of apply_synonym_analyzer (emits `corpus_raw` +
+    `corpus`, like stop_analyzed_corpus_cte)."""
+    from ..corpus import CORPUS_CTE
+
+    def q(s: str) -> str:
+        return "'" + s.lower().replace("'", "''") + "'"
+
+    cases = []
+    for head, members in sorted(groups.items()):
+        ms = ", ".join(q(m) for m in sorted(members))
+        cases.append(f"WHEN t IN ({ms}) THEN {q(head)}")
+    case = "CASE " + " ".join(cases) + " ELSE t END"
+    raw = CORPUS_CTE.strip().replace("corpus AS (", "corpus_raw AS (", 1)
+    return f"""{raw},
+corpus AS (
+  SELECT doc_id, url, warc_ts, html,
+         array_to_string(list_transform(list_filter(
+             regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+             t -> t <> ''), t -> {case}), ' ') AS text,
+         lang, source, n_chars
+  FROM corpus_raw
+)"""

@@ -92,3 +92,65 @@ def _spark_docs(rows):
     return spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
+
+
+class TestSynonymAnalyzer:
+    """Index-time synonym token filter (contracting form)."""
+
+    GROUPS = {"merge": ["merge", "join", "combine"], "fast": ["fast", "quick"]}
+
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.functions import tokenizer as tokzr
+        from telegram2elastic_spark.index.build import build_index
+        from telegram2elastic_spark.query.bm25 import bm25_topk_sql
+        from telegram2elastic_spark.query.wand import wand_topk
+
+        got = wand_topk(
+            build_index(
+                tokzr.apply_synonym_analyzer(
+                    load_corpus(spark, sf_dir), self.GROUPS
+                ),
+                n_doc_parts=4,
+            ),
+            ["merge", "data"], k=10,
+        )
+        want = duck.execute(
+            bm25_topk_sql(
+                ["merge", "data"], k=10,
+                corpus_cte=tokzr.synonym_corpus_cte(self.GROUPS),
+            )
+        ).df()
+        assert_same(got, want)
+
+    def test_members_contract_to_head(self, spark, sf_dir):
+        """'join' and 'combine' occurrences become 'merge' in the view;
+        the merged df equals the union of member dfs (distinct docs)."""
+        from pyspark.sql import functions as F
+
+        from telegram2elastic_spark.functions import tokenizer as tokzr
+        from telegram2elastic_spark.functions.tokenizer import tokens
+
+        corpus = load_corpus(spark, sf_dir)
+        view = tokzr.apply_synonym_analyzer(corpus, self.GROUPS)
+        assert view.filter(
+            F.array_contains(tokens("text"), "join")
+            | F.array_contains(tokens("text"), "combine")
+        ).count() == 0
+        df_union = corpus.filter(
+            F.arrays_overlap(
+                tokens("text"),
+                F.array(F.lit("merge"), F.lit("join"), F.lit("combine")),
+            )
+        ).count()
+        df_head = view.filter(
+            F.array_contains(tokens("text"), "merge")
+        ).count()
+        assert df_head == df_union > 0
+
+    def test_rejects_non_token_head(self, spark, sf_dir):
+        from telegram2elastic_spark.functions import tokenizer as tokzr
+
+        with pytest.raises(ValueError, match="single token"):
+            tokzr.apply_synonym_analyzer(
+                load_corpus(spark, sf_dir), {"two words": ["a"]}
+            )
