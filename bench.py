@@ -538,6 +538,39 @@ def main() -> None:
             ], "rank_window_size": 20, "rank_constant": 60}},
             "size": 10,
         }))
+        # round-4 session-12 surface additions
+        timed("rescorer_retriever_sec", lambda: rtq.retriever_search(
+            _rctx, {
+                "retriever": {"rescorer": {
+                    "retriever": {"standard": {"query": {
+                        "match": {"text": "spark merge"}}}},
+                    "rescore": {"window_size": 20, "query": {
+                        "rescore_query": {
+                            "match": {"text": "batch vector"}},
+                        "query_weight": 0.7,
+                        "rescore_query_weight": 1.5}},
+                }},
+                "size": 10,
+            }))
+        from telegram2elastic_spark.query import dsl as qdsl2
+
+        timed("msearch_4q_sec", lambda: qdsl2.msearch(eidx, [
+            {"query": {"bool": {
+                "must": [{"match": {"text": "the data row"}}],
+                "must_not": [{"match": {"text": "vector"}}]}}, "size": 10},
+            {"query": {"match": {"text": {
+                "query": "spark merge batch",
+                "minimum_should_match": 2}}}, "size": 8},
+            {"query": {"match_phrase": {"text": {
+                "query": "merge batch", "slop": 1}}}, "size": 6},
+            {"query": {"bool": {"must": [
+                {"match": {"text": "spark"}},
+                {"match_phrase": {"text": "the fast"}}]}}, "size": 4},
+        ]))
+        timed("search_mvt_sec", lambda: geq.search_mvt(
+            corpus, z=2, x=1, y=1, grid_precision=5, hits=10))
+        timed("geohash_grid_sec", lambda: geq.geohash_grid(
+            corpus, precision=4, k=10))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()
@@ -817,6 +850,22 @@ def main() -> None:
         )
         timed_pl("change_point_sec", lambda: aggp.agg_change_point(corpus))
         timed_pl("categorize_text_sec", lambda: aggp.categorize_text(corpus))
+        # round-4 session-12 additions
+        from telegram2elastic_spark.corpus import load_events as _lev
+
+        timed_pl(
+            "tsdb_downsample_sec",
+            lambda: aggp.downsample(_lev(spark, SF_DIR), interval_hours=6),
+        )
+        from telegram2elastic_spark.query import parentchild as pcq
+
+        timed_pl("agg_children_sec", lambda: pcq.children_agg(corpus))
+        from telegram2elastic_spark.query import nested as nsq
+
+        timed_pl(
+            "agg_reverse_nested_sec",
+            lambda: nsq.reverse_nested_agg(corpus, lang="en", top=10),
+        )
         timed_pl(
             "scripted_metric_sec",
             lambda: aggp.scripted_metric_profile(corpus),
