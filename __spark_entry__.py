@@ -530,6 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_reverse_nested": lambda spark, sf: nq.reverse_nested_agg(
             load_corpus(spark, sf), lang="en", top=10
         ),
+        # NEW (r4, session 12): per-doc token-distribution Shannon entropy
+        # (lexical-diversity quality signal; repetition_metrics' other
+        # side) — explode + two keyed hash aggs, fully parallel
+        "text_token_entropy": lambda spark, sf: tq.token_entropy(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 12): ES `synonym` token filter at INDEX time
         # (contracting form a,b => head): one merged posting list per
         # group — df/tf/doc_len shift like a Lucene SynonymGraphFilter
@@ -2007,6 +2013,7 @@ FROM corpus ORDER BY doc_id
             Q_MAIN, k=10,
             corpus_cte=tokzr.stop_analyzed_corpus_cte(["the", "a"]),
         ),
+        "text_token_entropy": tq.TOKEN_ENTROPY_SQL,
         "analyzer_synonym_topk": bm25.bm25_topk_sql(
             ["merge", "data"], k=10,
             corpus_cte=tokzr.synonym_corpus_cte(SYNONYM_INDEX_GROUPS),

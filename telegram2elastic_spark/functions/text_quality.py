@@ -249,3 +249,78 @@ SELECT doc_id,
        CASE WHEN len(hs) > 0 THEN list_max(hs) END AS fp_max
 FROM hashed ORDER BY doc_id
 """
+
+
+def token_entropy(corpus: DataFrame) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) — the
+    lexical-diversity quality signal: template/boilerplate/repetitive
+    docs score low, natural prose high (the CCNet/Gopher-family
+    diversity axis repetition_metrics measures from the other side).
+
+    H = -sum_t (tf_t / len) * log2(tf_t / len) over the doc's token
+    distribution; emitted with n_tokens and n_distinct (H's range is
+    [0, log2(n_distinct)]).  Empty docs emit 0.0.
+
+    Plan: explode + per-(doc, term) count + per-doc sum — two keyed hash
+    aggregates with map-side combine (the nested_terms_agg shape; the
+    in-array higher-order alternative is O(len x distinct) interpreted
+    lambdas, measured 6x slower — nested.py's contract).  At 10^12 docs
+    both shuffles key on (doc, term) / doc — fully parallel, no axis
+    bottleneck.  Rounded to 5 (absorbs summation-order float noise,
+    the events_rollup convention)."""
+    from pyspark.sql.window import Window
+
+    per = (
+        corpus.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("n", F.sum("tf").over(Window.partitionBy("doc_id")))
+    )
+    p = F.col("tf") / F.col("n")
+    ent = per.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        # + 0.0 folds IEEE -0.0 (single-token docs) to +0.0 cross-engine
+        (F.round(-F.sum(p * F.log2(p)), 5) + F.lit(0.0)).alias("entropy"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_ENTROPY_SQL = f"""
+WITH {CORPUS_CTE.strip()},
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+per AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(tf) AS n FROM per GROUP BY 1),
+ent AS (
+  SELECT per.doc_id,
+         CAST(tot.n AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         round(-sum((per.tf * 1.0 / tot.n) * log2(per.tf * 1.0 / tot.n)),
+               5) + 0.0 AS entropy
+  FROM per JOIN tot ON per.doc_id = tot.doc_id
+  GROUP BY per.doc_id, tot.n
+)
+SELECT c.doc_id,
+       COALESCE(e.n_tokens, 0) AS n_tokens,
+       COALESCE(e.n_distinct, 0) AS n_distinct,
+       COALESCE(e.entropy, 0.0) AS entropy
+FROM corpus c LEFT JOIN ent e ON c.doc_id = e.doc_id
+ORDER BY c.doc_id
+"""

@@ -154,3 +154,33 @@ class TestSynonymAnalyzer:
             tokzr.apply_synonym_analyzer(
                 load_corpus(spark, sf_dir), {"two words": ["a"]}
             )
+
+
+class TestTokenEntropy:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from telegram2elastic_spark.functions import text_quality as tq
+
+        got = tq.token_entropy(load_corpus(spark, sf_dir))
+        want = duck.execute(tq.TOKEN_ENTROPY_SQL).df()
+        assert_same(got, want)
+
+    def test_hand_pinned_values(self):
+        from telegram2elastic_spark.functions import text_quality as tq
+
+        docs = [
+            (1, "a a b b", "en", "s", 7),        # uniform over 2 -> 1 bit
+            (2, "a a a a", "en", "s", 7),        # single token -> 0.0
+            (3, "", "en", "s", 0),               # empty -> 0.0, counts 0
+            (4, "a b c d", "en", "s", 7),        # uniform over 4 -> 2 bits
+        ]
+        rows = {
+            r["doc_id"]: r
+            for r in tq.token_entropy(_spark_docs(docs)).collect()
+        }
+        assert rows[1]["entropy"] == 1.0 and rows[1]["n_distinct"] == 2
+        assert rows[2]["entropy"] == 0.0 and rows[2]["n_tokens"] == 4
+        assert rows[3]["entropy"] == 0.0 and rows[3]["n_tokens"] == 0
+        assert rows[4]["entropy"] == 2.0
+        # html wrapper tokens leak? as_corpus wraps text in html only in
+        # the html column; text is untouched — n_distinct confirms
+        assert rows[4]["n_distinct"] == 4
