@@ -256,6 +256,21 @@ ESQL_PROGRAMS = {
         '| STATS docs = COUNT(*) BY day '
         '| CHANGE_POINT docs ON day | SORT day ASC | LIMIT 40'
     ),
+    # NEW (r4, session 12): RERANK (ES|QL 8.19) — deterministic semantic
+    # reranker: EXACT integer dot of the compile-time query embedding
+    # and the field's token stream (flat fold, no float anywhere)
+    "esql_rerank": (
+        'FROM corpus | WHERE MATCH(text, "spark merge") '
+        '| RERANK "spark merge batch" ON text '
+        '| SORT _score DESC, doc_id ASC | KEEP doc_id, _score | LIMIT 10'
+    ),
+    # NEW (r4, session 12): COMPLETION (ES|QL 8.19) — deterministic stub
+    # LM endpoint (the reference mocks its LLM the same way)
+    "esql_completion": (
+        'FROM corpus | WHERE doc_id % 100 == 7 '
+        '| COMPLETION summary = text WITH stub_lm '
+        '| KEEP doc_id, summary | SORT doc_id ASC | LIMIT 20'
+    ),
     # NEW (r4, session 12): ROW literal source — the constant one-row
     # relation ES|QL programs start from when there is no index
     "esql_row": (

@@ -103,7 +103,7 @@ _KEYWORDS = {
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
     "ENRICH", "ON", "WITH", "LOOKUP", "JOIN", "INLINESTATS",
-    "CHANGE_POINT",
+    "CHANGE_POINT", "COMPLETION", "RERANK",
     "SAMPLE", "FORK",
     "AND", "OR", "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL",
     "TRUE", "FALSE", "ASC", "DESC", "NULLS", "FIRST", "LAST",
@@ -498,6 +498,43 @@ def _tokens_duck(x: str) -> str:
     return (
         f"list_filter(regexp_split_to_array(lower({x}), "
         f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+
+
+def _rerank_expr(qtext: str, field: str, dialect: str) -> str:
+    """Integer dot product of the compile-time query embedding and the
+    field's token stream (see the RERANK parser note)."""
+    from .semantic import SEM_DIM, embed_query
+
+    qv = embed_query(qtext)
+    if dialect == "spark":
+        h = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        h = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    bucket = f"({h.format(x='t')} % {SEM_DIM})"
+    sign = (
+        f"(CASE WHEN {h.format(x=chr(39) + 's:' + chr(39) + ' || t')} % 2 = 0 "
+        "THEN 1 ELSE -1 END)"
+    )
+    if qv:
+        whens = " ".join(
+            f"WHEN {b} THEN {v}" for b, v in sorted(qv.items())
+        )
+        qval = f"(CASE {bucket} {whens} ELSE 0 END)"
+    else:
+        qval = "0"
+    contrib = f"CAST({sign} * {qval} AS BIGINT)"
+    if dialect == "spark":
+        toks = _tokens_spark(field)
+        return (
+            f"aggregate({toks}, CAST(0 AS BIGINT), "
+            f"(acc, t) -> acc + {contrib})"
+        )
+    toks = _tokens_duck(field)
+    # list_sum yields HUGEINT in DuckDB — cast back to the declared long
+    return (
+        f"CAST(COALESCE(list_sum(list_transform({toks}, t -> {contrib})),"
+        f" 0) AS BIGINT)"
     )
 
 
@@ -1146,6 +1183,48 @@ class EsqlPlan:
             self.schema[tname] = "string"
             self.schema[pname] = "double"
             self.stages.append(("change_point", (val, key, tname, pname)))
+        elif k == "COMPLETION":
+            # ES|QL 8.19 COMPLETION col = <prompt expr> WITH <inference_id>.
+            # The sandbox has no inference service; the endpoint is the
+            # engine's deterministic stub LM (the reference mocks its LLM
+            # the same way): completion = the prompt's first 8 tokens
+            # re-joined + ' #' + an md5-derived tag — pure codegen'd
+            # string exprs, one md5 per row, identical in both engines.
+            name = p.expect("name").text
+            p.expect("op", "=")
+            e = p.expr()
+            if _typecheck(e, self.schema) != "string":
+                raise ValueError("ES|QL: COMPLETION prompt must be a string")
+            p.expect("kw", "WITH")
+            inference_id = p.expect("name").text
+            self._end(p)
+            self.schema[name] = "string"
+            self.stages.append(("completion", (name, e, inference_id)))
+        elif k == "RERANK":
+            # ES|QL 8.19 RERANK "query" ON <field> [WITH <inference_id>]:
+            # appends `_score`.  Deterministic reranker = the semantic
+            # hashing-trick model (query/semantic.py): score = EXACT
+            # integer dot product of the compile-time query embedding and
+            # the row field's token stream (a flat fold — sign(t) *
+            # qval[bucket(t)] summed over occurrences; distributivity
+            # makes bucket grouping unnecessary).  No float anywhere, so
+            # cross-engine equality is bit-trivial.  Rows are NOT
+            # reordered — compose with `| SORT _score DESC, <key>` for a
+            # total order (the determinism contract every LIMIT here
+            # already follows).
+            qtok = p.expect("str")
+            p.expect("kw", "ON")
+            field = p.expect("name").text
+            inference_id = "semantic_stub"
+            if p.accept("kw", "WITH"):
+                inference_id = p.expect("name").text
+            self._end(p)
+            if self.schema.get(field) != "string":
+                raise ValueError("ES|QL: RERANK field must be a string column")
+            self.schema["_score"] = "long"
+            self.stages.append(
+                ("rerank", (_unquote(qtok.text), field, inference_id))
+            )
         elif k == "SORT":
             items: list[_SortItem] = []
             while True:
@@ -1552,6 +1631,22 @@ class EsqlPlan:
                         "__best", "__bkey",
                     )
                 )
+            elif kind == "completion":
+                name, e, _inf = payload
+                pe = _emit(e, "spark")
+                toks = _tokens_spark(pe)
+                df = df.withColumn(
+                    name,
+                    F.expr(
+                        f"concat(array_join(slice({toks}, 1, 8), ' '), "
+                        f"' #', substring(md5({pe}), 1, 8))"
+                    ),
+                )
+            elif kind == "rerank":
+                qtext, field, _inf = payload
+                df = df.withColumn(
+                    "_score", F.expr(_rerank_expr(qtext, field, "spark"))
+                )
             elif kind == "enrich":
                 table, match, col, fields = payload
                 lk = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(
@@ -1793,6 +1888,19 @@ class EsqlPlan:
                 )
                 schema[tname] = "string"
                 schema[pname] = "double"
+            elif kind == "completion":
+                name, e, _inf = payload
+                pe = _emit(e, "duck")
+                toks = _tokens_duck(pe)
+                add(
+                    f"*, array_to_string(({toks})[1:8], ' ') || ' #' || "
+                    f"substr(md5({pe}), 1, 8) AS {name}"
+                )
+                schema[name] = "string"
+            elif kind == "rerank":
+                qtext, field, _inf = payload
+                add(f"*, {_rerank_expr(qtext, field, 'duck')} AS _score")
+                schema["_score"] = "long"
             elif kind == "enrich":
                 table, match, col, fields = payload
                 cols = ", ".join(f"l.{f}" for f in fields)

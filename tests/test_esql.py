@@ -439,3 +439,52 @@ class TestChangePoint:
             E.EsqlPlan('FROM corpus | CHANGE_POINT lang ON doc_id')
         with pytest.raises(ValueError, match="unknown column"):
             E.EsqlPlan('FROM corpus | CHANGE_POINT n_chars ON nope')
+
+
+class TestInferenceCommands:
+    """ES|QL 8.19 COMPLETION / RERANK (deterministic stub endpoints)."""
+
+    def test_rerank_vs_oracle(self, spark, duck, sf_dir):
+        _same(spark, duck, sf_dir,
+              'FROM corpus | WHERE MATCH(text, "spark merge") '
+              '| RERANK "spark merge batch" ON text '
+              '| SORT _score DESC, doc_id ASC | KEEP doc_id, _score '
+              '| LIMIT 10')
+
+    def test_completion_vs_oracle(self, spark, duck, sf_dir):
+        _same(spark, duck, sf_dir,
+              'FROM corpus | WHERE doc_id % 100 == 7 '
+              '| COMPLETION summary = text WITH stub_lm '
+              '| KEEP doc_id, summary | SORT doc_id ASC | LIMIT 20')
+
+    def test_rerank_matches_semantic_dot(self, spark, sf_dir):
+        """_score equals the integer dot of embed_query and the doc's
+        hashing-trick embedding (recomputed independently in Python)."""
+        from collections import Counter
+
+        from telegram2elastic_spark.functions.tokenizer import py_tokenize
+        from telegram2elastic_spark.query.semantic import (
+            SEM_DIM, _py_h64, embed_query,
+        )
+
+        q = "spark merge batch"
+        qv = embed_query(q)
+        rows = E.execute_esql(
+            spark, sf_dir,
+            'FROM corpus | WHERE doc_id < 30 '
+            f'| RERANK "{q}" ON text '
+            '| KEEP doc_id, text, _score | SORT doc_id ASC',
+        ).collect()
+        assert rows
+        for r in rows:
+            dot = 0
+            for t, tf in Counter(py_tokenize(r["text"])).items():
+                sgn = 1 if _py_h64("s:" + t) % 2 == 0 else -1
+                dot += sgn * tf * qv.get(_py_h64(t) % SEM_DIM, 0)
+            assert r["_score"] == dot
+
+    def test_rejects_bad_inputs(self):
+        with pytest.raises(ValueError, match="string column"):
+            E.EsqlPlan('FROM corpus | RERANK "q" ON doc_id')
+        with pytest.raises(ValueError, match="string"):
+            E.EsqlPlan('FROM corpus | COMPLETION c = n_chars WITH m')
