@@ -10,6 +10,7 @@ Reads one JSON request per stdin line, answers one JSON line per request:
 
     {"op": "terms",    "q": "spark merge", "k": 10}
     {"op": "terms",    "q": "the data", "exclude": "vector", "msm": 2}
+    {"op": "msearch",  "bodies": [{"query": {...}, "size": 10}, ...]}
     {"op": "sparsevec", "weights": {"spark": 2.1, "merge": 1.4}, "k": 10}
     {"op": "body", "body": {"query": {"match": {"text": "spark merge"}}}}
     {"op": "template", "source": "...{{q}}...", "params": {"q": "spark"}}
