@@ -451,6 +451,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 13): ES `parent` aggregation — child-scope
+        # language buckets ascend to the PARENT (site) scope: the hop is
+        # one (lang, host) distinct, parent attrs come from a broadcast
+        # |sites| rollup (the global-ordinals lookup made explicit);
+        # closes the join-field agg family next to children/reverse_nested
+        "agg_parent": lambda spark, sf: parentchild.parent_agg(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 13): ES `time_series` aggregation (8.7 TSDB) —
+        # one bucket per tsid (event_type, user_id) with gauge envelope,
+        # counter last-read and series time span; ONE tsid-keyed hash agg
+        # (partial states shuffle, not events), completes the TSDB family
+        # next to _downsample
+        "agg_time_series": lambda spark, sf: agg.time_series_agg(
+            load_events(spark, sf), size=50
+        ),
         # NEW (r4, session 12): ES|QL — the piped query language ES serves
         # at POST /_query since 8.11; compiled onto a DataFrame chain
         # (Catalyst fuses EVAL/WHERE/KEEP into one codegen'd map stage and
@@ -1888,6 +1904,8 @@ FROM corpus ORDER BY doc_id
             min_count=5, top=30
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
+        "agg_parent": parentchild.parent_agg_sql(),
+        "agg_time_series": agg.time_series_agg_sql(size=50),
         "tsdb_downsample": agg.downsample_sql(interval_hours=6),
         "agg_children": parentchild.children_agg_sql(),
         "agg_reverse_nested": nq.reverse_nested_agg_sql(lang="en", top=10),

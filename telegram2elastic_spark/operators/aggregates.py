@@ -2209,3 +2209,63 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def time_series_agg(events: DataFrame, size: int = 50) -> DataFrame:
+    """ES `time_series` aggregation (8.7+, TSDB indices): one bucket per
+    time series — the tsid is the full dimension tuple, here
+    (event_type, user_id) — with per-series sub-metrics.  Completes the
+    TSDB family next to `downsample` (same dimensions contract, no time
+    bucketing: the series itself is the bucket).
+
+    Per series: doc_count, the gauge envelope (min/max/avg of `value`),
+    the counter read (last value by `event_id` — unique doc order, so
+    `max_by` is deterministic in both engines), and the series' time
+    span.  Buckets are ordered by tsid ascending and truncated to
+    `size`, the ES bucket ordering for this agg.  The avg is computed
+    from an EXACT integer cent sum (`value` carries 2 decimals) divided
+    once at the end — a float sum's order of addition differs between
+    engines and flipped the 5th decimal at sf0.01.
+
+    Shape: ONE hash aggregate keyed by the tsid with map-side partial
+    aggregation — at 10^12 rows the shuffle carries |tsids| partial
+    states, not events; the `size` cut is a TakeOrdered on the bucket
+    axis.  Reference analogue: per-(chat, sender) rollups over the
+    message stream (models.py archive_id/sender grouping)."""
+    return (
+        events.groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.min("value"), 5).alias("value_min"),
+            F.round(F.max("value"), 5).alias("value_max"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / (F.count(F.lit(1)) * 100.0),
+                5,
+            ).alias("value_avg"),
+            F.round(F.max_by("value", "event_id"), 5).alias("value_last"),
+            F.min("ts").alias("ts_first"),
+            F.max("ts").alias("ts_last"),
+        )
+        .orderBy("event_type", "user_id")
+        .limit(int(size))
+    )
+
+
+def time_series_agg_sql(size: int = 50) -> str:
+    return f"""
+SELECT event_type,
+       user_id,
+       count(*) AS doc_count,
+       round(min(value), 5) AS value_min,
+       round(max(value), 5) AS value_max,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0),
+             5) AS value_avg,
+       round(arg_max(value, event_id), 5) AS value_last,
+       min(ts) AS ts_first,
+       max(ts) AS ts_last
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+LIMIT {int(size)}
+"""

@@ -245,3 +245,61 @@ FROM pages p JOIN classed c ON p.host = c.host
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def parent_agg(corpus: DataFrame) -> DataFrame:
+    """ES `parent` aggregation (the mirror of `children_agg`): a
+    CHILD-scope terms bucketing (page language) that ascends to the
+    PARENT scope per bucket — distinct-site counts and site-level
+    metrics that a child-scope aggregation cannot see (a site's page
+    count / stored chars are parent attributes, identical for every
+    child that maps to it, so they must be counted ONCE per parent per
+    bucket).
+
+    Shape: the scope hop is ONE (lang, host) distinct (hash aggregate
+    with map-side partials — output is bounded by |langs| x |sites|,
+    not by pages); the parent rollup is ONE host-keyed hash aggregate
+    (|sites| rows); the hop joins the rollup with a broadcast hash
+    join (the rollup is the small side at any corpus size with a
+    bounded site inventory — the ES global-ordinals lookup, made
+    explicit); the final aggregate runs on the tiny language axis.  At
+    10^12 children nothing ever shuffles the child rows twice.
+    Reference analogue: chat-level attributes surfaced under message
+    facets (models.py archive_id natural key)."""
+    pages = corpus.withColumn("host", host_col())
+    sites = pages.groupBy("host").agg(
+        F.count(F.lit(1)).alias("site_pages"),
+        F.sum("n_chars").alias("site_chars"),
+    )
+    hop = pages.select("lang", "host").distinct()
+    return (
+        hop.join(F.broadcast(sites), "host")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum("site_pages").cast("bigint").alias("parent_pages"),
+            F.sum("site_chars").cast("bigint").alias("parent_chars"),
+            F.round(F.avg("site_chars"), 5).alias("avg_site_chars"),
+        )
+        .orderBy(F.desc("n_sites"), "lang")
+    )
+
+
+def parent_agg_sql() -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+pages AS (SELECT doc_id, lang, n_chars, {HOST_SQL} AS host FROM corpus),
+sites AS (
+  SELECT host, count(*) AS site_pages, sum(n_chars) AS site_chars
+  FROM pages GROUP BY host
+),
+hop AS (SELECT DISTINCT lang, host FROM pages)
+SELECT h.lang,
+       count(*) AS n_sites,
+       CAST(sum(s.site_pages) AS BIGINT) AS parent_pages,
+       CAST(sum(s.site_chars) AS BIGINT) AS parent_chars,
+       round(avg(s.site_chars), 5) AS avg_site_chars
+FROM hop h JOIN sites s ON h.host = s.host
+GROUP BY h.lang
+ORDER BY n_sites DESC, h.lang
+"""
