@@ -459,6 +459,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_parent": lambda spark, sf: parentchild.parent_agg(
             load_corpus(spark, sf)
         ),
+        # NEW (r4, session 13): URL-level pre-content filtering (the
+        # RefinedWeb/C4 gate run before text is read) — blocklist host,
+        # banned substring, path-depth rules, first match wins; map-only,
+        # a real blocklist becomes a broadcast anti-join on host
+        "url_quality_filter": lambda spark, sf: training.url_quality_filter(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 13): per-doc tf-idf keyword extraction — the
+        # model-free topic-labeling signal; integer 1e5-scaled rank keys
+        # make the per-doc top-k sort float-order-free, df comes from one
+        # term-keyed agg (free from term_dict when an index exists)
+        "keywords_tfidf": lambda spark, sf: tq.keywords_tfidf(
+            load_corpus(spark, sf), k=5
+        ),
         # NEW (r4, session 13): ES `time_series` aggregation (8.7 TSDB) —
         # one bucket per tsid (event_type, user_id) with gauge envelope,
         # counter last-read and series time span; ONE tsid-keyed hash agg
@@ -1904,6 +1918,8 @@ FROM corpus ORDER BY doc_id
             min_count=5, top=30
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
+        "url_quality_filter": training.url_quality_filter_sql(),
+        "keywords_tfidf": tq.keywords_tfidf_sql(k=5),
         "agg_parent": parentchild.parent_agg_sql(),
         "agg_time_series": agg.time_series_agg_sql(size=50),
         "tsdb_downsample": agg.downsample_sql(interval_hours=6),

@@ -324,3 +324,108 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN ent e ON c.doc_id = e.doc_id
 ORDER BY c.doc_id
 """
+
+
+def keywords_tfidf(corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: the top-`k` terms by tf-idf
+    (score = tf * ln((N+1)/(df+1)), the smooth-idf convention) — the
+    classic summarization/labeling signal a training pipeline attaches
+    to every document (topic tagging, cluster naming, index previews).
+
+    Determinism contract: ranking uses an INTEGER key
+    round(score * 1e5) — both engines compute the same double (one ln,
+    one multiply) and the integer comparison removes any float-order
+    ambiguity from the sort; ties break term-ascending.  Scores are
+    emitted as the key / 1e5, so output doubles are exact dyadic values.
+
+    Plan: one (doc, term) hash aggregate (the index build's tokenize
+    shape, map-side combine), one term-keyed df aggregate, one shuffle
+    join keyed on term, then a per-doc bounded in-array sort (doc
+    vocabulary <= doc length — no window, no global sort).  N is one
+    driver count (the temperature_sample driver-state pattern).  With a
+    built index the df aggregate is FREE — term_dict already holds df —
+    so at 10^12 docs this is the tf pass plus one term-keyed join.
+    Reference analogue: the LLM topic labels (llm_classifier.py) whose
+    deterministic stand-in enrich_classify stubs; tf-idf is the
+    model-free version."""
+    n_docs = corpus.count()
+    per = (
+        corpus.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = per.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs) + 1.0) / (F.col("df") + F.lit(1.0)))
+    scored = per.join(df_t, "term").withColumn(
+        "skey", F.round(F.col("tf") * idf * 100000).cast("bigint")
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("skey")).alias("nk"),
+                        F.col("term").alias("term"),
+                    )
+                )
+            ),
+            1,
+            int(k),
+        ).alias("top")
+    )
+    picked = ranked.select(
+        "doc_id",
+        F.transform("top", lambda s: s["term"]).alias("keywords"),
+        F.transform("top", lambda s: F.round(-s["nk"] / 100000.0, 5)).alias(
+            "scores"
+        ),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(picked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keywords", F.array().cast("array<string>")).alias(
+                "keywords"
+            ),
+            F.coalesce("scores", F.array().cast("array<double>")).alias(
+                "scores"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def keywords_tfidf_sql(k: int = 5) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+per AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM per GROUP BY 1),
+n AS (SELECT count(*) AS n FROM corpus),
+scored AS (
+  SELECT per.doc_id, per.term,
+         CAST(round(per.tf * ln((n.n + 1.0) / (dft.df + 1.0)) * 100000)
+              AS BIGINT) AS skey
+  FROM per JOIN dft USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id,
+         (list(term ORDER BY skey DESC, term))[1:{int(k)}] AS keywords,
+         list_transform((list(skey ORDER BY skey DESC, term))[1:{int(k)}],
+                        s -> round(s / 100000.0, 5)) AS scores
+  FROM scored GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.keywords, []) AS keywords,
+       COALESCE(r.scores, []) AS scores
+FROM corpus c LEFT JOIN ranked r ON c.doc_id = r.doc_id
+ORDER BY c.doc_id
+"""

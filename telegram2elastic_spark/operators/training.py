@@ -2007,3 +2007,83 @@ WHERE b.cab >= {int(min_count)}
 ORDER BY pmi DESC, cnt DESC, b.w1 ASC, b.w2 ASC
 LIMIT {int(top)}
 """
+
+
+# --- URL quality filtering (RefinedWeb / C4 URL rules) -------------------------
+
+# Driver-side config, like a UT1-category blocklist slice loaded at submit
+# time (RefinedWeb §3.1 filters on a 4.6M-domain blocklist the same way).
+URL_BLOCKED_HOSTS = ("site13.example", "site404.example", "site666.example")
+# Soft-signal substrings anywhere in the url (RefinedWeb's word-score rule).
+URL_BANNED_RE = "(666|casino|xxx|porn)"
+URL_MAX_PATH_DEPTH = 4
+
+
+def url_quality_filter(
+    corpus: DataFrame,
+    blocked_hosts: tuple[str, ...] = URL_BLOCKED_HOSTS,
+    banned_re: str = URL_BANNED_RE,
+    max_depth: int = URL_MAX_PATH_DEPTH,
+) -> DataFrame:
+    """URL-level document filtering (the RefinedWeb/C4 pre-content gate
+    that runs BEFORE any text is read): per doc, the FIRST failing rule
+    in fixed order — (1) host on the domain blocklist, (2) banned
+    substring anywhere in the url, (3) path deeper than `max_depth`
+    segments (spider traps / calendar pages) — else 'keep'.
+
+    Shape: map-only (host extract + one isin + one rlike + one split —
+    all codegen'd, zero Python per row); the blocklist is driver config
+    folded into the plan as a literal set, the scale analogue of
+    broadcasting a UT1 category file (a multi-million-row blocklist
+    would become a broadcast LEFT ANTI join on host — same plan shape,
+    one build-side hashmap, still no shuffle of the corpus).  Runs
+    before tokenize/dedup so at 10^12 docs the rejected mass never
+    reaches a shuffle.  Reference analogue: the cheap rule gate ahead of
+    the LLM classifier (llm_classifier.py:80-98 spam pre-filter)."""
+    from ..query.collapse import host_col
+
+    host = host_col()
+    path = F.regexp_replace("url", "^[a-z]+://[^/]+/?", "")
+    depth = F.when(path == "", F.lit(0)).otherwise(
+        F.size(F.split(path, "/"))
+    )
+    verdict = (
+        F.when(
+            host.isin(*blocked_hosts), F.lit("blocked_host")
+        )
+        .when(F.col("url").rlike(banned_re), F.lit("banned_substring"))
+        .when(depth > int(max_depth), F.lit("path_too_deep"))
+        .otherwise(F.lit("keep"))
+    )
+    return corpus.select(
+        "doc_id", "url", verdict.alias("verdict")
+    ).orderBy("doc_id")
+
+
+def url_quality_filter_sql(
+    blocked_hosts: tuple[str, ...] = URL_BLOCKED_HOSTS,
+    banned_re: str = URL_BANNED_RE,
+    max_depth: int = URL_MAX_PATH_DEPTH,
+) -> str:
+    from ..query.collapse import HOST_SQL
+
+    hosts = ", ".join(f"'{h}'" for h in blocked_hosts)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+parts AS (
+  SELECT doc_id, url, {HOST_SQL} AS host,
+         regexp_replace(url, '^[a-z]+://[^/]+/?', '') AS path
+  FROM corpus
+)
+SELECT doc_id, url,
+       CASE
+         WHEN host IN ({hosts}) THEN 'blocked_host'
+         WHEN regexp_matches(url, '{banned_re}') THEN 'banned_substring'
+         WHEN (CASE WHEN path = '' THEN 0
+                    ELSE len(string_split(path, '/')) END)
+              > {int(max_depth)} THEN 'path_too_deep'
+         ELSE 'keep'
+       END AS verdict
+FROM parts
+ORDER BY doc_id
+"""

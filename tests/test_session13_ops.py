@@ -64,3 +64,88 @@ def test_time_series_agg_series_semantics(spark, sf_dir):
     assert abs(r0["value_last"] - round(last, 5)) < 1e-9
     lo, hi = series.agg(F.min("ts"), F.max("ts")).first()
     assert r0["ts_first"] == lo and r0["ts_last"] == hi
+
+
+def test_keywords_tfidf_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.functions import text_quality as tq
+
+    got = tq.keywords_tfidf(load_corpus(spark, sf_dir), k=5)
+    want = duck.execute(tq.keywords_tfidf_sql(k=5)).df()
+    assert_same(got, want)
+
+
+def test_keywords_tfidf_semantics(spark, sf_dir):
+    """Top keyword maximizes tf * ln((N+1)/(df+1)) (independent numpy
+    recompute for one doc); empty docs emit empty arrays; scores are
+    non-increasing."""
+    import math
+
+    from telegram2elastic_spark.functions import text_quality as tq
+    from telegram2elastic_spark.functions.tokenizer import tokens
+
+    corpus = load_corpus(spark, sf_dir)
+    out = {r["doc_id"]: r for r in tq.keywords_tfidf(corpus, k=5).collect()}
+    assert len(out) == corpus.count()  # total: every doc has a row
+    for r in out.values():
+        assert list(r["scores"]) == sorted(r["scores"], reverse=True)
+    # independent recompute for one non-empty doc
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in corpus.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    n = len(toks)
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    did = next(d for d, ts in sorted(toks.items()) if len(ts) > 10)
+    tf = {}
+    for t in toks[did]:
+        tf[t] = tf.get(t, 0) + 1
+    scored = sorted(
+        (
+            (-round(c * math.log((n + 1.0) / (df[t] + 1.0)) * 100000), t)
+            for t, c in tf.items()
+        )
+    )
+    assert list(out[did]["keywords"]) == [t for _, t in scored[:5]]
+    empties = [d for d, ts in toks.items() if not ts]
+    for d in empties:
+        assert list(out[d]["keywords"]) == [] and list(out[d]["scores"]) == []
+
+
+def test_url_quality_filter_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    got = training.url_quality_filter(load_corpus(spark, sf_dir))
+    want = duck.execute(training.url_quality_filter_sql()).df()
+    assert_same(got, want)
+
+
+def test_url_quality_filter_rule_order_and_rules(spark):
+    """Crafted URLs exercise every rule (the synthetic corpus never has
+    a deep path) and first-match-wins ordering: a blocked host that
+    also contains a banned substring reports blocked_host."""
+    from telegram2elastic_spark.operators import training
+
+    rows = [
+        (1, "https://site666.example/page/1"),        # blocked AND banned
+        (2, "https://ok.example/casino/page"),        # banned substring
+        (3, "https://ok.example/a/b/c/d/e/f"),        # too deep (6 > 4)
+        (4, "https://ok.example/a/b/c/d"),            # exactly max -> keep
+        (5, "https://ok.example"),                    # no path -> keep
+        (6, "https://ok.example/page/7"),             # keep
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in training.url_quality_filter(df).collect()
+    }
+    assert out == {
+        1: "blocked_host",
+        2: "banned_substring",
+        3: "path_too_deep",
+        4: "keep",
+        5: "keep",
+        6: "keep",
+    }
