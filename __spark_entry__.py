@@ -459,6 +459,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_parent": lambda spark, sf: parentchild.parent_agg(
             load_corpus(spark, sf)
         ),
+        # NEW (r4, session 13): cross-snapshot near-dedup (the CC
+        # across-dumps production shape) — new-crawl docs flagged against
+        # ALL prior snapshots via the banded MinHash candidates + exact
+        # Jaccard verify; orientation is a candidate-bounded metadata join
+        "dedup_cross_snapshot": lambda spark, sf: dedup.dedup_cross_snapshot(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 13): token-budget data selection (FineWeb-Edu
+        # recipe) — greedy best-quality-first prefix under a token budget;
+        # scale shape is a <=1001-row score histogram + driver cutoff fold
+        # + map-only filter, only the cutoff bucket pays a bounded window;
+        # oracle is the naive global-window cumsum
+        "budget_select": lambda spark, sf: training.budget_select(
+            load_corpus(spark, sf), budget_tokens=5000
+        ),
         # NEW (r4, session 13): URL-level pre-content filtering (the
         # RefinedWeb/C4 gate run before text is read) — blocklist host,
         # banned substring, path-depth rules, first match wins; map-only,
@@ -1918,6 +1933,8 @@ FROM corpus ORDER BY doc_id
             min_count=5, top=30
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
+        "dedup_cross_snapshot": dedup.dedup_cross_snapshot_sql(),
+        "budget_select": training.budget_select_sql(budget_tokens=5000),
         "url_quality_filter": training.url_quality_filter_sql(),
         "keywords_tfidf": tq.keywords_tfidf_sql(k=5),
         "agg_parent": parentchild.parent_agg_sql(),

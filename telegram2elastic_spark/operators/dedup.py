@@ -1467,3 +1467,86 @@ FROM ranked r JOIN keep ON r.component = keep.component
 WHERE r.doc_id != keep.kept_doc_id
 ORDER BY r.doc_id
 """
+
+
+# --- Cross-snapshot dedup -------------------------------------------------------
+
+SNAPSHOT_SPLIT = 10  # source srcN: N < split = prior crawl, N >= split = new
+
+
+def dedup_cross_snapshot(
+    corpus: DataFrame,
+    split: int = SNAPSHOT_SPLIT,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-snapshot near-dedup (the Common-Crawl production shape:
+    each new crawl is deduped AGAINST ALL PRIOR CRAWLS, not just within
+    itself — CCNet/RefinedWeb both dedupe across dumps).  Snapshot id is
+    the integer suffix of `source` (srcN); docs with N >= `split` are
+    the new crawl.  A new-crawl doc is flagged when a verified near-dup
+    (3-gram Jaccard >= threshold via the banded MinHash-LSH candidates)
+    exists in ANY prior snapshot; flagged docs report the earliest
+    prior-crawl anchor (min dup_of) and the strongest evidence
+    (max jaccard).
+
+    Scale shape: identical to ngram_jaccard_pairs (signatures one pass,
+    band-hash equi-join emits colliding pairs only, exact verify on
+    candidates) plus a doc_id-keyed join of the candidate pairs against
+    the tiny (doc_id, snapshot) relation for orientation — candidate-
+    bounded, never corpus-squared.  In production the prior crawls'
+    signatures are a PRECOMPUTED store (built once per dump, appended
+    like index segments), so a new dump pays one signature pass over
+    itself plus the band join — the old corpus is never re-shingled.
+    Reference analogue: the url-exists skip on re-ingest
+    (telegram2elastic.py upsert semantics), generalized to near-dups."""
+    pairs = ngram_jaccard_pairs(corpus, threshold)
+    snap = corpus.select(
+        "doc_id",
+        F.regexp_extract("source", "^src([0-9]+)$", 1)
+        .cast("int")
+        .alias("snap"),
+    )
+    pa = snap.select(F.col("doc_id").alias("doc_a"), F.col("snap").alias("snap_a"))
+    pb = snap.select(F.col("doc_id").alias("doc_b"), F.col("snap").alias("snap_b"))
+    new_a = F.col("snap_a") >= int(split)
+    new_b = F.col("snap_b") >= int(split)
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(new_a != new_b)
+        .select(
+            F.when(new_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_doc"),
+            F.when(new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("old_doc"),
+            "jaccard",
+        )
+        .groupBy("new_doc")
+        .agg(
+            F.min("old_doc").alias("dup_of"),
+            F.round(F.max("jaccard"), 5).alias("max_jaccard"),
+        )
+        .orderBy("new_doc")
+    )
+
+
+def dedup_cross_snapshot_sql(
+    split: int = SNAPSHOT_SPLIT, threshold: float = 0.5
+) -> str:
+    return f"""
+WITH pairs AS ({ngram_jaccard_sql(threshold).strip()}),
+snap AS (
+  SELECT doc_id,
+         CAST(regexp_extract(source, '^src([0-9]+)$', 1) AS INTEGER) AS snap
+  FROM documents
+)
+SELECT CASE WHEN a.snap >= {int(split)} THEN p.doc_a ELSE p.doc_b END
+         AS new_doc,
+       min(CASE WHEN a.snap >= {int(split)} THEN p.doc_b ELSE p.doc_a END)
+         AS dup_of,
+       round(max(p.jaccard), 5) AS max_jaccard
+FROM pairs p
+JOIN snap a ON p.doc_a = a.doc_id
+JOIN snap b ON p.doc_b = b.doc_id
+WHERE (a.snap >= {int(split)}) <> (b.snap >= {int(split)})
+GROUP BY 1
+ORDER BY 1
+"""

@@ -2087,3 +2087,104 @@ SELECT doc_id, url,
 FROM parts
 ORDER BY doc_id
 """
+
+
+# --- Token-budget data selection ------------------------------------------------
+
+def budget_select(corpus: DataFrame, budget_tokens: int = 5000) -> DataFrame:
+    """Quality-first data selection under a token budget (the
+    FineWeb-Edu / phi-style recipe: rank documents by a quality score,
+    take the best until the token budget is spent).
+
+    Score: integer lexical-diversity per-mille
+    q = (1000 * n_distinct_tokens) DIV n_tokens — exact integer
+    arithmetic in both engines, computed map-only from the in-row token
+    array (no shuffle for scoring).  Selection is the maximal PREFIX of
+    (q DESC, doc_id ASC) order whose running token sum stays <= budget
+    (greedy stops at the first overflow — tokens are positive so the
+    running sum is strictly increasing and 'cumsum <= budget' IS the
+    prefix).  Token-less docs are dropped up front.
+
+    Scale shape (no global sort): the per-mille score axis has <= 1001
+    values, so ONE tiny hash aggregate builds the (q -> sum_tokens,
+    n_docs) histogram, the driver folds it descending to find the
+    cutoff bucket and its remaining budget R (the temperature_sample
+    driver-state pattern), whole buckets above the cutoff pass with a
+    map-only filter, and only the single cutoff bucket pays a bounded
+    prefix-cumsum window (bucket-sized, like search_page's bounded
+    window).  The DuckDB oracle is the naive global-window cumsum —
+    the identity of the two is exactly what the parity gate checks.
+    Reference analogue: the score-ranked keep decision of the LLM
+    classifier stage (llm_classifier.py), made budget-aware."""
+    from pyspark.sql import Window
+
+    from ..functions.tokenizer import tokens
+
+    base = (
+        corpus.select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_tok"),
+            F.size(F.array_distinct(tokens("text"))).alias("n_dis"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "q", ((F.lit(1000) * F.col("n_dis")) / F.col("n_tok")).cast("bigint")
+        )
+        .select("doc_id", "n_tok", "q")
+    )
+    hist = {
+        int(r["q"]): (int(r["s"]), int(r["c"]))
+        for r in base.groupBy("q")
+        .agg(F.sum("n_tok").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    budget = int(budget_tokens)
+    cum = 0
+    cutoff, remaining = None, 0
+    for q in sorted(hist, reverse=True):
+        s, _ = hist[q]
+        if cum + s <= budget:
+            cum += s
+            continue
+        cutoff, remaining = q, budget - cum
+        break
+    if cutoff is None:
+        return base.orderBy("doc_id")  # everything fits
+    kept_whole = base.filter(F.col("q") > cutoff)
+    w = Window.partitionBy(F.lit(0)).orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        base.filter(F.col("q") == cutoff)
+        .withColumn("cs", F.sum("n_tok").over(w))
+        .filter(F.col("cs") <= remaining)
+        .drop("cs")
+    )
+    return kept_whole.unionByName(boundary).orderBy("doc_id")
+
+
+def budget_select_sql(budget_tokens: int = 5000) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         CAST((1000 * len(list_distinct(toks))) // len(toks) AS BIGINT) AS q
+  FROM tokd WHERE len(toks) > 0
+),
+run AS (
+  SELECT doc_id, n_tok, q,
+         sum(n_tok) OVER (ORDER BY q DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cs
+  FROM base
+)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, q
+FROM run WHERE cs <= {int(budget_tokens)}
+ORDER BY doc_id
+"""

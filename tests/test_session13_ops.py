@@ -149,3 +149,94 @@ def test_url_quality_filter_rule_order_and_rules(spark):
         5: "keep",
         6: "keep",
     }
+
+
+def test_budget_select_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    for budget in (1000, 5000):
+        got = training.budget_select(load_corpus(spark, sf_dir), budget)
+        want = duck.execute(training.budget_select_sql(budget)).df()
+        assert_same(got, want)
+
+
+def test_budget_select_everything_fits(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    budget = 10_000_000  # cutoff never arms
+    got = training.budget_select(load_corpus(spark, sf_dir), budget)
+    want = duck.execute(training.budget_select_sql(budget)).df()
+    assert_same(got, want)
+    # every token-bearing doc selected
+    from telegram2elastic_spark.functions.tokenizer import tokens
+
+    n = (
+        load_corpus(spark, sf_dir)
+        .filter(F.size(tokens("text")) > 0)
+        .count()
+    )
+    assert got.count() == n
+
+
+def test_budget_select_greedy_prefix_semantics(spark, sf_dir):
+    """Selected mass <= budget; the selection is exactly the maximal
+    prefix of (q desc, doc_id asc) order (independent recompute)."""
+    from telegram2elastic_spark.functions.tokenizer import tokens
+    from telegram2elastic_spark.operators import training
+
+    budget = 3000
+    corpus = load_corpus(spark, sf_dir)
+    sel = training.budget_select(corpus, budget).collect()
+    assert sum(r["n_tok"] for r in sel) <= budget
+    rows = (
+        corpus.select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") > 0)
+        .collect()
+    )
+    order = sorted(
+        (
+            (-(1000 * len(set(r["t"])) // len(r["t"])), r["doc_id"], len(r["t"]))
+            for r in rows
+        )
+    )
+    cs, expect = 0, []
+    for _nq, did, nt in order:
+        if cs + nt > budget:
+            break
+        cs += nt
+        expect.append(did)
+    assert sorted(r["doc_id"] for r in sel) == sorted(expect)
+
+
+def test_dedup_cross_snapshot_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import dedup
+
+    got = dedup.dedup_cross_snapshot(load_corpus(spark, sf_dir))
+    want = duck.execute(dedup.dedup_cross_snapshot_sql()).df()
+    assert len(want) > 0  # the pair is non-trivial on this corpus
+    assert_same(got, want)
+
+
+def test_dedup_cross_snapshot_orientation(spark, sf_dir):
+    """Flagged docs are all NEW-snapshot docs, anchors are all PRIOR-
+    snapshot docs, and every (new_doc, dup_of) really crosses the
+    verified near-dup relation (subset of ngram_jaccard_pairs)."""
+    from telegram2elastic_spark.operators import dedup
+
+    corpus = load_corpus(spark, sf_dir)
+    out = dedup.dedup_cross_snapshot(corpus).collect()
+    assert out
+    snap = {
+        r["doc_id"]: int(r["source"][3:])
+        for r in corpus.select("doc_id", "source").collect()
+    }
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(corpus, 0.5).collect()
+    }
+    for r in out:
+        assert snap[r["new_doc"]] >= dedup.SNAPSHOT_SPLIT
+        assert snap[r["dup_of"]] < dedup.SNAPSHOT_SPLIT
+        a, b = sorted((r["new_doc"], r["dup_of"]))
+        assert (a, b) in pairs
+        assert r["max_jaccard"] >= 0.5
