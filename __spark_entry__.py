@@ -459,6 +459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_parent": lambda spark, sf: parentchild.parent_agg(
             load_corpus(spark, sf)
         ),
+        # NEW (r4, session 13): ES geo_shape query — envelope field vs
+        # query envelope under the four ES spatial relations, pure
+        # centi-degree integer interval tests (bit-identical engines);
+        # closes the geo-query family
+        "geo_shape_within": lambda spark, sf: geo.geo_shape_page(
+            load_corpus(spark, sf), relation="within", k=20
+        ),
         # NEW (r4, session 13): cross-snapshot near-dedup (the CC
         # across-dumps production shape) — new-crawl docs flagged against
         # ALL prior snapshots via the banded MinHash candidates + exact
@@ -1933,6 +1940,7 @@ FROM corpus ORDER BY doc_id
             min_count=5, top=30
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
+        "geo_shape_within": geo.geo_shape_sql(relation="within", k=20),
         "dedup_cross_snapshot": dedup.dedup_cross_snapshot_sql(),
         "budget_select": training.budget_select_sql(budget_tokens=5000),
         "url_quality_filter": training.url_quality_filter_sql(),

@@ -919,6 +919,29 @@ def main() -> None:
             lambda: esqp.EsqlPlan(_se.ESQL_PROGRAMS["esql_grok_case"])
             .dataframe(spark, SF_DIR, tables={"corpus": corpus}),
         )
+        # round-4 session-13 ops
+        from telegram2elastic_spark.functions import text_quality as tqp
+
+        timed_pl("agg_parent_sec", lambda: pcq.parent_agg(corpus))
+        timed_pl(
+            "agg_time_series_sec",
+            lambda: aggp.time_series_agg(_lev(spark, SF_DIR), size=50),
+        )
+        timed_pl(
+            "keywords_tfidf_sec", lambda: tqp.keywords_tfidf(corpus, k=5)
+        )
+        timed_pl(
+            "url_quality_filter_sec",
+            lambda: trp.url_quality_filter(corpus),
+        )
+        timed_pl(
+            "budget_select_sec",
+            lambda: trp.budget_select(corpus, budget_tokens=500_000),
+        )
+        timed_pl(
+            "dedup_cross_snapshot_sec",
+            lambda: ddp.dedup_cross_snapshot(corpus),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()

@@ -762,3 +762,128 @@ UNION ALL
 SELECT * FROM hit
 ORDER BY layer, px, py, doc_id ASC NULLS FIRST
 """
+
+
+# --- geo_shape query ------------------------------------------------------------
+
+# Per-doc indexed SHAPE: an envelope around the doc's derived point with
+# doc_id-derived half-extents (0.5 .. 5 degrees in centi-degree ints) —
+# the same deterministic-derivation contract as LAT_SQL/LON_SQL.
+SHAPE_SQL = """
+SELECT doc_id,
+       ((doc_id * 7919) % 18000 - 9000)
+         - (50 + (doc_id % 450))       AS lat_lo,
+       ((doc_id * 7919) % 18000 - 9000)
+         + (50 + (doc_id % 450))       AS lat_hi,
+       ((doc_id * 104729) % 36000 - 18000)
+         - (50 + ((doc_id * 31) % 450)) AS lon_lo,
+       ((doc_id * 104729) % 36000 - 18000)
+         + (50 + ((doc_id * 31) % 450)) AS lon_hi
+FROM corpus
+"""
+
+GEO_SHAPE_RELATIONS = ("intersects", "within", "contains", "disjoint")
+
+
+def _doc_envelopes(corpus: DataFrame) -> DataFrame:
+    lat_c = (F.col("doc_id") * 7919) % 18000 - 9000
+    lon_c = (F.col("doc_id") * 104729) % 36000 - 18000
+    hh = F.lit(50) + F.col("doc_id") % 450
+    hw = F.lit(50) + (F.col("doc_id") * 31) % 450
+    return corpus.select(
+        "doc_id",
+        (lat_c - hh).cast("long").alias("lat_lo"),
+        (lat_c + hh).cast("long").alias("lat_hi"),
+        (lon_c - hw).cast("long").alias("lon_lo"),
+        (lon_c + hw).cast("long").alias("lon_hi"),
+    )
+
+
+def geo_shape_page(
+    corpus: DataFrame,
+    envelope: tuple[float, float, float, float] = (40.0, 55.0, 0.0, 30.0),
+    relation: str = "intersects",
+    k: int = 20,
+) -> DataFrame:
+    """ES `geo_shape` query over an indexed envelope field: docs whose
+    shape stands in `relation` (intersects | within | contains |
+    disjoint — the four ES spatial relations) to the query envelope
+    (lat_min, lat_max, lon_min, lon_max in degrees).
+
+    Exactness: both doc shapes and the query envelope live in
+    centi-degree INTEGERS (the geo_polygon/geo_line contract), so every
+    relation is pure integer interval comparison — no floats anywhere,
+    bit-identical across engines.  Dateline wrap is out of scope (the
+    geo_polygon contract).
+
+    Shape: map-only predicate over derived columns + a bounded
+    TakeOrdered page.  On a real layout the envelope would be a doc
+    column with min/max zone maps, so the interval tests partition-
+    prune exactly like ES's BKD tree leaves skip non-overlapping
+    cells.  Reference analogue: none (the reference has no geo); this
+    closes the engine's ES geo-query family."""
+    if relation not in GEO_SHAPE_RELATIONS:
+        raise ValueError(f"relation must be one of {GEO_SHAPE_RELATIONS}")
+    qlat_lo, qlat_hi = int(round(envelope[0] * 100)), int(round(envelope[1] * 100))
+    qlon_lo, qlon_hi = int(round(envelope[2] * 100)), int(round(envelope[3] * 100))
+    env = _doc_envelopes(corpus)
+    inter = (
+        (F.col("lat_lo") <= qlat_hi)
+        & (F.col("lat_hi") >= qlat_lo)
+        & (F.col("lon_lo") <= qlon_hi)
+        & (F.col("lon_hi") >= qlon_lo)
+    )
+    within = (
+        (F.col("lat_lo") >= qlat_lo)
+        & (F.col("lat_hi") <= qlat_hi)
+        & (F.col("lon_lo") >= qlon_lo)
+        & (F.col("lon_hi") <= qlon_hi)
+    )
+    contains = (
+        (F.col("lat_lo") <= qlat_lo)
+        & (F.col("lat_hi") >= qlat_hi)
+        & (F.col("lon_lo") <= qlon_lo)
+        & (F.col("lon_hi") >= qlon_hi)
+    )
+    pred = {
+        "intersects": inter,
+        "within": within,
+        "contains": contains,
+        "disjoint": ~inter,
+    }[relation]
+    return env.filter(pred).orderBy("doc_id").limit(int(k))
+
+
+def geo_shape_sql(
+    envelope: tuple[float, float, float, float] = (40.0, 55.0, 0.0, 30.0),
+    relation: str = "intersects",
+    k: int = 20,
+) -> str:
+    if relation not in GEO_SHAPE_RELATIONS:
+        raise ValueError(f"relation must be one of {GEO_SHAPE_RELATIONS}")
+    qlat_lo, qlat_hi = int(round(envelope[0] * 100)), int(round(envelope[1] * 100))
+    qlon_lo, qlon_hi = int(round(envelope[2] * 100)), int(round(envelope[3] * 100))
+    inter = (
+        f"(lat_lo <= {qlat_hi} AND lat_hi >= {qlat_lo} "
+        f"AND lon_lo <= {qlon_hi} AND lon_hi >= {qlon_lo})"
+    )
+    pred = {
+        "intersects": inter,
+        "within": (
+            f"(lat_lo >= {qlat_lo} AND lat_hi <= {qlat_hi} "
+            f"AND lon_lo >= {qlon_lo} AND lon_hi <= {qlon_hi})"
+        ),
+        "contains": (
+            f"(lat_lo <= {qlat_lo} AND lat_hi >= {qlat_hi} "
+            f"AND lon_lo <= {qlon_lo} AND lon_hi >= {qlon_hi})"
+        ),
+        "disjoint": f"NOT {inter}",
+    }[relation]
+    return f"""
+WITH {CORPUS_CTE.strip()},
+env AS ({SHAPE_SQL.strip()})
+SELECT doc_id, lat_lo, lat_hi, lon_lo, lon_hi
+FROM env WHERE {pred}
+ORDER BY doc_id
+LIMIT {int(k)}
+"""

@@ -240,3 +240,50 @@ def test_dedup_cross_snapshot_orientation(spark, sf_dir):
         a, b = sorted((r["new_doc"], r["dup_of"]))
         assert (a, b) in pairs
         assert r["max_jaccard"] >= 0.5
+
+
+def test_dedup_cross_snapshot_cap_exact_at_driver_scale(spark, sf_dir):
+    """At driver scale every new doc has <= cap candidates, so the
+    capped default equals the effectively-uncapped form."""
+    from telegram2elastic_spark.operators import dedup
+
+    corpus = load_corpus(spark, sf_dir)
+    capped = dedup.dedup_cross_snapshot(corpus).collect()
+    uncapped = dedup.dedup_cross_snapshot(
+        corpus, max_candidates=1_000_000
+    ).collect()
+    assert [tuple(r) for r in capped] == [tuple(r) for r in uncapped]
+
+
+def test_geo_shape_vs_oracle_all_relations(spark, duck, sf_dir):
+    from telegram2elastic_spark.query import geo
+
+    for rel in geo.GEO_SHAPE_RELATIONS:
+        got = geo.geo_shape_page(load_corpus(spark, sf_dir), relation=rel)
+        want = duck.execute(geo.geo_shape_sql(relation=rel)).df()
+        assert_same(got, want)
+
+
+def test_geo_shape_relation_algebra(spark, sf_dir):
+    """within => intersects; disjoint is the complement of intersects;
+    a tiny query envelope inside a doc's shape is 'contains'-matched by
+    that doc (independent recompute of one doc's envelope)."""
+    from telegram2elastic_spark.query import geo
+
+    corpus = load_corpus(spark, sf_dir)
+    big = 10_000_000
+    ids = lambda rel, env=(40.0, 55.0, 0.0, 30.0): {
+        r["doc_id"]
+        for r in geo.geo_shape_page(corpus, env, rel, k=big).collect()
+    }
+    inter, within, disj = ids("intersects"), ids("within"), ids("disjoint")
+    assert within <= inter
+    assert inter.isdisjoint(disj)
+    assert len(inter) + len(disj) == corpus.count()
+    # derive doc 7's envelope and query a point-ish envelope inside it
+    d = 7
+    lat_c = (d * 7919) % 18000 - 9000
+    lon_c = (d * 104729) % 36000 - 18000
+    env = (lat_c / 100.0, lat_c / 100.0 + 0.01,
+           lon_c / 100.0, lon_c / 100.0 + 0.01)
+    assert d in ids("contains", env)
