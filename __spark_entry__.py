@@ -95,6 +95,26 @@ INGEST_PIPE = [
 ]
 INGEST_COLS = ["scheme", "host_short", "page_num", "first_word", "lang_uc",
                "pipeline", "lead"]
+
+# Session-13 processor vocabulary: kv / csv / append / fingerprint /
+# mustache-templated set (the ES template-snippet contract).
+INGEST_PIPE2 = [
+    {"dissect": {"field": "url",
+                 "pattern": "%{scheme}://%{host}/page/%{page}"}},
+    {"set": {"field": "qs", "value": "host={{host}}&page={{page}}&x="}},
+    {"kv": {"field": "qs", "field_split": "&", "value_split": "=",
+            "target_keys": ["host", "page", "x", "missing"]}},
+    {"set": {"field": "csvline", "value": "{{lang}},{{scheme}}"}},
+    {"csv": {"field": "csvline",
+             "target_fields": ["c_lang", "c_scheme", "c_extra"]}},
+    {"split": {"field": "lang", "separator": "", "target_field": "langs"}},
+    {"append": {"field": "langs", "value": "zz"}},
+    {"join": {"field": "langs", "separator": "-", "target_field": "langj"}},
+    {"fingerprint": {"fields": ["url", "lang", "page"],
+                     "target_field": "fp"}},
+]
+INGEST_COLS2 = ["qs", "host", "page", "x", "missing", "c_lang", "c_scheme",
+                "c_extra", "langj", "fp"]
 Q_MULTI = ["vector", "window", "batch"]
 Q_HEAVY = ["the", "data", "row"]
 Q_LANG = (["join", "filter"], "en")
@@ -458,6 +478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closes the join-field agg family next to children/reverse_nested
         "agg_parent": lambda spark, sf: parentchild.parent_agg(
             load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 13): ingest-processor vocabulary round-out —
+        # kv / csv / append / fingerprint / mustache-templated set, all
+        # compiled to one codegen'd map stage like the rest of the
+        # pipeline layer
+        "ingest_simulate2": lambda spark, sf: ingestp.simulate_pipeline(
+            load_corpus(spark, sf), INGEST_PIPE2, cols=INGEST_COLS2
         ),
         # NEW (r4, session 13): ES geo_shape query — envelope field vs
         # query envelope under the four ES spatial relations, pure
@@ -1940,6 +1967,9 @@ FROM corpus ORDER BY doc_id
             min_count=5, top=30
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
+        "ingest_simulate2": ingestp.simulate_pipeline_sql(
+            INGEST_PIPE2, cols=INGEST_COLS2
+        ),
         "geo_shape_within": geo.geo_shape_sql(relation="within", k=20),
         "dedup_cross_snapshot": dedup.dedup_cross_snapshot_sql(),
         "budget_select": training.budget_select_sql(budget_tokens=5000),

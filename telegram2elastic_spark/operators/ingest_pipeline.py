@@ -12,7 +12,9 @@ UDFs — so at 100 TB an ingest pipeline costs exactly one scan.
 
 Supported processors (the commonly-used pure-transform subset):
 
-  set        {field, value | copy_from}        literal or column copy
+  set        {field, value | copy_from}        literal, column copy, or
+             mustache template — "a {{col}} b" compiles to one concat
+             (the ES template-snippet contract)
   rename     {field, target_field}
   remove     {field}
   lowercase / uppercase / trim  {field, target_field?}
@@ -25,6 +27,14 @@ Supported processors (the commonly-used pure-transform subset):
   date       {field, target_field='@timestamp', output_format?}  ISO parse
   dissect    {field, pattern}   %{key} fields split by literal separators
   grok       {field, pattern}   %{PATTERN:name[:type]} named extraction
+  kv         {field, field_split, value_split, target_keys}  key=value
+             extraction; target_keys pins the output schema (Spark needs
+             static columns — the ES include_keys contract)
+  csv        {field, target_fields, separator=','}  positional split;
+             missing trailing fields become NULL
+  append     {field, value}     array append
+  fingerprint {fields, target_field='fingerprint'}  sha256 hex over the
+             '|'-joined field values (the ES fingerprint processor)
 
 `grok`/`dissect` compile to ONE regex evaluated once per named capture
 (both engines run the compiled pattern; the built-in grok vocabulary
@@ -126,6 +136,31 @@ _CAST_TYPES = {
 }
 
 
+_TMPL_REF = re.compile(r"\{\{(\w+)\}\}")
+
+
+def _template_parts(value: str) -> list[tuple[bool, str]]:
+    """Mustache template -> [(is_column, text)] segments; a plain string
+    (no {{refs}}) returns a single literal segment."""
+    parts: list[tuple[bool, str]] = []
+    last = 0
+    for m in _TMPL_REF.finditer(value):
+        if m.start() > last:
+            parts.append((False, value[last : m.start()]))
+        parts.append((True, m.group(1)))
+        last = m.end()
+    if last < len(value) or not parts:
+        parts.append((False, value[last:]))
+    return parts
+
+
+def _kv_regex(key: str, field_split: str, value_split: str) -> str:
+    """Anchored-at-boundary extraction regex for one kv key; identical
+    semantics under Java regex and RE2 (no lookaround)."""
+    fs, vs, k = re.escape(field_split), re.escape(value_split), re.escape(key)
+    return f"(?:^|{fs}){k}{vs}([^{fs}]*)"
+
+
 def _one(proc: dict) -> tuple[str, dict]:
     if not isinstance(proc, dict) or len(proc) != 1:
         raise ValueError(f"processor must be a single-key object: {proc!r}")
@@ -142,11 +177,17 @@ def apply_pipeline(corpus: DataFrame, processors: list[dict]) -> DataFrame:
         f = p.get("field")
         tgt = p.get("target_field", f)
         if kind == "set":
-            src = (
-                F.col(p["copy_from"])
-                if "copy_from" in p
-                else F.lit(p["value"])
-            )
+            if "copy_from" in p:
+                src = F.col(p["copy_from"])
+            elif isinstance(p["value"], str) and _TMPL_REF.search(p["value"]):
+                src = F.concat(
+                    *[
+                        F.col(t) if is_col else F.lit(t)
+                        for is_col, t in _template_parts(p["value"])
+                    ]
+                )
+            else:
+                src = F.lit(p["value"])
             df = df.withColumn(p["field"], src)
         elif kind == "rename":
             df = df.withColumnRenamed(f, p["target_field"])
@@ -208,6 +249,32 @@ def apply_pipeline(corpus: DataFrame, processors: list[dict]) -> DataFrame:
                 elif typ == "float":
                     c = c.cast("double")
                 df = df.withColumn(name, c)
+        elif kind == "kv":
+            for key in p["target_keys"]:
+                rx = _kv_regex(key, p["field_split"], p["value_split"])
+                df = df.withColumn(
+                    key,
+                    F.when(
+                        F.col(f).rlike(rx), F.regexp_extract(F.col(f), rx, 1)
+                    ),
+                )
+        elif kind == "csv":
+            arr = F.split(F.col(f), re.escape(p.get("separator", ",")))
+            for i, name in enumerate(p["target_fields"]):
+                df = df.withColumn(name, F.get(arr, i))
+        elif kind == "append":
+            df = df.withColumn(f, F.array_append(F.col(f), F.lit(p["value"])))
+        elif kind == "fingerprint":
+            joined = F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in p["fields"]
+                ],
+            )
+            df = df.withColumn(
+                p.get("target_field", "fingerprint"), F.sha2(joined, 256)
+            )
         else:
             raise ValueError(f"unsupported processor {kind!r}")
     return df
@@ -253,6 +320,12 @@ def _proc_sql(proc: dict, cols: set[str]) -> str:
         if "copy_from" in p:
             return put(p["copy_from"], p["field"])
         v = p["value"]
+        if isinstance(v, str) and _TMPL_REF.search(v):
+            segs = [
+                (t if is_col else f"'{_sq(t)}'")
+                for is_col, t in _template_parts(v)
+            ]
+            return put("(" + " || ".join(segs) + ")", p["field"])
         lit = f"'{_sq(v)}'" if isinstance(v, str) else repr(v)
         return put(lit, p["field"])
     if kind == "rename":
@@ -316,6 +389,57 @@ def _proc_sql(proc: dict, cols: set[str]) -> str:
         if appends:
             sel += ", " + ", ".join(appends)
         return sel
+    if kind == "kv":
+        exprs = []
+        for key in p["target_keys"]:
+            rx = _sq(_kv_regex(key, p["field_split"], p["value_split"]))
+            e = (
+                f"CASE WHEN regexp_matches({f}, '{rx}') THEN "
+                f"regexp_extract({f}, '{rx}', 1) END"
+            )
+            if key in cols:
+                exprs.append(("r", f"{e} AS {key}"))
+            else:
+                cols.add(key)
+                exprs.append(("a", f"{e} AS {key}"))
+        sel = "*"
+        reps = [x for t, x in exprs if t == "r"]
+        apps = [x for t, x in exprs if t == "a"]
+        if reps:
+            sel += " REPLACE (" + ", ".join(reps) + ")"
+        if apps:
+            sel += ", " + ", ".join(apps)
+        return sel
+    if kind == "csv":
+        sep = _sq(p.get("separator", ","))
+        exprs = []
+        for i, name in enumerate(p["target_fields"], start=1):
+            e = f"string_split({f}, '{sep}')[{i}]"
+            if name in cols:
+                exprs.append(("r", f"{e} AS {name}"))
+            else:
+                cols.add(name)
+                exprs.append(("a", f"{e} AS {name}"))
+        sel = "*"
+        reps = [x for t, x in exprs if t == "r"]
+        apps = [x for t, x in exprs if t == "a"]
+        if reps:
+            sel += " REPLACE (" + ", ".join(reps) + ")"
+        if apps:
+            sel += ", " + ", ".join(apps)
+        return sel
+    if kind == "append":
+        v = p["value"]
+        lit = f"'{_sq(v)}'" if isinstance(v, str) else repr(v)
+        return put(f"list_append({f}, {lit})", f)
+    if kind == "fingerprint":
+        joined = ", ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), '')" for c in p["fields"]
+        )
+        return put(
+            f"sha256(concat_ws('|', {joined}))",
+            p.get("target_field", "fingerprint"),
+        )
     raise ValueError(f"unsupported processor {kind!r}")
 
 

@@ -82,3 +82,50 @@ def test_unknown_processor_raises(spark, sf_dir):
         ip.apply_pipeline(
             load_corpus(spark, sf_dir), [{"set": {}, "remove": {}}]
         )
+
+
+# session 13: kv / csv / append / fingerprint / templated set
+PIPE2 = [
+    {"dissect": {"field": "url",
+                 "pattern": "%{scheme}://%{host}/page/%{page}"}},
+    {"set": {"field": "qs", "value": "host={{host}}&page={{page}}&x="}},
+    {"kv": {"field": "qs", "field_split": "&", "value_split": "=",
+            "target_keys": ["host", "page", "x", "missing"]}},
+    {"set": {"field": "csvline", "value": "{{lang}},{{scheme}}"}},
+    {"csv": {"field": "csvline",
+             "target_fields": ["c_lang", "c_scheme", "c_extra"]}},
+    {"split": {"field": "lang", "separator": "", "target_field": "langs"}},
+    {"append": {"field": "langs", "value": "zz"}},
+    {"join": {"field": "langs", "separator": "-", "target_field": "langj"}},
+    {"fingerprint": {"fields": ["url", "lang", "page"],
+                     "target_field": "fp"}},
+]
+COLS2 = ["qs", "host", "page", "x", "missing", "c_lang", "c_scheme",
+         "c_extra", "langj", "fp"]
+
+
+def test_simulate_session13_processors_vs_oracle(spark, duck, sf_dir):
+    assert_same(
+        ip.simulate_pipeline(load_corpus(spark, sf_dir), PIPE2, cols=COLS2),
+        duck.execute(ip.simulate_pipeline_sql(PIPE2, cols=COLS2)).df(),
+    )
+
+
+def test_session13_processor_semantics(spark, sf_dir):
+    import hashlib
+
+    corpus = load_corpus(spark, sf_dir)
+    row = ip.simulate_pipeline(corpus, PIPE2, cols=COLS2, limit=1).first()
+    d = row["doc_id"]
+    assert row["qs"] == f"host=site{d % 1000}.example&page={d}&x="
+    assert row["host"] == f"site{d % 1000}.example"
+    assert row["page"] == str(d)
+    assert row["x"] == ""          # present key, empty value
+    assert row["missing"] is None  # absent key -> NULL
+    assert row["c_extra"] is None  # csv: missing trailing field -> NULL
+    assert row["langj"].endswith("-zz")
+    url = f"https://site{d % 1000}.example/page/{d}"
+    want = hashlib.sha256(
+        f"{url}|{row['c_lang']}|{d}".encode()
+    ).hexdigest()
+    assert row["fp"] == want
