@@ -479,6 +479,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_parent": lambda spark, sf: parentchild.parent_agg(
             load_corpus(spark, sf)
         ),
+        # NEW (r4, session 13): deterministic multi-epoch shard shuffle
+        # (training-data delivery order) — hash-bucketed shards,
+        # hash-ordered within shard, epoch folded into the hash; the
+        # within-shard rank is Spark's physical write path (repartition +
+        # sortWithinPartitions), no global sort
+        "shard_shuffle": lambda spark, sf: training.shard_shuffle(
+            load_corpus(spark, sf), n_shards=8, epoch=1
+        ),
+        # NEW (r4, session 13): significant_terms with the ES
+        # background_filter knob — significance vs a language-restricted
+        # background (relational pass; a filtered background cannot come
+        # from term_dict's global df)
+        "significant_terms_bg": lambda spark, sf: facets.significant_terms(
+            load_corpus(spark, sf), q="merge", min_score=10.0, k=15,
+            background_lang="en",
+        ),
         # NEW (r4, session 13): ingest-processor vocabulary round-out —
         # kv / csv / append / fingerprint / mustache-templated set, all
         # compiled to one codegen'd map stage like the rest of the
@@ -1967,6 +1983,10 @@ FROM corpus ORDER BY doc_id
             min_count=5, top=30
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
+        "shard_shuffle": training.shard_shuffle_sql(n_shards=8, epoch=1),
+        "significant_terms_bg": facets.significant_terms_sql(
+            q="merge", min_score=10.0, k=15, background_lang="en"
+        ),
         "ingest_simulate2": ingestp.simulate_pipeline_sql(
             INGEST_PIPE2, cols=INGEST_COLS2
         ),

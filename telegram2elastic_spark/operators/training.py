@@ -2188,3 +2188,58 @@ SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, q
 FROM run WHERE cs <= {int(budget_tokens)}
 ORDER BY doc_id
 """
+
+
+# --- Deterministic training-data ordering ----------------------------------------
+
+def shard_shuffle(
+    corpus: DataFrame, n_shards: int = 8, epoch: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle for training-data delivery (the
+    T5/GPT-pipeline shape: examples are hash-bucketed into shards and
+    hash-ordered within each shard, so the training order is fully
+    reproducible with NO RNG state, and changes per epoch by folding the
+    epoch into the hash).  Output: (doc_id, shard, pos) — shard file id
+    and 1-based position within the shard.
+
+    Scale shape: the shard assignment is a map-only hash; the
+    within-shard rank is a per-shard-partition sort — EXACTLY Spark's
+    physical write path (repartition(n_shards) + sortWithinPartitions),
+    so the 'window' here never sees more than one shard's rows, which
+    is the size a shard file must be writable at anyway.  No global
+    sort, no driver state.  Epoch e reshuffles by hashing url || ':' ||
+    e — epochs are uncorrelated streams without materializing anything
+    twice.  Reference analogue: none (training delivery is downstream
+    of the reference); the hash-membership idiom is train_val_split's."""
+    from pyspark.sql import Window
+
+    h = h64(F.concat(F.col("url"), F.lit(f":{int(epoch)}")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        corpus.select(
+            "doc_id",
+            F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def shard_shuffle_sql(n_shards: int = 8, epoch: int = 0) -> str:
+    h = H64_SQL.format(x=f"url || ':{int(epoch)}'")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+hashed AS (
+  SELECT doc_id,
+         CAST(({h}) % {int(n_shards)} AS INTEGER) AS shard,
+         ({h}) AS h
+  FROM corpus
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS INTEGER) AS pos
+FROM hashed
+ORDER BY shard, pos
+"""

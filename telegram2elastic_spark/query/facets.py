@@ -73,8 +73,19 @@ def significant_terms(
     k: int = 20,
     min_doc_count: int = 3,
     index: dict | None = None,
+    background_lang: str | None = None,
 ) -> DataFrame:
     """Top-k (term, fg_count, bg_count, jlh) over the filtered set.
+
+    `background_lang` is the ES `background_filter` knob: significance
+    measured against a RESTRICTED background (here a language slice)
+    instead of the whole index — "what distinguishes the match set from
+    other docs of the same language", the tail-comparison ES documents
+    for this param.  A filtered background cannot come from term_dict
+    (it holds global df only), so this knob forces the relational
+    background pass — mutually exclusive with `index`.  Foreground
+    terms absent from the restricted background drop out (inner join —
+    JLH is undefined at bg% = 0), in both engines.
 
     fg% = term's doc frequency inside the filtered (foreground) set /
     |foreground|; bg% = doc frequency over the whole corpus / N.
@@ -102,13 +113,23 @@ def significant_terms(
         F.col("fg_count") >= int(min_doc_count)
     )
     if index is not None:
+        if background_lang is not None:
+            raise ValueError(
+                "background_filter needs the relational background pass"
+                " (term_dict holds global df only) — pass index=None"
+            )
         bg = index["term_dict"].select(
             "term", F.col("df").cast("long").alias("bg_count")
         )
         bg_n = index["stats"].select(F.col("n_docs").alias("bg_n"))
     else:
-        bg = doc_freq(corpus, "bg_count")
-        bg_n = corpus.select(F.count(F.lit(1)).alias("bg_n"))
+        bg_docs = (
+            corpus.filter(F.col("lang") == background_lang)
+            if background_lang is not None
+            else corpus
+        )
+        bg = doc_freq(bg_docs, "bg_count")
+        bg_n = bg_docs.select(F.count(F.lit(1)).alias("bg_n"))
     joined = (
         fg.join(bg, "term")
         .crossJoin(F.broadcast(fg_n))
@@ -131,14 +152,19 @@ def significant_terms_sql(
     min_score: float | None = None,
     k: int = 20,
     min_doc_count: int = 3,
+    background_lang: str | None = None,
 ) -> str:
     where = _filters_sql(q, min_score, None)
+    bg_where = (
+        f"WHERE lang = '{background_lang}'" if background_lang is not None else ""
+    )
     return f"""
 WITH {CORPUS_CTE.strip()},
 scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
 fset AS (SELECT * FROM scored WHERE {where}),
+bset AS (SELECT * FROM corpus {bg_where}),
 fg_n AS (SELECT count(*) AS fg_n FROM fset),
-bg_n AS (SELECT count(*) AS bg_n FROM corpus),
+bg_n AS (SELECT count(*) AS bg_n FROM bset),
 fg AS (
   SELECT term, count(*) AS fg_count FROM (
     SELECT doc_id, unnest(list_distinct(list_filter(
@@ -152,7 +178,7 @@ bg AS (
     SELECT doc_id, unnest(list_distinct(list_filter(
         regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
         t -> t <> ''))) AS term
-    FROM corpus
+    FROM bset
   ) GROUP BY term
 )
 SELECT fg.term, fg.fg_count, bg.bg_count,

@@ -287,3 +287,65 @@ def test_geo_shape_relation_algebra(spark, sf_dir):
     env = (lat_c / 100.0, lat_c / 100.0 + 0.01,
            lon_c / 100.0, lon_c / 100.0 + 0.01)
     assert d in ids("contains", env)
+
+
+def test_significant_terms_bg_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.query import facets
+
+    got = facets.significant_terms(
+        load_corpus(spark, sf_dir), q="merge", min_score=10.0, k=15,
+        background_lang="en",
+    )
+    want = duck.execute(
+        facets.significant_terms_sql(
+            q="merge", min_score=10.0, k=15, background_lang="en"
+        )
+    ).df()
+    assert_same(got, want)
+    # restricted background really changes the ranking vs the global one
+    base = facets.significant_terms(
+        load_corpus(spark, sf_dir), q="merge", min_score=10.0, k=15
+    ).collect()
+    assert [r["term"] for r in got.collect()] != [r["term"] for r in base] or [
+        r["jlh"] for r in got.collect()
+    ] != [r["jlh"] for r in base]
+
+
+def test_significant_terms_bg_rejects_index(spark, sf_dir):
+    import pytest as _pytest
+
+    from telegram2elastic_spark.query import facets
+
+    with _pytest.raises(ValueError):
+        facets.significant_terms(
+            load_corpus(spark, sf_dir), q="merge",
+            index={"term_dict": None, "stats": None}, background_lang="en",
+        )
+
+
+def test_shard_shuffle_vs_oracle(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators import training
+
+    got = training.shard_shuffle(load_corpus(spark, sf_dir), 8, epoch=1)
+    want = duck.execute(training.shard_shuffle_sql(8, epoch=1)).df()
+    assert_same(got, want)
+
+
+def test_shard_shuffle_properties(spark, sf_dir):
+    """Total (every doc exactly once), positions are dense 1..|shard|,
+    epochs give different orders but identical shard sizes when the
+    same hash seeds differ, and the op is reproducible run-to-run."""
+    from telegram2elastic_spark.operators import training
+
+    corpus = load_corpus(spark, sf_dir)
+    e0 = training.shard_shuffle(corpus, 8, epoch=0).collect()
+    e0b = training.shard_shuffle(corpus, 8, epoch=0).collect()
+    assert e0 == e0b  # reproducible, no RNG
+    assert len(e0) == corpus.count()
+    bys = {}
+    for r in e0:
+        bys.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in bys.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    e1 = training.shard_shuffle(corpus, 8, epoch=1).collect()
+    assert [r["doc_id"] for r in e0] != [r["doc_id"] for r in e1]
