@@ -942,6 +942,20 @@ def main() -> None:
             "dedup_cross_snapshot_sec",
             lambda: ddp.dedup_cross_snapshot(corpus),
         )
+        timed_pl(
+            "shard_shuffle_sec",
+            lambda: trp.shard_shuffle(corpus, n_shards=8, epoch=1),
+        )
+        timed_pl(
+            "ingest_pipeline2_sec",
+            lambda: ipp.apply_pipeline(corpus, _se.INGEST_PIPE2).select(
+                "doc_id", *_se.INGEST_COLS2
+            ),
+        )
+        timed_pl(
+            "geo_shape_sec",
+            lambda: geoq.geo_shape_page(corpus, relation="intersects", k=20),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()
