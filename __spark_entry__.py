@@ -471,6 +471,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 14): ES 8.15 chunked semantic_text — per-chunk
+        # hashing-trick embeddings (index-time inference over overlapping
+        # token windows), doc ranks by its BEST chunk (max-sim over the
+        # nested chunk vectors); one tokenize + doc-keyed hash aggs
+        "semantic_chunked_topk": lambda spark, sf: semq.semantic_chunked_topk(
+            load_corpus(spark, sf), "merge vector batch", k=10
+        ),
+        # NEW (r4, session 14): Unicode-script histogram + dominant script
+        # (the mC4/OSCAR script-routing signal) — one codegen'd map stage
+        # of regexp_count ranges, no tokenize, no shuffle
+        "script_profile": lambda spark, sf: tq.script_profile(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 14): per-language tokenizer fertility audit
+        # (BPE-ish tokens per word / bytes per token) — exact integer sums
+        # in ONE lang-keyed hash agg, divisions on the |langs|-row result
+        "fertility_stats": lambda spark, sf: tq.fertility_stats(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 13): ES `parent` aggregation — child-scope
         # language buckets ascend to the PARENT (site) scope: the hop is
         # one (lang, host) distinct, parent attrs come from a broadcast
@@ -1984,6 +2003,11 @@ FROM corpus ORDER BY doc_id
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
         "shard_shuffle": training.shard_shuffle_sql(n_shards=8, epoch=1),
+        "semantic_chunked_topk": semq.semantic_chunked_topk_sql(
+            "merge vector batch", k=10
+        ),
+        "script_profile": tq.script_profile_sql(),
+        "fertility_stats": tq.FERTILITY_SQL,
         "significant_terms_bg": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, background_lang="en"
         ),

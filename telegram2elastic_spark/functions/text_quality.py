@@ -429,3 +429,185 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN ranked r ON c.doc_id = r.doc_id
 ORDER BY c.doc_id
 """
+
+
+# --- Unicode script profiling -------------------------------------------------
+
+# Explicit code-point ranges, NOT \p{Script=...} property names: Java regex
+# spells scripts \p{IsCyrillic} while RE2 spells them \p{Cyrillic}, so a
+# property-name pattern cannot be shared verbatim between Spark and the
+# DuckDB oracle.  \x{....} range escapes parse identically in both.
+SCRIPTS = {
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+}
+SCRIPT_NAMES = sorted(SCRIPTS)
+
+
+def script_profile(corpus: DataFrame) -> DataFrame:
+    """Per-document Unicode-script histogram + dominant script — the
+    multilingual-pipeline routing signal (mC4/OSCAR split corpora by
+    script before language ID; mixed-script docs are a spam/obfuscation
+    marker).  Counts are code-point occurrences per script range, plus
+    digits; `dominant` is the argmax over the five scripts with
+    alphabetical tie-break and 'none' when no script character occurs
+    (the lang_id argmax contract).  `frac_dominant` = dominant count /
+    total script-character count, rounded 5 (0.0 when none).
+
+    Plan: ONE map stage of regexp_count built-ins over the text column —
+    no tokenize, no shuffle, codegen'd end to end; at 10^12 docs this is
+    embarrassingly parallel scan work.  The synthetic corpus is ASCII so
+    real data drives the non-Latin rows through the unit tests (crafted
+    multi-script strings) — the operator contract is the deterministic
+    count/argmax semantics, as with lang_id.
+    """
+    counts = {
+        s: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+        for s, pat in SCRIPTS.items()
+    }
+    df = corpus.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        *[counts[s].alias(f"n_{s}") for s in SCRIPT_NAMES],
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("long").alias(
+            "n_digit"
+        ),
+    )
+    best = F.greatest(*[F.col(f"n_{s}") for s in SCRIPT_NAMES])
+    dom = F.lit("none")
+    for s in reversed(SCRIPT_NAMES):  # earlier names win ties
+        dom = F.when((F.col(f"n_{s}") == best) & (best > 0), F.lit(s)).otherwise(
+            dom
+        )
+    tot = sum(F.col(f"n_{s}") for s in SCRIPT_NAMES)
+    return df.select(
+        "doc_id",
+        "n_chars",
+        *[F.col(f"n_{s}") for s in SCRIPT_NAMES],
+        "n_digit",
+        dom.alias("dominant"),
+        F.when(tot > 0, F.round(best / tot, 5)).otherwise(F.lit(0.0)).alias(
+            "frac_dominant"
+        ),
+    ).orderBy("doc_id")
+
+
+def script_profile_sql() -> str:
+    cnt = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{SCRIPTS[s]}')) AS BIGINT)"
+        f" AS n_{s}"
+        for s in SCRIPT_NAMES
+    )
+    best = "greatest(" + ", ".join(f"n_{s}" for s in SCRIPT_NAMES) + ")"
+    dom = "'none'"
+    for s in reversed(SCRIPT_NAMES):
+        dom = (
+            f"CASE WHEN n_{s} = {best} AND {best} > 0 "
+            f"THEN '{s}' ELSE {dom} END"
+        )
+    tot = " + ".join(f"n_{s}" for s in SCRIPT_NAMES)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+cnt AS (
+  SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       {cnt},
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+  FROM corpus
+)
+SELECT doc_id, n_chars, {', '.join(f'n_{s}' for s in SCRIPT_NAMES)}, n_digit,
+       {dom} AS dominant,
+       CASE WHEN ({tot}) > 0
+            THEN round({best} * 1.0 / ({tot}), 5) ELSE 0.0 END
+           AS frac_dominant
+FROM cnt ORDER BY doc_id
+"""
+
+
+# --- tokenizer fertility ------------------------------------------------------
+
+
+def fertility_stats(corpus: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility — the standard tokenizer-equity
+    audit for multilingual training mixes (how many BPE-ish tokens a
+    language pays per word and per byte; languages a tokenizer fragments
+    get silently under-trained at a fixed token budget).
+
+    Per lang: n_docs, ws_tokens (whitespace words), bpeish_tokens (the
+    BPE-ish pre-tokenizer, token_counts' regex), n_bytes (UTF-8 octets),
+    fertility = bpeish/ws rounded 5, bytes_per_token = bytes/bpeish
+    rounded 5 (0.0 when the denominator is empty).
+
+    Plan: one map stage (two regex counts + octet_length per row) into
+    ONE lang-keyed hash aggregate with map-side combine — exact integer
+    sums, divisions only on the |langs|-row result, so float
+    summation-order can never differ across engines.  At 10^12 docs the
+    shuffle carries |langs| partial states per task, nothing else."""
+    ws = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    ).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPEISH_RE), 0)).cast(
+        "long"
+    )
+    per = corpus.select(
+        "lang",
+        ws.alias("ws"),
+        bpe.alias("bpe"),
+        F.octet_length("text").cast("long").alias("nb"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpeish_tokens"),
+        F.sum("nb").alias("n_bytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpeish_tokens",
+        "n_bytes",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.round(F.col("bpeish_tokens") / F.col("ws_tokens"), 5),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+        F.when(
+            F.col("bpeish_tokens") > 0,
+            F.round(F.col("n_bytes") / F.col("bpeish_tokens"), 5),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bytes_per_token"),
+    ).orderBy("lang")
+
+
+FERTILITY_SQL = f"""
+WITH {CORPUS_CTE.strip()},
+per AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  t -> t <> '')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text, '{BPEISH_RE}')) AS BIGINT) AS bpe,
+         CAST(strlen(text) AS BIGINT) AS nb
+  FROM corpus
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         CAST(sum(bpe) AS BIGINT) AS bpeish_tokens,
+         CAST(sum(nb) AS BIGINT) AS n_bytes
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, ws_tokens, bpeish_tokens, n_bytes,
+       CASE WHEN ws_tokens > 0
+            THEN round(bpeish_tokens * 1.0 / ws_tokens, 5) ELSE 0.0 END
+           AS fertility,
+       CASE WHEN bpeish_tokens > 0
+            THEN round(n_bytes * 1.0 / bpeish_tokens, 5) ELSE 0.0 END
+           AS bytes_per_token
+FROM g ORDER BY lang
+"""

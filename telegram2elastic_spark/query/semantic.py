@@ -265,3 +265,226 @@ def semantic_topk_local(
     cos = np.round(dots / (np.sqrt(nn[pos]) * qnorm), 5)
     out = sorted(zip(uniq.tolist(), cos.tolist()), key=lambda t: (-t[1], t[0]))
     return [(int(d), float(c)) for d, c in out[:k]]
+
+
+# --- ES 8.15 semantic_text chunking: per-chunk embeddings, max-sim serving ----
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_embeddings(
+    corpus: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    dim: int = SEM_DIM,
+) -> DataFrame:
+    """(doc_id, chunk_id, bucket, val) — the semantic_text CHUNKED
+    inference output.  ES 8.15 splits long semantic_text values into
+    overlapping word windows and embeds each chunk separately (long docs
+    would otherwise dilute into one mean-pooled vector); chunk i covers
+    tokens [i*stride, i*stride + window), the last window may be short,
+    and a doc with <= window tokens is exactly one chunk.
+
+    Plan: ONE tokenize (array materialized — the tokenize-once
+    contract), chunk explode bounded by ceil(len/stride) per doc, then
+    the same (doc, chunk, token)-keyed integer hash aggregates as
+    doc_embeddings.  All shuffle keys carry doc_id — fully parallel at
+    10^12 docs; chunking never sees another doc's rows."""
+    w, s = int(window), int(stride)
+    tokd = corpus.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    nch = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(F.ceil((n - w) / F.lit(float(s))), F.lit(0))
+    )
+    # guarded: sequence(0, -1) in Spark is a DESCENDING [0, -1], not empty,
+    # so zero-token docs must map to an explicit empty chunk array
+    seq = F.when(
+        nch > 0, F.sequence(F.lit(0), nch.cast("int") - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = tokd.select(
+        "doc_id",
+        F.explode(seq).alias("chunk_id"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice("toks", F.col("chunk_id") * s + 1, w).alias("ctoks"),
+    )
+    tf = (
+        chunks.select(
+            "doc_id", "chunk_id", F.explode("ctoks").alias("tok")
+        )
+        .groupBy("doc_id", "chunk_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    sign = F.when(
+        h64(F.concat(F.lit("s:"), F.col("tok"))) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tf.select(
+            "doc_id",
+            "chunk_id",
+            F.pmod(h64(F.col("tok")), F.lit(int(dim))).alias("bucket"),
+            (sign * F.col("tf")).alias("s"),
+        )
+        .groupBy("doc_id", "chunk_id", "bucket")
+        .agg(F.sum("s").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def semantic_chunked_topk(
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    dim: int = SEM_DIM,
+    store: DataFrame | None = None,
+) -> DataFrame:
+    """ES `semantic` query over a CHUNKED semantic_text field: every
+    chunk is scored by cosine against the query embedding and a doc
+    ranks by its BEST chunk (ES stores chunk vectors as nested
+    dense_vectors and takes the max inner-hit score).  Returns (doc_id,
+    chunk_id, cosine): the winning chunk per doc, cosine desc, doc_id
+    asc, limit k; within a doc, equal-cosine chunks resolve to the
+    lowest chunk_id.  Chunks sharing no bucket with the query drop out
+    (no similarity evidence), exactly as in semantic_topk.
+
+    `store` is the index-time chunk-embedding table (chunk_embeddings
+    run once at ingest — how ES embeds on write).  With it the per-query
+    plan is a broadcast |q|-bucket join + two bounded hash aggregates
+    over the store; the corpus is never re-tokenized at query time."""
+    spark = corpus.sparkSession
+    qv = embed_query(query, dim)
+    if not qv:
+        return spark.createDataFrame(
+            [], "doc_id bigint, chunk_id int, cosine double"
+        )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(b, v) for b, v in sorted(qv.items())], "bucket int, qval long"
+        )
+    )
+    emb = (
+        store
+        if store is not None
+        else chunk_embeddings(corpus, window, stride, dim)
+    )
+    qnorm = float(sum(v * v for v in qv.values())) ** 0.5
+    per_chunk = (
+        emb.join(qdf, "bucket", "left")
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.sum(F.col("val") * F.coalesce("qval", F.lit(0))).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("nn"),
+            F.max(
+                F.when(F.col("qval").isNotNull(), 1).otherwise(0)
+            ).alias("has"),
+        )
+        .filter(F.col("has") == 1)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("nn").cast("double")) * F.lit(qnorm)),
+                5,
+            ).alias("cosine"),
+        )
+    )
+    best = (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct("chunk_id", "cosine"),
+                F.struct(F.col("cosine"), -F.col("chunk_id")),
+            ).alias("top")
+        )
+        .select(
+            "doc_id",
+            F.col("top.chunk_id").alias("chunk_id"),
+            F.col("top.cosine").alias("cosine"),
+        )
+    )
+    return best.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(int(k))
+
+
+def semantic_chunked_topk_sql(
+    query: str,
+    k: int = 10,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    dim: int = SEM_DIM,
+) -> str:
+    qv = embed_query(query, dim)
+    if not qv:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS "
+            "chunk_id, CAST(NULL AS DOUBLE) AS cosine WHERE FALSE"
+        )
+    w, s = int(window), int(stride)
+    qrows = ", ".join(f"({b}, {v})" for b, v in sorted(qv.items()))
+    qnorm = float(sum(v * v for v in qv.values())) ** 0.5
+    hb = H64_SQL.format(x="tok")
+    hs = H64_SQL.format(x="'s:' || tok")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+chn AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE 1 + greatest(CAST(ceil((len(toks) - {w}) / {float(s)!r})
+                                     AS INT), 0) END AS nch
+  FROM tokd
+),
+chunks AS (
+  SELECT doc_id, CAST(u.ci AS INT) AS chunk_id,
+         list_slice(toks, u.ci * {s} + 1, u.ci * {s} + {w}) AS ctoks
+  FROM chn, unnest(generate_series(0, nch - 1)) AS u(ci)
+  WHERE nch > 0
+),
+ctok AS (
+  SELECT doc_id, chunk_id, unnest(ctoks) AS tok FROM chunks
+),
+emb AS (
+  SELECT doc_id, chunk_id, ({hb}) % {int(dim)} AS bucket,
+         sum(CASE WHEN ({hs}) % 2 = 0 THEN 1 ELSE -1 END) AS val
+  FROM ctok GROUP BY doc_id, chunk_id, bucket
+  HAVING sum(CASE WHEN ({hs}) % 2 = 0 THEN 1 ELSE -1 END) != 0
+),
+q(bucket, qval) AS (VALUES {qrows}),
+dots AS (
+  SELECT emb.doc_id, emb.chunk_id, sum(emb.val * q.qval) AS dot
+  FROM emb JOIN q ON emb.bucket = q.bucket
+  GROUP BY emb.doc_id, emb.chunk_id
+),
+norms AS (
+  SELECT doc_id, chunk_id, sum(val * val) AS nn
+  FROM emb GROUP BY doc_id, chunk_id
+),
+per_chunk AS (
+  SELECT dots.doc_id, dots.chunk_id,
+         round(dots.dot / (sqrt(CAST(norms.nn AS DOUBLE)) * {qnorm!r}), 5)
+             AS cosine
+  FROM dots JOIN norms
+    ON dots.doc_id = norms.doc_id AND dots.chunk_id = norms.chunk_id
+),
+best AS (
+  SELECT doc_id, chunk_id, cosine,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY cosine DESC, chunk_id ASC
+         ) AS rn
+  FROM per_chunk
+)
+SELECT doc_id, chunk_id, cosine
+FROM best WHERE rn = 1
+ORDER BY cosine DESC, doc_id ASC
+LIMIT {int(k)}
+"""
