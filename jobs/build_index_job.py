@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--doc-store", action="store_true",
                     help="also write the stored-fields store (doc_store) "
                          "for driver-local mlt/rescore/highlight serving")
+    ap.add_argument("--semantic-store", default=None, metavar="DIR",
+                    help="also write the semantic_text inference store "
+                         "(semantic.write_semantic_store) to DIR")
+    ap.add_argument("--semantic-chunk-store", default=None, metavar="DIR",
+                    help="also write the CHUNKED semantic_text store "
+                         "(semantic.write_semantic_chunk_store) to DIR")
     args = ap.parse_args()
 
     # spark-submit provides master/conf; only fill gaps for bare invocation
@@ -66,6 +72,16 @@ def main() -> None:
     write_index(idx, args.out)
     if args.doc_store:
         write_doc_store(corpus, args.out)
+    if args.semantic_store or args.semantic_chunk_store:
+        from telegram2elastic_spark.query.semantic import (
+            write_semantic_chunk_store,
+            write_semantic_store,
+        )
+
+        if args.semantic_store:
+            write_semantic_store(corpus, args.semantic_store)
+        if args.semantic_chunk_store:
+            write_semantic_chunk_store(corpus, args.semantic_chunk_store)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "n_docs": n_docs,

@@ -39,6 +39,7 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "maxsim",   "group": 0, "group_size": 5}     (needs --embeddings)
     {"op": "weightedtokens", "weights": {"spark": 2.0}, "ratio": 5.0}
     {"op": "semantic", "q": "spark merge batch"}   (needs --semantic-store)
+    {"op": "semanticchunked", "q": "spark merge"}  (needs --semantic-chunk-store)
     {"op": "stats"} / {"op": "stats", "disk": true}  (_stats / _disk_usage)
     {"op": "rules",    "q": "spark merge", "ruleset": [...], "match": {...}}
 
@@ -81,6 +82,9 @@ def main() -> None:
                     help="embedding parquet dir (hybrid RRF knn leg)")
     ap.add_argument("--semantic-store", default=None,
                     help="write_semantic_store dir (semantic query op)")
+    ap.add_argument("--semantic-chunk-store", default=None,
+                    help="write_semantic_chunk_store dir (semanticchunked "
+                         "op — chunked semantic_text, best chunk per doc)")
     ap.add_argument("--field-index", action="append", default=[],
                     metavar="NAME=DIR",
                     help="per-field index dir for multi_match "
@@ -112,6 +116,7 @@ def main() -> None:
         field_indexes[name] = read_index(spark, d)
     fuzzy_cache: dict = {}
     semantic_cache: dict = {}
+    semantic_chunk_cache: dict = {}
     lq._vocab(idx)  # the FST load — one job, then expansion is in-process
     if args.warm:
         wand_topk_local(idx, args.warm.split(), k=1)
@@ -296,6 +301,22 @@ def main() -> None:
 
             return semantic_topk_local(
                 args.semantic_store, req["q"], k=k, cache=semantic_cache
+            )
+        if op == "semanticchunked":
+            # {"op": "semanticchunked", "q": "spark merge batch"} —
+            # chunked semantic_text: best chunk per doc off the chunk
+            # store (bucket-pruned reads, per-chunk numpy dots)
+            if not args.semantic_chunk_store:
+                raise ValueError(
+                    "semanticchunked needs --semantic-chunk-store"
+                )
+            from telegram2elastic_spark.query.semantic import (
+                semantic_chunked_topk_local,
+            )
+
+            return semantic_chunked_topk_local(
+                args.semantic_chunk_store, req["q"], k=k,
+                cache=semantic_chunk_cache,
             )
         if op == "rules":
             # {"op": "rules", "q": "spark merge", "ruleset": [...],

@@ -488,3 +488,104 @@ FROM best WHERE rn = 1
 ORDER BY cosine DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def write_semantic_chunk_store(
+    corpus: DataFrame,
+    out_dir: str,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    dim: int = SEM_DIM,
+) -> None:
+    """Chunked twin of write_semantic_store:
+      <out>/buckets/  (bucket, doc_id, chunk_id, val) sorted by
+                      (bucket, doc_id, chunk_id) — a query reads ONLY its
+                      |q| buckets via parquet row-group pruning
+      <out>/norms/    (doc_id, chunk_id, nn) — per-CHUNK squared norm
+    """
+    emb = chunk_embeddings(corpus, window, stride, dim).persist()
+    try:
+        (
+            emb.repartition(1)
+            .sortWithinPartitions("bucket", "doc_id", "chunk_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 128 * 1024)
+            .parquet(f"{out_dir}/buckets")
+        )
+        (
+            emb.groupBy("doc_id", "chunk_id")
+            .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
+            .repartition(1)
+            .sortWithinPartitions("doc_id", "chunk_id")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/norms")
+        )
+    finally:
+        emb.unpersist()
+
+
+def semantic_chunked_topk_local(
+    store_dir: str,
+    query: str,
+    k: int = 10,
+    dim: int = SEM_DIM,
+    cache: dict | None = None,
+) -> list[tuple]:
+    """Query-node twin of semantic_chunked_topk over a
+    write_semantic_chunk_store dir: bucket-pruned pyarrow reads, numpy
+    per-chunk dots, per-doc best chunk.  [(doc_id, chunk_id, cosine)],
+    rank-identical to the Spark path.  Chunk keys pack as
+    doc_id * 2^32 + chunk_id (documented limit: internal doc ids below
+    2^31 on the serving node — the store writer's dense-id contract)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    qv = embed_query(query, dim)
+    if not qv:
+        return []
+    cache = cache if cache is not None else {}
+    if "norms" not in cache:
+        tbl = ds.dataset(f"{store_dir}/norms", format="parquet").to_table()
+        key = (
+            tbl["doc_id"].to_numpy().astype(np.int64) << 32
+        ) | tbl["chunk_id"].to_numpy().astype(np.int64)
+        nn = tbl["nn"].to_numpy().astype(np.float64)
+        order = np.argsort(key)
+        cache["norms"] = (key[order], nn[order])
+    nkey, nn = cache["norms"]
+    dset = ds.dataset(f"{store_dir}/buckets", format="parquet")
+    tbl = dset.to_table(filter=pc.field("bucket").isin(list(qv)))
+    bks = tbl["bucket"].to_numpy().astype(np.int64)
+    keys = (
+        tbl["doc_id"].to_numpy().astype(np.int64) << 32
+    ) | tbl["chunk_id"].to_numpy().astype(np.int64)
+    vals = tbl["val"].to_numpy().astype(np.float64)
+    qarr = np.zeros(int(dim))
+    for b, v in qv.items():
+        qarr[b] = float(v)
+    contrib = vals * qarr[bks]
+    order = np.argsort(keys, kind="stable")
+    keys, contrib = keys[order], contrib[order]
+    uniq, starts = np.unique(keys, return_index=True)
+    dots = np.add.reduceat(contrib, starts)
+    qnorm = float(sum(v * v for v in qv.values())) ** 0.5
+    pos = np.searchsorted(nkey, uniq)
+    cos = np.round(dots / (np.sqrt(nn[pos]) * qnorm), 5)
+    docs = (uniq >> 32).astype(np.int64)
+    chunks = (uniq & 0xFFFFFFFF).astype(np.int64)
+    # per-doc best chunk: (cosine desc, chunk_id asc) inside the doc —
+    # uniq is already (doc asc, chunk asc), so a stable sort on -cos
+    # keyed per doc keeps the lowest chunk first among ties
+    per = sorted(
+        zip(docs.tolist(), chunks.tolist(), cos.tolist()),
+        key=lambda t: (t[0], -t[2], t[1]),
+    )
+    best: list[tuple] = []
+    last_doc = None
+    for d, c, s in per:
+        if d != last_doc:
+            best.append((int(d), int(c), float(s)))
+            last_doc = d
+    best.sort(key=lambda t: (-t[2], t[0]))
+    return best[:k]

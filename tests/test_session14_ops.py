@@ -203,3 +203,29 @@ def test_chunk_embeddings_chunk_count(spark):
     assert by[0]["nch"] == 3 and by[0]["mx"] == 2
     assert by[1]["nch"] == 1 and by[1]["mx"] == 0
     assert by[2]["nch"] == 4 and by[2]["mx"] == 3
+
+
+def test_chunked_local_twin_identity(spark, sf_dir, tmp_path):
+    """semantic_chunked_topk_local over the chunk store must be
+    rank-identical (doc, chunk, cosine) to the Spark path."""
+    corpus = load_corpus(spark, sf_dir)
+    d = str(tmp_path / "chunkstore")
+    sem.write_semantic_chunk_store(corpus, d)
+    for q in ("merge vector batch", "spark", "zzz-no-such-term"):
+        want = [
+            (r["doc_id"], r["chunk_id"], r["cosine"])
+            for r in sem.semantic_chunked_topk(corpus, q, k=10).collect()
+        ]
+        got = sem.semantic_chunked_topk_local(d, q, k=10)
+        assert got == want, q
+
+
+def test_chunked_local_cache_reuse(spark, sf_dir, tmp_path):
+    corpus = load_corpus(spark, sf_dir)
+    d = str(tmp_path / "chunkstore2")
+    sem.write_semantic_chunk_store(corpus, d)
+    cache: dict = {}
+    a = sem.semantic_chunked_topk_local(d, "merge batch", k=5, cache=cache)
+    assert "norms" in cache
+    b = sem.semantic_chunked_topk_local(d, "merge batch", k=5, cache=cache)
+    assert a == b and len(a) > 0
