@@ -268,7 +268,7 @@ LSH_BANDS = 4  # 2 rows per band
 
 
 def minhash_signatures(
-    corpus: DataFrame, n_hashes: int = N_MINHASH
+    corpus: DataFrame, n_hashes: int = N_MINHASH, sort: bool = True
 ) -> DataFrame:
     """`n_hashes` MinHash values per doc (default 8): slot i = min over
     shingles of a 32-bit hash of the shingle.  The hash family shares
@@ -300,7 +300,12 @@ def minhash_signatures(
                 ).cast("bigint")
             ).alias(f"sig_{i}")
         )
-    return base.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    out = base.groupBy("doc_id").agg(*aggs)
+    # sort=True is the registered-pair presentation order; every internal
+    # consumer (banding joins) passes sort=False — a GLOBAL sort of all
+    # signatures would otherwise ride into each LSH pipeline for nothing
+    # (at 10^12 docs that is a full extra range-shuffle)
+    return out.orderBy("doc_id") if sort else out
 
 
 def minhash_signatures_sql(n_hashes: int = N_MINHASH) -> str:
@@ -337,7 +342,7 @@ def minhash_lsh_pairs(
     if n_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
     r = n_hashes // bands
-    sig = minhash_signatures(corpus, n_hashes)
+    sig = minhash_signatures(corpus, n_hashes, sort=False)
     band_hashes = F.array(
         *[
             F.md5(
@@ -934,7 +939,7 @@ def dedup_components(
     if n_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
     r = n_hashes // bands
-    sig = minhash_signatures(corpus, n_hashes)
+    sig = minhash_signatures(corpus, n_hashes, sort=False)
     band_hashes = F.array(
         *[
             F.md5(
@@ -1525,7 +1530,7 @@ def dedup_cross_snapshot(
         raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
     r = n_hashes // bands
     cap = int(max_candidates)
-    sig = minhash_signatures(corpus, n_hashes)
+    sig = minhash_signatures(corpus, n_hashes, sort=False)
     band_hashes = F.array(
         *[
             F.md5(
@@ -1546,6 +1551,13 @@ def dedup_cross_snapshot(
     banded = (
         sig.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
         .join(snap, "doc_id")
+        # both the old-bucket branch and the new-probe branch scan this
+        # subtree and Spark does not dedupe identical subtrees, so the
+        # whole signature pass would run TWICE; checkpointing the banded
+        # rows (n x bands small rows) halves the op.  In production the
+        # old side is a precomputed per-dump bucket store (docstring), so
+        # the checkpoint models exactly what a crawl pipeline persists.
+        .localCheckpoint()
     )
     bucket_olds = (
         banded.filter(F.col("snap") < int(split))
