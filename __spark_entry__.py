@@ -484,6 +484,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": lambda spark, sf: tq.script_profile(
             load_corpus(spark, sf)
         ),
+        # NEW (r4, session 14): ES 8.1 ip_prefix aggregation — /len
+        # network buckets over the derived client IPv4; map-only modulo
+        # arithmetic + one network-keyed hash agg (<= 2^len states)
+        "agg_ip_prefix": lambda spark, sf: agg.agg_ip_prefix(
+            load_corpus(spark, sf), prefix_length=4
+        ),
+        # NEW (r4, session 14): ES sampler aggregation — sub-aggs over
+        # only the top-shard_size relevance sample (TakeOrdered, k-row
+        # state; diversified_sampler minus the per-key admission cap)
+        "sampler_topn": lambda spark, sf: facets.sampler_agg(
+            load_corpus(spark, sf), "merge", shard_size=60
+        ),
         # NEW (r4, session 14): per-language tokenizer fertility audit
         # (BPE-ish tokens per word / bytes per token) — exact integer sums
         # in ONE lang-keyed hash agg, divisions on the |langs|-row result
@@ -2006,6 +2018,8 @@ FROM corpus ORDER BY doc_id
         "semantic_chunked_topk": semq.semantic_chunked_topk_sql(
             "merge vector batch", k=10
         ),
+        "agg_ip_prefix": agg.agg_ip_prefix_sql(prefix_length=4),
+        "sampler_topn": facets.sampler_agg_sql("merge", shard_size=60),
         "script_profile": tq.script_profile_sql(),
         "fertility_stats": tq.FERTILITY_SQL,
         "significant_terms_bg": facets.significant_terms_sql(

@@ -525,6 +525,35 @@ def main() -> None:
         timed("semantic_indexed_sec", lambda: smq2.semantic_topk(
             None, "spark merge batch", k=10, store=_sem_store))
         _sem_store.unpersist()
+        # round-4 session-14: chunked semantic_text (ES 8.15) — per-chunk
+        # embeddings, best-chunk-per-doc; plus the serving store + the
+        # driver-local probe's cold/warm ms (pyarrow bucket-pruned reads)
+        timed("semantic_chunked_sec", lambda: smq2.semantic_chunked_topk(
+            corpus, "spark merge batch", k=10))
+        _csd = tempfile.mkdtemp(prefix="chunkstore_")
+        t0 = time.perf_counter()
+        smq2.write_semantic_chunk_store(corpus, _csd)
+        es["semantic_chunk_store_build_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        _ccache: dict = {}
+        t0 = time.perf_counter()
+        smq2.semantic_chunked_topk_local(
+            _csd, "spark merge batch", k=10, cache=_ccache
+        )
+        es["semantic_chunked_local_cold_ms"] = round(
+            (time.perf_counter() - t0) * 1000, 2
+        )
+        t0 = time.perf_counter()
+        smq2.semantic_chunked_topk_local(
+            _csd, "spark merge batch", k=10, cache=_ccache
+        )
+        es["semantic_chunked_local_warm_ms"] = round(
+            (time.perf_counter() - t0) * 1000, 2
+        )
+        shutil.rmtree(_csd, ignore_errors=True)
+        timed("sampler_sec", lambda: fc.sampler_agg(
+            corpus, "merge", shard_size=100))
         # round-4 session-12: retriever-tree coordinator (rrf fusion of a
         # lexical and a knn leg — the composed legs are already benched
         # solo; this row prices the fusion layer itself)
@@ -955,6 +984,14 @@ def main() -> None:
         timed_pl(
             "geo_shape_sec",
             lambda: geoq.geo_shape_page(corpus, relation="intersects", k=20),
+        )
+        # round-4 session-14 ops
+        timed_pl("script_profile_sec", lambda: tqp.script_profile(corpus))
+        timed_pl(
+            "fertility_stats_sec", lambda: tqp.fertility_stats(corpus)
+        )
+        timed_pl(
+            "agg_ip_prefix_sec", lambda: aggp.agg_ip_prefix(corpus, 8)
         )
         extra["pipeline_ops"] = pl
 

@@ -2055,6 +2055,73 @@ ORDER BY ord
 """
 
 
+# --- ip_prefix aggregation ------------------------------------------------------
+
+
+def agg_ip_prefix(
+    corpus: DataFrame, prefix_length: int = 4, min_doc_count: int = 1
+) -> DataFrame:
+    """ES 8.1 `ip_prefix` aggregation: bucket client IPs by their
+    /prefix_length network; one row per non-empty network (doc_count >=
+    min_doc_count, ES default 1), key = dotted network address +
+    "/len", ordered by the network address ascending (the ES key
+    order).  The client IPv4 is the same Knuth-multiplicative derived
+    field agg_ip_range uses.
+
+    Shape: network = integer arithmetic on the scan (map-only; modulo
+    instead of bit-ops so Spark and DuckDB evaluate the identical
+    expression), then ONE network-keyed hash aggregate with map-side
+    combine — at most 2^prefix_length partial states per task.  At
+    10^12 docs the shuffle carries bucket states, never rows."""
+    p = int(prefix_length)
+    if not 0 <= p <= 32:
+        raise ValueError(f"prefix_length must be in [0, 32], got {p}")
+    step = 1 << (32 - p)
+    ip = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    net = (ip - (ip % F.lit(step))).alias("net")
+    g = (
+        corpus.select(net)
+        .groupBy("net")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") >= int(min_doc_count))
+    )
+    dotted = F.concat_ws(
+        ".",
+        (F.floor(F.col("net") / 16777216) % 256).cast("string"),
+        (F.floor(F.col("net") / 65536) % 256).cast("string"),
+        (F.floor(F.col("net") / 256) % 256).cast("string"),
+        (F.col("net") % 256).cast("string"),
+    )
+    return (
+        g.orderBy("net")
+        .select(
+            F.concat(dotted, F.lit(f"/{p}")).alias("prefix"),
+            F.col("doc_count").cast("bigint").alias("doc_count"),
+        )
+    )
+
+
+def agg_ip_prefix_sql(prefix_length: int = 4, min_doc_count: int = 1) -> str:
+    p = int(prefix_length)
+    step = 1 << (32 - p)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+nets AS (
+  SELECT ({IP_NUM_SQL}) - (({IP_NUM_SQL}) % {step}) AS net FROM corpus
+),
+g AS (
+  SELECT net, count(*) AS doc_count FROM nets GROUP BY net
+  HAVING count(*) >= {int(min_doc_count)}
+)
+SELECT CAST(net // 16777216 % 256 AS VARCHAR) || '.' ||
+       CAST(net // 65536 % 256 AS VARCHAR) || '.' ||
+       CAST(net // 256 % 256 AS VARCHAR) || '.' ||
+       CAST(net % 256 AS VARCHAR) || '/{p}' AS prefix,
+       CAST(doc_count AS BIGINT) AS doc_count
+FROM g ORDER BY net
+"""
+
+
 # --- bucket_correlation / bucket_count_ks_test ----------------------------------
 
 

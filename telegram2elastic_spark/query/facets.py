@@ -739,6 +739,52 @@ FROM sample GROUP BY lang ORDER BY lang
 """
 
 
+def sampler_agg(
+    corpus: DataFrame,
+    q: str | None = "merge",
+    shard_size: int = 100,
+) -> DataFrame:
+    """ES `sampler` aggregation (+ a terms sub-agg): run sub-aggs over
+    only the best `shard_size` hits by relevance — the cheap
+    "aggregate the head, not the corpus" knob (diversified_sampler is
+    the same with a per-key admission cap).  Deterministic: ties by
+    doc_id asc.
+
+    Scale shape: the sample is a TakeOrdered over the scored scan (k-row
+    driver state, no full sort); the sub-agg runs on <= shard_size
+    rows."""
+    df = search_filtered(corpus, q, 0.0)
+    sample = (
+        df.select("lang", "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(shard_size))
+    )
+    return (
+        sample.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sampler_agg_sql(q: str | None = "merge", shard_size: int = 100) -> str:
+    where = _filters_sql(q, 0.0, None)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
+fset AS (SELECT * FROM scored WHERE {where}),
+sample AS (
+  SELECT lang, doc_id, score FROM fset
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {int(shard_size)}
+)
+SELECT lang, count(*) AS cnt, round(avg(score), 4) AS avg_score
+FROM sample GROUP BY lang ORDER BY lang
+"""
+
+
 # --- ES auto_date_histogram -------------------------------------------------
 # The ES interval ladder (rounded to the fixed-width subset: auto intervals
 # above days are calendar-aware in ES; this engine pins fixed widths so

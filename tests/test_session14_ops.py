@@ -229,3 +229,84 @@ def test_chunked_local_cache_reuse(spark, sf_dir, tmp_path):
     assert "norms" in cache
     b = sem.semantic_chunked_topk_local(d, "merge batch", k=5, cache=cache)
     assert a == b and len(a) > 0
+
+
+# --- agg_ip_prefix / sampler_agg ------------------------------------------------
+
+
+def test_ip_prefix_hand_computed(spark):
+    import ipaddress
+
+    c = _mini_corpus(spark, [(i, "x", "en") for i in range(16)])
+    from telegram2elastic_spark.operators.aggregates import agg_ip_prefix
+
+    got = [(r["prefix"], r["doc_count"]) for r in agg_ip_prefix(c, 8).collect()]
+    # independent recompute: Knuth ip, /8 network via the ipaddress module
+    from collections import Counter
+
+    nets = Counter()
+    for i in range(16):
+        ip = (i * 2654435761) % (2**32)
+        net = ipaddress.ip_network((ip, 8), strict=False)
+        nets[str(net)] += 1
+    want = sorted(
+        nets.items(), key=lambda kv: int(ipaddress.ip_network(kv[0])[0])
+    )
+    assert got == [(k, v) for k, v in want]
+
+
+def test_ip_prefix_min_doc_count_and_validation(spark):
+    import pytest as _pt
+
+    from telegram2elastic_spark.operators.aggregates import agg_ip_prefix
+
+    c = _mini_corpus(spark, [(i, "x", "en") for i in range(64)])
+    all_rows = agg_ip_prefix(c, 2).collect()
+    assert sum(r["doc_count"] for r in all_rows) == 64
+    filtered = agg_ip_prefix(c, 2, min_doc_count=20).collect()
+    assert all(r["doc_count"] >= 20 for r in filtered)
+    assert len(filtered) < len(all_rows) or all(
+        r["doc_count"] >= 20 for r in all_rows
+    )
+    with _pt.raises(ValueError):
+        agg_ip_prefix(c, 33)
+
+
+def test_ip_prefix_oracle_parity(spark, duck, sf_dir):
+    from telegram2elastic_spark.operators.aggregates import (
+        agg_ip_prefix,
+        agg_ip_prefix_sql,
+    )
+
+    assert_same(
+        agg_ip_prefix(load_corpus(spark, sf_dir), 4),
+        duck.execute(agg_ip_prefix_sql(4)).df(),
+    )
+
+
+def test_sampler_is_uncapped_diversified(spark, sf_dir):
+    """sampler == diversified_sampler with an unreachable per-key cap."""
+    from telegram2elastic_spark.query.facets import (
+        sampler_agg,
+        sampler_diversified,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    a = [r.asDict() for r in sampler_agg(corpus, "merge", 50).collect()]
+    b = [
+        r.asDict()
+        for r in sampler_diversified(
+            corpus, "merge", shard_size=50, max_per_lang=10**6
+        ).collect()
+    ]
+    assert a == b
+    assert sum(r["cnt"] for r in a) <= 50
+
+
+def test_sampler_oracle_parity(spark, duck, sf_dir):
+    from telegram2elastic_spark.query.facets import sampler_agg, sampler_agg_sql
+
+    assert_same(
+        sampler_agg(load_corpus(spark, sf_dir), "merge", 60),
+        duck.execute(sampler_agg_sql("merge", 60)).df(),
+    )
