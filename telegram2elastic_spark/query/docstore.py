@@ -78,21 +78,45 @@ def fetch_docs_local(
             src = ds.dataset(store_dir, format="parquet")
         if ds_cache is not None:
             ds_cache[ds_key] = src
-    # OR-of-equalities, not isin: pyarrow simplifies ==/range predicates
-    # against row-group statistics (measured ~10x fewer bytes touched on
-    # the sorted store), but does NOT prune on set-membership
-    # expressions.  Very large id lists degrade to isin — at that size
-    # the scan is batch-shaped anyway.
-    if len(missing) <= 512:
-        import functools
-        import operator
+    # Row-group-index GET: the doc_id sort means each file's row-group
+    # (min, max) stats — read ONCE and cached next to the dataset — map
+    # every id to its row group by binary search; the read is then a
+    # direct read_row_groups with NO filter expression at all.  The
+    # previous OR-of-equalities pushdown was linear in |ids| inside the
+    # scan (~5 ms/id: a 100-doc rescore window paid ~0.9 s); this is
+    # linear in row groups TOUCHED (<= |ids|), each one a 128 KiB read.
+    # Falls back to the expression filter when stats are unavailable.
+    tbl = None
+    if ds_cache is not None:
+        idx_key = ("_rgidx", ds_key)
+        rgidx = ds_cache.get(idx_key)
+        if rgidx is None:
+            rgidx = _row_group_index(src)
+            ds_cache[idx_key] = rgidx
+        if rgidx is not None:
+            tbl = _read_by_row_groups(rgidx, missing, ["doc_id", *want])
+    if tbl is None:
+        # no ds_cache (one-shot call) or statistics missing: expression
+        # pushdown.  OR-of-equalities, not isin — pyarrow simplifies
+        # ==/range predicates against row-group statistics but does NOT
+        # prune on set-membership; very large id lists degrade to isin
+        # (at that size the scan is batch-shaped anyway).
+        if len(missing) <= 512:
+            import functools
+            import operator
 
-        flt = functools.reduce(
-            operator.or_, [ds.field("doc_id") == i for i in missing]
-        )
-    else:
-        flt = ds.field("doc_id").isin(missing)
-    tbl = src.to_table(columns=["doc_id", *want], filter=flt)
+            flt = functools.reduce(
+                operator.or_, [ds.field("doc_id") == i for i in missing]
+            )
+        else:
+            flt = ds.field("doc_id").isin(missing)
+        tbl = src.to_table(columns=["doc_id", *want], filter=flt)
+    elif tbl.num_rows:
+        # row-group read over-fetches the group's other rows; keep the
+        # requested ids only (vectorized membership on the small table)
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.field("doc_id").isin(missing))
     for row in tbl.to_pylist():
         d = int(row.pop("doc_id"))
         if cache is not None:
@@ -102,6 +126,77 @@ def fetch_docs_local(
         else:
             out[d] = row
     return out
+
+
+def _row_group_index(src):
+    """[(path, rg_ordinal, min_doc_id, max_doc_id)] sorted by min, one
+    entry per row group across the dataset's parquet fragments; None when
+    any row group lacks doc_id statistics (caller falls back to the
+    expression filter).  Built once per opened store (cached in
+    ds_cache) — the driver-resident analogue of the parquet footer a
+    warm query node holds anyway."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    try:
+        for frag in src.get_fragments():
+            md = pq.ParquetFile(frag.path).metadata
+            if md.num_row_groups == 0:
+                continue
+            try:
+                col = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "doc_id"
+                )
+            except StopIteration:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                entries.append((frag.path, rg, int(st.min), int(st.max)))
+    except Exception:
+        return None
+    by_file: dict[str, list] = {}
+    for path, rg, lo, hi in entries:
+        by_file.setdefault(path, []).append((lo, hi, rg))
+    for lst in by_file.values():
+        lst.sort()
+    return by_file
+
+
+def _read_by_row_groups(rgidx, ids, columns):
+    """Concatenated table of exactly the row groups whose [min, max]
+    ranges contain any requested id (over-fetching the groups' other
+    rows — the caller filters).  Within a file the doc_id-sorted write
+    makes row-group ranges sorted and disjoint, so each (file, id) probe
+    is ONE binary search; files (per-segment stores hold disjoint live
+    ids, but ranges may interleave) are probed independently."""
+    import bisect
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hit: dict[str, set] = {}
+    for path, lst in rgidx.items():
+        mins = [e[0] for e in lst]
+        for d in ids:
+            i = bisect.bisect_right(mins, d) - 1
+            if i >= 0:
+                lo, hi, rg = lst[i]
+                if lo <= d <= hi:
+                    hit.setdefault(path, set()).add(rg)
+    if not hit:
+        return pa.table(
+            {c: [] for c in columns}
+        )
+    parts = [
+        pq.ParquetFile(path).read_row_groups(
+            sorted(rgs), columns=list(columns)
+        )
+        for path, rgs in sorted(hit.items())
+    ]
+    return pa.concat_tables(parts)
 
 
 def resolve_doc_store(index: dict, doc_store: str | None) -> str | None:

@@ -488,3 +488,46 @@ def test_highlight_fvh_local_matches_distributed(spark, sf_dir, tmp_path):
     )
     loc = sorted(highlight_fvh_local(idx, ["spark", "merge"], k=10))
     assert loc == dist
+
+
+def test_fetch_rgindex_path_matches_expression_path(stored_index):
+    """With ds_cache the fetch goes through the row-group-index GET
+    (direct read_row_groups, no filter expression); without it, the
+    expression-pushdown path.  Identical rows either way, absent ids
+    absent from both, and the index is built once and cached."""
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+
+    d = stored_index["_doc_store_dir"]
+    ids = [0, 1, 7, 31, 250, 499, 10**9]
+    dsc: dict = {}
+    via_idx = fetch_docs_local(d, ids, ds_cache=dsc)
+    assert any(k[0] == "_rgidx" for k in dsc if isinstance(k, tuple))
+    plain = fetch_docs_local(d, ids)
+    assert via_idx == plain
+    assert 10**9 not in via_idx
+    # repeat with the cached index (and a row cache): same answer
+    again = fetch_docs_local(d, ids, cache={}, ds_cache=dsc)
+    assert again == plain
+
+
+def test_fetch_rgindex_all_absent_ids(stored_index):
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+
+    dsc: dict = {}
+    out = fetch_docs_local(
+        stored_index["_doc_store_dir"], [10**9, 10**9 + 1], ds_cache=dsc
+    )
+    assert out == {}
+
+
+def test_fetch_rgindex_column_pruned(stored_index):
+    from telegram2elastic_spark.query.docstore import fetch_docs_local
+
+    dsc: dict = {}
+    out = fetch_docs_local(
+        stored_index["_doc_store_dir"], [3, 5], ds_cache=dsc,
+        cols=["url", "warc_ts"],
+    )
+    assert set(out) == {3, 5}
+    for row in out.values():
+        assert "url" in row and "warc_ts" in row and "text" not in row
