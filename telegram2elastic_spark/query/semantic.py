@@ -217,6 +217,59 @@ def write_semantic_store(
         emb.unpersist()
 
 
+def _bucket_pages(
+    bucket_dir: str, buckets, cache: dict, key_col: str = "doc_id"
+) -> dict:
+    """{bucket: (keys int64[], vals float64[])} — per-bucket page cache
+    over the sorted bucket store (the fuzzy trigram-GIN pattern): a cold
+    bucket costs one row-group-pruned pyarrow read shared by all cold
+    buckets in the call; a warm query is pure array lookups.  The cache
+    grows to at most the resident store — exactly what a warm semantic
+    query node holds (dim bounds the page count)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    missing = [b for b in buckets if ("page", b) not in cache]
+    if missing:
+        dset = cache.get("_bucket_ds")
+        if dset is None:
+            dset = ds.dataset(bucket_dir, format="parquet")
+            cache["_bucket_ds"] = dset
+        tbl = dset.to_table(filter=pc.field("bucket").isin(missing))
+        bks = tbl["bucket"].to_numpy()
+        keys = tbl[key_col].to_numpy().astype(np.int64)
+        vals = tbl["val"].to_numpy().astype(np.float64)
+        order = np.argsort(bks, kind="stable")
+        bks, keys, vals = bks[order], keys[order], vals[order]
+        for b in missing:
+            lo = np.searchsorted(bks, b, side="left")
+            hi = np.searchsorted(bks, b, side="right")
+            cache[("page", b)] = (keys[lo:hi], vals[lo:hi])
+    return {b: cache[("page", b)] for b in buckets}
+
+
+def _topk_by_score(ids, scores, k: int, extra=None):
+    """Top-k rows by (score desc, id asc) without sorting the full
+    candidate set: an np.partition threshold cut first (ties kept — the
+    survivor set is >= k rows, == k absent score ties), then one lexsort
+    over the survivors only.  Returns (ids, scores[, extra]) arrays of
+    <= k rows."""
+    import numpy as np
+
+    n = len(ids)
+    if k > 0 and n > 4 * k:
+        thresh = np.partition(scores, n - k)[n - k]
+        mask = scores >= thresh
+        ids, scores = ids[mask], scores[mask]
+        if extra is not None:
+            extra = extra[mask]
+    order = np.lexsort((ids, -scores))[: max(k, 0)]
+    if extra is None:
+        return ids[order], scores[order]
+    return ids[order], scores[order], extra[order]
+
+
 def semantic_topk_local(
     store_dir: str,
     query: str,
@@ -225,9 +278,9 @@ def semantic_topk_local(
     cache: dict | None = None,
 ) -> list[tuple]:
     """Query-node twin of semantic_topk: the query embeds driver-side,
-    ONLY the query's buckets are read (pyarrow filtered read on the
-    sorted bucket column — row-group pruning), dots accumulate in numpy,
-    norms are a resident table read once.  [(doc_id, cosine)],
+    ONLY the query's buckets are read (per-bucket page cache over the
+    sorted store — warm queries never touch parquet), dots accumulate in
+    numpy, norms are a resident table read once.  [(doc_id, cosine)],
     rank-identical to the Spark path."""
     import numpy as np
     import pyarrow.dataset as ds
@@ -243,28 +296,31 @@ def semantic_topk_local(
         order = np.argsort(nid)
         cache["norms"] = (nid[order], nn[order])
     nid, nn = cache["norms"]
-    dset = ds.dataset(f"{store_dir}/buckets", format="parquet")
-    import pyarrow.compute as pc
-
-    tbl = dset.to_table(filter=pc.field("bucket").isin(list(qv)))
-    bks = tbl["bucket"].to_numpy().astype(np.int64)
-    dids = tbl["doc_id"].to_numpy().astype(np.int64)
-    vals = tbl["val"].to_numpy().astype(np.float64)
+    pages = _bucket_pages(
+        f"{store_dir}/buckets", sorted(qv), cache, key_col="doc_id"
+    )
     qarr = np.zeros(int(dim))
     for b, v in qv.items():
         qarr[b] = float(v)
-    contrib = vals * qarr[bks]
-    # dot per doc: sort-group on doc_id (already sorted within bucket,
-    # not across) — one argsort over the probed rows only
+    dids = np.concatenate([pages[b][0] for b in sorted(qv)])
+    contrib = np.concatenate(
+        [pages[b][1] * qarr[b] for b in sorted(qv)]
+    )
+    # dot per doc: sort-group on doc_id (pages are sorted within bucket,
+    # not across) — one argsort over the probed rows; group boundaries by
+    # diff (np.unique would pay a SECOND sort of the same array)
     order = np.argsort(dids, kind="stable")
     dids, contrib = dids[order], contrib[order]
-    uniq, starts = np.unique(dids, return_index=True)
+    if not len(dids):
+        return []
+    starts = np.flatnonzero(np.r_[True, np.diff(dids) != 0])
+    uniq = dids[starts]
     dots = np.add.reduceat(contrib, starts)
     qnorm = float(sum(v * v for v in qv.values())) ** 0.5
     pos = np.searchsorted(nid, uniq)
     cos = np.round(dots / (np.sqrt(nn[pos]) * qnorm), 5)
-    out = sorted(zip(uniq.tolist(), cos.tolist()), key=lambda t: (-t[1], t[0]))
-    return [(int(d), float(c)) for d, c in out[:k]]
+    bd, bc = _topk_by_score(uniq, cos, int(k))
+    return [(int(d), float(c)) for d, c in zip(bd, bc)]
 
 
 # --- ES 8.15 semantic_text chunking: per-chunk embeddings, max-sim serving ----
@@ -524,6 +580,35 @@ def write_semantic_chunk_store(
         emb.unpersist()
 
 
+def _chunk_bucket_pages(bucket_dir: str, buckets, cache: dict) -> dict:
+    """Per-bucket pages for the CHUNK store: keys pack doc_id << 32 |
+    chunk_id (see semantic_chunked_topk_local); same cold-read/warm-hit
+    contract as _bucket_pages."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    missing = [b for b in buckets if ("page", b) not in cache]
+    if missing:
+        dset = cache.get("_bucket_ds")
+        if dset is None:
+            dset = ds.dataset(bucket_dir, format="parquet")
+            cache["_bucket_ds"] = dset
+        tbl = dset.to_table(filter=pc.field("bucket").isin(missing))
+        bks = tbl["bucket"].to_numpy()
+        keys = (
+            tbl["doc_id"].to_numpy().astype(np.int64) << 32
+        ) | tbl["chunk_id"].to_numpy().astype(np.int64)
+        vals = tbl["val"].to_numpy().astype(np.float64)
+        order = np.argsort(bks, kind="stable")
+        bks, keys, vals = bks[order], keys[order], vals[order]
+        for b in missing:
+            lo = np.searchsorted(bks, b, side="left")
+            hi = np.searchsorted(bks, b, side="right")
+            cache[("page", b)] = (keys[lo:hi], vals[lo:hi])
+    return {b: cache[("page", b)] for b in buckets}
+
+
 def semantic_chunked_topk_local(
     store_dir: str,
     query: str,
@@ -554,38 +639,35 @@ def semantic_chunked_topk_local(
         order = np.argsort(key)
         cache["norms"] = (key[order], nn[order])
     nkey, nn = cache["norms"]
-    dset = ds.dataset(f"{store_dir}/buckets", format="parquet")
-    tbl = dset.to_table(filter=pc.field("bucket").isin(list(qv)))
-    bks = tbl["bucket"].to_numpy().astype(np.int64)
-    keys = (
-        tbl["doc_id"].to_numpy().astype(np.int64) << 32
-    ) | tbl["chunk_id"].to_numpy().astype(np.int64)
-    vals = tbl["val"].to_numpy().astype(np.float64)
+    pages = _chunk_bucket_pages(f"{store_dir}/buckets", sorted(qv), cache)
     qarr = np.zeros(int(dim))
     for b, v in qv.items():
         qarr[b] = float(v)
-    contrib = vals * qarr[bks]
+    keys = np.concatenate([pages[b][0] for b in sorted(qv)])
+    contrib = np.concatenate(
+        [pages[b][1] * qarr[b] for b in sorted(qv)]
+    )
     order = np.argsort(keys, kind="stable")
     keys, contrib = keys[order], contrib[order]
-    uniq, starts = np.unique(keys, return_index=True)
+    if not len(keys):
+        return []
+    starts = np.flatnonzero(np.r_[True, np.diff(keys) != 0])
+    uniq = keys[starts]
     dots = np.add.reduceat(contrib, starts)
     qnorm = float(sum(v * v for v in qv.values())) ** 0.5
     pos = np.searchsorted(nkey, uniq)
     cos = np.round(dots / (np.sqrt(nn[pos]) * qnorm), 5)
     docs = (uniq >> 32).astype(np.int64)
     chunks = (uniq & 0xFFFFFFFF).astype(np.int64)
-    # per-doc best chunk: (cosine desc, chunk_id asc) inside the doc —
-    # uniq is already (doc asc, chunk asc), so a stable sort on -cos
-    # keyed per doc keeps the lowest chunk first among ties
-    per = sorted(
-        zip(docs.tolist(), chunks.tolist(), cos.tolist()),
-        key=lambda t: (t[0], -t[2], t[1]),
-    )
-    best: list[tuple] = []
-    last_doc = None
-    for d, c, s in per:
-        if d != last_doc:
-            best.append((int(d), int(c), float(s)))
-            last_doc = d
-    best.sort(key=lambda t: (-t[2], t[0]))
-    return best[:k]
+    # per-doc best chunk, fully vectorized: lexsort by (doc asc, cos
+    # desc, chunk asc), then the first row per doc is its best (the old
+    # Python sorted() over every matching chunk dominated the warm
+    # probe at 200k docs)
+    order = np.lexsort((chunks, -cos, docs))
+    docs, chunks, cos = docs[order], chunks[order], cos[order]
+    first = np.flatnonzero(np.r_[True, np.diff(docs) != 0])
+    bdocs, bchunks, bcos = docs[first], chunks[first], cos[first]
+    td, tc, extra = _topk_by_score(bdocs, bcos, int(k), extra=bchunks)
+    return [
+        (int(d), int(c), float(s)) for d, c, s in zip(td, extra, tc)
+    ]
