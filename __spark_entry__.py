@@ -471,6 +471,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 15): ES 8.14 int8 scalar-quantized kNN
+        # (similarity: max_inner_product) with the ES 9.0 rescore_vector
+        # oversample contract — compressed-domain candidate rank =
+        # integer code dot + Lucene's corrective offset (qdot + lo*s*Sx),
+        # exact float-dot rescore on the k*oversample window only
+        "knn_int8_topk": lambda spark, sf: sim.knn_int8_topk(
+            load_embeddings(spark, sf), query_vec_id=7, k=5, oversample=4
+        ),
+        # NEW (r4, session 15): ES 8.15 `bit` dense_vector kNN (hamming)
+        # with BBQ-style oversample + exact rescore — sign bits packed
+        # into two 32-bit words (32x smaller than float32), candidates by
+        # bit_count(xor), cosine only on the window
+        "knn_bit_topk": lambda spark, sf: sim.knn_bit_topk(
+            load_embeddings(spark, sf), query_vec_id=7, k=5, oversample=5
+        ),
         # NEW (r4, session 14): ES 8.15 chunked semantic_text — per-chunk
         # hashing-trick embeddings (index-time inference over overlapping
         # token windows), doc ranks by its BEST chunk (max-sim over the
@@ -2015,6 +2030,8 @@ FROM corpus ORDER BY doc_id
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
         "shard_shuffle": training.shard_shuffle_sql(n_shards=8, epoch=1),
+        "knn_int8_topk": sim.knn_int8_topk_sql(7, k=5, oversample=4),
+        "knn_bit_topk": sim.knn_bit_topk_sql(7, k=5, oversample=5),
         "semantic_chunked_topk": semq.semantic_chunked_topk_sql(
             "merge vector batch", k=10
         ),

@@ -1382,3 +1382,254 @@ FROM m
 ORDER BY maxsim DESC, doc_group ASC
 LIMIT {int(k)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Quantized kNN: ES scalar quantization (int8) and bit vectors (hamming),
+# both with the ES 9.0 `rescore_vector` oversample contract.
+# ---------------------------------------------------------------------------
+
+
+def _sq_bounds(embeddings: DataFrame) -> tuple[float, float]:
+    """Corpus-global scalar-quantization interval [lo, hi] — the Lucene
+    ScalarQuantizer confidence interval with confidence = 1.0 (exact
+    min/max over every component).  min/max are order-independent, so the
+    two driver scalars are bit-identical across engines and cluster
+    sizes; at 100 TB this is one map-side-combined min/max agg (two
+    doubles per task)."""
+    row = (
+        embeddings.select(F.explode(F.col("embedding").cast("array<double>")).alias("u"))
+        .agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+        .collect()[0]
+    )
+    return float(row["lo"]), float(row["hi"])
+
+
+def _sq_code(v: F.Column, lo: float, hi: float) -> F.Column:
+    """Quantize one double component array to int codes in [0, 127] —
+    Lucene's 7-bit int8 encoding (unsigned range so dot products stay
+    non-negative).  round() on a non-negative operand is HALF_UP in both
+    Spark and DuckDB, and the affine transform is the same IEEE double
+    expression in both engines, so codes are bit-identical."""
+    scale = 127.0 / (hi - lo)
+    return F.transform(
+        v, lambda x: F.round((x - F.lit(lo)) * F.lit(scale), 0).cast("long")
+    )
+
+
+def knn_int8_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    oversample: int = 3,
+) -> DataFrame:
+    """ES 8.14 `int8` scalar-quantized kNN (similarity: max_inner_product)
+    with ES 9.0 `rescore_vector: {oversample}` semantics: candidates are
+    ranked in the COMPRESSED domain — integer dot of 7-bit codes plus
+    Lucene ScalarQuantizer's corrective offset — then the top
+    k * oversample candidates are exactly re-scored with the float dot.
+
+    The corrective term is not optional: codes are unsigned offsets
+    c = round((x - lo) * s), so sum(cx * cy) estimates
+    s^2 * sum(x*y) - lo*s * (Sx + Sy) + 64 * (lo*s)^2; with the query
+    fixed, the doc-dependent part is qdot + lo*s * Sx (Sx = sum of the
+    doc's codes — one integer per vector, Lucene stores exactly this
+    per-vector scalar).  Without it, candidate recall collapses (2/10 on
+    the synthetic corpus; 10/10 with it at oversample 2).
+
+    Scale shape: the quantization interval is one min/max agg (two
+    scalars); the candidate pass is a narrow map over the code column +
+    one TakeOrdered (no shuffle of raw vectors, 4x less I/O than
+    float32); the rescore touches k * oversample rows via a broadcast
+    semi-join.  qdot and Sx are exact integers and lo*s is one driver
+    double, so the candidate key is the same IEEE double in any engine
+    or partitioning — the window is deterministic.
+
+    Reference parity: Telegram2Elastic delegates vector search to ES
+    dense_vector (README.md:5 Kibana serving path); this is the
+    quantized index_options surface of that field type.
+    Returns (vec_id, dot) — rounded 5, vec_id tiebreak."""
+    lo, hi = _sq_bounds(embeddings)
+    corr = lo * (127.0 / (hi - lo))
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("code", _sq_code(F.col("v"), lo, hi))
+    q = e.filter(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("v").alias("qv"), F.col("code").alias("qcode")
+    )
+    window = int(k) * int(oversample)
+    int_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, z: acc + z
+    )
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != int(query_vec_id))
+        .select(
+            "vec_id",
+            (
+                int_sum(
+                    F.zip_with(F.col("code"), F.col("qcode"), lambda a, b: a * b)
+                ).cast("double")
+                + F.lit(corr) * int_sum(F.col("code")).cast("double")
+            ).alias("qkey"),
+        )
+        .orderBy(F.desc("qkey"), F.asc("vec_id"))
+        .limit(window)
+        .select("vec_id")
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn("dot", F.round(_dot(F.col("v"), F.col("qv")), 5))
+        .select("vec_id", "dot")
+        .orderBy(F.desc("dot"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+def knn_int8_topk_sql(
+    query_vec_id: int = 0, k: int = 10, oversample: int = 3
+) -> str:
+    qid, window = int(query_vec_id), int(k) * int(oversample)
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT min(u) AS lo, max(u) AS hi
+      FROM (SELECT unnest(v) AS u FROM e0)),
+e AS (SELECT vec_id, v,
+             list_transform(v, x -> CAST(round((x - b.lo) * (127.0 / (b.hi - b.lo)), 0) AS BIGINT)) AS code
+      FROM e0, b),
+q AS (SELECT v AS qv, code AS qcode FROM e WHERE vec_id = {qid}),
+cand AS (
+  SELECT e.vec_id,
+         CAST(list_sum(list_transform(range(1, len(e.code) + 1),
+                                      i -> e.code[i] * q.qcode[i])) AS DOUBLE)
+         + (b.lo * (127.0 / (b.hi - b.lo)))
+           * CAST(list_sum(e.code) AS DOUBLE) AS qkey
+  FROM e, q, b WHERE e.vec_id != {qid}
+  ORDER BY qkey DESC, e.vec_id ASC
+  LIMIT {window})
+SELECT e.vec_id, round(list_dot_product(e.v, q.qv), 5) AS dot
+FROM e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY dot DESC, e.vec_id ASC
+LIMIT {int(k)}
+"""
+
+
+def _bit_halves(v: F.Column) -> tuple[F.Column, F.Column]:
+    """Pack the sign bits of a 64-dim vector into two 32-bit halves
+    (bits 0..31 -> lo, 32..63 -> hi), each stored in a BIGINT.
+
+    Two halves instead of one 64-bit word on purpose: bit 63 is the
+    two's-complement sign bit, and summing a -2^63 term overflows
+    DuckDB's HUGEINT-summing aggregate on the oracle side; both halves
+    stay in [0, 2^32), where integer arithmetic is portable."""
+    idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+    # shiftleft() takes a Python-int shift, so the power of two comes from
+    # a 32-entry literal array instead (element_at is 1-based).
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    bits = F.zip_with(
+        v, idx,
+        lambda x, d: F.when(x > 0, F.element_at(powers, (d % 32) + 1))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    lo = F.aggregate(
+        F.slice(bits, 1, EMB_DIM // 2), F.lit(0).cast("long"), lambda a, z: a + z
+    )
+    hi = F.aggregate(
+        F.slice(bits, EMB_DIM // 2 + 1, EMB_DIM // 2), F.lit(0).cast("long"), lambda a, z: a + z
+    )
+    return lo, hi
+
+
+def knn_bit_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    oversample: int = 5,
+) -> DataFrame:
+    """ES 8.15 `bit` dense_vector (hamming similarity) with the ES 9.0
+    BBQ-style oversample + exact-rescore contract: each vector is
+    sign-quantized to 64 bits packed into two 32-bit words (32x smaller
+    than float32 — the reason binary quantization is ES 9's default for
+    large indexes), candidates are ranked by hamming distance
+    (bit_count(xor) on the packed words — pure integer, engine- and
+    partitioning-independent), and the top k * oversample are re-scored
+    with exact float cosine.
+
+    Scale shape: the code table is 16 bytes/vector — at 10^12 vectors it
+    is 16 TB vs 256 TB of float32, and the candidate pass is a narrow
+    integer map + TakeOrdered with NO access to the raw vectors; only
+    the k * oversample window pays the float read (broadcast semi-join).
+    Returns (vec_id, cosine) — rounded 5, vec_id tiebreak."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    lo_c, hi_c = _bit_halves(F.col("v"))
+    e = e.withColumn("blo", lo_c).withColumn("bhi", hi_c)
+    q = e.filter(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("v").alias("qv"), F.col("blo").alias("qlo"), F.col("bhi").alias("qhi")
+    )
+    window = int(k) * int(oversample)
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != int(query_vec_id))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("blo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("bhi").bitwiseXOR(F.col("qhi")))
+            ).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(window)
+        .select("vec_id")
+    )
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ),
+        )
+        .select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(int(k))
+    )
+
+
+def knn_bit_topk_sql(
+    query_vec_id: int = 0, k: int = 10, oversample: int = 5
+) -> str:
+    qid, window = int(query_vec_id), int(k) * int(oversample)
+    half = EMB_DIM // 2
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             list_sum(list_transform(range(1, {half} + 1),
+                 i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << ((i - 1) % 32)) ELSE 0 END)) AS blo,
+             list_sum(list_transform(range({half} + 1, {EMB_DIM} + 1),
+                 i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << ((i - 1) % 32)) ELSE 0 END)) AS bhi
+      FROM e0),
+q AS (SELECT v AS qv, blo AS qlo, bhi AS qhi FROM e WHERE vec_id = {qid}),
+cand AS (
+  SELECT e.vec_id,
+         bit_count(xor(CAST(e.blo AS BIGINT), CAST(q.qlo AS BIGINT)))
+         + bit_count(xor(CAST(e.bhi AS BIGINT), CAST(q.qhi AS BIGINT))) AS hamming
+  FROM e, q WHERE e.vec_id != {qid}
+  ORDER BY hamming ASC, e.vec_id ASC
+  LIMIT {window})
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+FROM e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {int(k)}
+"""

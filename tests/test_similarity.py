@@ -329,3 +329,130 @@ class TestKnnRadius:
         assert [(r["vec_id"], r["cosine"]) for r in capped] == [
             (r["vec_id"], r["cosine"]) for r in top3
         ]
+
+
+class TestQuantizedKnn:
+    """int8 scalar-quantized and bit-packed (hamming) kNN with the ES 9.0
+    oversample + exact-rescore contract."""
+
+    def test_int8_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            sim.knn_int8_topk(
+                load_embeddings(spark, sf_dir), query_vec_id=7, k=5, oversample=4
+            ),
+            duck.execute(sim.knn_int8_topk_sql(7, k=5, oversample=4)).df(),
+        )
+
+    def test_bit_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            sim.knn_bit_topk(
+                load_embeddings(spark, sf_dir), query_vec_id=7, k=5, oversample=5
+            ),
+            duck.execute(sim.knn_bit_topk_sql(7, k=5, oversample=5)).df(),
+        )
+
+    def test_int8_codes_match_numpy(self, spark, sf_dir):
+        """Quantized codes equal an independent numpy recompute of
+        round((x - lo) * 127 / (hi - lo)) with exact corpus min/max."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        emb = load_embeddings(spark, sf_dir)
+        lo, hi = sim._sq_bounds(emb)
+        got = (
+            emb.select(
+                "vec_id",
+                sim._sq_code(
+                    F.col("embedding").cast("array<double>"), lo, hi
+                ).alias("code"),
+            )
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        tab = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        tab = tab.sort_values("vec_id", ignore_index=True)
+        comp = np.stack([v.astype(np.float64) for v in tab["embedding"]])
+        assert float(comp.min()) == lo and float(comp.max()) == hi
+        # np.round is HALF_EVEN; the engines round HALF_UP — recompute
+        # with floor(x + 0.5), valid for the non-negative operand.
+        want = np.floor((comp - lo) * (127.0 / (hi - lo)) + 0.5).astype(np.int64)
+        assert all(
+            list(g) == list(w) for g, w in zip(got["code"], want)
+        )
+        assert want.min() >= 0 and want.max() <= 127
+
+    def test_bit_codes_match_numpy(self, spark, sf_dir):
+        """Packed sign-bit halves equal an independent numpy packing."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        emb = load_embeddings(spark, sf_dir)
+        lo_c, hi_c = sim._bit_halves(F.col("embedding").cast("array<double>"))
+        got = (
+            emb.select("vec_id", lo_c.alias("blo"), hi_c.alias("bhi"))
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        tab = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        tab = tab.sort_values("vec_id", ignore_index=True)
+        comp = np.stack([v.astype(np.float64) for v in tab["embedding"]])
+        bits = (comp > 0).astype(np.uint64)
+        pw = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+        want_lo = (bits[:, :32] * pw).sum(axis=1).astype(np.int64)
+        want_hi = (bits[:, 32:] * pw).sum(axis=1).astype(np.int64)
+        assert got["blo"].tolist() == want_lo.tolist()
+        assert got["bhi"].tolist() == want_hi.tolist()
+
+    def test_high_oversample_recovers_exact_ranking(self, spark, sf_dir):
+        """With a window covering the whole corpus, both quantized paths
+        must return exactly the exact top-k under their final metric."""
+        emb = load_embeddings(spark, sf_dir)
+        n = emb.count()
+        k = 5
+        # bit path's final metric is cosine — compare vs cosine_topk
+        exact_cos = sim.cosine_topk(emb, query_vec_id=3, k=k).toPandas()
+        full_bit = sim.knn_bit_topk(
+            emb, query_vec_id=3, k=k, oversample=(n // k) + 1
+        ).toPandas()
+        assert full_bit["vec_id"].tolist() == exact_cos["vec_id"].tolist()
+        # int8 path's final metric is the dot product
+        from pyspark.sql import functions as F
+
+        e = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = e.filter(F.col("vec_id") == 3).select(F.col("v").alias("qv"))
+        exact_dot = (
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != 3)
+            .select(
+                "vec_id", F.round(sim._dot(F.col("v"), F.col("qv")), 5).alias("dot")
+            )
+            .orderBy(F.desc("dot"), F.asc("vec_id"))
+            .limit(k)
+            .toPandas()
+        )
+        full_int8 = sim.knn_int8_topk(
+            emb, query_vec_id=3, k=k, oversample=(n // k) + 1
+        ).toPandas()
+        assert full_int8["vec_id"].tolist() == exact_dot["vec_id"].tolist()
+
+    def test_int8_candidate_recall_at_default_oversample(self, spark, sf_dir):
+        """The corrective offset keeps recall high at the DEFAULT window:
+        the quantized path at oversample=3 must agree with the exhaustive
+        path on >= 4 of the top-5 (it is 5/5 on this corpus; the assert
+        leaves one slot of slack for future synthetic-data tweaks)."""
+        emb = load_embeddings(spark, sf_dir)
+        n = emb.count()
+        approx = set(
+            sim.knn_int8_topk(emb, query_vec_id=11, k=5, oversample=3)
+            .toPandas()["vec_id"]
+        )
+        exact = set(
+            sim.knn_int8_topk(
+                emb, query_vec_id=11, k=5, oversample=(n // 5) + 1
+            ).toPandas()["vec_id"]
+        )
+        assert len(approx & exact) >= 4
