@@ -35,6 +35,7 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "didyoumean", "q": "tne fast"}          (needs --bigrams)
     {"op": "sqs",      "q": "spark -vector field:x"} (lenient syntax)
     {"op": "hybrid",   "q": "spark merge", "vec_id": 0} (needs --embeddings)
+    {"op": "knnq",     "vec_id": 7, "kind": "int8"}     (needs --embeddings)
     {"op": "tsr",      "q": "spark merge", "vec_id": 0} (needs --embeddings)
     {"op": "maxsim",   "group": 0, "group_size": 5}     (needs --embeddings)
     {"op": "weightedtokens", "weights": {"spark": 2.0}, "ratio": 5.0}
@@ -247,6 +248,23 @@ def main() -> None:
                 idx, args.embeddings, req["q"].split(),
                 query_vec_id=int(req.get("vec_id", 0)), k=k,
                 window=int(req.get("window", 20)),
+            )
+        if op == "knnq":
+            # {"op": "knnq", "vec_id": 7, "kind": "int8"|"bit"} — quantized
+            # kNN from the resident code table (1-16 B/vector), float
+            # matrix touched only for the k*oversample rescore window
+            if not args.embeddings:
+                raise ValueError("knnq needs --embeddings")
+            from telegram2elastic_spark.query.hybrid import (
+                knn_bit_local,
+                knn_int8_local,
+            )
+
+            kind = req.get("kind", "int8")
+            fn = knn_int8_local if kind == "int8" else knn_bit_local
+            return fn(
+                idx, args.embeddings, int(req.get("vec_id", 0)), k=k,
+                oversample=int(req.get("oversample", 3 if kind == "int8" else 5)),
             )
         if op == "tsr":
             # {"op": "tsr", "q": "spark merge", "vec_id": 0} — BM25

@@ -86,55 +86,97 @@ def bm25_topk(
     if max_ts is not None:
         base = base.filter(F.col("warc_ts") < F.lit(max_ts).cast("timestamp"))
 
+    # --- tokenize-once plan (r4, session 15) -------------------------------
+    # The original formulation built three subtrees off the raw corpus
+    # (doc_len, stats, tf-explode) and one more for exclusion; Catalyst has
+    # no cross-subtree CSE, so the corpus was tokenized 3-4x PER QUERY.
+    # Now one narrow projection carries (doc_id, url, dl, per-term tf,
+    # exclusion flag) — per-term tf is an array-side size(filter(tk, =t))
+    # (query terms are a handful, so t cheap passes over a token array
+    # beat an explode + (doc, term) hash agg + three joins) — and is
+    # persisted so the stats aggregate and the scoring pass share ONE
+    # tokenization.  The persisted slice is ~100 B/doc; at index scale the
+    # WAND path serves queries, this relational path is the verification
+    # baseline.  Scores are bit-compatible: same per-term weight formula,
+    # same round-then-order contract (sum order changes only the last ulp,
+    # absorbed by SCORE_DECIMALS rounding exactly as before).
+    uniq = sorted(set(terms))
     stats_src = corpus if global_stats else base
-    docs = base.select("doc_id", "url", F.size(tokens("text")).alias("doc_len"))
-    stats = stats_src.select(F.size(tokens("text")).alias("doc_len")).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
-    )
+    doc_filters = (lang is not None) or (min_ts is not None) or (max_ts is not None)
+    admit = F.lit(True)
+    if global_stats and doc_filters:
+        if lang is not None:
+            admit = admit & (F.col("lang") == lang)
+        if min_ts is not None:
+            admit = admit & (F.col("warc_ts") >= F.lit(min_ts).cast("timestamp"))
+        if max_ts is not None:
+            admit = admit & (F.col("warc_ts") < F.lit(max_ts).cast("timestamp"))
 
-    tf_src = stats_src if global_stats else base
-    tf_all = (
-        tf_src.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    term_df = tf_all.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # in global mode, df comes from the whole corpus but only filtered docs
-    # are scored
-    tf = tf_all.join(docs.select("doc_id"), "doc_id") if global_stats else tf_all
+    tk_rows = stats_src.withColumn("_tk", tokens("text"))
+    proj = [
+        F.col("doc_id"),
+        F.col("url"),
+        admit.alias("_admit"),
+        F.size("_tk").alias("dl"),
+    ]
+    for i, t in enumerate(uniq):
+        proj.append(
+            F.size(F.filter("_tk", lambda x: x == F.lit(t))).alias(f"tf_{i}")
+        )
+    excl = sorted(set(exclude_terms)) if exclude_terms else []
+    if excl:
+        proj.append(
+            F.arrays_overlap(
+                "_tk", F.array(*[F.lit(t) for t in excl])
+            ).alias("_ex_hit")
+        )
+    rows = tk_rows.select(*proj).persist()
+
+    stats_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(uniq))
+    ]
+    stats = rows.agg(*stats_aggs)
+
+    matched = [F.col(f"tf_{i}") > 0 for i in range(len(uniq))]
+    any_match = matched[0] if matched else F.lit(False)
+    for m in matched[1:]:
+        any_match = any_match | m
+    cand = rows.filter(F.col("_admit") & any_match)
+    if excl:
+        cand = cand.filter(~F.col("_ex_hit"))
+
+    w_terms = [
+        F.when(
+            matched[i],
+            bm25_weight(
+                F.col(f"tf_{i}").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("avgdl"),
+                idf_col(F.col("n").cast("double"), F.col(f"df_{i}").cast("double")),
+            ),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(uniq))
+    ]
+    score_expr = w_terms[0] if w_terms else F.lit(0.0)
+    for w in w_terms[1:]:
+        score_expr = score_expr + w
+    n_matched_expr = matched[0].cast("int") if matched else F.lit(0)
+    for m in matched[1:]:
+        n_matched_expr = n_matched_expr + m.cast("int")
 
     scored = (
-        tf.join(F.broadcast(term_df), "term")
-        .join(docs.select("doc_id", "url", "doc_len"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "w",
-            bm25_weight(
-                F.col("tf").cast("double"),
-                F.col("doc_len").cast("double"),
-                F.col("avgdl"),
-                idf_col(F.col("n").cast("double"), F.col("df").cast("double")),
-            ),
-        )
-        .groupBy("doc_id", "url")
-        .agg(
-            F.round(F.sum("w"), SCORE_DECIMALS).alias("score"),
-            F.count(F.lit(1)).alias("n_matched"),
-        )
+        cand.crossJoin(F.broadcast(stats))
+        .withColumn("score", F.round(score_expr, SCORE_DECIMALS))
+        .withColumn("n_matched", n_matched_expr)
     )
-    n_req = len(set(terms)) if conjunctive else int(min_should_match)
+    n_req = len(uniq) if conjunctive else int(min_should_match)
     if n_req:
         scored = scored.filter(F.col("n_matched") >= n_req)
-    if exclude_terms:
-        ex = (
-            base.select("doc_id", F.explode(tokens("text")).alias("term"))
-            .filter(F.col("term").isin(sorted(set(exclude_terms))))
-            .select("doc_id")
-            .distinct()
-        )
-        scored = scored.join(ex, "doc_id", "left_anti")
-    scored = scored.drop("n_matched")
+    scored = scored.select("doc_id", "url", "score")
     if k is None:
         return scored  # bm25_scores: the untruncated matching set
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -500,3 +500,122 @@ def rank_vectors_maxsim_local(
     exact.sort(key=lambda t: (-t[1], t[0]))
     return exact[:k]
 
+
+
+# ---------------------------------------------------------------------------
+# Quantized-kNN local twins (serve_node `knnq`): the query node holds the
+# COMPRESSED code table resident (1-16 bytes/vector) and touches the float
+# matrix only for the k * oversample rescore window — the same memory story
+# that makes int8/bit quantization the ES default at large index sizes.
+# ---------------------------------------------------------------------------
+
+_POP16 = None  # lazy 16-bit popcount table (numpy < 2.0 has no bitwise_count)
+
+
+def _popcount64(a):
+    import numpy as np
+
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+    a = a.astype(np.uint64)
+    return (
+        _POP16[(a & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((a >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((a >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((a >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)]
+    ).astype(np.int64)
+
+
+def _quant_tables(index: dict, emb_path: str):
+    """Per-store quantization tables, computed once and cached next to the
+    float matrix: int8 codes + their row sums + (lo, corr), and the two
+    packed 32-bit sign-bit words.  All integer, all derived exactly like
+    the Spark/DuckDB engines (floor(x + 0.5) == HALF_UP for x >= 0)."""
+    import numpy as np
+
+    cache = index.setdefault("_quant_cache", {})
+    if emb_path not in cache:
+        ids, M = _emb_matrix(index, emb_path)
+        lo, hi = float(M.min()), float(M.max())
+        scale = 127.0 / (hi - lo)
+        codes = np.floor((M - lo) * scale + 0.5).astype(np.int64)
+        sums = codes.sum(axis=1)
+        bits = (M > 0).astype(np.uint64)
+        pw = np.uint64(1) << np.arange(32, dtype=np.uint64)
+        half = M.shape[1] // 2
+        blo = (bits[:, :half] * pw[:half]).sum(axis=1).astype(np.uint64)
+        bhi = (bits[:, half:] * pw[: M.shape[1] - half]).sum(axis=1).astype(
+            np.uint64
+        )
+        cache[emb_path] = (codes, sums, lo * scale, blo, bhi)
+    return cache[emb_path]
+
+
+def _rescore_window(ids, M, qi, order_idx, k: int, metric: str):
+    """Exact re-score of a candidate window with the fold algebra, matching
+    the Spark path's round-5 + vec_id tie-break."""
+    qv = M[qi]
+    exact = []
+    if metric == "cosine":
+        qnorm = _fold_dot(qv, qv) ** 0.5
+        for i in order_idx:
+            c = round(
+                _fold_dot(M[i], qv) / ((_fold_dot(M[i], M[i]) ** 0.5) * qnorm),
+                5,
+            )
+            exact.append((int(ids[i]), float(c)))
+    else:  # dot
+        for i in order_idx:
+            exact.append((int(ids[i]), float(round(_fold_dot(M[i], qv), 5))))
+    exact.sort(key=lambda t: (-t[1], t[0]))
+    return exact[:k]
+
+
+def knn_int8_local(
+    index: dict, emb_path: str, query_vec_id: int, k: int = 10,
+    oversample: int = 3,
+) -> list[tuple[int, float]]:
+    """Driver-local twin of similarity.knn_int8_topk: integer code dot +
+    Lucene corrective offset rank the window, exact float dot rescores.
+    Returns [(vec_id, dot)] — identical to the Spark path."""
+    import numpy as np
+
+    ids, M = _emb_matrix(index, emb_path)
+    qi = np.searchsorted(ids, int(query_vec_id))
+    if qi >= ids.size or ids[qi] != int(query_vec_id):
+        return []
+    codes, sums, corr, _, _ = _quant_tables(index, emb_path)
+    qkey = (codes @ codes[qi]).astype(np.float64) + corr * sums.astype(
+        np.float64
+    )
+    window = min(int(k) * int(oversample), ids.size - 1)
+    # order by (qkey desc, vec_id asc), excluding the query row
+    sel = np.lexsort((ids, -qkey))
+    sel = sel[sel != qi][:window]
+    return _rescore_window(ids, M, qi, sel, int(k), "dot")
+
+
+def knn_bit_local(
+    index: dict, emb_path: str, query_vec_id: int, k: int = 10,
+    oversample: int = 5,
+) -> list[tuple[int, float]]:
+    """Driver-local twin of similarity.knn_bit_topk: hamming distance on
+    the packed sign bits ranks the window, exact cosine rescores.
+    Returns [(vec_id, cosine)] — identical to the Spark path."""
+    import numpy as np
+
+    ids, M = _emb_matrix(index, emb_path)
+    qi = np.searchsorted(ids, int(query_vec_id))
+    if qi >= ids.size or ids[qi] != int(query_vec_id):
+        return []
+    _, _, _, blo, bhi = _quant_tables(index, emb_path)
+    ham = _popcount64(np.bitwise_xor(blo, blo[qi])) + _popcount64(
+        np.bitwise_xor(bhi, bhi[qi])
+    )
+    window = min(int(k) * int(oversample), ids.size - 1)
+    sel = np.lexsort((ids, ham))
+    sel = sel[sel != qi][:window]
+    return _rescore_window(ids, M, qi, sel, int(k), "cosine")

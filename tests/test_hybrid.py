@@ -155,3 +155,36 @@ def test_index_backed_legs_identical_and_no_tokenize(spark, sf_dir, tmp_path):
         assert via_idx.collect() == rel
         plan = via_idx._jdf.queryExecution().executedPlan().toString()
         assert "split(" not in plan  # no corpus tokenize in the query path
+
+
+def test_knn_quantized_local_identity(spark, sf_dir):
+    """Driver-local quantized kNN twins == the Spark paths, for both the
+    int8 (corrective-offset dot) and bit (hamming) candidate generators."""
+    from telegram2elastic_spark.corpus import load_embeddings
+    from telegram2elastic_spark.operators import similarity as sim
+    from telegram2elastic_spark.query import hybrid
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = load_embeddings(spark, sf_dir)
+    idx: dict = {}
+    for qv in (0, 7, 13):
+        a = [
+            (r["vec_id"], r["dot"])
+            for r in sim.knn_int8_topk(emb, qv, k=5, oversample=4).collect()
+        ]
+        b = hybrid.knn_int8_local(idx, emb_path, qv, k=5, oversample=4)
+        assert a == b, ("int8", qv)
+        a = [
+            (r["vec_id"], r["cosine"])
+            for r in sim.knn_bit_topk(emb, qv, k=5, oversample=5).collect()
+        ]
+        b = hybrid.knn_bit_local(idx, emb_path, qv, k=5, oversample=5)
+        assert a == b, ("bit", qv)
+
+
+def test_knn_quantized_local_missing_vec(spark, sf_dir):
+    from telegram2elastic_spark.query import hybrid
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    assert hybrid.knn_int8_local({}, emb_path, 10_000_000, k=5) == []
+    assert hybrid.knn_bit_local({}, emb_path, 10_000_000, k=5) == []
