@@ -269,6 +269,16 @@ ESQL_PROGRAMS = {
         '(STATS n = COUNT(*) BY lang) '
         '| SORT _fork ASC, source ASC NULLS LAST, lang ASC NULLS LAST'
     ),
+    # NEW (r4, session 15): FUSE (ES|QL 9.1) — RRF fusion of FORK
+    # branches: ranks inside each branch (ties share a rank), fixed
+    # branch-order float sum, identity = all non-(_score,_fork) columns
+    "esql_fuse": (
+        "FROM events | KEEP event_id, event_type, value | FORK "
+        '(WHERE event_type == "click" | EVAL _score = value) '
+        "(WHERE value > 50 | EVAL _score = value * 2) "
+        "| FUSE | EVAL _score = ROUND(_score, 6) "
+        "| SORT _score DESC, event_id ASC | LIMIT 15"
+    ),
     # NEW (r4, session 12): CHANGE_POINT (ES|QL 8.18) — mean-shift argmax
     # over a bucket axis, type/pvalue set on the detected row only
     "esql_change_point": (

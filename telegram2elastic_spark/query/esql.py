@@ -51,6 +51,18 @@ Supported commands (the stable ES|QL core):
                                  missing columns fill with NULL, branch type
                                  conflicts are compile-time errors, nesting
                                  is rejected (as in ES)
+  | FUSE [RRF | LINEAR]          ES|QL 9.1 result fusion: must immediately
+                                 follow FORK, every branch must produce a
+                                 numeric _score; rows identical on every
+                                 non-(_score,_fork) column merge into one.
+                                 RRF (default): _score = sum over branches
+                                 of 1/(60 + rank), rank by (_score DESC,
+                                 keys ASC) inside the branch — ties share a
+                                 rank so the result is partition- and
+                                 engine-independent.  LINEAR: _score = sum
+                                 of the branches' raw _score.  Compose with
+                                 `| SORT _score DESC, <key>` for the final
+                                 ranking (FUSE itself imposes no order)
 
 STATS aggregates accept the ES 8.16 per-aggregate filter:
 `STATS en = COUNT(*) WHERE lang == "en", total = COUNT(*) BY source` —
@@ -104,7 +116,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "DISSECT", "GROK", "MV_EXPAND",
     "ENRICH", "ON", "WITH", "LOOKUP", "JOIN", "INLINESTATS",
     "CHANGE_POINT", "COMPLETION", "RERANK",
-    "SAMPLE", "FORK",
+    "SAMPLE", "FORK", "FUSE",
     "AND", "OR", "NOT", "LIKE", "RLIKE", "IN", "IS", "NULL",
     "TRUE", "FALSE", "ASC", "DESC", "NULLS", "FIRST", "LAST",
 }
@@ -1445,6 +1457,37 @@ class EsqlPlan:
             merged["_fork"] = "string"
             self.schema = merged
             self.stages.append(("fork", branches))
+        elif k == "FUSE":
+            if self._in_fork:
+                raise ValueError("ES|QL: FUSE cannot appear inside a FORK branch")
+            method = "rrf"
+            t = p.peek()
+            if t is not None and t.text.upper() in ("RRF", "LINEAR"):
+                p.next()
+                method = t.text.upper().lower()
+            self._end(p)
+            if not self.stages or self.stages[-1][0] != "fork":
+                raise ValueError("ES|QL: FUSE must immediately follow FORK")
+            if self.schema.get("_score") not in ("long", "integer", "double"):
+                raise ValueError(
+                    "ES|QL: FUSE needs a numeric _score column from the "
+                    "FORK branches"
+                )
+            branches = self.stages[-1][1]
+            for _, bschema in branches:
+                if bschema.get("_score") not in ("long", "integer", "double"):
+                    raise ValueError(
+                        "ES|QL: every FORK branch must produce a numeric "
+                        "_score for FUSE"
+                    )
+            keys = [c for c in self.schema if c not in ("_fork", "_score")]
+            if not keys:
+                raise ValueError("ES|QL: FUSE has no identity columns")
+            self.schema = {
+                c: t for c, t in self.schema.items() if c != "_fork"
+            }
+            self.schema["_score"] = "double"
+            self.stages.append(("fuse", (method, len(branches), keys)))
         else:
             raise ValueError(f"ES|QL: unsupported command {k}")
 
@@ -1682,6 +1725,33 @@ class EsqlPlan:
                 for b in parts[1:]:
                     out = out.unionByName(b, allowMissingColumns=True)
                 df = out
+            elif kind == "fuse":
+                from pyspark.sql import Window
+
+                method, nb, keys = payload
+                w = Window.partitionBy("_fork").orderBy(
+                    F.col("_score").desc_nulls_last(),
+                    *[F.col(c).asc_nulls_last() for c in keys],
+                )
+                contrib = (
+                    F.lit(1.0) / (F.lit(60.0) + F.rank().over(w).cast("double"))
+                    if method == "rrf"
+                    else F.col("_score").cast("double")
+                )
+                ranked = df.withColumn("__c", contrib)
+                # fixed-branch-order sum (fork1..forkN) so the float total
+                # is the same in any engine/partitioning
+                per = [
+                    F.max(
+                        F.when(F.col("_fork") == f"fork{j}", F.col("__c"))
+                    ).alias(f"__c{j}")
+                    for j in range(1, nb + 1)
+                ]
+                g = ranked.groupBy(*[F.col(c) for c in keys]).agg(*per)
+                total = F.coalesce(F.col("__c1"), F.lit(0.0))
+                for j in range(2, nb + 1):
+                    total = total + F.coalesce(F.col(f"__c{j}"), F.lit(0.0))
+                df = g.select(*keys, total.alias("_score"))
         _ = pending_sort
         return df
 
@@ -1952,6 +2022,37 @@ class EsqlPlan:
                         merged.setdefault(c, t)
                 merged["_fork"] = "string"
                 schema = merged
+            elif kind == "fuse":
+                method, nb, keys = payload
+                order = ", ".join(
+                    ["_score DESC NULLS LAST"]
+                    + [f'"{c}" ASC NULLS LAST' for c in keys]
+                )
+                contrib = (
+                    "1.0 / (60.0 + CAST(rank() OVER "
+                    f"(PARTITION BY _fork ORDER BY {order}) AS DOUBLE))"
+                    if method == "rrf"
+                    else "CAST(_score AS DOUBLE)"
+                )
+                ctes.append(
+                    f"e{i} AS (SELECT *, {contrib} AS __c FROM {prev})"
+                )
+                prev = f"e{i}"
+                i += 1
+                klist = ", ".join(f'"{c}"' for c in keys)
+                per = " + ".join(
+                    f"COALESCE(max(CASE WHEN _fork = 'fork{j}' "
+                    "THEN __c END), 0.0)"
+                    for j in range(1, nb + 1)
+                )
+                ctes.append(
+                    f"e{i} AS (SELECT {klist}, {per} AS _score "
+                    f"FROM {prev} GROUP BY {klist})"
+                )
+                prev = f"e{i}"
+                i += 1
+                schema = {c: schema[c] for c in keys}
+                schema["_score"] = "double"
         return prev, i, schema, order_tail
 
     @staticmethod

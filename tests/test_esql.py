@@ -488,3 +488,57 @@ class TestInferenceCommands:
             E.EsqlPlan('FROM corpus | RERANK "q" ON doc_id')
         with pytest.raises(ValueError, match="string"):
             E.EsqlPlan('FROM corpus | COMPLETION c = n_chars WITH m')
+
+
+# ---------------------------------------------------------------- FUSE
+
+FUSE_PROG = (
+    "FROM events | KEEP event_id, event_type, value | FORK "
+    '(WHERE event_type == "click" | EVAL _score = value) '
+    "(WHERE value > 50 | EVAL _score = value * 2) "
+    "| FUSE | SORT _score DESC, event_id ASC | LIMIT 15"
+)
+
+
+def test_fuse_rrf_parity(spark, duck, sf_dir):
+    _same(spark, duck, sf_dir, FUSE_PROG)
+
+
+def test_fuse_linear_parity(spark, duck, sf_dir):
+    _same(spark, duck, sf_dir, FUSE_PROG.replace("| FUSE |", "| FUSE LINEAR |"))
+
+
+def test_fuse_merges_dupes_and_scores_rrf(spark, sf_dir):
+    """A row matching both branches gets 1/(60+r1) + 1/(60+r2); a
+    single-branch row gets one term; _fork is gone from the schema."""
+    out = E.execute_esql(spark, sf_dir, FUSE_PROG).toPandas()
+    assert "_fork" not in out.columns
+    assert list(out.columns) == ["event_id", "event_type", "value", "_score"]
+    # every fused score is a sum of at most 2 rrf terms, each <= 1/61
+    assert (out["_score"] <= 2 / 61 + 1e-12).all()
+    assert (out["_score"] > 0).all()
+    # the winning rows (top of both branches) must carry two terms:
+    # strictly more than the single-branch maximum 1/61
+    assert out["_score"].iloc[0] > 1 / 61 + 1e-12
+
+
+def test_fuse_errors():
+    with pytest.raises(ValueError, match="immediately follow FORK"):
+        E.EsqlPlan("FROM events | EVAL _score = value | FUSE")
+    with pytest.raises(ValueError, match="numeric _score"):
+        E.EsqlPlan(
+            "FROM events | FORK (WHERE value > 1) (WHERE value > 2) | FUSE"
+        )
+    with pytest.raises(ValueError, match="inside a FORK branch"):
+        E.EsqlPlan(
+            "FROM events | FORK (WHERE value > 1 | FUSE) (WHERE value > 2)"
+        )
+    # LIMIT between FORK and FUSE breaks the contract
+    with pytest.raises(ValueError, match="immediately follow FORK"):
+        E.EsqlPlan(
+            "FROM events | FORK (EVAL _score = value) (EVAL _score = value) "
+            "| LIMIT 5 | FUSE"
+        )
+    # validate_esql reports (never raises)
+    v = E.validate_esql("FROM events | EVAL _score = value | FUSE")
+    assert v["valid"] is False and "FORK" in v["error"]
