@@ -269,6 +269,14 @@ ESQL_PROGRAMS = {
         '(STATS n = COUNT(*) BY lang) '
         '| SORT _fork ASC, source ASC NULLS LAST, lang ASC NULLS LAST'
     ),
+    # NEW (r4, session 15): MATCH_PHRASE + TERM (ES|QL 9.1) — adjacency
+    # tested with the token array bound ONCE per row (fold-binding; no
+    # per-term re-tokenize), TERM deliberately unanalyzed on the query side
+    "esql_match_phrase": (
+        'FROM corpus | WHERE MATCH_PHRASE(text, "merge batch") '
+        'AND NOT TERM(text, "Spark") '
+        "| STATS n = COUNT(*) BY lang | SORT lang ASC"
+    ),
     # NEW (r4, session 15): FUSE (ES|QL 9.1) — RRF fusion of FORK
     # branches: ranks inside each branch (ties share a rank), fixed
     # branch-order float sum, identity = all non-(_score,_fork) columns

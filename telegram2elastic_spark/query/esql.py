@@ -19,7 +19,11 @@ small typed AST, then two emitters lower every stage —
 
 Supported commands (the stable ES|QL core):
   FROM <corpus|documents|events|embeddings>
-  | WHERE <expr>                 boolean expr; full-text MATCH(field, "q")
+  | WHERE <expr>                 boolean expr; full-text MATCH(field, "q"),
+                                 MATCH_PHRASE(field, "a b") (ES|QL 9.1,
+                                 consecutive analyzed terms) and
+                                 TERM(field, "t") (9.1, query side NOT
+                                 analyzed — must be in index form to hit)
   | EVAL a = expr, b = expr      later items may use earlier ones; replaces
   | STATS agg [, ...] [BY k...]  COUNT(*) COUNT SUM AVG MIN MAX
                                  COUNT_DISTINCT MEDIAN PERCENTILE
@@ -447,8 +451,10 @@ def _typecheck(e, schema: dict[str, str]) -> str:
             _span(e.args[0])  # validate the span at compile time
         if e.name == "BUCKET":
             _bucket_emit(["x"], e.args, "spark")  # shape-validate
-        if e.name == "MATCH":
+        if e.name in ("MATCH", "MATCH_PHRASE"):
             _match_terms(e.args)  # literal, non-empty query
+        if e.name == "TERM":
+            _term_lit(e.args)  # literal, non-empty, kept verbatim
         if e.name == "DATE_FORMAT":
             _fmt_duck(_strlit(e.args[0]))  # format validated at compile
         if e.name == "DATE_DIFF":
@@ -510,6 +516,42 @@ def _tokens_duck(x: str) -> str:
     return (
         f"list_filter(regexp_split_to_array(lower({x}), "
         f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+
+
+def _phrase_expr(field: str, terms: list[str], dialect: str) -> str:
+    """ES|QL 9.1 MATCH_PHRASE as a pure array expression over the analyzed
+    token stream: positions i where every phrase term matches at i+j.
+    Both engines walk the same window starts; no UDF, no positional index
+    (ES|QL match functions run as post-filters on the row, same shape)."""
+    m = len(terms)
+    if dialect == "spark":
+        tk = _tokens_spark(field)
+        if m == 1:
+            return f"array_contains({tk}, {_lit_spark(terms[0])})"
+        conds = " AND ".join(
+            f"element_at(tkv, i + {j}) = {_lit_spark(t)}"
+            for j, t in enumerate(terms)
+        )
+        # The token array is bound ONCE as a lambda variable via a
+        # 1-element fold (Spark SQL has no LET; referencing the tokenize
+        # expression inside the window lambda would re-run the regex per
+        # phrase term).  The size guard comes first because sequence(1, n)
+        # DESCENDS when n < 1.
+        return (
+            f"aggregate(array({tk}), false, (acc, tkv) -> acc OR ("
+            f"size(tkv) >= {m} AND exists("
+            f"sequence(1, size(tkv) - {m - 1}), i -> {conds})))"
+        )
+    tk = _tokens_duck(field)
+    if m == 1:
+        return f"list_contains({tk}, {_lit_duck(terms[0])})"
+    conds = " AND ".join(
+        f"({tk})[i + {j}] = {_lit_duck(t)}" for j, t in enumerate(terms)
+    )
+    return (
+        f"(len({tk}) >= {m} AND len(list_filter("
+        f"range(1, len({tk}) - {m - 1} + 1), i -> {conds})) > 0)"
     )
 
 
@@ -762,7 +804,40 @@ FUNCS: dict[str, dict] = {
             + "])) > 0"
         ),
     ),
+    # ES|QL 9.1 MATCH_PHRASE: consecutive analyzed terms as a predicate.
+    "MATCH_PHRASE": dict(
+        arity=(2, 2), ret="bool",
+        spark=lambda a, r: _phrase_expr(a[0], _match_terms(r), "spark"),
+        duck=lambda a, r: _phrase_expr(a[0], _match_terms(r), "duck"),
+    ),
+    # ES|QL 9.1 TERM: exact term lookup, query side NOT analyzed — the
+    # literal must already be in index form (lowercase) to hit, exactly
+    # the classic ES term-vs-match contract.
+    "TERM": dict(
+        arity=(2, 2), ret="bool",
+        spark=lambda a, r: (
+            f"array_contains({_tokens_spark(a[0])}, "
+            f"{_lit_spark(_term_lit(r))})"
+        ),
+        duck=lambda a, r: (
+            f"list_contains({_tokens_duck(a[0])}, "
+            f"{_lit_duck(_term_lit(r))})"
+        ),
+    ),
 }
+
+
+def _term_lit(args) -> str:
+    if (
+        len(args) != 2
+        or not isinstance(args[1], Lit)
+        or args[1].typ != "string"
+        or not args[1].value
+    ):
+        raise ValueError(
+            'ES|QL: TERM(field, "term") needs a non-empty string literal'
+        )
+    return args[1].value
 
 _AGGS = {
     "COUNT_STAR": ("count(*)", "long"),

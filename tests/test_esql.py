@@ -542,3 +542,58 @@ def test_fuse_errors():
     # validate_esql reports (never raises)
     v = E.validate_esql("FROM events | EVAL _score = value | FUSE")
     assert v["valid"] is False and "FORK" in v["error"]
+
+
+# ------------------------------------------------- MATCH_PHRASE / TERM
+
+def test_match_phrase_parity(spark, duck, sf_dir):
+    _same(
+        spark, duck, sf_dir,
+        'FROM corpus | WHERE MATCH_PHRASE(text, "merge batch") '
+        "| STATS n = COUNT(*) BY lang | SORT lang ASC",
+    )
+
+
+def test_match_phrase_requires_adjacency(spark, sf_dir):
+    """Phrase count <= both-terms count; and the phrase docs agree with
+    the engine's positional machinery (phrase_topk's matching set)."""
+    both = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | WHERE MATCH(text, "merge") AND MATCH(text, "batch") '
+        "| STATS n = COUNT(*)",
+    ).collect()[0]["n"]
+    phrase = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | WHERE MATCH_PHRASE(text, "merge batch") '
+        "| STATS n = COUNT(*)",
+    ).collect()[0]["n"]
+    assert 0 < phrase <= both
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query.phrase import phrase_topk
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4, positions=True)
+    hits = phrase_topk(idx, ["merge", "batch"], k=10_000).count()
+    assert hits == phrase
+
+
+def test_term_is_unanalyzed(spark, duck, sf_dir):
+    # lowercase literal hits; the cased literal misses (ES term contract)
+    _same(
+        spark, duck, sf_dir,
+        'FROM corpus | WHERE TERM(text, "spark") | STATS n = COUNT(*)',
+    )
+    n = E.execute_esql(
+        spark, sf_dir,
+        'FROM corpus | WHERE TERM(text, "Spark") | STATS n = COUNT(*)',
+    ).collect()[0]["n"]
+    assert n == 0
+
+
+def test_match_phrase_errors():
+    with pytest.raises(ValueError, match="string literal"):
+        E.EsqlPlan("FROM corpus | WHERE MATCH_PHRASE(text, n_chars)")
+    with pytest.raises(ValueError, match="empty query"):
+        E.EsqlPlan('FROM corpus | WHERE MATCH_PHRASE(text, "  ")')
+    with pytest.raises(ValueError, match="string literal"):
+        E.EsqlPlan("FROM corpus | WHERE TERM(text, 3)")
