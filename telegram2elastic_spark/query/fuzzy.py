@@ -40,19 +40,34 @@ def _query_trigrams(q: str) -> list[str]:
     return sorted({s[i : i + 3] for i in range(max(len(s) - 2, 0))})
 
 
-def _doc_trigrams_col() -> F.Column:
-    """Distinct 3-char windows of lower(text); empty array for text < 3
-    chars (guarded — Spark's sequence(1, 0) would count DOWN)."""
-    t = F.lower(F.col("text"))
+def _doc_trigrams_col(lt: str = "_lt") -> F.Column:
+    """Distinct 3-char windows of an ALREADY-LOWERED text column `lt`;
+    empty array for text < 3 chars (guarded — Spark's sequence(1, 0)
+    would count DOWN).
+
+    `lt` must be a materialized column, not the lower(text) expression:
+    a lambda body re-evaluates any non-attribute expression it references
+    PER ELEMENT (the tokenize-once rule, NOTES_r4 session 9), which here
+    turns an L-char doc into O(L^2) lowercasing work — measured 2.4x on
+    the 200k-doc trigram build."""
     grams = F.array_distinct(
         F.expr(
-            "transform(sequence(1, length(lower(text)) - 2),"
-            " i -> substring(lower(text), i, 3))"
+            f"transform(sequence(1, length({lt}) - 2),"
+            f" i -> substring({lt}, i, 3))"
         )
     )
-    return F.when(F.length(t) < 3, F.array().cast("array<string>")).otherwise(
-        grams
-    )
+    return F.when(
+        F.length(F.col(lt)) < 3, F.array().cast("array<string>")
+    ).otherwise(grams)
+
+
+def _with_grams(corpus: DataFrame) -> DataFrame:
+    """(doc_id, url, grams) with the lowered text bound as a real column
+    so the trigram window transform touches an attribute, never an
+    expression."""
+    return corpus.select(
+        "doc_id", "url", F.lower(F.col("text")).alias("_lt")
+    ).select("doc_id", "url", _doc_trigrams_col().alias("grams"))
 
 
 def fuzzy_topk(corpus: DataFrame, q: str, k: int = 10) -> DataFrame:
@@ -69,7 +84,7 @@ def fuzzy_topk(corpus: DataFrame, q: str, k: int = 10) -> DataFrame:
         return spark.createDataFrame([], "doc_id long, url string, sim double")
     n_q = len(qgrams)
     qarr = F.array(*[F.lit(g) for g in qgrams])
-    docs = corpus.select("doc_id", "url", _doc_trigrams_col().alias("grams"))
+    docs = _with_grams(corpus)
     shared = F.size(F.array_intersect(F.col("grams"), qarr))
     return (
         docs.withColumn("shared", shared)
@@ -102,7 +117,9 @@ def build_trigram_index(corpus: DataFrame, out_dir: str) -> None:
     norms-travel-with-postings discipline as dl_bytes in the BM25 blocks —
     so scoring never joins the corpus-sized docs table; docs is only the
     k-row url lookup."""
-    docs = corpus.select("doc_id", "url", _doc_trigrams_col().alias("grams"))
+    # persisted across the two writes: the trigram window pass runs once,
+    # not once per output table
+    docs = _with_grams(corpus).persist()
     docs.select(
         "doc_id", "url", F.size("grams").cast("int").alias("n_grams")
     ).write.mode("overwrite").parquet(f"{out_dir}/docs")
