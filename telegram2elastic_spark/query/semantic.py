@@ -199,7 +199,14 @@ def write_semantic_store(
     emb = doc_embeddings(corpus, dim).persist()
     try:
         (
-            emb.repartition(1)
+            # range partitioning on bucket parallelizes the sorted write
+            # (the single-partition sort was the build bottleneck) while
+            # keeping every bucket's rows inside exactly ONE file — equal
+            # keys never split across range partitions, so per-file
+            # row-group stats prune a probe exactly as before; the probe
+            # argsorts after the pruned read and never relies on
+            # cross-file order
+            emb.repartitionByRange(16, "bucket")
             .sortWithinPartitions("bucket", "doc_id")
             .write.mode("overwrite")
             .option("parquet.block.size", 128 * 1024)
@@ -562,7 +569,9 @@ def write_semantic_chunk_store(
     emb = chunk_embeddings(corpus, window, stride, dim).persist()
     try:
         (
-            emb.repartition(1)
+            # see write_semantic_store: range partitioning keeps each
+            # bucket whole per file and parallelizes the sorted write
+            emb.repartitionByRange(16, "bucket")
             .sortWithinPartitions("bucket", "doc_id", "chunk_id")
             .write.mode("overwrite")
             .option("parquet.block.size", 128 * 1024)
