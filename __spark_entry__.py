@@ -489,6 +489,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 15): significant_terms alternative heuristic —
+        # ES chi_square over the NXY background_is_superset cells
+        # (doubles before any product: n11*n00 overflows int64 at 10^12)
+        "significant_chi2": lambda spark, sf: facets.significant_terms(
+            load_corpus(spark, sf), q="merge", min_score=10.0, k=15,
+            heuristic="chi_square",
+        ),
         # NEW (r4, session 15): ES 8.14 int8 scalar-quantized kNN
         # (similarity: max_inner_product) with the ES 9.0 rescore_vector
         # oversample contract — compressed-domain candidate rank =
@@ -2048,6 +2055,9 @@ FROM corpus ORDER BY doc_id
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
         "shard_shuffle": training.shard_shuffle_sql(n_shards=8, epoch=1),
+        "significant_chi2": facets.significant_terms_sql(
+            q="merge", min_score=10.0, k=15, heuristic="chi_square"
+        ),
         "knn_int8_topk": sim.knn_int8_topk_sql(7, k=5, oversample=4),
         "knn_bit_topk": sim.knn_bit_topk_sql(7, k=5, oversample=5),
         "semantic_chunked_topk": semq.semantic_chunked_topk_sql(

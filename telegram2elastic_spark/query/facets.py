@@ -74,8 +74,25 @@ def significant_terms(
     min_doc_count: int = 3,
     index: dict | None = None,
     background_lang: str | None = None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
-    """Top-k (term, fg_count, bg_count, jlh) over the filtered set.
+    """Top-k (term, fg_count, bg_count, jlh|sig) over the filtered set.
+
+    `heuristic` selects the ES significance heuristic: "jlh" (default,
+    scored into `jlh`), "mutual_information" or "chi_square" (scored
+    into `sig`).  The NXY heuristics use ES's background_is_superset
+    contingency cells with include_negatives=true:
+        n11 = f           n01 = F - f
+        n10 = n - f       n00 = N - F - n + f      (total = N)
+    where f/F are foreground/background doc frequencies and n/N the set
+    sizes.  chi_square = N * (n11*n00 - n01*n10)^2 / (margin product)
+    (0 when a margin is empty); mutual_information = sum over cells of
+    (Nxy/N) * log2(N*Nxy / (Nx*Ny)) with empty cells contributing 0.
+    Cells are cast to double BEFORE multiplying — n11*n00 at 10^12 docs
+    overflows int64.  The superset cells require the foreground to be a
+    subset of the background, so these heuristics reject
+    `background_lang` (ES raises the same way when subsetFreq >
+    supersetFreq).
 
     `background_lang` is the ES `background_filter` knob: significance
     measured against a RESTRICTED background (here a language slice)
@@ -135,14 +152,54 @@ def significant_terms(
         .crossJoin(F.broadcast(fg_n))
         .crossJoin(F.broadcast(bg_n))
     )
-    fg_pct = F.col("fg_count") / F.col("fg_n")
-    bg_pct = F.col("bg_count") / F.col("bg_n")
-    return (
-        joined.withColumn(
-            "jlh", F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), SCORE_DECIMALS)
+    if heuristic == "jlh":
+        fg_pct = F.col("fg_count") / F.col("fg_n")
+        bg_pct = F.col("bg_count") / F.col("bg_n")
+        return (
+            joined.withColumn(
+                "jlh",
+                F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), SCORE_DECIMALS),
+            )
+            .select("term", "fg_count", "bg_count", "jlh")
+            .orderBy(F.desc("jlh"), F.asc("term"))
+            .limit(k)
         )
-        .select("term", "fg_count", "bg_count", "jlh")
-        .orderBy(F.desc("jlh"), F.asc("term"))
+    if heuristic not in ("mutual_information", "chi_square"):
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
+    if background_lang is not None:
+        raise ValueError(
+            "NXY heuristics need the foreground to be a subset of the "
+            "background (background_is_superset) — background_filter is "
+            "jlh-only here"
+        )
+    f_ = F.col("fg_count").cast("double")
+    F2 = F.col("bg_count").cast("double")
+    n_ = F.col("fg_n").cast("double")
+    N_ = F.col("bg_n").cast("double")
+    n11, n01, n10 = f_, F2 - f_, n_ - f_
+    n00 = N_ - F2 - n_ + f_
+    if heuristic == "chi_square":
+        denom = (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+        sig = F.when(denom == 0, F.lit(0.0)).otherwise(
+            N_ * (n11 * n00 - n01 * n10) * (n11 * n00 - n01 * n10) / denom
+        )
+    else:
+
+        def cell(nxy: F.Column, nx: F.Column, ny: F.Column) -> F.Column:
+            return F.when(nxy == 0, F.lit(0.0)).otherwise(
+                (nxy / N_) * F.log2(N_ * nxy / (nx * ny))
+            )
+
+        sig = (
+            cell(n11, F2, n_)
+            + cell(n01, F2, N_ - n_)
+            + cell(n10, N_ - F2, n_)
+            + cell(n00, N_ - F2, N_ - n_)
+        )
+    return (
+        joined.withColumn("sig", F.round(sig, SCORE_DECIMALS))
+        .select("term", "fg_count", "bg_count", "sig")
+        .orderBy(F.desc("sig"), F.asc("term"))
         .limit(k)
     )
 
@@ -153,11 +210,57 @@ def significant_terms_sql(
     k: int = 20,
     min_doc_count: int = 3,
     background_lang: str | None = None,
+    heuristic: str = "jlh",
 ) -> str:
     where = _filters_sql(q, min_score, None)
     bg_where = (
         f"WHERE lang = '{background_lang}'" if background_lang is not None else ""
     )
+    if heuristic == "jlh":
+        score_sql = (
+            "round(((fg.fg_count * 1.0 / fg_n.fg_n)"
+            " - (bg.bg_count * 1.0 / bg_n.bg_n))"
+            " * ((fg.fg_count * 1.0 / fg_n.fg_n)"
+            f" / (bg.bg_count * 1.0 / bg_n.bg_n)), {SCORE_DECIMALS}) AS jlh"
+        )
+        out_col = "jlh"
+    else:
+        # NXY cells (background_is_superset), doubles before any product
+        f1 = "CAST(fg.fg_count AS DOUBLE)"
+        F1 = "CAST(bg.bg_count AS DOUBLE)"
+        n1 = "CAST(fg_n.fg_n AS DOUBLE)"
+        N1 = "CAST(bg_n.bg_n AS DOUBLE)"
+        n11, n01 = f1, f"({F1} - {f1})"
+        n10, n00 = f"({n1} - {f1})", f"({N1} - {F1} - {n1} + {f1})"
+        if heuristic == "chi_square":
+            denom = (
+                f"(({n11} + {n01}) * ({n11} + {n10})"
+                f" * ({n01} + {n00}) * ({n10} + {n00}))"
+            )
+            raw = (
+                f"CASE WHEN {denom} = 0 THEN 0.0 ELSE "
+                f"{N1} * ({n11} * {n00} - {n01} * {n10})"
+                f" * ({n11} * {n00} - {n01} * {n10}) / {denom} END"
+            )
+        elif heuristic == "mutual_information":
+            def cell(nxy: str, nx: str, ny: str) -> str:
+                return (
+                    f"CASE WHEN {nxy} = 0 THEN 0.0 ELSE "
+                    f"({nxy} / {N1}) * log2({N1} * {nxy} / ({nx} * {ny})) END"
+                )
+
+            raw = " + ".join(
+                [
+                    cell(n11, F1, n1),
+                    cell(n01, F1, f"({N1} - {n1})"),
+                    cell(n10, f"({N1} - {F1})", n1),
+                    cell(n00, f"({N1} - {F1})", f"({N1} - {n1})"),
+                ]
+            )
+        else:
+            raise ValueError(f"unknown significance heuristic {heuristic!r}")
+        score_sql = f"round({raw}, {SCORE_DECIMALS}) AS sig"
+        out_col = "sig"
     return f"""
 WITH {CORPUS_CTE.strip()},
 scored AS (SELECT *, {SCORE_SQL} AS score FROM corpus),
@@ -182,12 +285,10 @@ bg AS (
   ) GROUP BY term
 )
 SELECT fg.term, fg.fg_count, bg.bg_count,
-       round(((fg.fg_count * 1.0 / fg_n.fg_n) - (bg.bg_count * 1.0 / bg_n.bg_n))
-             * ((fg.fg_count * 1.0 / fg_n.fg_n) / (bg.bg_count * 1.0 / bg_n.bg_n)),
-             {SCORE_DECIMALS}) AS jlh
+       {score_sql}
 FROM fg JOIN bg USING (term)
 CROSS JOIN fg_n CROSS JOIN bg_n
-ORDER BY jlh DESC, fg.term ASC
+ORDER BY {out_col} DESC, fg.term ASC
 LIMIT {k}
 """
 

@@ -300,3 +300,104 @@ def test_agg_filters_matches_oracle_and_totals(spark, duck, sf_dir):
     n = corpus.count()
     assert 0 <= row["other"] <= n
     assert row["english"] + row["other"] <= n + row["long_doc"] + row["short_doc"]
+
+
+class TestSignificanceHeuristics:
+    """ES significant_terms alternative heuristics (mutual_information,
+    chi_square) — NXY contingency cells with background_is_superset."""
+
+    def test_chi_square_vs_oracle(self, spark, duck, sf_dir):
+        from .oracle import assert_same
+
+        assert_same(
+            facets.significant_terms(
+                load_corpus(spark, sf_dir), q="merge", min_score=10.0,
+                k=15, heuristic="chi_square",
+            ),
+            duck.execute(
+                facets.significant_terms_sql(
+                    q="merge", min_score=10.0, k=15, heuristic="chi_square"
+                )
+            ).df(),
+        )
+
+    def test_mutual_information_vs_oracle(self, spark, duck, sf_dir):
+        from .oracle import assert_same
+
+        assert_same(
+            facets.significant_terms(
+                load_corpus(spark, sf_dir), q="merge", min_score=10.0,
+                k=15, heuristic="mutual_information",
+            ),
+            duck.execute(
+                facets.significant_terms_sql(
+                    q="merge", min_score=10.0, k=15,
+                    heuristic="mutual_information",
+                )
+            ).df(),
+        )
+
+    def test_cells_match_independent_python(self, spark, sf_dir):
+        """chi2/MI recomputed from the returned counts + set sizes with
+        plain Python floats must reproduce the scores."""
+        import math
+
+        c = load_corpus(spark, sf_dir)
+        from telegram2elastic_spark.query.search import search_filtered
+
+        fg_n = search_filtered(c, "merge", 10.0).count()
+        bg_n = c.count()
+        for heur in ("chi_square", "mutual_information"):
+            rows = facets.significant_terms(
+                c, q="merge", min_score=10.0, k=8, heuristic=heur
+            ).collect()
+            assert rows
+            for r in rows:
+                f, Fc = float(r["fg_count"]), float(r["bg_count"])
+                n, N = float(fg_n), float(bg_n)
+                n11, n01, n10 = f, Fc - f, n - f
+                n00 = N - Fc - n + f
+                if heur == "chi_square":
+                    den = (n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)
+                    want = 0.0 if den == 0 else (
+                        N * (n11 * n00 - n01 * n10) ** 2 / den
+                    )
+                else:
+                    def cell(nxy, nx, ny):
+                        return 0.0 if nxy == 0 else (
+                            (nxy / N) * math.log2(N * nxy / (nx * ny))
+                        )
+                    want = (
+                        cell(n11, Fc, n) + cell(n01, Fc, N - n)
+                        + cell(n10, N - Fc, n) + cell(n00, N - Fc, N - n)
+                    )
+                assert abs(r["sig"] - want) < 1e-4, (heur, r)
+
+    def test_rankings_can_differ_from_jlh(self, spark, sf_dir):
+        c = load_corpus(spark, sf_dir)
+        jlh = [
+            r["term"]
+            for r in facets.significant_terms(
+                c, q="merge", min_score=10.0, k=15
+            ).collect()
+        ]
+        chi = [
+            r["term"]
+            for r in facets.significant_terms(
+                c, q="merge", min_score=10.0, k=15, heuristic="chi_square"
+            ).collect()
+        ]
+        assert jlh and chi  # both produce rankings over the same fg set
+
+    def test_background_filter_rejected_for_nxy(self, spark, sf_dir):
+        import pytest
+
+        with pytest.raises(ValueError, match="subset"):
+            facets.significant_terms(
+                load_corpus(spark, sf_dir), q="merge",
+                heuristic="chi_square", background_lang="en",
+            )
+        with pytest.raises(ValueError, match="unknown"):
+            facets.significant_terms(
+                load_corpus(spark, sf_dir), q="merge", heuristic="gnd"
+            )
