@@ -124,6 +124,15 @@ PERCOLATE_SPECS = [
     (2, ["vector"], 1),
     (3, ["the", "data", "row"], 3),
 ]
+
+# Phrase alerts: order-sensitive (1 vs 2), single-term, and a dead-term
+# alert that candidate selection must already kill.
+PERCOLATE_PHRASE_SPECS = [
+    (1, ["merge", "batch"]),
+    (2, ["batch", "merge"]),
+    (3, ["vector", "index"]),
+    (4, ["merge", "zzzznosuchterm"]),
+]
 PHRASE_BATCH_SPECS = {
     0: (["the", "fast"], 0),
     1: (["merge", "batch"], 1),
@@ -489,6 +498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 15): PHRASE percolation — ES percolator's
+        # two-phase contract (term-index candidate probe, then adjacency
+        # verify on the candidate pairs only); oracle is deliberately
+        # single-phase so a candidate bug cannot hide in both engines
+        "percolate_phrase": lambda spark, sf: percolate.percolate_phrase(
+            load_corpus(spark, sf),
+            percolate.stored_phrase_queries(spark, PERCOLATE_PHRASE_SPECS),
+        ),
         # NEW (r4, session 15): significant_terms alternative heuristic —
         # ES chi_square over the NXY background_is_superset cells
         # (doubles before any product: n11*n00 overflows int64 at 10^12)
@@ -2055,6 +2072,9 @@ FROM corpus ORDER BY doc_id
         ),
         "geohash_grid": geo.geohash_grid_sql(precision=4, k=10),
         "shard_shuffle": training.shard_shuffle_sql(n_shards=8, epoch=1),
+        "percolate_phrase": percolate.percolate_phrase_sql(
+            PERCOLATE_PHRASE_SPECS
+        ),
         "significant_chi2": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
         ),

@@ -150,3 +150,107 @@ GROUP BY d.doc_id, q.query_id, q.msm
 HAVING count(*) >= q.msm
 ORDER BY d.doc_id, q.query_id
 """
+
+
+# --- phrase percolation -------------------------------------------------------
+
+
+def stored_phrase_queries(spark, specs: list[tuple[int, list[str]]]) -> DataFrame:
+    """(query_id, phrase array<string>) — ordered phrase alerts."""
+    return spark.createDataFrame(
+        [(int(q), list(ts)) for q, ts in specs],
+        "query_id int, phrase array<string>",
+    )
+
+
+def percolate_phrase(
+    docs: DataFrame,
+    queries: DataFrame,
+    broadcast_threshold: int | None = 1_000_000,
+) -> DataFrame:
+    """(doc_id, query_id) for every stored PHRASE alert a document
+    triggers — ES percolator's two-phase contract made explicit:
+
+      1. candidate selection: the stored queries' term index is probed
+         with the doc's distinct terms and a candidate must contain ALL
+         the phrase's terms (ES extracts terms from the stored query and
+         pre-filters with a TermsQuery);
+      2. verify: each candidate (doc, query) re-checks ADJACENCY on the
+         doc's token array (ES re-runs the full query against a one-doc
+         MemoryIndex) — a consecutive-window equality, array-side.
+
+    Scale shape: phase 1 is the verified `percolate` kernel shape
+    (broadcast-or-shuffle on the same threshold contract); phase 2
+    touches candidate pairs only, with the phrase arrays broadcast
+    (alert stores are tiny next to the doc stream).  The token array is
+    persisted across the two phases — one tokenize per batch."""
+    toksd = docs.select("doc_id", tokens("text").alias("tk")).persist()
+    qn = queries.select(
+        "query_id",
+        "phrase",
+        F.array_distinct("phrase").alias("dterms"),
+        F.size(F.array_distinct("phrase")).alias("need"),
+    )
+    qindex = qn.select(
+        "query_id", "need", F.explode("dterms").alias("term")
+    )
+    qside = qindex
+    if broadcast_threshold is None or (
+        int(broadcast_threshold) > 0
+        and qindex.count() <= int(broadcast_threshold)
+    ):
+        qside = F.broadcast(qindex)
+    dterms = toksd.select(
+        "doc_id", F.explode(F.array_distinct("tk")).alias("term")
+    )
+    cand = (
+        dterms.join(qside, "term")
+        .groupBy("doc_id", "query_id", "need")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.col("need"))
+        .select("doc_id", "query_id")
+    )
+    m = F.size("phrase")
+    verified = (
+        cand.join(toksd, "doc_id")
+        .join(F.broadcast(queries.select("query_id", "phrase")), "query_id")
+        .filter(
+            F.when(
+                F.size("tk") >= m,
+                F.exists(
+                    F.sequence(F.lit(1), F.size("tk") - m + 1),
+                    lambda i: F.slice(F.col("tk"), i, m) == F.col("phrase"),
+                ),
+            ).otherwise(F.lit(False))
+        )
+    )
+    return verified.select("doc_id", "query_id").orderBy("doc_id", "query_id")
+
+
+def percolate_phrase_sql(specs: list[tuple[int, list[str]]]) -> str:
+    """DuckDB oracle — deliberately SINGLE-phase (direct adjacency test
+    over the doc x alert cross product): an independent formulation, so
+    a candidate-phase bug cannot hide in both engines."""
+    rows = ", ".join(
+        "({}, {})".format(
+            int(q),
+            "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in ts) + "]",
+        )
+        for q, ts in specs
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+queries(query_id, phrase) AS (VALUES {rows}),
+tkt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '') AS tk
+  FROM corpus
+)
+SELECT t.doc_id, q.query_id
+FROM tkt t, queries q
+WHERE len(t.tk) >= len(q.phrase)
+  AND len(list_filter(range(1, len(t.tk) - len(q.phrase) + 2),
+          i -> t.tk[i : i + len(q.phrase) - 1] = q.phrase)) > 0
+ORDER BY t.doc_id, q.query_id
+"""

@@ -191,3 +191,63 @@ class TestMatchedQueries:
             if {"vector", "window"} & tks:
                 want.append("vecs")
             assert r["matched_queries"] == ",".join(sorted(want))
+
+
+class TestPercolatePhrase:
+    SPECS = [
+        (1, ["merge", "batch"]),
+        (2, ["batch", "merge"]),
+        (3, ["spark"]),
+        (4, ["merge", "zzzznosuchterm"]),
+    ]
+
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        from .oracle import assert_same
+        from telegram2elastic_spark.query import percolate as P
+
+        assert_same(
+            P.percolate_phrase(
+                load_corpus(spark, sf_dir),
+                P.stored_phrase_queries(spark, self.SPECS),
+            ),
+            duck.execute(P.percolate_phrase_sql(self.SPECS)).df(),
+        )
+
+    def test_order_sensitive_and_subset_of_terms(self, spark, sf_dir):
+        """Phrase hits are a subset of the all-terms percolate hits, and
+        'merge batch' vs 'batch merge' fire on different doc sets."""
+        from telegram2elastic_spark.query import percolate as P
+
+        docs = load_corpus(spark, sf_dir)
+        ph = P.percolate_phrase(
+            docs, P.stored_phrase_queries(spark, self.SPECS)
+        ).toPandas()
+        terms = P.percolate(
+            docs, P.stored_queries(spark, [(1, ["merge", "batch"], 2)])
+        ).toPandas()
+        hits1 = set(ph[ph.query_id == 1]["doc_id"])
+        hits2 = set(ph[ph.query_id == 2]["doc_id"])
+        both = set(terms["doc_id"])
+        assert hits1 and hits1 <= both
+        assert hits2 and hits2 <= both
+        assert hits1 != hits2
+        # dead-term alert: candidate phase must already kill it
+        assert (ph.query_id == 4).sum() == 0
+
+    def test_adjacency_not_just_cooccurrence(self, spark):
+        """A doc containing both terms NON-adjacently is a candidate but
+        must fail the verify phase."""
+        from telegram2elastic_spark.query import percolate as P
+
+        spark_df = spark.createDataFrame(
+            [
+                (1, "merge batch now", "u1"),
+                (2, "merge the batch", "u2"),
+                (3, "batch then merge", "u3"),
+            ],
+            "doc_id long, text string, url string",
+        )
+        out = P.percolate_phrase(
+            spark_df, P.stored_phrase_queries(spark, [(1, ["merge", "batch"])])
+        ).toPandas()
+        assert out["doc_id"].tolist() == [1]
