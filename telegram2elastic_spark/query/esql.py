@@ -457,6 +457,10 @@ def _typecheck(e, schema: dict[str, str]) -> str:
             _term_lit(e.args)  # literal, non-empty, kept verbatim
         if e.name == "DATE_FORMAT":
             _fmt_duck(_strlit(e.args[0]))  # format validated at compile
+        if e.name == "DATE_PARSE":
+            _fmt_duck(_strlit(e.args[0]))
+        if e.name == "MV_SORT":
+            _mv_sort_desc(e.args)  # order literal validated at compile
         if e.name == "DATE_DIFF":
             _diff_unit_seconds(e.args[0])
         rt = spec["ret"]
@@ -786,6 +790,71 @@ FUNCS: dict[str, dict] = {
     "CASE": dict(arity=(3, 99), ret=lambda t: t[1],
                  spark=lambda a, r: _case(a),
                  duck=lambda a, r: _case(a)),
+    # Multivalue round-out (ES|QL mv_* family).  MV_DEDUPE is defined as
+    # SORTED dedupe here: ES documents the output order as unspecified,
+    # and an unspecified order cannot be a cross-engine contract.
+    "MV_DEDUPE": dict(
+        arity=(1, 1), ret=lambda t: t[0],
+        spark=lambda a, r: f"array_sort(array_distinct({a[0]}))",
+        duck=lambda a, r: f"list_sort(list_distinct({a[0]}))",
+    ),
+    "MV_SORT": dict(
+        arity=(1, 2), ret=lambda t: t[0],
+        spark=lambda a, r: (
+            f"sort_array({a[0]}, "
+            + ("false" if _mv_sort_desc(r) else "true")
+            + ")"
+        ),
+        duck=lambda a, r: (
+            f"list_sort({a[0]}, "
+            + ("'DESC'" if _mv_sort_desc(r) else "'ASC'")
+            + ")"
+        ),
+    ),
+    "MV_FIRST": dict(
+        arity=(1, 1), ret=lambda t: _mv_elem(t[0]),
+        spark=lambda a, r: f"element_at({a[0]}, 1)",
+        duck=lambda a, r: f"({a[0]})[1]",
+    ),
+    "MV_LAST": dict(
+        arity=(1, 1), ret=lambda t: _mv_elem(t[0]),
+        spark=lambda a, r: f"element_at({a[0]}, -1)",
+        duck=lambda a, r: f"({a[0]})[-1]",
+    ),
+    # LOCATE(string, substring) — ES arg order; Spark's locate() flips it
+    "LOCATE": dict(
+        arity=(2, 2), ret="long",
+        spark=lambda a, r: f"CAST(locate({a[1]}, {a[0]}) AS BIGINT)",
+        duck=lambda a, r: f"CAST(strpos({a[0]}, {a[1]}) AS BIGINT)",
+    ),
+    "REVERSE": dict(arity=(1, 1), ret="string",
+                    spark=lambda a, r: f"reverse({a[0]})",
+                    duck=lambda a, r: f"reverse({a[0]})"),
+    "LTRIM": dict(arity=(1, 1), ret="string",
+                  spark=lambda a, r: f"ltrim({a[0]})",
+                  duck=lambda a, r: f"ltrim({a[0]})"),
+    "RTRIM": dict(arity=(1, 1), ret="string",
+                  spark=lambda a, r: f"rtrim({a[0]})",
+                  duck=lambda a, r: f"rtrim({a[0]})"),
+    "SIGNUM": dict(arity=(1, 1), ret="double",
+                   spark=lambda a, r: f"CAST(signum({a[0]}) AS DOUBLE)",
+                   duck=lambda a, r: f"CAST(sign({a[0]}) AS DOUBLE)"),
+    # DATE_PARSE(format, dateString) — ES arg order; the Java format
+    # vocabulary is translated for strptime by the DATE_FORMAT table
+    "DATE_PARSE": dict(
+        arity=(2, 2), ret="timestamp",
+        spark=lambda a, r: (
+            f"to_timestamp({a[1]}, {_lit_spark(_strlit(r[0]))})"
+        ),
+        duck=lambda a, r: (
+            f"strptime({a[1]}, {_lit_duck(_fmt_duck(_strlit(r[0])))})"
+        ),
+    ),
+    # TRY_CAST on the oracle side: Spark's non-ANSI CAST nulls malformed
+    # input, DuckDB's plain CAST raises
+    "TO_BOOLEAN": dict(arity=(1, 1), ret="bool",
+                       spark=lambda a, r: f"CAST({a[0]} AS BOOLEAN)",
+                       duck=lambda a, r: f"TRY_CAST({a[0]} AS BOOLEAN)"),
     # Full-text: ES match semantics (OR of analyzed terms) as a predicate.
     "MATCH": dict(
         arity=(2, 2), ret="bool",
@@ -827,6 +896,18 @@ FUNCS: dict[str, dict] = {
 }
 
 
+def _mv_elem(t: str) -> str:
+    return t[6:-1] if t.startswith("array<") else t
+
+
+def _mv_sort_desc(args) -> bool:
+    if len(args) < 2:
+        return False
+    if not isinstance(args[1], Lit) or args[1].value not in ("ASC", "DESC"):
+        raise ValueError('ES|QL: MV_SORT order must be "ASC" or "DESC"')
+    return args[1].value == "DESC"
+
+
 def _term_lit(args) -> str:
     if (
         len(args) != 2
@@ -849,6 +930,7 @@ _AGGS = {
     "COUNT_DISTINCT": ("count(DISTINCT {0})", "long"),
     "MEDIAN": ("median({0})", "double"),
     "PERCENTILE": (None, "double"),  # dialect-specific
+    "STD_DEV": ("stddev_pop({0})", "double"),
 }
 
 
@@ -1862,6 +1944,8 @@ class EsqlPlan:
         if e.name == "PERCENTILE":
             p = e.args[1].value
             return F.percentile(arg, F.lit(p / 100.0))
+        if e.name == "STD_DEV":
+            return F.stddev_pop(arg)
         raise ValueError(f"ES|QL: bad aggregate {e.name}")
 
     # -- DuckDB oracle -----------------------------------------------
@@ -2172,6 +2256,10 @@ class EsqlPlan:
         if e.name == "PERCENTILE":
             p = e.args[1].value
             return f"quantile_cont({arg}, {p / 100.0!r}){tail}"
+        if e.name == "STD_DEV":
+            # population stddev matches Spark cell-for-cell: 0.0 on a
+            # single value, NULL on an empty (fully filtered) group
+            return f"stddev_pop({arg}){tail}"
         raise ValueError(f"ES|QL: bad aggregate {e.name}")
 
 

@@ -124,6 +124,21 @@ PROGRAMS = [
     '(WHERE lang == "de" | KEEP doc_id, n_chars '
     '| SORT n_chars DESC, doc_id ASC | LIMIT 3) '
     '| SORT _fork ASC, doc_id ASC',
+    # session-15 scalar/mv vocabulary batch
+    'FROM embeddings | EVAL s = MV_SORT(embedding, "DESC") '
+    '| EVAL f = ROUND(MV_FIRST(embedding), 5), l = ROUND(MV_LAST(embedding), 5), '
+    'top = ROUND(MV_FIRST(s), 5), nd = MV_COUNT(MV_DEDUPE(embedding)) '
+    '| KEEP vec_id, f, l, top, nd | SORT vec_id ASC | LIMIT 6',
+    'FROM corpus | EVAL p = LOCATE(text, "merge"), rv = REVERSE(lang), '
+    't2 = LTRIM(RTRIM(lang)) | WHERE p > 0 '
+    '| STATS n = COUNT(*), pmax = MAX(p) BY rv, t2 | SORT rv ASC',
+    'FROM events | EVAL sg = SIGNUM(value - 50), b = TO_BOOLEAN("true") '
+    '| STATS n = COUNT(*) BY sg, b | SORT sg ASC',
+    'FROM corpus | EVAL d = DATE_PARSE("yyyy-MM-dd", "2022-03-05") '
+    '| STATS n = COUNT(*) BY d',
+    'FROM events | STATS sd = STD_DEV(value) '
+    'WHERE event_type == "click", n = COUNT(*) BY event_type '
+    '| EVAL sd = ROUND(sd, 4) | SORT event_type ASC',
 ]
 
 
