@@ -498,6 +498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 16): ExactSubstr dedup (Lee et al. 2021) —
+        # sliding w-token windows at EVERY position (catches shifted
+        # duplicates dedup_blocks' disjoint blocks miss), global
+        # keep-first on the window hash, per-token removal by the union
+        # of duplicated windows; the distributed suffix-array analogue
+        "dedup_exact_substr": lambda spark, sf: dedup.dedup_exact_substrings(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 15): PHRASE percolation — ES percolator's
         # two-phase contract (term-index candidate probe, then adjacency
         # verify on the candidate pairs only); oracle is deliberately
@@ -2075,6 +2083,7 @@ FROM corpus ORDER BY doc_id
         "percolate_phrase": percolate.percolate_phrase_sql(
             PERCOLATE_PHRASE_SPECS
         ),
+        "dedup_exact_substr": dedup.dedup_exact_substrings_sql(),
         "significant_chi2": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
         ),

@@ -891,6 +891,146 @@ ORDER BY doc_id
 """
 
 
+# --- 7b. exact-substring dedup (sliding windows) ------------------------------
+#
+# The ExactSubstr pass of Lee et al. 2021 ("Deduplicating Training Data
+# Makes Language Models Better"): any w-token span that occurs verbatim
+# anywhere else in the corpus is removed from every occurrence EXCEPT the
+# corpus-first one.  Unlike dedup_blocks (disjoint fixed blocks — a
+# shifted duplicate slips through), windows here start at EVERY token
+# position, so a duplicated passage is caught at any alignment; removal
+# is per-token via the union of the duplicated windows covering it.
+#
+# The paper builds a suffix array; the distributed equivalent is a
+# rolling window-hash join: suffix-array adjacency finds exactly the
+# pairs of positions sharing a >= w-token prefix, and "two positions
+# share a w-token window hash" is the same predicate bucketed by hash
+# instead of by sort order.  Scale shape: window rows ~ one per corpus
+# token (the index build's own cardinality), ONE shuffle on the 64-bit
+# window hash for the global first-occurrence min, a doc-keyed regroup
+# of the duplicated positions (dup positions only — the tiny tail), and
+# one join back to the corpus.  Per-doc token filtering is array-side
+# (O(len * dup_windows_in_doc), no explode of covered positions).
+
+EXSUB_WINDOW_TOKENS = 15
+
+
+def dedup_exact_substrings(
+    corpus: DataFrame, window: int = EXSUB_WINDOW_TOKENS
+) -> DataFrame:
+    """(doc_id, text_dedup, n_tokens, tokens_dropped, dup_windows),
+    doc_id order.
+
+    A token is dropped iff some w-token window containing it occurred
+    verbatim earlier in the corpus (earlier doc, or earlier position in
+    the same doc — keep-first, deterministic, no RNG).  Docs shorter
+    than `window` tokens have no windows and always survive whole.
+    """
+    from pyspark.sql import Window
+
+    w = int(window)
+    toks = F.col("toks")
+    n_wins = F.size(toks) - (w - 1)
+    # sequence(1, 0) steps DOWN in Spark — guard the no-window case
+    wins_arr = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tokd = corpus.select("doc_id", _toks().alias("toks"))
+    occ = tokd.select(
+        "doc_id", F.posexplode(wins_arr).alias("pos", "wtext")
+    )
+    key = F.col("doc_id") * _POS_PACK + F.col("pos")
+    dup = occ.withColumn(
+        "dup",
+        key != F.min(key).over(Window.partitionBy(h64(F.col("wtext")))),
+    ).filter(F.col("dup"))
+    dup_pos = dup.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("dps")
+    )
+    joined = tokd.join(dup_pos, "doc_id", "left").withColumn(
+        "dps",
+        F.coalesce(F.col("dps"), F.array().cast("array<int>")),
+    )
+    dps = F.col("dps")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            dps, lambda p: (p <= s["i"]) & (s["i"] < p + w)
+        ),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias("text_dedup"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("bigint").alias(
+                "tokens_dropped"
+            ),
+            F.size(dps).cast("bigint").alias("dup_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_exact_substrings_sql(window: int = EXSUB_WINDOW_TOKENS) -> str:
+    w = int(window)
+    h = H64_SQL.format(x="wtext")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+win AS (
+  SELECT doc_id, CAST(p.pos AS INTEGER) AS pos,
+         array_to_string(list_slice(toks, p.pos + 1, p.pos + {w}), ' ')
+           AS wtext
+  FROM tokd,
+       unnest(range(0, greatest(len(toks) - {w - 1}, 0))) AS p(pos)
+),
+dup AS (
+  SELECT doc_id, pos
+  FROM (
+    SELECT doc_id, pos,
+           (doc_id * {_POS_PACK} + pos)
+             <> min(doc_id * {_POS_PACK} + pos) OVER (PARTITION BY {h})
+             AS dup
+    FROM win
+  ) WHERE dup
+),
+dps AS (
+  SELECT doc_id, list_sort(list(pos)) AS dps FROM dup GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.toks, coalesce(d.dps, []) AS dps
+  FROM tokd t LEFT JOIN dps d ON t.doc_id = d.doc_id
+),
+flt AS (
+  SELECT doc_id, toks, dps,
+         list_filter(range(0, len(toks)),
+                     i -> len(list_filter(dps,
+                              p -> p <= i AND i < p + {w})) = 0) AS kept
+  FROM joined
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(kept, i -> toks[i + 1]), ' '),
+                '') AS text_dedup,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS tokens_dropped,
+       CAST(len(dps) AS BIGINT) AS dup_windows
+FROM flt
+ORDER BY doc_id
+"""
+
+
 def dedup_components(
     corpus: DataFrame,
     n_hashes: int = N_MINHASH,

@@ -307,3 +307,78 @@ class TestUrlCanonical:
         got = dedup.dedup_url_canonical(load_corpus(spark, sf_dir))
         want = duck.execute(dedup.dedup_url_canonical_sql()).df()
         assert_same(got, want)
+
+
+class TestExactSubstrings:
+    """ExactSubstr dedup (Lee et al. 2021): sliding-window span removal."""
+
+    def _mk(self, spark, texts):
+        from telegram2elastic_spark.corpus import as_corpus
+
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        return as_corpus(spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars int",
+        ))
+
+    def test_vs_oracle_on_corpus(self, spark, duck, sf_dir):
+        assert_same(
+            dedup.dedup_exact_substrings(load_corpus(spark, sf_dir)),
+            duck.execute(dedup.dedup_exact_substrings_sql()).df(),
+        )
+
+    def test_catches_shifted_duplicate_blocks_miss(self, spark):
+        """A duplicated passage at a DIFFERENT token offset: disjoint
+        fixed blocks (dedup_blocks) see different block contents, the
+        sliding windows still align on the shared span."""
+        passage = "one two three four five six seven eight"
+        texts = [
+            passage + " tail0 tail1",
+            "lead " + passage + " other",  # shifted by one token
+        ]
+        corpus = self._mk(spark, texts)
+        got = {
+            r["doc_id"]: r
+            for r in dedup.dedup_exact_substrings(corpus, window=8).collect()
+        }
+        # doc 0 owns the passage (keep-first): nothing dropped
+        assert got[0]["tokens_dropped"] == 0
+        # doc 1 loses exactly the 8 passage tokens
+        assert got[1]["tokens_dropped"] == 8
+        assert got[1]["text_dedup"] == "lead other"
+        # the disjoint-block pass misses the shifted copy entirely
+        blocks = {
+            r["doc_id"]: r["blocks_dropped"]
+            for r in dedup.dedup_blocks(corpus, block=8).collect()
+        }
+        assert blocks[1] == 0
+
+    def test_keep_first_within_doc(self, spark):
+        """Within-doc repetition: the first occurrence survives."""
+        span = "a b c d e"
+        corpus = self._mk(spark, [span + " x " + span])
+        (row,) = dedup.dedup_exact_substrings(corpus, window=5).collect()
+        assert row["tokens_dropped"] == 5
+        assert row["text_dedup"] == span + " x"
+
+    def test_short_docs_survive_whole(self, spark):
+        """Docs shorter than the window have no windows — kept whole even
+        when identical (whole-doc dedup is dedup_keep_first's job)."""
+        corpus = self._mk(spark, ["tiny doc", "tiny doc"])
+        rows = dedup.dedup_exact_substrings(corpus, window=5).collect()
+        assert all(r["tokens_dropped"] == 0 for r in rows)
+        assert all(r["dup_windows"] == 0 for r in rows)
+
+    def test_coverage_union_not_double_counted(self, spark):
+        """Overlapping duplicated windows cover a span once: a 6-token
+        duplicated run under window=5 drops 6 tokens, not 10."""
+        run = "p q r s t u"
+        corpus = self._mk(spark, [run + " filler1 filler2",
+                                  run + " other1 other2"])
+        got = {
+            r["doc_id"]: r
+            for r in dedup.dedup_exact_substrings(corpus, window=5).collect()
+        }
+        assert got[1]["dup_windows"] == 2  # two window alignments
+        assert got[1]["tokens_dropped"] == 6  # union, not 2*5
