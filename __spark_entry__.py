@@ -286,6 +286,19 @@ ESQL_PROGRAMS = {
         'AND NOT TERM(text, "Spark") '
         "| STATS n = COUNT(*) BY lang | SORT lang ASC"
     ),
+    # NEW (r4, session 16): TS (ES|QL 9.1 time-series source) — STATS
+    # items are two-level outer(inner_over_time(field)): inner per series
+    # (_tsid = event_type,user_id) per bucket, outer across series; RATE
+    # = reset-compensated counter increase / observed seconds
+    "esql_ts_rate": (
+        'TS events | WHERE value IS NOT NULL '
+        '| EVAL hour = DATE_TRUNC(1 hour, ts) '
+        '| STATS mr = MAX(RATE(event_id)), av = AVG(AVG_OVER_TIME(value)), '
+        'peak = MAX(MAX_OVER_TIME(value)), ns = COUNT(COUNT_OVER_TIME(value)) '
+        'BY hour, event_type '
+        '| EVAL mr = ROUND(mr, 4), av = ROUND(av, 4), peak = ROUND(peak, 4) '
+        '| SORT hour ASC, event_type ASC | LIMIT 40'
+    ),
     # NEW (r4, session 15): FUSE (ES|QL 9.1) — RRF fusion of FORK
     # branches: ranks inside each branch (ties share a rank), fixed
     # branch-order float sum, identity = all non-(_score,_fork) columns

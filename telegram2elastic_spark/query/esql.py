@@ -19,6 +19,16 @@ small typed AST, then two emitters lower every stage —
 
 Supported commands (the stable ES|QL core):
   FROM <corpus|documents|events|embeddings>
+  TS events                      9.1 time-series source: STATS items become
+                                 two-level `outer(inner_over_time(field))`
+                                 — inner per series (the dims _tsid) within
+                                 each BY group, outer across series.  RATE
+                                 is counter-only (reset-compensated
+                                 increase / observed seconds), the
+                                 *_OVER_TIME family is gauge-only.  Scale
+                                 shape: two hash aggregations (series-local
+                                 first — partial states shuffle, never raw
+                                 samples twice)
   | WHERE <expr>                 boolean expr; full-text MATCH(field, "q"),
                                  MATCH_PHRASE(field, "a b") (ES|QL 9.1,
                                  consecutive analyzed terms) and
@@ -1135,6 +1145,36 @@ _LOOKUP_SCHEMAS = {
                  "s_nationkey": "long", "s_acctbal": "double"},
 }
 
+# ES|QL 9.1 TS command (time-series source, tech preview): the metrics
+# mapping the TSDB index would declare.  `dims` identify a series (the
+# _tsid), `ts` is the timestamp, counters are monotone-increasing values
+# (RATE only), everything else numeric is a gauge (*_OVER_TIME only) —
+# the same split ES enforces via `time_series_metric: counter|gauge`.
+# event_id is the monotone counter by construction (a global sequence is
+# monotone on every series subset).
+_TS_MAPPINGS = {
+    "events": {
+        "dims": ["event_type", "user_id"],
+        "ts": "ts",
+        "counters": {"event_id"},
+    },
+}
+
+# inner (per-series, per-bucket) over-time functions -> result type
+# (None = follows the field type)
+_TS_INNER = {
+    "RATE": "double",
+    "MAX_OVER_TIME": None,
+    "MIN_OVER_TIME": None,
+    "SUM_OVER_TIME": None,
+    "AVG_OVER_TIME": "double",
+    "COUNT_OVER_TIME": "long",
+    "FIRST_OVER_TIME": None,
+    "LAST_OVER_TIME": None,
+}
+_TS_OUTER = {"SUM", "AVG", "MIN", "MAX", "COUNT"}
+
+
 # ENRICH policies: name -> (lookup table, match field, enrich fields).
 # The ES analogue is the enrich-policy index built by _enrich/policy; here
 # the policy is a declared mapping onto the dimension tables above.
@@ -1182,6 +1222,7 @@ class EsqlPlan:
         segs = _split_pipes(_lex(query))
         p0 = _P(segs[0])
         self.row_items: list | None = None
+        self.time_series = False
         if p0.accept("kw", "ROW"):
             # ES|QL ROW source: literal one-row relation (constant
             # expressions only — the empty input schema enforces it)
@@ -1202,14 +1243,31 @@ class EsqlPlan:
             self.schema = {name: e.typ for name, e in items}
             self.row_items = items
         else:
-            p0.expect("kw", "FROM")
+            # TS (9.1 time-series source) is deliberately NOT a lexer
+            # keyword — `ts` is a column name everywhere else; it is
+            # recognized positionally at the program head only.
+            nxt = p0.peek()
+            ts_mode = (
+                nxt is not None
+                and nxt.kind == "name"
+                and nxt.text.upper() == "TS"
+            )
+            if ts_mode:
+                p0.next()
+            else:
+                p0.expect("kw", "FROM")
             src = p0.expect("name").text
             if p0.peek() is not None:
                 raise ValueError("ES|QL: trailing tokens after FROM <table>")
             if src not in _BASE_SCHEMAS:
                 raise ValueError(f"ES|QL: unknown source table {src!r}")
+            if ts_mode and src not in _TS_MAPPINGS:
+                raise ValueError(
+                    f"ES|QL: {src!r} is not a time-series (TSDB) source"
+                )
             self.source = src
             self.schema = dict(_BASE_SCHEMAS[src])
+            self.time_series = ts_mode
         self._schema0 = dict(self.schema)
         self.stages: list[tuple] = []  # (kind, payload)
         self.pending_sort: list[_SortItem] | None = None
@@ -1244,6 +1302,8 @@ class EsqlPlan:
                     break
             self._end(p)
             self.stages.append(("eval", items))
+        elif k == "STATS" and self.time_series:
+            self._ts_stats_cmd(p)
         elif k == "STATS":
             aggs = []
             while True:
@@ -1655,6 +1715,81 @@ class EsqlPlan:
                 f"ES|QL: trailing tokens from {p.peek().text!r}"
             )
 
+    def _ts_stats_cmd(self, p: _P) -> None:
+        """TS-mode STATS (ES|QL 9.1): every item is a two-level
+        `outer(inner_over_time(field))` — the inner aggregate runs per
+        SERIES (the dims _tsid) within each BY group, the outer combines
+        across series.  RATE is counter-only, the *_OVER_TIME family is
+        gauge-only — the split ES enforces in the TSDB field mapping."""
+        mapping = _TS_MAPPINGS[self.source]
+        dims, tscol = mapping["dims"], mapping["ts"]
+        for c in (*dims, tscol):
+            if c not in self.schema:
+                raise ValueError(
+                    f"ES|QL: TS STATS needs column {c!r} (dropped upstream)"
+                )
+        items = []  # (name, outer, inner, field, inner_rett, outer_rett)
+        while True:
+            name = p.expect("name").text
+            p.expect("op", "=")
+            outer = p.expect("name").text.upper()
+            if outer not in _TS_OUTER:
+                raise ValueError(
+                    f"ES|QL: TS STATS outer aggregate must be one of "
+                    f"{sorted(_TS_OUTER)}, got {outer!r}"
+                )
+            p.expect("op", "(")
+            inner = p.expect("name").text.upper()
+            if inner not in _TS_INNER:
+                raise ValueError(
+                    f"ES|QL: TS STATS inner function must be one of "
+                    f"{sorted(_TS_INNER)}, got {inner!r}"
+                )
+            p.expect("op", "(")
+            field = p.expect("name").text
+            p.expect("op", ")")
+            p.expect("op", ")")
+            if field not in self.schema:
+                raise ValueError(f"ES|QL: unknown column {field!r}")
+            is_counter = field in mapping["counters"]
+            if inner == "RATE" and not is_counter:
+                raise ValueError(
+                    f"ES|QL: RATE needs a counter field, {field!r} is a "
+                    "gauge"
+                )
+            if inner not in ("RATE", "COUNT_OVER_TIME") and is_counter:
+                raise ValueError(
+                    f"ES|QL: counter field {field!r} only supports RATE"
+                )
+            if self.schema[field] not in ("long", "double"):
+                raise ValueError(
+                    f"ES|QL: TS STATS needs a numeric field, {field!r} is "
+                    f"{self.schema[field]}"
+                )
+            inner_rett = _TS_INNER[inner] or self.schema[field]
+            outer_rett = _AGGS[outer][1] or inner_rett
+            items.append((name, outer, inner, field, inner_rett, outer_rett))
+            if not p.accept("op", ","):
+                break
+        keys: list[str] = []
+        if p.accept("kw", "BY"):
+            while True:
+                keys.append(p.expect("name").text)
+                if not p.accept("op", ","):
+                    break
+        self._end(p)
+        for key in keys:
+            if key not in self.schema:
+                raise ValueError(f"ES|QL: unknown BY column {key!r}")
+        new_schema = {key: self.schema[key] for key in keys}
+        for name, _o, _i, _f, _ir, outer_rett in items:
+            new_schema[name] = outer_rett
+        self.schema = new_schema
+        self.stages.append(("ts_stats", (items, keys, dims, tscol)))
+        # after the aggregation the relation is no longer per-sample: any
+        # later STATS is an ordinary one
+        self.time_series = False
+
     # -- Spark execution --------------------------------------------
 
     def dataframe(
@@ -1730,6 +1865,66 @@ class EsqlPlan:
                     for name, e, _, filt in aggs
                 ]
                 df = df.groupBy(*keys).agg(*cols) if keys else df.agg(*cols)
+            elif kind == "ts_stats":
+                items, keys, dims, tscol = payload
+                from pyspark.sql import Window as _W
+
+                inner_keys = list(dict.fromkeys([*dims, *keys]))
+                rate_fields = sorted(
+                    {f for _n, _o, inn, f, _ir, _or in items if inn == "RATE"}
+                )
+                for rf in rate_fields:
+                    # per-series sample order; the events timestamp is a
+                    # strictly increasing sequence so the order is total
+                    w = _W.partitionBy(*inner_keys).orderBy(tscol)
+                    df = df.withColumn(f"__prev_{rf}", F.lag(rf).over(w))
+                epoch = F.unix_timestamp(F.col(tscol))
+                inner_cols = []
+                for name, _outer, inn, f, _ir, _or in items:
+                    c = F.col(f)
+                    if inn == "RATE":
+                        prev = F.col(f"__prev_{f}")
+                        # reset-compensated increase: a drop means the
+                        # counter restarted, so the new value IS the step
+                        step = F.when(
+                            prev.isNull(), F.lit(None)
+                        ).otherwise(
+                            F.when(c >= prev, c - prev).otherwise(c)
+                        )
+                        tspan = F.max(epoch) - F.min(epoch)
+                        expr = F.when(
+                            tspan > 0,
+                            F.sum(step).cast("double") / tspan,
+                        )
+                    elif inn == "MAX_OVER_TIME":
+                        expr = F.max(c)
+                    elif inn == "MIN_OVER_TIME":
+                        expr = F.min(c)
+                    elif inn == "SUM_OVER_TIME":
+                        expr = F.sum(c)
+                    elif inn == "AVG_OVER_TIME":
+                        expr = F.avg(c)
+                    elif inn == "COUNT_OVER_TIME":
+                        expr = F.count(c)
+                    elif inn == "FIRST_OVER_TIME":
+                        expr = F.min_by(c, F.col(tscol))
+                    else:  # LAST_OVER_TIME
+                        expr = F.max_by(c, F.col(tscol))
+                    inner_cols.append(expr.alias(f"__ot_{name}"))
+                g1 = df.groupBy(*inner_keys).agg(*inner_cols)
+                outer_fns = {
+                    "SUM": F.sum, "AVG": F.avg, "MIN": F.min,
+                    "MAX": F.max, "COUNT": F.count,
+                }
+                outer_cols = [
+                    outer_fns[outer](F.col(f"__ot_{name}")).alias(name)
+                    for name, outer, _i, _f, _ir, _or in items
+                ]
+                df = (
+                    g1.groupBy(*keys).agg(*outer_cols)
+                    if keys
+                    else g1.agg(*outer_cols)
+                )
             elif kind == "sort":
                 pending_sort = payload
                 df = apply_sort(df, payload)
@@ -2018,6 +2213,81 @@ class EsqlPlan:
                 schema = {key: schema[key] for key in keys}
                 for name, _, rett, _filt in aggs:
                     schema[name] = rett
+            elif kind == "ts_stats":
+                items, keys, dims, tscol = payload
+                inner_keys = list(dict.fromkeys([*dims, *keys]))
+                ik = ", ".join(inner_keys)
+                rate_fields = sorted(
+                    {f for _n, _o, inn, f, _ir, _or in items if inn == "RATE"}
+                )
+                if rate_fields:
+                    lags = ", ".join(
+                        f"lag({rf}) OVER (PARTITION BY {ik} "
+                        f"ORDER BY {tscol}) AS __prev_{rf}"
+                        for rf in rate_fields
+                    )
+                    ctes.append(f"e{i} AS (SELECT *, {lags} FROM {prev})")
+                    prev = f"e{i}"
+                    i += 1
+                ep = f"CAST(epoch({tscol}) AS BIGINT)"
+                parts = list(inner_keys)
+                for name, _outer, inn, f, inner_rett, _or in items:
+                    if inn == "RATE":
+                        step = (
+                            f"CASE WHEN __prev_{f} IS NULL THEN NULL "
+                            f"WHEN {f} >= __prev_{f} THEN {f} - __prev_{f} "
+                            f"ELSE {f} END"
+                        )
+                        span = f"(max({ep}) - min({ep}))"
+                        sql = (
+                            f"CASE WHEN {span} > 0 THEN "
+                            f"CAST(sum({step}) AS DOUBLE) / {span} END"
+                        )
+                    elif inn == "MAX_OVER_TIME":
+                        sql = f"max({f})"
+                    elif inn == "MIN_OVER_TIME":
+                        sql = f"min({f})"
+                    elif inn == "SUM_OVER_TIME":
+                        cast = "BIGINT" if inner_rett == "long" else "DOUBLE"
+                        sql = f"CAST(sum({f}) AS {cast})"
+                    elif inn == "AVG_OVER_TIME":
+                        sql = f"avg({f})"
+                    elif inn == "COUNT_OVER_TIME":
+                        sql = f"CAST(count({f}) AS BIGINT)"
+                    elif inn == "FIRST_OVER_TIME":
+                        sql = f"arg_min({f}, {tscol})"
+                    else:  # LAST_OVER_TIME
+                        sql = f"arg_max({f}, {tscol})"
+                    parts.append(f"{sql} AS __ot_{name}")
+                ctes.append(
+                    f"e{i} AS (SELECT {', '.join(parts)} FROM {prev} "
+                    f"GROUP BY {ik})"
+                )
+                prev = f"e{i}"
+                i += 1
+                outer_parts = list(keys)
+                for name, outer, _i2, _f, _ir, outer_rett in items:
+                    col = f"__ot_{name}"
+                    if outer == "COUNT":
+                        o = f"CAST(count({col}) AS BIGINT)"
+                    elif outer == "SUM":
+                        cast = "BIGINT" if outer_rett == "long" else "DOUBLE"
+                        o = f"CAST(sum({col}) AS {cast})"
+                    elif outer == "AVG":
+                        o = f"avg({col})"
+                    else:
+                        o = f"{outer.lower()}({col})"
+                    outer_parts.append(f"{o} AS {name}")
+                group = f" GROUP BY {', '.join(keys)}" if keys else ""
+                ctes.append(
+                    f"e{i} AS (SELECT {', '.join(outer_parts)} "
+                    f"FROM {prev}{group})"
+                )
+                prev = f"e{i}"
+                i += 1
+                schema = {key: schema[key] for key in keys}
+                for name, _o, _i2, _f, _ir, outer_rett in items:
+                    schema[name] = outer_rett
             elif kind == "sort":
                 terms = []
                 for it in payload:

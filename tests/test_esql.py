@@ -612,3 +612,101 @@ def test_match_phrase_errors():
         E.EsqlPlan('FROM corpus | WHERE MATCH_PHRASE(text, "  ")')
     with pytest.raises(ValueError, match="string literal"):
         E.EsqlPlan("FROM corpus | WHERE TERM(text, 3)")
+
+
+# ------------------------------------------------------- TS (9.1) command
+
+
+class TestTsCommand:
+    """TS time-series source: two-level STATS (inner per series, outer
+    across series), counter/gauge enforcement, rate semantics."""
+
+    def test_parity_full_surface(self, spark, duck, sf_dir):
+        _same(
+            spark, duck, sf_dir,
+            'TS events | WHERE value IS NOT NULL '
+            '| EVAL hour = DATE_TRUNC(1 hour, ts) '
+            '| STATS mr = MAX(RATE(event_id)), '
+            'av = AVG(AVG_OVER_TIME(value)), '
+            'fst = MIN(FIRST_OVER_TIME(value)), '
+            'lst = MAX(LAST_OVER_TIME(value)), '
+            'tot = SUM(SUM_OVER_TIME(value)), '
+            'ns = COUNT(COUNT_OVER_TIME(value)) '
+            'BY hour, event_type '
+            '| EVAL mr = ROUND(mr, 4), av = ROUND(av, 4), '
+            'fst = ROUND(fst, 4), lst = ROUND(lst, 4), '
+            'tot = ROUND(tot, 4) '
+            '| SORT hour ASC, event_type ASC | LIMIT 40',
+            float_tol=1e-6,
+        )
+
+    def test_parity_no_by(self, spark, duck, sf_dir):
+        _same(
+            spark, duck, sf_dir,
+            'TS events | STATS n = COUNT(COUNT_OVER_TIME(value)), '
+            'mx = MAX(MAX_OVER_TIME(value)) '
+            '| EVAL mx = ROUND(mx, 4)',
+        )
+
+    def test_rate_semantics_hand_computed(self, spark, sf_dir):
+        """Reset-compensated increase / observed seconds, per series per
+        bucket — pinned on a crafted 2-series frame."""
+        rows = [
+            # series A: 0->5->3 (reset! +3) over 20 s: (5+3)/20 = 0.4
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0, ""),
+            (5, "2024-01-01 00:00:10", 1, "a", 1.0, ""),
+            (3, "2024-01-01 00:00:20", 1, "a", 1.0, ""),
+            # series B: single sample -> NULL rate (dropped by MAX)
+            (7, "2024-01-01 00:00:05", 2, "a", 1.0, ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, __import__("datetime").datetime.fromisoformat(t), u, e, v, p)
+             for i, t, u, e, v, p in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        plan = E.EsqlPlan(
+            "TS events | STATS r = MAX(RATE(event_id)) BY event_type"
+        )
+        out = plan.dataframe(spark, "unused", tables={"events": df}).collect()
+        assert len(out) == 1
+        assert abs(out[0]["r"] - 0.4) < 1e-12
+
+    def test_errors(self):
+        cases = [
+            ("TS corpus | LIMIT 1", "not a time-series"),
+            ("TS events | STATS x = MAX(RATE(value))", "counter field"),
+            ("TS events | STATS x = AVG(SUM_OVER_TIME(event_id))",
+             "only supports RATE"),
+            ("TS events | STATS x = MEDIAN(RATE(event_id))",
+             "outer aggregate"),
+            ("TS events | STATS x = MAX(SUM(value))", "inner function"),
+            ("TS events | DROP ts | STATS x = MAX(RATE(event_id))",
+             "needs column"),
+            ("TS events | STATS x = MAX(RATE(props))", "counter field"),
+        ]
+        for prog, msg in cases:
+            with pytest.raises(ValueError, match=msg):
+                E.EsqlPlan(prog)
+        # over-time functions are TS-only: plain FROM rejects them
+        with pytest.raises(ValueError):
+            E.EsqlPlan("FROM events | STATS x = MAX(RATE(event_id))")
+
+    def test_ts_column_still_a_name(self, spark, duck, sf_dir):
+        """Adding the TS command must not break `ts` as a column name."""
+        _same(
+            spark, duck, sf_dir,
+            "FROM events | EVAL day = DATE_TRUNC(1 day, ts) "
+            "| STATS n = COUNT(*) BY day | SORT day ASC | LIMIT 5",
+        )
+
+    def test_stats_after_ts_stats_is_plain(self, spark, duck, sf_dir):
+        """After the TS aggregation the relation is ordinary rows — a
+        second STATS is the normal one."""
+        _same(
+            spark, duck, sf_dir,
+            'TS events | EVAL day = DATE_TRUNC(1 day, ts) '
+            '| STATS n = COUNT(COUNT_OVER_TIME(value)) BY day, event_type '
+            '| STATS buckets = COUNT(*), total = SUM(n) BY event_type '
+            '| SORT event_type ASC',
+        )
