@@ -511,6 +511,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 16): multi_match type=cross_fields (Lucene
+        # BlendedTermQuery) — per-term blended df (max across fields) +
+        # per-term dis-max with tie_breaker; completes the multi_match
+        # family next to most_fields/best_fields/combined_fields
+        "cross_fields_topk": lambda spark, sf: multifield.cross_fields_topk(
+            multifield.build_field_indexes(
+                load_corpus(spark, sf), {"text": "text", "url": "url"},
+                n_doc_parts=8,
+            ),
+            ["spark", "page"], k=10, tie_breaker=0.3,
+            weights={"text": 1.0, "url": 2.0},
+        ),
         # NEW (r4, session 16): ExactSubstr dedup (Lee et al. 2021) —
         # sliding w-token windows at EVERY position (catches shifted
         # duplicates dedup_blocks' disjoint blocks miss), global
@@ -2097,6 +2109,9 @@ FROM corpus ORDER BY doc_id
             PERCOLATE_PHRASE_SPECS
         ),
         "dedup_exact_substr": dedup.dedup_exact_substrings_sql(),
+        "cross_fields_topk": multifield.cross_fields_sql(
+            ["spark", "page"], k=10, tie_breaker=0.3, w_text=1.0, w_url=2.0
+        ),
         "significant_chi2": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
         ),

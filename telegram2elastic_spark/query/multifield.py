@@ -558,3 +558,228 @@ FROM scored s JOIN corpus ON s.doc_id = corpus.doc_id
 ORDER BY s.score DESC, s.doc_id ASC
 LIMIT {k}
 """
+
+
+def cross_fields_topk(
+    field_indexes: dict[str, dict],
+    terms: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """ES `multi_match` type=cross_fields (Lucene BlendedTermQuery): the
+    TERM-centric blend — each term is scored against every field with a
+    BLENDED document frequency (df_b = max_f df_f, so a term common in
+    one field cannot look rare in another), then per document the
+    per-term score is the best field's score plus `tie_breaker` times
+    the rest:
+
+        s_f(t,d) = w_f * idf(df_b(t)) * tf_f*(k1+1)
+                   / (tf_f + k1*(1 - b + b*dl_f/avgdl_f))
+        s(t,d)   = max_f s_f + tie_breaker * (sum_f s_f - max_f s_f)
+        score(d) = sum_t s(t,d)
+
+    Contrast: most_fields sums whole per-field scores (field-centric);
+    combined_fields merges tf BEFORE saturation; cross_fields blends the
+    STATISTICS and dis-maxes per term — ES's answer to "first/last name
+    split across fields" queries.
+
+    Distributed shape: per-field postings union keyed field+term (each
+    scan pruned by its own term buckets), ONE groupBy(salt) kernel, full
+    accumulation (the per-term max across fields breaks the additive
+    upper bound MaxScore needs — same trade combined_fields makes);
+    candidate work stays bounded by the query terms' postings.  Blended
+    idfs are |q| driver scalars.
+
+    Reference analogue: ES multi_match over the message/sender fields
+    (output/elasticsearch.py:60-75)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..index.codec import decode_many
+    from .bm25 import SCORE_DECIMALS
+    from .wand import _bm25_w, _collect_idfs
+
+    weights = weights or {}
+    first = next(iter(field_indexes.values()))
+    spark = first["doc_map"].sparkSession
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    tset = sorted(set(terms))
+
+    n_docs = None
+    df_blend: dict[str, int] = {}
+    per_field_dfs: dict[str, dict[str, int]] = {}
+    field_w: dict[str, float] = {}
+    field_avgdl: dict[str, float] = {}
+    for name, idx in field_indexes.items():
+        _collect_idfs(idx, [])  # prime idx["_stats"]
+        n_f, avgdl_f = idx["_stats"]
+        n_docs = n_f if n_docs is None else n_docs
+        field_w[name] = float(weights.get(name, 1.0))
+        field_avgdl[name] = float(avgdl_f)
+        per_field_dfs[name] = _collect_dfs(idx, tset)
+        for t, df in per_field_dfs[name].items():
+            df_blend[t] = max(df_blend.get(t, 0), df)
+    live = sorted(t for t in tset if df_blend.get(t))
+    if not live or not n_docs:
+        return empty
+    idfs_b = {
+        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+        for t, d in df_blend.items() if d
+    }
+
+    cols = [
+        "salt", "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+        "block_max_tf", "doc_gaps", "tf_bytes", "dl_bytes",
+    ]
+    parts = []
+    for name, idx in field_indexes.items():
+        f_live = [t for t in live if t in per_field_dfs[name]]
+        if not f_live:
+            continue
+        parts.append(
+            _postings_for_terms(idx, f_live)
+            .select(*cols)
+            .withColumn("term", F.concat(F.lit(name + _SEP), F.col("term")))
+        )
+    post = parts[0]
+    for p in parts[1:]:
+        post = post.unionByName(p)
+
+    tb = float(tie_breaker)
+
+    def kernel(post_pdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if post_pdf.empty:
+            return out_empty
+        # per BARE term: decode each field's postings, dis-max per doc
+        per_term: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+        for key, g in post_pdf.groupby("term", sort=False):
+            fname, t = key.split(_SEP, 1)
+            g = g.sort_values("block_id")
+            ids, tfs, dls = decode_many(
+                [bytes(x) for x in g["doc_gaps"]],
+                [bytes(x) for x in g["tf_bytes"]],
+                [bytes(x) for x in g["dl_bytes"]],
+                g["n_docs"].to_numpy(),
+            )
+            w = field_w[fname] * _bm25_w(
+                tfs.astype(np.float64),
+                dls.astype(np.float64),
+                field_avgdl[fname],
+                idfs_b[t],
+            )
+            per_term.setdefault(t, []).append((ids.astype(np.int64), w))
+        all_ids: list[np.ndarray] = []
+        all_sc: list[np.ndarray] = []
+        # deterministic term order so the float sum over terms is stable
+        for t in sorted(per_term):
+            pts = per_term[t]
+            ids = np.concatenate([p[0] for p in pts])
+            sc = np.concatenate([p[1] for p in pts])
+            o = np.argsort(ids, kind="stable")
+            ids, sc = ids[o], sc[o]
+            uniq, starts = np.unique(ids, return_index=True)
+            sums = np.add.reduceat(sc, starts)
+            maxs = np.maximum.reduceat(sc, starts)
+            all_ids.append(uniq)
+            all_sc.append(maxs + tb * (sums - maxs))
+        ids = np.concatenate(all_ids)
+        sc = np.concatenate(all_sc)
+        o = np.argsort(ids, kind="stable")
+        ids, sc = ids[o], sc[o]
+        uniq, starts = np.unique(ids, return_index=True)
+        tot = np.add.reduceat(sc, starts)
+        rounded = np.round(tot, SCORE_DECIMALS)
+        sel = np.lexsort((uniq, -rounded))[: min(k, uniq.size)]
+        return pd.DataFrame({"doc_id": uniq[sel], "score": rounded[sel]})
+
+    local = post.groupBy("salt").applyInPandas(
+        kernel, "doc_id long, score double"
+    )
+    topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        first["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(topk), "doc_id", "inner")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def cross_fields_sql(
+    terms: list[str],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    w_text: float = 1.0,
+    w_url: float = 2.0,
+) -> str:
+    """DuckDB oracle for the registered two-field cross_fields shape
+    (fields text/url, same tokenizer).  Scores are strictly positive, so
+    the per-term dis-max over a FULL OUTER join coalesces misses to 0."""
+    terms_sql = _sql_quote_terms(sorted(set(terms)))
+
+    def field_ctes(fld: str, src_expr: str) -> str:
+        return f"""
+toks_{fld} AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+dl_{fld} AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower({src_expr}),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS doc_len
+  FROM corpus
+),
+stats_{fld} AS (SELECT avg(doc_len) AS avgdl FROM dl_{fld}),
+tf_{fld} AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks_{fld}
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+df_{fld} AS (SELECT term, count(*) AS df FROM tf_{fld} GROUP BY term)"""
+
+    def score_cte(fld: str, w: float) -> str:
+        return f"""
+s_{fld} AS (
+  SELECT tf.doc_id, tf.term,
+         {w} * ln(1 + ((SELECT count(*) FROM corpus) - b.df + 0.5)
+                  / (b.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B}
+            + {B} * dl.doc_len / (SELECT avgdl FROM stats_{fld}))) AS s
+  FROM tf_{fld} tf
+  JOIN dl_{fld} dl ON tf.doc_id = dl.doc_id
+  JOIN df_b b ON tf.term = b.term
+)"""
+
+    return f"""
+WITH {CORPUS_CTE.strip()},{field_ctes("text", "text")},{field_ctes("url", "url")},
+df_b AS (
+  SELECT coalesce(t.term, u.term) AS term,
+         greatest(coalesce(t.df, 0), coalesce(u.df, 0)) AS df
+  FROM df_text t FULL OUTER JOIN df_url u ON t.term = u.term
+),{score_cte("text", w_text)},{score_cte("url", w_url)},
+per_term AS (
+  SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+         greatest(coalesce(t.s, 0), coalesce(u.s, 0))
+         + {tie_breaker} * (coalesce(t.s, 0) + coalesce(u.s, 0)
+             - greatest(coalesce(t.s, 0), coalesce(u.s, 0))) AS ts
+  FROM s_text t
+  FULL OUTER JOIN s_url u ON t.doc_id = u.doc_id AND t.term = u.term
+),
+scored AS (
+  SELECT doc_id, round(sum(ts), {SCORE_DECIMALS}) AS score
+  FROM per_term GROUP BY doc_id
+)
+SELECT s.doc_id, corpus.url, s.score
+FROM scored s JOIN corpus ON s.doc_id = corpus.doc_id
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""

@@ -152,3 +152,83 @@ class TestCombinedFields:
         ).collect()
         assert cf and mm
         assert [r["score"] for r in cf] != [r["score"] for r in mm]
+
+
+class TestCrossFields:
+    """multi_match type=cross_fields: blended-df term-centric dis-max."""
+
+    @pytest.mark.parametrize(
+        "terms,tb",
+        [
+            (["spark", "page"], 0.0),
+            (["spark", "page"], 0.3),
+            (["site7", "merge"], 0.5),
+            (["example"], 0.0),    # df = N in the url field: blended idf
+            (["zzzznope"], 0.0),   # no match anywhere
+        ],
+    )
+    def test_vs_oracle(self, spark, duck, fidx, terms, tb):
+        got = mf.cross_fields_topk(
+            fidx, terms, k=10, tie_breaker=tb, weights=WEIGHTS
+        )
+        want = duck.execute(
+            mf.cross_fields_sql(terms, k=10, tie_breaker=tb,
+                                w_text=1.0, w_url=2.0)
+        ).df()
+        assert_same(got, want)
+
+    def test_blended_df_demotes_cross_field_rare_term(self, spark):
+        """A term RARE in text but in EVERY url ('example'): blended df
+        is N, so the text occurrence is scored with the common-term idf
+        — strictly below most_fields' per-field (rare) text idf.  This
+        is cross_fields' defining behavior (BlendedTermQuery)."""
+        from telegram2elastic_spark.corpus import as_corpus
+
+        texts = ["example alpha beta"] + [
+            f"word{i} alpha beta gamma" for i in range(1, 10)
+        ]
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        corpus = as_corpus(spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars int",
+        ))
+        fidx = mf.build_field_indexes(
+            corpus, {"text": "text", "url": "url"}, n_doc_parts=2
+        )
+        xf = {r["doc_id"]: r["score"] for r in mf.cross_fields_topk(
+            fidx, ["example"], k=10, weights=WEIGHTS
+        ).collect()}
+        mm = {r["doc_id"]: r["score"] for r in mf.multi_match_topk(
+            fidx, WEIGHTS, ["example"], k=10
+        ).collect()}
+        # doc 0 matches in BOTH fields; its text leg is demoted
+        assert 0 in xf and 0 in mm
+        assert xf[0] < mm[0]
+
+    def test_tie_breaker_monotone(self, spark, fidx):
+        """Raising tie_breaker can only raise (or keep) a doc's score:
+        it adds the non-best fields' contributions."""
+        lo = {r["doc_id"]: r["score"] for r in mf.cross_fields_topk(
+            fidx, ["spark", "page"], k=50, tie_breaker=0.0, weights=WEIGHTS
+        ).collect()}
+        hi = {r["doc_id"]: r["score"] for r in mf.cross_fields_topk(
+            fidx, ["spark", "page"], k=50, tie_breaker=1.0, weights=WEIGHTS
+        ).collect()}
+        both = set(lo) & set(hi)
+        assert both
+        assert all(hi[d] >= lo[d] for d in both)
+
+    def test_tb1_single_field_terms_match_most_fields(self, spark, fidx):
+        """With tie_breaker=1 the per-term dis-max degenerates to a sum —
+        cross_fields equals most_fields up to the df blend; for a term
+        living in only ONE field the blend is that field's df, so scores
+        coincide exactly."""
+        # 'merge' appears in text only (never a url token)
+        xf = mf.cross_fields_topk(
+            fidx, ["merge"], k=10, tie_breaker=1.0, weights=WEIGHTS
+        ).collect()
+        mm = mf.multi_match_topk(fidx, WEIGHTS, ["merge"], k=10).collect()
+        assert [(r["doc_id"], r["score"]) for r in xf] == [
+            (r["doc_id"], r["score"]) for r in mm
+        ]
