@@ -815,6 +815,50 @@ def _local_blocks(
     return pd.concat(parts, ignore_index=True)
 
 
+#: cap on total decoded postings kept resident by the local query node
+#: (ids+tf+dl ≈ 24 B/posting → 50M ≈ 1.2 GB, the order of a Lucene
+#: node's hot page cache).  FIFO eviction; encoded blocks stay in
+#: _local_post_cache so an evicted term re-decodes without a Spark job.
+_LOCAL_DECODE_CAP = 50_000_000
+
+
+def _term_arrays(index: dict, term: str) -> tuple | None:
+    """Decoded, doc_id-sorted (ids, tfs, dls) for one term's full posting
+    list, kept resident on the index handle — the in-memory hot-postings
+    a warm query node holds (the decode analogue of _local_blocks' block
+    cache).  Repeated queries over the same term skip both Spark and the
+    varbyte decode.  None if the term has no postings."""
+    cache = index.setdefault("_local_decoded", {})
+    if term in cache:
+        return cache[term]
+    g = _local_blocks(index, [term], [term])
+    if g is None:
+        cache[term] = None
+        return None
+    ids, tfs, dls = decode_many(
+        [bytes(x) for x in g["doc_gaps"]],
+        [bytes(x) for x in g["tf_bytes"]],
+        [bytes(x) for x in g["dl_bytes"]],
+        g["n_docs"].to_numpy(),
+    )
+    order = np.argsort(ids, kind="stable")
+    entry = (
+        ids[order].astype(np.int64),
+        tfs[order].astype(np.float64),
+        dls[order].astype(np.float64),
+    )
+    index["_local_decoded_n"] = index.get("_local_decoded_n", 0) + ids.size
+    cache[term] = entry
+    while index["_local_decoded_n"] > _LOCAL_DECODE_CAP and len(cache) > 1:
+        old_t = next(iter(cache))
+        if old_t == term:
+            break
+        old = cache.pop(old_t)
+        if old is not None:
+            index["_local_decoded_n"] -= old[0].size
+    return entry
+
+
 def wand_topk_local(
     index: dict,
     terms: list[str],
@@ -828,10 +872,15 @@ def wand_topk_local(
 ) -> list[tuple]:
     """Low-latency single-query path: the driver acts as the query node.
 
-    One Spark action (filter + collect of the query terms' posting blocks —
-    partition-pruned, a few MB even for Zipf-head terms at bench scale),
-    then the numpy kernel runs in-process.  At true 10^12 scale a query
-    node would hold the hot term shards; the executor path
+    One Spark action warms any cold terms' posting blocks (partition-
+    pruned, a few MB even for Zipf-head terms at bench scale); decoded
+    postings stay resident per term (_term_arrays), so a warm query is a
+    single vectorized merge over in-memory arrays — no Spark, no varbyte
+    decode, no per-term accumulator re-sort.  Full accumulation (not
+    MaxScore candidate pruning): with the decode amortized away, one
+    argsort+reduceat over the query terms' postings is cheaper and
+    trivially exact.  At true 10^12 scale a query node would hold the hot
+    term shards exactly like this; the executor path
     (wand_topk/wand_topk_batch) remains the fan-out for fat queries.
     `min_should_match` / `exclude_terms` follow wand_topk's contract.
 
@@ -853,22 +902,84 @@ def wand_topk_local(
     require_all = n_terms if conjunctive else int(min_should_match)
     if not idfs or require_all > len(idfs):
         return []
-    pdf = _local_blocks(index, sorted(set(idfs) | set(exclude)), list(idfs))
-    if pdf is None:
-        return []
-    cache = index["_local_post_cache"]
+    decoded = index.setdefault("_local_decoded", {})
+    cold = [
+        t for t in sorted(set(idfs) | set(exclude)) if t not in decoded
+    ]
+    if cold:
+        _local_blocks(index, cold, [])  # ONE Spark fetch for all cold terms
     tomb = _tomb_array(index)
     if exclude:
-        ex_parts = [cache[t] for t in exclude if cache.get(t) is not None]
+        ex_parts = [
+            a[0] for a in (_term_arrays(index, t) for t in exclude)
+            if a is not None
+        ]
         if ex_parts:
-            ex_ids = _decode_ids_only(pd.concat(ex_parts, ignore_index=True))
+            ex_ids = np.unique(np.concatenate(ex_parts))
             tomb = np.union1d(tomb, ex_ids) if tomb.size else ex_ids
     allowed = _allowed_ids(index, doc_filter)
-    res = _score_salt_group(
-        pdf, idfs, avgdl, k, tombstones=tomb, allowed=allowed,
-        require_all=require_all, after=after,
-    )
-    res = res.sort_values(
-        ["score", "doc_id"], ascending=[False, True], ignore_index=True
-    ).head(k)
+    parts_ids, parts_w = [], []
+    for t in sorted(idfs):
+        arr = _term_arrays(index, t)
+        if arr is None:
+            continue
+        ids, tfs, dls = arr
+        parts_ids.append(ids)
+        parts_w.append(_bm25_w(tfs, dls, avgdl, idfs[t]))
+    if not parts_ids:
+        return []
+    all_ids = np.concatenate(parts_ids)
+    all_w = np.concatenate(parts_w)
+    lo, hi = int(all_ids.min()), int(all_ids.max())
+    span = hi - lo + 1
+    if span <= max(8_000_000, 4 * all_ids.size):
+        # Dense accumulators over the node's doc-id window — the Lucene
+        # shape (scoring runs per segment over a dense segment-local
+        # docID space, so the accumulator is bounded by segment size,
+        # never corpus size).  O(postings) with no sort.
+        off = all_ids - lo
+        sums_d = np.bincount(off, weights=all_w, minlength=span)
+        hits_d = np.bincount(off, minlength=span)
+        nz = np.flatnonzero(hits_d)
+        uniq = nz + lo
+        sums = sums_d[nz]
+        hits = hits_d[nz]
+    else:
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_w = all_ids[order], all_w[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], all_ids[1:] != all_ids[:-1]))
+        )
+        uniq = all_ids[bounds]
+        sums = np.add.reduceat(all_w, bounds)
+        hits = np.diff(np.append(bounds, all_ids.size))
+    keep = np.ones(uniq.size, dtype=bool)
+    if tomb is not None and tomb.size:
+        keep &= ~np.isin(uniq, tomb)
+    if allowed is not None:
+        if allowed.size:
+            pos = np.searchsorted(allowed, uniq)
+            pos[pos >= allowed.size] = 0
+            keep &= allowed[pos] == uniq
+        else:
+            keep &= False
+    if require_all:
+        keep &= hits >= require_all
+    uniq, sums = uniq[keep], sums[keep]
+    if uniq.size == 0:
+        return []
+    rounded = np.round(sums, SCORE_DECIMALS)
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        m = (rounded < a_score) | ((rounded == a_score) & (uniq > a_doc))
+        uniq, rounded = uniq[m], rounded[m]
+        if uniq.size == 0:
+            return []
+    if uniq.size > 4096 and k < uniq.size:
+        # prune to the rounded top-k band (ties kept) before the lexsort
+        thresh = np.partition(rounded, rounded.size - k)[rounded.size - k]
+        m = rounded >= thresh
+        uniq, rounded = uniq[m], rounded[m]
+    top = np.lexsort((uniq, -rounded))[: min(k, uniq.size)]
+    res = pd.DataFrame({"doc_id": uniq[top], "score": rounded[top]})
     return list(res.itertuples(index=False, name=None))
