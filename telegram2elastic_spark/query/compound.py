@@ -552,10 +552,16 @@ def compound_topk_local(
         live_phrase = []
     tomb = _tomb_array(index)
     allowed = _allowed_ids(index, doc_filter)
+    from .phrase import _local_pos_decoded, _pos_arrays, _trim_pos_decoded
+
+    for t in set(live_phrase):
+        _pos_arrays(index, t)  # resident full decodes: warm phrase clause
     partial = _compound_group(
         pdf, idfs, float(avgdl), live_phrase, k,
         tombstones=tomb, allowed=allowed, slop=slop,
+        decode_cache=_local_pos_decoded(index),
     )
+    _trim_pos_decoded(index)
     n = index["_stats"][0]  # memoized by _collect_idfs — no job in the loop
     df_p = int(partial["dfp_part"].sum())
     rows = partial.loc[partial["doc_id"] >= 0]

@@ -58,11 +58,17 @@ from .spans import _pseudo_score_sql, _run_span
 
 
 def _candidates(
-    groups: dict, terms: list[str], tombstones: np.ndarray | None
+    groups: dict,
+    terms: list[str],
+    tombstones: np.ndarray | None,
+    decode_cache: dict | None = None,
 ):
     """Rarest-first conjunctive doc intersection over the member terms
     (span_near's candidate stage).  Returns (per_term, common) or None
-    when no doc can match."""
+    when no doc can match.  `decode_cache` follows
+    phrase._phrase_counts_group's protocol: a cached FULL decode is a
+    superset of any pruned one and substitutes exactly (the intersection
+    with `common` downstream discards the extra docs)."""
     uniq = sorted(set(terms))
     if any(t not in groups for t in uniq):
         return None
@@ -70,16 +76,23 @@ def _candidates(
     per_term: dict[str, tuple] = {}
     common: np.ndarray | None = None
     for t in by_rarity:
-        g = groups[t]
-        if common is not None:
-            firsts = g["first_doc_id"].to_numpy(np.int64)
-            lasts = g["last_doc_id"].to_numpy(np.int64)
-            lo = np.searchsorted(common, firsts, side="left")
-            hi = np.searchsorted(common, lasts, side="right")
-            g = g.loc[hi > lo]
-            if g.empty:
-                return None
-        ids, dls, pos = _decode_term_blocks(t, g)
+        cached = decode_cache.get(t) if decode_cache is not None else None
+        if cached is not None:
+            ids, dls, pos = cached
+        else:
+            g = groups[t]
+            n_blocks = len(g)
+            if common is not None:
+                firsts = g["first_doc_id"].to_numpy(np.int64)
+                lasts = g["last_doc_id"].to_numpy(np.int64)
+                lo = np.searchsorted(common, firsts, side="left")
+                hi = np.searchsorted(common, lasts, side="right")
+                g = g.loc[hi > lo]
+                if g.empty:
+                    return None
+            ids, dls, pos = _decode_term_blocks(t, g)
+            if decode_cache is not None and len(g) == n_blocks:
+                decode_cache[t] = (ids, dls, pos)
         per_term[t] = (ids, dls, pos)
         common = ids if common is None else np.intersect1d(common, ids)
         if tombstones is not None and tombstones.size:
@@ -133,9 +146,10 @@ def _intervals_ordered_counts(
     terms: list[str],
     max_gaps: int,
     tombstones: np.ndarray | None,
+    decode_cache: dict | None = None,
 ) -> pd.DataFrame:
     groups = {t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)}
-    cand = _candidates(groups, terms, tombstones)
+    cand = _candidates(groups, terms, tombstones, decode_cache)
     if cand is None:
         return _EMPTY_COUNTS.copy()
     per_term, common = cand
@@ -303,9 +317,15 @@ def intervals_ordered_topk_local(
     pdf = _local_pos_blocks(index, terms)
     if pdf is None:
         return []
+    from .phrase import _local_pos_decoded, _pos_arrays, _trim_pos_decoded
+
+    for t in set(terms):
+        _pos_arrays(index, t)
     counts = _intervals_ordered_counts(
-        pdf, terms, max_gaps, tombstones=_tomb_array(index)
+        pdf, terms, max_gaps, tombstones=_tomb_array(index),
+        decode_cache=_local_pos_decoded(index),
     )
+    _trim_pos_decoded(index)
     if counts.empty:
         return []
     if "_stats" not in index:

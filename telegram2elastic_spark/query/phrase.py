@@ -528,6 +528,67 @@ def _local_pos_blocks(index: dict, terms: list[str]) -> pd.DataFrame | None:
     return pd.concat(parts, ignore_index=True)
 
 
+#: cap on total decoded ids+positions resident per index handle for the
+#: local positional twins (int64 each; 30M ≈ 240 MB plus list overhead —
+#: the order of a Lucene node's hot positional page cache).  FIFO
+#: eviction; encoded blocks stay in _local_pos_cache so an evicted term
+#: re-decodes without a Spark fetch.
+_LOCAL_POS_DECODE_CAP = 30_000_000
+
+
+def _local_pos_decoded(index: dict) -> dict:
+    """The persistent decoded-positions cache for the driver-local twins
+    (the positional analogue of wand._term_arrays): maps term ->
+    (ids, dls, pos) fully decoded, or None for a postings-less term.
+    _phrase_counts_group / intervals._candidates consume entries via
+    their decode_cache protocol."""
+    return index.setdefault("_local_pos_decoded", {})
+
+
+def _pos_arrays(index: dict, term: str) -> tuple | None:
+    """Full decoded (ids, dls, positions) for one term, resident on the
+    index handle.  A warm positional query (phrase/intervals/compound
+    local twins) then runs entirely over in-memory arrays — no Spark, no
+    varbyte/position decode.  Cold one-shot queries trade the conjunctive
+    pruned decode for a cacheable full decode: right for a query node
+    serving a stream, and the distributed paths keep the pruned kernel."""
+    cache = _local_pos_decoded(index)
+    if term in cache:
+        return cache[term]
+    pdf = _local_pos_blocks(index, [term])
+    if pdf is None:
+        cache[term] = None
+        return None
+    entry = _decode_term_blocks(term, pdf.sort_values("block_id"))
+    cache[term] = entry
+    sizes = index.setdefault("_local_pos_decoded_sz", {})
+    ids, _, pos = entry
+    sizes[term] = int(ids.size) + int(sum(a.size for a in pos))
+    return entry
+
+
+def _trim_pos_decoded(index: dict) -> None:
+    """FIFO-evict decoded positional entries past the cap (oldest first;
+    the just-used terms were re-inserted most recently only on miss, so a
+    steady query mix keeps its hot terms)."""
+    cache = index.get("_local_pos_decoded")
+    if not cache:
+        return
+    sizes = index.setdefault("_local_pos_decoded_sz", {})
+    for t, entry in cache.items():
+        if t not in sizes:
+            if entry is None:
+                sizes[t] = 0
+            else:
+                ids, _, pos = entry
+                sizes[t] = int(ids.size) + int(sum(a.size for a in pos))
+    total = sum(sizes.get(t, 0) for t in cache)
+    while total > _LOCAL_POS_DECODE_CAP and len(cache) > 1:
+        old = next(iter(cache))
+        cache.pop(old)
+        total -= sizes.pop(old, 0)
+
+
 def _phrase_weights(
     counts: pd.DataFrame, n: int, avgdl: float, df_p: int
 ) -> np.ndarray:
@@ -559,9 +620,16 @@ def phrase_topk_local(
     pdf = _local_pos_blocks(index, phrase)
     if pdf is None:
         return []
+    # warm the resident full decodes so the kernel's decode_cache hits on
+    # EVERY term (not just the unpruned rarest one); warm queries then do
+    # zero decode work
+    for t in set(phrase):
+        _pos_arrays(index, t)
     counts = _phrase_counts_group(
-        pdf, phrase, tombstones=_tomb_array(index), slop=slop
+        pdf, phrase, tombstones=_tomb_array(index), slop=slop,
+        decode_cache=_local_pos_decoded(index),
     )
+    _trim_pos_decoded(index)
     if counts.empty:
         return []
     df_p = len(counts)  # global (pre-filter) phrase df

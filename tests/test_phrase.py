@@ -146,6 +146,29 @@ def test_phrase_topk_local_matches_distributed(pindex):
     ]
 
 
+def test_phrase_local_decoded_cache_eviction_identity(pindex, monkeypatch):
+    """Results are identical with the decoded-positions cache forced to
+    evict on every query (cap=0 keeps exactly one entry), fully warm, and
+    cleared — the cache is a pure memo."""
+    from telegram2elastic_spark.query import phrase as ph
+
+    want = {
+        tuple(p): ph.phrase_topk_local(pindex, p, k=10) for p in PHRASES
+    }
+    monkeypatch.setattr(ph, "_LOCAL_POS_DECODE_CAP", 0)
+    pindex.pop("_local_pos_decoded", None)
+    pindex.pop("_local_pos_decoded_sz", None)
+    for p in PHRASES:
+        assert ph.phrase_topk_local(pindex, p, k=10) == want[tuple(p)], p
+        assert len(pindex["_local_pos_decoded"]) <= max(1, len(set(p)))
+    monkeypatch.undo()
+    pindex.pop("_local_pos_decoded", None)
+    pindex.pop("_local_pos_decoded_sz", None)
+    for p in PHRASES:  # cold again, then warm twice
+        assert ph.phrase_topk_local(pindex, p, k=10) == want[tuple(p)], p
+        assert ph.phrase_topk_local(pindex, p, k=10) == want[tuple(p)], p
+
+
 SLOPPY = [
     (["merge", "batch"], 1),
     (["fast", "batch"], 2),
