@@ -511,6 +511,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 17): significant_terms gnd heuristic — Google
+        # Normalized Distance over the superset cells, exp(-ngd) so
+        # smaller distance ranks higher
+        "significant_gnd": lambda spark, sf: facets.significant_terms(
+            load_corpus(spark, sf), q="merge", min_score=10.0, k=15,
+            heuristic="gnd",
+        ),
         # NEW (r4, session 16): multi_match type=cross_fields (Lucene
         # BlendedTermQuery) — per-term blended df (max across fields) +
         # per-term dis-max with tie_breaker; completes the multi_match
@@ -2114,6 +2121,9 @@ FROM corpus ORDER BY doc_id
         ),
         "significant_chi2": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
+        ),
+        "significant_gnd": facets.significant_terms_sql(
+            q="merge", min_score=10.0, k=15, heuristic="gnd"
         ),
         "knn_int8_topk": sim.knn_int8_topk_sql(7, k=5, oversample=4),
         "knn_bit_topk": sim.knn_bit_topk_sql(7, k=5, oversample=5),

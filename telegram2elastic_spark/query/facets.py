@@ -79,8 +79,9 @@ def significant_terms(
     """Top-k (term, fg_count, bg_count, jlh|sig) over the filtered set.
 
     `heuristic` selects the ES significance heuristic: "jlh" (default,
-    scored into `jlh`), "mutual_information" or "chi_square" (scored
-    into `sig`).  The NXY heuristics use ES's background_is_superset
+    scored into `jlh`), "mutual_information", "chi_square", "gnd" or
+    "percentage" (scored into `sig`).  The NXY heuristics use ES's
+    background_is_superset
     contingency cells with include_negatives=true:
         n11 = f           n01 = F - f
         n10 = n - f       n00 = N - F - n + f      (total = N)
@@ -164,13 +165,43 @@ def significant_terms(
             .orderBy(F.desc("jlh"), F.asc("term"))
             .limit(k)
         )
-    if heuristic not in ("mutual_information", "chi_square"):
+    if heuristic not in ("mutual_information", "chi_square", "gnd", "percentage"):
         raise ValueError(f"unknown significance heuristic {heuristic!r}")
     if background_lang is not None:
         raise ValueError(
             "NXY heuristics need the foreground to be a subset of the "
             "background (background_is_superset) — background_filter is "
             "jlh-only here"
+        )
+    if heuristic == "percentage":
+        # ES PercentageScore: subsetFreq / supersetFreq — the fraction of
+        # the term's background docs that fall inside the foreground.
+        sig = F.col("fg_count").cast("double") / F.col("bg_count").cast("double")
+        return (
+            joined.withColumn("sig", F.round(sig, SCORE_DECIMALS))
+            .select("term", "fg_count", "bg_count", "sig")
+            .orderBy(F.desc("sig"), F.asc("term"))
+            .limit(k)
+        )
+    if heuristic == "gnd":
+        # Google Normalized Distance (Cilibrasi & Vitányi) over the
+        # superset cells — fx = background df, fy = |foreground|,
+        # fxy = foreground df — mapped to a similarity with exp(-ngd)
+        # so smaller distance ranks higher (ES GND heuristic shape).
+        fx = F.col("bg_count").cast("double")
+        fy = F.col("fg_n").cast("double")
+        fxy = F.col("fg_count").cast("double")
+        N_ = F.col("bg_n").cast("double")
+        denom = F.log(N_) - F.least(F.log(fx), F.log(fy))
+        ngd = (
+            F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)
+        ) / denom
+        sig = F.when(denom == 0, F.lit(0.0)).otherwise(F.exp(-ngd))
+        return (
+            joined.withColumn("sig", F.round(sig, SCORE_DECIMALS))
+            .select("term", "fg_count", "bg_count", "sig")
+            .orderBy(F.desc("sig"), F.asc("term"))
+            .limit(k)
         )
     f_ = F.col("fg_count").cast("double")
     F2 = F.col("bg_count").cast("double")
@@ -232,7 +263,14 @@ def significant_terms_sql(
         N1 = "CAST(bg_n.bg_n AS DOUBLE)"
         n11, n01 = f1, f"({F1} - {f1})"
         n10, n00 = f"({n1} - {f1})", f"({N1} - {F1} - {n1} + {f1})"
-        if heuristic == "chi_square":
+        if heuristic == "percentage":
+            raw = f"{f1} / {F1}"
+        elif heuristic == "gnd":
+            fx, fy, fxy = F1, n1, f1
+            denom = f"(ln({N1}) - least(ln({fx}), ln({fy})))"
+            ngd = f"((greatest(ln({fx}), ln({fy})) - ln({fxy})) / {denom})"
+            raw = f"CASE WHEN {denom} = 0 THEN 0.0 ELSE exp(-{ngd}) END"
+        elif heuristic == "chi_square":
             denom = (
                 f"(({n11} + {n01}) * ({n11} + {n10})"
                 f" * ({n01} + {n00}) * ({n10} + {n00}))"

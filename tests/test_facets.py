@@ -373,6 +373,48 @@ class TestSignificanceHeuristics:
                     )
                 assert abs(r["sig"] - want) < 1e-4, (heur, r)
 
+    def test_gnd_and_percentage_vs_oracle(self, spark, duck, sf_dir):
+        from .oracle import assert_same
+
+        for heur in ("gnd", "percentage"):
+            assert_same(
+                facets.significant_terms(
+                    load_corpus(spark, sf_dir), q="merge", min_score=10.0,
+                    k=15, heuristic=heur,
+                ),
+                duck.execute(
+                    facets.significant_terms_sql(
+                        q="merge", min_score=10.0, k=15, heuristic=heur
+                    )
+                ).df(),
+            )
+
+    def test_gnd_percentage_match_independent_python(self, spark, sf_dir):
+        import math
+
+        c = load_corpus(spark, sf_dir)
+        from telegram2elastic_spark.query.search import search_filtered
+
+        fg_n = float(search_filtered(c, "merge", 10.0).count())
+        bg_n = float(c.count())
+        for heur in ("gnd", "percentage"):
+            rows = facets.significant_terms(
+                c, q="merge", min_score=10.0, k=8, heuristic=heur
+            ).collect()
+            assert rows
+            for r in rows:
+                f, Fc = float(r["fg_count"]), float(r["bg_count"])
+                if heur == "percentage":
+                    want = f / Fc
+                    assert 0.0 < r["sig"] <= 1.0
+                else:
+                    den = math.log(bg_n) - min(math.log(Fc), math.log(fg_n))
+                    ngd = (
+                        max(math.log(Fc), math.log(fg_n)) - math.log(f)
+                    ) / den
+                    want = 0.0 if den == 0 else math.exp(-ngd)
+                assert abs(r["sig"] - want) < 1e-4, (heur, r)
+
     def test_rankings_can_differ_from_jlh(self, spark, sf_dir):
         c = load_corpus(spark, sf_dir)
         jlh = [
@@ -399,5 +441,5 @@ class TestSignificanceHeuristics:
             )
         with pytest.raises(ValueError, match="unknown"):
             facets.significant_terms(
-                load_corpus(spark, sf_dir), q="merge", heuristic="gnd"
+                load_corpus(spark, sf_dir), q="merge", heuristic="nope"
             )
