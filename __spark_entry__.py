@@ -511,6 +511,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 18): the full iterative BPE trainer as a
+        # relation (Sennrich et al. 2016) — merge table + train-then-
+        # apply token accounting; oracle replays every round with an
+        # independent string-replace rewrite (two-space encoding), so
+        # parity cross-validates the greedy-leftmost merge semantics
+        "bpe_merges": lambda spark, sf: training.bpe_merges(
+            load_corpus(spark, sf), n_merges=6
+        ),
+        "bpe_token_counts": lambda spark, sf: training.bpe_token_counts(
+            load_corpus(spark, sf), n_merges=4
+        ),
         # NEW (r4, session 17): significant_terms gnd heuristic — Google
         # Normalized Distance over the superset cells, exp(-ngd) so
         # smaller distance ranks higher
@@ -2122,6 +2133,8 @@ FROM corpus ORDER BY doc_id
         "significant_chi2": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
         ),
+        "bpe_merges": training.bpe_merges_sql(n_merges=6),
+        "bpe_token_counts": training.bpe_token_counts_sql(n_merges=4),
         "significant_gnd": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, heuristic="gnd"
         ),

@@ -1010,12 +1010,18 @@ def _bpe_words(corpus: DataFrame) -> DataFrame:
 
 
 def _bpe_pair_count_df(words: DataFrame) -> DataFrame:
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size("s") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("s", i), F.element_at("s", i + 1)
+    # size-1 guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) and
+    # element_at(s, 0) throws — a fully-merged word ('bb' after (b,b)
+    # then (bb,</w>)) must contribute no pairs, not crash the round
+    pairs = F.when(
+        F.size("s") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("s", i), F.element_at("s", i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         words.select(F.explode(pairs).alias("pair"), "cnt")
         .groupBy("pair")
@@ -1142,6 +1148,125 @@ def bpe_apply(
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_merges(corpus: DataFrame, n_merges: int = 6) -> DataFrame:
+    """The trained merge table as a relation: (step, lhs, rhs, count) in
+    merge order — `bpe_train`'s driver state, exposed so the full
+    iterative trainer is oracle-verifiable (the k-means precedent:
+    operators/similarity.py kmeans_assign)."""
+    spark = corpus.sparkSession
+    rows = [
+        (i + 1, a, b, c)
+        for i, (a, b, c) in enumerate(bpe_train(corpus, n_merges))
+    ]
+    return spark.createDataFrame(
+        rows, "step bigint, lhs string, rhs string, count bigint"
+    )
+
+
+# SQL-side BPE round machinery.  Words are represented as their symbol
+# sequence joined with a TWO-space separator and two-space borders
+# ('  l  o  w  </w>  '); one merge is then a plain left-to-right
+# non-overlapping string replace of ' a  b ' with ' ab ': the match
+# consumes only the INNER space of each flanking separator, so the
+# neighbouring pair's context survives and the rewrite is exactly the
+# greedy-leftmost merge (Sennrich et al. 2016 learn_bpe's
+# `(?<!\S)a b(?!\S)` re.sub) — RE2 has no lookarounds, so the DuckDB
+# oracle needs this encoding.  Symbols never contain spaces (tokens are
+# whitespace-split), so separator collisions are impossible.  The Spark
+# side rewrites symbol ARRAYS with an explicit fold (_bpe_fold), so
+# parity of `bpe_merges` cross-validates two independent implementations
+# of the merge semantics.
+
+_BPE_WORDS0_SQL = f"""
+words AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+           '{{token_re}}'), t -> t <> '')) AS w FROM corpus)
+  GROUP BY w
+),
+w0 AS (
+  SELECT w, cnt,
+         '  ' || array_to_string(
+             list_append(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, i, 1)), '{BPE_EOW}'),
+             '  ') || '  ' AS s
+  FROM words
+)
+"""
+
+
+def _bpe_rounds_sql(n_merges: int) -> str:
+    """CTE chain w0 -> (p1,t1,w1) -> ... -> (pN,tN,wN): per round, pair
+    counts from the previous words table, the 1-row argmax t{{r}}
+    (count desc, pair asc, count > 1 — bpe_train's stop rule), and the
+    rewritten words table."""
+    ctes = [_BPE_WORDS0_SQL.strip().format(token_re=TOKEN_SPLIT_RE)]
+    for r in range(1, int(n_merges) + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""
+p{r} AS (
+  SELECT unnest(list_transform(range(1, len(sy)),
+                               i -> sy[i] || ' ' || sy[i + 1])) AS pair, cnt
+  FROM (SELECT cnt, string_split(trim(s), '  ') AS sy FROM {prev})
+),
+t{r} AS (
+  SELECT CAST({r} AS BIGINT) AS step,
+         split_part(pair, ' ', 1) AS lhs,
+         split_part(pair, ' ', 2) AS rhs,
+         CAST(sum(cnt) AS BIGINT) AS count
+  FROM p{r} GROUP BY pair HAVING sum(cnt) > 1
+  ORDER BY sum(cnt) DESC, pair ASC LIMIT 1
+),
+w{r} AS (
+  -- LEFT JOIN ON true: when t{r} is empty (no pair left with count > 1,
+  -- bpe_train's early break) the words table passes through unchanged
+  SELECT w, cnt,
+         coalesce(replace(s, ' ' || t.lhs || '  ' || t.rhs || ' ',
+                             ' ' || t.lhs || t.rhs || ' '), s) AS s
+  FROM {prev} LEFT JOIN t{r} t ON true
+)""".strip())
+    return ",\n".join(ctes)
+
+
+def bpe_merges_sql(n_merges: int = 6) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM t{r}" for r in range(1, int(n_merges) + 1)
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{_bpe_rounds_sql(n_merges)}
+SELECT * FROM ({union}) ORDER BY step
+"""
+
+
+def bpe_token_counts(corpus: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Train-then-apply in one call: (doc_id, n_words, n_bpe_tokens) under
+    the first `n_merges` trained merges — the registered pair for
+    `bpe_apply`, with the oracle replaying the training rounds in SQL."""
+    return bpe_apply(corpus, bpe_train(corpus, n_merges))
+
+
+def bpe_token_counts_sql(n_merges: int = 4) -> str:
+    n = int(n_merges)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{_bpe_rounds_sql(n)},
+wlen AS (
+  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_sym
+  FROM w{n}
+),
+tokd AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS w
+  FROM corpus
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM tokd JOIN wlen USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 # --- DSIR: data selection via importance resampling ---------------------------

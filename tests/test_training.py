@@ -416,6 +416,95 @@ class TestBPEApply:
         assert all(b[d] <= a[d] for d in a)
 
 
+class TestBPERelational:
+    def test_merges_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            tr.bpe_merges(load_corpus(spark, sf_dir), n_merges=6),
+            duck.execute(tr.bpe_merges_sql(n_merges=6)).df(),
+        )
+
+    def test_token_counts_vs_oracle(self, spark, duck, sf_dir):
+        assert_same(
+            tr.bpe_token_counts(load_corpus(spark, sf_dir), n_merges=4),
+            duck.execute(tr.bpe_token_counts_sql(n_merges=4)).df(),
+        )
+
+    def test_overlap_runs_agree_cross_engine(self, spark):
+        # 'aaaaa' is the adversarial case for the SQL string-replace
+        # rewrite: greedy leftmost gives [aa, aa, a] while a separator-
+        # consuming replace would give [aa, a, aa].  The two-space
+        # encoding must reproduce the Spark fold exactly.
+        import duckdb
+        import pandas as pd
+
+        from telegram2elastic_spark.corpus import as_corpus
+
+        rows = [
+            (0, "aaaaa aaaa aaa bb ab", "en", "s", 20),
+            (1, "aaaaa aaaaa ab bb bb", "en", "s", 20),
+        ]
+        docs = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        corpus = as_corpus(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string,"
+                " n_chars int",
+            )
+        )
+        assert_same(
+            tr.bpe_merges(corpus, n_merges=5),
+            con.execute(tr.bpe_merges_sql(n_merges=5)).df(),
+        )
+        assert_same(
+            tr.bpe_token_counts(corpus, n_merges=5),
+            con.execute(tr.bpe_token_counts_sql(n_merges=5)).df(),
+        )
+        con.close()
+
+    def test_early_break_when_no_pair_repeats(self, spark):
+        # every pair unique -> bpe_train stops after the count>1 pool
+        # dries up; the SQL LEFT JOIN pass-through must keep the word
+        # table alive so token counts still come back for every doc.
+        import duckdb
+        import pandas as pd
+
+        from telegram2elastic_spark.corpus import as_corpus
+
+        rows = [(0, "abc def", "en", "s", 7)]
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            ),
+        )
+        corpus = as_corpus(
+            spark.createDataFrame(
+                rows,
+                "doc_id long, text string, lang string, source string,"
+                " n_chars int",
+            )
+        )
+        assert_same(
+            tr.bpe_merges(corpus, n_merges=3),
+            con.execute(tr.bpe_merges_sql(n_merges=3)).df(),
+        )
+        got = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in tr.bpe_token_counts(corpus, n_merges=3).collect()
+        }
+        assert got == {0: 8}  # 3+1 symbols per word, no merges apply
+        assert_same(
+            tr.bpe_token_counts(corpus, n_merges=3),
+            con.execute(tr.bpe_token_counts_sql(n_merges=3)).df(),
+        )
+        con.close()
+
+
 class TestCcnetBuckets:
     def test_vs_oracle(self, spark, duck, sf_dir):
         from telegram2elastic_spark.operators import training as tr
