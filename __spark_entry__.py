@@ -516,6 +516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply token accounting; oracle replays every round with an
         # independent string-replace rewrite (two-space encoding), so
         # parity cross-validates the greedy-leftmost merge semantics
+        # NEW (r4, session 18): MOSS winnowing (Schleimer et al. 2003) —
+        # positional k-gram hashes, rightmost-min per w-window, distinct
+        # (pos, hash); the robust upgrade over fingerprints' extremes
+        "winnowing_fingerprints": lambda spark, sf: tq.winnowing_fingerprints(
+            load_corpus(spark, sf), k=3, w=4
+        ),
         "bpe_merges": lambda spark, sf: training.bpe_merges(
             load_corpus(spark, sf), n_merges=6
         ),
@@ -2133,6 +2139,7 @@ FROM corpus ORDER BY doc_id
         "significant_chi2": facets.significant_terms_sql(
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
         ),
+        "winnowing_fingerprints": tq.winnowing_fingerprints_sql(k=3, w=4),
         "bpe_merges": training.bpe_merges_sql(n_merges=6),
         "bpe_token_counts": training.bpe_token_counts_sql(n_merges=4),
         "significant_gnd": facets.significant_terms_sql(

@@ -251,6 +251,113 @@ FROM hashed ORDER BY doc_id
 """
 
 
+# --- winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003) -------------------
+#
+# The MOSS fingerprint-selection algorithm: hash every POSITIONAL k-token
+# gram (document order, no distinct — winnowing is position-aware), slide
+# a window of w consecutive hashes, select the minimum of each window
+# taking the RIGHTMOST occurrence on ties, and keep the distinct
+# (position, hash) pairs.  Guarantees: any shared run of >= w + k - 1
+# tokens yields a shared fingerprint, and consecutive selected positions
+# are at most w apart (density 2/(w+1) in expectation) — the robust
+# upgrade over `fingerprints`' min/max extremes for plagiarism-grade
+# matching.  Everything stays array-side per doc (narrow map + explode,
+# no shuffle before the final distinct), so at 10^12 docs this is one
+# corpus scan + one (doc, pos)-keyed distinct.
+
+
+def winnowing_fingerprints(
+    corpus: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowing-selected fingerprints, pos = 1-based
+    k-gram start, ordered (doc_id, pos).  Docs with fewer than k tokens
+    emit nothing; docs with 1..w-1 grams emit the rightmost-min of all
+    their hashes (the single short window)."""
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = F.transform(
+        F.col("g"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+    hs = F.col("hs")
+    starts = (
+        F.when(F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - (w - 1)))
+        .when(F.size(hs) >= 1, F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+
+    def pick(t):
+        sl = F.slice(hs, t, w)
+        m = F.array_min(sl)
+        # rightmost occurrence of the min: position in the reversed slice
+        pos = (
+            t.cast("long")
+            + F.size(sl)
+            - F.array_position(F.reverse(sl), m)
+        )
+        return F.struct(pos.alias("pos"), m.alias("fp"))
+
+    return (
+        corpus.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", grams.alias("g"))
+        .select("doc_id", hashed.alias("hs"))
+        .select("doc_id", F.explode(F.transform(starts, pick)).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )
+
+
+def winnowing_fingerprints_sql(k: int = 3, w: int = 4) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    sl = f"list_slice(hs, t, t + {w - 1})"
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN list_transform(range(1, len(toks) - {k - 1} + 1),
+                                  i -> {gram})
+              ELSE [] END AS g
+  FROM tokd
+),
+hashedg AS (
+  SELECT doc_id,
+         list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM grams
+),
+picks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             CASE WHEN len(hs) >= {w} THEN range(1, len(hs) - {w - 1} + 1)
+                  WHEN len(hs) >= 1 THEN [CAST(1 AS BIGINT)]
+                  ELSE [] END,
+             t -> struct_pack(
+                 pos := CAST(t + len({sl})
+                             - list_position(list_reverse({sl}),
+                                             list_min({sl})) AS BIGINT),
+                 fp := list_min({sl})))) AS p
+  FROM hashedg
+)
+SELECT DISTINCT doc_id, p.pos AS pos, p.fp AS fp
+FROM picks ORDER BY doc_id, pos
+"""
+
+
 def token_entropy(corpus: DataFrame) -> DataFrame:
     """Per-document token-distribution Shannon entropy (bits) — the
     lexical-diversity quality signal: template/boilerplate/repetitive

@@ -61,14 +61,20 @@ def shingles_col(n: int = 3, toks: F.Column | None = None) -> F.Column:
     ELEMENT PER REFERENCE — measured 10-20x slower on the dedup family.
     The no-arg form keeps the old (slow) behavior for ad-hoc use."""
     toks = _toks() if toks is None else toks
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    # size < n guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]) and
+    # element_at(toks, 0) throws — a doc with fewer than n tokens must
+    # yield no shingles, matching the SQL twin's range(1, 1) = []
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _doc_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
