@@ -24,6 +24,7 @@ from telegram2elastic_spark.index.build import build_index
 from telegram2elastic_spark.operators import aggregates as agg
 from telegram2elastic_spark.operators import ingest_pipeline as ingestp
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
+from telegram2elastic_spark.operators import graph as graphops
 from telegram2elastic_spark.operators import similarity as sim
 from telegram2elastic_spark.operators import training
 from telegram2elastic_spark.query import bm25, collapse, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
@@ -511,6 +512,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 19): graph-ranking family — TextRank (damped
+        # PageRank over the term co-occurrence graph) and HITS (doc-term
+        # bipartite hubs/authorities), both in EXACT integer arithmetic
+        # (micro-unit ranks, floor division, DECIMAL(38,0)/HUGEINT
+        # intermediates) so ranks are bit-identical cross-engine; each
+        # iteration = one equi-join + one hash agg over a vocab-sized
+        # edge relation (never the corpus)
+        "textrank_terms": lambda spark, sf: graphops.textrank_terms(
+            load_corpus(spark, sf), window=2, iters=3, k=20
+        ),
+        "hits_authorities": lambda spark, sf: graphops.hits_authorities(
+            load_corpus(spark, sf), iters=2, k=20
+        ),
         # NEW (r4, session 18): the full iterative BPE trainer as a
         # relation (Sennrich et al. 2016) — merge table + train-then-
         # apply token accounting; oracle replays every round with an
@@ -2140,6 +2154,8 @@ FROM corpus ORDER BY doc_id
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
         ),
         "winnowing_fingerprints": tq.winnowing_fingerprints_sql(k=3, w=4),
+        "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
+        "hits_authorities": graphops.hits_authorities_sql(iters=2, k=20),
         "bpe_merges": training.bpe_merges_sql(n_merges=6),
         "bpe_token_counts": training.bpe_token_counts_sql(n_merges=4),
         "significant_gnd": facets.significant_terms_sql(
