@@ -993,6 +993,17 @@ def main() -> None:
         timed_pl(
             "agg_ip_prefix_sec", lambda: aggp.agg_ip_prefix(corpus, 8)
         )
+        # round-4 session-19: graph-ranking family (integer-exact)
+        from telegram2elastic_spark.operators import graph as grp
+
+        timed_pl(
+            "textrank_terms_sec",
+            lambda: grp.textrank_terms(corpus, window=2, iters=3, k=20),
+        )
+        timed_pl(
+            "hits_authorities_sec",
+            lambda: grp.hits_authorities(corpus, iters=2, k=20),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()
