@@ -522,6 +522,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_terms": lambda spark, sf: graphops.textrank_terms(
             load_corpus(spark, sf), window=2, iters=3, k=20
         ),
+        # ... personalized variant: restart mass concentrated on seed
+        # terms (random walk with restart — Haveliwala 2002); ranks are
+        # iters-step walk proximity to the seeds, integer-exact
+        "textrank_seeded": lambda spark, sf: graphops.textrank_seeded(
+            load_corpus(spark, sf), ["spark", "merge"], window=2, iters=3,
+            k=20,
+        ),
         "hits_authorities": lambda spark, sf: graphops.hits_authorities(
             load_corpus(spark, sf), iters=2, k=20
         ),
@@ -2155,6 +2162,9 @@ FROM corpus ORDER BY doc_id
         ),
         "winnowing_fingerprints": tq.winnowing_fingerprints_sql(k=3, w=4),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
+        "textrank_seeded": graphops.textrank_seeded_sql(
+            ["spark", "merge"], window=2, iters=3, k=20
+        ),
         "hits_authorities": graphops.hits_authorities_sql(iters=2, k=20),
         "bpe_merges": training.bpe_merges_sql(n_merges=6),
         "bpe_token_counts": training.bpe_token_counts_sql(n_merges=4),

@@ -216,6 +216,152 @@ LIMIT {k}
 """
 
 
+def textrank_seeded(
+    corpus: DataFrame,
+    seeds: list[str],
+    window: int = 2,
+    iters: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k (term, rank) — PERSONALIZED PageRank (random walk with
+    restart) over the same term co-occurrence graph as textrank_terms:
+    the restart mass (0.15 * UNIT * n_nodes, the total the uniform
+    variant spreads as BASE per node) is concentrated on the `seeds`
+    present in the graph, so ranks measure `iters`-step walk proximity
+    to the seed set — query-biased keyword extraction (Haveliwala 2002,
+    topic-sensitive PageRank).
+
+        base(v) = (15 * UNIT * n_nodes) DIV (100 * n_seeds)  if v in seeds
+                  0                                           otherwise
+        r0      = base
+        r_t(v)  = base(v) + (85 * sum floor-contributions) DIV 100
+
+    Same exact-integer contract as textrank_terms (DECIMAL(38,0)
+    intermediates); n_nodes and the surviving-seed count are two driver
+    ints from one vocab-sized agg, so `base` is an exact Python-int
+    literal.  Seeds absent from the graph are ignored; raises if none
+    remain.
+    """
+    window, iters, k = int(window), int(iters), int(k)
+    if window < 1 or iters < 1:
+        raise ValueError("window and iters must be >= 1")
+    seeds = sorted(set(seeds))
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    und = (
+        _cooc_pairs(corpus, window)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    sym = und.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
+    )
+    outw = sym.groupBy("src").agg(F.sum("w").alias("outw"))
+    edges = sym.join(outw, "src").persist()
+    # n_nodes / surviving-seed count are two driver ints (one tiny agg
+    # job over the vocab-sized node table — the driver-side-literal
+    # precedent of the term-bucket computation); base is then an exact
+    # Python-int literal, and absent seeds fail fast here.
+    nn, ns = outw.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            F.when(F.col("src").isin(seeds), F.lit(1)).otherwise(F.lit(0))
+        ),
+    ).first()
+    if not ns:
+        raise ValueError("no seed term co-occurs in the corpus graph")
+    base_val = ((DAMP_DEN - DAMP_NUM) * UNIT * int(nn)) // (DAMP_DEN * int(ns))
+
+    def base_col(term_col: str):
+        return F.when(
+            F.col(term_col).isin(seeds), F.lit(base_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    ranks = outw.select(
+        F.col("src").alias("term"), base_col("src").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = edges.join(
+            ranks.hint("shuffle_hash"), edges["src"] == ranks["term"]
+        ).select(
+            "dst",
+            F.expr("CAST(rank AS DECIMAL(38,0)) * w DIV outw").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("s"))
+            .select(
+                F.col("dst").alias("term"),
+                (
+                    base_col("dst")
+                    + F.expr(
+                        f"CAST(({DAMP_NUM} * s) DIV {DAMP_DEN} AS BIGINT)"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.orderBy(F.desc("rank"), F.asc("term")).limit(k)
+
+
+def textrank_seeded_sql(
+    seeds: list[str], window: int = 2, iters: int = 3, k: int = 20
+) -> str:
+    """Oracle: identical integer recurrence, iterations unrolled;
+    n_nodes / n_seeds as scalar subqueries over the node set."""
+    window, iters, k = int(window), int(iters), int(k)
+    seeds = sorted(set(seeds))
+    inlist = ", ".join("'" + s.replace("'", "''") + "'" for s in seeds)
+    base = (
+        f"CASE WHEN {{col}} IN ({inlist}) THEN CAST("
+        f"{DAMP_DEN - DAMP_NUM} * CAST({UNIT} AS HUGEINT)"
+        f" * (SELECT count(*) FROM outw)"
+        f" // ({DAMP_DEN} * (SELECT count(*) FROM outw"
+        f" WHERE src IN ({inlist}))) AS BIGINT) ELSE 0 END"
+    )
+    rounds = []
+    for t in range(1, iters + 1):
+        prev = "r0" if t == 1 else f"r{t - 1}"
+        rounds.append(
+            f"""r{t} AS (
+  SELECT e.dst AS term,
+         {base.format(col="e.dst")}
+         + CAST(({DAMP_NUM} * sum(
+             CAST(r.rank AS HUGEINT) * e.w // e.outw)) // {DAMP_DEN}
+                AS BIGINT) AS rank
+  FROM edges e JOIN {prev} r ON e.src = r.term
+  GROUP BY e.dst
+)"""
+        )
+    unrolled = ",\n".join(rounds)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{_cooc_sql(window).strip()},
+und AS (
+  SELECT w1, w2, count(*) AS w FROM pairs GROUP BY w1, w2
+),
+sym AS (
+  SELECT w1 AS src, w2 AS dst, w FROM und
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst, w FROM und
+),
+outw AS (
+  SELECT src, sum(w) AS outw FROM sym GROUP BY src
+),
+edges AS (
+  SELECT s.src, s.dst, s.w, o.outw FROM sym s JOIN outw o USING (src)
+),
+r0 AS (
+  SELECT src AS term, {base.format(col="src")} AS rank FROM outw
+),
+{unrolled}
+SELECT term, rank FROM r{iters}
+ORDER BY rank DESC, term ASC
+LIMIT {k}
+"""
+
+
 def hits_authorities(
     corpus: DataFrame, iters: int = 2, k: int = 20
 ) -> DataFrame:

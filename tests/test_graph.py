@@ -167,3 +167,97 @@ def test_hits_top_authority_is_unit(spark, sf_dir):
 def test_hits_rejects_bad_args(spark, sf_dir):
     with pytest.raises(ValueError):
         graph.hits_authorities(load_corpus(spark, sf_dir), iters=0)
+
+
+# --- personalized PageRank (seeded TextRank) ----------------------------------
+
+@pytest.mark.parametrize("seeds", [["spark", "merge"], ["window"]])
+def test_textrank_seeded_vs_oracle(spark, duck, sf_dir, seeds):
+    got = graph.textrank_seeded(
+        load_corpus(spark, sf_dir), seeds, window=2, iters=3, k=20
+    )
+    want = duck.execute(
+        graph.textrank_seeded_sql(seeds, window=2, iters=3, k=20)
+    ).df()
+    assert_same(got, want)
+
+
+def _py_textrank_seeded(texts, seeds, window, iters):
+    und = Counter()
+    for t in texts:
+        toks = py_tokenize(t)
+        for off in range(1, window + 1):
+            for a, b in zip(toks, toks[off:]):
+                if a != b:
+                    und[(min(a, b), max(a, b))] += 1
+    edges = defaultdict(list)
+    for (a, b), w in und.items():
+        edges[a].append((b, w))
+        edges[b].append((a, w))
+    outw = {s: sum(w for _, w in es) for s, es in edges.items()}
+    nn = len(edges)
+    surv = [s for s in seeds if s in edges]
+    base = (
+        (graph.DAMP_DEN - graph.DAMP_NUM) * graph.UNIT * nn
+    ) // (graph.DAMP_DEN * len(surv))
+    rank = {s: (base if s in surv else 0) for s in edges}
+    for _ in range(iters):
+        nxt = defaultdict(int)
+        for s, es in edges.items():
+            for d, w in es:
+                nxt[d] += rank[s] * w // outw[s]
+        rank = {
+            d: (base if d in surv else 0)
+            + graph.DAMP_NUM * s_ // graph.DAMP_DEN
+            for d, s_ in nxt.items()
+        }
+    return rank
+
+
+def test_textrank_seeded_matches_pure_python(spark):
+    corpus = _corpus_from_texts(spark, CRAFTED)
+    got = {
+        r["term"]: r["rank"]
+        for r in graph.textrank_seeded(
+            corpus, ["spark"], window=2, iters=3, k=100
+        ).collect()
+    }
+    assert got == _py_textrank_seeded(CRAFTED, ["spark"], window=2, iters=3)
+
+
+def test_textrank_seeded_proximity(spark):
+    """In a chain a-b-c-d-e seeded at 'a', rank decays with distance."""
+    corpus = _corpus_from_texts(spark, ["aa bb cc dd ee"] * 3)
+    got = {
+        r["term"]: r["rank"]
+        for r in graph.textrank_seeded(
+            corpus, ["aa"], window=1, iters=3, k=100
+        ).collect()
+    }
+    assert got["aa"] > got["bb"] > got["cc"] > got["dd"] >= got["ee"]
+
+
+def test_textrank_seeded_absent_seed_ignored(spark):
+    """A seed missing from the graph redistributes mass to the rest."""
+    corpus = _corpus_from_texts(spark, CRAFTED)
+    both = {
+        r["term"]: r["rank"]
+        for r in graph.textrank_seeded(
+            corpus, ["spark", "zzznotaterm"], window=2, iters=2, k=100
+        ).collect()
+    }
+    only = {
+        r["term"]: r["rank"]
+        for r in graph.textrank_seeded(
+            corpus, ["spark"], window=2, iters=2, k=100
+        ).collect()
+    }
+    assert both == only
+
+
+def test_textrank_seeded_rejects_bad_args(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    with pytest.raises(ValueError):
+        graph.textrank_seeded(corpus, [])
+    with pytest.raises(ValueError):
+        graph.textrank_seeded(corpus, ["zzznotaterm"])
