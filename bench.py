@@ -1004,6 +1004,12 @@ def main() -> None:
             "hits_authorities_sec",
             lambda: grp.hits_authorities(corpus, iters=2, k=20),
         )
+        timed_pl(
+            "textrank_seeded_sec",
+            lambda: grp.textrank_seeded(
+                corpus, ["spark", "merge"], window=2, iters=3, k=20
+            ),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()
