@@ -168,7 +168,12 @@ def textrank_terms(
                 ).alias("rank"),
             )
         )
-    return ranks.orderBy(F.desc("rank"), F.asc("term")).limit(k)
+    # materialize the k-row answer, then release the edge cache — graph
+    # ops run inside long-lived sessions (bench, serve loops) and the
+    # intermediates must not stay resident
+    out = ranks.orderBy(F.desc("rank"), F.asc("term")).limit(k).localCheckpoint()
+    edges.unpersist()
+    return out
 
 
 def textrank_terms_sql(window: int = 2, iters: int = 3, k: int = 20) -> str:
@@ -302,7 +307,9 @@ def textrank_seeded(
                 ).alias("rank"),
             )
         )
-    return ranks.orderBy(F.desc("rank"), F.asc("term")).limit(k)
+    out = ranks.orderBy(F.desc("rank"), F.asc("term")).limit(k).localCheckpoint()
+    edges.unpersist()
+    return out
 
 
 def textrank_seeded_sql(
@@ -395,6 +402,7 @@ def hits_authorities(
         .distinct()
         .persist()
     )
+    cached = [pres]
     auth = pres.select("term").distinct().select(
         "term", F.lit(UNIT).cast("long").alias("a")
     )
@@ -412,6 +420,7 @@ def hits_authorities(
             .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("h"))
             .persist()
         )
+        cached.append(hub)
         hmax = hub.agg(F.max("h").alias("hmax"))
         hubn = hub.crossJoin(F.broadcast(hmax)).select(
             "doc_id",
@@ -423,16 +432,21 @@ def hits_authorities(
             .agg(F.sum(F.col("hn").cast("decimal(38,0)")).alias("araw"))
             .persist()
         )
+        cached.append(auth_raw)
         amax = auth_raw.agg(F.max("araw").alias("amax"))
         auth = auth_raw.crossJoin(F.broadcast(amax)).select(
             "term",
             F.expr(f"CAST(araw * {UNIT} DIV amax AS BIGINT)").alias("a"),
         )
-    return (
+    out = (
         auth.select("term", F.col("a").alias("auth"))
         .orderBy(F.desc("auth"), F.asc("term"))
         .limit(k)
+        .localCheckpoint()  # k rows; frees the iteration caches below
     )
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def hits_authorities_sql(iters: int = 2, k: int = 20) -> str:
