@@ -532,6 +532,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_authorities": lambda spark, sf: graphops.hits_authorities(
             load_corpus(spark, sf), iters=2, k=20
         ),
+        # NEW (r4, session 19): margin-based bitext mining (Artetxe &
+        # Schwenk 2019 ratio margin — the CCMatrix/LASER criterion);
+        # integer-scaled cosines make the neighborhood sums associative,
+        # so the margin is engine- and partition-order exact
+        "bitext_margin_topk": lambda spark, sf: sim.bitext_margin_topk(
+            load_embeddings(spark, sf), 0, 1, knn=4, k=10
+        ),
         # NEW (r4, session 18): the full iterative BPE trainer as a
         # relation (Sennrich et al. 2016) — merge table + train-then-
         # apply token accounting; oracle replays every round with an
@@ -2166,6 +2173,7 @@ FROM corpus ORDER BY doc_id
             ["spark", "merge"], window=2, iters=3, k=20
         ),
         "hits_authorities": graphops.hits_authorities_sql(iters=2, k=20),
+        "bitext_margin_topk": sim.bitext_margin_topk_sql(0, 1, knn=4, k=10),
         "bpe_merges": training.bpe_merges_sql(n_merges=6),
         "bpe_token_counts": training.bpe_token_counts_sql(n_merges=4),
         "significant_gnd": facets.significant_terms_sql(

@@ -1010,6 +1010,15 @@ def main() -> None:
                 corpus, ["spark", "merge"], window=2, iters=3, k=20
             ),
         )
+        from telegram2elastic_spark.corpus import load_embeddings as _lemb
+        from telegram2elastic_spark.operators import similarity as simp
+
+        timed_pl(
+            "bitext_margin_sec",
+            lambda: simp.bitext_margin_topk(
+                _lemb(spark, SF_DIR), 0, 1, knn=4, k=10
+            ),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()

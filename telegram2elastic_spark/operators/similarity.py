@@ -1633,3 +1633,144 @@ FROM e JOIN cand USING (vec_id) CROSS JOIN q
 ORDER BY cosine DESC, e.vec_id ASC
 LIMIT {int(k)}
 """
+
+
+# --- Margin-based bitext mining (Artetxe & Schwenk 2019) -----------------------
+
+def bitext_margin_topk(
+    embeddings: DataFrame,
+    group_a: int = 0,
+    group_b: int = 1,
+    knn: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k candidate bitext pairs between two embedding groups scored by
+    the RATIO margin of Artetxe & Schwenk 2019 (the CCMatrix / LASER
+    mining criterion): a pair is strong when its cosine stands out from
+    BOTH sides' neighborhood averages, which kills the hub vectors plain
+    cosine thresholds keep.
+
+        margin(x, y) = cos(x, y) /
+            ( (avg_{z in NNk(x)} cos(x, z) + avg_{w in NNk(y)} cos(w, y)) / 2 )
+
+    with NNk taken in the OTHER group (y's competitors for x and vice
+    versa; the pair itself may appear in its own neighborhood, as in the
+    paper).  `label` stands in for the language id.
+
+    Determinism: each pairwise cosine is rounded to 5 decimals and scaled
+    to an INTEGER c5 = round(cos * 1e5); neighborhoods are picked by
+    (c5 desc, id asc) and their sums are integer sums (associative — no
+    float accumulation order anywhere); the margin is a single integer-
+    ratio division  2 * knn * c5 / (sum_x + sum_y)  rounded once.
+
+    Scale shape: this is the exact GLOBAL formulation — the registered
+    driver-scale oracle pair.  At 10^12 docs the standard pipeline (and
+    this engine's composition) generates candidates with the ANN family
+    (knn_int8_topk / ivf_topk / lsh_buckets) and margin-scores only the
+    candidate lists; the scorer here is reused unchanged since it only
+    needs each pair's cosine and the two k-neighborhood sums.
+    """
+    knn, k = int(knn), int(k)
+    if knn < 1:
+        raise ValueError("knn must be >= 1")
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = e.filter(F.col("label") == int(group_a)).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = e.filter(F.col("label") == int(group_b)).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.crossJoin(b).select(
+        "a_id",
+        "b_id",
+        F.expr(
+            "CAST(round(aggregate(zip_with(va, vb, (p, q) -> p * q), "
+            "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (na * nb) "
+            "* 100000) AS BIGINT)"
+        ).alias("c5"),
+    ).persist()
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("a_id").orderBy(F.desc("c5"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("c5"), F.asc("a_id"))
+    sum_a = (
+        pairs.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= knn)
+        .groupBy("a_id")
+        .agg(F.sum("c5").alias("sa"), F.count(F.lit(1)).alias("ca"))
+    )
+    sum_b = (
+        pairs.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= knn)
+        .groupBy("b_id")
+        .agg(F.sum("c5").alias("sb"), F.count(F.lit(1)).alias("cb"))
+    )
+    out = (
+        pairs.join(sum_a, "a_id")
+        .join(sum_b, "b_id")
+        .filter((F.col("ca") == knn) & (F.col("cb") == knn))
+        .filter(F.col("sa") + F.col("sb") != 0)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("c5") / 100000.0, 5).alias("cosine"),
+            F.round(
+                (2.0 * knn * F.col("c5")) / (F.col("sa") + F.col("sb")), 5
+            ).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), F.asc("a_id"), F.asc("b_id"))
+        .limit(k)
+        .localCheckpoint()
+    )
+    pairs.unpersist()
+    return out
+
+
+def bitext_margin_topk_sql(
+    group_a: int = 0, group_b: int = 1, knn: int = 4, k: int = 10
+) -> str:
+    knn, k = int(knn), int(k)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings
+),
+a AS (SELECT vec_id AS a_id, v AS va, n AS na FROM e WHERE label = {int(group_a)}),
+b AS (SELECT vec_id AS b_id, v AS vb, n AS nb FROM e WHERE label = {int(group_b)}),
+pairs AS (
+  SELECT a_id, b_id,
+         CAST(round(list_dot_product(va, vb) / (na * nb) * 100000) AS BIGINT) AS c5
+  FROM a CROSS JOIN b
+),
+ra AS (
+  SELECT a_id, c5,
+         row_number() OVER (PARTITION BY a_id ORDER BY c5 DESC, b_id ASC) AS r
+  FROM pairs
+),
+suma AS (
+  SELECT a_id, sum(c5) AS sa, count(*) AS ca FROM ra WHERE r <= {knn} GROUP BY a_id
+),
+rb AS (
+  SELECT b_id, c5,
+         row_number() OVER (PARTITION BY b_id ORDER BY c5 DESC, a_id ASC) AS r
+  FROM pairs
+),
+sumb AS (
+  SELECT b_id, sum(c5) AS sb, count(*) AS cb FROM rb WHERE r <= {knn} GROUP BY b_id
+)
+SELECT p.a_id, p.b_id,
+       round(p.c5 / 100000.0, 5) AS cosine,
+       round((2.0 * {knn} * p.c5) / (s1.sa + s2.sb), 5) AS margin
+FROM pairs p
+JOIN suma s1 USING (a_id)
+JOIN sumb s2 USING (b_id)
+WHERE s1.ca = {knn} AND s2.cb = {knn} AND s1.sa + s2.sb != 0
+ORDER BY margin DESC, p.a_id ASC, p.b_id ASC
+LIMIT {k}
+"""
