@@ -42,6 +42,7 @@ from telegram2elastic_spark.query import hybrid as hyb
 from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import dsl as qdsl
+from telegram2elastic_spark.query import eql as eqlq
 from telegram2elastic_spark.query import esql as esq
 from telegram2elastic_spark.query import retriever as retr
 from telegram2elastic_spark.query import sparse as spv
@@ -512,6 +513,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 20): EQL core (ES Event Query Language) —
+        # sequence-by-key funnels with maxspan/until and sample-by-key,
+        # anchored greedy-earliest semantics, all ordering arithmetic
+        # integer (epoch micros + event_id tie-break)
+        "eql_sequence": lambda spark, sf: eqlq.eql_sequence(
+            load_events(spark, sf), ["signup", "error"], 7200, k=50
+        ),
+        "eql_sequence_until": lambda spark, sf: eqlq.eql_sequence(
+            load_events(spark, sf), ["signup", "purchase"], 21600,
+            until="error", k=50,
+        ),
+        "eql_sample": lambda spark, sf: eqlq.eql_sample(
+            load_events(spark, sf), ["signup", "error", "purchase"], k=50
+        ),
         # NEW (r4, session 19): graph-ranking family — TextRank (damped
         # PageRank over the term co-occurrence graph) and HITS (doc-term
         # bipartite hubs/authorities), both in EXACT integer arithmetic
@@ -2168,6 +2183,13 @@ FROM corpus ORDER BY doc_id
             q="merge", min_score=10.0, k=15, heuristic="chi_square"
         ),
         "winnowing_fingerprints": tq.winnowing_fingerprints_sql(k=3, w=4),
+        "eql_sequence": eqlq.eql_sequence_sql(["signup", "error"], 7200, k=50),
+        "eql_sequence_until": eqlq.eql_sequence_sql(
+            ["signup", "purchase"], 21600, until="error", k=50
+        ),
+        "eql_sample": eqlq.eql_sample_sql(
+            ["signup", "error", "purchase"], k=50
+        ),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
         "textrank_seeded": graphops.textrank_seeded_sql(
             ["spark", "merge"], window=2, iters=3, k=20

@@ -1,0 +1,198 @@
+"""EQL sequence / until / sample — oracle parity, pure-Python recompute of
+the anchored greedy-earliest funnel, crafted edge cases."""
+
+import datetime as dt
+
+import pytest
+
+from telegram2elastic_spark.corpus import load_events
+from telegram2elastic_spark.query import eql
+from tests.oracle import assert_same
+
+
+def _ev(spark, rows):
+    """rows: (event_id, ts_seconds_offset, user_id, event_type)."""
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (eid, base + dt.timedelta(seconds=off), uid, t, 0.0, "{}")
+            for eid, off, uid, t in rows
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+# ---------------------------------------------------------------- parity
+
+
+def test_sequence2_oracle_parity(spark, sf_dir, duck):
+    df = eql.eql_sequence(load_events(spark, sf_dir), ["signup", "error"], 7200, k=50)
+    assert_same(df, duck.execute(eql.eql_sequence_sql(["signup", "error"], 7200, k=50)).fetchdf())
+    assert df.count() > 0
+
+
+def test_sequence3_oracle_parity(spark, sf_dir, duck):
+    args = (["signup", "click", "purchase"], 21600)
+    df = eql.eql_sequence(load_events(spark, sf_dir), *args, k=50)
+    assert_same(df, duck.execute(eql.eql_sequence_sql(*args, k=50)).fetchdf())
+    assert df.count() > 0
+
+
+def test_sequence_until_oracle_parity(spark, sf_dir, duck):
+    df = eql.eql_sequence(
+        load_events(spark, sf_dir), ["signup", "purchase"], 21600, until="error", k=50
+    )
+    odf = duck.execute(
+        eql.eql_sequence_sql(["signup", "purchase"], 21600, until="error", k=50)
+    ).fetchdf()
+    assert_same(df, odf)
+    assert df.count() > 0
+
+
+def test_sample_oracle_parity(spark, sf_dir, duck):
+    cats = ["signup", "error", "purchase"]
+    df = eql.eql_sample(load_events(spark, sf_dir), cats, k=50)
+    assert_same(df, duck.execute(eql.eql_sample_sql(cats, k=50)).fetchdf())
+    assert df.count() > 0
+
+
+# ------------------------------------------- independent Python recompute
+
+
+def _py_funnel(rows, steps, span_sec, until=None):
+    """Anchored greedy-earliest funnel in plain Python over
+    (event_id, ts, user_id, event_type) tuples."""
+    by_user = {}
+    for eid, ts, uid, t in rows:
+        by_user.setdefault(uid, []).append((ts, eid, t))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        for ts1, e1, t in evs:
+            if t != steps[0]:
+                continue
+            cur_ts, cur_id = ts1, e1
+            bound = [(e1, ts1)]
+            ok = True
+            for s in steps[1:]:
+                nxt = [
+                    (ts, eid)
+                    for ts, eid, tt in evs
+                    if tt == s
+                    and (ts, eid) > (cur_ts, cur_id)
+                    and (ts - ts1).total_seconds() <= span_sec
+                ]
+                if not nxt:
+                    ok = False
+                    break
+                cur_ts, cur_id = min(nxt)
+                bound.append((cur_id, cur_ts))
+            if not ok:
+                continue
+            if until is not None:
+                cuts = [
+                    (ts, eid)
+                    for ts, eid, tt in evs
+                    if tt == until
+                    and (ts, eid) > (ts1, e1)
+                    and (ts - ts1).total_seconds() <= span_sec
+                ]
+                if cuts and min(cuts) < (cur_ts, cur_id):
+                    continue
+            out.append((uid, *[x for pair in bound for x in pair]))
+    return sorted(out)
+
+
+def test_sequence_matches_python_recompute(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    rows = [
+        (r.event_id, r.ts, r.user_id, r.event_type)
+        for r in ev.collect()
+    ]
+    expected = _py_funnel(rows, ["signup", "error"], 7200)
+    got = [
+        (r.user_id, r.e1_id, r.ts1, r.e2_id, r.ts2)
+        for r in eql.eql_sequence(ev, ["signup", "error"], 7200, k=10**6).collect()
+    ]
+    assert sorted(got) == expected
+
+
+def test_sequence_until_matches_python_recompute(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    rows = [(r.event_id, r.ts, r.user_id, r.event_type) for r in ev.collect()]
+    expected = _py_funnel(rows, ["signup", "purchase"], 21600, until="error")
+    got = [
+        (r.user_id, r.e1_id, r.ts1, r.e2_id, r.ts2)
+        for r in eql.eql_sequence(
+            ev, ["signup", "purchase"], 21600, until="error", k=10**6
+        ).collect()
+    ]
+    assert sorted(got) == expected
+
+
+# ------------------------------------------------------ crafted edge cases
+
+
+def test_until_cancels_inflight_sequence(spark):
+    # u1: A .. X .. B  -> until X precedes the completion, killed.
+    # u2: A .. B .. X  -> until after completion, survives.
+    ev = _ev(spark, [
+        (1, 0, 1, "A"), (2, 10, 1, "X"), (3, 20, 1, "B"),
+        (4, 0, 2, "A"), (5, 10, 2, "B"), (6, 20, 2, "X"),
+    ])
+    got = eql.eql_sequence(ev, ["A", "B"], 3600, until="X").collect()
+    assert [(r.user_id, r.e1_id, r.e2_id) for r in got] == [(2, 4, 5)]
+
+
+def test_maxspan_boundary_inclusive(spark):
+    ev = _ev(spark, [
+        (1, 0, 1, "A"), (2, 100, 1, "B"),   # exactly at maxspan
+        (3, 0, 2, "A"), (4, 101, 2, "B"),   # one second past
+    ])
+    got = eql.eql_sequence(ev, ["A", "B"], 100).collect()
+    assert [(r.user_id, r.e1_id, r.e2_id) for r in got] == [(1, 1, 2)]
+
+
+def test_greedy_earliest_binding_and_tie_break(spark):
+    # Two Bs after the anchor: binds the earliest; same-ts pair breaks by
+    # event_id; a B at the anchor's own (ts, id) or earlier never binds.
+    ev = _ev(spark, [
+        (5, 0, 1, "A"),
+        (3, 0, 1, "B"),    # same ts, smaller id -> NOT after the anchor
+        (6, 0, 1, "B"),    # same ts, larger id -> earliest qualifying
+        (7, 50, 1, "B"),
+    ])
+    got = eql.eql_sequence(ev, ["A", "B"], 3600).collect()
+    assert [(r.user_id, r.e1_id, r.e2_id) for r in got] == [(1, 5, 6)]
+
+
+def test_maxspan_is_first_to_last(spark):
+    # 3-step: each hop within span of the previous, but last - first > span.
+    ev = _ev(spark, [
+        (1, 0, 1, "A"), (2, 80, 1, "B"), (3, 160, 1, "C"),
+    ])
+    assert eql.eql_sequence(ev, ["A", "B", "C"], 100).count() == 0
+    assert eql.eql_sequence(ev, ["A", "B", "C"], 160).count() == 1
+
+
+def test_sample_requires_every_category(spark):
+    ev = _ev(spark, [
+        (1, 0, 1, "A"), (2, 10, 1, "B"),
+        (3, 0, 2, "A"),                      # no B -> excluded
+        (4, 30, 3, "B"), (5, 20, 3, "A"), (6, 5, 3, "B"),
+    ])
+    got = eql.eql_sample(ev, ["A", "B"]).collect()
+    assert [(r.user_id, r.e1_id, r.e2_id) for r in got] == [(1, 1, 2), (3, 5, 6)]
+
+
+def test_arg_validation(spark):
+    ev = _ev(spark, [(1, 0, 1, "A")])
+    with pytest.raises(ValueError):
+        eql.eql_sequence(ev, ["A"], 100)
+    with pytest.raises(ValueError):
+        eql.eql_sequence(ev, ["A", "B"], 0)
+    with pytest.raises(ValueError):
+        eql.eql_sequence_sql(["A", "B", "C", "D"], 10)
+    with pytest.raises(ValueError):
+        eql.eql_sample(ev, ["A"])
