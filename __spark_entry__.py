@@ -527,6 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sample": lambda spark, sf: eqlq.eql_sample(
             load_events(spark, sf), ["signup", "error", "purchase"], k=50
         ),
+        # NEW (r4, session 20): ES 8.4 frequent_item_sets — Eclat-style
+        # array-side candidate generation with apriori pruning, integer
+        # ceil support threshold, closed-set filter within computed sizes
+        "frequent_item_sets": lambda spark, sf: facets.frequent_item_sets(
+            load_corpus(spark, sf), 20, max_set_size=3, k=25, closed=True
+        ),
         # NEW (r4, session 19): graph-ranking family — TextRank (damped
         # PageRank over the term co-occurrence graph) and HITS (doc-term
         # bipartite hubs/authorities), both in EXACT integer arithmetic
@@ -2189,6 +2195,9 @@ FROM corpus ORDER BY doc_id
         ),
         "eql_sample": eqlq.eql_sample_sql(
             ["signup", "error", "purchase"], k=50
+        ),
+        "frequent_item_sets": facets.frequent_item_sets_sql(
+            20, max_set_size=3, k=25, closed=True
         ),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
         "textrank_seeded": graphops.textrank_seeded_sql(

@@ -1249,3 +1249,209 @@ SELECT term, doc_count, error_ub FROM merged
 ORDER BY doc_count DESC, term ASC
 LIMIT {int(size)}
 """
+
+
+# --------------------------------------------------------------------------
+# ES 8.4 frequent_item_sets aggregation (Eclat-style candidate generation)
+# --------------------------------------------------------------------------
+
+def frequent_item_sets(
+    corpus: DataFrame,
+    support_pct: int,
+    max_set_size: int = 2,
+    k: int = 20,
+    closed: bool = False,
+) -> DataFrame:
+    """ES 8.4 ``frequent_item_sets`` aggregation: co-occurring item sets
+    with support >= ``support_pct`` percent of documents (transactions =
+    docs, items = distinct tokens — the keyword-field analogue on this
+    corpus).  Sizes 2..max_set_size (<= 3), ES ``minimum_set_size=2``.
+
+    Exactness notes:
+    * the support threshold is INTEGER: ceil(pct*n/100) = (pct*n+99)//100,
+      so both engines cut at the same count with no float;
+    * restricting candidate generation to frequent singletons (and, for
+      triples, to members of frequent pairs) is the apriori principle —
+      lossless, every member of a frequent set is itself frequent;
+    * ``closed=True`` drops a pair subsumed by an equal-support triple
+      (ES reports closed sets; with the size cap, closedness is applied
+      within the computed sizes — documented divergence from ES's
+      unbounded-size Eclat).
+
+    Scale shape: one distinct (doc, item) projection; singleton support is
+    one hash agg; the frequent-item whitelist is a BROADCAST semi-join
+    (vocab head, tiny by Zipf); per-doc candidate sets are generated
+    ARRAY-SIDE (no self-join of the posting relation — the classic
+    distributed-Eclat trick), then ONE hash agg per size with map-side
+    combine.  Output is top-k.
+
+    Output: (itemset string — members space-joined in lexical order,
+    set_size int, support long), ordered by support desc, itemset asc.
+    """
+    if max_set_size not in (2, 3):
+        raise ValueError("max_set_size must be 2 or 3")
+    if not 1 <= support_pct <= 100:
+        raise ValueError("support_pct must be in 1..100")
+    n_docs = corpus.count()
+    threshold = (support_pct * n_docs + 99) // 100
+
+    di = corpus.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("item")
+    )
+    f1 = di.groupBy("item").count().where(F.col("count") >= threshold)
+    di_f = di.join(F.broadcast(f1.select("item")), "item")
+    arrs = di_f.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
+
+    def _pairs(items_col):
+        return F.flatten(
+            F.transform(
+                items_col,
+                lambda x, i: F.transform(
+                    F.slice(items_col, i + 2, F.size(items_col)),
+                    lambda y: F.struct(x.alias("i1"), y.alias("i2")),
+                ),
+            )
+        )
+
+    p2 = (
+        arrs.select(F.explode(_pairs(F.col("items"))).alias("p"))
+        .select("p.i1", "p.i2")
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= threshold)
+    )
+
+    out2 = p2.select(
+        F.concat_ws(" ", "i1", "i2").alias("itemset"),
+        F.lit(2).alias("set_size"),
+        "support",
+    )
+
+    if max_set_size == 2:
+        out = out2
+    else:
+        # Apriori level-2 prune: triples may only draw from items that
+        # appear in some frequent pair.
+        p2_items = p2.select(F.col("i1").alias("item")).union(
+            p2.select(F.col("i2").alias("item"))
+        ).distinct()
+        arrs3 = (
+            di_f.join(F.broadcast(p2_items), "item")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        )
+        trip = F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.flatten(
+                    F.transform(
+                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                        lambda y, j: F.transform(
+                            F.slice(
+                                F.col("items"),
+                                i + j + 3,
+                                F.size(F.col("items")),
+                            ),
+                            lambda z: F.struct(
+                                x.alias("i1"), y.alias("i2"), z.alias("i3")
+                            ),
+                        ),
+                    )
+                ),
+            )
+        )
+        p3 = (
+            arrs3.select(F.explode(trip).alias("t"))
+            .select("t.i1", "t.i2", "t.i3")
+            .groupBy("i1", "i2", "i3")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= threshold)
+        )
+        if closed:
+            # A pair is closed unless an equal-support triple contains it.
+            sub = p3.select(
+                F.col("i1").alias("a"), F.col("i2").alias("b"), "support"
+            ).union(
+                p3.select(
+                    F.col("i1").alias("a"), F.col("i3").alias("b"), "support"
+                )
+            ).union(
+                p3.select(
+                    F.col("i2").alias("a"), F.col("i3").alias("b"), "support"
+                )
+            ).distinct()
+            p2c = p2.join(
+                sub,
+                (p2.i1 == sub.a) & (p2.i2 == sub.b)
+                & (p2.support == sub.support),
+                "left_anti",
+            )
+            out2 = p2c.select(
+                F.concat_ws(" ", "i1", "i2").alias("itemset"),
+                F.lit(2).alias("set_size"),
+                "support",
+            )
+        out3 = p3.select(
+            F.concat_ws(" ", "i1", "i2", "i3").alias("itemset"),
+            F.lit(3).alias("set_size"),
+            "support",
+        )
+        out = out2.unionByName(out3)
+
+    return out.orderBy(F.desc("support"), "itemset").limit(k)
+
+
+def frequent_item_sets_sql(
+    support_pct: int,
+    max_set_size: int = 2,
+    k: int = 20,
+    closed: bool = False,
+) -> str:
+    """DuckDB oracle — plain distinct-(doc,item) self-joins with the same
+    integer threshold."""
+    if max_set_size not in (2, 3):
+        raise ValueError("max_set_size must be 2 or 3")
+    if not 1 <= support_pct <= 100:
+        raise ValueError("support_pct must be in 1..100")
+    from ..functions.tokenizer import TOKENS_CTE  # noqa: PLC0415
+
+    thr = f"(SELECT ({support_pct} * count(*) + 99) // 100 FROM corpus)"
+    base = f"""
+WITH {CORPUS_CTE.strip()},
+{TOKENS_CTE.strip()},
+di AS (SELECT DISTINCT doc_id, term AS item FROM tokens),
+f1 AS (SELECT item FROM di GROUP BY item HAVING count(*) >= {thr}),
+dif AS (SELECT doc_id, item FROM di JOIN f1 USING (item)),
+p2 AS (
+  SELECT a.item AS i1, b.item AS i2, count(*) AS support
+  FROM dif a JOIN dif b ON a.doc_id = b.doc_id AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {thr})"""
+    if max_set_size == 2:
+        return base + f"""
+SELECT i1 || ' ' || i2 AS itemset, 2 AS set_size, support
+FROM p2 ORDER BY support DESC, itemset LIMIT {k}"""
+    base += f""",
+p3 AS (
+  SELECT a.item AS i1, b.item AS i2, c.item AS i3, count(*) AS support
+  FROM dif a
+  JOIN dif b ON a.doc_id = b.doc_id AND a.item < b.item
+  JOIN dif c ON b.doc_id = c.doc_id AND b.item < c.item
+  GROUP BY 1, 2, 3 HAVING count(*) >= {thr})"""
+    pair_src = "p2"
+    if closed:
+        base += """,
+p2c AS (
+  SELECT * FROM p2 WHERE NOT EXISTS (
+    SELECT 1 FROM p3 WHERE p3.support = p2.support AND (
+      (p3.i1 = p2.i1 AND p3.i2 = p2.i2) OR
+      (p3.i1 = p2.i1 AND p3.i3 = p2.i2) OR
+      (p3.i2 = p2.i1 AND p3.i3 = p2.i2))))"""
+        pair_src = "p2c"
+    return base + f"""
+SELECT itemset, set_size, support FROM (
+  SELECT i1 || ' ' || i2 AS itemset, 2 AS set_size, support FROM {pair_src}
+  UNION ALL
+  SELECT i1 || ' ' || i2 || ' ' || i3, 3, support FROM p3)
+ORDER BY support DESC, itemset LIMIT {k}"""
