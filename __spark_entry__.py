@@ -533,6 +533,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_item_sets": lambda spark, sf: facets.frequent_item_sets(
             load_corpus(spark, sf), 20, max_set_size=3, k=25, closed=True
         ),
+        # NEW (r4, session 20): ES categorize_text (deterministic
+        # digit-strip prefix key), ES rate agg (integer-cent sums, one
+        # final division), ES _terms_enum (term-dict prefix enumeration)
+        "categorize_text": lambda spark, sf: facets.categorize_text(
+            load_corpus(spark, sf), 5, k=20
+        ),
+        "events_value_rate": lambda spark, sf: agg.events_value_rate(
+            load_events(spark, sf)
+        ),
+        "terms_enum": lambda spark, sf: meta.terms_enum(
+            build_index(load_corpus(spark, sf)), "s", 20
+        ),
         # NEW (r4, session 19): graph-ranking family — TextRank (damped
         # PageRank over the term co-occurrence graph) and HITS (doc-term
         # bipartite hubs/authorities), both in EXACT integer arithmetic
@@ -2199,6 +2211,9 @@ FROM corpus ORDER BY doc_id
         "frequent_item_sets": facets.frequent_item_sets_sql(
             20, max_set_size=3, k=25, closed=True
         ),
+        "categorize_text": facets.categorize_text_sql(5, k=20),
+        "events_value_rate": agg.EVENTS_VALUE_RATE_SQL,
+        "terms_enum": meta.terms_enum_sql("s", 20),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
         "textrank_seeded": graphops.textrank_seeded_sql(
             ["spark", "merge"], window=2, iters=3, k=20

@@ -2336,3 +2336,42 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 LIMIT {int(size)}
 """
+
+
+def events_value_rate(events: DataFrame) -> DataFrame:
+    """ES ``rate`` aggregation with a ``field`` (the value-sum variant —
+    the plain doc-count rate over the corpus is agg_rate above): daily
+    buckets, rate re-scaled to unit=hour — events/hour and value/hour per
+    day bucket.
+
+    Exactness: the value sum is computed in EXACT integer cents
+    (round(value*100) -> BIGINT; the driver values carry two decimals),
+    so the float appears only in ONE final division per rate — a single
+    IEEE op both engines execute identically.  count/24.0 likewise.
+
+    Scale shape: one bucket-keyed hash agg with map-side combine; the
+    bucket axis is days, so the result is axis-sized.
+    """
+    day = F.date_format("ts", "yyyy-MM-dd")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+        .select(
+            "day",
+            (F.col("n") / F.lit(24.0)).alias("events_per_hour"),
+            (F.col("cents") / F.lit(2400.0)).alias("value_per_hour"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_VALUE_RATE_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) / 24.0 AS events_per_hour,
+       sum(CAST(round(value * 100) AS BIGINT)) / 2400.0 AS value_per_hour
+FROM events GROUP BY 1 ORDER BY day
+"""

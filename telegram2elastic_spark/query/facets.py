@@ -1455,3 +1455,69 @@ SELECT itemset, set_size, support FROM (
   UNION ALL
   SELECT i1 || ' ' || i2 || ' ' || i3, 3, support FROM p3)
 ORDER BY support DESC, itemset LIMIT {k}"""
+
+
+# --------------------------------------------------------------------------
+# ES categorize_text aggregation (ML log-pattern categorization)
+# --------------------------------------------------------------------------
+
+def categorize_text(
+    corpus: DataFrame,
+    max_matched_tokens: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation: groups message-like text into
+    categories by token pattern.  Deterministic pin of the ES/ML drain
+    heuristic: the category key is the doc's token stream with every
+    token containing a digit DROPPED (digits mark variable parts — ids,
+    counters, timestamps), truncated to the first ``max_matched_tokens``
+    tokens and space-joined.  Docs whose every token is variable (empty
+    key) are not categorized, as in ES.
+
+    ES's similarity_threshold merging is load-order dependent and NOT
+    reproduced; the digit-strip + prefix key is the deterministic core
+    both Drain (He et al. 2017) and ES's categorizer share.
+
+    Scale shape: ONE codegen'd map stage (tokenize, filter, slice,
+    concat) + one hash agg on the category key; top-k.
+
+    Output: (category, doc_count), support desc, category asc.
+    """
+    if max_matched_tokens < 1:
+        raise ValueError("max_matched_tokens must be >= 1")
+    key = F.concat_ws(
+        " ",
+        F.slice(
+            F.filter(tokens("text"), lambda t: ~t.rlike(r"\p{N}")),
+            1,
+            max_matched_tokens,
+        ),
+    )
+    return (
+        corpus.select(key.alias("category"))
+        .where(F.col("category") != "")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), "category")
+        .limit(k)
+    )
+
+
+def categorize_text_sql(max_matched_tokens: int = 5, k: int = 20) -> str:
+    if max_matched_tokens < 1:
+        raise ValueError("max_matched_tokens must be >= 1")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+keys AS (
+  SELECT array_to_string(
+           list_slice(
+             list_filter(
+               list_filter(regexp_split_to_array(lower(text),
+                           '{TOKEN_SPLIT_RE}'), t -> t <> ''),
+               t -> NOT regexp_matches(t, '\\p{{N}}')),
+             1, {max_matched_tokens}),
+           ' ') AS category
+  FROM corpus)
+SELECT category, count(*) AS doc_count
+FROM keys WHERE category <> ''
+GROUP BY category ORDER BY doc_count DESC, category LIMIT {k}"""

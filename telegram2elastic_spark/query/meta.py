@@ -176,3 +176,36 @@ scan AS (
 )
 SELECT position, token, start_offset, end_offset FROM scan ORDER BY position
 """
+
+
+def terms_enum(index: dict, prefix: str, size: int = 20):
+    """ES ``_terms_enum`` API: up to ``size`` index terms starting with
+    ``prefix``, in term order — the search-as-you-type/autocomplete
+    enumeration served from the term dictionary (Lucene's terms index).
+
+    Reads ONLY the term_dict relation (vocab-sized, never the corpus);
+    with the sorted on-disk layout (index/build.py term_dict_sorted) the
+    scan prunes to the prefix's row groups.  Output: (term).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return (
+        index["term_dict"]
+        .where(F.col("term").startswith(prefix))
+        .select("term")
+        .orderBy("term")
+        .limit(size)
+    )
+
+
+def terms_enum_sql(prefix: str, size: int = 20) -> str:
+    from ..corpus import CORPUS_CTE  # noqa: PLC0415
+    from ..functions.tokenizer import TOKENS_CTE  # noqa: PLC0415
+
+    esc = prefix.replace("'", "''")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKENS_CTE.strip()}
+SELECT DISTINCT term FROM tokens
+WHERE term LIKE '{esc}%'
+ORDER BY term LIMIT {size}"""
