@@ -53,6 +53,11 @@ from telegram2elastic_spark.query.wand import wand_topk
 
 # Fixed reference-style query set parameters (deterministic).
 Q_MAIN = ["spark", "merge"]
+EQL_QUERY = (
+    "sequence by user_id with maxspan=6h "
+    "[ signup where true ] [ purchase where value >= 100 ] "
+    "until [ error ]"
+)
 SYN_GROUPS = [["spark"], ["merge", "join", "combine"]]
 NAMED_CLAUSES = {"has_merge": ["merge"], "vecs": ["vector", "window"]}
 # Query-rules pair: rule 1 pins on exact query match, rule 2 excludes on a
@@ -526,6 +531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "eql_sample": lambda spark, sf: eqlq.eql_sample(
             load_events(spark, sf), ["signup", "error", "purchase"], k=50
+        ),
+        # ... the _eql/search text surface: parse once, dispatch onto the
+        # verified sequence plan (routing only); carries a per-step value
+        # predicate and an until clause
+        "eql_query": lambda spark, sf: eqlq.eql_search(
+            load_events(spark, sf), EQL_QUERY, k=50
         ),
         # NEW (r4, session 20): ES 8.4 frequent_item_sets — Eclat-style
         # array-side candidate generation with apriori pruning, integer
@@ -2208,6 +2219,7 @@ FROM corpus ORDER BY doc_id
         "eql_sample": eqlq.eql_sample_sql(
             ["signup", "error", "purchase"], k=50
         ),
+        "eql_query": eqlq.eql_search_sql(EQL_QUERY, k=50),
         "frequent_item_sets": facets.frequent_item_sets_sql(
             20, max_set_size=3, k=25, closed=True
         ),

@@ -62,9 +62,33 @@ def _umicros(col: str):
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
-def _steps(events: DataFrame, event_type: str, i: int) -> DataFrame:
+import re as _re
+
+# Restricted per-step `where` grammar: numeric comparisons on the value
+# field.  The literal is pinned to this shape so the SAME text is valid in
+# both engines (== is rewritten to = for SQL).
+_WHERE_RE = _re.compile(
+    r"^\s*value\s*(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _parse_step(step) -> tuple[str, str | None]:
+    """A step is an event_type string or {'type': ..., 'where': 'value >= N'}."""
+    if isinstance(step, str):
+        return step, None
+    t, w = step["type"], step.get("where")
+    if w is not None and not _WHERE_RE.match(w):
+        raise ValueError(f"unsupported step predicate: {w!r}")
+    return t, w
+
+
+def _steps(events: DataFrame, step, i: int) -> DataFrame:
     """Selective step relation: (key, e{i}_id, ts{i}, u{i})."""
-    return events.where(F.col("event_type") == event_type).select(
+    event_type, where = _parse_step(step)
+    df = events.where(F.col("event_type") == event_type)
+    if where is not None:
+        df = df.where(F.expr(where.replace("==", "=")))
+    return df.select(
         F.col("user_id"),
         F.col("event_id").alias(f"e{i}_id"),
         F.col("ts").alias(f"ts{i}"),
@@ -180,10 +204,13 @@ def eql_sequence_sql(
         raise ValueError("eql_sequence supports 2 or 3 steps")
     span_us = maxspan_sec * _US
 
-    def step_cte(i: int, t: str) -> str:
+    def step_cte(i: int, step) -> str:
+        t, w = _parse_step(step)
+        extra = f" AND ({w.replace('==', '=')})" if w is not None else ""
         return (
             f"s{i} AS (SELECT user_id, event_id AS e{i}_id, ts AS ts{i}, "
-            f"epoch_us(ts) AS u{i} FROM events WHERE event_type = '{t}')"
+            f"epoch_us(ts) AS u{i} FROM events WHERE event_type = '{t}'"
+            f"{extra})"
         )
 
     ctes = [step_cte(i + 1, t) for i, t in enumerate(steps)]
@@ -294,4 +321,110 @@ def eql_sample_sql(categories: list[str], k: int = 100) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT {cols} FROM {joins} ORDER BY user_id LIMIT {k}"
+    )
+
+
+# --------------------------------------------------------------------------
+# EQL text parser — the _eql/search surface (category = event_type)
+# --------------------------------------------------------------------------
+
+_MAXSPAN_RE = _re.compile(r"^(\d+)(s|m|h|d)$")
+_SPAN_MULT = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+_STEP_RE = _re.compile(r"\[([^\]]*)\]")
+_HEAD_SEQ_RE = _re.compile(
+    r"^sequence\s+by\s+(\w+)(?:\s+with\s+maxspan\s*=\s*(\S+))?\s*", _re.I
+)
+_HEAD_SAMPLE_RE = _re.compile(r"^sample\s+by\s+(\w+)\s*", _re.I)
+
+
+def _parse_bracket(body: str):
+    """`category` or `category where <cond>`; `where true` is a no-op."""
+    parts = body.strip().split(None, 1)
+    if not parts:
+        raise ValueError("empty [ ] step")
+    cat = parts[0]
+    if not _re.fullmatch(r"\w+", cat):
+        raise ValueError(f"bad event category {cat!r}")
+    if len(parts) == 1:
+        return cat
+    rest = parts[1].strip()
+    if not rest.lower().startswith("where"):
+        raise ValueError(f"expected 'where' in step {body!r}")
+    cond = rest[5:].strip()
+    if cond.lower() == "true":
+        return cat
+    return {"type": cat, "where": cond}  # grammar checked by _parse_step
+
+
+def parse_eql(query: str) -> dict:
+    """Parse the EQL core grammar:
+
+        sequence by user_id with maxspan=<N><s|m|h|d>
+          [ <category> (where true | where value <cmp> <num>) ] x2-3
+        (until [ <category> ])?
+      | sample by user_id [ <category> ] x2-4
+
+    The join key must be user_id (the events table's entity key); the
+    step category matches event_type.  Returns the argument dict for
+    eql_sequence / eql_sample.
+    """
+    q = query.strip()
+    m = _HEAD_SAMPLE_RE.match(q)
+    if m:
+        if m.group(1) != "user_id":
+            raise ValueError("sample key must be user_id")
+        cats = [_parse_bracket(b) for b in _STEP_RE.findall(q[m.end():])]
+        if any(not isinstance(c, str) for c in cats):
+            raise ValueError("sample steps take no where clause")
+        return {"kind": "sample", "categories": cats}
+    m = _HEAD_SEQ_RE.match(q)
+    if not m:
+        raise ValueError("query must start with 'sequence by' or 'sample by'")
+    if m.group(1) != "user_id":
+        raise ValueError("sequence key must be user_id")
+    if m.group(2) is None:
+        raise ValueError("sequence requires 'with maxspan=' (unbounded spans "
+                         "are not supported)")
+    sm = _MAXSPAN_RE.match(m.group(2))
+    if not sm:
+        raise ValueError(f"bad maxspan {m.group(2)!r}")
+    maxspan_sec = int(sm.group(1)) * _SPAN_MULT[sm.group(2)]
+    rest = q[m.end():]
+    until = None
+    um = _re.search(r"until\s*\[([^\]]*)\]\s*$", rest, _re.I)
+    if um:
+        u = _parse_bracket(um.group(1))
+        if not isinstance(u, str):
+            raise ValueError("until takes no where clause")
+        until = u
+        rest = rest[: um.start()]
+    steps = [_parse_bracket(b) for b in _STEP_RE.findall(rest)]
+    # Validate step predicates eagerly (parse-time contract errors).
+    for s in steps:
+        _parse_step(s)
+    return {
+        "kind": "sequence",
+        "steps": steps,
+        "maxspan_sec": maxspan_sec,
+        "until": until,
+    }
+
+
+def eql_search(events: DataFrame, query: str, k: int = 100) -> DataFrame:
+    """Execute an EQL query string — the _eql/search endpoint: parse once,
+    dispatch onto the verified sequence/sample plans (routing only)."""
+    p = parse_eql(query)
+    if p["kind"] == "sample":
+        return eql_sample(events, p["categories"], k=k)
+    return eql_sequence(
+        events, p["steps"], p["maxspan_sec"], until=p["until"], k=k
+    )
+
+
+def eql_search_sql(query: str, k: int = 100) -> str:
+    p = parse_eql(query)
+    if p["kind"] == "sample":
+        return eql_sample_sql(p["categories"], k=k)
+    return eql_sequence_sql(
+        p["steps"], p["maxspan_sec"], until=p["until"], k=k
     )

@@ -196,3 +196,68 @@ def test_arg_validation(spark):
         eql.eql_sequence_sql(["A", "B", "C", "D"], 10)
     with pytest.raises(ValueError):
         eql.eql_sample(ev, ["A"])
+
+
+# --------------------------------------------------------------- parser
+
+
+EQL_Q = (
+    "sequence by user_id with maxspan=6h "
+    '[ signup where true ] [ purchase where value >= 100 ] '
+    "until [ error ]"
+)
+
+
+def test_parser_roundtrip_sequence(spark, sf_dir, duck):
+    ev = load_events(spark, sf_dir)
+    df = eql.eql_search(ev, EQL_Q, k=50)
+    assert_same(df, duck.execute(eql.eql_search_sql(EQL_Q, k=50)).fetchdf())
+    # routing identity: same rows as the direct call
+    direct = eql.eql_sequence(
+        ev, ["signup", {"type": "purchase", "where": "value >= 100"}],
+        21600, until="error", k=50,
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect()))
+    assert df.count() > 0
+
+
+def test_parser_roundtrip_sample(spark, sf_dir, duck):
+    q = "sample by user_id [ signup ] [ error ]"
+    df = eql.eql_search(load_events(spark, sf_dir), q, k=50)
+    assert_same(df, duck.execute(eql.eql_search_sql(q, k=50)).fetchdf())
+
+
+def test_step_where_filters_rows(spark):
+    ev = _ev(spark, [(1, 0, 1, "A"), (2, 10, 1, "B"), (3, 20, 1, "B")])
+    # value column is 0.0 in _ev; a predicate excluding it kills the match
+    assert eql.eql_sequence(
+        ev, ["A", {"type": "B", "where": "value > 5"}], 3600
+    ).count() == 0
+    assert eql.eql_sequence(
+        ev, ["A", {"type": "B", "where": "value >= 0"}], 3600
+    ).count() == 1
+
+
+def test_parser_errors():
+    import pytest as _pytest
+
+    for bad in [
+        "sequence by other_key with maxspan=1h [ a ] [ b ]",
+        "sequence by user_id [ a ] [ b ]",                     # no maxspan
+        "sequence by user_id with maxspan=10x [ a ] [ b ]",
+        "sequence by user_id with maxspan=1h [ a where props == 'x' ] [ b ]",
+        "sample by user_id [ a where value > 1 ] [ b ]",
+        "retrospect by user_id [ a ] [ b ]",
+        "sequence by user_id with maxspan=1h [ ] [ b ]",
+    ]:
+        with _pytest.raises(ValueError):
+            eql.parse_eql(bad)
+
+
+def test_parser_maxspan_units():
+    assert eql.parse_eql(
+        "sequence by user_id with maxspan=2m [ a ] [ b ]"
+    )["maxspan_sec"] == 120
+    assert eql.parse_eql(
+        "sequence by user_id with maxspan=1d [ a ] [ b ]"
+    )["maxspan_sec"] == 86400
