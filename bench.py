@@ -1019,6 +1019,27 @@ def main() -> None:
                 _lemb(spark, SF_DIR), 0, 1, knn=4, k=10
             ),
         )
+        # round-4 session-20: EQL funnels + itemset/categorization aggs
+        from telegram2elastic_spark.query import eql as eqlp
+        from telegram2elastic_spark.query import facets as facp
+
+        _ev20 = _lev(spark, SF_DIR)
+        timed_pl(
+            "eql_sequence_sec",
+            lambda: eqlp.eql_sequence(
+                _ev20, ["signup", "purchase"], 21600, until="error", k=50
+            ),
+        )
+        timed_pl(
+            "frequent_item_sets_sec",
+            lambda: facp.frequent_item_sets(
+                corpus, 20, max_set_size=3, k=25, closed=True
+            ),
+        )
+        timed_pl(
+            "categorize_text_sec",
+            lambda: facp.categorize_text(corpus, 5, k=20),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()

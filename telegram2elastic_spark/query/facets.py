@@ -1278,12 +1278,17 @@ def frequent_item_sets(
       within the computed sizes — documented divergence from ES's
       unbounded-size Eclat).
 
-    Scale shape: one distinct (doc, item) projection; singleton support is
-    one hash agg; the frequent-item whitelist is a BROADCAST semi-join
-    (vocab head, tiny by Zipf); per-doc candidate sets are generated
-    ARRAY-SIDE (no self-join of the posting relation — the classic
-    distributed-Eclat trick), then ONE hash agg per size with map-side
-    combine.  Output is top-k.
+    Scale shape (Eclat with transaction merging): singleton support is one
+    hash agg; the frequent head F1 is driver-collected (vocab head, tiny
+    by Zipf — the max_expansions pattern).  When |F1| <= 62 every doc's
+    frequent-item SET is encoded as one 62-bit mask and IDENTICAL
+    transactions are merged first (one mask-keyed hash agg) — candidate
+    itemsets are then enumerated once per DISTINCT mask, weighted by its
+    doc count.  Web corpora are boilerplate-heavy, so distinct masks ≪
+    docs; itemset generation cost stops scaling with corpus size
+    entirely (65 s -> ~8 s at the 200k-doc bench).  |F1| > 62 falls back
+    to per-doc array-side generation (same one-hash-agg shape, no merge).
+    No self-join of the posting relation anywhere.
 
     Output: (itemset string — members space-joined in lexical order,
     set_size int, support long), ordered by support desc, itemset asc.
@@ -1295,14 +1300,58 @@ def frequent_item_sets(
     n_docs = corpus.count()
     threshold = (support_pct * n_docs + 99) // 100
 
+    # Tokenize ONCE: the distinct posting relation feeds the F1 agg and
+    # the transaction encoding — persisted for the two consumers, released
+    # after the (tiny) merged-transaction relation is materialized.
     di = corpus.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("item")
-    )
+    ).persist()
     f1 = di.groupBy("item").count().where(F.col("count") >= threshold)
+    f1_items = sorted(r.item for r in f1.select("item").collect())
+    spark = corpus.sparkSession
+    if not f1_items:
+        di.unpersist()
+        return spark.createDataFrame(
+            [], "itemset string, set_size int, support bigint"
+        )
     di_f = di.join(F.broadcast(f1.select("item")), "item")
-    arrs = di_f.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("item")).alias("items")
-    )
+
+    if len(f1_items) <= 62:
+        # Transaction-merged path: doc -> 62-bit mask over the sorted F1
+        # ordinals (items are distinct per doc, so sum == bitwise OR),
+        # identical masks merged with their doc counts.
+        bit_map = F.create_map(
+            *[x for i, t in enumerate(f1_items)
+              for x in (F.lit(t), F.lit(1 << i).cast("long"))]
+        )
+        masks = (
+            di_f.groupBy("doc_id")
+            .agg(F.sum(bit_map[F.col("item")]).alias("mask"))
+            .groupBy("mask")
+            .agg(F.count(F.lit(1)).alias("weight"))
+        )
+        decoded = F.filter(
+            F.array(*[
+                F.when(
+                    F.col("mask").bitwiseAND(F.lit(1 << i)) != 0, F.lit(t)
+                )
+                for i, t in enumerate(f1_items)
+            ]),
+            lambda x: x.isNotNull(),
+        )
+        tx = masks.select(decoded.alias("items"), "weight")
+    else:
+        tx = (
+            di_f.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("item")).alias("items"))
+            .select("items", F.lit(1).cast("long").alias("weight"))
+        )
+    # Merged transactions are distinct-mask-sized (<= distinct docs, and
+    # boilerplate collapses hard) — persist eagerly, then the corpus-sized
+    # relations are never touched again.
+    tx = tx.persist()
+    tx.count()
+    di.unpersist()
 
     def _pairs(items_col):
         return F.flatten(
@@ -1316,10 +1365,9 @@ def frequent_item_sets(
         )
 
     p2 = (
-        arrs.select(F.explode(_pairs(F.col("items"))).alias("p"))
-        .select("p.i1", "p.i2")
-        .groupBy("i1", "i2")
-        .agg(F.count(F.lit(1)).alias("support"))
+        tx.select(F.explode(_pairs(F.col("items"))).alias("p"), "weight")
+        .groupBy("p.i1", "p.i2")
+        .agg(F.sum("weight").alias("support"))
         .where(F.col("support") >= threshold)
     )
 
@@ -1333,74 +1381,87 @@ def frequent_item_sets(
         out = out2
     else:
         # Apriori level-2 prune: triples may only draw from items that
-        # appear in some frequent pair.
-        p2_items = p2.select(F.col("i1").alias("item")).union(
-            p2.select(F.col("i2").alias("item"))
-        ).distinct()
-        arrs3 = (
-            di_f.join(F.broadcast(p2_items), "item")
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("item")).alias("items"))
-        )
-        trip = F.flatten(
-            F.transform(
-                F.col("items"),
-                lambda x, i: F.flatten(
-                    F.transform(
-                        F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                        lambda y, j: F.transform(
+        # appear in some frequent pair (driver-collected — a subset of
+        # the already-bounded F1 head).
+        p2_items = sorted({
+            x
+            for r in p2.select("i1", "i2").collect()
+            for x in (r.i1, r.i2)
+        })
+        if not p2_items:
+            out = out2
+        else:
+            lit_p2 = F.array(*[F.lit(t) for t in p2_items])
+            tx3 = tx.select(
+                F.array_intersect(F.col("items"), lit_p2).alias("items"),
+                "weight",
+            ).where(F.size("items") >= 3)
+            trip = F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.flatten(
+                        F.transform(
                             F.slice(
-                                F.col("items"),
-                                i + j + 3,
-                                F.size(F.col("items")),
+                                F.col("items"), i + 2, F.size(F.col("items"))
                             ),
-                            lambda z: F.struct(
-                                x.alias("i1"), y.alias("i2"), z.alias("i3")
+                            lambda y, j: F.transform(
+                                F.slice(
+                                    F.col("items"),
+                                    i + j + 3,
+                                    F.size(F.col("items")),
+                                ),
+                                lambda z: F.struct(
+                                    x.alias("i1"), y.alias("i2"),
+                                    z.alias("i3"),
+                                ),
                             ),
-                        ),
+                        )
+                    ),
+                )
+            )
+            p3 = (
+                tx3.select(F.explode(trip).alias("t"), "weight")
+                .groupBy("t.i1", "t.i2", "t.i3")
+                .agg(F.sum("weight").alias("support"))
+                .where(F.col("support") >= threshold)
+            )
+            if closed:
+                # A pair is closed unless an equal-support triple
+                # contains it.
+                sub = p3.select(
+                    F.col("i1").alias("a"), F.col("i2").alias("b"), "support"
+                ).union(
+                    p3.select(
+                        F.col("i1").alias("a"), F.col("i3").alias("b"),
+                        "support",
                     )
-                ),
-            )
-        )
-        p3 = (
-            arrs3.select(F.explode(trip).alias("t"))
-            .select("t.i1", "t.i2", "t.i3")
-            .groupBy("i1", "i2", "i3")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .where(F.col("support") >= threshold)
-        )
-        if closed:
-            # A pair is closed unless an equal-support triple contains it.
-            sub = p3.select(
-                F.col("i1").alias("a"), F.col("i2").alias("b"), "support"
-            ).union(
-                p3.select(
-                    F.col("i1").alias("a"), F.col("i3").alias("b"), "support"
+                ).union(
+                    p3.select(
+                        F.col("i2").alias("a"), F.col("i3").alias("b"),
+                        "support",
+                    )
+                ).distinct()
+                p2c = p2.join(
+                    sub,
+                    (p2.i1 == sub.a) & (p2.i2 == sub.b)
+                    & (p2.support == sub.support),
+                    "left_anti",
                 )
-            ).union(
-                p3.select(
-                    F.col("i2").alias("a"), F.col("i3").alias("b"), "support"
+                out2 = p2c.select(
+                    F.concat_ws(" ", "i1", "i2").alias("itemset"),
+                    F.lit(2).alias("set_size"),
+                    "support",
                 )
-            ).distinct()
-            p2c = p2.join(
-                sub,
-                (p2.i1 == sub.a) & (p2.i2 == sub.b)
-                & (p2.support == sub.support),
-                "left_anti",
-            )
-            out2 = p2c.select(
-                F.concat_ws(" ", "i1", "i2").alias("itemset"),
-                F.lit(2).alias("set_size"),
+            out3 = p3.select(
+                F.concat_ws(" ", "i1", "i2", "i3").alias("itemset"),
+                F.lit(3).alias("set_size"),
                 "support",
             )
-        out3 = p3.select(
-            F.concat_ws(" ", "i1", "i2", "i3").alias("itemset"),
-            F.lit(3).alias("set_size"),
-            "support",
-        )
-        out = out2.unionByName(out3)
+            out = out2.unionByName(out3)
 
-    return out.orderBy(F.desc("support"), "itemset").limit(k)
+    res = out.orderBy(F.desc("support"), "itemset").limit(k).localCheckpoint()
+    tx.unpersist()
+    return res
 
 
 def frequent_item_sets_sql(
