@@ -373,7 +373,12 @@ def parse_eql(query: str) -> dict:
     if m:
         if m.group(1) != "user_id":
             raise ValueError("sample key must be user_id")
-        cats = [_parse_bracket(b) for b in _STEP_RE.findall(q[m.end():])]
+        body = q[m.end():]
+        if _STEP_RE.sub("", body).strip():
+            raise ValueError(
+                f"unparsed text outside [ ] steps: {_STEP_RE.sub('', body).strip()!r}"
+            )
+        cats = [_parse_bracket(b) for b in _STEP_RE.findall(body)]
         if any(not isinstance(c, str) for c in cats):
             raise ValueError("sample steps take no where clause")
         return {"kind": "sample", "categories": cats}
@@ -398,6 +403,12 @@ def parse_eql(query: str) -> dict:
             raise ValueError("until takes no where clause")
         until = u
         rest = rest[: um.start()]
+    if _STEP_RE.sub("", rest).strip():
+        # e.g. an `until` clause not in trailing position would otherwise
+        # be silently swallowed and its bracket read as a plain step
+        raise ValueError(
+            f"unparsed text outside [ ] steps: {_STEP_RE.sub('', rest).strip()!r}"
+        )
     steps = [_parse_bracket(b) for b in _STEP_RE.findall(rest)]
     # Validate step predicates eagerly (parse-time contract errors).
     for s in steps:

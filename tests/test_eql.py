@@ -261,3 +261,20 @@ def test_parser_maxspan_units():
     assert eql.parse_eql(
         "sequence by user_id with maxspan=1d [ a ] [ b ]"
     )["maxspan_sec"] == 86400
+
+
+def test_parser_rejects_unparsed_text():
+    import pytest as _pytest
+
+    # a non-trailing until would otherwise be swallowed silently
+    with _pytest.raises(ValueError, match="unparsed text"):
+        eql.parse_eql(
+            "sequence by user_id with maxspan=1h until [ x ] [ a ] [ b ]"
+        )
+    with _pytest.raises(ValueError, match="unparsed text"):
+        eql.parse_eql("sample by user_id [ a ] garbage [ b ]")
+    # trailing until still parses
+    p = eql.parse_eql(
+        "sequence by user_id with maxspan=1h [ a ] [ b ] until [ x ]"
+    )
+    assert p["until"] == "x" and p["steps"] == ["a", "b"]
