@@ -556,6 +556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": lambda spark, sf: meta.terms_enum(
             build_index(load_corpus(spark, sf)), "s", 20
         ),
+        # ... ES random_score (seeded): hash-uniform [0,1) score, the ES
+        # reproducible-random-sampling recipe; map-only + TakeOrdered
+        "random_score_topk": lambda spark, sf: fscore.random_score_topk(
+            load_corpus(spark, sf), seed="42", k=15
+        ),
         # NEW (r4, session 19): graph-ranking family — TextRank (damped
         # PageRank over the term co-occurrence graph) and HITS (doc-term
         # bipartite hubs/authorities), both in EXACT integer arithmetic
@@ -2226,6 +2231,7 @@ FROM corpus ORDER BY doc_id
         "categorize_text": facets.categorize_text_sql(5, k=20),
         "events_value_rate": agg.EVENTS_VALUE_RATE_SQL,
         "terms_enum": meta.terms_enum_sql("s", 20),
+        "random_score_topk": fscore.random_score_sql(seed="42", k=15),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
         "textrank_seeded": graphops.textrank_seeded_sql(
             ["spark", "merge"], window=2, iters=3, k=20

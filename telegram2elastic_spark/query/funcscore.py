@@ -395,3 +395,48 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# ES function_score random_score (seeded, deterministic)
+# --------------------------------------------------------------------------
+
+# 53-bit mantissa window: the quotient is an exactly-representable double
+# and the SAME single division runs in both engines.
+_RS_MOD = 1 << 53
+
+
+def random_score_topk(corpus, seed: str = "42", k: int = 10):
+    """ES ``random_score`` with a seed + field (seed consistency contract:
+    same seed + same doc => same score, ES docs) — the documented ES
+    recipe for reproducible random sampling of documents.
+
+    score = h64(seed || '#' || url) % 2^53 / 2^53 — uniform in [0, 1),
+    RNG-free, stable across runs/partitionings; top-k by (score desc,
+    doc_id) is a uniform sample without replacement.  Map-only scan +
+    TakeOrdered; no shuffle.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..operators.dedup import h64  # noqa: PLC0415
+
+    r = F.pmod(h64(F.concat(F.lit(seed + "#"), F.col("url"))), F.lit(_RS_MOD))
+    return (
+        corpus.select(
+            "doc_id", "url",
+            (r / F.lit(float(_RS_MOD))).alias("rscore"),
+        )
+        .orderBy(F.desc("rscore"), "doc_id")
+        .limit(k)
+    )
+
+
+def random_score_sql(seed: str = "42", k: int = 10) -> str:
+    from ..corpus import CORPUS_CTE  # noqa: PLC0415
+    from ..operators.dedup import H64_SQL  # noqa: PLC0415
+
+    h = H64_SQL.format(x=f"'{seed}#' || url")
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT doc_id, url, (({h}) % {_RS_MOD}) / {float(_RS_MOD)!r} AS rscore
+FROM corpus ORDER BY rscore DESC, doc_id LIMIT {k}"""

@@ -77,3 +77,31 @@ def test_zero_hit_terms_empty(spark, sf_dir, idx):
         load_corpus(spark, sf_dir), ["zzznotaterm"], k=10, index=idx
     )
     assert out.count() == 0
+
+
+# --------------------------- random_score (seeded, deterministic) ----------
+
+
+def test_random_score_oracle_parity(spark, sf_dir, duck):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.query import funcscore as fs
+    from tests.oracle import assert_same
+
+    c = load_corpus(spark, sf_dir)
+    for seed in ("42", "alpha"):
+        df = fs.random_score_topk(c, seed=seed, k=15)
+        assert_same(df, duck.execute(fs.random_score_sql(seed=seed, k=15)).fetchdf())
+
+
+def test_random_score_seed_contract(spark, sf_dir):
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.query import funcscore as fs
+
+    c = load_corpus(spark, sf_dir)
+    a = [r.doc_id for r in fs.random_score_topk(c, "42", 15).collect()]
+    b = [r.doc_id for r in fs.random_score_topk(c.repartition(7), "42", 15).collect()]
+    c2 = [r.doc_id for r in fs.random_score_topk(c, "other", 15).collect()]
+    assert a == b          # same seed: stable across partitionings
+    assert a != c2         # different seed: different sample
+    scores = [r.rscore for r in fs.random_score_topk(c, "42", 1000).collect()]
+    assert all(0.0 <= s < 1.0 for s in scores)
