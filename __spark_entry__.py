@@ -581,6 +581,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_authorities": lambda spark, sf: graphops.hits_authorities(
             load_corpus(spark, sf), iters=2, k=20
         ),
+        # NEW (r4, session 20): triangle counting via degree-ordered edge
+        # orientation (Suri & Vassilvitskii 2011) — hub-proof wedge join,
+        # each triangle generated once at its pi-least apex; oracle is the
+        # orientation-free lexical 3-way edge join
+        "graph_triangles": lambda spark, sf: graphops.triangle_counts(
+            load_corpus(spark, sf), window=2, k=20
+        ),
         # NEW (r4, session 19): margin-based bitext mining (Artetxe &
         # Schwenk 2019 ratio margin — the CCMatrix/LASER criterion);
         # integer-scaled cosines make the neighborhood sums associative,
@@ -2237,6 +2244,7 @@ FROM corpus ORDER BY doc_id
             ["spark", "merge"], window=2, iters=3, k=20
         ),
         "hits_authorities": graphops.hits_authorities_sql(iters=2, k=20),
+        "graph_triangles": graphops.triangle_counts_sql(window=2, k=20),
         "bitext_margin_topk": sim.bitext_margin_topk_sql(0, 1, knn=4, k=10),
         "bpe_merges": training.bpe_merges_sql(n_merges=6),
         "bpe_token_counts": training.bpe_token_counts_sql(n_merges=4),

@@ -495,3 +495,90 @@ SELECT term, a AS auth FROM a{iters}
 ORDER BY auth DESC, term ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation — Suri & Vassilvitskii 2011)
+# --------------------------------------------------------------------------
+
+def triangle_counts(corpus: DataFrame, window: int = 2, k: int = 20) -> DataFrame:
+    """Per-node triangle counts over the DISTINCT-edge co-occurrence
+    graph, top-k by (triangles desc, term asc) — the clustering-structure
+    signal next to TextRank/HITS (triangle-rich neighborhoods = topical
+    cliques; the same operator counts link-graph triangles at crawl
+    scale).
+
+    Scale shape — the canonical MapReduce triangle algorithm: every
+    undirected edge is ORIENTED from the lower to the higher endpoint in
+    the total order pi(v) = (degree(v), v).  Each node's out-degree in
+    the oriented graph is O(sqrt(|E|)) regardless of its raw degree, so
+    the wedge join (oriented ⋈ oriented on src) never explodes on hubs —
+    the whole computation is two equi-joins + one hash agg over the edge
+    relation, no per-node adjacency materialization.  Every triangle is
+    generated exactly once (its pi-least vertex is the wedge apex).
+
+    All arithmetic is integer; output is engine- and partition-exact.
+    """
+    edges = _cooc_pairs(corpus, window).distinct()
+    deg = (
+        edges.select(F.col("w1").alias("v"))
+        .unionAll(edges.select(F.col("w2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("v", "w1").withColumnRenamed("d", "d1"), "w1")
+        .join(deg.withColumnRenamed("v", "w2").withColumnRenamed("d", "d2"), "w2")
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("w1") < F.col("w2"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("w1")).otherwise(F.col("w2")).alias("src"),
+        F.when(lower_first, F.col("w2")).otherwise(F.col("w1")).alias("dst"),
+        F.when(lower_first, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
+    )
+    o1 = oriented.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("ddst").alias("db")
+    )
+    o2 = oriented.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("ddst").alias("dc")
+    )
+    # wedges at the pi-least apex, (b, c) in pi order — each triangle once
+    wedges = o1.join(o2, "src").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("src", "b", "c")
+    per_node = (
+        tris.select(F.explode(F.array("src", "b", "c")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node.orderBy(F.desc("triangles"), "term").limit(k)
+
+
+def triangle_counts_sql(window: int = 2, k: int = 20) -> str:
+    """Oracle: same orientation construction; the triangle relation is
+    the plain 3-way edge join (the reference semantics the oriented plan
+    must reproduce)."""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{_cooc_sql(int(window)).strip().lstrip(',').strip()},
+edges AS (SELECT DISTINCT w1, w2 FROM pairs),
+tris AS (
+  -- independent of the engine's degree orientation: a triangle a<b<c
+  -- (lexically) appears as exactly the edge triple (a,b),(a,c),(b,c)
+  -- in the w1<w2 edge relation
+  SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.w1 = e1.w1 AND e2.w2 > e1.w2
+  JOIN edges e3 ON e3.w1 = e1.w2 AND e3.w2 = e2.w2)
+SELECT term, count(*) AS triangles FROM (
+  SELECT a AS term FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris)
+GROUP BY term ORDER BY triangles DESC, term LIMIT {k}"""

@@ -261,3 +261,85 @@ def test_textrank_seeded_rejects_bad_args(spark, sf_dir):
         graph.textrank_seeded(corpus, [])
     with pytest.raises(ValueError):
         graph.textrank_seeded(corpus, ["zzznotaterm"])
+
+
+# ------------------------- triangle counting (oriented wedge join) --------
+
+
+def _tri_corpus(spark, texts):
+    from telegram2elastic_spark.corpus import as_corpus
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).selectExpr("doc_id", "text", "'en' lang", "'x' source",
+                 "length(text) n_chars")
+    return as_corpus(docs)
+
+
+def test_triangle_counts_oracle_parity(spark, sf_dir, duck):
+    from telegram2elastic_spark.operators import graph as g
+
+    c = load_corpus(spark, sf_dir)
+    for w in (2, 3):
+        df = g.triangle_counts(c, window=w, k=20)
+        assert_same(df, duck.execute(g.triangle_counts_sql(window=w, k=20)).fetchdf())
+
+
+def test_triangle_counts_matches_bruteforce(spark, sf_dir):
+    """Independent Python recompute: undirected distinct edges from the
+    same window rule, triangles by brute-force edge-set intersection."""
+    import itertools
+
+    from telegram2elastic_spark.functions.tokenizer import py_tokenize
+    from telegram2elastic_spark.operators import graph as g
+
+    c = load_corpus(spark, sf_dir)
+    edges = set()
+    for r in c.select("text").collect():
+        toks = py_tokenize(r.text)
+        for off in (1, 2):
+            for a, b in zip(toks, toks[off:]):
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in edges:
+        for ccommon in nbrs[a] & nbrs[b]:
+            for v in (a, b, ccommon):
+                counts[v] = counts.get(v, 0) + 1
+    # every triangle visited 3x (once per edge)
+    expected = sorted(
+        ((t, n // 3) for t, n in counts.items()), key=lambda r: (-r[1], r[0])
+    )[:20]
+    got = [
+        (r.term, r.triangles)
+        for r in g.triangle_counts(c, window=2, k=20).collect()
+    ]
+    assert got == expected and len(got) > 0
+    assert len({t for t, _ in expected}) == len(expected)  # sanity
+
+
+def test_triangle_k4_and_path(spark):
+    from telegram2elastic_spark.operators import graph as g
+
+    # K4 via all-pairs adjacency: every node in C(3,2)=3 triangles
+    k4 = _tri_corpus(spark, [
+        "a b", "a c", "a d", "b c", "b d", "c d",
+    ])
+    got = {(r.term, r.triangles) for r in g.triangle_counts(k4, 2, 10).collect()}
+    assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+    # path graph: zero triangles
+    path = _tri_corpus(spark, ["a b", "b c", "c d"])
+    assert g.triangle_counts(path, 2, 10).count() == 0
+
+
+def test_triangle_partitioning_invariance(spark, sf_dir):
+    from telegram2elastic_spark.operators import graph as g
+
+    c = load_corpus(spark, sf_dir)
+    a = g.triangle_counts(c, 2, 20).collect()
+    b = g.triangle_counts(c.repartition(13), 2, 20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
