@@ -1040,6 +1040,10 @@ def main() -> None:
             "categorize_text_sec",
             lambda: facp.categorize_text(corpus, 5, k=20),
         )
+        timed_pl(
+            "graph_triangles_sec",
+            lambda: grp.triangle_counts(corpus, window=2, k=20),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()
