@@ -103,6 +103,21 @@ def _after(u_prev: str, id_prev: str, u_next: str, id_next: str):
     )
 
 
+
+# Total-order scalar key for (micros, event_id): key = u * 10^19 + id in
+# DECIMAL(38,0).  Both components are < 10^19 non-negative BIGINTs, so the
+# key preserves tuple order exactly and fits 38 digits.  A SCALAR ordering
+# key keeps min_by inside a HashAggregate (map-side combine); the struct
+# key forced a SortAggregate.
+_DEC_SHIFT = "CAST(10000000000000000000 AS DECIMAL(20,0))"
+
+
+def _ord_key(u_col: str, id_col: str):
+    return F.col(u_col).cast("decimal(38,0)") * F.expr(_DEC_SHIFT) + F.col(
+        id_col
+    ).cast("decimal(38,0)")
+
+
 def eql_sequence(
     events: DataFrame,
     steps: list[str],
@@ -132,15 +147,11 @@ def eql_sequence(
         _after("u1", "e1_id", "u2", "e2_id")
         & (F.col("u2") - F.col("u1") <= F.lit(span_us))
     )
+    k2 = _ord_key("u2", "e2_id")
     a2 = j2.groupBy("user_id", "e1_id", "ts1", "u1").agg(
-        F.min_by(
-            F.struct("e2_id", "ts2", "u2"), F.struct("u2", "e2_id")
-        ).alias("b2")
-    ).select(
-        "user_id", "e1_id", "ts1", "u1",
-        F.col("b2.e2_id").alias("e2_id"),
-        F.col("b2.ts2").alias("ts2"),
-        F.col("b2.u2").alias("u2"),
+        F.min_by("e2_id", k2).alias("e2_id"),
+        F.min_by("ts2", k2).alias("ts2"),
+        F.min_by("u2", k2).alias("u2"),
     )
 
     if len(steps) == 3:
@@ -149,17 +160,13 @@ def eql_sequence(
             _after("u2", "e2_id", "u3", "e3_id")
             & (F.col("u3") - F.col("u1") <= F.lit(span_us))
         )
+        k3 = _ord_key("u3", "e3_id")
         chain = j3.groupBy(
             "user_id", "e1_id", "ts1", "u1", "e2_id", "ts2", "u2"
         ).agg(
-            F.min_by(
-                F.struct("e3_id", "ts3", "u3"), F.struct("u3", "e3_id")
-            ).alias("b3")
-        ).select(
-            "user_id", "e1_id", "ts1", "u1", "e2_id", "ts2", "u2",
-            F.col("b3.e3_id").alias("e3_id"),
-            F.col("b3.ts3").alias("ts3"),
-            F.col("b3.u3").alias("u3"),
+            F.min_by("e3_id", k3).alias("e3_id"),
+            F.min_by("ts3", k3).alias("ts3"),
+            F.min_by("u3", k3).alias("u3"),
         )
         last_u, last_id = "u3", "e3_id"
         out_cols = ["user_id", "e1_id", "ts1", "e2_id", "ts2", "e3_id", "ts3"]
@@ -182,11 +189,11 @@ def eql_sequence(
             & (F.col("uu") - F.col("u1") <= F.lit(span_us))
         )
         cut = ju.groupBy("user_id", "e1_id").agg(
-            F.min(F.struct("uu", "eu_id")).alias("cut")
+            F.min(_ord_key("uu", "eu_id")).alias("cut")
         )
         chain = chain.join(cut, ["user_id", "e1_id"], "left").where(
             F.col("cut").isNull()
-            | (F.struct(F.col(last_u), F.col(last_id)) < F.col("cut"))
+            | (_ord_key(last_u, last_id) < F.col("cut"))
         )
 
     return chain.select(*out_cols).orderBy("user_id", "e1_id").limit(k)
@@ -278,17 +285,15 @@ def eql_sample(events: DataFrame, categories: list[str], k: int = 100) -> DataFr
         raise ValueError("eql_sample supports 2-4 categories")
     parts = []
     for i, cat in enumerate(categories, start=1):
+        kc = _umicros("ts").cast("decimal(38,0)") * F.expr(
+            _DEC_SHIFT
+        ) + F.col("event_id").cast("decimal(38,0)")
         parts.append(
             events.where(F.col("event_type") == cat)
             .groupBy("user_id")
             .agg(
-                F.min_by(
-                    F.struct(
-                        F.col("event_id").alias(f"e{i}_id"),
-                        F.col("ts").alias(f"ts{i}"),
-                    ),
-                    F.struct(_umicros("ts"), F.col("event_id")),
-                ).alias(f"b{i}")
+                F.min_by("event_id", kc).alias(f"e{i}_id"),
+                F.min_by("ts", kc).alias(f"ts{i}"),
             )
         )
     joined = parts[0]
@@ -296,8 +301,7 @@ def eql_sample(events: DataFrame, categories: list[str], k: int = 100) -> DataFr
         joined = joined.join(p, "user_id")
     cols = [F.col("user_id")]
     for i in range(1, len(categories) + 1):
-        cols += [F.col(f"b{i}.e{i}_id").alias(f"e{i}_id"),
-                 F.col(f"b{i}.ts{i}").alias(f"ts{i}")]
+        cols += [F.col(f"e{i}_id"), F.col(f"ts{i}")]
     return joined.select(*cols).orderBy("user_id").limit(k)
 
 
