@@ -124,6 +124,7 @@ def eql_sequence(
     maxspan_sec: int,
     until: str | None = None,
     k: int = 100,
+    tail: bool = False,
 ) -> DataFrame:
     """EQL ``sequence by user_id [t=s0] [t=s1] (...) with maxspan`` —
     anchored greedy-earliest funnel (module docstring for the exact
@@ -196,7 +197,16 @@ def eql_sequence(
             | (_ord_key(last_u, last_id) < F.col("cut"))
         )
 
-    return chain.select(*out_cols).orderBy("user_id", "e1_id").limit(k)
+    out = chain.select(*out_cols)
+    if tail:
+        # EQL `| tail N`: the LAST k rows of the result order — TakeOrdered
+        # on the reversed order, re-sorted ascending for presentation
+        return (
+            out.orderBy(F.desc("user_id"), F.desc("e1_id"))
+            .limit(k)
+            .orderBy("user_id", "e1_id")
+        )
+    return out.orderBy("user_id", "e1_id").limit(k)
 
 
 def eql_sequence_sql(
@@ -204,6 +214,7 @@ def eql_sequence_sql(
     maxspan_sec: int,
     until: str | None = None,
     k: int = 100,
+    tail: bool = False,
 ) -> str:
     """DuckDB oracle for eql_sequence — same integer tuple ordering, the
     per-anchor argmin expressed as QUALIFY row_number()."""
@@ -263,11 +274,16 @@ def eql_sequence_sql(
     else:
         where = ""
 
-    return (
+    body = (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT {cols} FROM {final}{guard}{where} "
-        f"ORDER BY user_id, e1_id LIMIT {k}"
     )
+    if tail:
+        return (
+            f"SELECT * FROM ({body} ORDER BY user_id DESC, e1_id DESC "
+            f"LIMIT {k}) ORDER BY user_id, e1_id"
+        )
+    return body + f"ORDER BY user_id, e1_id LIMIT {k}"
 
 
 def eql_sample(events: DataFrame, categories: list[str], k: int = 100) -> DataFrame:
@@ -373,6 +389,15 @@ def parse_eql(query: str) -> dict:
     eql_sequence / eql_sample.
     """
     q = query.strip()
+    pipe = None
+    pm = _re.search(r"\|\s*(head|tail)\s+(\d+)\s*$", q, _re.I)
+    if pm:
+        pipe = (pm.group(1).lower(), int(pm.group(2)))
+        if pipe[1] < 1:
+            raise ValueError("pipe size must be >= 1")
+        q = q[: pm.start()].strip()
+    if "|" in q:
+        raise ValueError("only one trailing | head/tail pipe is supported")
     m = _HEAD_SAMPLE_RE.match(q)
     if m:
         if m.group(1) != "user_id":
@@ -385,7 +410,7 @@ def parse_eql(query: str) -> dict:
         cats = [_parse_bracket(b) for b in _STEP_RE.findall(body)]
         if any(not isinstance(c, str) for c in cats):
             raise ValueError("sample steps take no where clause")
-        return {"kind": "sample", "categories": cats}
+        return {"kind": "sample", "categories": cats, "pipe": pipe}
     m = _HEAD_SEQ_RE.match(q)
     if not m:
         raise ValueError("query must start with 'sequence by' or 'sample by'")
@@ -422,6 +447,7 @@ def parse_eql(query: str) -> dict:
         "steps": steps,
         "maxspan_sec": maxspan_sec,
         "until": until,
+        "pipe": pipe,
     }
 
 
@@ -429,17 +455,28 @@ def eql_search(events: DataFrame, query: str, k: int = 100) -> DataFrame:
     """Execute an EQL query string — the _eql/search endpoint: parse once,
     dispatch onto the verified sequence/sample plans (routing only)."""
     p = parse_eql(query)
+    kk, tail = k, False
+    if p["pipe"] is not None:
+        kk, tail = p["pipe"][1], p["pipe"][0] == "tail"
     if p["kind"] == "sample":
-        return eql_sample(events, p["categories"], k=k)
+        if tail:
+            raise ValueError("| tail is not supported on sample queries")
+        return eql_sample(events, p["categories"], k=kk)
     return eql_sequence(
-        events, p["steps"], p["maxspan_sec"], until=p["until"], k=k
+        events, p["steps"], p["maxspan_sec"], until=p["until"], k=kk,
+        tail=tail,
     )
 
 
 def eql_search_sql(query: str, k: int = 100) -> str:
     p = parse_eql(query)
+    kk, tail = k, False
+    if p["pipe"] is not None:
+        kk, tail = p["pipe"][1], p["pipe"][0] == "tail"
     if p["kind"] == "sample":
-        return eql_sample_sql(p["categories"], k=k)
+        if tail:
+            raise ValueError("| tail is not supported on sample queries")
+        return eql_sample_sql(p["categories"], k=kk)
     return eql_sequence_sql(
-        p["steps"], p["maxspan_sec"], until=p["until"], k=k
+        p["steps"], p["maxspan_sec"], until=p["until"], k=kk, tail=tail
     )

@@ -202,10 +202,16 @@ def terms_enum_sql(prefix: str, size: int = 20) -> str:
     from ..corpus import CORPUS_CTE  # noqa: PLC0415
     from ..functions.tokenizer import TOKENS_CTE  # noqa: PLC0415
 
-    esc = prefix.replace("'", "''")
+    # literal-prefix semantics: % and _ in the prefix are characters, not
+    # LIKE wildcards (tokens can contain _? no — the tokenizer strips it;
+    # escaped anyway so the oracle matches startswith for ANY prefix)
+    esc = (
+        prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        .replace("'", "''")
+    )
     return f"""
 WITH {CORPUS_CTE.strip()},
 {TOKENS_CTE.strip()}
 SELECT DISTINCT term FROM tokens
-WHERE term LIKE '{esc}%'
+WHERE term LIKE '{esc}%' ESCAPE '\\'
 ORDER BY term LIMIT {size}"""

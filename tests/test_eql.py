@@ -278,3 +278,37 @@ def test_parser_rejects_unparsed_text():
         "sequence by user_id with maxspan=1h [ a ] [ b ] until [ x ]"
     )
     assert p["until"] == "x" and p["steps"] == ["a", "b"]
+
+
+def test_pipes_head_tail(spark, sf_dir, duck):
+    ev = load_events(spark, sf_dir)
+    base = "sequence by user_id with maxspan=6h [ signup ] [ error ]"
+    full = eql.eql_sequence(ev, ["signup", "error"], 21600, k=10**6).collect()
+    head = eql.eql_search(ev, base + " | head 3").collect()
+    assert [tuple(r) for r in head] == [tuple(r) for r in full[:3]]
+    tail = eql.eql_search(ev, base + " | tail 3").collect()
+    assert [tuple(r) for r in tail] == [tuple(r) for r in full[-3:]]
+    # oracle parity for both pipes
+    from tests.oracle import assert_same
+
+    assert_same(
+        eql.eql_search(ev, base + " | head 3"),
+        duck.execute(eql.eql_search_sql(base + " | head 3")).fetchdf(),
+    )
+    assert_same(
+        eql.eql_search(ev, base + " | tail 3"),
+        duck.execute(eql.eql_search_sql(base + " | tail 3")).fetchdf(),
+    )
+
+
+def test_pipe_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eql.parse_eql("sequence by user_id with maxspan=1h [ a ] [ b ] | head 0")
+    with _pytest.raises(ValueError):
+        eql.parse_eql(
+            "sequence by user_id with maxspan=1h [ a ] [ b ] | head 2 | tail 1"
+        )
+    with _pytest.raises(ValueError):
+        eql.eql_search_sql("sample by user_id [ a ] [ b ] | tail 2")

@@ -56,4 +56,4 @@ def test_sequence_roundtrip(cats, preds, span, unit, until, pad):
 def test_sample_roundtrip(cats):
     q = "sample by user_id " + " ".join(f"[ {c} ]" for c in cats)
     p = parse_eql(q)
-    assert p == {"kind": "sample", "categories": cats}
+    assert p == {"kind": "sample", "categories": cats, "pipe": None}
