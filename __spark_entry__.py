@@ -561,6 +561,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score_topk": lambda spark, sf: fscore.random_score_topk(
             load_corpus(spark, sf), seed="42", k=15
         ),
+        # ... CCNet LM-perplexity quality scoring (Wenzek et al. 2020):
+        # add-one bigram LM trained on the en slice, per-doc cross-entropy
+        # in integer micro-nats (associative sums => engine-exact)
+        "lm_perplexity": lambda spark, sf: training.lm_perplexity(
+            load_corpus(spark, sf), "en", k=20
+        ),
         # NEW (r4, session 19): graph-ranking family — TextRank (damped
         # PageRank over the term co-occurrence graph) and HITS (doc-term
         # bipartite hubs/authorities), both in EXACT integer arithmetic
@@ -2239,6 +2245,7 @@ FROM corpus ORDER BY doc_id
         "events_value_rate": agg.EVENTS_VALUE_RATE_SQL,
         "terms_enum": meta.terms_enum_sql("s", 20),
         "random_score_topk": fscore.random_score_sql(seed="42", k=15),
+        "lm_perplexity": training.lm_perplexity_sql("en", k=20),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
         "textrank_seeded": graphops.textrank_seeded_sql(
             ["spark", "merge"], window=2, iters=3, k=20

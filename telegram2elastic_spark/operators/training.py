@@ -2368,3 +2368,139 @@ SELECT doc_id, shard,
 FROM hashed
 ORDER BY shard, pos
 """
+
+
+# --- CCNet-style LM-perplexity quality scoring -------------------------------
+
+# Micro-nat scale: per-bigram log-probs are rounded to integers BEFORE the
+# per-doc sum, so the sum is associative (partition/engine-order exact) —
+# the integer-cents pattern.  1e-6 nats is far below any filtering
+# threshold anyone sets.
+_LM_SCALE = 1_000_000
+
+
+def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    an add-one-smoothed BIGRAM LM is trained on the ``train_lang`` slice
+    of the corpus (the in-language reference, KenLM's role) and every doc
+    is scored by its cross-entropy under that model — low perplexity =
+    fluent in-distribution prose, the head bucket CCNet keeps.
+
+        P(w2|w1) = (C2(w1,w2) + 1) / (C1(w1) + V)
+
+    with C2/C1 bigram/left-context occurrence counts over the training
+    slice and V the distinct training vocabulary (unseen contexts and
+    bigrams degrade to 1/V smoothly).  Docs with < 2 tokens have no
+    bigrams and are excluded, as in CCNet.
+
+    Determinism: each bigram's ln P is rounded to integer MICRO-NATS
+    before summation (integer sums are associative — no float-order
+    dependence); the per-doc cross-entropy is ONE division of exact
+    integers, rounded, and perplexity is exp() of that already-rounded
+    value, so both engines exponentiate the same double.
+
+    Scale shape: model = two hash aggs over the training bigrams (vocab-
+    and vocab-pair-sized relations — the KenLM-binary analogue, join- or
+    broadcast-sized); scoring = one (doc, bigram) agg + two model joins +
+    one doc-keyed agg.  The corpus is tokenized once per side.
+
+    Output: (doc_id, n_bigrams, ce_nats, ppx) — lowest cross-entropy
+    first, doc_id tie-break, LIMIT k.
+    """
+    toks = corpus.select("doc_id", "lang", tokens("text").alias("toks"))
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bi = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n1),
+                F.slice(F.col("toks"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+
+    train = bi.where(F.col("lang") == train_lang)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.where(F.col("lang") == train_lang)
+        .select(F.explode("toks").alias("t"))
+        .distinct()
+        .count()
+    )
+
+    occ = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab))
+        )
+        * _LM_SCALE
+    ).cast("long")
+    scored = (
+        occ.join(c1, "w1", "left")
+        .join(c2, ["w1", "w2"], "left")
+        .select("doc_id", "n", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("lp")).alias("s"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    ce = F.round(
+        -F.col("s") / (F.col("n_bigrams") * F.lit(float(_LM_SCALE))), 5
+    )
+    return (
+        scored.select("doc_id", "n_bigrams", ce.alias("ce_nats"))
+        .select(
+            "doc_id", "n_bigrams", "ce_nats",
+            F.round(F.exp("ce_nats"), 4).alias("ppx"),
+        )
+        .orderBy("ce_nats", "doc_id")
+        .limit(k)
+    )
+
+
+def lm_perplexity_sql(train_lang: str = "en", k: int = 20) -> str:
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS toks
+  FROM corpus
+),
+bi AS (
+  SELECT doc_id, lang, b['w1'] AS w1, b['w2'] AS w2
+  FROM tokd, LATERAL (
+    SELECT unnest(list_transform(
+        range(1, greatest(len(toks) - 1, 0) + 1),
+        i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS b)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi
+       WHERE lang = '{train_lang}' GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi
+       WHERE lang = '{train_lang}' GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS v FROM (
+        SELECT unnest(toks) AS t FROM tokd WHERE lang = '{train_lang}')),
+occ AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id,
+         sum(n * CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
+                             / (coalesce(c1.c1, 0) + v.v))
+                      * {_LM_SCALE}) AS BIGINT)) AS s,
+         CAST(sum(n) AS BIGINT) AS n_bigrams
+  FROM occ
+  LEFT JOIN c1 USING (w1)
+  LEFT JOIN c2 USING (w1, w2)
+  CROSS JOIN v
+  GROUP BY doc_id
+),
+ced AS (
+  SELECT doc_id, n_bigrams,
+         round(-s / (n_bigrams * {float(_LM_SCALE)!r}), 5) AS ce_nats
+  FROM scored)
+SELECT doc_id, n_bigrams, ce_nats, round(exp(ce_nats), 4) AS ppx
+FROM ced ORDER BY ce_nats, doc_id LIMIT {k}"""
