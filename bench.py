@@ -1044,6 +1044,10 @@ def main() -> None:
             "graph_triangles_sec",
             lambda: grp.triangle_counts(corpus, window=2, k=20),
         )
+        timed_pl(
+            "lm_perplexity_sec",
+            lambda: trp.lm_perplexity(corpus, "en", k=20),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()

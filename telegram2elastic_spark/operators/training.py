@@ -2407,31 +2407,43 @@ def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> Dat
     Output: (doc_id, n_bigrams, ce_nats, ppx) — lowest cross-entropy
     first, doc_id tie-break, LIMIT k.
     """
-    toks = corpus.select("doc_id", "lang", tokens("text").alias("toks"))
-    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
-    bi = toks.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("toks"), 1, n1),
-                F.slice(F.col("toks"), 2, n1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "lang", "b.w1", "b.w2")
+    # Tokenize ONCE (persisted token arrays); every consumer below is an
+    # array-side explode of the CACHED arrays.  The model aggregates
+    # collapse map-side to vocab(-pair)-sized relations (bigram TYPES,
+    # no doc key), and scoring joins the raw per-position bigram stream
+    # against those small relations (AQE broadcasts them) — the only
+    # doc-keyed shuffle is the final integer partial-sum agg.  No
+    # corpus-sized relation is ever persisted or shuffled on a
+    # near-unique key.
+    toksdf = corpus.select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    ).persist()
 
-    train = bi.where(F.col("lang") == train_lang)
-    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+
+    def _bi(df):
+        return df.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, n1),
+                    F.slice(F.col("toks"), 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        ).select("doc_id", "lang", "b.w1", "b.w2")
+
     vocab = (
-        toks.where(F.col("lang") == train_lang)
+        toksdf.where(F.col("lang") == train_lang)
         .select(F.explode("toks").alias("t"))
         .distinct()
         .count()
     )
+    train = _bi(toksdf.where(F.col("lang") == train_lang))
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
 
-    occ = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     lp = F.round(
         F.log(
             (F.coalesce(F.col("c2"), F.lit(0)) + 1)
@@ -2440,19 +2452,20 @@ def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> Dat
         * _LM_SCALE
     ).cast("long")
     scored = (
-        occ.join(c1, "w1", "left")
+        _bi(toksdf)
+        .join(c1, "w1", "left")
         .join(c2, ["w1", "w2"], "left")
-        .select("doc_id", "n", lp.alias("lp"))
+        .select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("n") * F.col("lp")).alias("s"),
-            F.sum("n").alias("n_bigrams"),
+            F.sum("lp").alias("s"),
+            F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
     ce = F.round(
         -F.col("s") / (F.col("n_bigrams") * F.lit(float(_LM_SCALE))), 5
     )
-    return (
+    res = (
         scored.select("doc_id", "n_bigrams", ce.alias("ce_nats"))
         .select(
             "doc_id", "n_bigrams", "ce_nats",
@@ -2460,7 +2473,10 @@ def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> Dat
         )
         .orderBy("ce_nats", "doc_id")
         .limit(k)
+        .localCheckpoint()
     )
+    toksdf.unpersist()
+    return res
 
 
 def lm_perplexity_sql(train_lang: str = "en", k: int = 20) -> str:
