@@ -567,6 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": lambda spark, sf: training.lm_perplexity(
             load_corpus(spark, sf), "en", k=20
         ),
+        # ... CCNet head/middle/tail bucketing: integer rank terciles of
+        # the per-lang cross-entropy (no float quantile semantics)
+        "ccnet_buckets": lambda spark, sf: training.ccnet_buckets(
+            load_corpus(spark, sf), "en"
+        ),
         # NEW (r4, session 19): graph-ranking family — TextRank (damped
         # PageRank over the term co-occurrence graph) and HITS (doc-term
         # bipartite hubs/authorities), both in EXACT integer arithmetic
@@ -2246,6 +2251,7 @@ FROM corpus ORDER BY doc_id
         "terms_enum": meta.terms_enum_sql("s", 20),
         "random_score_topk": fscore.random_score_sql(seed="42", k=15),
         "lm_perplexity": training.lm_perplexity_sql("en", k=20),
+        "ccnet_buckets": training.ccnet_buckets_sql("en"),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
         "textrank_seeded": graphops.textrank_seeded_sql(
             ["spark", "merge"], window=2, iters=3, k=20

@@ -2379,7 +2379,10 @@ ORDER BY shard, pos
 _LM_SCALE = 1_000_000
 
 
-def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> DataFrame:
+def _lm_scored(corpus: DataFrame, train_lang: str):
+    """Shared scoring core: (doc_id, lang, n_bigrams, ce_nats) for every
+    doc with >= 1 bigram, plus the persisted token relation to release
+    once the consumer has materialized."""
     """CCNet-style language-model quality scoring (Wenzek et al. 2020):
     an add-one-smoothed BIGRAM LM is trained on the ``train_lang`` slice
     of the corpus (the in-language reference, KenLM's role) and every doc
@@ -2455,8 +2458,8 @@ def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> Dat
         _bi(toksdf)
         .join(c1, "w1", "left")
         .join(c2, ["w1", "w2"], "left")
-        .select("doc_id", lp.alias("lp"))
-        .groupBy("doc_id")
+        .select("doc_id", "lang", lp.alias("lp"))
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("lp").alias("s"),
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -2465,9 +2468,16 @@ def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> Dat
     ce = F.round(
         -F.col("s") / (F.col("n_bigrams") * F.lit(float(_LM_SCALE))), 5
     )
+    return (
+        scored.select("doc_id", "lang", "n_bigrams", ce.alias("ce_nats")),
+        toksdf,
+    )
+
+
+def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> DataFrame:
+    ced, toksdf = _lm_scored(corpus, train_lang)
     res = (
-        scored.select("doc_id", "n_bigrams", ce.alias("ce_nats"))
-        .select(
+        ced.select(
             "doc_id", "n_bigrams", "ce_nats",
             F.round(F.exp("ce_nats"), 4).alias("ppx"),
         )
@@ -2479,7 +2489,50 @@ def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> Dat
     return res
 
 
-def lm_perplexity_sql(train_lang: str = "en", k: int = 20) -> str:
+def ccnet_buckets(corpus: DataFrame, train_lang: str = "en") -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020):
+    within each language, docs are split into terciles of the LM
+    cross-entropy — CCNet keeps "head" (most fluent) for training and
+    drops or down-weights "tail".
+
+    Cutoffs are INTEGER rank thirds (3*rn <= n / <= 2n on the
+    (ce, doc_id)-ordered per-lang rank), not interpolated percentiles —
+    so both engines cut at identical rows with no float quantile
+    semantics.  Output: (lang, bucket, cnt) counts per bucket.
+
+    Scale shape: scoring as lm_perplexity; the per-lang rank is a window
+    over lang partitions (a per-lang range sort — the CCNet sharding
+    step itself); the emitted relation is |langs| x 3.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ced, toksdf = _lm_scored(corpus, train_lang)
+    w = Window.partitionBy("lang").orderBy("ce_nats", "doc_id")
+    wn = Window.partitionBy("lang")
+    bucketed = ced.select(
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nl"),
+    ).select(
+        "lang",
+        F.when(3 * F.col("rn") <= F.col("nl"), F.lit("head"))
+        .when(3 * F.col("rn") <= 2 * F.col("nl"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    res = (
+        bucketed.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "bucket")
+        .localCheckpoint()
+    )
+    toksdf.unpersist()
+    return res
+
+
+def _lm_ced_sql(train_lang: str) -> str:
+    """Shared oracle CTE chain ending in ced(doc_id, lang, n_bigrams,
+    ce_nats)."""
     return f"""
 WITH {CORPUS_CTE.strip()},
 tokd AS (
@@ -2501,22 +2554,40 @@ c1 AS (SELECT w1, count(*) AS c1 FROM bi
        WHERE lang = '{train_lang}' GROUP BY w1),
 v AS (SELECT count(DISTINCT t) AS v FROM (
         SELECT unnest(toks) AS t FROM tokd WHERE lang = '{train_lang}')),
-occ AS (SELECT doc_id, w1, w2, count(*) AS n FROM bi GROUP BY 1, 2, 3),
 scored AS (
-  SELECT doc_id,
-         sum(n * CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
-                             / (coalesce(c1.c1, 0) + v.v))
-                      * {_LM_SCALE}) AS BIGINT)) AS s,
-         CAST(sum(n) AS BIGINT) AS n_bigrams
-  FROM occ
+  SELECT doc_id, lang,
+         sum(CAST(round(ln((coalesce(c2.c2, 0) + 1.0)
+                        / (coalesce(c1.c1, 0) + v.v))
+                  * {_LM_SCALE}) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM bi
   LEFT JOIN c1 USING (w1)
   LEFT JOIN c2 USING (w1, w2)
   CROSS JOIN v
-  GROUP BY doc_id
+  GROUP BY doc_id, lang
 ),
 ced AS (
-  SELECT doc_id, n_bigrams,
+  SELECT doc_id, lang, n_bigrams,
          round(-s / (n_bigrams * {float(_LM_SCALE)!r}), 5) AS ce_nats
-  FROM scored)
+  FROM scored)"""
+
+
+def lm_perplexity_sql(train_lang: str = "en", k: int = 20) -> str:
+    return f"""{_lm_ced_sql(train_lang)}
 SELECT doc_id, n_bigrams, ce_nats, round(exp(ce_nats), 4) AS ppx
 FROM ced ORDER BY ce_nats, doc_id LIMIT {k}"""
+
+
+def ccnet_buckets_sql(train_lang: str = "en") -> str:
+    return f"""{_lm_ced_sql(train_lang)},
+ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY ce_nats, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nl
+  FROM ced)
+SELECT lang,
+       CASE WHEN 3 * rn <= nl THEN 'head'
+            WHEN 3 * rn <= 2 * nl THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS cnt
+FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket"""

@@ -74,3 +74,18 @@ def test_fluent_beats_garbage(spark):
            tr.lm_perplexity(as_corpus(docs), "en", k=50).collect()}
     assert 12 not in got
     assert got[10] < got[11]
+
+
+def test_ccnet_buckets_parity_and_terciles(spark, sf_dir, duck):
+    df = tr.ccnet_buckets(load_corpus(spark, sf_dir), "en")
+    assert_same(df, duck.execute(tr.ccnet_buckets_sql("en")).fetchdf())
+    rows = df.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r.cnt
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}
+        n = sum(b.values())
+        # integer rank terciles: |head| = floor(n/3), |tail| = ceil(n/3)
+        assert b["head"] == n // 3
+        assert b["head"] <= b["middle"] <= b["tail"] <= b["head"] + 1
