@@ -2443,6 +2443,12 @@ def _lm_scored(corpus: DataFrame, train_lang: str):
         .distinct()
         .count()
     )
+    if vocab == 0:
+        toksdf.unpersist()
+        raise ValueError(
+            f"no training tokens for lang {train_lang!r} — the LM has an "
+            "empty vocabulary"
+        )
     train = _bi(toksdf.where(F.col("lang") == train_lang))
     c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

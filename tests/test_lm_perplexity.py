@@ -89,3 +89,10 @@ def test_ccnet_buckets_parity_and_terciles(spark, sf_dir, duck):
         # integer rank terciles: |head| = floor(n/3), |tail| = ceil(n/3)
         assert b["head"] == n // 3
         assert b["head"] <= b["middle"] <= b["tail"] <= b["head"] + 1
+
+
+def test_absent_train_lang_raises(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        tr.lm_perplexity(load_corpus(spark, sf_dir), "nosuchlang")
