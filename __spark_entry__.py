@@ -572,6 +572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": lambda spark, sf: training.ccnet_buckets(
             load_corpus(spark, sf), "en"
         ),
+        # ... ES _transform/latest: entity-centric latest-doc table, one
+        # HashAggregate of scalar-keyed max_bys; continuous twin is
+        # streaming/windows.streaming_latest (batch-identity tested)
+        "transform_latest": lambda spark, sf: agg.transform_latest(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 19): graph-ranking family — TextRank (damped
         # PageRank over the term co-occurrence graph) and HITS (doc-term
         # bipartite hubs/authorities), both in EXACT integer arithmetic
@@ -2252,6 +2258,7 @@ FROM corpus ORDER BY doc_id
         "random_score_topk": fscore.random_score_sql(seed="42", k=15),
         "lm_perplexity": training.lm_perplexity_sql("en", k=20),
         "ccnet_buckets": training.ccnet_buckets_sql("en"),
+        "transform_latest": agg.transform_latest_sql(),
         "textrank_terms": graphops.textrank_terms_sql(window=2, iters=3, k=20),
         "textrank_seeded": graphops.textrank_seeded_sql(
             ["spark", "merge"], window=2, iters=3, k=20

@@ -2375,3 +2375,51 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        sum(CAST(round(value * 100) AS BIGINT)) / 2400.0 AS value_per_hour
 FROM events GROUP BY 1 ORDER BY day
 """
+
+
+def transform_latest(corpus: DataFrame) -> DataFrame:
+    """ES ``_transform`` with a ``latest`` config (7.12): an
+    entity-centric index holding each entity's MOST RECENT document —
+    here per host, sorted on (warc_ts, doc_id).
+
+    The reduction is per-column max_by on a SCALAR DECIMAL(38,0) ordering
+    key (epoch-micros * 10^19 + doc_id — the eql.py idiom), so the whole
+    transform is ONE HashAggregate with map-side combine; no window, no
+    sort.  The continuous form of the same transform is
+    streaming/windows.streaming_latest (state = the per-key best tuple).
+
+    Output: (host, doc_id, url, warc_ts, n_chars) ordered by host.
+    """
+    from ..query.collapse import host_col  # noqa: PLC0415
+
+    key = F.unix_micros(F.col("warc_ts").cast("timestamp")).cast(
+        "decimal(38,0)"
+    ) * F.expr("CAST(10000000000000000000 AS DECIMAL(20,0))") + F.col(
+        "doc_id"
+    ).cast("decimal(38,0)")
+    return (
+        corpus.groupBy(host_col().alias("host"))
+        .agg(
+            F.max_by("doc_id", key).alias("doc_id"),
+            F.max_by("url", key).alias("url"),
+            F.max_by("warc_ts", key).alias("warc_ts"),
+            F.max_by("n_chars", key).alias("n_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+TRANSFORM_LATEST_SQL = None  # built below (needs CORPUS_CTE at import time)
+
+
+def transform_latest_sql() -> str:
+    from ..query.collapse import HOST_SQL  # noqa: PLC0415
+
+    return f"""
+WITH {CORPUS_CTE.strip()}
+SELECT {HOST_SQL} AS host, doc_id, url, warc_ts, n_chars
+FROM corpus
+QUALIFY row_number() OVER (
+    PARTITION BY {HOST_SQL}
+    ORDER BY epoch_us(warc_ts) DESC, doc_id DESC) = 1
+ORDER BY host"""

@@ -215,3 +215,81 @@ def streaming_first_seen(
     )
     q.awaitTermination()
     return spark.sql("SELECT url, doc_id FROM first_seen ORDER BY doc_id")
+
+
+def streaming_latest(
+    spark: SparkSession,
+    corpus_path: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Continuous ES ``_transform/latest``: the entity-centric
+    latest-doc table maintained as OPERATOR STATE — the streaming twin of
+    aggregates.transform_latest.  State per host = its best
+    (warc_ts-micros, doc_id) tuple; a micro-batch re-emits a host only
+    when a newer doc arrives (transform checkpoint semantics).  The
+    memory sink's final state per key IS the entity table.
+
+    Runs the bounded corpus dir through Trigger.AvailableNow; returns the
+    final per-host latest rows (dedup on host keeping the last emission).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..query.collapse import host_col
+
+    schema = spark.read.parquet(corpus_path).schema
+
+    def fn(key, pdfs, state):
+        best = state.get if state.exists else None  # (u, doc_id, url)
+        changed = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            u = pdf["warc_ts"].astype("datetime64[us]").astype("int64")
+            for uu, did, url in zip(u.tolist(), pdf["doc_id"].tolist(),
+                                    pdf["url"].tolist()):
+                cand = (int(uu), int(did), url)
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best, changed = cand, True
+        if changed:
+            state.update(best)
+            return iter([pd.DataFrame({
+                "host": [key[0]],
+                "doc_id": [best[1]],
+                "url": [best[2]],
+                "u": [best[0]],
+            })])
+        return iter(())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(corpus_path)
+    )
+    out = (
+        stream.withColumn("host", host_col())
+        .groupBy("host")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="host string, doc_id long, url string, u long",
+            stateStructType="u long, doc_id long, url string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("latest_tf")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emission per host = the final state
+    return spark.sql(
+        "SELECT host, doc_id, url FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY host ORDER BY u DESC, doc_id DESC) AS rn"
+        "  FROM latest_tf) WHERE rn = 1 ORDER BY host"
+    )

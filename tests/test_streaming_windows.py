@@ -51,3 +51,34 @@ def test_stateful_first_seen_dedup(spark, sf_dir, tmp_path):
     assert len(rows) == n_urls
     # exactly one row per url, and it is the min-doc_id occurrence seen
     assert len({r["url"] for r in rows}) == n_urls
+
+
+def test_streaming_latest_matches_batch_transform(spark, sf_dir, tmp_path):
+    """Continuous _transform/latest == batch transform_latest on the same
+    corpus, with the stream split across micro-batches."""
+    import pandas as pd
+
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.operators.aggregates import transform_latest
+    from telegram2elastic_spark.streaming.windows import streaming_latest
+
+    corpus = load_corpus(spark, sf_dir)
+    pdf = corpus.select("doc_id", "url", "warc_ts", "text", "lang",
+                        "source", "n_chars").toPandas()
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+    pdf["html"] = b""
+    d = tmp_path / "cl"
+    d.mkdir()
+    import time as _t
+
+    step = (len(pdf) + 2) // 3
+    for i in range(3):
+        chunk = pdf.iloc[i * step:(i + 1) * step]
+        if len(chunk):
+            chunk.to_parquet(d / f"part-{i:03d}.parquet", index=False)
+            _t.sleep(0.05)
+    got = streaming_latest(spark, str(d), str(tmp_path / "ckl")).collect()
+    exp = transform_latest(corpus).select("host", "doc_id", "url").collect()
+    assert [(r.host, r.doc_id, r.url) for r in got] == [
+        (r.host, r.doc_id, r.url) for r in exp
+    ]
