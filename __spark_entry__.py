@@ -43,6 +43,7 @@ from telegram2elastic_spark.query import intervals as iv
 from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import dsl as qdsl
 from telegram2elastic_spark.query import eql as eqlq
+from telegram2elastic_spark.query import essql
 from telegram2elastic_spark.query import esql as esq
 from telegram2elastic_spark.query import retriever as retr
 from telegram2elastic_spark.query import sparse as spv
@@ -82,6 +83,25 @@ RULE_MATCH = {"user_query": "spark merge"}
 # low-weight tokens (batch, merge) prune; scan survives on weight, spark on
 # frequency, dup on rarity — a discriminating keep/prune mix.
 WT_WEIGHTS = {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25, "dup": 0.2}
+
+# ES SQL (`_sql`) pairs: one detail scan with a composite predicate, one
+# GROUP BY/HAVING aggregate, one full-text MATCH + SCORE() in filter
+# context.  Both engines compile the SAME parsed AST (query/essql.py).
+ESSQL_SELECT = (
+    "SELECT url, lang, n_chars FROM documents "
+    "WHERE lang = 'en' AND n_chars BETWEEN 100 AND 900 "
+    "ORDER BY n_chars DESC LIMIT 25"
+)
+ESSQL_GROUPBY = (
+    "SELECT lang, COUNT(*) AS docs, AVG(n_chars) AS avg_chars, "
+    "MAX(n_chars) AS max_chars FROM documents GROUP BY lang "
+    "HAVING COUNT(*) >= 5 ORDER BY docs DESC, lang ASC LIMIT 20"
+)
+ESSQL_MATCH = (
+    "SELECT doc_id, url, SCORE() AS score FROM documents "
+    "WHERE MATCH(text, 'spark merge') AND lang = 'en' "
+    "ORDER BY SCORE() DESC LIMIT 10"
+)
 
 # Ingest-pipeline definition for the `ingest_simulate` pair (the common
 # web-ingest shape: URL dissect, host cleanup, lead extraction, typing).
@@ -518,6 +538,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 21): ES SQL (`_sql` endpoint) — the fourth ES
+        # query language; recursive-descent parse, dispatch onto verified
+        # paths only (MATCH/SCORE() -> wand_topk in filter context,
+        # relational -> one pushed-filter Catalyst plan)
+        "essql_select": lambda spark, sf: essql.es_sql_query(
+            load_corpus(spark, sf), ESSQL_SELECT
+        ),
+        "essql_groupby": lambda spark, sf: essql.es_sql_query(
+            load_corpus(spark, sf), ESSQL_GROUPBY
+        ),
+        "essql_match": lambda spark, sf: essql.es_sql_query(
+            load_corpus(spark, sf), ESSQL_MATCH,
+            index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
         # NEW (r4, session 20): EQL core (ES Event Query Language) —
         # sequence-by-key funnels with maxspan/until and sample-by-key,
         # anchored greedy-earliest semantics, all ordering arithmetic
@@ -2221,6 +2255,9 @@ FROM corpus ORDER BY doc_id
             name: retr.retriever_sql(body)
             for name, (body, _) in RETRIEVER_BODIES.items()
         },
+        "essql_select": essql.es_sql_oracle(ESSQL_SELECT),
+        "essql_groupby": essql.es_sql_oracle(ESSQL_GROUPBY),
+        "essql_match": essql.es_sql_oracle(ESSQL_MATCH),
         "mlt_multi": mlt.more_like_this_multi_sql(like=[7, 42], unlike=[3], k=10),
         "semantic_topk": semq.semantic_topk_sql("spark merge batch", k=10),
         "dedup_keep_best": dedup.dedup_components_keep_best_sql(),

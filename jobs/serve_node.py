@@ -34,6 +34,8 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "rankfeature", "q": "spark merge", "pivot": 40, "boost": 2}
     {"op": "didyoumean", "q": "tne fast"}          (needs --bigrams)
     {"op": "sqs",      "q": "spark -vector field:x"} (lenient syntax)
+    {"op": "sql", "q": "SELECT doc_id, url, SCORE() AS score FROM
+        documents WHERE MATCH(text, 'spark') ..."}  (ES _sql endpoint)
     {"op": "hybrid",   "q": "spark merge", "vec_id": 0} (needs --embeddings)
     {"op": "knnq",     "vec_id": 7, "kind": "int8"}     (needs --embeddings)
     {"op": "tsr",      "q": "spark merge", "vec_id": 0} (needs --embeddings)
@@ -410,6 +412,17 @@ def main() -> None:
             return retriever_search_local(
                 idx, req["body"], emb_path=args.embeddings
             )
+        if op == "sql":
+            # {"op": "sql", "q": "SELECT doc_id, url, SCORE() AS score
+            #  FROM documents WHERE MATCH(text, '...') ..."} — the ES
+            # `_sql` endpoint; MATCH statements serve from the hot-shard
+            # cache, anything else is analytics (run via Spark) and 400s
+            from telegram2elastic_spark.query.essql import (
+                es_sql_query_local,
+            )
+
+            rows = es_sql_query_local(idx, req["q"], default_limit=k)
+            return [tuple(r.values()) for r in rows]
         if op == "esql":
             # {"op": "esql", "q": "FROM corpus | ..."} — parse/typecheck
             # only (the _query?validate analogue); execution is a Spark

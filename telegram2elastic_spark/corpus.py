@@ -76,6 +76,12 @@ def as_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def py_url(doc_id: int) -> str:
+    """Driver-side twin of the url derivation in as_corpus/CORPUS_CTE —
+    local serving paths reconstruct a hit's url without a doc-store read."""
+    return f"https://site{doc_id % 1000}.example/page/{doc_id}"
+
+
 def load_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_corpus(load_documents(spark, sf_dir))
 
