@@ -44,6 +44,7 @@ from telegram2elastic_spark.query import nested as nq
 from telegram2elastic_spark.query import dsl as qdsl
 from telegram2elastic_spark.query import eql as eqlq
 from telegram2elastic_spark.query import essql
+from telegram2elastic_spark.query import kql as kqlq
 from telegram2elastic_spark.query import esql as esq
 from telegram2elastic_spark.query import retriever as retr
 from telegram2elastic_spark.query import sparse as spv
@@ -83,6 +84,11 @@ RULE_MATCH = {"user_query": "spark merge"}
 # low-weight tokens (batch, merge) prune; scan survives on weight, spark on
 # frequency, dup on rarity — a discriminating keep/prune mix.
 WT_WEIGHTS = {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25, "dup": 0.2}
+
+# KQL pairs: a Discover page (keyword + value-group + range + bare terms)
+# and a hit count (phrase + negation + wildcard).
+KQL_QUERY = "lang:(en or de) and (spark or merge) and n_chars >= 200"
+KQL_QUERY2 = '"merge batch" and not source:src2 and url:*page*'
 
 # ES SQL (`_sql`) pairs: one detail scan with a composite predicate, one
 # GROUP BY/HAVING aggregate, one full-text MATCH + SCORE() in filter
@@ -542,6 +548,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query language; recursive-descent parse, dispatch onto verified
         # paths only (MATCH/SCORE() -> wand_topk in filter context,
         # relational -> one pushed-filter Catalyst plan)
+        # NEW (r4, session 21): KQL — the Kibana Discover search box
+        # (filter context only); one AST, dual rendering, newest-first page
+        "kql_discover": lambda spark, sf: kqlq.kql_search(
+            load_corpus(spark, sf), KQL_QUERY, k=20
+        ),
+        "kql_count": lambda spark, sf: kqlq.kql_count(
+            load_corpus(spark, sf), KQL_QUERY2
+        ),
         "essql_select": lambda spark, sf: essql.es_sql_query(
             load_corpus(spark, sf), ESSQL_SELECT
         ),
@@ -2255,6 +2269,8 @@ FROM corpus ORDER BY doc_id
             name: retr.retriever_sql(body)
             for name, (body, _) in RETRIEVER_BODIES.items()
         },
+        "kql_discover": kqlq.kql_search_sql(KQL_QUERY, k=20),
+        "kql_count": kqlq.kql_count_sql(KQL_QUERY2),
         "essql_select": essql.es_sql_oracle(ESSQL_SELECT),
         "essql_groupby": essql.es_sql_oracle(ESSQL_GROUPBY),
         "essql_match": essql.es_sql_oracle(ESSQL_MATCH),

@@ -423,6 +423,14 @@ def main() -> None:
 
             rows = es_sql_query_local(idx, req["q"], default_limit=k)
             return [tuple(r.values()) for r in rows]
+        if op == "kql":
+            # {"op": "kql", "q": "lang:en and spark"} — parse-only
+            # validation (the Kibana syntax banner); Discover execution
+            # is a corpus scan, not a node-local serve
+            from telegram2elastic_spark.query.kql import validate_kql
+
+            r = validate_kql(req["q"])
+            return [(r["valid"], r.get("spark", r.get("error", "")))]
         if op == "esql":
             # {"op": "esql", "q": "FROM corpus | ..."} — parse/typecheck
             # only (the _query?validate analogue); execution is a Spark
