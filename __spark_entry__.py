@@ -26,6 +26,7 @@ from telegram2elastic_spark.operators import ingest_pipeline as ingestp
 from telegram2elastic_spark.operators import dedup, enrichment, multimodal, projection
 from telegram2elastic_spark.operators import graph as graphops
 from telegram2elastic_spark.operators import similarity as sim
+from telegram2elastic_spark.operators import sketches
 from telegram2elastic_spark.operators import training
 from telegram2elastic_spark.query import bm25, collapse, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
 from telegram2elastic_spark.query import expand as expandq
@@ -84,6 +85,8 @@ RULE_MATCH = {"user_query": "spark merge"}
 # low-weight tokens (batch, merge) prune; scan survives on weight, spark on
 # frequency, dup on rarity — a discriminating keep/prune mix.
 WT_WEIGHTS = {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25, "dup": 0.2}
+
+CMS_PROBE_TERMS = ["spark", "merge", "the", "zzzmissing"]
 
 # KQL pairs: a Discover page (keyword + value-group + range + bare terms)
 # and a hit count (phrase + negation + wildcard).
@@ -548,6 +551,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query language; recursive-descent parse, dispatch onto verified
         # paths only (MATCH/SCORE() -> wand_topk in filter context,
         # relational -> one pushed-filter Catalyst plan)
+        # NEW (r4, session 21): mergeable frequency sketches (Agarwal/
+        # Cormode PODS'12) — MG heavy hitters (exact below capacity, the
+        # KMV-cardinality contract) and a Count-Min probe whose md5 row
+        # hashes are computed identically in both engines
+        "sketch_heavy_hitters": lambda spark, sf: sketches.heavy_hitters_sketch(
+            load_corpus(spark, sf), capacity=64, k=15
+        ),
+        "sketch_cms_probe": lambda spark, sf: sketches.cms_probe(
+            load_corpus(spark, sf), CMS_PROBE_TERMS, depth=4, width=512
+        ),
         # NEW (r4, session 21): KQL — the Kibana Discover search box
         # (filter context only); one AST, dual rendering, newest-first page
         "kql_discover": lambda spark, sf: kqlq.kql_search(
@@ -2269,6 +2282,10 @@ FROM corpus ORDER BY doc_id
             name: retr.retriever_sql(body)
             for name, (body, _) in RETRIEVER_BODIES.items()
         },
+        "sketch_heavy_hitters": sketches.heavy_hitters_sql(k=15),
+        "sketch_cms_probe": sketches.cms_probe_sql(
+            CMS_PROBE_TERMS, depth=4, width=512
+        ),
         "kql_discover": kqlq.kql_search_sql(KQL_QUERY, k=20),
         "kql_count": kqlq.kql_count_sql(KQL_QUERY2),
         "essql_select": essql.es_sql_oracle(ESSQL_SELECT),

@@ -1,0 +1,268 @@
+"""Mergeable frequency sketches — bounded-memory corpus statistics.
+
+At 100 TB an exact term-frequency table is itself a massive shuffle; the
+streaming/summary literature answers with MERGEABLE SKETCHES (Agarwal,
+Cormode et al., "Mergeable Summaries", PODS 2012): every partition builds
+a fixed-size summary, summaries merge associatively, and the result
+carries a proven error bound.  The engine already uses a KMV sketch for
+`agg_cardinality`; this module adds the two frequency workhorses:
+
+* **Misra-Gries heavy hitters** (`heavy_hitters_sketch`) — per-partition
+  MG summaries of `capacity` counters via mapInPandas (one pass over the
+  token stream, O(capacity) state), merged with the mergeable-summaries
+  rule: sum counts per term, then subtract the (capacity+1)-th largest
+  merged count and drop non-positives.  Guarantees (classic MG bound,
+  preserved under merge):
+      true_count - N/(capacity+1)  <=  est  <=  true_count
+  so every term with frequency > N/(capacity+1) is RETAINED.  When
+  `capacity` >= the corpus' distinct-term count no decrement ever fires
+  and the sketch is EXACT — the regime the registered driver pair runs
+  (same contract as the KMV pair: exact below capacity, bounded above).
+  With lossy capacity the estimates depend on partition layout (as any
+  MG run order does); the bound does not — pytest pins the guarantee.
+
+* **Count-Min** (`cms_build` / `cms_probe`) — depth x width counter
+  matrix; row hashes are md5-derived integers computed IDENTICALLY in
+  Spark and DuckDB (the `agg_cardinality`/RERANK hashing trick), so the
+  whole sketch is a deterministic function of the corpus: build is
+  `depth` conditional hash aggregates in ONE pass (explode -> one
+  (row, bucket) agg), probes are exact-parity oracle-checkable.
+  Estimate = min over rows of the probed bucket; always >= true count,
+  and <= true + 2N/width with probability 1 - 2^-depth per the CM bound.
+
+Scale shape: MG summaries are P x capacity rows (KBs even at 10^5
+partitions) — ONE tiny shuffle; CMS is one explode + one hash agg over
+depth*width cells.  Neither ever materializes the full vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import TOKENS_CTE, tokens
+
+MG_SCHEMA = "term string, cnt long"
+
+
+def _mg_partition(capacity: int):
+    """Per-partition batched Misra-Gries over token-array batches.
+
+    Batch variant: after absorbing a document's exact token counts, if the
+    table exceeds `capacity`, subtract delta = the (capacity+1)-th largest
+    count from every entry and drop non-positives (removing >= delta *
+    (capacity+1) mass per compaction, so total decrement <= N/(capacity+1)
+    — the classic bound)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for toks in pdf["tk"]:
+                if toks is None or len(toks) == 0:
+                    continue
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
+                if len(counts) > capacity:
+                    vals = sorted(counts.values(), reverse=True)
+                    delta = vals[capacity]  # (capacity+1)-th largest
+                    counts = {
+                        k: v - delta for k, v in counts.items() if v > delta
+                    }
+        if counts:
+            yield pd.DataFrame(
+                {"term": list(counts.keys()),
+                 "cnt": pd.array(list(counts.values()), dtype="int64")}
+            )
+
+    return run
+
+
+def heavy_hitters_sketch(
+    corpus: DataFrame, capacity: int, k: int = 20
+) -> DataFrame:
+    """Top-k heavy hitters from a distributed Misra-Gries sketch.
+
+    Returns (term, est) ordered by est desc, term asc.  est is the
+    merged lower-bound count (exact when capacity >= distinct terms).
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if k > capacity:
+        raise ValueError("k cannot exceed the sketch capacity")
+    summaries = (
+        corpus.select(tokens("text").alias("tk"))
+        .mapInPandas(_mg_partition(capacity), MG_SCHEMA)
+    )
+    merged = summaries.groupBy("term").agg(F.sum("cnt").alias("cnt"))
+    # mergeable-summaries truncation: subtract the (capacity+1)-th largest
+    # count (0 when the merged table already fits).  The merged relation is
+    # <= P*capacity rows, so the rank window is over a tiny relation.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = merged.withColumn("rn", F.row_number().over(w))
+    delta = ranked.filter(F.col("rn") == capacity + 1).select(
+        F.col("cnt").alias("delta")
+    )
+    out = (
+        ranked.crossJoin(
+            F.broadcast(
+                delta.groupBy().agg(
+                    F.coalesce(F.max("delta"), F.lit(0)).alias("delta")
+                )
+            )
+        )
+        .select("term", (F.col("cnt") - F.col("delta")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+    return (
+        out.orderBy(F.col("est").desc(), F.col("term").asc()).limit(k)
+    )
+
+
+def heavy_hitters_sql(k: int = 20) -> str:
+    """Oracle for the EXACT regime (capacity >= distinct terms): plain
+    top-k term counts."""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKENS_CTE.strip()}
+SELECT term, CAST(count(*) AS BIGINT) AS est
+FROM tokens GROUP BY term
+ORDER BY est DESC, term ASC
+LIMIT {int(k)}
+"""
+
+
+# ------------------------------ Count-Min -------------------------------
+
+# 60-bit md5-derived hash, identical in both engines (15 hex digits).
+_H_SPARK = "CAST(conv(substring(md5(concat('{row}', ':', term)), 1, 15), 16, 10) AS BIGINT)"
+_H_DUCK = "('0x' || substr(md5('{row}' || ':' || term), 1, 15))::BIGINT"
+
+
+def cms_build(corpus: DataFrame, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-Min sketch of the corpus token stream: (row, bucket, cnt).
+
+    One explode + one (row, bucket) hash aggregate; depth*width cells.
+    """
+    # tokenize ONCE: each token row fans out to its depth (row, bucket)
+    # cells array-side (a unionAll of per-row explodes would re-scan and
+    # re-tokenize the corpus `depth` times — the session-9 rule)
+    tok = corpus.select(F.explode(tokens("text")).alias("term"))
+    buckets = F.array(*[
+        F.pmod(F.expr(_H_SPARK.format(row=r)), F.lit(width))
+        for r in range(depth)
+    ])
+    cells = tok.select(
+        F.posexplode(buckets).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_probe(
+    corpus: DataFrame,
+    probe_terms: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for `probe_terms`: (term, est, true_cnt).
+
+    est = min over sketch rows of the probed bucket count — always >=
+    true_cnt; both columns computed so the overestimate is visible.
+    The probe is a broadcast of |terms| x depth (row, bucket) keys.
+    """
+    if not probe_terms:
+        raise ValueError("probe_terms must be non-empty")
+    sketch = cms_build(corpus, depth=depth, width=width)
+    spark = corpus.sparkSession
+    pr = spark.createDataFrame(
+        [(t,) for t in sorted(set(probe_terms))], "term string"
+    )
+    keys = []
+    for r in range(depth):
+        h = F.expr(_H_SPARK.format(row=r))
+        keys.append(
+            pr.select(
+                "term",
+                F.lit(r).alias("row"),
+                F.pmod(h, F.lit(width)).alias("bucket"),
+            )
+        )
+    probe = keys[0]
+    for other in keys[1:]:
+        probe = probe.unionAll(other)
+    est = (
+        sketch.join(F.broadcast(probe), ["row", "bucket"], "inner")
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est"))
+    )
+    tok = corpus.select(F.explode(tokens("text")).alias("term"))
+    true_cnt = (
+        tok.join(F.broadcast(pr), "term", "inner")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        pr.join(est, "term", "left")
+        .join(true_cnt, "term", "left")
+        .select(
+            "term",
+            F.coalesce("est", F.lit(0)).alias("est"),
+            F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+        )
+        .orderBy("term")
+    )
+
+
+def cms_probe_sql(
+    probe_terms: list[str], depth: int = 4, width: int = 1024
+) -> str:
+    """DuckDB oracle: the identical sketch (same md5 hashing, same modulo)
+    built and probed relationally."""
+    if not probe_terms:
+        raise ValueError("probe_terms must be non-empty")
+    uniq = sorted(set(probe_terms))
+    terms_sql = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    hashes = "\nUNION ALL\n".join(
+        f"SELECT term, {r} AS row, "
+        f"(({_H_DUCK.format(row=r)}) % {width}) AS bucket FROM tokens"
+        for r in range(depth)
+    )
+    probe_hashes = "\nUNION ALL\n".join(
+        f"SELECT term, {r} AS row, "
+        f"(({_H_DUCK.format(row=r)}) % {width}) AS bucket FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKENS_CTE.strip()},
+cells AS (
+  SELECT row, bucket, count(*) AS cnt FROM ({hashes}) GROUP BY row, bucket
+),
+probes AS (SELECT * FROM (VALUES {terms_sql}) AS v(term)),
+pkeys AS ({probe_hashes}),
+est AS (
+  SELECT p.term, min(c.cnt) AS est
+  FROM pkeys p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+  GROUP BY p.term
+),
+tru AS (
+  SELECT t.term, count(*) AS true_cnt
+  FROM tokens t JOIN probes p ON t.term = p.term
+  GROUP BY t.term
+)
+SELECT pr.term,
+       CAST(COALESCE(e.est, 0) AS BIGINT) AS est,
+       CAST(COALESCE(tr.true_cnt, 0) AS BIGINT) AS true_cnt
+FROM probes pr
+LEFT JOIN est e ON pr.term = e.term
+LEFT JOIN tru tr ON pr.term = tr.term
+ORDER BY pr.term
+"""
