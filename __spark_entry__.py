@@ -551,6 +551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query language; recursive-descent parse, dispatch onto verified
         # paths only (MATCH/SCORE() -> wand_topk in filter context,
         # relational -> one pushed-filter Catalyst plan)
+        # NEW (r4, session 21): DPR-style BM25 hard-negative mining
+        # (Karpukhin et al. 2020) — batched relational plan, one tokenize,
+        # |Q| queries in one job; self + exact-dup exclusion
+        "mine_hard_negatives": lambda spark, sf: training.mine_hard_negatives(
+            load_corpus(spark, sf), [3, 7, 42], k=5
+        ),
         # NEW (r4, session 21): mergeable frequency sketches (Agarwal/
         # Cormode PODS'12) — MG heavy hitters (exact below capacity, the
         # KMV-cardinality contract) and a Count-Min probe whose md5 row
@@ -2282,6 +2288,9 @@ FROM corpus ORDER BY doc_id
             name: retr.retriever_sql(body)
             for name, (body, _) in RETRIEVER_BODIES.items()
         },
+        "mine_hard_negatives": training.mine_hard_negatives_sql(
+            [3, 7, 42], k=5
+        ),
         "sketch_heavy_hitters": sketches.heavy_hitters_sql(k=15),
         "sketch_cms_probe": sketches.cms_probe_sql(
             CMS_PROBE_TERMS, depth=4, width=512

@@ -2597,3 +2597,200 @@ SELECT lang,
             ELSE 'tail' END AS bucket,
        count(*) AS cnt
 FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket"""
+
+
+# --- BM25 hard-negative mining (retrieval training data) ---------------------
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    max_query_terms: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. 2020): for each
+    query document, its BM25 top-k OTHER documents — the lexically-close
+    non-positives a dense-retriever trainer contrasts against.
+
+    Batched relational plan — |Q| queries, ONE job, one tokenize:
+
+      1. postings (doc_id, term, tf) + doc lengths from one explode+agg;
+      2. per-query term profile: the query doc's top `max_query_terms`
+         terms by round(tf * idf, 6) (the ES MoreLikeThisQuery
+         interestingness used by query/mlt.py, term-asc ties), terms
+         with df < min_doc_freq dropped;
+      3. candidate scores: postings x profiles joined ON TERM (the
+         profile relation is |Q| * max_query_terms rows — broadcast),
+         summed per (query, candidate) with the standard BM25 weight;
+      4. exclusions: the query doc itself and its EXACT text duplicates
+         (sha256 match — a duplicate is a false negative, the classic
+         mining pitfall);
+      5. per-query top-k by round(score, 5) desc, doc_id asc.
+
+    Returns (query_doc_id, neg_doc_id, rank, score).
+
+    Scale shape: one corpus tokenize, two keyed hash aggs, one broadcast
+    join (profiles), one (query, candidate) agg bounded by |Q| * docs-
+    sharing-a-profile-term, one per-query window over the candidates.
+    At 10^12 docs the candidate agg is the cost — exactly the shape of
+    the WAND batch kernel, which serves when Q is interactive; this
+    relational form is the bulk mining pass (Q = millions of training
+    queries works: everything is keyed, nothing is per-query driver
+    state).
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if k < 1 or max_query_terms < 1:
+        raise ValueError("k and max_query_terms must be >= 1")
+    from pyspark.sql import Window
+
+    from ..query.bm25 import K1, B, SCORE_DECIMALS, bm25_weight, idf_col
+
+    qids = sorted(set(int(q) for q in query_ids))
+    tk = corpus.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("thash"),
+        tokens("text").alias("tk"),
+    ).persist()
+    dl = tk.select("doc_id", "thash", F.size("tk").alias("dl"))
+    postings = (
+        tk.select("doc_id", F.explode("tk").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # 2. query-term profiles
+    qpost = postings.filter(F.col("doc_id").isin(qids))
+    prof = (
+        qpost.join(df_t, "term")
+        .filter(F.col("df") >= min_doc_freq)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", idf_col(F.col("n"), F.col("df")))
+        .withColumn(
+            "interest", F.round(F.col("tf") * F.col("idf"), 6)
+        )
+    )
+    wq = Window.partitionBy("doc_id").orderBy(
+        F.col("interest").desc(), F.col("term").asc()
+    )
+    prof = (
+        prof.withColumn("trn", F.row_number().over(wq))
+        .filter(F.col("trn") <= max_query_terms)
+        .select(
+            F.col("doc_id").alias("qid"), "term", "idf",
+        )
+    )
+    # 3-4. candidate scoring with exclusions
+    qhash = dl.filter(F.col("doc_id").isin(qids)).select(
+        F.col("doc_id").alias("qid"), F.col("thash").alias("qhash")
+    )
+    cand = (
+        postings.join(F.broadcast(prof), "term")
+        .join(dl.select("doc_id", "dl", "thash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w", bm25_weight(F.col("tf"), F.col("dl"),
+                             F.col("avgdl"), F.col("idf"))
+        )
+        .groupBy("qid", "doc_id", "thash")
+        .agg(F.sum("w").alias("raw"))
+        .join(F.broadcast(qhash), "qid")
+        .filter(
+            (F.col("doc_id") != F.col("qid"))
+            & (F.col("thash") != F.col("qhash"))
+        )
+        .withColumn("score", F.round("raw", SCORE_DECIMALS))
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_doc_id"),
+            F.col("doc_id").alias("neg_doc_id"),
+            "rank", "score",
+        )
+        .orderBy("query_doc_id", "rank")
+    )
+
+
+def mine_hard_negatives_sql(
+    query_ids: list[int],
+    k: int = 5,
+    max_query_terms: int = 8,
+    min_doc_freq: int = 2,
+) -> str:
+    """DuckDB oracle — the identical staged plan as CTEs."""
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    from ..query.bm25 import B, K1, SCORE_DECIMALS
+
+    qids = ", ".join(str(int(q)) for q in sorted(set(query_ids)))
+    return f"""
+WITH {CORPUS_CTE.strip()},
+tk AS (
+  SELECT doc_id, sha256(text) AS thash,
+         list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '') AS toks
+  FROM corpus
+),
+dl AS (SELECT doc_id, thash, len(toks) AS dl FROM tk),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+  GROUP BY doc_id, term
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+df_t AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+prof0 AS (
+  SELECT p.doc_id AS qid, p.term,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         round(p.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6)
+             AS interest
+  FROM postings p
+  JOIN df_t d ON p.term = d.term
+  CROSS JOIN stats s
+  WHERE p.doc_id IN ({qids}) AND d.df >= {int(min_doc_freq)}
+),
+prof AS (
+  SELECT qid, term, idf FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY interest DESC, term ASC) AS trn
+    FROM prof0
+  ) WHERE trn <= {int(max_query_terms)}
+),
+qhash AS (
+  SELECT doc_id AS qid, thash AS qhash FROM dl WHERE doc_id IN ({qids})
+),
+cand AS (
+  SELECT pr.qid, p.doc_id, l.thash,
+         round(sum(pr.idf * p.tf * ({K1} + 1.0)
+             / (p.tf + {K1} * (1.0 - {B} + {B} * l.dl / s.avgdl))),
+             {SCORE_DECIMALS}) AS score
+  FROM postings p
+  JOIN prof pr ON p.term = pr.term
+  JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY pr.qid, p.doc_id, l.thash, s.avgdl
+),
+ranked AS (
+  SELECT c.qid, c.doc_id, c.score,
+         row_number() OVER (
+             PARTITION BY c.qid ORDER BY c.score DESC, c.doc_id ASC
+         ) AS rank
+  FROM cand c
+  JOIN qhash q ON c.qid = q.qid
+  WHERE c.doc_id <> c.qid AND c.thash <> q.qhash
+)
+SELECT qid AS query_doc_id, doc_id AS neg_doc_id,
+       CAST(rank AS INTEGER) AS rank, score
+FROM ranked WHERE rank <= {int(k)}
+ORDER BY query_doc_id, rank
+"""
