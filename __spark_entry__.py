@@ -822,6 +822,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_within": lambda spark, sf: geo.geo_shape_page(
             load_corpus(spark, sf), relation="within", k=20
         ),
+        # NEW (r4, session 21): ES 8.3 geo_grid QUERY — filter by one
+        # geotile or geohash cell; the predicate is the grid agg's exact
+        # cell arithmetic as a pushed comparison (geohash containment is
+        # hash-equality at the cell's precision, no decode)
+        "geo_grid": lambda spark, sf: geo.geo_grid_page(
+            load_corpus(spark, sf), cell="3/5/3", k=20
+        ),
         # NEW (r4, session 13): cross-snapshot near-dedup (the CC
         # across-dumps production shape) — new-crawl docs flagged against
         # ALL prior snapshots via the banded MinHash candidates + exact
@@ -2366,6 +2373,7 @@ FROM corpus ORDER BY doc_id
             INGEST_PIPE2, cols=INGEST_COLS2
         ),
         "geo_shape_within": geo.geo_shape_sql(relation="within", k=20),
+        "geo_grid": geo.geo_grid_sql(cell="3/5/3", k=20),
         "dedup_cross_snapshot": dedup.dedup_cross_snapshot_sql(),
         "budget_select": training.budget_select_sql(budget_tokens=5000),
         "url_quality_filter": training.url_quality_filter_sql(),

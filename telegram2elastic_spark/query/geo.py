@@ -887,3 +887,167 @@ FROM env WHERE {pred}
 ORDER BY doc_id
 LIMIT {int(k)}
 """
+
+
+# --- ES 8.3 geo_grid QUERY (filter by a grid cell) ----------------------------
+
+
+def _geotile_xy(zoom: int) -> tuple[F.Column, F.Column]:
+    """Slippy-map tile (x, y) columns over lat/lon (geotile_grid's exact
+    arithmetic, exposed for the filter form)."""
+    n = float(1 << zoom)
+    lat_c = F.greatest(
+        F.lit(-85.05112878), F.least(F.lit(85.05112878), F.col("lat"))
+    )
+    x = F.floor((F.col("lon") + 180.0) / 360.0 * n)
+    x = F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), x)).cast("long")
+    rad = F.radians(lat_c)
+    y = F.floor(
+        (1.0 - F.log(F.tan(rad) + 1.0 / F.cos(rad)) / math.pi) / 2.0 * n
+    )
+    y = F.least(F.lit(int(n) - 1), F.greatest(F.lit(0), y)).cast("long")
+    return x, y
+
+
+def _geohash_col(precision: int) -> F.Column:
+    """Geohash string column over lat/lon (geohash_grid's exact integer
+    interleaving, as one composed expression)."""
+    p = int(precision)
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = F.least(
+        F.lit((1 << lon_bits) - 1),
+        F.floor((F.col("lon") + 180.0) / 360.0 * float(1 << lon_bits))
+        .cast("long"),
+    )
+    lat_q = F.least(
+        F.lit((1 << lat_bits) - 1),
+        F.floor((F.col("lat") + 90.0) / 180.0 * float(1 << lat_bits))
+        .cast("long"),
+    )
+    h = F.lit(0).cast("long")
+    for j in range(lon_bits):
+        bit = F.shiftright(lon_q, lon_bits - 1 - j).bitwiseAND(1)
+        h = h + F.shiftleft(bit, total - 1 - 2 * j)
+    for j in range(lat_bits):
+        bit = F.shiftright(lat_q, lat_bits - 1 - j).bitwiseAND(1)
+        h = h + F.shiftleft(bit, total - 2 - 2 * j)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH32),
+            (F.shiftright(h, 5 * (p - 1 - c)).bitwiseAND(31) + 1).cast("int"),
+            1,
+        )
+        for c in range(p)
+    ]
+    return F.concat(*chars)
+
+
+def geo_grid_page(corpus: DataFrame, cell: str, k: int = 20) -> DataFrame:
+    """ES 8.3 `geo_grid` query: documents whose point falls inside ONE
+    grid cell — a geotile ("z/x/y") or a geohash (base-32 string; a
+    geohash cell contains a point iff the point's hash at the cell's
+    precision EQUALS the cell, so containment needs no decoding).
+
+    Returns (doc_id, url, lat, lon) ordered by doc_id asc, first k.
+
+    Scale shape: the cell predicate is a pure comparison over derived
+    columns — one pushed-filter scan + TakeOrdered.  On a grid-bucketed
+    layout (partitioned by coarse tile, the ES geo-routing analogue) the
+    same predicate becomes partition pruning.
+    """
+    df = _latlon(corpus)
+    if "/" in cell:
+        parts = cell.split("/")
+        if len(parts) != 3:
+            raise ValueError(f"bad geotile cell: {cell!r}")
+        zoom, cx, cy = (int(v) for v in parts)
+        if not 0 <= zoom <= 29:
+            raise ValueError("geotile zoom must be in [0, 29]")
+        x, y = _geotile_xy(zoom)
+        pred = (x == cx) & (y == cy)
+    else:
+        c = cell.lower()
+        if not c or any(ch not in GEOHASH32 for ch in c) or len(c) > 8:
+            raise ValueError(f"bad geohash cell: {cell!r}")
+        pred = _geohash_col(len(c)) == c
+    # coordinates are centi-degree exact by construction; round the
+    # EMITTED values to that grid (Spark derives via DECIMAL, DuckDB via
+    # double division — the raw doubles differ in the last ulp)
+    return (
+        df.filter(pred)
+        .select(
+            "doc_id", "url",
+            F.round("lat", 2).alias("lat"),
+            F.round("lon", 2).alias("lon"),
+        )
+        .orderBy("doc_id")
+        .limit(int(k))
+    )
+
+
+def geo_grid_sql(cell: str, k: int = 20) -> str:
+    """DuckDB oracle for geo_grid_page — identical derivations."""
+    if "/" in cell:
+        zoom, cx, cy = (int(v) for v in cell.split("/"))
+        n = 1 << zoom
+        lat_c = "greatest(-85.05112878, least(85.05112878, lat))"
+        x = (
+            f"least({n - 1}, greatest(0, "
+            f"CAST(floor((lon + 180.0) / 360.0 * {float(n)!r}) AS BIGINT)))"
+        )
+        y = (
+            f"least({n - 1}, greatest(0, CAST(floor("
+            f"(1.0 - ln(tan(radians({lat_c})) + 1.0 / cos(radians({lat_c})))"
+            f" / pi()) / 2.0 * {float(n)!r}) AS BIGINT)))"
+        )
+        pred = f"{x} = {cx} AND {y} = {cy}"
+        return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (SELECT doc_id, url, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus)
+SELECT doc_id, url, round(lat, 2) AS lat, round(lon, 2) AS lon FROM geo
+WHERE {pred}
+ORDER BY doc_id ASC
+LIMIT {int(k)}
+"""
+    c = cell.lower()
+    p = len(c)
+    total = 5 * p
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = (
+        f"least({(1 << lon_bits) - 1}, CAST(floor((lon + 180.0) / 360.0 * "
+        f"{float(1 << lon_bits)!r}) AS BIGINT))"
+    )
+    lat_q = (
+        f"least({(1 << lat_bits) - 1}, CAST(floor((lat + 90.0) / 180.0 * "
+        f"{float(1 << lat_bits)!r}) AS BIGINT))"
+    )
+    terms = []
+    for j in range(lon_bits):
+        terms.append(
+            f"(((lon_q >> {lon_bits - 1 - j}) & 1) << {total - 1 - 2 * j})"
+        )
+    for j in range(lat_bits):
+        terms.append(
+            f"(((lat_q >> {lat_bits - 1 - j}) & 1) << {total - 2 - 2 * j})"
+        )
+    hexpr = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH32}', CAST(((h >> {5 * (p - 1 - c_)}) & 31) "
+        f"AS INTEGER) + 1, 1)"
+        for c_ in range(p)
+    )
+    esc = c.replace("'", "''")
+    return f"""
+WITH {CORPUS_CTE.strip()},
+geo AS (SELECT doc_id, url, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM corpus),
+q AS (SELECT doc_id, url, lat, lon, {lon_q} AS lon_q, {lat_q} AS lat_q
+      FROM geo),
+hh AS (SELECT doc_id, url, lat, lon, {hexpr} AS h FROM q)
+SELECT doc_id, url, round(lat, 2) AS lat, round(lon, 2) AS lon FROM hh
+WHERE ({chars}) = '{esc}'
+ORDER BY doc_id ASC
+LIMIT {int(k)}
+"""

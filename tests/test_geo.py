@@ -85,3 +85,45 @@ def test_geo_distance_agg_rings_complete(spark, sf_dir):
 def test_geo_distance_agg_rejects_unsorted_edges():
     with pytest.raises(ValueError):
         geo.geo_distance_agg(None, edges=(5000.0, 2000.0))
+
+
+# --- ES 8.3 geo_grid query ----------------------------------------------
+
+
+@pytest.mark.parametrize("cell", ["3/5/3", "00", "0"])
+def test_geo_grid_parity(spark, sf_dir, duck, cell):
+    corpus = load_corpus(spark, sf_dir)
+    got = geo.geo_grid_page(corpus, cell, k=20).toPandas()
+    want = duck.execute(geo.geo_grid_sql(cell, k=20)).fetchdf()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_geo_grid_empty_cell(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    assert geo.geo_grid_page(corpus, "zz", k=5).count() == 0
+
+
+def test_geo_grid_members_agree_with_grid_agg(spark, sf_dir):
+    # every doc the query returns must land in that tile per the agg's
+    # own arithmetic (filter form == aggregation form)
+    corpus = load_corpus(spark, sf_dir)
+    rows = geo.geo_grid_page(corpus, "3/5/3", k=1000).collect()
+    from telegram2elastic_spark.query.geo import _geotile_xy, _latlon
+    import pyspark.sql.functions as F
+
+    df = _latlon(corpus)
+    x, y = _geotile_xy(3)
+    member = {
+        r.doc_id
+        for r in df.select("doc_id", x.alias("x"), y.alias("y"))
+        .filter((F.col("x") == 5) & (F.col("y") == 3))
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == member
+
+
+def test_geo_grid_bad_cells(spark, sf_dir):
+    corpus = load_corpus(spark, sf_dir)
+    for bad in ["3/5", "99/0/0", "abc!", "123456789"]:
+        with pytest.raises(ValueError):
+            geo.geo_grid_page(corpus, bad)
