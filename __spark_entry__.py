@@ -31,6 +31,7 @@ from telegram2elastic_spark.operators import training
 from telegram2elastic_spark.query import bm25, collapse, compound, explain, facets, fuzzy, highlight, mlt, multifield, percolate, phrase, search, suggest
 from telegram2elastic_spark.query import expand as expandq
 from telegram2elastic_spark.query import funcscore as fscore
+from telegram2elastic_spark.query import scriptscore as sscore
 from telegram2elastic_spark.query import querystring as qstr
 from telegram2elastic_spark.query import boosting as boostq
 from telegram2elastic_spark.query import meta, parentchild, rankeval
@@ -1818,6 +1819,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_corpus(spark, sf), Q_MAIN, k=10, fvf_factor=0.5,
             index=build_index(load_corpus(spark, sf), n_doc_parts=8),
         ),
+        # NEW (r4, session 21): ES script_score — Painless-subset script
+        # over (_score, doc-values), ONE parse tree driving all three
+        # engines; served from the index (full-accumulation per-salt
+        # kernel — an arbitrary script admits no score-ordered pruning)
+        "script_score": lambda spark, sf: sscore.script_score_topk(
+            load_corpus(spark, sf), Q_MAIN,
+            "saturation(_score, 2) * Math.log(1 + doc['doc_len'].value)",
+            k=10, index=build_index(load_corpus(spark, sf), n_doc_parts=8),
+        ),
         # NEW (r4, session 4): ES bucket_script + bucket_selector pipeline
         # aggs — per-bucket ratio script, min-docs selector, one scan
         "timeline_bucket_script": lambda spark, sf: agg.timeline_bucket_script(
@@ -2498,6 +2508,11 @@ FROM corpus ORDER BY doc_id
             [["spark"], ["merge", "batch"]], k=10
         ),
         "function_score_recency": fscore.function_score_sql(Q_MAIN, k=10),
+        "script_score": sscore.script_score_sql(
+            Q_MAIN,
+            "saturation(_score, 2) * Math.log(1 + doc['doc_len'].value)",
+            k=10,
+        ),
         "function_score_fvf": fscore.function_score_sql(
             Q_MAIN, k=10, fvf_factor=0.5
         ),

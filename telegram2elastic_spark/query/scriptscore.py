@@ -1,0 +1,441 @@
+"""ES `script_score` query — rank by a user script over `_score` and
+doc values (the Painless arithmetic subset ES documents for scoring).
+
+The reference ships its documents to Elasticsearch and lets dashboards
+re-rank with scripts (README.md:5 Kibana serving path); this module is
+the engine-side equivalent: a tiny Painless-subset compiler whose ONE
+parse tree drives three emitters —
+
+  * a Spark `Column` (relational path, whole-stage codegen),
+  * a numpy evaluator (the per-salt index kernel),
+  * a DuckDB SQL expression (the oracle),
+
+so all three engines evaluate the IDENTICAL double expression tree in
+the identical operation order.  The only cross-engine noise is libm
+ulps, absorbed by the final `round(_, SCORE_DECIMALS)` — the same
+argument the BM25 idf and function_score rely on.
+
+Supported grammar (the documented script_score scoring subset):
+
+    expr    := term (('+'|'-') term)*
+    term    := unary (('*'|'/') unary)*
+    unary   := '-' unary | primary
+    primary := NUMBER | '_score' | doc['<field>'].value
+             | Math.<fn>(args) | saturation(x, k) | sigmoid(x, k, a)
+             | '(' expr ')'
+
+`Math.{log, log10, exp, sqrt, abs, max, min, pow}` map to the engines'
+native doubles.  ES's `saturation(x, k) = x/(x+k)` and
+`sigmoid(x, k, a) = x^a/(k^a + x^a)` are expanded at PARSE time into the
+core node set, so the emitters stay minimal and provably aligned.
+Fields are the index's doc-values: `doc_len` (token count) and `epoch`
+(warc_ts as epoch seconds) — unknown fields or functions raise at parse
+time (ES's script compile error).
+
+Divergence note: ES rejects scripts that PRODUCE a negative score at
+query time; a distributed engine cannot cheaply observe every row, so
+negative scores are emitted as computed (use Math.max(0, ...) in the
+script, as ES docs themselves recommend).
+
+Serving shape (`index=`): like function_score, a script can demote
+high-BM25 docs arbitrarily, so no score-ordered pruning is admissible
+without a script upper bound — the per-salt kernel fully accumulates the
+postings-bounded match set, joins the salt's cogrouped doc-values slice,
+evaluates the script IN the kernel (numpy, vectorized), and emits the
+salt-local top-k by the final rounded key.  Docs live in exactly one
+salt and the key is computed identically everywhere, so the global merge
+is an exact TakeOrdered over P*k rows; url lookup is a k-row broadcast.
+The corpus is never re-tokenized at query time.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..corpus import CORPUS_CTE
+from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
+from .bm25 import B, K1, SCORE_DECIMALS, bm25_scores
+
+FIELDS = ("doc_len", "epoch")
+
+# name -> arity; all evaluate as IEEE doubles in every engine
+_FUNCS = {"log": 1, "log10": 1, "exp": 1, "sqrt": 1, "abs": 1,
+          "max": 2, "min": 2, "pow": 2}
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<str>'[^']*'|\"[^\"]*\")"
+    r"|(?P<op>[-+*/()\[\].,]))"
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None or m.end() == pos:
+            rest = src[pos:].lstrip()
+            if not rest:
+                break
+            raise ValueError(f"script_score: bad token at {rest[:12]!r}")
+        pos = m.end()
+        for kind in ("num", "id", "str", "op"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks, self.i = toks, 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def eat(self, kind: str, val: str | None = None) -> str:
+        t = self.peek()
+        if t is None or t[0] != kind or (val is not None and t[1] != val):
+            raise ValueError(
+                f"script_score: expected {val or kind} at token {self.i}"
+            )
+        self.i += 1
+        return t[1]
+
+    def expr(self):
+        node = self.term()
+        while (t := self.peek()) in (("op", "+"), ("op", "-")):
+            self.i += 1
+            node = ("bin", t[1], node, self.term())
+        return node
+
+    def term(self):
+        node = self.unary()
+        while (t := self.peek()) in (("op", "*"), ("op", "/")):
+            self.i += 1
+            node = ("bin", t[1], node, self.unary())
+        return node
+
+    def unary(self):
+        if self.peek() == ("op", "-"):
+            self.i += 1
+            return ("neg", self.unary())
+        return self.primary()
+
+    def args(self, n: int) -> list:
+        self.eat("op", "(")
+        out = [self.expr()]
+        while self.peek() == ("op", ","):
+            self.i += 1
+            out.append(self.expr())
+        self.eat("op", ")")
+        if len(out) != n:
+            raise ValueError(f"script_score: expected {n} args, got {len(out)}")
+        return out
+
+    def primary(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("script_score: unexpected end of script")
+        kind, v = t
+        if kind == "num":
+            self.i += 1
+            return ("num", float(v))
+        if t == ("op", "("):
+            self.i += 1
+            node = self.expr()
+            self.eat("op", ")")
+            return node
+        if kind == "id":
+            self.i += 1
+            if v == "_score":
+                return ("score",)
+            if v == "doc":
+                self.eat("op", "[")
+                name = self.eat("str")[1:-1]
+                self.eat("op", "]")
+                self.eat("op", ".")
+                if self.eat("id") != "value":
+                    raise ValueError("script_score: expected .value")
+                if name not in FIELDS:
+                    raise ValueError(
+                        f"script_score: unknown field {name!r} "
+                        f"(doc-values fields: {', '.join(FIELDS)})"
+                    )
+                return ("field", name)
+            if v == "Math":
+                self.eat("op", ".")
+                fn = self.eat("id")
+                if fn not in _FUNCS:
+                    raise ValueError(f"script_score: unknown Math.{fn}")
+                return ("call", fn, self.args(_FUNCS[fn]))
+            if v == "saturation":
+                x, kk = self.args(2)
+                return ("bin", "/", x, ("bin", "+", x, kk))
+            if v == "sigmoid":
+                x, kk, a = self.args(3)
+                xa = ("call", "pow", [x, a])
+                ka = ("call", "pow", [kk, a])
+                return ("bin", "/", xa, ("bin", "+", ka, xa))
+            raise ValueError(f"script_score: unknown identifier {v!r}")
+        raise ValueError(f"script_score: unexpected token {v!r}")
+
+
+def parse_script(src: str):
+    """Parse a Painless-subset scoring script into the AST (tuples).
+    Raises ValueError at any unknown field/function/syntax — the ES
+    script-compile-error analogue, surfaced at query build time."""
+    p = _Parser(_tokenize(src))
+    node = p.expr()
+    if p.peek() is not None:
+        raise ValueError("script_score: trailing tokens")
+    return node
+
+
+# --- emitters (one AST, three engines) ----------------------------------
+
+_SPARK_FN = {"log": F.log, "log10": F.log10, "exp": F.exp, "sqrt": F.sqrt,
+             "abs": F.abs, "max": F.greatest, "min": F.least, "pow": F.pow}
+_NP_FN = {"log": np.log, "log10": np.log10, "exp": np.exp, "sqrt": np.sqrt,
+          "abs": np.abs, "max": np.maximum, "min": np.minimum,
+          "pow": np.power}
+_SQL_FN = {"log": "ln", "log10": "log10", "exp": "exp", "sqrt": "sqrt",
+           "abs": "abs", "max": "greatest", "min": "least", "pow": "pow"}
+
+
+def to_spark(ast, score: F.Column, fields: dict[str, F.Column]) -> F.Column:
+    def go(n):
+        if n[0] == "num":
+            return F.lit(n[1])
+        if n[0] == "score":
+            return score
+        if n[0] == "field":
+            return fields[n[1]]
+        if n[0] == "neg":
+            return -go(n[1])
+        if n[0] == "bin":
+            a, b = go(n[2]), go(n[3])
+            return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[n[1]]
+        return _SPARK_FN[n[1]](*[go(a) for a in n[2]])
+
+    return go(ast)
+
+
+def to_numpy(ast, score: np.ndarray, fields: dict[str, np.ndarray]) -> np.ndarray:
+    def go(n):
+        if n[0] == "num":
+            return np.float64(n[1])
+        if n[0] == "score":
+            return score
+        if n[0] == "field":
+            return fields[n[1]]
+        if n[0] == "neg":
+            return -go(n[1])
+        if n[0] == "bin":
+            a, b = go(n[2]), go(n[3])
+            if n[1] == "+":
+                return a + b
+            if n[1] == "-":
+                return a - b
+            if n[1] == "*":
+                return a * b
+            return a / b
+        return _NP_FN[n[1]](*[go(a) for a in n[2]])
+
+    return np.asarray(go(ast), dtype=np.float64)
+
+
+def to_sql(ast, score: str, fields: dict[str, str]) -> str:
+    def go(n):
+        if n[0] == "num":
+            return repr(float(n[1]))
+        if n[0] == "score":
+            return f"({score})"
+        if n[0] == "field":
+            return f"({fields[n[1]]})"
+        if n[0] == "neg":
+            return f"(-{go(n[1])})"
+        if n[0] == "bin":
+            return f"({go(n[2])} {n[1]} {go(n[3])})"
+        return f"{_SQL_FN[n[1]]}({', '.join(go(a) for a in n[2])})"
+
+    return go(ast)
+
+
+# --- query paths ---------------------------------------------------------
+
+
+def script_score_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    script: str,
+    k: int = 10,
+    index: dict | None = None,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, url, score) where score = script(_score, doc) over
+    the BM25 match set of `terms`.  With `index=` served from the
+    compressed posting index (module docstring); rank-identical to the
+    relational path."""
+    ast = parse_script(script)
+    if index is not None:
+        return _script_indexed(index, terms, ast, k, min_score)
+    scored = bm25_scores(corpus, terms)
+    side = corpus.select(
+        "doc_id",
+        F.size(tokens("text")).cast("double").alias("doc_len"),
+        F.col("warc_ts").cast("long").cast("double").alias("epoch"),
+    )
+    col = to_spark(
+        ast, F.col("score"),
+        {"doc_len": F.col("doc_len"), "epoch": F.col("epoch")},
+    )
+    out = scored.join(side, "doc_id").select(
+        "doc_id", "url", F.round(col, SCORE_DECIMALS).alias("score")
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= float(min_score))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+
+
+def _script_indexed(
+    index: dict, terms: list[str], ast, k: int, min_score: float | None
+) -> DataFrame:
+    from .wand import (
+        _collect_idfs,
+        _filters_df,
+        _n_parts,
+        _postings_for_terms,
+        _score_salt_group,
+        _split_filters,
+    )
+
+    spark = index["doc_map"].sparkSession
+    idfs, avgdl = _collect_idfs(index, terms)
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not idfs:
+        return empty
+
+    post = _postings_for_terms(index, sorted(idfs))
+    filt = _filters_df(index, None)
+    side = index["doc_map"].select(
+        "doc_id",
+        F.col("warc_ts").cast("long").alias("epoch"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.lit("h").alias("kind"),
+    )
+    if filt is not None:
+        side = side.unionByName(
+            filt.select(
+                "doc_id",
+                F.lit(None).cast("long").alias("epoch"),
+                F.lit(None).cast("long").alias("doc_len"),
+                "kind",
+            )
+        )
+    side = side.withColumn(
+        "salt", F.pmod(F.col("doc_id"), F.lit(_n_parts(index))).cast("int")
+    )
+
+    def kernel(post_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        dv = side_pdf.loc[side_pdf["kind"] == "h", ["doc_id", "epoch", "doc_len"]]
+        tomb, _ = _split_filters(side_pdf, has_allow=False)
+        scored = _score_salt_group(
+            post_pdf, idfs, float(avgdl), 1 << 60, tombstones=tomb
+        )
+        if scored.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        m = scored.merge(dv, on="doc_id", how="left")
+        final = np.round(
+            to_numpy(
+                ast,
+                m["score"].to_numpy(np.float64),
+                {
+                    "doc_len": m["doc_len"].to_numpy(np.float64),
+                    "epoch": m["epoch"].to_numpy(np.float64),
+                },
+            ),
+            SCORE_DECIMALS,
+        )
+        ids = m["doc_id"].to_numpy()
+        if min_score is not None:
+            keep_mask = final >= float(min_score)
+            ids, final = ids[keep_mask], final[keep_mask]
+        order = np.lexsort((ids, -final))
+        keep = order[:k]
+        return pd.DataFrame({"doc_id": ids[keep], "score": final[keep]})
+
+    local = (
+        post.groupBy("salt")
+        .cogroup(side.groupBy("salt"))
+        .applyInPandas(kernel, "doc_id long, score double")
+    )
+    top = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    return (
+        index["doc_map"]
+        .select("doc_id", "url")
+        .join(F.broadcast(top), "doc_id", "inner")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def script_score_sql(
+    terms: list[str], script: str, k: int = 10, min_score: float | None = None
+) -> str:
+    """DuckDB oracle — the same AST rendered over the same BM25 CTE."""
+    ast = parse_script(script)
+    tl = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    expr = to_sql(
+        ast, "score",
+        {"doc_len": "CAST(doc_len AS DOUBLE)",
+         "epoch": "CAST(CAST(epoch(warc_ts) AS BIGINT) AS DOUBLE)"},
+    )
+    gate = f"WHERE score >= {float(min_score)!r}\n" if min_score is not None else ""
+    return f"""
+WITH {CORPUS_CTE.strip()},
+dl AS (SELECT doc_id, url, warc_ts, {DOC_LEN_SQL} AS doc_len FROM corpus),
+stats AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM dl),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+             '{TOKEN_SPLIT_RE}'), t -> t <> '')) AS term
+  FROM corpus
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({tl}) GROUP BY doc_id, term
+),
+tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, dl.url, dl.warc_ts, dl.doc_len,
+         round(sum(
+           ln(1 + (stats.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, dl.url, dl.warc_ts, dl.doc_len
+),
+rescored AS (
+  SELECT doc_id, url, round({expr}, {SCORE_DECIMALS}) AS score FROM scored
+)
+SELECT doc_id, url, score FROM rescored
+{gate}ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
