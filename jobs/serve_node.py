@@ -32,6 +32,7 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "highlight","q": "spark merge"}         (needs --corpus)
     {"op": "pinned",   "q": "spark merge", "pins": [42, 7]}
     {"op": "rankfeature", "q": "spark merge", "pivot": 40, "boost": 2}
+    {"op": "scriptscore", "q": "spark merge", "script": "saturation(_score, 2)"}
     {"op": "didyoumean", "q": "tne fast"}          (needs --bigrams)
     {"op": "sqs",      "q": "spark -vector field:x"} (lenient syntax)
     {"op": "sql", "q": "SELECT doc_id, url, SCORE() AS score FROM
@@ -231,6 +232,19 @@ def main() -> None:
             return lq.pinned_topk_local(
                 idx, req["q"].split(), [int(p) for p in req["pins"]],
                 k=k, corpus=corpus,
+            )
+        if op == "scriptscore":
+            # {"op": "scriptscore", "q": "...", "script": "<painless subset>",
+            #  "min_score": 0.5} — script over (_score, doc-values), full
+            # accumulation on the resident posting cache
+            from telegram2elastic_spark.query.scriptscore import (
+                script_score_topk_local,
+            )
+
+            ms = req.get("min_score")
+            return script_score_topk_local(
+                idx, req["q"].split(), req["script"], k=k,
+                min_score=float(ms) if ms is not None else None,
             )
         if op == "rankfeature":
             return lq.rank_feature_topk_local(

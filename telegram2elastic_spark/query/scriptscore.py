@@ -439,3 +439,91 @@ SELECT doc_id, url, score FROM rescored
 {gate}ORDER BY score DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+# --- driver-local query-node path -----------------------------------------
+
+
+def _ast_fields(ast) -> set[str]:
+    if ast[0] == "field":
+        return {ast[1]}
+    if ast[0] == "neg":
+        return _ast_fields(ast[1])
+    if ast[0] == "bin":
+        return _ast_fields(ast[2]) | _ast_fields(ast[3])
+    if ast[0] == "call":
+        out: set[str] = set()
+        for a in ast[2]:
+            out |= _ast_fields(a)
+        return out
+    return set()
+
+
+def _epoch_docvalues(index: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Resident (doc_id-sorted) epoch doc-values column — the Lucene
+    memory-mapped doc-values shape for a query node.  One Spark fetch per
+    opened index, cached on the index dict like _local_decoded."""
+    cache = index.get("_epoch_dv")
+    if cache is None:
+        pdf = (
+            index["doc_map"]
+            .select("doc_id", F.col("warc_ts").cast("long").alias("epoch"))
+            .toPandas()
+        )
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        ep = pdf["epoch"].to_numpy(np.float64)
+        o = np.argsort(ids, kind="stable")
+        cache = (ids[o], ep[o])
+        index["_epoch_dv"] = cache
+    return cache
+
+
+def script_score_topk_local(
+    index: dict,
+    terms: list[str],
+    script: str,
+    k: int = 10,
+    min_score: float | None = None,
+) -> list[tuple]:
+    """[(doc_id, score)] — rank-identical to script_score_topk(index=).
+
+    Full accumulation over the hot-shard posting cache (wand_topk_local
+    with the k cut disarmed — a script can promote any matching doc, so
+    the whole match set is scored).  `doc_len` is decoded FROM the
+    resident postings (dl rides in every block — no doc-values fetch);
+    `epoch` reads the resident doc-values column (_epoch_docvalues).
+    """
+    from .wand import _collect_idfs, _term_arrays, wand_topk_local
+
+    ast = parse_script(script)
+    full = wand_topk_local(index, terms, k=1 << 60)
+    if not full:
+        return []
+    ids = np.fromiter((d for d, _ in full), np.int64, len(full))
+    score = np.fromiter((s for _, s in full), np.float64, len(full))
+    used = _ast_fields(ast)
+    fields: dict[str, np.ndarray] = {}
+    if "doc_len" in used:
+        idfs, _ = _collect_idfs(index, terms)
+        pids, pdl = [], []
+        for t in sorted(idfs):
+            arr = _term_arrays(index, t)
+            if arr is not None:
+                pids.append(arr[0])
+                pdl.append(arr[2])
+        aid = np.concatenate(pids).astype(np.int64)
+        adl = np.concatenate(pdl).astype(np.float64)
+        o = np.argsort(aid, kind="stable")
+        aid, adl = aid[o], adl[o]
+        first = np.concatenate(([True], aid[1:] != aid[:-1]))
+        aid, adl = aid[first], adl[first]
+        fields["doc_len"] = adl[np.searchsorted(aid, ids)]
+    if "epoch" in used:
+        did, dep = _epoch_docvalues(index)
+        fields["epoch"] = dep[np.searchsorted(did, ids)]
+    final = np.round(to_numpy(ast, score, fields), SCORE_DECIMALS)
+    if min_score is not None:
+        keep = final >= float(min_score)
+        ids, final = ids[keep], final[keep]
+    top = np.lexsort((ids, -final))[: int(k)]
+    return [(int(i), float(s)) for i, s in zip(ids[top], final[top])]

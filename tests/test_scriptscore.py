@@ -164,3 +164,29 @@ def test_no_query_time_tokenize_in_indexed_plan(spark, sf_dir, tmp_path):
     df = ss.script_score_topk(corpus, TERMS, SCRIPTS[0], k=10, index=disk)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "split(" not in plan and "explode" not in plan
+
+
+def test_local_twin_identical_to_indexed(spark, sf_dir, idx):
+    corpus = load_corpus(spark, sf_dir)
+    scripts = SCRIPTS + [
+        "_score * saturation(doc['epoch'].value - 1640995200, 600)",
+        "_score + 1",          # field-free script
+    ]
+    for script in scripts:
+        ind = [
+            (r["doc_id"], r["score"])
+            for r in ss.script_score_topk(
+                corpus, TERMS, script, k=10, index=idx
+            ).collect()
+        ]
+        loc = ss.script_score_topk_local(idx, TERMS, script, k=10)
+        assert loc == ind, script
+
+
+def test_local_twin_min_score(spark, sf_dir, idx):
+    script = SCRIPTS[0]
+    full = ss.script_score_topk_local(idx, TERMS, script, k=50)
+    cut = sorted(s for _, s in full)[len(full) // 2]
+    got = ss.script_score_topk_local(idx, TERMS, script, k=50, min_score=cut)
+    assert got and all(s >= cut for _, s in got)
+    assert got == [(d, s) for d, s in full if s >= cut]
