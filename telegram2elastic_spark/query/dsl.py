@@ -21,6 +21,9 @@ Supported subset:
       {"wrapper":      {"query": "<base64 of a body's query>"}}
       {"match": {"text": {"query": "...", "fuzziness": f}}}
                                    (blended fuzzy expansion per token)
+      {"script_score": {"query": {"match": ...},
+                        "script": {"source": "<painless subset>"},
+                        "min_score": x}}   (query/scriptscore.py grammar)
       {"bool": {"must":     [match | match_phrase, ...],
                 "must_not": [match, ...],
                 "filter":   [{"term":  {field: value}}
@@ -125,6 +128,8 @@ class _Parsed:
         self.prefix = None
         self.ids = None
         self.fuzziness = None
+        self.script = None
+        self.script_min_score = None
 
 
 def parse_dsl(body: dict) -> tuple[_Parsed, int]:
@@ -148,6 +153,37 @@ def parse_dsl(body: dict) -> tuple[_Parsed, int]:
             raise ValueError("wrapper needs exactly {'query': <base64>}")
         inner = json.loads(base64.b64decode(spec["query"]).decode("utf-8"))
         return parse_dsl({"query": inner, "size": k})
+    if kind == "script_score":
+        # ES script_score: inner query scored, then re-ranked by the
+        # script; the script COMPILES here (parse-time error, like ES)
+        if not isinstance(spec, dict):
+            raise ValueError("script_score needs an object body")
+        extra = set(spec) - {"query", "script", "min_score"}
+        if extra:
+            raise ValueError(f"out-of-subset script_score keys: {sorted(extra)}")
+        inner = spec.get("query")
+        if not isinstance(inner, dict) or len(inner) != 1:
+            raise ValueError("script_score needs exactly one inner query")
+        script = spec.get("script")
+        if not (isinstance(script, dict) and isinstance(script.get("source"), str)):
+            raise ValueError("script_score needs script.source")
+        ip, _ = parse_dsl({"query": inner, "size": k})
+        if (
+            ip.phrase or ip.sparse is not None or ip.prefix is not None
+            or ip.ids is not None or ip.fuzziness is not None
+            or ip.must_not or ip.doc_filter or ip.msm or ip.script
+        ):
+            raise ValueError(
+                "script_score inner query supports a plain match only"
+            )
+        from .scriptscore import parse_script
+
+        parse_script(script["source"])
+        p.terms = ip.terms
+        p.script = script["source"]
+        ms = spec.get("min_score")
+        p.script_min_score = float(ms) if ms is not None else None
+        return p, k
     if kind == "ids":
         vals = spec.get("values") if isinstance(spec, dict) else None
         if not isinstance(vals, list) or not vals:
@@ -231,6 +267,13 @@ def execute_dsl(index: dict, body: dict) -> DataFrame:
         from .expand import match_fuzzy_topk
 
         return match_fuzzy_topk(index, p.terms, k=k, fuzziness=p.fuzziness)
+    if p.script is not None:
+        from .scriptscore import script_score_topk
+
+        return script_score_topk(
+            None, p.terms, p.script, k=k, index=index,
+            min_score=p.script_min_score,
+        )
     if p.sparse is not None:
         return sparse_vector_topk(index, p.sparse, k=k)
     if p.prefix is not None:
@@ -275,6 +318,12 @@ WHERE doc_id IN ({ids}) ORDER BY doc_id LIMIT {k}
         from .expand import match_fuzzy_topk_sql
 
         return match_fuzzy_topk_sql(p.terms, k=k, fuzziness=p.fuzziness)
+    if p.script is not None:
+        from .scriptscore import script_score_sql
+
+        return script_score_sql(
+            p.terms, p.script, k=k, min_score=p.script_min_score
+        )
     if p.prefix is not None:
         raise ValueError("oracle covers the prefix-free subset")
     if p.sparse is not None:
@@ -342,6 +391,7 @@ def msearch(index: dict, bodies: list[dict]) -> DataFrame:
             or p.fuzziness is not None
             or p.sparse is not None
             or p.prefix is not None
+            or p.script is not None
         ):
             singles.append((qid, k, execute_dsl(index, body)))
         elif p.phrase and p.terms:
@@ -510,6 +560,12 @@ def execute_dsl_local(index: dict, body: dict) -> list:
     from .wand import wand_topk_local
 
     p, k = parse_dsl(body)
+    if p.script is not None:
+        from .scriptscore import script_score_topk_local
+
+        return script_score_topk_local(
+            index, p.terms, p.script, k=k, min_score=p.script_min_score
+        )
     if p.sparse is not None:
         return sparse_vector_topk_local(index, p.sparse, k=k)
     if p.prefix is not None:
@@ -554,6 +610,11 @@ def validate_query(body: dict) -> dict:
         desc = f"match_fuzzy:{p.terms} fuzziness={p.fuzziness} k={k}"
     elif p.sparse is not None:
         desc = f"sparse_vector:{sorted(p.sparse)} k={k}"
+    elif p.script is not None:
+        desc = (
+            f"script_score terms:{p.terms} script={p.script!r} "
+            f"min_score={p.script_min_score} k={k}"
+        )
     elif p.prefix is not None:
         desc = f"prefix:{p.prefix} k={k}"
     elif p.phrase and p.terms:

@@ -328,3 +328,85 @@ class TestMsearch:
     def test_msearch_empty_raises(self, spark, sf_dir):
         with pytest.raises(ValueError):
             dsl.msearch(_idx(spark, sf_dir), [])
+
+
+SS_BODY = {
+    "query": {
+        "script_score": {
+            "query": {"match": {"text": "spark merge"}},
+            "script": {
+                "source": "saturation(_score, 2)"
+                          " * Math.log(1 + doc['doc_len'].value)"
+            },
+        }
+    },
+    "size": 10,
+}
+
+
+class TestScriptScoreBody:
+    def test_vs_oracle(self, spark, duck, sf_dir):
+        got = dsl.execute_dsl(_idx(spark, sf_dir), SS_BODY)
+        assert_same(got, duck.execute(dsl.dsl_sql(SS_BODY)).df())
+
+    def test_min_score_vs_oracle(self, spark, duck, sf_dir):
+        body = {"query": {"script_score": {
+            **SS_BODY["query"]["script_score"], "min_score": 0.5}},
+            "size": 20}
+        got = dsl.execute_dsl(_idx(spark, sf_dir), body)
+        assert_same(got, duck.execute(dsl.dsl_sql(body)).df())
+
+    def test_local_twin_identity(self, spark, sf_dir):
+        idx = _idx(spark, sf_dir)
+        dist = [
+            (r["doc_id"], r["score"])
+            for r in dsl.execute_dsl(idx, SS_BODY).collect()
+        ]
+        assert dsl.execute_dsl_local(idx, SS_BODY) == dist
+
+    def test_msearch_mixes_script_body(self, spark, sf_dir):
+        idx = _idx(spark, sf_dir)
+        bodies = [
+            {"query": {"match": {"text": "spark merge"}}, "size": 5},
+            SS_BODY,
+        ]
+        got = dsl.msearch(idx, bodies).collect()
+        single0 = dsl.execute_dsl(idx, bodies[0]).collect()
+        single1 = dsl.execute_dsl(idx, bodies[1]).collect()
+        by_q = {0: [], 1: []}
+        for r in got:
+            by_q[r["query_id"]].append((r["doc_id"], r["score"]))
+        assert by_q[0] == [(r["doc_id"], r["score"]) for r in single0]
+        assert by_q[1] == [(r["doc_id"], r["score"]) for r in single1]
+
+    def test_validate_describes_script(self):
+        v = dsl.validate_query(SS_BODY)
+        assert v["valid"] and "script_score" in v["explanation"]
+        bad = {"query": {"script_score": {
+            "query": {"match": {"text": "x"}},
+            "script": {"source": "Math.tan(_score)"}}}}
+        v = dsl.validate_query(bad)
+        assert not v["valid"] and "Math.tan" in v["explanation"]
+
+    @pytest.mark.parametrize("bad", [
+        # inner query must be a plain match
+        {"query": {"script_score": {
+            "query": {"match_phrase": {"text": "merge batch"}},
+            "script": {"source": "_score"}}}},
+        # missing script.source
+        {"query": {"script_score": {
+            "query": {"match": {"text": "x"}}, "script": {}}}},
+        # nested script_score
+        {"query": {"script_score": {
+            "query": {"script_score": {
+                "query": {"match": {"text": "x"}},
+                "script": {"source": "_score"}}},
+            "script": {"source": "_score"}}}},
+        # unknown key
+        {"query": {"script_score": {
+            "query": {"match": {"text": "x"}},
+            "script": {"source": "_score"}, "boost_mode": "sum"}}},
+    ])
+    def test_rejections(self, bad):
+        with pytest.raises(ValueError):
+            dsl.parse_dsl(bad)
