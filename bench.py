@@ -600,6 +600,13 @@ def main() -> None:
             corpus, z=2, x=1, y=1, grid_precision=5, hits=10))
         timed("geohash_grid_sec", lambda: geq.geohash_grid(
             corpus, precision=4, k=10))
+        timed("geo_grid_sec", lambda: geq.geo_grid_page(corpus, "3/5/3", k=20))
+        from telegram2elastic_spark.query import scriptscore as ssq
+
+        timed("script_score_sec", lambda: ssq.script_score_topk(
+            None, ["spark", "merge"],
+            "saturation(_score, 2) * Math.log(1 + doc['doc_len'].value)",
+            k=10, index=eidx))
         for _fi in fidx.values():
             for nm in ("doc_map", "term_dict", "postings", "stats"):
                 _fi[nm].unpersist()
@@ -718,6 +725,18 @@ def main() -> None:
         timed_local(
             "rank_feature_ms",
             lambda: lqp.rank_feature_topk_local(eidx, ["spark", "merge"], k=10),
+        )
+        from telegram2elastic_spark.query.scriptscore import (
+            script_score_topk_local,
+        )
+
+        timed_local(
+            "script_score_ms",
+            lambda: script_score_topk_local(
+                eidx, ["spark", "merge"],
+                "saturation(_score, 2) * Math.log(1 + doc['doc_len'].value)",
+                k=10,
+            ),
         )
         t0 = time.perf_counter()
         bg_store = sg.write_bigram_store(corpus, es_dir)
