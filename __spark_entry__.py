@@ -336,6 +336,15 @@ ESQL_PROGRAMS = {
         '| EVAL mr = ROUND(mr, 4), av = ROUND(av, 4), peak = ROUND(peak, 4) '
         '| SORT hour ASC, event_type ASC | LIMIT 40'
     ),
+    # NEW (r4, session 22): KNN (ES|QL 9.2) — keep the k nearest rows by
+    # exact cosine (one sequential fold per side, shared query-norm
+    # literal) and append _score; must be the WHERE's only expression
+    "esql_knn": (
+        "FROM embeddings | WHERE KNN(embedding, ["
+        + ", ".join(repr(((i * 37) % 19 - 9) / 10.0) for i in range(64))
+        + "], 12) | STATS n = COUNT(*), best = MAX(_score) BY label "
+        "| SORT label ASC"
+    ),
     # NEW (r4, session 15): FUSE (ES|QL 9.1) — RRF fusion of FORK
     # branches: ranks inside each branch (ties share a rank), fixed
     # branch-order float sum, identity = all non-(_score,_fork) columns

@@ -34,6 +34,10 @@ Supported commands (the stable ES|QL core):
                                  consecutive analyzed terms) and
                                  TERM(field, "t") (9.1, query side NOT
                                  analyzed — must be in index form to hit)
+  | WHERE KNN(field, [v...], k)  ES|QL 9.2 kNN: keep the k nearest rows by
+                                 exact cosine, append _score; must be the
+                                 WHERE's only expression (a top-k is not a
+                                 per-row predicate)
   | EVAL a = expr, b = expr      later items may use earlier ones; replaces
   | STATS agg [, ...] [BY k...]  COUNT(*) COUNT SUM AVG MIN MAX
                                  COUNT_DISTINCT MEDIAN PERCENTILE
@@ -102,6 +106,7 @@ ROUND(x, 4) before comparing engines (the agg_percentiles convention).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -120,7 +125,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>==|!=|<=|>=|\|\||&&|[|,()=<>+\-*/%])
+  | (?P<op>==|!=|<=|>=|\|\||&&|[|,()=<>+\-*/%\[\]])
     """,
     re.VERBOSE,
 )
@@ -382,6 +387,19 @@ class _P:
             return Lit(t.text == "TRUE", "bool")
         if t.kind == "kw" and t.text == "NULL":
             return Lit(None, "null")
+        if t.kind == "op" and t.text == "[":
+            # numeric multivalue literal — the KNN query-vector carrier
+            vals: list[float] = []
+            if not self.accept("op", "]"):
+                while True:
+                    neg = self.accept("op", "-") is not None
+                    lt = self.expect("num")
+                    v = float(lt.text)
+                    vals.append(-v if neg else v)
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", "]")
+            return Lit(tuple(vals), "array<double>")
         if t.kind == "op" and t.text == "(":
             e = self.expr()
             self.expect("op", ")")
@@ -446,6 +464,10 @@ def _typecheck(e, schema: dict[str, str]) -> str:
                 _typecheck(it, schema)
         return "bool"
     if isinstance(e, Func):
+        if e.name == "KNN":
+            raise ValueError(
+                "ES|QL: KNN must be the only expression of a WHERE command"
+            )
         if e.name not in FUNCS:
             raise ValueError(f"ES|QL: unknown function {e.name}")
         spec = FUNCS[e.name]
@@ -489,6 +511,10 @@ def _lit_spark(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, tuple):
+        raise ValueError(
+            "ES|QL: array literals are only supported as the KNN query vector"
+        )
     return repr(v)
 
 
@@ -499,6 +525,10 @@ def _lit_duck(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, tuple):
+        raise ValueError(
+            "ES|QL: array literals are only supported as the KNN query vector"
+        )
     return repr(v)
 
 
@@ -906,6 +936,33 @@ FUNCS: dict[str, dict] = {
 }
 
 
+def _knn_score(field: str, qv: tuple, dialect: str) -> str:
+    """Exact cosine of `field` against the literal query vector, rounded
+    to 5 decimals — one sequential fold per side in BOTH engines, and the
+    query norm is ONE shared double literal (computed once here), so the
+    score is engine- and partitioning-exact up to libm ulps absorbed by
+    the rounding (the cosine_topk convention)."""
+    if dialect == "spark":
+        arr = "array(" + ", ".join(repr(float(x)) for x in qv) + ")"
+        dot_vq = (
+            f"aggregate(zip_with({field}, {arr}, (a, b) -> a * b), "
+            "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+        dot_vv = (
+            f"aggregate(zip_with({field}, {field}, (a, b) -> a * b), "
+            "CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        )
+    else:
+        arr = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+        dot_vq = f"list_dot_product({field}, {arr})"
+        dot_vv = f"list_dot_product({field}, {field})"
+    qn = 0.0
+    for x in qv:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn)
+    return f"round(({dot_vq}) / (sqrt({dot_vv}) * {qn!r}), 5)"
+
+
 def _mv_elem(t: str) -> str:
     return t[6:-1] if t.startswith("array<") else t
 
@@ -1277,6 +1334,42 @@ class EsqlPlan:
 
     # -- per-command parse + static schema evolution ----------------
 
+    def _knn_stage(self, e) -> None:
+        """ES|QL 9.2 `WHERE KNN(field, [query_vector], k)` — keep the k
+        nearest rows by exact cosine and append `_score`.  A top-k is not
+        a per-row predicate, so KNN must be the WHERE's only expression
+        (ES restricts knn prefilter composition the same way); ties at
+        the k boundary break by the row identity column ascending, so the
+        admitted set is engine- and partitioning-exact."""
+        if len(e.args) != 3:
+            raise ValueError("ES|QL: KNN(field, [query_vector], k)")
+        f, q, kk = e.args
+        if not isinstance(f, Col) or self.schema.get(f.name) != "array<double>":
+            raise ValueError("ES|QL: KNN field must be an array<double> column")
+        if not (isinstance(q, Lit) and q.typ == "array<double>" and q.value):
+            raise ValueError(
+                "ES|QL: KNN query vector must be a non-empty array literal"
+            )
+        if not (
+            isinstance(kk, Lit) and kk.typ == "long" and int(kk.value) > 0
+        ):
+            raise ValueError("ES|QL: KNN k must be a positive integer literal")
+        idc = next(
+            (
+                c
+                for c in ("vec_id", "doc_id", "event_id")
+                if c in self.schema
+            ),
+            None,
+        )
+        if idc is None:
+            raise ValueError(
+                "ES|QL: KNN needs a row identity column "
+                "(vec_id / doc_id / event_id) still in scope"
+            )
+        self.schema["_score"] = "double"
+        self.stages.append(("knn", (f.name, q.value, int(kk.value), idc)))
+
     def _command(self, seg: list[Tok]) -> None:
         p = _P(seg)
         head = p.next()
@@ -1286,6 +1379,9 @@ class EsqlPlan:
         if k == "WHERE":
             e = p.expr()
             self._end(p)
+            if isinstance(e, Func) and e.name == "KNN":
+                self._knn_stage(e)
+                return
             if _typecheck(e, self.schema) != "bool":
                 raise ValueError("ES|QL: WHERE expression is not boolean")
             self.stages.append(("where", e))
@@ -2066,6 +2162,15 @@ class EsqlPlan:
                     F.pmod(h64(F.col(id_col).cast("string")), F.lit(1000))
                     < permille
                 )
+            elif kind == "knn":
+                field, qv, kk, idc = payload
+                df = (
+                    df.withColumn(
+                        "_score", F.expr(_knn_score(field, qv, "spark"))
+                    )
+                    .orderBy(F.desc("_score"), F.asc(idc))
+                    .limit(kk)
+                )
             elif kind == "fork":
                 # branch trailing SORTs (without LIMIT) are no-ops: the
                 # union destroys order in both engines.
@@ -2431,6 +2536,16 @@ class EsqlPlan:
                     f"e{i} AS (SELECT * FROM {prev} "
                     f"WHERE ({h}) % 1000 < {permille})"
                 )
+                prev = f"e{i}"
+                i += 1
+            elif kind == "knn":
+                field, qv, kk, idc = payload
+                ctes.append(
+                    f"e{i} AS (SELECT *, {_knn_score(field, qv, 'duck')} "
+                    f"AS _score FROM {prev} "
+                    f"ORDER BY _score DESC, {idc} ASC LIMIT {kk})"
+                )
+                schema["_score"] = "double"
                 prev = f"e{i}"
                 i += 1
             elif kind == "fork":

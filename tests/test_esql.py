@@ -710,3 +710,74 @@ class TestTsCommand:
             '| STATS buckets = COUNT(*), total = SUM(n) BY event_type '
             '| SORT event_type ASC',
         )
+
+
+# ------------------------------------------------------- ES|QL 9.2 KNN
+
+_KNN_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_KNN_LIT = "[" + ", ".join(repr(v) for v in _KNN_VEC) + "]"
+KNN_PROG = (
+    "FROM embeddings "
+    f"| WHERE KNN(embedding, {_KNN_LIT}, 10) "
+    "| KEEP vec_id, label, _score "
+    "| SORT _score DESC, vec_id ASC"
+)
+
+
+def test_knn_parity(spark, duck, sf_dir):
+    _same(spark, duck, sf_dir, KNN_PROG)
+
+
+def test_knn_then_stats_parity(spark, duck, sf_dir):
+    prog = (
+        "FROM embeddings "
+        f"| WHERE KNN(embedding, {_KNN_LIT}, 25) "
+        "| STATS n = COUNT(*), best = MAX(_score) BY label "
+        "| SORT label ASC"
+    )
+    _same(spark, duck, sf_dir, prog)
+
+
+def test_knn_k_and_order(spark, sf_dir):
+    out = E.execute_esql(spark, sf_dir, KNN_PROG).toPandas()
+    assert len(out) == 10
+    assert list(out.columns) == ["vec_id", "label", "_score"]
+    s = out["_score"].tolist()
+    assert s == sorted(s, reverse=True)
+    # exactness cross-check: numpy full-scan cosine agrees on the set
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    m = np.stack(t["embedding"].to_numpy())
+    q = np.array(_KNN_VEC)
+    cos = np.round(
+        m @ q / (np.sqrt((m * m).sum(axis=1)) * np.sqrt((q * q).sum())), 5
+    )
+    order = np.lexsort((t["vec_id"].to_numpy(), -cos))[:10]
+    assert set(out["vec_id"]) == set(t["vec_id"].to_numpy()[order])
+
+
+def test_knn_errors():
+    with pytest.raises(ValueError, match="only expression"):
+        E.EsqlPlan(
+            f"FROM embeddings | WHERE KNN(embedding, {_KNN_LIT}, 5)"
+            " AND label > 0"
+        )
+    with pytest.raises(ValueError, match="array<double> column"):
+        E.EsqlPlan(f"FROM embeddings | WHERE KNN(label, {_KNN_LIT}, 5)")
+    with pytest.raises(ValueError, match="positive integer"):
+        E.EsqlPlan(f"FROM embeddings | WHERE KNN(embedding, {_KNN_LIT}, 0)")
+    with pytest.raises(ValueError, match="non-empty array"):
+        E.EsqlPlan("FROM embeddings | WHERE KNN(embedding, [], 5)")
+    with pytest.raises(ValueError, match="KNN"):
+        E.EsqlPlan("FROM embeddings | WHERE KNN(embedding)")
+
+
+def test_array_literal_outside_knn_rejected():
+    plan = E.EsqlPlan("FROM embeddings | EVAL x = [1.0, 2.0] | LIMIT 1")
+    with pytest.raises(ValueError, match="KNN query vector"):
+        E.esql_to_duckdb(
+            "FROM embeddings | EVAL x = [1.0, 2.0] | LIMIT 1"
+        )
+    del plan
