@@ -336,6 +336,13 @@ ESQL_PROGRAMS = {
         '| EVAL mr = ROUND(mr, 4), av = ROUND(av, 4), peak = ROUND(peak, 4) '
         '| SORT hour ASC, event_type ASC | LIMIT 40'
     ),
+    # NEW (r4, session 22): CATEGORIZE (ES|QL 9.x grouping function) —
+    # deterministic drain-style key (digit-bearing tokens dropped, first-4
+    # prefix); EVAL-then-BY is the ES BY-CATEGORIZE plan
+    "esql_categorize": (
+        "FROM corpus | EVAL cat = CATEGORIZE(text) "
+        "| STATS n = COUNT(*) BY cat | SORT n DESC, cat ASC | LIMIT 15"
+    ),
     # NEW (r4, session 22): KNN (ES|QL 9.2) — keep the k nearest rows by
     # exact cosine (one sequential fold per side, shared query-norm
     # literal) and append _score; must be the WHERE's only expression

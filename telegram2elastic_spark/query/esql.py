@@ -919,6 +919,25 @@ FUNCS: dict[str, dict] = {
         spark=lambda a, r: _phrase_expr(a[0], _match_terms(r), "spark"),
         duck=lambda a, r: _phrase_expr(a[0], _match_terms(r), "duck"),
     ),
+    # ES|QL CATEGORIZE (9.x grouping function): deterministic drain-style
+    # category key — digit-bearing tokens dropped (the variable parts of a
+    # log/doc line), first 4 surviving analyzed tokens joined.  ES runs an
+    # ML categorizer HERE; this re-spec is the load-order-independent
+    # deterministic twin (usable in EVAL, then BY the result — ES|QL
+    # limits CATEGORIZE to BY, where an EVAL-then-BY is the same plan).
+    "CATEGORIZE": dict(
+        arity=(1, 1), ret="string",
+        spark=lambda a, r: (
+            "array_join(slice(filter("
+            + _tokens_spark(a[0])
+            + ", t -> NOT (t RLIKE '[0-9]')), 1, 4), ' ')"
+        ),
+        duck=lambda a, r: (
+            "array_to_string((list_filter("
+            + _tokens_duck(a[0])
+            + ", t -> NOT regexp_matches(t, '[0-9]')))[1:4], ' ')"
+        ),
+    ),
     # ES|QL 9.1 TERM: exact term lookup, query side NOT analyzed — the
     # literal must already be in index form (lowercase) to hit, exactly
     # the classic ES term-vs-match contract.

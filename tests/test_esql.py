@@ -781,3 +781,27 @@ def test_array_literal_outside_knn_rejected():
             "FROM embeddings | EVAL x = [1.0, 2.0] | LIMIT 1"
         )
     del plan
+
+
+# ------------------------------------------------- CATEGORIZE function
+
+CAT_PROG = (
+    "FROM corpus | EVAL cat = CATEGORIZE(text) "
+    "| STATS n = COUNT(*) BY cat | SORT n DESC, cat ASC | LIMIT 15"
+)
+
+
+def test_categorize_parity(spark, duck, sf_dir):
+    _same(spark, duck, sf_dir, CAT_PROG)
+
+
+def test_categorize_drops_digit_tokens(spark, sf_dir):
+    out = E.execute_esql(
+        spark, sf_dir,
+        "FROM corpus | EVAL cat = CATEGORIZE(text) "
+        "| KEEP cat | LIMIT 200",
+    ).toPandas()
+    for c in out["cat"]:
+        toks = c.split(" ") if c else []
+        assert len(toks) <= 4
+        assert all(not any(ch.isdigit() for ch in t) for t in toks)
