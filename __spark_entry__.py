@@ -343,6 +343,14 @@ ESQL_PROGRAMS = {
         "FROM corpus | EVAL cat = CATEGORIZE(text) "
         "| STATS n = COUNT(*) BY cat | SORT n DESC, cat ASC | LIMIT 15"
     ),
+    # NEW (r4, session 22): KNN + TEXT_EMBEDDING (ES|QL 9.2) — the stub
+    # inference endpoint resolves at COMPILE time into the query-vector
+    # literal, so both emitters carry identical doubles
+    "esql_knn_semantic": (
+        "FROM embeddings "
+        '| WHERE KNN(embedding, TEXT_EMBEDDING("spark merge batch"), 10) '
+        "| KEEP vec_id, label, _score | SORT _score DESC, vec_id ASC"
+    ),
     # NEW (r4, session 22): KNN (ES|QL 9.2) — keep the k nearest rows by
     # exact cosine (one sequential fold per side, shared query-norm
     # literal) and append _score; must be the WHERE's only expression

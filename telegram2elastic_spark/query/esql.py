@@ -37,7 +37,10 @@ Supported commands (the stable ES|QL core):
   | WHERE KNN(field, [v...], k)  ES|QL 9.2 kNN: keep the k nearest rows by
                                  exact cosine, append _score; must be the
                                  WHERE's only expression (a top-k is not a
-                                 per-row predicate)
+                                 per-row predicate); the query vector may
+                                 be TEXT_EMBEDDING("text") — the
+                                 deterministic stub inference endpoint,
+                                 resolved at compile time
   | EVAL a = expr, b = expr      later items may use earlier ones; replaces
   | STATS agg [, ...] [BY k...]  COUNT(*) COUNT SUM AVG MIN MAX
                                  COUNT_DISTINCT MEDIAN PERCENTILE
@@ -467,6 +470,11 @@ def _typecheck(e, schema: dict[str, str]) -> str:
         if e.name == "KNN":
             raise ValueError(
                 "ES|QL: KNN must be the only expression of a WHERE command"
+            )
+        if e.name == "TEXT_EMBEDDING":
+            raise ValueError(
+                "ES|QL: TEXT_EMBEDDING is only supported as the KNN "
+                "query vector"
             )
         if e.name not in FUNCS:
             raise ValueError(f"ES|QL: unknown function {e.name}")
@@ -1365,6 +1373,31 @@ class EsqlPlan:
         f, q, kk = e.args
         if not isinstance(f, Col) or self.schema.get(f.name) != "array<double>":
             raise ValueError("ES|QL: KNN field must be an array<double> column")
+        if isinstance(q, Func) and q.name == "TEXT_EMBEDDING":
+            # ES|QL 9.2 TEXT_EMBEDDING: the engine's deterministic stub
+            # inference endpoint (hashing-trick embedder, semantic.py) —
+            # resolved at COMPILE time into the query-vector literal, so
+            # both emitters carry the identical doubles
+            if len(q.args) != 1 or not (
+                isinstance(q.args[0], Lit)
+                and q.args[0].typ == "string"
+                and q.args[0].value
+            ):
+                raise ValueError(
+                    'ES|QL: TEXT_EMBEDDING("text") needs a non-empty '
+                    "string literal"
+                )
+            from .semantic import SEM_DIM, embed_query
+
+            sparse = embed_query(q.args[0].value)
+            if not sparse:
+                raise ValueError(
+                    "ES|QL: TEXT_EMBEDDING produced an all-zero vector"
+                )
+            q = Lit(
+                tuple(float(sparse.get(b, 0)) for b in range(SEM_DIM)),
+                "array<double>",
+            )
         if not (isinstance(q, Lit) and q.typ == "array<double>" and q.value):
             raise ValueError(
                 "ES|QL: KNN query vector must be a non-empty array literal"

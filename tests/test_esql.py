@@ -805,3 +805,41 @@ def test_categorize_drops_digit_tokens(spark, sf_dir):
         toks = c.split(" ") if c else []
         assert len(toks) <= 4
         assert all(not any(ch.isdigit() for ch in t) for t in toks)
+
+
+TE_PROG = (
+    "FROM embeddings "
+    '| WHERE KNN(embedding, TEXT_EMBEDDING("spark merge batch"), 10) '
+    "| KEEP vec_id, _score | SORT _score DESC, vec_id ASC"
+)
+
+
+def test_knn_text_embedding_parity(spark, duck, sf_dir):
+    _same(spark, duck, sf_dir, TE_PROG)
+
+
+def test_knn_text_embedding_matches_explicit_vector(spark, sf_dir):
+    from telegram2elastic_spark.query.semantic import SEM_DIM, embed_query
+
+    sparse = embed_query("spark merge batch")
+    lit = "[" + ", ".join(
+        repr(float(sparse.get(b, 0))) for b in range(SEM_DIM)
+    ) + "]"
+    explicit = (
+        f"FROM embeddings | WHERE KNN(embedding, {lit}, 10) "
+        "| KEEP vec_id, _score | SORT _score DESC, vec_id ASC"
+    )
+    a = E.execute_esql(spark, sf_dir, TE_PROG).toPandas()
+    b = E.execute_esql(spark, sf_dir, explicit).toPandas()
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_text_embedding_errors():
+    with pytest.raises(ValueError, match="string literal"):
+        E.EsqlPlan(
+            "FROM embeddings | WHERE KNN(embedding, TEXT_EMBEDDING(), 5)"
+        )
+    with pytest.raises(ValueError, match="only supported as the KNN"):
+        E.EsqlPlan(
+            'FROM embeddings | EVAL v = TEXT_EMBEDDING("x") | LIMIT 1'
+        )
