@@ -843,3 +843,19 @@ def test_text_embedding_errors():
         E.EsqlPlan(
             'FROM embeddings | EVAL v = TEXT_EMBEDDING("x") | LIMIT 1'
         )
+
+
+def test_knn_fork_fuse_hybrid(spark, duck, sf_dir):
+    """The ES|QL 9.2 flagship hybrid pattern: a KNN branch fused with a
+    lexical MATCH branch via RRF — KNN supplies _score inside its FORK
+    branch, composition needs no special casing in either emitter."""
+    prog = (
+        "FROM embeddings | FORK "
+        f'(WHERE KNN(embedding, TEXT_EMBEDDING("spark merge"), 15)) '
+        "(WHERE label >= 0 | EVAL _score = 1.0 / (1 + label) "
+        " | SORT _score DESC, vec_id ASC | LIMIT 15) "
+        "| FUSE | EVAL _score = ROUND(_score, 6) "
+        "| KEEP vec_id, label, _score "
+        "| SORT _score DESC, vec_id ASC | LIMIT 10"
+    )
+    _same(spark, duck, sf_dir, prog)
