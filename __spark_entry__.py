@@ -592,6 +592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_probe": lambda spark, sf: sketches.cms_probe(
             load_corpus(spark, sf), CMS_PROBE_TERMS, depth=4, width=512
         ),
+        # NEW (r4, session 22): HyperLogLog — the ACTUAL ES cardinality
+        # algorithm next to the KMV pair; register maxima + exact-int64
+        # harmonic sum => deterministic and mergeable under any layout
+        "sketch_hll_cardinality": lambda spark, sf: sketches.hll_cardinality(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 21): KQL — the Kibana Discover search box
         # (filter context only); one AST, dual rendering, newest-first page
         "kql_discover": lambda spark, sf: kqlq.kql_search(
@@ -2333,6 +2339,7 @@ FROM corpus ORDER BY doc_id
             [3, 7, 42], k=5
         ),
         "sketch_heavy_hitters": sketches.heavy_hitters_sql(k=15),
+        "sketch_hll_cardinality": sketches.hll_cardinality_sql(),
         "sketch_cms_probe": sketches.cms_probe_sql(
             CMS_PROBE_TERMS, depth=4, width=512
         ),

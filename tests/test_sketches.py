@@ -95,3 +95,56 @@ def test_cms_probe_args(corpus):
         sk.cms_probe(corpus, [])
     with pytest.raises(ValueError):
         sk.cms_probe_sql([])
+
+
+# ------------------------------------------------------------- HLL
+
+
+def test_hll_parity(spark, corpus, duck):
+    got = sk.hll_cardinality(corpus).toPandas()
+    want = duck.execute(sk.hll_cardinality_sql()).fetchdf()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_hll_error_band(corpus):
+    """HLL standard error at p=12 is 1.04/sqrt(4096) ~ 1.6%; small groups
+    ride the linear-counting branch which is tighter still — pin a 5%
+    band (3 sigma) per group."""
+    out = sk.hll_cardinality(corpus).collect()
+    assert out
+    for r in out:
+        assert r["exact"] > 0
+        assert abs(r["est"] - r["exact"]) / r["exact"] < 0.05, dict(r.asDict())
+
+
+def test_hll_partitioning_invariant(spark, corpus):
+    """Register maxima commute with any layout — the mergeability claim."""
+    a = sk.hll_cardinality(corpus).collect()
+    b = sk.hll_cardinality(corpus.repartition(13, "doc_id")).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_hll_python_recompute(spark, corpus):
+    """Independent pure-Python HLL (same md5 hashes, same formula)."""
+    import hashlib
+    import math
+
+    rows = corpus.select("lang", "url").collect()
+    regs: dict[str, dict[int, int]] = {}
+    for r in rows:
+        h = int(hashlib.md5(r["url"].encode()).hexdigest()[:15], 16)
+        reg, w = h % sk.HLL_M, h // sk.HLL_M
+        rank_max = 60 - sk.HLL_P + 1
+        rho = rank_max if w == 0 else rank_max - w.bit_length()
+        g = regs.setdefault(r["lang"], {})
+        g[reg] = max(g.get(reg, 0), rho)
+    out = {r["lang"]: r["est"] for r in sk.hll_cardinality(corpus).collect()}
+    rank_max = 60 - sk.HLL_P + 1
+    for lang, g in regs.items():
+        s = sum(1 << (rank_max - m) for m in g.values())
+        s += (sk.HLL_M - len(g)) * (1 << rank_max)
+        est = sk._HLL_NUM / float(s)
+        v = sk.HLL_M - len(g)
+        if est <= 2.5 * sk.HLL_M and v > 0:
+            est = float(sk.HLL_M) * math.log(float(sk.HLL_M) / float(v))
+        assert out[lang] == round(est, 4), lang
