@@ -1067,6 +1067,21 @@ def main() -> None:
             "lm_perplexity_sec",
             lambda: trp.lm_perplexity(corpus, "en", k=20),
         )
+        from telegram2elastic_spark.operators import sketches as skp
+        from telegram2elastic_spark.query import esql as esqlp
+
+        timed_pl(
+            "hll_cardinality_sec", lambda: skp.hll_cardinality(corpus)
+        )
+        _knn_prog = (
+            "FROM embeddings "
+            '| WHERE KNN(embedding, TEXT_EMBEDDING("spark merge batch"), 10) '
+            "| KEEP vec_id, _score | SORT _score DESC, vec_id ASC"
+        )
+        timed_pl(
+            "esql_knn_sec",
+            lambda: esqlp.execute_esql(spark, SF_DIR, _knn_prog),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()
