@@ -515,19 +515,28 @@ class TestCcnetBuckets:
         )
 
     def test_tercile_semantics(self, spark, sf_dir):
+        """The integer rank-third rule: per lang with n scored docs,
+        |head| = n//3, |middle| = (2n)//3 - n//3, |tail| = n - (2n)//3
+        (the 3*rn <= n / <= 2n cutoffs), and every scored doc lands in
+        exactly one bucket."""
         from telegram2elastic_spark.operators import training as tr
 
-        rows = tr.ccnet_buckets(load_corpus(spark, sf_dir)).collect()
-        n = len(rows)
-        counts = {}
-        for r in rows:
-            counts[r["bucket"]] = counts.get(r["bucket"], 0) + 1
-        # thirds up to threshold ties (ties go to the lower bucket)
-        assert counts["head"] >= n // 3
-        assert set(counts) == {"head", "middle", "tail"}
-        # every head score <= every middle score <= every tail score
-        hmax = max(r["cross_entropy"] for r in rows if r["bucket"] == "head")
-        mmin = min(r["cross_entropy"] for r in rows if r["bucket"] == "middle")
-        mmax = max(r["cross_entropy"] for r in rows if r["bucket"] == "middle")
-        tmin = min(r["cross_entropy"] for r in rows if r["bucket"] == "tail")
-        assert hmax <= mmin and mmax <= tmin
+        corpus = load_corpus(spark, sf_dir)
+        got = {
+            (r["lang"], r["bucket"]): r["cnt"]
+            for r in tr.ccnet_buckets(corpus).collect()
+        }
+        ced, toksdf = tr._lm_scored(corpus, "en")
+        per_lang = {
+            r["lang"]: r["count"] for r in ced.groupBy("lang").count().collect()
+        }
+        toksdf.unpersist()
+        assert per_lang
+        for lang, n in per_lang.items():
+            head = n // 3
+            middle = (2 * n) // 3 - head
+            tail = n - (2 * n) // 3
+            assert got.get((lang, "head"), 0) == head, lang
+            assert got.get((lang, "middle"), 0) == middle, lang
+            assert got.get((lang, "tail"), 0) == tail, lang
+        assert sum(got.values()) == sum(per_lang.values())
