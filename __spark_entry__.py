@@ -89,6 +89,13 @@ WT_WEIGHTS = {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25, "dup": 0.
 
 CMS_PROBE_TERMS = ["spark", "merge", "the", "zzzmissing"]
 
+# Bloom membership probes (Data Portraits contamination gate): common
+# corpus shingles, one repetition pattern, and two absent trigrams.
+BLOOM_PROBES = [
+    "batch batch batch", "spark group query", "merge sort join",
+    "zz yy xx", "quantum flux capacitor",
+]
+
 # KQL pairs: a Discover page (keyword + value-group + range + bare terms)
 # and a hit count (phrase + negation + wildcard).
 KQL_QUERY = "lang:(en or de) and (spark or merge) and n_chars >= 200"
@@ -572,6 +579,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 23): Bloom-filter n-gram membership (Data
+        # Portraits, Marone & Van Durme 2023) — the sketch answer to "was
+        # this n-gram in training?"; md5 bit positions computed
+        # identically in both engines, filter = bounded distinct set-bit
+        # relation (mergeable by union = bitwise OR of shard filters)
+        "sketch_bloom_probe": lambda spark, sf: sketches.bloom_probe(
+            load_corpus(spark, sf), BLOOM_PROBES, m=1 << 22, k=5
+        ),
+        # NEW (r4, session 23): ES data-frame-analytics outlier detection
+        # — distance-based scores (knn-th and mean-knn distance) from
+        # integer c5 cosines; exact global formulation at driver scale,
+        # ANN family generates neighbourhoods at 10^12 (bitext contract)
+        "outlier_knn_scores": lambda spark, sf: sim.outlier_knn_scores(
+            load_embeddings(spark, sf), knn=5, k=10
+        ),
+        # NEW (r4, session 23): MMR diversification rerank (Carbonell &
+        # Goldstein 1998) — exact integer greedy over a bounded top-pool
+        # relevance window (one applyInPandas group); oracle is the same
+        # selection unrolled into k CTE steps (kmeans pattern)
+        "mmr_rerank": lambda spark, sf: sim.mmr_rerank(
+            load_embeddings(spark, sf), query_vec_id=0, pool=20, k=5
+        ),
         # NEW (r4, session 21): ES SQL (`_sql` endpoint) — the fourth ES
         # query language; recursive-descent parse, dispatch onto verified
         # paths only (MATCH/SCORE() -> wand_topk in filter context,
@@ -2338,6 +2367,11 @@ FROM corpus ORDER BY doc_id
         "mine_hard_negatives": training.mine_hard_negatives_sql(
             [3, 7, 42], k=5
         ),
+        "sketch_bloom_probe": sketches.bloom_probe_sql(
+            BLOOM_PROBES, m=1 << 22, k=5
+        ),
+        "outlier_knn_scores": sim.outlier_knn_scores_sql(knn=5, k=10),
+        "mmr_rerank": sim.mmr_rerank_sql(query_vec_id=0, pool=20, k=5),
         "sketch_heavy_hitters": sketches.heavy_hitters_sql(k=15),
         "sketch_hll_cardinality": sketches.hll_cardinality_sql(),
         "sketch_cms_probe": sketches.cms_probe_sql(

@@ -1774,3 +1774,315 @@ WHERE s1.ca = {knn} AND s2.cb = {knn} AND s1.sa + s2.sb != 0
 ORDER BY margin DESC, p.a_id ASC, p.b_id ASC
 LIMIT {k}
 """
+
+
+# --- Distance-based outlier detection (ES data frame analytics) ----------------
+
+def outlier_knn_scores(
+    embeddings: DataFrame, knn: int = 5, k: int = 10
+) -> DataFrame:
+    """ES data-frame-analytics `outlier_detection`: per-vector outlier
+    scores from the two distance-based methods of the ES ensemble —
+    distance to the knn-th nearest neighbour and the mean distance to the
+    k nearest neighbours (the ensemble's ldof/lof members need the same
+    neighbourhoods; the distance pair is the deterministic pin).  Scores
+    are normalized to [0, 1] by the corpus max, as ES reports them.
+
+    Distance is cosine distance scaled to an INTEGER d5 = 100000 - c5
+    (c5 = round(cos * 1e5)): neighbourhood picks order by (d5 asc, id
+    asc) and the mean is an integer sum with ONE final division — no
+    float accumulation order anywhere, so the result is partition- and
+    engine-exact.
+
+    Scale shape: like `bitext_margin_topk`, this is the exact GLOBAL
+    formulation (the registered driver-scale oracle pair).  At 10^12 docs
+    the neighbourhoods come from the ANN family (knn_int8_topk /
+    ivf_topk / lsh_buckets candidates); the scorer is reused unchanged —
+    it only needs each vector's knn distance list."""
+    knn, k = int(knn), int(k)
+    if knn < 1:
+        raise ValueError("knn must be >= 1")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"),
+                 F.col("n").alias("na"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.lit(100000)
+                - F.expr(
+                    "CAST(round(aggregate(zip_with(va, vb, (p, q) -> p * q), "
+                    "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / (na * nb) "
+                    "* 100000) AS BIGINT)"
+                )
+            ).alias("d5"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.asc("d5"), F.asc("b_id"))
+    nb_stats = (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= knn)
+        .groupBy("a_id")
+        .agg(
+            F.max("d5").alias("dk5"),          # knn-th NN distance
+            F.sum("d5").alias("sd5"),          # integer sum for the mean
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == knn)
+    )
+    gmax = nb_stats.agg(F.max("dk5").alias("gmax"))
+    return (
+        nb_stats.crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.round(F.col("dk5") / 100000.0, 5).alias("dist_knn"),
+            F.round(F.col("sd5") / (knn * 100000.0), 5).alias("avg_dist"),
+            F.round(F.col("dk5") / F.col("gmax"), 5).alias("outlier_score"),
+        )
+        .orderBy(F.desc("outlier_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def outlier_knn_scores_sql(knn: int = 5, k: int = 10) -> str:
+    knn, k = int(knn), int(k)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         100000 - CAST(round(list_dot_product(a.v, b.v) / (a.n * b.n)
+                             * 100000) AS BIGINT) AS d5
+  FROM e a CROSS JOIN e b
+  WHERE a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT a_id, d5,
+         row_number() OVER (PARTITION BY a_id ORDER BY d5 ASC, b_id ASC) AS r
+  FROM pairs
+),
+nb AS (
+  SELECT a_id, max(d5) AS dk5, sum(d5) AS sd5, count(*) AS cnt
+  FROM ranked WHERE r <= {knn} GROUP BY a_id
+),
+g AS (SELECT max(dk5) AS gmax FROM nb WHERE cnt = {knn})
+SELECT nb.a_id AS vec_id,
+       round(nb.dk5 / 100000.0, 5) AS dist_knn,
+       round(nb.sd5 / ({knn} * 100000.0), 5) AS avg_dist,
+       round(nb.dk5 / g.gmax, 5) AS outlier_score
+FROM nb CROSS JOIN g
+WHERE nb.cnt = {knn}
+ORDER BY outlier_score DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+# --- Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) -------------
+
+_MMR_KERNEL_SCHEMA = "pos int, vec_id long, rel_c5 long, sc long"
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    pool: int = 20,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """MMR diversification of a top-`pool` relevance window: greedily pick
+    the candidate maximizing  lam*rel - (1-lam)*max_sim_to_selected  (the
+    Carbonell & Goldstein 1998 objective; the standard diversity rerank
+    of retrieval-augmented pipelines, and the shape of ES's
+    `diversified_sampler` taken to scoring).  lam = lam_num/lam_den.
+
+    Determinism: relevance and pairwise similarities are INTEGER c5
+    cosines (round(cos*1e5)); the greedy score is the exact integer
+    lam_num*rel_c5 - (lam_den-lam_num)*max_sim_c5 with ties broken by
+    vec_id asc, so selection is engine- and partition-exact.  The first
+    pick's max-sim term is empty => 0 (pure relevance, as in the paper).
+    The only floats are the two final display divisions, performed by the
+    same round(x/const, 5) expression in both engines.
+
+    Scale shape: the serving-path rerank contract — candidate generation
+    is the existing ANN/WAND top-window (`pool` rows, k*oversample-
+    bounded, like `ltr_rescore`/`rescore_recency`), pairwise sims are
+    pool^2 rows computed JVM-side, and the greedy loop runs once over a
+    single bounded group (one applyInPandas over pool^2 rows — driver
+    never collects)."""
+    pool, k = int(pool), int(k)
+    lam_num, lam_den = int(lam_num), int(lam_den)
+    if pool < 2:
+        raise ValueError("pool must be >= 2")
+    if not (1 <= k <= pool):
+        raise ValueError("k must be in 1..pool")
+    if not (0 <= lam_num <= lam_den) or lam_den < 1:
+        raise ValueError("lambda must satisfy 0 <= lam_num <= lam_den")
+    qid = int(query_vec_id)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = e.filter(F.col("vec_id") == qid).select(
+        F.col("v").alias("qv"), F.col("n").alias("nq")
+    )
+    c5 = (
+        "CAST(round(aggregate(zip_with({x}, {y}, (p, q) -> p * q), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) / ({nx} * {ny}) "
+        "* 100000) AS BIGINT)"
+    )
+    poolv = (
+        e.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "v", "n",
+            F.expr(c5.format(x="v", y="qv", nx="n", ny="nq")).alias("rel_c5"),
+        )
+        .orderBy(F.desc("rel_c5"), F.asc("vec_id"))
+        .limit(pool)
+        .localCheckpoint()
+    )
+    a = poolv.select(F.col("vec_id").alias("a_id"),
+                     F.col("rel_c5").alias("a_rel"),
+                     F.col("v").alias("va"), F.col("n").alias("na"))
+    b = poolv.select(F.col("vec_id").alias("b_id"),
+                     F.col("v").alias("vb"), F.col("n").alias("nb"))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id", "a_rel", "b_id",
+            F.expr(c5.format(x="va", y="vb", nx="na", ny="nb")).alias("s5"),
+        )
+    )
+
+    def kern(pdf):
+        import pandas as pd
+
+        rel = {}
+        sim = {}
+        for a_id, a_rel, b_id, s5 in zip(
+            pdf["a_id"], pdf["a_rel"], pdf["b_id"], pdf["s5"]
+        ):
+            rel[int(a_id)] = int(a_rel)
+            sim[(int(a_id), int(b_id))] = int(s5)
+        selected: list[int] = []
+        rows = []
+        for pos in range(1, k + 1):
+            best = None
+            for c in sorted(rel):
+                if c in selected:
+                    continue
+                ms = max((sim[(c, s)] for s in selected), default=0)
+                sc = lam_num * rel[c] - (lam_den - lam_num) * ms
+                key = (-sc, c)
+                if best is None or key < best[0]:
+                    best = (key, c, sc)
+            if best is None:
+                break
+            selected.append(best[1])
+            rows.append((pos, best[1], rel[best[1]], best[2]))
+        return pd.DataFrame(
+            rows, columns=["pos", "vec_id", "rel_c5", "sc"]
+        )
+
+    picked = (
+        sims.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(lambda _, pdf: kern(pdf), _MMR_KERNEL_SCHEMA)
+    )
+    return picked.select(
+        "pos",
+        "vec_id",
+        F.round(F.col("rel_c5") / 100000.0, 5).alias("relevance"),
+        F.round(F.col("sc") / (lam_den * 100000.0), 5).alias("mmr_score"),
+    ).orderBy("pos")
+
+
+def mmr_rerank_sql(
+    query_vec_id: int = 0,
+    pool: int = 20,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> str:
+    """DuckDB oracle: the SAME greedy selection unrolled into k CTE steps
+    (the `sim_kmeans_assign` unrolled-iteration pattern)."""
+    pool, k = int(pool), int(k)
+    lam_num, lam_den = int(lam_num), int(lam_den)
+    qid = int(query_vec_id)
+    neg = lam_den - lam_num
+    steps = []
+    finals = []
+    for i in range(1, k + 1):
+        if i == 1:
+            steps.append(
+                f"s1 AS (SELECT vec_id, rel_c5, {lam_num} * rel_c5 AS sc "
+                f"FROM pool ORDER BY sc DESC, vec_id ASC LIMIT 1),\n"
+                f"sel1 AS (SELECT vec_id FROM s1)"
+            )
+        else:
+            p = i - 1
+            steps.append(
+                f"c{i} AS (\n"
+                f"  SELECT p.vec_id, p.rel_c5,\n"
+                f"         {lam_num} * p.rel_c5 - {neg} * (\n"
+                f"           SELECT max(s.s5) FROM sims s\n"
+                f"           WHERE s.a_id = p.vec_id\n"
+                f"             AND s.b_id IN (SELECT vec_id FROM sel{p})\n"
+                f"         ) AS sc\n"
+                f"  FROM pool p\n"
+                f"  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{p})\n"
+                f"),\n"
+                f"s{i} AS (SELECT * FROM c{i} ORDER BY sc DESC, vec_id ASC "
+                f"LIMIT 1),\n"
+                f"sel{i} AS (SELECT vec_id FROM sel{p} "
+                f"UNION ALL SELECT vec_id FROM s{i})"
+            )
+        finals.append(
+            f"SELECT {i} AS pos, vec_id, "
+            f"round(rel_c5 / 100000.0, 5) AS relevance, "
+            f"round(sc / ({lam_den} * 100000.0), 5) AS mmr_score FROM s{i}"
+        )
+    steps_sql = ",\n".join(steps)
+    finals_sql = "\nUNION ALL\n".join(finals)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings
+),
+q AS (SELECT v AS qv, n AS nq FROM e WHERE vec_id = {qid}),
+relq AS (
+  SELECT e.vec_id, e.v, e.n,
+         CAST(round(list_dot_product(e.v, q.qv) / (e.n * q.nq) * 100000)
+              AS BIGINT) AS rel_c5
+  FROM e CROSS JOIN q WHERE e.vec_id != {qid}
+),
+pool AS (
+  SELECT vec_id, rel_c5 FROM relq
+  ORDER BY rel_c5 DESC, vec_id ASC LIMIT {pool}
+),
+poolv AS (SELECT r.* FROM relq r JOIN pool USING (vec_id)),
+sims AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(round(list_dot_product(a.v, b.v) / (a.n * b.n) * 100000)
+              AS BIGINT) AS s5
+  FROM poolv a JOIN poolv b ON a.vec_id != b.vec_id
+),
+{steps_sql}
+{finals_sql}
+ORDER BY pos
+"""

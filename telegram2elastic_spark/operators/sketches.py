@@ -382,3 +382,169 @@ SELECT fin.g AS {by}, round(fin.est, 4) AS est, ex.exact
 FROM fin JOIN ex USING (g)
 ORDER BY {by}
 """
+
+
+# --- Bloom-filter n-gram membership (Data Portraits) ---------------------------
+
+# Membership testing against a training corpus is the remaining sketch
+# workhorse: "was this exact n-gram seen in training?" is the Data
+# Portraits question (Marone & Van Durme 2023 — documenting dataset
+# membership with Bloom filters) and the cheap first pass of any
+# contamination audit (the engine's exact 8-gram `decontaminate` pass is
+# the full join; a Bloom gate answers the same question in O(m) bits with
+# a bounded false-positive rate and NO false negatives).
+#
+# Determinism/parity: the k bit positions of a shingle are md5-derived
+# integers (the `_H_SPARK`/`_H_DUCK` recipe shared with CMS/HLL) modulo
+# m, computed IDENTICALLY in Spark and DuckDB, so the whole filter — and
+# every probe verdict — is an exact deterministic function of the corpus.
+#
+# Scale shape: the filter is the DISTINCT set of set-bit positions —
+# at most m rows no matter the corpus size (one hash agg with map-side
+# collapse; 2^16 bits here).  It is mergeable by construction: the union
+# of set-bit sets IS the bitwise OR of the partial filters, commuting
+# with any partitioning — shard filters merge like ES per-shard sketches.
+# Probes are a broadcast of |probes| x k keys against that bounded
+# relation; the exact-truth column (for the visible false-positive audit)
+# is a semi-join against the distinct-shingle relation.
+
+BLOOM_M = 1 << 16
+BLOOM_K = 5
+
+_BH_SPARK = (
+    "CAST(conv(substring(md5(concat('b{row}', ':', shingle)), 1, 15), 16, 10)"
+    " AS BIGINT)"
+)
+_BH_DUCK = "('0x' || substr(md5('b{row}' || ':' || shingle), 1, 15))::BIGINT"
+
+
+def _corpus_shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct n-token shingles of the corpus (space-joined); tokens
+    materialized once per row (shingles_col's performance contract)."""
+    from .dedup import shingles_col
+    from ..functions.tokenizer import tokens
+
+    return (
+        corpus.select(tokens("text").alias("toks"))
+        .select(F.explode(shingles_col(n, F.col("toks"))).alias("shingle"))
+        .distinct()
+    )
+
+
+def bloom_bits(corpus: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K,
+               n: int = 3) -> DataFrame:
+    """The Bloom filter itself: distinct set-bit positions (bit BIGINT).
+
+    <= m rows regardless of corpus size; one distinct-agg shuffle."""
+    if not (1 <= k <= 16):
+        raise ValueError("k must be in 1..16")
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    sh = _corpus_shingles(corpus, n)
+    positions = F.array(*[
+        F.pmod(F.expr(_BH_SPARK.format(row=r)), F.lit(int(m)))
+        for r in range(int(k))
+    ])
+    return (
+        sh.select(F.explode(positions).alias("bit")).distinct()
+    )
+
+
+def bloom_probe(
+    corpus: DataFrame,
+    probes: list[str],
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    n: int = 3,
+) -> DataFrame:
+    """Membership verdicts: (probe, bloom_hit, present, false_pos).
+
+    bloom_hit  — all k probe bits set in the filter (the sketch answer;
+                 never false-negative by construction).
+    present    — exact membership in the distinct-shingle relation (the
+                 audit column that makes any false positive visible).
+    """
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    uniq = sorted(set(probes))
+    spark = corpus.sparkSession
+    bits = bloom_bits(corpus, m=m, k=k, n=n)
+    pr = spark.createDataFrame([(s,) for s in uniq], "shingle string")
+    keys = pr.select(
+        "shingle",
+        F.explode(F.array(*[
+            F.pmod(F.expr(_BH_SPARK.format(row=r)), F.lit(int(m)))
+            for r in range(int(k))
+        ])).alias("bit"),
+    )
+    hits = (
+        keys.join(bits, "bit", "left_semi")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    truth = (
+        _corpus_shingles(corpus, n)
+        .join(F.broadcast(pr), "shingle", "left_semi")
+        .withColumn("present", F.lit(True))
+    )
+    return (
+        pr.join(hits, "shingle", "left")
+        .join(truth, "shingle", "left")
+        .select(
+            F.col("shingle").alias("probe"),
+            (F.coalesce("n_set", F.lit(0)) == int(k)).alias("bloom_hit"),
+            F.coalesce("present", F.lit(False)).alias("present"),
+            (
+                (F.coalesce("n_set", F.lit(0)) == int(k))
+                & ~F.coalesce("present", F.lit(False))
+            ).alias("false_pos"),
+        )
+        .orderBy("probe")
+    )
+
+
+def bloom_probe_sql(
+    probes: list[str], m: int = BLOOM_M, k: int = BLOOM_K, n: int = 3
+) -> str:
+    """DuckDB oracle: the identical filter (same md5 bit positions)."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    if n != 3:
+        raise ValueError("oracle is pinned to the 3-token shingle CTE")
+    from .dedup import TOKS_CTE_SQL
+
+    uniq = sorted(set(probes))
+    probes_sql = ", ".join("('" + s.replace("'", "''") + "')" for s in uniq)
+    corp_pos = "\nUNION ALL\n".join(
+        f"SELECT (({_BH_DUCK.format(row=r)}) % {int(m)}) AS bit FROM sh"
+        for r in range(int(k))
+    )
+    probe_pos = "\nUNION ALL\n".join(
+        f"SELECT shingle, (({_BH_DUCK.format(row=r)}) % {int(m)}) AS bit"
+        f" FROM probes"
+        for r in range(int(k))
+    )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKS_CTE_SQL.strip()},
+sh AS (SELECT DISTINCT shingle FROM doc_shingle),
+bits AS (SELECT DISTINCT bit FROM ({corp_pos})),
+probes AS (SELECT * FROM (VALUES {probes_sql}) AS v(shingle)),
+pkeys AS ({probe_pos}),
+hits AS (
+  SELECT p.shingle, count(*) AS n_set
+  FROM pkeys p JOIN bits b ON p.bit = b.bit
+  GROUP BY p.shingle
+),
+tru AS (
+  SELECT DISTINCT s.shingle FROM sh s JOIN probes p ON s.shingle = p.shingle
+)
+SELECT pr.shingle AS probe,
+       COALESCE(h.n_set, 0) = {int(k)} AS bloom_hit,
+       tr.shingle IS NOT NULL AS present,
+       (COALESCE(h.n_set, 0) = {int(k)}) AND tr.shingle IS NULL AS false_pos
+FROM probes pr
+LEFT JOIN hits h ON pr.shingle = h.shingle
+LEFT JOIN tru tr ON pr.shingle = tr.shingle
+ORDER BY probe
+"""
