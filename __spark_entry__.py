@@ -89,6 +89,17 @@ WT_WEIGHTS = {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25, "dup": 0.
 
 CMS_PROBE_TERMS = ["spark", "merge", "the", "zzzmissing"]
 
+# script_fields page: two computed fields + a script sort (no _score —
+# hit context).  The epoch constant keeps age positive over the corpus.
+SCRIPT_FIELDS = {
+    "age_days": "(1700000000 - doc['epoch'].value) / 86400",
+    "len_log": "Math.log(doc['doc_len'].value + 1)",
+}
+SCRIPT_SORT = (
+    "Math.log(doc['doc_len'].value + 1) * 10 "
+    "- (1700000000 - doc['epoch'].value) / 8640000"
+)
+
 # Bloom membership probes (Data Portraits contamination gate): common
 # corpus shingles, one repetition pattern, and two absent trigrams.
 BLOOM_PROBES = [
@@ -579,6 +590,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 23): ES `script_fields` + `_script` sort — the
+        # Painless-subset compiler reused for per-hit computed fields and
+        # script-based ordering; _score rejected (hit context has no
+        # query, the ES compile error); one codegen'd map + TakeOrdered
+        "script_fields_page": lambda spark, sf: sscore.script_fields_page(
+            load_corpus(spark, sf), SCRIPT_FIELDS, SCRIPT_SORT, k=20
+        ),
+        # NEW (r4, session 23): ES ILM rollover plan — max_docs/max_age
+        # conditions folded over axis-sized time buckets (one hash agg +
+        # one bounded applyInPandas group); oracle is the identical fold
+        # as a RECURSIVE CTE
+        "ilm_rollover": lambda spark, sf: maint.ilm_rollover(
+            load_corpus(spark, sf), max_docs=50, max_age_min=40
+        ),
+        # NEW (r4, session 23): Heaps-law vocabulary growth — distinct
+        # vocab after each integer-rank decile prefix (term -> min doc_id
+        # agg + buckets-row broadcast; no per-prefix rescan)
+        "vocab_growth": lambda spark, sf: tq.vocab_growth(
+            load_corpus(spark, sf), buckets=10
+        ),
+        # NEW (r4, session 23): attribution-window interval join — all
+        # (signup, purchase) pairs within the window; the batch twin of
+        # the watermarked stream-stream join (state evicted by watermark
+        # + interval bound; stream==batch identity tested)
+        "interval_join_purchases": lambda spark, sf: win.purchases_after_signup(
+            load_events(spark, sf), within_min=60, k=200
+        ),
         # NEW (r4, session 23): Bloom-filter n-gram membership (Data
         # Portraits, Marone & Van Durme 2023) — the sketch answer to "was
         # this n-gram in training?"; md5 bit positions computed
@@ -2366,6 +2404,14 @@ FROM corpus ORDER BY doc_id
         },
         "mine_hard_negatives": training.mine_hard_negatives_sql(
             [3, 7, 42], k=5
+        ),
+        "script_fields_page": sscore.script_fields_page_sql(
+            SCRIPT_FIELDS, SCRIPT_SORT, k=20
+        ),
+        "ilm_rollover": maint.ilm_rollover_sql(max_docs=50, max_age_min=40),
+        "vocab_growth": tq.vocab_growth_sql(buckets=10),
+        "interval_join_purchases": win.purchases_after_signup_sql(
+            within_min=60, k=200
         ),
         "sketch_bloom_probe": sketches.bloom_probe_sql(
             BLOOM_PROBES, m=1 << 22, k=5

@@ -718,3 +718,119 @@ SELECT lang, n_docs, ws_tokens, bpeish_tokens, n_bytes,
            AS bytes_per_token
 FROM g ORDER BY lang
 """
+
+
+# --- Heaps-law vocabulary growth ------------------------------------------------
+
+def vocab_growth(corpus: DataFrame, buckets: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size after
+    each 1/`buckets` prefix of the corpus in doc_id (arrival) order —
+    the standard corpus-statistics readout for sizing term dictionaries
+    and predicting vocab at 100x the data (V = K * n^beta; the measured
+    curve IS the fit input, kept exact rather than fitted).
+
+    Pinned semantics: prefix boundaries are INTEGER rank cutoffs
+    ceil(i * n_docs / buckets) over doc_id asc (the ccnet_buckets
+    tercile rule — both engines split at identical rows); vocab_size
+    counts terms whose FIRST document (min doc_id) falls inside the
+    prefix; token_count is the prefix's total token count (the Heaps
+    x-axis).
+
+    Scale shape: one (term -> min doc_id, cnt) hash aggregate (vocab-
+    sized) + one doc-length aggregate, then everything joins against a
+    `buckets`-row broadcast of boundary doc_ids — no window over the
+    corpus, no per-prefix rescan."""
+    buckets = int(buckets)
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+
+    n_docs = corpus.count()
+    cuts = [
+        -(-i * n_docs // buckets)  # ceil
+        for i in range(1, buckets + 1)
+    ]
+    docs_ranked = corpus.select(
+        "doc_id", F.size(tokens("text")).alias("dl")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("doc_id")),
+    )
+    spark = corpus.sparkSession
+    bounds = spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cuts)], "bucket int, cut long"
+    )
+    # boundary doc_id per bucket + cumulative token count up to it
+    bdoc = (
+        docs_ranked.join(F.broadcast(bounds), F.col("rnk") <= F.col("cut"))
+        .groupBy("bucket")
+        .agg(
+            F.max("doc_id").alias("max_doc"),
+            F.sum("dl").alias("token_count"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    first_seen = (
+        corpus.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab = (
+        first_seen.join(
+            F.broadcast(bdoc), F.col("first_doc") <= F.col("max_doc")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    return (
+        bdoc.join(vocab, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "token_count",
+            F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def vocab_growth_sql(buckets: int = 10) -> str:
+    from ..functions.tokenizer import DOC_LEN_SQL, TOKENS_CTE
+
+    buckets = int(buckets)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+{TOKENS_CTE.strip()},
+n AS (SELECT count(*) AS n_docs FROM corpus),
+ranked AS (
+  SELECT doc_id,
+         {DOC_LEN_SQL} AS dl,
+         row_number() OVER (ORDER BY doc_id) AS rnk
+  FROM corpus
+),
+bounds AS (
+  SELECT i AS bucket, CAST(ceil(i * n.n_docs / {buckets}.0) AS BIGINT) AS cut
+  FROM range(1, {buckets} + 1) AS r(i), n
+),
+bdoc AS (
+  SELECT b.bucket, max(r.doc_id) AS max_doc,
+         CAST(sum(r.dl) AS BIGINT) AS token_count,
+         count(*) AS n_docs
+  FROM ranked r JOIN bounds b ON r.rnk <= b.cut
+  GROUP BY b.bucket
+),
+first_seen AS (
+  SELECT term, min(doc_id) AS first_doc FROM tokens GROUP BY term
+),
+voc AS (
+  SELECT b.bucket, count(*) AS vocab_size
+  FROM first_seen f JOIN bdoc b ON f.first_doc <= b.max_doc
+  GROUP BY b.bucket
+)
+SELECT CAST(bd.bucket AS INTEGER) AS bucket,
+       bd.n_docs,
+       bd.token_count,
+       COALESCE(v.vocab_size, 0) AS vocab_size
+FROM bdoc bd LEFT JOIN voc v ON bd.bucket = v.bucket
+ORDER BY bucket
+"""

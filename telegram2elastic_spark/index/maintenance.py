@@ -256,3 +256,127 @@ def reindex(
         src = src.select(*cols)
     nparts = int(n_doc_parts or index.get("_n_doc_parts", 8))
     return build_index(src, n_doc_parts=nparts, positions=positions)
+
+
+# --- ILM rollover planning (ES index lifecycle) --------------------------------
+
+ROLLOVER_SCHEMA = (
+    "gen int, start_min string, end_min string, n_buckets int, n_docs long"
+)
+
+
+def ilm_rollover(
+    corpus: DataFrame, max_docs: int = 400, max_age_min: int = 45
+) -> DataFrame:
+    """ES ILM rollover simulated over the corpus timeline: the write
+    alias rolls to a new index generation when the current generation
+    holds `max_docs` documents or its first bucket is `max_age_min`
+    minutes old — the `max_docs` / `max_age` conditions of a rollover
+    action (the reference's per-day index naming taken to lifecycle
+    management; buckets are minutes because the synthetic corpus spans
+    hours — at web scale the same plan runs over day buckets).
+
+    Pinned semantics (deterministic): minute buckets processed
+    ascending; a bucket rolls BEFORE being added if docs_in_gen +
+    bucket_docs > max_docs or bucket - gen_start >= max_age_min; a fresh
+    generation always accepts its first bucket (one oversized bucket
+    occupies one generation alone, like ES's post-hoc rollover check).
+
+    Scale shape: the corpus collapses to time buckets in one map-side
+    hash aggregate (axis-sized); the inherently sequential alias fold
+    then runs once over that bounded relation in a single applyInPandas
+    group (the timeline_pipeline bounded-axis contract).  The corpus is
+    touched exactly once."""
+    max_docs, max_age_min = int(max_docs), int(max_age_min)
+    if max_docs < 1 or max_age_min < 1:
+        raise ValueError("max_docs and max_age_min must be >= 1")
+    buckets = (
+        corpus.groupBy(
+            F.date_format(
+                F.date_trunc("minute", "warc_ts"), "yyyy-MM-dd HH:mm"
+            ).alias("minute")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def fold(pdf):
+        import datetime as dt
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("minute").reset_index(drop=True)
+        out = []
+        gen, start, end, nb, ndocs = 0, None, None, 0, 0
+
+        def age(m0: str, m1: str) -> int:
+            f = lambda s: dt.datetime.strptime(s, "%Y-%m-%d %H:%M")
+            return int((f(m1) - f(m0)).total_seconds() // 60)
+
+        for minute, n in zip(pdf["minute"], pdf["n"]):
+            n = int(n)
+            if (
+                gen == 0
+                or ndocs + n > max_docs
+                or age(start, minute) >= max_age_min
+            ):
+                if gen > 0:
+                    out.append((gen, start, end, nb, ndocs))
+                gen += 1
+                start, end, nb, ndocs = minute, minute, 1, n
+            else:
+                end, nb, ndocs = minute, nb + 1, ndocs + n
+        if gen > 0:
+            out.append((gen, start, end, nb, ndocs))
+        return pd.DataFrame(
+            out,
+            columns=["gen", "start_min", "end_min", "n_buckets", "n_docs"],
+        )
+
+    return (
+        buckets.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(lambda _, pdf: fold(pdf), ROLLOVER_SCHEMA)
+        .orderBy("gen")
+    )
+
+
+def ilm_rollover_sql(max_docs: int = 400, max_age_min: int = 45) -> str:
+    """DuckDB oracle: the identical alias fold as a RECURSIVE CTE over the
+    ordered minute buckets (one step per bucket — axis-sized recursion)."""
+    from ..corpus import CORPUS_CTE
+
+    max_docs, max_age_min = int(max_docs), int(max_age_min)
+    roll = (
+        f"w.ndocs + s.n > {max_docs} "
+        f"OR date_diff('minute', strptime(w.start_min, '%Y-%m-%d %H:%M'), "
+        f"strptime(s.minute, '%Y-%m-%d %H:%M')) >= {max_age_min}"
+    )
+    return f"""
+WITH RECURSIVE {CORPUS_CTE.strip()},
+buckets AS (
+  SELECT strftime(date_trunc('minute', warc_ts), '%Y-%m-%d %H:%M') AS minute,
+         count(*) AS n
+  FROM corpus GROUP BY 1
+),
+seq AS (
+  SELECT minute, n, row_number() OVER (ORDER BY minute) AS rn FROM buckets
+),
+walk AS (
+  SELECT rn, minute, n, 1 AS gen, minute AS start_min,
+         CAST(n AS BIGINT) AS ndocs
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.rn, s.minute, s.n,
+         CASE WHEN {roll} THEN w.gen + 1 ELSE w.gen END,
+         CASE WHEN {roll} THEN s.minute ELSE w.start_min END,
+         CASE WHEN {roll} THEN CAST(s.n AS BIGINT) ELSE w.ndocs + s.n END
+  FROM walk w JOIN seq s ON s.rn = w.rn + 1
+)
+SELECT CAST(gen AS INTEGER) AS gen,
+       min(minute) AS start_min,
+       max(minute) AS end_min,
+       CAST(count(*) AS INTEGER) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_docs
+FROM walk
+GROUP BY gen
+ORDER BY gen
+"""

@@ -527,3 +527,120 @@ def script_score_topk_local(
         ids, final = ids[keep], final[keep]
     top = np.lexsort((ids, -final))[: int(k)]
     return [(int(i), float(s)) for i, s in zip(ids[top], final[top])]
+
+
+# --- script_fields + script sort (ES `_search` script surface) -------------
+
+
+def _ast_has_score(ast) -> bool:
+    if ast[0] == "score":
+        return True
+    if ast[0] == "neg":
+        return _ast_has_score(ast[1])
+    if ast[0] == "bin":
+        return _ast_has_score(ast[2]) or _ast_has_score(ast[3])
+    if ast[0] == "call":
+        return any(_ast_has_score(a) for a in ast[2])
+    return False
+
+
+_SF_SPARK_FIELDS = {
+    "doc_len": lambda: F.size(tokens("text")).cast("double"),
+    "epoch": lambda: F.col("warc_ts").cast("long").cast("double"),
+}
+_SF_SQL_FIELDS = {
+    "doc_len": f"CAST({{dl}} AS DOUBLE)",
+    "epoch": "CAST(CAST(epoch(warc_ts) AS BIGINT) AS DOUBLE)",
+}
+
+
+def _compile_hit_script(name: str, src: str):
+    """Parse a hit-context script (script_fields / _script sort): the
+    Painless subset WITHOUT `_score` — there is no query context, exactly
+    ES's 'Variable [_score] is not available' compile error."""
+    ast = parse_script(src)
+    if _ast_has_score(ast):
+        raise ValueError(
+            f"script field {name!r}: _score is not available in a "
+            "hit-context script (no query)"
+        )
+    return ast
+
+
+def script_fields_page(
+    corpus: DataFrame,
+    scripts: dict[str, str],
+    sort_script: str | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """ES `_search` `script_fields` + `_script` sort: a page of documents
+    with per-hit computed fields, optionally ordered by a script.
+
+    Every script goes through the SAME Painless-subset compiler as
+    `script_score` (one parse tree -> Spark Column / DuckDB SQL), so a
+    bad script fails at request-build time like ES's compile error, and
+    `_score` is rejected (hit context has no query — the ES behavior).
+    Sort is (script value desc, doc_id asc); without a sort script the
+    page is doc_id asc (the ES default-ish stable order).
+
+    Scale shape: ONE codegen'd map stage over a pushed-column scan +
+    TakeOrdered(k) — no shuffle, no UDF; scripts become native Catalyst
+    expressions."""
+    if not scripts:
+        raise ValueError("script_fields: need at least one script")
+    cols = [F.col("doc_id"), F.col("url")]
+    for name in sorted(scripts):
+        ast = _compile_hit_script(name, scripts[name])
+        fields = {f: _SF_SPARK_FIELDS[f]() for f in _ast_fields(ast)}
+        cols.append(
+            F.round(to_spark(ast, None, fields), SCORE_DECIMALS).alias(name)
+        )
+    out = corpus.select(*cols)
+    if sort_script is not None:
+        ast = _compile_hit_script("_sort", sort_script)
+        fields = {f: _SF_SPARK_FIELDS[f]() for f in _ast_fields(ast)}
+        key = F.round(to_spark(ast, None, fields), SCORE_DECIMALS)
+        out = corpus.select(*cols, key.alias("sort_key"))
+        return out.orderBy(
+            F.desc("sort_key"), F.asc("doc_id")
+        ).limit(int(k))
+    return out.orderBy(F.asc("doc_id")).limit(int(k))
+
+
+def script_fields_page_sql(
+    scripts: dict[str, str], sort_script: str | None = None, k: int = 20
+) -> str:
+    from ..corpus import CORPUS_CTE as _CTE
+
+    sql_fields = {
+        "doc_len": _SF_SQL_FIELDS["doc_len"].format(dl=DOC_LEN_SQL),
+        "epoch": _SF_SQL_FIELDS["epoch"],
+    }
+    exprs = []
+    for name in sorted(scripts):
+        ast = _compile_hit_script(name, scripts[name])
+        exprs.append(
+            f"round({to_sql(ast, None, sql_fields)}, {SCORE_DECIMALS})"
+            f" AS {name}"
+        )
+    sel = ",\n       ".join(exprs)
+    if sort_script is not None:
+        ast = _compile_hit_script("_sort", sort_script)
+        key = f"round({to_sql(ast, None, sql_fields)}, {SCORE_DECIMALS})"
+        return f"""
+WITH {_CTE.strip()}
+SELECT doc_id, url,
+       {sel},
+       {key} AS sort_key
+FROM corpus
+ORDER BY sort_key DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+    return f"""
+WITH {_CTE.strip()}
+SELECT doc_id, url,
+       {sel}
+FROM corpus
+ORDER BY doc_id ASC
+LIMIT {int(k)}
+"""

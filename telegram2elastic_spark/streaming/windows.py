@@ -293,3 +293,145 @@ def streaming_latest(
         "    PARTITION BY host ORDER BY u DESC, doc_id DESC) AS rn"
         "  FROM latest_tf) WHERE rn = 1 ORDER BY host"
     )
+
+
+# --- stream-stream interval join ------------------------------------------------
+
+def purchases_after_signup(
+    events: DataFrame, within_min: int = 60, k: int | None = 200
+) -> DataFrame:
+    """Batch interval join: every (signup, purchase) pair of the same
+    user where the purchase lands within `within_min` minutes AFTER the
+    signup — the attribution-window join (distinct from the EQL funnel:
+    ALL qualifying pairs, not the greedy-earliest chain).
+
+    Scale shape: an equi-join on user_id with a pushed range predicate —
+    Spark executes it as one shuffled hash join keyed by user; the range
+    condition prunes inside the key group.  The streaming twin below is
+    the SAME join as a watermarked stream-stream join (state eviction
+    from the watermark + interval bound)."""
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").cast("timestamp").alias("s_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value"),
+    )
+    out = (
+        s.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("s_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("s_ts") + F.expr(f"INTERVAL {int(within_min)} MINUTES")
+            )
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "purchase_id",
+            (
+                (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                / F.lit(1000000)
+            ).cast("long").alias("lag_sec"),
+            F.round("value", 5).alias("value"),
+        )
+        .orderBy("user_id", "signup_id", "purchase_id")
+    )
+    # k=None returns every pair (a plain sort; a bounded k compiles to
+    # TakeOrdered, whose heap is k-sized — never pass a sentinel huge k)
+    return out if k is None else out.limit(int(k))
+
+
+def purchases_after_signup_sql(within_min: int = 60, k: int = 200) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id AS signup_id, ts AS s_ts
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id AS user_id, s.signup_id, p.purchase_id,
+       CAST((epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000 AS BIGINT) AS lag_sec,
+       round(p.value, 5) AS value
+FROM s JOIN p ON s.user_id = p.user_id
+WHERE p.p_ts >= s.s_ts
+  AND p.p_ts <= s.s_ts + INTERVAL {int(within_min)} MINUTES
+ORDER BY user_id, signup_id, purchase_id
+LIMIT {int(k)}
+"""
+
+
+def run_interval_join_availablenow(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint: str,
+    within_min: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The SAME interval join as a watermarked STREAM-STREAM join
+    (Structured Streaming's canonical two-stream state pattern): both
+    sides carry event-time watermarks, and the join's time-range bound
+    lets Spark evict signup state once the purchase watermark passes
+    s_ts + within_min — bounded state at any stream length.  Driven to
+    completion with Trigger.AvailableNow; append mode (stream-stream
+    inner joins emit exactly the qualified pairs)."""
+    schema = spark.read.parquet(events_path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    s = (
+        raw.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    p = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = s.join(
+        p,
+        F.expr(
+            f"s_user = p_user AND p_ts >= s_ts "
+            f"AND p_ts <= s_ts + INTERVAL {int(within_min)} MINUTES"
+        ),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / F.lit(1000000))
+        .cast("long")
+        .alias("lag_sec"),
+        F.round("value", 5).alias("value"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_join")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT * FROM interval_join "
+        "ORDER BY user_id, signup_id, purchase_id"
+    )
