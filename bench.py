@@ -1082,6 +1082,58 @@ def main() -> None:
             "esql_knn_sec",
             lambda: esqlp.execute_esql(spark, SF_DIR, _knn_prog),
         )
+        # round-4 session-23: membership sketch, outlier/MMR, lifecycle,
+        # corpus statistics, interval join
+        from telegram2elastic_spark.functions import text_quality as tqp
+        from telegram2elastic_spark.index import maintenance as mntp
+        from telegram2elastic_spark.operators import similarity as simp
+        from telegram2elastic_spark.query import scriptscore as ssp
+        from telegram2elastic_spark.streaming import windows as winp
+
+        _emb23 = _lemb(spark, SF_DIR)
+        timed_pl(
+            "bloom_probe_sec",
+            lambda: skp.bloom_probe(
+                corpus,
+                ["batch batch batch", "spark group query", "zz yy xx"],
+                m=1 << 22,
+                k=5,
+            ),
+        )
+        # exact-global outlier is quadratic by contract (ANN generates
+        # neighbourhoods at scale) — bench the scorer on one label slice
+        from pyspark.sql import functions as _F23
+
+        timed_pl(
+            "outlier_knn_sec",
+            lambda: simp.outlier_knn_scores(
+                _emb23.filter(_F23.col("label") == 0), knn=5, k=10
+            ),
+        )
+        timed_pl(
+            "mmr_rerank_sec",
+            lambda: simp.mmr_rerank(_emb23, query_vec_id=0, pool=20, k=5),
+        )
+        timed_pl(
+            "script_fields_sec",
+            lambda: ssp.script_fields_page(
+                corpus,
+                {"len_log": "Math.log(doc['doc_len'].value + 1)"},
+                "Math.log(doc['doc_len'].value + 1)",
+                k=20,
+            ),
+        )
+        timed_pl(
+            "ilm_rollover_sec",
+            lambda: mntp.ilm_rollover(corpus, max_docs=2000, max_age_min=40),
+        )
+        timed_pl("vocab_growth_sec", lambda: tqp.vocab_growth(corpus))
+        timed_pl(
+            "interval_join_sec",
+            lambda: winp.purchases_after_signup(
+                _lev(spark, SF_DIR), within_min=60, k=None
+            ),
+        )
         extra["pipeline_ops"] = pl
 
         spark.stop()
