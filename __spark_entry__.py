@@ -89,6 +89,9 @@ WT_WEIGHTS = {"batch": 0.3, "scan": 2.0, "merge": 0.35, "spark": 0.25, "dup": 0.
 
 CMS_PROBE_TERMS = ["spark", "merge", "the", "zzzmissing"]
 
+# _mget id list: three present ids and one absent (found:false envelope).
+MGET_IDS = [3, 7, 42, 99999]
+
 # script_fields page: two computed fields + a script sort (no _score —
 # hit context).  The epoch constant keeps age positive over the corpus.
 SCRIPT_FIELDS = {
@@ -590,6 +593,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 23b): data-mixture annealing schedule —
+        # per-epoch source shares interpolating proportional -> sqrt-
+        # temperature in exact integer ppm (one axis-sized hash agg +
+        # 1-row totals broadcast + |groups| x E explode)
+        "mixture_schedule": lambda spark, sf: training.mixture_schedule(
+            load_corpus(spark, sf), epochs=4
+        ),
+        # NEW (r4, session 23b): ES max_inner_product kNN — raw-dot
+        # ranking with the exact ES score transform (d<0 ? 1/(1-d) : d+1)
+        "knn_mip_topk": lambda spark, sf: sim.knn_mip_topk(
+            load_embeddings(spark, sf), query_vec_id=0, k=10
+        ),
+        # NEW (r4, session 23b): ES _mget — id-list point lookups with
+        # found:false envelopes for absent ids (broadcast id join)
+        "mget_page": lambda spark, sf: meta.mget_page(
+            load_corpus(spark, sf), MGET_IDS
+        ),
         # NEW (r4, session 23): ES `script_fields` + `_script` sort — the
         # Painless-subset compiler reused for per-hit computed fields and
         # script-based ordering; _score rejected (hit context has no
@@ -2405,6 +2425,9 @@ FROM corpus ORDER BY doc_id
         "mine_hard_negatives": training.mine_hard_negatives_sql(
             [3, 7, 42], k=5
         ),
+        "mixture_schedule": training.mixture_schedule_sql(epochs=4),
+        "knn_mip_topk": sim.knn_mip_topk_sql(query_vec_id=0, k=10),
+        "mget_page": meta.mget_page_sql(MGET_IDS),
         "script_fields_page": sscore.script_fields_page_sql(
             SCRIPT_FIELDS, SCRIPT_SORT, k=20
         ),

@@ -2086,3 +2086,73 @@ sims AS (
 {finals_sql}
 ORDER BY pos
 """
+
+
+# --- max_inner_product kNN (ES dense_vector similarity) -------------------------
+
+def knn_mip_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Brute-force kNN under ES's `max_inner_product` similarity: vectors
+    ranked by raw dot product (no normalization — magnitude matters, the
+    recommender/IP-trained-model case), with the exact ES `_score`
+    transform so negative dots stay positive and order-preserving:
+
+        _score = dot < 0 ? 1 / (1 - dot) : dot + 1
+
+    Determinism: the ranking key is the INTEGER m5 = round(dot * 1e5)
+    with vec_id asc ties; the score transform is applied to m5/1e5 by
+    the same expression in both engines.
+
+    Scale shape: broadcast query vector, one map-only pass + TakeOrdered
+    — same contract as sim_cosine_topk; the ANN family prunes at scale."""
+    qid, k = int(query_vec_id), int(k)
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == qid).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                "CAST(round(aggregate(zip_with(v, qv, (p, q) -> p * q), "
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z) * 100000) "
+                "AS BIGINT)"
+            ).alias("m5"),
+        )
+        .select(
+            "vec_id",
+            F.round(
+                F.when(
+                    F.col("m5") < 0,
+                    1.0 / (1.0 - F.col("m5") / 100000.0),
+                ).otherwise(F.col("m5") / 100000.0 + 1.0),
+                5,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_mip_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    qid, k = int(query_vec_id), int(k)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+dots AS (
+  SELECT e.vec_id,
+         CAST(round(list_dot_product(e.v, q.qv) * 100000) AS BIGINT) AS m5
+  FROM e CROSS JOIN q WHERE e.vec_id != {qid}
+)
+SELECT vec_id,
+       round(CASE WHEN m5 < 0 THEN 1.0 / (1.0 - m5 / 100000.0)
+                  ELSE m5 / 100000.0 + 1.0 END, 5) AS score
+FROM dots
+ORDER BY score DESC, vec_id ASC
+LIMIT {k}
+"""

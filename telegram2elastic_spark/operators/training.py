@@ -2794,3 +2794,97 @@ SELECT qid AS query_doc_id, doc_id AS neg_doc_id,
 FROM ranked WHERE rank <= {int(k)}
 ORDER BY query_doc_id, rank
 """
+
+
+# --- Data-mixture annealing schedule --------------------------------------------
+
+MIX_PPM = 1_000_000
+
+
+def mixture_schedule(corpus: DataFrame, epochs: int = 4, by: str = "lang") -> DataFrame:
+    """Per-epoch source-sampling schedule annealing from PROPORTIONAL to
+    SQRT-TEMPERATURE mixing — the data-mixture curriculum of multilingual
+    / multi-source pretraining (alpha-sampling with alpha annealed
+    1 -> 1/2 over training: early epochs match the corpus, late epochs
+    up-weight low-resource sources, the quality/diversity anneal).
+
+    Pinned integer contract (both engines bit-identical):
+        p1_s = c_s * PPM DIV C_tot            (proportional share, ppm)
+        p2_s = floor(sqrt(c_s)) * PPM DIV S_tot   (sqrt-temperature share)
+        ppm_s(e) = ((E - e) * p1_s + (e - 1) * p2_s) DIV (E - 1)
+    (for E = 1 the schedule is the single proportional epoch).  Shares
+    per epoch sum to PPM minus deterministic floor drift — the drift is
+    part of the contract, not noise.
+
+    Scale shape: ONE map-side per-source hash aggregate (axis-sized —
+    the source inventory), a 1-row totals broadcast, and a |sources| x E
+    sequence explode.  The corpus is touched exactly once."""
+    epochs = int(epochs)
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if by not in ("lang", "source"):
+        raise ValueError("by must be lang or source")
+    hist = corpus.groupBy(F.col(by).alias("grp")).agg(F.count(F.lit(1)).alias("c"))
+    hist = hist.withColumn(
+        "sl", F.floor(F.sqrt(F.col("c"))).cast("long")
+    )
+    tot = hist.agg(
+        F.sum("c").alias("c_tot"), F.sum("sl").alias("s_tot")
+    )
+    e_col = F.explode(
+        F.sequence(F.lit(1), F.lit(epochs))
+    ).alias("epoch")
+    base = hist.crossJoin(F.broadcast(tot)).select("grp", "c", "sl",
+                                                   "c_tot", "s_tot", e_col)
+    # integer DIV throughout (Spark's DIV on longs == DuckDB's //)
+    if epochs == 1:
+        ppm = F.expr(f"(c * {MIX_PPM}) DIV c_tot")
+    else:
+        ppm = F.expr(
+            f"(({epochs} - epoch) * ((c * {MIX_PPM}) DIV c_tot) "
+            f"+ (epoch - 1) * ((sl * {MIX_PPM}) DIV s_tot)) "
+            f"DIV {epochs - 1}"
+        )
+    return (
+        base.select(
+            "epoch",
+            F.col("grp").alias(by),
+            F.col("c").alias("n_docs"),
+            ppm.alias("ppm"),
+        )
+        .orderBy("epoch", by)
+    )
+
+
+def mixture_schedule_sql(epochs: int = 4, by: str = "lang") -> str:
+    if by not in ("lang", "source"):
+        raise ValueError("by must be lang or source")
+    epochs = int(epochs)
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    if epochs == 1:
+        ppm = f"(c * {MIX_PPM}) // c_tot"
+    else:
+        ppm = (
+            f"(({epochs} - epoch) * ((c * {MIX_PPM}) // c_tot) "
+            f"+ (epoch - 1) * ((sl * {MIX_PPM}) // s_tot)) // {epochs - 1}"
+        )
+    return f"""
+WITH {CORPUS_CTE.strip()},
+hist AS (
+  SELECT {by} AS grp, count(*) AS c,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS sl
+  FROM corpus GROUP BY {by}
+),
+tot AS (SELECT sum(c) AS c_tot, sum(sl) AS s_tot FROM hist),
+sched AS (
+  SELECT e.epoch, h.grp, h.c, h.sl, t.c_tot, t.s_tot
+  FROM hist h CROSS JOIN tot t
+  CROSS JOIN (SELECT unnest(range(1, {epochs} + 1)) AS epoch) e
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, grp AS {by},
+       c AS n_docs,
+       CAST({ppm} AS BIGINT) AS ppm
+FROM sched
+ORDER BY epoch, {by}
+"""

@@ -215,3 +215,49 @@ WITH {CORPUS_CTE.strip()},
 SELECT DISTINCT term FROM tokens
 WHERE term LIKE '{esc}%' ESCAPE '\\'
 ORDER BY term LIMIT {size}"""
+
+
+def mget_page(corpus: DataFrame, ids: list[int]) -> DataFrame:
+    """ES `_mget`: fetch documents by id list, one row per REQUESTED id
+    in request order semantics (here: id asc — the engine's stable
+    order), with `found` false for absent ids (the ES envelope).
+
+    Scale shape: the id list broadcasts and the corpus side is a pushed
+    `doc_id IN (...)`-shaped semi scan via the broadcast join — a point
+    lookup per id on a doc_id-sorted store (the docstore row-group GET
+    serves the same request driver-locally)."""
+    if not ids:
+        raise ValueError("mget needs a non-empty id list")
+    uniq = sorted({int(i) for i in ids})
+    spark = corpus.sparkSession
+    req = spark.createDataFrame([(i,) for i in uniq], "doc_id long")
+    hits = corpus.join(F.broadcast(req), "doc_id", "left_semi").select(
+        "doc_id", "url", "lang", "n_chars"
+    )
+    return (
+        req.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("url").isNotNull().alias("found"),
+            "url",
+            "lang",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mget_page_sql(ids: list[int]) -> str:
+    if not ids:
+        raise ValueError("mget needs a non-empty id list")
+    uniq = sorted({int(i) for i in ids})
+    vals = ", ".join(f"({i})" for i in uniq)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+req AS (SELECT * FROM (VALUES {vals}) AS v(doc_id))
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       c.url IS NOT NULL AS found,
+       c.url, c.lang, c.n_chars
+FROM req r LEFT JOIN corpus c ON r.doc_id = c.doc_id
+ORDER BY r.doc_id
+"""

@@ -1,0 +1,130 @@
+"""Session-23 batch 3: mixture annealing schedule, max_inner_product
+kNN, _mget envelope."""
+
+import numpy as np
+import pytest
+
+from telegram2elastic_spark.corpus import as_corpus, load_corpus, load_embeddings
+from telegram2elastic_spark.operators import similarity as sim
+from telegram2elastic_spark.operators import training as trp
+from telegram2elastic_spark.query import meta
+
+from .oracle import assert_same
+
+MGET_IDS = [3, 7, 42, 99999]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load_corpus(spark, sf_dir)
+
+
+# --- mixture schedule -------------------------------------------------------------
+
+@pytest.mark.parametrize("epochs,by", [(4, "lang"), (1, "lang"), (3, "source")])
+def test_mixture_vs_oracle(corpus, duck, epochs, by):
+    got = trp.mixture_schedule(corpus, epochs=epochs, by=by)
+    want = duck.execute(trp.mixture_schedule_sql(epochs=epochs, by=by)).df()
+    assert_same(got, want)
+
+
+def test_mixture_anneal_direction(corpus):
+    """The dominant group's share must fall monotonically across epochs,
+    and every epoch's shares sum to PPM minus bounded floor drift."""
+    rows = trp.mixture_schedule(corpus, epochs=4, by="lang").collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["lang"]] = r["ppm"]
+    langs = by_epoch[1]
+    dominant = max(langs, key=langs.get)
+    minority = min(langs, key=langs.get)
+    dom = [by_epoch[e][dominant] for e in sorted(by_epoch)]
+    mino = [by_epoch[e][minority] for e in sorted(by_epoch)]
+    assert dom == sorted(dom, reverse=True) and dom[0] > dom[-1]
+    assert mino == sorted(mino) and mino[0] < mino[-1]
+    for e, shares in by_epoch.items():
+        s = sum(shares.values())
+        assert trp.MIX_PPM - len(shares) * 4 <= s <= trp.MIX_PPM
+
+
+def test_mixture_python_recompute(corpus):
+    import math
+
+    hist = {
+        r["lang"]: r["c"]
+        for r in corpus.groupBy("lang").count().withColumnRenamed(
+            "count", "c"
+        ).collect()
+    }
+    C = sum(hist.values())
+    S = sum(math.isqrt(c) for c in hist.values())
+    E = 4
+    exp = {}
+    for lang, c in hist.items():
+        p1 = c * trp.MIX_PPM // C
+        p2 = math.isqrt(c) * trp.MIX_PPM // S
+        for e in range(1, E + 1):
+            exp[(e, lang)] = ((E - e) * p1 + (e - 1) * p2) // (E - 1)
+    got = {
+        (r["epoch"], r["lang"]): r["ppm"]
+        for r in trp.mixture_schedule(corpus, epochs=E).collect()
+    }
+    assert got == exp
+
+
+def test_mixture_arg_validation(corpus):
+    with pytest.raises(ValueError):
+        trp.mixture_schedule(corpus, epochs=0)
+    with pytest.raises(ValueError):
+        trp.mixture_schedule(corpus, by="nope")
+
+
+# --- max_inner_product kNN ---------------------------------------------------------
+
+@pytest.mark.parametrize("qid", [0, 7])
+def test_mip_vs_oracle(spark, duck, sf_dir, qid):
+    got = sim.knn_mip_topk(load_embeddings(spark, sf_dir), qid, k=10)
+    want = duck.execute(sim.knn_mip_topk_sql(qid, k=10)).df()
+    assert_same(got, want)
+
+
+def test_mip_magnitude_matters(spark):
+    """Unlike cosine, MIP must prefer the longer vector of two parallel
+    ones — and the negative-dot transform keeps scores positive."""
+    q = [1.0] * 4
+    rows = [
+        (0, q, 0),
+        (1, [2.0] * 4, 0),         # parallel, long
+        (2, [0.5] * 4, 0),         # parallel, short
+        (3, [-1.0] * 4, 0),        # anti-parallel
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = sim.knn_mip_topk(df, 0, k=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 3]
+    assert all(r["score"] > 0 for r in got)
+    # exact ES transform on the anti-parallel dot (-4): 1/(1-(-4)) = 0.2
+    assert got[-1]["score"] == pytest.approx(0.2, abs=1e-9)
+
+
+# --- _mget --------------------------------------------------------------------------
+
+def test_mget_vs_oracle(corpus, duck):
+    got = meta.mget_page(corpus, MGET_IDS)
+    want = duck.execute(meta.mget_page_sql(MGET_IDS)).df()
+    assert_same(got, want)
+
+
+def test_mget_envelope(corpus):
+    rows = meta.mget_page(corpus, [99999, 42]).collect()
+    assert [r["doc_id"] for r in rows] == [42, 99999]
+    assert rows[0]["found"] and not rows[1]["found"]
+    assert rows[1]["url"] is None
+
+
+def test_mget_arg_validation(corpus):
+    with pytest.raises(ValueError):
+        meta.mget_page(corpus, [])
+    with pytest.raises(ValueError):
+        meta.mget_page_sql([])
