@@ -736,10 +736,14 @@ def vocab_growth(corpus: DataFrame, buckets: int = 10) -> DataFrame:
     prefix; token_count is the prefix's total token count (the Heaps
     x-axis).
 
-    Scale shape: one (term -> min doc_id, cnt) hash aggregate (vocab-
-    sized) + one doc-length aggregate, then everything joins against a
-    `buckets`-row broadcast of boundary doc_ids — no window over the
-    corpus, no per-prefix rescan."""
+    Scale shape: the vocab side is one (term -> min doc_id) hash
+    aggregate (vocab-sized) joined against a `buckets`-row broadcast —
+    never rescanned per prefix.  The boundary ranks here come from a
+    row_number window over the NARROW (doc_id, dl) projection — fine at
+    driver scale; at 10^12 docs the boundaries are order statistics of
+    the doc store's SORT KEY (doc_id), i.e. row-group metadata lookups
+    on the sorted store plus per-group dl prefix sums — no global
+    window is inherent to the operator."""
     buckets = int(buckets)
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
