@@ -44,6 +44,9 @@ Reads one JSON request per stdin line, answers one JSON line per request:
     {"op": "weightedtokens", "weights": {"spark": 2.0}, "ratio": 5.0}
     {"op": "semantic", "q": "spark merge batch"}   (needs --semantic-store)
     {"op": "semanticchunked", "q": "spark merge"}  (needs --semantic-chunk-store)
+    {"op": "mget",     "ids": [3, 7, 99999]}       (doc-store point reads)
+    {"op": "scriptfields", "ids": [3, 7], "scripts": {"len_log":
+        "Math.log(doc['doc_len'].value + 1)"}}     (per-hit computed fields)
     {"op": "stats"} / {"op": "stats", "disk": true}  (_stats / _disk_usage)
     {"op": "rules",    "q": "spark merge", "ruleset": [...], "match": {...}}
 
@@ -245,6 +248,33 @@ def main() -> None:
             return script_score_topk_local(
                 idx, req["q"].split(), req["script"], k=k,
                 min_score=float(ms) if ms is not None else None,
+            )
+        if op == "mget":
+            # {"op": "mget", "ids": [3, 7, 99999]} — GET/_mget: doc-store
+            # row-group point reads, found:false envelope, no Spark job
+            from telegram2elastic_spark.query.docstore import (
+                mget_local, resolve_doc_store,
+            )
+
+            store = resolve_doc_store(idx, None)
+            if store is None:
+                raise ValueError("mget needs an index with doc_store")
+            return mget_local(
+                store, [int(i) for i in req["ids"]],
+                cache=idx.setdefault("_doc_cache", {}),
+                ds_cache=idx.setdefault("_ds_cache", {}),
+            )
+        if op == "scriptfields":
+            # {"op": "scriptfields", "ids": [3, 7],
+            #  "scripts": {"len_log": "Math.log(doc['doc_len'].value+1)"}}
+            from telegram2elastic_spark.query.scriptscore import (
+                script_fields_local,
+            )
+
+            return script_fields_local(
+                idx, [int(i) for i in req["ids"]], dict(req["scripts"]),
+                cache=idx.setdefault("_doc_cache", {}),
+                ds_cache=idx.setdefault("_ds_cache", {}),
             )
         if op == "rankfeature":
             return lq.rank_feature_topk_local(

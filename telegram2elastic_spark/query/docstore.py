@@ -254,3 +254,33 @@ def scan_recent_local(
         _stats["rows_scanned"] = len(rows)
     rows.sort(key=lambda r: (r["warc_ts"], -r["doc_id"]), reverse=True)
     return [(r["doc_id"], r["url"], r["warc_ts"]) for r in rows[: int(k)]]
+
+
+def mget_local(
+    store_dir: str | list[str],
+    ids,
+    cache: dict | None = None,
+    ds_cache: dict | None = None,
+) -> list[tuple]:
+    """ES `_mget` served driver-locally from the doc store: row-group
+    point reads (fetch_docs_local's (min,max) doc_id row-group index —
+    no Spark job), with the ES found:false envelope for absent ids.
+    Returns [(doc_id, found, url, lang, n_chars)] in id order —
+    identical rows to the Spark `meta.mget_page` pair (n_chars is the
+    stored text's length; the corpus invariant n_chars == len(text) is
+    oracle-checked)."""
+    uniq = sorted({int(i) for i in ids})
+    if not uniq:
+        raise ValueError("mget needs a non-empty id list")
+    rows = fetch_docs_local(
+        store_dir, uniq, cache=cache, ds_cache=ds_cache,
+        cols=["doc_id", "url", "lang", "text"],
+    )
+    out = []
+    for i in uniq:
+        r = rows.get(i)
+        if r is None:
+            out.append((i, False, None, None, None))
+        else:
+            out.append((i, True, r["url"], r["lang"], len(r["text"])))
+    return out

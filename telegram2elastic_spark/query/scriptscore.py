@@ -644,3 +644,58 @@ FROM corpus
 ORDER BY doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def script_fields_local(
+    index: dict,
+    ids,
+    scripts: dict[str, str],
+    doc_store: str | None = None,
+    cache: dict | None = None,
+    ds_cache: dict | None = None,
+) -> list[tuple]:
+    """`script_fields` served driver-locally: per-id computed fields from
+    doc-store row-group point reads (no Spark job).  doc_len is the
+    analyzer token count of the stored text (the SAME analyzer the index
+    was built with) and epoch the stored warc_ts — the doc-values the
+    Spark path derives; values match `script_fields_page` per id (the
+    local-twin identity contract).  Returns [(doc_id, v1, v2, ...)] with
+    values in sorted script-name order; absent ids are skipped (GET
+    semantics — the `_mget` envelope op reports missing ids)."""
+    from ..functions.tokenizer import py_tokenize
+    from .docstore import fetch_docs_local, resolve_doc_store
+
+    if not scripts:
+        raise ValueError("script_fields: need at least one script")
+    asts = {
+        name: _compile_hit_script(name, src)
+        for name, src in sorted(scripts.items())
+    }
+    store = resolve_doc_store(index, doc_store)
+    if store is None:
+        raise ValueError("script_fields_local needs a doc_store")
+    uniq = sorted({int(i) for i in ids})
+    rows = fetch_docs_local(
+        store, uniq, cache=cache, ds_cache=ds_cache,
+        cols=["doc_id", "warc_ts", "text"],
+    )
+    out = []
+    for i in uniq:
+        r = rows.get(i)
+        if r is None:
+            continue
+        import calendar
+
+        # exact integer floor-seconds (== Spark's timestamp->long cast);
+        # float .timestamp() could mis-floor within its ~1e-7 s ulp
+        secs = calendar.timegm(r["warc_ts"].utctimetuple())
+        fields = {
+            "doc_len": np.float64(len(py_tokenize(r["text"]))),
+            "epoch": np.float64(secs),
+        }
+        vals = tuple(
+            float(np.round(to_numpy(ast, None, fields), SCORE_DECIMALS))
+            for ast in asts.values()
+        )
+        out.append((i, *vals))
+    return out

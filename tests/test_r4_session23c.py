@@ -128,3 +128,58 @@ def test_mget_arg_validation(corpus):
         meta.mget_page(corpus, [])
     with pytest.raises(ValueError):
         meta.mget_page_sql([])
+
+
+# --- serving twins (doc-store point reads) ------------------------------------
+
+@pytest.fixture(scope="module")
+def stored_index(spark, sf_dir, tmp_path_factory):
+    from telegram2elastic_spark.index.build import (
+        build_index, read_index, write_doc_store, write_index,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    d = str(tmp_path_factory.mktemp("s23idx"))
+    write_index(build_index(corpus, n_doc_parts=4), d)
+    write_doc_store(corpus, d, n_files=4)
+    return read_index(spark, d)
+
+
+def test_mget_local_matches_spark_pair(corpus, stored_index):
+    from telegram2elastic_spark.query.docstore import mget_local
+
+    got = mget_local(stored_index["_doc_store_dir"], MGET_IDS)
+    want = [
+        (r["doc_id"], r["found"], r["url"], r["lang"], r["n_chars"])
+        for r in meta.mget_page(corpus, MGET_IDS).collect()
+    ]
+    assert got == want
+
+
+def test_script_fields_local_matches_spark(corpus, stored_index):
+    from telegram2elastic_spark.query.scriptscore import (
+        script_fields_local, script_fields_page,
+    )
+
+    scripts = {
+        "age_days": "(1700000000 - doc['epoch'].value) / 86400",
+        "len_log": "Math.log(doc['doc_len'].value + 1)",
+    }
+    ids = [3, 7, 42, 999_999_999]  # last absent -> skipped
+    got = script_fields_local(stored_index, ids, scripts)
+    page = {
+        r["doc_id"]: (r["age_days"], r["len_log"])
+        for r in script_fields_page(corpus, scripts, k=10**6).collect()
+    }
+    assert [i for i, *_ in got] == [3, 7, 42]
+    for i, age, ll in got:
+        assert (age, ll) == page[i]
+
+
+def test_script_fields_local_needs_store(corpus, spark, sf_dir):
+    from telegram2elastic_spark.index.build import build_index
+    from telegram2elastic_spark.query.scriptscore import script_fields_local
+
+    idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
+    with pytest.raises(ValueError, match="doc_store"):
+        script_fields_local(idx, [1], {"x": "doc['doc_len'].value"})
