@@ -593,6 +593,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 23c): staged quality-filter ensemble — the
+        # RefinedWeb pipeline verdict (url -> gopher -> repetition,
+        # first-fail wins); a composition of three verified operators,
+        # oracle composes their exact SQL as subqueries
+        "quality_ensemble": lambda spark, sf: training.quality_ensemble(
+            load_corpus(spark, sf)
+        ),
+        # NEW (r4, session 23c): ES SLM snapshot retention — expire_after
+        # / min_count / max_count over the axis-sized snapshot catalog
+        "slm_retention": lambda spark, sf: maint.slm_retention(
+            load_corpus(spark, sf), expire_after_min=120, min_count=5,
+            max_count=100,
+        ),
         # NEW (r4, session 23b): data-mixture annealing schedule —
         # per-epoch source shares interpolating proportional -> sqrt-
         # temperature in exact integer ppm (one axis-sized hash agg +
@@ -2424,6 +2437,10 @@ FROM corpus ORDER BY doc_id
         },
         "mine_hard_negatives": training.mine_hard_negatives_sql(
             [3, 7, 42], k=5
+        ),
+        "quality_ensemble": training.quality_ensemble_sql(),
+        "slm_retention": maint.slm_retention_sql(
+            expire_after_min=120, min_count=5, max_count=100
         ),
         "mixture_schedule": training.mixture_schedule_sql(epochs=4),
         "knn_mip_topk": sim.knn_mip_topk_sql(query_vec_id=0, k=10),

@@ -380,3 +380,120 @@ FROM walk
 GROUP BY gen
 ORDER BY gen
 """
+
+
+# --- SLM snapshot retention (ES snapshot lifecycle) -----------------------------
+
+def slm_retention(
+    corpus: DataFrame,
+    expire_after_min: int = 120,
+    min_count: int = 5,
+    max_count: int = 100,
+) -> DataFrame:
+    """ES SLM retention (`slm.retention`: expire_after / min_count /
+    max_count) evaluated over the snapshot catalog — here one snapshot
+    per minute bucket of the corpus timeline (the cadence
+    `snapshot_index` would produce on this stream; at web scale the
+    catalog is the _snapshot API listing, still axis-sized).
+
+    Pinned rule order (the ES semantics: min_count overrides expiry,
+    max_count deletes oldest beyond the cap):
+        rank   = recency rank (newest = 1)
+        keep 'min_count'   if rank <= min_count
+        delete 'expired'   elif age >= expire_after_min
+        delete 'max_count' elif rank > max_count
+        keep 'retained'    otherwise
+
+    Scale shape: the catalog is ONE map-side hash aggregate of the
+    corpus (axis-sized); ranking/age are a window over that bounded
+    relation (the timeline_pipeline bounded-axis contract)."""
+    expire_after_min = int(expire_after_min)
+    min_count, max_count = int(min_count), int(max_count)
+    if min_count < 0 or max_count < min_count or expire_after_min < 1:
+        raise ValueError(
+            "need 0 <= min_count <= max_count and expire_after_min >= 1"
+        )
+    from pyspark.sql import Window
+
+    snaps = (
+        corpus.groupBy(
+            F.date_format(
+                F.date_trunc("minute", "warc_ts"), "yyyy-MM-dd HH:mm"
+            ).alias("snap_min")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("snap_min"))
+    ranked = snaps.withColumn("rank", F.row_number().over(w)).withColumn(
+        "latest", F.max("snap_min").over(Window.partitionBy(F.lit(0)))
+    )
+    age = (
+        F.unix_timestamp("latest", "yyyy-MM-dd HH:mm")
+        - F.unix_timestamp("snap_min", "yyyy-MM-dd HH:mm")
+    ) / 60
+    ranked = ranked.withColumn("age_min", age.cast("long"))
+    reason = (
+        F.when(F.col("rank") <= min_count, F.lit("min_count"))
+        .when(F.col("age_min") >= expire_after_min, F.lit("expired"))
+        .when(F.col("rank") > max_count, F.lit("max_count"))
+        .otherwise(F.lit("retained"))
+    )
+    return (
+        ranked.select(
+            "snap_min",
+            "n_docs",
+            F.col("rank").cast("int").alias("rank"),
+            "age_min",
+            F.when(
+                (F.col("rank") <= min_count)
+                | (
+                    (F.col("age_min") < expire_after_min)
+                    & (F.col("rank") <= max_count)
+                ),
+                F.lit("keep"),
+            ).otherwise(F.lit("delete")).alias("action"),
+            reason.alias("reason"),
+        )
+        .orderBy("snap_min")
+    )
+
+
+def slm_retention_sql(
+    expire_after_min: int = 120, min_count: int = 5, max_count: int = 100
+) -> str:
+    from ..corpus import CORPUS_CTE
+
+    expire_after_min = int(expire_after_min)
+    min_count, max_count = int(min_count), int(max_count)
+    return f"""
+WITH {CORPUS_CTE.strip()},
+snaps AS (
+  SELECT strftime(date_trunc('minute', warc_ts), '%Y-%m-%d %H:%M')
+             AS snap_min,
+         count(*) AS n_docs
+  FROM corpus GROUP BY 1
+),
+ranked AS (
+  SELECT snap_min, n_docs,
+         row_number() OVER (ORDER BY snap_min DESC) AS rank,
+         max(snap_min) OVER () AS latest
+  FROM snaps
+),
+aged AS (
+  SELECT snap_min, n_docs, rank,
+         CAST(date_diff('minute', strptime(snap_min, '%Y-%m-%d %H:%M'),
+                        strptime(latest, '%Y-%m-%d %H:%M')) AS BIGINT)
+             AS age_min
+  FROM ranked
+)
+SELECT snap_min, n_docs, CAST(rank AS INTEGER) AS rank, age_min,
+       CASE WHEN rank <= {min_count}
+                 OR (age_min < {expire_after_min} AND rank <= {max_count})
+            THEN 'keep' ELSE 'delete' END AS action,
+       CASE WHEN rank <= {min_count} THEN 'min_count'
+            WHEN age_min >= {expire_after_min} THEN 'expired'
+            WHEN rank > {max_count} THEN 'max_count'
+            ELSE 'retained' END AS reason
+FROM aged
+ORDER BY snap_min
+"""

@@ -2888,3 +2888,93 @@ SELECT CAST(epoch AS INTEGER) AS epoch, grp AS {by},
 FROM sched
 ORDER BY epoch, {by}
 """
+
+
+# --- Staged quality-filter ensemble ---------------------------------------------
+
+REP_TOP_FRAC_MAX = 0.2
+REP_DUP_FRAC_MAX = 0.3
+
+
+def quality_ensemble(corpus: DataFrame) -> DataFrame:
+    """The RefinedWeb/CCNet staged filter pipeline as ONE per-doc verdict:
+    stages run cheapest-first and the FIRST failing stage wins —
+    (1) URL rules (`url_quality_filter`: blocklist/banned/path-depth,
+    the pre-content gate), (2) Gopher lexical rules (`quality_gopher`),
+    (3) Gopher repetition fractions (`repetition_metrics`: most-frequent
+    2-gram coverage > 0.2 or duplicate 5-gram coverage > 0.3).  Output
+    (doc_id, keep, stage, reason); stage/reason NULL when kept.
+
+    This is a COMPOSITION of three verified operators — the ensemble
+    adds only the precedence rule, so its correctness reduces to theirs
+    plus this CASE, and the oracle composes their exact SQL as
+    subqueries.
+
+    Scale shape: three doc_id-keyed relations joined on their common
+    key; stage 1 is map-only, stages 2-3 are the already-audited
+    keyed-hash-agg plans.  (In a literal 10^12 deployment the stages
+    SHORT-CIRCUIT — stage N+1 runs on stage N's survivors; the joined
+    form here computes all three for the audit columns, the same
+    verdicts either way.)"""
+    u = url_quality_filter(corpus).select(
+        "doc_id", F.col("verdict").alias("url_verdict")
+    )
+    g = quality_gopher(corpus).select(
+        "doc_id", "passes", "fail_reasons"
+    )
+    r = repetition_metrics(corpus).select("doc_id", "top_frac", "dup_frac")
+    j = u.join(g, "doc_id").join(r, "doc_id")
+    stage = (
+        F.when(F.col("url_verdict") != "keep", F.lit("url"))
+        .when(~F.col("passes"), F.lit("gopher"))
+        .when(F.col("top_frac") > REP_TOP_FRAC_MAX, F.lit("repetition"))
+        .when(F.col("dup_frac") > REP_DUP_FRAC_MAX, F.lit("repetition"))
+    )
+    reason = (
+        F.when(F.col("url_verdict") != "keep", F.col("url_verdict"))
+        .when(~F.col("passes"), F.element_at("fail_reasons", 1))
+        .when(F.col("top_frac") > REP_TOP_FRAC_MAX, F.lit("top_frac"))
+        .when(F.col("dup_frac") > REP_DUP_FRAC_MAX, F.lit("dup_frac"))
+    )
+    return (
+        j.select(
+            "doc_id",
+            stage.isNull().alias("keep"),
+            stage.alias("stage"),
+            reason.alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_ensemble_sql() -> str:
+    return f"""
+WITH u AS (SELECT doc_id, verdict AS url_verdict
+           FROM ({url_quality_filter_sql()})),
+g AS (SELECT doc_id, passes, fail_reasons FROM ({quality_gopher_sql()})),
+r AS (SELECT doc_id, top_frac, dup_frac FROM ({repetition_metrics_sql()})),
+j AS (
+  SELECT u.doc_id, u.url_verdict, g.passes, g.fail_reasons,
+         r.top_frac, r.dup_frac
+  FROM u JOIN g ON u.doc_id = g.doc_id JOIN r ON u.doc_id = r.doc_id
+),
+v AS (
+  SELECT doc_id,
+         CASE
+           WHEN url_verdict != 'keep' THEN 'url'
+           WHEN NOT passes THEN 'gopher'
+           WHEN top_frac > {REP_TOP_FRAC_MAX} THEN 'repetition'
+           WHEN dup_frac > {REP_DUP_FRAC_MAX} THEN 'repetition'
+         END AS stage,
+         CASE
+           WHEN url_verdict != 'keep' THEN url_verdict
+           WHEN NOT passes THEN fail_reasons[1]
+           WHEN top_frac > {REP_TOP_FRAC_MAX} THEN 'top_frac'
+           WHEN dup_frac > {REP_DUP_FRAC_MAX} THEN 'dup_frac'
+         END AS reason
+  FROM j
+)
+SELECT doc_id, stage IS NULL AS keep, stage, reason
+FROM v
+ORDER BY doc_id
+"""

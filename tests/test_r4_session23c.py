@@ -183,3 +183,95 @@ def test_script_fields_local_needs_store(corpus, spark, sf_dir):
     idx = build_index(load_corpus(spark, sf_dir), n_doc_parts=4)
     with pytest.raises(ValueError, match="doc_store"):
         script_fields_local(idx, [1], {"x": "doc['doc_len'].value"})
+
+
+# --- quality ensemble + SLM retention -----------------------------------------
+
+def test_quality_ensemble_vs_oracle(corpus, duck):
+    got = trp.quality_ensemble(corpus)
+    want = duck.execute(trp.quality_ensemble_sql()).df()
+    assert_same(got, want)
+
+
+def test_quality_ensemble_precedence(spark):
+    """Crafted docs hit each stage in precedence order: a blocked URL
+    fails at 'url' even though its text would also fail gopher; a
+    repetitive-but-lexically-fine doc fails at 'repetition'."""
+    # passes every gopher rule: 43 words, mean len ~6.5, all unique,
+    # 3 stop-token hits
+    good = "the a data " + " ".join(f"wordy{i:02d}" for i in range(40))
+    # passes gopher (uniq 0.66, mean 6.2, stops ok) but the repeated
+    # "winter storm" bigram covers ~1/3 of the characters -> repetition
+    rep = (
+        "the a data "
+        + " ".join(f"wordy{i:02d}" for i in range(30))
+        + " " + "winter storm " * 10
+    )
+    rows = [
+        (0, good, "en", "src", len(good)),
+        (1, good, "en", "src", len(good)),
+        (2, rep, "en", "src", len(rep)),
+        (3, "tiny", "en", "src", 4),  # gopher: too few words
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    c = as_corpus(df)
+    from pyspark.sql import functions as F
+
+    blocked = c.withColumn(
+        "url",
+        F.when(F.col("doc_id") == 1,
+               F.lit("https://site666.example/page/1")).otherwise(
+            F.col("url")
+        ),
+    )
+    from telegram2elastic_spark.operators.training import URL_BLOCKED_HOSTS
+
+    assert "site666.example" in URL_BLOCKED_HOSTS
+    rows = {r["doc_id"]: r for r in trp.quality_ensemble(blocked).collect()}
+    assert rows[0]["keep"] and rows[0]["stage"] is None
+    assert rows[1]["stage"] == "url" and rows[1]["reason"] == "blocked_host"
+    assert rows[2]["stage"] == "repetition"
+    assert rows[3]["stage"] == "gopher"
+
+
+@pytest.mark.parametrize("exp,mn,mx", [(120, 5, 100), (60, 3, 500)])
+def test_slm_vs_oracle(corpus, duck, exp, mn, mx):
+    from telegram2elastic_spark.index import maintenance as maint
+
+    got = maint.slm_retention(
+        corpus, expire_after_min=exp, min_count=mn, max_count=mx
+    )
+    want = duck.execute(
+        maint.slm_retention_sql(
+            expire_after_min=exp, min_count=mn, max_count=mx
+        )
+    ).df()
+    assert_same(got, want)
+
+
+def test_slm_rule_semantics(corpus):
+    from telegram2elastic_spark.index import maintenance as maint
+
+    rows = maint.slm_retention(
+        corpus, expire_after_min=120, min_count=5, max_count=100
+    ).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    n = len(rows)
+    # min_count newest always kept, even when expired
+    for rk in range(1, 6):
+        assert by_rank[rk]["action"] == "keep"
+    # every kept non-min_count snapshot is younger than expiry AND
+    # within max_count; every deletion has a rule reason
+    for r in rows:
+        if r["action"] == "keep" and r["reason"] == "retained":
+            assert r["age_min"] < 120 and r["rank"] <= 100
+        if r["action"] == "delete":
+            assert r["reason"] in ("expired", "max_count")
+            assert r["rank"] > 5
+    assert sum(1 for r in rows if r["action"] == "keep") <= max(5, 100)
+    with pytest.raises(ValueError):
+        maint.slm_retention(corpus, expire_after_min=0)
+    with pytest.raises(ValueError):
+        maint.slm_retention(corpus, min_count=10, max_count=5)
