@@ -593,6 +593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     has had a driver row in r01-r03."""
     # --- Block A: code changed this round ---
     block_a: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # NEW (r4, session 23c): online LSH dedup verdicts — per-doc
+        # is_dup/dup_of from band-bucket minima (keep-first orientation);
+        # the batch twin of the stateful streaming ingest-time dedup
+        # (bucket minima as operator state; stream==batch identity test)
+        "lsh_dup_flags": lambda spark, sf: dedup.lsh_dup_flags(
+            load_corpus(spark, sf)
+        ),
         # NEW (r4, session 23c): staged quality-filter ensemble — the
         # RefinedWeb pipeline verdict (url -> gopher -> repetition,
         # first-fail wins); a composition of three verified operators,
@@ -2438,6 +2445,7 @@ FROM corpus ORDER BY doc_id
         "mine_hard_negatives": training.mine_hard_negatives_sql(
             [3, 7, 42], k=5
         ),
+        "lsh_dup_flags": dedup.lsh_dup_flags_sql(),
         "quality_ensemble": training.quality_ensemble_sql(),
         "slm_retention": maint.slm_retention_sql(
             expire_after_min=120, min_count=5, max_count=100

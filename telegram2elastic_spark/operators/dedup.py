@@ -1811,3 +1811,121 @@ FROM ver WHERE j >= {threshold}
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --- Online LSH dedup: per-doc verdicts ----------------------------------------
+
+def lsh_dup_flags(
+    corpus: DataFrame, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Per-doc near-dup VERDICT from MinHash-LSH banding: a document is
+    flagged iff any of its band buckets already holds an EARLIER doc
+    (doc_id order = arrival order), and `dup_of` names the earliest
+    collider across its buckets — the keep-first orientation of the
+    whole dedup family applied to LSH candidates.  This is the batch
+    twin of the STREAMING ingest-time dedup (streaming/windows.py
+    `run_lsh_dedup_availablenow`), whose bucket minima live as operator
+    state.
+
+    Scale shape: one (band, band_hash) hash aggregate for the bucket
+    minima + one equi-join back on the banded relation — collisions
+    only, never a pair join."""
+    n_hashes, bands = int(n_hashes), int(bands)
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    r = n_hashes // bands
+    sig = minhash_signatures(corpus, n_hashes, sort=False)
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"sig_{r * j + i}").cast("string")
+                        for i in range(r)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+    keepers = banded.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("bucket_min")
+    )
+    return (
+        banded.join(keepers, ["band", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_min").alias("earliest"))
+        .select(
+            "doc_id",
+            (F.col("earliest") < F.col("doc_id")).alias("is_dup"),
+            F.when(
+                F.col("earliest") < F.col("doc_id"), F.col("earliest")
+            ).alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lsh_dup_flags_sql(
+    n_hashes: int = N_MINHASH, bands: int = LSH_BANDS
+) -> str:
+    n_hashes, bands = int(n_hashes), int(bands)
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    r = n_hashes // bands
+    sig_cte = minhash_signatures_sql(n_hashes).strip()
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, md5("
+        + " || '_' || ".join(
+            f"CAST(sig_{r * j + i} AS VARCHAR)" for i in range(r)
+        )
+        + ") AS band_hash FROM sig"
+        for j in range(bands)
+    )
+    return f"""
+WITH sig AS ({sig_cte}),
+banded AS ({band_rows}),
+keepers AS (
+  SELECT band, band_hash, min(doc_id) AS bucket_min
+  FROM banded GROUP BY band, band_hash
+),
+per_doc AS (
+  SELECT b.doc_id, min(k.bucket_min) AS earliest
+  FROM banded b JOIN keepers k
+    ON b.band = k.band AND b.band_hash = k.band_hash
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       earliest < doc_id AS is_dup,
+       CASE WHEN earliest < doc_id THEN earliest END AS dup_of
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+def minhash_sig_cols(n_hashes: int = N_MINHASH) -> list:
+    """The MinHash signature as STATELESS per-row expressions (array-side
+    min over the in-row shingle set — no explode, no aggregate): the
+    streaming-safe form of `minhash_signatures`, provably equal to the
+    agg form (same min over the same hash family; identity tested).
+    Returns [sig_0, ..., sig_{n-1}] Columns over a `toks` column."""
+    n = int(n_hashes)
+    cols = []
+    sh = shingles_col(3, F.col("toks"))
+    for i in range(n):
+        blk, off = divmod(i, 4)
+        h = lambda s, blk=blk, off=off: F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{blk}:"), s)), off * 8 + 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        cols.append(
+            F.array_min(F.transform(sh, lambda s: h(s))).alias(f"sig_{i}")
+        )
+    return cols

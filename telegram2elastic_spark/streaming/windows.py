@@ -435,3 +435,107 @@ def run_interval_join_availablenow(
         "SELECT * FROM interval_join "
         "ORDER BY user_id, signup_id, purchase_id"
     )
+
+
+# --- ingest-time LSH near-dup (stateful bucket memory) --------------------------
+
+def run_lsh_dedup_availablenow(
+    spark: SparkSession,
+    corpus_path: str,
+    checkpoint: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Ingest-time near-dup detection: MinHash band buckets live as
+    OPERATOR STATE (applyInPandasWithState keyed by (band, band_hash),
+    state = the bucket's minimum doc_id), so every arriving document is
+    flagged against ALL previously ingested documents without re-scanning
+    them — the streaming twin of `dedup.lsh_dup_flags` and the online
+    form of the cross-snapshot dedup shape.
+
+    Signatures are computed STATELESSLY per row (`minhash_sig_cols` —
+    array-side min, no pre-agg) so the query has exactly one stateful
+    operator.  The per-doc reduction (any bucket collided -> is_dup,
+    earliest collider -> dup_of) is a stateless presentation step over
+    the sink.  Under in-order-by-doc_id delivery the verdicts equal the
+    batch twin exactly (identity tested across micro-batches); state is
+    one long per occupied bucket — bounded by the bucket space, the same
+    memory the batch bucket-minima aggregate holds."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from telegram2elastic_spark.operators.dedup import minhash_sig_cols
+    from telegram2elastic_spark.functions.tokenizer import tokens
+
+    n_hashes, bands = int(n_hashes), int(bands)
+    if n_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    r = n_hashes // bands
+    schema = spark.read.parquet(corpus_path).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(corpus_path)
+    sig = (
+        stream.select("doc_id", tokens("text").alias("toks"))
+        # < 3 tokens => no shingles => absent from the batch twin's
+        # signature relation; drop here too so the verdict sets match
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", *minhash_sig_cols(n_hashes))
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"sig_{r * j + i}").cast("string")
+                        for i in range(r)
+                    ],
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+
+    def fn(key, pdfs, state):
+        cur = state.get[0] if state.exists else None
+        rows = []
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(d) for d in pdf["doc_id"])
+        for d in sorted(ids):
+            prior = cur if (cur is not None and cur < d) else None
+            rows.append((d, key[0], prior))
+            if cur is None or d < cur:
+                cur = d
+        state.update((int(cur),))
+        if not rows:
+            return iter(())
+        return iter(
+            [pd.DataFrame(rows, columns=["doc_id", "band", "prior"])]
+        )
+
+    verdicts = banded.groupBy("band", "band_hash").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, band int, prior long",
+        stateStructType="bucket_min long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        verdicts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lsh_dedup")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT doc_id, min(prior) IS NOT NULL AS is_dup, "
+        "min(prior) AS dup_of "
+        "FROM lsh_dedup GROUP BY doc_id ORDER BY doc_id"
+    )

@@ -275,3 +275,90 @@ def test_slm_rule_semantics(corpus):
         maint.slm_retention(corpus, expire_after_min=0)
     with pytest.raises(ValueError):
         maint.slm_retention(corpus, min_count=10, max_count=5)
+
+
+# --- online LSH dedup ----------------------------------------------------------
+
+def test_lsh_dup_flags_vs_oracle(corpus, duck):
+    from telegram2elastic_spark.operators import dedup as ddp
+
+    got = ddp.lsh_dup_flags(corpus)
+    want = duck.execute(ddp.lsh_dup_flags_sql()).df()
+    assert_same(got, want)
+
+
+def test_lsh_flags_agree_with_pairs(corpus):
+    """Orientation check vs the verified candidate-pair relation: a doc
+    is flagged iff it appears as the LATER side of some LSH pair, and
+    dup_of is its earliest partner."""
+    from telegram2elastic_spark.operators import dedup as ddp
+
+    pairs = ddp.minhash_lsh_pairs(corpus).collect()
+    earliest = {}
+    for r in pairs:
+        b = r["doc_b"]
+        earliest[b] = min(earliest.get(b, b), r["doc_a"])
+    flags = ddp.lsh_dup_flags(corpus).collect()
+    for f in flags:
+        if f["is_dup"]:
+            assert f["dup_of"] == earliest[f["doc_id"]]
+        else:
+            assert f["doc_id"] not in earliest
+
+
+def test_stateless_sig_cols_equal_agg_signatures(corpus):
+    from pyspark.sql import functions as F
+
+    from telegram2elastic_spark.functions.tokenizer import tokens
+    from telegram2elastic_spark.operators import dedup as ddp
+
+    a = (
+        corpus.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", *ddp.minhash_sig_cols(8))
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = ddp.minhash_signatures(corpus, 8).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_streaming_lsh_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Bucket minima as operator state: in-order micro-batch delivery
+    reproduces the batch verdicts exactly (cross-batch state carries the
+    earlier buckets)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from telegram2elastic_spark.operators import dedup as ddp
+    from telegram2elastic_spark.streaming import windows as W2
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.sort_values("doc_id")
+    sd = str(tmp_path / "stream")
+    os.makedirs(sd)
+    n = len(docs)
+    step = n // 3 + 1
+    for i, lo in enumerate(range(0, n, step)):
+        pq.write_table(
+            pa.Table.from_pandas(
+                docs.iloc[lo:lo + step], preserve_index=False
+            ),
+            os.path.join(sd, f"b{i}.parquet"),
+        )
+        time.sleep(1.1)  # distinct mtimes -> in-order triggers
+    got = [
+        tuple(r)
+        for r in W2.run_lsh_dedup_availablenow(
+            spark, sd, str(tmp_path / "ck")
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ddp.lsh_dup_flags(load_corpus(spark, sf_dir)).collect()
+    ]
+    assert got == want and got
