@@ -1134,6 +1134,23 @@ def main() -> None:
                 _lev(spark, SF_DIR), within_min=60, k=None
             ),
         )
+        timed_pl(
+            "mixture_schedule_sec",
+            lambda: trp.mixture_schedule(corpus, epochs=4),
+        )
+        timed_pl(
+            "knn_mip_sec", lambda: simp.knn_mip_topk(_emb23, 0, k=10)
+        )
+        timed_pl(
+            "quality_ensemble_sec", lambda: trp.quality_ensemble(corpus)
+        )
+        timed_pl(
+            "slm_retention_sec",
+            lambda: mntp.slm_retention(
+                corpus, expire_after_min=120, min_count=5, max_count=100
+            ),
+        )
+        timed_pl("lsh_dup_flags_sec", lambda: ddp.lsh_dup_flags(corpus))
         extra["pipeline_ops"] = pl
 
         spark.stop()
