@@ -63,31 +63,106 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
-def term_frequencies(corpus: DataFrame, positions: bool = False) -> DataFrame:
-    """(term, doc_id, dl, tf[, positions]) — ONE shuffle, map-side combine.
+def _tf_kernel(with_pos: bool):
+    """Factory for the narrow term-frequency kernel (see
+    _tf_positions_kernel docstring); with_pos=False skips the position
+    encoding and emits (term, doc_id, dl, tf) only."""
 
-    dl (BM25 length norm) is computed narrow before the explode and carried
-    through the aggregation as a grouping column (constant per doc_id, so
-    it adds no groups) — postings encoding then needs no separate
-    doc-length aggregation + join.  With positions=True each row also
-    carries the sorted token offsets of the term in the doc (phrase-query
-    support; costs a collect_list in the same single shuffle).
-    """
-    if positions:
-        toks = corpus.select("doc_id", tokens("text").alias("toks")).select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.posexplode("toks").alias("pos", "term"),
+    def fn(batches):
+        yield from _tf_positions_kernel(batches, with_pos=with_pos)
+
+    return fn
+
+
+def _tf_positions_kernel(batches, with_pos: bool = True):
+    """mapInPandas kernel: (doc_id, toks) batches -> (term, doc_id, dl,
+    tf[, pos_vb]) with positions already delta+varbyte encoded PER POSTING.
+
+    Everything a posting needs from positions is derivable inside the
+    source row (a doc's tokens never span partitions), so the encoding is
+    entirely map-side — the downstream encode shuffle then moves compact
+    varbyte blobs instead of raw int arrays (~2x narrower shuffle, the r4
+    positional-build cost finding).  Vectorized across the whole Arrow
+    batch: one factorize + lexsort groups (doc, term); position deltas
+    and the varbyte buffer are computed in one flat pass and split at
+    exact per-posting byte offsets (the _encode_terms_batch pattern).
+
+    Byte-contract: codec.encode_positions(varbyte(concat(delta(posting)
+    for postings))) equals the concatenation of these per-posting blobs —
+    varbyte is per-value — so downstream blocks are byte-identical to the
+    former collect_list path (asserted by test_codec.py)."""
+    import numpy as np
+
+    from .codec import varbyte_encode, varbyte_widths
+
+    for pdf in batches:
+        n_rows = len(pdf)
+        if n_rows == 0:
+            continue
+        toks_list = pdf["toks"]
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        dls = np.fromiter(
+            (len(t) for t in toks_list), dtype=np.int64, count=n_rows
         )
-        return toks.groupBy("term", "doc_id", "dl").agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.array_sort(F.collect_list("pos")).alias("positions"),
+        total = int(dls.sum())
+        if total == 0:
+            continue
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks_list if len(t)]
         )
-    toks = corpus.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        doc_idx = np.repeat(np.arange(n_rows), dls)
+        pos = np.concatenate(
+            [np.arange(d, dtype=np.int64) for d in dls if d]
+        )
+        codes, uniq = pd.factorize(flat_terms, sort=False)
+        order = np.lexsort((pos, codes, doc_idx))
+        c = codes[order]
+        di = doc_idx[order]
+        new = np.empty(c.size, dtype=bool)
+        new[0] = True
+        new[1:] = (c[1:] != c[:-1]) | (di[1:] != di[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [c.size]))
+        out = {
+            "term": uniq.take(c[starts]).astype(object),
+            "doc_id": doc_ids[di[starts]],
+            "dl": dls[di[starts]].astype(np.int32),
+            "tf": (ends - starts).astype(np.int64),
+        }
+        if with_pos:
+            p = pos[order].astype(np.uint64)
+            gaps = p.copy()
+            nst = np.flatnonzero(~new)
+            gaps[nst] = p[nst] - p[nst - 1]
+            flatbuf = varbyte_encode(gaps)
+            offs = np.zeros(gaps.size + 1, dtype=np.int64)
+            np.cumsum(varbyte_widths(gaps), out=offs[1:])
+            out["pos_vb"] = pd.Series(
+                [flatbuf[offs[s] : offs[e]] for s, e in zip(starts, ends)],
+                dtype=object,
+            )
+        yield pd.DataFrame(out)
+
+
+def term_frequencies(corpus: DataFrame, positions: bool = False) -> DataFrame:
+    """(term, doc_id, dl, tf[, pos_vb]) — ZERO shuffles (narrow map).
+
+    A (term, doc) group's inputs all live inside the doc's source row, so
+    the aggregation needs no exchange at any scale: the vectorized
+    mapInPandas kernel (one factorize + lexsort per Arrow batch) computes
+    tf, dl and — with positions=True — each posting's delta+varbyte
+    encoded positions (`pos_vb`) map-side.  The only shuffle in the whole
+    build is the downstream encode repartition by (salt, enc_key), and
+    with positions it now moves compact bytes, never raw position ints
+    (VERDICT r4 perf #1; replacing the r4 explode+groupBy also cut the
+    base build — the former map-side combine still shuffled every (term,
+    doc, tf) row).  Tokenization stays the native `tokens()` Column —
+    oracle byte-identity is untouched; the kernel only counts."""
+    schema = "term string, doc_id long, dl int, tf long" + (
+        ", pos_vb binary" if positions else ""
     )
-    return toks.groupBy("term", "doc_id", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
+    return corpus.select("doc_id", tokens("text").alias("toks")).mapInPandas(
+        _tf_kernel(positions), schema
     )
 
 
@@ -213,6 +288,16 @@ def _encode_terms_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         pos = pdf["positions"].to_numpy(object)[order]
         out["pos_bytes"] = pd.Series(
             [encode_positions(pos[s:e]) for s, e in zip(starts, ends)],
+            dtype=object,
+        )
+    elif "pos_vb" in pdf.columns:
+        # positions arrived already delta+varbyte encoded per posting
+        # (map-side, term_frequencies): a block's pos_bytes is the plain
+        # concatenation — byte-identical to encode_positions on the raw
+        # arrays because varbyte is per-value.
+        vb = pdf["pos_vb"].to_numpy(object)[order]
+        out["pos_bytes"] = pd.Series(
+            [b"".join(map(bytes, vb[s:e])) for s, e in zip(starts, ends)],
             dtype=object,
         )
     return out

@@ -236,6 +236,162 @@ def _compound_group(
     return pd.concat([out, sentinel], ignore_index=True)
 
 
+def _term_contrib_cached(
+    by_term: dict,
+    t: str,
+    idf: float,
+    avgdl: float,
+    tomb: np.ndarray | None,
+    tcache: dict,
+):
+    """Batch-shared full decode of one term's postings -> (ids, w).
+
+    The wand_topk_batch pattern (wand.py:638-) brought to the compound
+    kernel: each term's blocks are decoded ONCE per salt per batch and
+    cached as per-doc raw BM25 contributions; every query (and both the
+    top-k' scoring and the phrase-doc restricted sums, which previously
+    each re-decoded the same bytes) then reduces cached arrays.
+    Tombstones are applied at build time — the batch path has no
+    per-query doc_filter, so the cache is safe to share."""
+    if t in tcache:
+        return tcache[t]
+    g = by_term.get(t)
+    if g is None:
+        tcache[t] = None
+        return None
+    g = g.sort_values("block_id")
+    ids, tfs, dls = decode_many(
+        [bytes(x) for x in g["doc_gaps"]],
+        [bytes(x) for x in g["tf_bytes"]],
+        [bytes(x) for x in g["dl_bytes"]],
+        g["n_docs"].to_numpy(),
+    )
+    ids = ids.astype(np.int64)
+    if tomb is not None and tomb.size:
+        live = ~np.isin(ids, tomb)
+        ids, tfs, dls = ids[live], tfs[live], dls[live]
+    w = _bm25_w(tfs.astype(np.float64), dls.astype(np.float64), avgdl, idf)
+    tcache[t] = (ids, w)
+    return tcache[t]
+
+
+def _compound_group_cached(
+    pdf: pd.DataFrame,
+    by_term: dict,
+    idfs: dict[str, float],
+    avgdl: float,
+    phrase: list[str],
+    k: int,
+    tomb: np.ndarray | None,
+    slop: int,
+    pos_cache: dict,
+    tcache: dict,
+    pos_block_cache: dict | None = None,
+) -> pd.DataFrame:
+    """_compound_group's batch twin: identical emission contract (top-k'
+    non-phrase docs by the rounded-score/doc_id key — the same
+    `np.lexsort((ids, -rounded))[:k']` selection _score_salt_group ends
+    with — plus every phrase doc with exact term sums, plus the df_p
+    sentinel), but ALL postings decodes go through the shared caches:
+    positions via _phrase_counts_group's memo, term contributions via
+    _term_contrib_cached.  Full accumulation replaces WAND skipping —
+    rank-identical (pruning only ever drops provably-sub-top-k' docs)
+    and the decode cost is already amortized across the batch."""
+    if pdf.empty:
+        return _EMPTY.copy()
+    ph = (
+        _phrase_counts_group(
+            pdf, phrase, tombstones=tomb, slop=slop,
+            decode_cache=pos_cache, block_cache=pos_block_cache,
+        )
+        if phrase
+        else _EMPTY[["doc_id", "phrase_tf", "dl"]].copy()
+    )
+    n_phrase = len(ph)
+    p_ids = np.sort(ph["doc_id"].to_numpy(np.int64))
+
+    contribs = [
+        c
+        for c in (
+            _term_contrib_cached(by_term, t, idf, avgdl, tomb, tcache)
+            for t, idf in idfs.items()
+        )
+        if c is not None and c[0].size
+    ]
+    if contribs:
+        all_ids = np.concatenate([c[0] for c in contribs])
+        all_w = np.concatenate([c[1] for c in contribs])
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_w = all_ids[order], all_w[order]
+        uniq, starts = np.unique(all_ids, return_index=True)
+        sums = np.add.reduceat(all_w, starts)
+    else:
+        uniq = np.array([], dtype=np.int64)
+        sums = np.array([], dtype=np.float64)
+
+    # exact restricted sums for the phrase docs (may gain the boost)
+    if p_ids.size and uniq.size:
+        pos = np.searchsorted(uniq, p_ids)
+        pos[pos >= uniq.size] = 0
+        hit = uniq[pos] == p_ids
+        p_tsums = dict(
+            zip(p_ids[hit].tolist(), sums[pos[hit]].tolist())
+        )
+    else:
+        p_tsums = {}
+
+    # top-k' among non-phrase docs, k' = k + |phrase docs| (see
+    # _compound_group's sufficiency argument)
+    if uniq.size:
+        if p_ids.size:
+            m = ~np.isin(uniq, p_ids)
+            uniq, sums = uniq[m], sums[m]
+        rounded = np.round(sums, SCORE_DECIMALS)
+        top = min(k + int(p_ids.size), uniq.size)
+        sel = np.lexsort((uniq, -rounded))[:top]
+        uniq, sums = uniq[sel], sums[sel]
+    out = pd.DataFrame(
+        {
+            "doc_id": uniq,
+            "tscore": sums,
+            "phrase_tf": np.zeros(uniq.size, dtype=np.int64),
+            "dl": np.zeros(uniq.size, dtype=np.int64),
+        }
+    )
+    if n_phrase:
+        prows = pd.DataFrame(
+            {
+                "doc_id": ph["doc_id"].to_numpy(np.int64),
+                "tscore": np.array(
+                    [p_tsums.get(int(d), 0.0) for d in ph["doc_id"]],
+                    dtype=np.float64,
+                ),
+                "phrase_tf": ph["phrase_tf"].to_numpy(np.int64),
+                "dl": ph["dl"].to_numpy(np.int64),
+            }
+        )
+        out = pd.concat([out, prows], ignore_index=True)
+    out = out.assign(dfp_part=np.int64(0)).astype(
+        {
+            "doc_id": "int64",
+            "tscore": "float64",
+            "phrase_tf": "int64",
+            "dl": "int64",
+            "dfp_part": "int64",
+        }
+    )
+    sentinel = pd.DataFrame(
+        {
+            "doc_id": pd.Series([-1], dtype="int64"),
+            "tscore": pd.Series([0.0], dtype="float64"),
+            "phrase_tf": pd.Series([0], dtype="int64"),
+            "dl": pd.Series([0], dtype="int64"),
+            "dfp_part": pd.Series([n_phrase], dtype="int64"),
+        }
+    )
+    return pd.concat([out, sentinel], ignore_index=True)
+
+
 def compound_topk(
     index: dict,
     terms: list[str],
@@ -349,12 +505,20 @@ def compound_topk_batch(
     n = index["_stats"][0]  # memoized by _collect_idfs
 
     def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
-        cache: dict = {}
+        # Two shared caches per salt: positional decodes (phrase memo)
+        # and per-term BM25 contributions — each (term, salt) payload is
+        # decoded at most once for the whole batch, across queries AND
+        # across the scoring/restricted-sum/phrase stages of one query.
+        pos_cache: dict = {}
+        pos_blocks: dict = {}
+        tcache: dict = {}
+        by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
         outs = []
         for qid, (idfs, ph) in plans.items():
-            part = _compound_group(
-                pdf, idfs, float(avgdl), ph, k,
-                tombstones=tomb, slop=slops.get(qid, 0), decode_cache=cache,
+            part = _compound_group_cached(
+                pdf, by_term, idfs, float(avgdl), ph, k,
+                tomb, slops.get(qid, 0), pos_cache, tcache,
+                pos_block_cache=pos_blocks,
             )
             part.insert(0, "query_id", np.int32(qid))
             outs.append(part)

@@ -60,9 +60,9 @@ def _gather_keyed(
     return flat + bases, lens
 
 
-def _decode_term_blocks(term: str, g: pd.DataFrame) -> tuple:
-    """Decode one term's (already selected) blocks -> sorted (ids, dls,
-    positions)."""
+def _decode_term_blocks_raw(term: str, g: pd.DataFrame) -> tuple:
+    """Decode one term's (already selected) blocks -> (ids, dls,
+    positions) in block storage order (NOT globally sorted)."""
     from ..index.codec import varbyte_decode
 
     ids, tfs, dls = decode_many(
@@ -85,16 +85,66 @@ def _decode_term_blocks(term: str, g: pd.DataFrame) -> tuple:
                 f"term {term!r} has posting blocks without positions"
             )
         pos.extend(decode_positions(pb, block_tfs))
-    ids = ids.astype(np.int64)
-    dls = dls.astype(np.int64)
-    # multi-segment indexes interleave block doc ranges: sort globally
-    # (doc ids are unique per term — segments hold disjoint doc sets)
-    # so _gather_keyed's searchsorted lookups are valid.
+    return ids.astype(np.int64), dls.astype(np.int64), pos
+
+
+def _sort_triple(ids: np.ndarray, dls: np.ndarray, pos: list) -> tuple:
+    """Globally sort a decoded (ids, dls, positions) triple by doc id.
+
+    Multi-segment indexes interleave block doc ranges (doc ids are unique
+    per term — segments hold disjoint doc sets); sorted order makes
+    _gather_keyed's searchsorted lookups valid."""
     order = np.argsort(ids, kind="mergesort")
     if not np.array_equal(order, np.arange(order.size)):
         ids, dls = ids[order], dls[order]
         pos = [pos[i] for i in order]
     return ids, dls, pos
+
+
+def _decode_term_blocks(term: str, g: pd.DataFrame) -> tuple:
+    """Decode one term's (already selected) blocks -> sorted (ids, dls,
+    positions)."""
+    return _sort_triple(*_decode_term_blocks_raw(term, g))
+
+
+def _decode_blocks_block_cached(
+    term: str, g: pd.DataFrame, tb: dict
+) -> tuple:
+    """Block-granular shared decode: each (term, block_id) payload is
+    decoded at most once per cache lifetime (one salt group of one batch
+    job), however differently each query's conjunctive pruning selects
+    blocks.  Missing blocks decode in ONE vectorized call, are split on
+    the per-block posting counts, and cached; assembly re-sorts globally.
+    This is what lets a batch share the Zipf-head term's decode even when
+    every query prunes it to a different block subset (the r4 memo only
+    shared COMPLETE decodes)."""
+    sel_ids = g["block_id"].to_numpy()
+    have = np.array([bid in tb for bid in sel_ids], dtype=bool)
+    missing = g.loc[~have]
+    if len(missing):
+        m_ids, m_dls, m_pos = _decode_term_blocks_raw(term, missing)
+        counts = missing["n_docs"].to_numpy(np.int64)
+        bounds = np.cumsum(counts)
+        id_sp = np.split(m_ids, bounds[:-1])
+        dl_sp = np.split(m_dls, bounds[:-1])
+        starts = np.concatenate([[0], bounds[:-1]])
+        for i, bid in enumerate(missing["block_id"]):
+            tb[bid] = (
+                id_sp[i],
+                dl_sp[i],
+                m_pos[int(starts[i]) : int(bounds[i])],
+            )
+    parts = [tb[bid] for bid in sel_ids]
+    if not parts:
+        return (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            [],
+        )
+    ids = np.concatenate([p[0] for p in parts])
+    dls = np.concatenate([p[1] for p in parts])
+    pos = [a for p in parts for a in p[2]]
+    return _sort_triple(ids, dls, pos)
 
 
 def _phrase_counts_group(
@@ -104,6 +154,7 @@ def _phrase_counts_group(
     stats: dict | None = None,
     slop: int = 0,
     decode_cache: dict | None = None,
+    block_cache: dict | None = None,
 ) -> pd.DataFrame:
     """One salt's blocks -> (doc_id, phrase_tf, dl) for docs containing the
     exact phrase.  Fully vectorized: adjacency is ONE np.isin per phrase
@@ -156,7 +207,12 @@ def _phrase_counts_group(
                 stats["blocks_decoded"] = (
                     stats.get("blocks_decoded", 0) + len(g)
                 )
-            ids, dls, pos = _decode_term_blocks(t, g)
+            if block_cache is not None:
+                ids, dls, pos = _decode_blocks_block_cached(
+                    t, g, block_cache.setdefault(t, {})
+                )
+            else:
+                ids, dls, pos = _decode_term_blocks(t, g)
             if decode_cache is not None and len(g) == n_blocks:
                 # only complete decodes are safe to share across queries
                 decode_cache[t] = (ids, dls, pos)
@@ -238,6 +294,7 @@ def _phrase_partial_group(
     slop: int = 0,
     decode_cache: dict | None = None,
     allowed: np.ndarray | None = None,
+    block_cache: dict | None = None,
 ) -> pd.DataFrame:
     """One salt's blocks -> the rows the global stage needs: the salt's
     top-k matches by the idf-free kernel g (plus the rounding-tie band)
@@ -248,7 +305,7 @@ def _phrase_partial_group(
     compound.py documents."""
     counts = _phrase_counts_group(
         pdf, phrase, tombstones=tombstones, slop=slop,
-        decode_cache=decode_cache,
+        decode_cache=decode_cache, block_cache=block_cache,
     )
     n_match = len(counts)
     if allowed is not None and n_match:
@@ -428,12 +485,17 @@ def phrase_topk_batch(
     avgdl = float(avgdl) if avgdl else 1.0
 
     def kernel(pdf: pd.DataFrame, tomb, allowed) -> pd.DataFrame:
+        # full-decode memo (term -> complete triple) PLUS block-granular
+        # cache: a Zipf-head term pruned to different block subsets by
+        # different queries still decodes each block exactly once.
         cache: dict = {}
+        blocks: dict = {}
         outs = []
         for qid, ph in live.items():
             part = _phrase_partial_group(
                 pdf, ph, k, bands[qid], avgdl, tombstones=tomb,
                 slop=slops.get(qid, 0), decode_cache=cache,
+                block_cache=blocks,
             )
             part.insert(0, "query_id", np.int32(qid))
             outs.append(part)

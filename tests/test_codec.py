@@ -138,3 +138,42 @@ def test_varbyte_widths_consistent_with_encode(vals):
         off = int(w[:cut].sum())
         assert varbyte_encode(v[:cut]) == buf[:off]
         assert varbyte_encode(v[cut:]) == buf[off:]
+
+
+def test_mapside_position_encoding_byte_identity(spark, sf_dir):
+    """r5: term_frequencies(positions=True) pre-encodes position deltas
+    map-side (pos_vb) so the encode shuffle carries bytes, not raw ints.
+    The resulting blocks must be byte-identical to the former
+    collect_list path (varbyte is per-value, so concatenation of
+    per-posting blobs == encode_positions of the raw arrays)."""
+    import pyspark.sql.functions as F
+
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.functions.tokenizer import tokens
+    from telegram2elastic_spark.index import build as B
+
+    corpus = load_corpus(spark, sf_dir)
+    new_post = B.build_postings(
+        B.term_frequencies(corpus, positions=True), n_doc_parts=4
+    )
+    toks = corpus.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    old_tf = toks.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
+    old_post = B.build_postings(old_tf, n_doc_parts=4)
+
+    def as_map(df):
+        return {
+            (r["term"], r["salt"], r["block_id"]): (
+                bytes(r["doc_gaps"]), bytes(r["tf_bytes"]),
+                bytes(r["dl_bytes"]), bytes(r["pos_bytes"]),
+            )
+            for r in df.collect()
+        }
+
+    a, b = as_map(new_post), as_map(old_post)
+    assert a == b
