@@ -39,3 +39,24 @@ def duck():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     yield con
     con.close()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-populate the `quick` marker (VERDICT r4 #7): the first
+    collected test of EVERY module is marked, giving `-m quick` a cold
+    run that imports and exercises each module's fixtures and one real
+    differential per file in a few minutes — an independently auditable
+    gate where the full suite (~20 min) is not.  Modules whose first
+    test is expensive can pre-mark a cheaper one explicitly; an explicit
+    `quick` marker anywhere in a module suppresses the auto-pick."""
+    explicit = {
+        item.module.__name__
+        for item in items
+        if item.get_closest_marker("quick") is not None
+    }
+    seen = set(explicit)
+    for item in items:
+        mod = item.module.__name__
+        if mod not in seen:
+            seen.add(mod)
+            item.add_marker(pytest.mark.quick)
