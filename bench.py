@@ -364,11 +364,16 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t)
             es[name] = round(best, 3)
 
+        # reps=3: these two are the first ops after the positional index
+        # write — rep 1 pays the cold parquet scan AND rep 2 still pays
+        # JIT/page-cache warming (profiled: 6.8 / 6.2 / 2.9 s), so
+        # best-of-2 under-reports the serving steady state the per-op
+        # numbers are quoted for (the timed() docstring contract).
         timed("phrase_batch_4q_sec", lambda: ph.phrase_topk_batch(
             eidx,
             {0: ["merge", "batch"], 1: ["the", "fast"],
              2: ["table", "scan", "merge"], 3: ["data", "row"]},
-            k=10, slop={2: 1}))
+            k=10, slop={2: 1}), reps=3)
         from telegram2elastic_spark.query import compound as cq
 
         timed("compound_batch_3q_sec", lambda: cq.compound_topk_batch(
@@ -376,7 +381,7 @@ def main() -> None:
             {0: (["spark", "merge"], ["the", "fast"]),
              1: (["spark"], ["merge", "batch"]),
              2: ([], ["the", "fast"])},
-            k=10))
+            k=10), reps=3)
         timed("msm_sec", lambda: wand_topk(
             eidx, ["vector", "window", "batch"], k=10, min_should_match=2))
         timed("must_not_sec", lambda: wand_topk(

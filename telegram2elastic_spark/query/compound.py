@@ -427,11 +427,15 @@ def compound_topk(
     )
     n = index["stats"].select("n_docs").first()[0]
     # phrase pseudo-term idf from the global PRE-doc_filter phrase df
-    # (per-salt sentinel counts summed); scored rows exclude the sentinels
-    dfp = partial.agg(
-        F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p")
-    )
-    partial = partial.filter(F.col("doc_id") >= 0)
+    # (per-salt sentinel counts summed); scored rows exclude the
+    # sentinels.  Window sum over the bounded post-kernel rows — an agg +
+    # broadcast join re-executed the kernel subtree (phrase.py
+    # score_pseudo_term rationale, r5).
+    from pyspark.sql import Window as _W
+
+    partial = partial.withColumn(
+        "df_p", F.sum("dfp_part").over(_W.partitionBy())
+    ).filter(F.col("doc_id") >= 0)
     phrase_w = F.when(
         F.col("phrase_tf") > 0,
         F.log(
@@ -446,7 +450,7 @@ def compound_topk(
         ),
     ).otherwise(F.lit(0.0))
     scored = (
-        partial.crossJoin(F.broadcast(dfp))
+        partial
         .withColumn("score", F.round(F.col("tscore") + phrase_w, SCORE_DECIMALS))
         .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -529,10 +533,14 @@ def compound_topk_batch(
         "query_id int, doc_id long, tscore double, phrase_tf long, "
         "dl long, dfp_part long",
     )
-    dfp = partial.groupBy("query_id").agg(
-        F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p")
-    )
-    rows = partial.filter(F.col("doc_id") >= 0)
+    # per-query df_p via window sum over the bounded partial rows (the
+    # score_pseudo_term rationale, r5: agg + broadcast join re-executed
+    # the batch kernel subtree)
+    from pyspark.sql import Window as _W2
+
+    rows = partial.withColumn(
+        "df_p", F.sum("dfp_part").over(_W2.partitionBy("query_id"))
+    ).filter(F.col("doc_id") >= 0)
     phrase_w = F.when(
         F.col("phrase_tf") > 0,
         F.log(
@@ -546,7 +554,7 @@ def compound_topk_batch(
             + K1 * (1.0 - B + B * F.col("dl") / float(avgdl))
         ),
     ).otherwise(F.lit(0.0))
-    scored = rows.join(F.broadcast(dfp), "query_id").withColumn(
+    scored = rows.withColumn(
         "score", F.round(F.col("tscore") + phrase_w, SCORE_DECIMALS)
     )
     from pyspark.sql import Window

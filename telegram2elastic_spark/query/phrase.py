@@ -398,11 +398,21 @@ def score_pseudo_term(
     """Global stage shared by every pseudo-term query (phrase, span):
     sum the doc_id=-1 sentinels into the exact global df_p, score the
     emitted (phrase_tf, dl) rows with the pseudo-term BM25, TakeOrdered
-    top-k, k-row broadcast url join."""
-    dfp = partial.agg(F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p"))
-    matches = partial.filter(F.col("doc_id") >= 0)
+    top-k, k-row broadcast url join.
+
+    df_p comes from an unpartitioned window sum over the BOUNDED
+    post-kernel rows (O(P*k) + P sentinels, the emission contract) — a
+    separate agg + broadcast join re-executed the whole kernel subtree
+    (Spark has no common-subplan reuse without a persist; measured ~2x
+    the query wall, r5).  The single-partition WindowExec is deliberate
+    and bounded, like the rank-over-TakeOrdered windows (r3 audit)."""
+    from pyspark.sql import Window as _W
+
+    matches = partial.withColumn(
+        "df_p", F.sum("dfp_part").over(_W.partitionBy())
+    ).filter(F.col("doc_id") >= 0)
     scored = (
-        matches.crossJoin(F.broadcast(dfp))
+        matches
         .withColumn(
             "score",
             F.round(
@@ -505,11 +515,17 @@ def phrase_topk_batch(
         post, filt, False, kernel,
         "query_id int, doc_id long, phrase_tf long, dl long, dfp_part long",
     )
-    dfp = partial.groupBy("query_id").agg(
-        F.coalesce(F.sum("dfp_part"), F.lit(0)).alias("df_p")
-    )
-    matches = partial.filter(F.col("doc_id") >= 0)
-    scored = matches.join(F.broadcast(dfp), "query_id").withColumn(
+    # df_p via a window sum over the BOUNDED post-kernel rows (O(P*Q*k)
+    # + P*Q sentinels): a separate groupBy + broadcast join re-executed
+    # the whole kernel subtree a second time (no common-subplan reuse in
+    # Spark without an explicit persist) — measured as ~2x the batch
+    # wall (r5).  The window shuffle moves only the tiny partial rows.
+    from pyspark.sql import Window as _W
+
+    matches = partial.withColumn(
+        "df_p", F.sum("dfp_part").over(_W.partitionBy("query_id"))
+    ).filter(F.col("doc_id") >= 0)
+    scored = matches.withColumn(
         "score",
         F.round(
             F.log(
