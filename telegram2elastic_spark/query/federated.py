@@ -55,36 +55,28 @@ def federated_topk(
     first, so boosted scores stay bit-identical, while re-rounding would
     manufacture exact half-way decimals (5-decimal score x 2.5) where
     rounding modes legitimately differ."""
-    part = F.col(partition_col).alias("part")
-    base = corpus.select(
-        part, "doc_id", "url", F.size(tokens("text")).alias("dl"),
-        tokens("text").alias("toks"),
+    # bm25_topk's persisted-projection pattern (r5): the tokenized corpus
+    # previously appeared THREE times in one plan (tf, df-of-tf, stats) —
+    # Spark re-tokenized it for each subtree (no common-subplan reuse
+    # without a persist; the score_pseudo_term bug-class).  One narrow
+    # per-doc projection (dl + per-term tf columns) is persisted; stats,
+    # per-part df, and candidate scoring all reduce the SAME cached rows.
+    rows, uniq, matched = _federated_rows(corpus, terms, partition_col)
+    stats = rows.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
     )
-    stats = base.groupBy("part").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        base.select("part", "doc_id", "url", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(sorted(set(terms))))
-        .groupBy("part", "doc_id", "url", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("part", "term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(df, ["part", "term"])
+        _federated_candidates(rows, matched)
         .join(F.broadcast(stats), "part")
         .withColumn(
-            "w",
-            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf") * (K1 + 1.0)
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("part", "doc_id", "url")
-        .agg(
-            (
-                F.round(F.sum("w"), SCORE_DECIMALS)
-                * _boost_col(indices_boost)
-            ).alias("score")
+            "score",
+            F.round(_federated_score(uniq, matched), SCORE_DECIMALS)
+            * _boost_col(indices_boost),
         )
     )
     return (
@@ -95,6 +87,55 @@ def federated_topk(
         .orderBy(F.desc("score"), F.asc("index_name"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def _federated_rows(corpus, terms, partition_col):
+    """Persisted narrow projection: (part, doc_id, url, dl, tf_i...)."""
+    uniq = sorted(set(terms))
+    part = F.col(partition_col).alias("part")
+    tk = corpus.select(part, "doc_id", "url", tokens("text").alias("_tk"))
+    proj = [
+        F.col("part"), F.col("doc_id"), F.col("url"),
+        F.size("_tk").alias("dl"),
+    ] + [
+        F.size(F.filter("_tk", lambda x: x == F.lit(t))).alias(f"tf_{i}")
+        for i, t in enumerate(uniq)
+    ]
+    rows = tk.select(*proj).persist()
+    matched = [F.col(f"tf_{i}") > 0 for i in range(len(uniq))]
+    return rows, uniq, matched
+
+
+def _federated_candidates(rows, matched):
+    any_match = matched[0] if matched else F.lit(False)
+    for m in matched[1:]:
+        any_match = any_match | m
+    return rows.filter(any_match)
+
+
+def _federated_score(uniq, matched):
+    """Sum of per-term BM25 weights from the tf_i/df_i/n/avgdl columns.
+
+    Fixed term-order addition (w_0 + w_1 + ...) vs the former groupBy
+    SUM's arbitrary order — differs only in the last ulp, absorbed by
+    SCORE_DECIMALS rounding (the bm25.py bit-compatibility contract)."""
+    score = F.lit(0.0)
+    for i in range(len(uniq)):
+        w = F.when(
+            matched[i],
+            F.log(
+                1.0
+                + (F.col("n") - F.col(f"df_{i}") + 0.5)
+                / (F.col(f"df_{i}") + 0.5)
+            )
+            * F.col(f"tf_{i}") * (K1 + 1.0)
+            / (
+                F.col(f"tf_{i}")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+        score = w if i == 0 else score + w
+    return score
 
 
 def _boost_col(indices_boost: dict[str, float] | None) -> F.Column:
@@ -188,30 +229,23 @@ def federated_topk_dfs(
     per-part keys on the stats aggregates — global stats/df are
     1-row/|q|-row aggregates crossed/broadcast in; still ONE plan, one
     tf shuffle, TakeOrdered merge."""
-    part = F.col(partition_col).alias("part")
-    base = corpus.select(
-        part, "doc_id", "url", F.size(tokens("text")).alias("dl"),
-        tokens("text").alias("toks"),
+    # persisted-projection pattern (see federated_topk): GLOBAL stats/df
+    # here — the aggregates just drop the per-part keys.
+    rows, uniq, matched = _federated_rows(corpus, terms, partition_col)
+    stats = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
     )
-    stats = base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-    tf = (
-        base.select("part", "doc_id", "url", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(sorted(set(terms))))
-        .groupBy("part", "doc_id", "url", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        _federated_candidates(rows, matched)
         .crossJoin(F.broadcast(stats))
         .withColumn(
-            "w",
-            F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf") * (K1 + 1.0)
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+            "score", F.round(_federated_score(uniq, matched), SCORE_DECIMALS)
         )
-        .groupBy("part", "doc_id", "url")
-        .agg(F.round(F.sum("w"), SCORE_DECIMALS).alias("score"))
     )
     return (
         scored.select(
