@@ -26,14 +26,11 @@ sort) are what carries over.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
-
 from ..corpus import CORPUS_CTE
 
 ENTITY_PATTERNS = {
