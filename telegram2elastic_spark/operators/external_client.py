@@ -1,0 +1,201 @@
+"""Production external-service client for the enrichment stage — PROVEN
+against a real in-process HTTP service (no network leaves the host).
+
+The reference carries a real client around its LLM classifier with
+retry/model/temperature config (poc/src/enrichment/llm_classifier.py:
+185-247) and live translation calls with failure -> null
+(telegram2elastic.py:432-440).  Round 4 shipped the correct UDF *shape*
+with deterministic stubs; this module ships the actual client machinery
+— batch RPC, exponential backoff with deterministic jitter, per-batch
+failure -> null, one client per executor task — and its tests drive it
+through a real flaky HTTP server running in-process (the K3 Redis-RESP
+sink precedent: prove the wire behavior without external dependencies).
+
+Spark shape (the seam documented in enrichment.py, now executable):
+
+    corpus.mapInPandas(classify_kernel(factory, policy), SCHEMA)
+
+* ONE client per task (the kernel constructs it outside the batch loop —
+  the reference's compiled-client reuse), never per row;
+* one HTTP POST per sub-batch of `batch_size` rows (Arrow batch sliced
+  down to the provider's max-batch), never per-row calls;
+* exponential backoff with deterministic jitter INSIDE the kernel around
+  each batch call; a batch that exhausts retries yields None for every
+  row in it (the reference's failure -> null contract :438) instead of
+  failing the task — enrichment is best-effort, the pipeline is not;
+* post-processing (clamp / whitelist) stays native Column expressions
+  downstream (enrichment.classify_stub's C16-C18 stages) — this module
+  returns the raw parsed fields.
+
+Scale notes: the kernel is a narrow map (no shuffle); provider-quota
+rate limiting belongs to the cluster scheduler (dedicated pool /
+maxExecutors on the enrichment stage), not driver-side locks — see the
+seam note in enrichment.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Exponential backoff with DETERMINISTIC jitter.
+
+    delay(attempt) = min(max_delay, base * multiplier**attempt) * j where
+    j in [1-jitter, 1+jitter] is derived from md5(f"{seed}:{attempt}") —
+    reproducible across engines and test runs (no RNG state), which is
+    what makes the backoff schedule assertable in tests."""
+
+    max_retries: int = 3
+    base_delay: float = 0.05
+    multiplier: float = 2.0
+    max_delay: float = 2.0
+    jitter: float = 0.1
+    seed: str = "0"
+
+    def delay(self, attempt: int) -> float:
+        raw = min(self.max_delay, self.base_delay * self.multiplier ** attempt)
+        h = int(hashlib.md5(f"{self.seed}:{attempt}".encode()).hexdigest()[:8], 16)
+        j = 1.0 + self.jitter * (2.0 * (h / 0xFFFFFFFF) - 1.0)
+        return raw * j
+
+
+class HttpJsonBatchClient:
+    """Minimal stdlib HTTP/1.1 JSON batch client (no external deps).
+
+    POST {"texts": [...]} to `path`; expects {"results": [{...}, ...]}
+    aligned with the input order.  One persistent connection per client
+    instance (i.e. per executor task); `timeout` bounds each call."""
+
+    def __init__(self, host: str, port: int, path: str = "/classify",
+                 timeout: float = 10.0):
+        import http.client
+
+        self._conn = http.client.HTTPConnection(host, port, timeout=timeout)
+        self._path = path
+        self.calls = 0  # instrumentation: batch RPCs issued by THIS client
+
+    def classify_batch(self, texts: list[str]) -> list[dict]:
+        self.calls += 1
+        body = json.dumps({"texts": texts}).encode("utf-8")
+        self._conn.request(
+            "POST", self._path, body=body,
+            headers={"Content-Type": "application/json"},
+        )
+        resp = self._conn.getresponse()
+        data = resp.read()
+        if resp.status != 200:
+            raise RuntimeError(f"classify service returned {resp.status}")
+        out = json.loads(data)["results"]
+        if len(out) != len(texts):
+            raise RuntimeError("response/batch length mismatch")
+        return out
+
+    def close(self) -> None:
+        self._conn.close()
+
+
+def call_with_retries(
+    fn: Callable[[], list],
+    policy: RetryPolicy,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list | None:
+    """Run one batch RPC under the policy; None when retries exhaust
+    (the caller maps None -> per-row nulls).  `sleep` is injectable so
+    tests assert the exact backoff schedule without waiting."""
+    for attempt in range(policy.max_retries + 1):
+        try:
+            return fn()
+        except Exception:
+            if attempt == policy.max_retries:
+                return None
+            sleep(policy.delay(attempt))
+    return None  # unreachable
+
+
+CLASSIFY_SCHEMA = (
+    "doc_id long, osint_value int, topics string, reasoning string"
+)
+
+
+def classify_kernel(
+    client_factory: Callable[[], object],
+    policy: RetryPolicy = RetryPolicy(),
+    batch_size: int = 64,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """mapInPandas kernel factory: one client per task, batched RPCs,
+    retries with backoff, failed-batch -> None fields for its rows.
+
+    Output rows carry the RAW service fields; clamping to [0,100] and
+    topic whitelisting remain native downstream exprs (enrichment C16-18)
+    so Catalyst still sees through the post-processing."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        client = client_factory()  # once per task, NOT per batch/row
+        try:
+            for pdf in batches:
+                ids = pdf["doc_id"].to_numpy()
+                texts = pdf["text"].tolist()
+                vals: list = []
+                topics: list = []
+                reasons: list = []
+                for off in range(0, len(texts), batch_size):
+                    chunk = texts[off : off + batch_size]
+                    res = call_with_retries(
+                        lambda c=chunk: client.classify_batch(c),
+                        policy, sleep=sleep,
+                    )
+                    if res is None:  # exhausted retries: null the batch
+                        vals += [None] * len(chunk)
+                        topics += [None] * len(chunk)
+                        reasons += [None] * len(chunk)
+                    else:
+                        for r in res:
+                            vals.append(r.get("osint_value"))
+                            t = r.get("topics")
+                            topics.append(
+                                ",".join(t) if isinstance(t, list) else t
+                            )
+                            reasons.append(r.get("reasoning"))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "osint_value": pd.Series(vals, dtype="object"),
+                        "topics": pd.Series(topics, dtype="object"),
+                        "reasoning": pd.Series(reasons, dtype="object"),
+                    }
+                )
+        finally:
+            close = getattr(client, "close", None)
+            if close is not None:
+                close()
+
+    return fn
+
+
+def classify_with_client(
+    corpus,
+    client_factory: Callable[[], object],
+    policy: RetryPolicy = RetryPolicy(),
+    batch_size: int = 64,
+):
+    """The production twin of enrichment.classify_stub: same output
+    schema, real client machinery.  Not registered in queries() (the
+    registry is frozen and a live service is out of the sandbox
+    contract); tests drive it against an in-process HTTP server."""
+    return (
+        corpus.select("doc_id", "text")
+        .mapInPandas(
+            classify_kernel(client_factory, policy, batch_size),
+            CLASSIFY_SCHEMA,
+        )
+        .orderBy("doc_id")
+    )
