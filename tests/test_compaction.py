@@ -65,6 +65,7 @@ def test_compaction_keeps_replay_idempotent(stressed):
     assert ix.as_index()["doc_map"].count() == n_before
 
 
+@pytest.mark.quick  # the auto-pick would land on the 50s stress fixture
 def test_compaction_resolves_tombstones_and_exact_stats(spark, sf_dir, tmp_path):
     """Upsert -> stale df window -> full compaction must physically drop
     tombstoned postings and restore EXACT (df, cf) — equal to a one-shot
