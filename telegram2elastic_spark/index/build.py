@@ -63,6 +63,13 @@ POSTINGS_SCHEMA = StructType(
 )
 
 
+#: token budget per vectorized pass inside the tf kernel — bounds peak
+#: Python-worker memory for batches of very large documents (object-array
+#: flatten is ~"tokens x avg token bytes"); slices split on row
+#: boundaries so (term, doc) grouping is unaffected.
+_TF_SLICE_TOKENS = 2_000_000
+
+
 def _tf_kernel(with_pos: bool):
     """Factory for the narrow term-frequency kernel (see
     _tf_positions_kernel docstring); with_pos=False skips the position
@@ -90,58 +97,80 @@ def _tf_positions_kernel(batches, with_pos: bool = True):
     Byte-contract: codec.encode_positions(varbyte(concat(delta(posting)
     for postings))) equals the concatenation of these per-posting blobs —
     varbyte is per-value — so downstream blocks are byte-identical to the
-    former collect_list path (asserted by test_codec.py)."""
+    former collect_list path (asserted by test_codec.py).
+
+    Memory bound: the kernel flattens a batch's tokens into one array;
+    an Arrow batch (maxRecordsPerBatch=10000 rows) of ~100 KB web pages
+    would flatten ~10M tokens at once.  Batches are therefore sliced to
+    at most _TF_SLICE_TOKENS tokens per vectorized pass (per-doc
+    grouping never crosses a slice — slices split on row boundaries), so
+    peak worker memory is bounded regardless of document size."""
     import numpy as np
 
     from .codec import varbyte_encode, varbyte_widths
 
-    for pdf in batches:
-        n_rows = len(pdf)
-        if n_rows == 0:
+    for whole in batches:
+        if len(whole) == 0:
             continue
-        toks_list = pdf["toks"]
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        dls = np.fromiter(
-            (len(t) for t in toks_list), dtype=np.int64, count=n_rows
+        all_dls = np.fromiter(
+            (len(t) for t in whole["toks"]), dtype=np.int64, count=len(whole)
         )
-        total = int(dls.sum())
-        if total == 0:
-            continue
-        flat_terms = np.concatenate(
-            [np.asarray(t, dtype=object) for t in toks_list if len(t)]
-        )
-        doc_idx = np.repeat(np.arange(n_rows), dls)
-        pos = np.concatenate(
-            [np.arange(d, dtype=np.int64) for d in dls if d]
-        )
-        codes, uniq = pd.factorize(flat_terms, sort=False)
-        order = np.lexsort((pos, codes, doc_idx))
-        c = codes[order]
-        di = doc_idx[order]
-        new = np.empty(c.size, dtype=bool)
-        new[0] = True
-        new[1:] = (c[1:] != c[:-1]) | (di[1:] != di[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.concatenate((starts[1:], [c.size]))
-        out = {
-            "term": uniq.take(c[starts]).astype(object),
-            "doc_id": doc_ids[di[starts]],
-            "dl": dls[di[starts]].astype(np.int32),
-            "tf": (ends - starts).astype(np.int64),
-        }
-        if with_pos:
-            p = pos[order].astype(np.uint64)
-            gaps = p.copy()
-            nst = np.flatnonzero(~new)
-            gaps[nst] = p[nst] - p[nst - 1]
-            flatbuf = varbyte_encode(gaps)
-            offs = np.zeros(gaps.size + 1, dtype=np.int64)
-            np.cumsum(varbyte_widths(gaps), out=offs[1:])
-            out["pos_vb"] = pd.Series(
-                [flatbuf[offs[s] : offs[e]] for s, e in zip(starts, ends)],
-                dtype=object,
+        # greedy row-boundary slicing by token budget (>= 1 row per slice)
+        bounds = [0]
+        acc = 0
+        for i, d in enumerate(all_dls):
+            if acc + int(d) > _TF_SLICE_TOKENS and i > bounds[-1]:
+                bounds.append(i)
+                acc = 0
+            acc += int(d)
+        bounds.append(len(whole))
+        slices = [
+            (whole.iloc[s:e], all_dls[s:e])
+            for s, e in zip(bounds[:-1], bounds[1:])
+            if e > s
+        ]
+        for pdf, dls in slices:
+            n_rows = len(pdf)
+            toks_list = pdf["toks"]
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            total = int(dls.sum())
+            if total == 0:
+                continue
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_list if len(t)]
             )
-        yield pd.DataFrame(out)
+            doc_idx = np.repeat(np.arange(n_rows), dls)
+            pos = np.concatenate(
+                [np.arange(d, dtype=np.int64) for d in dls if d]
+            )
+            codes, uniq = pd.factorize(flat_terms, sort=False)
+            order = np.lexsort((pos, codes, doc_idx))
+            c = codes[order]
+            di = doc_idx[order]
+            new = np.empty(c.size, dtype=bool)
+            new[0] = True
+            new[1:] = (c[1:] != c[:-1]) | (di[1:] != di[:-1])
+            starts = np.flatnonzero(new)
+            ends = np.concatenate((starts[1:], [c.size]))
+            out = {
+                "term": uniq.take(c[starts]).astype(object),
+                "doc_id": doc_ids[di[starts]],
+                "dl": dls[di[starts]].astype(np.int32),
+                "tf": (ends - starts).astype(np.int64),
+            }
+            if with_pos:
+                p = pos[order].astype(np.uint64)
+                gaps = p.copy()
+                nst = np.flatnonzero(~new)
+                gaps[nst] = p[nst] - p[nst - 1]
+                flatbuf = varbyte_encode(gaps)
+                offs = np.zeros(gaps.size + 1, dtype=np.int64)
+                np.cumsum(varbyte_widths(gaps), out=offs[1:])
+                out["pos_vb"] = pd.Series(
+                    [flatbuf[offs[s] : offs[e]] for s, e in zip(starts, ends)],
+                    dtype=object,
+                )
+            yield pd.DataFrame(out)
 
 
 def term_frequencies(corpus: DataFrame, positions: bool = False) -> DataFrame:

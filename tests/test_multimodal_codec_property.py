@@ -181,3 +181,42 @@ def test_block_cache_equals_direct_decode(n_docs, seed):
             assert len(got[2]) == len(want[2])
             for a, b in zip(got[2], want[2]):
                 assert np.array_equal(a, b)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "cc"]), max_size=12),
+        min_size=1, max_size=10,
+    ),
+)
+def test_tf_kernel_slicing_invariant(token_lists):
+    """The memory-bound batch slicing must not change the output: a
+    1-token budget (every doc its own slice) equals the default."""
+    from telegram2elastic_spark.index import build as B
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(len(token_lists)), dtype="int64"),
+            "toks": pd.Series(
+                [np.array(t, dtype=object) for t in token_lists],
+                dtype="object",
+            ),
+        }
+    )
+
+    def run():
+        outs = list(B._tf_positions_kernel(iter([pdf]), with_pos=True))
+        if not outs:
+            return pd.DataFrame()
+        df = pd.concat(outs, ignore_index=True)
+        return df.sort_values(["doc_id", "term"], ignore_index=True)
+
+    default = run()
+    orig = B._TF_SLICE_TOKENS
+    try:
+        B._TF_SLICE_TOKENS = 1
+        tiny = run()
+    finally:
+        B._TF_SLICE_TOKENS = orig
+    pd.testing.assert_frame_equal(default, tiny)
