@@ -48,10 +48,19 @@ def test_never_driver_rowed_entries_in_sample_window():
 
     import glob
 
+    # The window was packed for round 5 (_R05_WINDOW): its invariant is
+    # over the artifacts that existed when it was packed.  Artifacts from
+    # that round on (CORRECTNESS_r05+) row the window entries themselves,
+    # so including them would self-invalidate the test the moment the
+    # round-5 results land (ADVICE r5, medium).
+    _PACKED_FOR_ROUND = 5
     rowed = set()
     for p in glob.glob(
         os.path.join(os.path.dirname(e.__file__), "CORRECTNESS_r*.json")
     ):
+        rnum = int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        if rnum >= _PACKED_FOR_ROUND:
+            continue
         rowed |= set(json.load(open(p)))
     if not rowed:
         return  # fresh clone without driver artifacts
