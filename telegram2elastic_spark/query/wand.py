@@ -498,14 +498,51 @@ def _bucketed(index: dict, df: DataFrame, terms: list[str]) -> DataFrame:
     return df.filter(F.col("term_bucket").isin(buckets))
 
 
-def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
-    """Per-index memoized global stats + per-term idf lookups (bucket-pruned
-    when term_dict is the partitioned on-disk layout)."""
+def _index_stats(index: dict) -> tuple[int, float]:
+    """Per-index memoized (n_docs, avgdl) — one tiny Spark action per
+    index handle, shared by every query path."""
     if "_stats" not in index:
         n, avgdl = index["stats"].select("n_docs", "avgdl").first()
         # empty corpus: avgdl is NULL; any positive value works (no postings)
         index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
-    n, avgdl = index["_stats"]
+    return index["_stats"]
+
+
+def _local_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
+    """idf per query term for the query-node-local paths WITHOUT a
+    term_dict scan: df is derivable from the fetched posting blocks —
+    sum(block n_docs) over every salt (and, for multi-segment views,
+    every segment) equals term_dict's df, because the blocks partition
+    exactly the (term, doc) pairs term_dict counts and neither side is
+    tombstone-adjusted (as_index sums per-segment df the same way).  One
+    pruned postings fetch therefore warms BOTH the block cache and the
+    idf cache: a cold query costs one Spark job, not two (guide §1 —
+    measured, the second job was ~half of cold-query latency).  Values
+    land in the same _idf_cache the distributed paths use, and are
+    bit-equal to the term_dict route (same integer df, same formula)."""
+    n, avgdl = _index_stats(index)
+    cache = index.setdefault("_idf_cache", {})
+    missing = sorted({t for t in terms if t not in cache})
+    if missing:
+        _local_blocks(index, missing, [])
+        blocks = index["_local_post_cache"]
+        for t in missing:
+            g = blocks.get(t)
+            if g is None:
+                cache[t] = None
+            else:
+                df = int(g["n_docs"].sum())
+                cache[t] = float(
+                    np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                )
+    idfs = {t: cache[t] for t in terms if cache.get(t) is not None}
+    return idfs, avgdl
+
+
+def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
+    """Per-index memoized global stats + per-term idf lookups (bucket-pruned
+    when term_dict is the partitioned on-disk layout)."""
+    n, avgdl = _index_stats(index)
     cache = index.setdefault("_idf_cache", {})
     missing = [t for t in terms if t not in cache]
     if missing:
@@ -887,6 +924,16 @@ def wand_topk_local(
     Returns [(doc_id, score), ...] rank-identical to wand_topk.
     """
     exclude = sorted(set(exclude_terms or []))
+    # prefetch every cold term's blocks (query + must_not) in ONE pruned
+    # Spark job; for the default stats path _local_idfs then derives the
+    # idfs from the cached blocks, so a cold query pays exactly one
+    # Spark action (the r5 shape was two: term_dict scan + block fetch)
+    blocks = index.setdefault("_local_post_cache", {})
+    prefetch = [
+        t for t in sorted(set(terms) | set(exclude)) if t not in blocks
+    ]
+    if prefetch:
+        _local_blocks(index, prefetch, [])
     if stats_override is not None:
         # external statistics (dfs federation / sparse_vector weights) —
         # same contract as wand_topk's stats_override
@@ -897,17 +944,11 @@ def wand_topk_local(
             if t in set(terms) and v is not None
         }
     else:
-        idfs, avgdl = _collect_idfs(index, terms)
+        idfs, avgdl = _local_idfs(index, terms)
     n_terms = len(set(terms))
     require_all = n_terms if conjunctive else int(min_should_match)
     if not idfs or require_all > len(idfs):
         return []
-    decoded = index.setdefault("_local_decoded", {})
-    cold = [
-        t for t in sorted(set(idfs) | set(exclude)) if t not in decoded
-    ]
-    if cold:
-        _local_blocks(index, cold, [])  # ONE Spark fetch for all cold terms
     tomb = _tomb_array(index)
     if exclude:
         ex_parts = [
