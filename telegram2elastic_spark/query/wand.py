@@ -541,10 +541,36 @@ def _local_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
 
 def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
     """Per-index memoized global stats + per-term idf lookups (bucket-pruned
-    when term_dict is the partitioned on-disk layout)."""
-    n, avgdl = _index_stats(index)
+    when term_dict is the partitioned on-disk layout).
+
+    On a fresh index handle the (n_docs, avgdl) row rides along the
+    term_dict lookup as a crossJoin with the 1-row stats table — one
+    Spark action instead of two for a cold index (guide §1: per-action
+    overhead dominates these driver-side metadata fetches)."""
     cache = index.setdefault("_idf_cache", {})
     missing = [t for t in terms if t not in cache]
+    if missing and "_stats" not in index:
+        rows = (
+            _bucketed(index, index["term_dict"], missing)
+            .filter(F.col("term").isin(missing))
+            .select("term", "df")
+            .crossJoin(index["stats"].select("n_docs", "avgdl"))
+            .collect()
+        )
+        if rows:
+            n0, a0 = rows[0]["n_docs"], rows[0]["avgdl"]
+            index["_stats"] = (int(n0 or 0), float(a0) if a0 else 1.0)
+            n, _ = index["_stats"]
+            for r in rows:
+                cache[r["term"]] = float(
+                    np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+                )
+            for t in missing:
+                cache.setdefault(t, None)  # zero-hit terms
+            missing = []
+        # rows empty => none of the terms exist; fall through to the
+        # memoized stats fetch so avgdl/n are still resolved once
+    n, avgdl = _index_stats(index)
     if missing:
         for r in (
             _bucketed(index, index["term_dict"], missing)
@@ -559,6 +585,12 @@ def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
             cache.setdefault(t, None)  # zero-hit terms
     idfs = {t: cache[t] for t in terms if cache.get(t) is not None}
     return idfs, avgdl
+
+
+#: upper bound on per-salt top-k rows merged driver-side by
+#: wand_topk_batch (n_salts x live queries x k); above it the reduce
+#: stays a distributed window — a scale guard, not a tuning knob.
+_DRIVER_MERGE_MAX_ROWS = 262_144
 
 
 def wand_topk_batch(
@@ -804,16 +836,38 @@ def wand_topk_batch(
             .cogroup(filt.groupBy("salt"))
             .applyInPandas(lambda p, s: kernel(p, s), out_schema)
         )
-    from pyspark.sql import Window
+    # Reduce: k-way merge of the per-salt top-ks.  `local` is k-row
+    # bounded (<= n_salts * k rows per query), so for serving-sized
+    # batches the merge is done driver-side in one pass — the query-node
+    # reduce, same k-row-collect class as wand_topk_local — which drops
+    # the window shuffle + separate broadcast job from the plan (2 fewer
+    # stages per batch).  Above _DRIVER_MERGE_MAX_ROWS (huge fan-out x
+    # thousand-query batches on a big cluster) the distributed window
+    # reduce is kept — identical results either way.
+    if _n_parts(index) * len(live) * k <= _DRIVER_MERGE_MAX_ROWS:
+        rows = local.toPandas()
+        if rows.empty:
+            return empty
+        rows = rows.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = rows.groupby("query_id", sort=False).head(k)
+        topk = spark.createDataFrame(
+            top, "query_id int, doc_id long, score double"
+        )
+    else:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    topk = (
-        local.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        topk = (
+            local.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
     return (
         index["doc_map"]
         .select("doc_id", "url")
