@@ -29,6 +29,25 @@ from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
 
 K1 = 1.2
 B = 0.75
+
+#: caches persisted by previous bm25_topk calls, retired lazily at the
+#: next call.  The per-query tokenized projection must outlive the
+#: function (the returned DataFrame reads it), so it cannot be
+#: unpersisted here synchronously; without retirement every query leaked
+#: one cached projection for the session's lifetime (~10s of MB each —
+#: executor storage pressure compounding over a serving loop / the
+#: bench's 12+ calls).  Unpersisting only ever drops cached blocks:
+#: a late consumer of an old result recomputes, never errs.
+_live_rows: list = []
+
+
+def _retire_live_rows() -> None:
+    while _live_rows:
+        df = _live_rows.pop()
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
 SCORE_DECIMALS = 5
 # Pruning-threshold slack: final ranking rounds scores to SCORE_DECIMALS and
 # breaks ties by doc_id asc, so any pruning decision made on *raw* scores
@@ -130,7 +149,9 @@ def bm25_topk(
                 "_tk", F.array(*[F.lit(t) for t in excl])
             ).alias("_ex_hit")
         )
+    _retire_live_rows()
     rows = tk_rows.select(*proj).persist()
+    _live_rows.append(rows)
 
     stats_aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -139,7 +160,25 @@ def bm25_topk(
         F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
         for i in range(len(uniq))
     ]
-    stats = rows.agg(*stats_aggs)
+    # The (n, avgdl, df_i) statistics row is collected eagerly and
+    # injected as double LITERALS instead of crossJoin(broadcast(stats)):
+    # the broadcast subtree cost 3 extra AQE stage-jobs per query
+    # (measured 5 jobs -> 2).  All arithmetic stays in Spark expressions
+    # over the same double values (py4j round-trips IEEE doubles
+    # exactly), so scores are bit-identical to the joined formulation.
+    # This one action also materializes the persisted `rows` projection,
+    # which the scoring pass below then reads from cache.
+    srow = rows.agg(*stats_aggs).first()
+
+    def _num_lit(v) -> F.Column:
+        # empty-corpus aggregates yield NULL (avgdl / df_i) — preserve it
+        return (
+            F.lit(None).cast("double") if v is None else F.lit(float(v))
+        )
+
+    n_lit = _num_lit(srow["n"])
+    avgdl_lit = _num_lit(srow["avgdl"])
+    df_lits = [_num_lit(srow[f"df_{i}"]) for i in range(len(uniq))]
 
     matched = [F.col(f"tf_{i}") > 0 for i in range(len(uniq))]
     any_match = matched[0] if matched else F.lit(False)
@@ -155,8 +194,8 @@ def bm25_topk(
             bm25_weight(
                 F.col(f"tf_{i}").cast("double"),
                 F.col("dl").cast("double"),
-                F.col("avgdl"),
-                idf_col(F.col("n").cast("double"), F.col(f"df_{i}").cast("double")),
+                avgdl_lit,
+                idf_col(n_lit, df_lits[i]),
             ),
         ).otherwise(F.lit(0.0))
         for i in range(len(uniq))
@@ -169,8 +208,7 @@ def bm25_topk(
         n_matched_expr = n_matched_expr + m.cast("int")
 
     scored = (
-        cand.crossJoin(F.broadcast(stats))
-        .withColumn("score", F.round(score_expr, SCORE_DECIMALS))
+        cand.withColumn("score", F.round(score_expr, SCORE_DECIMALS))
         .withColumn("n_matched", n_matched_expr)
     )
     n_req = len(uniq) if conjunctive else int(min_should_match)

@@ -101,7 +101,15 @@ def _federated_rows(corpus, terms, partition_col):
         F.size(F.filter("_tk", lambda x: x == F.lit(t))).alias(f"tf_{i}")
         for i, t in enumerate(uniq)
     ]
+    # retire prior calls' caches (same leak class as bm25._live_rows:
+    # the projection must outlive this function for the returned plan,
+    # so cleanup happens lazily at the next relational query — shared
+    # registry with bm25 so a serving loop holds ONE live projection)
+    from .bm25 import _live_rows, _retire_live_rows
+
+    _retire_live_rows()
     rows = tk.select(*proj).persist()
+    _live_rows.append(rows)
     matched = [F.col(f"tf_{i}") > 0 for i in range(len(uniq))]
     return rows, uniq, matched
 
