@@ -14,6 +14,18 @@ from pyspark.sql import functions as F
 from ..corpus import CORPUS_CTE
 
 
+def _ordered_rollup(df: DataFrame, *order_cols) -> DataFrame:
+    """Total order for a rollup-sized result without a range-partitioned
+    sort.  An orderBy on a low-cardinality aggregate costs a range-
+    sampling job plus an extra shuffle (measured: 3 extra AQE stage-jobs
+    per op); coalescing the tiny final aggregate to one partition and
+    sorting within it yields the identical total order in a single
+    stage.  Only for outputs that are small BY CONTRACT (group keys here
+    are low-cardinality rollup keys — see module docstring); never use
+    on corpus-sized frames."""
+    return df.coalesce(1).sortWithinPartitions(*order_cols)
+
+
 def archive_counters(corpus: DataFrame) -> DataFrame:
     """A2 analogue: per-archive rollup counters the reference maintained
     row-at-a-time (total_messages += 1 ... telegram_client.py:392-396),
@@ -28,7 +40,7 @@ def archive_counters(corpus: DataFrame) -> DataFrame:
             ).alias("last_doc_ts"),
             F.round(F.avg("n_chars"), 5).alias("avg_chars"),
         )
-        .orderBy("source")
+        .transform(_ordered_rollup, "source")
     )
 
 
@@ -55,7 +67,7 @@ def timeline_daily(corpus: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("lang").alias("n_langs"),
         )
-        .orderBy("day")
+        .transform(_ordered_rollup, "day")
     )
 
 
@@ -79,7 +91,7 @@ def events_rollup(events: DataFrame) -> DataFrame:
             F.round(F.avg("value"), 5).alias("avg_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
-        .orderBy("event_type")
+        .transform(_ordered_rollup, "event_type")
     )
 
 
@@ -158,7 +170,7 @@ def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     return (
         per_user.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .orderBy("event_type", "rank")
+        .transform(_ordered_rollup, "event_type", "rank")
     )
 
 
