@@ -118,8 +118,21 @@ def _decode_blocks_block_cached(
     This is what lets a batch share the Zipf-head term's decode even when
     every query prunes it to a different block subset (the r4 memo only
     shared COMPLETE decodes)."""
-    sel_ids = g["block_id"].to_numpy()
-    have = np.array([bid in tb for bid in sel_ids], dtype=bool)
+    # Cache key is the block's IDENTITY, not block_id alone: multi-segment
+    # views (IncrementalIndexer.as_index) union per-segment postings whose
+    # block_id restarts at 0 per segment, so one salt group can hold
+    # several distinct blocks with the same block_id.  Segments own
+    # disjoint doc-id sets, so (block_id, first_doc_id, last_doc_id,
+    # n_docs) is unique per physical block (ADVICE r5, high).
+    keys = list(
+        zip(
+            g["block_id"].to_numpy(),
+            g["first_doc_id"].to_numpy(),
+            g["last_doc_id"].to_numpy(),
+            g["n_docs"].to_numpy(),
+        )
+    )
+    have = np.array([kk in tb for kk in keys], dtype=bool)
     missing = g.loc[~have]
     if len(missing):
         m_ids, m_dls, m_pos = _decode_term_blocks_raw(term, missing)
@@ -128,13 +141,15 @@ def _decode_blocks_block_cached(
         id_sp = np.split(m_ids, bounds[:-1])
         dl_sp = np.split(m_dls, bounds[:-1])
         starts = np.concatenate([[0], bounds[:-1]])
-        for i, bid in enumerate(missing["block_id"]):
-            tb[bid] = (
+        for i, kk in enumerate(
+            kk for kk, h in zip(keys, have) if not h
+        ):
+            tb[kk] = (
                 id_sp[i],
                 dl_sp[i],
                 m_pos[int(starts[i]) : int(bounds[i])],
             )
-    parts = [tb[bid] for bid in sel_ids]
+    parts = [tb[kk] for kk in keys]
     if not parts:
         return (
             np.array([], dtype=np.int64),

@@ -360,3 +360,73 @@ def test_phrase_doc_filter_matches_compound_phrase_only(spark, sf_dir, pindex):
         assert got == want, (ph, flt)
         local = phrase_topk_local(pindex, ph, k=10, doc_filter=flt, slop=slop)
         assert local == [(d, s) for d, _, s in want], (ph, flt)
+
+
+def test_phrase_batch_multi_segment_block_identity(spark, sf_dir, tmp_path):
+    """Batch block-decode cache must key blocks by identity, not block_id:
+    multi-segment views union per-segment postings whose block_id restarts
+    at 0 per segment, so one salt group holds distinct blocks sharing a
+    block_id (ADVICE r5, high).  Batch results over a segmented index must
+    equal the per-query (uncached-path) results."""
+    from telegram2elastic_spark.query.phrase import phrase_topk, phrase_topk_batch
+    from telegram2elastic_spark.streaming.ingest import IncrementalIndexer
+
+    corpus = load_corpus(spark, sf_dir)
+    ix = IncrementalIndexer(
+        spark, str(tmp_path / "mseg"), n_doc_parts=4, positions=True
+    )
+    # even/odd split => every segment's doc ranges interleave, so same-id
+    # blocks from different segments cover overlapping doc-id ranges
+    ix.ingest_batch(corpus.filter("doc_id % 2 = 0"), "s0")
+    ix.ingest_batch(corpus.filter("doc_id % 2 = 1"), "s1")
+    idx = ix.as_index()
+    queries = {0: ["the", "fast"], 1: ["merge", "part"], 2: ["the", "fast"]}
+    by_q: dict[int, list] = {}
+    for r in phrase_topk_batch(idx, queries, k=10).collect():
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, ph in queries.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in phrase_topk(idx, ph, k=10).collect()
+        ]
+        assert want, f"query {qid} found no phrase hits (bad fixture)"
+        assert by_q.get(qid, []) == want, f"query {qid} diverged"
+
+
+def test_block_cache_keys_by_block_identity():
+    """_decode_blocks_block_cached on a salt group holding two distinct
+    blocks with the SAME block_id (multi-segment union: block_id restarts
+    per segment) must decode both, not serve one block's payload for the
+    other (ADVICE r5, high: old key was block_id alone -> [10,10,11,11])."""
+    import numpy as np
+    import pandas as pd
+
+    from telegram2elastic_spark.index.codec import (
+        delta_encode,
+        encode_positions,
+        varbyte_encode,
+    )
+    from telegram2elastic_spark.query.phrase import _decode_blocks_block_cached
+
+    def block_row(ids, block_id):
+        ids = np.asarray(ids, dtype=np.uint64)
+        tfs = np.ones(ids.size, dtype=np.uint64)
+        dls = np.full(ids.size, 5, dtype=np.uint64)
+        pos = [np.array([0], dtype=np.int64)] * ids.size
+        return {
+            "block_id": block_id,
+            "n_docs": int(ids.size),
+            "first_doc_id": int(ids[0]),
+            "last_doc_id": int(ids[-1]),
+            "doc_gaps": varbyte_encode(delta_encode(ids)),
+            "tf_bytes": varbyte_encode(tfs),
+            "dl_bytes": varbyte_encode(dls),
+            "pos_bytes": encode_positions(pos),
+        }
+
+    # segment A block 0 holds docs [1, 2]; segment B block 0 holds [10, 11]
+    g = pd.DataFrame([block_row([1, 2], 0), block_row([10, 11], 0)])
+    ids, dls, pos = _decode_blocks_block_cached("t", g, {})
+    assert ids.tolist() == [1, 2, 10, 11], ids.tolist()
+    assert dls.tolist() == [5, 5, 5, 5]
+    assert len(pos) == 4
