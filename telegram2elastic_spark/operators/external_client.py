@@ -85,12 +85,21 @@ class HttpJsonBatchClient:
     def classify_batch(self, texts: list[str]) -> list[dict]:
         self.calls += 1
         body = json.dumps({"texts": texts}).encode("utf-8")
-        self._conn.request(
-            "POST", self._path, body=body,
-            headers={"Content-Type": "application/json"},
-        )
-        resp = self._conn.getresponse()
-        data = resp.read()
+        try:
+            self._conn.request(
+                "POST", self._path, body=body,
+                headers={"Content-Type": "application/json"},
+            )
+            resp = self._conn.getresponse()
+            data = resp.read()
+        except Exception:
+            # A socket timeout or mid-response failure leaves http.client
+            # stuck in CannotSendRequest/ResponseNotReady — every retry
+            # and every later batch on this connection would then fail
+            # instantly and null out the rest of the partition (ADVICE
+            # r5, medium).  Close so the next request() reconnects.
+            self._conn.close()
+            raise
         if resp.status != 200:
             raise RuntimeError(f"classify service returned {resp.status}")
         out = json.loads(data)["results"]

@@ -29,6 +29,11 @@ class _FlakyClassifier(BaseHTTPRequestHandler):
     def do_POST(self):  # noqa: N802 (stdlib naming)
         srv = self.server
         srv.requests_seen += 1
+        if srv.requests_seen <= srv.drop_first:
+            # poison the connection: abrupt close with no HTTP response
+            # (the failure mode a clean 503 never exercises)
+            self.connection.close()
+            return
         if srv.requests_seen <= srv.fail_first:
             self.send_response(503)
             self.end_headers()
@@ -58,6 +63,7 @@ class _FlakyClassifier(BaseHTTPRequestHandler):
 def flaky_server():
     srv = HTTPServer(("127.0.0.1", 0), _FlakyClassifier)
     srv.fail_first = 0
+    srv.drop_first = 0
     srv.requests_seen = 0
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -166,3 +172,28 @@ def test_spark_kernel_dead_service_nulls_everything(spark, sf_dir):
         and r["reasoning"] is None
         for r in rows
     )
+
+
+def test_connection_reset_after_dropped_response(flaky_server):
+    """A dropped/mid-response connection must not poison the persistent
+    client: without an explicit reset, http.client is stuck in
+    CannotSendRequest after the failure and every retry and later batch
+    fails instantly (ADVICE r5, medium)."""
+    flaky_server.drop_first = 2
+    host, port = flaky_server.server_address
+    client = HttpJsonBatchClient(host, port, timeout=2.0)
+    sleeps: list[float] = []
+    out = call_with_retries(
+        lambda: client.classify_batch(["abc", "mn"]),
+        RetryPolicy(max_retries=3, base_delay=0.0),
+        sleep=sleeps.append,
+    )
+    assert out is not None and len(out) == 2  # recovered within retries
+    # and the SAME client serves subsequent batches cleanly
+    out2 = call_with_retries(
+        lambda: client.classify_batch(["xyz"]),
+        RetryPolicy(max_retries=0),
+        sleep=lambda s: None,
+    )
+    assert out2 is not None and len(out2) == 1
+    client.close()
