@@ -34,6 +34,13 @@ class _FlakyClassifier(BaseHTTPRequestHandler):
             # (the failure mode a clean 503 never exercises)
             self.connection.close()
             return
+        if srv.requests_seen <= srv.slow_first:
+            # stall past the client timeout, then answer into the void:
+            # the client-side socket.timeout leaves http.client in
+            # _CS_REQ_SENT — the state a clean failure never reaches
+            import time as _t
+
+            _t.sleep(1.2)
         if srv.requests_seen <= srv.fail_first:
             self.send_response(503)
             self.end_headers()
@@ -64,6 +71,7 @@ def flaky_server():
     srv = HTTPServer(("127.0.0.1", 0), _FlakyClassifier)
     srv.fail_first = 0
     srv.drop_first = 0
+    srv.slow_first = 0
     srv.requests_seen = 0
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -196,4 +204,26 @@ def test_connection_reset_after_dropped_response(flaky_server):
         sleep=lambda s: None,
     )
     assert out2 is not None and len(out2) == 1
+    client.close()
+
+
+def test_connection_reset_after_timeout(flaky_server):
+    """A response TIMEOUT leaves http.client in _CS_REQ_SENT; without the
+    explicit close-on-failure the next request raises CannotSendRequest
+    instantly, so retries never reach the service again (ADVICE r5)."""
+    import time as _t
+
+    flaky_server.slow_first = 1
+    host, port = flaky_server.server_address
+    client = HttpJsonBatchClient(host, port, timeout=0.4)
+    # real backoff (1s) so the retry lands after the single-threaded
+    # test server has finished stalling the first request
+    out = call_with_retries(
+        lambda: client.classify_batch(["abc", "mn"]),
+        RetryPolicy(max_retries=2, base_delay=1.0, multiplier=1.0,
+                    jitter=0.0),
+        sleep=_t.sleep,
+    )
+    assert out is not None and len(out) == 2
+    assert flaky_server.requests_seen >= 2  # retry actually hit the wire
     client.close()
