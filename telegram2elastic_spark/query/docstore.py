@@ -125,6 +125,13 @@ def fetch_docs_local(
             out[d] = merged
         else:
             out[d] = row
+    if cache is not None:
+        # bound the hot row cache (ADVICE r5, low): FIFO-evict past the
+        # cap; evicted docs are one pruned point read away
+        from .local import DOC_CACHE_MAX_ENTRIES
+
+        while len(cache) > DOC_CACHE_MAX_ENTRIES:
+            cache.pop(next(iter(cache)))
     return out
 
 

@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenizer import py_tokenize
 from .bm25 import SCORE_DECIMALS
+
+#: cap on resident stored-field rows in a handle's "_doc_cache" (ADVICE
+#: r5, low: unbounded growth on a long-lived serving handle).  ~1 KB/doc
+#: typical stored fields -> ~100 MB ceiling, the order of a query node's
+#: doc-value cache; FIFO eviction, and the encoded store stays on disk so
+#: an evicted doc is one point read away.
+DOC_CACHE_MAX_ENTRIES = 100_000
 from .expand import DEFAULT_MAX_EXPANSIONS, wildcard_regex
 from .mlt import MAX_QUERY_TERMS
 from .suggest import _py_trigrams
@@ -291,6 +298,13 @@ def _doc_rows(
         ):
             row = cache.setdefault(int(r["doc_id"]), {})
             row.update({c: r[c] for c in cols})
+        # Bound the hot cache (ADVICE r5, low): FIFO-evict oldest entries
+        # past the cap so a long-lived handle cannot grow without limit.
+        # Staleness is not a concern — an index handle is a snapshot view
+        # by contract (as_index docstring: Iceberg-style read isolation),
+        # and the corpus DataFrame's lineage is immutable.
+        while len(cache) > DOC_CACHE_MAX_ENTRIES:
+            cache.pop(next(iter(cache)))
     return {
         d: tuple(cache[d][c] for c in cols) for d in ids if d in cache
     }
