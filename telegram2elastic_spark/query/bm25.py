@@ -30,24 +30,43 @@ from ..functions.tokenizer import DOC_LEN_SQL, TOKEN_SPLIT_RE, tokens
 K1 = 1.2
 B = 0.75
 
-#: caches persisted by previous bm25_topk calls, retired lazily at the
-#: next call.  The per-query tokenized projection must outlive the
-#: function (the returned DataFrame reads it), so it cannot be
-#: unpersisted here synchronously; without retirement every query leaked
-#: one cached projection for the session's lifetime (~10s of MB each —
-#: executor storage pressure compounding over a serving loop / the
-#: bench's 12+ calls).  Unpersisting only ever drops cached blocks:
-#: a late consumer of an old result recomputes, never errs.
+#: projections persisted by previous relational queries, awaiting
+#: retirement.  A query's cached projection must outlive the call (the
+#: returned DataFrame reads it), so each call enqueues its own and
+#: retires its predecessors'.
 _live_rows: list = []
 
 
-def _retire_live_rows() -> None:
-    while _live_rows:
-        df = _live_rows.pop()
-        try:
-            df.unpersist(False)
-        except Exception:
-            pass
+def _reused_projection(df):
+    """Materialize a per-query projection that two passes share (stats
+    aggregate + scoring scan) WITHOUT leaking storage.
+
+    persist() gives the columnar in-memory cache (fastest re-scan), but
+    SQL caches are not GC-tracked — without retirement every query leaked
+    one cached projection for the session's lifetime (ADVICE r5).  The
+    predecessors' unpersist runs on a daemon thread because the
+    CacheManager work measured ~0.35 s synchronously ON the query path
+    (~2x query latency); off-path it overlaps the next query's scan.
+    Unpersisting only ever drops cached blocks — a late consumer of an
+    old result recomputes, never errs.  (localCheckpoint was measured as
+    the alternative: GC-tracked cleanup for free, but its row-format
+    blocks lose the columnar cache and cost more than they save.)"""
+    import threading
+
+    stale = _live_rows[:]
+    del _live_rows[: len(stale)]
+    if stale:
+        def _drop():
+            for old in stale:
+                try:
+                    old.unpersist(False)
+                except Exception:
+                    pass
+
+        threading.Thread(target=_drop, daemon=True).start()
+    rows = df.persist()
+    _live_rows.append(rows)
+    return rows
 SCORE_DECIMALS = 5
 # Pruning-threshold slack: final ranking rounds scores to SCORE_DECIMALS and
 # breaks ties by doc_id asc, so any pruning decision made on *raw* scores
@@ -149,9 +168,7 @@ def bm25_topk(
                 "_tk", F.array(*[F.lit(t) for t in excl])
             ).alias("_ex_hit")
         )
-    _retire_live_rows()
-    rows = tk_rows.select(*proj).persist()
-    _live_rows.append(rows)
+    rows = _reused_projection(tk_rows.select(*proj))
 
     stats_aggs = [
         F.count(F.lit(1)).alias("n"),

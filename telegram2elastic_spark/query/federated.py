@@ -101,15 +101,12 @@ def _federated_rows(corpus, terms, partition_col):
         F.size(F.filter("_tk", lambda x: x == F.lit(t))).alias(f"tf_{i}")
         for i, t in enumerate(uniq)
     ]
-    # retire prior calls' caches (same leak class as bm25._live_rows:
-    # the projection must outlive this function for the returned plan,
-    # so cleanup happens lazily at the next relational query — shared
-    # registry with bm25 so a serving loop holds ONE live projection)
-    from .bm25 import _live_rows, _retire_live_rows
+    # localCheckpoint, not persist: blocks are dropped by the
+    # ContextCleaner when the query's frames are GC'd, so a serving loop
+    # cannot accumulate leaked caches (see bm25._reused_projection)
+    from .bm25 import _reused_projection
 
-    _retire_live_rows()
-    rows = tk.select(*proj).persist()
-    _live_rows.append(rows)
+    rows = _reused_projection(tk.select(*proj))
     matched = [F.col(f"tf_{i}") > 0 for i in range(len(uniq))]
     return rows, uniq, matched
 
