@@ -413,6 +413,10 @@ def build_index(
         "_n_doc_parts": n_doc_parts,
         "_positions": bool(positions),
         "_cached": [dm, tf_df, td],
+        # named ref for consumers that need to materialize ONLY the
+        # multiply-consumed frame (streaming _write_segment: tf feeds
+        # term_dict + postings, while dm/td have single consumers there)
+        "_tf": tf_df,
     }
 
 

@@ -177,38 +177,61 @@ class IncrementalIndexer:
             ),
             "doc_id",
         )
-        idx["doc_map"].write.mode("overwrite").parquet(f"{seg_dir}/doc_map")
-        idx["term_dict"].write.mode("overwrite").parquet(f"{seg_dir}/term_dict")
-        idx["postings"].write.mode("overwrite").parquet(f"{seg_dir}/postings")
-        # per-partition lineage + counters (north_rule)
-        lineage = (
-            self.spark.read.parquet(f"{seg_dir}/postings")
-            .groupBy("salt")
-            .agg(
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum("n_docs").alias("n_postings"),
+        # The segment's tables are independent jobs over the persisted
+        # build frames — submit them concurrently (guide §2.6, same shape
+        # as index.build.write_index) instead of 6+ sequential actions
+        # per micro-batch; lineage/counters chain INSIDE their branch so
+        # they read their table only after it is written.  Shared cached
+        # frames are materialized once up front so concurrent branches
+        # never duplicate the tokenize/tf compute.
+        from concurrent.futures import ThreadPoolExecutor
+
+        # materialize only the frame two branches share (tf feeds the
+        # term_dict AND postings writes); dm/td each have a single
+        # consumer branch here, so their persisted frames materialize
+        # lazily inside that branch with no duplicate-compute risk —
+        # two fewer Spark actions per micro-batch
+        tf = idx.get("_tf")
+        if tf is not None:
+            tf.count()
+
+        def _w_postings():
+            idx["postings"].write.mode("overwrite").parquet(
+                f"{seg_dir}/postings"
             )
-            .withColumn("segment_id", F.lit(seg_id))
-        )
-        lineage.write.mode("overwrite").parquet(f"{seg_dir}/lineage")
-        counters = (
-            self.spark.read.parquet(f"{seg_dir}/doc_map")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.min(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("min_ts"),
-                F.max(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("max_ts"),
+            # per-partition lineage + counters (north_rule)
+            (
+                self.spark.read.parquet(f"{seg_dir}/postings")
+                .groupBy("salt")
+                .agg(
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum("n_docs").alias("n_postings"),
+                )
+                .withColumn("segment_id", F.lit(seg_id))
+                .write.mode("overwrite")
+                .parquet(f"{seg_dir}/lineage")
             )
-            .first()
-        )
-        entry = {
-            "segment_id": seg_id,
-            "batch_id": batch_id,
-            "n_docs": counters["n_docs"],
-            "min_ts": counters["min_ts"],
-            "max_ts": counters["max_ts"],
-            "status": "committed",
-        }
-        if self.doc_store:
+
+        def _w_doc_map():
+            idx["doc_map"].write.mode("overwrite").parquet(
+                f"{seg_dir}/doc_map"
+            )
+            return (
+                self.spark.read.parquet(f"{seg_dir}/doc_map")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.min(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("min_ts"),
+                    F.max(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("max_ts"),
+                )
+                .first()
+            )
+
+        def _w_term_dict():
+            idx["term_dict"].write.mode("overwrite").parquet(
+                f"{seg_dir}/term_dict"
+            )
+
+        def _w_doc_store():
             # stored fields for driver-local point reads; inside the
             # segment dir so the store commits atomically with the
             # postings (segment row groups are small — a batch's docs)
@@ -217,6 +240,31 @@ class IncrementalIndexer:
             write_doc_store(
                 batch_corpus, seg_dir, n_files=min(8, self.n_doc_parts)
             )
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(_w_postings),
+                pool.submit(_w_term_dict),
+            ]
+            if self.doc_store:
+                futs.append(pool.submit(_w_doc_store))
+            f_dm = pool.submit(_w_doc_map)
+            counters = f_dm.result()
+            for f in futs:
+                f.result()  # any failure aborts BEFORE the manifest commit
+        # the build frames were persisted by build_index for the fan-out
+        # above; release them or a long-lived streaming indexer leaks
+        # three cached frames per micro-batch
+        for df in idx.get("_cached", []):
+            df.unpersist()
+        entry = {
+            "segment_id": seg_id,
+            "batch_id": batch_id,
+            "n_docs": counters["n_docs"],
+            "min_ts": counters["min_ts"],
+            "max_ts": counters["max_ts"],
+            "status": "committed",
+        }
         if tombstones is not None:
             # written INSIDE the segment dir before the manifest commit —
             # tombstones and postings become visible atomically together
