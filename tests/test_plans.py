@@ -85,10 +85,13 @@ def test_postings_scan_prunes_partitions_and_pushes_term(disk_index):
 
 
 def test_bm25_uses_codegen_and_broadcasts(spark, sf_dir):
-    """Relational BM25 (tokenize-once plan): whole-stage codegen, the ONLY
-    join is the broadcast of the 1-row stats aggregate (per-term tf is
-    computed array-side in the same projection — no explode, no per-term
-    hash agg, no doc_len/term_df joins), and no sort-merge join."""
+    """Relational BM25 (tokenize-once plan, r6 literal-stats): whole-stage
+    codegen, and the scoring pass carries NO join and NO exchange at all —
+    the 1-row stats aggregate is collected eagerly and its (n, avgdl,
+    df_i) are injected as double literals (r6: the broadcast subtree cost
+    3 extra AQE stage-jobs per query; per-term tf remains array-side in
+    the same projection — no explode, no per-term hash agg, no
+    doc_len/term_df joins)."""
     df = bm25_topk(load_corpus(spark, sf_dir), ["spark", "merge"])
     # hot path must be 100% JVM: no row-Python or Arrow eval nodes anywhere
     # (with AQE the pre-execution plan hides WholeStageCodegen markers, so
@@ -96,10 +99,10 @@ def test_bm25_uses_codegen_and_broadcasts(spark, sf_dir):
     simple = _plan(df, "simple")
     assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
     plan = _plan(df)
-    # the 1-row stats side arrives by broadcast (nested-loop for a
-    # condition-free cross join); nothing may sort-merge
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # no join of any kind and no shuffle: stats are literals, the scoring
+    # pass is scan -> project -> filter -> TakeOrdered
+    assert "Join" not in plan
+    assert "Exchange" not in plan
     # the corpus is tokenized ONCE: a single InMemoryTableScan feeds both
     # the stats aggregate and the scoring pass
     assert "InMemoryTableScan" in plan
