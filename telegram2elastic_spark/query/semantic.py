@@ -198,28 +198,40 @@ def write_semantic_store(
     # tokenize+hash+agg runs once, not once per write
     emb = doc_embeddings(corpus, dim).persist()
     try:
-        (
-            # range partitioning on bucket parallelizes the sorted write
-            # (the single-partition sort was the build bottleneck) while
-            # keeping every bucket's rows inside exactly ONE file — equal
-            # keys never split across range partitions, so per-file
-            # row-group stats prune a probe exactly as before; the probe
-            # argsorts after the pruned read and never relies on
-            # cross-file order
-            emb.repartitionByRange(16, "bucket")
-            .sortWithinPartitions("bucket", "doc_id")
-            .write.mode("overwrite")
-            .option("parquet.block.size", 128 * 1024)
-            .parquet(f"{out_dir}/buckets")
-        )
-        (
-            emb.groupBy("doc_id")
-            .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
-            .repartition(1)
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/norms")
-        )
+        # materialize once, then the two independent table writes overlap
+        # (guide §2.6 — same fan-out as index.build.write_index)
+        emb.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_buckets():
+            (
+                # range partitioning on bucket parallelizes the sorted
+                # write (the single-partition sort was the build
+                # bottleneck) while keeping every bucket's rows inside
+                # exactly ONE file — equal keys never split across range
+                # partitions, so per-file row-group stats prune a probe
+                # exactly as before; the probe argsorts after the pruned
+                # read and never relies on cross-file order
+                emb.repartitionByRange(16, "bucket")
+                .sortWithinPartitions("bucket", "doc_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 128 * 1024)
+                .parquet(f"{out_dir}/buckets")
+            )
+
+        def _w_norms():
+            (
+                emb.groupBy("doc_id")
+                .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
+                .repartition(1)
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/norms")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_w_buckets), pool.submit(_w_norms)]:
+                f.result()
     finally:
         emb.unpersist()
 
@@ -575,23 +587,34 @@ def write_semantic_chunk_store(
     """
     emb = chunk_embeddings(corpus, window, stride, dim).persist()
     try:
-        (
-            # see write_semantic_store: range partitioning keeps each
-            # bucket whole per file and parallelizes the sorted write
-            emb.repartitionByRange(16, "bucket")
-            .sortWithinPartitions("bucket", "doc_id", "chunk_id")
-            .write.mode("overwrite")
-            .option("parquet.block.size", 128 * 1024)
-            .parquet(f"{out_dir}/buckets")
-        )
-        (
-            emb.groupBy("doc_id", "chunk_id")
-            .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
-            .repartition(1)
-            .sortWithinPartitions("doc_id", "chunk_id")
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/norms")
-        )
+        # materialize once; both table writes then overlap (guide §2.6)
+        emb.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_buckets():
+            (
+                # see write_semantic_store: range partitioning keeps each
+                # bucket whole per file and parallelizes the sorted write
+                emb.repartitionByRange(16, "bucket")
+                .sortWithinPartitions("bucket", "doc_id", "chunk_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 128 * 1024)
+                .parquet(f"{out_dir}/buckets")
+            )
+
+        def _w_norms():
+            (
+                emb.groupBy("doc_id", "chunk_id")
+                .agg(F.sum(F.col("val") * F.col("val")).alias("nn"))
+                .repartition(1)
+                .sortWithinPartitions("doc_id", "chunk_id")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/norms")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_w_buckets), pool.submit(_w_norms)]:
+                f.result()
     finally:
         emb.unpersist()
 
