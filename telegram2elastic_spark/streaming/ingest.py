@@ -418,16 +418,37 @@ class IncrementalIndexer:
                 .groupBy("term")
                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             )
-        dm.write.mode("overwrite").parquet(f"{seg_dir}/doc_map")
-        td.write.mode("overwrite").parquet(f"{seg_dir}/term_dict")
-        # carry stored fields into the compacted segment (absorbed dirs
-        # are vacuumed later): union of input stores minus tombstoned
-        # generations, rewritten in the sorted point-read layout
-        store_dirs = [
-            f"{d}/doc_store" for d in dirs
-            if os.path.exists(f"{d}/doc_store")
-        ]
-        if store_dirs:
+        # After the postings merge, the remaining segment tables are
+        # independent jobs (td/lineage read the already-written postings;
+        # dm/doc_store read the absorbed dirs) — overlap them like
+        # _write_segment; any failure aborts before the manifest commit.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w_doc_map():
+            dm.write.mode("overwrite").parquet(f"{seg_dir}/doc_map")
+            return (
+                self.spark.read.parquet(f"{seg_dir}/doc_map")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.min(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("min_ts"),
+                    F.max(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("max_ts"),
+                )
+                .first()
+            )
+
+        def _w_term_dict():
+            td.write.mode("overwrite").parquet(f"{seg_dir}/term_dict")
+
+        def _w_doc_store():
+            # carry stored fields into the compacted segment (absorbed
+            # dirs are vacuumed later): union of input stores minus
+            # tombstoned generations, rewritten in the sorted layout
+            store_dirs = [
+                f"{d}/doc_store" for d in dirs
+                if os.path.exists(f"{d}/doc_store")
+            ]
+            if not store_dirs:
+                return
             from ..index.build import write_doc_store
 
             store = self.spark.read.parquet(*store_dirs)
@@ -436,24 +457,28 @@ class IncrementalIndexer:
             write_doc_store(
                 store, seg_dir, n_files=min(8, self.n_doc_parts)
             )
-        lineage = (
-            written.groupBy("salt")
-            .agg(
-                F.count(F.lit(1)).alias("n_blocks"),
-                F.sum("n_docs").alias("n_postings"),
+
+        def _w_lineage():
+            (
+                written.groupBy("salt")
+                .agg(
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum("n_docs").alias("n_postings"),
+                )
+                .withColumn("segment_id", F.lit(new_id))
+                .write.mode("overwrite")
+                .parquet(f"{seg_dir}/lineage")
             )
-            .withColumn("segment_id", F.lit(new_id))
-        )
-        lineage.write.mode("overwrite").parquet(f"{seg_dir}/lineage")
-        counters = (
-            self.spark.read.parquet(f"{seg_dir}/doc_map")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.min(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("min_ts"),
-                F.max(F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("max_ts"),
-            )
-            .first()
-        )
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(_w_term_dict),
+                pool.submit(_w_doc_store),
+                pool.submit(_w_lineage),
+            ]
+            counters = pool.submit(_w_doc_map).result()
+            for f in futs:
+                f.result()
         absorbed = sorted(
             {e["batch_id"] for e in chosen}
             | {b for e in chosen for b in e.get("batch_ids", [])}
