@@ -454,14 +454,18 @@ def write_index(
     t_all = _time.perf_counter()
     spark = index["doc_map"].sparkSession
 
-    # Materialize the shared persisted frames ONCE, before the fan-out:
-    # two concurrent writes that both hit a persisted-but-unmaterialized
-    # frame would each compute its partitions (the cache dedups storage,
-    # not in-flight work).  _cached is ordered so that later entries may
-    # depend on earlier ones (td reads tf_df), hence sequential; a frame
-    # already materialized costs one fast cached scan.
-    for df in index.get("_cached", []):
-        df.count()
+    # Materialize each shared persisted frame ONCE, *inside* the fan-out
+    # (r6): two concurrent writes that both hit a persisted-but-
+    # unmaterialized frame would each compute its partitions (the cache
+    # dedups storage, not in-flight work), so every write below waits on
+    # the materialization future of exactly the frame it consumes —
+    # doc_map/stats on dm, term_dict/term_dict_sorted on td (which itself
+    # waits on tf), postings on tf.  dm and tf have no mutual dependency
+    # and materialize concurrently, so the old sequential count() stall
+    # (~0.5 s at bench scale) overlaps the write fan-out instead of
+    # preceding it.  A frame already materialized costs one fast cached
+    # scan.  When the caller's index dict carries no _tf/_cached refs
+    # (foreign dict), fall back to the sequential counts.
 
     def _w_doc_map():
         index["doc_map"].write.mode("overwrite").parquet(f"{out_dir}/doc_map")
@@ -515,26 +519,64 @@ def write_index(
     def _w_stats():
         index["stats"].write.mode("overwrite").parquet(f"{out_dir}/stats")
 
-    # longest job first so its tail overlaps everything else
-    jobs = [
-        ("postings_encode_write", _w_postings),
-        ("term_dict_write", _w_term_dict),
-        ("term_dict_sorted_write", _w_term_dict_sorted),
-        ("doc_map_write", _w_doc_map),
-        ("stats_write", _w_stats),
-    ]
+    cached = list(index.get("_cached", []))
+
+    def _is_cached(df):
+        return df is not None and any(c is df for c in cached)
+
+    tf_df = index.get("_tf")
+    dm_df = index.get("doc_map") if _is_cached(index.get("doc_map")) else None
+    td_df = index.get("term_dict") if _is_cached(index.get("term_dict")) else None
+    foreign = tf_df is None and not cached
+
     walls: dict[str, float] = {}
 
-    def _run(name, fn):
+    def _run(name, fn, dep=None):
+        if dep is not None:
+            dep.result()
         t0 = _time.perf_counter()
         spark.sparkContext.setJobDescription(f"write_index: {name}")
         fn()
         walls[name] = _time.perf_counter() - t0
 
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        futures = [pool.submit(_run, n, f) for n, f in jobs]
-        for fut in futures:
-            fut.result()
+    if foreign:
+        # no knowledge of shared frames: materialize nothing, write
+        # concurrently (previous behavior for caller-assembled dicts)
+        jobs = [
+            ("postings_encode_write", _w_postings, None),
+            ("term_dict_write", _w_term_dict, None),
+            ("term_dict_sorted_write", _w_term_dict_sorted, None),
+            ("doc_map_write", _w_doc_map, None),
+            ("stats_write", _w_stats, None),
+        ]
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futures = [pool.submit(_run, n, f, d) for n, f, d in jobs]
+            for fut in futures:
+                fut.result()
+    else:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            spark.sparkContext.setJobDescription("write_index: materialize dm")
+            f_dm = pool.submit(lambda: dm_df.count() if dm_df is not None else None)
+            spark.sparkContext.setJobDescription("write_index: materialize tf")
+            f_tf = pool.submit(lambda: tf_df.count() if tf_df is not None else None)
+
+            def _mat_td():
+                f_tf.result()
+                if td_df is not None:
+                    td_df.count()
+
+            f_td = pool.submit(_mat_td)
+            # longest chain first so its tail overlaps everything else
+            jobs = [
+                ("postings_encode_write", _w_postings, f_tf),
+                ("term_dict_write", _w_term_dict, f_td),
+                ("term_dict_sorted_write", _w_term_dict_sorted, f_td),
+                ("doc_map_write", _w_doc_map, f_dm),
+                ("stats_write", _w_stats, f_dm),
+            ]
+            futures = [pool.submit(_run, n, f, d) for n, f, d in jobs]
+            for fut in futures:
+                fut.result()
     if timings is not None:
         total = _time.perf_counter() - t_all
         scale = total / (sum(walls.values()) or 1.0)

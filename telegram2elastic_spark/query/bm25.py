@@ -131,10 +131,11 @@ def bm25_topk(
     # Now one narrow projection carries (doc_id, url, dl, per-term tf,
     # exclusion flag) — per-term tf is an array-side size(filter(tk, =t))
     # (query terms are a handful, so t cheap passes over a token array
-    # beat an explode + (doc, term) hash agg + three joins) — and is
-    # persisted so the stats aggregate and the scoring pass share ONE
-    # tokenization.  The persisted slice is ~100 B/doc; at index scale the
-    # WAND path serves queries, this relational path is the verification
+    # beat an explode + (doc, term) hash agg + three joins).  The stats
+    # aggregate rides the same pass as a CollectMetrics observation and
+    # only the CANDIDATE rows are persisted (r6) — one tokenization per
+    # query, ~100 B per matching doc cached; at index scale the WAND
+    # path serves queries, this relational path is the verification
     # baseline.  Scores are bit-compatible: same per-term weight formula,
     # same round-then-order contract (sum order changes only the last ulp,
     # absorbed by SCORE_DECIMALS rounding exactly as before).
@@ -168,7 +169,7 @@ def bm25_topk(
                 "_tk", F.array(*[F.lit(t) for t in excl])
             ).alias("_ex_hit")
         )
-    rows = _reused_projection(tk_rows.select(*proj))
+    rows = tk_rows.select(*proj)
 
     stats_aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -177,15 +178,41 @@ def bm25_topk(
         F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
         for i in range(len(uniq))
     ]
-    # The (n, avgdl, df_i) statistics row is collected eagerly and
-    # injected as double LITERALS instead of crossJoin(broadcast(stats)):
-    # the broadcast subtree cost 3 extra AQE stage-jobs per query
-    # (measured 5 jobs -> 2).  All arithmetic stays in Spark expressions
-    # over the same double values (py4j round-trips IEEE doubles
-    # exactly), so scores are bit-identical to the joined formulation.
-    # This one action also materializes the persisted `rows` projection,
-    # which the scoring pass below then reads from cache.
-    srow = rows.agg(*stats_aggs).first()
+    # The (n, avgdl, df_i) statistics row is computed as a CollectMetrics
+    # side effect (df.observe) of the SAME pass that materializes the
+    # candidates-only cache below — one full tokenize scan per query, no
+    # separate stats aggregate job, no agg exchange (r6 probe: 4q
+    # 2.09 -> 1.65 s vs the persist-all+agg formulation).  The stats sit
+    # ABOVE the candidate filter, so exclusion/admission never change
+    # N/avgdl/df (filter-context contract).  Every stat is an
+    # order-insensitive integer aggregate (counts; avg = long sum /
+    # count in one final division), so partial-aggregation order cannot
+    # change a bit, and the values are injected as double LITERALS
+    # instead of crossJoin(broadcast(stats)) — the broadcast subtree
+    # cost 3 extra AQE stage-jobs per query (measured 5 jobs -> 2).
+    # All scoring arithmetic stays in Spark expressions over the same
+    # double values (py4j round-trips IEEE doubles exactly), so scores
+    # are bit-identical to the joined formulation.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows = rows.observe(obs, *stats_aggs)
+
+    matched = [F.col(f"tf_{i}") > 0 for i in range(len(uniq))]
+    any_match = matched[0] if matched else F.lit(False)
+    for m in matched[1:]:
+        any_match = any_match | m
+    cand = rows.filter(F.col("_admit") & any_match)
+    if excl:
+        cand = cand.filter(~F.col("_ex_hit"))
+    # Persist ONLY the candidates (any_match rows) — the stats pass needs
+    # every doc, but it rides the observe node; the scoring pass below
+    # and bm25_scores consumers only ever read matching docs.  The noop
+    # write is the one materializing action: it fills the cache and
+    # completes the observation.
+    cand = _reused_projection(cand)
+    cand.write.format("noop").mode("overwrite").save()
+    srow = obs.get
 
     def _num_lit(v) -> F.Column:
         # empty-corpus aggregates yield NULL (avgdl / df_i) — preserve it
@@ -196,14 +223,6 @@ def bm25_topk(
     n_lit = _num_lit(srow["n"])
     avgdl_lit = _num_lit(srow["avgdl"])
     df_lits = [_num_lit(srow[f"df_{i}"]) for i in range(len(uniq))]
-
-    matched = [F.col(f"tf_{i}") > 0 for i in range(len(uniq))]
-    any_match = matched[0] if matched else F.lit(False)
-    for m in matched[1:]:
-        any_match = any_match | m
-    cand = rows.filter(F.col("_admit") & any_match)
-    if excl:
-        cand = cand.filter(~F.col("_ex_hit"))
 
     w_terms = [
         F.when(
