@@ -524,9 +524,21 @@ def write_index(
     def _is_cached(df):
         return df is not None and any(c is df for c in cached)
 
-    tf_df = index.get("_tf")
-    dm_df = index.get("doc_map") if _is_cached(index.get("doc_map")) else None
-    td_df = index.get("term_dict") if _is_cached(index.get("term_dict")) else None
+    # `_mat` lets an index dict name the frame whose count() fills the
+    # cache each consumer group reads (build_field_indexes: doc_map is a
+    # projection of a SHARED cached frame, so identity checks against
+    # _cached would miss it and the concurrent doc_map/stats writes
+    # would compute that frame twice)
+    mat = index.get("_mat") or {}
+    tf_df = mat.get("tf", index.get("_tf"))
+    dm_df = mat.get(
+        "dm",
+        index.get("doc_map") if _is_cached(index.get("doc_map")) else None,
+    )
+    td_df = mat.get(
+        "td",
+        index.get("term_dict") if _is_cached(index.get("term_dict")) else None,
+    )
     foreign = tf_df is None and not cached
 
     walls: dict[str, float] = {}

@@ -42,6 +42,28 @@ from .wand import _collect_idfs, _postings_for_terms, _score_salt_group
 _SEP = "\x1f"
 
 
+def _multi_tf_kernel(field_names: list[str], with_pos: bool):
+    """mapInPandas kernel: (doc_id, toks_0..toks_{F-1}) batches ->
+    (field, term, doc_id, dl, tf[, pos_vb]) — the single-field tf kernel
+    run once per field over the SAME Arrow batch, so every field's term
+    frequencies come out of ONE corpus scan."""
+    import pandas as pd
+
+    from ..index.build import _tf_positions_kernel
+
+    def fn(batches):
+        for pdf in batches:
+            for i, name in enumerate(field_names):
+                sub = pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "toks": pdf[f"toks_{i}"]}
+                )
+                for out in _tf_positions_kernel([sub], with_pos=with_pos):
+                    out.insert(0, "field", name)
+                    yield out
+
+    return fn
+
+
 def build_field_indexes(
     corpus: DataFrame,
     fields: dict[str, F.Column | str],
@@ -50,12 +72,77 @@ def build_field_indexes(
 ) -> dict[str, dict]:
     """One index per searchable field, all sharing doc ids and the salt
     modulus (same corpus rows, same pmod(doc_id, P) layout).  `fields`
-    maps field name -> column/expression holding that field's text."""
+    maps field name -> column/expression holding that field's text.
+
+    r6 shared-scan build: the per-field `build_index` calls each paid
+    their own tokenize scan for tf AND another for doc_map — 2x|fields|
+    full corpus scans.  Now ONE scan tokenizes every field through a
+    combined tf kernel (persisted once; each field's tf_df is a cached
+    filter of it) and ONE narrow scan carries every field's doc_len into
+    a combined doc_map (ditto) — 2 scans total for any number of fields.
+    Per-field tables are row-identical to the per-field build: the tf
+    kernel runs unchanged per field sub-batch, and every downstream
+    consumer (term_dict agg, the salted encode repartition, stats) is
+    insensitive to row order.  The combined frames are SHARED across the
+    returned dicts — unpersisting one field's ``_cached`` (write_index
+    does, at the end) drops the shared cache for its siblings too, which
+    only ever costs recompute, never correctness."""
+    from pyspark import StorageLevel
+
+    from ..functions.tokenizer import tokens
+    from ..index.build import build_postings, term_dict
+
+    names = list(fields)
+    cols = [
+        (F.col(c) if isinstance(c, str) else c) for c in fields.values()
+    ]
+    schema = "field string, term string, doc_id long, dl int, tf long" + (
+        ", pos_vb binary" if positions else ""
+    )
+    combined_tf = (
+        corpus.select(
+            "doc_id",
+            *[tokens(c).alias(f"toks_{i}") for i, c in enumerate(cols)],
+        )
+        .mapInPandas(_multi_tf_kernel(names, positions), schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dm_all = corpus.select(
+        "doc_id",
+        "url",
+        "lang",
+        "warc_ts",
+        *[
+            F.size(tokens(c)).cast("int").alias(f"dl_{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
     out = {}
-    for name, col in fields.items():
-        c = F.col(col) if isinstance(col, str) else col
-        fcorp = corpus.withColumn("text", c)
-        out[name] = build_index(fcorp, n_doc_parts=n_doc_parts, positions=positions)
+    for i, name in enumerate(names):
+        tf_f = combined_tf.filter(F.col("field") == name).drop("field")
+        dm_f = dm_all.select(
+            "doc_id", "url", "lang", "warc_ts",
+            F.col(f"dl_{i}").alias("doc_len"),
+        )
+        td_f = term_dict(tf_f).persist(StorageLevel.MEMORY_AND_DISK)
+        out[name] = {
+            "doc_map": dm_f,
+            "term_dict": td_f,
+            "postings": build_postings(tf_f, n_doc_parts=n_doc_parts),
+            "stats": dm_f.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("total_tokens"),
+            ),
+            "_n_doc_parts": n_doc_parts,
+            "_positions": bool(positions),
+            "_cached": [dm_all, combined_tf, td_f],
+            "_tf": tf_f,
+            # write_index materialization hints: counting dm_all / tf_f
+            # fills the shared caches the per-field frames derive from
+            "_mat": {"dm": dm_all, "tf": tf_f, "td": td_f},
+        }
     return out
 
 

@@ -232,3 +232,42 @@ class TestCrossFields:
         assert [(r["doc_id"], r["score"]) for r in xf] == [
             (r["doc_id"], r["score"]) for r in mm
         ]
+
+
+def test_shared_scan_build_matches_per_field_build(spark, sf_dir):
+    """r6 shared-scan build_field_indexes: every per-field table must be
+    row-identical (as a set) to the former one-build_index-per-field
+    path — doc_map, term_dict, postings blocks (byte columns included)
+    and stats."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+
+    corpus = load_corpus(spark, sf_dir)
+    fields = {"text": "text", "url": "url"}
+    new = mf.build_field_indexes(corpus, fields, n_doc_parts=4)
+    from pyspark.sql import functions as F
+
+    old = {
+        name: build_index(corpus.withColumn("text", F.col(c)), n_doc_parts=4)
+        for name, c in fields.items()
+    }
+    for name in fields:
+        for tbl in ("doc_map", "term_dict", "postings", "stats"):
+            a = sorted(map(tuple, new[name][tbl].collect()))
+            b = sorted(map(tuple, old[name][tbl].collect()))
+            assert a == b, f"{name}.{tbl} diverged"
+
+
+def test_shared_scan_build_positions_matches(spark, sf_dir):
+    """Positional variant: pos_bytes must survive the shared kernel."""
+    from telegram2elastic_spark.corpus import load_corpus
+    from telegram2elastic_spark.index.build import build_index
+
+    corpus = load_corpus(spark, sf_dir).limit(120)
+    new = mf.build_field_indexes(
+        corpus, {"text": "text"}, n_doc_parts=2, positions=True
+    )
+    old = build_index(corpus, n_doc_parts=2, positions=True)
+    a = sorted(map(tuple, new["text"]["postings"].collect()))
+    b = sorted(map(tuple, old["postings"].collect()))
+    assert a == b
