@@ -1736,13 +1736,23 @@ def agg_frequent_item_sets(
         .select("item")
     )
     fitems = items.join(F.broadcast(freq), "item", "inner").select("doc_id", "item")
-    a = fitems.alias("a")
-    b = fitems.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.item") < F.col("b.item")),
-    ).select(F.col("a.item").alias("item1"), F.col("b.item").alias("item2"))
+    # Pair generation is ARRAY-SIDE (r6): regroup each doc's frequent
+    # items into one array (a single (doc_id, item) shuffle) and expand
+    # pairs with explode x filter(x > item1) — the doc_id self-join it
+    # replaces re-computed the whole items subtree for BOTH join sides
+    # (Catalyst has no cross-subtree CSE: 3 tokenize scans per call) and
+    # shuffled the relation twice.  Same comparator (<, Spark UTF8
+    # binary), same pair multiset, identical support counts.
+    farr = fitems.groupBy("doc_id").agg(F.collect_list("item").alias("arr"))
+    pairs = (
+        farr.select(F.explode("arr").alias("item1"), "arr")
+        .select(
+            "item1",
+            F.explode(
+                F.filter("arr", lambda x: x > F.col("item1"))
+            ).alias("item2"),
+        )
+    )
     return (
         pairs.groupBy("item1", "item2")
         .agg(F.count(F.lit(1)).alias("support"))
