@@ -1724,11 +1724,25 @@ def dedup_cross_snapshot(
         .agg(F.slice(F.array_sort(F.collect_list("old_doc")), 1, cap).alias("olds"))
         .select("new_doc", F.explode("olds").alias("old_doc"))
     )
-    sh = corpus.select("doc_id", _toks().alias("toks")).select(
-        "doc_id", shingles_col(3, F.col("toks")).alias("sh")
+    # The exact-verify join reads the shingle subtree on BOTH sides, and
+    # Spark computes each side independently (no cross-subtree CSE) — two
+    # full tokenize+shingle passes.  capped pairs are (new, old) by
+    # construction (banded filters snap on each branch), so each side
+    # only ever matches docs of its own snapshot half: pre-filtering by
+    # snap halves each pass (r6) with identical join results.
+    sh_src = corpus.select(
+        "doc_id",
+        F.regexp_extract("source", "^src([0-9]+)$", 1)
+        .cast("int")
+        .alias("snap"),
+        _toks().alias("toks"),
+    ).select("doc_id", "snap", shingles_col(3, F.col("toks")).alias("sh"))
+    sn = sh_src.filter(F.col("snap") >= int(split)).select(
+        F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
     )
-    sn = sh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n"))
-    so = sh.select(F.col("doc_id").alias("old_doc"), F.col("sh").alias("sh_o"))
+    so = sh_src.filter(F.col("snap") < int(split)).select(
+        F.col("doc_id").alias("old_doc"), F.col("sh").alias("sh_o")
+    )
     inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
     return (
         capped.join(sn, "new_doc")
