@@ -395,15 +395,26 @@ def hits_authorities(
     iters, k = int(iters), int(k)
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    pres = (
+    # Two cached layouts of the presence relation, pre-partitioned on
+    # each half-step's join key (r6): every iteration joins pres once on
+    # `term` and once on `doc_id`, and a single-layout cache re-shuffled
+    # the (corpus-sized) relation per join — 2 shuffles x iters.  A
+    # repartition("term") BEFORE the dedup clusters every (doc_id, term)
+    # duplicate into one partition, so the distinct aggregate needs no
+    # further exchange and the cache comes out hash(term)-partitioned;
+    # the doc_id layout is one reshuffle of the deduped rows.  Joins
+    # against them then exchange only the (much smaller) rank tables.
+    pres_t = (
         corpus.select(
             F.col("doc_id"), F.explode(tokens("text")).alias("term")
         )
-        .distinct()
+        .repartition("term")
+        .dropDuplicates(["doc_id", "term"])
         .persist()
     )
-    cached = [pres]
-    auth = pres.select("term").distinct().select(
+    pres_d = pres_t.repartition("doc_id").persist()
+    cached = [pres_t, pres_d]
+    auth = pres_t.select("term").distinct().select(
         "term", F.lit(UNIT).cast("long").alias("a")
     )
     for _ in range(iters):
@@ -415,7 +426,7 @@ def hits_authorities(
         # exponentially across iterations (measured 34 s -> ~8 s at the
         # 200k-doc bench).
         hub = (
-            pres.join(auth.hint("shuffle_hash"), "term")
+            pres_t.join(auth.hint("shuffle_hash"), "term")
             .groupBy("doc_id")
             .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("h"))
             .persist()
@@ -427,7 +438,7 @@ def hits_authorities(
             F.expr(f"CAST(h * {UNIT} DIV hmax AS BIGINT)").alias("hn"),
         )
         auth_raw = (
-            pres.join(hubn.hint("shuffle_hash"), "doc_id")
+            pres_d.join(hubn.hint("shuffle_hash"), "doc_id")
             .groupBy("term")
             .agg(F.sum(F.col("hn").cast("decimal(38,0)")).alias("araw"))
             .persist()
