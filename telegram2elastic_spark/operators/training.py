@@ -2450,8 +2450,15 @@ def _lm_scored(corpus: DataFrame, train_lang: str):
             "empty vocabulary"
         )
     train = _bi(toksdf.where(F.col("lang") == train_lang))
-    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c2 (bigram-type counts) is persisted — it is read twice (the
+    # scoring join + the c1 derivation) and is vocab-pair-sized, so the
+    # cache is tiny.  c1 (left-context occurrence counts) is derived as
+    # sum(c2) GROUP BY w1 over that small relation instead of a second
+    # 10M-row bigram explode + shuffle (r6): identical counts — every
+    # train bigram occurrence contributes once to exactly one (w1, w2)
+    # type.
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
 
     lp = F.round(
         F.log(
@@ -2476,12 +2483,12 @@ def _lm_scored(corpus: DataFrame, train_lang: str):
     )
     return (
         scored.select("doc_id", "lang", "n_bigrams", ce.alias("ce_nats")),
-        toksdf,
+        [toksdf, c2],
     )
 
 
 def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> DataFrame:
-    ced, toksdf = _lm_scored(corpus, train_lang)
+    ced, lm_cached = _lm_scored(corpus, train_lang)
     res = (
         ced.select(
             "doc_id", "n_bigrams", "ce_nats",
@@ -2491,7 +2498,8 @@ def lm_perplexity(corpus: DataFrame, train_lang: str = "en", k: int = 20) -> Dat
         .limit(k)
         .localCheckpoint()
     )
-    toksdf.unpersist()
+    for df in lm_cached:
+        df.unpersist()
     return res
 
 
@@ -2512,7 +2520,7 @@ def ccnet_buckets(corpus: DataFrame, train_lang: str = "en") -> DataFrame:
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    ced, toksdf = _lm_scored(corpus, train_lang)
+    ced, lm_cached = _lm_scored(corpus, train_lang)
     w = Window.partitionBy("lang").orderBy("ce_nats", "doc_id")
     wn = Window.partitionBy("lang")
     bucketed = ced.select(
@@ -2532,7 +2540,8 @@ def ccnet_buckets(corpus: DataFrame, train_lang: str = "en") -> DataFrame:
         .orderBy("lang", "bucket")
         .localCheckpoint()
     )
-    toksdf.unpersist()
+    for df in lm_cached:
+        df.unpersist()
     return res
 
 
