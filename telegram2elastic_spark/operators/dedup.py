@@ -1865,7 +1865,12 @@ def lsh_dup_flags(
     )
     banded = sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
-    )
+    # the bucket-minimum branch and the join-back branch both scan this
+    # subtree and Spark does not dedupe identical subtrees, so the whole
+    # signature pass (shingle + md5 minima) would run TWICE; checkpointing
+    # the banded rows (n x bands small rows) halves the op — the same
+    # fix dedup_cross_snapshot carries (r6)
+    ).localCheckpoint()
     keepers = banded.groupBy("band", "band_hash").agg(
         F.min("doc_id").alias("bucket_min")
     )
