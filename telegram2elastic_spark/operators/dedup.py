@@ -365,7 +365,11 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band", "band_hash")
-    )
+    # both sides of the bucket self-join scan this subtree and Spark does
+    # not dedupe identical subtrees — without the checkpoint the whole
+    # signature pass (shingle + md5 minima) runs TWICE (r6; same fix as
+    # lsh_dup_flags / dedup_cross_snapshot)
+    ).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
