@@ -265,16 +265,24 @@ def textrank_seeded(
     )
     outw = sym.groupBy("src").agg(F.sum("w").alias("outw"))
     edges = sym.join(outw, "src").persist()
-    # n_nodes / surviving-seed count are two driver ints (one tiny agg
-    # job over the vocab-sized node table — the driver-side-literal
-    # precedent of the term-bucket computation); base is then an exact
-    # Python-int literal, and absent seeds fail fast here.
-    nn, ns = outw.agg(
-        F.count(F.lit(1)),
-        F.sum(
-            F.when(F.col("src").isin(seeds), F.lit(1)).otherwise(F.lit(0))
-        ),
-    ).first()
+    # n_nodes / surviving-seed count are two driver ints; base is then an
+    # exact Python-int literal, and absent seeds fail fast here.  The agg
+    # reads the PERSISTED edges (distinct src == outw's key set) rather
+    # than the outw subtree: as a separate eager job the latter re-ran
+    # the whole co-occurrence aggregation a second time (no cross-job
+    # exchange reuse — r6); this way the action doubles as the edge-cache
+    # materialization the iteration reuses.
+    nn, ns = (
+        edges.select("src")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(
+                F.when(F.col("src").isin(seeds), F.lit(1)).otherwise(F.lit(0))
+            ),
+        )
+        .first()
+    )
     if not ns:
         raise ValueError("no seed term co-occurs in the corpus graph")
     base_val = ((DAMP_DEN - DAMP_NUM) * UNIT * int(nn)) // (DAMP_DEN * int(ns))
