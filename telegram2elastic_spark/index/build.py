@@ -686,4 +686,8 @@ def read_index(spark, out_dir: str) -> dict:
     except Exception:
         pass
     out["_dir"] = out_dir
+    # driver-local postings reads (query/wand.py _pyarrow_blocks): valid
+    # only while index["postings"] mirrors this directory — consumers that
+    # swap the postings frame (maintenance.resize_index) must drop it
+    out["_postings_dir"] = f"{out_dir}/postings"
     return out

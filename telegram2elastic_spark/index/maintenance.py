@@ -160,6 +160,13 @@ def resize_index(index: dict, target_parts: int) -> dict:
     out = dict(index)
     if tgt == cur:
         return out
+    # the resized view's postings frame no longer mirrors the written
+    # directory (split re-encodes blocks; shrink relabels salts) — drop
+    # the driver-local read seam and the per-handle posting caches so
+    # local-path queries re-fetch through Spark
+    for k in ("_postings_dir", "_post_ds", "_local_post_cache",
+              "_local_decoded", "_local_decoded_n"):
+        out.pop(k, None)
     if cur % tgt == 0:
         out["postings"] = index["postings"].withColumn(
             "salt", F.pmod(F.col("salt"), F.lit(tgt)).cast("int")

@@ -26,6 +26,8 @@ per-block bound (block-max metadata from codec.encode_blocks).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -877,6 +879,51 @@ def wand_topk_batch(
     )
 
 
+_LOCAL_FETCH_COLS = [
+    "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
+    "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
+]
+
+
+def _pyarrow_blocks(index: dict, terms: list[str]) -> pd.DataFrame | None:
+    """Bucket-pruned driver-local read of the written postings table —
+    the query-node serving pattern query/docstore.py and fuzzy.py already
+    use.  Returns None when the index has no on-disk postings dir this
+    process can read (in-memory build, multi-segment view, remote URI);
+    the caller then falls back to the Spark fetch.
+
+    Identical rows to the Spark route: both read the same parquet files
+    under {_postings_dir}, prune to the query terms' term_bucket
+    partitions with the same driver-side XXH64, and filter term IN (...).
+    Only the fetch ENGINE changes — measured 8 cold queries 1.3 s -> 0.47 s
+    (jobs/probe_wandlocal.py, rank-identity asserted), because a cold
+    term no longer pays a whole Spark job for a few MB of blocks.  The
+    opened dataset (file listing + parquet footers) is memoized on the
+    handle, like docstore's ds_cache."""
+    pdir = index.get("_postings_dir")
+    if not pdir:
+        return None
+    try:
+        import pyarrow.dataset as ds
+
+        src = index.get("_post_ds")
+        if src is None:
+            if not os.path.isdir(pdir):
+                return None
+            src = ds.dataset(pdir, format="parquet", partitioning="hive")
+            index["_post_ds"] = src
+        from ..functions.xxhash import term_bucket
+        from ..index.build import N_TERM_BUCKETS
+
+        buckets = sorted({term_bucket(t, N_TERM_BUCKETS) for t in terms})
+        filt = ds.field("term_bucket").isin(buckets) & ds.field("term").isin(
+            terms
+        )
+        return src.to_table(columns=_LOCAL_FETCH_COLS, filter=filt).to_pandas()
+    except Exception:
+        return None
+
+
 def _local_blocks(
     index: dict, scan_terms: list[str], want_terms: list[str]
 ) -> pd.DataFrame | None:
@@ -884,18 +931,26 @@ def _local_blocks(
     driver-side (what a query node keeps in memory); repeated terms across
     the query stream skip Spark entirely.  Fetches `scan_terms` into the
     cache, returns the concatenated blocks of `want_terms` (None if none
-    have postings)."""
+    have postings).
+
+    Cold fetch engine: a written single-segment index (read_index sets
+    _postings_dir) is read driver-side via pyarrow — same files, same
+    bucket pruning, no Spark job (see _pyarrow_blocks).  Every other
+    handle (in-memory build, as_index multi-segment union, resized
+    postings) takes the pruned Spark fetch.  Consumers are fetch-order
+    agnostic: each one either re-sorts by block_id per term (unique
+    within a segment) or re-sorts decoded ids, so the two engines are
+    interchangeable row-set-wise (probe asserts rank identity)."""
     cache = index.setdefault("_local_post_cache", {})
     missing = [t for t in scan_terms if t not in cache]
     if missing:
-        fetched = (
-            _postings_for_terms(index, missing)
-            .select(
-                "term", "block_id", "n_docs", "first_doc_id", "last_doc_id",
-                "doc_gaps", "tf_bytes", "dl_bytes", "block_max_tf",
+        fetched = _pyarrow_blocks(index, missing)
+        if fetched is None:
+            fetched = (
+                _postings_for_terms(index, missing)
+                .select(*_LOCAL_FETCH_COLS)
+                .toPandas()
             )
-            .toPandas()
-        )
         for t, g in fetched.groupby("term", sort=False):
             cache[t] = g
         for t in missing:

@@ -388,3 +388,51 @@ def test_batch_per_query_cursors(spark, sf_dir, index):
             ).collect()
         ]
         assert by_q.get(qid, []) == want, qid
+
+
+def test_local_pyarrow_fetch_matches_spark_fetch(spark, sf_dir, tmp_path):
+    """The written-index local path fetches posting blocks driver-side via
+    pyarrow (wand._pyarrow_blocks).  Contract: same row set as the pruned
+    Spark fetch, same rankings, and handles that stop mirroring the
+    directory (resize_doc_parts) fall back to the Spark route."""
+    from telegram2elastic_spark.index.build import read_index, write_index
+    from telegram2elastic_spark.index.maintenance import resize_index
+    from telegram2elastic_spark.query.wand import (
+        _local_blocks,
+        _pyarrow_blocks,
+        wand_topk_local,
+    )
+
+    corpus = load_corpus(spark, sf_dir)
+    out = str(tmp_path / "idx")
+    write_index(build_index(corpus, n_doc_parts=8), out)
+    idx_pa = read_index(spark, out)
+    assert idx_pa.get("_postings_dir") == f"{out}/postings"
+    idx_sp = read_index(spark, out)
+    idx_sp.pop("_postings_dir")  # force the Spark fetch route
+
+    # block-level identity: same (term, block) rows from both engines
+    terms = ["the", "spark", "merge", "dup", "zzzznotaterm"]
+    pa_rows = _pyarrow_blocks(idx_pa, terms)
+    sp_rows = _local_blocks(idx_sp, terms, terms)
+    key = ["term", "block_id", "first_doc_id"]
+    pa_sorted = pa_rows.sort_values(key).reset_index(drop=True)
+    sp_sorted = sp_rows.sort_values(key).reset_index(drop=True)
+    assert len(pa_sorted) == len(sp_sorted) > 0
+    for col in sp_sorted.columns:
+        assert list(pa_sorted[col]) == list(sp_sorted[col]), col
+
+    # rank identity across the two engines for every query shape
+    for q in QUERIES:
+        assert wand_topk_local(idx_pa, q, k=10) == wand_topk_local(
+            idx_sp, q, k=10
+        ), q
+    # the fast path actually ran (dataset memoized on the handle)
+    assert "_post_ds" in idx_pa
+
+    # a resized view must NOT serve stale directory reads
+    resized = resize_index(read_index(spark, out), 4)
+    assert "_postings_dir" not in resized and "_post_ds" not in resized
+    assert wand_topk_local(resized, ["spark", "merge"], k=10) == (
+        wand_topk_local(idx_pa, ["spark", "merge"], k=10)
+    )
