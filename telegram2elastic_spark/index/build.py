@@ -686,8 +686,11 @@ def read_index(spark, out_dir: str) -> dict:
     except Exception:
         pass
     out["_dir"] = out_dir
-    # driver-local postings reads (query/wand.py _pyarrow_blocks): valid
-    # only while index["postings"] mirrors this directory — consumers that
-    # swap the postings frame (maintenance.resize_index) must drop it
+    # driver-local reads (query/wand.py _pyarrow_blocks / _collect_idfs /
+    # _index_stats): valid only while the corresponding table mirrors its
+    # directory — consumers that swap a frame (maintenance.resize_index
+    # for postings) must drop the matching seam
     out["_postings_dir"] = f"{out_dir}/postings"
+    out["_term_dict_dir"] = f"{out_dir}/term_dict"
+    out["_stats_dir"] = f"{out_dir}/stats"
     return out

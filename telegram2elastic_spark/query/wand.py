@@ -501,13 +501,61 @@ def _bucketed(index: dict, df: DataFrame, terms: list[str]) -> DataFrame:
 
 
 def _index_stats(index: dict) -> tuple[int, float]:
-    """Per-index memoized (n_docs, avgdl) — one tiny Spark action per
-    index handle, shared by every query path."""
+    """Per-index memoized (n_docs, avgdl) — one tiny metadata fetch per
+    index handle, shared by every query path.  A written index's 1-row
+    stats table is read driver-side (pyarrow) instead of through a Spark
+    action — same parquet values either way."""
     if "_stats" not in index:
-        n, avgdl = index["stats"].select("n_docs", "avgdl").first()
+        row = None
+        sdir = index.get("_stats_dir")
+        if sdir and os.path.isdir(sdir):
+            try:
+                import pyarrow.dataset as ds
+
+                t = ds.dataset(sdir, format="parquet").to_table(
+                    columns=["n_docs", "avgdl"]
+                )
+                if t.num_rows:
+                    row = (t["n_docs"][0].as_py(), t["avgdl"][0].as_py())
+            except Exception:
+                row = None
+        if row is None:
+            row = index["stats"].select("n_docs", "avgdl").first()
+        n, avgdl = row
         # empty corpus: avgdl is NULL; any positive value works (no postings)
         index["_stats"] = (int(n or 0), float(avgdl) if avgdl else 1.0)
     return index["_stats"]
+
+
+def _pyarrow_term_dict(index: dict, terms: list[str]):
+    """Bucket-pruned driver-local (term, df) lookup from the written
+    term_dict table — the _pyarrow_blocks seam applied to the vocabulary
+    (a |q|-row metadata fetch should not cost a Spark action).  Returns
+    None when no readable directory backs the handle; the caller falls
+    back to the Spark scan.  Identical values: same files, same bucket
+    pruning, same `term IN (...)` filter."""
+    tdir = index.get("_term_dict_dir")
+    if not tdir:
+        return None
+    try:
+        import pyarrow.dataset as ds
+
+        src = index.get("_td_ds")
+        if src is None:
+            if not os.path.isdir(tdir):
+                return None
+            src = ds.dataset(tdir, format="parquet", partitioning="hive")
+            index["_td_ds"] = src
+        from ..functions.xxhash import term_bucket
+        from ..index.build import N_TERM_BUCKETS
+
+        buckets = sorted({term_bucket(t, N_TERM_BUCKETS) for t in terms})
+        filt = ds.field("term_bucket").isin(buckets) & ds.field("term").isin(
+            terms
+        )
+        return src.to_table(columns=["term", "df"], filter=filt).to_pandas()
+    except Exception:
+        return None
 
 
 def _local_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
@@ -551,6 +599,21 @@ def _collect_idfs(index: dict, terms: list[str]) -> tuple[dict, float]:
     overhead dominates these driver-side metadata fetches)."""
     cache = index.setdefault("_idf_cache", {})
     missing = [t for t in terms if t not in cache]
+    if missing:
+        # written-index fast path: (term, df) and the 1-row stats are
+        # driver-local parquet reads (no Spark action at all on a cold
+        # handle) — same files and filters as the Spark route below, so
+        # the cached idfs are bit-equal either way
+        rows_pd = _pyarrow_term_dict(index, missing)
+        if rows_pd is not None:
+            n, _ = _index_stats(index)
+            for term, df in zip(rows_pd["term"], rows_pd["df"]):
+                cache[term] = float(
+                    np.log(1.0 + (n - int(df) + 0.5) / (int(df) + 0.5))
+                )
+            for t in missing:
+                cache.setdefault(t, None)  # zero-hit terms
+            missing = []
     if missing and "_stats" not in index:
         rows = (
             _bucketed(index, index["term_dict"], missing)
