@@ -526,11 +526,12 @@ class TestCcnetBuckets:
             (r["lang"], r["bucket"]): r["cnt"]
             for r in tr.ccnet_buckets(corpus).collect()
         }
-        ced, toksdf = tr._lm_scored(corpus, "en")
+        ced, lm_cached = tr._lm_scored(corpus, "en")
         per_lang = {
             r["lang"]: r["count"] for r in ced.groupBy("lang").count().collect()
         }
-        toksdf.unpersist()
+        for f in lm_cached:
+            f.unpersist()
         assert per_lang
         for lang, n in per_lang.items():
             head = n // 3
