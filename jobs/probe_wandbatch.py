@@ -49,7 +49,7 @@ def main():
     def fresh(spark_route: bool):
         idx = read_index(spark, idx_dir)
         if spark_route:
-            for k in ("_term_dict_dir", "_stats_dir", "_postings_dir"):
+            for k in ("_term_dict_dir", "_stats_dir", "_postings_dir", "_doc_map_dir"):
                 idx.pop(k, None)
         for name in ("doc_map", "term_dict", "postings", "stats"):
             idx[name] = idx[name].cache()

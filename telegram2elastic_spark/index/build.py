@@ -693,4 +693,5 @@ def read_index(spark, out_dir: str) -> dict:
     out["_postings_dir"] = f"{out_dir}/postings"
     out["_term_dict_dir"] = f"{out_dir}/term_dict"
     out["_stats_dir"] = f"{out_dir}/stats"
+    out["_doc_map_dir"] = f"{out_dir}/doc_map"
     return out

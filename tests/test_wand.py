@@ -409,7 +409,10 @@ def test_local_pyarrow_fetch_matches_spark_fetch(spark, sf_dir, tmp_path):
     idx_pa = read_index(spark, out)
     assert idx_pa.get("_postings_dir") == f"{out}/postings"
     idx_sp = read_index(spark, out)
-    idx_sp.pop("_postings_dir")  # force the Spark fetch route
+    # force the Spark routes (block fetch, idf/stats lookup, url fill)
+    for seam in ("_postings_dir", "_term_dict_dir", "_stats_dir",
+                 "_doc_map_dir"):
+        idx_sp.pop(seam)
 
     # block-level identity: same (term, block) rows from both engines
     terms = ["the", "spark", "merge", "dup", "zzzznotaterm"]
@@ -429,6 +432,21 @@ def test_local_pyarrow_fetch_matches_spark_fetch(spark, sf_dir, tmp_path):
         ), q
     # the fast path actually ran (dataset memoized on the handle)
     assert "_post_ds" in idx_pa
+
+    # batch path: the driver-side url fill must equal the broadcast-join
+    # route row for row (ordering included)
+    from telegram2elastic_spark.query.wand import wand_topk_batch
+
+    queries = {i: q for i, q in enumerate(QUERIES)}
+    rows_pa_b = [
+        (r["query_id"], r["doc_id"], r["url"], r["score"])
+        for r in wand_topk_batch(idx_pa, queries, k=10).collect()
+    ]
+    rows_sp_b = [
+        (r["query_id"], r["doc_id"], r["url"], r["score"])
+        for r in wand_topk_batch(idx_sp, queries, k=10).collect()
+    ]
+    assert rows_pa_b == rows_sp_b
 
     # a resized view must NOT serve stale directory reads
     resized = resize_index(read_index(spark, out), 4)
